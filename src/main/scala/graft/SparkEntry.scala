@@ -1,13 +1,334 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{CleaningOps, Dimensions, EntityResolution}
+
+/** Driver contract (see SURVEY.md §7): every operator in the SURVEY §2
+  * inventory is exposed as a named query over the harness tables, with an
+  * ANSI-SQL oracle DuckDB runs over the same parquet.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - aggregates over doubles are `round(_, 2)` on both sides (partial-agg
+  *    ordering differs between engines in the last float bits);
+  *  - count/row_number results are cast to BIGINT on both sides;
+  *  - coerce casts use ANSI-safe guarded casts (CleaningOps) mirrored by
+  *    DuckDB TRY_CAST.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue and
+    * volume per market segment — scan -> filter -> two joins -> agg, the
+    * whole spine of SURVEY §7 step 1. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
+
+    // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
+    // map-side partial agg + single shuffle on the group key.
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A1 distinct extraction (dimension build from a fact column).
+    "q06_distinct_extract" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority")).na.drop().distinct()
+    }),
+
+    // A2 deterministic keep-first dedup via window (SURVEY hard-part #1).
+    "q07_dedup_keep_first" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      Dimensions.dedupKeepFirst(c, Seq("c_nationkey"), "c_custkey")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
+
+    // A3/U1 distinct union across sources (required-universe).
+    "q08_union_universe" -> ((s, dir) => {
+      EntityResolution.requiredUniverse("custkey",
+        t(s, dir, "orders").select(col("o_custkey").as("custkey")),
+        t(s, dir, "customer").select(col("c_custkey").as("custkey")))
+    }),
+
+    // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
+    "q10_dup_flag_rewrite" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withN = c.withColumn("grp_n",
+        count(lit(1)).over(Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))))
+      withN.withColumn("email",
+          when(col("grp_n") > 1, CleaningOps.placeholderEmail(col("c_custkey")))
+            .otherwise(lower(col("c_name"))))
+        .select(col("c_custkey"), col("email"), col("grp_n"))
+    }),
+
+    // A6 surrogate-key generation (IDENTITY replacement): dense, stable.
+    "q11_surrogate_keys" -> ((s, dir) => {
+      Dimensions.surrogateKeys(t(s, dir, "region"), "r_name", "id", offset = 100L)
+        .select(col("r_name"), col("id"))
+    }),
+
+    // ---- P-family: projections / filters / scalar mutation (SURVEY §2.2) ----
+
+    // P1/P2/P3 + per-row arithmetic; filter pushed to parquet scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_discount") > 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+    }),
+
+    // P6/P8 prefix-strip + numeric coerce (limpiar_id): garbage -> null.
+    "q12_clean_id_coerce" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"),
+        CleaningOps.cleanId(concat(lit("C"), col("c_custkey")), "C").as("cleaned_id"),
+        CleaningOps.coerceLong(regexp_replace(col("c_name"), "^Customer#", "")).as("name_id"),
+        CleaningOps.coerceLong(col("c_mktsegment")).as("garbage_id"))
+    }),
+
+    // P7 date parse with coerce -> null -> drop.
+    "q13_date_coerce" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          CleaningOps.coerceTimestamp(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("parsed"),
+          CleaningOps.coerceTimestamp(col("o_orderpriority")).as("bad"))
+        .filter(col("parsed").isNotNull)
+    }),
+
+    // P12 CHECK-range validation split (valid vs quarantined counts).
+    "q14_check_range" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("status",
+          when(CleaningOps.checkRange(col("l_linenumber"), 1, 5), lit("valid"))
+            .otherwise(lit("out_of_range")))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
+    // S5 partition-column derivation (year buckets, as the partitioned sink).
+    "q15_partition_year" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("anio"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    // ---- J-family: joins (SURVEY §2.4) ----
+
+    // J1 broadcast lookup join (dict .map analog) + agg.
+    "q03_lookup_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // J3 semi join: FK-validity filtering.
+    "q04_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // J2 anti join: the idempotent-load "only new rows" predicate
+    // (customers with no urgent order — non-empty at every SF).
+    "q05_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J4+P10: set-difference -> placeholder synthesis.
+    "q09_except_placeholders" -> ((s, dir) => {
+      val required = t(s, dir, "customer").select(col("c_custkey").as("id"))
+      val existing = t(s, dir, "customer").filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("id"))
+      required.except(existing)
+        .select(col("id"),
+          CleaningOps.placeholderName(col("id")).as("nombre"),
+          CleaningOps.placeholderEmail(col("id")).as("email"))
+    }),
+
+    // ---- sort / top-k / window (engine idiom; SURVEY §2.6) ----
+
+    // Deterministic global top-k with rank.
+    "q16_topk" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Running windowed aggregation per key.
+    "q17_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+
+    // Grouped top-N (window rank within group, the scalable per-group top-k).
+    "q18_grouped_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.02""".stripMargin,
+
+    "q03_lookup_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q06_distinct_extract" ->
+      """SELECT DISTINCT o_orderpriority AS priority
+        |FROM orders WHERE o_orderpriority IS NOT NULL""".stripMargin,
+
+    "q07_dedup_keep_first" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        |  FROM customer) WHERE rn = 1""".stripMargin,
+
+    "q08_union_universe" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)""".stripMargin,
+
+    "q09_except_placeholders" ->
+      """SELECT id,
+        |  'Cliente_' || CAST(id AS VARCHAR) AS nombre,
+        |  'cliente_' || CAST(id AS VARCHAR) || '@placeholder.com' AS email
+        |FROM (SELECT c_custkey AS id FROM customer
+        |      EXCEPT
+        |      SELECT c_custkey AS id FROM customer WHERE c_acctbal >= 0)""".stripMargin,
+
+    "q10_dup_flag_rewrite" ->
+      """SELECT c_custkey,
+        |  CASE WHEN grp_n > 1
+        |    THEN 'cliente_' || CAST(c_custkey AS VARCHAR) || '@placeholder.com'
+        |    ELSE lower(c_name) END AS email,
+        |  grp_n
+        |FROM (SELECT c_custkey, c_name,
+        |        CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS grp_n
+        |      FROM customer)""".stripMargin,
+
+    "q11_surrogate_keys" ->
+      """SELECT r_name,
+        |  CAST(row_number() OVER (ORDER BY r_name) + 100 AS BIGINT) AS id
+        |FROM region""".stripMargin,
+
+    "q12_clean_id_coerce" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(regexp_replace('C' || CAST(c_custkey AS VARCHAR), '^C', '') AS BIGINT) AS cleaned_id,
+        |  TRY_CAST(regexp_replace(c_name, '^Customer#', '') AS BIGINT) AS name_id,
+        |  TRY_CAST(c_mktsegment AS BIGINT) AS garbage_id
+        |FROM customer""".stripMargin,
+
+    "q13_date_coerce" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS TIMESTAMP) AS parsed,
+        |  TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad
+        |FROM orders
+        |WHERE TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS TIMESTAMP) IS NOT NULL""".stripMargin,
+
+    "q14_check_range" ->
+      """SELECT CASE WHEN l_linenumber BETWEEN 1 AND 5 THEN 'valid'
+        |            ELSE 'out_of_range' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q15_partition_year" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS anio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT CAST(rn AS BIGINT) AS rn, o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 10""".stripMargin,
+
+    "q17_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q18_grouped_topn" ->
+      """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin
+  )
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loading for the harness star schema (TESTDATA.md).
+  *
+  * At 100 TB these reads become multi-thousand-file partitioned scans;
+  * everything downstream therefore treats the returned DataFrame as a lazy,
+  * partition-pruned, column-pruned scan — never materialized driver-side.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables, always broadcast-joined (SURVEY.md §2.4 J1). */
+  val SmallDims: Set[String] = Set("region", "nation", "part", "supplier")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session tuning shared by Verify / Bench / tests.
+    *
+    * - ANSI off: the reference's `errors='coerce'` semantics (SURVEY.md §1.2,
+    *   main.py:38-41,98) require cast-failure -> null, not exception. Query
+    *   code additionally uses try_cast/try_to_timestamp so the semantics do
+    *   not depend on this flag.
+    * - AQE on: runtime coalescing + skew-join splitting is the 100 TB story
+    *   for shuffle sizing; locally it also trims empty partitions.
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.compression.codec", "snappy")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+}

@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar cleaning / coercion operators (SURVEY.md §2.2).
+  *
+  * Reference semantics reproduced (cited file:line in the reference repo
+  * ITLA-Dextron03/Proceso-de-ETL, studied read-only):
+  *  - P6 `limpiar_id` (main.py:38-41): strip a one-letter prefix like "C123"
+  *    -> 123, unparseable -> null (pandas `to_numeric(errors='coerce')`).
+  *  - P7 (main.py:98-99): datetime parse with coerce -> null, then drop.
+  *  - P9/P10 (main.py:126-129): conditional rewrite + string templating.
+  *  - P12 (sql:115,132): CHECK range as explicit validation filter.
+  *
+  * All are pure Column expressions — they stay inside whole-stage codegen and
+  * cost nothing extra at 100 TB (no UDF, no serialization boundary). Coerce
+  * ops are written to be safe under either value of `spark.sql.ansi.enabled`.
+  */
+object CleaningOps {
+
+  /** Numeric coerce: long on digits-only input, null otherwise — identical
+    * to `pd.to_numeric(errors='coerce')` for id columns, and ANSI-safe (the
+    * cast only runs on guarded input; 18-digit cap avoids long overflow). */
+  def coerceLong(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(s.rlike("^[0-9]{1,18}$"), s.cast("long"))
+  }
+
+  /** P6: strip a leading letter prefix (e.g. "C"/"P") and coerce to long. */
+  def cleanId(c: Column, prefix: String): Column =
+    coerceLong(regexp_replace(c.cast("string"), "^" + prefix, ""))
+
+  /** P7: timestamp parse with coerce -> null (pd.to_datetime errors='coerce'). */
+  def coerceTimestamp(c: Column): Column = try_to_timestamp(c)
+
+  /** P12: CHECK (x BETWEEN lo AND hi) as a validation predicate. */
+  def checkRange(c: Column, lo: Int, hi: Int): Column = c.between(lo, hi)
+
+  /** Split a frame into (valid, quarantined) on a CHECK predicate — the
+    * engine-side upgrade over the reference's "let the DB reject the row". */
+  def validate(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!pred or pred.isNull))
+
+  /** P10 (main.py:126): placeholder display name "Cliente_<id>". */
+  def placeholderName(id: Column): Column =
+    concat(lit("Cliente_"), id.cast("string"))
+
+  /** P10 (main.py:129): placeholder email "cliente_<id>@placeholder.com". */
+  def placeholderEmail(id: Column): Column =
+    concat(lit("cliente_"), id.cast("string"), lit("@placeholder.com"))
+}

@@ -1,0 +1,143 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete reference pipeline (ITLA-Dextron03/Proceso-de-ETL main.py),
+  * re-expressed as lazy Spark dataflow (SURVEY.md §3 E1/E2/E3, §7 steps 1-5).
+  *
+  * Input: the six reference-shaped sources (FIXTURES.md §A). Output: the nine
+  * star-schema tables of `Base de Datos Relacional copy.sql:47-139`, as
+  * DataFrames ready for `IncrementalLoad.atomicPublish`.
+  *
+  * Where the reference is an eager, single-process pandas script with a DB
+  * round-trip per phase (extract -> load dims -> re-read id maps -> transform
+  * -> load facts), this is one lazy DAG: dimension frames with generated
+  * surrogate keys are reused directly as broadcast-join operands — the
+  * "refresh id maps" round-trip (main.py:103-115) disappears.
+  *
+  * Every join here is a broadcast hash join at any scale (dimensions are
+  * bounded: categories/classifications/sources are enums); the only shuffles
+  * at 100 TB are the required-universe distinct and fact-side dedups, which
+  * shuffle exactly once on their key.
+  */
+object OpinionPipeline {
+  import CleaningOps._
+
+  final case class Out(
+      clientes: DataFrame, productos: DataFrame, categorias: DataFrame,
+      clasificaciones: DataFrame, fuentes: DataFrame,
+      comentarios: DataFrame, encuestas: DataFrame, webReviews: DataFrame)
+
+  /** E3 (main.py:117-169) + dimension prep (main.py:88-101). */
+  def transform(spark: SparkSession,
+                clients: DataFrame, products: DataFrame, fuenteDatos: DataFrame,
+                comments: DataFrame, surveys: DataFrame, reviews: DataFrame): Out = {
+
+    // ---- dimensions from distinct extraction (A1/A2/A6, main.py:92-100) ----
+    val categorias = Dimensions.buildDimension(products, "Categoría", "Nombre", "IdCategoria")
+    val clasificaciones = Dimensions.buildDimension(surveys, "Clasificacion", "Nombre", "IdClasificacion")
+
+    // Fuentes: keep-first on TipoFuente with parsed FechaCarga (main.py:95-100).
+    val fuentesSrc = fuenteDatos
+      .withColumn("FechaCarga", coerceTimestamp(col("FechaCarga").cast("string")))
+      .na.drop(Seq("TipoFuente", "FechaCarga"))
+      .withColumn("__ord", monotonically_increasing_id()) // file-order proxy, pre-shuffle
+    val fuentes = Dimensions.surrogateKeys(
+        Dimensions.dedupKeepFirst(fuentesSrc, Seq("TipoFuente"), "__ord")
+          .select(col("TipoFuente").as("Nombre"), col("FechaCarga")),
+        "Nombre", "IdFuente")
+      .select(col("IdFuente"), col("Nombre"), col("FechaCarga"))
+
+    // ---- clientes chain (main.py:120-129) ----
+    val clientesBase = clients
+      .withColumn("IdCliente", coerceLong(col("IdCliente")))
+      .na.drop(Seq("IdCliente"))
+      .withColumn("__ord", monotonically_increasing_id())
+    val clientesDedup = Dimensions.dedupKeepFirst(clientesBase, Seq("IdCliente"), "__ord")
+      .drop("__ord")
+
+    // Required universe of client ids across all three fact sources (A3).
+    val required = EntityResolution.requiredUniverse("IdCliente",
+      comments.select(cleanId(col("IdCliente"), "C").as("IdCliente")),
+      surveys.select(coerceLong(col("IdCliente")).as("IdCliente")),
+      reviews.select(cleanId(col("IdCliente"), "C").as("IdCliente")))
+
+    // Placeholder clients for opinions with no master row (J4, main.py:124-127).
+    val placeholderRows = EntityResolution.placeholders(required, clientesDedup, "IdCliente") {
+      id => Seq(id.as("IdCliente"), placeholderName(id).as("Nombre"),
+                placeholderEmail(id).as("Email"))
+    }
+
+    // Union + duplicate-email rewrite (A4/P9, main.py:127-129).
+    val clientes = EntityResolution.rewriteDupGroups(
+      clientesDedup.select("IdCliente", "Nombre", "Email").unionByName(placeholderRows),
+      key = "Email", target = "Email",
+      replacement = placeholderEmail(col("IdCliente")))
+
+    // ---- productos: lookup-join to Categorias (J1, main.py:132-133) ----
+    val productos = products
+      .withColumn("IdProducto", coerceLong(col("IdProducto")))
+      .na.drop(Seq("IdProducto"))
+      .join(broadcast(categorias), trim(products("Categoría")) === categorias("Nombre"), "left")
+      .select(col("IdProducto"), products("Nombre"), col("IdCategoria"))
+
+    // ---- fact chains (main.py:138-160): clean -> validate -> map -> project ----
+    val validClients = clientes.select("IdCliente")
+
+    def factChain(src: DataFrame, idIsPrefixed: Boolean): DataFrame = {
+      val cleaned =
+        if (idIsPrefixed) src
+          .withColumn("IdCliente", cleanId(col("IdCliente"), "C"))
+          .withColumn("IdProducto", cleanId(col("IdProducto"), "P"))
+        else src
+          .withColumn("IdCliente", coerceLong(col("IdCliente")))
+          .withColumn("IdProducto", coerceLong(col("IdProducto")))
+      cleaned
+        .na.drop(Seq("IdCliente", "IdProducto", "Fecha"))
+        .join(validClients, Seq("IdCliente"), "left_semi") // J3 FK validity
+    }
+
+    val comentarios = factChain(comments, idIsPrefixed = true)
+      .join(broadcast(fuentes.select(col("IdFuente"), col("Nombre"))),
+        comments("Fuente") === col("Nombre"), "left")
+      .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
+      .na.drop(Seq("Fecha"))
+      .select(col("IdComment"), col("IdCliente"), col("IdProducto"),
+        col("IdFuente"), col("Fecha"), col("comentario").as("Comentario"))
+
+    val encuestas = factChain(surveys, idIsPrefixed = false)
+      .join(broadcast(clasificaciones.withColumnRenamed("Nombre", "__cn")),
+        surveys("Clasificacion") === col("__cn"), "left")
+      .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
+      .na.drop(Seq("Fecha"))
+      .filter(checkRange(col("PuntajeSatisfaccion"), 1, 5)) // P12 (sql:115)
+      .select(col("IdOpinion"), col("IdCliente"), col("IdProducto"),
+        col("IdClasificacion"), col("Fecha"),
+        col("Comentario"), col("PuntajeSatisfaccion"))
+
+    val webReviews = factChain(reviews, idIsPrefixed = true)
+      .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
+      .na.drop(Seq("Fecha"))
+      .filter(checkRange(col("Rating"), 1, 5)) // P12 (sql:132)
+      .select(col("IdReview"), col("IdCliente"), col("IdProducto"),
+        col("Fecha"), col("Comentario"), col("Rating"))
+
+    Out(clientes, productos, categorias, clasificaciones, fuentes,
+      comentarios, encuestas, webReviews)
+  }
+
+  /** E1 end-to-end: transform + atomic multi-table publish (T1). Facts are
+    * year-partitioned (S5) like the reference's yearly filegroups. */
+  def run(spark: SparkSession, out: Out, root: String): Unit = {
+    IncrementalLoad.atomicPublish(root, Map(
+      "clientes" -> out.clientes,
+      "productos" -> out.productos,
+      "categorias" -> out.categorias,
+      "clasificaciones" -> out.clasificaciones,
+      "fuentes" -> out.fuentes,
+      "comentarios" -> out.comentarios.withColumn("anio", year(col("Fecha"))),
+      "encuestas" -> out.encuestas.withColumn("anio", year(col("Fecha"))),
+      "webreviews" -> out.webReviews.withColumn("anio", year(col("Fecha")))))
+  }
+}
