@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{CleaningOps, Dimensions, EntityResolution}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
 
 /** Driver contract (see SURVEY.md §7): every operator in the SURVEY §2
   * inventory is exposed as a named query over the harness tables, with an
@@ -208,6 +210,87 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- dedup suite (training-data pipeline; BASELINE north star) ----
+
+    // Exact dedup by content digest (shuffles 16-byte digest, not text).
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // MinHash+LSH near-dup pairs (banded signatures, bucket join, Jaccard
+    // verify). No SQL oracle: LSH bucketing isn't ANSI-expressible.
+    "q31_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        bands = 16, rowsPerBand = 2, threshold = 0.35)
+    }),
+
+    // SimHash near-dup pairs (4x16-bit block LSH + Hamming verify).
+    "q32_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
+    }),
+
+    // Exact n-gram Jaccard via inverted-index join (pruned postings).
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.35)
+    }),
+
+    // Embedding-cosine near-dup via hyperplane LSH + exact verify.
+    "q34_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, planes = 4, threshold = 0.40)
+    }),
+
+    // ---- similarity search ----
+
+    // Brute-force cosine top-k (exact baseline; queries broadcast).
+    "q35_sim_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+    }),
+
+    // LSH-bucketed ANN top-k (multi-probe; the 100 TB path).
+    "q36_sim_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", dim = 64, k = 10, planes = 4)
+    }),
+
+    // ---- text analysis ----
+
+    // Quality/statistics per document.
+    "q40_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.digitRatio(col("text")).as("digit_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language-ID heuristic (stopword argmax) vs the labeled lang.
+    "q41_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        col("lang").as("lang_label"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex proxy.
+    "q42_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    }),
+
+    // Content-defined fingerprint (normalized md5) + rolling hash.
+    "q43_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
     })
   )
 
@@ -329,6 +412,63 @@ object SparkEntry {
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q40_text_stats" ->
+      ("""SELECT doc_id, n_tokens, n_chars_calc, punct_ratio, digit_ratio,
+        |  round(CAST((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN sw_ratio > 0.05 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN len(string_split(text, ' ')) > 0 THEN round(CAST(len(regexp_extract_all(lower(text), '""" + AllStopPat + """')) AS DOUBLE) / len(string_split(text, ' ')), 6) ELSE 0.0 END AS sw_ratio
+        |  FROM documents)""").stripMargin,
+
+    "q41_langid" ->
+      ("""SELECT doc_id,
+        |  CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |       WHEN s_es > 0 AND s_es = best THEN 'es'
+        |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |       WHEN s_de > 0 AND s_de = best THEN 'de'
+        |       ELSE 'und' END AS lang_guess,
+        |  lang AS lang_label
+        |FROM (SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+        |        greatest(s_en, s_es, s_fr, s_de) AS best
+        |      FROM (SELECT doc_id, lang,
+        |        len(regexp_extract_all(lower(text), '""" + LangPats("en") + """')) AS s_en,
+        |        len(regexp_extract_all(lower(text), '""" + LangPats("es") + """')) AS s_es,
+        |        len(regexp_extract_all(lower(text), '""" + LangPats("fr") + """')) AS s_fr,
+        |        len(regexp_extract_all(lower(text), '""" + LangPats("de") + """')) AS s_de
+        |      FROM documents))""").stripMargin,
+
+    "q42_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin
   )
+
+  /** Stopword regexes shared verbatim between the Scala ops and the DuckDB
+    * oracle (TextAnalysis.StopwordTable is the single source of truth). */
+  private def LangPats: Map[String, String] =
+    TextAnalysis.StopwordTable.toMap.map { case (l, ws) =>
+      l -> ws.mkString("\\b(", "|", ")\\b")
+    }
+
+  private def AllStopPat: String =
+    TextAnalysis.StopwordTable.flatMap(_._2).mkString("\\b(", "|", ")\\b")
 }

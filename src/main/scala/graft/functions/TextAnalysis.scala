@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID, quality scoring, token counting, fingerprinting, shingling.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd
+  * or native higher-order functions) — no UDFs, no serialization boundary,
+  * so each op runs at full scan speed over 100 TB of text. Regex patterns
+  * deliberately use the common subset of Java-regex and RE2 syntax so DuckDB
+  * oracles can mirror them verbatim.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space split — mirrors string_split in SQL). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: runs of alphanumerics count 1, every other
+    * non-space symbol counts 1 — a cheap, deterministic proxy for subword
+    * tokenizer cost used for corpus budgeting. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("long")
+
+  /** Per-language stopword hit count (word-boundary regex). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
+
+  /** Small fixed stopword lists per language — the classic n-gram/stopword
+    * heuristic (public Cavnar-Trenkle-style approach, reduced to the common
+    * high-frequency function words). */
+  val StopwordTable: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein", "mit"))
+
+  /** Language-ID: argmax of stopword-hit scores, deterministic tie-break in
+    * StopwordTable order, "und" (undetermined) when no list hits. */
+  def langId(text: Column): Column = {
+    val scores = StopwordTable.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Ratio helpers (null-safe: 0 for empty text). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, round(num.cast("double") / den.cast("double"), 6)).otherwise(lit(0.0))
+
+  def punctRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[.,!?;:]")), length(text))
+
+  def upperRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[A-Z]")), length(text))
+
+  def digitRatio(text: Column): Column =
+    ratio(regexp_count(text, lit("[0-9]")), length(text))
+
+  def stopwordRatio(text: Column): Column =
+    ratio(stopwordHits(text, StopwordTable.flatMap(_._2)), tokenCount(text))
+
+  /** Composite quality score in [0,1]: length band + low-punct + has
+    * stopwords — the usual cheap pre-filter before model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(10, 5000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.1, lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(0.3)).otherwise(lit(0.0))
+    round(lengthOk + punctOk + stopOk, 2)
+  }
+
+  /** Content-defined fingerprint: md5 of case/punctuation/whitespace
+    * normalized text — catches trivial re-formattings as exact dups. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Polynomial rolling hash over whitespace tokens (order-sensitive 64-bit
+    * document hash; base-31 Horner over xxhash64 of each token). Long
+    * overflow wraps — deterministic on every platform. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Character n-gram shingles (distinct) of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    array_distinct(
+      when(length(norm) >= n,
+        transform(sequence(lit(1), length(norm) - n + 1),
+          i => norm.substr(i, lit(n))))
+        .otherwise(array(norm)))
+  }
+}

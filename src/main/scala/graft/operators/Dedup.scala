@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the whole point — these run over ~100 TB of documents):
+  *  - Exact dedup shuffles a 16-byte digest + id, never the document text.
+  *  - MinHash/SimHash signatures are computed scan-side with higher-order
+  *    functions (one pass, no explode of the shingle set across the wire);
+  *    only fixed-width signatures shuffle.
+  *  - Candidate generation is a shuffle on (band, bandHash) / (block,
+  *    blockValue) keys — each document emits `bands` (resp. `blocks`) rows,
+  *    a constant fan-out, and the verify step runs only inside buckets.
+  *    No O(n²) stage exists anywhere.
+  *  - Skewed buckets (boilerplate shingles) are the classic failure mode:
+  *    buckets are capped (`maxBucket`) exactly like production near-dup
+  *    pipelines drop stop-shingle buckets; AQE skew-join handles the rest.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id. Returns
+    * (idCol, n_dups, digest) per distinct content. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Keep-one projection of exact dedup: the full surviving rows. */
+  def exactKeep(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: k independent min-hashes over word-shingles,
+    * computed without exploding (transform + array_min per seed). */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+    val sh = TextAnalysis.shingles(text, shingleN)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * numHashes = bands * rowsPerBand. Two docs collide in a band iff that
+    * band's signature slice matches exactly; the (bands, rowsPerBand) choice
+    * sets the Jaccard S-curve. Candidates are verified with true Jaccard
+    * over the shingle sets; pairs below `threshold` are dropped.
+    *
+    * Returns columns: id_a, id_b, jaccard (id_a < id_b, distinct pairs).
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   bands: Int = 8, rowsPerBand: Int = 4,
+                   shingleN: Int = 3, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"),
+      minhashSignature(col(textCol), k, shingleN).as("sig"))
+
+    // Band keys: one row per (doc, band) — constant fan-out, then a single
+    // shuffle on (band, bandHash) groups collision candidates.
+    val banded = sigs.select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bh")))
+
+    pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word 2-gram features: sign of the per-bit sum of
+    * feature hashes. 2-grams rather than unigrams: corpora with a narrow
+    * shared vocabulary make unigram simhashes collide globally. Computed by
+    * explode + one aggregation (single shuffle on the doc id). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), 2)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4x16-bit block LSH (any pair within Hamming
+    * distance <= 3 of a 64-bit hash must agree on at least one of 4 blocks
+    * — the public pigeonhole trick from Manku et al.'s simhash paper),
+    * verified with exact bit_count(xor). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val blocked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("block", "bv")))
+    pairsFromBuckets(blocked, Seq("block", "bv"), maxBucket)
+      .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity for all candidate pairs sharing at least one
+    * shingle (inverted-index join — the exact-but-pruned variant; MinHash is
+    * the approximate variant of the same pipeline). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxPostings: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    // Drop stop-shingles (huge postings lists) — they only generate noise
+    // pairs and quadratic blowup; production near-dup pipelines do the same.
+    val rare = postings.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("df") <= maxPostings)
+    val a = rare.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = rare.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicates via hyperplane-LSH buckets + exact
+    * verify. Deterministic pseudo-random hyperplanes (splitmix64 over
+    * (plane, dim)) so re-runs bucket identically. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       dim: Int, planes: Int = 8, threshold: Double = 0.95,
+                       maxBucket: Int = 10000): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), dim, planes))
+    val pairs = pairsFromBuckets(bucketed, Seq("bucket"), maxBucket)
+    pairs.withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+
+  /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
+    * carrying all non-key payload columns as _a/_b. Buckets larger than
+    * `maxBucket` are dropped (skew guard). */
+  private def pairsFromBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val capped = df.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val payload = capped.columns.filterNot(keys.contains)
+    val aSide = capped.select(keys.map(col) ++ payload.map(c => col(c).as(c + "_a")): _*)
+    val bSide = capped.select(keys.map(col) ++ payload.map(c => col(c).as(c + "_b")): _*)
+    aSide.join(bSide, keys).filter(col("id_a") < col("id_b"))
+  }
+}

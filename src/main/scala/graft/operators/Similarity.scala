@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus scan; one pass, no corpus shuffle, window
+  *    top-k per query. The correctness baseline.
+  *  - `lshTopK`: hyperplane-LSH bucketed ANN — corpus and queries are
+  *    bucketed by the sign pattern of `planes` deterministic hyperplanes;
+  *    candidates come only from the matching bucket (plus the query's
+  *    1-bit-flip probes, the standard multi-probe trick), then exact cosine
+  *    ranks them. At 100 TB this turns an O(|Q|·|C|) scan into
+  *    O(|Q|·bucket) with a corpus pre-partitioned by bucket key.
+  *
+  * All math is `zip_with`/`aggregate` higher-order expressions — native
+  * Catalyst, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0d))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim
+    * index): splitmix64 finalizer (public-domain mixing constants) mapped
+    * to [-0.5, 0.5). Pure driver-side — planes are literal arrays. */
+  private def planeComponent(plane: Int, i: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble) / 2.0
+  }
+
+  private def planeLit(plane: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(planeComponent(plane, i))): _*)
+
+  /** Sign-pattern LSH bucket id (long with one bit per hyperplane). */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(vec, planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
+    * rows. Queries are broadcast (they are the small side by construction).
+    * Output: query_id, vec_id, cosine, rank. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN top-k with 1-bit multi-probe. Same output shape as
+    * bruteForceTopK; recall < 1.0 by construction, bounded work per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), dim, planes))
+    // Query probes: its own bucket plus each 1-bit flip (planes+1 probes).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qb", hyperplaneBucket(col("qv"), dim, planes))
+      .withColumn("bucket", explode(concat(array(col("qb")),
+        array((0 until planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))))
+      .drop("qb")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      // A pair can surface via several probes — dedupe before ranking or
+      // row_number would count it twice.
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+}
