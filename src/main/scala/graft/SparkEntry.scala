@@ -291,6 +291,47 @@ object SparkEntry {
     "q43_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- event streams (batch forms; streaming covered in specs) ----
+
+    // Tumbling-hour aggregation over the event stream table.
+    "q50_events_hourly" -> ((s, dir) => {
+      graft.streaming.EventStreams.hourlyAgg(t(s, dir, "events"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity) per user.
+    "q51_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
+    }),
+
+    // ---- multimodal plumbing ----
+
+    // Media table: blob + typed metadata struct (pruned scan path).
+    "q60_media_meta" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.kind").as("kind"))
+    }),
+
+    // Feature extraction through the mapPartitions decode stub
+    // (deterministic fake decoder; real plumbing). No SQL oracle.
+    "q61_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+
+    // Frame sampling: fixed-offset binary frames per media row.
+    "q62_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.frameSample(media, n = 4)
+        .groupBy(col("frame_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("frame_bytes")).as("total_bytes"))
     })
   )
 
@@ -459,7 +500,50 @@ object SparkEntry {
     "q43_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q50_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q51_sessionize" ->
+      """SELECT user_id,
+        |  CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT user_id, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+
+    "q60_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'text' AS kind
+        |FROM documents""".stripMargin,
+
+    "q62_frame_sample" ->
+      """SELECT frame_idx, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes
+        |FROM (
+        |  SELECT doc_id, i AS frame_idx,
+        |    CAST(CASE WHEN i < 3 THEN least(flen, greatest(total - i * flen, 0))
+        |         ELSE greatest(total - 3 * flen, 0) END AS BIGINT) AS frame_bytes
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS total,
+        |          greatest(octet_length(encode(text)) // 4, 1) AS flen
+        |        FROM documents),
+        |       (SELECT unnest(range(4)) AS i))
+        |WHERE frame_bytes > 0
+        |GROUP BY frame_idx""".stripMargin
   )
 
   /** Stopword regexes shared verbatim between the Scala ops and the DuckDB

@@ -16,8 +16,17 @@ object Tables {
   /** Small dimension tables, always broadcast-joined (SURVEY.md §2.4 J1). */
   val SmallDims: Set[String] = Set("region", "nation", "part", "supplier")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Nano-timestamp columns (events.ts) arrive as long when
+    // `nanosAsLong` is set (Spark has no ns timestamp type). Normalize to
+    // microsecond timestamps with exact integer division — `/ 1000` via
+    // double would lose precision above 2^53 ns.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
+      .getOrElse(df)
+  }
 
   /** Session tuning shared by Verify / Bench / tests.
     *
@@ -30,6 +39,7 @@ object Tables {
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl._
+
+/** The five invariants the reference hardened by hand (SURVEY.md §5),
+  * asserted on reference-shaped opinion fixtures (FIXTURES.md §A). */
+class EtlInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtures = {
+    val clients = Seq(
+      (1, "Ana", "ana@mail.com"),
+      (2, "Luis", "dup@mail.com"),
+      (3, "Eva", "dup@mail.com"),       // duplicate email, different client
+      (3, "Eva2", "eva2@mail.com")      // duplicate IdCliente (keep-first)
+    ).toDF("IdCliente", "Nombre", "Email")
+    val products = Seq(
+      (1, "Laptop", "Tecnología"),
+      (2, "Mesa", "Hogar"),
+      (3, "Silla", null.asInstanceOf[String])  // null Categoría
+    ).toDF("IdProducto", "Nombre", "Categoría")
+    val fuenteDatos = Seq(
+      ("F00001", "Web", "2024-10-14"),
+      ("F00002", "Archivo", "2023-05-01"),
+      ("F00003", "Web", "2025-01-02"),         // dup TipoFuente (keep-first)
+      ("F00004", "API", "not-a-date")          // coerced -> dropped
+    ).toDF("IdFuente", "TipoFuente", "FechaCarga")
+    val comments = Seq(
+      ("CM1", "C1", "P1", "Web", "2024-01-10", "bueno"),
+      ("CM2", "C9", "P2", "Web", "2024-02-11", "nuevo cliente"), // placeholder client 9
+      ("CM3", "garbage", "P1", "Web", "2024-03-01", "id roto"),  // coerce -> dropped
+      ("CM4", "C2", "P3", null, "2024-04-01", "sin fuente")
+    ).toDF("IdComment", "IdCliente", "IdProducto", "Fuente", "Fecha", "comentario")
+    val surveys = Seq(
+      (10, "1", "1", "2024-05-01", "ok", "Positiva", 5),
+      (11, "2", "2", "2024-06-01", "meh", "Neutral", 3),
+      (12, "3", "1", "2024-07-01", "mal", "Negativa", 9)  // CHECK range violation
+    ).toDF("IdOpinion", "IdCliente", "IdProducto", "Fecha", "Comentario", "Clasificacion", "PuntajeSatisfaccion")
+    val reviews = Seq(
+      ("R1", "C1", "P2", "2024-08-01", "great", 4),
+      ("R2", "C8", "P1", "2024-09-01", "missing client", 2)  // placeholder client 8
+    ).toDF("IdReview", "IdCliente", "IdProducto", "Fecha", "Comentario", "Rating")
+    (clients, products, fuenteDatos, comments, surveys, reviews)
+  }
+
+  private lazy val out = {
+    val (c, p, f, cm, sv, rv) = fixtures
+    OpinionPipeline.transform(spark, c, p, f, cm, sv, rv)
+  }
+
+  test("invariant 2: no opinion lost to missing master data (placeholders)") {
+    val ids = out.clientes.select("IdCliente").as[Long].collect().toSet
+    assert(ids.contains(8L) && ids.contains(9L), "placeholder clients synthesized")
+    val ph = out.clientes.filter($"IdCliente" === 9L).collect().head
+    assert(ph.getAs[String]("Nombre") == "Cliente_9")
+    assert(ph.getAs[String]("Email") == "cliente_9@placeholder.com")
+  }
+
+  test("invariant 3: email uniqueness restored without dropping customers") {
+    val emails = out.clientes.groupBy("Email").count()
+    assert(emails.filter($"count" > 1).isEmpty, "no duplicate emails remain")
+    // both conflicting customers survive with rewritten emails
+    assert(out.clientes.filter($"IdCliente".isin(2L, 3L)).count() == 2)
+  }
+
+  test("invariant 5: FK validity of every loaded fact row") {
+    val validIds = out.clientes.select("IdCliente")
+    assert(out.comentarios.join(validIds, Seq("IdCliente"), "left_anti").isEmpty)
+    assert(out.encuestas.join(validIds, Seq("IdCliente"), "left_anti").isEmpty)
+    assert(out.webReviews.join(validIds, Seq("IdCliente"), "left_anti").isEmpty)
+  }
+
+  test("coerce semantics: garbage ids and dates drop, never throw") {
+    // CM3 has unparseable client id -> dropped; CM1/CM2/CM4 survive
+    val kept = out.comentarios.select("IdComment").as[String].collect().toSet
+    assert(kept == Set("CM1", "CM2", "CM4"))
+    // F00004's bad date is coerced -> dropped from fuentes
+    assert(out.fuentes.filter($"Nombre" === "API").isEmpty)
+  }
+
+  test("CHECK range: out-of-range satisfaction scores are filtered") {
+    val scores = out.encuestas.select("PuntajeSatisfaccion").as[Int].collect()
+    assert(scores.forall(s => s >= 1 && s <= 5))
+    assert(out.encuestas.filter($"IdOpinion" === 12).isEmpty)
+  }
+
+  test("dimension build: distinct + dense stable surrogate keys") {
+    val cats = out.categorias.orderBy("IdCategoria")
+      .as[(Long, String)].collect()
+    assert(cats.map(_._2).toSeq == cats.map(_._2).sorted.toSeq, "keys ordered by name")
+    assert(cats.map(_._1).toSeq == (1L to cats.length).toSeq, "dense from 1")
+    // keep-first on TipoFuente: F00003's later Web row did not win
+    assert(out.fuentes.filter($"Nombre" === "Web").count() == 1)
+  }
+
+  test("invariant 1: idempotent load — re-run appends 0 rows") {
+    val target = tmpDir("idem")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val n1 = IncrementalLoad.appendNew(spark, df, s"$target/t", Seq("id"))
+    val n2 = IncrementalLoad.appendNew(spark, df, s"$target/t", Seq("id"))
+    assert(n1 == 2 && n2 == 0)
+    assert(spark.read.parquet(s"$target/t").count() == 2)
+    // incremental: one new row -> only it appends
+    val df2 = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    val n3 = IncrementalLoad.appendNew(spark, df2, s"$target/t", Seq("id"))
+    assert(n3 == 1 && spark.read.parquet(s"$target/t").count() == 3)
+  }
+
+  test("invariant 4: atomic publish — failure leaves published tree untouched") {
+    val root = tmpDir("atomic")
+    val good = Seq((1, "x")).toDF("id", "v")
+    IncrementalLoad.atomicPublish(root, Map("t1" -> good, "t2" -> good))
+    assert(spark.read.parquet(s"$root/t1").count() == 1)
+    // second publish where one table fails mid-write: t1 must keep v1 data
+    val bad = good.select(expr("raise_error('boom')").as("id"), $"v")
+    intercept[Exception] {
+      IncrementalLoad.atomicPublish(root, Map("t1" -> good.union(good), "t2" -> bad))
+    }
+    assert(spark.read.parquet(s"$root/t1").count() == 1, "t1 not partially replaced")
+    assert(spark.read.parquet(s"$root/t2").count() == 1, "t2 untouched")
+    assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith(".staging")),
+      "staging cleaned up")
+  }
+
+  test("partitioned fact sink prunes by year") {
+    val root = tmpDir("part")
+    IncrementalLoad.writePartitioned(
+      out.comentarios.withColumn("Fecha", $"Fecha".cast("date")), "Fecha", s"$root/c")
+    val back = spark.read.parquet(s"$root/c")
+    assert(back.filter($"anio" === 2024).count() == back.count())
+    assert(new java.io.File(s"$root/c").listFiles().exists(_.getName == "anio=2024"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing specs: schema, deterministic stub decode, frame
+  * sampling reassembly. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "some text payload standing in for a decoded asset"),
+    (2L, "another, longer text payload that stands in for a second binary asset!")
+  ).toDF("doc_id", "text")
+
+  test("media table schema: binary blob + typed metadata struct") {
+    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
+    assert(m.schema("blob").dataType.typeName == "binary")
+    val meta = m.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("kind", "n_bytes", "width", "height", "sample_rate"))
+    val r = m.select($"media_id", $"meta.n_bytes").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 49L)
+  }
+
+  test("stub feature extraction is deterministic and partition-independent") {
+    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(m, dim = 8)
+      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
+    val f2 = Multimodal.extractFeatures(m.repartition(3), dim = 8)
+      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
+    assert(f1.keySet == Set(1L, 2L))
+    assert(f1(1L).length == 8)
+    f1.foreach { case (k, v) => assert(v.sameElements(f2(k)), "repartition-invariant") }
+    assert(f1(1L).forall(x => x >= -1f && x < 1f))
+    assert(!f1(1L).sameElements(f1(2L)), "different content -> different features")
+  }
+
+  test("frame sampling covers every byte exactly once") {
+    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.frameSample(m, n = 4)
+    val sums = frames.groupBy("media_id").agg(sum("frame_bytes").as("fb"))
+      .as[(Long, Long)].collect().toMap
+    val totals = m.select($"media_id", length($"blob").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums == totals, "frames reassemble to original byte length")
+    assert(frames.filter($"media_id" === 1L).count() == 4)
+  }
+
+  test("resize stub rewrites metadata without touching the blob") {
+    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val r = Multimodal.resizeStub(m, 224, 224)
+    val row = r.filter($"media_id" === 1L)
+      .select($"meta.width", $"meta.height", $"processing").collect().head
+    assert(row.getInt(0) == 224 && row.getInt(1) == 224)
+    assert(row.getString(2) == "resize_stub")
+    assert(r.select(md5($"blob")).as[String].collect().toSet ==
+      m.select(md5($"blob")).as[String].collect().toSet)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup, similarity and text-analysis operator specs on crafted inputs. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (5L, "el gato duerme en la casa de la abuela todos los dias que puede")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+    assert(r.count() == 4)
+    val dupGroup = r.filter($"n" === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactKeep(docs, "text", "doc_id")
+    assert(kept.count() == 4)
+    assert(kept.filter($"doc_id" === 4L).isEmpty, "doc 4 deduped away")
+  }
+
+  test("minhash LSH finds exact and near duplicates, agrees with true jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L)), "exact dup pair found")
+    assert(got.contains((1L, 2L)) && got.contains((2L, 4L)), "near-dup pairs found")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
+    val j14 = pairs.filter($"id_a" === 1L && $"id_b" === 4L)
+      .select("jaccard").as[Double].head()
+    assert(j14 == 1.0, "identical docs have jaccard 1")
+  }
+
+  test("ngram jaccard (exact) matches minhash-verified jaccard values") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id", bands = 16, rowsPerBand = 2,
+      threshold = 0.5).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(exact.keySet == mh.keySet)
+    exact.foreach { case (k, v) => assert(math.abs(mh(k) - v) < 1e-9) }
+  }
+
+  implicit class Tup3Ops(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L), "identical docs -> identical simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8, "near-dups within small hamming distance")
+    assert(ham(sh(1L), sh(3L)) > 8, "unrelated docs far apart")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),   // close to 1
+    (3L, Array(0f, 1f, 0f, 0f)),       // orthogonal to 1
+    (4L, Array(-1f, 0f, 0f, 0f)),      // opposite of 1
+    (5L, Array(1f, 0.01f, 0f, 0f))     // closest to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression is mathematically correct") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(c((1L, 1L)) - 1.0) < 1e-6)
+    assert(math.abs(c((1L, 3L))) < 1e-6)
+    assert(math.abs(c((1L, 4L)) + 1.0) < 1e-6)
+    assert(c((1L, 2L)) > 0.99 && c((1L, 2L)) < 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(5L, 2L, 3L), s"expected 5,2,3 got $top")
+  }
+
+  test("LSH top-k returns a subset ranked consistently with brute force") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3).select("vec_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", dim = 4, k = 3, planes = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH finds at least one neighbor")
+    lsh.foreach { case (id, c) =>
+      assert(!brute.contains(id) || math.abs(brute(id) - c) < 1e-9,
+        "cosine values agree with brute force")
+    }
+  }
+
+  test("embedding near-dup finds the close pair only") {
+    val nd = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
+      dim = 4, planes = 2, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 5L)) || nd.contains((1L, 2L)), "close pair found")
+    assert(!nd.exists(p => p._2 == 4L || p._1 == 4L), "opposite vector not a near-dup")
+  }
+
+  test("text analysis: tokens, langid, quality, fingerprint") {
+    val r = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("nt"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(r(1L)._2 == 14)
+    assert(r(1L)._3 == "en", "English detected via stopwords")
+    assert(r(5L)._3 == "es", "Spanish detected via stopwords")
+    assert(r(1L)._4 == r(4L)._4, "identical docs share fingerprint")
+    // fingerprint invariant to case/punct/whitespace noise
+    val noisy = Seq((9L, "The  QUICK, brown fox!! jumps over the lazy dog near the river bank today."))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint($"text")).as[String].head()
+    assert(noisy == r(1L)._4)
+  }
+
+  test("bpe-ish token count counts words and symbols") {
+    val n = Seq(Tuple1("hello, world! x2")).toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text")).as[Long].head()
+    // hello , world ! x2 -> 5
+    assert(n == 5, s"got $n")
+  }
+}

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared test session: one per suite (lazy), tuned like Verify/Bench. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.tune(SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
