@@ -1,0 +1,71 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram shingles of lowercased text, as a single Catalyst expression.
+  *
+  * Semantics identical to the composed built-in form
+  * (`array_distinct(transform(sequence(...), i -> concat_ws(" ", ...)))` over
+  * `split(lower(text), " ", -1)`), but one JVM pass per document instead of
+  * one interpreted lambda dispatch per shingle — higher-order functions don't
+  * participate in whole-stage codegen, and profiling showed them dominating
+  * MinHash end-to-end (11s of a 16s run at sf0.1). Custom `Expression`
+  * chosen per the preference order: built-ins first, expression when the
+  * built-in form is the measured bottleneck.
+  *
+  * Distinct keeps first occurrence (array_distinct semantics). Texts with
+  * fewer than `n` tokens yield one shingle: all tokens joined by a space.
+  */
+case class ShingleExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = text.split(" ", -1)
+    val out = new mutable.LinkedHashSet[UTF8String]
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    } else {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+object ShingleExpr {
+  import org.apache.spark.sql.Column
+
+  /** Column wrapper (classic API: Column <-> Expression bridge). */
+  def shingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleExpr(ColumnBridge.expression(c), n))
+  }
+}

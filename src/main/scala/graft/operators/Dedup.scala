@@ -36,14 +36,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: k independent min-hashes over word-shingles,
-    * computed without exploding (transform + array_min per seed). */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
+  /** MinHash signature from an already-computed shingle-array column: k
+    * independent min-hashes (transform + array_min per seed). Taking the
+    * materialized array (not the text) matters: building the signature from
+    * raw text would re-evaluate the shingling `numHashes` times — HOF
+    * expressions sit outside whole-stage codegen's subexpression
+    * elimination. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
     }: _*)
-  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -59,25 +61,47 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(col(textCol), k, shingleN).as("sig"))
+    // Shingle once; signature and verify both read this array column.
+    val shingled = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
 
-    // Band keys: one row per (doc, band) — constant fan-out, then a single
-    // shuffle on (band, bandHash) groups collision candidates.
-    val banded = sigs.select(col("id"), col("sh"),
+    // Signatures via explode + grouped min: the hash evaluation runs inside
+    // whole-stage codegen with map-side partial aggregation, several times
+    // faster than k interpreted transform/array_min lambdas per row. The
+    // shuffle moves only (id, k longs) after partial agg.
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until k).map(seed => min(xxhash64(lit(seed), col("s"))).as(s"m$seed"))
+    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // Band keys: one row per (doc, band) — ids only. The wide shingle
+    // arrays must NOT ride the candidate-generation shuffle: at 16 bands a
+    // 3 KB array would be shuffled 16x per document.
+    val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map { b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i")): _*)
         }: _*)).as(Seq("band", "bh")))
 
-    pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    // Materialize the (small) candidate set: it feeds three downstream
+    // branches (pairs + both shingle re-joins); without truncating lineage
+    // the whole LSH pipeline would be re-executed per branch.
+    val candidates = pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint()
+
+    // Re-shingle only the documents that appear in a candidate pair.
+    val candidateIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candShingles = shingled.join(candidateIds, Seq("id"), "left_semi")
+
+    candidates
+      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .distinct()
   }
 
   /** 64-bit SimHash over word 2-gram features: sign of the per-bit sum of
@@ -128,9 +152,13 @@ object Dedup {
     val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
     // Drop stop-shingles (huge postings lists) — they only generate noise
     // pairs and quadratic blowup; production near-dup pipelines do the same.
+    // Window (one shuffle + sort) beats groupBy-count + join (two
+    // shuffles) here — measured. df >= 2: singleton shingles (the
+    // majority) can't produce a pair; df <= maxPostings drops
+    // stop-shingles that only generate quadratic noise pairs.
     val rare = postings.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("df") <= maxPostings)
+      .filter(col("df") >= 2 && col("df") <= maxPostings)
     val a = rare.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = rare.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
@@ -148,13 +176,23 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        dim: Int, planes: Int = 8, threshold: Double = 0.95,
                        maxBucket: Int = 10000): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Pre-normalize once per vector so pair verification is a single dot
+    // product (the per-pair norm would otherwise triple the HOF math on the
+    // quadratic-ish candidate set).
+    val normed = df.select(col(idCol).as("id"), col(vecCol).as("v0"))
+      .withColumn("nrm", Similarity.norm(col("v0")))
+      .withColumn("v", when(col("nrm") > 0,
+        transform(col("v0"), x => x / col("nrm"))).otherwise(col("v0")))
+      .select(col("id"), col("v"))
+    val bucketed = normed
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), dim, planes))
     val pairs = pairsFromBuckets(bucketed, Seq("bucket"), maxBucket)
-    pairs.withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .select("id_a", "id_b").distinct()
+      .join(normed.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(normed.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+    pairs.withColumn("cosine", round(Similarity.dot(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
