@@ -212,7 +212,54 @@ object SparkEntry {
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
     }),
 
+    // Hierarchical aggregation (rollup) over the fact table.
+    "q19_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // Exact percentiles + distinct count per group.
+    "q20_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+
+    // As-of join: each event picks up the most recent prior order of the
+    // same customer (composed from union + running last(); one shuffle).
+    "q21_asof_join" -> ((s, dir) => {
+      operators.AsOfJoin.asof(
+        t(s, dir, "events"), t(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("o_orderkey", "o_totalprice"), rightTieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
+    // Salted join: identical result set to the plain join, skew-proof plan.
+    "q22_salted_join" -> ((s, dir) => {
+      operators.SkewJoin.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "part"), "l_partkey", "p_partkey")
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    // Full SQL surface through Catalyst (same text runs on DuckDB).
+    "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
+
     // ---- dedup suite (training-data pipeline; BASELINE north star) ----
+
+    // Near-dup pairs resolved to clusters (min-label propagation) with a
+    // deterministic survivor per cluster. No SQL oracle (iterative).
+    "q37_dedup_resolve" -> ((s, dir) => {
+      Dedup.resolve(Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        bands = 16, rowsPerBand = 2, threshold = 0.35))
+    }),
 
     // Exact dedup by content digest (shuffles 16-byte digest, not text).
     "q30_dedup_exact" -> ((s, dir) => {
@@ -455,6 +502,37 @@ object SparkEntry {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin,
 
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q21_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice
+        |FROM events ASOF JOIN (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1) o
+        |ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate""".stripMargin,
+
+    "q22_salted_join" ->
+      """SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type""".stripMargin,
+
+    "q99_sql_engine" -> SqlQ3,
+
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n
@@ -545,6 +623,22 @@ object SparkEntry {
         |WHERE frame_bytes > 0
         |GROUP BY frame_idx""".stripMargin
   )
+
+  /** One SQL text, two engines: runs through Catalyst (q99) and as its own
+    * DuckDB oracle — the portability proof for SQL users of the engine. */
+  private val SqlQ3: String =
+    """SELECT l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey
+      |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,4)))) > 50000""".stripMargin
 
   /** Stopword regexes shared verbatim between the Scala ops and the DuckDB
     * oracle (TextAnalysis.StopwordTable is the single source of truth). */

@@ -195,6 +195,57 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Resolve near-dup pairs into clusters: iterative min-label propagation
+    * (each node adopts the smallest id reachable through pair edges).
+    * Returns (id, cluster_id) for every id appearing in a pair; singleton
+    * docs keep themselves implicitly. Converges in O(diameter) rounds —
+    * near-dup clusters are shallow (dup groups, not social graphs), so the
+    * iteration cap is generous. Each round is two shuffles on id;
+    * localCheckpoint truncates the growing lineage (the alternative at
+    * true graph scale is the large-star/small-star algorithm — same joins,
+    * better worst-case rounds).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Undirected edge list, both directions; partition count sized to the
+    // edge count (a handful of near-dup pairs doesn't need 32 shuffle
+    // partitions of scheduling overhead; a 100 TB edge list does).
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val nPart = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edges0.count() / 500000L).toInt + 1))
+    val edges = edges0.repartition(nPart, col("dst")).localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      // Fold the convergence flag into the same pass — a separate
+      // next-vs-old join would add a shuffle per iteration.
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("cluster_id"))
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup resolution: pairs -> clusters -> per-cluster
+    * stats (survivor = min id, n members). */
+  def resolve(pairs: DataFrame): DataFrame =
+    clusters(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
     * carrying all non-key payload columns as _a/_b. Buckets larger than
     * `maxBucket` are dropped (skew guard). */

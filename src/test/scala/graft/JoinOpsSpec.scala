@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, SkewJoin}
+
+/** As-of join, salted skew join, and dedup cluster resolution specs. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: most recent right row at or before left time") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:07:00"), 50.0)
+    ).toDF("qkey", "qts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:05:00")),  // equal time -> 101 (inclusive)
+      (11L, 1L, ts("2024-01-01 10:07:30")),  // between -> 101
+      (12L, 1L, ts("2024-01-01 11:00:00")),  // after all -> 102
+      (13L, 2L, ts("2024-01-01 10:00:00")),  // before any quote -> null
+      (14L, 3L, ts("2024-01-01 10:00:00"))   // key with no quotes -> null
+    ).toDF("trade_id", "tkey", "tts")
+
+    val r = AsOfJoin.asof(trades, quotes, "tkey", "qkey", "tts", "qts",
+        rightCols = Seq("price"), rightTieBreak = "qts")
+      .select($"trade_id", $"price").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(10L).contains(101.0), "equal timestamp is inclusive")
+    assert(r(11L).contains(101.0))
+    assert(r(12L).contains(102.0))
+    assert(r(13L).isEmpty, "left rows before any right row keep null")
+    assert(r(14L).isEmpty, "unmatched key keeps null")
+  }
+
+  test("asof join ties resolve deterministically by tie-break desc") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "low"),
+      (1L, ts("2024-01-01 10:00:00"), 9L, "high")
+    ).toDF("k", "rts", "seq", "tag")
+    val left = Seq((100L, 1L, ts("2024-01-01 10:30:00"))).toDF("id", "k2", "lts")
+    val r = AsOfJoin.asof(left, right, "k2", "k", "lts", "rts",
+      rightCols = Seq("tag"), rightTieBreak = "seq")
+    assert(r.select("tag").as[String].head() == "high")
+  }
+
+  test("salted join result set equals the plain join") {
+    val dir = sf("sf0.001")
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewJoin.saltedJoin(li, p, "l_partkey", "p_partkey", saltFactor = 4)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(plain == salted)
+  }
+
+  test("cluster resolution: transitive pairs collapse to one cluster") {
+    // 1-2, 2-3, 3-4 chain + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val c = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(Set(1L, 2L, 3L, 4L).map(c) == Set(1L), "chain collapses to min id")
+    assert(Set(10L, 11L).map(c) == Set(10L))
+    val resolved = Dedup.resolve(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(resolved(1L) == (4L, 1L), "cluster 1: 4 members, survivor 1")
+    assert(resolved(10L) == (2L, 10L))
+  }
+}
