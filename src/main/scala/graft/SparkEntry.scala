@@ -307,6 +307,13 @@ object SparkEntry {
         "embedding", dim = 64, k = 10, planes = 4)
     }),
 
+    // IVF ANN top-k (coarse centroid lists + nprobe search).
+    "q38_sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nlist = 16, nprobe = 4)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.

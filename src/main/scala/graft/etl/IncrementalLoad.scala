@@ -84,6 +84,19 @@ object IncrementalLoad {
     } finally deleteRecursively(staging)
   }
 
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on `bucketCols` is exchange-free — the
+    * Spark analog of co-located storage. At 100 TB, bucketing the big fact
+    * on its join key removes the dominant repeated shuffle from the
+    * workload (pay it once at ingest). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -72,6 +72,64 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: assign every corpus vector to its
+    * nearest of `nlist` coarse centroids, search only the `nprobe` nearest
+    * lists per query. Centroids here are chosen deterministically from the
+    * corpus (every (n/nlist)-th vector by id — a fixed, re-run-stable seed
+    * set; production systems would k-means these, which only changes how
+    * the centroid table is produced, not the query plan). At 100 TB the
+    * corpus is written partitioned by `list_id`, so a query reads only
+    * nprobe partitions — the classic IVF pruning, expressed as partition
+    * pruning.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // Deterministic centroid sample: rank by id, take every n/nlist-th.
+    val wAll = Window.orderBy(col("vec_id").asc)
+    val ranked = c.withColumn("__rn", row_number().over(wAll))
+    val total = c.count()
+    val stride = math.max(1L, total / nlist)
+    val centroids = ranked.filter((col("__rn") - 1) % stride === 0)
+      .withColumn("list_id", ((col("__rn") - 1) / stride).cast("int"))
+      .filter(col("list_id") < nlist)
+      .select(col("list_id"), col("cv").as("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+
+    def centroidArr(v: Array[Float]): Column = array(v.map(lit(_)): _*)
+
+    // Assign corpus rows to their nearest centroid (argmax cosine over the
+    // literal centroid table — nlist scalar expressions, no join).
+    // greatest() on structs (ordered by score first): a when()-chain
+    // reduce would copy each operand subtree per step — exponential
+    // expression growth that OOMs the driver at nlist=16.
+    def bestList(vec: Column): Column =
+      greatest(centroids.map { case (lid, cvec) =>
+        struct(cosine(vec, centroidArr(cvec)).as("s"), lit(lid).as("l"))
+      }: _*).getField("l")
+
+    val assigned = c.withColumn("list_id", bestList(col("cv")))
+
+    // Queries probe their nprobe best lists.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__lists", array(centroids.map { case (lid, cvec) =>
+        struct(cosine(col("qv"), centroidArr(cvec)).as("s"), lit(lid).as("l"))
+      }: _*))
+      .withColumn("__probe", slice(array_sort(col("__lists"),
+        (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1).otherwise(0)), 1, nprobe))
+      .withColumn("list_id", explode(transform(col("__probe"), p => p.getField("l"))))
+      .select(col("query_id"), col("qv"), col("list_id"))
+
+    val scored = assigned.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN top-k with 1-bit multi-probe. Same output shape as
     * bruteForceTopK; recall < 1.0 by construction, bounded work per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

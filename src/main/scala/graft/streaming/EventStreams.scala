@@ -71,6 +71,68 @@ object EventStreams {
         ()
       }
 
+  /** Event row for typed stateful processing. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  /** Per-user session accumulator carried across micro-batches. */
+  final case class SessionState(sessionStart: Long, lastSeen: Long,
+                                nEvents: Long, sumValue: Double)
+
+  /** Closed session emitted when the inactivity gap passes. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 n_events: Long, sum_value: Double,
+                                 duration_sec: Double)
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: sessions
+    * close after `gapMinutes` of per-user inactivity and are emitted as
+    * they close — arbitrary state the built-in window aggregates can't
+    * express (state is one small record per active user, bounded by the
+    * event-time timeout). */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[Event],
+                         gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[ClosedSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen > gapMs =>
+            closed ::= ClosedSession(userId, new java.sql.Timestamp(s.sessionStart),
+              s.nEvents, s.sumValue, (s.lastSeen - s.sessionStart) / 1000.0)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+              sumValue = s.sumValue + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastSeen + gapMs)
+      }
+      if (state.hasTimedOut) {
+        val s = state.get
+        closed ::= ClosedSession(userId, new java.sql.Timestamp(s.sessionStart),
+          s.nEvents, s.sumValue, (s.lastSeen - s.sessionStart) / 1000.0)
+        state.remove()
+      }
+      closed.reverseIterator
+    }
+
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source dir (test/dev helper; memory sink). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): StreamingQuery = {
