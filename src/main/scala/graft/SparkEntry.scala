@@ -249,6 +249,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // Column profiling (data-quality pass): nulls/ndv/min/max per column.
+    "q23_profile" -> ((s, dir) => {
+      operators.Profiler.profile(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+
+    // Approximate aggregates (HLL distinct + approx percentile): the one-
+    // pass scale path; accuracy asserted in specs, no value oracle.
+    "q24_approx_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ndv_approx"),
+          round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 2).as("p50_approx"))
+    }),
+
     // Full SQL surface through Catalyst (same text runs on DuckDB).
     "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
 
@@ -537,6 +552,28 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type""".stripMargin,
+
+    "q23_profile" ->
+      """SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+        |FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    count(*) - count(o_custkey) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)""".stripMargin,
 
     "q99_sql_engine" -> SqlQ3,
 

@@ -61,6 +61,32 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(out.contains((8L, 1L, 8.0)))
   }
 
+  test("approximate aggregates track exact values within tolerance") {
+    val dir = sf("sf0.01")
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("ndv"))
+      .as[(String, Long)].collect().toMap
+    val approx = SparkEntry.queries("q24_approx_agg")(spark, dir)
+      .select("l_returnflag", "ndv_approx")
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("profiler: one-pass column stats match the data") {
+    val dir = sf("sf0.001")
+    val r = graft.operators.Profiler
+      .profile(Tables.load(spark, dir, "orders"), Seq("o_custkey", "o_orderstatus"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("o_custkey")._2 == 0)          // no nulls
+    assert(r("o_orderstatus")._3 == 3)      // F/O/P
+    assert(r("o_orderstatus")._4 == "F" && r("o_orderstatus")._5 == "P")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = sf("sf0.001")
     IncrementalLoad.writeBucketed(Tables.load(spark, dir, "orders"),
