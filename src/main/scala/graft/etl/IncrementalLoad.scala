@@ -70,7 +70,11 @@ object IncrementalLoad {
     val staging = rootP.resolve(s".staging-${System.nanoTime()}")
     try {
       tables.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(staging.resolve(name).toString)
+        // Fact frames carry the derived `anio` year column (S5): publish
+        // them partitioned so date predicates prune on the final layout.
+        val w = df.write.mode("overwrite")
+        (if (df.columns.contains("anio")) w.partitionBy("anio") else w)
+          .parquet(staging.resolve(name).toString)
       }
       // Full-success barrier reached: swap each table into place.
       tables.keys.foreach { name =>

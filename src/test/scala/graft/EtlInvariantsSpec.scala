@@ -124,6 +124,25 @@ class EtlInvariantsSpec extends SparkSpec {
       "staging cleaned up")
   }
 
+  test("end-to-end publish is idempotent-by-construction: re-run == same tables") {
+    val root = tmpDir("e2e")
+    OpinionPipeline.run(spark, out, root)
+    val tables = Seq("clientes", "productos", "categorias", "clasificaciones",
+      "fuentes", "comentarios", "encuestas", "webreviews")
+    def snapshot(): Map[String, Long] =
+      tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
+    val first = snapshot()
+    assert(first.values.forall(_ > 0), s"all tables non-empty: $first")
+    // facts are year-partitioned on disk
+    assert(new java.io.File(s"$root/comentarios").listFiles()
+      .exists(_.getName.startsWith("anio=")))
+    // Re-running the whole pipeline (recompute + atomic publish) must
+    // converge to the same state — the engine's strictly-stronger answer
+    // to the reference's transactional load (SURVEY.md §7 hard-part T1).
+    OpinionPipeline.run(spark, out, root)
+    assert(snapshot() == first)
+  }
+
   test("partitioned fact sink prunes by year") {
     val root = tmpDir("part")
     IncrementalLoad.writePartitioned(
