@@ -539,7 +539,7 @@ object SparkEntry {
 
     "q21_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice
-        |FROM events ASOF JOIN (
+        |FROM events ASOF LEFT JOIN (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
         |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
         |      row_number() OVER (PARTITION BY o_custkey, o_orderdate

@@ -20,13 +20,8 @@ object Verify {
       // Drop any stale result first: a failed query must leave NO output
       // (a leftover dir from an earlier run would be compared as if it
       // were this run's result).
-      val dest = java.nio.file.Paths.get(s"$outDir/$name")
-      if (java.nio.file.Files.exists(dest)) {
-        val s = java.nio.file.Files.walk(dest)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally s.close()
-      }
+      graft.etl.IncrementalLoad.deleteRecursively(
+        java.nio.file.Paths.get(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

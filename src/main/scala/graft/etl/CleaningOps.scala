@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object CleaningOps {
 
-  /** Numeric coerce: long on digits-only input, null otherwise — identical
-    * to `pd.to_numeric(errors='coerce')` for id columns, and ANSI-safe (the
-    * cast only runs on guarded input; 18-digit cap avoids long overflow). */
+  /** Numeric coerce: long on (optionally signed) integer strings, null
+    * otherwise — `pd.to_numeric(errors='coerce')` semantics for integer id
+    * columns (decimals are not ids and stay null), matching TRY_CAST(..
+    * AS BIGINT) on the oracle side for the same inputs. ANSI-safe: the
+    * cast only runs on guarded input; the 18-digit cap avoids overflow. */
   def coerceLong(c: Column): Column = {
     val s = trim(c.cast("string"))
-    when(s.rlike("^[0-9]{1,18}$"), s.cast("long"))
+    when(s.rlike("^[+-]?[0-9]{1,18}$"), s.cast("long"))
   }
 
   /** P6: strip a leading letter prefix (e.g. "C"/"P") and coerce to long. */

@@ -37,7 +37,13 @@ object IncrementalLoad {
 
   /** Idempotent append: anti-join vs the target's current keys, then append.
     * Re-running with the same input appends 0 rows (reference invariant 1,
-    * SURVEY.md §5). */
+    * SURVEY.md §5).
+    *
+    * The fresh rows are fully materialized to a staging parquet BEFORE the
+    * append: the anti-join reads targetPath, so appending from the live
+    * plan would re-scan the target mid-write if any partition were
+    * recomputed (cache-block loss / task retry) — staging makes
+    * read-then-append safe regardless of recomputation. */
   def appendNew(spark: SparkSession, incoming: DataFrame, targetPath: String,
                 key: Seq[String]): Long = {
     val fresh =
@@ -45,12 +51,14 @@ object IncrementalLoad {
         val existing = spark.read.parquet(targetPath)
         newRowsOnly(incoming, existing, key)
       } else incoming
-    val toWrite = fresh.cache()
+    val stage = Files.createTempDirectory("graft-append").resolve("data").toString
     try {
-      val n = toWrite.count()
-      if (n > 0) toWrite.write.mode("append").parquet(targetPath)
+      fresh.write.mode("overwrite").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      val n = staged.count()
+      if (n > 0) staged.write.mode("append").parquet(targetPath)
       n
-    } finally toWrite.unpersist()
+    } finally deleteRecursively(Paths.get(stage).getParent)
   }
 
   /** S5: fact sink partitioned by year of `dateCol` (partition column `anio`),
@@ -60,14 +68,18 @@ object IncrementalLoad {
       .write.mode("overwrite").partitionBy("anio").parquet(path)
 
   /** T1: all-or-nothing multi-table publish. Writes each frame under
-    * `root/.staging-<epoch>/<table>`, and only when every write succeeded
-    * moves them over `root/<table>` (rename per table after a full-success
-    * barrier; on any failure the staging dir is dropped and the published
-    * tree is untouched). */
+    * `root/.staging-<epoch>/<table>`; only when every write succeeded are
+    * the current tables moved aside to a backup dir and the staged ones
+    * renamed into place. A failure during the write phase leaves the
+    * published tree untouched; a failure mid-swap restores the moved-aside
+    * tables from backup — the previous state is never deleted until every
+    * rename has succeeded. */
   def atomicPublish(root: String, tables: Map[String, DataFrame]): Unit = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    val staging = rootP.resolve(s".staging-${System.nanoTime()}")
+    val tag = System.nanoTime()
+    val staging = rootP.resolve(s".staging-$tag")
+    val backup = rootP.resolve(s".backup-$tag")
     try {
       tables.foreach { case (name, df) =>
         // Fact frames carry the derived `anio` year column (S5): publish
@@ -76,16 +88,32 @@ object IncrementalLoad {
         (if (df.columns.contains("anio")) w.partitionBy("anio") else w)
           .parquet(staging.resolve(name).toString)
       }
-      // Full-success barrier reached: swap each table into place.
-      tables.keys.foreach { name =>
-        val target = rootP.resolve(name)
-        deleteRecursively(target)
-        Files.move(staging.resolve(name), target,
-          StandardCopyOption.ATOMIC_MOVE)
+      // Full-success barrier reached: swap via backup so every pre-publish
+      // table survives until all renames are done.
+      Files.createDirectories(backup)
+      val movedAside = scala.collection.mutable.ListBuffer.empty[String]
+      try {
+        tables.keys.foreach { name =>
+          val target = rootP.resolve(name)
+          if (Files.exists(target)) {
+            Files.move(target, backup.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            movedAside += name
+          }
+          Files.move(staging.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } catch {
+        case NonFatal(e) =>
+          movedAside.foreach { name =>
+            val target = rootP.resolve(name)
+            deleteRecursively(target)
+            Files.move(backup.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+          }
+          throw e
       }
-    } catch {
-      case NonFatal(e) => throw e
-    } finally deleteRecursively(staging)
+    } finally {
+      deleteRecursively(staging)
+      deleteRecursively(backup)
+    }
   }
 
   /** Bucketed managed table: pre-shuffles once at write time so every
@@ -101,7 +129,8 @@ object IncrementalLoad {
       .format("parquet").saveAsTable(table)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Shared recursive delete (also used by Verify's stale-output sweep). */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,7 +31,11 @@ case class ShingleExpr(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // toString, not a UTF8String cast: tolerates any child type (the
+    // ExpectsInputTypes route is closed — AbstractDataType is sql-private).
+    // Locale.ROOT: matches Spark's locale-independent lower(); the JVM
+    // default locale (e.g. tr-TR dotless i) must not change signatures.
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.split(" ", -1)
     val out = new mutable.LinkedHashSet[UTF8String]
     if (toks.length >= n) {

@@ -36,17 +36,6 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature from an already-computed shingle-array column: k
-    * independent min-hashes (transform + array_min per seed). Taking the
-    * materialized array (not the text) matters: building the signature from
-    * raw text would re-evaluate the shingling `numHashes` times — HOF
-    * expressions sit outside whole-stage codegen's subexpression
-    * elimination. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
-    }: _*)
-
   /** MinHash + LSH near-duplicate pairs.
     *
     * numHashes = bands * rowsPerBand. Two docs collide in a band iff that
@@ -205,7 +194,7 @@ object Dedup {
     * true graph scale is the large-star/small-star algorithm — same joins,
     * better worst-case rounds).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected edge list, both directions; partition count sized to the
     // edge count (a handful of near-dup pairs doesn't need 32 shuffle
     // partitions of scheduling overhead; a 100 TB edge list does).
@@ -236,6 +225,13 @@ object Dedup {
       labels = next.select(col("id"), col("cluster_id"))
       i += 1
     }
+    // Never return silently-wrong labels: a component whose diameter
+    // exceeds maxIter would leave nodes mislabeled and dedup would keep
+    // duplicates. Diameter > 50 means the input isn't near-dup pairs.
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter iterations — " +
+          "component diameter exceeds maxIter; raise maxIter")
     labels
   }
 

@@ -89,48 +89,56 @@ object EventStreams {
     * they close — arbitrary state the built-in window aggregates can't
     * express (state is one small record per active user, bounded by the
     * event-time timeout). */
-  def statefulSessionize(events: org.apache.spark.sql.Dataset[Event],
-                         gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import events.sparkSession.implicits._
-    val gapMs = gapMinutes.toLong * 60000L
+  /** The per-group state transition (exposed for direct unit testing with
+    * org.apache.spark.sql.streaming.TestGroupState). */
+  private[graft] def sessionUpdate(gapMs: Long)(
+      userId: Long, rows: Iterator[Event],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[ClosedSession] = {
+    def close(s: SessionState) = ClosedSession(userId,
+      new java.sql.Timestamp(s.sessionStart), s.nEvents, s.sumValue,
+      (s.lastSeen - s.sessionStart) / 1000.0)
 
-    def update(userId: Long, rows: Iterator[Event],
-               state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var closed = List.empty[ClosedSession]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastSeen > gapMs =>
-            closed ::= ClosedSession(userId, new java.sql.Timestamp(s.sessionStart),
-              s.nEvents, s.sumValue, (s.lastSeen - s.sessionStart) / 1000.0)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case Some(s) =>
-            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
-              sumValue = s.sumValue + e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.lastSeen + gapMs)
-      }
-      if (state.hasTimedOut) {
-        val s = state.get
-        closed ::= ClosedSession(userId, new java.sql.Timestamp(s.sessionStart),
-          s.nEvents, s.sumValue, (s.lastSeen - s.sessionStart) / 1000.0)
-        state.remove()
-      }
-      closed.reverseIterator
+    // Timeout invocations (rows empty) MUST be handled before any
+    // setTimeoutTimestamp call: the stored timeout is below the current
+    // watermark (that's why the group timed out), so re-arming it first
+    // throws and kills the query.
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      return out
     }
 
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[ClosedSession]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastSeen > gapMs =>
+          closed ::= close(s)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(s) =>
+          cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+            sumValue = s.sumValue + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastSeen + gapMs)
+    }
+    closed.reverseIterator
+  }
+
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[Event],
+                         gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
     events.withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(sessionUpdate(gapMinutes.toLong * 60000L))
   }
 
   /** Drive a streaming query synchronously over whatever is currently in

@@ -52,7 +52,7 @@ class QueriesSpec extends SparkSpec {
     rows.foreach { row =>
       val t = row.getString(0).trim
       val expected: Any =
-        if (t.nonEmpty && t.length <= 18 && t.forall(_.isDigit)) t.toLong else null
+        if (t.matches("^[+-]?[0-9]{1,18}$")) t.toLong else null
       assert(row.get(1) == expected, s"input='${row.getString(0)}'")
     }
   }

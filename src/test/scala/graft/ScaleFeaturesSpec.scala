@@ -61,6 +61,25 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(out.contains((8L, 1L, 8.0)))
   }
 
+  test("stateful session timeout closes the session without re-arming the timer") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // Simulate the timed-out invocation Spark makes after the watermark
+    // passes the stored timeout: rows empty, hasTimedOut=true. The update
+    // must emit the closed session and remove state — and must NOT call
+    // setTimeoutTimestamp (which would throw: the stored timeout is below
+    // the watermark by definition of having timed out).
+    val state = TestGroupState.create[EventStreams.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        EventStreams.SessionState(1000L, 61000L, 3, 7.5)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(10000000L),
+      hasTimedOut = true)
+    val out = EventStreams.sessionUpdate(1800000L)(7L, Iterator.empty, state).toList
+    assert(out.map(s => (s.user_id, s.n_events, s.sum_value)) == List((7L, 3L, 7.5)))
+    assert(state.isRemoved, "state cleared after timeout")
+  }
+
   test("approximate aggregates track exact values within tolerance") {
     val dir = sf("sf0.01")
     val li = Tables.load(spark, dir, "lineitem")
