@@ -306,6 +306,13 @@ object SparkEntry {
         dim = 64, planes = 4, threshold = 0.40)
     }),
 
+    // The complete dedup call: surviving corpus after near-dup removal.
+    "q39_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // ---- similarity search ----
 
     // Brute-force cosine top-k (exact baseline; queries broadcast).

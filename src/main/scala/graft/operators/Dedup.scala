@@ -242,6 +242,22 @@ object Dedup {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
 
+  /** The complete dedup operation a pipeline actually calls: MinHash near-
+    * dup detection, cluster resolution, and removal of every non-survivor
+    * row — returns the surviving corpus with original columns. Min-label
+    * propagation converges to each component's minimum id, so the survivor
+    * test is simply `id == cluster_id`; docs in no pair are untouched. */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                  bands: Int = 16, rowsPerBand: Int = 2,
+                  shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, bands, rowsPerBand,
+      shingleN, threshold)
+    val drops = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
     * carrying all non-key payload columns as _a/_b. Buckets larger than
     * `maxBucket` are dropped (skew guard). */

@@ -62,6 +62,20 @@ class JoinOpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("dedupCorpus keeps one survivor per near-dup group") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "el gato duerme en la casa de la abuela todos los dias que puede")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L), s"got $kept")
+  }
+
   test("cluster resolution: transitive pairs collapse to one cluster") {
     // 1-2, 2-3, 3-4 chain + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
