@@ -22,11 +22,16 @@ object CleaningOps {
   /** Numeric coerce: long on (optionally signed) integer strings, null
     * otherwise — `pd.to_numeric(errors='coerce')` semantics for integer id
     * columns (decimals are not ids and stay null), matching TRY_CAST(..
-    * AS BIGINT) on the oracle side for the same inputs. ANSI-safe: the
-    * cast only runs on guarded input; the 18-digit cap avoids overflow. */
+    * AS BIGINT) on the oracle side across the full Long range. ANSI-safe:
+    * the cast only runs on guarded input; 19-digit values are string-
+    * compared against Long.MaxValue so an overflowing literal never
+    * reaches the cast. (Sole divergence: the exact value -2^63 coerces to
+    * null; TRY_CAST accepts it.) */
   def coerceLong(c: Column): Column = {
     val s = trim(c.cast("string"))
-    when(s.rlike("^[+-]?[0-9]{1,18}$"), s.cast("long"))
+    val body = regexp_replace(s, "^[+-]", "")
+    val inRange = length(body) < 19 || body <= lit("9223372036854775807")
+    when(s.rlike("^[+-]?[0-9]{1,19}$") && inRange, s.cast("long"))
   }
 
   /** P6: strip a leading letter prefix (e.g. "C"/"P") and coerce to long. */

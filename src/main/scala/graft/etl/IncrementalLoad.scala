@@ -80,6 +80,7 @@ object IncrementalLoad {
     val tag = System.nanoTime()
     val staging = rootP.resolve(s".staging-$tag")
     val backup = rootP.resolve(s".backup-$tag")
+    var rolledBack = true
     try {
       tables.foreach { case (name, df) =>
         // Fact frames carry the derived `anio` year column (S5): publish
@@ -89,9 +90,13 @@ object IncrementalLoad {
           .parquet(staging.resolve(name).toString)
       }
       // Full-success barrier reached: swap via backup so every pre-publish
-      // table survives until all renames are done.
+      // table survives until all renames are done. Rollback must undo BOTH
+      // kinds of progress: restore moved-aside tables AND remove staged
+      // tables already renamed in (else a publish adding a new table plus
+      // failing on an old one leaves a mixed tree).
       Files.createDirectories(backup)
       val movedAside = scala.collection.mutable.ListBuffer.empty[String]
+      val swappedIn = scala.collection.mutable.ListBuffer.empty[String]
       try {
         tables.keys.foreach { name =>
           val target = rootP.resolve(name)
@@ -100,19 +105,26 @@ object IncrementalLoad {
             movedAside += name
           }
           Files.move(staging.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+          swappedIn += name
         }
       } catch {
         case NonFatal(e) =>
+          rolledBack = false
+          swappedIn.foreach(name => deleteRecursively(rootP.resolve(name)))
           movedAside.foreach { name =>
-            val target = rootP.resolve(name)
-            deleteRecursively(target)
-            Files.move(backup.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+            Files.move(backup.resolve(name), rootP.resolve(name),
+              StandardCopyOption.ATOMIC_MOVE)
           }
+          rolledBack = true // every restore move succeeded
           throw e
       }
     } finally {
       deleteRecursively(staging)
-      deleteRecursively(backup)
+      // Keep the backup if a rollback itself failed mid-restore — it holds
+      // the only copy of not-yet-restored previous tables.
+      if (rolledBack) deleteRecursively(backup)
+      else System.err.println(s"[atomicPublish] rollback incomplete; " +
+        s"previous table versions preserved under $backup")
     }
   }
 

@@ -25,10 +25,13 @@ object AsOfJoin {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String], rightTieBreak: String): DataFrame = {
-    // Deterministic one-row-per-(key,time) on the right.
+    // Deterministic one-row-per-(key,time) on the right. Null keys are
+    // dropped: SQL equality (and DuckDB's ASOF) never matches NULL = NULL,
+    // but Window.partitionBy would group them together.
     val tieW = Window.partitionBy(col(rightKey), col(rightTime))
       .orderBy(col(rightTieBreak).desc)
     val rightDedup = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__tn", row_number().over(tieW)).filter(col("__tn") === 1).drop("__tn")
 
     val leftCols = left.columns.toSeq

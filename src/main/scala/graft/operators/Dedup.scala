@@ -195,16 +195,12 @@ object Dedup {
     * better worst-case rounds).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Undirected edge list, both directions; partition count sized to the
-    // edge count (a handful of near-dup pairs doesn't need 32 shuffle
-    // partitions of scheduling overhead; a 100 TB edge list does).
-    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Undirected edge list, both directions, materialized once. (No manual
+    // repartition: the per-iteration joins re-shuffle to the session's
+    // partitioning anyway and AQE coalesces small shuffles.)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    val nPart = math.max(1, math.min(
-      pairs.sparkSession.sparkContext.defaultParallelism,
-      (edges0.count() / 500000L).toInt + 1))
-    val edges = edges0.repartition(nPart, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint()

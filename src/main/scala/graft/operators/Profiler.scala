@@ -24,10 +24,9 @@ object Profiler {
 
   private def profileWith(df: DataFrame, cols: Seq[String],
                           distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__cnt_$c"),
-        count(lit(1)).as(s"__tot_$c"),
         distinctAgg(c).as(s"__ndv_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
@@ -36,7 +35,7 @@ object Profiler {
     val stacked = cols.map { c =>
       wide.select(
         lit(c).as("col_name"),
-        (col(s"__tot_$c") - col(s"__cnt_$c")).as("n_nulls"),
+        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
         col(s"__ndv_$c").cast("long").as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))

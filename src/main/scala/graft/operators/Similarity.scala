@@ -85,16 +85,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    // Deterministic centroid sample: rank by id, take every n/nlist-th.
-    val wAll = Window.orderBy(col("vec_id").asc)
-    val ranked = c.withColumn("__rn", row_number().over(wAll))
-    val total = c.count()
-    val stride = math.max(1L, total / nlist)
-    val centroids = ranked.filter((col("__rn") - 1) % stride === 0)
-      .withColumn("list_id", ((col("__rn") - 1) / stride).cast("int"))
-      .filter(col("list_id") < nlist)
-      .select(col("list_id"), col("cv").as("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    // Deterministic centroid sample: the nlist smallest ids. orderBy +
+    // limit plans as TakeOrderedAndProject — a distributed top-k, not a
+    // single-task global sort — and needs no separate count() pass.
+    val centroids = c.orderBy(col("vec_id").asc).limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
     def centroidArr(v: Array[Float]): Column = array(v.map(lit(_)): _*)
 

@@ -118,8 +118,11 @@ object EventStreams {
           closed ::= close(s)
           cur = Some(SessionState(t, t, 1, e.value))
         case Some(s) =>
-          cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
-            sumValue = s.sumValue + e.value))
+          // max(): a late-but-above-watermark event from a previous batch
+          // must not regress lastSeen (that would re-arm the timeout too
+          // early and split later in-gap events into a bogus new session).
+          cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+            nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
       }
