@@ -127,6 +127,20 @@ object OpinionPipeline {
       comentarios, encuestas, webReviews)
   }
 
+  /** The complete reference program (main.py:197-214) in one call: read
+    * the six CSVs (S1, explicit schemas), transform (E3), publish the
+    * star schema atomically (T1) with year-partitioned facts (S5). This is
+    * the drop-in replacement entry point for a user of the reference. */
+  def runFromCsv(spark: SparkSession, csvDir: String, outRoot: String): Out = {
+    val srcs = graft.sources.CsvSources.readAll(spark, csvDir)
+      .map { case (k, v) => k -> v.drop("_corrupt") }
+    val out = transform(spark,
+      srcs("clients"), srcs("products"), srcs("fuente_datos"),
+      srcs("social_comments"), srcs("surveys"), srcs("web_reviews"))
+    run(spark, out, outRoot)
+    out
+  }
+
   /** E1 end-to-end: transform + atomic multi-table publish (T1). Facts are
     * year-partitioned (S5) like the reference's yearly filegroups. */
   def run(spark: SparkSession, out: Out, root: String): Unit = {

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.etl.OpinionPipeline
+
+/** The drop-in replacement path: six CSVs on disk -> one call -> published
+  * star schema, idempotent under re-run. */
+class PipelineE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsvFixtures(dir: String): Unit = {
+    def w(name: String, body: String): Unit =
+      Files.writeString(Paths.get(s"$dir/$name"), body)
+    w("clients.csv",
+      """IdCliente,Nombre,Email
+        |1,Ana,ana@mail.com
+        |2,Luis,dup@mail.com
+        |3,Eva,dup@mail.com
+        |""".stripMargin)
+    w("products.csv",
+      """IdProducto,Nombre,Categoría
+        |1,Laptop,Tecnología
+        |2,Mesa,Hogar
+        |""".stripMargin)
+    w("fuente_datos.csv",
+      """IdFuente,TipoFuente,FechaCarga
+        |F00001,Web,2024-10-14
+        |F00002,Archivo,2023-05-01
+        |""".stripMargin)
+    w("social_comments.csv",
+      """IdComment,IdCliente,IdProducto,Fuente,Fecha,comentario
+        |CM1,C1,P1,Web,2024-01-10,bueno
+        |CM2,C9,P2,Web,2025-02-11,cliente nuevo
+        |""".stripMargin)
+    w("surveys_part1.csv",
+      """IdOpinion,IdCliente,IdProducto,Fecha,Comentario,Clasificacion,PuntajeSatisfaccion
+        |10,1,1,2024-05-01,ok,Positiva,5
+        |11,2,2,2023-06-01,meh,Neutral,3
+        |""".stripMargin)
+    w("web_reviews.csv",
+      """IdReview,IdCliente,IdProducto,Fecha,Comentario,Rating
+        |R1,C1,P2,2024-08-01,great,4
+        |""".stripMargin)
+  }
+
+  test("runFromCsv: CSVs in, consistent star schema out, idempotent re-run") {
+    val csvDir = tmpDir("csv-e2e")
+    val outRoot = tmpDir("star-e2e")
+    writeCsvFixtures(csvDir)
+
+    OpinionPipeline.runFromCsv(spark, csvDir, outRoot)
+
+    val clientes = spark.read.parquet(s"$outRoot/clientes")
+    // 3 real + 1 placeholder (C9 from social_comments)
+    assert(clientes.count() == 4)
+    assert(clientes.filter($"Email" === "dup@mail.com").count() <= 1,
+      "email uniqueness enforced")
+    val comentarios = spark.read.parquet(s"$outRoot/comentarios")
+    assert(comentarios.count() == 2)
+    assert(comentarios.columns.contains("anio"), "year-partitioned fact")
+    // FK integrity across the published tree
+    val ids = clientes.select("IdCliente")
+    assert(comentarios.join(ids, Seq("IdCliente"), "left_anti").isEmpty)
+
+    // Re-run from the same CSVs: published state identical.
+    val before = clientes.count()
+    OpinionPipeline.runFromCsv(spark, csvDir, outRoot)
+    assert(spark.read.parquet(s"$outRoot/clientes").count() == before)
+  }
+}
