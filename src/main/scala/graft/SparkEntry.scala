@@ -249,6 +249,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // Scalar subquery (decorrelated by Catalyst): customers above the
+    // global average balance.
+    "q25_scalar_subquery" -> ((s, dir) => {
+      Engine.sql(s, dir,
+        """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
+    }),
+
+    // CUBE: all grouping-set combinations over two dimensions.
+    "q27_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Conditional aggregation (pivot-by-CASE): status counts per segment.
+    "q29_conditional_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+          round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("avg_f_price"))
+    }),
+
     // Column profiling (data-quality pass): nulls/ndv/min/max per column.
     "q23_profile" -> ((s, dir) => {
       operators.Profiler.profile(t(s, dir, "orders"),
@@ -559,6 +588,25 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+
+    "q27_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q29_conditional_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q23_profile" ->
       """SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
