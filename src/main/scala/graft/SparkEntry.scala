@@ -258,6 +258,31 @@ object SparkEntry {
           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
     }),
 
+    // String-function surface (incl. edit distance, the fuzzy-match
+    // primitive behind name-level entity resolution).
+    "q26_string_funcs" -> ((s, dir) => {
+      t(s, dir, "region").select(
+        col("r_name"),
+        lower(col("r_name")).as("lo"),
+        substring(col("r_name"), 1, 3).as("pre3"),
+        length(col("r_name")).cast("long").as("len"),
+        regexp_replace(col("r_name"), "[AEIOU]", "_").as("devowel"),
+        levenshtein(col("r_name"), lit("EUROPE")).cast("long").as("dist_europe"),
+        reverse(col("r_name")).as("rev"))
+    }),
+
+    // Datetime-function surface over the fact's date column.
+    "q28_datetime_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+          min(dayofmonth(col("o_orderdate"))).as("min_dom"),
+          max(month(col("o_orderdate"))).as("max_month"),
+          countDistinct(date_trunc("week", col("o_orderdate"))).as("n_weeks"))
+    }),
+
     // CUBE: all grouping-set combinations over two dimensions.
     "q27_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -593,6 +618,23 @@ object SparkEntry {
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+
+    "q26_string_funcs" ->
+      """SELECT r_name, lower(r_name) AS lo, substring(r_name, 1, 3) AS pre3,
+        |  CAST(length(r_name) AS BIGINT) AS len,
+        |  regexp_replace(r_name, '[AEIOU]', '_', 'g') AS devowel,
+        |  CAST(levenshtein(r_name, 'EUROPE') AS BIGINT) AS dist_europe,
+        |  reverse(r_name) AS rev
+        |FROM region""".stripMargin,
+
+    "q28_datetime_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(day(o_orderdate)) AS INT) AS min_dom,
+        |  CAST(max(month(o_orderdate)) AS INT) AS max_month,
+        |  CAST(count(DISTINCT date_trunc('week', o_orderdate)) AS BIGINT) AS n_weeks
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "q27_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
