@@ -53,7 +53,12 @@ object CleaningOps {
   def placeholderName(id: Column): Column =
     concat(lit("Cliente_"), id.cast("string"))
 
-  /** P10 (main.py:129): placeholder email "cliente_<id>@placeholder.com". */
+  /** P10 (main.py:129): duplicate-email rewrite "cliente_<id>@placeholder.com". */
   def placeholderEmail(id: Column): Column =
     concat(lit("cliente_"), id.cast("string"), lit("@placeholder.com"))
+
+  /** P10 (main.py:126): synthesized-client email "cliente_<id>@mail.com" —
+    * distinct from the dup-rewrite form above; the reference uses both. */
+  def placeholderMailEmail(id: Column): Column =
+    concat(lit("cliente_"), id.cast("string"), lit("@mail.com"))
 }

@@ -26,7 +26,7 @@ object OpinionPipeline {
 
   final case class Out(
       clientes: DataFrame, productos: DataFrame, categorias: DataFrame,
-      clasificaciones: DataFrame, fuentes: DataFrame,
+      clasificaciones: DataFrame, fuentes: DataFrame, registroCargas: DataFrame,
       comentarios: DataFrame, encuestas: DataFrame, webReviews: DataFrame)
 
   /** E3 (main.py:117-169) + dimension prep (main.py:88-101). */
@@ -37,17 +37,24 @@ object OpinionPipeline {
     // ---- dimensions from distinct extraction (A1/A2/A6, main.py:92-100) ----
     val categorias = Dimensions.buildDimension(products, "Categoría", "Nombre", "IdCategoria")
     val clasificaciones = Dimensions.buildDimension(surveys, "Clasificacion", "Nombre", "IdClasificacion")
+    // Fuentes: distinct social-network names from the comments themselves
+    // (main.py:94; sql:76-79 — "Ej: 'Instagram', 'Twitter', 'Facebook'").
+    val fuentes = Dimensions.buildDimension(comments, "Fuente", "Nombre", "IdFuente")
 
-    // Fuentes: keep-first on TipoFuente with parsed FechaCarga (main.py:95-100).
-    val fuentesSrc = fuenteDatos
-      .withColumn("FechaCarga", coerceTimestamp(col("FechaCarga").cast("string")))
-      .na.drop(Seq("TipoFuente", "FechaCarga"))
+    // RegistroCargas (the 9th star table, sql:69-73): keep-first on
+    // TipoFuente, THEN parse FechaCarga and drop unparseable rows —
+    // main.py:96-99 dedups before the date coerce, so a bad date on the
+    // first occurrence of a Nombre drops that Nombre entirely.
+    val cargasSrc = fuenteDatos
+      .na.drop(Seq("TipoFuente")) // Nombre NOT NULL (sql:71)
       .withColumn("__ord", monotonically_increasing_id()) // file-order proxy, pre-shuffle
-    val fuentes = Dimensions.surrogateKeys(
-        Dimensions.dedupKeepFirst(fuentesSrc, Seq("TipoFuente"), "__ord")
+    val registroCargas = Dimensions.surrogateKeys(
+        Dimensions.dedupKeepFirst(cargasSrc, Seq("TipoFuente"), "__ord")
+          .withColumn("FechaCarga", coerceTimestamp(col("FechaCarga").cast("string")))
+          .na.drop(Seq("FechaCarga"))
           .select(col("TipoFuente").as("Nombre"), col("FechaCarga")),
-        "Nombre", "IdFuente")
-      .select(col("IdFuente"), col("Nombre"), col("FechaCarga"))
+        "Nombre", "IdCarga")
+      .select(col("IdCarga"), col("Nombre"), col("FechaCarga"))
 
     // ---- clientes chain (main.py:120-129) ----
     val clientesBase = clients
@@ -64,9 +71,11 @@ object OpinionPipeline {
       reviews.select(cleanId(col("IdCliente"), "C").as("IdCliente")))
 
     // Placeholder clients for opinions with no master row (J4, main.py:124-127).
+    // Synthesized rows get the @mail.com form (main.py:126); the
+    // @placeholder.com form is only the duplicate-email rewrite (main.py:129).
     val placeholderRows = EntityResolution.placeholders(required, clientesDedup, "IdCliente") {
       id => Seq(id.as("IdCliente"), placeholderName(id).as("Nombre"),
-                placeholderEmail(id).as("Email"))
+                placeholderMailEmail(id).as("Email"))
     }
 
     // Union + duplicate-email rewrite (A4/P9, main.py:127-129).
@@ -94,36 +103,49 @@ object OpinionPipeline {
           .withColumn("IdCliente", coerceLong(col("IdCliente")))
           .withColumn("IdProducto", coerceLong(col("IdProducto")))
       cleaned
-        .na.drop(Seq("IdCliente", "IdProducto", "Fecha"))
+        .na.drop(Seq("IdCliente", "IdProducto"))
         .join(validClients, Seq("IdCliente"), "left_semi") // J3 FK validity
     }
 
+    // IdCarga is a scalar lookup — id_maps['cargas'].get('Archivo'/'Web')
+    // (main.py:151,159): a 0-or-1-row broadcast against the dimension. When
+    // the Nombre is absent the left join yields null and the NOT-NULL drop
+    // below removes every row, exactly like pandas' .get() -> None -> dropna.
+    def withCargaId(df: DataFrame, nombre: String): DataFrame =
+      df.join(broadcast(registroCargas.filter(col("Nombre") === nombre)
+          .select(col("IdCarga"))), lit(true), "left")
+
+    // Null-FK drops mirror main.py exactly: comentarios drop null IdFuente
+    // (main.py:143), encuestas null IdClasificacion/IdCarga (main.py:152),
+    // webReviews null IdCarga (main.py:160). Fecha is parsed for the
+    // partitioned sink but never used as a drop key — the reference doesn't
+    // filter on it.
     val comentarios = factChain(comments, idIsPrefixed = true)
-      .join(broadcast(fuentes.select(col("IdFuente"), col("Nombre"))),
-        comments("Fuente") === col("Nombre"), "left")
+      .join(broadcast(fuentes.withColumnRenamed("Nombre", "__fn")),
+        comments("Fuente") === col("__fn"), "left")
+      .na.drop(Seq("IdFuente"))
       .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
-      .na.drop(Seq("Fecha"))
       .select(col("IdComment"), col("IdCliente"), col("IdProducto"),
         col("IdFuente"), col("Fecha"), col("comentario").as("Comentario"))
 
-    val encuestas = factChain(surveys, idIsPrefixed = false)
+    val encuestas = withCargaId(factChain(surveys, idIsPrefixed = false), "Archivo")
       .join(broadcast(clasificaciones.withColumnRenamed("Nombre", "__cn")),
         surveys("Clasificacion") === col("__cn"), "left")
+      .na.drop(Seq("IdClasificacion", "IdCarga"))
       .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
-      .na.drop(Seq("Fecha"))
       .filter(checkRange(col("PuntajeSatisfaccion"), 1, 5)) // P12 (sql:115)
       .select(col("IdOpinion"), col("IdCliente"), col("IdProducto"),
-        col("IdClasificacion"), col("Fecha"),
-        col("Comentario"), col("PuntajeSatisfaccion"))
+        col("IdCarga"), col("Fecha"),
+        col("Comentario"), col("IdClasificacion"), col("PuntajeSatisfaccion"))
 
-    val webReviews = factChain(reviews, idIsPrefixed = true)
+    val webReviews = withCargaId(factChain(reviews, idIsPrefixed = true), "Web")
+      .na.drop(Seq("IdCarga"))
       .withColumn("Fecha", coerceTimestamp(col("Fecha").cast("string")).cast("date"))
-      .na.drop(Seq("Fecha"))
       .filter(checkRange(col("Rating"), 1, 5)) // P12 (sql:132)
       .select(col("IdReview"), col("IdCliente"), col("IdProducto"),
-        col("Fecha"), col("Comentario"), col("Rating"))
+        col("IdCarga"), col("Fecha"), col("Comentario"), col("Rating"))
 
-    Out(clientes, productos, categorias, clasificaciones, fuentes,
+    Out(clientes, productos, categorias, clasificaciones, fuentes, registroCargas,
       comentarios, encuestas, webReviews)
   }
 
@@ -150,6 +172,7 @@ object OpinionPipeline {
       "categorias" -> out.categorias,
       "clasificaciones" -> out.clasificaciones,
       "fuentes" -> out.fuentes,
+      "registrocargas" -> out.registroCargas,
       "comentarios" -> out.comentarios.withColumn("anio", year(col("Fecha"))),
       "encuestas" -> out.encuestas.withColumn("anio", year(col("Fecha"))),
       "webreviews" -> out.webReviews.withColumn("anio", year(col("Fecha")))))

@@ -27,11 +27,14 @@ class EtlInvariantsSpec extends SparkSpec {
       ("F00003", "Web", "2025-01-02"),         // dup TipoFuente (keep-first)
       ("F00004", "API", "not-a-date")          // coerced -> dropped
     ).toDF("IdFuente", "TipoFuente", "FechaCarga")
+    // Fuente values are social networks (sql:76) that deliberately do NOT
+    // collide with TipoFuente values — the Fuentes dimension must come from
+    // the comments themselves (main.py:94), not from fuente_datos.
     val comments = Seq(
-      ("CM1", "C1", "P1", "Web", "2024-01-10", "bueno"),
-      ("CM2", "C9", "P2", "Web", "2024-02-11", "nuevo cliente"), // placeholder client 9
-      ("CM3", "garbage", "P1", "Web", "2024-03-01", "id roto"),  // coerce -> dropped
-      ("CM4", "C2", "P3", null, "2024-04-01", "sin fuente")
+      ("CM1", "C1", "P1", "Instagram", "2024-01-10", "bueno"),
+      ("CM2", "C9", "P2", "Twitter", "2024-02-11", "nuevo cliente"), // placeholder client 9
+      ("CM3", "garbage", "P1", "Facebook", "2024-03-01", "id roto"), // coerce -> dropped
+      ("CM4", "C2", "P3", null, "2024-04-01", "sin fuente")          // null IdFuente -> dropped
     ).toDF("IdComment", "IdCliente", "IdProducto", "Fuente", "Fecha", "comentario")
     val surveys = Seq(
       (10, "1", "1", "2024-05-01", "ok", "Positiva", 5),
@@ -55,7 +58,9 @@ class EtlInvariantsSpec extends SparkSpec {
     assert(ids.contains(8L) && ids.contains(9L), "placeholder clients synthesized")
     val ph = out.clientes.filter($"IdCliente" === 9L).collect().head
     assert(ph.getAs[String]("Nombre") == "Cliente_9")
-    assert(ph.getAs[String]("Email") == "cliente_9@placeholder.com")
+    // synthesized clients use @mail.com (main.py:126); @placeholder.com is
+    // only the dup-email rewrite (main.py:129)
+    assert(ph.getAs[String]("Email") == "cliente_9@mail.com")
   }
 
   test("invariant 3: email uniqueness restored without dropping customers") {
@@ -73,11 +78,41 @@ class EtlInvariantsSpec extends SparkSpec {
   }
 
   test("coerce semantics: garbage ids and dates drop, never throw") {
-    // CM3 has unparseable client id -> dropped; CM1/CM2/CM4 survive
+    // CM3's unparseable client id and CM4's null Fuente (null IdFuente,
+    // main.py:143) both drop; CM1/CM2 survive
     val kept = out.comentarios.select("IdComment").as[String].collect().toSet
-    assert(kept == Set("CM1", "CM2", "CM4"))
-    // F00004's bad date is coerced -> dropped from fuentes
-    assert(out.fuentes.filter($"Nombre" === "API").isEmpty)
+    assert(kept == Set("CM1", "CM2"))
+    // F00004's bad date is coerced -> dropped from registroCargas
+    assert(out.registroCargas.filter($"Nombre" === "API").isEmpty)
+  }
+
+  test("fuentes comes from the comments, cargas from fuente_datos (main.py:94-100)") {
+    // Fuentes = distinct social networks seen in comments, never TipoFuente
+    val nombres = out.fuentes.select("Nombre").as[String].collect().toSet
+    assert(nombres == Set("Instagram", "Twitter", "Facebook"))
+    // every surviving comentario maps to a real Fuentes row
+    assert(out.comentarios.join(out.fuentes.select($"IdFuente"), Seq("IdFuente"), "left_anti").isEmpty)
+    // RegistroCargas keeps the TipoFuente/FechaCarga recipe: Web + Archivo
+    // (API dropped for its bad date), keep-first BEFORE the date coerce
+    val cargas = out.registroCargas.collect().map(r =>
+      r.getAs[String]("Nombre") -> r.getAs[java.sql.Timestamp]("FechaCarga").toString).toMap
+    assert(cargas.keySet == Set("Web", "Archivo"))
+    assert(cargas("Web").startsWith("2024-10-14"), "keep-first won over F00003")
+  }
+
+  test("IdCarga scalar lookup (P11, main.py:151,159) + NOT-NULL drop") {
+    val archivoId = out.registroCargas.filter($"Nombre" === "Archivo")
+      .select("IdCarga").as[Long].head()
+    val webId = out.registroCargas.filter($"Nombre" === "Web")
+      .select("IdCarga").as[Long].head()
+    assert(out.encuestas.select("IdCarga").as[Long].collect().forall(_ == archivoId))
+    assert(out.webReviews.select("IdCarga").as[Long].collect().forall(_ == webId))
+    // when the looked-up Nombre is absent, .get() -> None -> dropna drops all
+    val (c, p, f, cm, sv, rv) = fixtures
+    val noArchivo = OpinionPipeline.transform(spark, c, p,
+      f.filter($"TipoFuente" =!= "Archivo"), cm, sv, rv)
+    assert(noArchivo.encuestas.isEmpty, "no 'Archivo' carga -> every encuesta dropped")
+    assert(noArchivo.webReviews.count() > 0, "webreviews unaffected")
   }
 
   test("CHECK range: out-of-range satisfaction scores are filtered") {
@@ -92,7 +127,7 @@ class EtlInvariantsSpec extends SparkSpec {
     assert(cats.map(_._2).toSeq == cats.map(_._2).sorted.toSeq, "keys ordered by name")
     assert(cats.map(_._1).toSeq == (1L to cats.length).toSeq, "dense from 1")
     // keep-first on TipoFuente: F00003's later Web row did not win
-    assert(out.fuentes.filter($"Nombre" === "Web").count() == 1)
+    assert(out.registroCargas.filter($"Nombre" === "Web").count() == 1)
   }
 
   test("invariant 1: idempotent load — re-run appends 0 rows") {
@@ -128,7 +163,7 @@ class EtlInvariantsSpec extends SparkSpec {
     val root = tmpDir("e2e")
     OpinionPipeline.run(spark, out, root)
     val tables = Seq("clientes", "productos", "categorias", "clasificaciones",
-      "fuentes", "comentarios", "encuestas", "webreviews")
+      "fuentes", "registrocargas", "comentarios", "encuestas", "webreviews")
     def snapshot(): Map[String, Long] =
       tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
     val first = snapshot()

@@ -30,8 +30,8 @@ class PipelineE2ESpec extends SparkSpec {
         |""".stripMargin)
     w("social_comments.csv",
       """IdComment,IdCliente,IdProducto,Fuente,Fecha,comentario
-        |CM1,C1,P1,Web,2024-01-10,bueno
-        |CM2,C9,P2,Web,2025-02-11,cliente nuevo
+        |CM1,C1,P1,Instagram,2024-01-10,bueno
+        |CM2,C9,P2,Twitter,2025-02-11,cliente nuevo
         |""".stripMargin)
     w("surveys_part1.csv",
       """IdOpinion,IdCliente,IdProducto,Fecha,Comentario,Clasificacion,PuntajeSatisfaccion
@@ -62,6 +62,18 @@ class PipelineE2ESpec extends SparkSpec {
     // FK integrity across the published tree
     val ids = clientes.select("IdCliente")
     assert(comentarios.join(ids, Seq("IdCliente"), "left_anti").isEmpty)
+    // Fuentes dimension carries the comments' social networks, not TipoFuente
+    val fuentes = spark.read.parquet(s"$outRoot/fuentes")
+    assert(fuentes.select("Nombre").as[String].collect().toSet == Set("Instagram", "Twitter"))
+    assert(comentarios.join(fuentes.select("IdFuente"), Seq("IdFuente"), "left_anti").isEmpty)
+    // RegistroCargas is the 9th published table; facts carry its IdCarga FK
+    val cargas = spark.read.parquet(s"$outRoot/registrocargas")
+    assert(cargas.select("Nombre").as[String].collect().toSet == Set("Web", "Archivo"))
+    val encuestas = spark.read.parquet(s"$outRoot/encuestas")
+    val webreviews = spark.read.parquet(s"$outRoot/webreviews")
+    assert(encuestas.count() == 2 && webreviews.count() == 1)
+    assert(encuestas.join(cargas.select("IdCarga"), Seq("IdCarga"), "left_anti").isEmpty)
+    assert(webreviews.join(cargas.select("IdCarga"), Seq("IdCarga"), "left_anti").isEmpty)
 
     // Re-run from the same CSVs: published state identical.
     val before = clientes.count()
