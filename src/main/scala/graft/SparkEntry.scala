@@ -435,6 +435,27 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
     }),
 
+    // ---- reference-pipeline parity (full OpinionPipeline dataflow over
+    // reference-shaped sources derived from the harness tables; every
+    // output table is oracle-checked against a DuckDB mirror of main.py) ----
+
+    "q70_pipeline_clientes" -> ((s, dir) => etl.RefShaped.out(s, dir).clientes),
+    "q71_pipeline_productos" -> ((s, dir) => etl.RefShaped.out(s, dir).productos),
+    "q72_pipeline_comentarios" -> ((s, dir) => etl.RefShaped.out(s, dir).comentarios),
+    "q73_pipeline_encuestas" -> ((s, dir) => etl.RefShaped.out(s, dir).encuestas),
+    "q74_pipeline_webreviews" -> ((s, dir) => etl.RefShaped.out(s, dir).webReviews),
+    "q75_pipeline_dims" -> ((s, dir) => {
+      val o = etl.RefShaped.out(s, dir)
+      def tag(df: DataFrame, tabla: String, id: String): DataFrame =
+        df.select(lit(tabla).as("tabla"), col(id).as("id"), col("Nombre").as("nombre"),
+          (if (df.columns.contains("FechaCarga")) col("FechaCarga")
+           else lit(null).cast("timestamp")).as("fecha_carga"))
+      tag(o.categorias, "categorias", "IdCategoria")
+        .unionByName(tag(o.clasificaciones, "clasificaciones", "IdClasificacion"))
+        .unionByName(tag(o.fuentes, "fuentes", "IdFuente"))
+        .unionByName(tag(o.registroCargas, "registrocargas", "IdCarga"))
+    }),
+
     // ---- multimodal plumbing ----
 
     // Media table: blob + typed metadata struct (pruned scan path).
@@ -743,6 +764,33 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS is_new
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
+
+    "q70_pipeline_clientes" ->
+      (etl.RefShaped.OracleCtes + "SELECT IdCliente, Nombre, Email FROM clientes"),
+
+    "q71_pipeline_productos" ->
+      (etl.RefShaped.OracleCtes + "SELECT IdProducto, Nombre, IdCategoria FROM productos"),
+
+    "q72_pipeline_comentarios" ->
+      (etl.RefShaped.OracleCtes +
+        "SELECT IdComment, IdCliente, IdProducto, IdFuente, Fecha, Comentario FROM comentarios"),
+
+    "q73_pipeline_encuestas" ->
+      (etl.RefShaped.OracleCtes +
+        """SELECT IdOpinion, IdCliente, IdProducto, IdCarga, Fecha, Comentario,
+          |  IdClasificacion, PuntajeSatisfaccion FROM encuestas""".stripMargin),
+
+    "q74_pipeline_webreviews" ->
+      (etl.RefShaped.OracleCtes +
+        "SELECT IdReview, IdCliente, IdProducto, IdCarga, Fecha, Comentario, Rating FROM webreviews"),
+
+    "q75_pipeline_dims" ->
+      (etl.RefShaped.OracleCtes +
+        """SELECT 'categorias' AS tabla, IdCategoria AS id, Nombre AS nombre,
+          |  CAST(NULL AS TIMESTAMP) AS fecha_carga FROM categorias
+          |UNION ALL SELECT 'clasificaciones', IdClasificacion, Nombre, CAST(NULL AS TIMESTAMP) FROM clasificaciones
+          |UNION ALL SELECT 'fuentes', IdFuente, Nombre, CAST(NULL AS TIMESTAMP) FROM fuentes
+          |UNION ALL SELECT 'registrocargas', IdCarga, Nombre, FechaCarga FROM cargas""".stripMargin),
 
     "q60_media_meta" ->
       """SELECT doc_id AS media_id,
