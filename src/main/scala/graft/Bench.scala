@@ -22,14 +22,22 @@ object Bench {
       // noop sink, not count(): count() lets Catalyst prune every computed
       // column (a fingerprint query would never hash anything). The noop
       // writer evaluates all output columns at full width.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+        }
+      // A crashing query must not masquerade as a fast success: its time
+      // slot records -1 and the error string rides along in "errors".
+      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${results.count(_._3.nonEmpty)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

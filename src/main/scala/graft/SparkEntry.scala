@@ -181,12 +181,19 @@ object SparkEntry {
 
     // ---- sort / top-k / window (engine idiom; SURVEY §2.6) ----
 
-    // Deterministic global top-k with rank.
+    // Deterministic global top-k with rank. orderBy().limit(k) plans as
+    // TakeOrderedAndProject — a per-partition top-k merged on the driver —
+    // not a single-partition global sort; the rank window then runs over
+    // only the k surviving rows (partitionBy(lit) keeps it one bounded
+    // task without the unpartitioned-window plan).
     "q16_topk" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      val top = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+      val w = Window.partitionBy(lit(0))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      top.withColumn("rn", row_number().over(w).cast("long"))
         .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
     }),
 
@@ -466,9 +473,12 @@ object SparkEntry {
           col("meta.kind").as("kind"))
     }),
 
-    // Feature extraction through the mapPartitions decode stub
-    // (deterministic fake decoder; real plumbing). No SQL oracle.
-    "q61_media_features" -> ((s, dir) => {
+    // Feature extraction through the mapPartitions decode STUB — the
+    // query name carries the stub status: the Spark-side plumbing (binary
+    // column, pruned meta struct, batched mapPartitions) is real and
+    // tested, but the decoder is a deterministic fake pending real media
+    // codecs (absent in this environment). No SQL oracle.
+    "q61_media_features_stubdecode" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal
         .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
       graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
@@ -694,6 +704,54 @@ object SparkEntry {
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)""".stripMargin,
 
     "q99_sql_engine" -> SqlQ3,
+
+    // Exact n-gram Jaccard IS ANSI-expressible: shingle via unnest over
+    // token windows, pair-join on shared shingles, set algebra. The Spark
+    // side's df-pruning (df in [2, maxPostings]) does not change results
+    // at sf<=0.1 (max df < maxPostings; df=1 shingles can't pair).
+    "q33_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g
+        |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+        |    WHERE len(d.toks) >= 3
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(toks, ' ') AS g FROM docs WHERE len(toks) < 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+        |  FROM pairs JOIN counts na ON id_a = na.doc_id
+        |             JOIN counts nb ON id_b = nb.doc_id)
+        |WHERE jaccard >= 0.35""".stripMargin,
+
+    // Brute-force cosine top-k mirrors the Spark math exactly: float
+    // products (the arrays are FLOAT), double-accumulated sums, round(6)
+    // BEFORE ranking, ties broken by vec_id.
+    "q35_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    (SELECT sum(CAST(x * y AS DOUBLE)) FROM (SELECT unnest(qv) AS x, unnest(cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(qv) AS x)) AS nq,
+        |    (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(cv) AS y)) AS nc
+        |  FROM c, q WHERE q.query_id <> c.vec_id),
+        |cos AS (
+        |  SELECT query_id, vec_id,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |  FROM cos) WHERE rn <= 10""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -38,7 +38,11 @@ object Dimensions {
     * order on the natural key — not by physical row position. */
   def surrogateKeys(df: DataFrame, naturalKey: String, idCol: String,
                     offset: Long = 0L): DataFrame = {
-    val w = Window.orderBy(col(naturalKey).asc)
+    // partitionBy(lit): deliberately ONE task — dimensions are bounded
+    // (enum-sized) by definition, and a dense global row_number needs a
+    // total order. Fact-scale top-k must never use this (see q16's
+    // TakeOrderedAndProject shape instead).
+    val w = Window.partitionBy(lit(0)).orderBy(col(naturalKey).asc)
     df.withColumn(idCol, (row_number().over(w) + lit(offset)).cast("long"))
   }
 

@@ -50,38 +50,36 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // Shingle once; signature and verify both read this array column.
-    val shingled = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    // Signatures in ONE scan-side pass per row (MinHashSigExpr): no
+    // explode, no shuffle, no k-column aggregate. Round 1's explode +
+    // grouped-min shape was correct but its (id, k longs) partial
+    // aggregate dominated the driver bench under memory pressure.
+    val sigs = df.select(col(idCol).as("id"),
+      graft.expressions.SignatureExprs.minhashSig(col(textCol), shingleN, k).as("sig"))
 
-    // Signatures via explode + grouped min: the hash evaluation runs inside
-    // whole-stage codegen with map-side partial aggregation, several times
-    // faster than k interpreted transform/array_min lambdas per row. The
-    // shuffle moves only (id, k longs) after partial agg.
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until k).map(seed => min(xxhash64(lit(seed), col("s"))).as(s"m$seed"))
-    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-
-    // Band keys: one row per (doc, band) — ids only. The wide shingle
-    // arrays must NOT ride the candidate-generation shuffle: at 16 bands a
-    // 3 KB array would be shuffled 16x per document.
+    // Band keys: one row per (doc, band) — ids only. The signature array
+    // must NOT ride the candidate-generation shuffle: band hashes are
+    // folded scan-side and only (id, band, bh) moves.
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map { b =>
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i")): _*)
+            .map(i => element_at(col("sig"), i + 1)): _*)
         }: _*)).as(Seq("band", "bh")))
 
     // Materialize the (small) candidate set: it feeds three downstream
     // branches (pairs + both shingle re-joins); without truncating lineage
     // the whole LSH pipeline would be re-executed per branch.
-    val candidates = pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
-      .select("id_a", "id_b").distinct()
-      .localCheckpoint()
+    val candidates = cut(pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+      .select("id_a", "id_b").distinct())
 
-    // Re-shingle only the documents that appear in a candidate pair.
+    // Shingle only the documents that appear in a candidate pair (semi
+    // join BEFORE the shingle projection, so the expression runs on the
+    // candidate subset, not the corpus).
     val candidateIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candShingles = shingled.join(candidateIds, Seq("id"), "left_semi")
+    val candShingles = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .join(candidateIds, Seq("id"), "left_semi")
+      .select(col("id"), TextAnalysis.shingles(col("__txt"), shingleN).as("sh"))
 
     candidates
       .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -93,23 +91,15 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over word 2-gram features: sign of the per-bit sum of
-    * feature hashes. 2-grams rather than unigrams: corpora with a narrow
-    * shared vocabulary make unigram simhashes collide globally. Computed by
-    * explode + one aggregation (single shuffle on the doc id). */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), 2)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash over word 2-gram features: sign of the per-bit vote of
+    * distinct feature hashes. 2-grams rather than unigrams: corpora with a
+    * narrow shared vocabulary make unigram simhashes collide globally.
+    * Computed per-row in one pass (SimHashExpr) — zero shuffle; the former
+    * explode + 64-column conditional-sum aggregate was round 1's slowest
+    * driver-bench query. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.expressions.SignatureExprs.simhash(col(textCol), 2).as("simhash"))
 
   /** SimHash near-dup pairs: 4x16-bit block LSH (any pair within Hamming
     * distance <= 3 of a 64-bit hash must agree on at least one of 4 blocks
@@ -138,7 +128,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
       .withColumn("n", size(col("sh")))
-    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    // Hash each shingle to 64 bits BEFORE the shuffle (explode is narrow):
+    // the inverted index moves 8-byte keys instead of shingle strings —
+    // same pair counts (a 64-bit collision inside one pair's postings is
+    // ~n²/2^64), a fraction of the shuffle bytes.
+    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("g0"))
+      .select(col("id"), col("n"), xxhash64(col("g0")).as("g"))
     // Drop stop-shingles (huge postings lists) — they only generate noise
     // pairs and quadratic blowup; production near-dup pipelines do the same.
     // Window (one shuffle + sort) beats groupBy-count + join (two
@@ -198,12 +193,10 @@ object Dedup {
     // Undirected edge list, both directions, materialized once. (No manual
     // repartition: the per-iteration joins re-shuffle to the session's
     // partitioning anyway and AQE coalesces small shuffles.)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -213,10 +206,9 @@ object Dedup {
         .agg(min(col("cluster_id")).as("nmin"))
       // Fold the convergence flag into the same pass — a separate
       // next-vs-old join would add a shuffle per iteration.
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = cut(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")))
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("cluster_id"))
       i += 1
@@ -253,6 +245,26 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Lineage cut for the small frames that feed multiple downstream
+    * branches or iterative loops. By default `localCheckpoint()` — blocks
+    * live on executors, the right local-mode fast path. When
+    * `spark.graft.checkpoint.dir` is set, a RELIABLE `checkpoint()` to
+    * that storage is used instead: at 100 TB with dynamic allocation an
+    * executor loss would kill a localCheckpoint'd job, while a reliable
+    * checkpoint recovers from storage. (persist + checkpoint, so the
+    * checkpoint write doesn't recompute the plan.) */
+  private def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        val persisted = df.persist()
+        val out = persisted.checkpoint()
+        persisted.unpersist()
+        out
+      case None => df.localCheckpoint()
+    }
 
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
     * carrying all non-key payload columns as _a/_b. Buckets larger than

@@ -3,34 +3,71 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Salted equi-join for skewed keys.
+/** Skew-aware equi-join: hot keys are salted, everything else joins plain.
   *
   * When one join key carries a disproportionate share of the big side
   * (hot customers, null-ish sentinel keys), a plain shuffle join puts the
-  * whole hot key in one task. Salting splits each key into `saltFactor`
-  * sub-keys: the big side gets a deterministic salt from its row content,
-  * the small side is replicated once per salt value. Result set is
-  * identical to the plain join; the hot key's rows spread over
-  * `saltFactor` tasks.
+  * whole hot key in one task. The production pattern is TWO-PATH:
   *
-  * AQE's skew-join split handles sort-merge skew automatically when
-  * statistics see it; explicit salting remains the tool when the skew is
-  * known ahead (and for aggregations after the join, where AQE can't
-  * rebalance the downstream groupBy).
+  *  1. find the hot keys (caller-supplied, or estimated from a small
+  *     sample of the big side — two driver jobs over ~sampleFraction of
+  *     one column, hot set bounded by 1/hotShare keys);
+  *  2. the hot slice is salted — each hot row gets a deterministic salt,
+  *     the matching small-side rows are replicated saltFactor times, so
+  *     the hot key's rows spread over saltFactor tasks;
+  *  3. the cold slice joins plain — Catalyst still broadcasts the small
+  *     side when it fits, which blanket salting would forfeit (replicating
+  *     the small side 8x defeats both broadcast and map-side efficiency);
+  *  4. union. The result set is identical to the plain join.
+  *
+  * With no skew detected the operator IS the plain join — zero overhead.
+  * AQE's skew-split handles sort-merge skew when statistics see it at
+  * runtime; explicit salting remains the tool when skew is known ahead
+  * (and for aggregations after the join, where AQE can't rebalance the
+  * downstream groupBy).
   */
 object SkewJoin {
 
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-                 smallKey: String, saltFactor: Int = 8): DataFrame = {
-    // Deterministic per-row salt (no rand(): results must be re-run
-    // stable): hash of the full row spreads rows uniformly.
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
-    val saltedSmall = small
-      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
-    saltedBig.join(saltedSmall,
-        saltedBig(bigKey) === saltedSmall(smallKey) &&
-          saltedBig("__salt") === saltedSmall("__salt"))
-      .drop("__salt")
+                 smallKey: String, saltFactor: Int = 8,
+                 hotKeys: Seq[Any] = Nil,
+                 sampleFraction: Double = 0.01,
+                 hotShare: Double = 0.05): DataFrame = {
+    val hot: Seq[Any] =
+      if (hotKeys.nonEmpty) hotKeys
+      else {
+        // Deterministic seed: re-runs pick the same hot set. Correctness
+        // never depends on the estimate — both paths emit identical rows —
+        // only the plan shape does.
+        val counts = big.select(col(bigKey)).na.drop()
+          .sample(withReplacement = false, sampleFraction, seed = 42L)
+          .groupBy(col(bigKey)).agg(count(lit(1)).as("__n"))
+        val total = counts.agg(sum(col("__n"))).first().getLong(0)
+        if (total == 0) Nil
+        else counts.filter(col("__n") >= math.max(2.0, hotShare * total))
+          .select(col(bigKey)).collect().map(_.get(0)).toSeq
+      }
+
+    def plainJoin(b: DataFrame, s: DataFrame): DataFrame =
+      b.join(s, b(bigKey) === s(smallKey))
+
+    if (hot.isEmpty) plainJoin(big, small)
+    else {
+      val isHot: Column = col(bigKey).isin(hot: _*)
+      // Null keys never survive an inner equi-join, so routing them out of
+      // both paths (isin on null is null -> both filters false) is safe.
+      val cold = plainJoin(big.filter(not(coalesce(isHot, lit(false)))), small)
+
+      val saltedBig = big.filter(isHot).withColumn("__salt",
+        pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      val saltedSmall = small.filter(col(smallKey).isin(hot: _*))
+        .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      val hotJoin = saltedBig.join(saltedSmall,
+          saltedBig(bigKey) === saltedSmall(smallKey) &&
+            saltedBig("__salt") === saltedSmall("__salt"))
+        .drop("__salt")
+
+      cold.unionByName(hotJoin)
+    }
   }
 }

@@ -62,6 +62,36 @@ class JoinOpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("saltedJoin on a deliberately skewed key matches the plain join") {
+    // one hot key (0) holds half the big side; small side is a dimension
+    val big = spark.range(0, 20000)
+      .select((when($"id" % 2 === 0, 0L).otherwise($"id" % 50)).as("k"), $"id".as("payload"))
+    val small = spark.range(0, 50).select($"id".as("sk"), concat(lit("d"), $"id").as("name"))
+    val plain = big.join(small, $"k" === $"sk")
+      .groupBy("name").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    // sampled hot-key detection (full sample -> deterministic: key 0 is hot)
+    val sampled = SkewJoin.saltedJoin(big, small, "k", "sk",
+        saltFactor = 4, sampleFraction = 1.0)
+      .groupBy("name").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(sampled == plain)
+    // caller-supplied hot keys take the same two-path shape
+    val supplied = SkewJoin.saltedJoin(big, small, "k", "sk",
+        saltFactor = 4, hotKeys = Seq(0L))
+      .groupBy("name").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(supplied == plain)
+  }
+
+  test("clusters uses reliable checkpoint storage when configured") {
+    val dir = tmpDir("ckpt")
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(new java.io.File(dir).listFiles().nonEmpty, "checkpoint files written to reliable storage")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("dedupCorpus keeps one survivor per near-dup group") {
     import graft.operators.Dedup
     val docs = Seq(
