@@ -710,26 +710,38 @@ object SparkEntry {
     // side's df-pruning (df in [2, maxPostings]) does not change results
     // at sf<=0.1 (max df < maxPostings; df=1 shingles can't pair).
     "q33_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g
-        |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
-        |    WHERE len(d.toks) >= 3
-        |    UNION ALL
-        |    SELECT doc_id, array_to_string(toks, ' ') AS g FROM docs WHERE len(toks) < 3)),
-        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
-        |  FROM pairs JOIN counts na ON id_a = na.doc_id
-        |             JOIN counts nb ON id_b = nb.doc_id)
-        |WHERE jaccard >= 0.35""".stripMargin,
+      ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
+
+    // Cluster resolution is oracle-checkable too: the verified minhash
+    // pairs equal the exact-Jaccard pairs at these settings (recall 1.0,
+    // asserted in specs AND by this hash check), and min-label
+    // connected components are a recursive CTE.
+    "q37_dedup_resolve" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.35) + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          |          UNION ALL SELECT id_b, id_a FROM jpairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          |  min(id) AS survivor_id
+          |FROM clusters GROUP BY cluster_id""".stripMargin),
+
+    // End-to-end corpus dedup: survivors = documents minus non-minimum
+    // members of each component at threshold 0.8.
+    "q39_dedup_corpus" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.8) + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          |          UNION ALL SELECT id_b, id_a FROM jpairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          |SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin),
 
     // Brute-force cosine top-k mirrors the Spark math exactly: float
     // products (the arrays are FLOAT), double-accumulated sums, round(6)
@@ -886,6 +898,33 @@ object SparkEntry {
       |GROUP BY l_orderkey
       |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))
       |           * (1 - CAST(l_discount AS DECIMAL(18,4)))) > 50000""".stripMargin
+
+  /** Shared DuckDB CTE block: word 3-gram shingle sets per document and
+    * the exact-Jaccard pairs at `threshold` (the oracle mirror of
+    * ShingleExpr + the inverted-index pair join). Used by q33 directly and
+    * by the q37/q39 connected-components oracles. */
+  private def JaccardCtes(threshold: Double): String =
+    s"""docs AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g
+       |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+       |    WHERE len(d.toks) >= 3
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(toks, ' ') AS g FROM docs WHERE len(toks) < 3)),
+       |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+       |    FROM pairs JOIN counts na ON id_a = na.doc_id
+       |               JOIN counts nb ON id_b = nb.doc_id)
+       |  WHERE jaccard >= $threshold)""".stripMargin
 
   /** Stopword regexes shared verbatim between the Scala ops and the DuckDB
     * oracle (TextAnalysis.StopwordTable is the single source of truth). */
