@@ -486,6 +486,18 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // REAL media decode: synthesized-but-valid WAV blobs (RIFF/PCM, the
+    // waveform an integer function of the id) run through a genuine
+    // RIFF-chunk parser + PCM feature extraction; the oracle recomputes
+    // the same features from the waveform formula without touching bytes.
+    "q63_audio_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeWavTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.decodeWavFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"), col("zcr"))
+    }),
+
     // Frame sampling: fixed-offset binary frames per media row.
     "q62_frame_sample" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal
@@ -867,6 +879,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text' AS kind
         |FROM documents""".stripMargin,
+
+    "q63_audio_decode" ->
+      """WITH params AS (
+        |  SELECT doc_id, 800 + (doc_id % 10) * 160 AS n, 3 + (doc_id % 8) AS f
+        |  FROM documents),
+        |samples AS (
+        |  SELECT p.doc_id, p.n, t.i, ((t.i * p.f * 997) % 16000) * 4 - 32000 AS s
+        |  FROM params p, LATERAL (SELECT unnest(range(0, p.n)) AS i) t),
+        |lagged AS (
+        |  SELECT doc_id, n, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM samples)
+        |SELECT doc_id AS media_id, 16000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  round(sqrt(avg(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, n""".stripMargin,
 
     "q62_frame_sample" ->
       """SELECT frame_idx, CAST(count(*) AS BIGINT) AS n,

@@ -47,6 +47,44 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1L).count() == 4)
   }
 
+  test("WAV decode: real RIFF/PCM parse recovers known samples' features") {
+    // handcrafted waveform: the sawtooth formula with id=1 parameters
+    val blob = Multimodal.synthesizeWav(nSamples = 4, freq = 4)
+    // expected samples: ((i*4*997) % 16000) * 4 - 32000 for i=0..3
+    val expected = (0 until 4).map(i => ((i.toLong * 4 * 997) % 16000) * 4 - 32000)
+    val media = Seq((7L, blob)).toDF("media_id", "blob")
+    val f = Multimodal.decodeWavFeatures(media).collect().head
+    assert(f.getAs[Int]("sample_rate") == 16000)
+    assert(f.getAs[Long]("n_samples") == 4L)
+    val rms = math.sqrt(expected.map(s => s * s).sum.toDouble / 4)
+    assert(math.abs(f.getAs[Double]("rms") - rms) < 1e-9)
+    assert(f.getAs[Long]("peak") == expected.map(math.abs).max)
+    val zcr = expected.sliding(2).count(p => p.head * p.last < 0)
+    assert(f.getAs[Long]("zcr") == zcr.toLong)
+  }
+
+  test("WAV decode: corrupt blobs are quarantined, valid ones survive") {
+    val good = Multimodal.synthesizeWav(nSamples = 100, freq = 5)
+    val truncated = good.take(30)              // cut inside the header
+    val wrongMagic = good.clone(); wrongMagic(0) = 'X'.toByte
+    val media = Seq((1L, good), (2L, truncated), (3L, wrongMagic))
+      .toDF("media_id", "blob")
+    val out = Multimodal.decodeWavFeatures(media)
+      .select("media_id").as[Long].collect().toSet
+    assert(out == Set(1L), "only the well-formed blob decodes")
+  }
+
+  test("WAV synthesis table: ids drive duration and frequency deterministically") {
+    val ids = Seq(10L, 11L).toDF("doc_id")
+    val m = Multimodal.synthesizeWavTable(ids, "doc_id")
+    val meta = m.select($"media_id", $"meta.kind", $"meta.sample_rate", $"meta.n_bytes")
+      .as[(Long, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(meta(10L)._2 == "audio" && meta(10L)._3 == 16000)
+    // id 10 -> n = 800 + 0*160 = 800 samples -> 44 + 1600 bytes
+    assert(meta(10L)._4 == 44L + 1600L)
+    assert(meta(11L)._4 == 44L + (800 + 160) * 2L)
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)
