@@ -256,6 +256,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // Bucketed interval join (no equi key): events counted into 7-day
+    // windows anchored at each distinct event day (every event lands in
+    // ~7 overlapping windows). A raw range predicate would plan a
+    // nested-loop/cartesian join; the operator derives bucket equi keys
+    // from time and filters exactly inside buckets.
+    "q64_range_join" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("ts").cast("date").as("window_start")).distinct()
+        .withColumn("start_s", unix_timestamp(col("window_start")))
+        .withColumn("end_s", col("start_s") + lit(7L * 86400))
+      val ev = t(s, dir, "events")
+        .select(col("value"), unix_timestamp(col("ts")).as("ts_s"))
+      operators.RangeJoin.intervalJoin(ev, days, "ts_s", "start_s", "end_s",
+          bucket = 7L * 86400)
+        .groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Deterministic content-hash stratified sampling — the production
+    // pattern for stable training-data sampling (same rows survive every
+    // run, any engine): keep a row iff the md5 of its key is below the
+    // stratum's hex threshold (A~10%, N~25%, else 50%).
+    "q65_hash_sample" -> ((s, dir) => {
+      val h = substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"))), 1, 4)
+      val keep = when(col("l_returnflag") === "A", h < "199a")
+        .when(col("l_returnflag") === "N", h < "4000")
+        .otherwise(h < "8000")
+      t(s, dir, "lineitem").filter(keep)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // Pivot surface (wide conditional aggregation through the pivot API).
+    "q66_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // Scalar subquery (decorrelated by Catalyst): customers above the
     // global average balance.
     "q25_scalar_subquery" -> ((s, dir) => {
@@ -656,6 +701,39 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type""".stripMargin,
+
+    "q64_range_join" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS window_start FROM events),
+        |d2 AS (
+        |  SELECT window_start,
+        |         epoch_ms(CAST(window_start AS TIMESTAMP)) // 1000 AS start_s,
+        |         epoch_ms(CAST(window_start AS TIMESTAMP)) // 1000 + 604800 AS end_s
+        |  FROM days),
+        |ev AS (SELECT value, epoch_ms(ts) // 1000 AS ts_s FROM events)
+        |SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM ev JOIN d2 ON ts_s >= start_s AND ts_s < end_s
+        |GROUP BY window_start""".stripMargin,
+
+    "q65_hash_sample" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |                   CAST(l_linenumber AS VARCHAR)), 1, 4) AS h
+        |      FROM lineitem)
+        |WHERE CASE WHEN l_returnflag = 'A' THEN h < '199a'
+        |           WHEN l_returnflag = 'N' THEN h < '4000'
+        |           ELSE h < '8000' END
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q25_scalar_subquery" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed interval (range) join: left rows at a point in time against
+  * right rows carrying an interval, WITHOUT an equi key.
+  *
+  * A raw `l.time BETWEEN r.start AND r.end` join condition has no equi
+  * component, so Spark plans BroadcastNestedLoopJoin (fine only when one
+  * side broadcasts) or falls back to a cartesian product — the classic
+  * scale killer. The production shape instead derives an equi key from
+  * time itself: both sides are assigned `floor(time / bucket)` bucket ids,
+  * the interval side is replicated to every bucket it overlaps (bounded
+  * replication: intervals are capped at `maxBuckets` buckets), the join is
+  * a plain shuffle/equi join on the bucket id, and the exact range
+  * predicate filters inside the bucket. This is the published
+  * bucketing/binning technique used by interval-join implementations in
+  * stream processors and genomics engines alike.
+  *
+  * Semantics: `[start, end)` — end-exclusive, the natural window form.
+  * Columns are numeric (epoch seconds/millis or any monotone long);
+  * callers convert timestamps with `unix_timestamp` first.
+  */
+object RangeJoin {
+
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   bucket: Long, maxBuckets: Int = 64): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val l = points.withColumn("__b", floor(col(pointCol) / bucket).cast("long"))
+    // Replicate each interval to the buckets it overlaps. The cap is a
+    // correctness guard, not a truncation: an interval longer than
+    // maxBuckets*bucket means the caller chose the wrong bucket size, and
+    // silently joining a truncated range would drop matches — fail fast.
+    val startB = floor(col(startCol) / bucket).cast("long")
+    // end-exclusive: an interval ending exactly on a bucket boundary does
+    // not overlap that bucket. The guard lives INSIDE the sequence bound
+    // so Catalyst cannot prune it away as unused.
+    val endB = floor((col(endCol) - 1) / bucket).cast("long")
+    val endGuarded = when(endB - startB + lit(1) > maxBuckets,
+        raise_error(lit(s"intervalJoin: interval spans more than $maxBuckets " +
+          "buckets; increase bucket size")).cast("long"))
+      .otherwise(endB)
+    val r = intervals.withColumn("__b", explode(sequence(startB, endGuarded)))
+    l.join(r, l("__b") === r("__b") &&
+        l(pointCol) >= r(startCol) && l(pointCol) < r(endCol))
+      .drop("__b")
+  }
+}

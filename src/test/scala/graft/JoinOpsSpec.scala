@@ -81,6 +81,26 @@ class JoinOpsSpec extends SparkSpec {
     assert(supplied == plain)
   }
 
+  test("interval join matches the naive range predicate, end-exclusive") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
+      .toDF("pid", "t")
+    val ivals = Seq((10L, 10L, 20L), (20L, 0L, 6L), (30L, 90L, 95L))
+      .toDF("iid", "s", "e")
+    val got = operators.RangeJoin.intervalJoin(points, ivals, "t", "s", "e", bucket = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivals, $"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 20L), (2L, 10L), (3L, 10L)), "end-exclusive: t=20 not in [10,20)")
+    // an interval wider than maxBuckets*bucket fails fast instead of
+    // silently dropping matches
+    val tooWide = Seq((9L, 0L, 1000L)).toDF("iid", "s", "e")
+    intercept[Exception] {
+      operators.RangeJoin.intervalJoin(points, tooWide, "t", "s", "e",
+        bucket = 7L, maxBuckets = 4).count()
+    }
+  }
+
   test("clusters uses reliable checkpoint storage when configured") {
     val dir = tmpDir("ckpt")
     spark.conf.set("spark.graft.checkpoint.dir", dir)
