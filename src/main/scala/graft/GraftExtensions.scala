@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{MinHashSigExpr, ShingleExpr, SimHashExpr}
+
+/** SparkSessionExtensions registration for the engine's custom Catalyst
+  * expressions, making them first-class SQL functions:
+  *
+  * {{{
+  *   SELECT doc_id, shingles(text, 3)        FROM documents
+  *   SELECT doc_id, minhash_sig(text, 3, 32) FROM documents
+  *   SELECT doc_id, simhash(text, 2)         FROM documents
+  * }}}
+  *
+  * Wired into every session via `Tables.tune` (`withExtensions`); cluster
+  * submits can equivalently set
+  * `spark.sql.extensions=graft.GraftExtensions` (zero-arg class). This is
+  * the documented extension path — no private Spark APIs involved — so
+  * SQL-only users of the engine get the text-signature surface without
+  * touching the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleExpr].getName, "shingles"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "shingles")
+        ShingleExpr(args.head, litInt(args(1), "shingles"))
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 3, "minhash_sig")
+        MinHashSigExpr(args.head, litInt(args(1), "minhash_sig"),
+          litInt(args(2), "minhash_sig"))
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "simhash")
+        SimHashExpr(args.head, litInt(args(1), "simhash"))
+      }))
+  }
+
+  private def requireArgs(args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: size arguments must be integer literals, got $other")
+  }
+}

@@ -373,6 +373,14 @@ object SparkEntry {
     // Full SQL surface through Catalyst (same text runs on DuckDB).
     "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
 
+    // Custom Catalyst expressions as SQL functions (registered via
+    // SparkSessionExtensions in Tables.tune): SQL-only users call
+    // shingles() directly; the oracle recomputes the distinct-shingle
+    // count with portable ANSI shingling.
+    "q67_sql_extensions" -> ((s, dir) => Engine.sql(s, dir,
+      """SELECT doc_id, CAST(size(shingles(text, 3)) AS BIGINT) AS n_shingles
+        |FROM documents""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline; BASELINE north star) ----
 
     // Near-dup pairs resolved to clusters (min-label propagation) with a
@@ -794,6 +802,10 @@ object SparkEntry {
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)""".stripMargin,
 
     "q99_sql_engine" -> SqlQ3,
+
+    "q67_sql_extensions" ->
+      ("WITH " + JaccardCtes(0.0) +
+        "\nSELECT doc_id, CAST(n AS BIGINT) AS n_shingles FROM counts"),
 
     // Exact n-gram Jaccard IS ANSI-expressible: shingle via unnest over
     // token windows, pair-join on shared shingles, set algebra. The Spark

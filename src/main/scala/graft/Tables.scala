@@ -38,6 +38,9 @@ object Tables {
     *   for shuffle sizing; locally it also trims empty partitions.
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    // custom Catalyst expressions as SQL functions (shingles/minhash_sig/
+    // simhash) — the documented SparkSessionExtensions path
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

@@ -50,6 +50,16 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
 
+  /** Streaming exact dedup: drop duplicate keys while the watermark bounds
+    * the dedup state — the streaming form of the exact-dedup operator. At
+    * 100 TB/day the state holds only one entry per key seen within the
+    * watermark horizon, instead of growing forever (the failure mode of
+    * unwatermarked dropDuplicates). */
+  def streamingDedup(stream: DataFrame, idCols: Seq[String],
+                     watermark: String): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Sliding-window counts with watermark — bounded state, late data beyond
     * the watermark dropped deterministically. */
   def windowedCounts(stream: DataFrame, windowLen: String, slide: String,

@@ -65,6 +65,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("custom expressions are SQL functions (SparkSessionExtensions)") {
+    docs.createOrReplaceTempView("docs_ext")
+    val r = spark.sql(
+      """SELECT doc_id, size(shingles(text, 3)) AS n_sh,
+        |  simhash(text, 2) AS sh, size(minhash_sig(text, 3, 16)) AS k
+        |FROM docs_ext""".stripMargin)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(r.length == 5 && r.forall(_._4 == 16))
+    // SQL surface and Scala API are the same expression
+    val api = Dedup.simhash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    r.foreach { case (id, _, sh, _) => assert(api(id) == sh) }
+    // non-literal size argument fails loudly, not silently
+    intercept[Exception] {
+      spark.sql("SELECT shingles(text, doc_id) FROM docs_ext").collect()
+    }
+  }
+
   private val vecs = Seq(
     (1L, Array(1f, 0f, 0f, 0f)),
     (2L, Array(0.9f, 0.1f, 0f, 0f)),   // close to 1

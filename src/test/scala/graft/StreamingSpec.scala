@@ -59,6 +59,20 @@ class StreamingSpec extends SparkSpec {
     assert(r.contains(("11", "view", 1L)))
   }
 
+  test("streaming dedup within watermark keeps one row per key") {
+    val src = tmpDir("dedup-src")
+    // duplicate event_ids across the stream (redelivery shape)
+    eventsDF.unionByName(eventsDF.limit(3)).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val stream = EventStreams.readEventStream(spark, src, eventsDF.schema)
+    val deduped = EventStreams.streamingDedup(stream, Seq("event_id"), "1 hour")
+    val q = EventStreams.runToMemory(deduped, "dedup_out",
+      outputMode = "append")
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"each id exactly once: $ids")
+  }
+
   test("idempotent foreachBatch sink: replaying the stream appends nothing") {
     val src = tmpDir("idem-src")
     val target = tmpDir("idem-target") + "/t"
