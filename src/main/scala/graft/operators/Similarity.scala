@@ -46,14 +46,15 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble) / 2.0
   }
 
-  private def planeLit(plane: Int, dim: Int): Column =
-    array((0 until dim).map(i => lit(planeComponent(plane, i))): _*)
-
-  /** Sign-pattern LSH bucket id (long with one bit per hyperplane). */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      when(dot(vec, planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** Sign-pattern LSH bucket id (long with one bit per hyperplane).
+    * `cosines_lit` + `sign_bits`: ONE pass over the vector for all planes
+    * (sign(cosine) == sign(dot); norms are positive), instead of `planes`
+    * interpreted higher-order dot products per row. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val rows = (0 until planes).map(p => Array.tabulate(dim)(i => planeComponent(p, i)))
+    graft.expressions.CosinesExpr.signBits(
+      graft.expressions.CosinesExpr.cosinesD(vec, rows))
+  }
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
     * rows. Queries are broadcast (they are the small side by construction).
@@ -92,28 +93,19 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
-    def centroidArr(v: Array[Float]): Column = array(v.map(lit(_)): _*)
+    // Assign corpus rows to their nearest centroid: ONE `cosines_lit`
+    // pass over the literal centroid matrix + argmax, instead of nlist
+    // interpreted higher-order cosines per row. (Centroid order == list
+    // id, so argmax index IS the list id.)
+    val centroidRows = centroids.map(_._2)
+    import graft.expressions.CosinesExpr.{argMax, cosines, topKIndices}
+    val assigned = c.withColumn("list_id", argMax(cosines(col("cv"), centroidRows)))
 
-    // Assign corpus rows to their nearest centroid (argmax cosine over the
-    // literal centroid table — nlist scalar expressions, no join).
-    // greatest() on structs (ordered by score first): a when()-chain
-    // reduce would copy each operand subtree per step — exponential
-    // expression growth that OOMs the driver at nlist=16.
-    def bestList(vec: Column): Column =
-      greatest(centroids.map { case (lid, cvec) =>
-        struct(cosine(vec, centroidArr(cvec)).as("s"), lit(lid).as("l"))
-      }: _*).getField("l")
-
-    val assigned = c.withColumn("list_id", bestList(col("cv")))
-
-    // Queries probe their nprobe best lists.
+    // Queries probe their nprobe best lists (top-k indices of the same
+    // cosine array — one pass, no interpreted array_sort-of-structs).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__lists", array(centroids.map { case (lid, cvec) =>
-        struct(cosine(col("qv"), centroidArr(cvec)).as("s"), lit(lid).as("l"))
-      }: _*))
-      .withColumn("__probe", slice(array_sort(col("__lists"),
-        (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1).otherwise(0)), 1, nprobe))
-      .withColumn("list_id", explode(transform(col("__probe"), p => p.getField("l"))))
+      .withColumn("list_id",
+        explode(topKIndices(cosines(col("qv"), centroidRows), nprobe)))
       .select(col("query_id"), col("qv"), col("list_id"))
 
     val scored = assigned.join(broadcast(q), Seq("list_id"))
