@@ -477,6 +477,28 @@ object SparkEntry {
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
     }),
 
+    // Pretraining-filter quality rules (the public Gopher/C4-style
+    // heuristics): word count band, mean word length band, symbol-to-word
+    // ratio, repeated-segment fraction — each a pure expression, composed
+    // into a keep/drop flag.
+    "q44_quality_rules" -> ((s, dir) => {
+      val text = col("text")
+      val words = split(text, " ", -1)
+      val nWords = size(words).cast("long")
+      val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
+      val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
+        (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
+      val symRatio = round(symbols / nWords, 6)
+      val segs = split(text, "\\. ", -1)
+      val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
+        size(segs), 6)
+      t(s, dir, "documents").select(col("doc_id"),
+        nWords.as("n_words"), mwl.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), dupSegRatio.as("dup_seg_ratio"),
+        (nWords.between(50, 100000) && mwl.between(3, 10) &&
+          symRatio < 0.1 && dupSegRatio < 0.3).as("quality_pass"))
+    }),
+
     // Content-defined fingerprint (normalized md5) + rolling hash.
     "q43_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -908,6 +930,23 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpeish_tokens
         |FROM documents""".stripMargin,
+
+    "q44_quality_rules" ->
+      """SELECT doc_id, n_words, mean_word_len, symbol_ratio, dup_seg_ratio,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_ratio < 0.1 AND dup_seg_ratio < 0.3) AS quality_pass
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |           + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+        |          / len(string_split(text, ' ')), 6) AS symbol_ratio,
+        |    round(CAST(len(string_split(text, '. '))
+        |               - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+        |          / len(string_split(text, '. ')), 6) AS dup_seg_ratio
+        |  FROM documents)""".stripMargin,
 
     "q43_fingerprint" ->
       """SELECT doc_id,
