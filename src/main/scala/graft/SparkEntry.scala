@@ -512,6 +512,21 @@ object SparkEntry {
       graft.streaming.EventStreams.hourlyAgg(t(s, dir, "events"))
     }),
 
+    // JSON scalar functions: typed extraction from the events' JSON props
+    // (from_json with an explicit schema — codegen'd, no UDF), aggregated
+    // per event type.
+    "q52_json_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("k")).as("ndv_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "q51_sessionize" -> ((s, dir) => {
       graft.streaming.EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
@@ -958,6 +973,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q52_json_funcs" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS ndv_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q51_sessionize" ->
       """SELECT user_id,
