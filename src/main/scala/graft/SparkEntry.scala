@@ -384,7 +384,8 @@ object SparkEntry {
     // ---- dedup suite (training-data pipeline; BASELINE north star) ----
 
     // Near-dup pairs resolved to clusters (min-label propagation) with a
-    // deterministic survivor per cluster. No SQL oracle (iterative).
+    // deterministic survivor per cluster. Oracle: recursive-CTE connected
+    // components over the exact-Jaccard pairs (recall 1.0 cross-check).
     "q37_dedup_resolve" -> ((s, dir) => {
       Dedup.resolve(Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
         bands = 16, rowsPerBand = 2, threshold = 0.35))

@@ -192,12 +192,12 @@ object Multimodal {
       while (bb.remaining() >= 8) {
         val cid = str4(); val clen = bb.getInt
         require(clen >= 0 && clen <= bb.remaining())
+        val chunkEnd = bb.position() + clen
         cid match {
           case "fmt " =>
             val codec = bb.getShort; val channels = bb.getShort
             rate = bb.getInt; bb.getInt; bb.getShort
             val bits = bb.getShort
-            if (clen > 16) bb.position(bb.position() + clen - 16)
             fmtOk = codec == 1 && channels == 1 && bits == 16
           case "data" =>
             require(fmtOk)
@@ -206,8 +206,12 @@ object Multimodal {
             var i = 0
             while (i < n) { arr(i) = bb.getShort; i += 1 }
             data = arr
-          case _ => bb.position(bb.position() + clen)
+          case _ => ()
         }
+        // RIFF pads odd-length chunks to an even boundary; skip the pad
+        // byte so a compliant file with an odd LIST/INFO chunk parses.
+        val padded = chunkEnd + (clen & 1)
+        bb.position(math.min(padded, bb.limit()))
       }
       require(fmtOk && data != null && rate > 0)
       (rate, data)

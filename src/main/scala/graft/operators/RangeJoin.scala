@@ -42,7 +42,12 @@ object RangeJoin {
         raise_error(lit(s"intervalJoin: interval spans more than $maxBuckets " +
           "buckets; increase bucket size")).cast("long"))
       .otherwise(endB)
-    val r = intervals.withColumn("__b", explode(sequence(startB, endGuarded)))
+    // Empty/inverted intervals ([start, end) with end <= start) match no
+    // point and must emit NO bucket rows — without this filter,
+    // sequence(startB, endB) with endB < startB would count DOWN and
+    // replicate the row once per descending bucket.
+    val r = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(startB, endGuarded)))
     l.join(r, l("__b") === r("__b") &&
         l(pointCol) >= r(startCol) && l(pointCol) < r(endCol))
       .drop("__b")

@@ -42,7 +42,8 @@ object SkewJoin {
         val counts = big.select(col(bigKey)).na.drop()
           .sample(withReplacement = false, sampleFraction, seed = 42L)
           .groupBy(col(bigKey)).agg(count(lit(1)).as("__n"))
-        val total = counts.agg(sum(col("__n"))).first().getLong(0)
+        // coalesce: sum() over zero sampled rows is null, not 0
+        val total = counts.agg(coalesce(sum(col("__n")), lit(0L))).first().getLong(0)
         if (total == 0) Nil
         else counts.filter(col("__n") >= math.max(2.0, hotShare * total))
           .select(col(bigKey)).collect().map(_.get(0)).toSeq
@@ -54,8 +55,10 @@ object SkewJoin {
     if (hot.isEmpty) plainJoin(big, small)
     else {
       val isHot: Column = col(bigKey).isin(hot: _*)
-      // Null keys never survive an inner equi-join, so routing them out of
-      // both paths (isin on null is null -> both filters false) is safe.
+      // Null keys take the cold path (isin on null is null; the coalesce
+      // routes them to the plain join) where the inner equi-join drops
+      // them — correct for this inner join, but an outer-join variant
+      // would need an explicit null route.
       val cold = plainJoin(big.filter(not(coalesce(isHot, lit(false)))), small)
 
       val saltedBig = big.filter(isHot).withColumn("__salt",

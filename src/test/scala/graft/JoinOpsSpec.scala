@@ -99,6 +99,20 @@ class JoinOpsSpec extends SparkSpec {
       operators.RangeJoin.intervalJoin(points, tooWide, "t", "s", "e",
         bucket = 7L, maxBuckets = 4).count()
     }
+    // inverted/empty intervals match nothing (and must not replicate
+    // through a descending bucket sequence)
+    val inverted = Seq((8L, 1000L, 0L), (7L, 5L, 5L)).toDF("iid", "s", "e")
+    assert(operators.RangeJoin.intervalJoin(points, inverted, "t", "s", "e",
+      bucket = 7L).isEmpty)
+  }
+
+  test("saltedJoin survives an empty or all-null big side") {
+    val emptyBig = spark.range(0).select($"id".as("k"), $"id".as("payload"))
+    val small = spark.range(0, 5).select($"id".as("sk"), concat(lit("d"), $"id").as("name"))
+    assert(operators.SkewJoin.saltedJoin(emptyBig, small, "k", "sk").isEmpty)
+    val nullBig = spark.range(0, 10)
+      .select(lit(null).cast("long").as("k"), $"id".as("payload"))
+    assert(operators.SkewJoin.saltedJoin(nullBig, small, "k", "sk").isEmpty)
   }
 
   test("clusters uses reliable checkpoint storage when configured") {

@@ -74,6 +74,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set(1L), "only the well-formed blob decodes")
   }
 
+  test("WAV decode: odd-length chunks are pad-skipped per RIFF spec") {
+    // fmt + an odd-length LIST chunk (3 bytes + 1 pad) + data: a
+    // standards-compliant layout real encoders produce
+    val samples = Array[Short](100, -200, 300)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 4 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(bb.capacity() - 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(3)   // odd chunk length
+    bb.put(Array[Byte]('a', 'b', 'c', 0))               // 3 bytes + pad
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val media = Seq((5L, bb.array())).toDF("media_id", "blob")
+    val f = Multimodal.decodeWavFeatures(media).collect()
+    assert(f.length == 1, "odd-chunk WAV decodes, not quarantined")
+    assert(f.head.getAs[Long]("n_samples") == 3L)
+    assert(f.head.getAs[Long]("peak") == 300L)
+  }
+
   test("WAV synthesis table: ids drive duration and frequency deterministically") {
     val ids = Seq(10L, 11L).toDF("doc_id")
     val m = Multimodal.synthesizeWavTable(ids, "doc_id")
