@@ -370,6 +370,15 @@ object SparkEntry {
           round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 2).as("p50_approx"))
     }),
 
+    // Sketch-pruned exact heavy hitters: Misra-Gries candidate pass
+    // (custom TypedImperativeAggregate, O(k) state, mergeable) + exact
+    // count of candidates only. Deterministic output == the plain
+    // GROUP BY/HAVING oracle.
+    "q68_heavy_hitters" -> ((s, dir) => {
+      operators.HeavyHitters.exact(t(s, dir, "events"), "user_id",
+        minShare = 0.008, k = 256)
+    }),
+
     // Full SQL surface through Catalyst (same text runs on DuckDB).
     "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
 
@@ -840,6 +849,11 @@ object SparkEntry {
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)""".stripMargin,
 
     "q99_sql_engine" -> SqlQ3,
+
+    "q68_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM events GROUP BY user_id
+        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""".stripMargin,
 
     "q67_sql_extensions" ->
       ("WITH " + JaccardCtes(0.0) +

@@ -91,6 +91,33 @@ class SignatureExprsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries sketch: guaranteed superset; exact operator == plain groupBy") {
+    // skewed long keys: key 0 holds ~40%, keys 1-4 ~8% each, tail uniform
+    val rows = (0 until 5000).map { i =>
+      if (i % 5 < 2) 0L else if (i % 25 < 10) (1L + i % 4) else 100L + i % 400
+    }
+    // multiple partitions force the mergeable-summaries merge path
+    val df = rows.toDF("k").repartition(7)
+    val k = 49 // guarantee: every key with share > 1/50 = 2% survives
+    val cands = df.agg(graft.expressions.MisraGriesAgg.misraGries($"k", k).as("c"))
+      .select(explode($"c").as("s")).select($"s.key".as[Long]).collect().toSet
+    val exactCounts = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val mustHave = exactCounts.filter(_._2 > rows.size / 50.0).keySet
+    assert(mustHave.subsetOf(cands), s"missing: ${mustHave -- cands}")
+    assert(cands.size <= k)
+
+    // the two-pass operator returns exactly the plain groupBy/HAVING rows
+    val got = operators.HeavyHitters.exact(df, "k", minShare = 0.05, k = k)
+      .as[(Long, Long)].collect().toMap
+    val want = exactCounts.filter(_._2 >= math.ceil(0.05 * rows.size))
+      .map { case (kk, c) => kk -> c.toLong }
+    assert(got == want)
+    // string keys exercise the UTF8String serialize path
+    val sdf = rows.map(r => "u" + (r % 7)).toDF("k").repartition(5)
+    val sGot = operators.HeavyHitters.exact(sdf, "k", minShare = 0.05, k = 49)
+    assert(sGot.count() == 7, "all 7 string keys above 5%")
+  }
+
   test("CosinesExpr agrees with the HOF cosine and handles zero vectors") {
     val rows = Seq(Array(1f, 0f, 2f, -1f), Array(0f, 0f, 0f, 0f), Array(-3f, 1f, 0f, 5f))
     val vecs = Seq(
