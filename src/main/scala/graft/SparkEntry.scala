@@ -406,7 +406,9 @@ object SparkEntry {
     }),
 
     // MinHash+LSH near-dup pairs (banded signatures, bucket join, Jaccard
-    // verify). No SQL oracle: LSH bucketing isn't ANSI-expressible.
+    // verify). Oracle: the exact-Jaccard pair set — verified LSH pairs
+    // must equal it (recall 1.0 at these settings), so the oracle is a
+    // per-round recall check.
     "q31_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
         bands = 16, rowsPerBand = 2, threshold = 0.35)
@@ -864,6 +866,13 @@ object SparkEntry {
     // side's df-pruning (df in [2, maxPostings]) does not change results
     // at sf<=0.1 (max df < maxPostings; df=1 shingles can't pair).
     "q33_ngram_jaccard" ->
+      ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
+
+    // The verified MinHash+LSH pairs must EQUAL the exact pairs at these
+    // settings (recall 1.0 at 16x2 bands for j>=0.35; precision 1.0 by
+    // the true-Jaccard verify step) — so the exact oracle applies
+    // verbatim and hash-checks LSH recall every round.
+    "q31_dedup_minhash" ->
       ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
 
     // Cluster resolution is oracle-checkable too: the verified minhash
