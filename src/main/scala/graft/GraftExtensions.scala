@@ -25,6 +25,9 @@ import graft.expressions.{MinHashSigExpr, ShingleExpr, SimHashExpr}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Opt-in optimizer rule: range-predicate joins -> bucketed interval
+    // join (fires only when spark.graft.rangeJoin.bucket is set).
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
     ext.injectFunction((FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleExpr].getName, "shingles"),
       (args: Seq[Expression]) => {
