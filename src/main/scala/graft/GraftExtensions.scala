@@ -54,7 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$fn: size argument $v out of int range")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: size arguments must be integer literals, got $other")
   }

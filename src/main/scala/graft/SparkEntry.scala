@@ -853,9 +853,10 @@ object SparkEntry {
     "q99_sql_engine" -> SqlQ3,
 
     "q68_heavy_hitters" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
-        |FROM events GROUP BY user_id
-        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""".stripMargin,
+      """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM ev GROUP BY user_id
+        |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM ev))""".stripMargin,
 
     "q67_sql_extensions" ->
       ("WITH " + JaccardCtes(0.0) +

@@ -51,6 +51,11 @@ object Tables {
     // idle-core parallelism, not fewer bigger tasks.
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // reliable checkpoints (Dedup.cut with spark.graft.checkpoint.dir):
+    // let the ContextCleaner delete superseded iteration checkpoints once
+    // their RDDs are GC'd — iterative clusters() would otherwise
+    // accumulate one checkpoint per label-propagation round
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
 }

@@ -23,6 +23,8 @@ case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
   require(rows.nonEmpty, "at least one literal row required")
+  require(rows.forall(_.length == rows.head.length),
+    "literal rows must share one dimension")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -44,6 +46,10 @@ case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail loudly on dimension mismatch: silently truncating the dot while
+    // dividing by the full row norm would give plausible-but-wrong cosines
+    if (n != mat.head.length) throw new IllegalArgumentException(
+      s"cosines: input vector has $n dims, literal rows have ${mat.head.length}")
     val v = new Array[Double](n)
     var i = 0
     while (i < n) { v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
@@ -55,10 +61,9 @@ case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
     var r = 0
     while (r < mat.length) {
       val row = mat(r)
-      val m = math.min(n, row.length)
       var dot = 0.0
       var j = 0
-      while (j < m) { dot += v(j) * row(j); j += 1 }
+      while (j < n) { dot += v(j) * row(j); j += 1 }
       val denom = vNorm * rowNorms(r)
       out(r) = if (denom > 0) dot / denom else 0.0
       r += 1
@@ -138,6 +143,12 @@ case class TopKIndicesExpr(child: Expression, k: Int)
       while (i < n) {
         if (!taken(i)) { val v = arr.getDouble(i); if (v > bestV) { bestV = v; best = i } }
         i += 1
+      }
+      if (best < 0) {
+        // all remaining elements are NaN (NaN > -Inf is false): take the
+        // lowest untaken index deterministically instead of crashing
+        var i2 = 0
+        while (best < 0 && i2 < n) { if (!taken(i2)) best = i2; i2 += 1 }
       }
       taken(best) = true
       out(r) = best

@@ -253,7 +253,11 @@ object Dedup {
     * that storage is used instead: at 100 TB with dynamic allocation an
     * executor loss would kill a localCheckpoint'd job, while a reliable
     * checkpoint recovers from storage. (persist + checkpoint, so the
-    * checkpoint write doesn't recompute the plan.) */
+    * checkpoint write doesn't recompute the plan.) Superseded iteration
+    * checkpoints are reclaimed by the ContextCleaner —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on in
+    * Tables.tune — so an iterative clusters() run doesn't accumulate one
+    * copy of the labels per round. */
   private def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>

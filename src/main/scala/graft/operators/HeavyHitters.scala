@@ -21,15 +21,17 @@ import graft.expressions.MisraGriesAgg
   * the win is pass 2: the groupBy runs over only the candidate keys' rows
   * instead of shuffling every distinct key.
   *
-  * `minShare` must satisfy `minShare >= 1/(k+1)` or the superset guarantee
-  * does not hold — enforced here.
+  * `minShare` must be STRICTLY above `1/(k+1)` — the MG guarantee covers
+  * keys with frequency strictly greater than N/(k+1), so at exactly the
+  * bound a qualifying key could be missed. Null keys are excluded from
+  * both the count and the output (a null key cannot be a hitter).
   */
 object HeavyHitters {
 
   def exact(df: DataFrame, keyCol: String, minShare: Double, k: Int = 256): DataFrame = {
     require(minShare > 0 && minShare <= 1, "minShare in (0, 1]")
-    require(minShare >= 1.0 / (k + 1),
-      s"minShare=$minShare below the sketch guarantee 1/(k+1)=${1.0 / (k + 1)}; raise k")
+    require(minShare > 1.0 / (k + 1),
+      s"minShare=$minShare not above the sketch guarantee 1/(k+1)=${1.0 / (k + 1)}; raise k")
 
     // Pass 1: sketch + total count in ONE aggregation (no extra scan).
     val sk = df.agg(
@@ -39,9 +41,12 @@ object HeavyHitters {
     val candidates = sk.getSeq[Row](sk.fieldIndex("cands")).map(_.get(0)) // <= k values, driver-bounded
     val threshold = math.ceil(minShare * n).toLong
 
-    if (candidates.isEmpty) df.sparkSession.emptyDataFrame
-    else df.filter(col(keyCol).isin(candidates: _*))
-      .groupBy(col(keyCol))
+    // empty candidate set still returns the (keyCol, n_occurrences)
+    // schema — a zero-column frame would break downstream selects
+    val filtered =
+      if (candidates.isEmpty) df.limit(0)
+      else df.filter(col(keyCol).isin(candidates: _*))
+    filtered.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= threshold)
   }

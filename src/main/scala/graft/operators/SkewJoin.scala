@@ -70,7 +70,10 @@ object SkewJoin {
             saltedBig("__salt") === saltedSmall("__salt"))
         .drop("__salt")
 
-      cold.unionByName(hotJoin)
+      // positional union: both branches emit big.columns ++ small.columns
+      // in order; unionByName would reject the (legal) duplicate column
+      // names a same-named join key produces
+      cold.union(hotJoin)
     }
   }
 }

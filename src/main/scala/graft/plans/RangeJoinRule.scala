@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 class RangeJoinRule extends Rule[LogicalPlan] {
 
   private val BucketKey = "spark.graft.rangeJoin.bucket"
+  private val MaxBuckets = 1024L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bucketStr = conf.getConfString(BucketKey, "")
@@ -94,9 +95,20 @@ class RangeJoinRule extends Rule[LogicalPlan] {
 
       val endAdj = if (strict) Subtract(e, Cast(Literal(1), e.dataType)) else e
       val guard = if (strict) GreaterThan(e, s) else GreaterThanOrEqual(e, s)
+      // same fail-fast span cap as operators.RangeJoin: an interval wider
+      // than MaxBuckets buckets means the configured bucket width is wrong
+      // for this data — raise instead of materializing a runaway sequence
+      val startB = bucketOf(s)
+      val endB = bucketOf(endAdj)
+      val guardedEnd = If(
+        GreaterThan(Add(Subtract(endB, startB), Literal(1L)), Literal(MaxBuckets)),
+        Cast(new RaiseError(Literal(
+          s"range-join rewrite: interval spans more than $MaxBuckets buckets; " +
+            "raise spark.graft.rangeJoin.bucket")), LongType),
+        endB)
       // Sequence is timezone-aware; without an explicit zone the node
       // stays unresolved and plan validation rejects the rewrite
-      val seq = new Sequence(bucketOf(s), bucketOf(endAdj), None,
+      val seq = new Sequence(startB, guardedEnd, None,
         Some(conf.sessionLocalTimeZone))
       val genOut = AttributeReference("__range_b", LongType, nullable = false)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,

@@ -56,8 +56,8 @@ object EventStreams {
     * watermark horizon, instead of growing forever (the failure mode of
     * unwatermarked dropDuplicates). */
   def streamingDedup(stream: DataFrame, idCols: Seq[String],
-                     watermark: String): DataFrame =
-    stream.withWatermark("ts", watermark)
+                     watermark: String, timeCol: String = "ts"): DataFrame =
+    stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
   /** Sliding-window counts with watermark — bounded state, late data beyond

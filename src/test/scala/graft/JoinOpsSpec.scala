@@ -106,6 +106,15 @@ class JoinOpsSpec extends SparkSpec {
       bucket = 7L).isEmpty)
   }
 
+  test("saltedJoin works when both sides name the key identically") {
+    val big = spark.range(0, 1000)
+      .select((when($"id" % 2 === 0, 0L).otherwise($"id" % 10)).as("k"), $"id".as("payload"))
+    val small = spark.range(0, 10).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+    val n = operators.SkewJoin.saltedJoin(big, small, "k", "k", hotKeys = Seq(0L)).count()
+    val plain = big.join(small, big("k") === small("k")).count()
+    assert(n == plain)
+  }
+
   test("saltedJoin survives an empty or all-null big side") {
     val emptyBig = spark.range(0).select($"id".as("k"), $"id".as("payload"))
     val small = spark.range(0, 5).select($"id".as("sk"), concat(lit("d"), $"id").as("name"))

@@ -35,6 +35,19 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
   }
 
+  test("rule fails fast on intervals spanning more than the bucket cap") {
+    spark.conf.set("spark.graft.rangeJoin.bucket", "1")
+    try {
+      val wide = Seq((1L, 0L, 100000L)).toDF("iid", "s", "e") // 100k buckets
+      val ex = intercept[Exception] {
+        points.join(wide, $"t" >= $"s" && $"t" < $"e").count()
+      }
+      assert(ex.getMessage.contains("rangeJoin.bucket") ||
+        Option(ex.getCause).exists(_.getMessage.contains("rangeJoin.bucket")),
+        s"expected the span-cap error, got: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucket")
+  }
+
   test("rule rewrites SQL range joins and inclusive bounds; leaves equi joins alone") {
     points.createOrReplaceTempView("pts")
     ivals.createOrReplaceTempView("ivs")
