@@ -929,6 +929,86 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
         |  FROM cos) WHERE rn <= 10""".stripMargin,
 
+    "q36_sim_lsh" -> LshOracleSql,
+
+    // Embedding near-dup mirror: same-bucket pairs (hyperplane sign bits,
+    // normalization is a positive scaling so raw-dot signs equal
+    // normalized-cosine signs), pair cosine recomputed element-wise on
+    // the normalized values exactly as the Spark side does.
+    "q34_embed_neardup" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id, $BucketExprSql AS bucket FROM embeddings e),
+         |normed AS (
+         |  SELECT vec_id,
+         |    (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(embedding) AS x)) AS nsq
+         |  FROM embeddings),
+         |bpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    round((SELECT sum((CAST(x AS DOUBLE) / sqrt(na.nsq)) *
+         |                      (CAST(y AS DOUBLE) / sqrt(nb.nsq)))
+         |           FROM (SELECT unnest(ea.embedding) AS x, unnest(eb.embedding) AS y)), 6) AS cosine
+         |  FROM bpairs
+         |  JOIN embeddings ea ON ea.vec_id = id_a JOIN normed na ON na.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b JOIN normed nb ON nb.vec_id = id_b)
+         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4""".stripMargin,
+
+    // Full IVF mirror: deterministic centroids (16 smallest ids), argmax
+    // assignment and top-4 probes on double-widened cosines (CosinesExpr
+    // widens before multiplying), exact rerank on float-product cosines
+    // (the HOF path), round(6) before ranking, ties by id.
+    "q38_sim_ivf" ->
+      """WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents c2),
+        |asn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM asn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+        |    FROM cand c
+        |    JOIN embeddings q ON q.vec_id = c.query_id
+        |    JOIN embeddings e ON e.vec_id = c.vec_id) c)
+        |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n
@@ -1131,6 +1211,61 @@ object SparkEntry {
        |    FROM pairs JOIN counts na ON id_a = na.doc_id
        |               JOIN counts nb ON id_b = nb.doc_id)
        |  WHERE jaccard >= $threshold)""".stripMargin
+
+  /** Exact-rerank tail shared by the ANN oracles: float-product cosines
+    * (the Spark HOF path), round(6) before ranking, ties by vec_id. Takes
+    * a `cand(query_id, vec_id)` CTE as input. */
+  private val CosineRankTail: String =
+    """scored AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+      |               ELSE 0.0 END, 6) AS cosine
+      |  FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      (SELECT sum(CAST(x * y AS DOUBLE))
+      |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+      |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+      |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+      |    FROM cand c
+      |    JOIN embeddings q ON q.vec_id = c.query_id
+      |    JOIN embeddings e ON e.vec_id = c.vec_id) c)
+      |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 10""".stripMargin
+
+  /** q36 oracle: the exact hyperplane constants the Spark side uses,
+    * inlined as SQL double literals; bucket bit p = sign of the
+    * double-widened dot against plane p (== sign of CosinesExpr's cosine,
+    * including the zero-vector convention). */
+  /** Sign-bucket expression over `e.embedding` with the Spark side's
+    * exact hyperplane constants inlined (bit p = sign of the
+    * double-widened dot, the zero-vector case included). */
+  private def BucketExprSql: String = {
+    val planes = operators.Similarity.planeRows(64, 4)
+    def dotP(p: Array[Double]): String = {
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(SELECT sum(CAST(x AS DOUBLE) * y) FROM (SELECT unnest(e.embedding) AS x, unnest($lit) AS y))"
+    }
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotP(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private def LshOracleSql: String = {
+    s"""WITH cb AS (
+       |  SELECT vec_id, $BucketExprSql AS bucket FROM embeddings e),
+       |qprobes AS (
+       |  SELECT q.vec_id AS query_id, t.probe
+       |  FROM (SELECT vec_id, bucket FROM cb WHERE vec_id < 5) q,
+       |  LATERAL (SELECT unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+       |                          xor(q.bucket, 4), xor(q.bucket, 8)]) AS probe) t),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id
+       |  FROM qprobes p JOIN cb c ON c.bucket = p.probe
+       |  WHERE p.query_id <> c.vec_id),
+       |""".stripMargin + CosineRankTail
+  }
 
   /** Stopword regexes shared verbatim between the Scala ops and the DuckDB
     * oracle (TextAnalysis.StopwordTable is the single source of truth). */

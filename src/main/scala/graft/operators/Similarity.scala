@@ -46,15 +46,18 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble) / 2.0
   }
 
+  /** The literal hyperplane matrix — exposed so the q36 oracle can inline
+    * the exact same constants into SQL. */
+  private[graft] def planeRows(dim: Int, planes: Int): Seq[Array[Double]] =
+    (0 until planes).map(p => Array.tabulate(dim)(i => planeComponent(p, i)))
+
   /** Sign-pattern LSH bucket id (long with one bit per hyperplane).
     * `cosines_lit` + `sign_bits`: ONE pass over the vector for all planes
     * (sign(cosine) == sign(dot); norms are positive), instead of `planes`
     * interpreted higher-order dot products per row. */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val rows = (0 until planes).map(p => Array.tabulate(dim)(i => planeComponent(p, i)))
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column =
     graft.expressions.CosinesExpr.signBits(
-      graft.expressions.CosinesExpr.cosinesD(vec, rows))
-  }
+      graft.expressions.CosinesExpr.cosinesD(vec, planeRows(dim, planes)))
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
     * rows. Queries are broadcast (they are the small side by construction).
