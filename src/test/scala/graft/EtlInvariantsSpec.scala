@@ -185,5 +185,10 @@ class EtlInvariantsSpec extends SparkSpec {
     val back = spark.read.parquet(s"$root/c")
     assert(back.filter($"anio" === 2024).count() == back.count())
     assert(new java.io.File(s"$root/c").listFiles().exists(_.getName == "anio=2024"))
+    // the year filter must reach the scan as a PARTITION filter (directory
+    // pruning — the reference's filegroup elimination), not a data filter
+    val plan = back.filter($"anio" === 2024).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("anio"),
+      s"expected partition pruning in:\n$plan")
   }
 }
