@@ -25,16 +25,8 @@ object Bench {
       val err: Option[String] =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch { case e: Throwable =>
-          // full JSON escape (quotes, backslash, ALL control chars) — a
-          // partially-escaped Spark plan dump in the message would make
-          // the driver's json.load fail and zero the round's bench
-          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-            .take(200).flatMap {
-              case '"' => "\\\""
-              case '\\' => "\\\\"
-              case c if c < ' ' => f"\\u${c.toInt}%04x"
-              case c => c.toString
-            })
+          Some(JsonUtil.escape(
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)))
         }
       // A crashing query must not masquerade as a fast success: its time
       // slot records -1 and the error string rides along in "errors".

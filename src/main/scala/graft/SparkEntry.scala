@@ -907,27 +907,15 @@ object SparkEntry {
           |SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin),
 
-    // Brute-force cosine top-k mirrors the Spark math exactly: float
-    // products (the arrays are FLOAT), double-accumulated sums, round(6)
-    // BEFORE ranking, ties broken by vec_id.
+    // Brute-force cosine top-k: every (query, corpus) pair is a candidate;
+    // the shared tail mirrors the Spark math exactly (float products,
+    // double-accumulated sums, round(6) BEFORE ranking, ties by vec_id).
     "q35_sim_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    (SELECT sum(CAST(x * y AS DOUBLE)) FROM (SELECT unnest(qv) AS x, unnest(cv) AS y)) AS dot,
-        |    (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(qv) AS x)) AS nq,
-        |    (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(cv) AS y)) AS nc
-        |  FROM c, q WHERE q.query_id <> c.vec_id),
-        |cos AS (
-        |  SELECT query_id, vec_id,
-        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
-        |               ELSE 0.0 END, 6) AS cosine
-        |  FROM scored)
-        |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
-        |  SELECT query_id, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
-        |  FROM cos) WHERE rn <= 10""".stripMargin,
+      ("""WITH cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM embeddings c, (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+         |  WHERE q.vec_id <> c.vec_id),
+         |""".stripMargin + CosineRankTail),
 
     "q36_sim_lsh" -> LshOracleSql,
 
@@ -960,7 +948,7 @@ object SparkEntry {
     // widens before multiplying), exact rerank on float-product cosines
     // (the HOF path), round(6) before ranking, ties by id.
     "q38_sim_ivf" ->
-      """WITH cents AS (
+      ("""WITH cents AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
         |asn AS (
@@ -991,23 +979,7 @@ object SparkEntry {
         |  SELECT DISTINCT p.query_id, a.vec_id
         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
         |  WHERE p.query_id <> a.vec_id),
-        |scored AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
-        |               ELSE 0.0 END, 6) AS cosine
-        |  FROM (
-        |    SELECT c.query_id, c.vec_id,
-        |      (SELECT sum(CAST(x * y AS DOUBLE))
-        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
-        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
-        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
-        |    FROM cand c
-        |    JOIN embeddings q ON q.vec_id = c.query_id
-        |    JOIN embeddings e ON e.vec_id = c.vec_id) c)
-        |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
-        |  SELECT query_id, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
-        |  FROM scored) WHERE rn <= 10""".stripMargin,
+        |""".stripMargin + CosineRankTail),
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

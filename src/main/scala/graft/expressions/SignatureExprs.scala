@@ -89,7 +89,10 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
         i += 1
       }
     }
-    new GenericArrayData(mins.map(Long.box).toArray[Any])
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) { out(j) = mins(j); j += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
