@@ -524,6 +524,13 @@ object SparkEntry {
       graft.streaming.EventStreams.hourlyAgg(t(s, dir, "events"))
     }),
 
+    // Built-in session_window aggregation (the streaming-native session
+    // form; batch here, watermark/state path in StreamingSpec).
+    "q53_session_window" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionWindowAgg(
+        t(s, dir, "events"), gap = "30 minutes")
+    }),
+
     // JSON scalar functions: typed extraction from the events' JSON props
     // (from_json with an explicit schema — codegen'd, no UDF), aggregated
     // per event type.
@@ -1050,6 +1057,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session_window SPLITS at exactly-gap boundaries (windows are
+    // end-exclusive), hence >= in the gap test where q51's manual
+    // sessionize uses >.
+    "q53_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q52_json_funcs" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -50,6 +50,21 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
 
+  /** Session-window aggregation via the built-in `session_window` (gap
+    * closes the session): the streaming-native form of `sessionize`. With
+    * a watermark the state store evicts closed sessions; in batch it
+    * computes the same gap sessions in one pass. One shuffle on
+    * (session_window, user). */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+                       watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
   /** Streaming exact dedup: drop duplicate keys while the watermark bounds
     * the dedup state — the streaming form of the exact-dedup operator. At
     * 100 TB/day the state holds only one entry per key seen within the

@@ -59,6 +59,31 @@ class StreamingSpec extends SparkSpec {
     assert(r.contains(("11", "view", 1L)))
   }
 
+  test("session_window agg matches the manual gap sessionization") {
+    // batch form: same session count per user as the window-based sessionize
+    val sw = EventStreams.sessionWindowAgg(eventsDF, gap = "30 minutes")
+    val perUser = sw.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(perUser == Map(7L -> 3L, 8L -> 1L), s"got $perUser")
+    // session bounds: user 7's first session covers both 10:00 events
+    val first = sw.filter($"user_id" === 7L).orderBy("session_start")
+      .select($"n_events").as[Long].collect().toSeq
+    assert(first == Seq(2L, 1L, 1L))
+
+    // streaming form with watermark reaches a memory sink
+    val src = tmpDir("sw-src")
+    eventsDF.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = EventStreams.readEventStream(spark, src, eventsDF.schema)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionWindowAgg(stream, "30 minutes", Some("10 minutes")),
+      "sw_out", outputMode = "append")
+    q.processAllAvailable(); q.stop()
+    // append mode emits only sessions CLOSED before the final watermark
+    // (12:30 - 10min = 12:20): user 7's last session ends 13:00 and is
+    // correctly withheld in state — bounded-state semantics, not data loss
+    assert(spark.table("sw_out").groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap == Map(7L -> 2L, 8L -> 1L))
+  }
+
   test("streaming dedup within watermark keeps one row per key") {
     val src = tmpDir("dedup-src")
     // duplicate event_ids across the stream (redelivery shape)
