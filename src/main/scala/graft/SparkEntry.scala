@@ -926,20 +926,25 @@ object SparkEntry {
 
     "q36_sim_lsh" -> LshOracleSql,
 
-    // Embedding near-dup mirror: same-bucket pairs (hyperplane sign bits,
-    // normalization is a positive scaling so raw-dot signs equal
-    // normalized-cosine signs), pair cosine recomputed element-wise on
-    // the normalized values exactly as the Spark side does.
+    // Embedding near-dup mirror: buckets computed on the NORMALIZED
+    // vector (the exact arithmetic the Spark side buckets), the operator's
+    // maxBucket=10000 skew cap applied, pair cosine recomputed
+    // element-wise on the normalized values.
     "q34_embed_neardup" ->
-      s"""WITH cb AS (
-         |  SELECT vec_id, $BucketExprSql AS bucket FROM embeddings e),
-         |normed AS (
-         |  SELECT vec_id,
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding,
          |    (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(embedding) AS x)) AS nsq
          |  FROM embeddings),
+         |cb AS (
+         |  SELECT vec_id, ${BucketExprSql(normalize = true)} AS bucket FROM normed e),
+         |cb2 AS (
+         |  SELECT cb.vec_id, cb.bucket FROM cb
+         |  JOIN (SELECT bucket, count(*) AS bn FROM cb GROUP BY bucket) bs
+         |    ON cb.bucket = bs.bucket
+         |  WHERE bs.bn <= 10000),
          |bpairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |  FROM cb2 a JOIN cb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |scored AS (
          |  SELECT id_a, id_b,
          |    round((SELECT sum((CAST(x AS DOUBLE) / sqrt(na.nsq)) *
@@ -1234,18 +1239,23 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin
 
-  /** q36 oracle: the exact hyperplane constants the Spark side uses,
-    * inlined as SQL double literals; bucket bit p = sign of the
-    * double-widened dot against plane p (== sign of CosinesExpr's cosine,
-    * including the zero-vector convention). */
   /** Sign-bucket expression over `e.embedding` with the Spark side's
     * exact hyperplane constants inlined (bit p = sign of the
-    * double-widened dot, the zero-vector case included). */
-  private def BucketExprSql: String = {
+    * double-widened dot, the zero-vector case included). When `normalize`
+    * is set, each element is divided by the vector norm first — the exact
+    * fp computation `embeddingNearDup` buckets (sign equality with the
+    * raw dot is only mathematical; a plane dot within rounding error of
+    * zero could land on either side, so the oracle mirrors the actual
+    * arithmetic; `e.nsq` must be in scope). */
+  private def BucketExprSql(normalize: Boolean = false): String = {
     val planes = operators.Similarity.planeRows(64, 4)
+    val elem =
+      if (normalize)
+        "(CASE WHEN e.nsq > 0 THEN CAST(x AS DOUBLE) / sqrt(e.nsq) ELSE CAST(x AS DOUBLE) END)"
+      else "CAST(x AS DOUBLE)"
     def dotP(p: Array[Double]): String = {
       val lit = p.map(_.toString).mkString("[", ", ", "]")
-      s"(SELECT sum(CAST(x AS DOUBLE) * y) FROM (SELECT unnest(e.embedding) AS x, unnest($lit) AS y))"
+      s"(SELECT sum($elem * y) FROM (SELECT unnest(e.embedding) AS x, unnest($lit) AS y))"
     }
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotP(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -1254,7 +1264,7 @@ object SparkEntry {
 
   private def LshOracleSql: String = {
     s"""WITH cb AS (
-       |  SELECT vec_id, $BucketExprSql AS bucket FROM embeddings e),
+       |  SELECT vec_id, ${BucketExprSql()} AS bucket FROM embeddings e),
        |qprobes AS (
        |  SELECT q.vec_id AS query_id, t.probe
        |  FROM (SELECT vec_id, bucket FROM cb WHERE vec_id < 5) q,

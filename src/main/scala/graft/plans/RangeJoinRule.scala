@@ -55,6 +55,7 @@ class RangeJoinRule extends Rule[LogicalPlan] {
     // an existing cross-side equi conjunct means Spark already hash-joins
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b) => crossSide(a, b, left, right)
+      case EqualNullSafe(a, b) => crossSide(a, b, left, right)
       case _ => false
     }
     if (hasEqui) return None
