@@ -511,6 +511,28 @@ object SparkEntry {
           symRatio < 0.1 && dupSegRatio < 0.3).as("quality_pass"))
     }),
 
+    // Benchmark decontamination (C4/GPT-3-style containment check): flag
+    // corpus docs sharing >= 5 distinct 3-grams with the eval split
+    // (doc_id % 20 == 0). Eval shingles broadcast; the shuffle carries
+    // only matching (doc, hash) pairs.
+    "q45_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        shingleN = 3, minOverlap = 5)
+    }),
+
+    // PII scrubbing over deterministically-injected addresses/numbers
+    // (the corpus itself carries none — the injection makes the redaction
+    // observable and oracle-checkable end to end).
+    "q46_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com tel +1 555 123 4"),
+        (col("doc_id") % 100).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.scrubPii(withPii).as("clean_text"))
+    }),
+
     // Content-defined fingerprint (normalized md5) + rolling hash.
     "q43_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1051,6 +1073,27 @@ object SparkEntry {
         |               - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
         |          / len(string_split(text, '. ')), 6) AS dup_seg_ratio
         |  FROM documents)""".stripMargin,
+
+    // grams CTE (from JaccardCtes) = the same distinct 3-gram sets; only
+    // the referenced CTEs execute in DuckDB, so the unused pair CTEs cost
+    // nothing.
+    "q45_decontaminate" ->
+      ("WITH " + JaccardCtes(0.0) + """,
+        |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |corpus_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM corpus_g JOIN eval_g USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin),
+
+    "q46_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com tel +1 555 123 4' || CAST(doc_id % 100 AS VARCHAR),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
 
     "q43_fingerprint" ->
       """SELECT doc_id,

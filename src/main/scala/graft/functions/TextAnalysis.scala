@@ -75,6 +75,15 @@ object TextAnalysis {
     round(lengthOk + punctOk + stopOk, 2)
   }
 
+  /** PII scrubbing (C4-style cleanup): redact email addresses, then
+    * phone-number-shaped digit runs. Pure regexp_replace — codegen'd,
+    * identical regex dialect in the DuckDB oracle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+
   /** Content-defined fingerprint: md5 of case/punctuation/whitespace
     * normalized text — catches trivial re-formattings as exact dups. */
   def fingerprint(text: Column): Column =

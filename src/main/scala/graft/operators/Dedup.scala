@@ -246,6 +246,32 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * `minOverlap` distinct word n-grams with any document of the (small)
+    * eval set — the published C4/GPT-3-style containment check run before
+    * training. The eval set's shingles are the broadcast side; the corpus
+    * contributes one row per (doc, shingle) only for shingles that exist
+    * in the eval set (broadcast semi join BEFORE the aggregation), so at
+    * 100 TB the shuffle carries only matching (doc_id, shingle-hash)
+    * pairs, not the corpus' full posting list. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 3,
+                    minOverlap: Int = 5): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+      .select(xxhash64(col("g")).as("gh"))
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    corpusGrams
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Lineage cut for the small frames that feed multiple downstream
     * branches or iterative loops. By default `localCheckpoint()` — blocks
     * live on executors, the right local-mode fast path. When
