@@ -65,6 +65,36 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("contamination flags only docs overlapping the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // heavy overlap
+      (2L, "completely unrelated text about database engines and planners"),
+      (3L, "the quick brown fox sleeps") // 2 shared 3-grams only
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(corpus, eval, "text", "doc_id",
+        shingleN = 3, minOverlap = 3)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) >= 6, "doc 1 shares most of its 3-grams")
+  }
+
+  test("PII scrub redacts emails and phone-shaped runs, leaves text intact") {
+    val r = Seq(
+      (1L, "mail me at a.b+tag@ex-ample.co.uk or call +44 (0) 7911 123456 now"),
+      (2L, "no pii here, just words and the number 42")
+    ).toDF("id", "t")
+      .select($"id", TextAnalysis.scrubPii($"t").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L).contains("<EMAIL>") && r(1L).contains("<PHONE>"))
+    assert(!r(1L).contains("@") && !r(1L).contains("7911"))
+    assert(r(1L).startsWith("mail me at ") && r(1L).endsWith(" now"))
+    assert(r(2L) == "no pii here, just words and the number 42",
+      "short numbers and plain text untouched")
+  }
+
   test("custom expressions are SQL functions (SparkSessionExtensions)") {
     docs.createOrReplaceTempView("docs_ext")
     val r = spark.sql(
