@@ -511,6 +511,25 @@ object SparkEntry {
           symRatio < 0.1 && dupSegRatio < 0.3).as("quality_pass"))
     }),
 
+    // Repetition filter (the Gopher top-n-gram-fraction rule): share of
+    // all word bigram OCCURRENCES held by the single most frequent bigram
+    // — high share = boilerplate/looped text. Docs under 2 tokens have no
+    // bigrams and drop out.
+    "q47_repetition" -> ((s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      val n = size(toks)
+      val bigrams = zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_share"),
+          (max(col("c")).cast("double") / sum(col("c")) > 0.2).as("repetitive"))
+    }),
+
     // Benchmark decontamination (C4/GPT-3-style containment check): flag
     // corpus docs sharing >= 5 distinct 3-grams with the eval split
     // (doc_id % 20 == 0). Eval shingles broadcast; the shuffle carries
@@ -1073,6 +1092,19 @@ object SparkEntry {
         |               - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
         |          / len(string_split(text, '. ')), 6) AS dup_seg_ratio
         |  FROM documents)""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t
+        |  WHERE len(d.toks) >= 2),
+        |counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+        |  (CAST(max(c) AS DOUBLE) / sum(c) > 0.2) AS repetitive
+        |FROM counts GROUP BY doc_id""".stripMargin,
 
     // grams CTE (from JaccardCtes) = the same distinct 3-gram sets; only
     // the referenced CTEs execute in DuckDB, so the unused pair CTEs cost
