@@ -516,13 +516,13 @@ object SparkEntry {
     // — high share = boilerplate/looped text. Docs under 2 tokens have no
     // bigrams and drop out.
     "q47_repetition" -> ((s, dir) => {
-      val toks = split(lower(col("text")), " ", -1)
-      val n = size(toks)
-      val bigrams = zip_with(
-        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b))
       t(s, dir, "documents")
-        .select(col("doc_id"), explode(bigrams).as("g"))
+        // docs with < 2 tokens have no bigrams (the shingle expression's
+        // short-text fallback would fabricate one) — drop them, as the
+        // oracle's len >= 2 guard does
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          explode(TextAnalysis.shinglesAll(col("text"), 2)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_bigrams"),

@@ -19,10 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * chosen per the preference order: built-ins first, expression when the
   * built-in form is the measured bottleneck.
   *
-  * Distinct keeps first occurrence (array_distinct semantics). Texts with
-  * fewer than `n` tokens yield one shingle: all tokens joined by a space.
+  * Distinct (the default) keeps first occurrence (array_distinct
+  * semantics); `distinct = false` keeps every window occurrence in order
+  * (for occurrence-counting rules like the top-bigram repetition filter).
+  * Texts with fewer than `n` tokens yield one shingle: all tokens joined
+  * by a space.
   */
-case class ShingleExpr(child: Expression, n: Int)
+case class ShingleExpr(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -37,7 +40,9 @@ case class ShingleExpr(child: Expression, n: Int)
     // default locale (e.g. tr-TR dotless i) must not change signatures.
     val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.split(" ", -1)
-    val out = new mutable.LinkedHashSet[UTF8String]
+    val out: mutable.Growable[UTF8String] with Iterable[UTF8String] =
+      if (distinct) new mutable.LinkedHashSet[UTF8String]
+      else new mutable.ArrayBuffer[UTF8String]
     if (toks.length >= n) {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -49,11 +54,11 @@ case class ShingleExpr(child: Expression, n: Int)
           sb.append(toks(i + j))
           j += 1
         }
-        out.add(UTF8String.fromString(sb.toString))
+        out += UTF8String.fromString(sb.toString)
         i += 1
       }
     } else {
-      out.add(UTF8String.fromString(toks.mkString(" ")))
+      out += UTF8String.fromString(toks.mkString(" "))
     }
     new GenericArrayData(out.toArray[Any])
   }
@@ -71,5 +76,11 @@ object ShingleExpr {
   def shingles(c: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ShingleExpr(ColumnBridge.expression(c), n))
+  }
+
+  /** All window occurrences, duplicates kept (occurrence counting). */
+  def shinglesAll(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleExpr(ColumnBridge.expression(c), n, distinct = false))
   }
 }

@@ -103,6 +103,11 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     graft.expressions.ShingleExpr.shingles(text, n)
 
+  /** Word n-gram occurrences, duplicates kept — for occurrence-count
+    * rules (repetition filters), same one-pass expression. */
+  def shinglesAll(text: Column, n: Int): Column =
+    graft.expressions.ShingleExpr.shinglesAll(text, n)
+
   /** Character n-gram shingles (distinct) of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))

@@ -252,20 +252,20 @@ object Dedup {
     * training. The eval set's shingles are the broadcast side; the corpus
     * contributes one row per (doc, shingle) only for shingles that exist
     * in the eval set (broadcast semi join BEFORE the aggregation), so at
-    * 100 TB the shuffle carries only matching (doc_id, shingle-hash)
-    * pairs, not the corpus' full posting list. */
+    * 100 TB the only shuffle is the per-doc count of the matching rows.
+    * The join compares the gram STRINGS — the broadcast semi join never
+    * shuffles them, and hashing would trade exactness (and oracle parity)
+    * for nothing. */
   def contamination(corpus: DataFrame, evalSet: DataFrame, textCol: String,
                     idCol: String, shingleN: Int = 3,
                     minOverlap: Int = 5): DataFrame = {
     val evalGrams = evalSet
       .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
       .distinct()
-      .select(xxhash64(col("g")).as("gh"))
     val corpusGrams = corpus.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+      explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
     corpusGrams
-      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
