@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.FormatSources
+
+/** JSON-lines (schema + quarantine) and ORC round-trip source specs. */
+class FormatSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explicit-schema JSON-lines read with corrupt-record quarantine") {
+    val dir = tmpDir("json")
+    Files.writeString(Paths.get(s"$dir/clients.json"),
+      """{"IdCliente": 1, "Nombre": "Ana", "Email": "ana@mail.com"}
+        |{"IdCliente": 2, "Nombre": "Luis", "Email": "luis@mail.com"}
+        |{not valid json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("IdCliente", LongType),
+      StructField("Nombre", StringType),
+      StructField("Email", StringType)))
+    // cache: corrupt-only pruned scans of raw JSON are disallowed
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — same pattern as CsvSourcesSpec
+    val raw = FormatSources.readJsonLines(spark, s"$dir/clients.json", schema).cache()
+    val valid = FormatSources.validJsonRows(raw)
+    assert(valid.count() == 2)
+    assert(valid.select("Nombre").as[String].collect().toSet == Set("Ana", "Luis"))
+    assert(FormatSources.corruptJsonRows(raw).count() == 1, "bad line quarantined, not fatal")
+    // the quarantined payload is preserved for audit
+    assert(FormatSources.corruptJsonRows(raw).as[String].head().contains("not valid"))
+  }
+
+  test("ORC round trip preserves rows and supports pushdown like parquet") {
+    val dir = tmpDir("orc")
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    FormatSources.writeOrc(docs, s"$dir/documents")
+    val back = FormatSources.readOrc(spark, s"$dir/documents")
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(length($"text"))).head.getLong(0) ==
+      docs.agg(sum(length($"text"))).head.getLong(0), "content identical")
+    // predicate reaches the ORC scan as a pushed filter
+    val plan = back.filter($"doc_id" === 1L).queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*doc_id".r.findFirstIn(plan).isDefined,
+      s"expected doc_id in PushedFilters:\n$plan")
+  }
+}
