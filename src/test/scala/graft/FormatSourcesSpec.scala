@@ -33,6 +33,22 @@ class FormatSourcesSpec extends SparkSpec {
     assert(FormatSources.corruptJsonRows(raw).as[String].head().contains("not valid"))
   }
 
+  test("parquet schema evolution: later partitions may add columns") {
+    // a long-lived partitioned sink gains a column in a later load; with
+    // mergeSchema the union schema reads back, old rows null-filled
+    val dir = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t/anio=2024")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/t/anio=2025")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "v", "score", "anio"))
+    val rows = merged.orderBy("id")
+      .select($"id", $"score").collect()
+    assert(rows(0).isNullAt(1), "old partition null-fills the new column")
+    assert(rows(1).getDouble(1) == 9.5)
+    // partition pruning still works on the evolved table
+    assert(merged.filter($"anio" === 2025).count() == 1)
+  }
+
   test("ORC round trip preserves rows and supports pushdown like parquet") {
     val dir = tmpDir("orc")
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
