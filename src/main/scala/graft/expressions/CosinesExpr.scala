@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of a vector column against N LITERAL rows (hyperplane
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * structurally and plan caching/CSE work.
   */
 case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(rows.nonEmpty, "at least one literal row required")
   require(rows.forall(_.length == rows.head.length),
@@ -43,32 +43,14 @@ case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
       s"cosines: expected array<float|double> input, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    // fail loudly on dimension mismatch: silently truncating the dot while
-    // dividing by the full row norm would give plausible-but-wrong cosines
-    if (n != mat.head.length) throw new IllegalArgumentException(
-      s"cosines: input vector has $n dims, literal rows have ${mat.head.length}")
-    val v = new Array[Double](n)
-    var i = 0
-    while (i < n) { v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
-    var vNormSq = 0.0
-    i = 0
-    while (i < n) { vNormSq += v(i) * v(i); i += 1 }
-    val vNorm = math.sqrt(vNormSq)
-    val out = new Array[Any](mat.length)
-    var r = 0
-    while (r < mat.length) {
-      val row = mat(r)
-      var dot = 0.0
-      var j = 0
-      while (j < n) { dot += v(j) * row(j); j += 1 }
-      val denom = vNorm * rowNorms(r)
-      out(r) = if (denom > 0) dot / denom else 0.0
-      r += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.cosines(input.asInstanceOf[ArrayData], mat, rowNorms, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("cosinesMat", mat, "double[][]")
+    val normsRef = ctx.addReferenceObj("cosinesNorms", rowNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprKernels.cosines($c, $matRef, $normsRef, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CosinesExpr =
@@ -82,18 +64,17 @@ case class CosinesExpr(child: Expression, rows: Seq[Seq[Double]])
   * bucket id in one evaluation (the when/bitwiseOR fold would re-evaluate
   * the interpreted cosine array once per plane). */
 case class SignBitsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    var bits = 0L
-    var i = 0
-    val n = math.min(arr.numElements(), 64)
-    while (i < n) { if (arr.getDouble(i) >= 0) bits |= (1L << i); i += 1 }
-    bits
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.signBits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprKernels.signBits($c);")
+
   override protected def withNewChildInternal(newChild: Expression): SignBitsExpr =
     copy(child = newChild)
   override def prettyName: String = "sign_bits"
@@ -101,21 +82,17 @@ case class SignBitsExpr(child: Expression)
 
 /** Index of the maximum element of an array<double> (first on ties). */
 case class ArgMaxExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    var best = 0; var bestV = Double.NegativeInfinity
-    var i = 0
-    while (i < arr.numElements()) {
-      val v = arr.getDouble(i)
-      if (v > bestV) { bestV = v; best = i }
-      i += 1
-    }
-    best
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.argMax(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprKernels.argMax($c);")
+
   override protected def withNewChildInternal(newChild: Expression): ArgMaxExpr =
     copy(child = newChild)
   override def prettyName: String = "argmax"
@@ -124,38 +101,19 @@ case class ArgMaxExpr(child: Expression)
 /** Indices of the k largest elements of an array<double>, descending
   * (ties by lower index first). k is tiny (nprobe), selection is O(n*k). */
 case class TopKIndicesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, "k must be >= 1")
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val taken = new Array[Boolean](n)
-    val kk = math.min(k, n)
-    val out = new Array[Any](kk)
-    var r = 0
-    while (r < kk) {
-      var best = -1; var bestV = Double.NegativeInfinity
-      var i = 0
-      while (i < n) {
-        if (!taken(i)) { val v = arr.getDouble(i); if (v > bestV) { bestV = v; best = i } }
-        i += 1
-      }
-      if (best < 0) {
-        // all remaining elements are NaN (NaN > -Inf is false): take the
-        // lowest untaken index deterministically instead of crashing
-        var i2 = 0
-        while (best < 0 && i2 < n) { if (!taken(i2)) best = i2; i2 += 1 }
-      }
-      taken(best) = true
-      out(r) = best
-      r += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.topKIndices(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprKernels.topKIndices($c, $k);")
+
   override protected def withNewChildInternal(newChild: Expression): TopKIndicesExpr =
     copy(child = newChild)
   override def prettyName: String = "topk_indices"

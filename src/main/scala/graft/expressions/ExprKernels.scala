@@ -1,0 +1,173 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row kernels shared by the interpreted (`nullSafeEval`) and generated
+  * (`doGenCode`) paths of the custom expressions. A top-level Scala object
+  * with no companion class compiles to static forwarder methods, so
+  * whole-stage-generated Java can call `graft.expressions.ExprKernels.x(...)`
+  * directly — no `InternalRow` boxing, no virtual `Expression.eval` dispatch
+  * (the two costs of `CodegenFallback`). The JIT inlines these static calls
+  * into the generated stage.
+  *
+  * Semantics are byte-identical to the round-2 interpreted bodies: the
+  * kernels ARE those bodies, moved verbatim.
+  */
+object ExprKernels {
+
+  /** MinHashSigExpr kernel: k per-seed minima of `mix(h ^ seed_i)` over the
+    * word n-gram shingle hashes, one pass, no shingle strings. */
+  def minhashSig(raw: String, n: Int, seeds: Array[Long]): ArrayData = {
+    val k = seeds.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    ShingleHashing.foreachShingleHash(raw, n) { h =>
+      var i = 0
+      while (i < k) {
+        val v = ShingleHashing.mix(h ^ seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) { out(j) = mins(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** SimHashExpr kernel: per-bit vote over DISTINCT shingle hashes, sign
+    * packed to a long. */
+  def simhash(raw: String, n: Int): Long = {
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    ShingleHashing.foreachShingleHash(raw, n) { h =>
+      if (seen.add(h)) {
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** ShingleExpr kernel: word n-gram shingle strings of lowercased text.
+    * `distinct` keeps first occurrence (array_distinct semantics); otherwise
+    * every window occurrence in order. Fewer than n tokens yield one shingle
+    * of all tokens joined. */
+  def shingles(raw: String, n: Int, distinct: Boolean): ArrayData = {
+    // Locale.ROOT: matches Spark's locale-independent lower(); the JVM
+    // default locale (e.g. tr-TR dotless i) must not change signatures.
+    val text = raw.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split(" ", -1)
+    val out: mutable.Growable[UTF8String] with Iterable[UTF8String] =
+      if (distinct) new mutable.LinkedHashSet[UTF8String]
+      else new mutable.ArrayBuffer[UTF8String]
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out += UTF8String.fromString(sb.toString)
+        i += 1
+      }
+    } else {
+      out += UTF8String.fromString(toks.mkString(" "))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** CosinesExpr kernel: cosine of the input vector against each literal
+    * row, reusing the input norm; 0.0 when either norm is zero. */
+  def cosines(arr: ArrayData, mat: Array[Array[Double]], rowNorms: Array[Double],
+      isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    // fail loudly on dimension mismatch: silently truncating the dot while
+    // dividing by the full row norm would give plausible-but-wrong cosines
+    if (n != mat(0).length) throw new IllegalArgumentException(
+      s"cosines: input vector has $n dims, literal rows have ${mat(0).length}")
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+    var vNormSq = 0.0
+    i = 0
+    while (i < n) { vNormSq += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(vNormSq)
+    val out = new Array[Any](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * row(j); j += 1 }
+      val denom = vNorm * rowNorms(r)
+      out(r) = if (denom > 0) dot / denom else 0.0
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SignBitsExpr kernel: bit i set iff element i >= 0 (first 64). */
+  def signBits(arr: ArrayData): Long = {
+    var bits = 0L
+    var i = 0
+    val n = math.min(arr.numElements(), 64)
+    while (i < n) { if (arr.getDouble(i) >= 0) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** ArgMaxExpr kernel: index of the maximum element (first on ties). */
+  def argMax(arr: ArrayData): Int = {
+    var best = 0; var bestV = Double.NegativeInfinity
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getDouble(i)
+      if (v > bestV) { bestV = v; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** TopKIndicesExpr kernel: indices of the k largest elements, descending
+    * (ties by lower index; all-NaN tail taken by lowest index). */
+  def topKIndices(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val taken = new Array[Boolean](n)
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    var r = 0
+    while (r < kk) {
+      var best = -1; var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) { val v = arr.getDouble(i); if (v > bestV) { bestV = v; best = i } }
+        i += 1
+      }
+      if (best < 0) {
+        // all remaining elements are NaN (NaN > -Inf is false): take the
+        // lowest untaken index deterministically instead of crashing
+        var i2 = 0
+        while (best < 0 && i2 < n) { if (!taken(i2)) best = i2; i2 += 1 }
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}

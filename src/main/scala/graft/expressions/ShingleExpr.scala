@@ -1,12 +1,8 @@
 package graft.expressions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingles of lowercased text, as a single Catalyst expression.
   *
@@ -26,42 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * by a space.
   */
 case class ShingleExpr(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    // toString, not a UTF8String cast: tolerates any child type (the
-    // ExpectsInputTypes route is closed — AbstractDataType is sql-private).
-    // Locale.ROOT: matches Spark's locale-independent lower(); the JVM
-    // default locale (e.g. tr-TR dotless i) must not change signatures.
-    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split(" ", -1)
-    val out: mutable.Growable[UTF8String] with Iterable[UTF8String] =
-      if (distinct) new mutable.LinkedHashSet[UTF8String]
-      else new mutable.ArrayBuffer[UTF8String]
-    if (toks.length >= n) {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out += UTF8String.fromString(sb.toString)
-        i += 1
-      }
-    } else {
-      out += UTF8String.fromString(toks.mkString(" "))
-    }
-    new GenericArrayData(out.toArray[Any])
-  }
+  // toString, not a UTF8String cast: tolerates any child type (the
+  // ExpectsInputTypes route is closed — AbstractDataType is sql-private).
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.shingles(input.toString, n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val in = ShingleHashing.stringOf(c, child.dataType == StringType)
+      s"${ev.value} = graft.expressions.ExprKernels.shingles($in, $n, $distinct);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleExpr =
     copy(child = newChild)

@@ -2,9 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** One-pass shingle hashing shared by the signature expressions: iterate
   * the word n-gram windows of the lowercased, space-split text and hash
@@ -26,6 +25,12 @@ private[expressions] object ShingleHashing {
 
   /** Calls `f` once per n-gram window (duplicates included — min/vote
     * aggregations are multiset-safe). */
+  /** Generated-code input adapter: UTF8String children call `.toString()`
+    * directly; anything else goes through `String.valueOf` (works for
+    * primitives under Janino, which has no autoboxing). */
+  def stringOf(c: String, childIsString: Boolean): String =
+    if (childIsString) s"$c.toString()" else s"String.valueOf($c)"
+
   def foreachShingleHash(raw: String, n: Int)(f: Long => Unit): Unit = {
     val toks = raw.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     val last = toks.length - n
@@ -67,9 +72,10 @@ private[expressions] object ShingleHashing {
   * one-hash + k-mix construction); the row's signature is the per-seed
   * minimum. Replaces the former explode + grouped-min pipeline whose
   * (id, k longs) aggregate was the dedup suite's dominant cost under
-  * memory pressure. */
+  * memory pressure. Codegen emits a static call into [[ExprKernels]] — no
+  * row boxing, no virtual eval, inside whole-stage codegen. */
 case class MinHashSigExpr(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1 && k >= 1, "shingle size and signature length must be >= 1")
 
@@ -79,20 +85,15 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => ShingleHashing.mix(0x5DEECE66DL + i.toLong))
 
-  override def nullSafeEval(input: Any): Any = {
-    val mins = Array.fill(k)(Long.MaxValue)
-    ShingleHashing.foreachShingleHash(input.toString, n) { h =>
-      var i = 0
-      while (i < k) {
-        val v = ShingleHashing.mix(h ^ seeds(i))
-        if (v < mins(i)) mins(i) = v
-        i += 1
-      }
-    }
-    val out = new Array[Any](k)
-    var j = 0
-    while (j < k) { out(j) = mins(j); j += 1 }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashSig(input.toString, n, seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val in = ShingleHashing.stringOf(c, child.dataType == StringType)
+      s"${ev.value} = graft.expressions.ExprKernels.minhashSig($in, $n, $seedsRef);"
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
@@ -105,35 +106,23 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
   * row: per-bit vote over the DISTINCT shingle hashes, sign packed to a
   * long. Replaces the former explode + 64-column conditional-sum
   * aggregate (one shuffle of 64 longs per doc, the single slowest query
-  * of round 1's driver bench). */
+  * of round 1's driver bench). Codegen emits a static [[ExprKernels]] call. */
 case class SimHashExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val votes = new Array[Int](64)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    ShingleHashing.foreachShingleHash(input.toString, n) { h =>
-      if (seen.add(h)) {
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-      }
-    }
-    var sig = 0L
-    var i = 0
-    while (i < 64) {
-      if (votes(i) > 0) sig |= (1L << i)
-      i += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.simhash(input.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val in = ShingleHashing.stringOf(c, child.dataType == StringType)
+      s"${ev.value} = graft.expressions.ExprKernels.simhash($in, $n);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
