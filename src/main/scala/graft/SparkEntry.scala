@@ -514,20 +514,24 @@ object SparkEntry {
     // Repetition filter (the Gopher top-n-gram-fraction rule): share of
     // all word bigram OCCURRENCES held by the single most frequent bigram
     // — high share = boilerplate/looped text. Docs under 2 tokens have no
-    // bigrams and drop out.
+    // bigrams and drop out. ZERO-shuffle plan: the per-document statistic
+    // is computed by one per-row expression (scan → filter → project), not
+    // explode + double groupBy — at corpus scale the (doc, bigram) shuffle
+    // of the composed form dominates the whole rule.
     "q47_repetition" -> ((s, dir) => {
+      val st = graft.expressions.ShingleExpr.topGramStats(col("text"), 2)
       t(s, dir, "documents")
-        // docs with < 2 tokens have no bigrams (the shingle expression's
+        // docs with < 2 tokens have no bigrams (the expression's
         // short-text fallback would fabricate one) — drop them, as the
         // oracle's len >= 2 guard does
         .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .select(col("doc_id"), st.as("st"))
         .select(col("doc_id"),
-          explode(TextAnalysis.shinglesAll(col("text"), 2)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_share"),
-          (max(col("c")).cast("double") / sum(col("c")) > 0.2).as("repetitive"))
+          col("st").getItem(0).as("n_bigrams"),
+          round(col("st").getItem(1).cast("double") / col("st").getItem(0), 6)
+            .as("top_share"),
+          (col("st").getItem(1).cast("double") / col("st").getItem(0) > 0.2)
+            .as("repetitive"))
     }),
 
     // Benchmark decontamination (C4/GPT-3-style containment check): flag
@@ -921,6 +925,13 @@ object SparkEntry {
     // settings (recall 1.0 at 16x2 bands for j>=0.35; precision 1.0 by
     // the true-Jaccard verify step) — so the exact oracle applies
     // verbatim and hash-checks LSH recall every round.
+    // CAVEAT (probabilistic, not a guarantee): at 16 bands x 2 rows a
+    // pair at exactly j=0.35 misses all bands with prob ~(1-0.35^2)^16
+    // ~= 12%; recall 1.0 is an empirical property of the tested corpora
+    // (their near-dup pairs sit well above threshold). If this oracle
+    // (or q37/q39, which inherit it) fails on NEW data, first suspect
+    // LSH recall < 1.0 on that corpus — by-design behavior — rather
+    // than an engine bug; the fix is more bands, not operator surgery.
     "q31_dedup_minhash" ->
       ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
 

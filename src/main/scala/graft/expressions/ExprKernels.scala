@@ -92,6 +92,42 @@ object ExprKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** TopGramStatsExpr kernel: `[total, top]` word n-gram OCCURRENCE counts
+    * — total windows and the count of the single most frequent gram.
+    * Counts exact gram strings (not hashes): byte-parity with a string
+    * GROUP BY oracle, no collision caveat. Fewer than n tokens yields one
+    * gram of all tokens joined (shinglesAll fallback semantics). */
+  def topGramStats(raw: String, n: Int): ArrayData = {
+    val text = raw.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var total = 0L
+    var top = 0L
+    val sb = new java.lang.StringBuilder
+    def bump(g: String): Unit = {
+      val c = counts.merge(g, 1, Integer.sum)
+      total += 1
+      if (c > top) top = c.toLong
+    }
+    if (toks.length >= n) {
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        bump(sb.toString)
+        i += 1
+      }
+    } else {
+      bump(toks.mkString(" "))
+    }
+    new GenericArrayData(Array[Any](total, top))
+  }
+
   /** CosinesExpr kernel: cosine of the input vector against each literal
     * row, reusing the input norm; 0.0 when either norm is zero. */
   def cosines(arr: ArrayData, mat: Array[Array[Double]], rowNorms: Array[Double],

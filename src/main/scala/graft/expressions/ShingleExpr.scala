@@ -46,6 +46,38 @@ case class ShingleExpr(child: Expression, n: Int, distinct: Boolean = true)
   override def prettyName: String = "shingles"
 }
 
+/** Per-document repetition statistics in ONE pass per row: `[total, top]`
+  * word n-gram occurrence counts (all windows, and the most frequent
+  * gram's count). The composed form — explode(shingles) → groupBy(doc, g)
+  * → groupBy(doc) — shuffles every (doc, gram) pair twice for what is a
+  * per-document statistic; at corpus scale that shuffle is the dominant
+  * cost of the Gopher repetition rule (reference-class rule, see
+  * SURVEY.md §2 LLM ops). Same one-pass-per-row family as
+  * [[MinHashSigExpr]]. */
+case class TopGramStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.topGramStats(input.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val in = ShingleHashing.stringOf(c, child.dataType == StringType)
+      s"${ev.value} = graft.expressions.ExprKernels.topGramStats($in, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_gram_stats"
+}
+
 object ShingleExpr {
   import org.apache.spark.sql.Column
 
@@ -59,5 +91,11 @@ object ShingleExpr {
   def shinglesAll(c: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ShingleExpr(ColumnBridge.expression(c), n, distinct = false))
+  }
+
+  /** One-pass repetition stats: array(total_windows, top_gram_count). */
+  def topGramStats(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TopGramStatsExpr(ColumnBridge.expression(c), n))
   }
 }

@@ -91,6 +91,29 @@ class SignatureExprsSpec extends SparkSpec {
     }
   }
 
+  test("TopGramStatsExpr matches brute-force bigram occurrence counting") {
+    val texts = collection.mutable.ArrayBuffer[String]()
+    forAllGen(textGen)(texts += _)
+    texts += "a b a b a b a b" // forced repetition
+    val df = texts.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id",
+        graft.expressions.ShingleExpr.topGramStats($"text", 2).as("st"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq
+      val grams = if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+                  else Seq(toks.mkString(" "))
+      val counts = grams.groupBy(identity).map(_._2.size)
+      assert(got(i.toLong) == Seq(grams.size.toLong, counts.max.toLong), s"doc $i: '$t'")
+    }
+  }
+
+  test("q47 repetition plan is shuffle-free (no Exchange)") {
+    val df = SparkEntry.queries("q47_repetition")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in q47 plan:\n$plan")
+  }
+
   test("Misra-Gries sketch: guaranteed superset; exact operator == plain groupBy") {
     // skewed long keys: key 0 holds ~40%, keys 1-4 ~8% each, tail uniform
     val rows = (0 until 5000).map { i =>
