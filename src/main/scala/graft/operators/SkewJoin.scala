@@ -61,8 +61,15 @@ object SkewJoin {
       // would need an explicit null route.
       val cold = plainJoin(big.filter(not(coalesce(isHot, lit(false)))), small)
 
+      // monotonically_increasing_id mixed into the salt: hashing row
+      // content alone sends fully-identical duplicate rows of a hot key
+      // (repeated sentinel rows — the exact skew case salting targets) to
+      // ONE salt. The id is deterministic within a run and distinct per
+      // row, so duplicates spread across all saltFactor tasks; the small
+      // side is replicated to every salt, so routing stays correct.
       val saltedBig = big.filter(isHot).withColumn("__salt",
-        pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+        pmod(xxhash64(struct(big.columns.map(col): _*),
+          monotonically_increasing_id()), lit(saltFactor)).cast("int"))
       val saltedSmall = small.filter(col(smallKey).isin(hot: _*))
         .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       val hotJoin = saltedBig.join(saltedSmall,

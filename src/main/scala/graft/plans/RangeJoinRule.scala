@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite an inner join whose ONLY cross-side predicates
   * are a range (`p >= s AND p < e`, or `<=`) — which Spark would plan as
@@ -88,8 +88,16 @@ class RangeJoinRule extends Rule[LogicalPlan] {
     candidates.headOption.map { case (p, s, e, strict, pointsOnLeft) =>
       val (points, intervals) = if (pointsOnLeft) (left, right) else (right, left)
 
-      def bucketOf(x: Expression): Expression =
-        Cast(Floor(Divide(Cast(x, DoubleType), Literal(bucket.toDouble))), LongType)
+      // exact integer floor-division: subtract the non-negative pmod
+      // remainder, then integral-divide the exact multiple. Double-based
+      // floor(x/bucket) rounds above 2^53 (epoch nanos) and can put a
+      // point and its interval in different buckets, silently dropping
+      // matches — the exact predicate only runs inside the matched bucket.
+      def bucketOf(x: Expression): Expression = {
+        val xl = Cast(x, LongType)
+        val b = Literal(bucket)
+        IntegralDivide(Subtract(xl, Pmod(xl, b)), b)
+      }
 
       val pB = Alias(bucketOf(p), "__range_b")()
       val newPoints = Project(points.output :+ pB, points)

@@ -106,6 +106,33 @@ class JoinOpsSpec extends SparkSpec {
       bucket = 7L).isEmpty)
   }
 
+  test("interval join is exact above 2^53 (epoch-nanos range)") {
+    // double-based floor(x/bucket) rounds above 2^53 and can put a point
+    // and its interval in different buckets; the integer floor-division
+    // bucket id must keep them co-bucketed. Values straddle 2^53 where
+    // double representation gaps are 2.
+    val base = 9007199254740992L // 2^53
+    val points = (0L until 40L).map(i => (i, base + i)).toDF("pid", "t")
+    val ivals = (0L until 20L).map(i => (i, base + 2 * i, base + 2 * i + 3))
+      .toDF("iid", "s", "e")
+    val got = operators.RangeJoin.intervalJoin(points, ivals, "t", "s", "e", bucket = 5L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivals, $"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+    // negative values floor (not truncate) toward -infinity
+    val negP = Seq((1L, -3L), (2L, -11L)).toDF("pid", "t")
+    val negI = Seq((1L, -5L, -1L), (2L, -12L, -10L)).toDF("iid", "s", "e")
+    val gotNeg = operators.RangeJoin.intervalJoin(negP, negI, "t", "s", "e", bucket = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(gotNeg == Set((1L, 1L), (2L, 2L)))
+    // non-integral time columns fail fast instead of silently truncating
+    intercept[IllegalArgumentException] {
+      operators.RangeJoin.intervalJoin(
+        points.withColumn("t", $"t".cast("double")), ivals, "t", "s", "e", 5L)
+    }
+  }
+
   test("saltedJoin works when both sides name the key identically") {
     val big = spark.range(0, 1000)
       .select((when($"id" % 2 === 0, 0L).otherwise($"id" % 10)).as("k"), $"id".as("payload"))
