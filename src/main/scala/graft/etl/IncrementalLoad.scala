@@ -1,7 +1,8 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,8 +28,31 @@ import scala.util.control.NonFatal
   *    atomically swap into place only if ALL succeeded. Strictly stronger
   *    than the reference's rollback: a partial failure leaves the published
   *    tree untouched, and every load is re-runnable.
+  *
+  * All staging/swap I/O goes through the Hadoop `FileSystem` API resolved
+  * from the TARGET path, so the same code runs on `file:` in tests and on
+  * HDFS on a cluster, and staging dirs live beside the target (same
+  * filesystem), never in driver-local temp. CAVEAT — object stores: on
+  * S3-like stores `rename` is copy+delete, not atomic; the swap there is
+  * not crash-atomic (the backup/restore protocol still prevents data loss,
+  * but a concurrent reader can observe a mid-swap tree). For object-store
+  * deployments front the published tree with a table format or publish to
+  * a versioned prefix and flip a pointer.
   */
 object IncrementalLoad {
+
+  /** Filesystem of `p` (from the path's scheme, e.g. file:/HDFS) plus the
+    * fully-qualified path. */
+  private def fsFor(spark: SparkSession, p: String): (FileSystem, HPath) = {
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(hp))
+  }
+
+  /** Hadoop rename reports failure by returning false — surface it. */
+  private def mv(fs: FileSystem, src: HPath, dst: HPath, what: String): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"$what: rename failed: $src -> $dst")
 
   /** J2+S4: rows of `incoming` whose `key` is not yet in the target. */
   def newRowsOnly(incoming: DataFrame, existingKeys: DataFrame,
@@ -46,19 +70,23 @@ object IncrementalLoad {
     * read-then-append safe regardless of recomputation. */
   def appendNew(spark: SparkSession, incoming: DataFrame, targetPath: String,
                 key: Seq[String]): Long = {
+    val (fs, target) = fsFor(spark, targetPath)
     val fresh =
-      if (Files.exists(Paths.get(targetPath))) {
+      if (fs.exists(target)) {
         val existing = spark.read.parquet(targetPath)
         newRowsOnly(incoming, existing, key)
       } else incoming
-    val stage = Files.createTempDirectory("graft-append").resolve("data").toString
+    // staging lives BESIDE the target on the target's own filesystem —
+    // a driver-local temp dir is the wrong filesystem on a real cluster
+    val parent = Option(target.getParent).getOrElse(target)
+    val stage = new HPath(parent, s".append-staging-${System.nanoTime()}")
     try {
-      fresh.write.mode("overwrite").parquet(stage)
-      val staged = spark.read.parquet(stage)
+      fresh.write.mode("overwrite").parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString)
       val n = staged.count()
       if (n > 0) staged.write.mode("append").parquet(targetPath)
       n
-    } finally deleteRecursively(Paths.get(stage).getParent)
+    } finally fs.delete(stage, true)
   }
 
   /** S5: fact sink partitioned by year of `dateCol` (partition column `anio`),
@@ -75,11 +103,13 @@ object IncrementalLoad {
     * tables from backup — the previous state is never deleted until every
     * rename has succeeded. */
   def atomicPublish(root: String, tables: Map[String, DataFrame]): Unit = {
-    val rootP = Paths.get(root)
-    Files.createDirectories(rootP)
+    require(tables.nonEmpty, "atomicPublish: no tables to publish")
+    val spark = tables.head._2.sparkSession
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
     val tag = System.nanoTime()
-    val staging = rootP.resolve(s".staging-$tag")
-    val backup = rootP.resolve(s".backup-$tag")
+    val staging = new HPath(rootP, s".staging-$tag")
+    val backup = new HPath(rootP, s".backup-$tag")
     var rolledBack = true
     try {
       tables.foreach { case (name, df) =>
@@ -87,42 +117,41 @@ object IncrementalLoad {
         // them partitioned so date predicates prune on the final layout.
         val w = df.write.mode("overwrite")
         (if (df.columns.contains("anio")) w.partitionBy("anio") else w)
-          .parquet(staging.resolve(name).toString)
+          .parquet(new HPath(staging, name).toString)
       }
       // Full-success barrier reached: swap via backup so every pre-publish
       // table survives until all renames are done. Rollback must undo BOTH
       // kinds of progress: restore moved-aside tables AND remove staged
       // tables already renamed in (else a publish adding a new table plus
       // failing on an old one leaves a mixed tree).
-      Files.createDirectories(backup)
+      fs.mkdirs(backup)
       val movedAside = scala.collection.mutable.ListBuffer.empty[String]
       val swappedIn = scala.collection.mutable.ListBuffer.empty[String]
       try {
         tables.keys.foreach { name =>
-          val target = rootP.resolve(name)
-          if (Files.exists(target)) {
-            Files.move(target, backup.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          val target = new HPath(rootP, name)
+          if (fs.exists(target)) {
+            mv(fs, target, new HPath(backup, name), "move-aside")
             movedAside += name
           }
-          Files.move(staging.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+          mv(fs, new HPath(staging, name), target, "swap-in")
           swappedIn += name
         }
       } catch {
         case NonFatal(e) =>
           rolledBack = false
-          swappedIn.foreach(name => deleteRecursively(rootP.resolve(name)))
+          swappedIn.foreach(name => fs.delete(new HPath(rootP, name), true))
           movedAside.foreach { name =>
-            Files.move(backup.resolve(name), rootP.resolve(name),
-              StandardCopyOption.ATOMIC_MOVE)
+            mv(fs, new HPath(backup, name), new HPath(rootP, name), "restore")
           }
           rolledBack = true // every restore move succeeded
           throw e
       }
     } finally {
-      deleteRecursively(staging)
+      fs.delete(staging, true)
       // Keep the backup if a rollback itself failed mid-restore — it holds
       // the only copy of not-yet-restored previous tables.
-      if (rolledBack) deleteRecursively(backup)
+      if (rolledBack) fs.delete(backup, true)
       else System.err.println(s"[atomicPublish] rollback incomplete; " +
         s"previous table versions preserved under $backup")
     }
