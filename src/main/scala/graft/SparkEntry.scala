@@ -379,6 +379,24 @@ object SparkEntry {
         minShare = 0.008, k = 256)
     }),
 
+    // JDBC parity (reference S2-S4 against a live RDBMS): double
+    // conditional-append into embedded Derby — the second append must
+    // land 0 rows — then read back over JDBC and aggregate. The oracle
+    // computes the same aggregate from the parquet table, so a broken
+    // anti-join (doubled rows) or a lossy JDBC type roundtrip breaks the
+    // hash.
+    "q76_jdbc_roundtrip" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempDirectory("graft-derby-q76")
+      val url = s"jdbc:derby:$db/db;create=true"
+      val nation = t(s, dir, "nation")
+      sources.JdbcSources.appendNew(s, nation, url, "nation", Seq("n_nationkey"))
+      sources.JdbcSources.appendNew(s, nation, url, "nation", Seq("n_nationkey"))
+      sources.JdbcSources.readTable(s, url, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).as("sum_key"))
+    }),
+
     // Full SQL surface through Catalyst (same text runs on DuckDB).
     "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
 
@@ -554,6 +572,21 @@ object SparkEntry {
         (col("doc_id") % 100).cast("string"))
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.scrubPii(withPii).as("clean_text"))
+    }),
+
+    // Extended PII scrub (email/IPv4/SSN/credit-card/phone formats) over
+    // deterministically-injected PII of every kind — each injected shape
+    // must come back as its redaction token, byte-identical to the oracle
+    // running the same RE2-compatible patterns.
+    "q48_pii_scrub_extended" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@mail.example ip 10.2."),
+        (col("doc_id") % 256).cast("string"), lit(".9 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111 1111 1111 1111 tel +44 20 7946 09"),
+        (col("doc_id") % 100).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.scrubPiiExtended(withPii).as("clean_text"))
     }),
 
     // Content-defined fingerprint (normalized md5) + rolling hash.
@@ -910,6 +943,14 @@ object SparkEntry {
         |FROM ev GROUP BY user_id
         |HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM ev))""".stripMargin,
 
+    // the Spark side routed nation through a Derby JDBC double-append;
+    // identical results prove the append was idempotent and the type
+    // roundtrip lossless
+    "q76_jdbc_roundtrip" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
     "q67_sql_extensions" ->
       ("WITH " + JaccardCtes(0.0) +
         "\nSELECT doc_id, CAST(n AS BIGINT) AS n_shingles FROM counts"),
@@ -1135,6 +1176,24 @@ object SparkEntry {
         |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
         |        '@example.com tel +1 555 123 4' || CAST(doc_id % 100 AS VARCHAR),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+
+    // same five RE2-compatible patterns, same order (specific shapes
+    // before the greedy phone digit-run)
+    "q48_pii_scrub_extended" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(
+        |      text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |        '@mail.example ip 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |        '.9 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |        ' card 4111 1111 1111 1111 tel +44 20 7946 09' ||
+        |        CAST(doc_id % 100 AS VARCHAR),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{13,16}\b', '<CC>', 'g'),
         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
         |FROM documents""".stripMargin,
 

@@ -84,6 +84,25 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
 
+  /** Extended PII scrub: email, IPv4, SSN-format, credit-card-format,
+    * phone — all public patterns, RE2-compatible (no lookaround/
+    * backreferences) so the identical regex runs in the oracle. ORDER
+    * MATTERS: the specific shapes (SSN dashes, card groups) must redact
+    * before the greedy phone digit-run pattern eats them. Format-only
+    * matching (no Luhn checksum): over-redaction is the right failure
+    * mode for a training-corpus scrubber. */
+  def scrubPiiExtended(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}" +
+        "(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\b", "<IP>")
+    val ssn = regexp_replace(ip, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>")
+    val cc = regexp_replace(ssn,
+      "\\b(?:[0-9]{4}[ -]){3}[0-9]{4}\\b|\\b[0-9]{13,16}\\b", "<CC>")
+    regexp_replace(cc, "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Content-defined fingerprint: md5 of case/punctuation/whitespace
     * normalized text — catches trivial re-formattings as exact dups. */
   def fingerprint(text: Column): Column =

@@ -95,6 +95,22 @@ class OperatorsSpec extends SparkSpec {
       "short numbers and plain text untouched")
   }
 
+  test("extended PII scrub redacts IPv4, SSN-format, card-format runs") {
+    val r = Seq(
+      (1L, "from 192.168.0.255 ssn 078-05-1120 card 4111 1111 1111 1111 ok"),
+      (2L, "card run 4111111111111111 and version 1.2.3 stays? no: ip-like"),
+      (3L, "odometer 123456 and year 2024 survive; 999.999.999.999 is not an ip")
+    ).toDF("id", "t")
+      .select($"id", TextAnalysis.scrubPiiExtended($"t").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "from <IP> ssn <SSN> card <CC> ok")
+    assert(r(2L).contains("<CC>") && !r(2L).contains("4111111111111111"))
+    assert(r(2L).contains("version 1.2.3"), "three-part versions are not IPv4")
+    assert(r(3L).contains("odometer 123456") && r(3L).contains("year 2024"),
+      "short digit runs survive")
+    assert(r(3L).contains("999.999.999.999"), "out-of-range octets are not IPv4")
+  }
+
   test("custom expressions are SQL functions (SparkSessionExtensions)") {
     docs.createOrReplaceTempView("docs_ext")
     val r = spark.sql(
