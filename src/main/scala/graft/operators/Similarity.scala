@@ -76,39 +76,82 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Deterministic seed centroids: the nlist smallest ids, exact float
+    * values widened to double. orderBy + limit plans as
+    * TakeOrderedAndProject — a distributed top-k, not a single-task global
+    * sort — and needs no separate count() pass. */
+  private def seedCentroids(c: DataFrame, nlist: Int): Seq[Array[Double]] =
+    c.orderBy(col("vec_id").asc).limit(nlist)
+      .collect().toSeq
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** DataFrame-native Lloyd's k-means over the corpus (cosine metric):
+    * each iteration assigns every vector to its nearest current centroid
+    * with ONE `cosines_lit` + argmax pass (no per-centroid HOF dot
+    * products), then recomputes centroids as per-list per-dimension means
+    * via posexplode + groupBy — Spark's hash aggregate combines map-side,
+    * so the shuffle carries nlist*dim partials per task, not the corpus.
+    * Only nlist*dim mean rows ever reach the driver per iteration.
+    *
+    * Determinism/portability: means are rounded to 6 decimals each
+    * iteration, so the trained centroids are reproducible across engines
+    * (summation-order double drift stays far below the rounding grain);
+    * a list that loses all members keeps its previous centroid. Seeded
+    * from the nlist smallest ids — fixed, re-run-stable. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): Seq[Array[Double]] = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    var cents = seedCentroids(c, nlist)
+    val dim = cents.head.length
+    (0 until iters).foreach { _ =>
+      val means = c
+        .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+        .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (lid, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          lid -> arr
+        }
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k: assign every corpus vector to its
     * nearest of `nlist` coarse centroids, search only the `nprobe` nearest
-    * lists per query. Centroids here are chosen deterministically from the
-    * corpus (every (n/nlist)-th vector by id — a fixed, re-run-stable seed
-    * set; production systems would k-means these, which only changes how
-    * the centroid table is produced, not the query plan). At 100 TB the
-    * corpus is written partitioned by `list_id`, so a query reads only
-    * nprobe partitions — the classic IVF pruning, expressed as partition
+    * lists per query. With `trainIters = 0` centroids are a deterministic
+    * corpus sample (fixed, re-run-stable seed set); `trainIters > 0` runs
+    * that many Lloyd's iterations first ([[kmeansCentroids]]) — better
+    * list balance and recall, same query plan. At 100 TB the corpus is
+    * written partitioned by `list_id`, so a query reads only nprobe
+    * partitions — the classic IVF pruning, expressed as partition
     * pruning.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    // Deterministic centroid sample: the nlist smallest ids. orderBy +
-    // limit plans as TakeOrderedAndProject — a distributed top-k, not a
-    // single-task global sort — and needs no separate count() pass.
-    val centroids = c.orderBy(col("vec_id").asc).limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
     // Assign corpus rows to their nearest centroid: ONE `cosines_lit`
     // pass over the literal centroid matrix + argmax, instead of nlist
     // interpreted higher-order cosines per row. (Centroid order == list
     // id, so argmax index IS the list id.)
-    val centroidRows = centroids.map(_._2)
-    import graft.expressions.CosinesExpr.{argMax, cosines, topKIndices}
-    val assigned = c.withColumn("list_id", argMax(cosines(col("cv"), centroidRows)))
+    val centroidRows: Seq[Array[Double]] =
+      if (trainIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else seedCentroids(c, nlist)
+    import graft.expressions.CosinesExpr.{argMax, cosinesD, topKIndices}
+    val assigned = c.withColumn("list_id", argMax(cosinesD(col("cv"), centroidRows)))
 
     // Queries probe their nprobe best lists (top-k indices of the same
     // cosine array — one pass, no interpreted array_sort-of-structs).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("list_id",
-        explode(topKIndices(cosines(col("qv"), centroidRows), nprobe)))
+        explode(topKIndices(cosinesD(col("qv"), centroidRows), nprobe)))
       .select(col("query_id"), col("qv"), col("list_id"))
 
     val scored = assigned.join(broadcast(q), Seq("list_id"))

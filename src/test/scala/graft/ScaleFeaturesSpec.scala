@@ -33,6 +33,35 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.size == 10)
   }
 
+  test("k-means IVF: trained centroids keep recall@k vs brute force") {
+    val dir = sf("sf0.001")
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val brute = topSets(
+      Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 10))
+    def recallOf(trainIters: Int): Double = {
+      val got = topSets(Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 4, trainIters = trainIters))
+      brute.map { case (q, b) =>
+        got.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    }
+    val (seed, trained) = (recallOf(0), recallOf(2))
+    info(f"recall@10 seed=$seed%.3f kmeans=$trained%.3f")
+    // nprobe/nlist = half the lists searched: trained lists must hold
+    // recall at least as well as the arbitrary seed sample (small slack
+    // for assignment boundary moves), and clear a floor outright
+    assert(trained >= seed - 0.1, f"k-means recall regressed: $trained%.3f vs seed $seed%.3f")
+    assert(trained >= 0.5, f"k-means recall floor: $trained%.3f")
+    // centroid training is deterministic: same call, same centroids
+    val c1 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    val c2 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("stateful streaming sessionization emits closed sessions") {
     val src = tmpDir("state-src")
     Seq(
