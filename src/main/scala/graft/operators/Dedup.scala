@@ -69,7 +69,8 @@ object Dedup {
     // Materialize the (small) candidate set: it feeds three downstream
     // branches (pairs + both shingle re-joins); without truncating lineage
     // the whole LSH pipeline would be re-executed per branch.
-    val candidates = cut(pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    val candidates = cut(pairsFromBuckets(banded, Seq("band", "bh"), maxBucket,
+      "graft.dedup.minhash.buckets")
       .select("id_a", "id_b").distinct())
 
     // Shingle only the documents that appear in a candidate pair (semi
@@ -112,7 +113,8 @@ object Dedup {
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("block", "bv")))
-    pairsFromBuckets(blocked, Seq("block", "bv"), maxBucket)
+    pairsFromBuckets(blocked, Seq("block", "bv"), maxBucket,
+      "graft.dedup.simhash.buckets")
       .withColumn("hamming", bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -170,7 +172,8 @@ object Dedup {
       .select(col("id"), col("v"))
     val bucketed = normed
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), dim, planes))
-    val pairs = pairsFromBuckets(bucketed, Seq("bucket"), maxBucket)
+    val pairs = pairsFromBuckets(bucketed, Seq("bucket"), maxBucket,
+      "graft.dedup.embed.buckets")
       .select("id_a", "id_b").distinct()
       .join(normed.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(normed.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -221,6 +224,67 @@ object Dedup {
         s"label propagation did not converge in $maxIter iterations — " +
           "component diameter exceeds maxIter; raise maxIter")
     labels
+  }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR contraction — the
+    * published alternating-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): O(log n) rounds regardless of
+    * component diameter, where [[clusters]]' min-label propagation needs
+    * O(diameter) rounds. Choose this for long-chain graphs (similarity
+    * chains, social graphs); label propagation stays cheaper per round
+    * for the shallow components near-dup corpora produce.
+    *
+    * Edges are kept canonically as (u, v) with v < u. Per round:
+    * large-star connects every neighbor larger than u to u's minimum
+    * (self included); small-star connects every smaller neighbor (and u)
+    * to that minimum. Both preserve connectivity; the fixpoint is a
+    * forest of stars rooted at each component's minimum id. Convergence
+    * is tested EXACTLY — a round is final when no edge's root has an
+    * outgoing edge (pure stars), not via a fingerprint heuristic — and
+    * non-convergence within maxIter throws rather than mislabeling.
+    * Output schema matches [[clusters]]: (id, cluster_id). */
+  def clustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val raw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+    val nodes = cut(raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct())
+    var edges = cut(raw
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: symmetrize, group by u, connect each bigger neighbor
+      // to min(neighbors ∪ {u}) — keeps the (big, small) edge invariant
+      val bidir = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val nmin = bidir.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      val afterLarge = bidir.join(nmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("nmin"), col("u")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges already point big -> small; connect every
+      // smaller neighbor AND u itself to u's minimum neighbor
+      val smin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = cut(afterLarge.join(smin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      // exact star test: converged iff no edge target is itself a source
+      converged = afterSmall.alias("a")
+        .join(afterSmall.alias("b"), col("a.v") === col("b.u"), "left_semi")
+        .isEmpty
+      edges = afterSmall
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds — " +
+          "unexpected for O(log n) convergence; raise maxIter")
+    nodes.join(edges.select(col("u").as("id"), col("v").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** End-to-end near-dup resolution: pairs -> clusters -> per-cluster
@@ -299,7 +363,46 @@ object Dedup {
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
     * carrying all non-key payload columns as _a/_b. Buckets larger than
     * `maxBucket` are dropped (skew guard). */
-  private def pairsFromBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  /** Skew-cap outcome of one candidate-generation call: rows discarded by
+    * the `maxBucket` guard and the largest bucket seen. */
+  final case class BucketStats(droppedRows: Long, maxBucketSize: Long)
+
+  private val bucketStatsRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, BucketStats]()
+
+  /** Last skew-cap stats recorded under `metricName` (e.g.
+    * "graft.dedup.minhash.buckets") in this JVM. */
+  def bucketStats(metricName: String): Option[BucketStats] =
+    Option(bucketStatsRegistry.get(metricName))
+
+  private def pairsFromBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+                               metricName: String): DataFrame = {
+    // The skew cap is the right policy (a bucket of stop-shingles would
+    // otherwise quadratically explode one task) but must not be SILENT:
+    // count the dropped rows and worst bucket EAGERLY, one lightweight
+    // aggregate job per call — groupBy combines map-side, so the shuffle
+    // carries per-key partial counts, not rows. (`observe` would be
+    // free, but AQE drops CollectMetrics metrics under the self-join —
+    // verified empirically — and a lost safety metric is worse than a
+    // small extra job.) The job re-derives the bucket keys (one extra
+    // scan-side pass); max-throughput runs that accept silent capping can
+    // set spark.graft.bucketStats.enabled=false.
+    val statsEnabled = df.sparkSession.conf
+      .getOption("spark.graft.bucketStats.enabled").forall(_.toBoolean)
+    if (statsEnabled) {
+      val s = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+        .agg(
+          coalesce(sum(when(col("__bn") > maxBucket, col("__bn"))
+            .otherwise(lit(0L))), lit(0L)).as("dropped"),
+          coalesce(max(col("__bn")), lit(0L)).as("maxb"))
+        .head()
+      val stats = BucketStats(s.getLong(0), s.getLong(1))
+      bucketStatsRegistry.put(metricName, stats)
+      if (stats.droppedRows > 0)
+        System.err.println(s"[$metricName] skew cap dropped ${stats.droppedRows} " +
+          s"rows (largest bucket ${stats.maxBucketSize} > maxBucket $maxBucket)")
+    }
+
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     val capped = df.withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") <= maxBucket).drop("__bn")
