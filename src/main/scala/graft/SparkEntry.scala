@@ -418,6 +418,16 @@ object SparkEntry {
         bands = 16, rowsPerBand = 2, threshold = 0.35))
     }),
 
+    // Same resolution through large-star/small-star contraction
+    // (O(log n) rounds vs O(diameter)) — same clusters, same oracle
+    // shape, so the alternative algorithm is hash-checked too.
+    "q78_dedup_resolve_star" -> ((s, dir) => {
+      Dedup.clustersStar(Dedup.minhashPairs(t(s, dir, "documents"), "text",
+          "doc_id", bands = 16, rowsPerBand = 2, threshold = 0.35))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+    }),
+
     // Exact dedup by content digest (shuffles 16-byte digest, not text).
     "q30_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -478,6 +488,17 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // IVF with k-means-trained centroids: two DataFrame-native Lloyd's
+    // iterations (assign via the literal centroid matrix, per-dimension
+    // means rounded to 6dp for engine portability), then the same
+    // nprobe search. The oracle replays BOTH iterations as unrolled CTEs
+    // — training and search are hash-checked end to end.
+    "q77_sim_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nlist = 16, nprobe = 4, trainIters = 2)
     }),
 
     // ---- text analysis ----
@@ -993,6 +1014,21 @@ object SparkEntry {
           |  min(id) AS survivor_id
           |FROM clusters GROUP BY cluster_id""".stripMargin),
 
+    // star contraction computes the same components as label propagation;
+    // the recursive-CTE oracle is identical to q37's
+    "q78_dedup_resolve_star" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.35) + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          |          UNION ALL SELECT id_b, id_a FROM jpairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          |  min(id) AS survivor_id
+          |FROM clusters GROUP BY cluster_id""".stripMargin),
+
     // End-to-end corpus dedup: survivors = documents minus non-minimum
     // members of each component at threshold 0.8.
     "q39_dedup_corpus" ->
@@ -1080,6 +1116,45 @@ object SparkEntry {
         |    SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
         |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.vec_id),
+        |""".stripMargin + CosineRankTail),
+
+    // two unrolled Lloyd's iterations (cents0 = the q38 seed, widened to
+    // double like the Spark side), then the q38 search shape under the
+    // trained cents2
+    "q77_sim_ivf_kmeans" ->
+      ("""WITH cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |""".stripMargin +
+        KmeansIterCtes(0) + ",\n" + KmeansIterCtes(1) + ",\n" +
+        """fasn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * y)
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(y * y) FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents2 c2),
+        |fasn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM fasn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM fasn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM fasn2 WHERE vec_id < 5) WHERE rn <= 4),
         |cand AS (
         |  SELECT DISTINCT p.query_id, a.vec_id
         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
@@ -1365,6 +1440,43 @@ object SparkEntry {
   /** Exact-rerank tail shared by the ANN oracles: float-product cosines
     * (the Spark HOF path), round(6) before ranking, ties by vec_id. Takes
     * a `cand(query_id, vec_id)` CTE as input. */
+  /** One Lloyd's iteration as DuckDB CTEs: assignment of every embedding
+    * to its nearest current centroid (same cosine formula and DESC/cid
+    * tie-break as the Spark argmax), then per-list per-dimension means
+    * rounded to 6dp, empty lists keeping their previous centroid —
+    * mirroring `Similarity.kmeansCentroids` stage by stage. */
+  private def KmeansIterCtes(i: Int): String = {
+    val (cin, asn, asg, mean, cout) =
+      (s"cents$i", s"kasn$i", s"kasg$i", s"kmean$i", s"cents${i + 1}")
+    s"""$asn AS (
+       |  SELECT e.vec_id, c2.cid,
+       |    (SELECT sum(CAST(x AS DOUBLE) * y)
+       |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+       |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+       |    (SELECT sum(y * y) FROM (SELECT unnest(c2.cv) AS y)) AS nc
+       |  FROM embeddings e, $cin c2),
+       |$asg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY
+       |        CASE WHEN sqrt(ne) * sqrt(nc) > 0
+       |             THEN dot / (sqrt(ne) * sqrt(nc)) ELSE 0.0 END DESC,
+       |        cid ASC) AS rn
+       |    FROM $asn) WHERE rn = 1),
+       |$mean AS (
+       |  SELECT a.list_id AS cid, t.i AS pos,
+       |    round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 6) AS m
+       |  FROM $asg a JOIN embeddings e USING (vec_id),
+       |       LATERAL (SELECT unnest(range(64)) AS i) t
+       |  GROUP BY 1, 2),
+       |$cout AS (
+       |  SELECT c.cid, coalesce(m.mv, c.cv) AS cv
+       |  FROM $cin c LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY pos) AS mv FROM $mean GROUP BY cid) m
+       |  USING (cid))""".stripMargin
+  }
+
   private val CosineRankTail: String =
     """scored AS (
       |  SELECT c.query_id, c.vec_id,

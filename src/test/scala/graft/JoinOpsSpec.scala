@@ -176,6 +176,42 @@ class JoinOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L), s"got $kept")
   }
 
+  test("dropped stop-shingle buckets are counted, not silent") {
+    // 30 identical docs: every band bucket holds 30 rows; maxBucket=10
+    // drops them all (correct policy) and the recorded stats must say so
+    val docs = (1L to 30L).map(i => (i, "the same boilerplate text again and again"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.35, maxBucket = 10)
+    assert(pairs.isEmpty, "all buckets over the cap -> no candidates")
+    val stats = operators.Dedup.bucketStats("graft.dedup.minhash.buckets").get
+    assert(stats.droppedRows == 16L * 30, s"16 bands x 30 docs all dropped, got $stats")
+    assert(stats.maxBucketSize == 30L, s"got $stats")
+    // under a sufficient cap the same corpus records zero drops
+    operators.Dedup.minhashPairs(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.35, maxBucket = 100).count()
+    val ok = operators.Dedup.bucketStats("graft.dedup.minhash.buckets").get
+    assert(ok.droppedRows == 0L && ok.maxBucketSize == 30L, s"got $ok")
+  }
+
+  test("star contraction handles deep chains label propagation refuses") {
+    // a path graph of diameter 120: label propagation would need 120
+    // rounds (maxIter 50 -> refuses loudly); star contraction converges
+    // in O(log n) rounds
+    val path = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { operators.Dedup.clusters(path).collect() }
+    val labels = operators.Dedup.clustersStar(path)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 121)
+    assert(labels.forall(_._2 == 0L), "every chain node labels to the min id")
+    // and on a multi-component graph it agrees with label propagation
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("id_a", "id_b")
+    val a = operators.Dedup.clusters(pairs).as[(Long, Long)].collect().toSet
+    val b = operators.Dedup.clustersStar(pairs).as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("cluster resolution: transitive pairs collapse to one cluster") {
     // 1-2, 2-3, 3-4 chain + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
