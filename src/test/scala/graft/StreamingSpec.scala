@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(r.contains(("12", "click", 1L, 5.0)))
   }
 
+  test("streaming hourlyAgg equals the oracle-checked batch result (q50)") {
+    // the SAME aggregation q50 hash-checks against DuckDB, driven through
+    // readEventStream + foreachBatch into parquet: batch and streaming
+    // paths must produce identical totals on the real events table
+    val events = Tables.load(spark, sf(), "events")
+    val src = tmpDir("graft-stream-src")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val outDir = tmpDir("graft-stream-out")
+    val q = EventStreams.hourlyAgg(EventStreams.readEventStream(spark, src, schema))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-stream-ckpt"))
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"hour".cast("string"), $"event_type",
+          $"n".cast("string"), $"sum_value".cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val streaming = canon(spark.read.parquet(outDir))
+    val batch = canon(EventStreams.hourlyAgg(events))
+    assert(streaming.nonEmpty && streaming == batch)
+  }
+
   test("gap sessionization: 30-min inactivity starts a new session") {
     val r = EventStreams.sessionize(eventsDF, gapMinutes = 30)
       .select("user_id", "n_sessions", "n_events")
