@@ -532,6 +532,42 @@ object SparkEntry {
     // heuristics): word count band, mean word length band, symbol-to-word
     // ratio, repeated-segment fraction — each a pure expression, composed
     // into a keep/drop flag.
+    // Per-source (per-domain) cap — the C4-style downsampling step that
+    // stops one boilerplate-heavy domain from dominating the corpus: keep
+    // at most K docs per source, chosen by a DETERMINISTIC content-hash
+    // order (md5 then id tie-break) so the sample is run-stable and
+    // engine-portable. One shuffle on source; at 100 TB the rank window
+    // streams each source's partition sorted, state O(1).
+    "q49_per_source_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Full Gopher repetition panel: top-{2,3,4}-gram occurrence shares in
+    // ONE zero-shuffle pass (three per-row expressions over the same scan).
+    "q79_repetition_multi" -> ((s, dir) => {
+      import graft.expressions.ShingleExpr.topGramStats
+      def share(n: Int) = {
+        val st = topGramStats(col("text"), n)
+        round(st.getItem(1).cast("double") / st.getItem(0), 6)
+      }
+      t(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          share(2).as("top2_share"), share(3).as("top3_share"),
+          share(4).as("top4_share"),
+          (share(2) > lit(0.2) || share(3) > lit(0.18) || share(4) > lit(0.16))
+            .as("repetitive"))
+    }),
+
     "q44_quality_rules" -> ((s, dir) => {
       val text = col("text")
       val words = split(text, " ", -1)
@@ -1232,6 +1268,48 @@ object SparkEntry {
         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
         |  (CAST(max(c) AS DOUBLE) / sum(c) > 0.2) AS repetitive
         |FROM counts GROUP BY doc_id""".stripMargin,
+
+    // deterministic per-source cap: same md5-then-id ordering in both
+    // engines (hex md5 sorts identically)
+    "q49_per_source_cap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(doc_id) AS min_doc, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 50 GROUP BY source""".stripMargin,
+
+    // top-{2,3,4}-gram shares; comparisons run on the ROUNDED shares,
+    // mirroring the Spark side exactly
+    "q79_repetition_multi" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 4),
+        |bg2 AS (
+        |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t),
+        |bg3 AS (
+        |  SELECT d.doc_id,
+        |    d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t),
+        |bg4 AS (
+        |  SELECT d.doc_id,
+        |    d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2]
+        |      || ' ' || d.toks[t.i + 3] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 2)) AS i) t),
+        |s2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS s
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM bg2 GROUP BY 1, 2)
+        |       GROUP BY doc_id),
+        |s3 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS s
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM bg3 GROUP BY 1, 2)
+        |       GROUP BY doc_id),
+        |s4 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS s
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM bg4 GROUP BY 1, 2)
+        |       GROUP BY doc_id)
+        |SELECT s2.doc_id, s2.s AS top2_share, s3.s AS top3_share,
+        |  s4.s AS top4_share,
+        |  (s2.s > 0.2 OR s3.s > 0.18 OR s4.s > 0.16) AS repetitive
+        |FROM s2 JOIN s3 USING (doc_id) JOIN s4 USING (doc_id)""".stripMargin,
 
     // grams CTE (from JaccardCtes) = the same distinct 3-gram sets; only
     // the referenced CTEs execute in DuckDB, so the unused pair CTEs cost
