@@ -742,6 +742,20 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"), col("peak"), col("zcr"))
     }),
 
+    // REAL image decode: synthesized-but-valid 24bpp BMP blobs (pixels an
+    // integer function of x, y, id) run through a genuine header + padded
+    // bottom-up pixel-array parser; the oracle recomputes the channel
+    // means from the pixel formula without touching bytes.
+    "q80_image_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeBmpTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.decodeBmpFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     // Frame sampling: fixed-offset binary frames per media row.
     "q62_frame_sample" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal
@@ -1456,6 +1470,27 @@ object SparkEntry {
         |  CAST(max(abs(s)) AS BIGINT) AS peak,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
         |FROM lagged GROUP BY doc_id, n""".stripMargin,
+
+    // channel means recomputed from the pixel-value formula; integer sums
+    // stay below 2^53 so avg() is exact in double on both engines
+    "q80_image_decode" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    (xs.x * 7 + ys.y * 13 + p.seed) % 256 AS r,
+        |    (xs.x * 11 + ys.y * 3 + 2 * p.seed) % 256 AS g,
+        |    (xs.x * 5 + ys.y * 17 + 3 * p.seed) % 256 AS b
+        |  FROM params p,
+        |       LATERAL (SELECT unnest(range(0, p.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, p.h)) AS y) ys)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+        |  round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+        |  round(avg(CAST(b AS DOUBLE)), 6) AS mean_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
     "q62_frame_sample" ->
       """SELECT frame_idx, CAST(count(*) AS BIGINT) AS n,

@@ -217,6 +217,115 @@ object Multimodal {
       (rate, data)
     }.toOption
 
+  // ---------------------------------------------------------------------
+  // REAL image decode (BMP): like the WAV path, BMP is codec-free — a
+  // genuine decoder is pure header + pixel-array parsing. Blobs come from
+  // `synthesizeBmpTable`: valid 24bpp bottom-up BMPs whose pixel values
+  // are a deterministic integer function of (x, y, id), so a SQL oracle
+  // recomputes the expected channel means without touching bytes.
+  // Malformed blobs are quarantined (dropped).
+  // ---------------------------------------------------------------------
+
+  final case class BmpFeatures(media_id: Long, width: Int, height: Int,
+                               mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** One valid 24bpp bottom-up BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + BGR rows padded to 4 bytes. Pixel channels are
+    * `(x*7 + y*13 + seed) % 256` (r), `(x*11 + y*3 + 2*seed) % 256` (g),
+    * `(x*5 + y*17 + 3*seed) % 256` (b) — pure integer math. */
+  def synthesizeBmp(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val stride = (width * 3 + 3) & ~3
+    val imageSize = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + imageSize); bb.putShort(0); bb.putShort(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(imageSize)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    var y = height - 1 // bottom-up: file row 0 is image row height-1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        bb.put(((x * 5 + y * 17 + 3 * seed) % 256).toByte)  // B
+        bb.put(((x * 11 + y * 3 + 2 * seed) % 256).toByte)  // G
+        bb.put(((x * 7 + y * 13 + seed) % 256).toByte)      // R
+        x += 1
+      }
+      var p = width * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Media table of synthesized BMP blobs: width `8 + id%9`, height
+    * `6 + id%7`, seed `id%251` — all derived from the id. */
+  def synthesizeBmpTable(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    src.mapPartitions { it =>
+      it.map { id =>
+        (id, synthesizeBmp((8 + id % 9).toInt, (6 + id % 7).toInt, (id % 251).toInt))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("media_id", "blob")
+      .withColumn("meta", struct(
+        lit("image").as("kind"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate")))
+  }
+
+  /** REAL BMP decode: validate the BM magic / 24bpp / uncompressed
+    * headers, walk the padded bottom-up pixel rows, and compute
+    * per-channel means from the actual bytes. Malformed blobs drop. */
+  def decodeBmpFeatures(media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseBmp24(bytes).map { case (w, h, sumR, sumG, sumB) =>
+          val n = w.toLong * h
+          BmpFeatures(id, w, h, sumR.toDouble / n, sumG.toDouble / n, sumB.toDouble / n)
+        }
+      }
+    }(Encoders.product[BmpFeatures]).toDF()
+  }
+
+  /** Header + pixel-array parser for uncompressed 24bpp BMP: returns
+    * (width, height, sumR, sumG, sumB) or None for malformed blobs. */
+  private def parseBmp24(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    scala.util.Try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte)
+      bb.getInt; bb.getShort; bb.getShort
+      val pixelOffset = bb.getInt
+      val hdrSize = bb.getInt
+      require(hdrSize >= 40)
+      val w = bb.getInt; val h = bb.getInt
+      require(w > 0 && h > 0 && w <= 65536 && h <= 65536)
+      require(bb.getShort == 1)       // planes
+      require(bb.getShort == 24)      // bpp
+      require(bb.getInt == 0)         // BI_RGB, uncompressed
+      val stride = (w * 3 + 3) & ~3
+      require(pixelOffset >= 54 && pixelOffset.toLong + stride.toLong * h <= bytes.length)
+      var (sumR, sumG, sumB) = (0L, 0L, 0L)
+      var row = 0
+      while (row < h) {
+        var p = pixelOffset + row * stride
+        var x = 0
+        while (x < w) {
+          sumB += bytes(p) & 0xFF
+          sumG += bytes(p + 1) & 0xFF
+          sumR += bytes(p + 2) & 0xFF
+          p += 3; x += 1
+        }
+        row += 1
+      }
+      (w, h, sumR, sumG, sumB)
+    }.toOption
+
   /** Resize stage STUB: rewrites the metadata struct only (a real resize
     * would also rewrite `blob`); marks the row as stub-processed. */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =

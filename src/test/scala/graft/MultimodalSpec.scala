@@ -108,6 +108,35 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(11L)._4 == 44L + (800 + 160) * 2L)
   }
 
+  test("BMP decode: real header + padded-row parse recovers channel means") {
+    // 2x2, seed 0: pixels r=(x*7+y*13)%256 g=(x*11+y*3)%256 b=(x*5+y*17)%256
+    // (x,y) in {0,1}^2 -> r: 0,7,13,20 g: 0,11,3,14 b: 0,5,17,22
+    val blob = Multimodal.synthesizeBmp(width = 2, height = 2, seed = 0)
+    val media = Seq((1L, blob)).toDF("media_id", "blob")
+    val r = Multimodal.decodeBmpFeatures(media)
+      .select("width", "height", "mean_r", "mean_g", "mean_b")
+      .as[(Int, Int, Double, Double, Double)].head()
+    assert(r == ((2, 2, 10.0, 7.0, 11.0)))
+    // width 5 forces a non-trivial stride pad (15 bytes -> 16): the pad
+    // bytes must not leak into the means
+    val padded = Multimodal.synthesizeBmp(width = 5, height = 1, seed = 0)
+    val p = Multimodal.decodeBmpFeatures(Seq((2L, padded)).toDF("media_id", "blob"))
+      .select("mean_r").as[Double].head()
+    assert(p == (0 + 7 + 14 + 21 + 28) / 5.0)
+  }
+
+  test("BMP decode: corrupt blobs are quarantined, valid ones survive") {
+    val good = Multimodal.synthesizeBmp(4, 3, 9)
+    val truncated = good.take(40)
+    val wrongMagic = good.clone(); wrongMagic(0) = 'X'.toByte
+    val eightBpp = good.clone(); eightBpp(28) = 8.toByte // bpp field
+    val media = Seq((1L, good), (2L, truncated), (3L, wrongMagic), (4L, eightBpp))
+      .toDF("media_id", "blob")
+    val out = Multimodal.decodeBmpFeatures(media)
+      .select("media_id").as[Long].collect().toSet
+    assert(out == Set(1L), "only the well-formed 24bpp blob decodes")
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)
