@@ -146,14 +146,22 @@ object Similarity {
       else seedCentroids(c, nlist)
     import graft.expressions.CosinesExpr.{argMax, cosinesD, topKIndices}
     val assigned = c.withColumn("list_id", argMax(cosinesD(col("cv"), centroidRows)))
+    rankProbedLists(assigned, probes(queries, idCol, vecCol, centroidRows, nprobe), k)
+  }
 
-    // Queries probe their nprobe best lists (top-k indices of the same
-    // cosine array — one pass, no interpreted array_sort-of-structs).
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  /** Query probe frame: (query_id, qv, list_id) — each query's nprobe
+    * best lists from one cosines pass over the literal centroid matrix. */
+  private def probes(queries: DataFrame, idCol: String, vecCol: String,
+                     cents: Seq[Array[Double]], nprobe: Int): DataFrame = {
+    import graft.expressions.CosinesExpr.{cosinesD, topKIndices}
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("list_id",
-        explode(topKIndices(cosinesD(col("qv"), centroidRows), nprobe)))
+        explode(topKIndices(cosinesD(col("qv"), cents), nprobe)))
       .select(col("query_id"), col("qv"), col("list_id"))
+  }
 
+  /** Shared IVF search tail: join probed lists, exact cosine, rank. */
+  private def rankProbedLists(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
@@ -162,6 +170,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Materialize the IVF index: corpus written partitioned by `list_id`.
+    * Returns the centroids — the caller persists them next to the index
+    * (they are the query-side "index metadata"). At 100 TB this is the
+    * point of IVF: a query batch reads ONLY its probed list partitions
+    * (classic IVF pruning, expressed as Spark partition pruning). */
+  def ivfWrite(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+               nlist: Int = 16, trainIters: Int = 0): Seq[Array[Double]] = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val cents =
+      if (trainIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else seedCentroids(c, nlist)
+    c.withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    cents
+  }
+
+  /** Search a materialized IVF index: the scan filter `list_id IN
+    * (probed lists)` hits the partition columns, so only nprobe
+    * partitions of the corpus are read (`PartitionFilters` in the plan —
+    * asserted in ScaleFeaturesSpec). Results are identical to the
+    * in-memory `ivfTopK` with the same centroids. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                         cents: Seq[Array[Double]], queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nprobe: Int = 4): DataFrame = {
+    val q = probes(queries, idCol, vecCol, cents, nprobe)
+    // the probed-list set is tiny (≤ nlist ints): collect it so the IN
+    // filter is a literal and prunes partitions at planning time
+    val probedLists = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists: _*))
+    rankProbedLists(assigned, q, k)
   }
 
   /** LSH-bucketed ANN top-k with 1-bit multi-probe. Same output shape as

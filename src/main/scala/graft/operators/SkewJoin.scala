@@ -28,13 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Skew-probe policy when no `hotKeys` are supplied: `Detect` runs the
+    * sample + collect probe (two small extra jobs); `None` skips it and
+    * plans the plain join — for callers that KNOW the data isn't skewed
+    * and want zero probe overhead. Supplied `hotKeys` always win. */
+  sealed trait Probe
+  case object Detect extends Probe
+  case object NoProbe extends Probe
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int = 8,
                  hotKeys: Seq[Any] = Nil,
                  sampleFraction: Double = 0.01,
-                 hotShare: Double = 0.05): DataFrame = {
+                 hotShare: Double = 0.05,
+                 probe: Probe = Detect): DataFrame = {
     val hot: Seq[Any] =
       if (hotKeys.nonEmpty) hotKeys
+      else if (probe == NoProbe) Nil
       else {
         // Deterministic seed: re-runs pick the same hot set. Correctness
         // never depends on the estimate — both paths emit identical rows —

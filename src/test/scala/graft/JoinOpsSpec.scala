@@ -60,6 +60,12 @@ class JoinOpsSpec extends SparkSpec {
       .groupBy("p_brand").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     assert(plain == salted)
+    // NoProbe skips the sampling jobs and must plan the plain join
+    val noProbe = SkewJoin.saltedJoin(li, p, "l_partkey", "p_partkey",
+      probe = SkewJoin.NoProbe)
+    assert(!noProbe.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(noProbe.groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap == plain)
   }
 
   test("saltedJoin on a deliberately skewed key matches the plain join") {

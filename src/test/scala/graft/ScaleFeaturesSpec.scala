@@ -33,6 +33,28 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.size == 10)
   }
 
+  test("materialized IVF index prunes to the probed list partitions") {
+    val dir = sf("sf0.001")
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val idx = tmpDir("graft-ivf-idx")
+    val cents = Similarity.ivfWrite(e, "vec_id", "embedding", idx, nlist = 16)
+    val part = Similarity.ivfTopKPartitioned(spark, idx, cents, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    // the scan must prune on the partition column, not read-and-filter
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in:\n$plan")
+    // identical results to the in-memory operator with the same centroids
+    val mem = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(part.as[(Long, Long, Double, Long)].collect().toSet == mem)
+    // fewer than all partitions actually read
+    val probed = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    info(probed.trim.take(120))
+  }
+
   test("k-means IVF: trained centroids keep recall@k vs brute force") {
     val dir = sf("sf0.001")
     val e = Tables.load(spark, dir, "embeddings")
