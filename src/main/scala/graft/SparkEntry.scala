@@ -418,6 +418,23 @@ object SparkEntry {
         bands = 16, rowsPerBand = 2, threshold = 0.35))
     }),
 
+    // Incremental dedup against a persisted LSH index (the continuous-
+    // ingestion shape): index the "historical" 90% once, then the "new"
+    // 10% batch joins its banded keys against the index — corpus
+    // signatures are never recomputed. Oracle = exact cross Jaccard
+    // pairs between the two splits (same empirical-recall caveat as q31).
+    "q81_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-mh-idx").resolve("index").toString
+      Dedup.writeMinhashIndex(old, "text", "doc_id", idx,
+        bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.incrementalPairs(s, fresh, old, "text", "doc_id", idx,
+        bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35)
+    }),
+
     // Same resolution through large-star/small-star contraction
     // (O(log n) rounds vs O(diameter)) — same clusters, same oracle
     // shape, so the alternative algorithm is hash-checked too.
@@ -488,6 +505,19 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // int8 scalar quantization of the embeddings: per-vector stats over
+    // the quantized codes (sums/norms are order-independent integers, so
+    // the oracle mirrors the exact double math without list-order risk).
+    "q82_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          size(col("v")).cast("long").as("n_dims"),
+          round(col("scale"), 6).as("scale"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + (x * x).cast("long"))
+            .as("q_norm2"))
     }),
 
     // IVF with k-means-trained centroids: two DataFrame-native Lloyd's
@@ -1064,6 +1094,16 @@ object SparkEntry {
           |  min(id) AS survivor_id
           |FROM clusters GROUP BY cluster_id""".stripMargin),
 
+    // cross-split projection of the exact-Jaccard pairs: one side new
+    // (doc_id % 10 = 0), the other indexed
+    "q81_dedup_incremental" ->
+      ("WITH " + JaccardCtes(0.35) + """
+        |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS old_id,
+        |  jaccard
+        |FROM jpairs
+        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin),
+
     // star contraction computes the same components as label propagation;
     // the recursive-CTE oracle is identical to q37's
     "q78_dedup_resolve_star" ->
@@ -1171,6 +1211,27 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
         |  WHERE p.query_id <> a.vec_id),
         |""".stripMargin + CosineRankTail),
+
+    // identical quantization math: max|x| in double, 127/am, round-half-up
+    // via floor(x*scale + 0.5), clamp, then order-independent integer sums
+    "q82_embed_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding AS v,
+        |    (SELECT max(abs(CAST(x AS DOUBLE)))
+        |     FROM (SELECT unnest(embedding) AS x)) AS am
+        |  FROM embeddings),
+        |sc2 AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS scale
+        |  FROM sc),
+        |qx AS (
+        |  SELECT s.vec_id, s.scale, len(s.v) AS n,
+        |    least(127, greatest(-127,
+        |      CAST(floor(CAST(t.x AS DOUBLE) * s.scale + 0.5) AS BIGINT))) AS q
+        |  FROM sc2 s, LATERAL (SELECT unnest(s.v) AS x) t)
+        |SELECT vec_id, CAST(n AS BIGINT) AS n_dims, round(scale, 6) AS scale,
+        |  CAST(sum(q) AS BIGINT) AS q_sum, CAST(sum(q * q) AS BIGINT) AS q_norm2
+        |FROM qx GROUP BY vec_id, n, scale""".stripMargin,
 
     // two unrolled Lloyd's iterations (cents0 = the q38 seed, widened to
     // double like the Spark side), then the q38 search shape under the

@@ -45,26 +45,28 @@ object Dedup {
     *
     * Returns columns: id_a, id_b, jaccard (id_a < id_b, distinct pairs).
     */
+  /** Banded LSH keys: one (id, band, bh) row per document band, computed
+    * in ONE scan-side pass per row (MinHashSigExpr) — no explode of the
+    * shingle set, no shuffle, no k-column aggregate; band hashes fold
+    * scan-side so only ids and two 8-byte keys ever move. */
+  private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                               bands: Int, rowsPerBand: Int,
+                               shingleN: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      graft.expressions.SignatureExprs.minhashSig(col(textCol), shingleN, k).as("sig"))
+    sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*)).as(Seq("band", "bh")))
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bands: Int = 8, rowsPerBand: Int = 4,
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
-    // Signatures in ONE scan-side pass per row (MinHashSigExpr): no
-    // explode, no shuffle, no k-column aggregate. Round 1's explode +
-    // grouped-min shape was correct but its (id, k longs) partial
-    // aggregate dominated the driver bench under memory pressure.
-    val sigs = df.select(col(idCol).as("id"),
-      graft.expressions.SignatureExprs.minhashSig(col(textCol), shingleN, k).as("sig"))
-
-    // Band keys: one row per (doc, band) — ids only. The signature array
-    // must NOT ride the candidate-generation shuffle: band hashes are
-    // folded scan-side and only (id, band, bh) moves.
-    val banded = sigs.select(col("id"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1)): _*)
-        }: _*)).as(Seq("band", "bh")))
+    val banded = bandedSignatures(df, textCol, idCol, bands, rowsPerBand, shingleN)
 
     // Materialize the (small) candidate set: it feeds three downstream
     // branches (pairs + both shingle re-joins); without truncating lineage
@@ -308,6 +310,51 @@ object Dedup {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Materialize a MinHash LSH index of the corpus: the banded
+    * (id, band, bh) keys written partitioned by band. This is the
+    * production shape for CONTINUOUS ingestion at 100 TB: index the
+    * historical corpus once, then each new batch joins its own banded
+    * keys against the index instead of re-pairing the full corpus —
+    * incremental cost is proportional to the batch, not the corpus. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, bands: Int = 16, rowsPerBand: Int = 2,
+                        shingleN: Int = 3): Unit =
+    bandedSignatures(df, textCol, idCol, bands, rowsPerBand, shingleN)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Near-dup pairs between a NEW batch and an indexed historical corpus:
+    * candidates come from joining the batch's banded keys against the
+    * index on (band, bh) — the corpus side never recomputes signatures —
+    * then exact-Jaccard verification joins only the candidate ids' texts
+    * (point lookups on both sides). Band settings MUST match the ones the
+    * index was written with. Returns (new_id, old_id, jaccard). */
+  def incrementalPairs(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String, indexPath: String,
+                       bands: Int = 16, rowsPerBand: Int = 2,
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val newBanded = bandedSignatures(newDocs, textCol, idCol, bands, rowsPerBand, shingleN)
+    val idx = spark.read.parquet(indexPath).withColumnRenamed("id", "old_id")
+    val candidates = cut(newBanded.join(idx, Seq("band", "bh"))
+      .filter(col("id") =!= col("old_id"))
+      .select(col("id").as("new_id"), col("old_id")).distinct())
+
+    def shinglesOf(src: DataFrame, ids: DataFrame, as: String) =
+      src.select(col(idCol).as(as), col(textCol).as("__txt"))
+        .join(ids, Seq(as), "left_semi")
+        .select(col(as), TextAnalysis.shingles(col("__txt"), shingleN).as(s"sh_$as"))
+
+    val newSh = shinglesOf(newDocs, candidates.select("new_id").distinct(), "new_id")
+    val oldSh = shinglesOf(corpus, candidates.select("old_id").distinct(), "old_id")
+    candidates
+      .join(newSh, Seq("new_id")).join(oldSh, Seq("old_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_new_id"), col("sh_old_id"))).cast("double") /
+          size(array_union(col("sh_new_id"), col("sh_old_id"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
   }
 
   /** Benchmark decontamination: flag corpus documents that share at least

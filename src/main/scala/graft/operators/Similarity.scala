@@ -208,6 +208,24 @@ object Similarity {
     rankProbedLists(assigned, q, k)
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * symmetric scale `127 / max|x|`, elements mapped with round-half-up
+    * (`floor(x*scale + 0.5)`, the formulation both engines implement
+    * identically) and clamped to [-127, 127]. At 100 TB this is the
+    * standard 4x memory/shuffle reduction for ANN: integer dot products
+    * over `qv` recover cosines to ~1e-2, and a production sink stores the
+    * elements as TINYINT. Returns (vec_id, v, scale, qv). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val absmax = aggregate(col("v"), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    base.withColumn("scale",
+        when(absmax > 0.0d, lit(127.0d) / absmax).otherwise(lit(0.0d)))
+      .withColumn("qv", transform(col("v"), x =>
+        least(lit(127), greatest(lit(-127),
+          floor(x.cast("double") * col("scale") + lit(0.5d)).cast("int")))))
+  }
+
   /** LSH-bucketed ANN top-k with 1-bit multi-probe. Same output shape as
     * bruteForceTopK; recall < 1.0 by construction, bounded work per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -33,6 +33,36 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.size == 10)
   }
 
+  test("int8 quantization: reconstruction error bounded by half a step") {
+    val e = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val rows = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .select("v", "scale", "qv")
+      .as[(Array[Float], Double, Array[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, scale, qv) =>
+      assert(v.length == qv.length)
+      assert(qv.forall(q => q >= -127 && q <= 127))
+      if (scale > 0) v.zip(qv).foreach { case (x, q) =>
+        // |x - q/scale| <= 0.5/scale: round-half-up never clamps here
+        // because scale maps max|x| exactly to ±127
+        assert(math.abs(x.toDouble - q / scale) <= 0.5 / scale + 1e-12,
+          s"x=$x q=$q scale=$scale")
+      }
+    }
+    // quantized cosines track exact cosines closely (the ANN use case)
+    val q = rows.take(20)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n > 0) d / n else 0.0
+    }
+    for (i <- q.indices; j <- 0 until i) {
+      val exact = cos(q(i)._1.map(_.toDouble), q(j)._1.map(_.toDouble))
+      val approx = cos(q(i)._3.map(_.toDouble), q(j)._3.map(_.toDouble))
+      assert(math.abs(exact - approx) < 0.02, s"pair ($i,$j): $exact vs $approx")
+    }
+  }
+
   test("materialized IVF index prunes to the probed list partitions") {
     val dir = sf("sf0.001")
     val e = Tables.load(spark, dir, "embeddings")
