@@ -320,9 +320,33 @@ object Dedup {
     * incremental cost is proportional to the batch, not the corpus. */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, bands: Int = 16, rowsPerBand: Int = 2,
-                        shingleN: Int = 3): Unit =
-    bandedSignatures(df, textCol, idCol, bands, rowsPerBand, shingleN)
+                        shingleN: Int = 3, maxBucket: Int = 1000): Unit = {
+    val banded = bandedSignatures(df, textCol, idCol, bands, rowsPerBand, shingleN)
+    // same stop-shingle skew cap as the pairing path, applied at WRITE
+    // time: an uncapped boilerplate bucket would explode every future
+    // batch join against the index. Dropped rows are counted
+    // (Dedup.bucketStats("graft.dedup.index.buckets")), never silent.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val counted = banded.withColumn("__bn", count(lit(1)).over(w))
+    val statsEnabled = df.sparkSession.conf
+      .getOption("spark.graft.bucketStats.enabled").forall(_.toBoolean)
+    if (statsEnabled) {
+      val s = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__bn"))
+        .agg(
+          coalesce(sum(when(col("__bn") > maxBucket, col("__bn"))
+            .otherwise(lit(0L))), lit(0L)).as("dropped"),
+          coalesce(max(col("__bn")), lit(0L)).as("maxb"))
+        .head()
+      val stats = BucketStats(s.getLong(0), s.getLong(1))
+      bucketStatsRegistry.put("graft.dedup.index.buckets", stats)
+      if (stats.droppedRows > 0)
+        System.err.println(s"[graft.dedup.index.buckets] skew cap dropped " +
+          s"${stats.droppedRows} rows (largest bucket ${stats.maxBucketSize})")
+    }
+    counted.filter(col("__bn") <= maxBucket).drop("__bn")
       .write.mode("overwrite").partitionBy("band").parquet(path)
+  }
 
   /** Near-dup pairs between a NEW batch and an indexed historical corpus:
     * candidates come from joining the batch's banded keys against the
