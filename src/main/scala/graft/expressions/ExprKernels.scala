@@ -158,6 +158,55 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** DotPairExpr kernel: HOF-parity dot product — for float arrays each
+    * product is computed IN FLOAT then widened (exactly what
+    * `aggregate(zip_with(a, b, _ * _), 0.0d, _ + _)` evaluates, and what
+    * the DuckDB oracles mirror as `sum(CAST(x * y AS DOUBLE))`); double
+    * arrays multiply in double. Fails fast on length mismatch. */
+  def dotPair(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"dot: vectors have ${n} and ${b.numElements()} dims")
+    var dot = 0.0
+    var i = 0
+    if (aFloat && bFloat) {
+      // both float: product in FLOAT then widened — zip_with parity
+      while (i < n) { dot += (a.getFloat(i) * b.getFloat(i)).toDouble; i += 1 }
+    } else {
+      // mixed or double: the implicit cast promoted floats to double
+      // BEFORE the multiply — widen per side, multiply in double
+      while (i < n) {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+    }
+    dot
+  }
+
+  /** CosinePairExpr kernel: dot / (norm * norm); each side's norm uses
+    * that side's own product semantics (float side: float squares widened
+    * after the multiply — exactly `sqrt(dot(x, x))` of the HOF form);
+    * 0.0 when either norm is zero. */
+  def cosinePair(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"cosine: vectors have ${n} and ${b.numElements()} dims")
+    val dot = dotPair(a, b, aFloat, bFloat)
+    var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (aFloat) { val x = a.getFloat(i); na += (x * x).toDouble }
+      else { val x = a.getDouble(i); na += x * x }
+      if (bFloat) { val y = b.getFloat(i); nb += (y * y).toDouble }
+      else { val y = b.getDouble(i); nb += y * y }
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
   /** SignBitsExpr kernel: bit i set iff element i >= 0 (first 64). */
   def signBits(arr: ArrayData): Long = {
     var bits = 0L

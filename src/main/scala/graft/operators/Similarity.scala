@@ -22,18 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (double accumulator). */
+  /** Dot product of two float-array columns (double accumulator, float
+    * products widened AFTER the float multiply — HOF/oracle parity).
+    * Backed by a codegen'd expression: the former
+    * `aggregate(zip_with(...))` higher-order chain evaluated an
+    * interpreted lambda per element per candidate pair — the ANN
+    * verification hot path. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.expressions.PairMathExprs.dotPair(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0d))
-  }
+  /** Cosine similarity; 0 when either vector is all-zero. Codegen'd
+    * one-pass expression (same math as the composed HOF form). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.PairMathExprs.cosinePair(a, b)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim
     * index): splitmix64 finalizer (public-domain mixing constants) mapped
