@@ -162,6 +162,44 @@ object IncrementalLoad {
     * Spark analog of co-located storage. At 100 TB, bucketing the big fact
     * on its join key removes the dominant repeated shuffle from the
     * workload (pay it once at ingest). */
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(bytes / targetFileBytes) files and atomically swap it into
+    * place (stage + rename through the target's filesystem — readers
+    * never observe a partial rewrite). The operational counterpart of
+    * `appendNew`: every incremental append adds files, and at 100 TB an
+    * uncompacted table turns scans into a small-file metadata storm.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val (fs, target) = fsFor(spark, path)
+    require(fs.exists(target), s"compact: no table at $path")
+    def parquetFiles(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(target)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val parent = Option(target.getParent).getOrElse(target)
+    val stage = new HPath(parent, s".compact-staging-${System.nanoTime()}")
+    val old = new HPath(parent, s".compact-old-${System.nanoTime()}")
+    try {
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode("overwrite").parquet(stage.toString)
+      val after = parquetFiles(stage).length.toLong
+      mv(fs, target, old, "compact move-aside")
+      try mv(fs, stage, target, "compact swap-in")
+      catch { case NonFatal(e) => mv(fs, old, target, "compact restore"); throw e }
+      fs.delete(old, true)
+      (before.length.toLong, after)
+    } finally fs.delete(stage, true)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")

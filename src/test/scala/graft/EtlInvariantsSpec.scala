@@ -143,6 +143,25 @@ class EtlInvariantsSpec extends SparkSpec {
     assert(n3 == 1 && spark.read.parquet(s"$target/t").count() == 3)
   }
 
+  test("compaction merges append-accumulated small files, content unchanged") {
+    val target = s"${tmpDir("compact")}/t"
+    // 30 appends -> at least 30 files
+    (1L to 30L).foreach { i =>
+      IncrementalLoad.appendNew(spark,
+        Seq((i, s"row$i")).toDF("id", "v"), target, Seq("id"))
+    }
+    val beforeRows = spark.read.parquet(target)
+      .as[(Long, String)].collect().toSet
+    val (nBefore, nAfter) = IncrementalLoad.compact(spark, target,
+      targetFileBytes = 1L << 30)
+    assert(nBefore >= 30 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    val afterRows = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    assert(afterRows == beforeRows)
+    // still appendable and idempotent afterwards
+    assert(IncrementalLoad.appendNew(spark,
+      Seq((1L, "row1")).toDF("id", "v"), target, Seq("id")) == 0)
+  }
+
   test("invariant 4: atomic publish — failure leaves published tree untouched") {
     val root = tmpDir("atomic")
     val good = Seq((1, "x")).toDF("id", "v")
