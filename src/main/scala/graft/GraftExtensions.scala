@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{MinHashSigExpr, ShingleExpr, SimHashExpr}
+import graft.expressions.{CosinePairExpr, DotPairExpr, MinHashSigExpr, ShingleExpr, SimHashExpr, TopGramStatsExpr}
 
 /** SparkSessionExtensions registration for the engine's custom Catalyst
   * expressions, making them first-class SQL functions:
@@ -46,6 +46,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         requireArgs(args, 2, "simhash")
         SimHashExpr(args.head, litInt(args(1), "simhash"))
+      }))
+    // SELECT top_gram_stats(text, 2) -> array(total_windows, top_count)
+    ext.injectFunction((FunctionIdentifier("top_gram_stats"),
+      new ExpressionInfo(classOf[TopGramStatsExpr].getName, "top_gram_stats"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "top_gram_stats")
+        TopGramStatsExpr(args.head, litInt(args(1), "top_gram_stats"))
+      }))
+    // SELECT cosine_pair(emb_a, emb_b) / dot_pair(emb_a, emb_b)
+    ext.injectFunction((FunctionIdentifier("cosine_pair"),
+      new ExpressionInfo(classOf[CosinePairExpr].getName, "cosine_pair"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "cosine_pair")
+        CosinePairExpr(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("dot_pair"),
+      new ExpressionInfo(classOf[DotPairExpr].getName, "dot_pair"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "dot_pair")
+        DotPairExpr(args.head, args(1))
       }))
   }
 

@@ -126,6 +126,18 @@ class OperatorsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT shingles(text, doc_id) FROM docs_ext").collect()
     }
+    // round-3 additions: repetition stats and vector pair math in SQL
+    val tg = spark.sql(
+      "SELECT doc_id, top_gram_stats(text, 2) AS st FROM docs_ext")
+      .as[(Long, Seq[Long])].collect()
+    assert(tg.forall(_._2.length == 2))
+    val cp = spark.sql(
+      """SELECT cosine_pair(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       dot_pair(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(cp == ((1.0, 23.0)))
   }
 
   private val vecs = Seq(
