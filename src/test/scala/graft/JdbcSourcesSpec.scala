@@ -35,6 +35,30 @@ class JdbcSourcesSpec extends SparkSpec {
     assert(all.select(sum($"score")).as[Double].head() == 100.0)
   }
 
+  test("transactional multi-table append is all-or-nothing (main.py:173-195)") {
+    val facts = Seq((1L, 10.0), (2L, 20.0)).toDF("fid", "amount")
+    val dims = Seq((7L, "dim7")).toDF("did", "name")
+    // first load creates both tables inside one transaction
+    val n1 = JdbcSources.transactionalAppendAll(spark, url, Map(
+      "tfacts" -> ((facts, Seq("fid"))), "tdims" -> ((dims, Seq("did")))))
+    assert(n1 == Map("tfacts" -> 2L, "tdims" -> 1L))
+    // re-run: idempotent on every table
+    val n2 = JdbcSources.transactionalAppendAll(spark, url, Map(
+      "tfacts" -> ((facts, Seq("fid"))), "tdims" -> ((dims, Seq("did")))))
+    assert(n2 == Map("tfacts" -> 0L, "tdims" -> 0L))
+    // a failing member (schema mismatch vs existing target) rolls back the
+    // OTHER table's insert too — the published state never half-moves
+    val newFacts = Seq((3L, 30.0)).toDF("fid", "amount")
+    val badDims = Seq((8L, "x", 1L)).toDF("did", "name", "extra_col")
+    intercept[Exception] {
+      JdbcSources.transactionalAppendAll(spark, url, Map(
+        "tfacts" -> ((newFacts, Seq("fid"))), "tdims" -> ((badDims, Seq("did")))))
+    }
+    assert(JdbcSources.readTable(spark, url, "tfacts").count() == 2,
+      "fact insert rolled back with the failing dim")
+    assert(JdbcSources.readTable(spark, url, "tdims").count() == 1)
+  }
+
   test("readKeys ships only the key columns; partitioned read fans out") {
     JdbcSources.appendNew(spark, base, url, "dims", Seq("id"))
     val keys = JdbcSources.readKeys(spark, url, "dims", Seq("id"))
