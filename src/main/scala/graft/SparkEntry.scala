@@ -418,6 +418,19 @@ object SparkEntry {
         bands = 16, rowsPerBand = 2, threshold = 0.35))
     }),
 
+    // The COMPLETE corpus-preparation pipeline in one call (quality →
+    // repetition → exact dedup → per-source cap → PII scrub), reduced to
+    // per-source stats so the oracle replays every stage.
+    "q83_corpus_prepare" -> ((s, dir) => {
+      operators.CorpusPipeline.prepare(t(s, dir, "documents"),
+          "text", "doc_id", "source",
+          minTokens = 10, maxTopShare = 0.2, perSourceCap = 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("clean_text")).cast("long")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // Incremental dedup against a persisted LSH index (the continuous-
     // ingestion shape): index the "historical" 90% once, then the "new"
     // 10% batch joins its banded keys against the index — corpus
@@ -1093,6 +1106,39 @@ object SparkEntry {
           |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
           |  min(id) AS survivor_id
           |FROM clusters GROUP BY cluster_id""".stripMargin),
+
+    // every pipeline stage replayed: token floor, unrounded top-bigram
+    // share, md5 keep-first dedup, md5-ordered per-source cap, PII chain
+    "q83_corpus_prepare" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |bg AS (
+        |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM q) d,
+        |       LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t),
+        |rep AS (
+        |  SELECT doc_id FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id HAVING CAST(max(c) AS DOUBLE) / sum(c) <= 0.2),
+        |kept AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
+        |dd AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT * FROM (SELECT doc_id, source, text, row_number() OVER (
+        |      PARTITION BY source ORDER BY md5(text), doc_id) AS rk FROM dd)
+        |  WHERE rk <= 50),
+        |fin AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS ct
+        |  FROM capped)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(ct)) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
+        |FROM fin GROUP BY source""".stripMargin,
 
     // cross-split projection of the exact-Jaccard pairs: one side new
     // (doc_id % 10 = 0), the other indexed
