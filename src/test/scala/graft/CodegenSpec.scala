@@ -36,7 +36,8 @@ class CodegenSpec extends SparkSpec {
     SignatureExprs.minhashSig($"text", 3, 8).as("mh"),
     SignatureExprs.simhash($"text", 3).as("sh"),
     ShingleExpr.shingles($"text", 2).as("sg"),
-    ShingleExpr.shinglesAll($"text", 2).as("sga"))
+    ShingleExpr.shinglesAll($"text", 2).as("sga"),
+    ShingleExpr.topGramStats($"text", 2).as("tg"))
 
   private def cosQuery: DataFrame = {
     val cos = CosinesExpr.cosines($"emb", planes)
@@ -45,7 +46,9 @@ class CodegenSpec extends SparkSpec {
       cos.as("cs"),
       CosinesExpr.signBits(cos).as("bits"),
       CosinesExpr.argMax(cos).as("am"),
-      CosinesExpr.topKIndices(cos, 2).as("tk"))
+      CosinesExpr.topKIndices(cos, 2).as("tk"),
+      graft.expressions.PairMathExprs.cosinePair($"emb", $"emb").as("cp"),
+      graft.expressions.PairMathExprs.dotPair($"emb", $"emb").as("dp"))
   }
 
   test("generated code calls ExprKernels directly (no CodegenFallback)") {
@@ -60,10 +63,13 @@ class CodegenSpec extends SparkSpec {
     assert(sigCode.contains("ExprKernels.minhashSig"))
     assert(sigCode.contains("ExprKernels.simhash"))
     assert(sigCode.contains("ExprKernels.shingles"))
+    assert(sigCode.contains("ExprKernels.topGramStats"))
     assert(cosCode.contains("ExprKernels.cosines"))
     assert(cosCode.contains("ExprKernels.signBits"))
     assert(cosCode.contains("ExprKernels.argMax"))
     assert(cosCode.contains("ExprKernels.topKIndices"))
+    assert(cosCode.contains("ExprKernels.cosinePair"))
+    assert(cosCode.contains("ExprKernels.dotPair"))
     // CodegenFallback emits `((Expression) references[i]).eval(` — absent now
     Seq(sigCode, cosCode).foreach { code =>
       assert(!code.contains(").eval("), "fallback eval dispatch in generated code")
