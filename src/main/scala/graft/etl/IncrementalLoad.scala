@@ -185,12 +185,36 @@ object IncrementalLoad {
     val before = parquetFiles(target)
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // Hive-style partition columns must survive the rewrite: re-derive
+    // them from the `col=value` directory names and re-apply partitionBy,
+    // or a partitioned table would silently flatten and lose pruning.
+    val partCols: Seq[String] = {
+      def dirsOf(p: HPath): Seq[String] = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName.takeWhile(_ != '='))
+      var cols = Vector.empty[String]
+      var cur = target
+      var level = dirsOf(cur)
+      while (level.nonEmpty) {
+        cols :+= level.head
+        cur = fs.listStatus(cur).toSeq
+          .find(s => s.isDirectory && s.getPath.getName.contains("=")).get.getPath
+        level = dirsOf(cur)
+      }
+      cols
+    }
     val parent = Option(target.getParent).getOrElse(target)
     val stage = new HPath(parent, s".compact-staging-${System.nanoTime()}")
     val old = new HPath(parent, s".compact-old-${System.nanoTime()}")
     try {
-      spark.read.parquet(path).repartition(nFiles)
-        .write.mode("overwrite").parquet(stage.toString)
+      val df = spark.read.parquet(path)
+      // partitioned tables cluster on the partition columns so each
+      // partition dir compacts to coherent files instead of nFiles shards
+      val re = if (partCols.nonEmpty) df.repartition(nFiles, partCols.map(col): _*)
+               else df.repartition(nFiles)
+      val w = re.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(stage.toString)
       val after = parquetFiles(stage).length.toLong
       mv(fs, target, old, "compact move-aside")
       try mv(fs, stage, target, "compact swap-in")

@@ -72,20 +72,29 @@ object JdbcSources {
                              options: Map[String, String] = Map.empty): Map[String, Long] = {
     require(tables.nonEmpty, "transactionalAppendAll: no tables")
     val tag = math.abs(System.nanoTime() % 1000000000L)
-    // stage phase: distributed writes, one staging table per target
-    val staged = tables.map { case (table, (incoming, key)) =>
-      val exists =
-        try { spark.read.jdbc(url, table, props(options)).schema; true }
-        catch { case _: Exception => false }
-      val fresh =
-        if (exists)
-          graft.etl.IncrementalLoad.newRowsOnly(incoming,
-            readKeys(spark, url, table, key, options = options), key)
-        else incoming
-      val stagingTable = s"${table}_stg_$tag"
-      fresh.write.mode("overwrite").jdbc(url, stagingTable, props(options))
-      (table, stagingTable, fresh.columns.toSeq, exists)
-    }
+    // stage phase: distributed writes, one staging table per target. On a
+    // mid-stage failure, drop the staging tables already written — they
+    // must not leak into the target schema.
+    val stagedSoFar = scala.collection.mutable.ListBuffer.empty[String]
+    val staged =
+      try tables.map { case (table, (incoming, key)) =>
+        val exists =
+          try { spark.read.jdbc(url, table, props(options)).schema; true }
+          catch { case _: Exception => false }
+        val fresh =
+          if (exists)
+            graft.etl.IncrementalLoad.newRowsOnly(incoming,
+              readKeys(spark, url, table, key, options = options), key)
+          else incoming
+        val stagingTable = s"${table}_stg_$tag"
+        fresh.write.mode("overwrite").jdbc(url, stagingTable, props(options))
+        stagedSoFar += stagingTable
+        (table, stagingTable, fresh.columns.toSeq, exists)
+      } catch {
+        case e: Throwable =>
+          dropTables(url, options, stagedSoFar.toSeq)
+          throw e
+      }
     // publish phase: ONE transaction over a single driver connection
     val conn = java.sql.DriverManager.getConnection(url, props(options))
     try {
@@ -119,6 +128,18 @@ object JdbcSources {
           catch { case _: Exception => () } finally st.close()
         }
       } finally conn.close()
+    }
+  }
+
+  private def dropTables(url: String, options: Map[String, String],
+                         names: Seq[String]): Unit = {
+    if (names.nonEmpty) {
+      val c = java.sql.DriverManager.getConnection(url, props(options))
+      try names.foreach { n =>
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE $n")
+        catch { case _: Exception => () } finally st.close()
+      } finally c.close()
     }
   }
 

@@ -162,6 +162,30 @@ class EtlInvariantsSpec extends SparkSpec {
       Seq((1L, "row1")).toDF("id", "v"), target, Seq("id")) == 0)
   }
 
+  test("compaction preserves a partitioned table's layout and pruning") {
+    val target = s"${tmpDir("compactp")}/t"
+    // several small writes into a year-partitioned table
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, java.sql.Date.valueOf(s"202${4 + i % 2}-01-0${i + 1}"), s"v$i"))
+        .toDF("id", "fecha", "v")
+        .withColumn("anio", year($"fecha"))
+        .write.mode("append").partitionBy("anio").parquet(target)
+    }
+    val beforeRows = spark.read.parquet(target)
+      .select("id", "v", "anio").as[(Long, String, Int)].collect().toSet
+    val (nBefore, nAfter) = IncrementalLoad.compact(spark, target,
+      targetFileBytes = 1L << 30)
+    assert(nAfter < nBefore)
+    // layout preserved: anio=... dirs still exist and pruning still fires
+    val dirs = new java.io.File(target).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("anio=")).sorted
+    assert(dirs.sameElements(Array("anio=2024", "anio=2025")))
+    val pruned = spark.read.parquet(target).filter($"anio" === 2024)
+    assert(pruned.queryExecution.executedPlan.toString.contains("anio"))
+    assert(spark.read.parquet(target)
+      .select("id", "v", "anio").as[(Long, String, Int)].collect().toSet == beforeRows)
+  }
+
   test("invariant 4: atomic publish — failure leaves published tree untouched") {
     val root = tmpDir("atomic")
     val good = Seq((1, "x")).toDF("id", "v")
