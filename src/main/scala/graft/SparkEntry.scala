@@ -397,6 +397,36 @@ object SparkEntry {
           sum(col("n_nationkey")).as("sum_key"))
     }),
 
+    // ---- change-data-capture / slowly-changing dimensions ----
+
+    // CDC apply: orders re-read as a change log over customer state
+    // (seq = orderkey, latest 'P'-status change deletes the key). The
+    // max(struct) collapse keeps shuffle volume at ~|keys| via map-side
+    // partial aggregation; the oracle replays it as a row_number window.
+    "q84_cdc_apply" -> ((s, dir) => {
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "P", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("priority"))
+      operators.ChangeDataCapture.applyChangeLog(ch, Seq("custkey"), Seq("seq"), "op")
+        .select(col("custkey"), col("seq"), round(col("price"), 2).as("price"),
+          col("priority"))
+    }),
+
+    // SCD Type-2: per-customer order-priority history with half-open
+    // [valid_from, valid_to) validity and is_current on the open run.
+    // Events pre-aggregated to one per (key, day) — max_by on both
+    // engines — because ties in ts would make run boundaries
+    // order-dependent.
+    "q85_scd2_history" -> ((s, dir) => {
+      val ev = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
+      operators.ChangeDataCapture.scd2(ev, Seq("custkey"), "ts", Seq("priority"))
+    }),
+
     // Full SQL surface through Catalyst (same text runs on DuckDB).
     "q99_sql_engine" -> ((s, dir) => Engine.sql(s, dir, SqlQ3)),
 
@@ -1064,6 +1094,36 @@ object SparkEntry {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // seq (= o_orderkey) is unique per key, so the Spark max(struct)
+    // collapse and this row_number window pick the same row.
+    "q84_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |         CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS price, o_orderpriority AS priority
+        |  FROM orders),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT custkey, seq, round(price, 2) AS price, priority
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q85_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |         max_by(o_orderpriority, o_orderkey) AS priority
+        |  FROM orders GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT *, lag(priority) OVER (PARTITION BY custkey ORDER BY ts) AS prev
+        |  FROM ev),
+        |hist AS (
+        |  SELECT custkey, priority, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to
+        |  FROM runs WHERE prev IS NULL OR prev <> priority)
+        |SELECT custkey, priority, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM hist""".stripMargin,
 
     "q67_sql_extensions" ->
       ("WITH " + JaccardCtes(0.0) +
