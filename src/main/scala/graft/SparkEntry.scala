@@ -397,6 +397,30 @@ object SparkEntry {
           sum(col("n_nationkey")).as("sum_key"))
     }),
 
+    // TF-IDF top terms per document over the inverted index (tf shuffle on
+    // (doc,term), df on term, corpus size as a broadcast one-row frame);
+    // rank over the 6dp-rounded score so ordering is engine-portable.
+    "q87_tfidf" -> ((s, dir) => {
+      operators.TextIndex.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+    }),
+
+    // BM25 ranked retrieval for a fixed bag-of-terms query; posting lists
+    // filtered before aggregation, top-k via sort+limit (never a global
+    // window), rank assigned over the k survivors.
+    "q88_bm25" -> ((s, dir) => {
+      operators.TextIndex.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "vector", "stream"), k = 10)
+    }),
+
+    // Blocked fuzzy entity resolution: candidate part-name pairs within
+    // edit distance 3, blocked on the noun (second token) so the self-join
+    // never goes all-pairs. Runs over the 64-value distinct-name dimension,
+    // not the 2000-row fact.
+    "q86_fuzzy_match" -> ((s, dir) => {
+      EntityResolution.fuzzyPairs(t(s, dir, "part"), "p_name",
+        split(col("name"), " ").getItem(1), maxDist = 3)
+    }),
+
     // ---- change-data-capture / slowly-changing dimensions ----
 
     // CDC apply: orders re-read as a change log over customer state
@@ -1094,6 +1118,59 @@ object SparkEntry {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q87_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // k1 = 1.2, b = 0.75: tf*(k1+1) = tf*2.2; k1*(1-b) = 0.3 written as
+    // 1.2*(0.25 + 0.75*dl/avgdl)
+    "q88_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+        |q AS (SELECT unnest(['spark', 'vector', 'stream']) AS term),
+        |hits AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN stats
+        |  JOIN q ON tf.term = q.term
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, round(s, 4) AS score,
+        |    row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+        |  FROM hits)
+        |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q86_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |blk AS (SELECT name, split_part(name, ' ', 2) AS b FROM names)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     // seq (= o_orderkey) is unique per key, so the Spark max(struct)
     // collapse and this row_number window pick the same row.

@@ -50,4 +50,29 @@ object EntityResolution {
     val n = count(lit(1)).over(Window.partitionBy(col(key)))
     df.withColumn(target, when(n > 1, replacement).otherwise(col(target)))
   }
+
+  /** Fuzzy name matching: candidate entity pairs within edit distance
+    * `maxDist`, generated per blocking key (the classic blocked
+    * record-linkage shape — never an all-pairs cross join).
+    *
+    * Resolution runs over the DISTINCT-name dimension: dedupe first, so
+    * fact-table row counts never enter the pair space. The self-join
+    * shuffles on the block key only; pair volume is bounded by
+    * sum(block_size^2), which the caller controls via the blocking
+    * function — at 100 TB the names dimension is still dimension-sized,
+    * and a too-coarse block shows up as one skewed task, not a wrong
+    * answer. `levenshtein` is codegen'd (built-in StringExpressions).
+    */
+  def fuzzyPairs(df: DataFrame, nameCol: String, block: Column,
+                 maxDist: Int): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).na.drop().distinct()
+      .withColumn("blk", block)
+    val a = names.select(col("name").as("name_a"), col("blk"))
+    val b = names.select(col("name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index text scoring: TF-IDF term weighting and BM25 ranked
+  * retrieval over a document corpus — the keyword-search/relevance half of
+  * a training-data pipeline (near-dup removal's sibling: finding, not
+  * removing, related documents).
+  *
+  * Public formulas: smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1, the
+  * sklearn smoothing) and Okapi BM25 (Robertson et al.;
+  * k1 = 1.2, b = 0.75 defaults).
+  *
+  * Scale notes (100 TB):
+  *  - `tokens` is a generate-only projection — no shuffle; tf aggregation
+  *    shuffles on (doc, term) with map-side combine.
+  *  - document frequency is a second aggregation keyed on term; the
+  *    tf x df join shuffles on term — the standard inverted-index build.
+  *    Stop-word-shaped terms skew that shuffle; AQE skew-join handles it,
+  *    or prune df > threshold first (they contribute ~zero idf anyway).
+  *  - BM25 filters to the query's terms BEFORE aggregating, so the tf
+  *    pass touches only posting lists of queried terms; the final top-k
+  *    is sort+limit (TakeOrderedAndProject — never a global window), and
+  *    rank assignment happens on the k surviving rows.
+  *  - corpus-level scalars (N, avgdl) ride along as broadcast one-row
+  *    frames, never driver-side collects.
+  */
+object TextIndex {
+
+  /** Lowercased alphanumeric-run tokenization: one (doc_id, term) row per
+    * token occurrence. ANSI-portable (same regex runs in DuckDB). */
+  def tokens(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Top-k TF-IDF terms per document: (doc_id, term, score, rank).
+    * Ranking is over the ROUNDED score (6dp) with term as tie-break, so
+    * the order is engine-portable, not float-bit-dependent. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = tokens(df, textCol, idCol)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "score", "rank")
+  }
+
+  /** BM25 top-k documents for a bag-of-terms query:
+    * (doc_id, score, rank). score is rounded to 4dp BEFORE ranking (the
+    * per-term sum is float-order-dependent in its last bits; ranking on
+    * the rounded value with doc_id tie-break is engine-portable). */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(df, textCol, idCol)
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    // posting lists of the queried terms only — the filter lands before
+    // the (doc, term) aggregation, so unqueried terms never shuffle
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf: Column = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm: Column = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val hits = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * norm), 4).as("score"))
+    // top-k = sort + limit (TakeOrderedAndProject); the rank window then
+    // runs over k rows, not the corpus
+    val topk = hits.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "score", "rank")
+  }
+}

@@ -212,4 +212,22 @@ class OperatorsSpec extends SparkSpec {
     // hello , world ! x2 -> 5
     assert(n == 5, s"got $n")
   }
+
+  test("fuzzyPairs blocks, dedupes names, bounds edit distance") {
+    val rows = Seq(
+      (1L, "cold anvil"), (2L, "old anvil"), (3L, "red anvil"),
+      (4L, "cold anvil"),                     // duplicate name: no self-pair
+      (5L, "cold widget"), (6L, "gold widget"),
+      (7L, "lonely bolt")                     // alone in its block
+    ).toDF("id", "name")
+    val pairs = graft.etl.EntityResolution.fuzzyPairs(rows, "name",
+        org.apache.spark.sql.functions.split($"name", " ").getItem(1), maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs == Set(
+      ("cold anvil", "old anvil", 1L),
+      ("old anvil", "red anvil", 2L),
+      ("cold widget", "gold widget", 1L)))
+    // "cold anvil" vs "red anvil" is distance 3: excluded by maxDist;
+    // cross-block pairs (anvil vs widget) never generated
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextIndex
+
+/** TF-IDF / BM25 scoring on crafted corpora. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple apple apple banana common common"),
+    (2L, "banana cherry common common"),
+    (3L, "cherry date common common"),
+    (4L, "date elderberry common common")
+  ).toDF("doc_id", "text")
+
+  test("tokens lowercases, splits on non-alnum runs, drops empties") {
+    val toks = TextIndex.tokens(Seq((9L, "  Hello,  WORLD!! x2 ")).toDF("id", "text"),
+      "text", "id").as[(Long, String)].collect().toSeq
+    assert(toks == Seq((9L, "hello"), (9L, "world"), (9L, "x2")))
+  }
+
+  test("tfidf ranks rare repeated terms above ubiquitous ones") {
+    val top = TextIndex.tfidfTopTerms(docs, "text", "doc_id", k = 3)
+      .filter($"doc_id" === 1L).orderBy($"rank")
+      .select("term", "score").as[(String, Double)].collect().toSeq
+    // doc 1: apple tf=3 df=1 -> 3*(ln(5/2)+1) ~ 5.75; common tf=2 df=4 ->
+    // 2*(ln(5/5)+1) = 2.0; banana tf=1 df=2 -> ln(5/3)+1 ~ 1.51
+    assert(top.map(_._1) == Seq("apple", "common", "banana"))
+    assert(math.abs(top.head._2 - 3 * (math.log(5.0 / 2.0) + 1)) < 1e-4)
+    assert(top(1)._2 == 2.0, "ubiquitous term gets idf exactly 1")
+  }
+
+  test("bm25 ranks the doc with more query-term mass first; k bounds output") {
+    val r = TextIndex.bm25TopK(docs, "text", "doc_id", Seq("apple", "banana"), k = 2)
+      .orderBy($"rank").select("doc_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(r.length == 2)
+    assert(r.head == (1L, 1L), s"doc 1 has apple x3 + banana; got $r")
+    assert(r(1) == (2L, 2L), "doc 2 has banana only")
+  }
+
+  test("bm25 top-k plan is sort+limit, not a global window over the corpus") {
+    val plan = TextIndex.bm25TopK(docs, "text", "doc_id", Seq("apple"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+}
