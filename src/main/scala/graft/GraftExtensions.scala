@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{CosinePairExpr, DotPairExpr, MinHashSigExpr, ShingleExpr, SimHashExpr, TopGramStatsExpr}
+import graft.expressions.{CosinePairExpr, DotPairExpr, MinHashSigExpr, ShingleExpr, SimHashExpr, TopGramStatsExpr, ZOrderExpr}
 
 /** SparkSessionExtensions registration for the engine's custom Catalyst
   * expressions, making them first-class SQL functions:
@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         requireArgs(args, 2, "dot_pair")
         DotPairExpr(args.head, args(1))
+      }))
+    // SELECT zorder2(a, b) -> Morton curve value (data-layout key)
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "zorder2")
+        ZOrderExpr(args.head, args(1))
       }))
   }
 

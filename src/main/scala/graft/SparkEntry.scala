@@ -397,6 +397,29 @@ object SparkEntry {
           sum(col("n_nationkey")).as("sum_key"))
     }),
 
+    // Z-order (Morton) curve values — the clustered-layout key. The
+    // codegen'd bit-interleave is hash-checked against an unrolled
+    // 32-term bit-arithmetic oracle, so every bit position is proven.
+    "q89_zorder" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+        etl.DataLayout.zorder(col("p_partkey"), col("p_size")).as("z"))
+    }),
+
+    // Data skipping end to end: write lineitem z-order-clustered by
+    // (l_partkey, l_suppkey) with a per-file min/max manifest, read back
+    // through manifest pruning, aggregate. The oracle is a plain filtered
+    // aggregate over the original table — any file wrongly skipped or
+    // double-read breaks the hash.
+    "q90_zorder_skipping" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-q90")
+      val path = s"$tmp/lineitem_z"
+      etl.DataLayout.writeClustered(s, t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", path, nFiles = 16)
+      etl.DataLayout.readSkipping(s, path, "l_partkey", lo = 100L, hi = 299L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // TF-IDF top terms per document over the inverted index (tf shuffle on
     // (doc,term), df on term, corpus size as a broadcast one-row frame);
     // rank over the 6dp-rounded score so ordering is engine-portable.
@@ -1119,6 +1142,19 @@ object SparkEntry {
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey""".stripMargin,
 
+    "q89_zorder" ->
+      s"""WITH p AS (SELECT p_partkey AS x, CAST(p_size AS BIGINT) AS y FROM part)
+         |SELECT x AS p_partkey, ${ZOrderSql("x", "y")} AS z FROM p""".stripMargin,
+
+    // the Spark side wrote a z-clustered copy + manifest and read it back
+    // through file skipping; identical aggregates prove no file was
+    // wrongly pruned or double-read
+    "q90_zorder_skipping" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 299
+        |GROUP BY l_returnflag""".stripMargin,
+
     "q87_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS term FROM documents,
@@ -1753,6 +1789,14 @@ object SparkEntry {
 
   /** One SQL text, two engines: runs through Catalyst (q99) and as its own
     * DuckDB oracle — the portability proof for SQL users of the engine. */
+  /** Unrolled Morton interleave in ANSI SQL: 32 even-position terms for x
+    * plus 32 odd-position terms for y — all bit positions disjoint, so
+    * plain addition assembles the value. Verifies ZOrderExpr bit by bit. */
+  private def ZOrderSql(x: String, y: String): String =
+    (0 until 32).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   private val SqlQ3: String =
     """SELECT l_orderkey,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

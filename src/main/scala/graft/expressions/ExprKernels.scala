@@ -255,4 +255,20 @@ object ExprKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** ZOrderExpr kernel: Morton interleave of the low 32 bits of x (even
+    * bit positions) and y (odd positions). Bit spread via the public
+    * binary-magic-numbers sequence (Stanford Bit Twiddling Hacks). */
+  def zorder2(x: Long, y: Long): Long =
+    spreadBits(x & 0xFFFFFFFFL) | (spreadBits(y & 0xFFFFFFFFL) << 1)
+
+  private def spreadBits(v: Long): Long = {
+    var x = v
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
 }

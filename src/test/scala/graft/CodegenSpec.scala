@@ -37,7 +37,8 @@ class CodegenSpec extends SparkSpec {
     SignatureExprs.simhash($"text", 3).as("sh"),
     ShingleExpr.shingles($"text", 2).as("sg"),
     ShingleExpr.shinglesAll($"text", 2).as("sga"),
-    ShingleExpr.topGramStats($"text", 2).as("tg"))
+    ShingleExpr.topGramStats($"text", 2).as("tg"),
+    graft.etl.DataLayout.zorder($"id", length($"text")).as("z"))
 
   private def cosQuery: DataFrame = {
     val cos = CosinesExpr.cosines($"emb", planes)
@@ -64,6 +65,7 @@ class CodegenSpec extends SparkSpec {
     assert(sigCode.contains("ExprKernels.simhash"))
     assert(sigCode.contains("ExprKernels.shingles"))
     assert(sigCode.contains("ExprKernels.topGramStats"))
+    assert(sigCode.contains("ExprKernels.zorder2"))
     assert(cosCode.contains("ExprKernels.cosines"))
     assert(cosCode.contains("ExprKernels.signBits"))
     assert(cosCode.contains("ExprKernels.argMax"))
