@@ -621,6 +621,16 @@ object SparkEntry {
         "embedding", k = 10, nlist = 16, nprobe = 4, trainIters = 2)
     }),
 
+    // Semantic dedup (SemDeDup shape): k-means clusters confine the
+    // pairwise-cosine comparison, then any vector with a smaller-id
+    // near-duplicate (cosine >= 0.38) in its cluster is marked dropped.
+    // The oracle replays the full pipeline — both Lloyd's iterations,
+    // assignment, within-cluster pairs — as unrolled CTEs.
+    "q91_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, trainIters = 2, tau = 0.38)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1490,6 +1500,55 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
         |  WHERE p.query_id <> a.vec_id),
         |""".stripMargin + CosineRankTail),
+
+    // same training/assignment CTEs as q77, then within-cluster pairs;
+    // cosine math mirrors cosinePair's both-float path (multiply in
+    // float, widen after: CAST(x * y AS DOUBLE))
+    "q91_semantic_dedup" ->
+      ("""WITH cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |""".stripMargin +
+        KmeansIterCtes(0) + ",\n" + KmeansIterCtes(1) + ",\n" +
+        """fasn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * y)
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(y * y) FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents2 c2),
+        |fasn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM fasn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM fasn2) WHERE rn = 1),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+        |simdrop AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT p.id_b,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(ea.embedding) AS x, unnest(eb.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE))
+        |       FROM (SELECT unnest(ea.embedding) AS x)) AS na,
+        |      (SELECT sum(CAST(y * y AS DOUBLE))
+        |       FROM (SELECT unnest(eb.embedding) AS y)) AS nb
+        |    FROM prs p
+        |    JOIN embeddings ea ON ea.vec_id = p.id_a
+        |    JOIN embeddings eb ON eb.vec_id = p.id_b)
+        |  WHERE round(CASE WHEN sqrt(na) * sqrt(nb) > 0
+        |                   THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) >= 0.38)
+        |SELECT a.vec_id, a.list_id, (d.id_b IS NOT NULL) AS dropped
+        |FROM assigned a LEFT JOIN simdrop d ON a.vec_id = d.id_b""".stripMargin),
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

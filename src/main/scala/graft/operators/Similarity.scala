@@ -254,4 +254,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
   }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * cluster the embedding space with k-means, then inside each cluster
+    * mark every vector that has a more-canonical near-duplicate. A vector
+    * is `dropped` iff some SMALLER-id vector in its cluster has cosine
+    * >= tau with it — deterministic, per-pair semantics (no transitive
+    * closure: a dropped vector can still cause later drops, the
+    * conservative policy).
+    *
+    * Output: (vec_id, list_id, dropped).
+    *
+    * Scale: the all-pairs comparison is confined to single clusters — the
+    * self-join shuffles on list_id and pair volume is sum(cluster^2),
+    * controlled by nlist; cosines are the codegen'd pair kernel. This is
+    * what makes SemDeDup tractable where corpus-wide pairwise cosine
+    * is not: nlist grows with the corpus so clusters stay bounded. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, trainIters: Int, tau: Double): DataFrame = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+    val a = c.select(col("list_id"), col("vec_id").as("id_a"), col("cv").as("va"))
+    val b = c.select(col("list_id"), col("vec_id").as("id_b"), col("cv").as("vb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    c.select("vec_id", "list_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .na.fill(false, Seq("dropped"))
+  }
 }

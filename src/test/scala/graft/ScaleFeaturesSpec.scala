@@ -114,6 +114,45 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("semantic dedup: dropped iff a smaller-id near-dup shares the cluster") {
+    val e = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+        nlist = 16, trainIters = 2, tau = 0.38)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    assert(out.exists(_._3) && out.exists(!_._3))
+    // independent replay of the drop rule from the raw vectors + the
+    // operator's own assignment (assignment determinism is covered by the
+    // kmeansCentroids test; here we verify the pair semantics)
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val byCluster = out.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, dropped) =>
+        val expected = ids.filter(_ < id).exists(o =>
+          BigDecimal(cos(vecs(o), vecs(id)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal(0.38))
+        assert(dropped == expected, s"vec $id: got $dropped expected $expected")
+      }
+    }
+    // the smallest id of every cluster survives by construction
+    byCluster.values.foreach { m =>
+      val minId = m.map(_._1).min
+      assert(!m.find(_._1 == minId).get._3)
+    }
+  }
+
   test("stateful streaming sessionization emits closed sessions") {
     val src = tmpDir("state-src")
     Seq(
