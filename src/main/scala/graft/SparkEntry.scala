@@ -631,6 +631,28 @@ object SparkEntry {
         nlist = 16, trainIters = 2, tau = 0.38)
     }),
 
+    // Temperature-weighted corpus mixing: rebalance the language mix to
+    // 3/5 of the corpus with alpha=0.5 (count^0.5 weighting) — integer
+    // quotas from a driver-collected stratum table, hash-order selection.
+    // The output aggregates per stratum so the oracle proves the SAME
+    // rows were kept (sum of ids/chars), not just the same counts.
+    "q92_temperature_mix" -> ((s, dir) => {
+      operators.CorpusMix.temperatureSample(t(s, dir, "documents"),
+          "lang", "text", "doc_id", alpha = 0.5, budgetNum = 3, budgetDen = 5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_doc_id"))
+    }),
+
+    // Sequence packing: next-fit documents into 2048-char context windows,
+    // 8 shards. Per-doc (doc_id, shard, bin) assignment — the whole
+    // packing is hash-checked row by row against a recursive-CTE replay.
+    "q93_sequence_pack" -> ((s, dir) => {
+      operators.SequencePack.packNextFit(t(s, dir, "documents"),
+        "doc_id", "n_chars", capacity = 2048L, nShards = 8)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1549,6 +1571,43 @@ object SparkEntry {
         |                   THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) >= 0.38)
         |SELECT a.vec_id, a.list_id, (d.id_b IS NOT NULL) AS dropped
         |FROM assigned a LEFT JOIN simdrop d ON a.vec_id = d.id_b""".stripMargin),
+
+    // quota math mirrors CorpusMix.quotas: B = total*3//5 (integer),
+    // q_s = floor(B * n^0.5 / sum(n^0.5)); selection = rank by (md5, id)
+    "q92_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |quota AS (
+        |  SELECT lang,
+        |    CAST(floor(((SELECT sum(n) FROM cnt) * 3 // 5)
+        |      * pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM cnt)) AS BIGINT) AS q
+        |  FROM cnt),
+        |ranked AS (
+        |  SELECT d.lang, d.n_chars, d.doc_id, q.q,
+        |    row_number() OVER (PARTITION BY d.lang
+        |                       ORDER BY md5(d.text), d.doc_id) AS rk
+        |  FROM documents d JOIN quota q ON d.lang = q.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM ranked WHERE rk <= q GROUP BY lang""".stripMargin,
+
+    // the same next-fit fold, replayed sequentially per shard by a
+    // recursive CTE stepping rk -> rk+1 (first doc always opens bin 0)
+    "q93_sequence_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, n_chars AS w,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rk, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM base WHERE rk = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.rk, b.doc_id, b.w,
+        |    CASE WHEN p.fill + b.w > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
+        |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
+        |SELECT doc_id, shard, bin FROM pack""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

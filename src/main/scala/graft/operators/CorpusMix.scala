@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture control: temperature-weighted downsampling across strata
+  * (sources, languages, domains).
+  *
+  * Training corpora mix heterogeneous sources whose raw sizes differ by
+  * orders of magnitude; sampling each stratum proportionally to
+  * `count^alpha` (alpha in [0,1] — the "temperature" of multilingual /
+  * multi-corpus mixing, e.g. the exponent-smoothed sampling popularized by
+  * multilingual pretraining) flattens the head without discarding the tail:
+  * alpha=1 is proportional (no rebalance), alpha=0 is uniform per stratum.
+  *
+  * Semantics: with budget `B = floor(total * budgetNum / budgetDen)` rows,
+  * stratum `s` (with `n_s` rows) gets an integer quota
+  * `q_s = floor(B * n_s^alpha / sum_t n_t^alpha)`, and KEEPS exactly
+  * `min(q_s, n_s)` rows — the ones ranked first by `(md5(text), id)`.
+  * Hash-order selection makes the sample content-deterministic: re-runs,
+  * engine ports, and row-order changes all pick the same rows (the same
+  * convention as the per-source cap / stratified-sampling operators).
+  *
+  * Scale: pass 1 is a groupBy(stratum).count() — the result is strata-many
+  * rows (tiny), collected to the driver so the quotas enter the plan as a
+  * LITERAL map (no join, no second scan of the big side for rates). Pass 2
+  * is one hash shuffle on the stratum key for the rank window. The window
+  * sort is per-stratum; if one stratum dominates at extreme scale, swap the
+  * exact rank for the hash-threshold variant (keep iff hash < q_s/n_s —
+  * zero-sort, approximate counts) — the quota math is shared.
+  */
+object CorpusMix {
+
+  /** Integer quotas per stratum: floor(B * n^alpha / sum(n^alpha)).
+    * Strata are folded in lexicographic order so the double sum is
+    * reproducible across runs and engines. */
+  private[graft] def quotas(counts: Seq[(String, Long)], alpha: Double,
+                            budgetNum: Long, budgetDen: Long): Map[String, Long] = {
+    val sorted = counts.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val budget = total * budgetNum / budgetDen
+    val sumW = sorted.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    sorted.map { case (s, n) =>
+      s -> math.floor(budget * math.pow(n.toDouble, alpha) / sumW).toLong
+    }.toMap
+  }
+
+  /** Temperature-sample `df` to `budgetNum/budgetDen` of its rows,
+    * rebalanced across `stratumCol` with exponent `alpha`. Output = the
+    * kept rows plus their stratum `quota` column. */
+  def temperatureSample(df: DataFrame, stratumCol: String, textCol: String,
+                        idCol: String, alpha: Double,
+                        budgetNum: Long, budgetDen: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val q = quotas(counts, alpha, budgetNum, budgetDen)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)).asc, col(idCol).asc)
+    df.withColumn("quota", element_at(typedLit(q), col(stratumCol)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .drop("rk")
+  }
+}

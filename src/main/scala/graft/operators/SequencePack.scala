@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-capacity context windows
+  * ("bins") for training-batch construction — the step after tokenization
+  * where documents are concatenated into model-context-length sequences.
+  *
+  * Policy: deterministic NEXT-FIT per shard. Documents are sharded by
+  * `id % nShards`, ordered by id within the shard, and folded left to
+  * right: a document goes into the current bin unless it would overflow
+  * `capacity`, in which case it opens the next bin. A document larger than
+  * `capacity` occupies a bin alone (callers chunk oversized docs upstream).
+  * Next-fit is the standard streaming-packing policy: one pass, no
+  * reordering, and — unlike best-fit — independent of global statistics,
+  * so shards pack embarrassingly parallel.
+  *
+  * Scale: ONE shuffle (hash on shard). Each shard is packed inside a
+  * single `aggregate` higher-order fold over its sorted doc list — native
+  * Catalyst, no UDF, no driver involvement. A shard is the unit of output
+  * (one training-data file), so its doc list is bounded by construction:
+  * size `nShards` so shards hold one file's worth of documents, exactly as
+  * a writer would anyway. The fold's list concat is per-shard-quadratic in
+  * the worst case, which the same bound keeps small.
+  */
+object SequencePack {
+
+  /** Pack into bins of `capacity` total `weightCol` (token/char count).
+    * Output: (idCol, shard, bin) — bin ids are per-shard, 0-based. */
+  def packNextFit(df: DataFrame, idCol: String, weightCol: String,
+                  capacity: Long, nShards: Int): DataFrame = {
+    val base = df.select(
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+      struct(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w")).as("d"))
+    val zero = struct(lit(0L).as("bin"), lit(0L).as("fill"),
+      array().cast("array<struct<id:bigint,bin:bigint>>").as("acc"))
+    def step(st: Column, d: Column): Column = {
+      val over = st("fill") > lit(0L) && (st("fill") + d("w")) > lit(capacity)
+      val bin = when(over, st("bin") + lit(1L)).otherwise(st("bin"))
+      val fill = when(over, d("w")).otherwise(st("fill") + d("w"))
+      struct(bin.as("bin"), fill.as("fill"),
+        concat(st("acc"),
+          array(struct(d("id").as("id"), bin.as("bin")))).as("acc"))
+    }
+    base.groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("d"))).as("docs"))
+      .select(col("shard"),
+        explode(aggregate(col("docs"), zero, step, _("acc"))).as("a"))
+      .select(col("a.id").as(idCol), col("shard"), col("a.bin").as("bin"))
+  }
+}

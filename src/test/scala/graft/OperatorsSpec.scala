@@ -230,4 +230,49 @@ class OperatorsSpec extends SparkSpec {
     // "cold anvil" vs "red anvil" is distance 3: excluded by maxDist;
     // cross-block pairs (anvil vs widget) never generated
   }
+
+  test("temperature mixing: quota math, exact selection, alpha monotone") {
+    import graft.operators.CorpusMix
+    // quota math: alpha=1 is proportional, alpha=0 splits evenly
+    val counts = Seq("a" -> 900L, "b" -> 100L)
+    assert(CorpusMix.quotas(counts, 1.0, 1, 2) == Map("a" -> 450L, "b" -> 50L))
+    assert(CorpusMix.quotas(counts, 0.0, 1, 2) == Map("a" -> 250L, "b" -> 250L))
+    // alpha=0.5: sqrt weighting lifts the minority stratum
+    val q = CorpusMix.quotas(counts, 0.5, 1, 2)
+    assert(q("b") > 50L && q("a") < 450L && q("a") > q("b"))
+    // dataframe path: keeps exactly quota rows per stratum, deterministic
+    val docs = (1 to 80).map(i =>
+      (i.toLong, s"text body $i", if (i <= 60) "big" else "small"))
+      .toDF("doc_id", "text", "lang")
+    val kept = CorpusMix.temperatureSample(docs, "lang", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 2)
+    val perStratum = kept.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val expected = CorpusMix.quotas(Seq("big" -> 60L, "small" -> 20L), 0.5, 1, 2)
+    assert(perStratum == expected.filter(_._2 > 0))
+    val again = CorpusMix.temperatureSample(docs, "lang", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 2)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("sequence packing: next-fit fold, exact fit, oversized doc alone") {
+    import graft.operators.SequencePack
+    // single shard (ids all ≡ 0 mod 1): weights 10,90,100,150,40,60 at
+    // capacity 100 pack as [10+90][100][150][40+60]
+    val docs = Seq((0L, 10L), (1L, 90L), (2L, 100L), (3L, 150L),
+      (4L, 40L), (5L, 60L)).toDF("doc_id", "w")
+    val out = SequencePack.packNextFit(docs, "doc_id", "w", 100L, 1)
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L))
+    // sharding: bins are per-shard and every doc appears exactly once
+    val many = (0L until 40L).map(i => (i, 30L)).toDF("doc_id", "w")
+    val sharded = SequencePack.packNextFit(many, "doc_id", "w", 100L, 4)
+      .as[(Long, Long, Long)].collect()
+    assert(sharded.length == 40 && sharded.map(_._1).distinct.length == 40)
+    sharded.groupBy(_._2).values.foreach { rows =>
+      // 10 docs of 30 per shard: 3 per bin -> bins 0..3
+      assert(rows.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    }
+  }
 }
