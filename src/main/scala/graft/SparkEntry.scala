@@ -653,6 +653,27 @@ object SparkEntry {
         "doc_id", "n_chars", capacity = 2048L, nShards = 8)
     }),
 
+    // Leakage-guarded train/val split: ~10% hash split, then near-dup
+    // clusters (minhash pairs -> star-contraction components) moved whole
+    // to their representative's side. Oracle replays the split over
+    // exact-Jaccard components (the q37 recall-1.0 cross-check shape:
+    // a future mismatch at new data may mean LSH recall < 1.0, not a bug).
+    "q94_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.CorpusMix.leakageGuardedSplit(d, "text", "doc_id",
+          Dedup.minhashPairs(d, "text", "doc_id",
+            bands = 16, rowsPerBand = 2, threshold = 0.35))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Unigram-LM quality scoring: top-16 vocab (the corpus has 31 distinct
+    // terms, so OOV genuinely fires), per-doc mean token log-prob computed
+    // by a zero-shuffle literal-map expression.
+    "q95_unigram_lm_score" -> ((s, dir) => {
+      operators.TextIndex.unigramScore(t(s, dir, "documents"),
+        "text", "doc_id", vocabSize = 16)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1608,6 +1629,52 @@ object SparkEntry {
         |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
         |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
         |SELECT doc_id, shard, bin FROM pack""".stripMargin,
+
+    // q37's component CTEs + the hash-split correction: every doc takes
+    // its cluster representative's base split; singletons keep their own
+    "q94_leakage_split" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.35) + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          |          UNION ALL SELECT id_b, id_a FROM jpairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |base AS (
+          |  SELECT doc_id AS id, substr(md5(text), 1, 4) < '199a' AS base_val
+          |  FROM documents),
+          |withrep AS (
+          |  SELECT b.id, b.base_val, coalesce(c.cluster_id, b.id) AS rep
+          |  FROM base b LEFT JOIN clusters c ON c.id = b.id)
+          |SELECT w.id AS doc_id,
+          |  CASE WHEN rb.base_val THEN 'val' ELSE 'train' END AS split,
+          |  (rb.base_val <> w.base_val) AS moved
+          |FROM withrep w JOIN base rb ON rb.id = w.rep""".stripMargin),
+
+    // same model: top-16 vocab by (count desc, term asc), lp rounded 6dp
+    // BEFORE the per-doc mean (identical summands across engines)
+    "q95_unigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+        |vocab AS (
+        |  SELECT term, round(ln(CAST(cnt AS DOUBLE) / total), 6) AS lp
+        |  FROM (SELECT term, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, term) AS rk
+        |        FROM cnt), tot
+        |  WHERE rk <= 16),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    coalesce(v.lp, (SELECT round(ln(1.0 / total), 6) FROM tot)) AS lp
+        |  FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -46,6 +46,43 @@ object CorpusMix {
     }.toMap
   }
 
+  /** Leakage-guarded train/validation split: a deterministic content-hash
+    * split, corrected so near-duplicate documents NEVER straddle the
+    * boundary — the classic eval-contamination bug where a validation doc
+    * has a near-copy in train.
+    *
+    * Rule: base split = `md5(text) < valThreshold` (first 4 hex chars, so
+    * `"199a"` ≈ 10% val — the repo's standard content-hash sampling
+    * convention). Every near-dup cluster (connected components over
+    * `pairs`, the minhash/LSH pair output) is then moved WHOLE to the base
+    * split of its representative (= min-id member, which IS the cluster
+    * label both component operators produce). Singletons keep their base
+    * split. Deterministic, engine-portable, re-run-stable.
+    *
+    * Output: (id, split 'train'|'val', moved — true when the cluster rule
+    * overrode the row's own hash).
+    *
+    * Scale: the base split is a zero-shuffle scan expression; clusters come
+    * from the O(log n)-round star contraction; the two correction joins key
+    * on id, and the cluster table only holds docs that appear in some pair
+    * — a small fraction of the corpus, broadcast-able in practice. */
+  def leakageGuardedSplit(df: DataFrame, textCol: String, idCol: String,
+                          pairs: DataFrame,
+                          valThreshold: String = "199a"): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      (substring(md5(col(textCol)), 1, 4) < valThreshold).as("base_val"))
+    val cl = Dedup.clustersStar(pairs) // (id, cluster_id = min member)
+    val withRep = base.join(cl, Seq("id"), "left")
+      .select(col("id"), col("base_val"),
+        coalesce(col("cluster_id"), col("id")).as("rep"))
+    withRep
+      .join(base.select(col("id").as("rep"), col("base_val").as("rep_val")),
+        Seq("rep"), "left")
+      .select(col("id"),
+        when(col("rep_val"), "val").otherwise("train").as("split"),
+        (col("rep_val") =!= col("base_val")).as("moved"))
+  }
+
   /** Temperature-sample `df` to `budgetNum/budgetDen` of its rows,
     * rebalanced across `stratumCol` with exponent `alpha`. Output = the
     * kept rows plus their stratum `quota` column. */

@@ -54,6 +54,54 @@ object TextIndex {
       .select("doc_id", "term", "score", "rank")
   }
 
+  /** Unigram language-model quality score per document — the perplexity-
+    * filter shape (CCNet-style pipelines score documents with a reference
+    * LM and drop the tail; a unigram model over the corpus itself is the
+    * degenerate-but-useful in-engine variant: gibberish and boilerplate
+    * both land far from the corpus distribution).
+    *
+    * Model: the `vocabSize` most frequent terms (count desc, term asc —
+    * a deterministic boundary) carry `lp = ln(count/total)` rounded to
+    * 6dp; everything else scores the OOV floor `ln(1/total)`. Score =
+    * mean token log-prob (higher = more typical).
+    *
+    * Scale: the model build is one token aggregation (map-side combined)
+    * plus a top-V — the only shuffles. The SCORING pass is a per-row
+    * expression over a LITERAL vocab map (coalesce(element_at(map, term),
+    * oov) folded over the token array): zero shuffle, zero join — the
+    * 100 TB path scores documents at scan speed. Output:
+    * (doc_id, n_tokens, mean_logp); token-less documents are dropped
+    * (they have no distribution to score). */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int): DataFrame = {
+    val counts = tokens(df, textCol, idCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).first().getLong(0)
+    def lp(c: Long): Double =
+      BigDecimal(math.log(c.toDouble / total.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vocab: Map[String, Double] =
+      counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+        .collect().map(r => r.getString(0) -> lp(r.getLong(1))).toMap
+    val oovLp = lp(1L)
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val lps = transform(toks, t =>
+      coalesce(element_at(typedLit(vocab), t), lit(oovLp)))
+    // Engine-portable mean: the per-doc sum of 6dp summands is a 1e-6
+    // grid point, so rounding the SUM first snaps both engines to the
+    // identical double regardless of summation order; the mean then
+    // divides a grid point by an integer, which can land EXACTLY on a
+    // .5e-6 tie — round() breaks those ties differently across engines
+    // (decimal-string vs binary), so use floor(x*1e6 + 0.5)/1e6: pure
+    // IEEE ops, one tie rule everywhere.
+    val sum6 = round(aggregate(lps, lit(0.0d), _ + _), 6)
+    df.select(col(idCol).as("doc_id"),
+        size(lps).cast("long").as("n_tokens"),
+        (floor(sum6 / size(lps) * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("mean_logp"))
+      .filter(col("n_tokens") > 0)
+  }
+
   /** BM25 top-k documents for a bag-of-terms query:
     * (doc_id, score, rank). score is rounded to 4dp BEFORE ranking (the
     * per-term sum is float-order-dependent in its last bits; ranking on

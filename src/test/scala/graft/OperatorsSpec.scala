@@ -275,4 +275,27 @@ class OperatorsSpec extends SparkSpec {
       assert(rows.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
     }
   }
+
+  test("leakage-guarded split: no near-dup pair straddles train/val") {
+    import graft.operators.{CorpusMix, Dedup}
+    val d = Tables.load(spark, sf("sf0.001"), "documents")
+    val pairs = Dedup.minhashPairs(d, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.35)
+    val out = CorpusMix.leakageGuardedSplit(d, "text", "doc_id", pairs)
+    val splits = out.select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(splits.size == 500)
+    // the guarded invariant: every detected near-dup pair is same-side
+    pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(splits(a) == splits(b), s"pair ($a,$b) straddles")
+    }
+    // the base hash split targets ~10% val; the correction only nudges it
+    val nVal = splits.values.count(_ == "val")
+    assert(nVal > 20 && nVal < 90, s"val fraction off: $nVal/500")
+    // moved rows exist on this corpus and every one belongs to a cluster
+    val movedIds = out.filter($"moved").select($"id").as[Long].collect().toSet
+    assert(movedIds.nonEmpty)
+    val paired = pairs.select($"id_a").union(pairs.select($"id_b"))
+      .as[Long].collect().toSet
+    assert(movedIds.subsetOf(paired))
+  }
 }

@@ -43,4 +43,29 @@ class TextIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("unigram LM score: vocab terms beat OOV; exact hand-computed score") {
+    // corpus: 'common' x6, 'rare' x1, others x1 each -> total 12 tokens
+    val lm = Seq(
+      (1L, "common common common"),
+      (2L, "common common common"),
+      (3L, "rare alpha beta gamma delta zzz")
+    ).toDF("doc_id", "text")
+    // vocabSize=1: only 'common' (count 6) is in-vocab; everything else
+    // scores the OOV floor ln(1/12)
+    val out = TextIndex.unigramScore(lm, "text", "doc_id", vocabSize = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == 3 && out(1L)._3 == r6(math.log(6.0 / 12.0)))
+    assert(out(3L)._2 == 6 && math.abs(out(3L)._3 - r6(math.log(1.0 / 12.0))) < 2e-6)
+    // typical doc scores strictly higher than the all-OOV doc
+    assert(out(1L)._3 > out(3L)._3)
+    // scoring pass is a pure per-row expression: no join/exchange in the
+    // plan after the model is built
+    val plan = TextIndex.unigramScore(lm, "text", "doc_id", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"scoring pass must be scan-local:\n$plan")
+  }
 }
