@@ -83,6 +83,36 @@ object EventStreams {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream interval join: each `click` event pairs
+    * with the same user's `view` events from the preceding `lookback`
+    * window — the canonical streaming enrichment (attribution, funnel
+    * stitching). Works identically on batch frames (watermarks are no-ops
+    * there), so the spec cross-checks streaming output against the batch
+    * plan.
+    *
+    * Scale/state: BOTH sides carry a watermark and the join predicate
+    * bounds view_ts to [click_ts - lookback, click_ts), so Spark evicts
+    * buffered rows once the watermark passes their join horizon — state
+    * is lookback-bounded per key, not unbounded (the failure mode of an
+    * uncontrolled stream-stream join). One shuffle per side on user_id. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    watermark: String, lookback: String): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val v = views
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+          col("view_ts") < col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"), col("view_value"))
+  }
+
   /** Idempotent streaming sink: every micro-batch is merged with a
     * left-anti join against the target's existing keys — exactly-once
     * effect on top of at-least-once delivery, the streaming form of the

@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("stream-stream interval join equals the batch plan on real events") {
+    val events = Tables.load(spark, sf(), "events")
+    val clicksDir = tmpDir("graft-ss-clicks")
+    val viewsDir = tmpDir("graft-ss-views")
+    events.filter($"event_type" === "click").write.mode("overwrite").parquet(clicksDir)
+    events.filter($"event_type" === "view").write.mode("overwrite").parquet(viewsDir)
+    val schema = spark.read.parquet(clicksDir).schema
+    val joined = EventStreams.clickViewJoin(
+      EventStreams.readEventStream(spark, clicksDir, schema),
+      EventStreams.readEventStream(spark, viewsDir, schema),
+      watermark = "1 hour", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-ss-ckpt"))
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"user_id".cast("string"), $"click_id".cast("string"),
+          $"view_id".cast("string"), $"view_value".cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val streaming = canon(spark.table("ssjoin"))
+    val batch = canon(EventStreams.clickViewJoin(
+      events.filter($"event_type" === "click"),
+      events.filter($"event_type" === "view"),
+      watermark = "1 hour", lookback = "30 minutes"))
+    assert(streaming.nonEmpty, "join produced no pairs — data no longer exercises it")
+    assert(streaming == batch)
+  }
+
   test("gap sessionization: 30-min inactivity starts a new session") {
     val r = EventStreams.sessionize(eventsDF, gapMinutes = 30)
       .select("user_id", "n_sessions", "n_events")
