@@ -674,6 +674,15 @@ object SparkEntry {
         "text", "doc_id", vocabSize = 16)
     }),
 
+    // Span-level duplicate text (ExactSubstr relaxation): per-doc fraction
+    // of 10-token windows that appear in another document. Oracle uses the
+    // gram STRINGS where Spark shuffles 64-bit hashes — counts agree
+    // unless xxhash64 collides inside one document's spans (~n²/2^64).
+    "q96_dup_spans" -> ((s, dir) => {
+      Dedup.dupSpanStats(t(s, dir, "documents"), "text", "doc_id",
+        spanN = 10, maxFraction = 0.5)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1675,6 +1684,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // 10-token spans as strings (ShingleExpr semantics: lower, split on
+    // single space, <n tokens -> whole text, per-doc distinct)
+    "q96_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT d.doc_id, array_to_string(d.toks[t.i:t.i+9], ' ') AS g
+        |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 8)) AS i) t
+        |    WHERE len(d.toks) >= 10
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(toks, ' ') FROM docs
+        |    WHERE len(toks) < 10)),
+        |wdf AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM grams)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 1e6 + 0.5) / 1e6 AS dup_fraction,
+        |  (floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) * 1e6 + 0.5) / 1e6 <= 0.5) AS keep
+        |FROM wdf GROUP BY doc_id""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -123,6 +123,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Span-level duplicate-text statistics — the document-granular
+    * ExactSubstr signal (Lee et al. 2022 deduplicate long repeated
+    * substrings; the word-n-gram form is its standard relaxation): for
+    * each document, what fraction of its `spanN`-token windows also occurs
+    * in some OTHER document. Whole-doc dedup misses partially-copied
+    * boilerplate (headers, licenses, templated paragraphs); this measures
+    * it per document and flags heavy copies (`keep = dup_fraction <=
+    * maxFraction`).
+    *
+    * Scale: spans are hashed to 64 bits scan-side (`ShingleExpr` + xxhash
+    * in the projection — narrow, codegen'd), so the ONLY shuffle carries
+    * (8-byte span hash, doc_id) pairs for the document-frequency window.
+    * There is no pair join and therefore no quadratic stage and no need
+    * for a stop-span cap — df counting is linear in corpus tokens.
+    * Output: (doc_id, n_spans, n_dup_spans, dup_fraction, keep). */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+                   spanN: Int = 10, maxFraction: Double = 0.5): DataFrame = {
+    // distinct=true: a span repeated INSIDE one doc counts once, so df
+    // over postings == count of documents containing the span
+    val postings = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), spanN)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val wdf = postings.withColumn("df", count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    wdf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      // floor(x*1e6 + 0.5)/1e6: the engine-portable 6dp round (pure IEEE
+      // ops — round() ties on exact binary ratios differ across engines)
+      .withColumn("dup_fraction",
+        floor(col("n_dup_spans").cast("double") / col("n_spans")
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .withColumn("keep", col("dup_fraction") <= lit(maxFraction))
+  }
+
   /** n-gram Jaccard similarity for all candidate pairs sharing at least one
     * shingle (inverted-index join — the exact-but-pruned variant; MinHash is
     * the approximate variant of the same pipeline). */

@@ -298,4 +298,27 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(movedIds.subsetOf(paired))
   }
+
+  test("dup-span stats: shared spans counted cross-doc, short docs whole-text") {
+    import graft.operators.Dedup
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      (1L, shared + " tail one uniq1"),       // shares spans with doc 2
+      (2L, shared + " tail two uniq2"),
+      (3L, (1 to 15).map(i => s"z$i").mkString(" ")), // fully unique
+      (4L, "tiny doc"),                        // <10 tokens: whole-text span
+      (5L, "tiny doc")                         // exact short dup of 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "text", "doc_id", spanN = 10)
+      .select($"doc_id", $"n_spans", $"n_dup_spans", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2: 15 tokens -> 6 windows each; the first 4 windows lie
+    // inside the identical 13-token prefix (shared + "tail"), the last 2
+    // diverge at "one"/"two"
+    assert(out(1L)._2 == 6 && out(2L)._2 == 6)
+    assert(out(1L)._3 == out(2L)._3 && out(1L)._3 >= 3)
+    assert(out(3L)._3 == 0 && out(3L)._4)
+    // whole-text spans of the two short duplicates match each other
+    assert(out(4L) == (4L, 1L, 1L, false) && out(5L) == (5L, 1L, 1L, false))
+  }
 }
