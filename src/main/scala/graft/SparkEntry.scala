@@ -683,6 +683,20 @@ object SparkEntry {
         spanN = 10, maxFraction = 0.5)
     }),
 
+    // Uniform mixing with epoch upsampling: alpha=0 at full budget gives
+    // every language an equal quota — the minority languages repeat
+    // (epoch 2) while the majority downsamples, the rare-source-epochs
+    // mixture schedule.
+    "q97_mix_epochs" -> ((s, dir) => {
+      operators.CorpusMix.temperatureEpochs(t(s, dir, "documents"),
+          "lang", "text", "doc_id", alpha = 0.0, budgetNum = 1, budgetDen = 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"),
+          sum(col("doc_id")).as("sum_doc_id"))
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1707,6 +1721,35 @@ object SparkEntry {
         |  (floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) * 1e6 + 0.5) / 1e6 <= 0.5) AS keep
         |FROM wdf GROUP BY doc_id""".stripMargin,
+
+    // quota DIV n copies + one extra for the first (quota MOD n) ranked
+    // rows; epochs unrolled with generate_series
+    "q97_mix_epochs" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |quota AS (
+        |  SELECT lang, n,
+        |    CAST(floor(((SELECT sum(n) FROM cnt) * 1 // 1)
+        |      * pow(n, 0.0) / (SELECT sum(pow(n, 0.0)) FROM cnt)) AS BIGINT) AS q
+        |  FROM cnt),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id, q.q, q.n,
+        |    row_number() OVER (PARTITION BY d.lang
+        |                       ORDER BY md5(d.text), d.doc_id) AS rk
+        |  FROM documents d JOIN quota q ON d.lang = q.lang),
+        |copies AS (
+        |  SELECT lang, doc_id,
+        |    (q // n) + CASE WHEN rk <= (q % n) THEN 1 ELSE 0 END AS c
+        |  FROM ranked),
+        |exploded AS (
+        |  SELECT lang, doc_id,
+        |    unnest(generate_series(1, CAST(c AS BIGINT))) AS epoch
+        |  FROM copies WHERE c > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(max(epoch) AS BIGINT) AS max_epoch,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM exploded GROUP BY lang""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -83,6 +83,41 @@ object CorpusMix {
         (col("rep_val") =!= col("base_val")).as("moved"))
   }
 
+  /** Temperature mixing WITH upsampling: where [[temperatureSample]] can
+    * only downsample (a stratum whose quota exceeds its size silently
+    * under-fills the budget), this emits REPEATED rows — the "rare
+    * high-quality source trains for N epochs" semantics of real mixture
+    * schedules. Each stratum's quota `q_s` maps to per-row copy counts:
+    * every row gets `q_s div n_s` copies, and the `q_s mod n_s` rows
+    * ranked first by `(md5(text), id)` get one more — so the stratum
+    * contributes EXACTLY `q_s` rows and repetition is spread
+    * deterministically, not concentrated on arbitrary rows. Output rows
+    * carry `epoch` (1-based copy index).
+    *
+    * Scale: identical plan shape to [[temperatureSample]] (tiny collected
+    * stratum table -> literal maps, one rank window) plus a narrow
+    * `explode(sequence(1, copies))` — the fan-out happens scan-side after
+    * the filter, never shuffled at multiplicity. */
+  def temperatureEpochs(df: DataFrame, stratumCol: String, textCol: String,
+                        idCol: String, alpha: Double,
+                        budgetNum: Long, budgetDen: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val q = quotas(counts, alpha, budgetNum, budgetDen)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("quota", element_at(typedLit(q), col(stratumCol)))
+      .withColumn("n_stratum", element_at(typedLit(counts.toMap), col(stratumCol)))
+      .withColumn("copies",
+        expr("quota DIV n_stratum") +
+          when(col("rk") <= pmod(col("quota"), col("n_stratum")), 1L)
+            .otherwise(0L))
+      .filter(col("copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
+      .drop("rk", "quota", "n_stratum", "copies")
+  }
+
   /** Temperature-sample `df` to `budgetNum/budgetDen` of its rows,
     * rebalanced across `stratumCol` with exponent `alpha`. Output = the
     * kept rows plus their stratum `quota` column. */

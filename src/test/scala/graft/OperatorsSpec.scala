@@ -321,4 +321,26 @@ class OperatorsSpec extends SparkSpec {
     // whole-text spans of the two short duplicates match each other
     assert(out(4L) == (4L, 1L, 1L, false) && out(5L) == (5L, 1L, 1L, false))
   }
+
+  test("epoch mixing: exact quota met via repeats, spread deterministically") {
+    import graft.operators.CorpusMix
+    // 12 'big' docs + 3 'small' docs, uniform target (alpha=0), full
+    // budget: each stratum quota = 7; small must repeat (7 = 2*3 + 1)
+    val docs = ((1 to 12).map(i => (i.toLong, s"b $i", "big")) ++
+      (13 to 15).map(i => (i.toLong, s"s $i", "small")))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusMix.temperatureEpochs(docs, "lang", "text", "doc_id",
+      alpha = 0.0, budgetNum = 1, budgetDen = 1)
+    val perStratum = out.groupBy($"lang")
+      .agg(count(lit(1)).as("rows"), countDistinct($"doc_id").as("docs"),
+        max($"epoch").as("maxe"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // big: 7 of 12 docs once; small: all 3 docs, one of them 3 times
+    assert(perStratum("big") == ("big", 7L, 7L, 1L))
+    assert(perStratum("small") == ("small", 7L, 3L, 3L))
+    // per-doc copy counts differ by at most 1 within a stratum
+    val smallCopies = out.filter($"lang" === "small").groupBy($"doc_id")
+      .count().as[(Long, Long)].collect().map(_._2)
+    assert(smallCopies.sorted.toSeq == Seq(2L, 2L, 3L))
+  }
 }
