@@ -697,6 +697,24 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_doc_id"))
     }),
 
+    // Star-schema composite (TPC-H Q3 shape, adapted to this schema):
+    // selective dim filter -> broadcast, two big facts shuffle once on
+    // the join key, top-10 unshipped-revenue orders via sort+limit.
+    "q98_star_topk_revenue" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("1998-01-01"))
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1750,6 +1768,20 @@ object SparkEntry {
         |  CAST(max(epoch) AS BIGINT) AS max_epoch,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM exploded GROUP BY lang""".stripMargin,
+
+    "q98_star_topk_revenue" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,

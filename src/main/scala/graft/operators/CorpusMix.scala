@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusMix {
 
+  /** Null strata are real strata (unlabeled documents are a population,
+    * not an error): fold them into a sentinel so counting, quota lookup,
+    * and the rank window all agree. (A literal-map lookup on null would
+    * otherwise silently drop every unlabeled row.) */
+  private val NullStratum = "__null__"
+  private def stratumOf(c: org.apache.spark.sql.Column) =
+    coalesce(c, lit(NullStratum))
+
   /** Integer quotas per stratum: floor(B * n^alpha / sum(n^alpha)).
     * Strata are folded in lexicographic order so the double sum is
     * reproducible across runs and engines. */
@@ -101,14 +109,15 @@ object CorpusMix {
   def temperatureEpochs(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).count()
+    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val q = quotas(counts, alpha, budgetNum, budgetDen)
-    val w = Window.partitionBy(col(stratumCol))
+    val w = Window.partitionBy(stratumOf(col(stratumCol)))
       .orderBy(md5(col(textCol)).asc, col(idCol).asc)
     df.withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("quota", element_at(typedLit(q), col(stratumCol)))
-      .withColumn("n_stratum", element_at(typedLit(counts.toMap), col(stratumCol)))
+      .withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
+      .withColumn("n_stratum",
+        element_at(typedLit(counts.toMap), stratumOf(col(stratumCol))))
       .withColumn("copies",
         expr("quota DIV n_stratum") +
           when(col("rk") <= pmod(col("quota"), col("n_stratum")), 1L)
@@ -124,12 +133,12 @@ object CorpusMix {
   def temperatureSample(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).count()
+    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val q = quotas(counts, alpha, budgetNum, budgetDen)
-    val w = Window.partitionBy(col(stratumCol))
+    val w = Window.partitionBy(stratumOf(col(stratumCol)))
       .orderBy(md5(col(textCol)).asc, col(idCol).asc)
-    df.withColumn("quota", element_at(typedLit(q), col(stratumCol)))
+    df.withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= col("quota"))
       .drop("rk")

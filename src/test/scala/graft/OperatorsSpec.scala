@@ -343,4 +343,18 @@ class OperatorsSpec extends SparkSpec {
       .count().as[(Long, Long)].collect().map(_._2)
     assert(smallCopies.sorted.toSeq == Seq(2L, 2L, 3L))
   }
+
+  test("mixing treats null stratum as a population, not a dropped error") {
+    import graft.operators.CorpusMix
+    val docs = Seq(
+      (1L, "a 1", "x"), (2L, "a 2", "x"), (3L, "a 3", "x"), (4L, "a 4", "x"),
+      (5L, "n 5", null), (6L, "n 6", null), (7L, "n 7", null), (8L, "n 8", null)
+    ).toDF("doc_id", "text", "lang")
+    val kept = CorpusMix.temperatureSample(docs, "lang", "text", "doc_id",
+      alpha = 1.0, budgetNum = 1, budgetDen = 2)
+    // alpha=1, half budget: 2 of each stratum INCLUDING the null one
+    val byLang = kept.groupBy($"lang").count()
+      .as[(Option[String], Long)].collect().toMap
+    assert(byLang == Map(Some("x") -> 2L, None -> 2L))
+  }
 }

@@ -226,6 +226,38 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(r("o_orderstatus")._4 == "F" && r("o_orderstatus")._5 == "P")
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // At cluster scale a selective dim filter should cut the FACT scan at
+    // runtime too: Catalyst injects a bloom filter built from the filtered
+    // creation side into the application side's scan. Default thresholds
+    // target real sizes (10 GB application side), so lower them to see the
+    // mechanism at test scale; broadcast is disabled to force the shuffle
+    // join the feature exists for.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dir = sf("sf0.01")
+      val o = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.load(spark, dir, "lineitem")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter built:\n${plan.take(4000)}")
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"bloom filter built but not probed on the fact side:\n${plan.take(4000)}")
+      assert(j.count() == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = sf("sf0.001")
     IncrementalLoad.writeBucketed(Tables.load(spark, dir, "orders"),
