@@ -646,8 +646,9 @@ object SparkEntry {
     }),
 
     // Sequence packing: next-fit documents into 2048-char context windows,
-    // 8 shards. Per-doc (doc_id, shard, bin) assignment — the whole
-    // packing is hash-checked row by row against a recursive-CTE replay.
+    // 8 shards. Per-doc (doc_id, shard, bin, offset) assignment — the
+    // whole packing (incl. writer offsets) is hash-checked row by row
+    // against a recursive-CTE replay.
     "q93_sequence_pack" -> ((s, dir) => {
       operators.SequencePack.packNextFit(t(s, dir, "documents"),
         "doc_id", "n_chars", capacity = 2048L, nShards = 8)
@@ -713,6 +714,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    // The COMPLETE corpus-to-training-sequences dataflow in one query:
+    // quality floor -> repetition filter -> exact dedup -> per-source cap
+    // -> PII scrub (CorpusPipeline.prepare) -> temperature mixing over
+    // the CLEANED corpus -> next-fit packing into context windows. The
+    // oracle replays every stage including the recursive packing fold.
+    "q100_corpus_to_sequences" -> ((s, dir) => {
+      val prepared = operators.CorpusPipeline.prepare(
+        t(s, dir, "documents"), "text", "doc_id", "source")
+      val mixed = operators.CorpusMix.temperatureSample(prepared,
+          "lang", "clean_text", "doc_id", alpha = 0.5,
+          budgetNum = 3, budgetDen = 5)
+        .withColumn("w", length(col("clean_text")).cast("long"))
+      operators.SequencePack.packNextFit(mixed, "doc_id", "w", 2048L, 8)
+        .join(mixed.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select("doc_id", "lang", "shard", "bin", "offset")
     }),
 
     // ---- text analysis ----
@@ -1669,7 +1687,7 @@ object SparkEntry {
         |    CASE WHEN p.fill + b.w > 2048 THEN p.bin + 1 ELSE p.bin END,
         |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
         |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
-        |SELECT doc_id, shard, bin FROM pack""".stripMargin,
+        |SELECT doc_id, shard, bin, fill - w AS offset FROM pack""".stripMargin,
 
     // q37's component CTEs + the hash-split correction: every doc takes
     // its cluster representative's base split; singletons keep their own
@@ -1768,6 +1786,63 @@ object SparkEntry {
         |  CAST(max(epoch) AS BIGINT) AS max_epoch,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM exploded GROUP BY lang""".stripMargin,
+
+    // q83's stage chain (carrying lang), then q92's quota CTEs over the
+    // CLEANED corpus, then q93's recursive next-fit fold over the mixed
+    // rows — every stage of the composition replayed
+    "q100_corpus_to_sequences" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, source, lang, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |bg AS (
+        |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM q) d,
+        |       LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t),
+        |rep AS (
+        |  SELECT doc_id FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id HAVING CAST(max(c) AS DOUBLE) / sum(c) <= 0.2),
+        |kept AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
+        |dd AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT * FROM (SELECT doc_id, source, lang, text, row_number() OVER (
+        |      PARTITION BY source ORDER BY md5(text), doc_id) AS rk FROM dd)
+        |  WHERE rk <= 50),
+        |fin AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS ct
+        |  FROM capped),
+        |cnt AS (SELECT lang, count(*) AS n FROM fin GROUP BY lang),
+        |quota AS (
+        |  SELECT lang,
+        |    CAST(floor(((SELECT sum(n) FROM cnt) * 3 // 5)
+        |      * pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM cnt)) AS BIGINT) AS qt
+        |  FROM cnt),
+        |mixed AS (
+        |  SELECT doc_id, lang, ct FROM (
+        |    SELECT f.doc_id, f.lang, f.ct, u.qt,
+        |      row_number() OVER (PARTITION BY f.lang
+        |                         ORDER BY md5(f.ct), f.doc_id) AS rk
+        |    FROM fin f JOIN quota u ON f.lang = u.lang)
+        |  WHERE rk <= qt),
+        |base AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, lang, len(ct) AS w,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS prk
+        |  FROM mixed),
+        |pack AS (
+        |  SELECT shard, prk, doc_id, lang, w, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM base WHERE prk = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.prk, b.doc_id, b.lang, b.w,
+        |    CASE WHEN p.fill + b.w > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
+        |  FROM pack p JOIN base b ON b.shard = p.shard AND b.prk = p.prk + 1)
+        |SELECT doc_id, lang, shard, bin, fill - w AS offset FROM pack""".stripMargin,
 
     "q98_star_topk_revenue" ->
       """SELECT l_orderkey,

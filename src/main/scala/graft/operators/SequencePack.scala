@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object SequencePack {
 
   /** Pack into bins of `capacity` total `weightCol` (token/char count).
-    * Output: (idCol, shard, bin) — bin ids are per-shard, 0-based. */
+    * Output: (idCol, shard, bin, offset) — bin ids are per-shard,
+    * 0-based; `offset` is the document's start position inside its bin
+    * (cumulative weight of the docs packed before it), i.e. exactly what
+    * a concatenating writer needs to lay the sequence out. */
   def packNextFit(df: DataFrame, idCol: String, weightCol: String,
                   capacity: Long, nShards: Int): DataFrame = {
     val base = df.select(
@@ -35,19 +38,40 @@ object SequencePack {
       struct(col(idCol).cast("long").as("id"),
         col(weightCol).cast("long").as("w")).as("d"))
     val zero = struct(lit(0L).as("bin"), lit(0L).as("fill"),
-      array().cast("array<struct<id:bigint,bin:bigint>>").as("acc"))
+      array().cast("array<struct<id:bigint,bin:bigint,offset:bigint>>").as("acc"))
     def step(st: Column, d: Column): Column = {
       val over = st("fill") > lit(0L) && (st("fill") + d("w")) > lit(capacity)
       val bin = when(over, st("bin") + lit(1L)).otherwise(st("bin"))
+      val offset = when(over, lit(0L)).otherwise(st("fill"))
       val fill = when(over, d("w")).otherwise(st("fill") + d("w"))
       struct(bin.as("bin"), fill.as("fill"),
-        concat(st("acc"),
-          array(struct(d("id").as("id"), bin.as("bin")))).as("acc"))
+        concat(st("acc"), array(struct(d("id").as("id"), bin.as("bin"),
+          offset.as("offset")))).as("acc"))
     }
     base.groupBy(col("shard"))
       .agg(sort_array(collect_list(col("d"))).as("docs"))
       .select(col("shard"),
         explode(aggregate(col("docs"), zero, step, _("acc"))).as("a"))
-      .select(col("a.id").as(idCol), col("shard"), col("a.bin").as("bin"))
+      .select(col("a.id").as(idCol), col("shard"), col("a.bin").as("bin"),
+        col("a.offset").as("offset"))
+  }
+
+  /** Bin manifest: one row per (shard, bin) with document count, packed
+    * weight, and utilization (packed/capacity, engine-portable 6dp) — the
+    * writer/monitoring view of [[packNextFit]]. Same single-shuffle plan:
+    * the manifest aggregation groups on (shard, bin), which the packing
+    * output's partitioning already co-locates. */
+  def binManifest(df: DataFrame, idCol: String, weightCol: String,
+                  capacity: Long, nShards: Int): DataFrame = {
+    val packed = packNextFit(df, idCol, weightCol, capacity, nShards)
+    val w = df.select(col(idCol).cast("long").as(idCol),
+      col(weightCol).cast("long").as("w"))
+    packed.join(w, Seq(idCol))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("packed_w"),
+        min(col(idCol)).as("first_id"))
+      .withColumn("utilization",
+        floor(col("packed_w").cast("double") / lit(capacity.toDouble)
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
   }
 }

@@ -263,17 +263,26 @@ class OperatorsSpec extends SparkSpec {
     val docs = Seq((0L, 10L), (1L, 90L), (2L, 100L), (3L, 150L),
       (4L, 40L), (5L, 60L)).toDF("doc_id", "w")
     val out = SequencePack.packNextFit(docs, "doc_id", "w", 100L, 1)
-      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
-    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L))
+      .select($"doc_id", $"bin", $"offset").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(0L -> (0L, 0L), 1L -> (0L, 10L), 2L -> (1L, 0L),
+      3L -> (2L, 0L), 4L -> (3L, 0L), 5L -> (3L, 40L)))
     // sharding: bins are per-shard and every doc appears exactly once
     val many = (0L until 40L).map(i => (i, 30L)).toDF("doc_id", "w")
     val sharded = SequencePack.packNextFit(many, "doc_id", "w", 100L, 4)
-      .as[(Long, Long, Long)].collect()
+      .select($"doc_id", $"shard", $"bin").as[(Long, Long, Long)].collect()
     assert(sharded.length == 40 && sharded.map(_._1).distinct.length == 40)
     sharded.groupBy(_._2).values.foreach { rows =>
       // 10 docs of 30 per shard: 3 per bin -> bins 0..3
       assert(rows.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
     }
+    // manifest: per-bin doc counts, packed weight, utilization
+    val mani = SequencePack.binManifest(docs, "doc_id", "w", 100L, 1)
+      .select($"bin", $"n_docs", $"packed_w", $"utilization")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(mani(0L) == (0L, 2L, 100L, 1.0))     // 10+90: full bin
+    assert(mani(2L) == (2L, 1L, 150L, 1.5))     // oversized doc alone
+    assert(mani(3L) == (3L, 2L, 100L, 1.0))
   }
 
   test("leakage-guarded split: no near-dup pair straddles train/val") {
