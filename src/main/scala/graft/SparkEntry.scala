@@ -733,6 +733,13 @@ object SparkEntry {
         .select("doc_id", "lang", "shard", "bin", "offset")
     }),
 
+    // Writer/monitoring view of the packing: per-(shard, bin) doc count,
+    // packed weight, and utilization.
+    "q101_pack_manifest" -> ((s, dir) => {
+      operators.SequencePack.binManifest(t(s, dir, "documents"),
+        "doc_id", "n_chars", capacity = 2048L, nShards = 8)
+    }),
+
     // ---- text analysis ----
 
     // Quality/statistics per document.
@@ -1688,6 +1695,25 @@ object SparkEntry {
         |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
         |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
         |SELECT doc_id, shard, bin, fill - w AS offset FROM pack""".stripMargin,
+
+    // the same recursive fold, aggregated per (shard, bin)
+    "q101_pack_manifest" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, n_chars AS w,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rk, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM base WHERE rk = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.rk, b.doc_id, b.w,
+        |    CASE WHEN p.fill + b.w > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + b.w > 2048 THEN b.w ELSE p.fill + b.w END
+        |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS packed_w, min(doc_id) AS first_id,
+        |  floor(CAST(sum(w) AS DOUBLE) / 2048 * 1e6 + 0.5) / 1e6 AS utilization
+        |FROM pack GROUP BY shard, bin""".stripMargin,
 
     // q37's component CTEs + the hash-split correction: every doc takes
     // its cluster representative's base split; singletons keep their own
