@@ -289,6 +289,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // Unpivot/melt surface (pivot's inverse — wide measures to long
+    // (measure, value) rows via the native unpivot API, then aggregated).
+    "q102_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("val")), 2).as("total"))
+    }),
+
     // Pivot surface (wide conditional aggregation through the pivot API).
     "q66_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1179,6 +1191,16 @@ object SparkEntry {
         |           WHEN l_returnflag = 'N' THEN h < '4000'
         |           ELSE h < '8000' END
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q102_unpivot" ->
+      """SELECT l_returnflag, measure, round(sum(val), 2) AS total FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |GROUP BY l_returnflag, measure""".stripMargin,
 
     "q66_pivot" ->
       """SELECT o_orderpriority,
