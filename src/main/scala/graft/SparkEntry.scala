@@ -78,6 +78,15 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey").as("custkey")))
     }),
 
+    // U3 intersect: customers active in BOTH halves of the date range
+    // (completes the set-op surface next to q08 union / q09 except).
+    "q103_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1998-01-01"))
+      o.filter(col("o_orderdate") < cut).select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderdate") >= cut).select(col("o_custkey")))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1061,6 +1070,12 @@ object SparkEntry {
         |  SELECT c_custkey, c_name, c_nationkey,
         |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
         |  FROM customer) WHERE rn = 1""".stripMargin,
+
+    "q103_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
 
     "q08_union_universe" ->
       """SELECT DISTINCT custkey FROM (
