@@ -87,6 +87,52 @@ object SparkEntry {
         .intersect(o.filter(col("o_orderdate") >= cut).select(col("o_custkey")))
     }),
 
+    // Ordered funnel: users per deepest view->click->purchase stage
+    // reached (each step strictly after the previous, earliest qualifying
+    // occurrence greedy). One hash shuffle on user_id — chained unordered
+    // windows over the same partitioning, never a self-join per step.
+    "q104_funnel" -> ((s, dir) => {
+      operators.Funnel.stageCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapMinutes = Some(1440L))
+    }),
+
+    // Rank-family window surface: quartile (ntile), percent_rank,
+    // cume_dist, and lag-delta per customer's orders under a UNIQUE
+    // (price desc, key) order. percent_rank/cume_dist are integer-ratio
+    // doubles — identical IEEE results on any engine, no rounding needed.
+    "q105_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
+    }),
+
+    // PageRank over the part->supplier co-occurrence graph (mod-bucketed
+    // to ~100 nodes so the oracle's unrolled replay stays tractable):
+    // 5 grid-snapped iterations, dangling mass redistributed. The oracle
+    // replays every iteration as CTEs and hash-matches the final ranks.
+    "q106_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(100L)).as("src"),
+        pmod(col("l_suppkey"), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.PageRank.run(e, iters = 5, damping = 0.85)
+    }),
+
+    // Robust outlier profile: lower-median + MAD per group, counting
+    // values beyond 3 robust sigmas — rank-based medians (exact data
+    // values, no interpolation) keep the result bit-identical across
+    // engines.
+    "q107_robust_outliers" -> ((s, dir) => {
+      operators.Profiler.robustOutliers(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", k = 3.0)
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1027,6 +1073,81 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Funnel: all comparisons in epoch-microseconds, mirroring the Spark
+    // side's ns->us truncation (Tables.load `ts div 1000`).
+    "q104_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM ev),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND tsu > t1
+        |                      AND tsu <= t1 + 86400000000 THEN tsu END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > t2
+        |                      AND tsu <= t2 + 86400000000 THEN tsu END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM s3 GROUP BY user_id)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q105_rank_family" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  o_totalprice - lag(o_totalprice) OVER w AS delta_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
+    // Five unrolled grid-snapped PageRank iterations (PageRankIterCtes),
+    // same IEEE expression tree as operators.PageRank.
+    "q106_pagerank" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+        |  FROM lineitem WHERE l_partkey % 100 <> l_suppkey % 100),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |edeg AS (SELECT e.src, e.dst, o.outdeg FROM e JOIN outdeg o ON e.src = o.src),
+        |pr0 AS (
+        |  SELECT node, floor(1.0 / nn.n * 1e6 + 0.5) / 1e6 AS pr FROM nodes, nn),
+        |""".stripMargin +
+        (0 until 5).map(PageRankIterCtes).mkString(",\n") + "\n" +
+        """SELECT node, pr FROM pr5""".stripMargin),
+
+    "q107_robust_outliers" ->
+      """WITH rk AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS r,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (SELECT g, v AS med FROM rk WHERE r = (n + 1) // 2),
+        |dev AS (
+        |  SELECT rk.g, rk.v, m.med, abs(rk.v - m.med) AS d
+        |  FROM rk JOIN med m ON rk.g = m.g),
+        |rk2 AS (
+        |  SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS r,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM dev),
+        |mad AS (SELECT g, d AS mad FROM rk2 WHERE r = (n + 1) // 2)
+        |SELECT d.g AS l_returnflag, max(d.med) AS med, max(m.mad) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.d > CAST(3 AS DOUBLE) * 1.4826 * m.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m ON d.g = m.g GROUP BY d.g""".stripMargin,
+
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -2276,6 +2397,31 @@ object SparkEntry {
     * tie-break as the Spark argmax), then per-list per-dimension means
     * rounded to 6dp, empty lists keeping their previous centroid —
     * mirroring `Similarity.kmeansCentroids` stage by stage. */
+  /** One grid-snapped PageRank iteration as CTEs: per-edge share
+    * floor-rounded to the 1e-6 grid, incoming sums and dangling mass
+    * re-snapped, then the damped update — the exact IEEE expression tree
+    * `operators.PageRank.run` evaluates, so iteration k is bit-identical
+    * on both engines. */
+  private def PageRankIterCtes(i: Int): String = {
+    val (p, n) = (s"pr$i", s"pr${i + 1}")
+    s"""ins$i AS (
+       |  SELECT e.dst,
+       |    floor(sum(floor(p.pr / CAST(e.outdeg AS DOUBLE) * 1e6 + 0.5) / 1e6)
+       |      * 1e6 + 0.5) / 1e6 AS in_sum
+       |  FROM edeg e JOIN $p p ON e.src = p.node
+       |  GROUP BY e.dst),
+       |dang$i AS (
+       |  SELECT floor(coalesce(sum(p.pr), 0) * 1e6 + 0.5) / 1e6 AS dang
+       |  FROM $p p LEFT JOIN outdeg o ON p.node = o.src
+       |  WHERE o.src IS NULL),
+       |$n AS (
+       |  SELECT p.node,
+       |    floor(((CAST(1 AS DOUBLE) - 0.85) / nn.n
+       |      + 0.85 * (coalesce(i.in_sum, 0) + d.dang / nn.n)) * 1e6 + 0.5) / 1e6
+       |      AS pr
+       |  FROM $p p LEFT JOIN ins$i i ON p.node = i.dst, dang$i d, nn)""".stripMargin
+  }
+
   private def KmeansIterCtes(i: Int): String = {
     val (cin, asn, asg, mean, cout) =
       (s"cents$i", s"kasn$i", s"kasg$i", s"kmean$i", s"cents${i + 1}")

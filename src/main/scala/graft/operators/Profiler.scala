@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling: per-column null counts, distinct counts, min/max —
@@ -41,5 +42,48 @@ object Profiler {
         col(s"__max_$c").as("max_value"))
     }
     stacked.reduce(_ unionByName _)
+  }
+
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of values beyond `k` robust sigmas
+    * (`|x - med| > k * 1.4826 * MAD`, 1.4826 being the normal-consistency
+    * constant) — the standard outlier screen that, unlike mean/stddev,
+    * is not itself dragged by the outliers it is measuring.
+    *
+    * Both medians are LOWER medians (the `(n+1) div 2`-th order
+    * statistic): an exact data value, no midpoint interpolation — which
+    * makes the result bit-identical across engines and summation orders
+    * (interpolated medians differ in the last ulp between
+    * implementations, poisoning every downstream comparison).
+    *
+    * Scale: two ordered windows over the same group partitioning (one
+    * Exchange, value-sort then deviation-sort) plus a broadcast join of
+    * the groups-sized median frame, then one final aggregation. Exact
+    * medians sort each group; at 100 TB with huge groups swap in
+    * `percentile_approx` (the q24 path) — the outlier rule is unchanged.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val medOf = (frame: DataFrame, c: String, out: String) => {
+      val ranked = frame
+        .withColumn("__r", row_number().over(byGroup.orderBy(col(c))))
+        .withColumn("__n", count(lit(1)).over(byGroup))
+      ranked.filter(col("__r") === expr("(__n + 1) DIV 2"))
+        .select(col(groupCol), col(c).as(out))
+    }
+    val med = medOf(df.select(col(groupCol), col(valueCol)), valueCol, "med")
+    val dev = df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__d", abs(col(valueCol) - col("med")))
+    val mad = medOf(dev.select(col(groupCol), col("__d")), "__d", "mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__d") > lit(k) * lit(1.4826d) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 }
