@@ -133,6 +133,58 @@ object SparkEntry {
         "l_returnflag", "l_extendedprice", k = 3.0)
     }),
 
+    // GROUPING SETS with grouping() indicators — the explicit form
+    // completing the rollup (q19) / cube (q27) trio; exercised through
+    // the SQL surface.
+    "q108_grouping_sets" -> ((s, dir) => {
+      Engine.sql(s, dir,
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |  count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Equi-width histogram (profiling): min/max bounds enter as literals
+    // (driver-collected 2-value aggregate), binning is one
+    // map-side-combined aggregation on the bucket id.
+    "q109_histogram" -> ((s, dir) => {
+      operators.Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        bins = 20)
+    }),
+
+    // Bivariate statistics per group: correlation, sample covariance,
+    // sample stddev — the numeric-profiling counterpart of q23.
+    "q110_corr_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Sliding-window aggregation (1 h windows every 15 min): each event
+    // expands scan-side into its 4 overlapping windows, then one shuffle
+    // on (window, type) — completes the window-type surface next to
+    // tumbling (q50) and session (q51/q53).
+    "q111_sliding_window" -> ((s, dir) => {
+      graft.streaming.EventStreams.slidingAgg(t(s, dir, "events"),
+        duration = "1 hour", slide = "15 minutes")
+    }),
+
+    // Deterministic priority sampling: top-100 by weight/uniform priority
+    // (content-hash uniforms), the weighted sampling-without-replacement
+    // primitive; plans as TakeOrderedAndProject.
+    "q112_priority_sample" -> ((s, dir) => {
+      operators.CorpusMix.prioritySample(t(s, dir, "documents"),
+        weightCol = "n_chars", keyCol = "text", idCol = "doc_id", k = 100)
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1147,6 +1199,66 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad m ON d.g = m.g GROUP BY d.g""".stripMargin,
+
+    // Every event belongs to exactly duration/slide = 4 windows whose
+    // starts step back by one slide from floor(ts/slide)*slide — no
+    // in-window filter needed (ts - start < (k+1)*slide <= duration).
+    // make_timestamp() builds the µs window start Spark emits.
+    "q111_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS tsu, event_type, value FROM events),
+        |w AS (
+        |  SELECT make_timestamp((tsu // 900000000) * 900000000
+        |      - t.k * 900000000) AS window_start,
+        |    event_type, value
+        |  FROM ev, LATERAL (SELECT unnest(range(4)) AS k) t)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q112_priority_sample" ->
+      """SELECT doc_id,
+        |  n_chars / ((CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) + 1)
+        |    / 4294967296.0) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
+
+    "q108_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    // Same literal bounds path: stats CTE mirrors the driver-collected
+    // min/max; bucket and lower-bound arithmetic are the identical IEEE
+    // expression trees.
+    "q109_histogram" ->
+      """WITH stats AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |    (CAST(max(l_extendedprice) AS DOUBLE)
+        |      - CAST(min(l_extendedprice) AS DOUBLE)) / 20 AS w
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(19, CAST(floor((l_extendedprice - s.mn) / s.w) AS BIGINT))
+        |    AS bucket
+        |  FROM lineitem, stats s)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  (SELECT mn FROM stats) + CAST(bucket AS DOUBLE) * (SELECT w FROM stats)
+        |    AS lo
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    "q110_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -143,4 +143,30 @@ object CorpusMix {
       .filter(col("rk") <= col("quota"))
       .drop("rk")
   }
+
+  /** Deterministic weighted sampling without replacement: priority
+    * sampling (Duffield/Lund/Thorup). Each row gets `priority = w / u`
+    * with `u` a content-derived uniform in (0, 1] (first 32 md5 bits of
+    * `keyCol`, +1, over 2^32 — the same md5 determinism convention as the
+    * other samplers: re-runs, engines, and row orders all agree); the
+    * sample is the top-`k` priorities. Heavier rows draw proportionally
+    * larger priorities, so inclusion probability scales with weight —
+    * the weighted generalization of hash-threshold sampling, usable for
+    * quality-weighted corpus subsetting and (with the k+1-th priority as
+    * the threshold) unbiased subset-sum estimation.
+    *
+    * Scale: priority is a scan-side expression; top-k plans as
+    * `TakeOrderedAndProject` (per-partition heaps, never a global sort).
+    * Pure IEEE division throughout — no transcendental functions, whose
+    * last-ulp differences across libms would poison cross-engine parity.
+    */
+  def prioritySample(df: DataFrame, weightCol: String, keyCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("priority"))
+  }
 }

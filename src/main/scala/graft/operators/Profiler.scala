@@ -44,6 +44,32 @@ object Profiler {
     stacked.reduce(_ unionByName _)
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], bucket `b = min(bins-1, floor((x - mn) / w))` with
+    * `w = (mx - mn) / bins` (the max lands in the last bucket). Empty
+    * buckets are absent from the output (no densify).
+    *
+    * Scale: pass 1 is a 2-value global aggregate (min/max) collected to
+    * the driver so the bounds enter the plan as LITERALS — the binning
+    * pass is then scan → project → one map-side-combined aggregation on
+    * the bucket id (bins-many rows shuffled). Degenerate case mn == mx
+    * puts everything in bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val r = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val w = (mx - mn) / bins
+    val bucket =
+      if (w == 0.0) lit(0L)
+      else least(lit(bins - 1L), floor((col(valueCol) - lit(mn)) / lit(w)))
+    df.select(bucket.cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", lit(mn) + col("bucket").cast("double") * lit(w))
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation), and the count of values beyond `k` robust sigmas
     * (`|x - med| > k * 1.4826 * MAD`, 1.4826 being the normal-consistency

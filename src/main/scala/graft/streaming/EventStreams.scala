@@ -27,6 +27,18 @@ object EventStreams {
     events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Sliding-window aggregation: overlapping windows of `duration` every
+    * `slide` (each event lands in duration/slide windows). Spark's
+    * `window()` generates the copies scan-side (a narrow expand, never a
+    * shuffled fan-out), then one hash shuffle on (window, type) — the
+    * same plan streaming uses with a watermark (oracle-checked q111 in
+    * batch form; the tumbling/session forms are q50/q53). */
+  def slidingAgg(events: DataFrame, duration: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. Returns per-user session stats (oracle-checked q51). */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

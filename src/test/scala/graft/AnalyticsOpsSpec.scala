@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, PageRank, Profiler}
+import graft.operators.{CorpusMix, Funnel, PageRank, Profiler}
+import graft.streaming.EventStreams
 
 /** Funnel, PageRank, and robust-outlier operator specs. */
 class AnalyticsOpsSpec extends SparkSpec {
@@ -114,11 +115,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("histogram: equi-width binning, max lands in the last bucket") {
+    val df = (Seq(0.0, 0.5, 1.0, 5.0, 9.99, 10.0)).toDF("v")
+    val r = Profiler.histogram(df, "v", bins = 10).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // width 1.0: bucket 0 holds [0,1) -> {0.0, 0.5}; 1.0 is in bucket 1;
+    // the max 10.0 clamps into bucket 9 with 9.99.
+    assert(r(0L)._1 == 2 && r(1L)._1 == 1 && r(5L)._1 == 1 && r(9L)._1 == 2)
+    assert(r(9L)._2 == 9.0, "lower bound of the last bucket")
+    assert(r.values.map(_._1).sum == 6L, "every row lands in exactly one bucket")
+  }
+
+  test("histogram: constant column degenerates to a single bucket") {
+    val df = Seq.fill(4)(3.25).toDF("v")
+    val r = Profiler.histogram(df, "v", bins = 10).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 0L && r.head.getLong(1) == 4L)
+  }
+
   test("robust outliers: zero-MAD group counts any deviation as outlier") {
     val df = (Seq.fill(5)(("g1", 7.0)) :+ ("g1", 7.5)).toDF("g", "v")
     val r = Profiler.robustOutliers(df, "g", "v").collect().head
     assert(r.getAs[Double]("mad") == 0.0)
     assert(r.getAs[Long]("n_outliers") == 1L,
       "with MAD 0 the threshold is 0, so the single deviant is flagged")
+  }
+
+  test("sliding windows: every event lands in exactly duration/slide windows") {
+    val ev = Seq((ts("2024-01-01 10:07:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value")
+    val r = EventStreams.slidingAgg(ev, "1 hour", "15 minutes").collect()
+    assert(r.length == 4, "1h / 15min = 4 overlapping windows")
+    val starts = r.map(_.getTimestamp(0).toString).sorted
+    assert(starts.head == "2024-01-01 09:15:00.0" &&
+      starts.last == "2024-01-01 10:00:00.0",
+      "windows step back by one slide from the event's slide-aligned floor")
+    assert(r.forall(x => x.getLong(2) == 1L && x.getDouble(3) == 2.0))
+  }
+
+  test("priority sample: deterministic, weight-monotone inclusion") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"doc text $i", if (i <= 20) 100000L else 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val take = CorpusMix.prioritySample(docs, "n_chars", "text", "doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    // 10000x heavier rows dominate the sample.
+    assert((1 to 20).map(_.toLong).toSet.subsetOf(take),
+      "every heavy row is sampled ahead of the light tail")
+    val again = CorpusMix.prioritySample(docs, "n_chars", "text", "doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(take == again, "content-hash uniforms make re-runs identical")
   }
 }
