@@ -185,6 +185,53 @@ object SparkEntry {
         weightCol = "n_chars", keyCol = "text", idCol = "doc_id", k = 100)
     }),
 
+    // Grouped ordinary-least-squares fit: slope/intercept/R² of price on
+    // quantity per return flag — the regr_* aggregate family (single
+    // map-side-combined pass, one shuffle on the group key).
+    "q113_regression" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+    }),
+
+    // RANGE-frame moving aggregate: per customer, trailing-90-day order
+    // total on the µs time axis. The frame is value-defined (peers
+    // included), so the result is deterministic under ties without any
+    // row-order tiebreak.
+    "q114_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        // NTZ -> LTZ cast is the identity under the UTC session TZ
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7776000000000L, 0L) // 90 days in µs
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("mv_sum"),
+        count(lit(1)).over(w).as("mv_n"))
+    }),
+
+    // Percent-of-total (ratio_to_report): each nation's share of global
+    // revenue. The global total rides in as a broadcast 1-row frame (no
+    // single-partition window); both sums snap to the 2dp grid before
+    // the ratio, which uses the house floor-snap rule.
+    "q115_revenue_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val byNation = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val total = byNation.agg(round(sum(col("rev")), 2).as("tot"))
+      byNation.crossJoin(broadcast(total))
+        .select(col("n_name"), col("rev"),
+          (floor(col("rev") / col("tot") * lit(1e6) + lit(0.5d)) / lit(1e6))
+            .as("share"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1199,6 +1246,33 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad m ON d.g = m.g GROUP BY d.g""".stripMargin,
+
+    "q113_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q114_moving_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS mv_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS mv_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |             RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q115_revenue_share" ->
+      """WITH bn AS (
+        |  SELECT n_name, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |tot AS (SELECT round(sum(rev), 2) AS tot FROM bn)
+        |SELECT n_name, rev, floor(rev / t.tot * 1e6 + 0.5) / 1e6 AS share
+        |FROM bn, tot t""".stripMargin,
 
     // Every event belongs to exactly duration/slide = 4 windows whose
     // starts step back by one slide from floor(ts/slide)*slide — no
