@@ -232,6 +232,66 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // Line-level dedup (the CCNet/RefinedWeb line-dedup stage): 8-token
+    // fixed-width "lines", cross-doc duplicate lines dropped everywhere
+    // except the min-doc canonical copy, documents reassembled from their
+    // kept lines in order. Only (doc_id, idx, hash) shuffles for the
+    // frequency pass; line text stays scan-side until reassembly.
+    "q116_line_dedup" -> ((s, dir) => {
+      Dedup.lineDedup(t(s, dir, "documents"), "text", "doc_id", wordsPerLine = 8)
+    }),
+
+    // Cohort retention triangle: users grouped by first-event week;
+    // per (cohort_week, week_offset) active distinct users + retention
+    // ratio vs the cohort's own offset-0 size.
+    "q117_retention" -> ((s, dir) => {
+      operators.Cohorts.retention(t(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // Interval coalescing + coverage: each event claims
+    // [ts, ts + floor(value*60) seconds); overlapping/touching claims
+    // merge per user (running-max island windows on epoch-µs longs —
+    // exact integer arithmetic, one shuffle on the user key).
+    "q118_interval_coverage" -> ((s, dir) => {
+      val startUs = unix_micros(col("ts"))
+      operators.Intervals.coverage(t(s, dir, "events"), "user_id",
+        startUs, startUs + floor(col("value") * lit(60d)).cast("long") * lit(1000000L))
+    }),
+
+    // Daily resample + forward fill: dense per-user day grid over the
+    // observed span, gaps carry the last observed daily total forward.
+    "q119_resample_ffill" -> ((s, dir) => {
+      operators.Resample.dailyForwardFill(t(s, dir, "events"), "user_id", "ts", "value")
+    }),
+
+    // Order-independent modular table checksum per order status — the
+    // cross-system "did replication preserve every row" validation
+    // fingerprint; the oracle recomputes the identical polynomial in
+    // DuckDB, which IS the operator's point.
+    "q120_table_checksum" -> ((s, dir) => {
+      import operators.Validate
+      Validate.checksum(t(s, dir, "orders"), Seq(
+          Validate.enc.long(col("o_orderkey")),
+          Validate.enc.long(col("o_custkey")),
+          Validate.enc.date(col("o_orderdate")),
+          Validate.enc.moneyCents(col("o_totalprice"))),
+        groupCols = Seq("o_orderstatus"))
+    }),
+
+    // Bigram collocation mining: top-20 adjacent-token pairs by lift
+    // (the log-free core of PMI — rank-equivalent, transcendental-free).
+    "q121_collocations" -> ((s, dir) => {
+      operators.TextIndex.collocations(t(s, dir, "documents"), "text", "doc_id",
+        minCount = 5L, k = 20)
+    }),
+
+    // Per-label mean-pooled centroids + intra-cluster dispersion on the
+    // 1e-4 quantized integer grid (exact vector sums; cosine vs the
+    // unnormalized sum vector — scale-invariant, one rounding layer).
+    "q122_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1273,6 +1333,187 @@ object SparkEntry {
         |tot AS (SELECT round(sum(rev), 2) AS tot FROM bn)
         |SELECT n_name, rev, floor(rev / t.tot * 1e6 + 0.5) / 1e6 AS share
         |FROM bn, tot t""".stripMargin,
+
+    // Lines replayed as strings (Spark shuffles xxhash64 of them);
+    // keep = df==1 OR canonical (min-doc) copy; reassembly orders by idx.
+    "q116_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lines AS (
+        |  SELECT doc_id, t.i AS idx,
+        |    array_to_string(toks[(t.i*8+1):(t.i*8+8)], ' ') AS line
+        |  FROM docs, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i) t),
+        |st AS (
+        |  SELECT line, count(DISTINCT doc_id) AS line_df, min(doc_id) AS min_doc
+        |  FROM lines GROUP BY line),
+        |k AS (
+        |  SELECT l.doc_id, l.idx, l.line,
+        |    (s.line_df = 1 OR l.doc_id = s.min_doc) AS keep
+        |  FROM lines l JOIN st s ON l.line = s.line)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY idx), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // Monday-truncated weeks: the day difference is exactly divisible
+    // by 7, so integer division is the exact week offset.
+    "q117_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |wc AS (
+        |  SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cohort_week FROM weeks),
+        |cnt AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        |  FROM wc GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_week, week_offset, n_active,
+        |    max(CASE WHEN week_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_week) AS cohort_size
+        |  FROM cnt)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  floor(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS retention
+        |FROM sz""".stripMargin,
+
+    // Running-max island construction on epoch-µs longs; touching
+    // intervals (start == running max end) merge — half-open semantics.
+    "q118_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS end_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, start_us, end_us,
+        |    CASE WHEN start_us > max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, end_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, start_us, end_us,
+        |    sum(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT user_id, island, min(start_us) AS start_us, max(end_us) AS end_us,
+        |    CAST(count(*) AS BIGINT) AS n_source
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(n_source) AS BIGINT) AS n_raw,
+        |  CAST(count(*) AS BIGINT) AS n_merged,
+        |  CAST(sum(end_us - start_us) AS BIGINT) AS covered_us,
+        |  CAST(max(end_us) - min(start_us) AS BIGINT) AS span_us
+        |FROM merged GROUP BY user_id""".stripMargin,
+
+    // Dense per-key day grid via generate_series; forward fill copies
+    // the 2dp grid point — no further float arithmetic.
+    "q119_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS daily_total
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT key, min(day) AS mind, max(day) AS maxd FROM daily GROUP BY key),
+        |grid AS (
+        |  SELECT key, CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.key, g.day, d.n_events, d.daily_total
+        |  FROM grid g LEFT JOIN daily d ON g.key = d.key AND g.day = d.day)
+        |SELECT key, day, coalesce(n_events, 0) AS n_events, daily_total,
+        |  last_value(daily_total IGNORE NULLS) OVER (PARTITION BY key ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+        |  (daily_total IS NOT NULL) AS is_observed
+        |FROM j""".stripMargin,
+
+    // The identical polynomial mod 2^31-1; DuckDB's BIGINT sum widens to
+    // HUGEINT, matching Spark's DECIMAL(38,0) accumulator.
+    "q120_table_checksum" ->
+      """WITH mixed AS (
+        |  SELECT o_orderstatus,
+        |    ((((((17 * 1000003
+        |      + coalesce(((o_orderkey % 2147483647) + 2147483647) % 2147483647,
+        |                 2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((o_custkey % 2147483647) + 2147483647) % 2147483647,
+        |                 2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((date_diff('day', DATE '1970-01-01',
+        |                    CAST(o_orderdate AS DATE)) % 2147483647)
+        |                  + 2147483647) % 2147483647,
+        |                 2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    % 2147483647) + 2147483647) % 2147483647,
+        |                 2147483646) AS premix
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(premix % 2147483647) % 2147483647 AS BIGINT) AS checksum
+        |FROM mixed GROUP BY o_orderstatus""".stripMargin,
+
+    // Exact BIGINT counts; products stay under 2^53 so the doubles are
+    // exact until the single division; then the house 6dp grid.
+    "q121_collocations" ->
+      """WITH filt AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT tk[t.i] AS w1, tk[t.i + 1] AS w2
+        |  FROM filt, LATERAL (SELECT unnest(range(1, len(tk))) AS i) t
+        |  WHERE len(tk) >= 2),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM pairs GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT u AS term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(tk) AS u FROM filt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni)
+        |SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  floor(CAST(b.n_ab AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+        |    / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift
+        |FROM bi b
+        |JOIN uni ua ON b.w1 = ua.term
+        |JOIN uni ub ON b.w2 = ub.term, tot t
+        |WHERE b.n_ab >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // 1e-4 integer grid -> exact sums/dots/norms; cosine against the
+    // unnormalized SUM vector (scale-invariant); fixed IEEE op sequence.
+    "q122_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label, vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e4 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |expl AS (
+        |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q),
+        |sums AS (
+        |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM expl GROUP BY label, pos),
+        |cent AS (SELECT label, list(s ORDER BY pos) AS cv FROM sums GROUP BY label),
+        |m AS (SELECT q.label, q.id, q.qv, c.cv FROM q JOIN cent c USING (label)),
+        |sc AS (
+        |  SELECT label, id,
+        |    CAST((SELECT sum(a * b) FROM (SELECT unnest(qv) AS a, unnest(cv) AS b))
+        |      AS BIGINT) AS dotqc,
+        |    CAST((SELECT sum(a * a) FROM (SELECT unnest(qv) AS a)) AS BIGINT) AS n2q,
+        |    CAST((SELECT sum(b * b) FROM (SELECT unnest(cv) AS b)) AS BIGINT) AS n2c
+        |  FROM m),
+        |cz AS (
+        |  SELECT label, n2c,
+        |    CASE WHEN n2q = 0 OR n2c = 0 THEN 0
+        |      ELSE CAST(floor(CAST(dotqc AS DOUBLE)
+        |        / sqrt(CAST(n2q AS DOUBLE) * CAST(n2c AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT) END AS cos6
+        |  FROM sc)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+        |  floor(sqrt(CAST(max(n2c) AS DOUBLE)) / count(*) / 1e4 * 1e6 + 0.5) / 1e6
+        |    AS centroid_norm,
+        |  floor(CAST(sum(cos6) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_cos,
+        |  CAST(min(cos6) AS DOUBLE) / 1e6 AS min_cos,
+        |  CAST(max(cos6) AS DOUBLE) / 1e6 AS max_cos
+        |FROM cz GROUP BY label""".stripMargin,
 
     // Every event belongs to exactly duration/slide = 4 windows whose
     // starts step back by one slide from floor(ts/slide)*slide — no

@@ -158,6 +158,50 @@ object Dedup {
       .withColumn("keep", col("dup_fraction") <= lit(maxFraction))
   }
 
+  /** Line-level dedup (the CCNet/RefinedWeb line-dedup stage): drop lines
+    * duplicated ACROSS documents — boilerplate headers, navigation,
+    * cookie banners — while keeping one canonical copy (the occurrence in
+    * the smallest doc id), then reassemble each document from its kept
+    * lines in order.
+    *
+    * The harness corpus has no newlines, so "lines" are fixed-width
+    * `wordsPerLine`-token chunks of the whitespace token stream — the
+    * chunking is part of the operator contract and the oracle replays it;
+    * on real text pass the same text split on '\n' upstream.
+    *
+    * Scale: lines are hashed scan-side (xxhash64) and only (doc_id, idx,
+    * hash) triples shuffle for the frequency pass — the line TEXT stays in
+    * the originating partition until reassembly, which groups by doc_id
+    * (one shuffle of the kept lines, output-sized). A line repeated only
+    * WITHIN one doc has doc-frequency 1 and is kept everywhere. Counts
+    * are exact; a cross-doc xxhash64 collision (~n²/2^64) could merge two
+    * distinct lines — the oracle works over line strings, so the harness
+    * would catch it.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                wordsPerLine: Int = 8): DataFrame = {
+    val k = wordsPerLine
+    val lines = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(__toks) / $k.0) as int) - 1)," +
+          s" i -> array_join(slice(__toks, i * $k + 1, $k), ' '))")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+      .withColumn("h", xxhash64(col("line")))
+    // doc-frequency + canonical owner per line hash; id-only shuffle
+    val stats = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("line_df"), min(col("doc_id")).as("min_doc"))
+    lines.join(stats, "h")
+      .withColumn("keep", col("line_df") === 1 || col("doc_id") === col("min_doc"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("idx"), col("line"))))),
+          x => x.getField("line")), " ").as("clean_text"))
+  }
+
   /** n-gram Jaccard similarity for all candidate pairs sharing at least one
     * shingle (inverted-index join — the exact-but-pruned variant; MinHash is
     * the approximate variant of the same pipeline). */

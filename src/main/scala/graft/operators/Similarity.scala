@@ -287,4 +287,63 @@ object Similarity {
       .join(dropped, Seq("vec_id"), "left")
       .na.fill(false, Seq("dropped"))
   }
+
+  /** Per-label mean-pooled centroids with intra-cluster dispersion — the
+    * "how tight is each class/cluster in embedding space" profile behind
+    * semantic-dedup tuning, label auditing, and per-class ANN index
+    * sizing.
+    *
+    * EXACT-ARITHMETIC design: floats are first snapped to the 1e-4 grid
+    * as BIGINTs (floor(x*1e4 + 0.5) — one IEEE tie rule); every sum, dot
+    * product, and squared norm is then exact 64-bit integer math, so
+    * partial-agg order cannot move a bit. Cosine is scale-invariant, so
+    * members are compared against the integer SUM vector directly — the
+    * mean's division by n is never performed, removing a rounding layer.
+    * The only doubles are the final cosine (fixed op sequence:
+    * widen, multiply, sqrt, divide) and the 6dp grid snap — both
+    * bit-reproducible on any IEEE-754 engine.
+    *
+    * Output: (label, n_members, centroid_norm, avg_cos, min_cos, max_cos)
+    * where centroid_norm is the norm of the MEAN vector (unquantized
+    * units) and *_cos are member-to-centroid cosines on the 6dp grid.
+    *
+    * Scale: pass 1 shuffles (label, pos, partial-sum) — dim x labels rows
+    * after map-side combine, independent of corpus size. The centroid
+    * frame is labels-many rows (broadcast join). Pass 2 is a scan-side
+    * expression per member plus one labels-keyed aggregation. No
+    * all-pairs stage anywhere (dispersion is member-to-centroid, not
+    * member-to-member). */
+  def labelCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val q = embeddings.select(col(labelCol).as("label"), col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e4) + lit(0.5d)).cast("long")).as("qv"))
+    val centroids = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cv"),
+        count(lit(1)).as("dim"))
+    val dotQC = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val n2q = aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)
+    val n2c = aggregate(col("cv"), lit(0L), (acc, x) => acc + x * x)
+    val cos6 = when(n2q === 0L || n2c === 0L, lit(0L))
+      .otherwise(floor(dotQC.cast("double")
+        / sqrt(n2q.cast("double") * n2c.cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long"))
+    q.join(broadcast(centroids), Seq("label"))
+      .withColumn("cos6", cos6)
+      .withColumn("n2c", n2c)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // ||sum||/n/1e4 = norm of the mean vector in original units
+        (floor(sqrt(max(col("n2c")).cast("double")) / count(lit(1)).cast("double")
+          / lit(1e4) * lit(1e6) + lit(0.5d)) / lit(1e6)).as("centroid_norm"),
+        (floor(sum(col("cos6")).cast("double") / count(lit(1)).cast("double")
+          + lit(0.5d)) / lit(1e6)).as("avg_cos"),
+        (min(col("cos6")).cast("double") / lit(1e6)).as("min_cos"),
+        (max(col("cos6")).cast("double") / lit(1e6)).as("max_cos"))
+  }
 }

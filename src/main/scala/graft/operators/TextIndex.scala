@@ -102,6 +102,48 @@ object TextIndex {
       .filter(col("n_tokens") > 0)
   }
 
+  /** Bigram collocation mining: adjacent-token pairs ranked by LIFT —
+    * `n_ab * N / (n_a * n_b)`, the association-strength core of PMI
+    * (PMI = log2(lift); lift is rank-equivalent and needs NO transcendental,
+    * so engines agree without log-rounding games). The classic vocabulary/
+    * phrase-induction pass: high-lift pairs ("new york") are collocations,
+    * candidates for merged tokens.
+    *
+    * Determinism: n_ab, n_a, n_b, N are exact BIGINTs; the double products
+    * stay below 2^53 (exact) for corpora under ~10^8 occurrences per term
+    * pair product — the one division is a single IEEE op, then the house
+    * 6dp grid. Rank ties break on (w1, w2).
+    *
+    * Scale: pair generation is scan-side (`transform` over the token
+    * array — no position self-join); the pair aggregation shuffles
+    * (w1, w2) with map-side combine; the two unigram joins key on a
+    * vocab-sized frame (broadcast-able in practice — term counts follow
+    * Zipf, the frame is tiny next to the corpus); top-k is sort+limit. */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+                   minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val pairs = df.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1)," +
+          " i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val uni = df.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("term").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift", floor(
+        col("n_ab").cast("double") * col("n_total").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc).limit(k)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+  }
+
   /** BM25 top-k documents for a bag-of-terms query:
     * (doc_id, score, rank). score is rounded to 4dp BEFORE ranking (the
     * per-term sum is float-order-dependent in its last bits; ranking on

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-independent table checksums for cross-system data validation —
+  * "did the migration/replication/rewrite preserve every row?" answered
+  * with one number per table (or per partition group), computable by ANY
+  * engine from the same formula.
+  *
+  * Design constraints, in order:
+  *  - ORDER-INDEPENDENT: the combiner over rows is addition mod P, so the
+  *    checksum is invariant to row order, partitioning, and parallelism.
+  *  - ENGINE-PORTABLE: the row mix is a polynomial hash over caller-chosen
+  *    integer encodings using only +, *, % on BIGINTs — expressible
+  *    verbatim in any ANSI SQL dialect (the DuckDB oracle runs the exact
+  *    same arithmetic). No engine-specific hash function in the portable
+  *    path.
+  *  - OVERFLOW-SAFE BY CONSTRUCTION: P = 2^31 - 1 (Mersenne prime), the
+  *    fold multiplier is 1,000,003; the intermediate `acc*M + code` is
+  *    < 2^51 + 2^31, far inside Int64. The cross-row SUM is carried in
+  *    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so row counts beyond 2^32
+  *    (the 100 TB regime) cannot wrap a 64-bit accumulator.
+  *
+  * Collision bound: P ≈ 2.1e9, so two different groups collide with
+  * probability ~n²/2P for n differing rows — a validation check, not a
+  * cryptographic commitment; use two runs with different multipliers if
+  * that matters.
+  *
+  * Scale: one map-side-combined aggregation — the shuffle carries one
+  * partial (DECIMAL, BIGINT) pair per group per task. Grouping by the
+  * partition column turns this into per-partition fingerprints, the shape
+  * incremental replication checks want (compare only mismatched groups).
+  */
+object Validate {
+
+  val P: Long = 2147483647L // 2^31 - 1
+  val M: Long = 1000003L
+
+  /** Non-negative residue mod P of an arbitrary BIGINT column. */
+  private def norm(c: Column): Column = ((c % P) + P) % P
+
+  /** Portable integer encodings. Each maps a column to a BIGINT code;
+    * nulls become a fixed sentinel (P - 1) so "null" and "0" differ. */
+  object enc {
+    private def orNull(c: Column): Column = coalesce(norm(c), lit(P - 1))
+    /** Any integral column. */
+    def long(c: Column): Column = orNull(c.cast("long"))
+    /** DATE -> days since epoch (exact, engine-portable). */
+    def date(c: Column): Column = orNull(datediff(c, to_date(lit("1970-01-01"))).cast("long"))
+    /** Money-like DOUBLE -> cents on the half-up grid (floor(x*100 + 0.5)
+      * — pure IEEE ops, one tie rule on every engine). */
+    def moneyCents(c: Column): Column =
+      orNull(floor(c.cast("double") * 100d + 0.5d).cast("long"))
+    /** Bounded-scale DOUBLE -> 1e-6 grid. */
+    def micros(c: Column): Column =
+      orNull(floor(c.cast("double") * 1e6 + 0.5d).cast("long"))
+    /** Strings via xxhash64 — Spark-to-Spark validation ONLY (no portable
+      * ANSI equivalent; excluded from the DuckDB-oracled surface). */
+    def stringSparkOnly(c: Column): Column = orNull(xxhash64(c))
+  }
+
+  /** Row mix: ((seed*M + c1) % P ... *M + cn) % P — same nesting any
+    * engine can write down. */
+  def rowMix(codes: Seq[Column], seed: Long = 17L): Column =
+    codes.foldLeft(lit(seed)) { (acc, c) => (acc * M + c) % P }
+
+  /** Per-group (n_rows, checksum). Empty `groupCols` = one global row. */
+  def checksum(df: DataFrame, codes: Seq[Column],
+               groupCols: Seq[String] = Nil): DataFrame = {
+    val mixed = df.withColumn("__mix", rowMix(codes))
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      (sum(col("__mix").cast("decimal(38,0)")) % P).cast("long").as("checksum"))
+    if (groupCols.isEmpty) mixed.agg(aggs.head, aggs.tail: _*)
+    else mixed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextIndex, Validate}
+
+/** Round-4 corpus/validation operators on crafted inputs: line-level
+  * dedup, collocation mining, label centroids, table checksums. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("line dedup drops cross-doc duplicate lines, keeps canonical copy") {
+    // 4-word lines; docs 1 and 2 share their first line exactly;
+    // doc 1 also repeats a line INTERNALLY (df=1 -> kept twice).
+    val docs = Seq(
+      (1L, "a b c d x y z w a b c d"),
+      (2L, "a b c d q r s t"),
+      (3L, "only unique words here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "text", "doc_id", wordsPerLine = 4)
+      .orderBy("doc_id").collect()
+    val rows = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 3L, "a b c d x y z w a b c d"), // canonical owner keeps all
+      (2L, 2L, 1L, "q r s t"),                 // shared line removed here
+      (3L, 1L, 1L, "only unique words here")))
+  }
+
+  test("line dedup: short doc becomes a single whole-text line") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "text", "doc_id", wordsPerLine = 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getString(3)).toSeq == Seq("tiny doc", ""))
+  }
+
+  test("collocations rank adjacent pairs by lift, exact counts") {
+    // "new york" always adjacent (lift high); "the the" frequent but
+    // independent tokens (lift ~ low); minCount prunes rare pairs
+    val docs = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "the a the b the c the d the e the f the g the h")
+    ).toDF("doc_id", "text")
+    val r = TextIndex.collocations(docs, "text", "doc_id", minCount = 4L, k = 10)
+      .collect()
+    val byPair = r.map(x => (x.getString(0), x.getString(1)) ->
+      (x.getLong(2), x.getDouble(5))).toMap
+    assert(byPair.contains(("new", "york")) && byPair(("new", "york"))._1 == 5L)
+    assert(!byPair.keys.exists(_ == ("york", "new")) ||
+      byPair(("york", "new"))._1 == 4L) // 4 wrap-around adjacencies
+    // lift of a perfectly-coupled pair ~ N/(n_a*n_b)*n_ab: here
+    // n_new = n_york = 5, N = 26 tokens total, so lift = 5*26/25 = 5.2
+    assert(byPair(("new", "york"))._2 == 5.2)
+  }
+
+  test("label centroids: exact integer pooling and dispersion bounds") {
+    // label 0: two identical vectors -> every cosine vs centroid is 1;
+    // label 1: two opposite vectors -> centroid is 0-ish but NOT exactly
+    //   zero (quantization of .1 keeps it nonzero); use orthogonal pair
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(vecs, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    val l0 = r(0)
+    assert(l0.getLong(1) == 2L && l0.getDouble(3) == 1.0) // avg_cos = 1
+    assert(l0.getDouble(2) == 1.0)                        // ||mean|| = 1
+    val l1 = r(1)
+    // members at 45 degrees from the diagonal centroid: cos = 1/sqrt(2)
+    assert(l1.getLong(1) == 2L)
+    assert(math.abs(l1.getDouble(3) - 0.707107) < 1e-6)
+    assert(l1.getDouble(4) == l1.getDouble(5)) // symmetric: min == max
+  }
+
+  test("checksum is order-independent and detects single-cell drift") {
+    val a = Seq((1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "y")).toDF("id", "v", "g")
+    val b = Seq((3L, 30L, "y"), (1L, 10L, "x"), (2L, 20L, "x")).toDF("id", "v", "g") // reordered
+    val c = Seq((1L, 10L, "x"), (2L, 21L, "x"), (3L, 30L, "y")).toDF("id", "v", "g") // one cell off
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Validate.checksum(df, Seq(Validate.enc.long(col("id")), Validate.enc.long(col("v"))),
+          groupCols = Seq("g"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sums(a) == sums(b))
+    assert(sums(a) != sums(c))
+    // null encodes differently from zero
+    val withNull = Seq((Some(1L), "x"), (None, "x")).toDF("id", "g")
+    val withZero = Seq((Some(1L), "x"), (Some(0L), "x")).toDF("id", "g")
+    def g(df: org.apache.spark.sql.DataFrame) =
+      Validate.checksum(df, Seq(Validate.enc.long(col("id"))), Seq("g"))
+        .collect().head.getLong(2)
+    assert(g(withNull) != g(withZero))
+  }
+
+  test("checksum global form and negative-value normalization") {
+    val df = Seq(-5L, 5L).toDF("v")
+    val r = Validate.checksum(df, Seq(Validate.enc.long(col("v"))))
+    val row = r.collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) >= 0L)
+  }
+}
