@@ -292,6 +292,31 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
     }),
 
+    // Sliding-window document chunking: 64-token context windows at
+    // stride 48 (16-token overlap) — packNextFit's complement for docs
+    // LONGER than the context length. Zero-shuffle scan-side expansion.
+    "q123_doc_chunks" -> ((s, dir) => {
+      operators.SequencePack.chunkSliding(t(s, dir, "documents"), "text", "doc_id",
+        window = 64, stride = 48)
+    }),
+
+    // Vocabulary coverage curve: top-32 terms with cumulative corpus
+    // coverage — the tokenizer-sizing / OOV-rate profile.
+    "q124_vocab_coverage" -> ((s, dir) => {
+      operators.TextIndex.vocabCoverage(t(s, dir, "documents"), "text", "doc_id", k = 32)
+    }),
+
+    // Rolling 7-day active users (exact sliding distinct): constant
+    // fan-out of the deduplicated (user, day) frame, never raw events.
+    "q125_rolling_active" -> ((s, dir) => {
+      operators.Cohorts.rollingActive(t(s, dir, "events"), "user_id", "ts", windowDays = 7)
+    }),
+
+    // Longest consecutive-day streak per user (gaps-and-islands anchor).
+    "q126_streaks" -> ((s, dir) => {
+      operators.Cohorts.streaks(t(s, dir, "events"), "user_id", "ts")
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1514,6 +1539,76 @@ object SparkEntry {
         |  CAST(min(cos6) AS DOUBLE) / 1e6 AS min_cos,
         |  CAST(max(cos6) AS DOUBLE) / 1e6 AS max_cos
         |FROM cz GROUP BY label""".stripMargin,
+
+    // n_chunks = 1 if n <= 64 else ceil((n-64)/48)+1; chunk i is the
+    // 1-based token slice [i*48+1, i*48+64] (tail clamps).
+    "q123_doc_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |nc AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n
+        |  FROM docs)
+        |SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[(t.i*48+1):(t.i*48+64)], ' ') AS chunk_text,
+        |  CAST(len(toks[(t.i*48+1):(t.i*48+64)]) AS BIGINT) AS n_tokens
+        |FROM nc, LATERAL (SELECT unnest(range(0, n)) AS i) t""".stripMargin,
+
+    "q124_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT t AS term FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+        |top AS (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM cnt QUALIFY rank <= 32)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+        |  floor(CAST(sum(cnt) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(t.n_total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
+        |FROM top, tot t""".stripMargin,
+
+    // each (user, day) contributes to window-end days day..day+6,
+    // clipped at the last observed day; DAU left-joined (0 when the day
+    // itself is quiet but inside someone's window).
+    "q125_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS max_d FROM ud),
+        |dau AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        |        FROM ud GROUP BY d),
+        |wau AS (
+        |  SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+        |    AS day, u
+        |  FROM ud),
+        |wc AS (
+        |  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS active_7
+        |  FROM wau, mx WHERE day <= mx.max_d GROUP BY day)
+        |SELECT w.day, coalesce(dau.dau, 0) AS dau, w.active_7
+        |FROM wc w LEFT JOIN dau ON w.day = dau.day""".stripMargin,
+
+    // consecutive days share anchor = day - row_number (lockstep walk).
+    "q126_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+        |      AS anchor
+        |  FROM ud),
+        |runs AS (
+        |  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM a GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id""".stripMargin,
 
     // Every event belongs to exactly duration/slide = 4 windows whose
     // starts step back by one slide from floor(ts/slide)*slide — no

@@ -28,6 +28,57 @@ import org.apache.spark.sql.functions._
   */
 object Cohorts {
 
+  /** Rolling active users: for every day whose trailing `windowDays`-day
+    * window contains any activity, the EXACT count of distinct users
+    * active in that window (WAU for windowDays=7), next to that day's DAU.
+    *
+    * Sliding distinct counts don't decompose over windows (a user active
+    * twice in the window counts once), so each (user, day) activity pair
+    * is expanded to the `windowDays` window-end days it contributes to —
+    * a CONSTANT fan-out of the deduplicated (user, day) frame, never of
+    * raw events — and distinct users are counted per window-end day.
+    * Window-end days past the last observed day are clipped (their window
+    * is not fully formed... they'd also be misleading).
+    *
+    * Shuffles: dedup to (user, day); constant-width explode scan-side;
+    * count-distinct per day (two-phase under the hood); a day-keyed join
+    * with DAU. All post-dedup frames are (users x days)-sized. */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    val ud = events.select(col(userCol).as("u"),
+      date_trunc("day", col(tsCol)).cast("date").as("d")).distinct()
+    val maxDay = ud.agg(max(col("d")).as("max_d"))
+    val dau = ud.groupBy(col("d").as("day")).agg(countDistinct(col("u")).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1), expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as(s"active_$windowDays"))
+    // left join: a day inside someone's trailing window but with no
+    // activity of its own has DAU 0, not a missing row
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col(s"active_$windowDays"))
+  }
+
+  /** Longest consecutive-day activity streak per user (plus total active
+    * days) — the gaps-and-islands construction: within a user, consecutive
+    * days share the anchor `day - row_number` (both walk in lockstep), so
+    * the streak is the largest anchor-group. One shuffle on the user key;
+    * the window and both aggregations share its partitioning. */
+  def streaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("user_id"),
+      date_trunc("day", col(tsCol)).cast("date").as("d")).distinct()
+    val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d")))
+    ud.withColumn("anchor", date_sub(col("d"), rn))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"), max(col("len")).as("longest_streak"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val weeks = events
       .select(col(userCol).as("user"), date_trunc("week", col(tsCol)).cast("date").as("wk"))

@@ -74,4 +74,36 @@ object SequencePack {
         floor(col("packed_w").cast("double") / lit(capacity.toDouble)
           * lit(1e6) + lit(0.5d)) / lit(1e6))
   }
+
+  /** Sliding-window document chunking: split each document's token stream
+    * into `window`-token chunks advancing by `stride` tokens (overlap =
+    * window - stride) — the context-window prep for long documents that
+    * don't fit one training sequence, with overlap so no span loses its
+    * left context at a chunk boundary. The complement of [[packNextFit]]:
+    * packing merges SHORT docs up to the context length, chunking splits
+    * LONG ones down to it.
+    *
+    * Chunk count: 1 if n <= window, else ceil((n - window)/stride) + 1 —
+    * every token is covered, the last chunk may be shorter than `window`
+    * but always starts within the stream.
+    *
+    * Scale: entirely scan-side — a transform + posexplode projection with
+    * ZERO shuffle; output volume is input tokens x (window/stride)
+    * expansion, an explicit constant factor. */
+  def chunkSliding(df: DataFrame, textCol: String, idCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val nChunks = when(size(col("__toks")) <= window, lit(1))
+      .otherwise(ceil((size(col("__toks")) - window).cast("double") / stride)
+        .cast("int") + 1)
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", nChunks)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, __n - 1)," +
+          s" i -> array_join(slice(__toks, i * $stride + 1, $window), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        (size(split(col("col"), " "))).cast("long").as("n_tokens"))
+  }
 }

@@ -102,6 +102,37 @@ object TextIndex {
       .filter(col("n_tokens") > 0)
   }
 
+  /** Vocabulary coverage curve: the `k` most frequent terms with their
+    * cumulative corpus coverage — the tokenizer-sizing question ("what
+    * fraction of tokens does a V-word vocabulary cover?") answered
+    * directly; the marginal coverage of rank V is the OOV-rate knob.
+    *
+    * Determinism: rank orders by (count desc, term asc); coverage =
+    * cumulative count / total on the 6dp grid (exact BIGINTs until the
+    * one division).
+    *
+    * Scale: the token aggregation is the only corpus-sized stage
+    * (map-side combined). The top-k cut is sort+limit
+    * (TakeOrderedAndProject), and the cumulative window runs over k rows
+    * on one partition — k is a constant (vocab candidates), never the
+    * corpus. */
+  def vocabCoverage(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val counts = tokens(df, textCol, idCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .withColumn("coverage",
+        floor(col("cum_cnt").cast("double") / col("n_total").cast("double")
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .select("rank", "term", "cnt", "cum_cnt", "coverage")
+  }
+
   /** Bigram collocation mining: adjacent-token pairs ranked by LIFT —
     * `n_ab * N / (n_a * n_b)`, the association-strength core of PMI
     * (PMI = log2(lift); lift is rank-equivalent and needs NO transcendental,

@@ -72,6 +72,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(l1.getDouble(4) == l1.getDouble(5)) // symmetric: min == max
   }
 
+  test("chunking: sliding windows cover every token, overlap is stride-wide") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w=4 s=3
+      (2L, "short doc")                               // fits one window
+    ).toDF("doc_id", "text")
+    val r = graft.operators.SequencePack.chunkSliding(docs, "text", "doc_id",
+      window = 4, stride = 3).orderBy("doc_id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3))).toSeq
+    // ceil((10-4)/3)+1 = 3 chunks; last starts at token 7, 4 tokens
+    assert(r == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "short doc", 2L)))
+    // uneven tail: 9 tokens -> chunks at 0,3,6 with the last short
+    val tail = graft.operators.SequencePack.chunkSliding(
+      Seq((1L, (1 to 9).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+      "text", "doc_id", window = 4, stride = 3).collect()
+    assert(tail.length == 3 && tail.map(_.getLong(3)).toSeq == Seq(4L, 4L, 3L))
+  }
+
+  test("vocab coverage: ranks, cumulative counts, monotone coverage") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.vocabCoverage(docs, "text", "doc_id", k = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4))).toSeq
+    assert(r == Seq((1L, "a", 3L, 3L, 0.5), (2L, "b", 2L, 5L, 0.833333)))
+  }
+
   test("checksum is order-independent and detects single-cell drift") {
     val a = Seq((1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "y")).toDF("id", "v", "g")
     val b = Seq((3L, 30L, "y"), (1L, 10L, "x"), (2L, 20L, "x")).toDF("id", "v", "g") // reordered

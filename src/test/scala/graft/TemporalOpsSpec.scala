@@ -58,6 +58,37 @@ class TemporalOpsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L, 1.0)))
   }
 
+  test("rolling active users: window membership, clipping, quiet-day DAU 0") {
+    // user 1 active Jan 1; user 2 active Jan 1 and Jan 5; 3-day window
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-05 11:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Cohorts.rollingActive(ev, "user_id", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("2024-01-01", 2L, 2L), // both active
+      ("2024-01-02", 0L, 2L), // quiet day, both in trailing window
+      ("2024-01-03", 0L, 2L),
+      // Jan 4: nobody's window covers it except... window(Jan4)=Jan2..4: none
+      ("2024-01-05", 1L, 1L))) // days past max(d)=Jan5 clipped
+  }
+
+  test("streaks: longest consecutive run and total active days") {
+    val ev = Seq(
+      // user 1: Jan 1,2,3 then Jan 5 -> streak 3, active 4
+      (1L, ts("2024-01-01 01:00:00")), (1L, ts("2024-01-02 01:00:00")),
+      (1L, ts("2024-01-03 01:00:00")), (1L, ts("2024-01-05 01:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), // same-day dup ignored
+      // user 2: single day
+      (2L, ts("2024-03-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Cohorts.streaks(ev, "user_id", "ts").orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 4L, 3L), (2L, 1L, 1L)))
+  }
+
   test("resample: dense daily grid, forward fill, observation flags") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.5), (1L, ts("2024-01-01 11:00:00"), 2.0),
