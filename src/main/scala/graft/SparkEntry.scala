@@ -317,6 +317,50 @@ object SparkEntry {
       operators.Cohorts.streaks(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    // Filter-attrition funnel: per-stage admit counts for quality →
+    // exact-dedup → per-source-cap, computed in ONE pass (later stages
+    // see earlier flags through windows, the corpus is never rescanned).
+    "q127_attrition" -> ((s, dir) => {
+      operators.CorpusPipeline.attritionReport(t(s, dir, "documents"),
+        "text", "doc_id", "source", perSourceCap = 10)
+    }),
+
+    // Ingest-volume anomaly detection: per event type, each day's count
+    // z-scored against its trailing 7-day window (exact integer moments,
+    // fixed IEEE derivation, 6dp grid).
+    "q128_daily_anomalies" -> ((s, dir) => {
+      operators.Profiler.dailyAnomalies(t(s, dir, "events"), "event_type", "ts",
+        windowDays = 7, threshold = 2.0)
+    }),
+
+    // Triangle count over the part-supplier co-occurrence graph
+    // (mod-bucketed to 1000 nodes — sparse at sf0.001, ~70% dense at
+    // sf0.1, never complete): compact-forward with degree orientation —
+    // hub nodes make zero wedges.
+    "q129_triangles" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(1000L)).as("src"),
+        pmod(col("l_suppkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.Graphs.triangleCount(e, "src", "dst")
+    }),
+
+    // Incremental aggregate maintenance: rollup state built from history
+    // (< 1997-07-01), the later batch folded in as partials — the oracle
+    // recomputes from scratch over ALL orders, asserting incremental ≡
+    // full, bit-for-bit (exact cents state).
+    "q130_incremental_agg" -> ((s, dir) => {
+      import operators.IncrementalAgg
+      val o = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1997-07-01"))
+      val stored = IncrementalAgg.partials(
+        o.filter(col("o_orderdate") < cut), Seq("o_orderstatus"), "o_totalprice")
+      val batch = IncrementalAgg.partials(
+        o.filter(col("o_orderdate") >= cut), Seq("o_orderstatus"), "o_totalprice")
+      IncrementalAgg.withAvg(
+        IncrementalAgg.merge(Seq(stored, batch), Seq("o_orderstatus")))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1609,6 +1653,112 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
         |  CAST(max(len) AS BIGINT) AS longest_streak
         |FROM runs GROUP BY user_id""".stripMargin,
+
+    // One-pass funnel replay: later stages see earlier flags through the
+    // same windows (min surviving id per digest; running survivor count
+    // per source in md5 order).
+    "q127_attrition" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |           / len(string_split(text, ' ')), 6) BETWEEN 3 AND 10
+        |     AND round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |            + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+        |           / len(string_split(text, ' ')), 6) < 0.1
+        |     AND round(CAST(len(string_split(text, '. '))
+        |            - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+        |           / len(string_split(text, '. ')), 6) < 0.3) AS f1
+        |  FROM documents),
+        |d AS (
+        |  SELECT *, (f1 AND doc_id = min(CASE WHEN f1 THEN doc_id END)
+        |    OVER (PARTITION BY h)) AS f2
+        |  FROM f),
+        |r AS (
+        |  SELECT *, sum(CASE WHEN f2 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+        |  FROM d),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN f2 AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM r)
+        |SELECT 'quality' AS stage, n0 AS n_in, n1 AS n_out FROM g
+        |UNION ALL SELECT 'exact_dedup', n1, n2 FROM g
+        |UNION ALL SELECT 'source_cap', n2, n3 FROM g""".stripMargin,
+
+    // exact integer window moments -> fixed IEEE derivation -> 6dp grid;
+    // zero-variance windows z-score to 0.
+    "q128_daily_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT series, day, n,
+        |    sum(n) OVER win AS s, sum(n * n) OVER win AS s2, count(*) OVER win AS c
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY series ORDER BY day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT series, day, n,
+        |    CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(c AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS v
+        |  FROM w),
+        |zz AS (
+        |  SELECT series, day, n, floor(m * 1e6 + 0.5) / 1e6 AS mean_w,
+        |    CASE WHEN v > 0
+        |      THEN floor((CAST(n AS DOUBLE) - m) / sqrt(v) * 1e6 + 0.5) / 1e6
+        |      ELSE 0.0 END AS z
+        |  FROM z)
+        |SELECT series, day, n, mean_w, z, (abs(z) >= 2.0) AS is_anomaly
+        |FROM zz""".stripMargin,
+
+    // compact-forward: degree-oriented wedges closed against the
+    // canonical undirected edge set.
+    "q129_triangles" ->
+      """WITH e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |deg AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+        |      THEN v ELSE u END AS d
+        |  FROM und JOIN deg da ON und.u = da.x JOIN deg db ON und.v = db.x),
+        |wedges AS (
+        |  SELECT a.d AS b, b2.d AS c
+        |  FROM orient a JOIN orient b2 ON a.s = b2.s WHERE a.d < b2.d),
+        |closed AS (
+        |  SELECT * FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM und WHERE und.u = w.b AND und.v = w.c))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin,
+
+    // full recompute over ALL orders == the incrementally maintained
+    // state (exact cents partials make that bit-for-bit).
+    "q130_incremental_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS max_cents,
+        |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Every event belongs to exactly duration/slide = 4 windows whose
     // starts step back by one slide from floor(ts/slide)*slide — no

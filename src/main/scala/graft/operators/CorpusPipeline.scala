@@ -47,4 +47,60 @@ object CorpusPipeline {
       .withColumn("clean_text", TextAnalysis.scrubPii(text))
       .drop(textCol)
   }
+
+  /** Filter-attrition report: how many documents each pipeline stage
+    * admits — the per-filter accounting every corpus-construction run
+    * publishes (which rule is doing the work? did a threshold change
+    * silently halve the corpus?).
+    *
+    * Stages (sequential — each applies to the SURVIVORS of the previous,
+    * which is what makes it a funnel and not three independent counts):
+    *   1. quality  — the Gopher-style band rules (word count, mean word
+    *      length, symbol ratio, duplicate-segment ratio);
+    *   2. exact_dedup — keep-first on the md5 digest, computed among
+    *      stage-1 survivors only;
+    *   3. source_cap — at most `perSourceCap` survivors per source in
+    *      content-hash order (C4-style domain downsampling).
+    *
+    * ONE-PASS construction: no stage filters the frame; later stages see
+    * earlier flags through windows — "min surviving id per digest" makes
+    * the dedup flag, "running count of survivors per source in hash
+    * order" makes the cap rank. Two window shuffles (digest, source) +
+    * one single-row aggregate; the funnel never rescans the corpus.
+    *
+    * Output: (stage, n_in, n_out), n_in of stage k = n_out of k-1. */
+  def attritionReport(docs: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String, perSourceCap: Int): DataFrame = {
+    val text = col(textCol)
+    val words = split(text, " ", -1)
+    val nWords = size(words).cast("long")
+    val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
+    val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
+    val symRatio = round(symbols / nWords, 6)
+    val segs = split(text, "\\. ", -1)
+    val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
+      size(segs), 6)
+    val f1 = nWords.between(50, 100000) && mwl.between(3, 10) &&
+      symRatio < 0.1 && dupSegRatio < 0.3
+
+    val byDigest = Window.partitionBy(col("__h"))
+    val bySource = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = docs
+      .withColumn("__h", md5(text))
+      .withColumn("__f1", f1)
+      .withColumn("__f2", col("__f1") &&
+        col(idCol) === min(when(col("__f1"), col(idCol))).over(byDigest))
+      .withColumn("__rk", sum(when(col("__f2"), 1L).otherwise(0L)).over(bySource))
+      .withColumn("__f3", col("__f2") && col("__rk") <= perSourceCap)
+    flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__f3"), 1L).otherwise(0L)).as("n3"))
+      .selectExpr("stack(3, 'quality', n0, n1, 'exact_dedup', n1, n2," +
+        " 'source_cap', n2, n3) AS (stage, n_in, n_out)")
+  }
 }

@@ -112,4 +112,42 @@ object Profiler {
         sum(when(col("__d") > lit(k) * lit(1.4826d) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Daily-volume anomaly detection: per series (e.g. event type), each
+    * day's count z-scored against its own trailing `windowDays`-day
+    * window — the ingest-monitoring primitive ("did this source's volume
+    * spike or crater today?"). Population mean/variance over the trailing
+    * window INCLUDING the current day, so a single wild day partially
+    * masks itself — the conservative convention; exclude-current is the
+    * same window shifted one row.
+    *
+    * Determinism: daily counts are exact BIGINTs, so windowed sum /
+    * sum-of-squares are exact; mean and variance derive from them in a
+    * FIXED IEEE op sequence, then the z lands on the 6dp grid. A window
+    * with zero variance (constant counts) z-scores to 0, not NaN.
+    *
+    * Scale: one map-side-combined aggregation to (series, day) — output
+    * is series x days rows, independent of event volume; the window sorts
+    * per series on that tiny frame. */
+  def dailyAnomalies(events: DataFrame, seriesCol: String, tsCol: String,
+                     windowDays: Int = 7, threshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .select(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("day"))
+      .groupBy(col("series"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val s = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val cnt = count(lit(1)).over(w)
+    val m = s.cast("double") / cnt.cast("double")
+    val v = s2.cast("double") / cnt.cast("double") - m * m
+    val z = when(v > 0d,
+      floor((col("n").cast("double") - m) / sqrt(v) * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .otherwise(lit(0.0d))
+    daily
+      .withColumn("mean_w", floor(m * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) >= threshold)
+  }
 }

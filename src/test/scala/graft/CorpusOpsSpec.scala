@@ -121,6 +121,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(g(withNull) != g(withZero))
   }
 
+  test("attrition funnel: sequential stages, one-pass flags") {
+    // good docs pass quality (>= 50 words, clean); "bad" fails the word
+    // floor; docs 2,3 are exact dups (3 dropped); cap 1/source drops 4
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, good + " one", "s1"), (2L, good, "s1"), (3L, good, "s1"),
+      (4L, good + " four", "s1"), (5L, "too short", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.CorpusPipeline
+      .attritionReport(docs, "text", "doc_id", "source", perSourceCap = 1)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toMap2
+    assert(r("quality") == (5L, 4L), "word-floor failure dropped")
+    assert(r("exact_dedup") == (4L, 3L), "one of the twin docs dropped")
+    assert(r("source_cap") == (3L, 1L), "cap keeps 1 per source")
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+
   test("checksum global form and negative-value normalization") {
     val df = Seq(-5L, 5L).toDF("v")
     val r = Validate.checksum(df, Seq(Validate.enc.long(col("v"))))
