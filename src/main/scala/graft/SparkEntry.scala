@@ -361,6 +361,67 @@ object SparkEntry {
         IncrementalAgg.merge(Seq(stored, batch), Seq("o_orderstatus")))
     }),
 
+    // First-order Markov transition matrix over each user's event
+    // sequence ((ts, id)-ordered for determinism), row-normalized on the
+    // 6dp grid.
+    "q131_transitions" -> ((s, dir) => {
+      operators.Paths.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // Top opening journeys: first 3 event types per user, top-10 paths.
+    "q132_top_paths" -> ((s, dir) => {
+      operators.Paths.topPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", depth = 3, k = 10)
+    }),
+
+    // Interval x interval overlap join per user: 'view' holding windows
+    // against 'click' windows ([ts, ts + floor(value*60) s)), bucketed
+    // on the hour with designated-bucket dedup; per user pair count +
+    // total overlap time.
+    "q133_overlap_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def iv(typ: String, p: String) = e.filter(col("event_type") === typ).select(
+        col("user_id"),
+        unix_micros(col("ts")).as(s"${p}_start"),
+        (unix_micros(col("ts"))
+          + floor(col("value") * lit(60d)).cast("long") * lit(1000000L))
+          .as(s"${p}_end"))
+      operators.RangeJoin.intervalOverlapJoin(
+          iv("view", "v"), iv("click", "c"), Seq("user_id"),
+          "v_start", "v_end", "c_start", "c_end",
+          bucket = 3600L * 1000000L, maxBuckets = 64)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("v_end"), col("c_end"))
+            - greatest(col("v_start"), col("c_start"))).as("overlap_us"))
+    }),
+
+    // Snapshot drift report: orders vs a deterministically perturbed
+    // copy (1/97 removed, 1/89 repriced, 1/101 re-keyed as additions);
+    // the diff joins (key, fingerprint) only — payload never shuffles.
+    "q134_snapshot_diff" -> ((s, dir) => {
+      import operators.Validate
+      val o = t(s, dir, "orders")
+      val fp = Validate.rowMix(Seq(
+        Validate.enc.moneyCents(col("o_totalprice")),
+        Validate.enc.date(col("o_orderdate"))))
+      val perturbed = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(89L)) === 0, col("o_totalprice") + lit(1.0d))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(101L)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      Validate.diff(o, perturbed, Seq("o_orderkey"), fp)
+    }),
+
+    // Time-weighted average value per user (TWAP): exact cents x ms
+    // weights in DECIMAL, one final division on the 6dp grid.
+    "q135_twap" -> ((s, dir) => {
+      operators.Resample.timeWeightedAvg(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1759,6 +1820,114 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q131_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS row_total
+        |  FROM c)
+        |SELECT from_type, to_type, n, row_total,
+        |  floor(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS p
+        |FROM t""".stripMargin,
+
+    "q132_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+
+    // replication-free replay: the oracle joins raw interval sets — the
+    // bucketing + designated-bucket dedup must produce EXACTLY this.
+    "q133_overlap_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+        |  FROM events),
+        |v AS (SELECT user_id, s AS vs, e AS ve FROM iv
+        |      WHERE event_type = 'view' AND e > s),
+        |c AS (SELECT user_id, s AS cs, e AS ce FROM iv
+        |      WHERE event_type = 'click' AND e > s),
+        |pairs AS (
+        |  SELECT v.user_id, vs, ve, cs, ce
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE vs < ce AND cs < ve)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(least(ve, ce) - greatest(vs, cs)) AS BIGINT) AS overlap_us
+        |FROM pairs GROUP BY user_id""".stripMargin,
+
+    // the same perturbation + the same two-column fingerprint polynomial
+    "q134_snapshot_diff" ->
+      """WITH fp AS (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice,
+        |    ((((17 * 1000003
+        |      + coalesce(((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |          % 2147483647) + 2147483647) % 2147483647, 2147483646))
+        |      % 2147483647) * 1000003
+        |      + coalesce(((date_diff('day', DATE '1970-01-01',
+        |            CAST(o_orderdate AS DATE)) % 2147483647)
+        |          + 2147483647) % 2147483647, 2147483646)) % 2147483647) AS f
+        |  FROM orders),
+        |old AS (SELECT o_orderkey AS k, f AS fa FROM fp),
+        |perturbed AS (
+        |  SELECT o_orderkey AS k,
+        |    ((((17 * 1000003
+        |      + coalesce(((CAST(floor((CASE WHEN o_orderkey % 89 = 0
+        |            THEN o_totalprice + 1.0 ELSE o_totalprice END) * 100 + 0.5)
+        |          AS BIGINT) % 2147483647) + 2147483647) % 2147483647,
+        |          2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((date_diff('day', DATE '1970-01-01',
+        |            CAST(o_orderdate AS DATE)) % 2147483647)
+        |          + 2147483647) % 2147483647, 2147483646)) % 2147483647) AS fb
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, f AS fb FROM fp
+        |  WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT old.fa, perturbed.fb
+        |  FROM old FULL OUTER JOIN perturbed ON old.k = perturbed.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN fa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN fb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN fa IS NOT NULL AND fb IS NOT NULL AND fa <> fb
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j""".stripMargin,
+
+    "q135_twap" ->
+      """WITH seg AS (
+        |  SELECT user_id AS key,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS tsu,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt
+        |  FROM events),
+        |d AS (
+        |  SELECT key, cents, (nxt - tsu) // 1000 AS dur_ms
+        |  FROM seg WHERE nxt IS NOT NULL),
+        |g AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+        |    sum(CAST(cents AS HUGEINT) * dur_ms) AS wsum
+        |  FROM d GROUP BY key)
+        |SELECT key, n_segments, total_ms,
+        |  CASE WHEN total_ms > 0
+        |    THEN floor(CAST(wsum AS DOUBLE) / CAST(total_ms AS DOUBLE) / 100
+        |      * 1e6 + 0.5) / 1e6 END AS twap
+        |FROM g""".stripMargin,
 
     // Every event belongs to exactly duration/slide = 4 windows whose
     // starts step back by one slide from floor(ts/slide)*slide — no

@@ -77,4 +77,51 @@ object RangeJoin {
         l(pointCol) >= r(startCol) && l(pointCol) < r(endCol))
       .drop("__b")
   }
+
+  /** Interval x interval OVERLAP join ([start, end) semantics both
+    * sides): pairs whose ranges intersect — incidents x sessions,
+    * maintenance windows x jobs. The same bucketing discipline as
+    * [[intervalJoin]], with one extra idea: a pair sharing several
+    * buckets must match exactly ONCE, so a match is only emitted in its
+    * DESIGNATED bucket — the bucket containing the overlap's start
+    * (`greatest(lStart, rStart)`). No post-join distinct, no duplicate
+    * inflation, exact semantics.
+    *
+    * Both sides replicate to the buckets they span (each capped at
+    * `maxBuckets` — fail fast, never silently truncate); optional
+    * `keys` become equi conjuncts alongside the bucket id, so per-entity
+    * overlap joins shuffle on (key, bucket).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucket: Long, maxBuckets: Int = 64): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    Seq(lStart, lEnd).foreach(requireIntegral(left, _))
+    Seq(rStart, rEnd).foreach(requireIntegral(right, _))
+    def replicate(df: DataFrame, s: String, e: String, side: String): DataFrame = {
+      val sB = bucketOf(col(s), bucket)
+      val eB = bucketOf(col(e) - 1, bucket)
+      val eGuarded = when(eB - sB + lit(1) > maxBuckets,
+          raise_error(lit(s"intervalOverlapJoin: $side interval spans more " +
+            s"than $maxBuckets buckets; increase bucket size")).cast("long"))
+        .otherwise(eB)
+      df.filter(col(e) > col(s))
+        .withColumn(s"__b$side", explode(sequence(sB, eGuarded)))
+    }
+    // explicit aliases: left and right often derive from the same scan
+    // (self-overlap analyses), and unqualified key columns would resolve
+    // ambiguously
+    val l = replicate(left, lStart, lEnd, "l").alias("__ol")
+    val r = replicate(right, rStart, rEnd, "r").alias("__or")
+    def lc(c: String) = col(s"__ol.$c")
+    def rc(c: String) = col(s"__or.$c")
+    val keyCond = keys.map(k => lc(k) === rc(k)).reduceOption(_ && _).getOrElse(lit(true))
+    val overlap = lc(lStart) < rc(rEnd) && rc(rStart) < lc(lEnd)
+    val designated = bucketOf(greatest(lc(lStart), rc(rStart)), bucket) === lc("__bl")
+    val joined = l.join(r, lc("__bl") === rc("__br") && keyCond && overlap && designated)
+      .drop("__bl", "__br")
+    // drop the right side's duplicated key columns
+    keys.foldLeft(joined)((d, k) => d.drop(rc(k)))
+  }
 }

@@ -58,4 +58,46 @@ object Resample {
         last(col("daily_total"), ignoreNulls = true).over(fillW).as("filled_total"),
         col("daily_total").isNotNull.as("is_observed"))
   }
+
+  /** Time-weighted average (TWAP): per key, the mean of `valueCol` where
+    * each observation is weighted by how LONG it was the current value —
+    * duration until the next observation. The last observation carries no
+    * weight (its holding period is unknown); keys with a single event
+    * therefore report no row.
+    *
+    * EXACT-ARITHMETIC design (the repo's grid discipline): values snap to
+    * cents (floor(x*100 + 0.5) BIGINT), durations are epoch-µs deltas
+    * integrally divided to ms — the weighted sum is then exact integer
+    * math carried in DECIMAL(38,0) (HUGEINT on the oracle side), immune
+    * to float summation order; the single final division lands on the
+    * 6dp grid.
+    *
+    * Scale: one hash shuffle on the key; the lead window and the per-key
+    * aggregation share it. Output is keys-many rows. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val segs = events
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"), col(idCol).as("__id"),
+        floor(col(valueCol).cast("double") * 100d + 0.5d).cast("long").as("__cents"))
+      .withColumn("__next_us", lead(unix_micros(col("__ts")), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("__ts"), col("__id"))))
+      .filter(col("__next_us").isNotNull)
+      .withColumn("__dur_ms",
+        expr("(__next_us - unix_micros(__ts)) div 1000"))
+    segs.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__dur_ms").cast("decimal(38,0)")).cast("long").as("total_ms"),
+        // widen BEFORE multiplying: cents x a multi-year ms duration
+        // overflows Int64; decimal(18)*decimal(18) is exact at any scale
+        sum(col("__cents").cast("decimal(18,0)") * col("__dur_ms").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("__wsum"))
+      .withColumn("twap",
+        when(col("total_ms") > 0,
+          floor(col("__wsum").cast("double") / col("total_ms").cast("double")
+            / 100d * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .otherwise(lit(null).cast("double")))
+      .drop("__wsum")
+  }
 }

@@ -65,6 +65,34 @@ object Validate {
   def rowMix(codes: Seq[Column], seed: Long = 17L): Column =
     codes.foldLeft(lit(seed)) { (acc, c) => (acc * M + c) % P }
 
+  /** Snapshot diff: row-level drift accounting between two versions of a
+    * keyed table — the "what changed between yesterday's load and
+    * today's" report, and the follow-up tool when [[checksum]] says two
+    * replicas disagree (checksum finds THAT they differ in one number;
+    * diff says WHERE).
+    *
+    * `fingerprint` is any deterministic BIGINT encoding of the compared
+    * payload (compose the [[enc]] encoders via [[rowMix]] for multi-column
+    * payloads). Output is one row: (n_added, n_removed, n_changed,
+    * n_unchanged).
+    *
+    * Scale: ONE full-outer shuffle join on the key, carrying only
+    * (key, fingerprint) — never payload columns — then a single-row
+    * aggregate. Bucket both snapshots by the key and the join is
+    * shuffle-free. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+           fingerprint: Column): DataFrame = {
+    val a = oldDf.select(keys.map(col) :+ fingerprint.as("__fa"): _*)
+    val b = newDf.select(keys.map(col) :+ fingerprint.as("__fb"): _*)
+    a.join(b, keys, "full_outer")
+      .agg(
+        sum(when(col("__fa").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__fb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__fa").isNotNull && col("__fb").isNotNull &&
+          col("__fa") =!= col("__fb"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__fa") === col("__fb"), 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Per-group (n_rows, checksum). Empty `groupCols` = one global row. */
   def checksum(df: DataFrame, codes: Seq[Column],
                groupCols: Seq[String] = Nil): DataFrame = {

@@ -141,6 +141,15 @@ class CorpusOpsSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(t => t._1 -> ((t._2, t._3))).toMap
   }
 
+  test("snapshot diff: added/removed/changed/unchanged accounting") {
+    val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val neu = Seq((2L, 21L), (3L, 30L), (4L, 40L)).toDF("k", "v") // 1 gone, 2 changed, 4 new
+    val r = Validate.diff(old, neu, Seq("k"), Validate.enc.long(col("v")))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (1L, 1L, 1L, 1L))
+  }
+
   test("checksum global form and negative-value normalization") {
     val df = Seq(-5L, 5L).toDF("v")
     val r = Validate.checksum(df, Seq(Validate.enc.long(col("v"))))

@@ -231,4 +231,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(resolved(1L) == (4L, 1L), "cluster 1: 4 members, survivor 1")
     assert(resolved(10L) == (2L, 10L))
   }
+
+  test("interval overlap join: dedup across buckets, key isolation, end-exclusive") {
+    import graft.operators.RangeJoin
+    val left = Seq(
+      (1L, "L1", 0L, 250L),   // spans buckets 0,1,2 (bucket=100)
+      (1L, "L2", 300L, 400L),
+      (2L, "L3", 0L, 250L)    // other key: must not pair with key-1 rights
+    ).toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      (1L, "R1", 50L, 260L),  // overlaps L1 in buckets 0,1,2 -> ONE match
+      (1L, "R2", 400L, 500L), // touches L2 at 400 (end-exclusive): no match
+      (1L, "R3", 390L, 395L)  // inside L2
+    ).toDF("k", "rid", "rs", "re")
+    val r = RangeJoin.intervalOverlapJoin(left, right, Seq("k"),
+      "ls", "le", "rs", "re", bucket = 100L, maxBuckets = 16)
+    val got = r.select("lid", "rid").as[(String, String)].collect().toSet
+    assert(got == Set(("L1", "R1"), ("L2", "R3")))
+    // multi-bucket pair counted exactly once
+    assert(r.filter($"lid" === "L1").count() == 1L)
+  }
 }

@@ -89,6 +89,55 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r == Seq((1L, 4L, 3L), (2L, 1L, 1L)))
   }
 
+  test("transition matrix: counts, row normalization, tie-broken order") {
+    import graft.operators.Paths
+    val ev = Seq(
+      // user 1: a -> b -> a ; user 2: a -> b  => a->b x2 of 2 (p=1.0),
+      // b->a x1 of 1 (p=1.0)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "b") // same ts: id breaks the tie
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Paths.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(4))).toSeq
+    assert(r == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("top paths: opening sequences ranked, short users keep short paths") {
+    import graft.operators.Paths
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "x"), (1L, ts("2024-01-01 10:01:00"), 2L, "y"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "z"), (1L, ts("2024-01-01 10:03:00"), 4L, "w"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "x"), (2L, ts("2024-01-01 10:01:00"), 6L, "y"),
+      (2L, ts("2024-01-01 10:02:00"), 7L, "z"),
+      (3L, ts("2024-01-01 10:00:00"), 8L, "solo")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Paths.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      depth = 3, k = 5).collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("x>y>z", 2L), ("solo", 1L))) // 4th event never in path
+  }
+
+  test("time-weighted average: durations weight values, last point free") {
+    import graft.operators.Resample
+    // value 10 held for 30s, then 20 held for 10s -> twap = (300+200)/40
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:30"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:00:40"), 3L, 999.0), // terminal: no weight
+      (2L, ts("2024-01-01 00:00:00"), 4L, 5.0)    // single event: no row
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = Resample.timeWeightedAvg(ev, "user_id", "ts", "event_id", "value")
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    assert(row.getLong(2) == 40000L) // ms
+    assert(row.getDouble(3) == 12.5)
+  }
+
   test("resample: dense daily grid, forward fill, observation flags") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.5), (1L, ts("2024-01-01 11:00:00"), 2.0),
