@@ -422,6 +422,48 @@ object SparkEntry {
         "user_id", "ts", "event_id", "value")
     }),
 
+    // Market-basket association rules over (user, day) baskets of event
+    // types: support/confidence/lift per co-occurring pair.
+    "q136_basket_rules" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      operators.Baskets.pairRules(e, Seq("user_id", "day"), "event_type",
+        minPairSupport = 5L)
+    }),
+
+    // Debounce: drop events within 10 minutes of the previous event of
+    // the same (user, type) — duplicate-click suppression.
+    "q137_debounce" -> ((s, dir) => {
+      operators.Resample.debounce(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id", gapSeconds = 600L)
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
+    // Referential-integrity audit: orphaned children, unreferenced
+    // parents, and coverage per FK relation (events.user_id -> customer
+    // is the naturally partial one).
+    "q138_fk_audit" -> ((s, dir) => {
+      operators.Validate.fkAudit(Seq(
+        ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("events_customer", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")))
+    }),
+
+    // Local clustering coefficient over the mod-1000 co-occurrence
+    // graph: top-20 nodes by neighborhood density (triangles / C(deg,2)).
+    "q139_clustering_coeff" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(1000L)).as("src"),
+        pmod(col("l_suppkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.Graphs.clusteringCoefficient(e, "src", "dst", k = 20)
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1820,6 +1862,118 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q136_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type AS item
+        |  FROM events),
+        |nb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM items)),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS support,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS conf_ab,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(ib.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS conf_ba,
+        |  floor(CAST(n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS lift
+        |FROM pairs
+        |JOIN ic ia ON pairs.item_a = ia.item
+        |JOIN ic ib ON pairs.item_b = ib.item, nb""".stripMargin,
+
+    // keep iff first of its (user, type) or > 600 s after the previous
+    // raw event of that key
+    "q137_debounce" ->
+      """WITH lagged AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts
+        |FROM lagged
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000""".stripMargin,
+
+    "q138_fk_audit" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem_orders' AS relation, l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT 'lineitem_part', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'orders_customer', o_custkey FROM orders
+        |  UNION ALL SELECT 'events_customer', user_id FROM events),
+        |par AS (
+        |  SELECT 'lineitem_orders' AS relation, o_orderkey AS k FROM orders
+        |  UNION ALL SELECT 'lineitem_part', p_partkey FROM part
+        |  UNION ALL SELECT 'orders_customer', c_custkey FROM customer
+        |  UNION ALL SELECT 'events_customer', c_custkey FROM customer),
+        |ck AS (SELECT relation, k FROM rel WHERE k IS NOT NULL),
+        |stats AS (
+        |  SELECT c.relation,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM par p
+        |        WHERE p.relation = c.relation AND p.k = c.k)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM ck c GROUP BY c.relation),
+        |pstats AS (
+        |  SELECT p.relation,
+        |    CAST(count(*) AS BIGINT) AS n_parents,
+        |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ck c
+        |        WHERE c.relation = p.relation AND c.k = p.k)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_referenced
+        |  FROM par p GROUP BY p.relation)
+        |SELECT s.relation, s.n_child, s.n_violations, ps.n_parents,
+        |  ps.n_parents - ps.n_referenced AS n_unreferenced,
+        |  floor(CAST(ps.n_referenced AS DOUBLE) / CAST(ps.n_parents AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS coverage
+        |FROM stats s JOIN pstats ps ON s.relation = ps.relation""".stripMargin,
+
+    // q129's triangle CTEs, exploded to corners and normalized by
+    // C(deg, 2); degree-<2 nodes score 0
+    "q139_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |deg AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+        |      THEN v ELSE u END AS d
+        |  FROM und JOIN deg da ON und.u = da.x JOIN deg db ON und.v = db.x),
+        |wedges AS (
+        |  SELECT a.s AS apex, a.d AS b, b2.d AS c
+        |  FROM orient a JOIN orient b2 ON a.s = b2.s WHERE a.d < b2.d),
+        |closed AS (
+        |  SELECT * FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM und WHERE und.u = w.b AND und.v = w.c)),
+        |tri AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT apex AS x FROM closed
+        |    UNION ALL SELECT b FROM closed
+        |    UNION ALL SELECT c FROM closed) GROUP BY x)
+        |SELECT deg.x AS node, deg.deg,
+        |  coalesce(tri.tri, 0) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN floor(CAST(coalesce(tri.tri, 0) AS DOUBLE) * 2
+        |      / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1))
+        |      * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS cc
+        |FROM deg LEFT JOIN tri ON deg.x = tri.x
+        |ORDER BY cc DESC, node ASC LIMIT 20""".stripMargin,
 
     "q131_transitions" ->
       """WITH seq AS (

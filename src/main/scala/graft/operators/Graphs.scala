@@ -36,11 +36,14 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
 
-  /** One row: (n_nodes, n_edges, n_triangles). */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = undirectedEdges(edges, srcCol, dstCol)
-    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+  /** Node degrees over the canonical undirected set. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("x")).union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+
+  /** Every triangle exactly once as (apex, b, c) — apex is the
+    * (deg, id)-minimum corner, b < c by id. */
+  private def closedTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (deg, id): a -> b iff (deg_a, a) < (deg_b, b)
     val withDeg = und
       .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
@@ -50,19 +53,51 @@ object Graphs {
         struct(col("u").as("s"), col("v").as("d")))
         .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
-    // wedges at the apex: pair the apex's out-neighbors once (b < c in
-    // orientation order = (deg, id) order encoded by a second join on deg)
+    // wedges at the apex: pair the apex's out-neighbors once
     val a = oriented.select(col("s").as("apex"), col("d").as("b"))
     val b = oriented.select(col("s").as("apex"), col("d").as("c"))
     val wedges = a.join(b, Seq("apex")).filter(col("b") < col("c"))
     // closing edge may be oriented either way between b and c; the
     // canonical (u, v) form of the UNDIRECTED set closes both
-    val closed = wedges.join(und,
-      wedges("b") === least(und("u"), und("v")) &&
-        wedges("c") === greatest(und("u"), und("v")), "left_semi")
+    wedges.join(und,
+      wedges("b") === und("u") && wedges("c") === und("v"), "left_semi")
+  }
+
+  /** One row: (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val ecnt = und.agg(count(lit(1)).as("n_edges"))
-    val tris = closed.agg(count(lit(1)).as("n_triangles"))
+    val tris = closedTriangles(und, deg).agg(count(lit(1)).as("n_triangles"))
     nodes.crossJoin(ecnt).crossJoin(tris)
+  }
+
+  /** Local clustering coefficient, top-`k` nodes: how close each node's
+    * neighborhood is to a clique — cc = triangles_through_node /
+    * C(deg, 2), the community-density score per node. Nodes of degree < 2
+    * have no possible triangle and score 0.
+    *
+    * Built on the same oriented-triangle stream: each (apex, b, c) row
+    * explodes to its three corners (constant fan-out 3), counted per
+    * node, left-joined onto degrees so triangle-free nodes keep cc 0.
+    * The ratio is one exact-integer division on the 6dp grid. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
+                            k: Int): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val tri = closedTriangles(und, deg)
+      .select(explode(array(col("apex"), col("b"), col("c"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("x"), "left")
+      .select(col("x").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"))
+      .withColumn("cc",
+        when(col("deg") >= 2,
+          floor(col("n_triangles").cast("double") * 2d
+            / (col("deg").cast("double") * (col("deg").cast("double") - 1d))
+            * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .otherwise(lit(0.0d)))
+      .orderBy(col("cc").desc, col("node").asc).limit(k)
   }
 }

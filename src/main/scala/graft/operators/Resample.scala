@@ -59,6 +59,27 @@ object Resample {
         col("daily_total").isNotNull.as("is_observed"))
   }
 
+  /** Debounce: drop events that arrive within `gapSeconds` of the
+    * PREVIOUS event of the same key — duplicate-click / sensor-chatter
+    * suppression. Semantics: the gap is measured against the previous
+    * RAW event (one lag window — deterministic, one pass), not the
+    * previous KEPT event; for kept-based throttling compose with
+    * sessionization (a kept event is then each gap-session's first).
+    *
+    * Scale: one hash shuffle on the key columns; the lag window is the
+    * only operation. Returns the input rows that survive. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+               idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    events
+      .withColumn("__prev_us", prevUs)
+      .filter(col("__prev_us").isNull ||
+        unix_micros(col(tsCol)) - col("__prev_us") > gapSeconds * 1000000L)
+      .drop("__prev_us")
+  }
+
   /** Time-weighted average (TWAP): per key, the mean of `valueCol` where
     * each observation is weighted by how LONG it was the current value —
     * duration until the next observation. The last observation carries no

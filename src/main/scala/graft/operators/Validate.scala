@@ -93,6 +93,34 @@ object Validate {
         sum(when(col("__fa") === col("__fb"), 1L).otherwise(0L)).as("n_unchanged"))
   }
 
+  /** Referential-integrity audit across a set of FK relations: per
+    * relation, child-side volume, orphaned children (FK values with no
+    * parent — the integrity VIOLATION), unreferenced parents (no
+    * violation, but dead weight worth knowing), and parent coverage.
+    * NULL FKs are not violations (SQL semantics); they're simply absent
+    * from the referenced-key set.
+    *
+    * Scale: each relation costs two anti/semi joins keyed on the FK —
+    * Catalyst plans broadcast joins for dim-sized parents; the per-
+    * relation outputs are 1-row frames unioned into the report. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val ck = child.select(col(childKey).as("k")).filter(col("k").isNotNull)
+      val pk = parent.select(col(parentKey).as("k"))
+      val nChild = ck.agg(count(lit(1)).as("n_child"))
+      val nViol = ck.join(pk, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val nParent = pk.agg(count(lit(1)).as("n_parents"))
+      val nRef = pk.join(ck, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_referenced"))
+      nChild.crossJoin(nViol).crossJoin(nParent).crossJoin(nRef)
+        .select(lit(name).as("relation"), col("n_child"), col("n_violations"),
+          col("n_parents"),
+          (col("n_parents") - col("n_referenced")).as("n_unreferenced"),
+          (floor(col("n_referenced").cast("double") / col("n_parents").cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("coverage"))
+    }.reduce(_ unionByName _)
+
   /** Per-group (n_rows, checksum). Empty `groupCols` = one global row. */
   def checksum(df: DataFrame, codes: Seq[Column],
                groupCols: Seq[String] = Nil): DataFrame = {

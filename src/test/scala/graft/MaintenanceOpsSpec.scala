@@ -50,6 +50,65 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1), s.getLong(2)) == (20L, 19L, 0L))
   }
 
+  test("clustering coefficient: clique scores 1, star center scores 0") {
+    // K3 {1,2,3} plus pendant 4-1: nodes 1..3 have cc with their clique,
+    // node 4 deg 1 -> 0; node 1 deg 3 -> 1 triangle / C(3,2)=3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val r = graft.operators.Graphs.clusteringCoefficient(edges, "src", "dst", k = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r(2L) == (2L, 1L, 1.0) && r(3L) == (2L, 1L, 1.0))
+    assert(r(1L) == (3L, 1L, 0.333333))
+    assert(r(4L) == (1L, 0L, 0.0))
+  }
+
+  test("fk audit: violations, unreferenced parents, null FKs not violations") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.operators.Validate.fkAudit(Seq(
+      ("c_p", child, "fk", parent, "pk"))).collect().head
+    assert(r.getString(0) == "c_p")
+    assert(r.getLong(1) == 3L, "null FK not counted as child")
+    assert(r.getLong(2) == 1L, "99 is an orphan")
+    assert(r.getLong(3) == 3L && r.getLong(4) == 1L, "parent 3 unreferenced")
+    assert(r.getDouble(5) == 0.666667)
+  }
+
+  test("basket rules: pair counts, confidence asymmetry, lift") {
+    // baskets: (u1,d1)={x,y}, (u2,d1)={x,y}, (u3,d1)={x}, (u4,d1)={y,z}
+    val df = Seq(
+      (1L, "d1", "x"), (1L, "d1", "y"), (1L, "d1", "x"), // within-basket dup
+      (2L, "d1", "x"), (2L, "d1", "y"),
+      (3L, "d1", "x"),
+      (4L, "d1", "y"), (4L, "d1", "z")
+    ).toDF("u", "d", "item")
+    val r = graft.operators.Baskets.pairRules(df, Seq("u", "d"), "item",
+      minPairSupport = 1L).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val xy = r(("x", "y"))
+    assert(xy.getAs[Long]("n_ab") == 2L)
+    assert(xy.getAs[Long]("n_a") == 3L && xy.getAs[Long]("n_b") == 3L)
+    assert(xy.getAs[Double]("support") == 0.5)       // 2 of 4 baskets
+    assert(xy.getAs[Double]("conf_ab") == 0.666667)  // x->y
+    assert(xy.getAs[Double]("lift") == 0.888889)     // 2*4/(3*3)
+    val yz = r(("y", "z"))
+    assert(yz.getAs[Double]("conf_ba") == 1.0, "z always with y")
+  }
+
+  test("debounce: chatter dropped, first kept, keys independent") {
+    import graft.operators.Resample
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:30"), 2L, "a"), // 30s after prev: dropped
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"), // 90s after RAW prev: kept
+      (1L, ts("2024-01-01 10:00:10"), 4L, "b"), // other key: kept
+      (2L, ts("2024-01-01 10:00:20"), 5L, "a")  // other user: kept
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val kept = Resample.debounce(ev, Seq("user_id", "event_type"), "ts",
+      "event_id", gapSeconds = 60L).select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("incremental agg: merged partials equal the full recompute") {
     val full = Seq(
       ("x", 10.004), ("x", 19.996), ("x", 30.0), ("y", 5.555), ("y", 4.445)

@@ -173,4 +173,41 @@ class StreamingSpec extends SparkSpec {
     runOnce(tmpDir("cp2"))
     assert(spark.read.parquet(target).count() == 5, "replay appended nothing")
   }
+
+  test("streaming incremental rollup maintenance equals the full recompute") {
+    // the q130 operator driven as a stream: each micro-batch folds its
+    // partials into a versioned rollup state; after the stream drains,
+    // the state must equal a from-scratch aggregation of everything —
+    // exact-cents partials make that bit-for-bit, across any number of
+    // batches in any order
+    import graft.operators.IncrementalAgg
+    val events = Tables.load(spark, sf(), "events")
+    val src = tmpDir("graft-incragg-src")
+    events.repartition(4).write.mode("overwrite").parquet(src) // 4 micro-batches
+    val schema = spark.read.parquet(src).schema
+    val base = tmpDir("graft-incragg-state")
+    val q = EventStreams.readEventStream(spark, src, schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       bid: Long) =>
+        val part = IncrementalAgg.partials(batch, Seq("event_type"), "value")
+        val prev = new java.io.File(s"$base/v${bid - 1}")
+        val merged = if (prev.exists())
+          IncrementalAgg.merge(Seq(spark.read.parquet(prev.toString), part),
+            Seq("event_type"))
+        else part
+        merged.write.mode("overwrite").parquet(s"$base/v$bid")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-incragg-ckpt"))
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    val last = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toInt).max
+    assert(last >= 1, "expected multiple micro-batches")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(canon(spark.read.parquet(s"$base/v$last")) ==
+      canon(IncrementalAgg.partials(events, Seq("event_type"), "value")))
+  }
 }
