@@ -464,6 +464,24 @@ object SparkEntry {
       operators.Graphs.clusteringCoefficient(e, "src", "dst", k = 20)
     }),
 
+    // Perceptual average-hash per synthesized BMP: REAL byte-level
+    // decode -> 4x4 block lattice -> cross-multiplied comparison bits.
+    // The oracle replays the pixel formula, never the bytes — agreement
+    // proves the decoder AND the hash.
+    "q140_image_ahash" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeBmpTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.bmpAHash(media, grid = 4)
+    }),
+
+    // Image near-dup pairs: banded aHash LSH (4-bit bands) + exact
+    // Hamming verify — the text-dedup discipline applied to images.
+    "q141_image_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeBmpTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.bmpNearDupPairs(media, grid = 4, maxHamming = 1)
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1862,6 +1880,73 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // pixel formula -> grayscale sums per 4x4 block -> cross-multiplied
+    // bits -> 16-bit hash; exact integer math end to end
+    "q140_image_ahash" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    (xs.x * 4) // p.w AS bx, (ys.y * 4) // p.h AS by,
+        |    (xs.x * 7 + ys.y * 13 + p.seed) % 256
+        |      + (xs.x * 11 + ys.y * 3 + 2 * p.seed) % 256
+        |      + (xs.x * 5 + ys.y * 17 + 3 * p.seed) % 256 AS gray
+        |  FROM params p,
+        |       LATERAL (SELECT unnest(range(0, p.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, p.h)) AS y) ys),
+        |blocks AS (
+        |  SELECT doc_id, w, h, by * 4 + bx AS bit,
+        |    sum(gray) AS bs, count(*) AS bc
+        |  FROM px GROUP BY doc_id, w, h, by, bx),
+        |tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS tc FROM px GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id, CAST(b.w AS INT) AS width,
+        |  CAST(b.h AS INT) AS height,
+        |  CAST(sum(CASE WHEN b.bs * t.tc > t.ts * b.bc
+        |    THEN (CAST(1 AS BIGINT) << CAST(b.bit AS INT)) ELSE 0 END) AS BIGINT)
+        |    AS ahash
+        |FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+        |GROUP BY b.doc_id, b.w, b.h""".stripMargin,
+
+    // same hashes, banded into 4-bit nibbles; candidates share a band
+    // value, exact hamming <= 1 verifies
+    "q141_image_neardup" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    (xs.x * 4) // p.w AS bx, (ys.y * 4) // p.h AS by,
+        |    (xs.x * 7 + ys.y * 13 + p.seed) % 256
+        |      + (xs.x * 11 + ys.y * 3 + 2 * p.seed) % 256
+        |      + (xs.x * 5 + ys.y * 17 + 3 * p.seed) % 256 AS gray
+        |  FROM params p,
+        |       LATERAL (SELECT unnest(range(0, p.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, p.h)) AS y) ys),
+        |blocks AS (
+        |  SELECT doc_id, by * 4 + bx AS bit, sum(gray) AS bs, count(*) AS bc
+        |  FROM px GROUP BY doc_id, by, bx),
+        |tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS tc FROM px GROUP BY doc_id),
+        |hashes AS (
+        |  SELECT b.doc_id AS media_id,
+        |    CAST(sum(CASE WHEN b.bs * t.tc > t.ts * b.bc
+        |      THEN (CAST(1 AS BIGINT) << CAST(b.bit AS INT)) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id GROUP BY b.doc_id),
+        |banded AS (
+        |  SELECT media_id, ahash, t.i AS band,
+        |    (ahash >> CAST(t.i * 4 AS INT)) & 15 AS v
+        |  FROM hashes, LATERAL (SELECT unnest(range(0, 4)) AS i) t),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin,
 
     "q136_basket_rules" ->
       """WITH items AS (

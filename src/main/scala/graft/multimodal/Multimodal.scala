@@ -326,6 +326,103 @@ object Multimodal {
       (w, h, sumR, sumG, sumB)
     }.toOption
 
+  final case class BmpAHash(media_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual average-hash over decoded BMP pixels: the image is cut
+    * into a `grid` x `grid` block lattice (integer boundaries
+    * `bx = x*grid/w`), each block's summed grayscale (r+g+b, no division)
+    * is compared against the image mean by exact CROSS-MULTIPLY
+    * (`blockSum * nTotal > totalSum * nBlock` — no float, no rounding),
+    * and the comparison bits pack into a `grid²`-bit hash. Identical
+    * layouts hash equal; small content drift flips few bits — the
+    * classic near-dup fingerprint for images, feeding the same banded-LSH
+    * machinery the text dedup uses.
+    *
+    * Coordinates are IMAGE coordinates (bottom-up BMP rows mapped back),
+    * so the hash is layout-stable and the oracle can replay it from the
+    * synthesis formula without touching bytes.
+    *
+    * Scale: pure scan-side decode in mapPartitions — blobs never shuffle;
+    * the output is one (id, 3 ints) row per image. */
+  def bmpAHash(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 2 && grid * grid <= 63, s"grid² must fit a long, got $grid")
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) => ahashOf(bytes, grid).map {
+        case (w, h, hash) => BmpAHash(id, w, h, hash)
+      } }
+    }(Encoders.product[BmpAHash]).toDF()
+  }
+
+  private def ahashOf(bytes: Array[Byte], grid: Int): Option[(Int, Int, Long)] =
+    scala.util.Try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte)
+      bb.getInt; bb.getShort; bb.getShort
+      val pixelOffset = bb.getInt
+      val hdrSize = bb.getInt
+      require(hdrSize >= 40)
+      val w = bb.getInt; val h = bb.getInt
+      require(w > 0 && h > 0 && w <= 65536 && h <= 65536)
+      require(bb.getShort == 1 && bb.getShort == 24 && bb.getInt == 0)
+      val stride = (w * 3 + 3) & ~3
+      require(pixelOffset >= 54 && pixelOffset.toLong + stride.toLong * h <= bytes.length)
+      val blockSum = new Array[Long](grid * grid)
+      val blockCnt = new Array[Long](grid * grid)
+      var totalSum = 0L
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // bottom-up: file row 0 is image row h-1
+        val by = y * grid / h
+        var p = pixelOffset + row * stride
+        var x = 0
+        while (x < w) {
+          val gray = (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
+          val b = by * grid + x * grid / w
+          blockSum(b) += gray; blockCnt(b) += 1; totalSum += gray
+          p += 3; x += 1
+        }
+        row += 1
+      }
+      val nTotal = w.toLong * h
+      var hash = 0L
+      var i = 0
+      while (i < grid * grid) {
+        if (blockSum(i) * nTotal > totalSum * blockCnt(i)) hash |= 1L << i
+        i += 1
+      }
+      (w, h, hash)
+    }.toOption
+
+  /** Image near-duplicate pairs by banded aHash LSH: the `grid²`-bit
+    * hash splits into `grid` bands of `grid` bits; images sharing any
+    * band value become candidates (constant fan-out of `grid` rows per
+    * image, shuffled on the (band, value) key — the exact discipline of
+    * the text MinHash pipeline), then the exact Hamming distance
+    * verifies. With a 16-bit hash the band space is small and buckets
+    * run large — at a real corpus scale use grid=8 (64-bit hash,
+    * 8-bit bands) where buckets thin out exponentially. */
+  def bmpNearDupPairs(media: DataFrame, grid: Int = 4,
+                      maxHamming: Int = 2): DataFrame = {
+    val hashes = bmpAHash(media, grid)
+    val bandBits = grid
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(expr(s"transform(sequence(0, ${grid - 1}), " +
+          s"i -> struct(i AS band, shiftright(ahash, i * $bandBits)" +
+          s" & ${(1L << bandBits) - 1} AS v))")).as("b"))
+      .select(col("media_id"), col("ahash"), col("b.band"), col("b.v"))
+    val a = banded.select(col("band"), col("v"),
+      col("media_id").as("id_a"), col("ahash").as("ha"))
+    val b = banded.select(col("band"), col("v"),
+      col("media_id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("band", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Resize stage STUB: rewrites the metadata struct only (a real resize
     * would also rewrite `blob`); marks the row as stub-processed. */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =

@@ -137,6 +137,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set(1L), "only the well-formed 24bpp blob decodes")
   }
 
+  test("image aHash: layout-stable, identical blobs pair at hamming 0") {
+    // same (w, h, seed) -> identical image -> identical hash; a different
+    // seed shifts the gradient -> some bits flip
+    val twinA = Multimodal.synthesizeBmp(12, 9, 40)
+    val twinB = Multimodal.synthesizeBmp(12, 9, 40)
+    val other = Multimodal.synthesizeBmp(12, 9, 200)
+    val corrupt = "nope".getBytes
+    val media = Seq((1L, twinA), (2L, twinB), (3L, other), (4L, corrupt))
+      .toDF("media_id", "blob")
+    val hashes = Multimodal.bmpAHash(media, grid = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L), "corrupt blob quarantined")
+    assert(hashes(1L) == hashes(2L), "identical images hash equal")
+    val pairs = Multimodal.bmpNearDupPairs(media, grid = 4, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "twin pair found through the bands")
+    assert(!pairs.contains((1L, 3L)) || hashes(1L) == hashes(3L))
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)
