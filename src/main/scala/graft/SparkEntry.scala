@@ -482,6 +482,45 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpNearDupPairs(media, grid = 4, maxHamming = 1)
     }),
 
+    // Eval-side contamination profile: per benchmark doc (q45's eval
+    // split), the fraction of its 3-gram shingles found in the corpus.
+    "q142_eval_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.evalOverlapReport(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", shingleN = 3)
+    }),
+
+    // Partition-level checksum comparison: orders vs a snapshot with
+    // 1995 repriced — only the 1995 partition mismatches. The cheap
+    // first stage of the 100 TB validation workflow (q134 diff is the
+    // drill-down).
+    "q143_checksum_compare" -> ((s, dir) => {
+      import operators.Validate
+      val o = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+      val repriced = o.withColumn("o_totalprice",
+        when(col("yr") === 1995, col("o_totalprice") + lit(1.0d))
+          .otherwise(col("o_totalprice")))
+      Validate.checksumCompare(o, repriced,
+        d => Seq(Validate.enc.long(col("o_orderkey")),
+          Validate.enc.moneyCents(col("o_totalprice"))),
+        groupCols = Seq("yr"))
+    }),
+
+    // Exact p50/p95/p99 of inter-event gaps (ms) per event type —
+    // rank-selected quantiles (percentile_disc semantics), rational-p
+    // integer ranks, no interpolation, no floats.
+    "q144_latency_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - __prev) div 1000").as("gap_ms"))
+      operators.Profiler.exactQuantiles(gaps, "event_type", "gap_ms",
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1880,6 +1919,86 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // eval split's per-doc distinct 3-grams vs the corpus' distinct gram
+    // set (the q96 gram-string construction at n=3)
+    "q142_eval_overlap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT d.doc_id, array_to_string(d.toks[t.i:t.i+2], ' ') AS g
+        |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+        |    WHERE len(d.toks) >= 3
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(toks, ' ') FROM docs
+        |    WHERE len(toks) < 3)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 20 = 0),
+        |corp AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 <> 0),
+        |m AS (
+        |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM ev WHERE EXISTS (SELECT 1 FROM corp WHERE corp.g = ev.g)
+        |  GROUP BY eval_id),
+        |tot AS (
+        |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM ev GROUP BY eval_id)
+        |SELECT t.eval_id, t.n_grams,
+        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  floor(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS overlap_fraction
+        |FROM tot t LEFT JOIN m ON t.eval_id = m.eval_id""".stripMargin,
+
+    // per-year checksums of both snapshots with the q120 polynomial;
+    // only 1995 (the repriced year) may mismatch
+    "q143_checksum_compare" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS yr, o_orderkey, o_totalprice,
+        |    CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS price_b
+        |  FROM orders),
+        |m AS (
+        |  SELECT yr,
+        |    (((17 * 1000003
+        |      + coalesce(((o_orderkey % 2147483647) + 2147483647) % 2147483647,
+        |                 2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |          % 2147483647) + 2147483647) % 2147483647, 2147483646))
+        |      % 2147483647 AS mix_a,
+        |    (((17 * 1000003
+        |      + coalesce(((o_orderkey % 2147483647) + 2147483647) % 2147483647,
+        |                 2147483646)) % 2147483647) * 1000003
+        |      + coalesce(((CAST(floor(price_b * 100 + 0.5) AS BIGINT)
+        |          % 2147483647) + 2147483647) % 2147483647, 2147483646))
+        |      % 2147483647 AS mix_b
+        |  FROM base)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_a,
+        |  CAST(sum(mix_a) % 2147483647 AS BIGINT) AS checksum_a,
+        |  CAST(count(*) AS BIGINT) AS n_b,
+        |  CAST(sum(mix_b) % 2147483647 AS BIGINT) AS checksum_b,
+        |  (sum(mix_a) % 2147483647 = sum(mix_b) % 2147483647) AS match
+        |FROM m GROUP BY yr""".stripMargin,
+
+    // rank-selected quantiles: rn = ceil(p*n) with rational p — pure
+    // integer arithmetic, an actual data value, no interpolation
+    "q144_latency_quantiles" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) // 1000
+        |      AS gap_ms
+        |  FROM events),
+        |g AS (SELECT event_type, gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, gap_ms,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_ms) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |q AS (
+        |  SELECT 'p50' AS p_label, 1 AS num, 2 AS den
+        |  UNION ALL SELECT 'p95', 19, 20
+        |  UNION ALL SELECT 'p99', 99, 100)
+        |SELECT event_type, p_label, CAST(n AS BIGINT) AS n, gap_ms AS value
+        |FROM r, q WHERE rn = (num * n + den - 1) // den""".stripMargin,
 
     // pixel formula -> grayscale sums per 4x4 block -> cross-multiplied
     // bits -> 16-bit hash; exact integer math end to end

@@ -486,6 +486,38 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Eval-side contamination profile — the inverse direction of
+    * [[contamination]]: for each EVAL document, what fraction of its
+    * distinct n-gram shingles appears anywhere in the training corpus.
+    * `contamination` answers "which training docs should I drop";
+    * this answers "how burned is each benchmark item" — the report an
+    * eval release publishes.
+    *
+    * Scale: the corpus side collapses to its DISTINCT gram set (one
+    * map-side-combined aggregation — the only corpus-sized stage) and is
+    * immediately inner-joined against the BROADCAST eval gram set, so
+    * only grams that occur in the eval set survive the scan; the
+    * per-eval-doc rollup then works on that tiny matched frame. */
+  def evalOverlapReport(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                        idCol: String, shingleN: Int = 3): DataFrame = {
+    val evalGrams = evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    val matched = corpusGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_matched"))
+    evalGrams.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      .join(matched, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("overlap_fraction",
+        floor(col("n_matched").cast("double") / col("n_grams").cast("double")
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+  }
+
   /** Lineage cut for the small frames that feed multiple downstream
     * branches or iterative loops. By default `localCheckpoint()` — blocks
     * live on executors, the right local-mode fast path. When

@@ -113,6 +113,39 @@ object Profiler {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Exact grouped quantiles by RANK selection (percentile_disc
+    * semantics): the p-quantile is the value at rank ceil(p*n) in the
+    * group's sort order — an actual data value, no interpolation, and
+    * with RATIONAL p (num/den) the rank is exact integer arithmetic:
+    * `rank = (num*n + den - 1) div den`. Float-free, tie-stable (equal
+    * values at the boundary rank are equal by definition),
+    * engine-portable — where `percentile()` interpolates in
+    * engine-specific float order, this selects.
+    *
+    * Output: (group, p_label, n, value) — groups x quantiles rows.
+    *
+    * Scale: one Exchange on the group key; the sort ranks each group
+    * once and EVERY requested quantile reads from that single ranked
+    * pass (the quantile list rides as a literal array, exploded
+    * scan-side). Exact quantiles sort the group — for huge groups swap
+    * in percentile_approx (q24) — the selection rule is unchanged. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[(String, Long, Long)]): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).as("v"))
+      .withColumn("__rn", row_number().over(byGroup.orderBy(col("v"))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    val quantiles = array(ps.map { case (lbl, num, den) =>
+      struct(lit(lbl).as("p_label"), lit(num).as("num"), lit(den).as("den"))
+    }: _*)
+    ranked
+      .select(col(groupCol), col("v"), col("__rn"), col("__n"),
+        explode(quantiles).as("q"))
+      .filter(expr("__rn = (q.num * __n + q.den - 1) div q.den"))
+      .select(col(groupCol), col("q.p_label").as("p_label"),
+        col("__n").as("n"), col("v").as("value"))
+  }
+
   /** Daily-volume anomaly detection: per series (e.g. event type), each
     * day's count z-scored against its own trailing `windowDays`-day
     * window — the ingest-monitoring primitive ("did this source's volume

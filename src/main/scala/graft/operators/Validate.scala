@@ -121,6 +121,24 @@ object Validate {
             * lit(1e6) + lit(0.5d)) / lit(1e6)).as("coverage"))
     }.reduce(_ unionByName _)
 
+  /** Per-partition checksum comparison between two snapshots: the
+    * replication-monitoring workflow in one frame — compute [[checksum]]
+    * per group on both sides, full-outer join on the group, flag
+    * mismatches. Feed the mismatched groups to [[diff]] for row-level
+    * drill-down; at 100 TB this is how validation stays cheap: one
+    * number per partition, rows only for partitions that disagree. */
+  def checksumCompare(oldDf: DataFrame, newDf: DataFrame, codes: DataFrame => Seq[Column],
+                      groupCols: Seq[String]): DataFrame = {
+    val a = checksum(oldDf, codes(oldDf), groupCols)
+      .withColumnRenamed("n_rows", "n_a").withColumnRenamed("checksum", "checksum_a")
+    val b = checksum(newDf, codes(newDf), groupCols)
+      .withColumnRenamed("n_rows", "n_b").withColumnRenamed("checksum", "checksum_b")
+    a.join(b, groupCols, "full_outer")
+      .withColumn("match",
+        col("n_a") === col("n_b") && col("checksum_a") === col("checksum_b"))
+      .na.fill(false, Seq("match"))
+  }
+
   /** Per-group (n_rows, checksum). Empty `groupCols` = one global row. */
   def checksum(df: DataFrame, codes: Seq[Column],
                groupCols: Seq[String] = Nil): DataFrame = {

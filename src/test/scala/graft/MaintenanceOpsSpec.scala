@@ -109,6 +109,44 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("exact quantiles: rank selection, short groups, real data values") {
+    import graft.operators.Profiler
+    // group a: 1..100 -> p50=50, p95=95, p99=99 (ceil ranks 50/95/99)
+    // group b: 3 values -> p50 = 2nd, p95/p99 = 3rd
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      Seq(("b", 10L), ("b", 20L), ("b", 30L))).toDF("g", "v")
+    val r = Profiler.exactQuantiles(df, "g", "v",
+      Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+    assert(r(("a", "p50")) == 50L && r(("a", "p95")) == 95L && r(("a", "p99")) == 99L)
+    assert(r(("b", "p50")) == 20L && r(("b", "p95")) == 30L && r(("b", "p99")) == 30L)
+  }
+
+  test("checksum compare: only the drifted partition mismatches") {
+    import graft.operators.Validate
+    val a = Seq(("p1", 1L, 10L), ("p1", 2L, 20L), ("p2", 3L, 30L)).toDF("p", "id", "v")
+    val b = Seq(("p1", 1L, 10L), ("p1", 2L, 21L), ("p2", 3L, 30L)).toDF("p", "id", "v")
+    val r = Validate.checksumCompare(a, b,
+      d => Seq(Validate.enc.long(col("id")), Validate.enc.long(col("v"))), Seq("p"))
+      .collect().map(x => x.getString(0) -> x.getBoolean(5)).toMap
+    assert(r == Map("p1" -> false, "p2" -> true))
+  }
+
+  test("eval overlap report: burned and clean eval docs") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta"),   // fully contained -> 1.0
+      (101L, "nothing shared here at all") // -> 0.0
+    ).toDF("doc_id", "text")
+    val r = Dedup.evalOverlapReport(corpus, evalSet, "text", "doc_id", shingleN = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(100L) == 1.0 && r(101L) == 0.0)
+  }
+
   test("incremental agg: merged partials equal the full recompute") {
     val full = Seq(
       ("x", 10.004), ("x", 19.996), ("x", 30.0), ("y", 5.555), ("y", 4.445)
