@@ -521,6 +521,66 @@ object SparkEntry {
         Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
     }),
 
+    // Golden-record entity resolution: blocked fuzzy pairs (q86) ->
+    // connected components (the q78 star contraction) -> one canonical
+    // record per entity cluster with its merged member list. The full
+    // MDM composition from primitives that are each oracle-checked alone.
+    "q145_golden_record" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+      val names = parts.select(col("p_name").as("name")).na.drop().distinct()
+        .withColumn("nid",
+          row_number().over(Window.orderBy(col("name"))).cast("long"))
+      val pairs = EntityResolution.fuzzyPairs(parts, "p_name",
+        split(col("name"), " ").getItem(1), maxDist = 3)
+      val idPairs = pairs
+        .join(names.select(col("name").as("name_a"), col("nid").as("id_a")), Seq("name_a"))
+        .join(names.select(col("name").as("name_b"), col("nid").as("id_b")), Seq("name_b"))
+        .select("id_a", "id_b")
+      val cl = Dedup.clustersStar(idPairs).withColumnRenamed("id", "nid")
+      names.join(cl, Seq("nid"), "left")
+        // nid is the name's rank in name order, so min nid = min name:
+        // the canonical pick is lexicographic, engine-portable
+        .withColumn("rep", coalesce(col("cluster_id"), col("nid")))
+        .groupBy(col("rep"))
+        .agg(min(col("name")).as("canonical_name"),
+          count(lit(1)).as("n_members"),
+          array_join(array_sort(collect_list(col("name"))), "|").as("members"))
+        .filter(col("n_members") >= 2)
+        .select("canonical_name", "n_members", "members")
+    }),
+
+    // Period-over-period: monthly revenue with previous month and
+    // growth ratio (bounded month frame -> the global lag window is
+    // months-many rows, never data-sized).
+    "q146_monthly_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("growth",
+          floor((col("rev") - col("prev_rev")) / col("prev_rev") * lit(1e6)
+            + lit(0.5d)) / lit(1e6))
+    }),
+
+    // Adoption curve: cumulative distinct users per event type by day,
+    // WITHOUT an expanding distinct window — a user contributes to a
+    // type on their FIRST day with it, so cumulative distinct = running
+    // sum of first-adoption counts: the scalable rewrite of
+    // count(DISTINCT) OVER (ROWS UNBOUNDED PRECEDING).
+    "q147_adoption_curve" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("day"))
+      val daily = firstSeen.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_new"))
+      daily.withColumn("cum_users",
+        sum(col("n_new")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1919,6 +1979,55 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q86's pair CTEs + the q37 recursive-component replay, over name
+    // strings directly (lexicographic min = the Spark side's min-nid)
+    "q145_golden_record" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        |blk AS (SELECT name, split_part(name, ' ', 2) AS b FROM names),
+        |jp AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3),
+        |edges AS (SELECT na AS src, nb AS dst FROM jp
+        |          UNION ALL SELECT nb, na FROM jp),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id AS name, min(r) AS rep FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT n.name, coalesce(c.rep, n.name) AS rep
+        |  FROM names n LEFT JOIN cl c ON n.name = c.name)
+        |SELECT min(name) AS canonical_name, CAST(count(*) AS BIGINT) AS n_members,
+        |  string_agg(name, '|' ORDER BY name) AS members
+        |FROM mem GROUP BY rep HAVING count(*) >= 2""".stripMargin,
+
+    "q146_monthly_growth" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev_rev
+        |  FROM monthly)
+        |SELECT month, rev, prev_rev,
+        |  floor((rev - prev_rev) / prev_rev * 1e6 + 0.5) / 1e6 AS growth
+        |FROM l""".stripMargin,
+
+    "q147_adoption_curve" ->
+      """WITH fs AS (
+        |  SELECT user_id, event_type,
+        |    min(CAST(date_trunc('day', ts) AS DATE)) AS day
+        |  FROM events GROUP BY user_id, event_type),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY event_type, day)
+        |SELECT event_type, day, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily""".stripMargin,
 
     // eval split's per-doc distinct 3-grams vs the corpus' distinct gram
     // set (the q96 gram-string construction at n=3)
