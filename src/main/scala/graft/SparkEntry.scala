@@ -40,6 +40,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Co-occurrence edge sample for the graph queries (q129/q139):
+    * mod-1000 node buckets with the sampling rate derived FROM THE DATA
+    * (row count -> 1/1, 1/10, 1/100 via a portable arithmetic hash), so
+    * graph density stays constant as the scan scales. Both engines
+    * compute the identical rate from count(*) — no scale-factor
+    * parameter leaks into the query text. */
+  private def cooccurrenceEdges(li: DataFrame): DataFrame = {
+    val n = li.agg(count(lit(1)).as("__cnt"))
+    li.crossJoin(broadcast(n))
+      .withColumn("__f", when(col("__cnt") > 300000L, 100L)
+        .when(col("__cnt") > 30000L, 10L).otherwise(1L))
+      .filter((col("l_orderkey") * 31L + col("l_partkey")) % col("__f") === 0L)
+      .select(pmod(col("l_partkey"), lit(1000L)).as("src"),
+        pmod(col("l_suppkey"), lit(1000L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -333,16 +350,16 @@ object SparkEntry {
         windowDays = 7, threshold = 2.0)
     }),
 
-    // Triangle count over the part-supplier co-occurrence graph
-    // (mod-bucketed to 1000 nodes — sparse at sf0.001, ~70% dense at
-    // sf0.1, never complete): compact-forward with degree orientation —
-    // hub nodes make zero wedges.
+    // Triangle count over the part-supplier co-occurrence graph.
+    // Graph algorithms scale in EDGES, not scan rows — a mod-bucketed
+    // co-occurrence graph saturates toward completeness as rows grow
+    // (wedge volume explodes quadratically in density), so the edge
+    // SAMPLE is calibrated from the row count (a portable arithmetic
+    // hash at rate 1/1, 1/10, 1/100) to hold graph density constant
+    // across scale factors: the scan scales, the graph does not.
     "q129_triangles" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem").select(
-        pmod(col("l_partkey"), lit(1000L)).as("src"),
-        pmod(col("l_suppkey"), lit(1000L)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      operators.Graphs.triangleCount(e, "src", "dst")
+      operators.Graphs.triangleCount(cooccurrenceEdges(t(s, dir, "lineitem")),
+        "src", "dst")
     }),
 
     // Incremental aggregate maintenance: rollup state built from history
@@ -454,14 +471,11 @@ object SparkEntry {
           t(s, dir, "customer"), "c_custkey")))
     }),
 
-    // Local clustering coefficient over the mod-1000 co-occurrence
-    // graph: top-20 nodes by neighborhood density (triangles / C(deg,2)).
+    // Local clustering coefficient over the same density-held
+    // co-occurrence graph as q129: top-20 nodes by neighborhood density.
     "q139_clustering_coeff" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem").select(
-        pmod(col("l_partkey"), lit(1000L)).as("src"),
-        pmod(col("l_suppkey"), lit(1000L)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      operators.Graphs.clusteringCoefficient(e, "src", "dst", k = 20)
+      operators.Graphs.clusteringCoefficient(
+        cooccurrenceEdges(t(s, dir, "lineitem")), "src", "dst", k = 20)
     }),
 
     // Perceptual average-hash per synthesized BMP: REAL byte-level
@@ -1941,8 +1955,14 @@ object SparkEntry {
     // compact-forward: degree-oriented wedges closed against the
     // canonical undirected edge set.
     "q129_triangles" ->
-      """WITH e AS (
-        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst FROM lineitem),
+      """WITH f AS (
+        |  SELECT CASE WHEN count(*) > 300000 THEN 100
+        |    WHEN count(*) > 30000 THEN 10 ELSE 1 END AS f
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+        |  FROM lineitem, f
+        |  WHERE (l_orderkey * 31 + l_partkey) % f.f = 0),
         |und AS (
         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         |  FROM e WHERE src <> dst),
@@ -2252,8 +2272,14 @@ object SparkEntry {
     // q129's triangle CTEs, exploded to corners and normalized by
     // C(deg, 2); degree-<2 nodes score 0
     "q139_clustering_coeff" ->
-      """WITH e AS (
-        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst FROM lineitem),
+      """WITH f AS (
+        |  SELECT CASE WHEN count(*) > 300000 THEN 100
+        |    WHEN count(*) > 30000 THEN 10 ELSE 1 END AS f
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+        |  FROM lineitem, f
+        |  WHERE (l_orderkey * 31 + l_partkey) % f.f = 0),
         |und AS (
         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         |  FROM e WHERE src <> dst),
