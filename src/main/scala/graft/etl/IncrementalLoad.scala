@@ -188,21 +188,7 @@ object IncrementalLoad {
     // Hive-style partition columns must survive the rewrite: re-derive
     // them from the `col=value` directory names and re-apply partitionBy,
     // or a partitioned table would silently flatten and lose pruning.
-    val partCols: Seq[String] = {
-      def dirsOf(p: HPath): Seq[String] = fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.getName.takeWhile(_ != '='))
-      var cols = Vector.empty[String]
-      var cur = target
-      var level = dirsOf(cur)
-      while (level.nonEmpty) {
-        cols :+= level.head
-        cur = fs.listStatus(cur).toSeq
-          .find(s => s.isDirectory && s.getPath.getName.contains("=")).get.getPath
-        level = dirsOf(cur)
-      }
-      cols
-    }
+    val partCols: Seq[String] = partitionColumns(fs, target)
     val parent = Option(target.getParent).getOrElse(target)
     val stage = new HPath(parent, s".compact-staging-${System.nanoTime()}")
     val old = new HPath(parent, s".compact-old-${System.nanoTime()}")
@@ -222,6 +208,95 @@ object IncrementalLoad {
       fs.delete(old, true)
       (before.length.toLong, after)
     } finally fs.delete(stage, true)
+  }
+
+  /** Hive partition columns of a table directory, outermost first, read
+    * from the `col=value` directory names. */
+  private def partitionColumns(fs: FileSystem, target: HPath): Seq[String] = {
+    def dirsOf(p: HPath): Seq[String] = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '='))
+    var cols = Vector.empty[String]
+    var cur = target
+    var level = dirsOf(cur)
+    while (level.nonEmpty) {
+      cols :+= level.head
+      cur = fs.listStatus(cur).toSeq
+        .find(s => s.isDirectory && s.getPath.getName.contains("=")).get.getPath
+      level = dirsOf(cur)
+    }
+    cols
+  }
+
+  /** Targeted row deletion (the right-to-be-forgotten / bad-batch-purge
+    * operation) with PARTITION-PRUNED rewrite: only partitions that
+    * actually contain matching rows are rewritten and atomically
+    * swapped; every other partition keeps its files byte-identical —
+    * at 100 TB the cost is proportional to the AFFECTED partitions, not
+    * the table. A partition whose rows are all deleted is removed
+    * outright. Unpartitioned tables fall back to one full stage+swap
+    * rewrite.
+    *
+    * The predicate may reference partition columns (they are re-added
+    * as literals per partition before filtering). Returns
+    * (partitions_rewritten, rows_deleted).
+    *
+    * Same swap discipline as [[compact]]/[[atomicPublish]]: stage,
+    * move-aside, swap-in, restore on failure — on a filesystem with
+    * atomic rename (file:/HDFS; object stores need a committer). */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val (fs, target) = fsFor(spark, path)
+    require(fs.exists(target), s"deleteWhere: no table at $path")
+    val partCols = partitionColumns(fs, target)
+    val parent = Option(target.getParent).getOrElse(target)
+
+    def swapIn(dest: HPath, write: HPath => Unit, keepAny: Boolean): Unit = {
+      val stage = new HPath(parent, s".delete-staging-${System.nanoTime()}")
+      val old = new HPath(parent, s".delete-old-${System.nanoTime()}")
+      try {
+        if (keepAny) write(stage)
+        mv(fs, dest, old, "deleteWhere move-aside")
+        if (keepAny) {
+          try mv(fs, stage, dest, "deleteWhere swap-in")
+          catch { case NonFatal(e) =>
+            mv(fs, old, dest, "deleteWhere restore"); throw e }
+        }
+        fs.delete(old, true)
+      } finally fs.delete(stage, true)
+    }
+
+    if (partCols.isEmpty) {
+      val df = spark.read.parquet(path)
+      val nDel = df.filter(predicate).count()
+      if (nDel == 0) return (0L, 0L)
+      val keep = df.filter(!predicate)
+      val keepAny = !keep.isEmpty
+      swapIn(target, p => keep.write.parquet(p.toString), keepAny)
+      if (!keepAny) fs.mkdirs(target) // empty table, not a missing one
+      (1L, nDel)
+    } else {
+      val df = spark.read.parquet(path)
+      val affected = df.filter(predicate)
+        .select(partCols.map(col): _*).distinct().collect()
+      var deleted = 0L
+      affected.foreach { row =>
+        val dir = partCols.zipWithIndex
+          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+        val pdir = new HPath(target, dir)
+        val pdf = spark.read.parquet(pdir.toString)
+        // partition values live in the dir name, not the files: re-add
+        // them as literals so the predicate can reference them
+        val withParts = partCols.zipWithIndex.foldLeft(pdf) {
+          case (d, (c, i)) => d.withColumn(c, lit(row.get(i)))
+        }
+        deleted += withParts.filter(predicate).count()
+        val keep = withParts.filter(!predicate).drop(partCols: _*)
+        val keepAny = !keep.isEmpty
+        swapIn(pdir, p => keep.write.parquet(p.toString), keepAny)
+      }
+      (affected.length.toLong, deleted)
+    }
   }
 
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],

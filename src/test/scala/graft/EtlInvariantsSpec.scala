@@ -186,6 +186,43 @@ class EtlInvariantsSpec extends SparkSpec {
       .select("id", "v", "anio").as[(Long, String, Int)].collect().toSet == beforeRows)
   }
 
+  test("deleteWhere rewrites only affected partitions; empty partitions vanish") {
+    val target = s"${tmpDir("delw")}/t"
+    Seq(
+      (1L, 2024, "alice"), (2L, 2024, "bob"),
+      (3L, 2025, "alice"), (4L, 2025, "carol"),
+      (5L, 2026, "dave")
+    ).toDF("id", "anio", "who").write.partitionBy("anio").parquet(target)
+    def filesOf(year: Int): Set[String] =
+      new java.io.File(s"$target/anio=$year").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val files2026 = filesOf(2026)
+    // delete alice everywhere: touches 2024 and 2025, NOT 2026
+    val (nPart, nRows) = IncrementalLoad.deleteWhere(spark, target, $"who" === "alice")
+    assert((nPart, nRows) == (2L, 2L))
+    assert(filesOf(2026) == files2026, "untouched partition byte-identical")
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSet ==
+      Set(2L, 4L, 5L))
+    // predicate on the PARTITION column: the whole 2026 partition empties
+    // and its directory is removed outright
+    val (p2, r2) = IncrementalLoad.deleteWhere(spark, target, $"anio" === 2026)
+    assert((p2, r2) == (1L, 1L))
+    assert(!new java.io.File(s"$target/anio=2026").exists())
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSet ==
+      Set(2L, 4L))
+    // no-match predicate is a no-op
+    assert(IncrementalLoad.deleteWhere(spark, target, $"who" === "nobody") == (0L, 0L))
+  }
+
+  test("deleteWhere on an unpartitioned table: full rewrite, empty survives") {
+    val target = s"${tmpDir("delwu")}/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(target)
+    assert(IncrementalLoad.deleteWhere(spark, target, $"v" === "x") == (1L, 1L))
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(IncrementalLoad.deleteWhere(spark, target, lit(true)) == (1L, 1L))
+    assert(new java.io.File(target).exists(), "empty table, not a missing one")
+  }
+
   test("invariant 4: atomic publish — failure leaves published tree untouched") {
     val root = tmpDir("atomic")
     val good = Seq((1, "x")).toDF("id", "v")
