@@ -595,6 +595,78 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
 
+    // RFM segmentation: per customer recency (days since last order),
+    // frequency, monetary (exact cents), each scored into quartiles by
+    // ntile under a deterministic tie-broken order; segment = R*100+F*10+M.
+    // The rank windows run over the CUSTOMER-AGGREGATED frame (one row
+    // per customer, dimension-sized — never the fact scan); at extreme
+    // dimension sizes swap the quartile cuts for approx_percentile
+    // thresholds (q24 family), keeping the scoring arithmetic identical.
+    "q148_rfm" -> ((s, dir) => {
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(col("o_orderdate").cast("date")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("cents"))
+        .withColumn("recency_days",
+          datediff(to_date(lit("1998-12-31")), col("last_day")).cast("long"))
+      def q(c: String, asc: Boolean) = ntile(4).over(
+        Window.orderBy(
+          (if (asc) col(c).asc else col(c).desc), col("o_custkey").asc)).cast("long")
+      byCust
+        .withColumn("r_score", q("recency_days", asc = true))
+        .withColumn("f_score", q("frequency", asc = false))
+        .withColumn("m_score", q("cents", asc = false))
+        .withColumn("segment",
+          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .select("o_custkey", "recency_days", "frequency", "cents",
+          "r_score", "f_score", "m_score", "segment")
+    }),
+
+    // Pareto / ABC analysis: parts classed A/B/C by cumulative revenue
+    // share (<=80% A, <=95% B, else C) under (revenue desc, key) order.
+    "q149_abc_pareto" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100d + 0.5d).cast("long"))
+          .as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = rev.agg(sum(col("cents")).as("total_cents"))
+      rev.crossJoin(broadcast(total))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        // integer cross-multiply: cum/total <= 0.80 <=> cum*100 <= total*80
+        .withColumn("abc_class",
+          when(col("cum_cents") * 100L <= col("total_cents") * 80L, "A")
+            .when(col("cum_cents") * 100L <= col("total_cents") * 95L, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"))
+    }),
+
+    // Join-key skew profile: the diagnostic that feeds SkewJoin — per
+    // candidate key column, cardinality, hottest-key frequency, and the
+    // skew ratio (max/mean on the 6dp grid).
+    "q150_skew_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def profile(c: String) = {
+        val counts = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("n"))
+        counts.agg(
+            count(lit(1)).as("n_distinct"),
+            sum(col("n")).as("n_rows"),
+            max(col("n")).as("max_freq"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+            col("max_freq"),
+            (floor(col("max_freq").cast("double")
+              / (col("n_rows").cast("double") / col("n_distinct").cast("double"))
+              * lit(1e6) + lit(0.5d)) / lit(1e6)).as("skew_ratio"))
+      }
+      profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1999,6 +2071,73 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q148_rfm" ->
+      """WITH byc AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      DATE '1998-12-31') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT *,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+        |      AS m_score
+        |  FROM byc)
+        |SELECT o_custkey, recency_days, frequency, cents,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s""".stripMargin,
+
+    // integer cross-multiply classification: cum/total <= 0.80 is
+    // cum*100 <= total*80 — no ratio float ever materializes
+    "q149_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev),
+        |c AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN cum_cents * 100 <= t.total_cents * 80 THEN 'A'
+        |    WHEN cum_cents * 100 <= t.total_cents * 95 THEN 'B'
+        |    ELSE 'C' END AS abc_class, cents
+        |  FROM c, t)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents
+        |FROM cls GROUP BY abc_class""".stripMargin,
+
+    "q150_skew_profile" ->
+      """WITH p1 AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(n) AS BIGINT) AS max_freq
+        |  FROM (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)),
+        |p2 AS (
+        |  SELECT 'l_partkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(max(n) AS BIGINT)
+        |  FROM (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1)),
+        |p3 AS (
+        |  SELECT 'l_suppkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(max(n) AS BIGINT)
+        |  FROM (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT col_name, n_rows, n_distinct, max_freq,
+        |  floor(CAST(max_freq AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / CAST(n_distinct AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS skew_ratio
+        |FROM u""".stripMargin,
 
     // q86's pair CTEs + the q37 recursive-component replay, over name
     // strings directly (lexicographic min = the Spark side's min-nid)
