@@ -667,6 +667,70 @@ object SparkEntry {
         .unionByName(profile("l_suppkey"))
     }),
 
+    // Benford first-digit audit: observed leading-digit distribution of
+    // order totals vs the Benford expectation — the classic fabricated-
+    // data forensic. Digit extraction is pure integer math (value scaled
+    // to cents, leading digit via repeated division); the deviation is
+    // |observed - expected| on the 6dp grid.
+    "q151_benford" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100d + 0.5d).cast("long")
+      // leading decimal digit of a positive integer via its decimal
+      // string — exact, branch-free (a nested division chain would
+      // triple the expression tree per level), same form as the oracle
+      val lead = substring(cents.cast("string"), 1, 1).cast("long")
+      val digits = t(s, dir, "orders").filter(cents > 0L)
+        .groupBy(lead.as("digit")).agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("n_total"))
+      // Benford P(d) = log10(1 + 1/d), as exact literals (9 constants)
+      val benford = typedLit((1 to 9).map(d =>
+        d.toLong -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6).toMap)
+      digits.crossJoin(broadcast(total))
+        .withColumn("observed",
+          floor(col("n").cast("double") / col("n_total").cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6))
+        .withColumn("expected", element_at(benford, col("digit")))
+        .withColumn("abs_dev",
+          floor(abs(col("observed") - col("expected")) * lit(1e6) + lit(0.5d))
+            / lit(1e6))
+        .drop("n_total")
+    }),
+
+    // Activity heatmap: events per (day-of-week, hour) cell with each
+    // cell's share of the total — the seasonality matrix. dow is 0-6
+    // Sunday-first on both engines (Spark dayofweek()-1, DuckDB dow).
+    "q152_activity_heatmap" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val total = cells.agg(sum(col("n")).as("n_total"))
+      cells.crossJoin(broadcast(total))
+        .withColumn("share",
+          floor(col("n").cast("double") / col("n_total").cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6))
+        .drop("n_total")
+    }),
+
+    // Sequence-integrity diagnostic: per user, events whose id runs
+    // BACKWARDS relative to time order (adjacent inversions) — the
+    // out-of-order-ingest monitor. The harness stream is perfectly
+    // ordered, so disorder is INJECTED deterministically (every
+    // id%101==0 event arrives 3 hours late — the q46/q134 injection
+    // pattern) and the monitor must count exactly what the oracle
+    // replays.
+    "q153_order_integrity" -> ((s, dir) => {
+      val delayed = t(s, dir, "events").withColumn("ts",
+        when(col("event_id") % 101L === 0L, col("ts") + expr("INTERVAL 3 HOURS"))
+          .otherwise(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      delayed
+        .withColumn("__prev_id", lag(col("event_id"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("__prev_id").isNotNull && col("event_id") < col("__prev_id"),
+            1L).otherwise(0L)).as("n_inversions"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2071,6 +2135,58 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the 9 expected shares are the SAME Scala-computed 6dp constants
+    // the Spark side carries as a literal map (no cross-engine log10)
+    "q151_benford" ->
+      ("""WITH cents AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM cents),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |b(digit, expected) AS (VALUES """.stripMargin +
+        (1 to 9).map(dd => s"(${dd}, ${math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5) / 1e6})").mkString(", ") +
+        """)
+        |SELECT g.digit, g.n,
+        |  floor(CAST(g.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS observed,
+        |  CAST(b.expected AS DOUBLE) AS expected,
+        |  floor(abs(floor(CAST(g.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 - CAST(b.expected AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS abs_dev
+        |FROM g JOIN b ON g.digit = b.digit, t""".stripMargin),
+
+    "q152_activity_heatmap" ->
+      """WITH cells AS (
+        |  SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+        |SELECT dow, hr, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(t.n_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS share
+        |FROM cells, t""".stripMargin,
+
+    // same 3-hour late-arrival injection, same adjacent-inversion count
+    "q153_order_integrity" ->
+      """WITH delayed AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 101 = 0 THEN ts + INTERVAL 3 HOUR ELSE ts END
+        |      AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_id
+        |  FROM delayed)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions
+        |FROM l GROUP BY user_id""".stripMargin,
 
     "q148_rfm" ->
       """WITH byc AS (
