@@ -731,6 +731,84 @@ object SparkEntry {
             1L).otherwise(0L)).as("n_inversions"))
     }),
 
+    // Welch's t statistic between two segments (the A/B-test readout):
+    // moments from EXACT cents sums, the statistic derived in one fixed
+    // IEEE sequence, 6dp grid. Degrees of freedom omitted deliberately
+    // (Welch-Satterthwaite adds nothing to the engine surface).
+    "q154_ab_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("grp",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+            .otherwise("routine"))
+        .withColumn("c", floor(col("o_totalprice") * 100d + 0.5d).cast("long"))
+      val m = o.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          // c*c fits Int64 per row; the cross-row SUM does not at scale
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      val a = m.filter(col("grp") === "urgent")
+        .select(col("n").as("n1"), col("s").as("s1"), col("s2").as("q1"))
+      val b = m.filter(col("grp") === "routine")
+        .select(col("n").as("n2"), col("s").as("s2v"), col("s2").as("q2"))
+      def mean(sc: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        sc.cast("double") / n.cast("double")
+      def svar(q: org.apache.spark.sql.Column, sc: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column) =
+        (q.cast("double") - sc.cast("double") * sc.cast("double") / n.cast("double")) /
+          (n.cast("double") - 1d)
+      a.crossJoin(b).select(
+        col("n1"), col("n2"),
+        (floor(mean(col("s1"), col("n1")) / 100d * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("mean_urgent"),
+        (floor(mean(col("s2v"), col("n2")) / 100d * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("mean_routine"),
+        (floor((mean(col("s1"), col("n1")) - mean(col("s2v"), col("n2")))
+          / sqrt(svar(col("q1"), col("s1"), col("n1")) / col("n1").cast("double")
+            + svar(col("q2"), col("s2v"), col("n2")) / col("n2").cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("t_stat"))
+    }),
+
+    // Chi-square independence of order status x priority: expected
+    // counts from exact integer margins; per-cell terms snap to the 6dp
+    // grid as SCALED BIGINTs so the cross-cell sum is order-free.
+    "q155_chi_square" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("r"), col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("n"))
+      val rm = cells.groupBy(col("r")).agg(sum(col("n")).as("nr"))
+      val pm = cells.groupBy(col("p")).agg(sum(col("n")).as("np"))
+      val tot = cells.agg(sum(col("n")).as("nt"))
+      val e = col("nr").cast("double") * col("np").cast("double") /
+        col("nt").cast("double")
+      val term6 = floor((col("n").cast("double") - e) * (col("n").cast("double") - e)
+        / e * lit(1e6) + lit(0.5d)).cast("long")
+      cells.join(broadcast(rm), Seq("r")).join(broadcast(pm), Seq("p"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t6", term6)
+        .agg(count(lit(1)).as("n_cells"),
+          (sum(col("t6")).cast("double") / lit(1e6)).as("chi2"))
+    }),
+
+    // Gini coefficient of customer revenue (inequality of spend):
+    // exact-cents totals, the rank-weighted closed form
+    // G = (2*sum(i*x_i) / (n*sum(x)) - (n+1)/n) over the ascending sort.
+    // The rank window runs over the customer-aggregated frame
+    // (dimension-sized; q148's documented approx swap applies).
+    "q156_gini" -> ((s, dir) => {
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("c"))
+      val ranked = byCust.withColumn("i",
+        row_number().over(Window.orderBy(col("c").asc, col("o_custkey").asc))
+          .cast("long"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+          sum((col("i") * col("c")).cast("decimal(38,0)")).as("sum_ic"))
+        .select(col("n"),
+          (floor((lit(2d) * col("sum_ic").cast("double")
+            / (col("n").cast("double") * col("sum_c").cast("double"))
+            - (col("n").cast("double") + 1d) / col("n").cast("double"))
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("gini"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2135,6 +2213,77 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q154_ab_test" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'urgent' ELSE 'routine' END AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    sum(CAST(c AS HUGEINT) * c) AS q
+        |  FROM o GROUP BY grp),
+        |a AS (SELECT n AS n1, s AS s1, q AS q1 FROM m WHERE grp = 'urgent'),
+        |b AS (SELECT n AS n2, s AS s2v, q AS q2 FROM m WHERE grp = 'routine')
+        |SELECT n1, n2,
+        |  floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 * 1e6 + 0.5) / 1e6
+        |    AS mean_urgent,
+        |  floor(CAST(s2v AS DOUBLE) / CAST(n2 AS DOUBLE) / 100 * 1e6 + 0.5) / 1e6
+        |    AS mean_routine,
+        |  floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2v AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+        |        / CAST(n1 AS DOUBLE)
+        |      + ((CAST(q2 AS DOUBLE) - CAST(s2v AS DOUBLE) * CAST(s2v AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1))
+        |        / CAST(n2 AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS t_stat
+        |FROM a, b""".stripMargin,
+
+    "q155_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS r, o_orderpriority AS p,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY r),
+        |pm AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY p),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |terms AS (
+        |  SELECT CAST(floor(
+        |      (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(np AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(np AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      / (CAST(nr AS DOUBLE) * CAST(np AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM cells JOIN rm USING (r) JOIN pm USING (p), tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(t6) AS DOUBLE) / 1e6 AS chi2
+        |FROM terms""".stripMargin,
+
+    "q156_gini" ->
+      """WITH byc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c ASC, o_custkey ASC)
+        |    AS BIGINT) AS i
+        |  FROM byc),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_c,
+        |    sum(CAST(i AS HUGEINT) * c) AS sum_ic
+        |  FROM r)
+        |SELECT n,
+        |  floor((2 * CAST(sum_ic AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(sum_c AS DOUBLE))
+        |      - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS gini
+        |FROM g""".stripMargin,
 
     // the 9 expected shares are the SAME Scala-computed 6dp constants
     // the Spark side carries as a literal map (no cross-engine log10)
