@@ -1932,7 +1932,9 @@ object SparkEntry {
     "q119_resample_ffill" ->
       """WITH daily AS (
         |  SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS daily_total
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+        |      AS daily_total
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT key, min(day) AS mind, max(day) AS maxd FROM daily GROUP BY key),
         |grid AS (

@@ -266,34 +266,67 @@ object IncrementalLoad {
       } finally fs.delete(stage, true)
     }
 
+    // Three-valued logic matters in a DELETE: a NULL predicate must mean
+    // KEEP (SQL DELETE semantics), never silent loss — filter(!p) alone
+    // would drop NULL-predicate rows without counting them.
+    val delCond = coalesce(predicate, lit(false))
+
     if (partCols.isEmpty) {
-      val df = spark.read.parquet(path)
-      val nDel = df.filter(predicate).count()
-      if (nDel == 0) return (0L, 0L)
-      val keep = df.filter(!predicate)
-      val keepAny = !keep.isEmpty
-      swapIn(target, p => keep.write.parquet(p.toString), keepAny)
-      if (!keepAny) fs.mkdirs(target) // empty table, not a missing one
-      (1L, nDel)
+      val df = spark.read.parquet(path).persist()
+      try {
+        val nDel = df.filter(delCond).count()
+        if (nDel == 0) return (0L, 0L)
+        val keep = df.filter(!delCond)
+        val keepAny = !keep.isEmpty
+        swapIn(target, p => keep.write.parquet(p.toString), keepAny)
+        // a readable empty table, not a bare directory (parquet needs at
+        // least one footer to infer the schema on the next read)
+        if (!keepAny)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            df.schema).repartition(1).write.parquet(target.toString)
+        (1L, nDel)
+      } finally df.unpersist()
     } else {
       val df = spark.read.parquet(path)
-      val affected = df.filter(predicate)
+      val affected = df.filter(delCond)
         .select(partCols.map(col): _*).distinct().collect()
+      // Validate EVERY affected partition directory up front — a
+      // mid-loop failure would leave a partial delete. NULL or
+      // escape-needing partition values use Hive's encoded dir names,
+      // which this reconstruction does not produce: fail fast BEFORE
+      // any swap rather than crash after some.
+      val dirs = affected.map { row =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          val v = row.get(i)
+          require(v != null, s"deleteWhere: NULL partition value for '$c' " +
+            "(Hive default-partition dirs are not supported)")
+          val sv = v.toString
+          require(sv.matches("[A-Za-z0-9._-]+"),
+            s"deleteWhere: partition value '$sv' needs Hive escaping — unsupported")
+          s"$c=$sv"
+        }.mkString("/")
+      }
+      dirs.foreach { d =>
+        require(fs.exists(new HPath(target, d)),
+          s"deleteWhere: expected partition dir $d not found under $path")
+      }
       var deleted = 0L
-      affected.foreach { row =>
-        val dir = partCols.zipWithIndex
-          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+      affected.zip(dirs).foreach { case (row, dir) =>
         val pdir = new HPath(target, dir)
-        val pdf = spark.read.parquet(pdir.toString)
-        // partition values live in the dir name, not the files: re-add
-        // them as literals so the predicate can reference them
-        val withParts = partCols.zipWithIndex.foldLeft(pdf) {
-          case (d, (c, i)) => d.withColumn(c, lit(row.get(i)))
-        }
-        deleted += withParts.filter(predicate).count()
-        val keep = withParts.filter(!predicate).drop(partCols: _*)
-        val keepAny = !keep.isEmpty
-        swapIn(pdir, p => keep.write.parquet(p.toString), keepAny)
+        // one disk scan per partition: cache, then count/filter/write
+        // from the cached frame
+        val pdf = spark.read.parquet(pdir.toString).persist()
+        try {
+          // partition values live in the dir name, not the files: re-add
+          // them as literals so the predicate can reference them
+          val withParts = partCols.zipWithIndex.foldLeft(pdf: DataFrame) {
+            case (d, (c, i)) => d.withColumn(c, lit(row.get(i)))
+          }
+          deleted += withParts.filter(delCond).count()
+          val keep = withParts.filter(!delCond).drop(partCols: _*)
+          val keepAny = !keep.isEmpty
+          swapIn(pdir, p => keep.write.parquet(p.toString), keepAny)
+        } finally pdf.unpersist()
       }
       (affected.length.toLong, deleted)
     }

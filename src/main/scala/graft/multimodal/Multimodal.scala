@@ -365,6 +365,10 @@ object Multimodal {
       require(hdrSize >= 40)
       val w = bb.getInt; val h = bb.getInt
       require(w > 0 && h > 0 && w <= 65536 && h <= 65536)
+      // the cross-multiply below needs blockSum * nTotal <= 765 * n² to
+      // fit Int64: cap pixels at 2^24 (765 * 2^48 ≈ 2.1e17 < 2^63)
+      require(w.toLong * h <= (1L << 24),
+        s"bmpAHash: image $w x $h exceeds the 16M-pixel exact-arithmetic bound")
       require(bb.getShort == 1 && bb.getShort == 24 && bb.getInt == 0)
       val stride = (w * 3 + 3) & ~3
       require(pixelOffset >= 54 && pixelOffset.toLong + stride.toLong * h <= bytes.length)

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * to ~10^4 rows — still bounded; cap spans upstream if the axis is
   * user-supplied.
   *
-  * Doubles follow the repo convention: the daily SUM is rounded to the
-  * 1e-2 grid once, and the fill only COPIES that grid point — no further
-  * float arithmetic, so engines agree bit-for-bit.
+  * Doubles follow the repo convention: the daily total is an EXACT cents
+  * sum divided once (never an order-dependent double sum), and the fill
+  * only COPIES that value — no further float arithmetic, so engines
+  * agree bit-for-bit.
   */
 object Resample {
 
@@ -42,7 +43,13 @@ object Resample {
       .select(col(keyCol).as("key"), date_trunc("day", col(tsCol)).cast("date").as("day"),
         col(valueCol).as("v"))
       .groupBy(col("key"), col("day"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("v")), 2).as("daily_total"))
+      // exact-cents sum (the IncrementalAgg/TWAP discipline): a raw
+      // double sum is addition-order-dependent and can flip a .005
+      // boundary between engines; the single division of an exact
+      // integer cannot
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("v").cast("double") * 100d + 0.5d).cast("long"))
+          .cast("double") / 100d).as("daily_total"))
     val grid = daily
       .groupBy(col("key"))
       .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))

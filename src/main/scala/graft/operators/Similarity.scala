@@ -322,8 +322,7 @@ object Similarity {
       .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("s"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        x => x.getField("s")).as("cv"),
-        count(lit(1)).as("dim"))
+        x => x.getField("s")).as("cv"))
     val dotQC = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
     val n2q = aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)

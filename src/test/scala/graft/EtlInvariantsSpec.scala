@@ -214,13 +214,28 @@ class EtlInvariantsSpec extends SparkSpec {
     assert(IncrementalLoad.deleteWhere(spark, target, $"who" === "nobody") == (0L, 0L))
   }
 
-  test("deleteWhere on an unpartitioned table: full rewrite, empty survives") {
+  test("deleteWhere on an unpartitioned table: full rewrite, empty stays readable") {
     val target = s"${tmpDir("delwu")}/t"
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(target)
     assert(IncrementalLoad.deleteWhere(spark, target, $"v" === "x") == (1L, 1L))
     assert(spark.read.parquet(target).select("id").as[Long].collect().toSeq == Seq(2L))
     assert(IncrementalLoad.deleteWhere(spark, target, lit(true)) == (1L, 1L))
-    assert(new java.io.File(target).exists(), "empty table, not a missing one")
+    // an EMPTY table must remain a readable parquet table (schema
+    // footer present), not a bare directory the next read crashes on
+    val after = spark.read.parquet(target)
+    assert(after.count() == 0 && after.columns.toSeq == Seq("id", "v"))
+    assert(IncrementalLoad.deleteWhere(spark, target, lit(true)) == (0L, 0L))
+  }
+
+  test("deleteWhere: NULL predicate means KEEP, and is never silent loss") {
+    val target = s"${tmpDir("delwn")}/t"
+    Seq((1L, Some("alice")), (2L, None), (3L, Some("bob")))
+      .toDF("id", "who").write.parquet(target)
+    // predicate is NULL for id=2: SQL DELETE semantics keep that row
+    val (p, d) = IncrementalLoad.deleteWhere(spark, target, $"who" === "alice")
+    assert((p, d) == (1L, 1L))
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L), "NULL-predicate row kept, not silently dropped")
   }
 
   test("invariant 4: atomic publish — failure leaves published tree untouched") {
