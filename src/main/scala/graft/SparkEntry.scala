@@ -809,6 +809,26 @@ object SparkEntry {
             * lit(1e6) + lit(0.5d)) / lit(1e6)).as("gini"))
     }),
 
+    // Acoustic energy-delta fingerprint from REAL WAV decode: 32 frame
+    // energies (exact s² sums), bit j = energy rose into frame j. The
+    // oracle replays the waveform formula — agreement proves decoder +
+    // fingerprint, the q140 pattern for audio.
+    "q157_audio_fingerprint" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeWavTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.wavFingerprint(media, frames = 32)
+    }),
+
+    // Audio near-dup pairs: banded fingerprint LSH + exact Hamming —
+    // near-dup now covered across ALL modalities (text q31/q33, embedding
+    // q34, image q141, audio here) with one candidate discipline.
+    "q158_audio_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeWavTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.wavNearDupPairs(media, frames = 32, bands = 4,
+        maxHamming = 1)
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2215,6 +2235,63 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // sawtooth formula -> exact s² frame energies -> delta bits
+    "q157_audio_fingerprint" ->
+      """WITH params AS (
+        |  SELECT doc_id, 800 + (doc_id % 10) * 160 AS n, 3 + (doc_id % 8) AS f
+        |  FROM documents),
+        |samples AS (
+        |  SELECT p.doc_id, p.n, t.i,
+        |    ((t.i * p.f * 997) % 16000) * 4 - 32000 AS s
+        |  FROM params p, LATERAL (SELECT unnest(range(0, p.n)) AS i) t),
+        |en AS (
+        |  SELECT doc_id, n, (i * 32) // n AS j,
+        |    CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+        |  FROM samples GROUP BY doc_id, n, (i * 32) // n),
+        |lagged AS (
+        |  SELECT doc_id, n, j, e, lag(e) OVER (PARTITION BY doc_id ORDER BY j)
+        |    AS pe
+        |  FROM en)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(coalesce(sum(CASE WHEN pe IS NOT NULL AND e > pe
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END), 0) AS BIGINT)
+        |    AS fp
+        |FROM lagged GROUP BY doc_id, n""".stripMargin,
+
+    // same fingerprints, 8-bit bands, hamming <= 1 verify
+    "q158_audio_neardup" ->
+      """WITH params AS (
+        |  SELECT doc_id, 800 + (doc_id % 10) * 160 AS n, 3 + (doc_id % 8) AS f
+        |  FROM documents),
+        |samples AS (
+        |  SELECT p.doc_id, p.n, t.i,
+        |    ((t.i * p.f * 997) % 16000) * 4 - 32000 AS s
+        |  FROM params p, LATERAL (SELECT unnest(range(0, p.n)) AS i) t),
+        |en AS (
+        |  SELECT doc_id, n, (i * 32) // n AS j,
+        |    CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+        |  FROM samples GROUP BY doc_id, n, (i * 32) // n),
+        |lagged AS (
+        |  SELECT doc_id, j, e, lag(e) OVER (PARTITION BY doc_id ORDER BY j) AS pe
+        |  FROM en),
+        |fps AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(coalesce(sum(CASE WHEN pe IS NOT NULL AND e > pe
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END), 0) AS BIGINT)
+        |      AS fp
+        |  FROM lagged GROUP BY doc_id),
+        |banded AS (
+        |  SELECT media_id, fp, t.i AS band,
+        |    (fp >> CAST(t.i * 8 AS INT)) & 255 AS v
+        |  FROM fps, LATERAL (SELECT unnest(range(0, 4)) AS i) t),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.fp AS fa, b.fp AS fb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 1""".stripMargin,
 
     "q154_ab_test" ->
       """WITH o AS (

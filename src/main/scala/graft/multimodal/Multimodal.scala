@@ -326,6 +326,72 @@ object Multimodal {
       (w, h, sumR, sumG, sumB)
     }.toOption
 
+  final case class WavFingerprint(media_id: Long, n_samples: Long, fp: Long)
+
+  /** Acoustic energy-delta fingerprint from REAL WAV decode (the
+    * Shazam/Chromaprint family, radically simplified): the sample stream
+    * is cut into `frames` equal slices (integer boundaries
+    * `j = i*frames/n`), each slice's energy is the exact Int64 sum of
+    * s², and bit j (j >= 1) of the fingerprint is set iff energy rose
+    * from slice j-1 to slice j. Pure integer comparisons — engine-exact,
+    * pitch- and length-normalized by construction (the frame grid scales
+    * with the clip).
+    *
+    * Scale: scan-side mapPartitions decode — blobs never shuffle; one
+    * (id, 2 longs) row per clip. */
+  def wavFingerprint(media: DataFrame, frames: Int = 32): DataFrame = {
+    require(frames >= 2 && frames <= 63, s"frames must fit a long, got $frames")
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseWavPcm16(bytes).map { case (_, samples) =>
+          val n = samples.length
+          val energy = new Array[Long](frames)
+          var i = 0
+          while (i < n) {
+            val s = samples(i).toLong
+            energy((i.toLong * frames / n).toInt) += s * s
+            i += 1
+          }
+          var fp = 0L
+          var j = 1
+          while (j < frames) {
+            if (energy(j) > energy(j - 1)) fp |= 1L << j
+            j += 1
+          }
+          WavFingerprint(id, n.toLong, fp)
+        }
+      }
+    }(Encoders.product[WavFingerprint]).toDF()
+  }
+
+  /** Audio near-duplicate pairs: the fingerprint splits into `bands`
+    * contiguous bit-bands; clips sharing any band value become
+    * candidates (constant fan-out, (band, value)-keyed shuffle — the
+    * same discipline as text MinHash and image aHash), then exact
+    * Hamming distance verifies. */
+  def wavNearDupPairs(media: DataFrame, frames: Int = 32, bands: Int = 4,
+                      maxHamming: Int = 2): DataFrame = {
+    require(frames % bands == 0, "bands must divide frames")
+    val bandBits = frames / bands
+    val hashes = wavFingerprint(media, frames)
+    val banded = hashes.select(col("media_id"), col("fp"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"i -> struct(i AS band, shiftright(fp, i * $bandBits)" +
+          s" & ${(1L << bandBits) - 1} AS v))")).as("b"))
+      .select(col("media_id"), col("fp"), col("b.band"), col("b.v"))
+    val a = banded.select(col("band"), col("v"),
+      col("media_id").as("id_a"), col("fp").as("fa"))
+    val b = banded.select(col("band"), col("v"),
+      col("media_id").as("id_b"), col("fp").as("fb"))
+    a.join(b, Seq("band", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb")).distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   final case class BmpAHash(media_id: Long, width: Int, height: Int, ahash: Long)
 
   /** Perceptual average-hash over decoded BMP pixels: the image is cut

@@ -156,6 +156,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) || hashes(1L) == hashes(3L))
   }
 
+  test("audio fingerprint: identical clips pair, corrupt blobs quarantined") {
+    val twinA = Multimodal.synthesizeWav(1600, 5)
+    val twinB = Multimodal.synthesizeWav(1600, 5)
+    val other = Multimodal.synthesizeWav(1600, 9)
+    val media = Seq((1L, twinA), (2L, twinB), (3L, other),
+      (4L, "not a wav".getBytes)).toDF("media_id", "blob")
+    val fps = Multimodal.wavFingerprint(media, frames = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L), "corrupt blob quarantined")
+    assert(fps(1L) == fps(2L), "identical clips fingerprint equal")
+    val pairs = Multimodal.wavNearDupPairs(media, frames = 32, bands = 4,
+      maxHamming = 0).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "twin pair found through the bands")
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)
