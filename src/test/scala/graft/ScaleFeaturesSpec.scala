@@ -274,4 +274,21 @@ class ScaleFeaturesSpec extends SparkSpec {
       s"bucketed join must not shuffle on the bucket key:\n$plan")
     assert(joined.count() == 5)
   }
+
+  test("zero-shuffle claims hold in the physical plan (chunking, fingerprints)") {
+    import graft.operators.SequencePack
+    val docs = Tables.load(spark, sf(), "documents")
+    // chunkSliding: scan -> projections only, NO Exchange anywhere
+    val chunks = SequencePack.chunkSliding(docs, "text", "doc_id", 64, 48)
+    val p1 = chunks.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"chunkSliding must be scan-side only:\n$p1")
+    // media fingerprints: the decode/hash stage itself carries no
+    // Exchange (synthesis + decode are adjacent mapPartitions)
+    val media = graft.multimodal.Multimodal
+      .synthesizeBmpTable(docs.select("doc_id"), "doc_id")
+    val hashes = graft.multimodal.Multimodal.bmpAHash(media, grid = 4)
+    val p2 = hashes.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"bmpAHash must not shuffle blobs:\n$p2")
+    assert(chunks.count() > 0 && hashes.count() > 0)
+  }
 }
