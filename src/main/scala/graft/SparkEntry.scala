@@ -829,6 +829,45 @@ object SparkEntry {
         maxHamming = 1)
     }),
 
+    // Corpus health dashboard: the per-source report a data team
+    // publishes after every crawl — volume, quality-rule pass rate,
+    // mean repetition, token budget — ALL scan-side per-row expressions
+    // (q44's rules + the codegen'd top-gram kernel + token counts)
+    // feeding ONE map-side-combined aggregation on source. Per-doc
+    // ratios snap to scaled-BIGINT grid points before summation, so the
+    // cross-doc means are order-free.
+    "q159_corpus_health" -> ((s, dir) => {
+      val text = col("text")
+      val words = split(text, " ", -1)
+      val nWords = size(words).cast("long")
+      val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
+      val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
+        (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
+      val symRatio = round(symbols / nWords, 6)
+      val segs = split(text, "\\. ", -1)
+      val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
+        size(segs), 6)
+      val pass = nWords.between(50, 100000) && mwl.between(3, 10) &&
+        symRatio < 0.1 && dupSegRatio < 0.3
+      val st = graft.expressions.ShingleExpr.topGramStats(text, 2)
+      // per-doc top-bigram share on the 1e6 grid as a BIGINT (exact sum)
+      val share6 = when(nWords >= 2,
+        floor(st.getItem(1).cast("double") / st.getItem(0) * lit(1e6) + lit(0.5d))
+          .cast("long"))
+      t(s, dir, "documents")
+        .select(col("source"), nWords.as("nw"), pass.as("ok"), share6.as("s6"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_tokens"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality_pass"),
+          (floor(sum(when(col("ok"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double") * lit(1e6) + lit(0.5d)) / lit(1e6))
+            .as("quality_rate"),
+          (floor(sum(col("s6")).cast("double") / count(col("s6")).cast("double")
+            + lit(0.5d)) / lit(1e6)).as("mean_top_share"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2235,6 +2274,44 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q44's rules + q47's top-bigram CTEs, aggregated per source; the
+    // per-doc share lands on the 1e6 grid as a BIGINT before summation
+    "q159_corpus_health" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |           / len(string_split(text, ' ')), 6) BETWEEN 3 AND 10
+        |     AND round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |            + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+        |              / 3)
+        |           / len(string_split(text, ' ')), 6) < 0.1
+        |     AND round(CAST(len(string_split(text, '. '))
+        |            - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+        |           / len(string_split(text, '. ')), 6) < 0.3) AS ok
+        |  FROM docs),
+        |bg AS (
+        |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM docs) d,
+        |       LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t
+        |  WHERE len(d.toks) >= 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(max(c) AS DOUBLE) / sum(c) * 1e6 + 0.5) AS BIGINT) AS s6
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |j AS (SELECT b.source, b.nw, b.ok, sh.s6
+        |      FROM base b LEFT JOIN sh USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+        |  floor(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    * 1e6 + 0.5) / 1e6 AS quality_rate,
+        |  floor(CAST(sum(s6) AS DOUBLE) / count(s6) + 0.5) / 1e6 AS mean_top_share
+        |FROM j GROUP BY source""".stripMargin,
 
     // sawtooth formula -> exact s² frame energies -> delta bits
     "q157_audio_fingerprint" ->
