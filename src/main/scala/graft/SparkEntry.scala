@@ -868,6 +868,33 @@ object SparkEntry {
             + lit(0.5d)) / lit(1e6)).as("mean_top_share"))
     }),
 
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent click within the 7-day window (else organic). ONE running
+    // window carries the last click time forward — no self-join, no
+    // as-of shuffle beyond the user key; the per-user ordered pass is
+    // the q131/q135 plan family.
+    "q160_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastClickUs = max(when(col("event_type") === "click",
+        unix_micros(col("ts")))).over(w)
+      t(s, dir, "events")
+        .withColumn("__lc", lastClickUs)
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_us", unix_micros(col("ts")) - col("__lc"))
+        .withColumn("attributed",
+          col("gap_us").isNotNull && col("gap_us") <= 7L * 86400L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+          (floor(sum(when(col("attributed"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double") * lit(1e6) + lit(0.5d)) / lit(1e6))
+            .as("attribution_rate"),
+          min(when(col("attributed"), col("gap_us"))).as("min_gap_us"),
+          max(when(col("attributed"), col("gap_us"))).as("max_gap_us"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2274,6 +2301,28 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // a purchase at the exact click instant counts (gap 0, inclusive);
+    // clicks strictly after the purchase never visible (running window)
+    "q160_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tsu - lc AS gap_us,
+        |    (lc IS NOT NULL AND tsu - lc <= 604800000000) AS attributed
+        |  FROM s WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  floor(CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS attribution_rate,
+        |  CAST(min(CASE WHEN attributed THEN gap_us END) AS BIGINT) AS min_gap_us,
+        |  CAST(max(CASE WHEN attributed THEN gap_us END) AS BIGINT) AS max_gap_us
+        |FROM p GROUP BY user_id""".stripMargin,
 
     // q44's rules + q47's top-bigram CTEs, aggregated per source; the
     // per-doc share lands on the 1e6 grid as a BIGINT before summation

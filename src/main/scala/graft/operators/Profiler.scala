@@ -163,11 +163,19 @@ object Profiler {
     * is series x days rows, independent of event volume; the window sorts
     * per series on that tiny frame. */
   def dailyAnomalies(events: DataFrame, seriesCol: String, tsCol: String,
-                     windowDays: Int = 7, threshold: Double = 2.0): DataFrame = {
-    val daily = events
+                     windowDays: Int = 7, threshold: Double = 2.0): DataFrame =
+    anomaliesFromDaily(events
       .select(col(seriesCol).as("series"),
         date_trunc("day", col(tsCol)).cast("date").as("day"))
-      .groupBy(col("series"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("series"), col("day")).agg(count(lit(1)).as("n")),
+      windowDays, threshold)
+
+  /** The scoring pass alone, over an ALREADY-MAINTAINED (series, day, n)
+    * frame — the shape an incrementally-kept rollup (IncrementalAgg /
+    * a streaming foreachBatch state) feeds directly: anomaly detection
+    * over 100 TB of history without rescanning it. */
+  def anomaliesFromDaily(daily: DataFrame,
+                         windowDays: Int, threshold: Double): DataFrame = {
     val w = Window.partitionBy(col("series")).orderBy(col("day"))
       .rowsBetween(-(windowDays - 1), Window.currentRow)
     val s = sum(col("n")).over(w)

@@ -174,6 +174,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 5, "replay appended nothing")
   }
 
+  test("anomaly scoring over streamed-maintained daily counts equals batch") {
+    // the monitoring loop at scale: micro-batches maintain (series, day)
+    // counts incrementally; the z-score pass runs over the SMALL
+    // maintained state — and must equal dailyAnomalies over raw history
+    import graft.operators.Profiler
+    val events = Tables.load(spark, sf(), "events")
+    val src = tmpDir("graft-anom-src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val base = tmpDir("graft-anom-state")
+    val q = EventStreams.readEventStream(spark, src, schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       bid: Long) =>
+        val part = batch
+          .select(col("event_type").as("series"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .groupBy("series", "day").agg(count(lit(1)).as("n"))
+        val prev = new java.io.File(s"$base/v${bid - 1}")
+        val merged = if (prev.exists())
+          spark.read.parquet(prev.toString).unionByName(part)
+            .groupBy("series", "day").agg(sum("n").as("n"))
+        else part
+        merged.write.mode("overwrite").parquet(s"$base/v$bid")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-anom-ckpt"))
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    val last = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toInt).max
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("series", "day").collect().map(_.toSeq).toSeq
+    val streamed = Profiler.anomaliesFromDaily(
+      spark.read.parquet(s"$base/v$last"), windowDays = 7, threshold = 2.0)
+    val batchForm = Profiler.dailyAnomalies(events, "event_type", "ts",
+      windowDays = 7, threshold = 2.0)
+    assert(canon(streamed).nonEmpty && canon(streamed) == canon(batchForm))
+  }
+
   test("streaming incremental rollup maintenance equals the full recompute") {
     // the q130 operator driven as a stream: each micro-batch folds its
     // partials into a versioned rollup state; after the stream drains,
