@@ -837,25 +837,14 @@ object SparkEntry {
     // ratios snap to scaled-BIGINT grid points before summation, so the
     // cross-doc means are order-free.
     "q159_corpus_health" -> ((s, dir) => {
-      val text = col("text")
-      val words = split(text, " ", -1)
-      val nWords = size(words).cast("long")
-      val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
-      val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
-        (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
-      val symRatio = round(symbols / nWords, 6)
-      val segs = split(text, "\\. ", -1)
-      val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
-        size(segs), 6)
-      val pass = nWords.between(50, 100000) && mwl.between(3, 10) &&
-        symRatio < 0.1 && dupSegRatio < 0.3
-      val st = graft.expressions.ShingleExpr.topGramStats(text, 2)
+      val g = TextAnalysis.gopherRules(col("text"))
+      val st = graft.expressions.ShingleExpr.topGramStats(col("text"), 2)
       // per-doc top-bigram share on the 1e6 grid as a BIGINT (exact sum)
-      val share6 = when(nWords >= 2,
+      val share6 = when(g.nWords >= 2,
         floor(st.getItem(1).cast("double") / st.getItem(0) * lit(1e6) + lit(0.5d))
           .cast("long"))
       t(s, dir, "documents")
-        .select(col("source"), nWords.as("nw"), pass.as("ok"), share6.as("s6"))
+        .select(col("source"), g.nWords.as("nw"), g.pass.as("ok"), share6.as("s6"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1637,21 +1626,11 @@ object SparkEntry {
     }),
 
     "q44_quality_rules" -> ((s, dir) => {
-      val text = col("text")
-      val words = split(text, " ", -1)
-      val nWords = size(words).cast("long")
-      val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
-      val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
-        (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
-      val symRatio = round(symbols / nWords, 6)
-      val segs = split(text, "\\. ", -1)
-      val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
-        size(segs), 6)
+      val g = TextAnalysis.gopherRules(col("text"))
       t(s, dir, "documents").select(col("doc_id"),
-        nWords.as("n_words"), mwl.as("mean_word_len"),
-        symRatio.as("symbol_ratio"), dupSegRatio.as("dup_seg_ratio"),
-        (nWords.between(50, 100000) && mwl.between(3, 10) &&
-          symRatio < 0.1 && dupSegRatio < 0.3).as("quality_pass"))
+        g.nWords.as("n_words"), g.meanWordLen.as("mean_word_len"),
+        g.symbolRatio.as("symbol_ratio"), g.dupSegRatio.as("dup_seg_ratio"),
+        g.pass.as("quality_pass"))
     }),
 
     // Repetition filter (the Gopher top-n-gram-fraction rule): share of

@@ -136,4 +136,27 @@ object TextAnalysis {
           i => norm.substr(i, lit(n))))
         .otherwise(array(norm)))
   }
+
+  /** The Gopher-style quality-rule column family — ONE definition shared
+    * by the quality query (q44), the attrition funnel, and the corpus
+    * health dashboard, so a threshold tweak can never desynchronize the
+    * report from the filter it describes. */
+  final case class GopherRules(nWords: Column, meanWordLen: Column,
+                               symbolRatio: Column, dupSegRatio: Column,
+                               pass: Column)
+
+  def gopherRules(text: Column): GopherRules = {
+    val words = split(text, " ", -1)
+    val nWords = size(words).cast("long")
+    val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
+    val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
+    val symRatio = round(symbols / nWords, 6)
+    val segs = split(text, "\\. ", -1)
+    val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
+      size(segs), 6)
+    GopherRules(nWords, mwl, symRatio, dupSegRatio,
+      nWords.between(50, 100000) && mwl.between(3, 10) &&
+        symRatio < 0.1 && dupSegRatio < 0.3)
+  }
 }

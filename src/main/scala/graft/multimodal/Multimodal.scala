@@ -366,30 +366,40 @@ object Multimodal {
     }(Encoders.product[WavFingerprint]).toDF()
   }
 
-  /** Audio near-duplicate pairs: the fingerprint splits into `bands`
-    * contiguous bit-bands; clips sharing any band value become
-    * candidates (constant fan-out, (band, value)-keyed shuffle — the
-    * same discipline as text MinHash and image aHash), then exact
-    * Hamming distance verifies. */
+  /** Shared banded-LSH Hamming pairing over any (media_id, <hash>)
+    * frame — ONE implementation of the candidate discipline behind both
+    * image (aHash) and audio (fingerprint) near-dup: explode to
+    * (band, value) keys (constant fan-out), self-join, dedup the
+    * candidate pairs, verify by exact bit_count. Kept LAZY (both join
+    * sides re-derive the hash scan; decode is cheap scan-side work) —
+    * callers that want one decode can persist the hash frame first. */
+  private def bandedHashPairs(hashes: DataFrame, hashCol: String,
+                              bands: Int, bandBits: Int,
+                              maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("media_id"), col(hashCol).as("__h"))
+      .select(col("media_id"), col("__h"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"i -> struct(i AS band, shiftright(__h, i * $bandBits)" +
+          s" & ${(1L << bandBits) - 1} AS v))")).as("b"))
+      .select(col("media_id"), col("__h"), col("b.band"), col("b.v"))
+    val a = banded.select(col("band"), col("v"),
+      col("media_id").as("id_a"), col("__h").as("ha"))
+    val b = banded.select(col("band"), col("v"),
+      col("media_id").as("id_b"), col("__h").as("hb"))
+    a.join(b, Seq("band", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Audio near-duplicate pairs: banded fingerprint LSH + exact Hamming
+    * verify (the [[bandedHashPairs]] discipline). */
   def wavNearDupPairs(media: DataFrame, frames: Int = 32, bands: Int = 4,
                       maxHamming: Int = 2): DataFrame = {
     require(frames % bands == 0, "bands must divide frames")
-    val bandBits = frames / bands
-    val hashes = wavFingerprint(media, frames)
-    val banded = hashes.select(col("media_id"), col("fp"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"i -> struct(i AS band, shiftright(fp, i * $bandBits)" +
-          s" & ${(1L << bandBits) - 1} AS v))")).as("b"))
-      .select(col("media_id"), col("fp"), col("b.band"), col("b.v"))
-    val a = banded.select(col("band"), col("v"),
-      col("media_id").as("id_a"), col("fp").as("fa"))
-    val b = banded.select(col("band"), col("v"),
-      col("media_id").as("id_b"), col("fp").as("fb"))
-    a.join(b, Seq("band", "v")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fa"), col("fb")).distinct()
-      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    bandedHashPairs(wavFingerprint(media, frames), "fp",
+      bands, frames / bands, maxHamming)
   }
 
   final case class BmpAHash(media_id: Long, width: Int, height: Int, ahash: Long)
@@ -467,31 +477,13 @@ object Multimodal {
 
   /** Image near-duplicate pairs by banded aHash LSH: the `grid²`-bit
     * hash splits into `grid` bands of `grid` bits; images sharing any
-    * band value become candidates (constant fan-out of `grid` rows per
-    * image, shuffled on the (band, value) key — the exact discipline of
-    * the text MinHash pipeline), then the exact Hamming distance
-    * verifies. With a 16-bit hash the band space is small and buckets
-    * run large — at a real corpus scale use grid=8 (64-bit hash,
-    * 8-bit bands) where buckets thin out exponentially. */
+    * band value become candidates, exact Hamming verifies (the
+    * [[bandedHashPairs]] discipline). With a 16-bit hash the band space
+    * is small and buckets run large — at a real corpus scale use grid=8
+    * (64-bit hash, 8-bit bands) where buckets thin out exponentially. */
   def bmpNearDupPairs(media: DataFrame, grid: Int = 4,
-                      maxHamming: Int = 2): DataFrame = {
-    val hashes = bmpAHash(media, grid)
-    val bandBits = grid
-    val banded = hashes.select(col("media_id"), col("ahash"),
-        explode(expr(s"transform(sequence(0, ${grid - 1}), " +
-          s"i -> struct(i AS band, shiftright(ahash, i * $bandBits)" +
-          s" & ${(1L << bandBits) - 1} AS v))")).as("b"))
-      .select(col("media_id"), col("ahash"), col("b.band"), col("b.v"))
-    val a = banded.select(col("band"), col("v"),
-      col("media_id").as("id_a"), col("ahash").as("ha"))
-    val b = banded.select(col("band"), col("v"),
-      col("media_id").as("id_b"), col("ahash").as("hb"))
-    a.join(b, Seq("band", "v")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+                      maxHamming: Int = 2): DataFrame =
+    bandedHashPairs(bmpAHash(media, grid), "ahash", grid, grid, maxHamming)
 
   /** Resize stage STUB: rewrites the metadata struct only (a real resize
     * would also rewrite `blob`); marks the row as stub-processed. */

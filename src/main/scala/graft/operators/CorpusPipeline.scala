@@ -72,17 +72,7 @@ object CorpusPipeline {
   def attritionReport(docs: DataFrame, textCol: String, idCol: String,
                       sourceCol: String, perSourceCap: Int): DataFrame = {
     val text = col(textCol)
-    val words = split(text, " ", -1)
-    val nWords = size(words).cast("long")
-    val mwl = round(length(regexp_replace(text, " ", "")).cast("double") / nWords, 6)
-    val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("double") +
-      (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3
-    val symRatio = round(symbols / nWords, 6)
-    val segs = split(text, "\\. ", -1)
-    val dupSegRatio = round((size(segs) - size(array_distinct(segs))).cast("double") /
-      size(segs), 6)
-    val f1 = nWords.between(50, 100000) && mwl.between(3, 10) &&
-      symRatio < 0.1 && dupSegRatio < 0.3
+    val f1 = TextAnalysis.gopherRules(text).pass
 
     val byDigest = Window.partitionBy(col("__h"))
     val bySource = Window.partitionBy(col(sourceCol))
