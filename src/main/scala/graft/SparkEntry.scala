@@ -884,6 +884,26 @@ object SparkEntry {
           max(when(col("attributed"), col("gap_us"))).as("max_gap_us"))
     }),
 
+    // Time-to-convert: per converting user, the first purchase AT OR
+    // AFTER their first view and the gap in whole seconds (exact µs
+    // integer math, floor division). Two user-keyed aggregates + one
+    // dimension-sized join — never a per-event self-join.
+    "q161_time_to_convert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      e.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("ts") >= col("first_view"))
+        .groupBy(col("user_id"))
+        // epoch-µs longs, not raw timestamps: the harness events carry
+        // ns precision that Tables.load truncates to Spark's µs domain
+        .agg(max(unix_micros(col("first_view"))).as("first_view_us"),
+          min(unix_micros(col("ts"))).as("first_purchase_us"))
+        .withColumn("gap_s", expr(
+          "(first_purchase_us - first_view_us) div 1000000"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2280,6 +2300,21 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100 * 1e6 + 0.5) / 1e6 AS avg_amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q161_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, fv.first_view, e.ts
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view)
+        |SELECT user_id,
+        |  CAST(max(epoch_us(first_view)) AS BIGINT) AS first_view_us,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_purchase_us,
+        |  (CAST(min(epoch_us(ts)) AS BIGINT)
+        |    - CAST(max(epoch_us(first_view)) AS BIGINT)) // 1000000 AS gap_s
+        |FROM p GROUP BY user_id""".stripMargin,
 
     // a purchase at the exact click instant counts (gap 0, inclusive);
     // clicks strictly after the purchase never visible (running window)
