@@ -544,8 +544,13 @@ object SparkEntry {
       val names = parts.select(col("p_name").as("name")).na.drop().distinct()
         .withColumn("nid",
           row_number().over(Window.orderBy(col("name"))).cast("long"))
+      // coalesce the block key to '': split(...).getItem(1) is NULL for
+      // single-token names and NULL join keys never match, whereas the
+      // oracle's split_part returns '' and still pairs them — latent with
+      // TPC-H p_name (always multi-word) but an engine-parity divergence
+      // on other inputs
       val pairs = EntityResolution.fuzzyPairs(parts, "p_name",
-        split(col("name"), " ").getItem(1), maxDist = 3)
+        coalesce(split(col("name"), " ").getItem(1), lit("")), maxDist = 3)
       val idPairs = pairs
         .join(names.select(col("name").as("name_a"), col("nid").as("id_a")), Seq("name_a"))
         .join(names.select(col("name").as("name_b"), col("nid").as("id_b")), Seq("name_b"))
@@ -565,17 +570,24 @@ object SparkEntry {
 
     // Period-over-period: monthly revenue with previous month and
     // growth ratio (bounded month frame -> the global lag window is
-    // months-many rows, never data-sized).
+    // months-many rows, never data-sized). Revenue is summed as exact
+    // integer cents (the q148/q130 discipline — a raw double sum is
+    // summation-order-dependent and can flip a .005 boundary between
+    // engines); the only doubles are one division per output column
+    // over exact integers.
     "q146_monthly_growth" -> ((s, dir) => {
       val monthly = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("cents"))
       val w = Window.orderBy(col("month"))
       monthly
-        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
-        .withColumn("growth",
-          floor((col("rev") - col("prev_rev")) / col("prev_rev") * lit(1e6)
-            + lit(0.5d)) / lit(1e6))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .select(col("month"),
+          (col("cents").cast("double") / 100d).as("rev"),
+          (col("prev_cents").cast("double") / 100d).as("prev_rev"),
+          (floor((col("cents") - col("prev_cents")).cast("double")
+            / col("prev_cents").cast("double") * lit(1e6)
+            + lit(0.5d)) / lit(1e6)).as("growth"))
     }),
 
     // Adoption curve: cumulative distinct users per event type by day,
@@ -800,8 +812,11 @@ object SparkEntry {
       val ranked = byCust.withColumn("i",
         row_number().over(Window.orderBy(col("c").asc, col("o_custkey").asc))
           .cast("long"))
+      // widen BEFORE multiplying (the TWAP discipline): an Int64 i*c
+      // product would silently wrap at scale and only then be widened
       ranked.agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
-          sum((col("i") * col("c")).cast("decimal(38,0)")).as("sum_ic"))
+          sum(col("i").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("sum_ic"))
         .select(col("n"),
           (floor((lit(2d) * col("sum_ic").cast("double")
             / (col("n").cast("double") * col("sum_c").cast("double"))
@@ -2649,13 +2664,17 @@ object SparkEntry {
     "q146_monthly_growth" ->
       """WITH monthly AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    round(sum(o_totalprice), 2) AS rev
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
         |  FROM orders GROUP BY 1),
         |l AS (
-        |  SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev_rev
+        |  SELECT month, cents, lag(cents) OVER (ORDER BY month) AS prev_cents
         |  FROM monthly)
-        |SELECT month, rev, prev_rev,
-        |  floor((rev - prev_rev) / prev_rev * 1e6 + 0.5) / 1e6 AS growth
+        |SELECT month,
+        |  CAST(cents AS DOUBLE) / 100 AS rev,
+        |  CAST(prev_cents AS DOUBLE) / 100 AS prev_rev,
+        |  floor(CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS growth
         |FROM l""".stripMargin,
 
     "q147_adoption_curve" ->

@@ -243,7 +243,19 @@ object IncrementalLoad {
     *
     * Same swap discipline as [[compact]]/[[atomicPublish]]: stage,
     * move-aside, swap-in, restore on failure — on a filesystem with
-    * atomic rename (file:/HDFS; object stores need a committer). */
+    * atomic rename (file:/HDFS; object stores need a committer).
+    *
+    * Failure window: each affected partition swaps independently, so a
+    * write failure mid-loop leaves earlier partitions deleted and later
+    * ones untouched — a PARTIAL cross-partition delete (each individual
+    * partition is still all-or-nothing). Dir-name problems (NULL /
+    * escape-needing values) are validated up front so that class of
+    * failure cannot strike mid-loop; for crash-consistent multi-
+    * partition deletes use the manifest-committed table variant. If the
+    * predicate empties every partition, a readable empty table (one
+    * parquet footer carrying the full partition-columns-included schema)
+    * is left at the root so the next read does not fail schema
+    * inference. */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): (Long, Long) = {
     val (fs, target) = fsFor(spark, path)
@@ -310,6 +322,7 @@ object IncrementalLoad {
         require(fs.exists(new HPath(target, d)),
           s"deleteWhere: expected partition dir $d not found under $path")
       }
+      val fullSchema = df.schema
       var deleted = 0L
       affected.zip(dirs).foreach { case (row, dir) =>
         val pdir = new HPath(target, dir)
@@ -326,8 +339,27 @@ object IncrementalLoad {
           val keep = withParts.filter(!delCond).drop(partCols: _*)
           val keepAny = !keep.isEmpty
           swapIn(pdir, p => keep.write.parquet(p.toString), keepAny)
+          // multi-level partitions: removing a=1/b=2 can leave an empty
+          // intermediate a=1 shell — prune upward to the table root
+          if (!keepAny) {
+            var up = pdir.getParent
+            while (up != null && up != target && fs.exists(up)
+              && fs.listStatus(up).isEmpty) {
+              fs.delete(up, false); up = up.getParent
+            }
+          }
         } finally pdf.unpersist()
       }
+      // if the delete emptied EVERY partition, the root has no parquet
+      // footers and the next read fails schema inference — leave a
+      // readable empty table with the full (partition-cols-included)
+      // schema, mirroring the unpartitioned branch
+      val anyLeft = fs.listStatus(target).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (!anyLeft)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+          .repartition(1).write.mode("overwrite").parquet(target.toString)
       (affected.length.toLong, deleted)
     }
   }

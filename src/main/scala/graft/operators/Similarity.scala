@@ -295,8 +295,11 @@ object Similarity {
     *
     * EXACT-ARITHMETIC design: floats are first snapped to the 1e-4 grid
     * as BIGINTs (floor(x*1e4 + 0.5) — one IEEE tie rule); every sum, dot
-    * product, and squared norm is then exact 64-bit integer math, so
-    * partial-agg order cannot move a bit. Cosine is scale-invariant, so
+    * product, and squared norm is then exact integer math — 64-bit where
+    * the bound proves it fits (per-member norms), decimal(38,0) for the
+    * centroid-side Σcv² / q·cv whose terms scale with member count and
+    * would wrap Int64 beyond ~38k members — so partial-agg order cannot
+    * move a bit at any label size. Cosine is scale-invariant, so
     * members are compared against the integer SUM vector directly — the
     * mean's division by n is never performed, removing a rounding layer.
     * The only doubles are the final cosine (fixed op sequence:
@@ -323,10 +326,17 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("cv"))
-    val dotQC = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // centroid-side accumulators widen to decimal(38,0) BEFORE the
+    // multiply: cv entries are member-count-scaled (~1e4·n), so an Int64
+    // Σcv² wraps silently beyond ~38k members per label. n2q stays long
+    // (per-member: dims·1e8, nowhere near 2^63).
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val dzero = lit(0).cast("decimal(38,0)")
+    val dotQC = aggregate(zip_with(col("qv"), col("cv"), (a, b) => dec(a) * dec(b)),
+      dzero, (acc, x) => (acc + x).cast("decimal(38,0)"))
     val n2q = aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)
-    val n2c = aggregate(col("cv"), lit(0L), (acc, x) => acc + x * x)
+    val n2c = aggregate(col("cv"), dzero,
+      (acc, x) => (acc + dec(x) * dec(x)).cast("decimal(38,0)"))
     val cos6 = when(n2q === 0L || n2c === 0L, lit(0L))
       .otherwise(floor(dotQC.cast("double")
         / sqrt(n2q.cast("double") * n2c.cast("double"))

@@ -227,6 +227,47 @@ class EtlInvariantsSpec extends SparkSpec {
     assert(IncrementalLoad.deleteWhere(spark, target, lit(true)) == (0L, 0L))
   }
 
+  test("deleteWhere emptying EVERY partition leaves a readable empty table") {
+    val target = s"${tmpDir("delwall")}/t"
+    Seq((1L, 2024, "a"), (2L, 2025, "b"))
+      .toDF("id", "anio", "who").write.partitionBy("anio").parquet(target)
+    val (p, d) = IncrementalLoad.deleteWhere(spark, target, lit(true))
+    assert((p, d) == (2L, 2L))
+    // the root must hold a parquet footer with the FULL schema
+    // (partition columns included), not a bare dir that fails inference
+    val after = spark.read.parquet(target)
+    assert(after.count() == 0)
+    assert(after.columns.toSet == Set("id", "anio", "who"))
+  }
+
+  test("deleteWhere prunes empty intermediate dirs on multi-level partitions") {
+    val target = s"${tmpDir("delwml")}/t"
+    Seq((1L, 2024, 1, "a"), (2L, 2024, 2, "b"), (3L, 2025, 1, "c"))
+      .toDF("id", "anio", "mes", "who")
+      .write.partitionBy("anio", "mes").parquet(target)
+    // empty anio=2025 entirely: its mes=1 leaf AND the now-empty
+    // anio=2025 shell must both vanish
+    val (p, d) = IncrementalLoad.deleteWhere(spark, target, $"anio" === 2025)
+    assert((p, d) == (1L, 1L))
+    assert(!new java.io.File(s"$target/anio=2025").exists(),
+      "empty intermediate partition shell pruned")
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
+  test("deleteWhere fails fast on partition values needing Hive escaping") {
+    val target = s"${tmpDir("delwesc")}/t"
+    // 'north region' (space) and 'a=b' (equals) both need Hive escaping
+    Seq((1L, "north region"), (2L, "plain"), (3L, "a=b"))
+      .toDF("id", "zone").write.partitionBy("zone").parquet(target)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLoad.deleteWhere(spark, target, $"id" === 1L)
+    }
+    assert(e.getMessage.contains("Hive escaping"))
+    // fail-fast means NOTHING was deleted — all three rows intact
+    assert(spark.read.parquet(target).count() == 3)
+  }
+
   test("deleteWhere: NULL predicate means KEEP, and is never silent loss") {
     val target = s"${tmpDir("delwn")}/t"
     Seq((1L, Some("alice")), (2L, None), (3L, Some("bob")))
