@@ -919,6 +919,33 @@ object SparkEntry {
           "(first_purchase_us - first_view_us) div 1000000"))
     }),
 
+    // Manifest-pointer committed table end to end (the object-store-safe
+    // T1): publish with per-file stats, re-append the same batch
+    // (idempotence — must add 0 rows), file-granular deleteWhere,
+    // compact, then read back through stats-pruned file skipping. The
+    // oracle is the equivalent relational state of the original table —
+    // any wrongly-skipped file, lost row, resurrected deleted row, or
+    // double-read breaks the hash.
+    "q162_manifest_commit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q162")
+      val root = s"$tmp/tables"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("anio"))
+      etl.ManifestTable.publish(s, root, Map("orders" -> orders),
+        Map("orders" -> "anio"))
+      val appended = etl.ManifestTable.appendNew(s, root, "orders", orders,
+        Seq("o_orderkey"), Some("anio"))
+      require(appended == 0L, s"idempotent re-append added $appended rows")
+      etl.ManifestTable.deleteWhere(s, root, "orders",
+        col("o_orderpriority") === "1-URGENT", Some("anio"))
+      etl.ManifestTable.compact(s, root, "orders", statsCol = Some("anio"))
+      etl.ManifestTable.readPruned(s, root, "orders", "anio", 1995L, 1996L)
+        .groupBy(col("anio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2330,6 +2357,19 @@ object SparkEntry {
         |  (CAST(min(epoch_us(ts)) AS BIGINT)
         |    - CAST(max(epoch_us(first_view)) AS BIGINT)) // 1000000 AS gap_s
         |FROM p GROUP BY user_id""".stripMargin,
+
+    // the Spark side ran publish -> idempotent re-append -> deleteWhere
+    // -> compact -> stats-pruned read against a manifest-committed
+    // table; the oracle is the same end state computed relationally
+    "q162_manifest_commit" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS anio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+        |  AND o_orderpriority <> '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     // a purchase at the exact click instant counts (gap 0, inclusive);
     // clicks strictly after the purchase never visible (running window)

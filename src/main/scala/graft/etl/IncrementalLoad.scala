@@ -36,8 +36,9 @@ import scala.util.control.NonFatal
   * S3-like stores `rename` is copy+delete, not atomic; the swap there is
   * not crash-atomic (the backup/restore protocol still prevents data loss,
   * but a concurrent reader can observe a mid-swap tree). For object-store
-  * deployments front the published tree with a table format or publish to
-  * a versioned prefix and flip a pointer.
+  * deployments use [[ManifestTable]]: immutable data files + one
+  * commit-file pointer, atomic with no directory rename at all, covering
+  * the same operator surface (publish/appendNew/deleteWhere/compact).
   */
 object IncrementalLoad {
 

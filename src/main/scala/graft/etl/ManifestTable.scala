@@ -1,0 +1,442 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-pointer committed tables: the object-store-safe form of the
+  * reference's multi-table transaction (`main.py:173-195`, T1) that
+  * [[IncrementalLoad.atomicPublish]] implements with directory renames.
+  *
+  * Rename-based swaps are atomic on HDFS but NOT on S3-like object
+  * stores, where rename of a directory is per-object copy+delete and a
+  * concurrent reader can observe a mid-swap tree. This module removes
+  * renames of DATA from the commit path entirely:
+  *
+  *  - data files are immutable and uniquely named (`<table>/d-<uuid>/
+  *    part-*.parquet`) — they are never renamed, overwritten, or deleted
+  *    by a commit, only by an explicit [[vacuum]];
+  *  - a version is one small COMMIT FILE (`_commits/c-<seq>-<uuid>.txt`)
+  *    listing every (table, data-file) of that version, plus optional
+  *    per-file min/max stats for file skipping;
+  *  - readers resolve the highest committed sequence number and read
+  *    exactly the files it lists — so a commit "happens" at the instant
+  *    one small object appears, which is atomic even where directory
+  *    rename is not (an object-store PUT, or the copy half of its
+  *    rename, materializes the whole object or nothing).
+  *
+  * Consequences, each spec'd in EtlInvariantsSpec / ManifestTableSpec:
+  *  - CRASH-SAFE PUBLISH: a failure anywhere before the commit file
+  *    lands leaves only orphan data files; the previous version keeps
+  *    serving reads untouched (the reference's rollback semantics with
+  *    zero restore work).
+  *  - SNAPSHOT ISOLATION: a reader that resolved version N keeps a
+  *    consistent file list even while version N+1 commits (old files
+  *    are immortal until vacuum).
+  *  - TIME TRAVEL: any retained version can be read back ([[readAt]]).
+  *  - MULTI-TABLE ATOMICITY: one commit file carries every table, so a
+  *    multi-table publish is all-or-nothing BY CONSTRUCTION — there is
+  *    no per-table swap loop to crash in the middle of.
+  *
+  * This is the mechanism Iceberg/Delta/Hudi build on (a metadata pointer
+  * over immutable files), self-contained here over the public Hadoop
+  * FileSystem + parquet APIs — same pattern as [[DataLayout]]'s
+  * `_manifest` min/max index, promoted from statistics to the source of
+  * truth for table contents.
+  *
+  * Scale notes: commit files are file-count-sized (one line per data
+  * file), read once on the driver at plan time — the same cost class as
+  * Spark's own file-index listing, without the eventual-consistency
+  * hazards of LIST-after-PUT (the commit file names its files; nothing
+  * is discovered by listing data dirs). Concurrent committers race on
+  * the next sequence number optimistically: the loser's check-then-move
+  * fails and its caller retries on the fresh state.
+  */
+object ManifestTable {
+
+  private val CommitDir = "_commits"
+  private val CommitName = """c-(\d{20})-[0-9a-f]{32}\.txt""".r
+  /** Cap on files listed in one commit: beyond this the driver-side
+    * manifest itself needs a tree structure (Iceberg's manifest lists);
+    * fail loudly instead of degrading silently. */
+  val MaxFilesPerCommit = 1000000
+
+  /** One immutable data file of one table version. `min`/`max` are
+    * optional long stats of the table's declared stats column (empty for
+    * footer-only files — those are never skipped). */
+  final case class FileEntry(table: String, relPath: String,
+                             min: Option[Long], max: Option[Long])
+
+  final case class Commit(version: Long, entries: Seq[FileEntry])
+
+  private def fsFor(spark: SparkSession, p: String): (FileSystem, HPath) = {
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(hp))
+  }
+
+  private def mv(fs: FileSystem, src: HPath, dst: HPath, what: String): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"$what: rename failed: $src -> $dst")
+
+  private def uuid(): String = UUID.randomUUID().toString.replace("-", "")
+
+  // ---------------------------------------------------------------- resolve
+
+  /** Latest committed state, or None for an uninitialized root. Partial
+    * uploads (`.tmp-*`) and foreign files in `_commits` are ignored by
+    * the name pattern; among equal sequence numbers (a lost optimistic
+    * race that slipped the existence check) the lexicographically last
+    * name wins deterministically. */
+  def current(spark: SparkSession, root: String): Option[Commit] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    if (!fs.exists(cd)) return None
+    val names = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => CommitName.pattern.matcher(n).matches()).sorted
+    names.lastOption.map { n =>
+      val CommitName(seq) = n
+      Commit(seq.toLong, parseCommit(fs, new HPath(cd, n)))
+    }
+  }
+
+  /** The state as of a specific retained version (time travel). */
+  def readAt(spark: SparkSession, root: String, table: String,
+             version: Long): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    val name = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => CommitName.pattern.matcher(n).matches())
+      .filter { case CommitName(seq) => seq.toLong == version }.sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"readAt: version $version not retained under $root (vacuumed?)"))
+    toDf(spark, rootP, parseCommit(fs, new HPath(cd, name)), table)
+  }
+
+  private def parseCommit(fs: FileSystem, p: HPath): Seq[FileEntry] = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", -1) match {
+        case Array(t, rel, mn, mx) =>
+          FileEntry(t, rel,
+            if (mn.isEmpty) None else Some(mn.toLong),
+            if (mx.isEmpty) None else Some(mx.toLong))
+        case other => throw new java.io.IOException(
+          s"corrupt commit line in $p: '${line.take(80)}'")
+      }
+    }.toVector
+  }
+
+  // ----------------------------------------------------------------- commit
+
+  /** Write the next commit file: stage under a dot-name, existence-check
+    * the target sequence, then a SINGLE-OBJECT move — the only rename in
+    * the protocol, and of one small file, so even a copy+delete store
+    * materializes it atomically. */
+  private def writeCommit(fs: FileSystem, rootP: HPath, version: Long,
+                          entries: Seq[FileEntry]): Long = {
+    require(entries.size <= MaxFilesPerCommit,
+      s"commit would list ${entries.size} files (> $MaxFilesPerCommit): " +
+        "compact the table or shard it before committing")
+    entries.foreach { e =>
+      require(!e.table.contains("\t") && !e.relPath.contains("\t") &&
+        !e.table.contains("\n") && !e.relPath.contains("\n"),
+        s"illegal table/path characters: ${e.table} ${e.relPath}")
+    }
+    val cd = new HPath(rootP, CommitDir)
+    fs.mkdirs(cd)
+    val body = entries.map(e =>
+        s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}")
+      .mkString("", "\n", "\n")
+    val tmp = new HPath(cd, s".tmp-${uuid()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dest = new HPath(cd, f"c-$version%020d-${uuid()}.txt")
+    // optimistic concurrency: lose the race -> fail before the move
+    val clash = fs.listStatus(cd).map(_.getPath.getName).exists {
+      case CommitName(seq) => seq.toLong >= version
+      case _ => false
+    }
+    if (clash) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"commit conflict: version $version already exists under $rootP — " +
+          "re-resolve current() and retry")
+    }
+    mv(fs, tmp, dest, "commit publish")
+    version
+  }
+
+  // ------------------------------------------------------------- data write
+
+  /** Write `df` as immutable data files under `<table>/d-<uuid>/` and
+    * return their manifest entries (with min/max of `statsCol` if
+    * given). The files are INVISIBLE to readers until a commit lists
+    * them — writing is not publishing. */
+  private def writeData(spark: SparkSession, rootP: HPath, fs: FileSystem,
+                        table: String, df: DataFrame,
+                        statsCol: Option[String]): Seq[FileEntry] = {
+    require(table.matches("[A-Za-z0-9._-]+"), s"illegal table name: $table")
+    val dir = s"$table/d-${uuid()}"
+    val full = new HPath(rootP, dir)
+    df.write.parquet(full.toString)
+    val names = fs.listStatus(full).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    require(names.nonEmpty, s"writeData: no parquet files produced at $full")
+    statsCol match {
+      case None => names.map(n => FileEntry(table, s"$dir/$n", None, None))
+      case Some(c) =>
+        // one pass over the just-written files, grouped per file — the
+        // DataLayout._manifest pattern; footer-only files yield no row
+        // and keep empty stats (never skipped)
+        val stats = spark.read.parquet(full.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
+          .collect()
+          .map(r => (r.getString(0).split("/").last,
+            (Option(r.get(1)).map(_.asInstanceOf[Long]),
+             Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+        names.map { n =>
+          val (mn, mx) = stats.getOrElse(n, (None, None))
+          FileEntry(table, s"$dir/$n", mn, mx)
+        }
+    }
+  }
+
+  private def entriesOf(c: Option[Commit], table: String): Seq[FileEntry] =
+    c.map(_.entries.filter(_.table == table)).getOrElse(Nil)
+
+  private def toDf(spark: SparkSession, rootP: HPath, entries: Seq[FileEntry],
+                   table: String): DataFrame = {
+    val mine = entries.filter(_.table == table)
+    require(mine.nonEmpty, s"no table '$table' in this version")
+    spark.read.parquet(mine.map(e => new HPath(rootP, e.relPath).toString): _*)
+  }
+
+  // ------------------------------------------------------------------ reads
+
+  /** Manifest-resolved read of the latest version. */
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    val (_, rootP) = fsFor(spark, root)
+    val c = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    toDf(spark, rootP, c.entries, table)
+  }
+
+  /** Read with FILE SKIPPING on the stats column: only files whose
+    * [min,max] intersects [lo,hi] are opened (files with no stats are
+    * always opened). The predicate is re-applied, so results equal a
+    * full scan — skipping is purely I/O reduction, the readSkipping
+    * contract of [[DataLayout]]. */
+  def readPruned(spark: SparkSession, root: String, table: String,
+                 statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val (_, rootP) = fsFor(spark, root)
+    val c = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(c), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val keep = mine.filter(e => (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true
+    })
+    val base =
+      if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
+      else spark.read.parquet(keep.map(e => new HPath(rootP, e.relPath).toString): _*)
+    base.filter(col(statsCol).cast("long") >= lo && col(statsCol).cast("long") <= hi)
+  }
+
+  /** Kept-vs-total file counts for a pruning range — observability for
+    * specs and ops dashboards. */
+  def pruneStats(spark: SparkSession, root: String, table: String,
+                 lo: Long, hi: Long): (Long, Long) = {
+    val c = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(c), table)
+    val kept = mine.count(e => (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true
+    })
+    (kept.toLong, mine.size.toLong)
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** All-or-nothing multi-table publish (T1). Every table's data files
+    * are fully written BEFORE the single commit file appears; a failure
+    * during any write aborts with the previous version still serving.
+    * Tables absent from `tables` carry over unchanged from the current
+    * version (publishing a subset never drops the rest). Returns the new
+    * version. */
+  def publish(spark: SparkSession, root: String, tables: Map[String, DataFrame],
+              statsCols: Map[String, String] = Map.empty): Long = {
+    require(tables.nonEmpty, "publish: no tables")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
+    val cur = current(spark, root)
+    val fresh = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      writeData(spark, rootP, fs, name, df, statsCols.get(name))
+    }
+    val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
+      .getOrElse(Nil)
+    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ fresh)
+  }
+
+  /** Single-table full replace. */
+  def overwrite(spark: SparkSession, root: String, table: String, df: DataFrame,
+                statsCol: Option[String] = None): Long =
+    publish(spark, root, Map(table -> df),
+      statsCol.fold(Map.empty[String, String])(c => Map(table -> c)))
+
+  /** Idempotent incremental append (S4/J2, `load_data_conditionally`
+    * main.py:45-59): anti-join `incoming` against the CURRENT version's
+    * keys, write only the fresh rows as new files, commit old+new. A
+    * re-run appends 0 rows and creates NO new version. Unlike the
+    * rename-based [[IncrementalLoad.appendNew]] there is no staging
+    * step to get wrong: the anti-join reads the old files while the new
+    * files are written elsewhere, and nothing is visible until the
+    * commit lands. Returns rows appended. */
+  def appendNew(spark: SparkSession, root: String, table: String,
+                incoming: DataFrame, key: Seq[String],
+                statsCol: Option[String] = None): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root)
+    val prior = entriesOf(cur, table)
+    if (prior.isEmpty) {
+      val n = incoming.count()
+      overwrite(spark, root, table, incoming, statsCol)
+      return n
+    }
+    val existing = toDf(spark, rootP, prior, table)
+    val fresh = IncrementalLoad.newRowsOnly(incoming, existing, key)
+    // write FIRST, then count the written files (a parquet metadata-only
+    // count) — one execution of the anti-join, no staging step, and the
+    // old files the plan reads are untouched throughout
+    val newEntries = writeData(spark, rootP, fs, table, fresh, statsCol)
+    val newDir = new HPath(rootP, newEntries.head.relPath).getParent
+    val n = spark.read.parquet(newDir.toString).count()
+    if (n == 0L) { fs.delete(newDir, true); return 0L } // no new version
+    writeCommit(fs, rootP, cur.get.version + 1L,
+      cur.get.entries ++ newEntries)
+    n
+  }
+
+  /** Targeted deletion at FILE granularity: only files that contain a
+    * matching row are rewritten (manifest stats have already bounded
+    * which files those can be for stats-correlated predicates); all
+    * other files are carried into the new version untouched —
+    * byte-identical, not even re-read at commit time. Crash-consistent
+    * ACROSS files, unlike the per-partition swap loop of
+    * [[IncrementalLoad.deleteWhere]]: either the single new commit
+    * lands (all affected files replaced at once) or nothing changes.
+    * Returns (filesRewritten, rowsDeleted). */
+  def deleteWhere(spark: SparkSession, root: String, table: String,
+                  predicate: Column, statsCol: Option[String] = None): (Long, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val delCond = coalesce(predicate, lit(false)) // NULL means KEEP
+    val df = toDf(spark, rootP, cur.entries, table)
+    val affectedFiles = df.filter(delCond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedFiles.isEmpty) return (0L, 0L)
+    val (aff, keep) = mine.partition(e => affectedFiles.exists(_.endsWith(e.relPath)))
+    val adf = spark.read.parquet(aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+    val nDel = adf.filter(delCond).count()
+    val keepRows = adf.filter(!delCond)
+    // a fully-emptied table still commits one footer-only file so the
+    // next read keeps its schema (the deleteWhere readability contract)
+    val newEntries =
+      if (keep.isEmpty || !keepRows.isEmpty)
+        writeData(spark, rootP, fs,
+          table, if (keepRows.isEmpty) keepRows.repartition(1) else keepRows,
+          statsCol)
+      else Nil
+    writeCommit(fs, rootP, cur.version + 1L,
+      cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
+    (aff.size.toLong, nDel)
+  }
+
+  /** Small-file compaction: rewrite the table into
+    * ceil(bytes/targetFileBytes) files as a NEW version. Readers of the
+    * old version are unaffected (old files stay until vacuum) —
+    * compaction is a background operation, not an outage. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, root: String, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              statsCol: Option[String] = None): (Long, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val bytes = mine.map(e => fs.getFileStatus(new HPath(rootP, e.relPath)).getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = toDf(spark, rootP, cur.entries, table)
+    val re = statsCol match {
+      // cluster on the stats column so compacted files keep tight
+      // min/max ranges (file skipping survives compaction)
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nFiles)
+    }
+    val newEntries = writeData(spark, rootP, fs, table, re, statsCol)
+    writeCommit(fs, rootP, cur.version + 1L,
+      cur.entries.filterNot(_.table == table) ++ newEntries)
+    (mine.size.toLong, newEntries.size.toLong)
+  }
+
+  // ----------------------------------------------------------------- vacuum
+
+  /** Garbage-collect: delete data files not referenced by any of the
+    * `keepVersions` most recent commits, then the superseded commit
+    * files themselves, then emptied data dirs. The ONLY place data files
+    * are ever deleted — and it never touches the current version, so a
+    * reader planning from any retained commit stays consistent. Returns
+    * the number of files deleted.
+    *
+    * Do not run vacuum concurrently with an in-flight write: data files
+    * of a not-yet-committed version look unreferenced and would be
+    * collected (production deployments add an age threshold; here the
+    * contract is vacuum-in-a-quiet-window). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    if (!fs.exists(cd)) return 0L
+    val commits = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => CommitName.pattern.matcher(n).matches()).sorted
+    if (commits.isEmpty) return 0L
+    val (drop, keep) = commits.splitAt(math.max(0, commits.length - keepVersions))
+    val referenced: Set[String] = keep.flatMap(n =>
+      parseCommit(fs, new HPath(cd, n)).map(_.relPath)).toSet
+    var deleted = 0L
+    // data dirs are every top-level entry except _commits
+    fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != CommitDir)
+      .foreach { tdir =>
+        val it = fs.listFiles(tdir.getPath, true)
+        val toDelete = scala.collection.mutable.ListBuffer.empty[HPath]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = s"${tdir.getPath.getName}/${f.getPath.getParent.getName}/${f.getPath.getName}"
+          if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel))
+            toDelete += f.getPath
+        }
+        toDelete.foreach { p => fs.delete(p, false); deleted += 1 }
+        // prune emptied d-<uuid> dirs (and Spark's _SUCCESS markers)
+        fs.listStatus(tdir.getPath).filter(_.isDirectory).foreach { d =>
+          val kids = fs.listStatus(d.getPath)
+          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")))
+            fs.delete(d.getPath, true)
+        }
+      }
+    drop.foreach(n => fs.delete(new HPath(cd, n), false))
+    deleted
+  }
+}

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.ManifestTable
+
+/** Manifest-pointer committed tables (the object-store-safe T1): the
+  * commit is one small file appearing, never a directory rename — these
+  * specs re-prove the reference's transactional invariants through
+  * manifest-resolved reads and exercise the crash/isolation properties
+  * rename-based publish cannot give on object stores. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("publish + read roundtrip; versions advance; time travel") {
+    val root = tmpDir("mt")
+    val v1 = ManifestTable.publish(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    assert(v1 == 1L)
+    assert(ManifestTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val v2 = ManifestTable.publish(spark, root,
+      Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // time travel: the superseded version is still readable
+    assert(ManifestTable.readAt(spark, root, "t", 1L)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("invariant 1 via manifest: appendNew is idempotent, re-run adds 0 rows") {
+    val root = tmpDir("mtapp")
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(ManifestTable.appendNew(spark, root, "t", batch, Seq("id")) == 2L)
+    val vAfterFirst = ManifestTable.current(spark, root).get.version
+    // re-running the same load appends nothing AND creates no new version
+    assert(ManifestTable.appendNew(spark, root, "t", batch, Seq("id")) == 0L)
+    assert(ManifestTable.current(spark, root).get.version == vAfterFirst)
+    // a mixed batch appends only the genuinely new keys
+    val mixed = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+    assert(ManifestTable.appendNew(spark, root, "t", mixed, Seq("id")) == 1L)
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("invariant 4 via manifest: failed multi-table publish leaves ALL tables serving the old version") {
+    val root = tmpDir("mtatomic")
+    val good = Seq((1, "x")).toDF("id", "v")
+    ManifestTable.publish(spark, root, Map("t1" -> good, "t2" -> good))
+    val bad = good.select(expr("raise_error('boom')").as("id"), $"v")
+    intercept[Exception] {
+      ManifestTable.publish(spark, root,
+        Map("t1" -> good.union(good), "t2" -> bad))
+    }
+    // crash-mid-publish: data files for t1's v2 may exist as orphans,
+    // but the COMMIT never landed — both tables still serve v1
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+    assert(ManifestTable.read(spark, root, "t1").count() == 1L)
+    assert(ManifestTable.read(spark, root, "t2").count() == 1L)
+  }
+
+  test("crash-mid-publish orphans are invisible to readers and vacuumed later") {
+    val root = tmpDir("mtorphan")
+    ManifestTable.publish(spark, root, Map("t" -> Seq((1, "x")).toDF("id", "v")))
+    intercept[Exception] {
+      ManifestTable.publish(spark, root, Map(
+        // t writes fine, u fails -> t's new files are orphans
+        "t" -> Seq((9, "z")).toDF("id", "v"),
+        "u" -> Seq((1, "x")).toDF("id", "v")
+          .select(expr("raise_error('boom')").as("id"), $"v")))
+    }
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Int].collect().toSeq == Seq(1))
+    val removed = ManifestTable.vacuum(spark, root)
+    assert(removed >= 1L, "orphaned data files collected")
+    // vacuum never touches the served version
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("a torn temp commit file is ignored by readers") {
+    val root = tmpDir("mttorn")
+    ManifestTable.publish(spark, root, Map("t" -> Seq((1, "x")).toDF("id", "v")))
+    // simulate a crashed committer: partial bytes under a .tmp name
+    val torn = new java.io.File(s"$root/_commits/.tmp-deadbeef")
+    val w = new java.io.FileWriter(torn); w.write("t\tgarbage"); w.close()
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+    assert(ManifestTable.read(spark, root, "t").count() == 1L)
+  }
+
+  test("snapshot isolation: a resolved version keeps serving while a new one commits") {
+    val root = tmpDir("mtsnap")
+    ManifestTable.publish(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    // reader plans against v1 (file list resolved NOW)
+    val v1Reader = ManifestTable.read(spark, root, "t")
+    // writer replaces the table entirely
+    ManifestTable.publish(spark, root, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    // the old files still exist (no vacuum yet): the v1 plan executes
+    // correctly AFTER v2 committed — no torn read, no missing files
+    assert(v1Reader.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Long].collect().toSet == Set(3L))
+  }
+
+  test("deleteWhere rewrites only files containing matches; commit is all-or-nothing") {
+    val root = tmpDir("mtdel")
+    // two files with disjoint id ranges via explicit appends
+    ManifestTable.appendNew(spark, root, "t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    ManifestTable.appendNew(spark, root, "t",
+      Seq((10L, "x"), (11L, "y")).toDF("id", "v"), Seq("id"))
+    val before = ManifestTable.current(spark, root).get.entries.map(_.relPath).toSet
+    val (files, rows) = ManifestTable.deleteWhere(spark, root, "t", $"id" === 10L)
+    assert(rows == 1L)
+    val after = ManifestTable.current(spark, root).get.entries.map(_.relPath).toSet
+    // the untouched file is carried over byte-identical (same relPath)
+    assert((before intersect after).nonEmpty, "untouched files carried, not rewritten")
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // NULL predicate means KEEP (SQL DELETE semantics)
+    ManifestTable.overwrite(spark, root, "nulls",
+      Seq((1L, Some("alice")), (2L, Option.empty[String])).toDF("id", "who"))
+    val (_, d) = ManifestTable.deleteWhere(spark, root, "nulls", $"who" === "alice")
+    assert(d == 1L)
+    assert(ManifestTable.read(spark, root, "nulls").select("id")
+      .as[Long].collect().toSet == Set(2L))
+  }
+
+  test("deleting every row leaves a readable empty table with its schema") {
+    val root = tmpDir("mtdelall")
+    ManifestTable.overwrite(spark, root, "t", Seq((1L, "a")).toDF("id", "v"))
+    val (_, d) = ManifestTable.deleteWhere(spark, root, "t", lit(true))
+    assert(d == 1L)
+    val after = ManifestTable.read(spark, root, "t")
+    assert(after.count() == 0L && after.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("compact merges small files into a new version; old version still readable") {
+    val root = tmpDir("mtcompact")
+    (1 to 5).foreach { i =>
+      ManifestTable.appendNew(spark, root, "t",
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    }
+    val vPre = ManifestTable.current(spark, root).get.version
+    val (before, afterN) = ManifestTable.compact(spark, root, "t")
+    assert(before == 5L && afterN == 1L)
+    assert(ManifestTable.read(spark, root, "t").count() == 5L)
+    // pre-compaction snapshot still readable (background compaction)
+    assert(ManifestTable.readAt(spark, root, "t", vPre).count() == 5L)
+  }
+
+  test("per-file min/max stats skip files; results equal the full scan") {
+    val root = tmpDir("mtstats")
+    // three appends with disjoint id ranges -> three files with tight stats
+    Seq(0L, 100L, 200L).foreach { base =>
+      ManifestTable.appendNew(spark, root, "t",
+        spark.range(base, base + 10).toDF("id").withColumn("v", $"id" * 2),
+        Seq("id"), statsCol = Some("id"))
+    }
+    val (kept, total) = ManifestTable.pruneStats(spark, root, "t", 100L, 109L)
+    assert(total >= 3L && kept < total, s"skipping must drop files ($kept/$total)")
+    val pruned = ManifestTable.readPruned(spark, root, "t", "id", 100L, 109L)
+      .select("id").as[Long].collect().toSet
+    assert(pruned == (100L to 109L).toSet)
+    // compaction clustered on the stats column keeps skipping effective
+    ManifestTable.compact(spark, root, "t", targetFileBytes = 1L,
+      statsCol = Some("id"))
+    val (k2, t2) = ManifestTable.pruneStats(spark, root, "t", 0L, 5L)
+    assert(k2 < t2, "stats survive compaction")
+    assert(ManifestTable.readPruned(spark, root, "t", "id", 0L, 5L)
+      .count() == 6L)
+  }
+
+  test("vacuum collects superseded files but keeps requested history") {
+    val root = tmpDir("mtvac")
+    ManifestTable.overwrite(spark, root, "t", Seq((1, "a")).toDF("id", "v"))
+    ManifestTable.overwrite(spark, root, "t", Seq((2, "b")).toDF("id", "v"))
+    ManifestTable.overwrite(spark, root, "t", Seq((3, "c")).toDF("id", "v"))
+    // keep 2 versions: v3 and v2 readable, v1's files collected
+    val n = ManifestTable.vacuum(spark, root, keepVersions = 2)
+    assert(n >= 1L)
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Int].collect().toSeq == Seq(3))
+    assert(ManifestTable.readAt(spark, root, "t", 2L).select("id")
+      .as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, "t", 1L)
+    }
+  }
+
+  test("concurrent committers: the later writer of the same version fails cleanly") {
+    val root = tmpDir("mtconc")
+    ManifestTable.publish(spark, root, Map("t" -> Seq((1, "a")).toDF("id", "v")))
+    // simulate a racer that already took version 2
+    ManifestTable.publish(spark, root, Map("t" -> Seq((2, "b")).toDF("id", "v")))
+    // a writer that resolved v1 and tries to commit v2 again: the
+    // optimistic existence check refuses rather than clobbering
+    val e = intercept[java.io.IOException] {
+      val m = ManifestTable.getClass.getDeclaredMethods
+        .find(_.getName == "writeCommit").get
+      m.setAccessible(true)
+      try m.invoke(ManifestTable,
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"file:$root"), java.lang.Long.valueOf(2L),
+        Seq(ManifestTable.FileEntry("t", "t/d-x/f.parquet", None, None)))
+      catch { case ite: java.lang.reflect.InvocationTargetException =>
+        throw ite.getCause }
+    }
+    assert(e.getMessage.contains("commit conflict"))
+    // table unharmed
+    assert(ManifestTable.read(spark, root, "t").select("id")
+      .as[Int].collect().toSeq == Seq(2))
+  }
+}
