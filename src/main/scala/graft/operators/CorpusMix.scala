@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   * rows (tiny), collected to the driver so the quotas enter the plan as a
   * LITERAL map (no join, no second scan of the big side for rates). Pass 2
   * is one hash shuffle on the stratum key for the rank window. The window
-  * sort is per-stratum; if one stratum dominates at extreme scale, swap the
-  * exact rank for the hash-threshold variant (keep iff hash < q_s/n_s —
-  * zero-sort, approximate counts) — the quota math is shared.
+  * sort is per-stratum; if one stratum dominates at extreme scale, use
+  * [[hashThresholdSample]] (keep iff h32 < q_s·2^32/n_s — zero-sort,
+  * binomially-approximate counts); the quota math is shared.
   */
 object CorpusMix {
 
@@ -125,6 +125,41 @@ object CorpusMix {
       .filter(col("copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
       .drop("rk", "quota", "n_stratum", "copies")
+  }
+
+  /** SORT-FREE temperature sampling: the 100 TB form of
+    * [[temperatureSample]]. The exact rank path sorts every stratum
+    * inside its window — correct, but a dominant stratum becomes one
+    * near-global (spill-heavy) sort. Here membership is a pure scan
+    * predicate: keep a row iff its 32-bit content hash falls under the
+    * stratum's threshold
+    *
+    *   `h32(text) < T_s`  where  `T_s = floor(q_s * 2^32 / n_s)`
+    *
+    * with `T_s` computed EXACTLY (BigInt) on the driver from the same
+    * literal quota map — zero shuffles beyond the tiny counts pass, zero
+    * sorts, same md5-content determinism (re-runs, engines, and row
+    * orders agree). The trade: the kept count is binomially close to
+    * `q_s`, not exactly `q_s` — the documented approximate variant, to
+    * be preferred whenever exact-to-the-row quotas don't matter. A
+    * stratum whose quota exceeds its size keeps everything (threshold
+    * caps at 2^32). */
+  def hashThresholdSample(df: DataFrame, stratumCol: String, textCol: String,
+                          idCol: String, alpha: Double,
+                          budgetNum: Long, budgetDen: Long): DataFrame = {
+    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val q = quotas(counts, alpha, budgetNum, budgetDen)
+    val nMap = counts.toMap
+    val two32 = BigInt(2).pow(32)
+    val thresholds: Map[String, Long] = q.map { case (s, qs) =>
+      val n = nMap(s)
+      s -> (if (n == 0L) 0L else (BigInt(qs) * two32 / BigInt(n)).min(two32).toLong)
+    }
+    val h32 = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    df.withColumn("__thr", element_at(typedLit(thresholds), stratumOf(col(stratumCol))))
+      .filter(h32 < col("__thr"))
+      .drop("__thr")
   }
 
   /** Temperature-sample `df` to `budgetNum/budgetDen` of its rows,

@@ -9,6 +9,44 @@ import graft.operators.{Dedup, Similarity, TextIndex, Validate}
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashThresholdSample: zero-sort plan, binomially-accurate quotas, deterministic") {
+    import graft.operators.CorpusMix
+    // synthetic two-strata corpus big enough for tight binomial bounds
+    val docs = spark.range(0L, 12000L)
+      .select($"id".as("doc_id"),
+        when($"id" < 10000L, "big").otherwise("small").as("src"),
+        concat(lit("document text number "), $"id").as("text"))
+    val out = CorpusMix.hashThresholdSample(docs, "src", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 2)
+    // THE claim: membership is a scan predicate — no window, no sort,
+    // no shuffle beyond the tiny stratum-counts pass
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"), s"sort in plan:\n$plan")
+    // kept counts land binomially close to the exact quotas
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = CorpusMix.quotas(Seq("big" -> 10000L, "small" -> 2000L),
+      alpha = 0.5, budgetNum = 1, budgetDen = 2)
+    q.foreach { case (s, qs) =>
+      val k = kept.getOrElse(s, 0L)
+      assert(math.abs(k - qs) <= qs / 10,
+        s"stratum $s kept $k vs quota $qs (>10% off)")
+    }
+    // content-hash determinism: a re-run (different row order) keeps
+    // the exact same id set
+    val again = CorpusMix.hashThresholdSample(
+      docs.orderBy($"doc_id".desc), "src", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 2)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    // a quota >= stratum size caps the threshold and keeps everything
+    val all = CorpusMix.hashThresholdSample(docs, "src", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 1)
+    assert(all.filter($"src" === "small").count() == 2000L,
+      "alpha<1 over-quota stratum keeps all rows")
+  }
+
   test("line dedup drops cross-doc duplicate lines, keeps canonical copy") {
     // 4-word lines; docs 1 and 2 share their first line exactly;
     // doc 1 also repeats a line INTERNALLY (df=1 -> kept twice).
