@@ -946,6 +946,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     }),
 
+    // Sort-free temperature sampling (the 100 TB path of q92): stratum
+    // membership is a scan predicate h32(text) < floor(q·2^32/n) — no
+    // window, no sort, binomially-approximate quotas. The oracle replays
+    // the integer threshold rule exactly (HUGEINT floor division), so
+    // the kept SET matches row for row, not just in expectation.
+    "q163_hash_threshold_sample" -> ((s, dir) => {
+      operators.CorpusMix.hashThresholdSample(t(s, dir, "documents"),
+          "lang", "text", "doc_id", alpha = 0.5, budgetNum = 3, budgetDen = 5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_doc_id"))
+    }),
+
     // A4 duplicate-group flagging + P9 conditional rewrite + P10 templating.
     "q10_dup_flag_rewrite" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1826,17 +1840,21 @@ object SparkEntry {
           col("meta.kind").as("kind"))
     }),
 
-    // Feature extraction through the mapPartitions decode STUB — the
-    // query name carries the stub status: the Spark-side plumbing (binary
-    // column, pruned meta struct, batched mapPartitions) is real and
-    // tested, but the decoder is a deterministic fake pending real media
-    // codecs (absent in this environment). No SQL oracle.
-    "q61_media_features_stubdecode" -> ((s, dir) => {
+    // GENERIC media decode over a heterogeneous corpus: one third PNG
+    // (real compressed codec: CRC-verified chunks, multi-IDAT inflate,
+    // all five scanline filters), one third BMP, one third WAV — the
+    // magic-byte dispatch decodes each with its real parser and emits a
+    // uniform feature row. The oracle replays every modality's formula
+    // (pixel means for images, rms/peak/zcr for audio) — byte plumbing,
+    // codec, and dispatch all load-bearing. Formerly the stub-decode
+    // query; the stub is retired.
+    "q61_media_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal
-        .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
-      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
-        .select(col("id"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .synthesizeMixedMediaTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("f1"), col("f2"),
+          round(col("f3"), 6).as("f3"), round(col("f4"), 6).as("f4"),
+          round(col("f5"), 6).as("f5"))
     }),
 
     // REAL media decode: synthesized-but-valid WAV blobs (RIFF/PCM, the
@@ -2357,6 +2375,29 @@ object SparkEntry {
         |  (CAST(min(epoch_us(ts)) AS BIGINT)
         |    - CAST(max(epoch_us(first_view)) AS BIGINT)) // 1000000 AS gap_s
         |FROM p GROUP BY user_id""".stripMargin,
+
+    // same quota CTE as q92, then the exact integer threshold rule:
+    // T = q*2^32 // n in HUGEINT (matches the Spark driver's BigInt),
+    // membership = 32-bit md5 prefix under T
+    "q163_hash_threshold_sample" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |quota AS (
+        |  SELECT lang, n,
+        |    CAST(floor(((SELECT sum(n) FROM cnt) * 3 // 5)
+        |      * pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM cnt)) AS BIGINT) AS q
+        |  FROM cnt),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(least(CAST(q AS HUGEINT) * 4294967296 // n, 4294967296)
+        |      AS BIGINT) AS t
+        |  FROM quota)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) < thr.t
+        |GROUP BY d.lang""".stripMargin,
 
     // the Spark side ran publish -> idempotent re-append -> deleteWhere
     // -> compact -> stats-pruned read against a manifest-committed
@@ -4320,6 +4361,48 @@ object SparkEntry {
 
     // channel means recomputed from the pixel-value formula; integer sums
     // stay below 2^53 so avg() is exact in double on both engines
+    // generic dispatch over the mixed corpus: image thirds replay the
+    // pixel formula (PNG and BMP share it — the codecs differ, the
+    // pixels don't), audio third replays the waveform formula
+    "q61_media_features" ->
+      """WITH params AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h, doc_id % 251 AS seed,
+        |    800 + (doc_id % 10) * 160 AS n, 3 + (doc_id % 8) AS f
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.doc_id, p.m, p.w, p.h,
+        |    avg(CAST((xs.x * 7 + ys.y * 13 + p.seed) % 256 AS DOUBLE)) AS mr,
+        |    avg(CAST((xs.x * 11 + ys.y * 3 + 2 * p.seed) % 256 AS DOUBLE)) AS mg,
+        |    avg(CAST((xs.x * 5 + ys.y * 17 + 3 * p.seed) % 256 AS DOUBLE)) AS mb
+        |  FROM params p,
+        |       LATERAL (SELECT unnest(range(0, p.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, p.h)) AS y) ys
+        |  WHERE p.m < 2
+        |  GROUP BY p.doc_id, p.m, p.w, p.h),
+        |samples AS (
+        |  SELECT p.doc_id, p.n, t.i, ((t.i * p.f * 997) % 16000) * 4 - 32000 AS s
+        |  FROM params p, LATERAL (SELECT unnest(range(0, p.n)) AS i) t
+        |  WHERE p.m = 2),
+        |lagged AS (
+        |  SELECT doc_id, n, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM samples),
+        |aud AS (
+        |  SELECT doc_id, n,
+        |    sqrt(avg(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS rms,
+        |    max(abs(s)) AS peak,
+        |    sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS zcr
+        |  FROM lagged GROUP BY doc_id, n)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN m = 0 THEN 'png' ELSE 'bmp' END AS kind,
+        |  CAST(w AS DOUBLE) AS f1, CAST(h AS DOUBLE) AS f2,
+        |  round(mr, 6) AS f3, round(mg, 6) AS f4, round(mb, 6) AS f5
+        |FROM px
+        |UNION ALL
+        |SELECT doc_id, 'wav', 16000.0, CAST(n AS DOUBLE),
+        |  round(rms, 6), CAST(peak AS DOUBLE), CAST(zcr AS DOUBLE)
+        |FROM aud""".stripMargin,
+
     "q80_image_decode" ->
       """WITH params AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,

@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / frame-sample /
   * resize stages.
   *
-  * Two decode paths:
-  *  - the GENERIC decode (`extractFeatures`) is STUBBED — no image/video
-  *    libraries exist in this environment; it derives features
-  *    deterministically from raw bytes, clearly marked below;
-  *  - the AUDIO path (`decodeWavFeatures`) is a REAL decoder: it parses
-  *    the RIFF/PCM container byte-for-byte and computes signal features
-  *    from the actual samples.
+  * ALL decode paths are REAL decoders built from public container/codec
+  * specs with zero external dependencies:
+  *  - WAV (`decodeWavFeatures`): RIFF chunk walk, PCM validation, signal
+  *    features from the actual samples;
+  *  - BMP (`decodeBmpFeatures`): header + padded bottom-up pixel-array
+  *    parse;
+  *  - PNG (`decodePngFeatures`): chunk walk with CRC32 verification,
+  *    multi-IDAT zlib inflate (`java.util.zip.Inflater`), and full
+  *    scanline-filter reconstruction (None/Sub/Up/Average/Paeth);
+  *  - the GENERIC decode (`extractFeatures`) sniffs the container by
+  *    magic bytes and dispatches to the matching decoder — every number
+  *    it emits comes from decoded pixels or samples.
   * Everything around them — the schema (binary + metadata struct), the
   * partition-preserving mapPartitions batch shape, the explode-based frame
   * table — is the real 100 TB plumbing: blobs never hit the driver, feature
@@ -22,9 +27,6 @@ import org.apache.spark.sql.functions._
   * read bytes.
   */
 object Multimodal {
-
-  /** A decoded feature row (array<float> mirrors the embeddings table). */
-  final case class FeatureRow(id: Long, n_bytes: Long, features: Array[Float])
 
   /** Build a media table from any (id, text) source: blob + typed metadata.
     * Stand-in for reading real image/audio files into binary columns. */
@@ -38,42 +40,69 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("int").as("sample_rate")))
 
-  /** STUB decode + feature extraction.
-    *
-    * Real deployment: replace the body of `featuresOf` with the actual
-    * decoder (JPEG decode -> pooled CNN features, PCM decode -> filterbank,
-    * ...). The mapPartitions shape — iterate a partition of (id, blob)
-    * pairs, emit fixed-width float vectors, never materialize the partition
-    * — is exactly what the real decoder needs, so only `featuresOf` changes.
-    */
-  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+  /** One decoded generic-media feature row: a uniform 5-slot vector so
+    * heterogeneous corpora share one schema. Images (png/bmp): (width,
+    * height, mean_r, mean_g, mean_b). Audio (wav): (sample_rate,
+    * n_samples, rms, peak, zcr). */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 f1: Double, f2: Double, f3: Double,
+                                 f4: Double, f5: Double)
+
+  /** REAL generic media decode: sniff the container by its magic bytes
+    * and dispatch to the matching decoder (PNG / BMP / WAV). Every
+    * emitted number comes from decoded pixels or samples; unknown or
+    * corrupt blobs are quarantined (dropped) — the production contract
+    * for bad media. The mapPartitions shape iterates (id, blob) pairs
+    * and never materializes the partition; adding a codec = adding one
+    * sniff branch + parser, nothing about the plumbing changes. */
+  def extractFeatures(media: DataFrame): DataFrame = {
     val src: Dataset[(Long, Array[Byte])] = media
       .select(col("media_id").cast("long"), col("blob"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     val out = src.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        FeatureRow(id, bytes.length.toLong, featuresOf(bytes, dim))
+      it.flatMap { case (id, b) =>
+        if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+            b(2) == 'N'.toByte && b(3) == 'G'.toByte)
+          parsePng(b).map { case (w, h, sr, sg, sb) =>
+            val n = w.toLong * h
+            MediaFeatures(id, "png", b.length.toLong, w.toDouble, h.toDouble,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+          parseBmp24(b).map { case (w, h, sr, sg, sb) =>
+            val n = w.toLong * h
+            MediaFeatures(id, "bmp", b.length.toLong, w.toDouble, h.toDouble,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        else if (b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+                 b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+                 b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+                 b(10) == 'V'.toByte && b(11) == 'E'.toByte)
+          parseWavPcm16(b).map { case (rate, samples) =>
+            val (rms, peak, zcr) = wavStats(samples)
+            MediaFeatures(id, "wav", b.length.toLong, rate.toDouble,
+              samples.length.toDouble, rms, peak.toDouble, zcr.toDouble)
+          }
+        else None
       }
-    }(Encoders.product[FeatureRow])
+    }(Encoders.product[MediaFeatures])
     out.toDF()
   }
 
-  /** DETERMINISTIC FAKE decode: chunk the bytes into `dim` ranges and fold
-    * each to a float in [-1,1) via an FNV-1a hash. Stable across runs and
-    * platforms; replace with a real decoder in production. */
-  private def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    val chunk = math.max(1, bytes.length / dim)
-    var d = 0
-    while (d < dim) {
-      var h = 0xcbf29ce484222325L // FNV-1a offset basis (public constant)
-      var i = d * chunk
-      val end = math.min(bytes.length, if (d == dim - 1) bytes.length else i + chunk)
-      while (i < end) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
-      out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
-      d += 1
+  /** rms / peak / zero-crossing count of a PCM sample array — shared by
+    * the generic dispatch and [[decodeWavFeatures]]. */
+  private def wavStats(samples: Array[Short]): (Double, Long, Long) = {
+    var sumSq = 0L; var peak = 0L; var zcr = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && s * samples(i - 1).toLong < 0) zcr += 1
+      i += 1
     }
-    out
+    val n = samples.length.toLong
+    (if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0, peak, zcr)
   }
 
   /** Frame sampling: split a blob into `n` fixed-offset frames (chunked
@@ -159,18 +188,8 @@ object Multimodal {
     src.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         parseWavPcm16(bytes).map { case (rate, samples) =>
-          var sumSq = 0L; var peak = 0L; var zcr = 0L
-          var i = 0
-          while (i < samples.length) {
-            val s = samples(i).toLong
-            sumSq += s * s
-            if (math.abs(s) > peak) peak = math.abs(s)
-            if (i > 0 && s * samples(i - 1).toLong < 0) zcr += 1
-            i += 1
-          }
-          val n = samples.length.toLong
-          val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
-          WavFeatures(id, rate, n, rms, peak, zcr)
+          val (rms, peak, zcr) = wavStats(samples)
+          WavFeatures(id, rate, samples.length.toLong, rms, peak, zcr)
         }
       }
     }(Encoders.product[WavFeatures]).toDF()
@@ -325,6 +344,259 @@ object Multimodal {
       }
       (w, h, sumR, sumG, sumB)
     }.toOption
+
+  // ---------------------------------------------------------------------
+  // REAL image decode (PNG): a genuine compressed-codec decoder built
+  // from the public PNG spec with zero dependencies — chunk walk with
+  // CRC32 verification, multi-IDAT zlib inflate (java.util.zip.Inflater),
+  // and full scanline-filter reconstruction (None/Sub/Up/Average/Paeth).
+  // Blobs come from `synthesizePngTable`: valid 8-bit truecolor PNGs
+  // whose pixels follow the SAME integer formula as the BMP path, so the
+  // q80 SQL oracle shape recomputes expected channel means without
+  // touching bytes — and the synthesizer cycles the filter type per row
+  // (y % 5), so every filter's reconstruction arithmetic is load-bearing
+  // in every image taller than 4 rows. Malformed blobs (bad magic, CRC
+  // mismatch, truncated stream, wrong color type) quarantine.
+  // ---------------------------------------------------------------------
+
+  final case class PngFeatures(media_id: Long, width: Int, height: Int,
+                               mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Paeth predictor (PNG spec §9, filter type 4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** One valid 8-bit truecolor (color type 2) non-interlaced PNG. Pixel
+    * channels follow the BMP formula — r `(x*7+y*13+seed)%256`,
+    * g `(x*11+y*3+2*seed)%256`, b `(x*5+y*17+3*seed)%256`; row `y` is
+    * encoded with filter type `y % 5`, and the compressed stream is
+    * split across TWO IDAT chunks (decoders must concatenate). */
+  def synthesizePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val stride = width * 3
+    val raw = Array.ofDim[Byte](height, stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raw(y)(x * 3) = ((x * 7 + y * 13 + seed) % 256).toByte
+        raw(y)(x * 3 + 1) = ((x * 11 + y * 3 + 2 * seed) % 256).toByte
+        raw(y)(x * 3 + 2) = ((x * 5 + y * 17 + 3 * seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filter each scanline (encoder side = raw minus predictor, mod 256)
+    val filtered = new Array[Byte](height * (1 + stride))
+    var pos = 0
+    y = 0
+    while (y < height) {
+      val ft = y % 5
+      filtered(pos) = ft.toByte; pos += 1
+      val cur = raw(y)
+      val prev = if (y > 0) raw(y - 1) else null
+      var i = 0
+      while (i < stride) {
+        val xv = cur(i) & 0xff
+        val a = if (i >= 3) cur(i - 3) & 0xff else 0
+        val b = if (prev != null) prev(i) & 0xff else 0
+        val c = if (prev != null && i >= 3) prev(i - 3) & 0xff else 0
+        val out = ft match {
+          case 0 => xv
+          case 1 => xv - a
+          case 2 => xv - b
+          case 3 => xv - (a + b) / 2
+          case 4 => xv - paeth(a, b, c)
+        }
+        filtered(pos) = (out & 0xff).toByte
+        pos += 1; i += 1
+      }
+      y += 1
+    }
+    // zlib-compress the filtered stream
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = zout.toByteArray
+    // assemble: signature + IHDR + 2×IDAT + IEND, each chunk CRC32'd
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4).putInt(data.length)
+      out.write(bb.array())
+      val tb = tpe.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    val half = z.length / 2
+    chunk("IDAT", z.take(half))
+    chunk("IDAT", z.drop(half))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Media table of synthesized PNG blobs: width `8 + id%9`, height
+    * `6 + id%7`, seed `id%251` — the BMP table's geometry, PNG-encoded. */
+  def synthesizePngTable(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    src.mapPartitions { it =>
+      it.map { id =>
+        (id, synthesizePng((8 + id % 9).toInt, (6 + id % 7).toInt, (id % 251).toInt))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("media_id", "blob")
+      .withColumn("meta", struct(
+        lit("image").as("kind"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate")))
+  }
+
+  /** REAL PNG decode: verify signature + per-chunk CRC32, concatenate
+    * IDATs, inflate, reconstruct every scanline filter, and compute
+    * per-channel means from the actual pixels. Malformed blobs drop. */
+  def decodePngFeatures(media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parsePng(bytes).map { case (w, h, sumR, sumG, sumB) =>
+          val n = w.toLong * h
+          PngFeatures(id, w, h, sumR.toDouble / n, sumG.toDouble / n, sumB.toDouble / n)
+        }
+      }
+    }(Encoders.product[PngFeatures]).toDF()
+  }
+
+  /** Chunk walk + inflate + defilter for 8-bit truecolor non-interlaced
+    * PNG: returns (width, height, sumR, sumG, sumB), or None for
+    * malformed blobs (bad signature, CRC mismatch, truncated zlib
+    * stream, unsupported color type / bit depth / interlace). */
+  private def parsePng(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    scala.util.Try {
+      require(bytes.length > 8 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte &&
+        (bytes(4) & 0xff) == 0x0d && (bytes(5) & 0xff) == 0x0a &&
+        (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0x0a)
+      val bb = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+      bb.position(8)
+      var w = 0; var h = 0
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenIend && bb.remaining() >= 12) {
+        val len = bb.getInt
+        require(len >= 0 && len <= bb.remaining() - 8)
+        val tb = new Array[Byte](4); bb.get(tb)
+        val data = new Array[Byte](len); bb.get(data)
+        val crc = bb.getInt
+        val c = new java.util.zip.CRC32()
+        c.update(tb); c.update(data)
+        require(crc == c.getValue.toInt, "chunk CRC mismatch")
+        new String(tb, "US-ASCII") match {
+          case "IHDR" =>
+            require(len == 13)
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt; h = ib.getInt
+            require(w > 0 && h > 0 && w <= 65536 && h <= 65536)
+            require(data(8) == 8, "bit depth must be 8")
+            require(data(9) == 2, "color type must be truecolor RGB")
+            require(data(10) == 0 && data(11) == 0 && data(12) == 0,
+              "deflate/adaptive/non-interlaced only")
+            seenIhdr = true
+          case "IDAT" => require(seenIhdr); idat.write(data)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks are legal; skip
+        }
+      }
+      require(seenIhdr && seenIend)
+      val stride = w * 3
+      val expected = h * (1 + stride)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val filtered = new Array[Byte](expected)
+      var off = 0
+      while (off < expected) {
+        val n = inf.inflate(filtered, off, expected - off)
+        require(n > 0, "truncated or corrupt zlib stream")
+        off += n
+      }
+      inf.end()
+      // reconstruct scanlines (decoder side = filtered plus predictor)
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var pos = 0
+      var y = 0
+      while (y < h) {
+        val ft = filtered(pos) & 0xff; pos += 1
+        require(ft <= 4, s"unknown filter type $ft")
+        var i = 0
+        while (i < stride) {
+          val xv = filtered(pos + i) & 0xff
+          val a = if (i >= 3) cur(i - 3) else 0
+          val b = if (y > 0) prev(i) else 0
+          val c = if (y > 0 && i >= 3) prev(i - 3) else 0
+          cur(i) = ft match {
+            case 0 => xv
+            case 1 => (xv + a) & 0xff
+            case 2 => (xv + b) & 0xff
+            case 3 => (xv + (a + b) / 2) & 0xff
+            case 4 => (xv + paeth(a, b, c)) & 0xff
+          }
+          i += 1
+        }
+        pos += stride
+        i = 0
+        while (i < stride) {
+          sumR += cur(i); sumG += cur(i + 1); sumB += cur(i + 2)
+          i += 3
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      (w, h, sumR, sumG, sumB)
+    }.toOption
+
+  /** Mixed-modality media table: id%3 = 0 -> PNG, 1 -> BMP, 2 -> WAV —
+    * the heterogeneous corpus the generic [[extractFeatures]] dispatch
+    * exists for. */
+  def synthesizeMixedMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    src.mapPartitions { it =>
+      it.map { id =>
+        val blob = (id % 3) match {
+          case 0 => synthesizePng((8 + id % 9).toInt, (6 + id % 7).toInt, (id % 251).toInt)
+          case 1 => synthesizeBmp((8 + id % 9).toInt, (6 + id % 7).toInt, (id % 251).toInt)
+          case _ => synthesizeWav((800 + (id % 10) * 160).toInt, (3 + (id % 8)).toInt)
+        }
+        (id, blob)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("media_id", "blob")
+      .withColumn("meta", struct(
+        when(col("media_id") % 3 === 2, "audio").otherwise("image").as("kind"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        when(col("media_id") % 3 === 2, 16000).otherwise(lit(null).cast("int"))
+          .as("sample_rate")))
+  }
 
   final case class WavFingerprint(media_id: Long, n_samples: Long, fp: Long)
 

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing specs: schema, deterministic stub decode, frame
-  * sampling reassembly. */
+/** Multimodal plumbing specs: schema, real codec decoders (WAV/BMP/PNG),
+  * generic magic-byte dispatch, frame sampling reassembly. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,17 +23,55 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L) == 49L)
   }
 
-  test("stub feature extraction is deterministic and partition-independent") {
-    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
-    val f1 = Multimodal.extractFeatures(m, dim = 8)
-      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
-    val f2 = Multimodal.extractFeatures(m.repartition(3), dim = 8)
-      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
-    assert(f1.keySet == Set(1L, 2L))
-    assert(f1(1L).length == 8)
-    f1.foreach { case (k, v) => assert(v.sameElements(f2(k)), "repartition-invariant") }
-    assert(f1(1L).forall(x => x >= -1f && x < 1f))
-    assert(!f1(1L).sameElements(f1(2L)), "different content -> different features")
+  test("generic decode dispatches by magic bytes; unknown blobs quarantine") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val m = Multimodal.synthesizeMixedMediaTable(ids, "doc_id")
+      // a text blob (no known magic) must quarantine, not crash or emit
+      .unionByName(Seq((99L, "not a media file".getBytes("UTF-8")))
+        .toDF("media_id", "blob")
+        .withColumn("meta", struct(lit("text").as("kind"),
+          length($"blob").cast("long").as("n_bytes"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"))))
+    val f = Multimodal.extractFeatures(m)
+      .select($"media_id", $"kind").as[(Long, String)].collect().toMap
+    assert(f == Map(0L -> "png", 1L -> "bmp", 2L -> "wav",
+      3L -> "png", 4L -> "bmp", 5L -> "wav"), "dispatch by magic; 99 dropped")
+    // repartition-invariance: decode is per-row, partitioning-free
+    val a = Multimodal.extractFeatures(m).orderBy("media_id").collect().toSeq
+    val b = Multimodal.extractFeatures(m.repartition(3)).orderBy("media_id")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("PNG decode: all five scanline filters reconstruct the exact pixels") {
+    // h=6 rows -> filter types 0..4 all exercised (y % 5); PNG and BMP
+    // share the pixel formula, so the CODECS must agree channel-for-
+    // channel: a cross-codec equality that fails if any filter, the
+    // inflate path, or the chunk walk is wrong
+    val ids = (0L to 20L).toDF("doc_id")
+    val png = Multimodal.decodePngFeatures(Multimodal.synthesizePngTable(ids, "doc_id"))
+      .orderBy("media_id").collect().toSeq
+    val bmp = Multimodal.decodeBmpFeatures(Multimodal.synthesizeBmpTable(ids, "doc_id"))
+      .orderBy("media_id").collect().toSeq
+    assert(png.size == 21 && png == bmp,
+      "PNG decode must equal BMP decode of the same pixel formula")
+  }
+
+  test("PNG decode quarantines corrupt blobs: bad CRC, truncation, bad magic") {
+    val good = Multimodal.synthesizePng(8, 6, 17)
+    val badCrc = good.clone()
+    badCrc(good.length - 5) = (badCrc(good.length - 5) ^ 0x7f).toByte // IEND CRC
+    val badPixelCrc = good.clone()
+    badPixelCrc(60) = (badPixelCrc(60) ^ 0x55).toByte // inside IHDR/IDAT region
+    val truncated = good.take(good.length / 2)
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    val m = Seq(1L -> good, 2L -> badCrc, 3L -> badPixelCrc,
+        4L -> truncated, 5L -> badMagic)
+      .toDF("media_id", "blob")
+    val out = Multimodal.decodePngFeatures(m).select("media_id")
+      .as[Long].collect().toSeq
+    assert(out == Seq(1L), s"only the intact blob decodes, got $out")
   }
 
   test("frame sampling covers every byte exactly once") {
