@@ -1255,13 +1255,25 @@ object SparkEntry {
         Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
     }),
 
-    // Approximate aggregates (HLL distinct + approx percentile): the one-
-    // pass scale path; accuracy asserted in specs, no value oracle.
+    // Approximate aggregates (HLL distinct + approx percentile), graded
+    // as a HARD correctness row via the bounded-error pattern: exact and
+    // approx compute in the SAME query and the output is per-group
+    // within-tolerance booleans, which the oracle pins to TRUE. (The
+    // exact sides exist only to grade the sketches — production runs the
+    // approx alone; tolerances are 3x the configured rsd for HLL and a
+    // 5% relative band for the 10k-bucket percentile.)
     "q24_approx_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ndv_approx"),
-          round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 2).as("p50_approx"))
+        .agg(
+          ((abs(approx_count_distinct(col("l_partkey"), 0.02)
+              - countDistinct(col("l_partkey"))).cast("double")
+            / countDistinct(col("l_partkey")).cast("double")) <= 0.06d)
+            .as("ndv_ok"),
+          ((abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+              - expr("percentile(l_quantity, 0.5D)"))
+            / expr("percentile(l_quantity, 0.5D)")) <= 0.05d)
+            .as("p50_ok"))
     }),
 
     // Sketch-pruned exact heavy hitters: Misra-Gries candidate pass
@@ -1334,8 +1346,13 @@ object SparkEntry {
     // never goes all-pairs. Runs over the 64-value distinct-name dimension,
     // not the 2000-row fact.
     "q86_fuzzy_match" -> ((s, dir) => {
+      // coalesce the block key to '': split(...).getItem(1) is NULL for
+      // single-token names (null join keys never pair), while the oracle's
+      // split_part returns '' and still blocks them together — latent with
+      // TPC-H p_name (always multi-word) but an engine-parity divergence
+      // on other inputs (same fix as q145).
       EntityResolution.fuzzyPairs(t(s, dir, "part"), "p_name",
-        split(col("name"), " ").getItem(1), maxDist = 3)
+        coalesce(split(col("name"), " ").getItem(1), lit("")), maxDist = 3)
     }),
 
     // ---- change-data-capture / slowly-changing dimensions ----
@@ -1489,6 +1506,55 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // ANN recall@k as a correctness row: exact top-k per query point is
+    // HASH-CHECKED (the oracle replays it), and both approximate paths
+    // (LSH at probeRadius=2, IVF) are graded CONTINUOUSLY — recall =
+    // |approx ∩ exact|/k against floors pinned TRUE at two granularities:
+    // per-query (LSH >= 0.4, IVF >= 0.5) and corpus-aggregate over all
+    // query points (LSH >= 0.7, IVF >= 0.8; measured minima across
+    // sf0.001/0.01/0.1 are 0.78/0.86 with per-query minima 0.5/0.7).
+    // This de-fangs the documented oracle fragility of grading LSH by
+    // set-equality (any future sub-1.0 recall is a tuning datum, not a
+    // false failure — while a real recall collapse still breaks the hash).
+    "q164_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+          dim = 64, k = 10, planes = 4, probeRadius = 2)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val lshHits = exact.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("lsh_hits"))
+      val ivfHits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("ivf_hits"))
+      exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          array_join(transform(array_sort(collect_list(col("vec_id"))),
+            _.cast("string")), "|").as("exact_topk"))
+        .join(lshHits, Seq("query_id"), "left")
+        .join(ivfHits, Seq("query_id"), "left")
+        .withColumn("lsh_hits", coalesce(col("lsh_hits"), lit(0L)))
+        .withColumn("ivf_hits", coalesce(col("ivf_hits"), lit(0L)))
+        // corpus-aggregate recall: 5 query points — the unpartitioned
+        // window is a single-row-per-query reduce, not a data-sized sort
+        .withColumn("lsh_total", sum(col("lsh_hits")).over(Window.partitionBy()))
+        .withColumn("ivf_total", sum(col("ivf_hits")).over(Window.partitionBy()))
+        .withColumn("k_total", sum(col("k")).over(Window.partitionBy()))
+        .select(col("query_id"), col("k"), col("exact_topk"),
+          (col("lsh_hits").cast("double") / col("k").cast("double")
+            >= 0.4d).as("lsh_recall_ok"),
+          (col("ivf_hits").cast("double") / col("k").cast("double")
+            >= 0.5d).as("ivf_recall_ok"),
+          (col("lsh_total").cast("double") / col("k_total").cast("double")
+            >= 0.7d).as("lsh_corpus_ok"),
+          (col("ivf_total").cast("double") / col("k_total").cast("double")
+            >= 0.8d).as("ivf_corpus_ok"))
     }),
 
     // int8 scalar quantization of the embeddings: per-vector stats over
@@ -3460,6 +3526,13 @@ object SparkEntry {
         |    count(DISTINCT o_orderpriority),
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)""".stripMargin,
 
+    // bounded-error grading: the Spark side computed exact AND approx in
+    // one query and emitted within-tolerance booleans; the oracle pins
+    // every group to TRUE — an approx regression now breaks the hash
+    "q24_approx_agg" ->
+      """SELECT l_returnflag, TRUE AS ndv_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q99_sql_engine" -> SqlQ3,
 
     "q68_heavy_hitters" ->
@@ -3697,6 +3770,39 @@ object SparkEntry {
          |""".stripMargin + CosineRankTail),
 
     "q36_sim_lsh" -> LshOracleSql,
+
+    // ANN recall grading: the oracle replays the exact brute-force top-k
+    // (same candidate set + cosine/rank tail as q35) and pins both
+    // approximate-path recall booleans to TRUE — exact_topk is
+    // hash-checked, recall is graded against the 0.5 floor.
+    "q164_ann_recall" ->
+      """WITH cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id
+        |  FROM embeddings c, (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+        |    FROM cand c
+        |    JOIN embeddings q ON q.vec_id = c.query_id
+        |    JOIN embeddings e ON e.vec_id = c.vec_id) c),
+        |topk AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |    FROM scored) WHERE rn <= 10)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+        |  string_agg(CAST(vec_id AS VARCHAR), '|' ORDER BY vec_id) AS exact_topk,
+        |  TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+        |  TRUE AS lsh_corpus_ok, TRUE AS ivf_corpus_ok
+        |FROM topk GROUP BY query_id""".stripMargin,
 
     // Embedding near-dup mirror: buckets computed on the NORMALIZED
     // vector (the exact arithmetic the Spark side buckets), the operator's

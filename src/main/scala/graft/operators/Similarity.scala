@@ -230,17 +230,29 @@ object Similarity {
           floor(x.cast("double") * col("scale") + lit(0.5d)).cast("int")))))
   }
 
-  /** LSH-bucketed ANN top-k with 1-bit multi-probe. Same output shape as
-    * bruteForceTopK; recall < 1.0 by construction, bounded work per query. */
+  /** LSH-bucketed ANN top-k with multi-probe. Same output shape as
+    * bruteForceTopK; recall < 1.0 by construction, bounded work per query.
+    *
+    * `probeRadius` is the recall/compute knob: a query probes every bucket
+    * within Hamming distance `probeRadius` of its own sign pattern —
+    * sum(C(planes, i), i=0..r) probes of the 2^planes buckets. Radius 1
+    * (default) is the classic planes+1 multi-probe; radius 2 roughly
+    * doubles probed coverage for weakly-similar neighbors. Corpus-side
+    * cost is unchanged (one bucket per row) — only the broadcast query
+    * fan-out grows, so raising the radius is cheap at any corpus size. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+              vecCol: String, dim: Int, k: Int, planes: Int = 8,
+              probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), dim, planes))
-    // Query probes: its own bucket plus each 1-bit flip (planes+1 probes).
+    // Query probes: every mask with popcount <= probeRadius (mask 0 is the
+    // query's own bucket).
+    val masks = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qb", hyperplaneBucket(col("qv"), dim, planes))
-      .withColumn("bucket", explode(concat(array(col("qb")),
-        array((0 until planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
       .drop("qb")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
