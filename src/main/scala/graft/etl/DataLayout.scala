@@ -52,27 +52,62 @@ object DataLayout {
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
-  /** Files whose [min, max] range on `c` intersects [lo, hi] — the
-    * manifest-pruned scan list. */
-  def prunedFiles(spark: SparkSession, path: String, c: String,
-                  lo: Long, hi: Long): (Seq[String], Long) = {
+  /** Driver-side kept-file-list cap: the pruned list is collected to
+    * build the scan, which is safe at manifest scale (one row per file)
+    * but must not be unbounded at million-file tables — a 10M-path list
+    * of ~150-byte URIs is gigabytes of driver heap. The cap is checked
+    * with a distributed count BEFORE any collect. */
+  val MaxCollectedFiles: Int = 1000000
+
+  /** Kept-file list if it fits under `maxFiles` (checked with a
+    * distributed count BEFORE any collect), else None; second element is
+    * the total manifest file count. */
+  private def keptFiles(spark: SparkSession, path: String, c: String,
+                        lo: Long, hi: Long,
+                        maxFiles: Int): (Option[Seq[String]], Long, Long) = {
     val man = spark.read.parquet(s"$path/_manifest")
     val total = man.count()
-    val keep = man.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq
-    (keep, total)
+    val keepDf = man.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("file")
+    val nKeep = keepDf.count()
+    val kept =
+      if (nKeep <= maxFiles) Some(keepDf.collect().map(_.getString(0)).toSeq)
+      else None
+    (kept, total, nKeep)
+  }
+
+  /** Files whose [min, max] range on `c` intersects [lo, hi] — the
+    * manifest-pruned scan list. Refuses (before collecting anything) if
+    * more than `maxFiles` files survive pruning: callers wanting the
+    * file list at that scale should process the manifest distributively;
+    * callers wanting the DATA should use [[readSkipping]], which falls
+    * back to a plain full scan instead. */
+  def prunedFiles(spark: SparkSession, path: String, c: String,
+                  lo: Long, hi: Long,
+                  maxFiles: Int = MaxCollectedFiles): (Seq[String], Long) = {
+    val (kept, total, nKeep) = keptFiles(spark, path, c, lo, hi, maxFiles)
+    require(kept.isDefined,
+      s"prunedFiles: $nKeep files survive pruning (> cap $maxFiles) — " +
+        "collecting that list would strain the driver; use readSkipping " +
+        "(full-scan fallback) or raise maxFiles deliberately")
+    (kept.get, total)
   }
 
   /** Read `path` with manifest pruning for `c` in [lo, hi]: only files
     * whose min/max range intersects the predicate are opened. The exact
     * predicate is re-applied, so results are identical to a full scan —
-    * pruning is purely an I/O reduction. */
+    * pruning is purely an I/O reduction. If the kept list exceeds
+    * `maxFiles`, the read degrades to a full scan: a predicate touching
+    * a million files was barely pruning anyway, and parquet row-group
+    * min/max skipping still applies within each file. */
   def readSkipping(spark: SparkSession, path: String, c: String,
-                   lo: Long, hi: Long): DataFrame = {
-    val (keep, _) = prunedFiles(spark, path, c, lo, hi)
-    val base =
-      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
-      else spark.read.parquet(keep: _*)
+                   lo: Long, hi: Long,
+                   maxFiles: Int = MaxCollectedFiles): DataFrame = {
+    val base = keptFiles(spark, path, c, lo, hi, maxFiles)._1 match {
+      case Some(keep) if keep.isEmpty => spark.read.parquet(path).where(lit(false))
+      case Some(keep)                 => spark.read.parquet(keep: _*)
+      case None                       => spark.read.parquet(path)
+    }
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 }

@@ -249,10 +249,12 @@ object IncrementalLoad {
     * Failure window: each affected partition swaps independently, so a
     * write failure mid-loop leaves earlier partitions deleted and later
     * ones untouched — a PARTIAL cross-partition delete (each individual
-    * partition is still all-or-nothing). Dir-name problems (NULL /
-    * escape-needing values) are validated up front so that class of
-    * failure cannot strike mid-loop; for crash-consistent multi-
-    * partition deletes use the manifest-committed table variant. If the
+    * partition is still all-or-nothing). Escape-needing partition values
+    * (space, '=', '#', …) are supported via Hive path escaping — the same
+    * encoding the writer used — and NULL/empty values (Hive default-
+    * partition dirs) are refused up front so that class of failure cannot
+    * strike mid-loop; for crash-consistent multi-partition deletes use
+    * the manifest-committed table variant. If the
     * predicate empties every partition, a readable empty table (one
     * parquet footer carrying the full partition-columns-included schema)
     * is left at the root so the next read does not fail schema
@@ -304,19 +306,22 @@ object IncrementalLoad {
       val affected = df.filter(delCond)
         .select(partCols.map(col): _*).distinct().collect()
       // Validate EVERY affected partition directory up front — a
-      // mid-loop failure would leave a partial delete. NULL or
-      // escape-needing partition values use Hive's encoded dir names,
-      // which this reconstruction does not produce: fail fast BEFORE
-      // any swap rather than crash after some.
+      // mid-loop failure would leave a partial delete. Escape-needing
+      // values (space, '=', '#', ':', …) go through Spark's own
+      // ExternalCatalogUtils.escapePathName — the exact Hive encoding the
+      // partitioned writer used for the dir names, so reconstruction
+      // cannot drift from what is on disk. NULL and empty-string values
+      // land in __HIVE_DEFAULT_PARTITION__ and read back as NULL, which
+      // would silently change the rows a re-read predicate sees: fail
+      // fast BEFORE any swap rather than corrupt after some.
       val dirs = affected.map { row =>
         partCols.zipWithIndex.map { case (c, i) =>
           val v = row.get(i)
-          require(v != null, s"deleteWhere: NULL partition value for '$c' " +
-            "(Hive default-partition dirs are not supported)")
-          val sv = v.toString
-          require(sv.matches("[A-Za-z0-9._-]+"),
-            s"deleteWhere: partition value '$sv' needs Hive escaping — unsupported")
-          s"$c=$sv"
+          require(v != null && v.toString.nonEmpty,
+            s"deleteWhere: NULL/empty partition value for '$c' " +
+              "(Hive default-partition dirs are not supported)")
+          s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v.toString)}"
         }.mkString("/")
       }
       dirs.foreach { d =>

@@ -71,24 +71,27 @@ object CorpusMix {
     * overrode the row's own hash).
     *
     * Scale: the base split is a zero-shuffle scan expression; clusters come
-    * from the O(log n)-round star contraction; the two correction joins key
-    * on id, and the cluster table only holds docs that appear in some pair
-    * — a small fraction of the corpus, broadcast-able in practice. */
+    * from the O(log n)-round star contraction; both correction joins put
+    * ONLY pair-touched tables on the build side — the cluster membership
+    * table and the rep-value lookup (base semi-joined down to the actual
+    * representatives, a small fraction of the corpus, broadcast-able in
+    * practice). Rows outside any cluster resolve via coalesce to their own
+    * base_val, so the corpus itself is never shuffled or self-joined. */
   def leakageGuardedSplit(df: DataFrame, textCol: String, idCol: String,
                           pairs: DataFrame,
                           valThreshold: String = "199a"): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       (substring(md5(col(textCol)), 1, 4) < valThreshold).as("base_val"))
     val cl = Dedup.clustersStar(pairs) // (id, cluster_id = min member)
-    val withRep = base.join(cl, Seq("id"), "left")
-      .select(col("id"), col("base_val"),
-        coalesce(col("cluster_id"), col("id")).as("rep"))
-    withRep
-      .join(base.select(col("id").as("rep"), col("base_val").as("rep_val")),
-        Seq("rep"), "left")
+    val repVals = base
+      .join(cl.select(col("cluster_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as("cluster_id"), col("base_val").as("rep_val"))
+    base.join(cl, Seq("id"), "left")
+      .join(repVals, Seq("cluster_id"), "left")
+      .withColumn("eff_val", coalesce(col("rep_val"), col("base_val")))
       .select(col("id"),
-        when(col("rep_val"), "val").otherwise("train").as("split"),
-        (col("rep_val") =!= col("base_val")).as("moved"))
+        when(col("eff_val"), "val").otherwise("train").as("split"),
+        (col("eff_val") =!= col("base_val")).as("moved"))
   }
 
   /** Temperature mixing WITH upsampling: where [[temperatureSample]] can

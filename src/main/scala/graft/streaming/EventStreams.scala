@@ -211,6 +211,21 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(sessionUpdate(gapMinutes.toLong * 60000L))
   }
 
+  /** Session confs for a RocksDB-backed state store. The default
+    * HDFS-backed provider keeps every version of all state in executor
+    * heap — fine for bounded demo state, but sessionizing 100 TB/day of
+    * events means state per executor far beyond heap. RocksDB spills to
+    * local disk with bounded block-cache memory, and changelog
+    * checkpointing uploads per-batch deltas instead of full snapshots.
+    * Apply with `conf.foreach { case (k, v) => spark.conf.set(k, v) }`
+    * before starting the query (the provider is resolved per query run).
+    * Results are provider-independent — proven in StreamingSpec. */
+  val RocksDBStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source dir (test/dev helper; memory sink). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): StreamingQuery = {

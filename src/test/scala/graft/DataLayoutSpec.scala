@@ -75,4 +75,28 @@ class DataLayoutSpec extends SparkSpec {
     DataLayout.writeClustered(spark, df, "x", "y", path, nFiles = 2)
     assert(DataLayout.readSkipping(spark, path, "x", 1000L, 2000L).isEmpty)
   }
+
+  test("kept-file cap: prunedFiles refuses, readSkipping degrades to full scan") {
+    // a "wide" manifest stand-in: 8 files all surviving pruning, with the
+    // cap lowered to 4 to simulate a million-file table without writing one
+    val n = 4096
+    val df = spark.range(n).select(
+      (col("id") % 64).as("x"), expr("id DIV 64").as("y"),
+      col("id").as("payload"))
+    val path = tmpDir("graft-zcap") + "/t"
+    DataLayout.writeClustered(spark, df, "x", "y", path, nFiles = 8)
+
+    // the whole x-range keeps all 8 files: over the cap
+    val e = intercept[IllegalArgumentException] {
+      DataLayout.prunedFiles(spark, path, "x", 0L, 63L, maxFiles = 4)
+    }
+    assert(e.getMessage.contains("cap"))
+    // readSkipping must neither fail nor collect — and stay correct
+    val capped = DataLayout.readSkipping(spark, path, "x", 0L, 63L, maxFiles = 4)
+      .agg(count(lit(1)), sum(col("payload"))).as[(Long, Long)].head()
+    assert(capped == ((n.toLong, n.toLong * (n - 1) / 2)))
+    // under the cap, pruning still happens as before
+    val (keep, _) = DataLayout.prunedFiles(spark, path, "x", 10L, 13L, maxFiles = 4)
+    assert(keep.nonEmpty && keep.size <= 4)
+  }
 }

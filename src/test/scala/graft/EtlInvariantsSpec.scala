@@ -255,17 +255,38 @@ class EtlInvariantsSpec extends SparkSpec {
       Set(1L, 2L))
   }
 
-  test("deleteWhere fails fast on partition values needing Hive escaping") {
+  test("deleteWhere handles partition values needing Hive escaping") {
     val target = s"${tmpDir("delwesc")}/t"
-    // 'north region' (space) and 'a=b' (equals) both need Hive escaping
-    Seq((1L, "north region"), (2L, "plain"), (3L, "a=b"))
+    // 'north region' (space, kept literal by Hive), 'a=b' (equals ->
+    // %3D) and '10:30' (colon -> %3A) exercise the writer's dir-name
+    // encoding; deleteWhere must reconstruct the SAME names
+    Seq((1L, "north region"), (2L, "plain"), (3L, "a=b"), (4L, "10:30"))
       .toDF("id", "zone").write.partitionBy("zone").parquet(target)
+    assert(new java.io.File(s"$target/zone=a%3Db").exists(),
+      "writer escaped '=' as %3D")
+    val (p, d) = IncrementalLoad.deleteWhere(spark, target, $"id" === 3L)
+    assert((p, d) == (1L, 1L))
+    assert(!new java.io.File(s"$target/zone=a%3Db").exists(),
+      "escaped partition emptied and removed")
+    // delete inside the space-bearing partition: others untouched
+    val (p2, d2) = IncrementalLoad.deleteWhere(spark, target, $"zone" === "north region")
+    assert((p2, d2) == (1L, 1L))
+    assert(spark.read.parquet(target).select("id").as[Long].collect().toSet ==
+      Set(2L, 4L))
+  }
+
+  test("deleteWhere refuses NULL/empty partition values (Hive default partition)") {
+    val target = s"${tmpDir("delwnull")}/t"
+    // NULL and '' both land in __HIVE_DEFAULT_PARTITION__ on write and
+    // read back as NULL — deleting by reconstructed dir name would be
+    // ambiguous, so deleteWhere must fail fast before any swap
+    Seq((1L, Some("x")), (2L, None)).toDF("id", "zone")
+      .write.partitionBy("zone").parquet(target)
     val e = intercept[IllegalArgumentException] {
-      IncrementalLoad.deleteWhere(spark, target, $"id" === 1L)
+      IncrementalLoad.deleteWhere(spark, target, $"id" === 2L)
     }
-    assert(e.getMessage.contains("Hive escaping"))
-    // fail-fast means NOTHING was deleted — all three rows intact
-    assert(spark.read.parquet(target).count() == 3)
+    assert(e.getMessage.contains("default-partition"))
+    assert(spark.read.parquet(target).count() == 2, "nothing deleted")
   }
 
   test("deleteWhere: NULL predicate means KEEP, and is never silent loss") {

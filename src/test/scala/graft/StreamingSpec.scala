@@ -214,6 +214,58 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed).nonEmpty && canon(streamed) == canon(batchForm))
   }
 
+  test("stateful sessionize under the RocksDB state store matches the default provider") {
+    // the 100 TB story for stateful streaming: the default HDFS-backed
+    // provider is executor-heap-bound; RocksDB spills state to local disk.
+    // Same data, same query, both providers -> identical closed sessions,
+    // and the checkpoint proves RocksDB actually engaged.
+    val src = tmpDir("rocks-src")
+    Seq(
+      EventStreams.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0, "{}"),
+      EventStreams.Event(2, ts("2024-01-01 10:10:00"), 7, "view", 2.0, "{}"),
+      EventStreams.Event(3, ts("2024-01-01 12:00:00"), 7, "click", 4.0, "{}"),
+      EventStreams.Event(4, ts("2024-01-01 10:05:00"), 8, "view", 8.0, "{}"),
+      EventStreams.Event(5, ts("2024-01-01 13:00:00"), 8, "view", 16.0, "{}")
+    ).toDS().coalesce(1).write.mode("overwrite").parquet(src)
+
+    def runSessions(name: String): (Set[(Long, Long, Double)], String) = {
+      val ckpt = tmpDir(s"rocks-ckpt-$name")
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema)
+        .parquet(src).as[EventStreams.Event]
+      val q = EventStreams.statefulSessionize(stream, gapMinutes = 30)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (spark.table(name).select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet, ckpt)
+    }
+
+    val (defaultOut, defaultCkpt) = runSessions("rocks_off")
+    val before = EventStreams.RocksDBStateStoreConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.RocksDBStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (rocksOut, rocksCkpt) = runSessions("rocks_on")
+      assert(rocksOut.nonEmpty && rocksOut == defaultOut,
+        s"provider changed results: $rocksOut vs $defaultOut")
+      // proof each provider actually ran: HDFS provider writes .delta
+      // state files, RocksDB (with changelog checkpointing) .changelog
+      def stateFiles(ckpt: String): Seq[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$ckpt/state")).map(_.getName)
+      }
+      assert(stateFiles(defaultCkpt).exists(_.endsWith(".delta")))
+      assert(stateFiles(rocksCkpt).exists(n =>
+        n.endsWith(".changelog") || n.endsWith(".zip")))
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("streaming incremental rollup maintenance equals the full recompute") {
     // the q130 operator driven as a stream: each micro-batch folds its
     // partials into a versioned rollup state; after the stream drains,
