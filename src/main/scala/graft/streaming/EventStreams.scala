@@ -156,33 +156,25 @@ object EventStreams {
     * they close — arbitrary state the built-in window aggregates can't
     * express (state is one small record per active user, bounded by the
     * event-time timeout). */
-  /** The per-group state transition (exposed for direct unit testing with
-    * org.apache.spark.sql.streaming.TestGroupState). */
-  private[graft] def sessionUpdate(gapMs: Long)(
-      userId: Long, rows: Iterator[Event],
-      state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[ClosedSession] = {
-    def close(s: SessionState) = ClosedSession(userId,
-      new java.sql.Timestamp(s.sessionStart), s.nEvents, s.sumValue,
-      (s.lastSeen - s.sessionStart) / 1000.0)
 
-    // Timeout invocations (rows empty) MUST be handled before any
-    // setTimeoutTimestamp call: the stored timeout is below the current
-    // watermark (that's why the group timed out), so re-arming it first
-    // throws and kills the query.
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(close).iterator
-      state.remove()
-      return out
-    }
+  private def closedFrom(userId: Long, s: SessionState) = ClosedSession(userId,
+    new java.sql.Timestamp(s.sessionStart), s.nEvents, s.sumValue,
+    (s.lastSeen - s.sessionStart) / 1000.0)
 
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    var closed = List.empty[ClosedSession]
-    var cur = state.getOption
-    sorted.foreach { e =>
+  /** The pure per-user session fold, shared by BOTH stateful engines
+    * (flatMapGroupsWithState and transformWithState) so their semantics
+    * cannot drift: feeds time-ordered events into the open session,
+    * closing it whenever the gap passes. Returns (closed-in-order,
+    * still-open). */
+  private[graft] def advanceSession(gapMs: Long, start: Option[SessionState],
+      events: Seq[Event]): (List[SessionState], Option[SessionState]) = {
+    var closed = List.empty[SessionState]
+    var cur = start
+    events.foreach { e =>
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.lastSeen > gapMs =>
-          closed ::= close(s)
+          closed ::= s
           cur = Some(SessionState(t, t, 1, e.value))
         case Some(s) =>
           // max(): a late-but-above-watermark event from a previous batch
@@ -194,11 +186,31 @@ object EventStreams {
           cur = Some(SessionState(t, t, 1, e.value))
       }
     }
+    (closed.reverse, cur)
+  }
+
+  /** The per-group state transition (exposed for direct unit testing with
+    * org.apache.spark.sql.streaming.TestGroupState). */
+  private[graft] def sessionUpdate(gapMs: Long)(
+      userId: Long, rows: Iterator[Event],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[ClosedSession] = {
+    // Timeout invocations (rows empty) MUST be handled before any
+    // setTimeoutTimestamp call: the stored timeout is below the current
+    // watermark (that's why the group timed out), so re-arming it first
+    // throws and kills the query.
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(closedFrom(userId, _)).iterator
+      state.remove()
+      return out
+    }
+
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (closed, cur) = advanceSession(gapMs, state.getOption, sorted)
     cur.foreach { s =>
       state.update(s)
       state.setTimeoutTimestamp(s.lastSeen + gapMs)
     }
-    closed.reverseIterator
+    closed.map(closedFrom(userId, _)).iterator
   }
 
   def statefulSessionize(events: org.apache.spark.sql.Dataset[Event],
@@ -209,6 +221,60 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(sessionUpdate(gapMinutes.toLong * 60000L))
+  }
+
+  /** The same sessionization on Spark 4's transformWithState — the
+    * successor stateful API (SPARK-40434, "arbitrary stateful processing
+    * v2"): typed named state via a handle, explicit per-key timers, and
+    * state TTL. Requires the RocksDB state store provider (the operator's
+    * column-family state layout only exists there — pair with
+    * [[RocksDBStateStoreConf]]), which is also the right provider at
+    * scale. Both engines share [[advanceSession]], and the spec proves
+    * they emit identical closed sessions. */
+  private[graft] class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val start = if (session.exists()) Some(session.get()) else None
+      val (closed, cur) = advanceSession(gapMs, start, sorted)
+      cur.foreach { s =>
+        session.update(s)
+        // one live timer per key: clear the stale one before re-arming at
+        // the new inactivity deadline (timers do not overwrite like
+        // setTimeoutTimestamp does)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastSeen + gapMs)
+      }
+      closed.map(closedFrom(userId, _)).iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out =
+        if (session.exists()) Iterator.single(closedFrom(userId, session.get()))
+        else Iterator.empty
+      session.clear()
+      out
+    }
+  }
+
+  def statefulSessionizeTWS(events: org.apache.spark.sql.Dataset[Event],
+                            gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes.toLong * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Session confs for a RocksDB-backed state store. The default

@@ -87,6 +87,30 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("bloom might_contain: codegen'd probe, no false negatives") {
+    import graft.expressions.BloomExprs
+    val items = (0L until 2000L).map(i => s"gram-$i")
+    val bloom = items.toDF("g").stat.bloomFilter("g", 2000L, 0.01)
+    val probe = (items ++ (10000L until 12000L).map(i => s"absent-$i"))
+      .toDF("g").repartition(3)
+      .select($"g", BloomExprs.mightContain($"g", bloom).as("hit"))
+    // the probe must run inside whole-stage codegen (reference-object
+    // filter, no fallback eval); AQE defers WSCG insertion, so disable it
+    // for the plan inspection like the other codegen asserts
+    val gen = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try codegenString(probe.queryExecution.executedPlan)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert(gen.contains("mightContainBinary"), "expected the direct bloom probe call")
+    val byHit = probe.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // soundness: every inserted item MUST hit (bloom theorem)
+    items.foreach(g => assert(byHit(g), s"false negative on $g"))
+    // fp sanity: absent items hit at ~fpp, not wholesale
+    val fps = (10000L until 12000L).count(i => byHit(s"absent-$i"))
+    assert(fps < 100, s"fp rate implausibly high: $fps/2000")
+  }
+
   test("generated and interpreted paths agree") {
     val gen1 = sigQuery.collect().map(_.toString).sorted
     val gen2 = cosQuery.collect().map(_.toString).sorted

@@ -79,6 +79,12 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
     assert(flagged.keySet == Set(1L), s"got $flagged")
     assert(flagged(1L) >= 6, "doc 1 shares most of its 3-grams")
+    // the bloom-pruned plan is output-identical by construction (no false
+    // negatives in the prune; exact verify strips false positives)
+    val bloomed = Dedup.contaminationBloomPruned(corpus, eval, "text", "doc_id",
+        shingleN = 3, minOverlap = 3)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    assert(bloomed == flagged, s"bloom-pruned diverged: $bloomed vs $flagged")
   }
 
   test("PII scrub redacts emails and phone-shaped runs, leaves text intact") {

@@ -200,6 +200,29 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(state.isRemoved, "state cleared after timeout")
   }
 
+  test("kmv quantile sketch: partition-independent, exact when k >= n") {
+    import graft.expressions.KmvQuantileAgg.kmvQuantiles
+    val df = spark.range(10000).select(
+      col("id"), (col("id") % 97).cast("double").as("v"))
+    def sketch(parts: Int): Seq[Double] =
+      df.repartition(parts)
+        .agg(kmvQuantiles(col("v"), col("id"), k = 256, probs = Seq(0.25, 0.5, 0.9)))
+        .as[Seq[Double]].head()
+    // the kept set is the k smallest id-hashes — a pure function of the
+    // data, so ANY partitioning gives bit-identical output (the property
+    // percentile_approx does not have)
+    val a = sketch(3)
+    assert(a == sketch(13) && a == sketch(1))
+    // rank error ~ 1/sqrt(256) ≈ 6%: kth-value of 0..96 within ~12 ranks
+    assert(math.abs(a(1) - 48.0) <= 12.0, s"median estimate ${a(1)}")
+
+    // k >= n: the sample IS the data, quantiles exact (lower-value rule)
+    val tiny = spark.range(1, 101).select(col("id"), col("id").cast("double").as("v"))
+    val exact = tiny.agg(kmvQuantiles(col("v"), col("id"), k = 1000,
+      probs = Seq(0.01, 0.5, 1.0))).as[Seq[Double]].head()
+    assert(exact == Seq(1.0, 50.0, 100.0), s"got $exact")
+  }
+
   test("approximate aggregates track exact values within tolerance") {
     // q24 now carries the bounded-error check itself (exact + approx in one
     // query, within-tolerance booleans out); assert every group holds.
