@@ -1844,6 +1844,16 @@ object SparkEntry {
         shingleN = 3, minOverlap = 5, fpp = 0.01)
     }),
 
+    // Model-based quality scoring: a fitted linear model applied per-doc
+    // (weights are a model artifact, here literals); the Spark side is
+    // scan-only codegen — feature exprs -> dot product -> sigmoid, zero
+    // shuffle. The oracle replays the identical arithmetic.
+    "q167_quality_model" -> ((s, dir) => {
+      operators.QualityModel.score(t(s, dir, "documents"), "text",
+        weights = Seq(0.35, 4.0, -8.0, -3.0), bias = -1.6)
+        .select(col("doc_id"), col("quality_prob"), col("kept"))
+    }),
+
     // PII scrubbing over deterministically-injected addresses/numbers
     // (the corpus itself carries none — the injection makes the redaction
     // observable and oracle-checkable end to end).
@@ -4383,6 +4393,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         |FROM corpus_g JOIN eval_g USING (g)
         |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin),
+
+    // feature arithmetic mirrored term by term (same add order as the
+    // Spark fold); Spark log == DuckDB ln
+    "q167_quality_model" ->
+      ("""SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-1.6 + log_tokens * 0.35 + sw_ratio * 4.0
+        |    + punct_ratio * -8.0 + digit_ratio * -3.0))), 6) AS quality_prob,
+        |  (round(1.0 / (1.0 + exp(-(-1.6 + log_tokens * 0.35 + sw_ratio * 4.0
+        |    + punct_ratio * -8.0 + digit_ratio * -3.0))), 6) >= 0.5) AS kept
+        |FROM (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS log_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) > 0 THEN round(CAST(len(regexp_extract_all(lower(text), '""" + AllStopPat + """')) AS DOUBLE) / len(string_split(text, ' ')), 6) ELSE 0.0 END AS sw_ratio,
+        |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS digit_ratio
+        |  FROM documents)""").stripMargin,
 
     "q46_pii_scrub" ->
       """SELECT doc_id,

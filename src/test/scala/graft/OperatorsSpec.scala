@@ -87,6 +87,31 @@ class OperatorsSpec extends SparkSpec {
     assert(bloomed == flagged, s"bloom-pruned diverged: $bloomed vs $flagged")
   }
 
+  test("quality classifier: GD training separates planted classes; scoring is scan-only") {
+    import graft.operators.QualityModel
+    // planted classes: stopword-rich prose vs digit/punct spam — the
+    // trainer must find weights separating them from labels alone
+    val good = (1 to 60).map(i => (i.toLong,
+      s"the quick brown fox $i jumps over the lazy dog and runs to the " +
+        "forest in the morning while the sun is high", 1))
+    val bad = (61 to 120).map(i => (i.toLong,
+      s"$i 0123 4567 89!!! ??? ;;; 999 888 777 !!! 000 111 222;;;", 0))
+    val df = (good ++ bad).toDF("id", "text", "label")
+    val (w, b) = QualityModel.train(df, "text", "label", iters = 50, lr = 1.0)
+    val scored = QualityModel.score(df, "text", w, b)
+    val acc = scored
+      .filter(($"quality_prob" >= 0.5) === ($"label" === 1))
+      .count().toDouble / 120
+    assert(acc >= 0.95, s"train accuracy $acc with w=$w b=$b")
+
+    // the 100 TB claim: scoring a real table is scan → project, no
+    // Exchange anywhere in the plan
+    val plan = QualityModel.score(Tables.load(spark, sf(), "documents"),
+      "text", Seq(0.35, 4.0, -8.0, -3.0), -1.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be shuffle-free:\n$plan")
+  }
+
   test("PII scrub redacts emails and phone-shaped runs, leaves text intact") {
     val r = Seq(
       (1L, "mail me at a.b+tag@ex-ample.co.uk or call +44 (0) 7911 123456 now"),
