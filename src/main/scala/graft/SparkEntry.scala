@@ -1844,6 +1844,30 @@ object SparkEntry {
         shingleN = 3, minOverlap = 5, fpp = 0.01)
     }),
 
+    // JSON-lines source round-trip with corrupt-line quarantine: documents
+    // staged as json-lines, one garbage line injected, read back with the
+    // DECLARED schema (S1 contract, json form). Every valid row must
+    // round-trip byte-identically (oracle = the parquet table itself) and
+    // the quarantine must catch EXACTLY the injected line (n_corrupt
+    // pinned to 1) — proving bad input neither kills the job nor leaks
+    // into the clean stream.
+    "q169_json_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft-json-src-" +
+        new java.io.File(dir).getName
+      docs.write.mode("overwrite").json(stage)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stage, "zz-corrupt.json"),
+        "{this is not json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // cache: Spark disallows projecting ONLY the corrupt-record column
+      // from a lazily-parsed json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+      // the quarantine branch needs the parsed frame materialized
+      val read = sources.JsonSources.readJsonLines(s, stage, docs.schema).cache()
+      val nCorrupt = sources.JsonSources.quarantined(read)
+        .agg(count(lit(1)).as("n_corrupt"))
+      sources.JsonSources.valid(read).crossJoin(broadcast(nCorrupt))
+    }),
+
     // Model-based quality scoring: a fitted linear model applied per-doc
     // (weights are a model artifact, here literals); the Spark side is
     // scan-only codegen — feature exprs -> dot product -> sigmoid, zero
@@ -1913,6 +1937,28 @@ object SparkEntry {
           countDistinct(col("k")).as("ndv_k"),
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // Spark 4 VariantType over semi-structured events: nested JSON
+    // (deterministically composed from integer columns, so both engines
+    // build byte-identical input) parsed ONCE to the binary variant
+    // encoding, then typed path extraction — the modern scale path for
+    // semi-structured data: parse cost paid once per row, extractions are
+    // O(1) binary probes instead of per-path string re-parses (q52's
+    // from_json shape). try_variant_get on an absent path must yield NULL,
+    // not error.
+    "q168_variant" -> ((s, dir) => {
+      val js = concat(lit("{\"meta\":{\"type\":\""), col("event_type"),
+        lit("\",\"ord\":"), (col("event_id") % 7).cast("string"),
+        lit("},\"ids\":["), col("user_id").cast("string"),
+        lit(","), col("event_id").cast("string"), lit("]}"))
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(js).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.meta.type", "string").as("typ"),
+          variant_get(col("v"), "$.meta.ord", "bigint").as("ord"),
+          variant_get(col("v"), "$.ids[0]", "bigint").as("first_id"),
+          try_variant_get(col("v"), "$.absent", "bigint").isNull.as("absent_null"))
     }),
 
     // Gap-based sessionization (30-min inactivity) per user.
@@ -4394,6 +4440,14 @@ object SparkEntry {
         |FROM corpus_g JOIN eval_g USING (g)
         |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin),
 
+    // round-trip fidelity: the oracle IS the parquet table — any value
+    // the json path mangles breaks the hash; the injected corrupt line
+    // count is pinned
+    "q169_json_source" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
+
     // feature arithmetic mirrored term by term (same add order as the
     // Spark fold); Spark log == DuckDB ln
     "q167_quality_model" ->
@@ -4477,6 +4531,22 @@ object SparkEntry {
         |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the oracle builds the SAME json text and extracts with DuckDB's
+    // json operators — typed extraction parity over identical input
+    "q168_variant" ->
+      """SELECT event_id,
+        |  js->>'$.meta.type' AS typ,
+        |  CAST(js->>'$.meta.ord' AS BIGINT) AS ord,
+        |  CAST(js->>'$.ids[0]' AS BIGINT) AS first_id,
+        |  (js->>'$.absent' IS NULL) AS absent_null
+        |FROM (
+        |  SELECT event_id,
+        |    '{"meta":{"type":"' || event_type || '","ord":' ||
+        |    CAST(event_id % 7 AS VARCHAR) || '},"ids":[' ||
+        |    CAST(user_id AS VARCHAR) || ',' || CAST(event_id AS VARCHAR) ||
+        |    ']}' AS js
+        |  FROM events)""".stripMargin,
 
     "q51_sessionize" ->
       """SELECT user_id,
