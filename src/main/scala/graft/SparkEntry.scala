@@ -1461,6 +1461,11 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs (4x16-bit block LSH + Hamming verify).
+    // Oracle: ALL-PAIRS Hamming <= 3 over DuckDB-replayed signatures —
+    // provably equal to the LSH output (not an empirical-recall check
+    // like q31's): a pair within Hamming 3 of a 64-bit hash differs in
+    // at most 3 of the 4 blocks, so at least one block matches and LSH
+    // recall is 1.0 BY PIGEONHOLE at these settings.
     "q32_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
         maxHamming = 3)
@@ -1842,6 +1847,46 @@ object SparkEntry {
       Dedup.contaminationBloomPruned(docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
         shingleN = 3, minOverlap = 5, fpp = 0.01)
+    }),
+
+    // Pseudonymization with referential integrity: both tables' ids become
+    // salted sha256 tokens, the join runs ON THE TOKENS, and the oracle
+    // joins the raw ids then tokenizes — identical output proves tokens
+    // preserve exactly the raw join structure while no raw id survives.
+    "q170_pseudonymize" -> ((s, dir) => {
+      val salt = "graft2026"
+      val c = operators.Privacy.pseudonymize(
+        t(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"), salt)
+      val o = operators.Privacy.pseudonymize(
+        t(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"), salt)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey").as("cust_token"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Entity-coordinated sampling: sample the CUSTOMER universe by hash
+    // threshold, then carry every dependent fact of the kept entities —
+    // the consistent-downsample that keeps referential integrity intact
+    // (a row-level sample of each table independently would orphan most
+    // facts). Hash-threshold membership is a scan predicate; facts follow
+    // by key semi-joins — no sort, no global pass.
+    "q171_coordinated_sample" -> ((s, dir) => {
+      val keepC = t(s, dir, "customer")
+        .filter(substring(md5(concat(lit("cs:"),
+          col("c_custkey").cast("string"))), 1, 4) < "1999")
+        .select(col("c_custkey"))
+      val keptOrders = t(s, dir, "orders")
+        .join(keepC, col("o_custkey") === col("c_custkey"), "left_semi")
+      val keptItems = t(s, dir, "lineitem")
+        .join(keptOrders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val nC = keepC.agg(count(lit(1)).as("n_cust"))
+      val nI = keptItems.agg(count(lit(1)).as("n_items"))
+      keptOrders.agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5d).cast("long")).as("revenue_cents"))
+        .crossJoin(broadcast(nC)).crossJoin(broadcast(nI))
     }),
 
     // JSON-lines source round-trip with corrupt-line quarantine: documents
@@ -3761,6 +3806,42 @@ object SparkEntry {
     "q31_dedup_minhash" ->
       ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
 
+    // Byte-exact replay of the engine's signature pipeline: FNV-1a 64
+    // over word-2-gram shingles (HUGEINT multiply mod 2^64 inside a
+    // list_reduce), per-bit majority vote over DISTINCT shingle hashes,
+    // then ALL-PAIRS Hamming <= 3. Equality with the banded-LSH engine
+    // output is guaranteed by pigeonhole (see the query comment), so
+    // this is a hard oracle, not a recall check.
+    "q32_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |shingle AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+        |      ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS s
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT DISTINCT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      [CAST(unicode(s[i]) AS UBIGINT) for i in range(1, length(s)+1)]),
+        |    (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+        |                   % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS h
+        |  FROM shingle),
+        |votes AS (
+        |  SELECT doc_id, b.i,
+        |    sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(range(64)) AS i) b
+        |  GROUP BY doc_id, b.i),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << i
+        |             ELSE CAST(0 AS UBIGINT) END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
     // Cluster resolution is oracle-checkable too: the verified minhash
     // pairs equal the exact-Jaccard pairs at these settings (recall 1.0,
     // asserted in specs AND by this hash check), and min-label
@@ -4439,6 +4520,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         |FROM corpus_g JOIN eval_g USING (g)
         |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin),
+
+    // raw-id join, tokenized at the end: must equal Spark's token-space join
+    "q170_pseudonymize" ->
+      """SELECT sha256('graft2026:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+        |  c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q171_coordinated_sample" ->
+      """WITH kc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE substr(md5('cs:' || CAST(c_custkey AS VARCHAR)), 1, 4) < '1999'),
+        |ko AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM kc))
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST((SELECT count(*) FROM kc) AS BIGINT) AS n_cust,
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM ko)) AS BIGINT) AS n_items
+        |FROM ko""".stripMargin,
 
     // round-trip fidelity: the oracle IS the parquet table — any value
     // the json path mangles breaks the hash; the injected corrupt line
