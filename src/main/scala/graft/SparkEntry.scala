@@ -1889,6 +1889,31 @@ object SparkEntry {
         .crossJoin(broadcast(nC)).crossJoin(broadcast(nI))
     }),
 
+    // Cross-source shingle overlap from KMV sketches: per source pair,
+    // the sketch-estimated Jaccard next to the exactly-computed one.
+    // The sketch path never builds a corpus-sized pair stage — one
+    // map-side-combined O(k)-state aggregation, then sketch-only math.
+    // Hashes are deterministic (FNV-1a via ShingleHashSetExpr), so the
+    // oracle replays sketches AND estimates exactly: a sketch graded by
+    // hard equality, not a tolerance band.
+    "q173_kmv_overlap" -> ((s, dir) => {
+      operators.CorpusOverlap.overlapReport(
+        t(s, dir, "documents"), "text", "source", n = 3, k = 256)
+    }),
+
+    // Re-identification risk audit before a data release: per
+    // (mktsegment, nation) quasi-group, k-anonymity (group size) and
+    // l-diversity (distinct account-balance buckets) in ONE map-side
+    // combined aggregation — the release gate a pseudonymized export
+    // (q170) still needs, because quasi columns re-identify even when
+    // ids are tokenized.
+    "q174_k_anonymity" -> ((s, dir) => {
+      operators.Privacy.kAnonymityAudit(
+        t(s, dir, "customer")
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0d)),
+        Seq("c_mktsegment", "c_nationkey"), "bal_bucket", k = 15, l = 5)
+    }),
+
     // JSON-lines source round-trip with corrupt-line quarantine: documents
     // staged as json-lines, one garbage line injected, read back with the
     // DECLARED schema (S1 contract, json form). Every valid row must
@@ -4542,6 +4567,79 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM lineitem
         |        WHERE l_orderkey IN (SELECT o_orderkey FROM ko)) AS BIGINT) AS n_items
         |FROM ko""".stripMargin,
+
+    // Full replay of the KMV overlap pipeline: 3-gram shingles, FNV-1a
+    // hashes (the q32 HUGEINT recipe), per-source bottom-256 sketches
+    // (ORDER BY the UBIGINT hash), the U_k estimator, and the exact
+    // distinct-shingle Jaccard — every number matches the engine exactly
+    // because nothing in the pipeline is random.
+    "q173_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(lower(text), ' ') AS tk FROM documents),
+        |shingle AS (
+        |  SELECT source, unnest(CASE WHEN len(tk) >= 3
+        |      THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in range(1, len(tk) - 1)]
+        |      ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS s
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT DISTINCT source, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      [CAST(unicode(s[i]) AS UBIGINT) for i in range(1, length(s)+1)]),
+        |    (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+        |                   % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS h
+        |  FROM shingle),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM hashed) WHERE rn <= 256),
+        |pairs AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b
+        |  FROM (SELECT DISTINCT source FROM documents) a
+        |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+        |usk AS (
+        |  SELECT p.grp_a, p.grp_b, s.h FROM pairs p
+        |  JOIN sk s ON s.source IN (p.grp_a, p.grp_b)
+        |  GROUP BY 1, 2, 3),
+        |uk AS (
+        |  SELECT grp_a, grp_b, h FROM (
+        |    SELECT grp_a, grp_b, h,
+        |      row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+        |    FROM usk) WHERE rn <= 256),
+        |m AS (
+        |  SELECT u.grp_a, u.grp_b, count(*) AS union_k,
+        |    sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS match_k
+        |  FROM uk u
+        |  LEFT JOIN sk sa ON sa.source = u.grp_a AND sa.h = u.h
+        |  LEFT JOIN sk sb ON sb.source = u.grp_b AND sb.h = u.h
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT source, count(*) AS nd FROM hashed GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS ni
+        |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT m.grp_a, m.grp_b,
+        |  CAST(m.union_k AS INT) AS union_k, CAST(m.match_k AS INT) AS match_k,
+        |  m.match_k / m.union_k AS est_jaccard,
+        |  CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter,
+        |  CAST(sa.nd AS BIGINT) AS n_a, CAST(sb.nd AS BIGINT) AS n_b,
+        |  coalesce(i.ni, 0) / (sa.nd + sb.nd - coalesce(i.ni, 0)) AS exact_jaccard
+        |FROM m
+        |LEFT JOIN inter i ON i.grp_a = m.grp_a AND i.grp_b = m.grp_b
+        |JOIN sizes sa ON sa.source = m.grp_a
+        |JOIN sizes sb ON sb.source = m.grp_b""".stripMargin,
+
+    "q174_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+        |    AS l_distinct,
+        |  count(*) >= 15 AS k_anon_ok,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 5 AS l_div_ok
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
 
     // round-trip fidelity: the oracle IS the parquet table — any value
     // the json path mangles breaks the hash; the injected corrupt line

@@ -60,6 +60,20 @@ object ExprKernels {
     sig
   }
 
+  /** ShingleHashSetExpr kernel: the DISTINCT FNV-1a-64 hashes of the word
+    * n-gram shingles — the set-valued input of sketch aggregates (KMV).
+    * Same tokenization/hash as the simhash/minhash path, so the q32
+    * DuckDB replay recipe (HUGEINT multiply mod 2^64) applies verbatim. */
+  def shingleFnvSet(raw: String, n: Int): ArrayData = {
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    ShingleHashing.foreachShingleHash(raw, n)(h => seen.add(h))
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ShingleExpr kernel: word n-gram shingle strings of lowercased text.
     * `distinct` keeps first occurrence (array_distinct semantics); otherwise
     * every window occurrence in order. Fewer than n tokens yield one shingle

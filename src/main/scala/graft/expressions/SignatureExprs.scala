@@ -130,6 +130,34 @@ case class SimHashExpr(child: Expression, n: Int)
   override def prettyName: String = "simhash"
 }
 
+/** DISTINCT FNV-1a-64 hashes of a document's word n-gram shingles, one
+  * pass per row — the set-valued scan-side input of sketch aggregates
+  * ([[KmvDistinctAgg]]). Hashes (not strings) leave the scan, so the
+  * downstream aggregation state is 8 bytes per element regardless of
+  * shingle length. */
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.shingleFnvSet(input.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val in = ShingleHashing.stringOf(c, child.dataType == StringType)
+      s"${ev.value} = graft.expressions.ExprKernels.shingleFnvSet($in, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash_set"
+}
+
 object SignatureExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -138,4 +166,7 @@ object SignatureExprs {
 
   def simhash(c: Column, n: Int): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(c), n))
+
+  def shingleHashSet(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(c), n))
 }

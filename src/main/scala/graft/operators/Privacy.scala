@@ -28,4 +28,25 @@ object Privacy {
     * join-compatible tokens across tables). */
   def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
     cols.foldLeft(df)((d, cn) => d.withColumn(cn, token(col(cn), salt)))
+
+  /** Re-identification risk audit: for each quasi-identifier combination,
+    * the group size (k-anonymity: a group smaller than `k` is
+    * re-identifiable by linkage) and the number of distinct sensitive
+    * values (l-diversity: a group where everyone shares one sensitive
+    * value leaks it even when k is satisfied). Output one row per
+    * quasi-group: (quasi cols..., group_n, l_distinct, k_anon_ok,
+    * l_div_ok) — the release gate is `every group ok`, the fix for
+    * failing groups is generalizing a quasi column and re-auditing.
+    *
+    * Scale: one hash aggregation on the quasi columns (map-side
+    * combined); distinct-sensitive counting rides the same shuffle via
+    * count_distinct. No sort, no self-join; output is quasi-cardinality
+    * sized. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int, l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_anon_ok", col("group_n") >= k)
+      .withColumn("l_div_ok", col("l_distinct") >= l)
 }
