@@ -392,6 +392,50 @@ object ManifestTable {
     (mine.size.toLong, newEntries.size.toLong)
   }
 
+  /** Reserved pseudo-table carrying transaction watermarks inside commit
+    * files. Entries under it reference no data file; [[toDf]] filters by
+    * table name so readers never see them, and [[vacuum]] only deletes
+    * files that EXIST under data dirs, so markers are inert there too. */
+  private val TxnTable = "_txn"
+
+  /** Exactly-once append for at-least-once writers (Structured Streaming
+    * `foreachBatch`, retried orchestration steps): the commit that adds
+    * the batch's data files ALSO records `(writerId, batchId)` as a
+    * transaction watermark, so the data and the "already applied" fact
+    * become visible in the same atomic commit-file PUT — the idempotence
+    * ledger cannot diverge from the data (the failure mode of keeping a
+    * separate applied-ids store). A replay of batchId <= the recorded
+    * watermark is a no-op returning false.
+    *
+    * Batch ids must be monotonically increasing per writer (Structured
+    * Streaming's contract), so ONE watermark entry per (writer, table)
+    * suffices — commit files do not grow with stream lifetime. Unlike
+    * [[appendNew]] no key columns are needed: aggregates and other
+    * non-keyed outputs get exactly-once too. Empty batches return true
+    * without creating a version (re-running them is harmless). */
+  def transactionalAppend(spark: SparkSession, root: String, table: String,
+                          df: DataFrame, writerId: String, batchId: Long,
+                          statsCol: Option[String] = None): Boolean = {
+    require(!writerId.contains("\t") && !writerId.contains("\n") &&
+      !writerId.contains("/"), s"illegal writerId: $writerId")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
+    val cur = current(spark, root)
+    val markerPath = s"$writerId/$table"
+    val applied = cur.exists(_.entries.exists(e =>
+      e.table == TxnTable && e.relPath == markerPath &&
+        e.min.exists(_ >= batchId)))
+    if (applied) return false
+    if (df.isEmpty) return true
+    val newEntries = writeData(spark, rootP, fs, table, df, statsCol)
+    val carried = cur.map(_.entries.filterNot(e =>
+      e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
+    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
+      carried ++ newEntries :+
+        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
+    true
+  }
+
   // ----------------------------------------------------------------- vacuum
 
   /** Garbage-collect: delete data files not referenced by any of the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.etl.IncrementalLoad
+import graft.etl.{IncrementalLoad, ManifestTable}
 
 /** Event-stream processing (SURVEY.md §2.9, §7 step 6).
   *
@@ -135,6 +135,25 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IncrementalLoad.appendNew(batch.sparkSession, batch, targetPath, key)
+        ()
+      }
+
+  /** Exactly-once streaming sink into a manifest-committed table: each
+    * micro-batch lands via [[ManifestTable.transactionalAppend]], which
+    * records the batch id as a transaction watermark IN the same atomic
+    * commit as the data. After a crash between sink write and checkpoint
+    * acknowledgment, Structured Streaming replays the batch; the
+    * watermark makes the replay a no-op — exactly-once effect without
+    * key columns, on object stores, for any batch shape (including
+    * aggregates the anti-join sink can't deduplicate). */
+  def exactlyOnceManifestSink(stream: DataFrame, root: String, table: String,
+                              checkpoint: String, writerId: String,
+                              statsCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ManifestTable.transactionalAppend(batch.sparkSession, root, table,
+          batch, writerId, batchId, statsCol)
         ()
       }
 

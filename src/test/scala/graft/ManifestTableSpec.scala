@@ -214,4 +214,38 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, "t").select("id")
       .as[Int].collect().toSeq == Seq(2))
   }
+
+  test("transactionalAppend: replayed batches are no-ops; watermark rides the data commit") {
+    val root = tmpDir("mttxn")
+    def batch(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+
+    assert(ManifestTable.transactionalAppend(spark, root, "t", batch(1, 2), "w", 0L))
+    assert(ManifestTable.transactionalAppend(spark, root, "t", batch(3), "w", 1L))
+    assert(ManifestTable.read(spark, root, "t").count() == 3)
+
+    // exact replay of the last unacknowledged batch (the crash-recovery
+    // case): no-op, no new version
+    val vBefore = ManifestTable.current(spark, root).get.version
+    assert(!ManifestTable.transactionalAppend(spark, root, "t", batch(3), "w", 1L))
+    // stale replay from further back: also refused
+    assert(!ManifestTable.transactionalAppend(spark, root, "t", batch(1, 2), "w", 0L))
+    assert(ManifestTable.current(spark, root).get.version == vBefore)
+    assert(ManifestTable.read(spark, root, "t").count() == 3)
+
+    // the watermark is ONE entry per writer, replaced each commit — the
+    // commit file does not grow with stream lifetime
+    val markers = ManifestTable.current(spark, root).get.entries
+      .filter(_.table == "_txn")
+    assert(markers.size == 1 && markers.head.min.contains(1L))
+
+    // an independent writer has its own watermark
+    assert(ManifestTable.transactionalAppend(spark, root, "t", batch(9), "w2", 0L))
+    assert(ManifestTable.read(spark, root, "t").count() == 4)
+
+    // empty batch: acknowledged without a version bump
+    val v2 = ManifestTable.current(spark, root).get.version
+    assert(ManifestTable.transactionalAppend(spark, root, "t",
+      batch(1).filter(lit(false)), "w", 5L))
+    assert(ManifestTable.current(spark, root).get.version == v2)
+  }
 }
