@@ -1262,18 +1262,29 @@ object SparkEntry {
     // exact sides exist only to grade the sketches — production runs the
     // approx alone; tolerances are 3x the configured rsd for HLL and a
     // 5% relative band for the 10k-bucket percentile.)
+    // PLAN NOTE: the exact NDV deliberately runs as its OWN two-level
+    // distinct aggregation and joins back (3 rows, broadcast). Folding
+    // countDistinct into the sketch aggregate triggers Spark's
+    // distinct-agg rewrite, whose first level groups by (returnflag,
+    // partkey) — building an HLL and a QuantileSummaries buffer PER
+    // DISTINCT KEY PAIR (~200k sketches at sf0.1, 6x the runtime; the
+    // buffers scale with NDV, an executor-memory hazard at 100 TB).
+    // Two linear scans beat one quadratic-state scan.
     "q24_approx_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+      val ndvExact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ndv_exact"))
+      li.groupBy(col("l_returnflag"))
         .agg(
-          ((abs(approx_count_distinct(col("l_partkey"), 0.02)
-              - countDistinct(col("l_partkey"))).cast("double")
-            / countDistinct(col("l_partkey")).cast("double")) <= 0.06d)
-            .as("ndv_ok"),
-          ((abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-              - expr("percentile(l_quantity, 0.5D)"))
-            / expr("percentile(l_quantity, 0.5D)")) <= 0.05d)
-            .as("p50_ok"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("ndv_approx"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+          expr("percentile(l_quantity, 0.5D)").as("p50_exact"))
+        .join(broadcast(ndvExact), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          ((abs(col("ndv_approx") - col("ndv_exact")).cast("double")
+            / col("ndv_exact").cast("double")) <= 0.06d).as("ndv_ok"),
+          ((abs(col("p50_approx") - col("p50_exact"))
+            / col("p50_exact")) <= 0.05d).as("p50_ok"))
     }),
 
     // Sketch-pruned exact heavy hitters: Misra-Gries candidate pass
@@ -1936,6 +1947,22 @@ object SparkEntry {
       val nCorrupt = sources.JsonSources.quarantined(read)
         .agg(count(lit(1)).as("n_corrupt"))
       sources.JsonSources.valid(read).crossJoin(broadcast(nCorrupt))
+    }),
+
+    // Partitioned ORC sink + pruned scan round-trip: documents staged as
+    // ORC partitioned by source, read back filtered to two partitions.
+    // Every surviving row must match the parquet truth byte for byte
+    // (S5's partitioned-sink contract through a second columnar format),
+    // and FormatSourcesSpec asserts the source filter prunes partitions
+    // rather than scanning them.
+    "q175_orc_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft-orc-src-" +
+        new java.io.File(dir).getName
+      sources.FormatSources.writeOrcPartitioned(docs, stage, "source")
+      sources.FormatSources.readOrc(s, stage)
+        .filter(col("source").isin("src1", "src2"))
+        .select("doc_id", "text", "lang", "n_chars", "source")
     }),
 
     // Model-based quality scoring: a fitted linear model applied per-doc
@@ -4630,6 +4657,12 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.grp_a = m.grp_a AND i.grp_b = m.grp_b
         |JOIN sizes sa ON sa.source = m.grp_a
         |JOIN sizes sb ON sb.source = m.grp_b""".stripMargin,
+
+    // round-trip fidelity through partitioned ORC: the oracle IS the
+    // parquet table restricted to the two read-back partitions
+    "q175_orc_source" ->
+      """SELECT doc_id, text, lang, n_chars, source FROM documents
+        |WHERE source IN ('src1', 'src2')""".stripMargin,
 
     "q174_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey,

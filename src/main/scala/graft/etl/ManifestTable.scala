@@ -212,20 +212,26 @@ object ManifestTable {
     c.map(_.entries.filter(_.table == table)).getOrElse(Nil)
 
   private def toDf(spark: SparkSession, rootP: HPath, entries: Seq[FileEntry],
-                   table: String): DataFrame = {
+                   table: String, mergeSchema: Boolean = false): DataFrame = {
     val mine = entries.filter(_.table == table)
     require(mine.nonEmpty, s"no table '$table' in this version")
-    spark.read.parquet(mine.map(e => new HPath(rootP, e.relPath).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(mine.map(e => new HPath(rootP, e.relPath).toString): _*)
   }
 
   // ------------------------------------------------------------------ reads
 
-  /** Manifest-resolved read of the latest version. */
-  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+  /** Manifest-resolved read of the latest version. With `mergeSchema`,
+    * versions whose appends ADDED columns read back under the union
+    * schema, older files null-filling the new columns — schema evolution
+    * without rewriting history (additions only; a type change or drop
+    * still needs an explicit migration via [[overwrite]]). */
+  def read(spark: SparkSession, root: String, table: String,
+           mergeSchema: Boolean = false): DataFrame = {
     val (_, rootP) = fsFor(spark, root)
     val c = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
-    toDf(spark, rootP, c.entries, table)
+    toDf(spark, rootP, c.entries, table, mergeSchema)
   }
 
   /** Read with FILE SKIPPING on the stats column: only files whose

@@ -38,6 +38,12 @@ object FormatSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Partitioned ORC sink (S5's layout contract through ORC): one
+    * directory per partition value, so partition-valued filters prune
+    * directories at plan time instead of scanning them. */
+  def writeOrcPartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).orc(path)
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 }

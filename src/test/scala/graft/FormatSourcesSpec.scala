@@ -62,4 +62,20 @@ class FormatSourcesSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*doc_id".r.findFirstIn(plan).isDefined,
       s"expected doc_id in PushedFilters:\n$plan")
   }
+
+  test("partitioned ORC sink: partition-value filters prune, not scan (q175 plan)") {
+    val dir = tmpDir("orcpart")
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    FormatSources.writeOrcPartitioned(docs, s"$dir/documents", "source")
+    val read = FormatSources.readOrc(spark, s"$dir/documents")
+      .filter($"source".isin("src1", "src2"))
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+      s"expected source in PartitionFilters:\n$plan")
+    // pruned read equals the parquet truth
+    val want = docs.filter($"source".isin("src1", "src2"))
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toSet
+    val got = read.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }

@@ -248,4 +248,16 @@ class ManifestTableSpec extends SparkSpec {
       batch(1).filter(lit(false)), "w", 5L))
     assert(ManifestTable.current(spark, root).get.version == v2)
   }
+
+  test("schema evolution: a later append may add columns; mergeSchema reads the union") {
+    val root = tmpDir("mtevo")
+    ManifestTable.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    assert(ManifestTable.transactionalAppend(spark, root, "t",
+      Seq((2L, "b", 9.5)).toDF("id", "v", "score"), "w", 0L))
+    val merged = ManifestTable.read(spark, root, "t", mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.orderBy("id").select($"id", $"score").collect()
+    assert(rows(0).isNullAt(1), "pre-evolution file null-fills the new column")
+    assert(rows(1).getDouble(1) == 9.5)
+  }
 }
