@@ -362,6 +362,19 @@ object SparkEntry {
         "src", "dst")
     }),
 
+    // Multi-source BFS over the co-occurrence graph: exact hop distances
+    // from a 3-node seed set, 3 unrolled frontier rounds (the
+    // contamination-neighborhood / blast-radius query). Oracle: a
+    // recursive CTE expanding (id, dist) states — UNION-deduplicated so
+    // it expands per state, not per path — then min per node.
+    "q177_bfs_distances" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = Seq(0L, 1L, 2L).toDF("id")
+      operators.Graphs.bfsDistances(
+        cooccurrenceEdges(t(s, dir, "lineitem")), "src", "dst",
+        seeds, "id", maxHops = 3)
+    }),
+
     // Incremental aggregate maintenance: rollup state built from history
     // (< 1997-07-01), the later batch folded in as partials — the oracle
     // recomputes from scratch over ALL orders, asserting incremental ≡
@@ -1949,6 +1962,27 @@ object SparkEntry {
       sources.JsonSources.valid(read).crossJoin(broadcast(nCorrupt))
     }),
 
+    // Unicode normalization (no Spark builtin exists): combining marks
+    // are injected into the text deterministically (a -> a+ACUTE,
+    // e -> e+CIRCUMFLEX), then the custom codegen'd NormalizeTextExpr
+    // must (1) NFC-compose them back to precomposed chars — proven by
+    // the string AND its codepoint length matching DuckDB's
+    // nfc_normalize — and (2) strip accents back to the original text.
+    // This is the canonicalization step exact-dedup needs on
+    // multilingual corpora: byte-different but visually identical
+    // strings hash apart until normalized.
+    "q176_unicode_normalize" -> ((s, dir) => {
+      val dec = regexp_replace(regexp_replace(col("text"),
+        "a", "a\u0301"), "e", "e\u0302") // decomposed: base + combining mark
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expressions.NormalizeTextExpr.normalize(dec, "nfc").as("nfc_text"),
+        length(expressions.NormalizeTextExpr.normalize(dec, "nfc")).as("nfc_len"),
+        length(dec).as("dec_len"),
+        (expressions.NormalizeTextExpr.normalize(dec, "strip_accents")
+          === col("text")).as("roundtrip_ok"))
+    }),
+
     // Partitioned ORC sink + pruned scan round-trip: documents staged as
     // ORC partitioned by source, read back filtered to two partitions.
     // Every surviving row must match the parquet truth byte for byte
@@ -2600,6 +2634,28 @@ object SparkEntry {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
         |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
         |  (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin,
+
+    "q177_bfs_distances" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT CASE WHEN count(*) > 300000 THEN 100
+        |    WHEN count(*) > 30000 THEN 10 ELSE 1 END AS f
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+        |  FROM lineitem, f
+        |  WHERE (l_orderkey * 31 + l_partkey) % f.f = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |sym AS (SELECT u AS s, v AS d FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |walk(id, dist) AS (
+        |  SELECT CAST(x AS BIGINT), 0 FROM (VALUES (0), (1), (2)) t(x)
+        |  UNION
+        |  SELECT sym.d, walk.dist + 1 FROM walk
+        |  JOIN sym ON sym.s = walk.id WHERE walk.dist < 3)
+        |SELECT id, CAST(min(dist) AS INT) AS dist
+        |FROM walk GROUP BY id""".stripMargin,
 
     // full recompute over ALL orders == the incrementally maintained
     // state (exact cents partials make that bit-for-bit).
@@ -4657,6 +4713,23 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.grp_a = m.grp_a AND i.grp_b = m.grp_b
         |JOIN sizes sa ON sa.source = m.grp_a
         |JOIN sizes sb ON sb.source = m.grp_b""".stripMargin,
+
+    // the oracle injects the same decomposed marks (chr(769)=U+0301,
+    // chr(770)=U+0302) and grades with DuckDB's independent utf8proc
+    // implementations of NFC and accent stripping — string, codepoint
+    // count, and round-trip all must agree with the JDK Normalizer path
+    "q176_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    replace(replace(text, 'a', 'a' || chr(769)),
+        |            'e', 'e' || chr(770)) AS dec
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(dec) AS nfc_text,
+        |  CAST(length(nfc_normalize(dec)) AS INT) AS nfc_len,
+        |  CAST(length(dec) AS INT) AS dec_len,
+        |  strip_accents(dec) = text AS roundtrip_ok
+        |FROM d""".stripMargin,
 
     // round-trip fidelity through partitioned ORC: the oracle IS the
     // parquet table restricted to the two read-back partitions

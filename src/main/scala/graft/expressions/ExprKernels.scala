@@ -60,6 +60,42 @@ object ExprKernels {
     sig
   }
 
+  /** NormalizeTextExpr kernel: 0=NFC, 1=NFKC, 2=strip accents (NFD ->
+    * drop Mn -> NFC). Fast path: Normalizer.isNormalized skips the
+    * rebuild for already-normalized (e.g. ASCII) input. */
+  def normalizeText(raw: String, mode: Int): UTF8String = {
+    import java.text.Normalizer
+    val out = mode match {
+      case 0 =>
+        if (Normalizer.isNormalized(raw, Normalizer.Form.NFC)) raw
+        else Normalizer.normalize(raw, Normalizer.Form.NFC)
+      case 1 =>
+        if (Normalizer.isNormalized(raw, Normalizer.Form.NFKC)) raw
+        else Normalizer.normalize(raw, Normalizer.Form.NFKC)
+      case _ =>
+        val d = Normalizer.normalize(raw, Normalizer.Form.NFD)
+        var hasMark = false
+        var i = 0
+        while (i < d.length && !hasMark) {
+          if (Character.getType(d.charAt(i)) == Character.NON_SPACING_MARK)
+            hasMark = true
+          i += 1
+        }
+        if (!hasMark) Normalizer.normalize(d, Normalizer.Form.NFC)
+        else {
+          val sb = new java.lang.StringBuilder(d.length)
+          var j = 0
+          while (j < d.length) {
+            val ch = d.charAt(j)
+            if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+            j += 1
+          }
+          Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+        }
+    }
+    UTF8String.fromString(out)
+  }
+
   /** ShingleHashSetExpr kernel: the DISTINCT FNV-1a-64 hashes of the word
     * n-gram shingles — the set-valued input of sketch aggregates (KMV).
     * Same tokenization/hash as the simhash/minhash path, so the q32

@@ -36,6 +36,37 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** Multi-source BFS hop distances, `maxHops` unrolled rounds: the
+    * frontier (nodes first reached at hop h-1) joins the symmetric edge
+    * list, min-dist folds new reachings in. One frontier-sized equi-join
+    * plus one id-keyed min aggregation per hop — at 100 TB each round
+    * shuffles the REACHED set, never all-pairs; hop count bounds total
+    * work exactly like PageRank's unrolled iterations. Nodes never
+    * reached within `maxHops` are absent from the output (distances are
+    * exact for every emitted row).
+    *
+    * The hop-distance query behind contamination-neighborhood expansion
+    * ("everything within 2 links of a flagged item") and
+    * entity-resolution blast-radius checks. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 12,
+      "unrolled BFS: maxHops must be in [0, 12] (plan size grows per hop)")
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val sym = und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+    var dist = seeds.select(col(seedCol).as("id"), lit(0).as("dist")).distinct()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(sym, frontier("id") === sym("s"))
+        .select(col("d").as("id"), lit(h).as("dist"))
+      dist = dist.unionByName(next).groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"))
+      frontier = dist.filter(col("dist") === h)
+    }
+    dist
+  }
+
   /** Node degrees over the canonical undirected set. */
   private def degrees(und: DataFrame): DataFrame =
     und.select(col("u").as("x")).union(und.select(col("v").as("x")))

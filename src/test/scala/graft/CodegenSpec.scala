@@ -35,6 +35,8 @@ class CodegenSpec extends SparkSpec {
     $"id",
     SignatureExprs.minhashSig($"text", 3, 8).as("mh"),
     SignatureExprs.simhash($"text", 3).as("sh"),
+    SignatureExprs.shingleHashSet($"text", 2).as("shs"),
+    graft.expressions.NormalizeTextExpr.normalize($"text", "nfkc").as("nt"),
     ShingleExpr.shingles($"text", 2).as("sg"),
     ShingleExpr.shinglesAll($"text", 2).as("sga"),
     ShingleExpr.topGramStats($"text", 2).as("tg"),
@@ -63,6 +65,8 @@ class CodegenSpec extends SparkSpec {
     }
     assert(sigCode.contains("ExprKernels.minhashSig"))
     assert(sigCode.contains("ExprKernels.simhash"))
+    assert(sigCode.contains("ExprKernels.shingleFnvSet"))
+    assert(sigCode.contains("ExprKernels.normalizeText"))
     assert(sigCode.contains("ExprKernels.shingles"))
     assert(sigCode.contains("ExprKernels.topGramStats"))
     assert(sigCode.contains("ExprKernels.zorder2"))

@@ -50,6 +50,22 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1), s.getLong(2)) == (20L, 19L, 0L))
   }
 
+  test("bfs distances: exact hops, min over multiple paths, horizon cutoff") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4) = 1 via shortcut, not 3;
+    // 6-7 is a separate component, never reached
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (6L, 7L)
+    ).toDF("src", "dst")
+    val seeds = Seq(1L, 1L).toDF("id") // duplicate seed must not double rows
+    val d = Graphs.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // horizon 1: node 3 and 5 fall outside
+    val d1 = Graphs.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
   test("clustering coefficient: clique scores 1, star center scores 0") {
     // K3 {1,2,3} plus pendant 4-1: nodes 1..3 have cc with their clique,
     // node 4 deg 1 -> 0; node 1 deg 3 -> 1 triangle / C(3,2)=3
