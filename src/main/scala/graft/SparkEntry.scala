@@ -375,6 +375,30 @@ object SparkEntry {
         seeds, "id", maxHops = 3)
     }),
 
+    // Hybrid retrieval: BM25 (q88's exact formula) and cosine-vs-doc-0
+    // (q35's exact formula) each produce a top-20, fused by
+    // reciprocal-rank (integer ppb reciprocals — order-free BIGINT sum,
+    // no float score path). The oracle replays both rankings AND the
+    // fusion, so lexical, semantic, and RRF arithmetic are all graded.
+    "q178_hybrid_retrieval" -> ((s, dir) => {
+      operators.Retrieval.hybridTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "text", "doc_id", "vec_id", "embedding",
+        Seq("spark", "vector", "stream"), queryVecId = 0L,
+        k = 10, kRetrieve = 20)
+    }),
+
+    // Deterministic training-order shuffle: content-hash sharding + a
+    // per-shard rank instead of one global sort — the "shuffle the
+    // corpus" step a training run needs, reproducible across engines
+    // and row orders. global_pos is the round-robin interleave the
+    // loader reads back.
+    "q179_training_order" -> ((s, dir) => {
+      operators.CorpusMix.shardedTrainingOrder(
+          t(s, dir, "documents"), "text", "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos", "global_pos")
+    }),
+
     // Incremental aggregate maintenance: rollup state built from history
     // (< 1997-07-01), the later batch folded in as partials — the oracle
     // recomputes from scratch over ALL orders, asserting incremental ≡
@@ -2656,6 +2680,81 @@ object SparkEntry {
         |  JOIN sym ON sym.s = walk.id WHERE walk.dist < 3)
         |SELECT id, CAST(min(dist) AS INT) AS dist
         |FROM walk GROUP BY id""".stripMargin,
+
+    // replays the q88 BM25 ranking (top-20), the q35 cosine ranking vs
+    // doc 0 (top-20), then the integer-reciprocal fusion: part =
+    // 1e9 div (60 + rank), summed per doc, final top-10
+    "q178_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+        |q AS (SELECT unnest(['spark', 'vector', 'stream']) AS term),
+        |hits AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN stats
+        |  JOIN q ON tf.term = q.term
+        |  GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+        |    FROM hits) WHERE rank <= 20),
+        |cand AS (
+        |  SELECT CAST(0 AS BIGINT) AS query_id, vec_id
+        |  FROM embeddings WHERE vec_id <> 0),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM (
+        |    SELECT c.vec_id,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+        |    FROM cand c
+        |    JOIN embeddings q ON q.vec_id = c.query_id
+        |    JOIN embeddings e ON e.vec_id = c.vec_id) c),
+        |sem AS (
+        |  SELECT vec_id AS doc_id, rank FROM (
+        |    SELECT vec_id,
+        |      row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 20),
+        |parts AS (
+        |  SELECT doc_id, 1000000000 // (60 + rank) AS part FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, 1000000000 // (60 + rank) FROM sem),
+        |fused AS (
+        |  SELECT doc_id, CAST(sum(part) AS BIGINT) AS rrf_ppb,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, rrf_ppb, n_lists, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, rrf_ppb, n_lists,
+        |    row_number() OVER (ORDER BY rrf_ppb DESC, doc_id ASC) AS rank
+        |  FROM fused) WHERE rank <= 10""".stripMargin,
+
+    // replays the md5-prefix hash, the mod-8 shard, the per-shard (h, id)
+    // rank, and the round-robin interleave position
+    "q179_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, h % 8 AS shard FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos * 8 + shard AS BIGINT) AS global_pos
+        |FROM (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) - 1 AS pos
+        |  FROM s)""".stripMargin,
 
     // full recompute over ALL orders == the incrementally maintained
     // state (exact cents partials make that bit-for-bit).

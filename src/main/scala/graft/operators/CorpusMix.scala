@@ -207,4 +207,35 @@ object CorpusMix {
       .limit(k)
       .select(col(idCol), col("priority"))
   }
+
+  /** Deterministic training-order shuffle: the "globally shuffle the
+    * corpus before training" step, expressed as sharding rather than a
+    * global sort. Each row draws a content-deterministic 32-bit hash of
+    * `keyCol` (the md5-prefix convention shared by every sampler here);
+    * `shard = h mod nShards`, and the position within a shard is the rank
+    * of `(h, id)` — so the full order is reproducible across re-runs,
+    * engines, and input row orders, yet no stage ever sorts more than one
+    * shard. `global_pos = pos * nShards + shard` defines the round-robin
+    * interleave a training loader reads the shards back in: consecutive
+    * global positions come from different shards, which is exactly the
+    * source-decorrelation a shuffle exists to provide.
+    *
+    * Scale: one hash shuffle on `shard`, then nShards INDEPENDENT
+    * per-shard sorts (each corpus/nShards rows — size nShards so a shard
+    * fits an executor; at 100 TB that is thousands of shards, each a few
+    * GB). A literal global sort would funnel the corpus through one
+    * ordering stage; this never materializes any order wider than a
+    * shard. */
+  def shardedTrainingOrder(df: DataFrame, keyCol: String, idCol: String,
+                           nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("global_pos", col("pos") * nShards + col("shard"))
+      .drop("__h")
+  }
 }
