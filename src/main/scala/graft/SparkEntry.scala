@@ -399,6 +399,37 @@ object SparkEntry {
         .select("doc_id", "shard", "pos", "global_pos")
     }),
 
+    // BPE tokenization, merges trained on THIS corpus (distributed word
+    // counts, driver greedy over the bounded frequency head). Hard rows:
+    // the zero-merge token count (chars + one end-marker per word) and
+    // the single-fixed-merge count, which the oracle replays via the
+    // non-overlapping replace('th') law. The trained-table path (data-
+    // derived merges can't enter static oracle SQL) is graded by
+    // invariant booleans: per-word lower/upper token bounds, exact
+    // decode round-trip, and full merge-count training. Exact trained
+    // token arithmetic is proven against an independent reference
+    // implementation in BpeSpec.
+    "q180_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.trainMerges(docs, "text",
+        nMerges = 60, maxWords = 2048)
+      val text = col("text")
+      val trained = operators.Bpe.encode(text, merges)
+      val base = operators.Bpe.encode(text, Nil)
+      val th = operators.Bpe.encode(text, Seq(("t", "h")))
+      docs.select(
+        col("doc_id"),
+        operators.Bpe.wordCount(text).as("n_words"),
+        size(base).cast("long").as("n_tokens_base"),
+        size(th).cast("long").as("n_tokens_th"),
+        (size(trained).cast("long") >= operators.Bpe.wordCount(text))
+          .as("trained_ge_words"),
+        (size(trained) <= size(base)).as("trained_le_base"),
+        (operators.Bpe.decode(trained) === operators.Bpe.canonicalText(text))
+          .as("roundtrip_ok"),
+        lit(merges.length == 60).as("n_merges_ok"))
+    }),
+
     // Incremental aggregate maintenance: rollup state built from history
     // (< 1997-07-01), the later batch folded in as partials — the oracle
     // recomputes from scratch over ALL orders, asserting incremental ≡
@@ -2755,6 +2786,27 @@ object SparkEntry {
         |  SELECT doc_id, shard,
         |    row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) - 1 AS pos
         |  FROM s)""".stripMargin,
+
+    // hard integer replay of the zero-merge and fixed-('t','h')-merge
+    // token counts (the latter via the non-overlapping replace law:
+    // merging all leftmost (t,h) adjacencies in a word removes exactly
+    // one symbol per replace('th') occurrence); trained-path invariants
+    // pinned TRUE
+    "q180_bpe_tokenize" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  n_alnum + n_words AS n_tokens_base,
+        |  n_alnum + n_words -
+        |    (length(canon) - length(replace(canon, 'th', ''))) // 2 AS n_tokens_th,
+        |  TRUE AS trained_ge_words, TRUE AS trained_le_base,
+        |  TRUE AS roundtrip_ok, TRUE AS n_merges_ok
+        |FROM c""".stripMargin,
 
     // full recompute over ALL orders == the incrementally maintained
     // state (exact cents partials make that bit-for-bit).

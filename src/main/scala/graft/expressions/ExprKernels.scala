@@ -321,4 +321,77 @@ object ExprKernels {
     x = (x | (x << 1)) & 0x5555555555555555L
     x
   }
+
+  /** BPE end-of-word marker symbol. */
+  val BpeEow = "</w>"
+
+  /** Merge every leftmost-non-overlapping (a,b) adjacency in `syms` into
+    * the single symbol a+b — the application step shared by BPE training
+    * (driver, over the word-frequency head) and encoding (executor, per
+    * row), so the two can never drift. Leftmost-non-overlapping matches
+    * `String.replace(a+b, ...)` occurrence counting, which is what makes
+    * fixed-merge token counts SQL-replayable. */
+  def bpeMergeAll(syms: java.util.ArrayList[String], a: String, b: String): Unit = {
+    var j = 0
+    while (j < syms.size - 1) {
+      if (syms.get(j) == a && syms.get(j + 1) == b) {
+        syms.set(j, a + b)
+        syms.remove(j + 1)
+      }
+      j += 1
+    }
+  }
+
+  /** BpeEncodeExpr kernel: lowercased alphanumeric-run words, each encoded
+    * as char symbols + `</w>` with merges applied in rank order (the
+    * lowest-rank adjacent pair present merges next — exactly the order
+    * training learned them). */
+  def bpeEncode(raw: String, table: BpeTable): ArrayData = {
+    val text = raw.toLowerCase(java.util.Locale.ROOT)
+    val out = new mutable.ArrayBuffer[Any]
+    val word = new java.lang.StringBuilder
+    var i = 0
+    while (i <= text.length) {
+      val alnum = i < text.length && {
+        val ch = text.charAt(i)
+        (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')
+      }
+      if (alnum) word.append(text.charAt(i))
+      else if (word.length > 0) {
+        val toks = bpeEncodeWord(word.toString, table)
+        var k = 0
+        while (k < toks.length) { out += UTF8String.fromString(toks(k)); k += 1 }
+        word.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def bpeEncodeWord(w: String, table: BpeTable): Array[String] = {
+    val hit = table.cached(w)
+    if (hit != null) return hit
+    val syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    syms.add(BpeEow)
+    var done = false
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = table.rank(syms.get(j), syms.get(j + 1))
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = table.pair(best)
+        bpeMergeAll(syms, a, b)
+      }
+    }
+    val arr = syms.toArray(new Array[String](syms.size))
+    table.cache(w, arr)
+    arr
+  }
 }

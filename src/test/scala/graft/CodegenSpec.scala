@@ -37,6 +37,7 @@ class CodegenSpec extends SparkSpec {
     SignatureExprs.simhash($"text", 3).as("sh"),
     SignatureExprs.shingleHashSet($"text", 2).as("shs"),
     graft.expressions.NormalizeTextExpr.normalize($"text", "nfkc").as("nt"),
+    graft.operators.Bpe.encode($"text", Seq(("t", "h"), ("th", "e"))).as("bp"),
     ShingleExpr.shingles($"text", 2).as("sg"),
     ShingleExpr.shinglesAll($"text", 2).as("sga"),
     ShingleExpr.topGramStats($"text", 2).as("tg"),
@@ -67,6 +68,7 @@ class CodegenSpec extends SparkSpec {
     assert(sigCode.contains("ExprKernels.simhash"))
     assert(sigCode.contains("ExprKernels.shingleFnvSet"))
     assert(sigCode.contains("ExprKernels.normalizeText"))
+    assert(sigCode.contains("ExprKernels.bpeEncode"))
     assert(sigCode.contains("ExprKernels.shingles"))
     assert(sigCode.contains("ExprKernels.topGramStats"))
     assert(sigCode.contains("ExprKernels.zorder2"))
