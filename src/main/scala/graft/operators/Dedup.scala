@@ -391,6 +391,35 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE survivor selection: each near-dup
+    * cluster keeps its best-scoring member (highest `scoreCol`, ties to
+    * the smallest id) instead of the smallest id. This is the production
+    * rule when near-dups differ in worth — a truncated mirror and the
+    * full article cluster together, and min-id would keep whichever
+    * crawled first; scoring by length/quality keeps the right one.
+    *
+    * Scale: one extra id-keyed join (cluster assignment back onto the
+    * corpus) and a row_number window partitioned by cluster id — a
+    * high-cardinality key (singleton clusters dominate any real corpus),
+    * so the per-partition sort is cluster-sized, never stratum-sized. */
+  def dedupCorpusKeepBest(df: DataFrame, textCol: String, idCol: String,
+                          scoreCol: String,
+                          bands: Int = 16, rowsPerBand: Int = 2,
+                          shingleN: Int = 3,
+                          threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, bands, rowsPerBand,
+      shingleN, threshold)
+    val cl = clusters(pairs).withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cl"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(cl, Seq(idCol), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__cl", "cluster_id")
+  }
+
   /** Materialize a MinHash LSH index of the corpus: the banded
     * (id, band, bh) keys written partitioned by band. This is the
     * production shape for CONTINUOUS ingestion at 100 TB: index the

@@ -182,6 +182,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L), s"got $kept")
   }
 
+  test("dedupCorpusKeepBest keeps the highest-scoring member, ties to min id") {
+    import graft.operators.Dedup
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, dup, 5L),
+      (2L, dup, 9L), // best of the {1,2,4} cluster
+      (3L, "completely different content about spark query engines and shuffles", 1L),
+      (4L, dup, 7L),
+      (5L, "el gato duerme en la casa de la abuela todos los dias que puede", 2L)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.dedupCorpusKeepBest(docs, "text", "doc_id", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    // tie on score -> smallest id survives
+    val tied = Seq((7L, dup, 4L), (6L, dup, 4L), (8L, dup, 3L))
+      .toDF("doc_id", "text", "score")
+    val keptTied = Dedup.dedupCorpusKeepBest(tied, "text", "doc_id", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(6L), s"got $keptTied")
+  }
+
   test("dropped stop-shingle buckets are counted, not silent") {
     // 30 identical docs: every band bucket holds 30 rows; maxBucket=10
     // drops them all (correct policy) and the recorded stats must say so
