@@ -52,13 +52,23 @@ import org.apache.spark.sql.functions._
   * Spark's own file-index listing, without the eventual-consistency
   * hazards of LIST-after-PUT (the commit file names its files; nothing
   * is discovered by listing data dirs). Concurrent committers race on
-  * the next sequence number optimistically: the loser's check-then-move
-  * fails and its caller retries on the fresh state.
+  * the next sequence number optimistically: the commit file name is
+  * EXACTLY `c-<seq>.txt`, so the loser's rename fails on
+  * destination-exists (Hadoop `FileSystem.rename` returns false when
+  * the destination file exists — atomic mutual exclusion on HDFS and
+  * file:) and its caller re-resolves [[current]] and retries. On true
+  * object stores, where rename is copy+delete without an exclusivity
+  * guarantee, concurrent committers additionally need a CAS/lock
+  * service (the same qualification Delta Lake documents for S3) or a
+  * single-writer-per-root deployment; single-writer needs nothing.
   */
 object ManifestTable {
 
   private val CommitDir = "_commits"
-  private val CommitName = """c-(\d{20})-[0-9a-f]{32}\.txt""".r
+  // fixed per-sequence name (`c-<seq>.txt`) is the commit-exclusion
+  // mechanism; the uuid-suffixed form is accepted for roots written
+  // before the fixed-name protocol
+  private val CommitName = """c-(\d{20})(?:-[0-9a-f]{32})?\.txt""".r
   /** Cap on files listed in one commit: beyond this the driver-side
     * manifest itself needs a tree structure (Iceberg's manifest lists);
     * fail loudly instead of degrading silently. */
@@ -78,19 +88,16 @@ object ManifestTable {
     (fs, fs.makeQualified(hp))
   }
 
-  private def mv(fs: FileSystem, src: HPath, dst: HPath, what: String): Unit =
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"$what: rename failed: $src -> $dst")
-
   private def uuid(): String = UUID.randomUUID().toString.replace("-", "")
 
   // ---------------------------------------------------------------- resolve
 
   /** Latest committed state, or None for an uninitialized root. Partial
     * uploads (`.tmp-*`) and foreign files in `_commits` are ignored by
-    * the name pattern; among equal sequence numbers (a lost optimistic
-    * race that slipped the existence check) the lexicographically last
-    * name wins deterministically. */
+    * the name pattern. Fixed commit names make equal sequence numbers
+    * impossible under the current protocol (the loser's rename fails on
+    * destination-exists); should a legacy uuid-named root carry one,
+    * the lexicographically last name wins deterministically. */
   def current(spark: SparkSession, root: String): Option[Commit] = {
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
@@ -134,10 +141,17 @@ object ManifestTable {
 
   // ----------------------------------------------------------------- commit
 
-  /** Write the next commit file: stage under a dot-name, existence-check
-    * the target sequence, then a SINGLE-OBJECT move — the only rename in
-    * the protocol, and of one small file, so even a copy+delete store
-    * materializes it atomically. */
+  /** Write the next commit file: stage under a dot-name, then a
+    * SINGLE-OBJECT move to the FIXED name `c-<seq>.txt` — the only
+    * rename in the protocol, and of one small file. The fixed
+    * destination is what makes optimistic concurrency sound: two
+    * committers targeting the same sequence race their renames, and the
+    * second rename FAILS on destination-exists (verified Hadoop
+    * semantics on file: and HDFS — `FileSystem.rename` returns false,
+    * never overwrites a destination file), so exactly one committer per
+    * sequence number succeeds; the loser re-resolves and retries. The
+    * listStatus pre-check below is a fast-fail courtesy, not the
+    * exclusion mechanism. */
   private def writeCommit(fs: FileSystem, rootP: HPath, version: Long,
                           entries: Seq[FileEntry]): Long = {
     require(entries.size <= MaxFilesPerCommit,
@@ -156,19 +170,22 @@ object ManifestTable {
     val tmp = new HPath(cd, s".tmp-${uuid()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val dest = new HPath(cd, f"c-$version%020d-${uuid()}.txt")
-    // optimistic concurrency: lose the race -> fail before the move
+    val dest = new HPath(cd, f"c-$version%020d.txt")
+    def conflict(): Nothing = {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"commit conflict: version $version already committed under $rootP — " +
+          "re-resolve current() and retry")
+    }
+    // fast-fail if a newer sequence (or a legacy uuid-named file of this
+    // sequence, which the fixed-name rename cannot exclude) already exists
     val clash = fs.listStatus(cd).map(_.getPath.getName).exists {
       case CommitName(seq) => seq.toLong >= version
       case _ => false
     }
-    if (clash) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"commit conflict: version $version already exists under $rootP — " +
-          "re-resolve current() and retry")
-    }
-    mv(fs, tmp, dest, "commit publish")
+    if (clash) conflict()
+    // the decisive step: atomic claim of the fixed name
+    if (!fs.rename(tmp, dest)) conflict()
     version
   }
 
@@ -310,12 +327,18 @@ object ManifestTable {
                 incoming: DataFrame, key: Seq[String],
                 statsCol: Option[String] = None): Long = {
     val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
     val cur = current(spark, root)
     val prior = entriesOf(cur, table)
     if (prior.isEmpty) {
-      val n = incoming.count()
-      overwrite(spark, root, table, incoming, statsCol)
-      return n
+      // write FIRST, count the committed files after — one execution of
+      // `incoming` even when it is non-deterministic, mirroring the
+      // initialized path below (the count IS what was committed)
+      val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol)
+      val carried = cur.map(_.entries).getOrElse(Nil)
+      writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ newEntries)
+      val newDir = new HPath(rootP, newEntries.head.relPath).getParent
+      return spark.read.parquet(newDir.toString).count()
     }
     val existing = toDf(spark, rootP, prior, table)
     val fresh = IncrementalLoad.newRowsOnly(incoming, existing, key)
@@ -418,7 +441,13 @@ object ManifestTable {
     * suffices — commit files do not grow with stream lifetime. Unlike
     * [[appendNew]] no key columns are needed: aggregates and other
     * non-keyed outputs get exactly-once too. Empty batches return true
-    * without creating a version (re-running them is harmless). */
+    * without creating a version (re-running them is harmless).
+    *
+    * The exactly-once guarantee inherits [[writeCommit]]'s exclusion:
+    * on HDFS/file: a racing duplicate replay loses the fixed-name
+    * rename, re-resolves, sees the watermark, and no-ops; on object
+    * stores without exclusive rename it additionally requires the
+    * module-level single-writer-or-lock-service deployment contract. */
   def transactionalAppend(spark: SparkSession, root: String, table: String,
                           df: DataFrame, writerId: String, batchId: Long,
                           statsCol: Option[String] = None): Boolean = {

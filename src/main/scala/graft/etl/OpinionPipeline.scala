@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   *
   * Input: the six reference-shaped sources (FIXTURES.md §A). Output: the nine
   * star-schema tables of `Base de Datos Relacional copy.sql:47-139`, as
-  * DataFrames ready for `IncrementalLoad.atomicPublish`.
+  * DataFrames published atomically through [[ManifestTable]] (one commit
+  * file carries all nine tables — object-store-safe T1).
   *
   * Where the reference is an eager, single-process pandas script with a DB
   * round-trip per phase (extract -> load dims -> re-read id maps -> transform
@@ -163,18 +164,48 @@ object OpinionPipeline {
     out
   }
 
-  /** E1 end-to-end: transform + atomic multi-table publish (T1). Facts are
-    * year-partitioned (S5) like the reference's yearly filegroups. */
-  def run(spark: SparkSession, out: Out, root: String): Unit = {
-    IncrementalLoad.atomicPublish(root, Map(
+  /** E1 end-to-end: transform + atomic multi-table publish (T1) through
+    * [[ManifestTable.publish]] — ALL NINE star tables become visible in one
+    * commit-file PUT, so the reference's one-transaction load
+    * (main.py:173-195) is all-or-nothing even on object stores, where the
+    * directory renames of [[IncrementalLoad.atomicPublish]] are not atomic.
+    * Earlier versions keep serving readers until [[ManifestTable.vacuum]]
+    * (snapshot isolation), and a crashed publish leaves only orphan data
+    * files — the previous star is untouched.
+    *
+    * S5 year partitioning survives the move: facts carry the derived `anio`
+    * column, are RANGE-CLUSTERED on (anio, Fecha) at write time (a data
+    * file spans one year except at range boundaries), and register `anio`
+    * min/max per file in the manifest — so
+    * [[ManifestTable.readPruned]] on a year range opens only that year's
+    * files, the same pruning the reference delegates to its yearly
+    * filegroups (sql:83-90) and Hive-style `partitionBy` gives on
+    * directories. Returns the committed version. */
+  def run(spark: SparkSession, out: Out, root: String): Long = {
+    // Explicit partition count = user-specified partitioning, which AQE
+    // preserves (no coalescing across year boundaries); Fecha as the
+    // secondary range key keeps per-file date ranges tight when a year
+    // spans many files at scale.
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def fact(df: DataFrame): DataFrame =
+      df.withColumn("anio", year(col("Fecha")))
+        .repartitionByRange(shufflePartitions, col("anio"), col("Fecha"))
+    ManifestTable.publish(spark, root, Map(
       "clientes" -> out.clientes,
       "productos" -> out.productos,
       "categorias" -> out.categorias,
       "clasificaciones" -> out.clasificaciones,
       "fuentes" -> out.fuentes,
       "registrocargas" -> out.registroCargas,
-      "comentarios" -> out.comentarios.withColumn("anio", year(col("Fecha"))),
-      "encuestas" -> out.encuestas.withColumn("anio", year(col("Fecha"))),
-      "webreviews" -> out.webReviews.withColumn("anio", year(col("Fecha")))))
+      "comentarios" -> fact(out.comentarios),
+      "encuestas" -> fact(out.encuestas),
+      "webreviews" -> fact(out.webReviews)),
+      statsCols = Map("comentarios" -> "anio", "encuestas" -> "anio",
+        "webreviews" -> "anio"))
   }
+
+  /** Manifest-resolved read of a published star table (the reader twin of
+    * [[run]]): resolves the latest committed version's exact file list. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame =
+    ManifestTable.read(spark, root, table)
 }

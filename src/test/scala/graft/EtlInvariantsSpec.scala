@@ -318,20 +318,27 @@ class EtlInvariantsSpec extends SparkSpec {
 
   test("end-to-end publish is idempotent-by-construction: re-run == same tables") {
     val root = tmpDir("e2e")
-    OpinionPipeline.run(spark, out, root)
+    val v1 = OpinionPipeline.run(spark, out, root)
+    assert(v1 == 1L, "nine tables land as ONE manifest commit")
     val tables = Seq("clientes", "productos", "categorias", "clasificaciones",
       "fuentes", "registrocargas", "comentarios", "encuestas", "webreviews")
     def snapshot(): Map[String, Long] =
-      tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
+      tables.map(t => t -> OpinionPipeline.readTable(spark, root, t).count()).toMap
     val first = snapshot()
     assert(first.values.forall(_ > 0), s"all tables non-empty: $first")
-    // facts are year-partitioned on disk
-    assert(new java.io.File(s"$root/comentarios").listFiles()
-      .exists(_.getName.startsWith("anio=")))
-    // Re-running the whole pipeline (recompute + atomic publish) must
+    // facts carry the derived year and its per-file stats (manifest file
+    // skipping = the reference's filegroup pruning): a one-year read of a
+    // fact never opens more files than the full scan, and equals the filter
+    val full = OpinionPipeline.readTable(spark, root, "comentarios")
+    assert(full.columns.contains("anio"))
+    assert(graft.etl.ManifestTable.readPruned(spark, root, "comentarios",
+      "anio", 2024L, 2024L).count() == full.filter($"anio" === 2024).count())
+    // Re-running the whole pipeline (recompute + manifest publish) must
     // converge to the same state — the engine's strictly-stronger answer
-    // to the reference's transactional load (SURVEY.md §7 hard-part T1).
-    OpinionPipeline.run(spark, out, root)
+    // to the reference's transactional load (SURVEY.md §7 hard-part T1):
+    // a new committed version with identical content, old version retained.
+    val v2 = OpinionPipeline.run(spark, out, root)
+    assert(v2 == 2L)
     assert(snapshot() == first)
   }
 

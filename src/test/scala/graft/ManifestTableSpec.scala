@@ -215,6 +215,26 @@ class ManifestTableSpec extends SparkSpec {
       .as[Int].collect().toSeq == Seq(2))
   }
 
+  test("fixed-name commits: the rename itself excludes a same-sequence rival") {
+    // the mechanism writeCommit relies on (beyond the courtesy listStatus
+    // pre-check): Hadoop file:/HDFS rename does NOT overwrite an existing
+    // destination file, so the second committer of a sequence loses
+    val root = tmpDir("mtmech")
+    ManifestTable.publish(spark, root, Map("t" -> Seq((1, "a")).toDF("id", "v")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commits"))
+      .map(_.getPath).find(_.getName.endsWith(".txt")).get
+    assert(dest.getName == f"c-${1L}%020d.txt", "commit names are fixed per sequence")
+    val rival = new org.apache.hadoop.fs.Path(s"$root/_commits/.tmp-rival")
+    val out = fs.create(rival, false)
+    out.write("t\trival/path.parquet\t\t\n".getBytes); out.close()
+    assert(!fs.rename(rival, dest), "rename onto an existing commit must fail")
+    fs.delete(rival, false)
+    // the committed content is untouched by the losing rival
+    assert(ManifestTable.read(spark, root, "t").count() == 1L)
+  }
+
   test("transactionalAppend: replayed batches are no-ops; watermark rides the data commit") {
     val root = tmpDir("mttxn")
     def batch(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")

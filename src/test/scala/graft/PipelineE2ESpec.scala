@@ -2,10 +2,12 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.etl.OpinionPipeline
+import graft.etl.{ManifestTable, OpinionPipeline}
 
 /** The drop-in replacement path: six CSVs on disk -> one call -> published
-  * star schema, idempotent under re-run. */
+  * star schema, idempotent under re-run. The star is manifest-committed
+  * (all nine tables in ONE commit file), so every read here resolves
+  * through the manifest — the object-store-safe T1 path. */
 class PipelineE2ESpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,34 +52,47 @@ class PipelineE2ESpec extends SparkSpec {
     writeCsvFixtures(csvDir)
 
     OpinionPipeline.runFromCsv(spark, csvDir, outRoot)
+    // the whole nine-table star is ONE manifest commit
+    assert(ManifestTable.current(spark, outRoot).get.version == 1L)
 
-    val clientes = spark.read.parquet(s"$outRoot/clientes")
+    def t(name: String) = OpinionPipeline.readTable(spark, outRoot, name)
+    val clientes = t("clientes")
     // 3 real + 1 placeholder (C9 from social_comments)
     assert(clientes.count() == 4)
     assert(clientes.filter($"Email" === "dup@mail.com").count() <= 1,
       "email uniqueness enforced")
-    val comentarios = spark.read.parquet(s"$outRoot/comentarios")
+    val comentarios = t("comentarios")
     assert(comentarios.count() == 2)
     assert(comentarios.columns.contains("anio"), "year-partitioned fact")
     // FK integrity across the published tree
     val ids = clientes.select("IdCliente")
     assert(comentarios.join(ids, Seq("IdCliente"), "left_anti").isEmpty)
     // Fuentes dimension carries the comments' social networks, not TipoFuente
-    val fuentes = spark.read.parquet(s"$outRoot/fuentes")
+    val fuentes = t("fuentes")
     assert(fuentes.select("Nombre").as[String].collect().toSet == Set("Instagram", "Twitter"))
     assert(comentarios.join(fuentes.select("IdFuente"), Seq("IdFuente"), "left_anti").isEmpty)
     // RegistroCargas is the 9th published table; facts carry its IdCarga FK
-    val cargas = spark.read.parquet(s"$outRoot/registrocargas")
+    val cargas = t("registrocargas")
     assert(cargas.select("Nombre").as[String].collect().toSet == Set("Web", "Archivo"))
-    val encuestas = spark.read.parquet(s"$outRoot/encuestas")
-    val webreviews = spark.read.parquet(s"$outRoot/webreviews")
+    val encuestas = t("encuestas")
+    val webreviews = t("webreviews")
     assert(encuestas.count() == 2 && webreviews.count() == 1)
     assert(encuestas.join(cargas.select("IdCarga"), Seq("IdCarga"), "left_anti").isEmpty)
     assert(webreviews.join(cargas.select("IdCarga"), Seq("IdCarga"), "left_anti").isEmpty)
 
-    // Re-run from the same CSVs: published state identical.
+    // S5 pruning through the manifest: the 2024 and 2025 comment rows land
+    // in different range-clustered files, so a one-year read skips files
+    val (kept, total) = ManifestTable.pruneStats(spark, outRoot, "comentarios", 2024L, 2024L)
+    assert(total >= 2L && kept < total, s"year skipping must drop files ($kept/$total)")
+    assert(ManifestTable.readPruned(spark, outRoot, "comentarios", "anio", 2024L, 2024L)
+      .count() == comentarios.filter($"anio" === 2024).count())
+
+    // Re-run from the same CSVs: a NEW committed version, identical state;
+    // the previous version stays readable (snapshot isolation)
     val before = clientes.count()
     OpinionPipeline.runFromCsv(spark, csvDir, outRoot)
-    assert(spark.read.parquet(s"$outRoot/clientes").count() == before)
+    assert(ManifestTable.current(spark, outRoot).get.version == 2L)
+    assert(t("clientes").count() == before)
+    assert(ManifestTable.readAt(spark, outRoot, "clientes", 1L).count() == before)
   }
 }
