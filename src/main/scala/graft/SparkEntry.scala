@@ -1843,15 +1843,12 @@ object SparkEntry {
     // stops one boilerplate-heavy domain from dominating the corpus: keep
     // at most K docs per source, chosen by a DETERMINISTIC content-hash
     // order (md5 then id tie-break) so the sample is run-stable and
-    // engine-portable. One shuffle on source; at 100 TB the rank window
-    // streams each source's partition sorted, state O(1).
+    // engine-portable. Exact selection via the threshold-prune + boundary
+    // -rank hybrid (CorpusMix.prunedStratumRank): the window sorts ~K
+    // candidate rows per source, never a whole source's partition.
     "q49_per_source_cap" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(md5(col("text")).asc, col("doc_id").asc)
-      t(s, dir, "documents")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 50)
+      operators.CorpusMix.perSourceCap(t(s, dir, "documents"),
+          "source", "text", "doc_id", k = 50L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_doc"),

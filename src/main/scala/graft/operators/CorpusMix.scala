@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * Scale: pass 1 is a groupBy(stratum).count() — the result is strata-many
   * rows (tiny), collected to the driver so the quotas enter the plan as a
   * LITERAL map (no join, no second scan of the big side for rates). Pass 2
-  * is one hash shuffle on the stratum key for the rank window. The window
-  * sort is per-stratum; if one stratum dominates at extreme scale, use
-  * [[hashThresholdSample]] (keep iff h32 < q_s·2^32/n_s — zero-sort,
-  * binomially-approximate counts); the quota math is shared.
+  * hash-threshold-prunes each stratum to ~quota+margin candidate rows and
+  * ranks ONLY those ([[prunedStratumRank]]) — exact selection, but no
+  * stage ever sorts a whole stratum, so a dominant stratum at 100 TB
+  * costs a sort of its QUOTA, not its size. Where binomially-approximate
+  * counts suffice, [[hashThresholdSample]] drops the window entirely;
+  * the quota math is shared.
   */
 object CorpusMix {
 
@@ -52,6 +54,67 @@ object CorpusMix {
     sorted.map { case (s, n) =>
       s -> math.floor(budget * math.pow(n.toDouble, alpha) / sumW).toLong
     }.toMap
+  }
+
+  /** EXACT per-stratum top-`need(s)` ranking WITHOUT sorting whole strata:
+    * the threshold-prune + boundary-rank hybrid behind every exact sampler
+    * here. Returns `df` filtered to candidate rows with a `rk` column equal
+    * to each row's rank within its FULL stratum under `(md5(text), id)`.
+    *
+    * Why the pruned rank is exact, not approximate: a candidate is any row
+    * with `h32(text) < T_s` where `h32` is the md5 prefix's first 8 hex
+    * chars as an integer. Fixed-width lowercase hex sorts lexicographically
+    * exactly as it sorts numerically, so EVERY candidate orders strictly
+    * before EVERY non-candidate of its stratum — the candidate set is a
+    * prefix of the stratum's (md5, id) order, and ranking candidates alone
+    * yields the same ranks as sorting the whole stratum. The only failure
+    * mode is too few candidates (an unlucky hash draw under the binomial
+    * margin); that is DETECTED by a cheap count pass and repaired by
+    * escalating the margin — never silently wrong. A margin of
+    * `6*sqrt(need)+64` puts the first-try failure probability below the
+    * 6-sigma binomial tail, so the escalation loop is all but dead code.
+    *
+    * Scale: two aggregate scans (quota counts happen in the caller; the
+    * candidate-count verify here) plus one window over ~need(s)+margin rows
+    * per stratum — a dominant stratum at 100 TB contributes a sort of
+    * roughly its QUOTA, not its size. The full-stratum sort this replaces
+    * was the one plan-level scale-killer in the sampling family. */
+  private[graft] def prunedStratumRank(df: DataFrame, stratumCol: String,
+                                       textCol: String, idCol: String,
+                                       need: Map[String, Long],
+                                       counts: Map[String, Long]): DataFrame = {
+    val two32 = BigInt(2).pow(32)
+    val h32 = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    var margin: Map[String, Long] = need.map { case (s, k) =>
+      s -> (6L * math.ceil(math.sqrt(k.toDouble)).toLong + 64L)
+    }
+    while (true) {
+      val thr: Map[String, Long] = need.map { case (s, k) =>
+        val n = counts(s)
+        val t =
+          if (n == 0L) BigInt(0)
+          else (BigInt(k + margin(s)) * two32 / BigInt(n)) + 1
+        s -> t.min(two32).toLong
+      }
+      val cand = df
+        .withColumn("__thr", element_at(typedLit(thr), stratumOf(col(stratumCol))))
+        .filter(h32 < col("__thr"))
+        .drop("__thr")
+      val candCounts = cand.groupBy(stratumOf(col(stratumCol)).as("s")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val deficient = need.keySet.filter { s =>
+        candCounts.getOrElse(s, 0L) < math.min(need(s), counts(s))
+      }
+      if (deficient.isEmpty) {
+        val w = Window.partitionBy(stratumOf(col(stratumCol)))
+          .orderBy(md5(col(textCol)).asc, col(idCol).asc)
+        return cand.withColumn("rk", row_number().over(w).cast("long"))
+      }
+      margin = margin.map { case (s, m) =>
+        s -> (if (deficient(s)) m * 8L else m)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Leakage-guarded train/validation split: a deterministic content-hash
@@ -105,29 +168,45 @@ object CorpusMix {
     * deterministically, not concentrated on arbitrary rows. Output rows
     * carry `epoch` (1-based copy index).
     *
-    * Scale: identical plan shape to [[temperatureSample]] (tiny collected
-    * stratum table -> literal maps, one rank window) plus a narrow
-    * `explode(sequence(1, copies))` — the fan-out happens scan-side after
-    * the filter, never shuffled at multiplicity. */
+    * Scale: the base copies (`q_s div n_s` per row) are a pure scan with a
+    * narrow `explode(sequence(...))` — no rank needed, fan-out happens
+    * scan-side and is never shuffled at multiplicity. Only the boundary
+    * rows (the `q_s mod n_s` that get one extra copy) need an order, and
+    * they come from [[prunedStratumRank]] — so, as in
+    * [[temperatureSample]], no stage sorts a whole stratum. */
   def temperatureEpochs(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
     val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val q = quotas(counts, alpha, budgetNum, budgetDen)
-    val w = Window.partitionBy(stratumOf(col(stratumCol)))
-      .orderBy(md5(col(textCol)).asc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
+    val nMap = counts.toMap
+    // Split the copy schedule into a rank-free base and a ranked boundary:
+    // every row of stratum s gets `q_s div n_s` copies (a pure scan — no
+    // sort anywhere near the full corpus), and ONLY the `q_s mod n_s`
+    // boundary rows (top-ranked by (md5, id), found via the pruned rank)
+    // get one more, emitted as the final epoch. The union is row-for-row
+    // the schedule the single full-stratum window produced.
+    val base = df
       .withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
       .withColumn("n_stratum",
-        element_at(typedLit(counts.toMap), stratumOf(col(stratumCol))))
-      .withColumn("copies",
-        expr("quota DIV n_stratum") +
-          when(col("rk") <= pmod(col("quota"), col("n_stratum")), 1L)
-            .otherwise(0L))
-      .filter(col("copies") > 0)
-      .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
-      .drop("rk", "quota", "n_stratum", "copies")
+        element_at(typedLit(nMap), stratumOf(col(stratumCol))))
+      .withColumn("__b", expr("quota DIV n_stratum"))
+      .filter(col("__b") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__b"))))
+      .drop("quota", "n_stratum", "__b")
+    val boundaryNeed = q.map { case (s, qs) =>
+      val n = nMap(s); s -> (if (n == 0L) 0L else qs % n)
+    }
+    val boundary = prunedStratumRank(df, stratumCol, textCol, idCol,
+        boundaryNeed, nMap)
+      .withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
+      .withColumn("n_stratum",
+        element_at(typedLit(nMap), stratumOf(col(stratumCol))))
+      .filter(col("rk") <= pmod(col("quota"), col("n_stratum")))
+      .withColumn("epoch", expr("quota DIV n_stratum") + lit(1L))
+      .drop("rk", "quota", "n_stratum")
+    base.unionByName(boundary)
   }
 
   /** SORT-FREE temperature sampling: the 100 TB form of
@@ -167,18 +246,39 @@ object CorpusMix {
 
   /** Temperature-sample `df` to `budgetNum/budgetDen` of its rows,
     * rebalanced across `stratumCol` with exponent `alpha`. Output = the
-    * kept rows plus their stratum `quota` column. */
+    * kept rows plus their stratum `quota` column — exactly `min(q_s, n_s)`
+    * rows per stratum, the ones ranked first by `(md5(text), id)`.
+    *
+    * Plan shape: the exact selection runs through [[prunedStratumRank]] —
+    * a hash-threshold filter prunes each stratum to ~quota+margin
+    * candidates BEFORE the rank window, so no stage ever sorts a whole
+    * stratum (the selected set is provably identical; see the helper's
+    * doc). For workloads that tolerate binomially-approximate counts,
+    * [[hashThresholdSample]] drops the window entirely. */
   def temperatureSample(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
     val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val q = quotas(counts, alpha, budgetNum, budgetDen)
-    val w = Window.partitionBy(stratumOf(col(stratumCol)))
-      .orderBy(md5(col(textCol)).asc, col(idCol).asc)
-    df.withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    prunedStratumRank(df, stratumCol, textCol, idCol, q, counts.toMap)
+      .withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
       .filter(col("rk") <= col("quota"))
+      .drop("rk")
+  }
+
+  /** Per-stratum cap: keep at most `k` rows per stratum, chosen by the
+    * deterministic `(md5(text), id)` content-hash order — the C4-style
+    * per-domain downsampling step. Same pruned-rank plan as
+    * [[temperatureSample]]: the window sorts ~k+margin candidate rows per
+    * stratum, never the stratum itself. */
+  def perSourceCap(df: DataFrame, stratumCol: String, textCol: String,
+                   idCol: String, k: Long): DataFrame = {
+    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val need = counts.map { case (s, n) => s -> math.min(k, n) }
+    prunedStratumRank(df, stratumCol, textCol, idCol, need, counts)
+      .filter(col("rk") <= k)
       .drop("rk")
   }
 

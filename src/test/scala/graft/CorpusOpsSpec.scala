@@ -47,6 +47,75 @@ class CorpusOpsSpec extends SparkSpec {
       "alpha<1 over-quota stratum keeps all rows")
   }
 
+  test("exact samplers: threshold-prune feeds the rank window, selection identical") {
+    import graft.operators.CorpusMix
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(0L, 12000L)
+      .select($"id".as("doc_id"),
+        when($"id" < 10000L, "big").otherwise("small").as("src"),
+        concat(lit("document text number "), $"id").as("text"))
+    val nullSrc = coalesce($"src", lit("__null__"))
+    val counts = Seq("big" -> 10000L, "small" -> 2000L)
+
+    val out = CorpusMix.temperatureSample(docs, "src", "text", "doc_id",
+      alpha = 0.5, budgetNum = 1, budgetDen = 10)
+
+    // THE plan claim: every rank window sits on top of the hash-threshold
+    // candidate filter — no whole-stratum sort anywhere
+    val lp = out.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"expected a boundary-rank window:\n$lp")
+    windows.foreach { w =>
+      val pruned = w.child.collect {
+        case f: LFilter if f.condition.toString.contains("element_at") &&
+          f.condition.toString.contains("md5") => f
+      }
+      assert(pruned.nonEmpty, s"window not fed by a threshold filter:\n$lp")
+    }
+    // and the pruning is real: candidates are a small fraction of the corpus
+    val q = CorpusMix.quotas(counts, 0.5, 1, 10)
+    val cand = CorpusMix.prunedStratumRank(docs, "src", "text", "doc_id",
+      q, counts.toMap)
+    val nCand = cand.count()
+    assert(nCand < 3000L && nCand >= q.values.sum,
+      s"candidates $nCand vs quotas ${q.values.sum} of 12000 rows")
+
+    // selection identical to the full-stratum window sort it replaced
+    val fullW = Window.partitionBy(nullSrc)
+      .orderBy(md5($"text").asc, $"doc_id".asc)
+    val ref = docs
+      .withColumn("quota", element_at(typedLit(q), nullSrc))
+      .withColumn("rk", row_number().over(fullW).cast("long"))
+      .filter($"rk" <= $"quota")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      ref.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(out.columns.contains("quota"))
+
+    // epochs: base copies + ranked boundary == the single-window schedule
+    val qe = CorpusMix.quotas(counts, 0.0, 1, 1)
+    val epochs = CorpusMix.temperatureEpochs(docs, "src", "text", "doc_id",
+      alpha = 0.0, budgetNum = 1, budgetDen = 1)
+    val refEpochs = docs
+      .withColumn("rk", row_number().over(fullW).cast("long"))
+      .withColumn("quota", element_at(typedLit(qe), nullSrc))
+      .withColumn("n_stratum", element_at(typedLit(counts.toMap), nullSrc))
+      .withColumn("copies", expr("quota DIV n_stratum") +
+        when($"rk" <= pmod($"quota", $"n_stratum"), 1L).otherwise(0L))
+      .filter($"copies" > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), $"copies")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs(epochs) == pairs(refEpochs))
+
+    // per-source cap: same rows as the full-window cap
+    val capped = CorpusMix.perSourceCap(docs, "src", "text", "doc_id", k = 40L)
+    val refCap = docs.withColumn("rk", row_number().over(fullW).cast("long"))
+      .filter($"rk" <= 40L)
+    assert(capped.select("doc_id").as[Long].collect().sorted.toSeq ==
+      refCap.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("line dedup drops cross-doc duplicate lines, keeps canonical copy") {
     // 4-word lines; docs 1 and 2 share their first line exactly;
     // doc 1 also repeats a line INTERNALLY (df=1 -> kept twice).
