@@ -15,9 +15,11 @@ import graft.functions.TextAnalysis
   *
   * Scale shape: the quality and repetition stages are per-row expressions
   * on the scan (zero shuffle — `TopGramStatsExpr`); dedup shuffles a
-  * 16-byte digest; the cap shuffles (source, digest-ordered rank); the
-  * scrub is a codegen'd regex chain on the survivors. Two shuffles total
-  * for the whole pipeline.
+  * 16-byte digest (per-digest groups are duplicate-count-sized, never a
+  * whole source); the survivors are lineage-cut and the cap runs the
+  * threshold-prune + boundary-rank hybrid ([[CorpusMix.prunedStratumRank]]
+  * via [[CorpusMix.perSourceCap]]) — no stage sorts a whole source; the
+  * scrub is a codegen'd regex chain on the kept rows.
   */
 object CorpusPipeline {
 
@@ -40,10 +42,14 @@ object CorpusPipeline {
     val byDigest = Window.partitionBy(md5(text)).orderBy(col(idCol).asc)
     val deduped = kept.withColumn("__rn", row_number().over(byDigest))
       .filter(col("__rn") === 1).drop("__rn")
-    val bySource = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(text).asc, col(idCol).asc)
-    deduped.withColumn("__rk", row_number().over(bySource))
-      .filter(col("__rk") <= perSourceCap).drop("__rk")
+    // Cut the survivor lineage before the cap: every real corpus run
+    // materializes post-dedup anyway, and the pruned-rank cap scans its
+    // input three times (source counts, candidate-count verify, ranked
+    // filter) — against the cut those are scans of the materialization,
+    // not re-runs of the quality + dedup stages. The cap itself sorts
+    // ~perSourceCap candidates per source, never a whole source.
+    val cut = Lineage.cut(deduped)
+    CorpusMix.perSourceCap(cut, sourceCol, textCol, idCol, perSourceCap.toLong)
       .withColumn("clean_text", TextAnalysis.scrubPii(text))
       .drop(textCol)
   }
@@ -63,10 +69,14 @@ object CorpusPipeline {
     *      content-hash order (C4-style domain downsampling).
     *
     * ONE-PASS construction: no stage filters the frame; later stages see
-    * earlier flags through windows — "min surviving id per digest" makes
-    * the dedup flag, "running count of survivors per source in hash
-    * order" makes the cap rank. Two window shuffles (digest, source) +
-    * one single-row aggregate; the funnel never rescans the corpus.
+    * earlier flags through aggregation — "min surviving id per digest"
+    * (a digest-keyed window whose groups are duplicate-count-sized) makes
+    * the dedup flag, and the cap stage needs NO per-row rank at all: the
+    * report only counts admissions, and the cap admits exactly
+    * `min(perSourceCap, survivors_s)` per source, so a per-source
+    * aggregate computes n3 without ordering anything. One digest window +
+    * one source-keyed hash aggregate (map-side combined to source-many
+    * rows); the funnel never rescans the corpus and never sorts a source.
     *
     * Output: (stage, n_in, n_out), n_in of stage k = n_out of k-1. */
   def attritionReport(docs: DataFrame, textCol: String, idCol: String,
@@ -75,21 +85,20 @@ object CorpusPipeline {
     val f1 = TextAnalysis.gopherRules(text).pass
 
     val byDigest = Window.partitionBy(col("__h"))
-    val bySource = Window.partitionBy(col(sourceCol))
-      .orderBy(col("__h").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = docs
       .withColumn("__h", md5(text))
       .withColumn("__f1", f1)
       .withColumn("__f2", col("__f1") &&
         col(idCol) === min(when(col("__f1"), col(idCol))).over(byDigest))
-      .withColumn("__rk", sum(when(col("__f2"), 1L).otherwise(0L)).over(bySource))
-      .withColumn("__f3", col("__f2") && col("__rk") <= perSourceCap)
-    flagged.agg(
-        count(lit(1)).as("n0"),
-        sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("__f2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("__f3"), 1L).otherwise(0L)).as("n3"))
+    flagged.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("c0"),
+        sum(when(col("__f1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__f2"), 1L).otherwise(0L)).as("c2"))
+      .agg(
+        sum(col("c0")).as("n0"),
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"),
+        sum(least(col("c2"), lit(perSourceCap.toLong))).as("n3"))
       .selectExpr("stack(3, 'quality', n0, n1, 'exact_dedup', n1, n2," +
         " 'source_cap', n2, n3) AS (stage, n_in, n_out)")
   }

@@ -584,28 +584,10 @@ object Dedup {
   }
 
   /** Lineage cut for the small frames that feed multiple downstream
-    * branches or iterative loops. By default `localCheckpoint()` — blocks
-    * live on executors, the right local-mode fast path. When
-    * `spark.graft.checkpoint.dir` is set, a RELIABLE `checkpoint()` to
-    * that storage is used instead: at 100 TB with dynamic allocation an
-    * executor loss would kill a localCheckpoint'd job, while a reliable
-    * checkpoint recovers from storage. (persist + checkpoint, so the
-    * checkpoint write doesn't recompute the plan.) Superseded iteration
-    * checkpoints are reclaimed by the ContextCleaner —
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on in
-    * Tables.tune — so an iterative clusters() run doesn't accumulate one
-    * copy of the labels per round. */
-  private def cut(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        val persisted = df.persist()
-        val out = persisted.checkpoint()
-        persisted.unpersist()
-        out
-      case None => df.localCheckpoint()
-    }
+    * branches or iterative loops — the shared [[Lineage.cut]] policy
+    * (reliable checkpoint under `spark.graft.checkpoint.dir`,
+    * localCheckpoint fast path otherwise; see Lineage's doc). */
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df)
 
   /** Self-join within bucket keys producing ordered pairs (id_a < id_b),
     * carrying all non-key payload columns as _a/_b. Buckets larger than

@@ -36,7 +36,7 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
 
-  /** Multi-source BFS hop distances, `maxHops` unrolled rounds: the
+  /** Multi-source BFS hop distances, up to `maxHops` rounds: the
     * frontier (nodes first reached at hop h-1) joins the symmetric edge
     * list, min-dist folds new reachings in. One frontier-sized equi-join
     * plus one id-keyed min aggregation per hop — at 100 TB each round
@@ -45,24 +45,35 @@ object Graphs {
     * reached within `maxHops` are absent from the output (distances are
     * exact for every emitted row).
     *
+    * Each round ends in [[Lineage.cut]] (PageRank's checkpoint/persist
+    * policy), so the plan per hop is CONSTANT-depth — a scan of the
+    * previous round's materialization, not h nested join-aggregates —
+    * which is what lets hop counts beyond a handful run at all (analysis
+    * and codegen stay O(1) per round, recovery re-runs one round). An
+    * exhausted frontier short-circuits the remaining rounds: on a graph
+    * of diameter d the loop does min(d, maxHops) rounds of real work.
+    *
     * The hop-distance query behind contamination-neighborhood expansion
     * ("everything within 2 links of a flagged item") and
     * entity-resolution blast-radius checks. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
-    require(maxHops >= 0 && maxHops <= 12,
-      "unrolled BFS: maxHops must be in [0, 12] (plan size grows per hop)")
+    require(maxHops >= 0 && maxHops <= 200,
+      "BFS: maxHops must be in [0, 200] (one materialized round per hop)")
     val und = undirectedEdges(edges, srcCol, dstCol)
     val sym = und.select(col("u").as("s"), col("v").as("d"))
       .unionByName(und.select(col("v").as("s"), col("u").as("d")))
-    var dist = seeds.select(col(seedCol).as("id"), lit(0).as("dist")).distinct()
+    var dist = Lineage.cut(
+      seeds.select(col(seedCol).as("id"), lit(0).as("dist")).distinct())
     var frontier = dist
     for (h <- 1 to maxHops) {
-      val next = frontier.join(sym, frontier("id") === sym("s"))
-        .select(col("d").as("id"), lit(h).as("dist"))
-      dist = dist.unionByName(next).groupBy(col("id"))
-        .agg(min(col("dist")).as("dist"))
-      frontier = dist.filter(col("dist") === h)
+      if (!frontier.isEmpty) {
+        val next = frontier.join(sym, frontier("id") === sym("s"))
+          .select(col("d").as("id"), lit(h).as("dist"))
+        dist = Lineage.cut(dist.unionByName(next).groupBy(col("id"))
+          .agg(min(col("dist")).as("dist")))
+        frontier = dist.filter(col("dist") === h)
+      }
     }
     dist
   }

@@ -72,18 +72,8 @@ object PageRank {
     pr
   }
 
-  /** Same policy as Dedup.cut: reliable checkpoint when
+  /** Shared iterative-operator policy: reliable checkpoint when
     * `spark.graft.checkpoint.dir` is set (survives executor loss),
     * localCheckpoint otherwise (local-mode fast path). */
-  private def cut(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        val persisted = df.persist()
-        val out = persisted.checkpoint()
-        persisted.unpersist()
-        out
-      case None => df.localCheckpoint()
-    }
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df)
 }

@@ -66,6 +66,23 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
   }
 
+  test("bfs deep chain: per-hop lineage cut bounds plan depth, frontier exhaustion stops early") {
+    // a path graph of diameter 120 — pre-cut, 120 nested join-aggregates
+    // would blow up analysis; with the per-hop Lineage.cut every round's
+    // plan reads the previous materialization
+    val n = 120L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val d = Graphs.bfsDistances(chain, "src", "dst", seeds, "id", maxHops = 200)
+    // the returned plan is a scan of the last cut, not the whole history
+    val nNodes = d.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes <= 5, s"expected a flat post-cut plan, got $nNodes nodes:\n" +
+      d.queryExecution.optimizedPlan)
+    val got = d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == n + 1 && (0L to n).forall(i => got(i) == i.toInt),
+      "exact hop distance along the whole chain")
+  }
+
   test("clustering coefficient: clique scores 1, star center scores 0") {
     // K3 {1,2,3} plus pendant 4-1: nodes 1..3 have cc with their clique,
     // node 4 deg 1 -> 0; node 1 deg 3 -> 1 triangle / C(3,2)=3
