@@ -1009,9 +1009,46 @@ object SparkEntry {
       etl.ManifestTable.deleteWhere(s, root, "orders",
         col("o_orderpriority") === "1-URGENT", Some("anio"))
       etl.ManifestTable.compact(s, root, "orders", statsCol = Some("anio"))
-      etl.ManifestTable.readPruned(s, root, "orders", "anio", 1995L, 1996L)
+      val out = etl.ManifestTable
+        .readPruned(s, root, "orders", "anio", 1995L, 1996L)
         .groupBy(col("anio"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        // materialize before tearing the root down: the returned frame
+        // must not depend on the temp files
+        .localCheckpoint()
+      etl.ManifestTable.vacuum(s, root)
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // Bloom-manifest point lookup: per-file Bloom filters on a content
+    // digest let an equality probe open only might-contain files — the
+    // skip range stats can never give (the digest is uncorrelated with
+    // the id-hash file layout). Blooms have no false negatives and the
+    // predicate is re-applied, so the oracle — the same lookup replayed
+    // relationally — breaks the hash on any wrongly-skipped file.
+    "q179_bloom_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q179")
+      val root = s"$tmp/tables"
+      val docs = t(s, dir, "documents").withColumn("digest", md5(col("text")))
+      etl.ManifestTable.publish(s, root,
+        Map("documents" -> docs.repartition(8, col("doc_id"))))
+      etl.ManifestTable.indexBloom(s, root, "documents", "digest",
+        expectedItemsPerFile = 2000L, fpp = 0.001)
+      val probe = docs.filter(col("doc_id") === 42L)
+        .select("digest").as[String].head()
+      val (kept, total) =
+        etl.ManifestTable.bloomPruneStats(s, root, "documents", "digest", probe)
+      require(kept >= 1L && total == 8L,
+        s"bloom probe must keep the hit file ($kept/$total)")
+      val out = etl.ManifestTable
+        .readPrunedEq(s, root, "documents", "digest", probe)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint()
+      etl.ManifestTable.vacuum(s, root)
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
     }),
 
     // Sort-free temperature sampling (the 100 TB path of q92): stratum
@@ -1376,10 +1413,16 @@ object SparkEntry {
       val nation = t(s, dir, "nation")
       sources.JdbcSources.appendNew(s, nation, url, "nation", Seq("n_nationkey"))
       sources.JdbcSources.appendNew(s, nation, url, "nation", Seq("n_nationkey"))
-      sources.JdbcSources.readTable(s, url, "nation")
+      val out = sources.JdbcSources.readTable(s, url, "nation")
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"),
           sum(col("n_nationkey")).as("sum_key"))
+        .localCheckpoint() // materialize before the database goes away
+      try { // single-db shutdown "succeeds" by throwing 08006
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db/db;shutdown=true")
+      } catch { case _: java.sql.SQLException => () }
+      etl.IncrementalLoad.deleteRecursively(db)
+      out
     }),
 
     // Z-order (Morton) curve values — the clustered-layout key. The
@@ -1400,9 +1443,13 @@ object SparkEntry {
       val path = s"$tmp/lineitem_z"
       etl.DataLayout.writeClustered(s, t(s, dir, "lineitem"),
         "l_partkey", "l_suppkey", path, nFiles = 16)
-      etl.DataLayout.readSkipping(s, path, "l_partkey", lo = 100L, hi = 299L)
+      val out = etl.DataLayout
+        .readSkipping(s, path, "l_partkey", lo = 100L, hi = 299L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .localCheckpoint() // materialize before the clustered copy goes away
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
     }),
 
     // TF-IDF top terms per document over the inverted index (tf shuffle on
@@ -1507,12 +1554,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val fresh = docs.filter(col("doc_id") % 10 === 0)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-mh-idx").resolve("index").toString
+      val idxTmp = java.nio.file.Files.createTempDirectory("graft-mh-idx")
+      val idx = idxTmp.resolve("index").toString
       Dedup.writeMinhashIndex(old, "text", "doc_id", idx,
         bands = 16, rowsPerBand = 2, shingleN = 3)
-      Dedup.incrementalPairs(s, fresh, old, "text", "doc_id", idx,
-        bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35)
+      val out = Dedup.incrementalPairs(s, fresh, old, "text", "doc_id", idx,
+          bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35)
+        .localCheckpoint() // materialize, then drop the on-disk index
+      etl.IncrementalLoad.deleteRecursively(idxTmp)
+      out
     }),
 
     // Same resolution through large-star/small-star contraction
@@ -2011,7 +2061,11 @@ object SparkEntry {
       val read = sources.JsonSources.readJsonLines(s, stage, docs.schema).cache()
       val nCorrupt = sources.JsonSources.quarantined(read)
         .agg(count(lit(1)).as("n_corrupt"))
-      sources.JsonSources.valid(read).crossJoin(broadcast(nCorrupt))
+      val out = sources.JsonSources.valid(read).crossJoin(broadcast(nCorrupt))
+        .localCheckpoint() // materialize before the staged copy goes away
+      read.unpersist()
+      etl.IncrementalLoad.deleteRecursively(java.nio.file.Paths.get(stage))
+      out
     }),
 
     // Unicode normalization (no Spark builtin exists): combining marks
@@ -2046,9 +2100,12 @@ object SparkEntry {
       val stage = s"${System.getProperty("java.io.tmpdir")}/graft-orc-src-" +
         new java.io.File(dir).getName
       sources.FormatSources.writeOrcPartitioned(docs, stage, "source")
-      sources.FormatSources.readOrc(s, stage)
+      val out = sources.FormatSources.readOrc(s, stage)
         .filter(col("source").isin("src1", "src2"))
         .select("doc_id", "text", "lang", "n_chars", "source")
+        .localCheckpoint() // materialize before the staged copy goes away
+      etl.IncrementalLoad.deleteRecursively(java.nio.file.Paths.get(stage))
+      out
     }),
 
     // Model-based quality scoring: a fitted linear model applied per-doc
@@ -2869,6 +2926,13 @@ object SparkEntry {
         |WHERE year(o_orderdate) BETWEEN 1995 AND 1996
         |  AND o_orderpriority <> '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    // the bloom-pruned point lookup must equal the relational lookup:
+    // every document whose content digest equals doc 42's
+    "q179_bloom_point_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 42)
+        |""".stripMargin,
 
     // a purchase at the exact click instant counts (gap 0, inclusive);
     // clicks strictly after the purchase never visible (running window)

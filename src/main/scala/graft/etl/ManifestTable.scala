@@ -54,9 +54,12 @@ import org.apache.spark.sql.functions._
   * is discovered by listing data dirs). Concurrent committers race on
   * the next sequence number optimistically: the commit file name is
   * EXACTLY `c-<seq>.txt`, so the loser's rename fails on
-  * destination-exists (Hadoop `FileSystem.rename` returns false when
-  * the destination file exists — atomic mutual exclusion on HDFS and
-  * file:) and its caller re-resolves [[current]] and retries. On true
+  * destination-exists (`FileContext.rename` with `Options.Rename.NONE`
+  * — exclusion guaranteed by the Hadoop FS spec, not by any one
+  * implementation) and its caller re-resolves [[current]] and retries.
+  * ALL writers to a root must be on this fixed-name protocol — the
+  * legacy `c-<seq>-<uuid>.txt` form is READ-compatible only, a legacy
+  * writer is not excluded by the fixed-name rename. On true
   * object stores, where rename is copy+delete without an exclusivity
   * guarantee, concurrent committers additionally need a CAS/lock
   * service (the same qualification Delta Lake documents for S3) or a
@@ -67,8 +70,28 @@ object ManifestTable {
   private val CommitDir = "_commits"
   // fixed per-sequence name (`c-<seq>.txt`) is the commit-exclusion
   // mechanism; the uuid-suffixed form is accepted for roots written
-  // before the fixed-name protocol
+  // before the fixed-name protocol. ALL WRITERS TO A ROOT MUST BE ON THE
+  // FIXED-NAME PROTOCOL: legacy uuid names are read-compatible only — a
+  // legacy writer racing a fixed-name writer on the same sequence is not
+  // excluded (different destinations), and the hint fast path probes
+  // fixed names only.
   private val CommitName = """c-(\d{20})(?:-[0-9a-f]{32})?\.txt""".r
+  private def fixedName(seq: Long): String = f"c-$seq%020d.txt"
+  /** Latest-version pointer (`_commits/_latest.hint`), updated
+    * best-effort after every commit — Delta's `_last_checkpoint` idea.
+    * Resolution cost without it is a full `_commits` LIST (grows with
+    * retained versions — a long-lived CDC sink accumulates thousands);
+    * with it, resolve is one small GET plus exists-probes forward from
+    * the hinted sequence (0 probes when fresh, k when k commits raced
+    * past the hint write). The hint is NEVER load-bearing: missing,
+    * stale, torn, or pointing at a compacted-away version all fall back
+    * to the listing path, and sequences are dense by construction (next
+    * = current + 1 under commit exclusion) so the first forward miss is
+    * the true tip. */
+  private val HintName = "_latest.hint"
+  /** Commit-file GET counter (hint + commit parses), for specs proving
+    * resolve cost stays O(1) as versions accumulate. */
+  private[graft] val commitFileReads = new java.util.concurrent.atomic.AtomicLong
   /** Cap on files listed in one commit: beyond this the driver-side
     * manifest itself needs a tree structure (Iceberg's manifest lists);
     * fail loudly instead of degrading silently. */
@@ -76,9 +99,16 @@ object ManifestTable {
 
   /** One immutable data file of one table version. `min`/`max` are
     * optional long stats of the table's declared stats column (empty for
-    * footer-only files — those are never skipped). */
+    * footer-only files — those are never skipped). `bloom` is an optional
+    * (column, base64-serialized BloomFilter) pair for EQUALITY-probe file
+    * skipping on keys uncorrelated with the file layout — built by
+    * [[indexBloom]], consumed by [[readPrunedEq]]. Values enter the
+    * filter as the UTF-8 bytes of the column's canonical string cast, so
+    * probes are type-agnostic and deterministic; no false negatives, so
+    * skipping never loses a row. */
   final case class FileEntry(table: String, relPath: String,
-                             min: Option[Long], max: Option[Long])
+                             min: Option[Long], max: Option[Long],
+                             bloom: Option[(String, String)] = None)
 
   final case class Commit(version: Long, entries: Seq[FileEntry])
 
@@ -97,18 +127,65 @@ object ManifestTable {
     * the name pattern. Fixed commit names make equal sequence numbers
     * impossible under the current protocol (the loser's rename fails on
     * destination-exists); should a legacy uuid-named root carry one,
-    * the lexicographically last name wins deterministically. */
+    * the lexicographically last name wins deterministically.
+    *
+    * Resolve cost: O(1) in retained history — the `_latest.hint` fast
+    * path reads the pointer and exists-probes forward to the dense tip,
+    * never listing `_commits`; only hint-less (legacy/compacted) states
+    * pay the full LIST. */
   def current(spark: SparkSession, root: String): Option[Commit] = {
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
     if (!fs.exists(cd)) return None
-    val names = fs.listStatus(cd).map(_.getPath.getName)
-      .filter(n => CommitName.pattern.matcher(n).matches()).sorted
-    names.lastOption.map { n =>
+    latestName(fs, cd).map { n =>
       val CommitName(seq) = n
       Commit(seq.toLong, parseCommit(fs, new HPath(cd, n)))
     }
   }
+
+  /** Name of the tip commit: hint + forward probes when possible,
+    * full listing otherwise. */
+  private def latestName(fs: FileSystem, cd: HPath): Option[String] = {
+    val hinted = readHint(fs, cd).filter(h => fs.exists(new HPath(cd, fixedName(h))))
+    hinted match {
+      case Some(h) =>
+        // sequences are dense (next = current + 1), so walk to the first
+        // miss; fresh hints walk zero steps
+        var s = h
+        while (fs.exists(new HPath(cd, fixedName(s + 1)))) s += 1
+        Some(fixedName(s))
+      case None =>
+        fs.listStatus(cd).map(_.getPath.getName)
+          .filter(n => CommitName.pattern.matcher(n).matches()).sorted.lastOption
+    }
+  }
+
+  private def readHint(fs: FileSystem, cd: HPath): Option[Long] =
+    try {
+      val p = new HPath(cd, HintName)
+      if (!fs.exists(p)) None
+      else {
+        commitFileReads.incrementAndGet()
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                   finally in.close()
+        Some(text.toLong)
+      }
+    } catch { case _: Exception => None } // torn/corrupt hint -> listing path
+
+  /** Best-effort hint refresh after a successful commit. Losing a race
+    * here (or crashing before it) only costs the next reader some
+    * forward probes or one listing — never correctness. */
+  private def writeHint(fs: FileSystem, cd: HPath, version: Long): Unit =
+    try {
+      val tmp = new HPath(cd, s".tmp-hint-${uuid()}")
+      val out = fs.create(tmp, false)
+      try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = new HPath(cd, HintName)
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    } catch { case _: Exception => () }
 
   /** The state as of a specific retained version (time travel). */
   def readAt(spark: SparkSession, root: String, table: String,
@@ -124,6 +201,7 @@ object ManifestTable {
   }
 
   private def parseCommit(fs: FileSystem, p: HPath): Seq[FileEntry] = {
+    commitFileReads.incrementAndGet()
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -133,6 +211,12 @@ object ManifestTable {
           FileEntry(t, rel,
             if (mn.isEmpty) None else Some(mn.toLong),
             if (mx.isEmpty) None else Some(mx.toLong))
+        // bloom-carrying form: two extra fields (column, base64 filter)
+        case Array(t, rel, mn, mx, bc, bb) if bc.nonEmpty && bb.nonEmpty =>
+          FileEntry(t, rel,
+            if (mn.isEmpty) None else Some(mn.toLong),
+            if (mx.isEmpty) None else Some(mx.toLong),
+            Some((bc, bb)))
         case other => throw new java.io.IOException(
           s"corrupt commit line in $p: '${line.take(80)}'")
       }
@@ -146,12 +230,14 @@ object ManifestTable {
     * rename in the protocol, and of one small file. The fixed
     * destination is what makes optimistic concurrency sound: two
     * committers targeting the same sequence race their renames, and the
-    * second rename FAILS on destination-exists (verified Hadoop
-    * semantics on file: and HDFS — `FileSystem.rename` returns false,
-    * never overwrites a destination file), so exactly one committer per
-    * sequence number succeeds; the loser re-resolves and retries. The
-    * listStatus pre-check below is a fast-fail courtesy, not the
-    * exclusion mechanism. */
+    * second rename FAILS on destination-exists — enforced by
+    * `FileContext.rename(..., Options.Rename.NONE)`, which the Hadoop
+    * FS spec guarantees to reject an existing destination on every
+    * compliant filesystem (Delta's HDFSLogStore mechanism), with a
+    * `FileSystem.rename` fallback for schemes lacking a FileContext
+    * binding — so exactly one committer per sequence number succeeds;
+    * the loser re-resolves and retries. The listStatus pre-check below
+    * is a fast-fail courtesy, not the exclusion mechanism. */
   private def writeCommit(fs: FileSystem, rootP: HPath, version: Long,
                           entries: Seq[FileEntry]): Long = {
     require(entries.size <= MaxFilesPerCommit,
@@ -161,16 +247,25 @@ object ManifestTable {
       require(!e.table.contains("\t") && !e.relPath.contains("\t") &&
         !e.table.contains("\n") && !e.relPath.contains("\n"),
         s"illegal table/path characters: ${e.table} ${e.relPath}")
+      e.bloom.foreach { case (bc, bb) =>
+        require(bc.nonEmpty && bb.nonEmpty &&
+          !s"$bc$bb".exists(ch => ch == '\t' || ch == '\n'),
+          s"illegal bloom fields for ${e.relPath}")
+      }
     }
     val cd = new HPath(rootP, CommitDir)
     fs.mkdirs(cd)
-    val body = entries.map(e =>
-        s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}")
+    // bloom-less entries keep the legacy 4-field line byte-identical
+    val body = entries.map { e =>
+        val base =
+          s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"
+        e.bloom.fold(base) { case (bc, bb) => s"$base\t$bc\t$bb" }
+      }
       .mkString("", "\n", "\n")
     val tmp = new HPath(cd, s".tmp-${uuid()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val dest = new HPath(cd, f"c-$version%020d.txt")
+    val dest = new HPath(cd, fixedName(version))
     def conflict(): Nothing = {
       fs.delete(tmp, false)
       throw new java.io.IOException(
@@ -184,8 +279,34 @@ object ManifestTable {
       case _ => false
     }
     if (clash) conflict()
-    // the decisive step: atomic claim of the fixed name
-    if (!fs.rename(tmp, dest)) conflict()
+    // The decisive step: atomic claim of the fixed name.
+    // FileContext.rename with Options.Rename.NONE is SPEC-guaranteed to
+    // fail when the destination exists (the mechanism Delta's
+    // HDFSLogStore uses) — exclusion by contract, not by a particular
+    // FileSystem implementation's behavior. Schemes without a
+    // FileContext binding fall back to FileSystem.rename, whose
+    // destination-exists=false behavior holds on HDFS and on Hadoop
+    // 3.4 local file: (pinned empirically by ManifestTableSpec) but is
+    // version-dependent on older local filesystems.
+    val claimed =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, fs.getConf)
+        try {
+          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            false
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.rename(tmp, dest)
+      }
+    if (!claimed) conflict()
+    writeHint(fs, cd, version)
     version
   }
 
@@ -287,6 +408,113 @@ object ManifestTable {
     (kept.toLong, mine.size.toLong)
   }
 
+  // ------------------------------------------------------------ bloom index
+
+  /** UTF-8 bytes of the canonical string form a value is probed/inserted
+    * under — both sides of the bloom contract go through here. */
+  private def bloomKeyBytes(v: Any): Array[Byte] =
+    String.valueOf(v).getBytes(StandardCharsets.UTF_8)
+
+  /** Metadata-only version that attaches a per-file Bloom filter of
+    * `keyCol` to every data file of `table`: min/max stats skip
+    * RANGE predicates on the clustered column, blooms skip EQUALITY
+    * probes on keys UNCORRELATED with the layout (a digest, a user id, a
+    * join key) — the case range stats can never help with. Data files are
+    * carried byte-identical (not rewritten, not even re-listed); only the
+    * commit file changes, so this composes like [[compact]]: a
+    * background maintenance op, never an outage.
+    *
+    * One distributed pass builds every file's filter: rows map to
+    * (file, key-bytes), aggregated per file (partial filters merge by
+    * bit-OR, so the result is partitioning-invariant). The driver holds
+    * file-count-many serialized filters — size them with
+    * `expectedItemsPerFile`/`fpp` (~45 KB per 50k items at 3%); at
+    * extreme file counts store blooms in sidecar files (Iceberg's puffin
+    * shape) rather than inflating the commit body, the same escalation
+    * documented on [[MaxFilesPerCommit]].
+    *
+    * Files written AFTER this call (appends, compactions) carry no bloom
+    * and are simply never skipped — re-run indexBloom to re-cover them.
+    * Returns the new version. */
+  def indexBloom(spark: SparkSession, root: String, table: String,
+                 keyCol: String, expectedItemsPerFile: Long = 50000L,
+                 fpp: Double = 0.03): Long = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val byPath = spark.read
+      .parquet(mine.map(e => new HPath(rootP, e.relPath).toString): _*)
+      .select(input_file_name().as("__f"), col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+    val blooms: Map[String, String] = byPath.rdd
+      .map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
+        (b, v) => { b.putBinary(v.getBytes(StandardCharsets.UTF_8)); b },
+        (a, b) => { a.mergeInPlace(b); a })
+      .mapValues(b => java.util.Base64.getEncoder.encodeToString(
+        graft.expressions.BloomExprs.toBytes(b)))
+      .collect().toMap
+    val updated = mine.map { e =>
+      blooms.collectFirst { case (f, b64) if f.endsWith(e.relPath) =>
+        e.copy(bloom = Some((keyCol, b64)))
+      }.getOrElse(e) // footer-only files keep no bloom, are never skipped
+    }
+    writeCommit(fs, rootP, cur.version + 1L,
+      cur.entries.filterNot(_.table == table) ++ updated)
+  }
+
+  /** Equality-probe read with Bloom file skipping: only files whose
+    * filter might contain `value` (plus files with no bloom on `keyCol`)
+    * are opened. No false negatives, and the predicate is re-applied, so
+    * the result equals a full scan filtered to `keyCol = value` (string
+    * equality on the canonical cast, mirroring [[indexBloom]]'s
+    * insertion form). The point-lookup twin of [[readPruned]]. */
+  def readPrunedEq(spark: SparkSession, root: String, table: String,
+                   keyCol: String, value: Any): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val (_, rootP) = fsFor(spark, root)
+    val c = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(c), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val probe = bloomKeyBytes(value)
+    val keep = mine.filter { e =>
+      e.bloom match {
+        case Some((bc, b64)) if bc == keyCol =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
+        case _ => true
+      }
+    }
+    val base =
+      if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
+      else spark.read.parquet(keep.map(e => new HPath(rootP, e.relPath).toString): _*)
+    base.filter(col(keyCol).cast("string") === lit(String.valueOf(value)))
+  }
+
+  /** Kept-vs-total file counts for an equality probe — [[pruneStats]]'s
+    * bloom twin. */
+  def bloomPruneStats(spark: SparkSession, root: String, table: String,
+                      keyCol: String, value: Any): (Long, Long) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val c = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(c), table)
+    val probe = bloomKeyBytes(value)
+    val kept = mine.count { e =>
+      e.bloom match {
+        case Some((bc, b64)) if bc == keyCol =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
+        case _ => true
+      }
+    }
+    (kept.toLong, mine.size.toLong)
+  }
+
   // ----------------------------------------------------------------- writes
 
   /** All-or-nothing multi-table publish (T1). Every table's data files
@@ -331,14 +559,17 @@ object ManifestTable {
     val cur = current(spark, root)
     val prior = entriesOf(cur, table)
     if (prior.isEmpty) {
-      // write FIRST, count the committed files after — one execution of
-      // `incoming` even when it is non-deterministic, mirroring the
-      // initialized path below (the count IS what was committed)
+      // write FIRST, count, commit only if non-empty — one execution of
+      // `incoming` even when it is non-deterministic, and the same
+      // "0 rows -> no new version" contract as the initialized path
+      // (an intentionally-empty table is publish/overwrite's job)
       val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol)
+      val newDir = new HPath(rootP, newEntries.head.relPath).getParent
+      val n = spark.read.parquet(newDir.toString).count()
+      if (n == 0L) { fs.delete(newDir, true); return 0L }
       val carried = cur.map(_.entries).getOrElse(Nil)
       writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ newEntries)
-      val newDir = new HPath(rootP, newEntries.head.relPath).getParent
-      return spark.read.parquet(newDir.toString).count()
+      return n
     }
     val existing = toDf(spark, rootP, prior, table)
     val fresh = IncrementalLoad.newRowsOnly(incoming, existing, key)
@@ -469,6 +700,33 @@ object ManifestTable {
       carried ++ newEntries :+
         FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
     true
+  }
+
+  // ----------------------------------------- commit-log compaction / vacuum
+
+  /** Bound the commit log WITHOUT touching data: delete all but the
+    * `keepVersions` newest commit files. Because every commit file is a
+    * self-contained snapshot (it lists the full state of its version,
+    * not a delta), dropping old ones loses only time travel to them —
+    * the current version, its data files, and every retained version are
+    * untouched, so this is safe to run WHILE writers commit and readers
+    * plan (unlike [[vacuum]], which deletes data files and needs a quiet
+    * window). The periodic hygiene call for long-lived CDC / streaming
+    * sinks: without it a per-batch committer accumulates one `_commits`
+    * object per batch forever; with it the log stays `keepVersions`-sized
+    * and hint-less resolve (the listing path) stays cheap too. Orphaned
+    * DATA files of dropped versions remain until [[vacuum]]. Returns the
+    * number of commit files removed. */
+  def compactLog(spark: SparkSession, root: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, "compactLog must keep at least the current version")
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    if (!fs.exists(cd)) return 0L
+    val commits = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => CommitName.pattern.matcher(n).matches()).sorted
+    val drop = commits.dropRight(keepVersions)
+    drop.foreach(n => fs.delete(new HPath(cd, n), false))
+    drop.length.toLong
   }
 
   // ----------------------------------------------------------------- vacuum

@@ -269,6 +269,83 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.current(spark, root).get.version == v2)
   }
 
+  test("bloom skipping: equality probe opens only might-contain files, result equals full scan") {
+    val root = tmpDir("mtbloom")
+    // digest is uncorrelated with the id-hash file layout — the case
+    // where min/max range stats can never skip anything
+    def digested(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id", md5(concat(lit("k"), $"id")).as("digest"))
+    ManifestTable.publish(spark, root,
+      Map("t" -> digested(0, 400).repartition(4, $"id")))
+    ManifestTable.indexBloom(spark, root, "t", "digest",
+      expectedItemsPerFile = 1000L, fpp = 0.001)
+    val target = digested(0, 400).filter($"id" === 123L)
+      .select("digest").as[String].head()
+
+    val (kept, total) = ManifestTable.bloomPruneStats(spark, root, "t", "digest", target)
+    assert(total == 4L && kept < total, s"kept $kept of $total")
+    val hit = ManifestTable.readPrunedEq(spark, root, "t", "digest", target)
+    assert(hit.inputFiles.length.toLong == kept, "only might-contain files are in the scan")
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(123L))
+    // a key that is nowhere: every bloom rejects, zero files opened,
+    // empty result WITH the table schema
+    val miss = ManifestTable.readPrunedEq(spark, root, "t", "digest", "not-a-digest")
+    assert(miss.count() == 0L && miss.columns.toSet == Set("id", "digest"))
+    val (kept0, _) = ManifestTable.bloomPruneStats(spark, root, "t", "digest", "not-a-digest")
+    assert(kept0 == 0L)
+
+    // appended files carry no bloom yet: counted as kept (never skipped),
+    // correctness unaffected; re-indexing re-covers them
+    ManifestTable.appendNew(spark, root, "t", digested(400, 500), Seq("id"))
+    val (k2, t2) = ManifestTable.bloomPruneStats(spark, root, "t", "digest", "not-a-digest")
+    assert(t2 > total && k2 == t2 - total, "bloom-less appended files always open")
+    ManifestTable.indexBloom(spark, root, "t", "digest",
+      expectedItemsPerFile = 1000L, fpp = 0.001)
+    val (k3, _) = ManifestTable.bloomPruneStats(spark, root, "t", "digest", "not-a-digest")
+    assert(k3 == 0L)
+    assert(ManifestTable.readPrunedEq(spark, root, "t", "digest", target)
+      .select("id").as[Long].collect().toSeq == Seq(123L))
+  }
+
+  test("commit log at scale: hint resolve is O(1) reads; compactLog bounds the log data-free") {
+    val root = tmpDir("mtlog")
+    val n = 120
+    (1 to n).foreach { i =>
+      ManifestTable.overwrite(spark, root, "t",
+        Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    // resolve over n retained versions: hint GET + one commit parse, no
+    // listing — the long-lived-CDC-sink property
+    ManifestTable.commitFileReads.set(0L)
+    assert(ManifestTable.current(spark, root).get.version == n.toLong)
+    val reads = ManifestTable.commitFileReads.get
+    assert(reads <= 3L, s"resolve over $n versions cost $reads commit-file reads")
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new org.apache.hadoop.fs.Path(root, "_commits/_latest.hint")
+    // the hint is a pure accelerator: without it the listing path agrees
+    fs.delete(hint, false)
+    assert(ManifestTable.current(spark, root).get.version == n.toLong)
+    // a stale hint (writer crashed before the refresh) costs only forward
+    // probes — resolution still lands on the dense tip
+    val out = fs.create(hint, true)
+    try out.write((n - 7).toString.getBytes("UTF-8")) finally out.close()
+    assert(ManifestTable.current(spark, root).get.version == n.toLong)
+
+    // compactLog: drops all but the newest K commit FILES; the current
+    // version, its data, and retained time travel are untouched
+    assert(ManifestTable.compactLog(spark, root, keepVersions = 3) == (n - 3).toLong)
+    assert(ManifestTable.current(spark, root).get.version == n.toLong)
+    assert(ManifestTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet == Set((n.toLong, s"v$n")))
+    assert(ManifestTable.readAt(spark, root, "t", (n - 2).toLong)
+      .as[(Long, String)].collect().toSet == Set(((n - 2).toLong, s"v${n - 2}")))
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, "t", 1L)
+    }
+  }
+
   test("schema evolution: a later append may add columns; mergeSchema reads the union") {
     val root = tmpDir("mtevo")
     ManifestTable.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))

@@ -51,6 +51,10 @@ class PipelineE2ESpec extends SparkSpec {
     val outRoot = tmpDir("star-e2e")
     writeCsvFixtures(csvDir)
 
+    // pin the range-cluster width: the pruning assertion below needs at
+    // least as many shuffle partitions as distinct fact years (2024/2025),
+    // independent of whatever the suite-level session config says
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     OpinionPipeline.runFromCsv(spark, csvDir, outRoot)
     // the whole nine-table star is ONE manifest commit
     assert(ManifestTable.current(spark, outRoot).get.version == 1L)

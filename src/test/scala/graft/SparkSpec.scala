@@ -10,12 +10,17 @@ trait SparkSpec extends AnyFunSuite {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        { val w = java.nio.file.Files.createTempDirectory("graft-warehouse")
+          w.toFile.deleteOnExit(); w.toString })
       .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.etl.IncrementalLoad.deleteRecursively(p)))
+    p.toString
+  }
 }
