@@ -2118,6 +2118,23 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_prob"), col("kept"))
     }),
 
+    // Trained quality scoring END TO END: logistic regression fit on the
+    // corpus itself (label: lang = 'en'), then scan-side scoring with the
+    // fitted weights. The exact-integer gradient (order-free long-summed
+    // contributions + one fixed IEEE derivation per step) makes training
+    // bit-reproducible, so the oracle replays all 5 iterations in SQL
+    // and must land on identical weights before scoring — the whole FIT
+    // is hash-graded, not just the final projection.
+    "q180_trained_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("__y",
+        when(col("lang") === "en", 1).otherwise(0))
+      val (w, b) = operators.QualityModel.train(labeled, "text", "__y",
+        iters = 5, lr = 0.5)
+      operators.QualityModel.score(docs, "text", w, b)
+        .select(col("doc_id"), col("quality_prob"), col("kept"))
+    }),
+
     // PII scrubbing over deterministically-injected addresses/numbers
     // (the corpus itself carries none — the injection makes the redaction
     // observable and oracle-checkable end to end).
@@ -2280,13 +2297,16 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
-    // Frame sampling: fixed-offset binary frames per media row.
+    // REAL video-container frame indexing: synthesized-but-valid AVI/MJPEG
+    // blobs run through a genuine RIFF walk (hdrl parse, movi chunk walk,
+    // idx1 cross-check); every frame's absolute payload offset, length,
+    // and keyframe flag must match the oracle's pure-arithmetic replay of
+    // the container layout (window prefix-sum over the size formula) —
+    // one wrong chunk boundary anywhere and the offsets cascade off.
     "q62_frame_sample" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal
-        .toMediaTable(t(s, dir, "documents"), "doc_id", "text")
-      graft.multimodal.Multimodal.frameSample(media, n = 4)
-        .groupBy(col("frame_idx"))
-        .agg(count(lit(1)).as("n"), sum(col("frame_bytes")).as("total_bytes"))
+        .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.aviFrameIndex(media)
     })
   )
 
@@ -4983,6 +5003,8 @@ object SparkEntry {
         |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS digit_ratio
         |  FROM documents)""").stripMargin,
 
+    "q180_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
+
     "q46_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -5197,19 +5219,23 @@ object SparkEntry {
         |  round(avg(CAST(b AS DOUBLE)), 6) AS mean_b
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
+    // the container layout replayed as arithmetic: header block is 224
+    // bytes (RIFF hdr 12 + hdrl 200 + movi LIST hdr 12), each frame adds
+    // an 8-byte chunk header, payload offset = prefix sum of predecessors
     "q62_frame_sample" ->
-      """SELECT frame_idx, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes
-        |FROM (
-        |  SELECT doc_id, i AS frame_idx,
-        |    CAST(CASE WHEN i < 3 THEN least(flen, greatest(total - i * flen, 0))
-        |         ELSE greatest(total - 3 * flen, 0) END AS BIGINT) AS frame_bytes
-        |  FROM (SELECT doc_id, octet_length(encode(text)) AS total,
-        |          greatest(octet_length(encode(text)) // 4, 1) AS flen
-        |        FROM documents),
-        |       (SELECT unnest(range(4)) AS i))
-        |WHERE frame_bytes > 0
-        |GROUP BY frame_idx""".stripMargin
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, CAST(k.i AS BIGINT) AS frame_idx,
+        |    CAST(2 * (100 + ((doc_id * 31 + k.i * 7) % 120)) AS BIGINT) AS frame_bytes
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(0, 4 + doc_id % 5)) AS i) k)
+        |SELECT media_id, frame_idx,
+        |  CAST(232 + coalesce(sum(8 + frame_bytes) OVER (
+        |      PARTITION BY media_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS offset,
+        |  frame_bytes,
+        |  (frame_idx % 4 = 0) AS keyframe
+        |FROM fr""".stripMargin
   )
 
   /** One SQL text, two engines: runs through Catalyst (q99) and as its own
@@ -5394,4 +5420,43 @@ object SparkEntry {
 
   private def AllStopPat: String =
     TextAnalysis.StopwordTable.flatMap(_._2).mkString("\\b(", "|", ")\\b")
+
+  /** Oracle for q180: REPLAYS the exact-integer-gradient training loop in
+    * SQL — `iters` chained CTEs, each computing the next (bias, weights)
+    * from order-free BIGINT gradient sums exactly as
+    * `QualityModel.train` does — then scores with the fitted weights.
+    * Bit-reproducible training is what makes this oracle possible at
+    * all: a float-summed gradient would diverge in low bits and the
+    * fitted weights would never hash-match. */
+  private def TrainedQualityOracle(iters: Int, lr: Double): String = {
+    val feats =
+      s"""feats AS (
+         |  SELECT doc_id,
+         |    round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS f0,
+         |    CASE WHEN len(string_split(text, ' ')) > 0 THEN round(CAST(len(regexp_extract_all(lower(text), '$AllStopPat')) AS DOUBLE) / len(string_split(text, ' ')), 6) ELSE 0.0 END AS f1,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS f2,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS f3,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM feats),
+         |it0 AS (SELECT 0.0 AS wb, 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    def g(expr: String) =
+      s"(CAST(sum(CAST(floor($expr * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (SELECT
+         |    min(wb) - $lr * ${g("err")} / min(cnt) AS wb,
+         |    min(w0) - $lr * ${g("err * f0")} / min(cnt) AS w0,
+         |    min(w1) - $lr * ${g("err * f1")} / min(cnt) AS w1,
+         |    min(w2) - $lr * ${g("err * f2")} / min(cnt) AS w2,
+         |    min(w3) - $lr * ${g("err * f3")} / min(cnt) AS w3
+         |  FROM (SELECT w.wb, w.w0, w.w1, w.w2, w.w3, f.f0, f.f1, f.f2, f.f3, nn.cnt,
+         |      1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))) - f.y AS err
+         |    FROM feats f CROSS JOIN it${i - 1} w CROSS JOIN nn))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH $feats$steps
+       |SELECT f.doc_id,
+       |  round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) AS quality_prob,
+       |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
+       |FROM feats f CROSS JOIN it$iters w""".stripMargin
+  }
 }

@@ -205,7 +205,14 @@ object ManifestTable {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+    parseEntryLines(text.split("\n").iterator.filter(_.nonEmpty), p.toString)
+  }
+
+  /** Commit-line parser shared with the streaming reader (which gets its
+    * lines from a text file-source batch, not an FS open). */
+  private[graft] def parseEntryLines(lines: Iterator[String],
+                                     src: String): Seq[FileEntry] =
+    lines.map { line =>
       line.split("\t", -1) match {
         case Array(t, rel, mn, mx) =>
           FileEntry(t, rel,
@@ -218,9 +225,37 @@ object ManifestTable {
             if (mx.isEmpty) None else Some(mx.toLong),
             Some((bc, bb)))
         case other => throw new java.io.IOException(
-          s"corrupt commit line in $p: '${line.take(80)}'")
+          s"corrupt commit line in $src: '${line.take(80)}'")
       }
     }.toVector
+
+  /** Sequence number of a commit file name, if it is one. */
+  private[graft] def versionOfName(name: String): Option[Long] = name match {
+    case CommitName(seq) => Some(seq.toLong)
+    case _ => None
+  }
+
+  /** Entries of a specific retained version, None if not retained. */
+  private[graft] def entriesAt(spark: SparkSession, root: String,
+                               version: Long): Option[Seq[FileEntry]] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    if (!fs.exists(cd)) return None
+    val fixed = new HPath(cd, fixedName(version))
+    if (fs.exists(fixed)) return Some(parseCommit(fs, fixed))
+    val names = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => versionOfName(n).contains(version)).sorted
+    names.lastOption.map(n => parseCommit(fs, new HPath(cd, n)))
+  }
+
+  /** Oldest retained version, None for an uninitialized root. */
+  private[graft] def minRetainedVersion(spark: SparkSession,
+                                        root: String): Option[Long] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cd = new HPath(rootP, CommitDir)
+    if (!fs.exists(cd)) return None
+    fs.listStatus(cd).map(_.getPath.getName)
+      .flatMap(versionOfName).minOption
   }
 
   // ----------------------------------------------------------------- commit

@@ -237,6 +237,185 @@ object Multimodal {
     }.toOption
 
   // ---------------------------------------------------------------------
+  // REAL video-container walk (AVI/MJPEG): the WAV parser's RIFF sibling.
+  // Honest scope: CONTAINER indexing — header parse, movi chunk walk,
+  // idx1 cross-validation, per-frame (offset, size, keyframe) — not JPEG
+  // entropy decode (no codec libs here; frame payloads are synthesized
+  // SOI…EOI byte runs). That index IS the real large-scale primitive:
+  // frame-sampling 100 TB of video means planning (file, offset, length)
+  // ranged reads from container metadata, then handing only the sampled
+  // frames to a decoder. Blobs come from `synthesizeAviTable` — valid
+  // RIFF-AVI files whose frame counts/sizes are integer functions of the
+  // id, so a SQL oracle recomputes every offset with a window prefix-sum
+  // over the size formula, without touching bytes. Malformed blobs and
+  // containers whose idx1 disagrees with the walked chunks are dropped
+  // (quarantine semantics).
+  // ---------------------------------------------------------------------
+
+  final case class AviFrame(media_id: Long, frame_idx: Long, offset: Long,
+                            frame_bytes: Long, keyframe: Boolean)
+
+  private def aviFrameCount(id: Long): Int = (4 + (id % 5)).toInt
+  /** Even by construction — no RIFF pad after frame chunks, which keeps
+    * the oracle's offset arithmetic a plain prefix sum. (The PARSER still
+    * handles odd/padded chunks — spec'd on a hand-built container.) */
+  private def aviFrameSize(id: Long, k: Int): Int =
+    2 * (100 + ((id * 31 + k * 7) % 120)).toInt
+
+  /** One valid AVI/MJPEG container: RIFF(hdrl(avih, strl(strh, strf)),
+    * movi(00dc…), idx1). Frame k's payload is `FFD8 … FFD9` (JPEG
+    * SOI/EOI) around `(id + k + i) % 251` filler; every 4th frame is
+    * flagged AVIIF_KEYFRAME in idx1. */
+  def synthesizeAvi(id: Long): Array[Byte] = {
+    val n = aviFrameCount(id)
+    val width = (64 + (id % 3) * 16).toInt
+    val height = (48 + (id % 2) * 16).toInt
+    val sizes = (0 until n).map(k => aviFrameSize(id, k))
+    val hdrlData = 192                       // 'hdrl' + avih(64) + LIST strl(124)
+    val moviData = 4 + sizes.map(8 + _).sum  // 'movi' + chunks, no pads (even)
+    val idxData = 16 * n
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idxData)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffData); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlData); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(40000); bb.putInt(0); bb.putInt(0); bb.putInt(0x10) // 25fps, HASINDEX
+    bb.putInt(n); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(width); bb.putInt(height)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    cc("LIST"); bb.putInt(116); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("MJPG")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(25)             // scale 1, rate 25 -> 25 fps
+    bb.putInt(0); bb.putInt(n)
+    bb.putInt(0); bb.putInt(-1); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(width.toShort); bb.putShort(height.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24); cc("MJPG")
+    bb.putInt(width * height * 3)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    cc("LIST"); bb.putInt(moviData); cc("movi")
+    sizes.zipWithIndex.foreach { case (sz, k) =>
+      cc("00dc"); bb.putInt(sz)
+      bb.put(0xFF.toByte); bb.put(0xD8.toByte)
+      var i = 2
+      while (i < sz - 2) { bb.put(((id + k + i) % 251).toByte); i += 1 }
+      bb.put(0xFF.toByte); bb.put(0xD9.toByte)
+    }
+    cc("idx1"); bb.putInt(idxData)
+    var rel = 4L
+    sizes.zipWithIndex.foreach { case (sz, k) =>
+      cc("00dc"); bb.putInt(if (k % 4 == 0) 0x10 else 0)
+      bb.putInt(rel.toInt); bb.putInt(sz)
+      rel += 8L + sz
+    }
+    bb.array()
+  }
+
+  /** Media table of synthesized AVI blobs, one per id. */
+  def synthesizeAviTable(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    src.mapPartitions { it => it.map(id => (id, synthesizeAvi(id))) }(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("media_id", "blob")
+      .withColumn("meta", struct(
+        lit("video").as("kind"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate")))
+  }
+
+  /** REAL container walk: one row per frame with its absolute payload
+    * offset, byte length, and idx1 keyframe flag. The walked movi chunks
+    * are cross-checked against idx1 (count, offsets, sizes) — a container
+    * whose index lies is dropped, not half-trusted. */
+  def aviFrameIndex(media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseAviIndex(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.map { case ((off, sz, key), k) =>
+            AviFrame(id, k.toLong, off, sz, key)
+          }
+        }
+      }
+    }(Encoders.product[AviFrame]).toDF()
+  }
+
+  /** RIFF-AVI walker: returns per-frame (payloadOffset, size, keyframe)
+    * for well-formed containers, None otherwise. Handles odd-size chunk
+    * padding per the RIFF rule; requires avih's declared frame count,
+    * the walked movi chunks, and idx1 to agree. */
+  private def parseAviIndex(bytes: Array[Byte]): Option[Seq[(Long, Long, Boolean)]] =
+    scala.util.Try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(cc() == "RIFF"); bb.getInt; require(cc() == "AVI ")
+      var totalFrames = -1
+      var moviFourccPos = -1L
+      var frames = Vector.empty[(Long, Long)] // (payload offset, size)
+      var index = Vector.empty[(Long, Long, Boolean)] // (rel offset, size, key)
+      while (bb.remaining() >= 8) {
+        val id = cc(); val sz = bb.getInt
+        require(sz >= 0 && bb.position() + sz <= bb.limit())
+        val end = bb.position() + sz
+        id match {
+          case "LIST" =>
+            cc() match {
+              case "hdrl" =>
+                // walk hdrl children for avih; skip strl etc.
+                while (bb.position() < end) {
+                  val cid = cc(); val csz = bb.getInt
+                  val cend = bb.position() + csz
+                  if (cid == "avih") {
+                    totalFrames = bb.getInt(bb.position() + 16)
+                  }
+                  bb.position(cend + (csz & 1))
+                }
+              case "movi" =>
+                moviFourccPos = bb.position() - 4L
+                while (bb.position() < end) {
+                  val cid = cc(); val csz = bb.getInt
+                  require(csz >= 0 && bb.position() + csz <= end)
+                  if (cid == "00dc") frames :+= ((bb.position().toLong, csz.toLong))
+                  bb.position(bb.position() + csz + (csz & 1))
+                }
+              case _ => ()
+            }
+          case "idx1" =>
+            while (bb.position() < end) {
+              val cid = cc(); val flags = bb.getInt
+              val rel = bb.getInt.toLong; val csz = bb.getInt.toLong
+              require(cid == "00dc")
+              index :+= ((rel, csz, (flags & 0x10) != 0))
+            }
+          case _ => ()
+        }
+        bb.position(math.min(end + (sz & 1), bb.limit()))
+      }
+      require(moviFourccPos >= 0 && frames.nonEmpty)
+      require(totalFrames == frames.length, "avih frame count vs movi walk")
+      require(index.length == frames.length, "idx1 entry count vs movi walk")
+      frames.zip(index).map { case ((off, sz), (rel, isz, key)) =>
+        // idx1 offsets are relative to the 'movi' fourcc; the walked
+        // chunk header sits 8 bytes before its payload
+        require(moviFourccPos + rel + 8 == off && isz == sz,
+          "idx1 disagrees with walked chunks")
+        (off, sz, key)
+      }
+    }.toOption
+
+  // ---------------------------------------------------------------------
   // REAL image decode (BMP): like the WAV path, BMP is codec-free — a
   // genuine decoder is pure header + pixel-array parsing. Blobs come from
   // `synthesizeBmpTable`: valid 24bpp bottom-up BMPs whose pixel values

@@ -56,17 +56,30 @@ object QualityModel {
       .withColumn("kept", col("quality_prob") >= threshold)
   }
 
+  /** Per-row gradient contributions are quantized to this grid before
+    * summation, making every gradient an EXACT integer sum. */
+  val GradScale: Double = 1e6
+
   /** Batch-gradient-descent logistic regression on a labeled frame
     * (`labelCol` in {0,1}). Each iteration aggregates the full gradient
-    * (sum over rows of (p - y) * f_j, one double per feature plus bias)
     * map-side-combined, then steps driver-side — the only data movement is
-    * d+1 doubles per iteration. Feature values are cached once.
+    * d+1 values per iteration. Feature values are cached once.
     *
-    * Returns (weights, bias). Double-sum gradient order varies with
-    * partitioning, so two runs can differ in low bits: fitted weights are
-    * for SCORING (graded by spec on separation quality), not for
-    * bit-parity grading — score with literal weights when the output
-    * must be engine-reproducible. */
+    * BIT-REPRODUCIBLE across partitionings and engines (the
+    * labelCentroids discipline): the per-row contribution
+    * `(p - y) * f_j` is a pure function of the row (weights enter as
+    * driver literals), quantized to the [[GradScale]] grid with
+    * `floor(x·1e6 + 0.5)` and summed as LONG — integer addition is
+    * order-free, so shuffle/partition order can't wiggle low bits the
+    * way a floating sum does. The driver then derives the step through
+    * one FIXED IEEE sequence (`lr * (g/1e6) / n`). Two trains of the
+    * same data return identical doubles, and an external engine
+    * replaying the same arithmetic reproduces them (q180's oracle does,
+    * in SQL). Headroom: |err·f| ≤ ~13 ⇒ ~1.3e7 per row quantized,
+    * ~7e11 rows before a long sum could wrap — beyond that, widen the
+    * accumulator to decimal(38,0).
+    *
+    * Returns (weights, bias). */
   def train(df: DataFrame, textCol: String, labelCol: String,
             iters: Int = 20, lr: Double = 0.5): (Seq[Double], Double) = {
     val d = FeatureNames.length
@@ -78,16 +91,18 @@ object QualityModel {
       val n = feats.count().toDouble
       var w = Array.fill(d)(0.0)
       var b = 0.0
+      val qz = (c: Column) => floor(c * lit(GradScale) + lit(0.5d)).cast("long")
       (0 until iters).foreach { _ =>
         val z = (0 until d).foldLeft(lit(b)) { (acc, i) =>
           acc + col(s"f$i") * lit(w(i))
         }
         val err = (lit(1.0d) / (lit(1.0d) + exp(-z))) - col("y")
         val sums = feats.agg(
-          sum(err).as("g_b"),
-          (0 until d).map(i => sum(err * col(s"f$i")).as(s"g$i")): _*).head()
-        b -= lr * sums.getDouble(0) / n
-        (0 until d).foreach(i => w(i) -= lr * sums.getDouble(i + 1) / n)
+          sum(qz(err)).as("g_b"),
+          (0 until d).map(i => sum(qz(err * col(s"f$i"))).as(s"g$i")): _*).head()
+        b -= lr * (sums.getLong(0).toDouble / GradScale) / n
+        (0 until d).foreach(i =>
+          w(i) -= lr * (sums.getLong(i + 1).toDouble / GradScale) / n)
       }
       (w.toSeq, b)
     } finally feats.unpersist()

@@ -157,6 +157,93 @@ object EventStreams {
         ()
       }
 
+  /** Streaming READ of a manifest-committed table — the exactly-once
+    * sink's reader twin. A table "changes" exactly when a commit file
+    * appears in `_commits`, so the stream IS a text file-source over that
+    * directory: Spark's file source contributes exactly-once discovery,
+    * checkpointed offsets, and crash replay of commit FILES for free, and
+    * `deliverCommittedBatches` turns each discovered commit into the data
+    * it added — resolved against the PREDECESSOR version, read as a batch
+    * DataFrame, and handed to `f(rows, version)` in version order.
+    *
+    * Semantics (the append feed):
+    *  - a reader's FIRST version (the oldest retained commit) delivers
+    *    the full table state at that version — the initial snapshot;
+    *  - every later version delivers exactly the rows in files it ADDED
+    *    for `table`;
+    *  - versions that REMOVE any of the table's files (compact,
+    *    deleteWhere rewrites) deliver nothing — they add no rows, so
+    *    compaction is invisible downstream, same as it is to batch
+    *    readers. The feed is for append-maintained tables (appendNew /
+    *    transactionalAppend); a rewrite that both dropped and added NEW
+    *    rows in one commit would be skipped, which no writer here does.
+    *
+    * Crash/replay: after a failure between delivery and checkpoint
+    * acknowledgment the file source re-delivers the commit file, so `f`
+    * sees the same (rows, version) again — pair it with
+    * [[ManifestTable.transactionalAppend]] keyed by `version` as the
+    * batch id and the replay is absorbed, giving exactly-once END TO END
+    * across two manifest tables.
+    *
+    * Retention contract: commit files must outlive the slowest reader
+    * ([[ManifestTable.compactLog]]/vacuum no faster than consumption) —
+    * a gap in retained versions mid-stream fails loudly rather than
+    * guessing (the same retention rule Delta documents for CDF reads).
+    * Scale: per trigger this moves commit METADATA (KBs) to the driver —
+    * the same cost class as batch plan resolution — and reads only the
+    * added data files, never the table. */
+  def committedAppendStream(spark: SparkSession, root: String, table: String,
+                            checkpoint: String)
+                           (f: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.text(s"$root/_commits")
+      .select(input_file_name().as("commit_file"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (meta: DataFrame, _: Long) =>
+        deliverCommittedBatches(meta, root, table, f)
+        ()
+      }
+
+  /** Resolve one micro-batch of commit-file lines into per-version data
+    * deliveries (see [[committedAppendStream]] for the contract). */
+  private[graft] def deliverCommittedBatches(meta: DataFrame, root: String,
+      table: String, f: (DataFrame, Long) => Unit): Unit = {
+    val s = meta.sparkSession
+    val rows = meta.collect()
+    if (rows.isEmpty) return
+    val byVersion: Seq[(Long, Seq[ManifestTable.FileEntry])] = rows.toSeq
+      .groupBy(_.getString(0)).toSeq
+      .flatMap { case (file, rs) =>
+        val name = file.split("/").last
+        ManifestTable.versionOfName(name).map { v =>
+          v -> ManifestTable.parseEntryLines(
+            rs.iterator.map(_.getString(1)).filter(_.nonEmpty), name)
+        }
+      }.sortBy(_._1)
+    val inBatch = byVersion.toMap
+    def pathsOf(es: Seq[ManifestTable.FileEntry]): Set[String] =
+      es.filter(_.table == table).map(_.relPath).toSet
+    byVersion.foreach { case (v, entries) =>
+      val mine = pathsOf(entries)
+      val prev: Set[String] =
+        if (v == 1L) Set.empty
+        else inBatch.get(v - 1L).map(pathsOf)
+          .orElse(ManifestTable.entriesAt(s, root, v - 1L).map(pathsOf))
+          .getOrElse {
+            // no predecessor anywhere: fine iff v is the stream's head
+            // (oldest retained) — that delivery is the initial snapshot
+            if (ManifestTable.minRetainedVersion(s, root).contains(v)) Set.empty
+            else throw new IllegalStateException(
+              s"manifest stream: version ${v - 1} of $root no longer " +
+                "retained — compactLog/vacuum outran this reader")
+          }
+      val added = mine -- prev
+      val removed = prev -- mine
+      if (removed.isEmpty && added.nonEmpty)
+        f(s.read.parquet(added.toSeq.sorted.map(p => s"$root/$p"): _*), v)
+    }
+  }
+
   /** Event row for typed stateful processing. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)

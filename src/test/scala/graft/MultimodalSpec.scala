@@ -209,6 +209,44 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), "twin pair found through the bands")
   }
 
+  test("AVI container walk: real RIFF parse indexes frames, offsets match layout arithmetic") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 7L, 42L).toDF("id")
+    val idx = Multimodal.aviFrameIndex(Multimodal.synthesizeAviTable(ids, "id"))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    ids.as[Long].collect().foreach { id =>
+      val frames = idx(id)
+      assert(frames.length == (4 + id % 5).toInt, s"frame count for $id")
+      // offsets replay as pure arithmetic: header 224 + 8 per chunk header
+      var expectOff = 224L + 8L
+      frames.foreach { case (_, k, off, sz, key) =>
+        assert(sz == 2L * (100 + ((id * 31 + k * 7) % 120)), s"size $id/$k")
+        assert(off == expectOff, s"offset $id/$k")
+        assert(key == (k % 4 == 0), s"keyframe flag $id/$k")
+        expectOff += sz + 8L
+      }
+      // the indexed ranges really address SOI..EOI payloads in the blob
+      val blob = Multimodal.synthesizeAvi(id)
+      frames.foreach { case (_, _, off, sz, _) =>
+        assert((blob(off.toInt) & 0xFF) == 0xFF && (blob(off.toInt + 1) & 0xFF) == 0xD8)
+        assert((blob(off.toInt + sz.toInt - 1) & 0xFF) == 0xD9)
+      }
+    }
+
+    // corrupt container (truncated) and lying idx1 both quarantine
+    val good = Multimodal.synthesizeAvi(3L)
+    val truncated = good.take(good.length - 10)
+    val lying = good.clone()
+    // idx1's first entry size field is the last 4 bytes of its 16-byte
+    // record; flip a bit there
+    lying(lying.length - 16 * (4 + 3 % 5).toInt + 12) = 99.toByte
+    val mixed = Seq((3L, good), (4L, truncated), (5L, lying)).toDF("media_id", "blob")
+    val survived = Multimodal.aviFrameIndex(mixed)
+      .select("media_id").distinct().as[Long].collect().toSet
+    assert(survived == Set(3L), "corrupt/lying containers are dropped whole")
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)

@@ -112,6 +112,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be shuffle-free:\n$plan")
   }
 
+  test("training is bit-reproducible: partitioning cannot wiggle the fitted weights") {
+    import graft.operators.QualityModel
+    val docs = Tables.load(spark, sf(), "documents")
+      .withColumn("label", when($"lang" === "en", 1).otherwise(0))
+    // exact-integer gradients: long sums are order-free, so radically
+    // different partition layouts MUST produce identical doubles
+    val (w1, b1) = QualityModel.train(docs.repartition(1), "text", "label",
+      iters = 5, lr = 0.5)
+    val (w2, b2) = QualityModel.train(
+      docs.repartition(17, $"doc_id"), "text", "label", iters = 5, lr = 0.5)
+    assert(w1.map(_.toString) == w2.map(_.toString) && b1.toString == b2.toString,
+      s"weights diverged: $w1/$b1 vs $w2/$b2")
+    assert(w1.exists(_ != 0.0), "training moved off the origin")
+  }
+
   test("PII scrub redacts emails and phone-shaped runs, leaves text intact") {
     val r = Seq(
       (1L, "mail me at a.b+tag@ex-ample.co.uk or call +44 (0) 7911 123456 now"),
