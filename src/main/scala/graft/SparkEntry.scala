@@ -1027,7 +1027,7 @@ object SparkEntry {
     // the id-hash file layout). Blooms have no false negatives and the
     // predicate is re-applied, so the oracle — the same lookup replayed
     // relationally — breaks the hash on any wrongly-skipped file.
-    "q179_bloom_point_lookup" -> ((s, dir) => {
+    "q181_bloom_point_lookup" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q179")
       val root = s"$tmp/tables"
@@ -2125,7 +2125,7 @@ object SparkEntry {
     // bit-reproducible, so the oracle replays all 5 iterations in SQL
     // and must land on identical weights before scoring — the whole FIT
     // is hash-graded, not just the final projection.
-    "q180_trained_quality" -> ((s, dir) => {
+    "q182_trained_quality" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labeled = docs.withColumn("__y",
         when(col("lang") === "en", 1).otherwise(0))
@@ -2949,7 +2949,7 @@ object SparkEntry {
 
     // the bloom-pruned point lookup must equal the relational lookup:
     // every document whose content digest equals doc 42's
-    "q179_bloom_point_lookup" ->
+    "q181_bloom_point_lookup" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 42)
         |""".stripMargin,
@@ -5003,7 +5003,7 @@ object SparkEntry {
         |    CASE WHEN length(text) > 0 THEN round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) ELSE 0.0 END AS digit_ratio
         |  FROM documents)""").stripMargin,
 
-    "q180_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
+    "q182_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
 
     "q46_pii_scrub" ->
       """SELECT doc_id,

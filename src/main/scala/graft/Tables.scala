@@ -51,6 +51,11 @@ object Tables {
     // idle-core parallelism, not fewer bigger tasks.
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata parquet stores naive (isAdjustedToUTC=false) microsecond
+    // timestamps; read them as TIMESTAMP (UTC session) rather than
+    // TIMESTAMP_NTZ so unix_micros / watermarks / interval arithmetic keep
+    // working and values match DuckDB's naive-timestamp reading
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // reliable checkpoints (Dedup.cut with spark.graft.checkpoint.dir):
     // let the ContextCleaner delete superseded iteration checkpoints once
     // their RDDs are GC'd — iterative clusters() would otherwise
