@@ -1029,7 +1029,7 @@ object SparkEntry {
     // relationally — breaks the hash on any wrongly-skipped file.
     "q181_bloom_point_lookup" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q179")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q181")
       val root = s"$tmp/tables"
       val docs = t(s, dir, "documents").withColumn("digest", md5(col("text")))
       etl.ManifestTable.publish(s, root,
@@ -5421,7 +5421,7 @@ object SparkEntry {
   private def AllStopPat: String =
     TextAnalysis.StopwordTable.flatMap(_._2).mkString("\\b(", "|", ")\\b")
 
-  /** Oracle for q180: REPLAYS the exact-integer-gradient training loop in
+  /** Oracle for q182_trained_quality: REPLAYS the exact-integer-gradient training loop in
     * SQL — `iters` chained CTEs, each computing the next (bias, weights)
     * from order-free BIGINT gradient sums exactly as
     * `QualityModel.train` does — then scores with the fitted weights.

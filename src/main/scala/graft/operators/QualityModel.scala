@@ -74,7 +74,7 @@ object QualityModel {
     * way a floating sum does. The driver then derives the step through
     * one FIXED IEEE sequence (`lr * (g/1e6) / n`). Two trains of the
     * same data return identical doubles, and an external engine
-    * replaying the same arithmetic reproduces them (q180's oracle does,
+    * replaying the same arithmetic reproduces them (q182's oracle does,
     * in SQL). Headroom: |err·f| ≤ ~13 ⇒ ~1.3e7 per row quantized,
     * ~7e11 rows before a long sum could wrap — beyond that, widen the
     * accumulator to decimal(38,0).
