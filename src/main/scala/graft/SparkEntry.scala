@@ -2135,6 +2135,52 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_prob"), col("kept"))
     }),
 
+    // Count-Min sketch frequency estimation: one mergeable aggregation
+    // builds the depth x width grid (scan-side codegen'd bucketing, the
+    // aggregate only increments), then every supplier key is probed
+    // against the collected sketch scan-side. est >= exact always (the
+    // one-sided CMS guarantee); the oracle rebuilds the identical grid
+    // relationally and takes the same min over cells.
+    "q183_cms_counts" -> ((s, dir) => {
+      import graft.expressions.CountMin
+      val d = 4; val w = 64
+      val li = t(s, dir, "lineitem")
+      val sketch = li.agg(CountMin.countMin(col("l_suppkey"), d, w).as("sk"))
+        .head().getSeq[Long](0).toArray
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+      exact
+        .withColumn("est_cnt",
+          CountMin.estimate(typedLit(sketch), col("l_suppkey"), d, w))
+        .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey").asc)
+        .limit(20)
+    }),
+
+    // Interpolated Kneser-Ney bigram LM scoring: word-order-sensitive
+    // corpus-typicality (the CCNet perplexity-filter shape, one level up
+    // from q95's unigram model).
+    "q184_kn_bigram_lm" -> ((s, dir) => {
+      operators.NgramLm.knBigramScore(t(s, dir, "documents"),
+        "text", "doc_id", discount = 0.75)
+    }),
+
+    // DSIR importance selection: weight every document by the hashed-
+    // unigram log-likelihood ratio of the in-pool English slice (the
+    // target) against the whole pool, keep the top 100.
+    "q185_dsir_select" -> ((s, dir) => {
+      operators.Dsir.importanceSelect(t(s, dir, "documents"),
+        col("lang") === "en", "text", "doc_id", buckets = 256, k = 100)
+    }),
+
+    // Curation attrition report: every document charged to its FIRST
+    // failing stage (dup -> lang -> short -> repetitive -> kept),
+    // tabulated per source with within-source shares.
+    "q186_curation_funnel" -> ((s, dir) => {
+      operators.Curation.funnel(t(s, dir, "documents"),
+        "text", "doc_id", "lang", "source",
+        targetLang = "en", minTokens = 40L, maxTopBigramFrac = 0.08)
+    }),
+
     // PII scrubbing over deterministically-injected addresses/numbers
     // (the corpus itself carries none — the injection makes the redaction
     // observable and oracle-checkable end to end).
@@ -5004,6 +5050,130 @@ object SparkEntry {
         |  FROM documents)""").stripMargin,
 
     "q182_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
+
+    // rebuilds the identical CMS grid relationally — cell (j,b) = count
+    // of rows hashing there under the same md5-prefix family — and takes
+    // the same min over each probed key's cells
+    "q183_cms_counts" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+        |cells AS (
+        |  SELECT js.j,
+        |    CAST(concat('0x', substr(md5(concat(js.j, ':',
+        |      CAST(l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+        |    count(*) AS c
+        |  FROM lineitem CROSS JOIN js GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+        |probes AS (
+        |  SELECT k.l_suppkey, k.exact_cnt, js.j,
+        |    CAST(concat('0x', substr(md5(concat(js.j, ':',
+        |      CAST(k.l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM keys k CROSS JOIN js),
+        |est AS (
+        |  SELECT p.l_suppkey, p.exact_cnt, min(c.c) AS est_cnt
+        |  FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY exact_cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // the interpolated-KN bigram model refit relationally: bigram counts,
+    // forward/backward continuation type counts, total types, then the
+    // same fixed IEEE sequence (c-D)/c1 + (D*n1f/c1)*(n1b/T) per
+    // occurrence and the house grid-sum mean
+    "q184_kn_bigram_lm" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT d.doc_id, d.tk[t.i] AS w1, d.tk[t.i + 1] AS w2
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) t
+        |  WHERE len(d.tk) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM occ GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bi GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM bi),
+        |model AS (
+        |  SELECT b.w1, b.w2,
+        |    round(ln((b.c - 0.75) / f.c1 + (0.75 * f.n1f / f.c1)
+        |      * (w.n1b / tt.t)), 6) AS lp
+        |  FROM bi b JOIN fwd f ON f.w1 = b.w1
+        |  JOIN bwd w ON w.w2 = b.w2, tt),
+        |scored AS (
+        |  SELECT o.doc_id, m.lp FROM occ o
+        |  JOIN model m ON m.w1 = o.w1 AND m.w2 = o.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // both hashed-unigram multinomials refit relationally (Laplace
+    // smoothing over 256 md5-prefix buckets), the same per-bucket
+    // log-ratio on the 6dp grid, grid-summed per document, same top-100
+    "q185_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 256 AS bk
+        |  FROM toks),
+        |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |ct AS (SELECT bk, count(*) AS c FROM b JOIN tgt USING (doc_id) GROUP BY 1),
+        |cr AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM ct) AS tt,
+        |               (SELECT sum(c) FROM cr) AS tr),
+        |lr AS (
+        |  SELECT cr.bk,
+        |    round(ln(((coalesce(ct.c, 0) + 1.0) / (tt + 256))
+        |      / ((cr.c + 1.0) / (tr + 256))), 6) AS lr
+        |  FROM cr LEFT JOIN ct ON ct.bk = cr.bk, tot),
+        |w AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(sum(l.lr), 6) AS weight
+        |  FROM b JOIN lr l ON l.bk = b.bk GROUP BY 1)
+        |SELECT doc_id, n_tokens, weight FROM w
+        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // first-failing-stage attribution replayed relationally; the
+    // repetition statistic counts gram STRINGS where Spark's one-pass
+    // expression counts 64-bit hashes (q47/q96 collision caveat); every
+    // document here has >= 10 tokens so the short-text fallback never
+    // fires in either engine
+    "q186_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source,
+        |    len(string_split(text, ' ')) AS nt, md5(text) AS h
+        |  FROM documents),
+        |firsts AS (SELECT h, min(doc_id) AS first_id FROM base GROUP BY 1),
+        |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM base),
+        |grams AS (
+        |  SELECT d.doc_id, d.tk[t.i] || ' ' || d.tk[t.i + 1] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) t),
+        |rep AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS ng FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |staged AS (
+        |  SELECT b.source, b.nt,
+        |    CASE WHEN b.doc_id <> f.first_id THEN 'dup'
+        |         WHEN b.lang <> 'en' THEN 'lang'
+        |         WHEN b.nt < 40 THEN 'short'
+        |         WHEN floor(CAST(r.mx AS DOUBLE) / r.ng * 1e6 + 0.5) / 1e6
+        |              > 0.08 THEN 'repetitive'
+        |         ELSE 'kept' END AS stage
+        |  FROM base b JOIN firsts f ON f.h = b.h
+        |  JOIN rep r ON r.doc_id = b.doc_id)
+        |SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  floor(CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY source) * 1e6 + 0.5) / 1e6
+        |    AS share
+        |FROM staged GROUP BY source, stage""".stripMargin,
 
     "q46_pii_scrub" ->
       """SELECT doc_id,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR) — the hashed-n-gram
+  * importance-weighting scheme of Xie et al. 2023 ("Data Selection for
+  * Language Models via Importance Resampling"): fit two bag-of-hashed-
+  * features models, one on a small TARGET corpus (the distribution you
+  * want more of) and one on the RAW pool, then weight every raw document
+  * by its target/raw log-likelihood ratio and keep the top slice. The
+  * standard "make the crawl look like Wikipedia" selection pass.
+  *
+  * Features: unigram tokens hashed into `buckets` cells with the house
+  * md5-prefix h32 (`h32(term) mod B`) — hashing bounds model size at B
+  * regardless of vocabulary, which is what makes the model a driver-side
+  * literal instead of a join. Both models are Laplace-smoothed bucket
+  * multinomials; a document's weight is
+  *
+  *   w(x) = sum over token occurrences of
+  *          ln( ((ct[b]+1)/(tot_t+B)) / ((cr[b]+1)/(tot_r+B)) )
+  *
+  * with each bucket's log-ratio pre-rounded to the 6dp grid, so the
+  * per-doc sum is engine- and order-portable (q95's grid-sum rule).
+  *
+  * Selection is deterministic top-k by (weight desc, doc_id) — the
+  * rank-based variant of DSIR's Gumbel resampling (the paper's appendix
+  * notes top-k performs comparably; it keeps the operator reproducible
+  * across runs and engines).
+  *
+  * Scale (100 TB): two B-cell aggregations with map-side combine (the
+  * shuffle moves at most B rows per partition), one bounded collect of
+  * 2B longs, then a ZERO-JOIN scan — each document folds its token
+  * array against a literal B-entry map. Top-k plans as
+  * `TakeOrderedAndProject` (per-partition heaps, never a global sort).
+  */
+object Dsir {
+
+  private def toks(textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+
+  /** h32(term) mod B — codegen'd, DuckDB-replayable. */
+  private def bucketOf(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Per-bucket token-occurrence counts of `df` (docs filtered by `pred`
+    * when given): Map[bucket -> count], driver-side (<= B entries). */
+  private def bucketCounts(df: DataFrame, textCol: String,
+                           pred: Option[Column], buckets: Int): Map[Long, Long] = {
+    val base = pred.map(df.filter).getOrElse(df)
+    base.select(explode(toks(textCol)).as("term"))
+      .select(bucketOf(col("term"), buckets).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Score every document of `raw` with its DSIR importance weight and
+    * keep the top `k`: (doc_id, n_tokens, weight). `targetPred` marks
+    * the in-pool target slice (e.g. `col("lang") === "en"` or a
+    * quality-classifier verdict); a separate target corpus works by
+    * unioning it in with a marker column. */
+  def importanceSelect(raw: DataFrame, targetPred: Column, textCol: String,
+                       idCol: String, buckets: Int = 256, k: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets must be in [2, 2^20]")
+    val ct = bucketCounts(raw, textCol, Some(targetPred), buckets)
+    val cr = bucketCounts(raw, textCol, None, buckets)
+    val totT = ct.values.sum
+    val totR = cr.values.sum
+    // log-ratio per bucket, one fixed IEEE sequence (mirrored by the
+    // oracle): ((ct+1)/(totT+B)) / ((cr+1)/(totR+B)), ln, round 6dp.
+    // Only buckets present in raw can be probed (every scored token came
+    // from raw), so keying the literal map by cr's buckets is total.
+    val lr: Map[Long, Double] = cr.map { case (b, crb) =>
+      val num = (ct.getOrElse(b, 0L) + 1.0) / (totT + buckets).toDouble
+      val den = (crb + 1.0) / (totR + buckets).toDouble
+      b -> BigDecimal(math.log(num / den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val lps = transform(toks(textCol), t =>
+      element_at(typedLit(lr), bucketOf(t, buckets)))
+    raw.select(col(idCol).as("doc_id"),
+        size(lps).cast("long").as("n_tokens"),
+        round(aggregate(lps, lit(0.0d), _ + _), 6).as("weight"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CountMin
+import graft.operators.{Curation, Dsir, NgramLm}
+
+/** Round-8 operators: Count-Min sketch aggregate, Kneser-Ney bigram LM,
+  * DSIR importance selection, curation attrition funnel. */
+class SelectionSketchSpec extends SparkSpec {
+
+  private lazy val sc = spark
+
+  // ---- Count-Min sketch ----
+
+  test("count_min: one-sided guarantee, partition invariance, mass conservation") {
+    import sc.implicits._
+    val d = 4; val w = 16
+    // skewed keys: key k appears k times, k = 1..40 (820 rows), forcing
+    // collisions at width 16 so the min over depth actually works
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+    val df = rows.toDF("k")
+
+    def sketchOf(parts: Int): Array[Long] =
+      df.repartition(parts, col("k"))
+        .agg(CountMin.countMin(col("k"), d, w).as("sk"))
+        .head().getSeq[Long](0).toArray
+
+    val s1 = sketchOf(1)
+    val s7 = sketchOf(7)
+    assert(s1.toSeq == s7.toSeq, "sketch must not depend on partitioning")
+
+    // every depth row conserves total mass
+    (0 until d).foreach { j =>
+      assert(s1.slice(j * w, (j + 1) * w).sum == rows.size.toLong)
+    }
+
+    val est = df.distinct()
+      .withColumn("est", CountMin.estimate(typedLit(s1), col("k"), d, w))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 40L).foreach { k =>
+      assert(est(k) >= k, s"est(${k}) = ${est(k)} underestimates true count $k")
+    }
+    // width 16 over 40 keys: at least the heavy keys must stay tight
+    // (est - exact <= eps*N with eps = e/w ~ 0.17, N = 820 -> <= 140)
+    (1L to 40L).foreach { k =>
+      assert(est(k) - k <= 140, s"est(${k}) = ${est(k)} exceeds the CMS error bound")
+    }
+  }
+
+  test("count_min: null keys are skipped") {
+    import sc.implicits._
+    val df = Seq(Some(1L), None, Some(1L), None).toDF("k")
+    val sk = df.agg(CountMin.countMin(col("k"), 2, 8).as("sk"))
+      .head().getSeq[Long](0).toArray
+    assert(sk.slice(0, 8).sum == 2L)
+  }
+
+  // ---- Kneser-Ney bigram LM ----
+
+  test("kn bigram: matches the hand-replayed interpolated-KN formula") {
+    import sc.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.knBigramScore(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // model: c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3 n1f(a)=2; c1(b)=1
+    // n1f(b)=1; n1b(a)=1 n1b(b)=1 n1b(c)=1; T=3
+    def lp(c: Long, c1: Long, n1f: Long, n1b: Long, t: Long): Double = {
+      val p = (c - 0.75) / c1 + (0.75 * n1f / c1) * (n1b.toDouble / t)
+      BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ab = lp(2, 3, 2, 1, 3); val ba = lp(1, 1, 1, 1, 3); val ac = lp(1, 3, 2, 1, 3)
+    def gridMean(s: Double, n: Long): Double = {
+      val s6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(s6 / n * 1e6 + 0.5) / 1e6
+    }
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == gridMean(ab + ba + ab, 3))
+    assert(out(2L)._1 == 1L)
+    assert(out(2L)._2 == gridMean(ac, 1))
+  }
+
+  test("kn bigram: higher-probability sequences outscore scrambled ones") {
+    import sc.implicits._
+    // "the cat sat" repeated forms high-count bigrams; the scrambled doc
+    // reuses the same unigrams in never-seen-elsewhere orders
+    val base = (1L to 8L).map(i => (i, "the cat sat on the mat"))
+    val df = (base :+ ((99L, "mat the on sat cat the"))).toDF("doc_id", "text")
+    val out = NgramLm.knBigramScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(99L),
+      s"typical doc ${out(1L)} must outscore scrambled ${out(99L)}")
+  }
+
+  // ---- DSIR ----
+
+  test("dsir: target-like docs rank first; repartition invariant") {
+    import sc.implicits._
+    val wikiish = (1L to 20L).map(i => (i, s"wiki article topic$i reference citation", true))
+    val webish = (21L to 60L).map(i => (i, s"click here buy now deal$i offer spam", false))
+    val mixed = (61L to 70L).map(i => (i, s"wiki reference about deal$i", false))
+    val df = (wikiish ++ webish ++ mixed).toDF("doc_id", "text", "is_tgt")
+
+    val sel = Dsir.importanceSelect(df, col("is_tgt"), "text", "doc_id",
+      buckets = 64, k = 30).collect()
+    val ids = sel.map(_.getLong(0)).toSet
+    // all 20 target-vocabulary docs + the 10 mixed ones beat pure web spam
+    assert((1L to 20L).forall(ids.contains), "every wiki-vocab doc selected")
+    assert((61L to 70L).forall(ids.contains), "mixed docs beat pure web docs")
+
+    val sel7 = Dsir.importanceSelect(df.repartition(7), col("is_tgt"),
+      "text", "doc_id", buckets = 64, k = 30).collect()
+    assert(sel.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      sel7.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      "selection must be partition-order invariant")
+  }
+
+  // ---- Curation funnel ----
+
+  test("curation funnel: first-failing-stage attribution, totals conserve") {
+    import sc.implicits._
+    val kept = "the quick brown fox jumps over the lazy dog and then " +
+      (1 to 35).map(i => s"w$i").mkString(" ") // 46 tokens, all-but-one distinct
+    val repetitive = Seq.fill(30)("x y").mkString(" ") // 60 tokens, top gram 30/59
+    val df = Seq(
+      (1L, kept, "en", "s0"),        // kept (first of the dup pair)
+      (2L, kept, "en", "s0"),        // dup of 1
+      (3L, Seq.fill(30)("z w").mkString(" "), "fr", "s0"), // lang fires first
+      (4L, "short text only ten tokens here to be sure ok", "en", "s0"), // short
+      (5L, repetitive, "en", "s0")   // repetitive
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val out = Curation.funnel(df, "text", "doc_id", "lang", "source",
+        targetLang = "en", minTokens = 40L, maxTopBigramFrac = 0.08)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(4))).toMap
+
+    assert(out("dup")._1 == 1L)
+    assert(out("lang")._1 == 1L)
+    assert(out("short")._1 == 1L)
+    assert(out("repetitive")._1 == 1L)
+    assert(out("kept")._1 == 1L)
+    assert(out.values.map(_._1).sum == 5L, "stages partition the corpus")
+    assert(out("kept")._2 == 0.2)
+  }
+}
