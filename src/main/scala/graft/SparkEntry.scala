@@ -2181,6 +2181,22 @@ object SparkEntry {
         targetLang = "en", minTokens = 40L, maxTopBigramFrac = 0.08)
     }),
 
+    // Group-relative quantile bucketing WITHOUT per-group sorts: KMV
+    // sketch boundaries + scan-side assignment. Every language here fits
+    // the k=4096 sample, so buckets are exact and the oracle replays the
+    // same lower-value rank convention relationally; beyond k the
+    // boundaries go O(1/sqrt(k))-approximate while staying partition-
+    // order deterministic.
+    "q187_quantile_buckets" -> ((s, dir) => {
+      operators.QuantileNorm.quantileBuckets(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "doc_id", "lang")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
     // PII scrubbing over deterministically-injected addresses/numbers
     // (the corpus itself carries none — the injection makes the redaction
     // observable and oracle-checkable end to end).
@@ -5174,6 +5190,32 @@ object SparkEntry {
         |    / sum(count(*)) OVER (PARTITION BY source) * 1e6 + 0.5) / 1e6
         |    AS share
         |FROM staged GROUP BY source, stage""".stripMargin,
+
+    // exact quartile boundaries per language (every language fits the
+    // sketch at this SF) under the lower-value rank convention
+    // v[ceil(p*n)], then the same strictly-above bucket assignment
+    "q187_quantile_buckets" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rk >= ceil(0.25 * n) THEN n_chars END) AS b1,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN n_chars END) AS b2,
+        |    min(CASE WHEN rk >= ceil(0.75 * n) THEN n_chars END) AS b3
+        |  FROM r GROUP BY lang),
+        |a AS (
+        |  SELECT d.lang,
+        |    CAST(CAST(d.n_chars > b.b1 AS INT) + CAST(d.n_chars > b.b2 AS INT)
+        |      + CAST(d.n_chars > b.b3 AS INT) AS BIGINT) AS bucket,
+        |    d.n_chars
+        |  FROM documents d JOIN b ON b.lang = d.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM a GROUP BY lang, bucket""".stripMargin,
 
     "q46_pii_scrub" ->
       """SELECT doc_id,

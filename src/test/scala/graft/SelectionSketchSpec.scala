@@ -116,6 +116,74 @@ class SelectionSketchSpec extends SparkSpec {
       "selection must be partition-order invariant")
   }
 
+  // ---- Quantile bucketing ----
+
+  test("quantile buckets: exact for groups within the sketch, sort-free assignment") {
+    import sc.implicits._
+    // group a: values 1..100 (quartile boundaries 25, 50, 75); group b:
+    // constant value (all rows land in bucket 0)
+    val rows = (1L to 100L).map(v => (v, "a", v)) ++
+      (101L to 120L).map(i => (i, "b", 7L))
+    val df = rows.toDF("id", "g", "v")
+    val out = graft.operators.QuantileNorm.quantileBuckets(df, "v", "id", "g")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    (1L to 100L).foreach { v =>
+      val expect = Seq(25L, 50L, 75L).count(v > _)
+      assert(out(v) == expect, s"value $v bucket ${out(v)} != $expect")
+    }
+    (101L to 120L).foreach(i => assert(out(i) == 0L))
+  }
+
+  test("quantile buckets: oversized groups stay deterministic, boundaries near true ranks") {
+    import sc.implicits._
+    val n = 2000
+    val df = (1L to n.toLong).map(v => (v, "g", v)).toDF("id", "g", "v")
+    def run(parts: Int) = graft.operators.QuantileNorm
+      .quantileBuckets(df.repartition(parts), "v", "id", "g", k = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    val a = run(1); val b = run(13)
+    assert(a == b, "bucket assignment must be partition-order invariant")
+    // k=256 -> rank error O(1/sqrt(k)) ~ 6%; each quartile's bucket
+    // boundary must sit within 15% of its true rank
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+      val crossing = a.find(_._2 == i + 1).get._1 // first value above boundary i
+      assert(math.abs(crossing - p * n) <= 0.15 * n,
+        s"boundary $p crossed at $crossing, true ${p * n}")
+    }
+  }
+
+  // ---- streaming Count-Min ----
+
+  test("count_min merges across streaming micro-batches (= batch sketch)") {
+    import sc.implicits._
+    val d = 4; val w = 16
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+    val src = tmpDir("graft-cms-src")
+    // several files -> several micro-batch merges of partial sketches
+    rows.toDF("k").repartition(5).write.mode("overwrite").parquet(src)
+    val batchSketch = spark.read.parquet(src)
+      .agg(CountMin.countMin(col("k"), d, w).as("sk"))
+      .head().getSeq[Long](0).toArray
+    val outDir = tmpDir("graft-cms-out")
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+      .agg(CountMin.countMin(col("k"), d, w).as("sk"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft-cms-ckpt"))
+      .start()
+    q.awaitTermination(120000)
+    val streamSketch = spark.read.parquet(outDir)
+      .head().getSeq[Long](0).toArray
+    assert(streamSketch.toSeq == batchSketch.toSeq,
+      "streaming partial-sketch merges must equal the batch sketch")
+  }
+
   // ---- Curation funnel ----
 
   test("curation funnel: first-failing-stage attribution, totals conserve") {
