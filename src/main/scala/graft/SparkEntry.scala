@@ -2181,6 +2181,14 @@ object SparkEntry {
         targetLang = "en", minTokens = 40L, maxTopBigramFrac = 0.08)
     }),
 
+    // ExactSubstr duplicated-span REMOVAL (Lee et al. 2022): rewrite
+    // every document with non-first occurrences of duplicated 10-token
+    // windows elided — the transform twin of q96's measurement.
+    "q188_remove_dup_spans" -> ((s, dir) => {
+      Dedup.removeDupSpans(t(s, dir, "documents"), "text", "doc_id",
+        spanN = 10)
+    }),
+
     // Group-relative quantile bucketing WITHOUT per-group sorts: KMV
     // sketch boundaries + scan-side assignment. Every language here fits
     // the k=4096 sample, so buckets are exact and the oracle replays the
@@ -5190,6 +5198,42 @@ object SparkEntry {
         |    / sum(count(*)) OVER (PARTITION BY source) * 1e6 + 0.5) / 1e6
         |    AS share
         |FROM staged GROUP BY source, stage""".stripMargin,
+
+    // positional-cover replay over gram STRINGS (Spark hashes them —
+    // q96 collision caveat): rn>1 occurrences cover their 10 positions,
+    // documents reassemble from uncovered tokens in order
+    "q188_remove_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, t.i - 1 AS pos,
+        |    array_to_string(tk[t.i:t.i+9], ' ') AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
+        |  WHERE len(d.tk) >= 10),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |cov AS (
+        |  SELECT DISTINCT m.doc_id, m.pos + t.j AS tp
+        |  FROM marked m, LATERAL (SELECT unnest(range(0, 10)) AS j) t
+        |  WHERE m.rn > 1),
+        |toks AS (
+        |  SELECT doc_id, t.i - 1 AS tp, tk[t.i] AS tok
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
+        |kept AS (
+        |  SELECT k.doc_id, k.tp, k.tok FROM toks k
+        |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tp) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(d2.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d
+        |JOIN docs d2 ON d2.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     // exact quartile boundaries per language (every language fits the
     // sketch at this SF) under the lower-value rank convention

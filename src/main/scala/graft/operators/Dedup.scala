@@ -158,6 +158,65 @@ object Dedup {
       .withColumn("keep", col("dup_fraction") <= lit(maxFraction))
   }
 
+  /** Duplicated-span REMOVAL (the ExactSubstr transform of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * where [[dupSpanStats]] measures span-level duplication, this
+    * rewrites each document with every non-first occurrence of a
+    * duplicated `spanN`-token window elided — one copy of each repeated
+    * substring survives, at its globally first position (lexicographic
+    * (doc_id, pos); within-doc repeats keep the earliest).
+    *
+    * Mechanics: overlapping windows are hashed scan-side; the global
+    * first occurrence per window hash is one min(struct) aggregation;
+    * every LATER occurrence marks its spanN token positions covered, and
+    * the document reassembles from uncovered tokens in order. A token
+    * inside the first occurrence of one duplicated region can still be
+    * removed if ANOTHER duplicated window covers it — the definition is
+    * positional cover, replayed exactly by the oracle.
+    *
+    * Scale: the two corpus-sized shuffles carry (hash, doc, pos) and
+    * (doc, tokpos) rows — never window text (hashed in the projection,
+    * the q96 collision caveat: the oracle works over gram strings, so a
+    * cross-corpus xxhash64 collision would fail the harness). Coverage
+    * fan-out is a constant spanN per dup window. Reassembly groups by
+    * doc — per-doc state is one document's tokens, the lineDedup
+    * pattern. min(struct) plans as a sort-based aggregate keyed on the
+    * UNIFORM window hash: a partition-local sort with no skewed key
+    * (SMJ-equivalent work) — preferred over packing (doc, pos) into one
+    * long, whose id/length caps would overflow silently at scale.
+    * Output: (doc_id, clean_text, n_removed). */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     spanN: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ", -1).as("__toks"))
+    val win = base
+      .filter(size(col("__toks")) >= spanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $spanN)," +
+          s" i -> xxhash64(array_join(slice(__toks, i + 1, $spanN), ' ')))")))
+      .withColumnRenamed("col", "h")
+    val firsts = win.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val covered = win.join(firsts, "h")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanN - 1))).as("tp"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "tp").withColumnRenamed("col", "tok")
+    val rebuilt = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Line-level dedup (the CCNet/RefinedWeb line-dedup stage): drop lines
     * duplicated ACROSS documents — boilerplate headers, navigation,
     * cookie banners — while keeping one canonical copy (the occurrence in

@@ -116,6 +116,35 @@ class SelectionSketchSpec extends SparkSpec {
       "selection must be partition-order invariant")
   }
 
+  // ---- ExactSubstr span removal ----
+
+  test("removeDupSpans: non-first occurrences elided, first copy survives") {
+    import sc.implicits._
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ") // exactly one window
+    val d1 = s"alpha beta $shared gamma delta"            // first occurrence
+    val d2 = s"one two three $shared four five"           // later copy -> elided
+    val d3 = "unrelated words " + (1 to 12).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDupSpans(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (d1, 0L), "first occurrence untouched")
+    assert(out(2L) == ("one two three four five", 10L), "copy elided")
+    assert(out(3L) == (d3, 0L), "unique doc untouched")
+  }
+
+  test("removeDupSpans: within-doc repeat keeps the earliest occurrence") {
+    import sc.implicits._
+    val span = (1 to 10).map(i => s"r$i").mkString(" ")
+    val doc = s"$span mid1 mid2 $span"
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDupSpans(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the second copy's windows overlap the connectors; only positions
+    // covered by a LATER duplicated window drop
+    assert(out(7L)._1.startsWith(span), "earliest copy survives")
+    assert(out(7L)._2 == 10L, s"exactly the second copy's tokens drop: ${out(7L)}")
+  }
+
   // ---- Quantile bucketing ----
 
   test("quantile buckets: exact for groups within the sketch, sort-free assignment") {
