@@ -5076,22 +5076,22 @@ object SparkEntry {
     "q182_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
 
     // rebuilds the identical CMS grid relationally — cell (j,b) = count
-    // of rows hashing there under the same md5-prefix family — and takes
-    // the same min over each probed key's cells
+    // of rows whose j-th md5-slice hashes there — and takes the same min
+    // over each probed key's cells
     "q183_cms_counts" ->
       """WITH js AS (SELECT unnest(range(0, 4)) AS j),
         |cells AS (
         |  SELECT js.j,
-        |    CAST(concat('0x', substr(md5(concat(js.j, ':',
-        |      CAST(l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+        |    CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)),
+        |      1 + 8 * js.j, 8)) AS BIGINT) % 64 AS b,
         |    count(*) AS c
         |  FROM lineitem CROSS JOIN js GROUP BY 1, 2),
         |keys AS (
         |  SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
         |probes AS (
         |  SELECT k.l_suppkey, k.exact_cnt, js.j,
-        |    CAST(concat('0x', substr(md5(concat(js.j, ':',
-        |      CAST(k.l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
+        |    CAST(concat('0x', substr(md5(CAST(k.l_suppkey AS VARCHAR)),
+        |      1 + 8 * js.j, 8)) AS BIGINT) % 64 AS b
         |  FROM keys k CROSS JOIN js),
         |est AS (
         |  SELECT p.l_suppkey, p.exact_cnt, min(c.c) AS est_cnt

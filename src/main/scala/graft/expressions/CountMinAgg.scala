@@ -110,16 +110,22 @@ object CountMin {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** The depth bucket indices of `key` as a codegen'd array<long>:
-    * `bucket_j = h32(j + ":" + key) mod width` with h32 the first 8 md5
-    * hex digits — the hash family every sampler in this engine uses, and
-    * one DuckDB replays verbatim
-    * (`CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT) % width`). */
-  def buckets(key: Column, depth: Int, width: Int): Column =
+    * `bucket_j = h32_j(key) mod width` where h32_j reads the j-th
+    * DISJOINT 8-hex-digit slice of ONE md5 digest — one hash per row
+    * (not depth), with the slices acting as the independent hash family
+    * (md5's 128 bits give four uncorrelated 32-bit words). DuckDB
+    * replays it verbatim:
+    * `CAST(concat('0x', substr(md5(key), 1 + 8*j, 8)) AS BIGINT) % width`.
+    * The 32-hex digest bounds this family at depth 4. */
+  def buckets(key: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= 4,
+      "md5-slice bucket family supports depth in [1, 4]")
+    val digest = md5(key.cast("string"))
     array((0 until depth).map { j =>
-      pmod(conv(substring(md5(
-        concat(lit(s"$j:"), key.cast("string"))), 1, 8), 16, 10)
+      pmod(conv(substring(digest, 1 + 8 * j, 8), 16, 10)
         .cast("long"), lit(width.toLong))
     }: _*)
+  }
 
   /** Aggregate Column: the flattened depth*width counter grid
     * (row-major: cell (j, b) at index j*width + b). */
