@@ -2181,6 +2181,15 @@ object SparkEntry {
         targetLang = "en", minTokens = 40L, maxTopBigramFrac = 0.08)
     }),
 
+    // Classical additive seasonal decomposition of the daily event-value
+    // series per event type: centered 7-day MA trend, weekday-position
+    // seasonal means of the exact-integer detrended series, residual.
+    "q189_seasonal_decompose" -> ((s, dir) => {
+      operators.Seasonal.maDecompose(t(s, dir, "events"),
+          "ts", "value", "event_type", period = 7, half = 3)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ExactSubstr duplicated-span REMOVAL (Lee et al. 2022): rewrite
     // every document with non-first occurrences of duplicated 10-token
     // windows elided — the transform twin of q96's measurement.
@@ -5198,6 +5207,40 @@ object SparkEntry {
         |    / sum(count(*)) OVER (PARTITION BY source) * 1e6 + 0.5) / 1e6
         |    AS share
         |FROM staged GROUP BY source, stage""".stripMargin,
+
+    // the decomposition replayed with the same exact-integer cents
+    // arithmetic: long MA sums, d7 = 7v - s7 detrended, one division
+    // per mean, house 6dp grid combines
+    "q189_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ma AS (
+        |  SELECT event_type, d, v,
+        |    CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS idx,
+        |    sum(v) OVER w AS s7, count(*) OVER w AS c7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |base AS (
+        |  SELECT event_type, d, idx, v, s7, 7 * v - s7 AS d7
+        |  FROM ma WHERE c7 = 7),
+        |seas AS (
+        |  SELECT event_type, idx,
+        |    round(CAST(sum(d7) AS DOUBLE) / (700.0 * count(*)), 6) AS s6
+        |  FROM base GROUP BY 1, 2),
+        |ctr AS (
+        |  SELECT event_type,
+        |    floor(round(sum(s6), 6) / 7 * 1e6 + 0.5) / 1e6 AS mt
+        |  FROM seas GROUP BY 1)
+        |SELECT b.event_type, b.d, b.idx, b.v / 100.0 AS value,
+        |  floor(b.s7 / 700.0 * 1e6 + 0.5) / 1e6 AS trend,
+        |  s.s6 - c.mt AS seasonal,
+        |  floor((b.d7 / 700.0 - (s.s6 - c.mt)) * 1e6 + 0.5) / 1e6 AS residual
+        |FROM base b
+        |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
+        |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
 
     // positional-cover replay over gram STRINGS (Spark hashes them —
     // q96 collision caveat): rn>1 occurrences cover their 10 positions,

@@ -116,6 +116,59 @@ class SelectionSketchSpec extends SparkSpec {
       "selection must be partition-order invariant")
   }
 
+  // ---- plan shapes (the 100 TB contract) ----
+
+  test("cms probe and dsir scoring are zero-join scan-side passes") {
+    import sc.implicits._
+    val df = (1L to 50L).map(i => (i, s"tok$i word$i", i % 2 == 0))
+      .toDF("id", "text", "tgt")
+    // CMS estimate against a collected sketch: pure projection
+    val sketch = Array.fill(4 * 16)(1L)
+    val probe = df.select(
+      CountMin.estimate(typedLit(sketch), col("id"), 4, 16).as("est"))
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Join") && !probePlan.contains("Exchange"),
+      s"CMS probe must not join or shuffle:\n$probePlan")
+    // DSIR: after the two bounded model collects, selection is a scan +
+    // TakeOrderedAndProject — no join anywhere in the final plan
+    val sel = Dsir.importanceSelect(df, col("tgt"), "text", "id",
+      buckets = 16, k = 5)
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(!selPlan.contains("Join"),
+      s"DSIR selection must be join-free:\n$selPlan")
+    assert(selPlan.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  // ---- seasonal decomposition ----
+
+  test("seasonal decompose: exact weekly pattern recovered, zero residual") {
+    import sc.implicits._
+    import java.sql.Timestamp
+    // 28 daily points: 10.0 baseline + 7.0 bump every idx-0 day ->
+    // trend 11, seasonal (+6, -1 x6), residual 0 exactly
+    val rows = (0 until 28).map { i =>
+      val day = java.time.LocalDate.of(1995, 1, 2).plusDays(i)
+      val idx = day.toEpochDay % 7
+      (Timestamp.valueOf(day.atStartOfDay()),
+        if (idx == 0) 17.0 else 10.0, "k")
+    }
+    val df = rows.toDF("ts", "value", "key")
+    val out = graft.operators.Seasonal.maDecompose(df, "ts", "value", "key")
+      .collect()
+    assert(out.length == 22, "28 days minus 6 edge rows")
+    out.foreach { r =>
+      assert(r.getDouble(4) == 11.0, s"trend ${r.getDouble(4)}")
+      val expectedSeasonal = if (r.getLong(2) == 0L) 6.0 else -1.0
+      assert(r.getDouble(5) == expectedSeasonal, s"seasonal $r")
+      assert(r.getDouble(6) == 0.0, s"residual $r")
+    }
+    // partition invariance
+    val a = graft.operators.Seasonal.maDecompose(df.repartition(5), "ts", "value", "key")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == out.map(_.toString).sorted.toSeq)
+  }
+
   // ---- ExactSubstr span removal ----
 
   test("removeDupSpans: non-first occurrences elided, first copy survives") {
