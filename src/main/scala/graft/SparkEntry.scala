@@ -2190,6 +2190,23 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // Per-source distribution drift: KL(source || corpus) over hashed
+    // unigram buckets — which source no longer looks like the mixture.
+    "q191_kl_drift" -> ((s, dir) => {
+      operators.Dsir.klDrift(t(s, dir, "documents"), "text", "source",
+          buckets = 256)
+        .withColumnRenamed("grp", "source")
+    }),
+
+    // CUSUM changepoint per event type: the day the cumulative
+    // deviation from the series mean peaks, held as exact longs until
+    // the final unit conversion.
+    "q190_cusum_changepoint" -> ((s, dir) => {
+      operators.Seasonal.cusumChangepoint(t(s, dir, "events"),
+          "ts", "value", "event_type")
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ExactSubstr duplicated-span REMOVAL (Lee et al. 2022): rewrite
     // every document with non-first occurrences of duplicated 10-token
     // windows elided — the transform twin of q96's measurement.
@@ -5241,6 +5258,59 @@ object SparkEntry {
         |FROM base b
         |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
         |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
+
+    // same smoothed bucket multinomials, per-bucket grid terms, grid sum
+    "q191_kl_drift" ->
+      """WITH toks AS (
+        |  SELECT source, t AS term FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bk AS (
+        |  SELECT source AS grp,
+        |    CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 256 AS bk,
+        |    count(*) AS cg
+        |  FROM toks GROUP BY 1, 2),
+        |corpus AS (SELECT bk.bk, sum(cg) AS cc FROM bk GROUP BY 1),
+        |gtot AS (SELECT grp, sum(cg) AS tg FROM bk GROUP BY 1),
+        |ctot AS (SELECT sum(cc) AS tc FROM corpus)
+        |SELECT b.grp AS source, CAST(max(g.tg) AS BIGINT) AS n_tokens,
+        |  round(sum(round(
+        |    ((b.cg + 1.0) / (g.tg + 256.0)) * ln(
+        |      ((b.cg + 1.0) / (g.tg + 256.0))
+        |      / ((c.cc + 1.0) / (ct.tc + 256.0))), 6)), 6) AS kl
+        |FROM bk b
+        |JOIN corpus c ON c.bk = b.bk
+        |JOIN gtot g ON g.grp = b.grp
+        |CROSS JOIN ctot ct
+        |GROUP BY b.grp""".stripMargin,
+
+    // same exact-long CUSUM: n*prefix - t*total, argmax with
+    // earliest-day tie-break, one division at the end
+    "q190_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, sum(v) AS total, count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |pre AS (
+        |  SELECT d.event_type, d.d,
+        |    sum(d.v) OVER (PARTITION BY d.event_type ORDER BY d.d
+        |                   ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.d) AS t
+        |  FROM daily d),
+        |c AS (
+        |  SELECT p.event_type, p.d,
+        |    abs(s.n * p.prefix - p.t * s.total) AS absc, s.n
+        |  FROM pre p JOIN st s ON s.event_type = p.event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY absc DESC, d) AS rk FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS change_d,
+        |  floor(absc / (100.0 * n) * 1e6 + 0.5) / 1e6 AS max_dev
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // positional-cover replay over gram STRINGS (Spark hashes them —
     // q96 collision caveat): rn>1 occurrences cover their 10 positions,

@@ -86,4 +86,42 @@ object Dsir {
       .orderBy(col("weight").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Per-group distribution drift: KL(P_group || P_corpus) over the same
+    * hashed-unigram buckets, Laplace smoothed — "which source no longer
+    * looks like the corpus", the mixture-monitoring twin of
+    * [[importanceSelect]] (there the ratio model SELECTS documents; here
+    * it scores whole groups).
+    *
+    * Fully relational — no driver-side model: bucket counts key one
+    * aggregation on (group, bucket), the corpus marginal reaggregates by
+    * bucket, and the KL sum is a group-keyed aggregation of per-bucket
+    * grid terms (each term 6dp-rounded before the order-free grid sum).
+    * Groups x buckets rows flow between stages — never the corpus.
+    * Output: (group, n_tokens, kl). */
+  def klDrift(df: DataFrame, textCol: String, groupCol: String,
+              buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets must be in [2, 2^20]")
+    val bk = df.select(col(groupCol).as("grp"),
+        explode(toks(textCol)).as("term"))
+      .select(col("grp"), bucketOf(col("term"), buckets).as("bk"))
+      .groupBy(col("grp"), col("bk")).agg(count(lit(1)).as("cg"))
+    val corpus = bk.groupBy(col("bk")).agg(sum(col("cg")).as("cc"))
+    val gtot = bk.groupBy(col("grp")).agg(sum(col("cg")).as("tg"))
+    val ctot = corpus.agg(sum(col("cc")).as("tc"))
+    val b = lit(buckets.toDouble)
+    // smoothed probabilities; every group joins every one of ITS buckets
+    // (zero-count buckets contribute ~0 to KL under p*ln(p/q) with
+    // p -> 0 smoothing mass folded into the observed buckets)
+    val term = (col("cg") + 1.0) / (col("tg") + b) *
+      log(((col("cg") + 1.0) / (col("tg") + b)) /
+          ((col("cc") + 1.0) / (col("tc") + b)))
+    bk.join(corpus, Seq("bk"))
+      .join(gtot, Seq("grp"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("t6", round(term, 6))
+      .groupBy(col("grp"))
+      .agg(max(col("tg")).as("n_tokens"), round(sum(col("t6")), 6).as("kl"))
+      .select(col("grp"), col("n_tokens"), col("kl"))
+  }
 }

@@ -67,4 +67,42 @@ object Seasonal {
         (col("s6") - col("mt")).as("seasonal"),
         grid(col("d7") / lit(den) - (col("s6") - col("mt"))).as("residual"))
   }
+
+  /** CUSUM changepoint detection per key: the day where the cumulative
+    * deviation from the series mean peaks — the classic "when did this
+    * metric shift level" answer (Page 1954's cumulative-sum chart,
+    * offline max-|CUSUM| form).
+    *
+    * Exactness: CUSUM_t = prefix_t - t*mean is held as the EXACT long
+    * `n*prefix_t - t*total` (cents x n) — no running double sum, so the
+    * argmax is unambiguous and engine-portable; ties break on the
+    * earliest day. One final division converts to value units on the
+    * 6dp grid.
+    *
+    * Scale: same aggregate-then-window discipline as [[maDecompose]] —
+    * the prefix sum and the argmax rank run over the (key, day) series,
+    * never raw events. Output: (key, n_days, change_d, max_dev). */
+  def cusumChangepoint(df: DataFrame, tsCol: String, valueCol: String,
+                       keyCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("d"))
+      .agg(sum(floor(col(valueCol) * 100 + lit(0.5d)).cast("long")).as("v"))
+    val st = daily.groupBy(col("key"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("d"))
+    val c = daily
+      .withColumn("prefix", sum(col("v"))
+        .over(wp.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(wp).cast("long"))
+      .join(st, Seq("key"))
+      .withColumn("absc", abs(col("n") * col("prefix") - col("t") * col("total")))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("absc").desc, col("d").asc)
+    c.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("key"), col("n").as("n_days"), col("d").as("change_d"),
+        (floor(col("absc") / (lit(100.0) * col("n")) * lit(1e6) + lit(0.5d))
+          / lit(1e6)).as("max_dev"))
+  }
 }

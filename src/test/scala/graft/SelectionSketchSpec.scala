@@ -169,6 +169,40 @@ class SelectionSketchSpec extends SparkSpec {
     assert(a == out.map(_.toString).sorted.toSeq)
   }
 
+  test("kl drift: divergent group scores higher, repartition invariant") {
+    import sc.implicits._
+    val typical = (1L to 30L).map(i => (s"common words shared vocabulary item$i", "a"))
+    val typical2 = (1L to 30L).map(i => (s"common words shared vocabulary thing$i", "b"))
+    val weird = (1L to 10L).map(i => (s"xq$i zz$i qqq$i www$i", "c"))
+    val df = (typical ++ typical2 ++ weird).toDF("text", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dsir.klDrift(d, "text", "source")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val kl = run(df)
+    assert(kl("c") > kl("a") && kl("c") > kl("b"),
+      s"divergent source must drift most: $kl")
+    assert(run(df.repartition(7)) == kl, "KL must be partition-order invariant")
+  }
+
+  test("cusum changepoint: level shift located exactly") {
+    import sc.implicits._
+    import java.sql.Timestamp
+    val rows = (0 until 20).map { i =>
+      val day = java.time.LocalDate.of(1995, 3, 1).plusDays(i)
+      (Timestamp.valueOf(day.atStartOfDay()),
+        if (i < 10) 10.0 else 20.0, "k")
+    }
+    val out = graft.operators.Seasonal
+      .cusumChangepoint(rows.toDF("ts", "value", "key"), "ts", "value", "key")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 20L)
+    assert(r.getDate(2).toLocalDate == java.time.LocalDate.of(1995, 3, 10),
+      s"changepoint at the last low-regime day, got ${r.getDate(2)}")
+    assert(r.getDouble(3) == 50.0, s"max deviation ${r.getDouble(3)}")
+  }
+
   // ---- ExactSubstr span removal ----
 
   test("removeDupSpans: non-first occurrences elided, first copy survives") {
