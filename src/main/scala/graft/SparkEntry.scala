@@ -2190,6 +2190,16 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // PSNR between same-sized synthesized BMP pairs (id, id+63 — 63 =
+    // 9*7 so dims always match): REAL byte decode on the Spark side,
+    // exact integer SSE, one log10; the oracle recomputes pixels from
+    // the synthesis formula without touching bytes.
+    "q192_image_psnr" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeBmpTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
+    }),
+
     // Per-source distribution drift: KL(source || corpus) over hashed
     // unigram buckets — which source no longer looks like the mixture.
     "q191_kl_drift" -> ((s, dir) => {
@@ -5258,6 +5268,42 @@ object SparkEntry {
         |FROM base b
         |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
         |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
+
+    // pixels recomputed from the synthesis formula (q140's shape) for
+    // BOTH pair members, squared gray deltas summed exactly
+    "q192_image_psnr" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.w, a.h,
+        |    a.seed AS sa, b.seed AS sb
+        |  FROM params a
+        |  JOIN params b ON b.doc_id = a.doc_id + 63
+        |    AND b.w = a.w AND b.h = a.h),
+        |px AS (
+        |  SELECT p.ida, p.idb, p.w, p.h,
+        |    ((xs.x * 7 + ys.y * 13 + p.sa) % 256
+        |     + (xs.x * 11 + ys.y * 3 + 2 * p.sa) % 256
+        |     + (xs.x * 5 + ys.y * 17 + 3 * p.sa) % 256)
+        |    - ((xs.x * 7 + ys.y * 13 + p.sb) % 256
+        |       + (xs.x * 11 + ys.y * 3 + 2 * p.sb) % 256
+        |       + (xs.x * 5 + ys.y * 17 + 3 * p.sb) % 256) AS dg
+        |  FROM pairs p,
+        |       LATERAL (SELECT unnest(range(0, p.w)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, p.h)) AS y) ys),
+        |s AS (
+        |  SELECT ida, idb, w, h,
+        |    sum(CAST(dg AS BIGINT) * dg) AS sse, count(*) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT ida AS media_id_a, idb AS media_id_b,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sse AS BIGINT) AS sse,
+        |  CASE WHEN sse > 0 THEN
+        |    floor(10.0 * log10(585225.0 * n / sse) * 1e6 + 0.5) / 1e6
+        |  END AS psnr
+        |FROM s""".stripMargin,
 
     // same smoothed bucket multinomials, per-bucket grid terms, grid sum
     "q191_kl_drift" ->

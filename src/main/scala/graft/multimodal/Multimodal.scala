@@ -491,6 +491,88 @@ object Multimodal {
     }(Encoders.product[BmpFeatures]).toDF()
   }
 
+  final case class BmpGray(media_id: Long, width: Int, height: Int,
+                           gray: Array[Int])
+
+  /** REAL-decode gray vectors: one array<int> of per-pixel channel sums
+    * (B+G+R, 0..765) per image, in top-down (y, x) raster order —
+    * decoded from the actual padded bottom-up BMP bytes. The compact
+    * representation pair math runs on: ~3 bytes/pixel of ints instead
+    * of the blob, so downstream joins shuffle vectors, never blobs. */
+  def bmpGrayVectors(media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseBmpGray(bytes).map { case (w, h, g) => BmpGray(id, w, h, g) }
+      }
+    }(Encoders.product[BmpGray]).toDF()
+  }
+
+  /** PSNR between same-sized image pairs (media_id, media_id + offset) —
+    * the fidelity metric behind transcode/near-dup verification. SSE is
+    * an EXACT long over the decoded gray vectors (zip_with + integer
+    * aggregate), so the one log10 at the end is the only float op and
+    * the result snaps to the house 6dp grid.
+    *
+    * Scale: decode is scan-side (mapPartitions over the blob column);
+    * the self-join keys on the id arithmetic and ships the compact gray
+    * vectors only. Pairs with mismatched dimensions drop (PSNR is
+    * undefined), identical images (sse = 0) report null psnr rather
+    * than infinity. */
+  def bmpPsnrPairs(media: DataFrame, offset: Long): DataFrame = {
+    val g = bmpGrayVectors(media)
+    val a = g.select(col("media_id").as("media_id_a"),
+      col("width"), col("height"), col("gray").as("ga"))
+    val b = g.select((col("media_id") - offset).as("media_id_a"),
+      col("media_id").as("media_id_b"),
+      col("width").as("wb"), col("height").as("hb"), col("gray").as("gb"))
+    a.join(b, Seq("media_id_a"))
+      .filter(col("width") === col("wb") && col("height") === col("hb"))
+      .withColumn("sse", aggregate(
+        zip_with(col("ga"), col("gb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v.cast("long")))
+      .withColumn("n_px", (col("width") * col("height")).cast("long"))
+      .withColumn("psnr", when(col("sse") > 0,
+        floor(lit(10.0) * log10(lit(585225.0) * col("n_px") / col("sse"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).otherwise(lit(null).cast("double")))
+      .select("media_id_a", "media_id_b", "width", "height", "sse", "psnr")
+  }
+
+  /** Top-down (y, x) gray raster of an uncompressed 24bpp BMP, or None
+    * for malformed blobs — same walk as [[parseBmp24]], keeping the
+    * per-pixel sums instead of channel totals. */
+  private def parseBmpGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    scala.util.Try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte)
+      bb.getInt; bb.getShort; bb.getShort
+      val pixelOffset = bb.getInt
+      val hdrSize = bb.getInt
+      require(hdrSize >= 40)
+      val w = bb.getInt; val h = bb.getInt
+      require(w > 0 && h > 0 && w <= 4096 && h <= 4096)
+      require(bb.getShort == 1)
+      require(bb.getShort == 24)
+      require(bb.getInt == 0)
+      val stride = (w * 3 + 3) & ~3
+      require(pixelOffset >= 54 && pixelOffset.toLong + stride.toLong * h <= bytes.length)
+      val gray = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // file rows are bottom-up
+        var p = pixelOffset + row * stride
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) +
+            (bytes(p + 2) & 0xFF)
+          p += 3; x += 1
+        }
+        row += 1
+      }
+      (w, h, gray)
+    }.toOption
+
   /** Header + pixel-array parser for uncompressed 24bpp BMP: returns
     * (width, height, sumR, sumG, sumB) or None for malformed blobs. */
   private def parseBmp24(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =

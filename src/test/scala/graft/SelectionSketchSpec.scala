@@ -116,6 +116,32 @@ class SelectionSketchSpec extends SparkSpec {
       "selection must be partition-order invariant")
   }
 
+  // ---- image PSNR ----
+
+  test("bmp psnr: real decode, exact sse, self-pair is null psnr, corrupt drops") {
+    import sc.implicits._
+    val ids = (1L to 100L).toDF("doc_id")
+    val media = graft.multimodal.Multimodal.synthesizeBmpTable(ids, "doc_id")
+    val pairs = graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
+      .collect()
+    assert(pairs.length == 37, s"ids 1..37 pair with 64..100: ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getLong(4) > 0L, "distinct seeds -> nonzero sse")
+      val p = r.getDouble(5)
+      assert(p > 0.0 && p < 60.0, s"psnr $p out of plausible range")
+    }
+    // offset 0 pairs every image with itself: sse 0, psnr null
+    val self = graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 0L)
+      .collect()
+    assert(self.length == 100 && self.forall(r => r.getLong(4) == 0L && r.isNullAt(5)))
+    // corrupt blob quarantines (decode returns None -> row drops)
+    val corrupt = media.withColumn("blob",
+      when(col("media_id") === 64L, lit(Array[Byte](1, 2, 3)))
+        .otherwise(col("blob")))
+    assert(graft.multimodal.Multimodal.bmpPsnrPairs(corrupt, 63L)
+      .collect().length == 36)
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   test("cms probe and dsir scoring are zero-join scan-side passes") {
