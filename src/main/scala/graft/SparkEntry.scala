@@ -2200,6 +2200,22 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Loudness envelope by real WAV decode: exact-long window energies
+    // (sum of squared int16 samples per 160-sample window).
+    "q193_audio_envelope" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeWavTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.wavEnergyWindows(media, win = 160)
+    }),
+
+    // Zipf slope per language over the top-100 terms: the one-number
+    // corpus-health drift alarm (natural text sits near -1).
+    "q194_zipf_slope" -> ((s, dir) => {
+      operators.TextIndex.zipfSlope(t(s, dir, "documents"),
+          "text", "doc_id", "lang", k = 100)
+        .withColumnRenamed("grp", "lang")
+    }),
+
     // Per-source distribution drift: KL(source || corpus) over hashed
     // unigram buckets — which source no longer looks like the mixture.
     "q191_kl_drift" -> ((s, dir) => {
@@ -5268,6 +5284,52 @@ object SparkEntry {
         |FROM base b
         |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
         |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
+
+    // samples recomputed from the synthesis formula (q63's shape),
+    // squared and summed exactly per 160-sample window
+    "q193_audio_envelope" ->
+      """WITH params AS (
+        |  SELECT doc_id, 800 + (doc_id % 10) * 160 AS n,
+        |    3 + (doc_id % 8) AS f
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id, t.i // 160 AS win,
+        |    ((t.i * p.f * 997) % 16000) * 4 - 32000 AS v
+        |  FROM params p, LATERAL (SELECT unnest(range(0, p.n)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, win""".stripMargin,
+
+    // same grid-rounded OLS over (ln rank, ln freq) of the per-language
+    // top-100 terms
+    "q194_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT lang, t AS term FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, term) AS rank
+        |  FROM cnt QUALIFY rank <= 100),
+        |g AS (
+        |  SELECT lang,
+        |    round(ln(rank), 6) AS x, round(ln(cnt), 6) AS y,
+        |    round(round(ln(rank), 6) * round(ln(cnt), 6), 6) AS xy,
+        |    round(round(ln(rank), 6) * round(ln(rank), 6), 6) AS xx
+        |  FROM ranked),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |    round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+        |    round(sum(xy), 6) AS sxy, round(sum(xx), 6) AS sxx
+        |  FROM g GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  floor((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+        |    * 1e6 + 0.5) / 1e6 AS slope
+        |FROM a WHERE n_terms >= 10""".stripMargin,
 
     // pixels recomputed from the synthesis formula (q140's shape) for
     // BOTH pair members, squared gray deltas summed exactly

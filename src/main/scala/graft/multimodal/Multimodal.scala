@@ -195,6 +195,33 @@ object Multimodal {
     }(Encoders.product[WavFeatures]).toDF()
   }
 
+  final case class WavWindow(media_id: Long, win: Int, n_samples: Long,
+                             energy: Long)
+
+  /** Loudness envelope by REAL decode: fixed-width window energies
+    * (exact long sum of squared int16 samples — no float anywhere), the
+    * downsampled representation VAD, silence trimming, and loudness
+    * normalization run on. One row per (media, window); a trailing
+    * partial window keeps its true sample count. Malformed blobs
+    * quarantine. Scan-side mapPartitions over the blob column — windows,
+    * not blobs, flow downstream. */
+  def wavEnergyWindows(media: DataFrame, win: Int = 160): DataFrame = {
+    require(win >= 1 && win <= (1 << 20), "window must be in [1, 2^20]")
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseWavPcm16(bytes).toSeq.flatMap { case (_, samples) =>
+          samples.indices.grouped(win).zipWithIndex.map { case (idx, w) =>
+            var e = 0L
+            idx.foreach { i => val s = samples(i).toLong; e += s * s }
+            WavWindow(id, w, idx.length.toLong, e)
+          }
+        }
+      }
+    }(Encoders.product[WavWindow]).toDF()
+  }
+
   /** RIFF/PCM parser: returns (sampleRate, samples) for well-formed
     * 16-bit mono PCM WAV, None otherwise (truncated, wrong magic, wrong
     * codec, or out-of-bounds chunk lengths). */

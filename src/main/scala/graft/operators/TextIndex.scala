@@ -175,6 +175,46 @@ object TextIndex {
       .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
   }
 
+  /** Zipf-law slope per group: ordinary least squares of ln(freq) on
+    * ln(rank) over the top-`k` terms — the corpus-health scalar (natural
+    * language sits near -1; templated/boilerplate-heavy or synthetic
+    * text drifts off, making this a one-number drift alarm next to
+    * [[vocabCoverage]]'s curve).
+    *
+    * Determinism: x, y, and their products are rounded to the 6dp grid
+    * per term BEFORE summing (the q95 grid-sum rule), each sum re-snaps,
+    * and the closed-form slope is one fixed IEEE sequence — engines and
+    * row orders agree. Ranks order by (count desc, term asc).
+    *
+    * Scale: the token aggregation is the only corpus-sized stage; the
+    * rank window runs per group over TERM COUNTS (vocabulary-sized,
+    * aggregated), capped at k rows per group by the filter. Groups with
+    * fewer than 10 ranked terms drop (no meaningful fit). */
+  def zipfSlope(df: DataFrame, textCol: String, idCol: String,
+                groupCol: String, k: Int = 100): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("x", round(log(col("rank")), 6))
+      .withColumn("y", round(log(col("cnt")), 6))
+      .withColumn("xy", round(col("x") * col("y"), 6))
+      .withColumn("xx", round(col("x") * col("x"), 6))
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("x")), 6).as("sx"), round(sum(col("y")), 6).as("sy"),
+        round(sum(col("xy")), 6).as("sxy"), round(sum(col("xx")), 6).as("sxx"))
+      .filter(col("n_terms") >= 10)
+      .select(col("grp"), col("n_terms"),
+        (floor((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("slope"))
+  }
+
   /** BM25 top-k documents for a bag-of-terms query:
     * (doc_id, score, rank). score is rounded to 4dp BEFORE ranking (the
     * per-term sum is float-order-dependent in its last bits; ranking on

@@ -142,6 +142,43 @@ class SelectionSketchSpec extends SparkSpec {
       .collect().length == 36)
   }
 
+  // ---- audio envelope + zipf slope ----
+
+  test("wav energy windows: partial tail window, exact energies, corrupt drops") {
+    import sc.implicits._
+    val blob = graft.multimodal.Multimodal.synthesizeWav(170, 5)
+    val media = Seq((1L, blob), (2L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "blob")
+    val out = graft.multimodal.Multimodal.wavEnergyWindows(media, win = 160)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet == Set(1L), "corrupt blob quarantined")
+    assert(out.length == 2 && out.map(_._3).toSeq.sorted == Seq(10L, 160L))
+    // replay the synthesis formula exactly
+    def energy(lo: Int, hi: Int): Long = (lo until hi).map { i =>
+      val s = ((i.toLong * 5 * 997) % 16000) * 4 - 32000; s * s
+    }.sum
+    assert(out.find(_._2 == 0).get._4 == energy(0, 160))
+    assert(out.find(_._2 == 1).get._4 == energy(160, 170))
+  }
+
+  test("zipf slope: near -1 on a zipfian corpus, repartition invariant") {
+    import sc.implicits._
+    val words = (1 to 60).flatMap { r =>
+      Seq.fill(math.max(1, 600 / r))(s"w$r")
+    }
+    val df = words.grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), "g") }.toSeq
+      .toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextIndex.zipfSlope(d, "text", "doc_id", "lang", k = 60)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val out = run(df)
+    assert(out.length == 1 && out.head._2 == 60L)
+    val slope = out.head._3
+    assert(slope > -1.2 && slope < -0.8, s"zipfian slope $slope should be ~ -1")
+    assert(run(df.repartition(7)).toSeq == out.toSeq)
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   test("cms probe and dsir scoring are zero-join scan-side passes") {
