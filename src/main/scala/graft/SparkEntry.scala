@@ -2200,6 +2200,29 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Reliability diagram of the trained quality classifier: decile
+    // bins of fitted probability vs observed label rate — the
+    // calibration check before using classifier scores as mixing
+    // weights. Bit-reproducible training makes the oracle replay exact.
+    "q195_calibration_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("__y",
+        when(col("lang") === "en", 1).otherwise(0))
+      val (w, b) = operators.QualityModel.train(labeled, "text", "__y",
+        iters = 5, lr = 0.5)
+      operators.QualityModel.score(docs, "text", w, b)
+        .select(col("doc_id"), col("quality_prob"))
+        .join(labeled.select(col("doc_id"), col("__y")), "doc_id")
+        .withColumn("bin",
+          least(floor(col("quality_prob") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          (floor(round(sum(col("quality_prob")), 6) / count(lit(1))
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("mean_prob"),
+          (floor(sum(col("__y")).cast("double") / count(lit(1))
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("frac_pos"))
+    }),
+
     // Loudness envelope by real WAV decode: exact-long window energies
     // (sum of squared int16 samples per 160-sample window).
     "q193_audio_envelope" -> ((s, dir) => {
@@ -5127,6 +5150,8 @@ object SparkEntry {
 
     "q182_trained_quality" -> TrainedQualityOracle(iters = 5, lr = 0.5),
 
+    "q195_calibration_bins" -> CalibrationBinsOracle(iters = 5, lr = 0.5),
+
     // rebuilds the identical CMS grid relationally — cell (j,b) = count
     // of rows whose j-th md5-slice hashes there — and takes the same min
     // over each probed key's cells
@@ -5935,5 +5960,28 @@ object SparkEntry {
        |  round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) AS quality_prob,
        |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
        |FROM feats f CROSS JOIN it$iters w""".stripMargin
+  }
+
+  /** Oracle for q195_calibration_bins: the SAME training replay as
+    * [[TrainedQualityOracle]], then decile reliability bins of the
+    * fitted probability against the training labels. */
+  private def CalibrationBinsOracle(iters: Int, lr: Double): String = {
+    val trained = TrainedQualityOracle(iters, lr)
+    // reuse the full trained-scoring query as a subselect, re-join the
+    // labels, and bin
+    s"""WITH scored AS (
+       |${trained.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |labeled AS (
+       |  SELECT s.doc_id, s.quality_prob,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT CAST(least(floor(quality_prob * 10), 9) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  floor(round(sum(quality_prob), 6) / count(*) * 1e6 + 0.5) / 1e6
+       |    AS mean_prob,
+       |  floor(CAST(sum(y) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+       |    AS frac_pos
+       |FROM labeled GROUP BY 1""".stripMargin
   }
 }
