@@ -2200,6 +2200,33 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Contamination blast radius: eval-contaminated docs (q45's exact
+    // overlap rule) seed a BFS over the MinHash near-dup graph (q31's
+    // edges) — "everything within 2 near-dup links of a contaminated
+    // document", the expansion set decontamination actually removes.
+    // Three operators composing: contamination -> minhashPairs ->
+    // bfsDistances.
+    "q197_contamination_radius" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 20 === 0)
+      val seeds = Dedup.contamination(corpus, evalSet, "text", "doc_id",
+        shingleN = 3, minOverlap = 5).select(col("doc_id"))
+      val edges = Dedup.minhashPairs(corpus, "text", "doc_id",
+        bands = 16, rowsPerBand = 2, threshold = 0.35)
+      operators.Graphs.bfsDistances(edges, "id_a", "id_b",
+          seeds, "doc_id", maxHops = 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_doc_id"))
+    }),
+
+    // Ingestion-order novelty: per doc, the fraction of its 10-token
+    // windows unseen in any earlier (smaller-id) document — the
+    // marginal-value signal crawl scheduling ranks sources by.
+    "q196_span_novelty" -> ((s, dir) => {
+      Dedup.spanNovelty(t(s, dir, "documents"), "text", "doc_id", spanN = 10)
+    }),
+
     // Reliability diagram of the trained quality classifier: decile
     // bins of fitted probability vs observed label rate — the
     // calibration check before using classifier scores as mixing
@@ -5309,6 +5336,52 @@ object SparkEntry {
         |FROM base b
         |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
         |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
+
+    // q45's seeds + q31's exact-jaccard edges (recall-1.0 LSH parity,
+    // the q31 guarantee) + q177's recursive-CTE min-dist walk
+    "q197_contamination_radius" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.35) + """,
+        |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |corpus_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+        |seeds AS (
+        |  SELECT doc_id FROM corpus_g JOIN eval_g USING (g)
+        |  GROUP BY doc_id HAVING count(*) >= 5),
+        |edges AS (
+        |  SELECT id_a, id_b FROM jpairs
+        |  WHERE id_a % 20 <> 0 AND id_b % 20 <> 0),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM edges
+        |        UNION ALL SELECT id_b, id_a FROM edges),
+        |walk(id, dist) AS (
+        |  SELECT doc_id, 0 FROM seeds
+        |  UNION
+        |  SELECT sym.d, walk.dist + 1 FROM walk
+        |  JOIN sym ON sym.s = walk.id WHERE walk.dist < 2),
+        |m AS (SELECT id, min(dist) AS dist FROM walk GROUP BY id)
+        |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(id) AS BIGINT) AS sum_doc_id
+        |FROM m GROUP BY 1""".stripMargin),
+
+    // per-doc-distinct 10-token grams (ShingleExpr semantics, q96's
+    // shape), novelty = grams whose min owner is the doc itself
+    "q196_span_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT d.doc_id, array_to_string(d.toks[t.i:t.i+9], ' ') AS g
+        |    FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 8)) AS i) t
+        |    WHERE len(d.toks) >= 10
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(toks, ' ') FROM docs
+        |    WHERE len(toks) < 10)),
+        |own AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+        |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN o.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  floor(CAST(sum(CASE WHEN o.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+        |FROM grams gr JOIN own o ON o.g = gr.g
+        |GROUP BY gr.doc_id""".stripMargin,
 
     // samples recomputed from the synthesis formula (q63's shape),
     // squared and summed exactly per 160-sample window

@@ -158,6 +158,33 @@ object Dedup {
       .withColumn("keep", col("dup_fraction") <= lit(maxFraction))
   }
 
+  /** Ingestion-order novelty: per document, the fraction of its
+    * `spanN`-token windows never seen in any EARLIER document (smaller
+    * id = earlier ingestion) — the marginal-value curve of a crawl.
+    * Where [[dupSpanStats]] is symmetric ("shared with anyone"), this is
+    * ordered: a snapshot re-crawled after its source was already
+    * ingested scores near zero novelty, which is exactly the signal
+    * dedup-aware crawl scheduling ranks sources by.
+    *
+    * Scale: identical shape to [[dupSpanStats]] — windows hash scan-side
+    * (per-doc distinct), the one corpus-sized shuffle carries (hash,
+    * doc) pairs for a min-id aggregation, and novelty is a doc-keyed
+    * reaggregation. Output: (doc_id, n_spans, n_novel, novelty). */
+  def spanNovelty(df: DataFrame, textCol: String, idCol: String,
+                  spanN: Int = 10): DataFrame = {
+    val postings = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), spanN)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val firstOwner = postings.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    postings.join(firstOwner, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel").cast("double") / col("n_spans")
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+  }
+
   /** Duplicated-span REMOVAL (the ExactSubstr transform of Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better"):
     * where [[dupSpanStats]] measures span-level duplication, this

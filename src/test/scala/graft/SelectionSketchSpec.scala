@@ -142,6 +142,31 @@ class SelectionSketchSpec extends SparkSpec {
       .collect().length == 36)
   }
 
+  // ---- contamination blast radius ----
+
+  test("contamination radius: clean near-dup of a contaminated doc lands at hop 1") {
+    import sc.implicits._
+    val base = (1 to 60).map(i => s"b$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"e$i").mkString(" ")   // >= 5 shared 3-grams
+    val other = (1 to 8).map(i => s"x$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$base $phrase"),   // contaminated (shares phrase with eval)
+      (2L, s"$base $other"),    // near-dup of 1, NOT contaminated
+      (3L, (1 to 60).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, s"header $phrase footer")).toDF("doc_id", "text")
+    val seeds = graft.operators.Dedup.contamination(corpus, evalSet,
+      "text", "doc_id", shingleN = 3, minOverlap = 5).select(col("doc_id"))
+    assert(seeds.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val edges = graft.operators.Dedup.minhashPairs(corpus, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.35)
+    val dist = graft.operators.Graphs.bfsDistances(edges, "id_a", "id_b",
+        seeds, "doc_id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(1L -> 0, 2L -> 1),
+      s"doc 2 must be flagged at hop 1, doc 3 untouched: $dist")
+  }
+
   // ---- audio envelope + zipf slope ----
 
   test("wav energy windows: partial tail window, exact energies, corrupt drops") {
