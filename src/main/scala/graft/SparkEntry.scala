@@ -2200,6 +2200,14 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Seasonality-aware anomaly summary: residual-MAD outliers per
+    // event type — alerts that ignore the weekly cycle and the trend.
+    "q198_seasonal_anomalies" -> ((s, dir) => {
+      operators.Seasonal.seasonalAnomalies(t(s, dir, "events"),
+          "ts", "value", "event_type", period = 7, half = 3, nSigma = 5.0)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Contamination blast radius: eval-contaminated docs (q45's exact
     // overlap rule) seed a BFS over the MinHash near-dup graph (q31's
     // edges) — "everything within 2 near-dup links of a contaminated
@@ -5306,36 +5314,36 @@ object SparkEntry {
     // the decomposition replayed with the same exact-integer cents
     // arithmetic: long MA sums, d7 = 7v - s7 detrended, one division
     // per mean, house 6dp grid combines
-    "q189_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS d,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
-        |  FROM events GROUP BY 1, 2),
-        |ma AS (
-        |  SELECT event_type, d, v,
-        |    CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS idx,
-        |    sum(v) OVER w AS s7, count(*) OVER w AS c7
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
-        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |base AS (
-        |  SELECT event_type, d, idx, v, s7, 7 * v - s7 AS d7
-        |  FROM ma WHERE c7 = 7),
-        |seas AS (
-        |  SELECT event_type, idx,
-        |    round(CAST(sum(d7) AS DOUBLE) / (700.0 * count(*)), 6) AS s6
-        |  FROM base GROUP BY 1, 2),
-        |ctr AS (
-        |  SELECT event_type,
-        |    floor(round(sum(s6), 6) / 7 * 1e6 + 0.5) / 1e6 AS mt
-        |  FROM seas GROUP BY 1)
-        |SELECT b.event_type, b.d, b.idx, b.v / 100.0 AS value,
-        |  floor(b.s7 / 700.0 * 1e6 + 0.5) / 1e6 AS trend,
-        |  s.s6 - c.mt AS seasonal,
-        |  floor((b.d7 / 700.0 - (s.s6 - c.mt)) * 1e6 + 0.5) / 1e6 AS residual
-        |FROM base b
-        |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
-        |JOIN ctr c ON c.event_type = b.event_type""".stripMargin,
+    "q189_seasonal_decompose" -> SeasonalDecomposeOracle,
+
+    // decomposition nested as a CTE, then the q187 lower-value rank
+    // convention for the residual median and MAD, strict > flagging
+    "q198_seasonal_anomalies" ->
+      s"""WITH dec AS (
+        |${SeasonalDecomposeOracle.linesIterator.map("  " + _).mkString("\n")}
+        |),
+        |r AS (SELECT event_type AS key, d, residual FROM dec),
+        |m1 AS (
+        |  SELECT key, min(CASE WHEN rk >= ceil(0.5 * n) THEN residual END) AS med
+        |  FROM (SELECT key, d, residual,
+        |          row_number() OVER (PARTITION BY key ORDER BY residual, d) AS rk,
+        |          count(*) OVER (PARTITION BY key) AS n FROM r)
+        |  GROUP BY key),
+        |wd AS (SELECT r.key, r.d, m1.med,
+        |         round(abs(r.residual - m1.med), 6) AS adev
+        |       FROM r JOIN m1 ON m1.key = r.key),
+        |m2 AS (
+        |  SELECT key, min(CASE WHEN rk >= ceil(0.5 * n) THEN adev END) AS mad
+        |  FROM (SELECT key, d, adev,
+        |          row_number() OVER (PARTITION BY key ORDER BY adev, d) AS rk,
+        |          count(*) OVER (PARTITION BY key) AS n FROM wd)
+        |  GROUP BY key)
+        |SELECT wd.key AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  min(wd.med) AS med, min(m2.mad) AS mad,
+        |  CAST(sum(CASE WHEN wd.adev > 5.0 * m2.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM wd JOIN m2 ON m2.key = wd.key
+        |GROUP BY wd.key""".stripMargin,
 
     // q45's seeds + q31's exact-jaccard edges (recall-1.0 LSH parity,
     // the q31 guarantee) + q177's recursive-CTE min-dist walk
@@ -6034,6 +6042,38 @@ object SparkEntry {
        |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
        |FROM feats f CROSS JOIN it$iters w""".stripMargin
   }
+
+  /** Oracle body for q189 — also nested by q198's anomaly oracle. */
+  private def SeasonalDecomposeOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ma AS (
+      |  SELECT event_type, d, v,
+      |    CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS idx,
+      |    sum(v) OVER w AS s7, count(*) OVER w AS c7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |base AS (
+      |  SELECT event_type, d, idx, v, s7, 7 * v - s7 AS d7
+      |  FROM ma WHERE c7 = 7),
+      |seas AS (
+      |  SELECT event_type, idx,
+      |    round(CAST(sum(d7) AS DOUBLE) / (700.0 * count(*)), 6) AS s6
+      |  FROM base GROUP BY 1, 2),
+      |ctr AS (
+      |  SELECT event_type,
+      |    floor(round(sum(s6), 6) / 7 * 1e6 + 0.5) / 1e6 AS mt
+      |  FROM seas GROUP BY 1)
+      |SELECT b.event_type, b.d, b.idx, b.v / 100.0 AS value,
+      |  floor(b.s7 / 700.0 * 1e6 + 0.5) / 1e6 AS trend,
+      |  s.s6 - c.mt AS seasonal,
+      |  floor((b.d7 / 700.0 - (s.s6 - c.mt)) * 1e6 + 0.5) / 1e6 AS residual
+      |FROM base b
+      |JOIN seas s ON s.event_type = b.event_type AND s.idx = b.idx
+      |JOIN ctr c ON c.event_type = b.event_type""".stripMargin
 
   /** Oracle for q195_calibration_bins: the SAME training replay as
     * [[TrainedQualityOracle]], then decile reliability bins of the

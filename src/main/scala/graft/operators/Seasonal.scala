@@ -68,6 +68,52 @@ object Seasonal {
         grid(col("d7") / lit(den) - (col("s6") - col("mt"))).as("residual"))
   }
 
+  /** Seasonality-aware anomaly summary: decompose, then flag days whose
+    * RESIDUAL deviates more than `nSigma` robust deviations (MAD) from
+    * the residual median — the alerting rule that doesn't fire on the
+    * weekly cycle or the trend, only on genuine surprises. Medians use
+    * the engine-portable lower-value rank convention `v[ceil(p*n)]`
+    * (q187's), so the whole summary is hash-stable.
+    *
+    * Caveats, documented honestly: this is the NON-robust decomposition
+    * (classical MA, not iterated STL), so an extreme outlier smears into
+    * its MA window and its period-position class — those neighbors can
+    * co-flag (the spec pins the exact blast shape). And on perfectly
+    * cyclic data every residual ties, MAD collapses to 0, and the
+    * strict `> nSigma*mad` rule flags ANY deviation — degenerate input,
+    * degenerate rule, by design.
+    *
+    * Scale: everything below the [[maDecompose]] call operates on the
+    * aggregated (key, day) series — two rank windows (median, MAD) and
+    * one summary aggregation per key, never raw events. Output:
+    * (key, n_days, med, mad, n_anomalies). */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, valueCol: String,
+                        keyCol: String, period: Int = 7, half: Int = 3,
+                        nSigma: Double = 5.0): DataFrame = {
+    val dec = maDecompose(df, tsCol, valueCol, keyCol, period, half)
+      .select(col("key"), col("d"), col("residual"))
+    def medianOf(in: DataFrame, valCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col(valCol).asc, col("d").asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      in.withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .groupBy(col("key"))
+        .agg(min(when(col("__rk") >= ceil(lit(0.5) * col("__n")), col(valCol)))
+          .as(out))
+    }
+    val med = medianOf(dec, "residual", "med")
+    val withDev = dec.join(med, Seq("key"))
+      .withColumn("adev", round(abs(col("residual") - col("med")), 6))
+    val mad = medianOf(withDev, "adev", "mad")
+    withDev.join(mad, Seq("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(nSigma) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"))
+  }
+
   /** CUSUM changepoint detection per key: the day where the cumulative
     * deviation from the series mean peaks — the classic "when did this
     * metric shift level" answer (Page 1954's cumulative-sum chart,

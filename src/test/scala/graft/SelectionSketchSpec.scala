@@ -272,6 +272,54 @@ class SelectionSketchSpec extends SparkSpec {
     assert(run(df.repartition(7)) == kl, "KL must be partition-order invariant")
   }
 
+  test("seasonal anomalies: planted spike flagged, cycle ignored") {
+    import sc.implicits._
+    import java.sql.Timestamp
+    val rows = (0 until 35).map { i =>
+      val day = java.time.LocalDate.of(1995, 1, 2).plusDays(i)
+      val idx = day.toEpochDay % 7
+      // deterministic jitter keeps the residual MAD nonzero (perfectly
+      // cyclic data has identical residuals -> MAD 0 -> every deviation
+      // flags, the documented strict-rule degenerate case)
+      val base = (if (idx == 0) 17.0 else 10.0) + (i * 7 % 11) * 0.01
+      (Timestamp.valueOf(day.atStartOfDay()),
+        if (i == 17) 200.0 else base, "k")
+    }
+    val out = graft.operators.Seasonal.seasonalAnomalies(
+        rows.toDF("ts", "value", "key"), "ts", "value", "key")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 29L, s"35 days - 6 edges: ${r.getLong(1)}")
+    // the spike flags, along with its MA-window (+-3 days) and its
+    // weekday-class mates whose seasonal the spike contaminates — the
+    // documented non-robust-MA smear: 1 + 6 + 4 = 11 at most; the 18
+    // genuinely clean days must NOT flag
+    assert(r.getLong(4) >= 1L, s"the spike must be flagged: $r")
+    assert(r.getLong(4) <= 11L, s"clean days must not flag: $r")
+  }
+
+  test("removeDupSpans: token conservation and repartition invariance") {
+    import sc.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"v$i")
+    val docs = (1L to 40L).map { id =>
+      (id, (1 to 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.removeDupSpans(d, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val a = run(df)
+    a.foreach { case (id, clean, removed) =>
+      val orig = docs.find(_._1 == id).get._2.split(" ").length
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + removed == orig, s"doc $id: $kept + $removed != $orig")
+    }
+    assert(run(df.repartition(7)) == a, "must be partition-order invariant")
+  }
+
   test("cusum changepoint: level shift located exactly") {
     import sc.implicits._
     import java.sql.Timestamp
