@@ -2200,6 +2200,32 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Positional phrase search: documents containing the exact
+    // consecutive token sequence, with occurrence counts — the query
+    // bag-of-words retrieval can't answer.
+    "q199_phrase_search" -> ((s, dir) => {
+      operators.TextIndex.phraseSearch(t(s, dir, "documents"),
+        "text", "doc_id", Seq("part", "filter"))
+    }),
+
+    // Dedup savings accounting: per source, raw vs post-ExactSubstr
+    // token counts — "what did span dedup buy us", the effective-
+    // dataset-size number a data budget is planned against.
+    "q200_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cleaned = Dedup.removeDupSpans(docs, "text", "doc_id", spanN = 10)
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("raw"))
+        .join(cleaned.select(col("doc_id"), col("n_removed")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw")).as("n_tokens_raw"),
+          sum(col("raw") - col("n_removed")).as("n_tokens_kept"),
+          (floor(sum(col("raw") - col("n_removed")).cast("double")
+            / sum(col("raw")).cast("double") * lit(1e6) + lit(0.5d))
+            / lit(1e6)).as("kept_ratio"))
+    }),
+
     // Seasonality-aware anomaly summary: residual-MAD outliers per
     // event type — alerts that ignore the weekly cycle and the trend.
     "q198_seasonal_anomalies" -> ((s, dir) => {
@@ -5529,38 +5555,42 @@ object SparkEntry {
     // positional-cover replay over gram STRINGS (Spark hashes them —
     // q96 collision caveat): rn>1 occurrences cover their 10 positions,
     // documents reassemble from uncovered tokens in order
-    "q188_remove_dup_spans" ->
+    "q188_remove_dup_spans" -> RemoveDupSpansOracle,
+
+    // q188's replay nested as a CTE, re-joined with source metadata
+    "q200_dedup_savings" ->
+      s"""WITH cleaned AS (
+        |${RemoveDupSpansOracle.linesIterator.map("  " + _).mkString("\n")}
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+        |    AS n_tokens_raw,
+        |  CAST(sum(len(string_split(d.text, ' ')) - c.n_removed) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  floor(CAST(sum(len(string_split(d.text, ' ')) - c.n_removed)
+        |      AS DOUBLE)
+        |    / sum(len(string_split(d.text, ' '))) * 1e6 + 0.5) / 1e6
+        |    AS kept_ratio
+        |FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
+        |GROUP BY d.source""".stripMargin,
+
+    // the same filtered-token positional alignment, relationally
+    "q199_phrase_search" ->
       """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |win AS (
-        |  SELECT doc_id, t.i - 1 AS pos,
-        |    array_to_string(tk[t.i:t.i+9], ' ') AS g
-        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
-        |  WHERE len(d.tk) >= 10),
-        |marked AS (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-        |  FROM win),
-        |cov AS (
-        |  SELECT DISTINCT m.doc_id, m.pos + t.j AS tp
-        |  FROM marked m, LATERAL (SELECT unnest(range(0, 10)) AS j) t
-        |  WHERE m.rn > 1),
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents),
         |toks AS (
-        |  SELECT doc_id, t.i - 1 AS tp, tk[t.i] AS tok
-        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
-        |kept AS (
-        |  SELECT k.doc_id, k.tp, k.tok FROM toks k
-        |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp
-        |  WHERE c.doc_id IS NULL),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY tp) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
-        |  CAST(len(d2.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
-        |FROM documents d
-        |JOIN docs d2 ON d2.doc_id = d.doc_id
-        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+        |  SELECT doc_id, t.i - 1 AS tp, tk[t.i] AS term
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t
+        |  WHERE tk[t.i] IN ('part', 'filter'))
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks a
+        |JOIN toks b ON b.doc_id = a.doc_id AND b.tp = a.tp + 1
+        |  AND b.term = 'filter'
+        |WHERE a.term = 'part'
+        |GROUP BY a.doc_id""".stripMargin,
 
     // exact quartile boundaries per language (every language fits the
     // sketch at this SF) under the lower-value rank convention
@@ -6042,6 +6072,40 @@ object SparkEntry {
        |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
        |FROM feats f CROSS JOIN it$iters w""".stripMargin
   }
+
+  /** Oracle body for q188 — also nested by q200's savings oracle. */
+  private def RemoveDupSpansOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |win AS (
+      |  SELECT doc_id, t.i - 1 AS pos,
+      |    array_to_string(tk[t.i:t.i+9], ' ') AS g
+      |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
+      |  WHERE len(d.tk) >= 10),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |  FROM win),
+      |cov AS (
+      |  SELECT DISTINCT m.doc_id, m.pos + t.j AS tp
+      |  FROM marked m, LATERAL (SELECT unnest(range(0, 10)) AS j) t
+      |  WHERE m.rn > 1),
+      |toks AS (
+      |  SELECT doc_id, t.i - 1 AS tp, tk[t.i] AS tok
+      |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
+      |kept AS (
+      |  SELECT k.doc_id, k.tp, k.tok FROM toks k
+      |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp
+      |  WHERE c.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY tp) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  CAST(len(d2.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM documents d
+      |JOIN docs d2 ON d2.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   /** Oracle body for q189 — also nested by q198's anomaly oracle. */
   private def SeasonalDecomposeOracle: String =

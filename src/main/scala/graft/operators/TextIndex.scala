@@ -175,6 +175,39 @@ object TextIndex {
       .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
   }
 
+  /** Exact phrase search over a positional inverted index: documents
+    * containing the query tokens CONSECUTIVELY, with occurrence counts —
+    * the positional-postings query (Manning/IR classic) that bag-of-words
+    * retrieval (TF-IDF/BM25 here) cannot answer.
+    *
+    * Scale: postings are FILTERED to the phrase's terms before any
+    * shuffle — only the queried posting lists move, exactly like
+    * [[bm25TopK]]'s term filter. The m-way alignment is m-1 equi-joins
+    * on (doc_id, adjusted position): posting-list-sized, never corpus-
+    * sized; a stop-word-only phrase degrades to the stop-word posting
+    * list, which is the inherent cost of positional search (real
+    * engines cap or bigram-index those — out of scope here).
+    * Output: (doc_id, n_occurrences), matches only. */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "phrase required")
+    val postings = df
+      .select(col(idCol).as("doc_id"), posexplode(
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")))
+      .withColumnRenamed("pos", "tp").withColumnRenamed("col", "term")
+      .filter(col("term").isin(phrase: _*))
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("tp"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val p = postings.filter(col("term") === w)
+          .select(col("doc_id"), (col("tp") - i).as("tp"))
+        acc.join(p, Seq("doc_id", "tp"))
+    }
+    aligned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Zipf-law slope per group: ordinary least squares of ln(freq) on
     * ln(rank) over the top-`k` terms — the corpus-health scalar (natural
     * language sits near -1; templated/boilerplate-heavy or synthetic

@@ -142,6 +142,23 @@ class SelectionSketchSpec extends SparkSpec {
       .collect().length == 36)
   }
 
+  test("phrase search: consecutive alignment, overlapping occurrences counted") {
+    import sc.implicits._
+    val df = Seq(
+      (1L, "the quick fox and the quick fox again"),
+      (2L, "quick the fox scrambled order"),
+      (3L, "a a a repeated run"),
+      (4L, "the quick Brown-Fox punctuation; the QUICK fox")).toDF("doc_id", "text")
+    def search(p: String*) =
+      graft.operators.TextIndex.phraseSearch(df, "text", "doc_id", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4: "Brown-Fox" splits to (brown, fox), so only its second
+    // "the QUICK fox" aligns — case-folded, punctuation-split
+    assert(search("the", "quick", "fox") == Map(1L -> 2L, 4L -> 1L),
+      "consecutive matches count; scrambled order doesn't")
+    assert(search("a", "a") == Map(3L -> 2L), "overlapping occurrences count")
+  }
+
   // ---- contamination blast radius ----
 
   test("contamination radius: clean near-dup of a contaminated doc lands at hop 1") {
