@@ -5308,8 +5308,9 @@ object SparkEntry {
     // fires in either engine
     "q186_curation_funnel" ->
       """WITH base AS (
-        |  SELECT doc_id, text, lang, source,
-        |    len(string_split(text, ' ')) AS nt, md5(text) AS h
+        |  SELECT doc_id, coalesce(text, '') AS text, lang, source,
+        |    len(string_split(coalesce(text, ''), ' ')) AS nt,
+        |    md5(coalesce(text, '')) AS h
         |  FROM documents),
         |firsts AS (SELECT h, min(doc_id) AS first_id FROM base GROUP BY 1),
         |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM base),
@@ -5323,7 +5324,7 @@ object SparkEntry {
         |staged AS (
         |  SELECT b.source, b.nt,
         |    CASE WHEN b.doc_id <> f.first_id THEN 'dup'
-        |         WHEN b.lang <> 'en' THEN 'lang'
+        |         WHEN b.lang IS DISTINCT FROM 'en' THEN 'lang'
         |         WHEN b.nt < 40 THEN 'short'
         |         WHEN floor(CAST(r.mx AS DOUBLE) / r.ng * 1e6 + 0.5) / 1e6
         |              > 0.08 THEN 'repetitive'
@@ -6115,7 +6116,7 @@ object SparkEntry {
       |  FROM events GROUP BY 1, 2),
       |ma AS (
       |  SELECT event_type, d, v,
-      |    CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS idx,
+      |    ((CAST(d - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7 AS idx,
       |    sum(v) OVER w AS s7, count(*) OVER w AS c7
       |  FROM daily
       |  WINDOW w AS (PARTITION BY event_type ORDER BY d

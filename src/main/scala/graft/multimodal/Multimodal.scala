@@ -548,7 +548,10 @@ object Multimodal {
     * undefined), identical images (sse = 0) report null psnr rather
     * than infinity. */
   def bmpPsnrPairs(media: DataFrame, offset: Long): DataFrame = {
-    val g = bmpGrayVectors(media)
+    // cut lineage so the real-decode pass runs ONCE: the self-join's two
+    // branches shuffle on different keys, so without this every blob
+    // would decode twice (the dominant cost)
+    val g = graft.operators.Lineage.cut(bmpGrayVectors(media))
     val a = g.select(col("media_id").as("media_id_a"),
       col("width"), col("height"), col("gray").as("ga"))
     val b = g.select((col("media_id") - offset).as("media_id_a"),

@@ -41,22 +41,27 @@ object Curation {
     val grid = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
 
+    // null text folds to "" and null lang counts as a lang miss, so the
+    // stages PARTITION the corpus exactly (the documented invariant) —
+    // a null would otherwise drop the row at the digest join / fall
+    // through the three-valued lang comparison
+    val txt = coalesce(col(textCol), lit(""))
     // keep-first exact dedup verdict: md5-keyed min id
     val firstOf = df
-      .groupBy(md5(col(textCol)).as("__h"))
+      .groupBy(md5(coalesce(col(textCol), lit(""))).as("__h"))
       .agg(min(col(idCol)).as("__first"))
     // per-doc [total, top] 2-gram occurrence counts, one pass per row
-    val st = graft.expressions.ShingleExpr.topGramStats(col(textCol), 2)
+    val st = graft.expressions.ShingleExpr.topGramStats(txt, 2)
 
     val staged = df
-      .join(firstOf, md5(col(textCol)) === col("__h"))
+      .join(firstOf, md5(txt) === col("__h"))
       .withColumn("__st", st)
-      .withColumn("__nt", size(split(col(textCol), " ", -1)).cast("long"))
+      .withColumn("__nt", size(split(txt, " ", -1)).cast("long"))
       .withColumn("__frac", grid(
         col("__st").getItem(1).cast("double") / col("__st").getItem(0).cast("double")))
       .withColumn("stage",
         when(col(idCol) =!= col("__first"), lit("dup"))
-          .when(col(langCol) =!= targetLang, lit("lang"))
+          .when(not(col(langCol) <=> targetLang), lit("lang"))
           .when(col("__nt") < minTokens, lit("short"))
           .when(col("__frac") > maxTopBigramFrac, lit("repetitive"))
           .otherwise(lit("kept")))

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * notes top-k performs comparably; it keeps the operator reproducible
   * across runs and engines).
   *
-  * Scale (100 TB): two B-cell aggregations with map-side combine (the
+  * Scale (100 TB): ONE B-cell conditional aggregation with map-side
+  * combine (the corpus is tokenized once for both multinomials; the
   * shuffle moves at most B rows per partition), one bounded collect of
   * 2B longs, then a ZERO-JOIN scan — each document folds its token
   * array against a literal B-entry map. Top-k plans as
@@ -44,15 +45,17 @@ object Dsir {
     pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
-  /** Per-bucket token-occurrence counts of `df` (docs filtered by `pred`
-    * when given): Map[bucket -> count], driver-side (<= B entries). */
+  /** BOTH multinomials in ONE corpus pass: per-bucket (raw count,
+    * target count) via a conditional aggregation — the raw pool is
+    * tokenized once, not once per model. Driver-side (<= B entries). */
   private def bucketCounts(df: DataFrame, textCol: String,
-                           pred: Option[Column], buckets: Int): Map[Long, Long] = {
-    val base = pred.map(df.filter).getOrElse(df)
-    base.select(explode(toks(textCol)).as("term"))
-      .select(bucketOf(col("term"), buckets).as("bk"))
-      .groupBy(col("bk")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+                           targetPred: Column, buckets: Int): Map[Long, (Long, Long)] = {
+    df.select(targetPred.as("__tgt"), explode(toks(textCol)).as("term"))
+      .select(col("__tgt"), bucketOf(col("term"), buckets).as("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
   /** Score every document of `raw` with its DSIR importance weight and
@@ -63,16 +66,15 @@ object Dsir {
   def importanceSelect(raw: DataFrame, targetPred: Column, textCol: String,
                        idCol: String, buckets: Int = 256, k: Int = 100): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20), "buckets must be in [2, 2^20]")
-    val ct = bucketCounts(raw, textCol, Some(targetPred), buckets)
-    val cr = bucketCounts(raw, textCol, None, buckets)
-    val totT = ct.values.sum
-    val totR = cr.values.sum
+    val counts = bucketCounts(raw, textCol, targetPred, buckets)
+    val totT = counts.values.map(_._2).sum
+    val totR = counts.values.map(_._1).sum
     // log-ratio per bucket, one fixed IEEE sequence (mirrored by the
     // oracle): ((ct+1)/(totT+B)) / ((cr+1)/(totR+B)), ln, round 6dp.
     // Only buckets present in raw can be probed (every scored token came
-    // from raw), so keying the literal map by cr's buckets is total.
-    val lr: Map[Long, Double] = cr.map { case (b, crb) =>
-      val num = (ct.getOrElse(b, 0L) + 1.0) / (totT + buckets).toDouble
+    // from raw), so keying the literal map by the raw buckets is total.
+    val lr: Map[Long, Double] = counts.map { case (b, (crb, ctb)) =>
+      val num = (ctb + 1.0) / (totT + buckets).toDouble
       val den = (crb + 1.0) / (totR + buckets).toDouble
       b -> BigDecimal(math.log(num / den))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

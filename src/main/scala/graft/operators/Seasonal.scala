@@ -47,6 +47,8 @@ object Seasonal {
       .partitionBy(col("key")).orderBy(col("d"))
       .rowsBetween(-half, half)
     val base = daily
+      // pmod (always non-negative) — the oracle mirrors it with
+      // ((x % p) + p) % p so pre-1970 dates agree across engines
       .withColumn("idx", pmod(datediff(col("d"), lit("1970-01-01")), lit(period)))
       .withColumn("s7", sum(col("v")).over(w))
       .withColumn("c7", count(lit(1)).over(w))

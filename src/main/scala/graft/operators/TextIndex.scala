@@ -189,8 +189,14 @@ object TextIndex {
     * engines cap or bigram-index those — out of scope here).
     * Output: (doc_id, n_occurrences), matches only. */
   def phraseSearch(df: DataFrame, textCol: String, idCol: String,
-                   phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "phrase required")
+                   rawPhrase: Seq[String]): DataFrame = {
+    // normalize the query with the SAME rule as the postings (lowercase,
+    // alphanumeric runs) — an un-normalized phrase would silently match
+    // nothing; a term that is not one token under the rule is an error,
+    // not an empty result
+    val phrase = rawPhrase.map(_.toLowerCase)
+    require(phrase.nonEmpty && phrase.forall(_.matches("[a-z0-9]+")),
+      s"each phrase term must normalize to one [a-z0-9]+ token, got: $rawPhrase")
     val postings = df
       .select(col(idCol).as("doc_id"), posexplode(
         filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")))
