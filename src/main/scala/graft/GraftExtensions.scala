@@ -74,6 +74,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArgs(args, 2, "zorder2")
         ZOrderExpr(args.head, args(1))
       }))
+    // Aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a builder in its AggregateExpression during resolution.
+    // SELECT misra_gries(key, 16) -> array<struct<key, count_lb>>
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.expressions.MisraGriesAgg].getName,
+        "misra_gries"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "misra_gries")
+        graft.expressions.MisraGriesAgg(args.head,
+          litInt(args(1), "misra_gries"))
+      }))
+    // SELECT count_min(bucket_array, depth, width) -> flattened grid;
+    // pair with graft.expressions.CountMin.buckets for the bucket array
+    ext.injectFunction((FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.expressions.CountMinAgg].getName,
+        "count_min"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 3, "count_min")
+        graft.expressions.CountMinAgg(args.head,
+          litInt(args(1), "count_min"), litInt(args(2), "count_min"))
+      }))
   }
 
   private def requireArgs(args: Seq[Expression], n: Int, fn: String): Unit =

@@ -56,6 +56,24 @@ class SelectionSketchSpec extends SparkSpec {
     assert(sk.slice(0, 8).sum == 2L)
   }
 
+  test("sketch aggregates are SQL functions via GraftExtensions") {
+    import sc.implicits._
+    (1L to 20L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+      .createOrReplaceTempView("cms_sql_t")
+    val mg = spark.sql(
+      "SELECT misra_gries(k, 4) AS hh FROM cms_sql_t").head().getSeq[Any](0)
+    assert(mg.nonEmpty, "misra_gries usable from SQL")
+    val sk = spark.sql(
+      """SELECT count_min(array(
+        |  pmod(cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10)
+        |    as bigint), 16),
+        |  pmod(cast(conv(substring(md5(cast(k as string)), 9, 8), 16, 10)
+        |    as bigint), 16)), 2, 16) AS sk
+        |FROM cms_sql_t""".stripMargin).head().getSeq[Long](0)
+    assert(sk.length == 32 && sk.sum == 2L * 210L,
+      "count_min usable from SQL, mass conserved per depth row")
+  }
+
   // ---- Kneser-Ney bigram LM ----
 
   test("kn bigram: matches the hand-replayed interpolated-KN formula") {
