@@ -2200,6 +2200,18 @@ object SparkEntry {
       graft.multimodal.Multimodal.bmpPsnrPairs(media, offset = 63L)
     }),
 
+    // Winsorized mean per return flag WITHOUT sorting any group: clamp
+    // bounds from an md5-threshold sample, exact-cents clamped mean
+    // over the full data.
+    "q201_winsorized_stats" -> ((s, dir) => {
+      operators.Profiler.winsorizedStats(
+          t(s, dir, "lineitem").withColumn("rid",
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))),
+          "l_returnflag", "l_extendedprice", "rid")
+        .withColumnRenamed("grp", "l_returnflag")
+    }),
+
     // Positional phrase search: documents containing the exact
     // consecutive token sequence, with occurrence counts — the query
     // bag-of-words retrieval can't answer.
@@ -5574,6 +5586,34 @@ object SparkEntry {
         |    AS kept_ratio
         |FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
         |GROUP BY d.source""".stripMargin,
+
+    // same md5-threshold sample, same rank-convention bounds, same
+    // exact-cents clamped mean
+    "q201_winsorized_stats" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) AS rid
+        |  FROM lineitem),
+        |samp AS (
+        |  SELECT grp, v, rid FROM src
+        |  WHERE CAST(concat('0x', substr(md5(rid), 1, 8)) AS BIGINT)
+        |    < 268435456),
+        |b AS (
+        |  SELECT grp,
+        |    min(CASE WHEN rk >= ceil(0.05 * n) THEN v END) AS lo_c,
+        |    min(CASE WHEN rk >= ceil(0.95 * n) THEN v END) AS hi_c
+        |  FROM (SELECT grp, v,
+        |          row_number() OVER (PARTITION BY grp ORDER BY v, rid) AS rk,
+        |          count(*) OVER (PARTITION BY grp) AS n FROM samp)
+        |  GROUP BY grp)
+        |SELECT s.grp AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(b.lo_c) / 100.0 AS lo, min(b.hi_c) / 100.0 AS hi,
+        |  floor(CAST(sum(greatest(least(s.v, b.hi_c), b.lo_c)) AS DOUBLE)
+        |    / count(*) / 100.0 * 1e6 + 0.5) / 1e6 AS winsorized_mean
+        |FROM src s JOIN b ON b.grp = s.grp
+        |GROUP BY s.grp""".stripMargin,
 
     // the same filtered-token positional alignment, relationally
     "q199_phrase_search" ->

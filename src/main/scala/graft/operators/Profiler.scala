@@ -55,6 +55,50 @@ object Profiler {
     * the bucket id (bins-many rows shuffled). Degenerate case mn == mx
     * puts everything in bucket 0.
     */
+  /** Winsorized statistics per group WITHOUT sorting any group: clamp
+    * bounds come from an md5-threshold SAMPLE (`h32(id) < 2^32/rate` —
+    * the house content-hash sampler, so the sample is a pure scan
+    * predicate, deterministic across runs/engines/partitionings), the
+    * rank window runs over the SAMPLE only, and the winsorized mean is
+    * one exact-cents aggregation over the FULL data with values clamped
+    * to the sample's [pLo, pHi] — the robust-mean answer ("mean without
+    * the tail garbage") at the cost of two scans and zero stratum sorts.
+    *
+    * Bounds are sample-quantiles (lower-value rank convention), so they
+    * carry O(1/sqrt(sample)) rank error — the winsorized mean itself is
+    * exact GIVEN the bounds, which is the deterministic contract the
+    * oracle replays. Output: (group, n, lo, hi, winsorized_mean). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, pLo: Double = 0.05, pHi: Double = 0.95,
+                      sampleDenom: Int = 16): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
+    require(sampleDenom >= 1, "sampleDenom must be >= 1")
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val cents = floor(col(valueCol) * 100 + lit(0.5d)).cast("long")
+    val sample = df
+      .filter(h32 < lit(4294967296L / sampleDenom))
+      .select(col(groupCol).as("grp"), cents.as("v"),
+        col(idCol).cast("string").as("__id"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc, col("__id").asc)
+    val wc = Window.partitionBy(col("grp"))
+    val bounds = sample
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("grp"))
+      .agg(min(when(col("rk") >= ceil(lit(pLo) * col("n")), col("v"))).as("lo_c"),
+        min(when(col("rk") >= ceil(lit(pHi) * col("n")), col("v"))).as("hi_c"))
+    df.select(col(groupCol).as("grp"), cents.as("v"))
+      .join(bounds, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("lo_c")) / lit(100.0)).as("lo"),
+        (min(col("hi_c")) / lit(100.0)).as("hi"),
+        (floor(sum(greatest(least(col("v"), col("hi_c")), col("lo_c")))
+          .cast("double") / count(lit(1)) / lit(100.0) * lit(1e6) + lit(0.5d))
+          / lit(1e6)).as("winsorized_mean"))
+  }
+
   def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
     require(bins >= 1, "need at least one bin")
     val r = df.agg(min(col(valueCol)).cast("double"),

@@ -263,6 +263,23 @@ class SelectionSketchSpec extends SparkSpec {
       "top-k must plan as TakeOrderedAndProject, not a global sort")
   }
 
+  test("winsorized stats: outlier clamped, exact at full sampling rate") {
+    import sc.implicits._
+    val vals = (1 to 100).map(_.toDouble) :+ 1000000.0
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("rid", "g", "v")
+    val out = graft.operators.Profiler.winsorizedStats(df, "g", "v", "rid",
+        sampleDenom = 1) // full sample -> exact rank bounds
+      .collect().head
+    assert(out.getLong(1) == 101L)
+    // lower-value convention on 101 values: lo = v[6] = 6, hi = v[96] = 96
+    assert(out.getDouble(2) == 6.0 && out.getDouble(3) == 96.0, s"$out")
+    val clamped = vals.map(v => math.max(6.0, math.min(96.0, v))).sum
+    val expect = math.floor(clamped / 101 * 1e6 + 0.5) / 1e6
+    assert(math.abs(out.getDouble(4) - expect) < 1e-6,
+      s"winsorized mean ${out.getDouble(4)} != $expect (outlier must clamp)")
+  }
+
   // ---- seasonal decomposition ----
 
   test("seasonal decompose: exact weekly pattern recovered, zero residual") {
