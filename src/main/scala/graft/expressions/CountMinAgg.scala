@@ -60,12 +60,15 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
       require(a.numElements() == depth,
         s"count_min: bucket array must have $depth elements")
       // a null key hashes to null buckets — skip the row (count(*) of
-      // non-null keys, the aggregate-input convention)
-      if (!(0 until depth).exists(a.isNullAt)) {
-        var j = 0
+      // non-null keys, the aggregate-input convention). Plain while
+      // loops: this runs once per input row.
+      var anyNull = false
+      var j = 0
+      while (j < depth && !anyNull) { anyNull = a.isNullAt(j); j += 1 }
+      if (!anyNull) {
+        j = 0
         while (j < depth) {
-          val b = a.getLong(j)
-          buf(j * width + b.toInt) += 1L
+          buf(j * width + a.getLong(j).toInt) += 1L
           j += 1
         }
       }
