@@ -239,6 +239,20 @@ class SelectionSketchSpec extends SparkSpec {
     assert(run(df.repartition(7)).toSeq == out.toSeq)
   }
 
+  // ---- temp hygiene (regression guard for the round-7 leak fixes) ----
+
+  test("temp-using bench queries leave /tmp flat") {
+    def graftDirs: Set[String] = Option(new java.io.File("/tmp").list())
+      .map(_.filter(_.startsWith("graft-")).toSet).getOrElse(Set.empty)
+    val before = graftDirs
+    Seq("q162_manifest_commit", "q181_bloom_point_lookup",
+        "q90_zorder_skipping", "q81_dedup_incremental").foreach { q =>
+      SparkEntry.queries(q)(spark, sf("sf0.001")).collect()
+    }
+    val leaked = graftDirs -- before
+    assert(leaked.isEmpty, s"bench queries leaked temp dirs: $leaked")
+  }
+
   // ---- plan shapes (the 100 TB contract) ----
 
   test("cms probe and dsir scoring are zero-join scan-side passes") {
