@@ -37,7 +37,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${results.count(_._3.nonEmpty)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${results.count(_._3.nonEmpty)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-report to a file too: terminal capture truncates the one-line
+    // JSON once it spans a few hundred queries, so the full record lives
+    // at target/bench.json after every run.
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

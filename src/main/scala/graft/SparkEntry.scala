@@ -5612,7 +5612,7 @@ object SparkEntry {
         |  min(b.lo_c) / 100.0 AS lo, min(b.hi_c) / 100.0 AS hi,
         |  floor(CAST(sum(greatest(least(s.v, b.hi_c), b.lo_c)) AS DOUBLE)
         |    / count(*) / 100.0 * 1e6 + 0.5) / 1e6 AS winsorized_mean
-        |FROM src s JOIN b ON b.grp = s.grp
+        |FROM src s LEFT JOIN b ON b.grp = s.grp
         |GROUP BY s.grp""".stripMargin,
 
     // the same filtered-token positional alignment, relationally

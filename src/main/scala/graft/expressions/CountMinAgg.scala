@@ -68,7 +68,15 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
       if (!anyNull) {
         j = 0
         while (j < depth) {
-          buf(j * width + a.getLong(j).toInt) += 1L
+          // Validate BEFORE truncating: a caller-supplied bucket
+          // expression with a mismatched modulus must fail loudly, not
+          // land in another depth row's cell and silently corrupt the
+          // sketch (per-row mass conservation would break undetected).
+          val b = a.getLong(j)
+          require(b >= 0L && b < width,
+            s"count_min: bucket $b at depth row $j out of range [0, $width)" +
+              " — bucket expression modulus must match the sketch width")
+          buf(j * width + b.toInt) += 1L
           j += 1
         }
       }

@@ -42,6 +42,26 @@ object CorpusMix {
   private def stratumOf(c: org.apache.spark.sql.Column) =
     coalesce(c, lit(NullStratum))
 
+  /** Fail-loud cap on stratum cardinality: every sampler here collects
+    * one row per stratum to build its literal quota map, which is only
+    * sane when strata are languages/sources/shards — not when a caller
+    * mistakes an id column for a stratum. At 100 TB that mistake must
+    * throw, not OOM the driver. */
+  val MaxStrata: Int = 65536
+
+  /** The strata-count collect behind every sampler, fetched with
+    * `limit(cap + 1)` so at most cap+1 tiny rows ever reach the driver
+    * regardless of the group column's true cardinality. */
+  private def stratumCounts(df: DataFrame, stratumCol: String): Seq[(String, Long)] = {
+    val rows = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
+      .limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"CorpusMix: more than $MaxStrata distinct strata in '$stratumCol' — " +
+        "strata must be driver-bounded (languages, sources, shards); " +
+        "check the stratum column")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
+
   /** Integer quotas per stratum: floor(B * n^alpha / sum(n^alpha)).
     * Strata are folded in lexicographic order so the double sum is
     * reproducible across runs and engines. */
@@ -177,8 +197,7 @@ object CorpusMix {
   def temperatureEpochs(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
-    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val counts = stratumCounts(df, stratumCol)
     val q = quotas(counts, alpha, budgetNum, budgetDen)
     val nMap = counts.toMap
     // Split the copy schedule into a rank-free base and a ranked boundary:
@@ -229,8 +248,7 @@ object CorpusMix {
   def hashThresholdSample(df: DataFrame, stratumCol: String, textCol: String,
                           idCol: String, alpha: Double,
                           budgetNum: Long, budgetDen: Long): DataFrame = {
-    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val counts = stratumCounts(df, stratumCol)
     val q = quotas(counts, alpha, budgetNum, budgetDen)
     val nMap = counts.toMap
     val two32 = BigInt(2).pow(32)
@@ -258,8 +276,7 @@ object CorpusMix {
   def temperatureSample(df: DataFrame, stratumCol: String, textCol: String,
                         idCol: String, alpha: Double,
                         budgetNum: Long, budgetDen: Long): DataFrame = {
-    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val counts = stratumCounts(df, stratumCol)
     val q = quotas(counts, alpha, budgetNum, budgetDen)
     prunedStratumRank(df, stratumCol, textCol, idCol, q, counts.toMap)
       .withColumn("quota", element_at(typedLit(q), stratumOf(col(stratumCol))))
@@ -274,8 +291,7 @@ object CorpusMix {
     * stratum, never the stratum itself. */
   def perSourceCap(df: DataFrame, stratumCol: String, textCol: String,
                    idCol: String, k: Long): DataFrame = {
-    val counts = df.groupBy(stratumOf(col(stratumCol)).as("s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = stratumCounts(df, stratumCol).toMap
     val need = counts.map { case (s, n) => s -> math.min(k, n) }
     prunedStratumRank(df, stratumCol, textCol, idCol, need, counts)
       .filter(col("rk") <= k)

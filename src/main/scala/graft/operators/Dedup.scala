@@ -145,8 +145,12 @@ object Dedup {
     val postings = df.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.shingles(col(textCol), spanN)).as("g0"))
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-    val wdf = postings.withColumn("df", count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    // agg + join, not count().over(partitionBy(g)): the window shape
+    // sorts postings by span hash; a hash aggregation plus a hash join
+    // on the uniform (skew-free) hash does the same df count with no
+    // Sort anywhere — the spanNovelty/removeDupSpans shape.
+    val dfCounts = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wdf = postings.join(dfCounts, "g")
     wdf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -58,6 +58,14 @@ object Dsir {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
+  /** Above this bucket count the log-ratio model is shipped as a
+    * BROADCAST relation instead of a `typedLit` map: a 2^20-entry literal
+    * map inlines ~1M expression-tree nodes into the plan (analysis and
+    * codegen blow up long before the data does), while a broadcast of
+    * the same (bucket, log-ratio) pairs is a few MB of torrent-shipped
+    * rows and a hash-lookup join. */
+  val LiteralMapMaxBuckets: Int = 1 << 16
+
   /** Score every document of `raw` with its DSIR importance weight and
     * keep the top `k`: (doc_id, n_tokens, weight). `targetPred` marks
     * the in-pool target slice (e.g. `col("lang") === "en"` or a
@@ -79,14 +87,33 @@ object Dsir {
       b -> BigDecimal(math.log(num / den))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val lps = transform(toks(textCol), t =>
-      element_at(typedLit(lr), bucketOf(t, buckets)))
-    raw.select(col(idCol).as("doc_id"),
-        size(lps).cast("long").as("n_tokens"),
-        round(aggregate(lps, lit(0.0d), _ + _), 6).as("weight"))
-      .filter(col("n_tokens") > 0)
-      .orderBy(col("weight").desc, col("doc_id").asc)
-      .limit(k)
+    val scored =
+      if (buckets <= LiteralMapMaxBuckets) {
+        // small model: zero-join scan, each doc folds its token array
+        // against the literal map (6dp grid terms, so the fold order is
+        // portable)
+        val lps = transform(toks(textCol), t =>
+          element_at(typedLit(lr), bucketOf(t, buckets)))
+        raw.select(col(idCol).as("doc_id"),
+            size(lps).cast("long").as("n_tokens"),
+            round(aggregate(lps, lit(0.0d), _ + _), 6).as("weight"))
+          .filter(col("n_tokens") > 0)
+      } else {
+        // big model: broadcast the (bucket, log-ratio) relation instead
+        // of inlining ~buckets literals into the expression tree. Every
+        // probed bucket exists in the model (all scored tokens came from
+        // raw), so the inner hash join is total; the grid terms make the
+        // order-free sum agree with the fold above.
+        import raw.sparkSession.implicits._
+        val model = lr.toSeq.toDF("bk", "lrv")
+        raw.select(col(idCol).as("doc_id"), explode(toks(textCol)).as("term"))
+          .select(col("doc_id"), bucketOf(col("term"), buckets).as("bk"))
+          .join(broadcast(model), Seq("bk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("lrv")), 6).as("weight"))
+      }
+    scored.orderBy(col("weight").desc, col("doc_id").asc).limit(k)
   }
 
   /** Per-group distribution drift: KL(P_group || P_corpus) over the same

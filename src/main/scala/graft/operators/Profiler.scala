@@ -67,7 +67,13 @@ object Profiler {
     * Bounds are sample-quantiles (lower-value rank convention), so they
     * carry O(1/sqrt(sample)) rank error — the winsorized mean itself is
     * exact GIVEN the bounds, which is the deterministic contract the
-    * oracle replays. Output: (group, n, lo, hi, winsorized_mean). */
+    * oracle replays. Output: (group, n, lo, hi, winsorized_mean).
+    *
+    * Groups with NO sampled rows (possible for small groups at high
+    * sampleDenom) fall back to the UNCLAMPED mean with null lo/hi — a
+    * left join keeps them, and since both Spark and the oracle's SQL
+    * `least`/`greatest` ignore nulls, `greatest(least(v, null), null)`
+    * is `v`: the fallback costs zero extra expressions. */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
                       idCol: String, pLo: Double = 0.05, pHi: Double = 0.95,
                       sampleDenom: Int = 16): DataFrame = {
@@ -89,7 +95,7 @@ object Profiler {
       .agg(min(when(col("rk") >= ceil(lit(pLo) * col("n")), col("v"))).as("lo_c"),
         min(when(col("rk") >= ceil(lit(pHi) * col("n")), col("v"))).as("hi_c"))
     df.select(col(groupCol).as("grp"), cents.as("v"))
-      .join(bounds, Seq("grp"))
+      .join(bounds, Seq("grp"), "left")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         (min(col("lo_c")) / lit(100.0)).as("lo"),

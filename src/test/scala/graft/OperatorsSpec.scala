@@ -375,6 +375,13 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._3 == 0 && out(3L)._4)
     // whole-text spans of the two short duplicates match each other
     assert(out(4L) == (4L, 1L, 1L, false) && out(5L) == (5L, 1L, 1L, false))
+    // plan shape: df counting is an agg + hash join on the uniform span
+    // hash — no Window and no Sort anywhere (the window form sorted the
+    // whole postings table by span hash)
+    val plan = Dedup.dupSpanStats(docs, "text", "doc_id", spanN = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"dupSpanStats must not sort postings:\n${plan.take(1200)}")
   }
 
   test("epoch mixing: exact quota met via repeats, spread deterministically") {
