@@ -2212,6 +2212,25 @@ object SparkEntry {
         .withColumnRenamed("grp", "l_returnflag")
     }),
 
+    // Held-out Kneser-Ney scoring: fit the bigram LM on 95% of the
+    // corpus (doc_id % 20 != 0), score the disjoint 5% with
+    // continuation-probability backoff and add-one OOV mass — the
+    // CCNet-style filter shape (q184 is its in-corpus degenerate).
+    // The scored split gets two doc-derived novel tokens appended so
+    // every backoff branch fires on this corpus (whose 31-word synthetic
+    // vocabulary is otherwise fully covered by the fit split): a seen
+    // context meeting an OOV continuation, then an OOV context.
+    "q202_kn_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.NgramLm.knBigramScoreHeldOut(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .withColumn("text", concat(col("text"),
+            lit(" novel"), pmod(col("doc_id"), lit(5)),
+            lit(" unk"), pmod(col("doc_id"), lit(3)))),
+        "text", "doc_id", discount = 0.75)
+    }),
+
     // Positional phrase search: documents containing the exact
     // consecutive token sequence, with occurrence counts — the query
     // bag-of-words retrieval can't answer.
@@ -5614,6 +5633,52 @@ object SparkEntry {
         |    / count(*) / 100.0 * 1e6 + 0.5) / 1e6 AS winsorized_mean
         |FROM src s LEFT JOIN b ON b.grp = s.grp
         |GROUP BY s.grp""".stripMargin,
+
+    // model refit on the 95% split, backoff scoring replayed: add-one
+    // continuation probability (N1b+1)/(T+V+1), discount-funded backoff
+    // for seen contexts, pure continuation for unseen contexts
+    "q202_kn_heldout" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT d.doc_id, d.tk[t.i] AS w1, d.tk[t.i + 1] AS w2
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) t
+        |  WHERE len(d.tk) >= 2),
+        |docss AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(
+        |      text || ' novel' || (doc_id % 5) || ' unk' || (doc_id % 3)),
+        |      '[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |occf AS (SELECT * FROM occ WHERE doc_id % 20 <> 0),
+        |occs AS (
+        |  SELECT d.doc_id, d.tk[t.i] AS w1, d.tk[t.i + 1] AS w2
+        |  FROM docss d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) t
+        |  WHERE len(d.tk) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM occf GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bi GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM bi),
+        |vv AS (SELECT count(*) AS v FROM bwd),
+        |scored AS (
+        |  SELECT o.doc_id,
+        |    CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS unseen,
+        |    round(ln(CASE WHEN f.c1 IS NOT NULL THEN
+        |      coalesce((b.c - 0.75) / f.c1, 0.0)
+        |        + (0.75 * f.n1f / f.c1)
+        |        * ((coalesce(w.n1b, 0) + 1) / (tt.t + vv.v + 1))
+        |    ELSE (coalesce(w.n1b, 0) + 1) / (tt.t + vv.v + 1) END), 6) AS lp
+        |  FROM occs o
+        |  LEFT JOIN bi b ON b.w1 = o.w1 AND b.w2 = o.w2
+        |  LEFT JOIN fwd f ON f.w1 = o.w1
+        |  LEFT JOIN bwd w ON w.w2 = o.w2, tt, vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     // the same filtered-token positional alignment, relationally
     "q199_phrase_search" ->

@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * the Kneser-Ney insight: "francisco" is frequent but follows only
   * "san", so its backoff mass stays small.
   *
-  * Scoring the training corpus itself means every scored bigram is in
-  * the model (no OOV path) — the same in-engine degenerate variant as
-  * the unigram scorer; held-out scoring would add the unigram backoff
-  * for unseen pairs.
+  * [[knBigramScore]] scores the training corpus itself, so every scored
+  * bigram is in the model (no OOV path) — the same in-engine degenerate
+  * variant as the unigram scorer. [[knBigramScoreHeldOut]] is the real
+  * filter: fit on one split, score a disjoint one, with continuation-
+  * probability backoff for unseen bigrams/contexts and add-one-reserved
+  * OOV mass for words never seen at all.
   *
   * Determinism: per-bigram log-probs round to the 6dp grid in the model
   * table; a document's score sums grid points (round-then-floor-mean,
@@ -74,6 +76,74 @@ object NgramLm {
         (col("c") - lit(discount)) / col("c1") +
           (lit(discount) * col("n1f") / col("c1")) * (col("n1b") / col("t"))), 6))
       .select("w1", "w2", "lp")
+  }
+
+  /** HELD-OUT scoring: fit the interpolated-KN bigram model on `fit` and
+    * score `score` — the split may be disjoint, so unseen bigrams,
+    * unseen contexts, and OOV words all need probability mass. This is
+    * the CCNet-style filter users actually run (fit on a trusted slice,
+    * score the crawl); [[knBigramScore]] is its in-corpus degenerate.
+    *
+    * Backoff structure (standard interpolated KN + add-one continuation):
+    *
+    *   Pcont(w2) = (N1+(·w2) + 1) / (T + V + 1)
+    *     — add-one smoothing over continuation types: a w2 never seen in
+    *       fit gets the reserved 1/(T+V+1) OOV mass, and the seen types
+    *       sum to (T+V)/(T+V+1), so Pcont is a proper distribution over
+    *       seen-vocab ∪ {OOV}. V = # distinct continuation types.
+    *
+    *   seen context w1 (c(w1·) > 0):
+    *     P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+    *              + (D · N1+(w1·)/c(w1·)) · Pcont(w2)
+    *     — the seen-bigram term vanishes (coalesce to 0) when (w1,w2)
+    *       never occurred in fit; the discount-funded backoff carries it.
+    *
+    *   unseen context w1 (incl. OOV w1):  P(w2|w1) = Pcont(w2)
+    *
+    * Every arithmetic step is one fixed IEEE sequence mirrored verbatim
+    * by the SQL oracle; per-bigram log-probs round to the 6dp grid
+    * before the order-free document sum (the house portable-mean rule).
+    *
+    * Scale (100 TB): the model never touches the driver — scoring is
+    * three LEFT joins (bigram, forward-context, continuation) against
+    * the fit-side aggregates plus two broadcast one-row scalars (T, V),
+    * then a doc-keyed aggregation. Stop-word contexts skew the unigram
+    * joins; AQE skew-join splits them. Output: (doc_id, n_bigrams,
+    * n_unseen, mean_logp); docs with < 2 tokens drop (no bigram
+    * distribution to score). */
+  def knBigramScoreHeldOut(fit: DataFrame, score: DataFrame,
+                           textCol: String, idCol: String,
+                           discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val occF = occurrences(fit, textCol, idCol)
+    val occS = occurrences(score, textCol, idCol)
+    val bi = occF.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val fwd = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+    val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = bi.agg(count(lit(1)).as("t"))
+    val vocab = bwd.agg(count(lit(1)).as("v"))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1L)) /
+      (col("t") + col("v") + lit(1L))
+    val p = when(col("c1").isNotNull,
+      coalesce((col("c") - lit(discount)) / col("c1"), lit(0.0d)) +
+        (lit(discount) * col("n1f") / col("c1")) * pcont)
+      .otherwise(pcont)
+    occS
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(fwd, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(0L).as("unseen"),
+        round(log(p), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        round(sum(col("lp")), 6).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        (floor(col("__s") / col("n_bigrams") * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("mean_logp"))
   }
 
   /** Per-document mean bigram log-prob under the corpus-fitted KN model:

@@ -530,6 +530,36 @@ class SelectionSketchSpec extends SparkSpec {
     assert(out("kept")._2 == 0.2)
   }
 
+  // ---- round-9: held-out KN ----
+
+  test("kn held-out: every backoff branch matches the hand-replayed formula") {
+    import sc.implicits._
+    // fit: bi = {(a,b):2, (b,a):1, (b,c):2}; fwd: a->(c1 2, n1f 1),
+    // b->(c1 3, n1f 2); bwd: a,b,c each n1b 1; T=3, V=3 -> Pcont(seen)=2/7,
+    // Pcont(OOV)=1/7
+    val fit = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    // scored doc exercises: seen bigram, seen-context+OOV continuation,
+    // OOV context, unseen context (c never starts a fit bigram)
+    val ho = Seq((10L, "a b z c a")).toDF("doc_id", "text")
+    val out = NgramLm.knBigramScoreHeldOut(fit, ho, "text", "doc_id")
+      .collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pcSeen = 2.0 / 7  // (n1b + 1) / (T + V + 1)
+    val pcOov = 1.0 / 7
+    val lps = Seq(
+      r6(math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * pcSeen)), // (a,b) seen
+      r6(math.log(0.0 + (0.75 * 2 / 3) * pcOov)),             // (b,z) backoff
+      r6(math.log(pcSeen)),                                   // (z,c) OOV ctx
+      r6(math.log(pcSeen)))                                   // (c,a) unseen ctx
+    val expect = math.floor(r6(lps.sum) / 4 * 1e6 + 0.5) / 1e6
+    assert(out.getLong(1) == 4L && out.getLong(2) == 3L)
+    assert(out.getDouble(3) == expect,
+      s"mean_logp ${out.getDouble(3)} != $expect")
+    // disjointness sanity: a fit-side doc never leaks into the output
+    assert(out.getLong(0) == 10L)
+  }
+
   // ---- round-9 guards ----
 
   test("count_min: out-of-range bucket fails loudly instead of corrupting") {
