@@ -2231,6 +2231,26 @@ object SparkEntry {
         "text", "doc_id", discount = 0.75)
     }),
 
+    // Tokenizer -> packing composite (the end-of-pipeline artifact):
+    // BPE-encode every document with the scan-side codegen'd expression
+    // and next-fit-pack the resulting token counts into 512-token
+    // context windows, 8 shards — (doc_id, shard, bin, offset,
+    // n_tokens) is exactly the layout a concatenating training-data
+    // writer consumes. The fixed ("t","h") merge makes the token count
+    // SQL-exact (the q180 non-overlapping replace-count law), so the
+    // whole composite — encode AND the recursive next-fit fold — is
+    // hash-checked row by row.
+    "q203_tokenize_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weighted = docs.select(col("doc_id"),
+        size(operators.Bpe.encode(col("text"), Seq(("t", "h"))))
+          .cast("long").as("n_tokens"))
+      operators.SequencePack
+        .packNextFit(weighted, "doc_id", "n_tokens",
+          capacity = 512L, nShards = 8)
+        .join(weighted, Seq("doc_id"))
+    }),
+
     // Positional phrase search: documents containing the exact
     // consecutive token sequence, with occurrence counts — the query
     // bag-of-words retrieval can't answer.
@@ -5679,6 +5699,35 @@ object SparkEntry {
         |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
         |  floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // token count replayed via the q180 replace-count law (chars + words
+    // minus the number of non-overlapping 'th' merges), then the q93
+    // recursive next-fit fold over those weights
+    "q203_tokenize_pack" ->
+      """WITH RECURSIVE w0 AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |      AS BIGINT)
+        |    + CAST(len(list_filter(string_split_regex(lower(text),
+        |        '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)
+        |    - (length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |       - length(replace(trim(regexp_replace(lower(text),
+        |           '[^a-z0-9]+', ' ', 'g')), 'th', ''))) // 2 AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rk
+        |  FROM w0),
+        |pack AS (
+        |  SELECT shard, rk, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM base WHERE rk = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.rk, b.doc_id, b.w,
+        |    CASE WHEN p.fill + b.w > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + b.w > 512 THEN b.w ELSE p.fill + b.w END
+        |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
+        |SELECT doc_id, shard, bin, fill - w AS offset, w AS n_tokens
+        |FROM pack""".stripMargin,
 
     // the same filtered-token positional alignment, relationally
     "q199_phrase_search" ->
