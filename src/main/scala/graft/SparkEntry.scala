@@ -2251,6 +2251,32 @@ object SparkEntry {
         .join(weighted, Seq("doc_id"))
     }),
 
+    // HTML boilerplate extraction: each document wrapped in synthesized
+    // page chrome (head/style/script, a link-dense nav div, a short
+    // footer div), then main-content extracted by the block
+    // length + link-density rule — a zero-shuffle projection — and fed
+    // into the shared Gopher quality rules. The oracle rebuilds the same
+    // page and replays every regex relationally.
+    "q204_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>d"), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0}</style><script>var x=1;" +
+          "</script></head><body><!-- gen -->" +
+          "<div><a href=\"/\">home</a> <a href=\"/l"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("\">topic</a></div><p>"), col("text"),
+        lit(" &amp; more &lt;tag&gt;</p><div>tail "),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("</div></body></html>"))
+      val mc = operators.HtmlExtract
+        .mainContent(docs.withColumn("html", html), "html", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+      val g = TextAnalysis.gopherRules(col("content"))
+      mc.select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("n_chars_main"), col("content"), g.pass.as("quality_pass"))
+    }),
+
     // Positional phrase search: documents containing the exact
     // consecutive token sequence, with occurrence counts — the query
     // bag-of-words retrieval can't answer.
@@ -5728,6 +5754,77 @@ object SparkEntry {
         |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rk = p.rk + 1)
         |SELECT doc_id, shard, bin, fill - w AS offset, w AS n_tokens
         |FROM pack""".stripMargin,
+
+    // the same page synthesis, then every extraction regex replayed in
+    // the same order: noise elements out, block split, tag strip, entity
+    // decode (amp last), whitespace collapse, link density by visible-
+    // length subtraction, and the q44 Gopher rules over the extracted
+    // content
+    "q204_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || doc_id
+        |    || '</title><style>p{margin:0}</style><script>var x=1;'
+        |    || '</script></head><body><!-- gen -->'
+        |    || '<div><a href="/">home</a> <a href="/l' || (doc_id % 7)
+        |    || '">topic</a></div><p>' || text
+        |    || ' &amp; more &lt;tag&gt;</p><div>tail ' || (doc_id % 5)
+        |    || '</div></body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS cleaned FROM h),
+        |arr AS (SELECT doc_id, string_split_regex(cleaned,
+        |  '(?i)</?(p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|br|hr|section|article|header|footer|nav|blockquote)[^>]*>')
+        |  AS a FROM s),
+        |raws AS (SELECT doc_id, t.i AS pos, a[t.i] AS raw
+        |  FROM arr, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) t),
+        |vis AS (SELECT doc_id, pos,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS txt,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(raw,
+        |        '(?is)<a[^>]*>.*?</a>', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS txt_nolink
+        |  FROM raws),
+        |blk AS (SELECT doc_id, pos, txt,
+        |    CAST(length(txt) AS BIGINT) AS n_chars,
+        |    CAST(length(txt) - length(txt_nolink) AS BIGINT) AS link_chars
+        |  FROM vis WHERE txt <> ''),
+        |k AS (SELECT doc_id, pos, txt, n_chars,
+        |    (n_chars >= 25 AND
+        |     floor(CAST(link_chars AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
+        |       <= 0.33) AS keep
+        |  FROM blk),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
+        |      ORDER BY pos), '') AS content
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_blocks, n_kept,
+        |  CAST(length(content) AS BIGINT) AS n_chars_main, content,
+        |  (len(string_split(content, ' ')) BETWEEN 50 AND 100000
+        |   AND round(CAST(length(replace(content, ' ', '')) AS DOUBLE)
+        |         / len(string_split(content, ' ')), 6) BETWEEN 3 AND 10
+        |   AND round((CAST(length(content) - length(replace(content, '#', ''))
+        |         AS DOUBLE)
+        |        + CAST(length(content) - length(replace(content, '...', ''))
+        |          AS DOUBLE) / 3)
+        |       / len(string_split(content, ' ')), 6) < 0.1
+        |   AND round(CAST(len(string_split(content, '. '))
+        |        - len(list_distinct(string_split(content, '. '))) AS DOUBLE)
+        |       / len(string_split(content, '. ')), 6) < 0.3) AS quality_pass
+        |FROM agg""".stripMargin,
 
     // the same filtered-token positional alignment, relationally
     "q199_phrase_search" ->
