@@ -2277,6 +2277,19 @@ object SparkEntry {
         col("n_chars_main"), col("content"), g.pass.as("quality_pass"))
     }),
 
+    // IVF-PQ (IVFADC under the cosine convention): coarse lists +
+    // product-quantized residuals (8 subspaces x 16 sub-centroids, one
+    // Lloyd iteration), ADC candidate scoring against reconstructions,
+    // exact rerank of the top 40. The oracle replays the ENTIRE pipeline
+    // — coarse assignment, residuals, codebook seed + training, encode,
+    // ADC, rerank — relationally; hash-checked end to end.
+    "q205_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", dim = 64, k = 10, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, pqIters = 1, rerank = 40)
+    }),
+
     // Positional phrase search: documents containing the exact
     // consecutive token sequence, with occurrence counts — the query
     // bag-of-words retrieval can't answer.
@@ -2590,6 +2603,19 @@ object SparkEntry {
       val media = graft.multimodal.Multimodal
         .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
       graft.multimodal.Multimodal.aviFrameIndex(media)
+    }),
+
+    // REAL MJPEG frame decode: the container walk locates each frame,
+    // a genuine baseline-JPEG decode (DQT/SOF0/DHT parse, Huffman
+    // entropy decode, dequant, IDCT) produces its pixels, and the
+    // per-frame stats must equal the oracle's pure-arithmetic replay of
+    // the block synthesis formula — the DC-only constant-block round
+    // trip is integer-exact, so one wrong Huffman bit anywhere fails
+    // the hash.
+    "q206_mjpeg_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.mjpegFrameFeatures(media)
     })
   )
 
@@ -5826,6 +5852,134 @@ object SparkEntry {
         |       / len(string_split(content, '. ')), 6) < 0.3) AS quality_pass
         |FROM agg""".stripMargin,
 
+    // the whole IVF-PQ pipeline relationally: seed coarse centroids,
+    // cosine assignment, per-subspace residuals, PQ codebook seed + one
+    // Lloyd iteration (L2, means rounded 6dp), encode, reconstruction
+    // norms, ADC contribution tables, approx-cosine rerank cut at 40,
+    // then the shared exact-cosine top-10 tail
+    "q205_ivfpq_topk" ->
+      ("""WITH cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |fasn AS (
+        |  SELECT e.vec_id, c.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * y)
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(y * y) FROM (SELECT unnest(c.cv) AS y)) AS nc
+        |  FROM embeddings e, cents0 c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        CASE WHEN sqrt(ne) * sqrt(nc) > 0
+        |             THEN dot / (sqrt(ne) * sqrt(nc)) ELSE 0.0 END DESC,
+        |        cid ASC) AS rn
+        |    FROM fasn) WHERE rn = 1),
+        |rsub AS (
+        |  SELECT a.vec_id, a.list_id, t.m,
+        |    (SELECT list(CAST(e.embedding[t.m * 8 + j.i] AS DOUBLE)
+        |                 - c.cv[t.m * 8 + j.i] ORDER BY j.i)
+        |     FROM (SELECT unnest(range(1, 9)) AS i) j) AS sub
+        |  FROM assigned a
+        |  JOIN embeddings e USING (vec_id)
+        |  JOIN cents0 c ON c.cid = a.list_id,
+        |  LATERAL (SELECT unnest(range(8)) AS m) t),
+        |cb0 AS (
+        |  SELECT r.m, CAST(row_number()
+        |      OVER (PARTITION BY r.m ORDER BY r.vec_id) - 1 AS INT) AS cid,
+        |    r.sub AS cv
+        |  FROM rsub r
+        |  WHERE r.vec_id IN
+        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |pd0 AS (
+        |  SELECT r.vec_id, r.m, b.cid,
+        |    (SELECT sum((x - y) * (x - y))
+        |     FROM (SELECT unnest(r.sub) AS x, unnest(b.cv) AS y)) AS d
+        |  FROM rsub r JOIN cb0 b ON b.m = r.m),
+        |pa0 AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d ASC, cid ASC) AS rn
+        |    FROM pd0) WHERE rn = 1),
+        |pmean AS (
+        |  SELECT a.m, a.cid, t.pos, round(avg(r.sub[t.pos + 1]), 6) AS mn
+        |  FROM pa0 a JOIN rsub r USING (vec_id, m),
+        |       LATERAL (SELECT unnest(range(8)) AS pos) t
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT b.m, b.cid, coalesce(mv.v, b.cv) AS cv
+        |  FROM cb0 b LEFT JOIN (
+        |    SELECT m, cid, list(mn ORDER BY pos) AS v
+        |    FROM pmean GROUP BY m, cid) mv
+        |  USING (m, cid)),
+        |pd1 AS (
+        |  SELECT r.vec_id, r.m, b.cid,
+        |    (SELECT sum((x - y) * (x - y))
+        |     FROM (SELECT unnest(r.sub) AS x, unnest(b.cv) AS y)) AS d
+        |  FROM rsub r JOIN cb1 b ON b.m = r.m),
+        |enc AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d ASC, cid ASC) AS rn
+        |    FROM pd1) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.cid AS list_id, b.m, b.cid,
+        |    (SELECT list(c.cv[b.m * 8 + j.i] + b.cv[j.i] ORDER BY j.i)
+        |     FROM (SELECT unnest(range(1, 9)) AS i) j) AS rv
+        |  FROM cents0 c, cb1 b),
+        |rnorm AS (
+        |  SELECT list_id, m, cid,
+        |    (SELECT sum(x * x) FROM (SELECT unnest(rv) AS x)) AS rn2
+        |  FROM recon),
+        |state AS (
+        |  SELECT en.vec_id, a.list_id, en.m, en.code, rn.rn2
+        |  FROM enc en JOIN assigned a USING (vec_id)
+        |  JOIN rnorm rn ON rn.list_id = a.list_id AND rn.m = en.m
+        |    AND rn.cid = en.code),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        CASE WHEN sqrt(ne) * sqrt(nc) > 0
+        |             THEN dot / (sqrt(ne) * sqrt(nc)) ELSE 0.0 END DESC,
+        |        cid ASC) AS rn
+        |    FROM fasn WHERE vec_id < 5) WHERE rn <= 4),
+        |qn AS (
+        |  SELECT vec_id AS query_id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(embedding) AS x)) AS qn2
+        |  FROM embeddings WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT p.query_id, p.list_id, r.m, r.cid,
+        |    (SELECT sum(CAST(q.embedding[r.m * 8 + j.i] AS DOUBLE) * r.rv[j.i])
+        |     FROM (SELECT unnest(range(1, 9)) AS i) j) AS contrib
+        |  FROM probes p
+        |  JOIN embeddings q ON q.vec_id = p.query_id
+        |  JOIN recon r ON r.list_id = p.list_id),
+        |approx AS (
+        |  SELECT s.vec_id, a.query_id,
+        |    sum(a.contrib) AS adot, sum(s.rn2) AS xn2, min(q.qn2) AS qn2
+        |  FROM state s
+        |  JOIN adc a ON a.list_id = s.list_id AND a.m = s.m
+        |    AND a.cid = s.code
+        |  JOIN qn q ON q.query_id = a.query_id
+        |  WHERE a.query_id <> s.vec_id
+        |  GROUP BY s.vec_id, a.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        round(CASE WHEN sqrt(qn2) * sqrt(xn2) > 0
+        |              THEN adot / (sqrt(qn2) * sqrt(xn2)) ELSE 0.0 END, 6) DESC,
+        |        vec_id ASC) AS rn
+        |    FROM approx) WHERE rn <= 40),
+        |""".stripMargin + CosineRankTail),
+
     // the same filtered-token positional alignment, relationally
     "q199_phrase_search" ->
       """WITH docs AS (
@@ -6100,7 +6254,28 @@ object SparkEntry {
         |    AS offset,
         |  frame_bytes,
         |  (frame_idx % 4 = 0) AS keyframe
-        |FROM fr""".stripMargin
+        |FROM fr""".stripMargin,
+
+    // decoded pixel stats replayed from the block-value formula: frame
+    // k's 8x8 block (bx, by) is the constant
+    // (id*31 + k*17 + bx*7 + by*13) % 256, frames are 2x2 blocks
+    "q206_mjpeg_decode" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, CAST(k.i AS BIGINT) AS frame_idx
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(0, 4 + doc_id % 5)) AS i) k),
+        |bl AS (
+        |  SELECT media_id, frame_idx,
+        |    (media_id * 31 + frame_idx * 17 + bx.x * 7 + by.y * 13) % 256 AS v
+        |  FROM fr,
+        |       LATERAL (SELECT unnest(range(2)) AS x) bx,
+        |       LATERAL (SELECT unnest(range(2)) AS y) by)
+        |SELECT media_id, frame_idx,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(sum(v) AS DOUBLE) / 4 AS mean_gray,
+        |  CAST(min(v) AS BIGINT) AS min_gray,
+        |  CAST(max(v) AS BIGINT) AS max_gray
+        |FROM bl GROUP BY media_id, frame_idx""".stripMargin
   )
 
   /** One SQL text, two engines: runs through Catalyst (q99) and as its own

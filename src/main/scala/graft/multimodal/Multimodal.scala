@@ -289,10 +289,30 @@ object Multimodal {
   private def aviFrameSize(id: Long, k: Int): Int =
     2 * (100 + ((id * 31 + k * 7) % 120)).toInt
 
+  /** Per-frame 8x8-block gray values of the synthesized MJPEG frames:
+    * block (bx, by) of frame k is the CONSTANT
+    * `(id*31 + k*17 + bx*7 + by*13) % 256` — constant blocks make the
+    * baseline-JPEG round trip integer-EXACT (a constant block's DCT is
+    * DC-only; with quantizer 8 the quantized DC is exactly v-128 and the
+    * inverse path reproduces v bit for bit), so a SQL oracle replays
+    * decoded pixel statistics from this formula without touching bytes. */
+  private[multimodal] def mjpegBlockValue(id: Long, k: Int, bx: Int, by: Int): Int =
+    ((id * 31 + k * 17 + bx * 7 + by * 13) % 256).toInt
+
+  /** Frames are [[MjpegFramesPerSide]] x [[MjpegFramesPerSide]] blocks
+    * (16x16 px) regardless of the container's nominal stream dims — small
+    * enough that every encoded frame fits the `aviFrameSize` formula the
+    * container-layout oracles pin. */
+  private val MjpegBlocksPerSide = 2
+
   /** One valid AVI/MJPEG container: RIFF(hdrl(avih, strl(strh, strf)),
-    * movi(00dc…), idx1). Frame k's payload is `FFD8 … FFD9` (JPEG
-    * SOI/EOI) around `(id + k + i) % 251` filler; every 4th frame is
-    * flagged AVIIF_KEYFRAME in idx1. */
+    * movi(00dc…), idx1). Frame k's payload is a REAL baseline grayscale
+    * JPEG ([[synthesizeJpegGray]]: DQT/SOF0/DHT/SOS + entropy-coded
+    * DC-only blocks), padded to `aviFrameSize(id, k)` with 0xFF fill
+    * bytes before the EOI marker (legal JPEG fill, so the chunk both
+    * stays a conformant image AND keeps the size formula the q62 oracle
+    * replays; the payload still ends `FFD9`). Every 4th frame is flagged
+    * AVIIF_KEYFRAME in idx1. */
   def synthesizeAvi(id: Long): Array[Byte] = {
     val n = aviFrameCount(id)
     val width = (64 + (id % 3) * 16).toInt
@@ -329,10 +349,10 @@ object Multimodal {
     cc("LIST"); bb.putInt(moviData); cc("movi")
     sizes.zipWithIndex.foreach { case (sz, k) =>
       cc("00dc"); bb.putInt(sz)
-      bb.put(0xFF.toByte); bb.put(0xD8.toByte)
-      var i = 2
-      while (i < sz - 2) { bb.put(((id + k + i) % 251).toByte); i += 1 }
-      bb.put(0xFF.toByte); bb.put(0xD9.toByte)
+      val vals = Array.tabulate(MjpegBlocksPerSide, MjpegBlocksPerSide) {
+        (by, bx) => mjpegBlockValue(id, k, bx, by)
+      }
+      bb.put(synthesizeJpegGray(vals, sz))
     }
     cc("idx1"); bb.putInt(idxData)
     var rel = 4L
@@ -441,6 +461,322 @@ object Multimodal {
         (off, sz, key)
       }
     }.toOption
+
+  // ---------------------------------------------------------------------
+  // REAL frame decode (baseline JPEG): a genuine — restricted but
+  // conformant — baseline sequential JPEG codec for the MJPEG frames:
+  // grayscale, one scan, no restart markers. The encoder emits DC-only
+  // blocks (each 8x8 block constant), which with quantizer 8 makes the
+  // decode integer-exact, so the oracle replays per-frame pixel stats
+  // from the synthesis formula. The DECODER is general within the
+  // subset: arbitrary DHT/DQT tables, AC coefficients (ZRL/EOB runs),
+  // fixed-point-free double IDCT on the non-DC-only path, 0xFF fill
+  // bytes before markers, byte-stuffed entropy data. Malformed frames
+  // are quarantined (dropped), never half-decoded.
+  // ---------------------------------------------------------------------
+
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Minimal valid baseline grayscale JPEG of `vals.length*8` x
+    * `vals(0).length*8` px where block (bx, by) is the constant
+    * `vals(by)(bx)`; total length is EXACTLY `targetLen` via 0xFF fill
+    * bytes before EOI (JPEG B.1.1.2 allows any number of fill bytes
+    * before a marker). Tables: flat quantizer 8; custom canonical
+    * Huffman tables (DC categories 0-9 at 4 bits, AC = EOB alone at 2
+    * bits) — far smaller than the Annex K defaults, which is what lets
+    * a whole frame fit the container's 200-438 byte chunk sizes. */
+  private[multimodal] def synthesizeJpegGray(vals: Array[Array[Int]],
+                                             targetLen: Int): Array[Byte] = {
+    val bh = vals.length; val bw = vals(0).length
+    val (w, h) = (bw * 8, bh * 8)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(a: Int, b: Int): Unit = { out.write(a); out.write(b) }
+    def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xFF, 0xD8)                                  // SOI
+    m(0xFF, 0xDB); u16(67); out.write(0x00)        // DQT, Pq=0 Tq=0
+    (0 until 64).foreach(_ => out.write(8))
+    m(0xFF, 0xC0); u16(11); out.write(8)           // SOF0: 8-bit
+    u16(h); u16(w); out.write(1)                   // 1 component
+    out.write(1); out.write(0x11); out.write(0)    // id 1, 1x1, quant 0
+    m(0xFF, 0xC4); u16(2 + 1 + 16 + 10)            // DHT DC class 0 id 0
+    out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 10 else 0))
+    (0 until 10).foreach(out.write)                // categories 0..9
+    m(0xFF, 0xC4); u16(2 + 1 + 16 + 1)             // DHT AC class 1 id 0
+    out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 2) 1 else 0))
+    out.write(0x00)                                // EOB only
+    m(0xFF, 0xDA); u16(8); out.write(1)            // SOS
+    out.write(1); out.write(0x00)                  // comp 1, DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0)      // Ss, Se, AhAl
+    // entropy-coded data: canonical codes — DC category c is the 4-bit
+    // code c; EOB is the 2-bit code 0
+    var acc = 0; var nbits = 0
+    val scan = new java.io.ByteArrayOutputStream()
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          scan.write(acc)
+          if (acc == 0xFF) scan.write(0x00)        // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val dcq = vals(by)(bx) - 128               // round(8(v-128)/8)
+        val diff = dcq - pred; pred = dcq
+        var cat = 0; var a = math.abs(diff)
+        while (a > 0) { cat += 1; a >>= 1 }
+        bits(cat, 4)
+        if (cat > 0) bits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+        bits(0, 2)                                 // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) {                               // 1-pad the tail byte
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      scan.write(acc)
+      if (acc == 0xFF) scan.write(0x00)
+    }
+    out.write(scan.toByteArray)
+    val fill = targetLen - out.size() - 2
+    require(fill >= 0, s"jpeg frame ${out.size() + 2} exceeds chunk $targetLen")
+    (0 until fill).foreach(_ => out.write(0xFF))   // fill bytes, then EOI
+    m(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  /** Baseline grayscale JPEG decoder (the subset above, decoded
+    * generally): returns (width, height, row-major pixels) or None for
+    * anything malformed — truncation, bad markers, invalid Huffman
+    * codes, progressive/multi-component streams, a scan that doesn't
+    * reach EOI. DC-only blocks decode with EXACT integer math
+    * (pixel = round(DC/8) + 128); blocks with AC energy take the
+    * general double IDCT with one fixed op order. */
+  private[multimodal] def parseJpegGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    scala.util.Try {
+      var p = 0
+      def u8(): Int = { val v = bytes(p) & 0xFF; p += 1; v }
+      def u16(): Int = { val v = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF); p += 2; v }
+      require(u8() == 0xFF && u8() == 0xD8, "SOI")
+      val qt = Array.ofDim[Int](4, 64)
+      // canonical Huffman decode tables per (class, table id):
+      // mincode/maxcode/valptr by code length, plus the value list
+      final case class HTab(min: Array[Int], max: Array[Int],
+                            ptr: Array[Int], vals: Array[Int])
+      val hTabs = Array.ofDim[HTab](2, 4)
+      var w = 0; var h = 0; var sofSeen = false
+      var dcTab = 0; var acTab = 0; var qTab = 0
+      var sosSeen = false
+      while (!sosSeen) {
+        var b = u8()
+        while (b != 0xFF) b = u8()                 // tolerate garbage
+        var mk = u8()
+        while (mk == 0xFF) mk = u8()               // fill bytes
+        mk match {
+          case 0xDB =>
+            val end = p + u16() - 2
+            while (p < end) {
+              val pqtq = u8()
+              require((pqtq >> 4) == 0, "8-bit quantizers only")
+              val id = pqtq & 0x0F
+              (0 until 64).foreach(i => qt(id)(i) = u8())
+            }
+          case 0xC0 =>
+            u16(); require(u8() == 8, "8-bit precision")
+            h = u16(); w = u16()
+            require(w > 0 && h > 0, "empty frame")
+            require(u8() == 1, "grayscale only")
+            u8(); require(u8() == 0x11, "1x1 sampling"); qTab = u8()
+            sofSeen = true
+          case 0xC4 =>
+            val end = p + u16() - 2
+            while (p < end) {
+              val tcth = u8()
+              val (cls, id) = (tcth >> 4, tcth & 0x0F)
+              require(cls <= 1 && id <= 3, "huffman table slot")
+              val counts = new Array[Int](17)
+              (1 to 16).foreach(l => counts(l) = u8())
+              val vals = new Array[Int](counts.sum)
+              vals.indices.foreach(i => vals(i) = u8())
+              val (min, max, ptr) =
+                (new Array[Int](17), Array.fill(17)(-1), new Array[Int](17))
+              var code = 0; var k = 0
+              (1 to 16).foreach { l =>
+                if (counts(l) > 0) {
+                  min(l) = code; max(l) = code + counts(l) - 1; ptr(l) = k
+                  code += counts(l); k += counts(l)
+                }
+                code <<= 1
+              }
+              hTabs(cls)(id) = HTab(min, max, ptr, vals)
+            }
+          case 0xDA =>
+            require(sofSeen, "SOS before SOF")
+            u16(); require(u8() == 1, "one scan component")
+            u8(); val tt = u8(); dcTab = tt >> 4; acTab = tt & 0x0F
+            require(u8() == 0 && u8() == 63 && u8() == 0, "baseline scan")
+            require(hTabs(0)(dcTab) != null && hTabs(1)(acTab) != null,
+              "scan references a missing huffman table")
+            sosSeen = true
+          case 0xD9 => require(false, "EOI before scan")
+          case _ =>
+            val len = u16(); p += len - 2          // skip APPn/COM/etc.
+        }
+      }
+      // entropy-coded bit reader with unstuffing
+      var acc = 0; var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          var b = u8()
+          if (b == 0xFF) {
+            val nx = u8()
+            require(nx == 0x00, "marker inside entropy data")
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def huff(t: HTab): Int = {
+        var code = 0
+        var l = 0
+        while (l < 16) {
+          code = (code << 1) | bit(); l += 1
+          if (t.max(l) >= 0 && code <= t.max(l)) {
+            return t.vals(t.ptr(l) + code - t.min(l))
+          }
+        }
+        require(false, "invalid huffman code"); 0
+      }
+      def extend(v: Int, cat: Int): Int =
+        if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+      def recv(cat: Int): Int = {
+        var v = 0
+        (0 until cat).foreach(_ => v = (v << 1) | bit())
+        v
+      }
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val pix = new Array[Int](w * h)
+      val q = qt(qTab)
+      var pred = 0
+      var byi = 0
+      while (byi < bh) {
+        var bxi = 0
+        while (bxi < bw) {
+          val coef = new Array[Int](64)
+          val cat = huff(hTabs(0)(dcTab))
+          require(cat <= 11, "DC category")
+          pred += extend(recv(cat), cat)
+          coef(0) = pred * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = huff(hTabs(1)(acTab))
+            val (run, size) = (rs >> 4, rs & 0x0F)
+            if (size == 0) {
+              if (run == 15) k += 16 else eob = true // ZRL vs EOB
+            } else {
+              k += run
+              require(k < 64, "AC overrun")
+              coef(JpegZigzag(k)) = extend(recv(size), size) * q(JpegZigzag(k))
+              k += 1
+            }
+          }
+          // IDCT: exact integer path for DC-only blocks, double
+          // otherwise (fixed op order, round half up, clamp)
+          val acZero = (1 until 64).forall(coef(_) == 0)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val px = byi * 8 + y; val pxx = bxi * 8 + x
+              if (px < h && pxx < w) {
+                val v =
+                  if (acZero)
+                    math.floor(coef(0) / 8.0 + 0.5).toInt + 128
+                  else {
+                    var s = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      var vv = 0
+                      while (vv < 8) {
+                        val cu = if (u == 0) 0.7071067811865476 else 1.0
+                        val cv = if (vv == 0) 0.7071067811865476 else 1.0
+                        s += cu * cv * coef(vv * 8 + u) *
+                          math.cos((2 * x + 1) * u * math.Pi / 16) *
+                          math.cos((2 * y + 1) * vv * math.Pi / 16)
+                        vv += 1
+                      }
+                      u += 1
+                    }
+                    math.floor(s / 4.0 + 128.0 + 0.5).toInt
+                  }
+                pix(px * w + pxx) = math.max(0, math.min(255, v))
+              }
+              x += 1
+            }
+            y += 1
+          }
+          bxi += 1
+        }
+        byi += 1
+      }
+      // after the scan: optional fill bytes, then EOI must close the frame
+      if (nbits > 0) { nbits = 0 }                 // discard pad bits
+      var b = u8()
+      while (b == 0xFF && (bytes(p) & 0xFF) == 0xFF) b = u8()
+      require(b == 0xFF && u8() == 0xD9, "EOI")
+      (w, h, pix)
+    }.toOption
+
+  final case class MjpegFrame(media_id: Long, frame_idx: Long,
+                              width: Long, height: Long, mean_gray: Double,
+                              min_gray: Long, max_gray: Long)
+
+  /** REAL per-frame pixel decode of the MJPEG containers: the RIFF walk
+    * of [[aviFrameIndex]] locates each frame payload, the baseline-JPEG
+    * decoder produces its pixels, and per-frame stats come from the
+    * decoded array — (media_id, frame_idx, width, height, mean_gray,
+    * min_gray, max_gray). A frame whose JPEG fails to decode is
+    * QUARANTINED (dropped) while its siblings survive; a container whose
+    * index lies is dropped whole (the walker's contract).
+    *
+    * Scale: one mapPartitions over the blobs — container walk + decode
+    * are per-row CPU, no shuffle; only the fixed-width stats rows leave
+    * the scan. mean_gray = pixel sum / (w*h), exact in binary for the
+    * synthesized 16x16 frames (quarter grid). */
+  def mjpegFrameFeatures(media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseAviIndex(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.flatMap { case ((off, sz, _), k) =>
+            val payload = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + sz).toInt)
+            parseJpegGray(payload).map { case (w, h, pix) =>
+              MjpegFrame(id, k.toLong, w.toLong, h.toLong,
+                pix.map(_.toLong).sum.toDouble / (w * h),
+                pix.min.toLong, pix.max.toLong)
+            }
+          }
+        }
+      }
+    }(Encoders.product[MjpegFrame]).toDF()
+  }
 
   // ---------------------------------------------------------------------
   // REAL image decode (BMP): like the WAV path, BMP is codec-free — a

@@ -212,6 +212,173 @@ object Similarity {
     rankProbedLists(assigned, q, k)
   }
 
+  /** Per-subspace product-quantization codebooks trained on coarse
+    * RESIDUALS with Lloyd's iterations under L2 (the PQ metric of Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search").
+    * `rsub` is the long-form residual frame (vec_id, m, sub); seeds are
+    * the residual subvectors of the `ksub` smallest vec_ids (the same
+    * deterministic seed rule as [[kmeansCentroids]]); per-(m,cid,pos)
+    * means round to 6dp each iteration so the trained codebooks are
+    * engine-portable. Returns `[m][cid][dsub]` — M*ksub*dsub doubles, a
+    * driver literal by construction. Empty cells keep their previous
+    * centroid. ALL subspaces train in the same passes (the iteration is
+    * one argmin projection + one (m,cid,pos)-keyed aggregation — never
+    * M separate jobs). */
+  private[graft] def pqTrain(rsub: DataFrame, seedIds: Seq[Long], ksub: Int,
+                             dsub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val seedRank = seedIds.sorted.zipWithIndex.toMap
+    val seedRows = rsub.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("m"), col("sub")).collect()
+    val nSub = seedRows.map(_.getInt(1)).max + 1
+    var cb: Seq[Seq[Seq[Double]]] = (0 until nSub).map { mi =>
+      seedRows.filter(_.getInt(1) == mi)
+        .sortBy(r => seedRank(r.getLong(0)))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    (0 until iters).foreach { _ =>
+      val means = rsub.withColumn("code", pqCode(cb))
+        .select(col("m"), col("code"), posexplode(col("sub")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Double](dsub)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          key -> arr.toSeq
+        }
+      cb = cb.zipWithIndex.map { case (cents, mi) =>
+        cents.zipWithIndex.map { case (old, cid) =>
+          means.getOrElse((mi, cid), old)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Nearest sub-centroid (argmin L2, ties to the smallest cid — the
+    * first position of the minimum) for a long-form (m, sub) row against
+    * the literal codebooks. */
+  private def pqCode(cb: Seq[Seq[Seq[Double]]]): Column = {
+    val dists = transform(element_at(typedLit(cb), col("m") + 1), cvec =>
+      aggregate(zip_with(col("sub"), cvec, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), _ + _))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF-PQ (the IVFADC structure of Jégou et al. 2011, scored under
+    * this module's cosine convention): coarse-quantize the corpus into
+    * `nlist` inverted lists, PRODUCT-QUANTIZE each vector's residual
+    * (dim = m subspaces x dsub dims, `ksub` centroids per subspace — an
+    * m-byte code per vector), then answer a query by probing its
+    * `nprobe` best lists and ranking candidates by the cosine of the
+    * query against each candidate's RECONSTRUCTION
+    * `x̂ = c_list + concat_m cb[m][code_m]` — computed as an
+    * asymmetric-distance table join, never by materializing x̂ per pair.
+    * The top `rerank` approximate candidates per query are re-ranked
+    * with exact cosine over the raw vectors; output is the exact-scored
+    * top-k, same shape as every other ANN here.
+    *
+    * Scale (100 TB): after encoding, the search-side corpus state is
+    * (vec_id, list_id, m, code, partial-norm) — the m-byte PQ promise:
+    * raw vectors are touched ONLY by the top-`rerank` join. The ADC
+    * tables are queries x nprobe x m x ksub rows (a few thousand),
+    * broadcast; scoring is one hash join on (list_id, m, code) plus a
+    * (query, vec) re-aggregation. Codebooks and coarse centroids are
+    * driver literals (nlist*dim + m*ksub*dsub doubles). Per-query work
+    * is proportional to the probed lists' code rows, not the corpus.
+    *
+    * Determinism: residuals are exact double ops from the literal
+    * centroids; codebook means round 6dp per iteration; approximate
+    * cosines round 6dp before the rerank cut (ties to smaller vec_id);
+    * exact cosines round 6dp before the final rank — every step
+    * relationally replayed by the oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, pqIters: Int = 1,
+                rerank: Int = 20): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val dsub = dim / m
+    import graft.expressions.CosinesExpr.{argMax, cosinesD, topKIndices}
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val cents = seedCentroids(c, nlist)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val assigned = c.withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+    // residual r = widen(v) - c_list, split into m long-form subvectors
+    val resid = zip_with(col("cv"),
+      element_at(centsLit, col("list_id") + 1), (a, b) => a.cast("double") - b)
+    val rsub = assigned
+      .withColumn("r", resid)
+      .select(col("vec_id"), col("list_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), i =>
+          struct(i.as("m"),
+            slice(col("r"), i * dsub + 1, lit(dsub)).as("sub")))).as("ms"))
+      .select(col("vec_id"), col("list_id"),
+        col("ms.m").as("m"), col("ms.sub").as("sub"))
+    val seedIds = c.orderBy(col("vec_id").asc).limit(ksub)
+      .collect().map(_.getLong(0)).toSeq
+    val cb = pqTrain(rsub, seedIds, ksub, dsub, pqIters)
+    val cbLit = typedLit(cb)
+    // encode: per (vec, m) the code and the reconstruction's partial
+    // squared norm — the only per-vector state search ever touches
+    val reconOf = (mi: Column, cid: Column, listId: Column) =>
+      zip_with(slice(element_at(centsLit, listId + 1), mi * dsub + 1, lit(dsub)),
+        element_at(element_at(cbLit, mi + 1), cid + 1), _ + _)
+    val encoded = rsub.withColumn("code", pqCode(cb))
+      .withColumn("rn2",
+        aggregate(reconOf(col("m"), col("code"), col("list_id")),
+          lit(0.0d), (acc, x) => acc + x * x))
+      .select("vec_id", "list_id", "m", "code", "rn2")
+    // query side: probes + the ADC contribution table
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn2", aggregate(col("qv"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val adc = q
+      .withColumn("list_id",
+        explode(topKIndices(cosinesD(col("qv"), cents), nprobe)))
+      .withColumn("mc", explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("m"),
+          transform(slice(col("qv"), i * dsub + 1, lit(dsub)),
+            x => x.cast("double")).as("qsub")))))
+      .select(col("query_id"), col("qn2"), col("list_id"),
+        col("mc.m").as("m"), col("mc.qsub").as("qsub"))
+      .withColumn("cid", explode(sequence(lit(0), lit(ksub - 1))))
+      .withColumn("contrib",
+        aggregate(zip_with(col("qsub"),
+          reconOf(col("m"), col("cid"), col("list_id")), _ * _),
+          lit(0.0d), _ + _))
+      .select("query_id", "qn2", "list_id", "m", "cid", "contrib")
+    val approx = encoded
+      .join(broadcast(adc),
+        encoded("list_id") === adc("list_id") && encoded("m") === adc("m") &&
+          encoded("code") === adc("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adot"), sum(col("rn2")).as("xn2"),
+        min(col("qn2")).as("qn2"))
+      .withColumn("approx_cos",
+        round(when(sqrt(col("qn2")) * sqrt(col("xn2")) > 0.0d,
+          col("adot") / (sqrt(col("qn2")) * sqrt(col("xn2"))))
+          .otherwise(lit(0.0d)), 6))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val candidates = approx
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "vec_id")
+    // exact rerank over raw vectors — the only stage touching them
+    val scored = candidates
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector
     * symmetric scale `127 / max|x|`, elements mapped with round-half-up
     * (`floor(x*scale + 0.5)`, the formulation both engines implement

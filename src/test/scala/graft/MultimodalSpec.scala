@@ -247,6 +247,39 @@ class MultimodalSpec extends SparkSpec {
     assert(survived == Set(3L), "corrupt/lying containers are dropped whole")
   }
 
+  test("mjpeg decode: baseline JPEG round-trips the block formula; corrupt frame quarantined") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 7L, 42L).toDF("id")
+    val media = Multimodal.synthesizeAviTable(ids, "id")
+    val out = Multimodal.mjpegFrameFeatures(media)
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    val byId = out.groupBy(_._1)
+    ids.as[Long].collect().foreach { id =>
+      val frames = byId(id)
+      assert(frames.length == (4 + id % 5).toInt, s"all frames decode for $id")
+      frames.foreach { case (_, k, w, h, mean, mn, mx) =>
+        assert(w == 16 && h == 16)
+        // decoded pixels must EQUAL the synthesis formula (the DC-only
+        // round trip is integer-exact): mean/min/max over the 4 blocks
+        val vals = for (by <- 0 to 1; bx <- 0 to 1)
+          yield (id * 31 + k * 17 + bx * 7 + by * 13) % 256
+        assert(mean == vals.sum.toDouble / 4, s"mean $id/$k")
+        assert(mn == vals.min && mx == vals.max, s"min/max $id/$k")
+      }
+    }
+    // corrupt one frame's SOI: that frame is quarantined, siblings decode
+    val good = Multimodal.synthesizeAvi(3L)
+    val offs = Multimodal.aviFrameIndex(Seq((3L, good)).toDF("media_id", "blob"))
+      .orderBy($"frame_idx").select($"offset").as[Long].collect()
+    val corrupted = good.clone()
+    corrupted(offs(1).toInt + 1) = 0x00 // frame 1's D8 -> 00
+    val mixed = Seq((3L, good), (9L, corrupted)).toDF("media_id", "blob")
+    val counts = Multimodal.mjpegFrameFeatures(mixed)
+      .groupBy($"media_id").count().as[(Long, Long)].collect().toMap
+    assert(counts(3L) == 7L, "intact container decodes all frames")
+    assert(counts(9L) == 6L, "exactly the corrupted frame is dropped")
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)

@@ -310,4 +310,44 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"bmpAHash must not shuffle blobs:\n$p2")
     assert(chunks.count() > 0 && hashes.count() > 0)
   }
+
+  test("ivf-pq: recall at least LSH's at equal probe cost; exact rerank cosines") {
+    val dir = sf("sf0.001")
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val bruteDf = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 10)
+    val brute = topSets(bruteDf)
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, b) =>
+        m.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    val pqDf = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 1, rerank = 40)
+    val pqRecall = recallOf(topSets(pqDf))
+    // equal probe cost: the q164 LSH settings (4 planes, radius 2)
+    val lshRecall = recallOf(topSets(Similarity.lshTopK(e, queries,
+      "vec_id", "embedding", dim = 64, k = 10, planes = 4, probeRadius = 2)))
+    info(f"recall@10 pq=$pqRecall%.3f lsh=$lshRecall%.3f")
+    assert(pqRecall >= lshRecall,
+      f"ivf-pq recall $pqRecall%.3f below lsh $lshRecall%.3f")
+    assert(pqRecall >= 0.5, f"ivf-pq recall floor: $pqRecall%.3f")
+    // the rerank stage scores candidates with EXACT cosine: any pair the
+    // brute-force list shares must carry an identical 6dp cosine
+    val bruteCos = bruteDf.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    pqDf.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().foreach { case (q, v, c) =>
+        if (bruteCos.contains((q, v))) assert(bruteCos((q, v)) == c)
+      }
+    // determinism: a second run returns the identical result set
+    val again = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 1, rerank = 40)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(again == pqDf.as[(Long, Long, Double, Long)].collect().toSet)
+  }
 }
