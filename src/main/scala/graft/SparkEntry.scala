@@ -57,6 +57,28 @@ object SparkEntry {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Crawl-style messy URL synthesis for the q207/q208 canonicalization
+    * queries — five spelling families covering every canonical rule:
+    * uppercase + www + default port + tracking + unsorted params +
+    * fragment; co.uk multi-level suffix; schemeless with a NON-default
+    * port and trailing slashes; IP host; a family that collapses to one
+    * canonical page across docs. Mirrored verbatim by the oracle. */
+  private def synthUrl(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m5 = pmod(docId, lit(5))
+    when(m5 === 0, concat(lit("HTTP://WWW.Site"),
+        pmod(docId, lit(40)).cast("string"), lit(".Example.COM:80/a/b/"),
+        pmod(docId, lit(7)).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
+      .when(m5 === 1, concat(lit("https://Blog.Site"),
+        pmod(docId, lit(40)).cast("string"), lit(".example.CO.UK:443/post/"),
+        pmod(docId, lit(9)).cast("string"), lit("?gclid=123")))
+      .when(m5 === 2, concat(lit("site"),
+        pmod(docId, lit(40)).cast("string"), lit(".example.net:8080/path///")))
+      .when(m5 === 3, concat(lit("https://192.168."),
+        pmod(docId, lit(9)).cast("string"), lit(".1/metrics?ref=abc&z=9&y=8")))
+      .otherwise(concat(lit("HTTPS://www.example.org/?utm_campaign=c"),
+        docId.cast("string")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -2603,6 +2625,31 @@ object SparkEntry {
       val media = graft.multimodal.Multimodal
         .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
       graft.multimodal.Multimodal.aviFrameIndex(media)
+    }),
+
+    // URL canonicalization: messy crawl-style spellings (uppercase
+    // scheme/host, www, default and non-default ports, tracking params,
+    // unsorted query strings, trailing slashes, fragments, schemeless,
+    // co.uk-style suffixes, IP hosts) collapse to one canonical form per
+    // page; host and registrable domain derived. The oracle replays the
+    // fixed rule chain step for step.
+    "q207_url_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        synthUrl(col("doc_id")).as("url"))
+      val h = operators.UrlOps.host(col("url"))
+      docs.select(col("doc_id"),
+        operators.UrlOps.canonicalUrl(col("url")).as("url_canonical"),
+        h.as("host"),
+        operators.UrlOps.registrableDomain(h).as("domain"))
+    }),
+
+    // Per-registrable-domain crawl profile over the same synthesis: raw
+    // url count vs distinct canonical forms — "how many spellings
+    // collapsed", the number per-domain caps must key on.
+    "q208_domain_stats" -> ((s, dir) => {
+      operators.UrlOps.domainStats(
+        t(s, dir, "documents").select(synthUrl(col("doc_id")).as("url")),
+        "url")
     }),
 
     // REAL MJPEG frame decode: the container walk locates each frame,
@@ -6256,6 +6303,37 @@ object SparkEntry {
         |  (frame_idx % 4 = 0) AS keyframe
         |FROM fr""".stripMargin,
 
+    // the same spelling synthesis, then the canonical rule chain step
+    // for step: fragment strip, scheme default, lowercase, default-port
+    // strip, www strip, tracking-param filter + sort, trailing-slash
+    // strip, then host/domain derivation
+    "q207_url_canonicalize" ->
+      (UrlCanonCtes +
+        """SELECT doc_id, url_canonical, host,
+          |  CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+          |       WHEN len(ls) <= 2 THEN host
+          |       WHEN length(ls[len(ls)]) = 2 AND ls[len(ls) - 1] IN
+          |            ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+          |         THEN array_to_string(ls[len(ls) - 2:len(ls)], '.')
+          |       ELSE array_to_string(ls[len(ls) - 1:len(ls)], '.') END
+          |    AS domain
+          |FROM s9""".stripMargin),
+
+    // same chain, grouped: raw url count vs distinct canonical forms
+    "q208_domain_stats" ->
+      (UrlCanonCtes +
+        """SELECT
+          |  CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+          |       WHEN len(ls) <= 2 THEN host
+          |       WHEN length(ls[len(ls)]) = 2 AND ls[len(ls) - 1] IN
+          |            ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+          |         THEN array_to_string(ls[len(ls) - 2:len(ls)], '.')
+          |       ELSE array_to_string(ls[len(ls) - 1:len(ls)], '.') END
+          |    AS domain,
+          |  CAST(count(*) AS BIGINT) AS n_urls,
+          |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
+          |FROM s9 GROUP BY 1""".stripMargin),
+
     // decoded pixel stats replayed from the block-value formula: frame
     // k's 8x8 block (bx, by) is the constant
     // (id*31 + k*17 + bx*7 + by*13) % 256, frames are 2x2 blocks
@@ -6283,6 +6361,63 @@ object SparkEntry {
   /** Unrolled Morton interleave in ANSI SQL: 32 even-position terms for x
     * plus 32 odd-position terms for y — all bit positions disjoint, so
     * plain addition assembles the value. Verifies ZOrderExpr bit by bit. */
+  /** Shared CTE chain for the URL-canonicalization oracles: the q207
+    * synthesis plus every canonical rule in the Spark operator's order;
+    * ends with `s9(doc_id, url_canonical, host, ls)`. */
+  private val UrlCanonCtes: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40)
+      |        || '.Example.COM:80/a/b/' || (doc_id % 7)
+      |        || '/?utm_source=x&b=2&a=1#frag'
+      |      WHEN 1 THEN 'https://Blog.Site' || (doc_id % 40)
+      |        || '.example.CO.UK:443/post/' || (doc_id % 9) || '?gclid=123'
+      |      WHEN 2 THEN 'site' || (doc_id % 40) || '.example.net:8080/path///'
+      |      WHEN 3 THEN 'https://192.168.' || (doc_id % 9)
+      |        || '.1/metrics?ref=abc&z=9&y=8'
+      |      ELSE 'HTTPS://www.example.org/?utm_campaign=c' || doc_id
+      |    END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag
+      |       FROM u),
+      |s2 AS (SELECT doc_id,
+      |    CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |         THEN nofrag ELSE 'http://' || nofrag END AS t
+      |  FROM s1),
+      |s3 AS (SELECT doc_id, t,
+      |    lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM s2),
+      |s4 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth,
+      |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+      |  FROM s3),
+      |s5 AS (SELECT *,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |         ELSE auth END AS nodef
+      |  FROM s4),
+      |s6 AS (SELECT *, regexp_replace(nodef, '^www\.', '') AS hostp,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+      |      AS path,
+      |    CASE WHEN strpos(pathq, '?') > 0
+      |         THEN regexp_replace(pathq, '^[^?]*\?', '') ELSE '' END AS qs
+      |  FROM s5),
+      |s7 AS (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |        AND NOT regexp_matches(p, '^(fbclid|gclid|msclkid|ref)(=|$)')))
+      |      AS params
+      |  FROM s6),
+      |s8 AS (SELECT doc_id, scheme || '://' || hostp || path ||
+      |    CASE WHEN len(params) > 0
+      |         THEN '?' || array_to_string(params, '&') ELSE '' END
+      |      AS url_canonical,
+      |    regexp_replace(hostp, ':[0-9]+$', '') AS host
+      |  FROM s7),
+      |s9 AS (SELECT doc_id, url_canonical, host,
+      |    string_split(host, '.') AS ls FROM s8)
+      |""".stripMargin
+
   private def ZOrderSql(x: String, y: String): String =
     (0 until 32).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
