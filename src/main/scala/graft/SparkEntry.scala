@@ -2652,6 +2652,33 @@ object SparkEntry {
         "url")
     }),
 
+    // Incremental distinct-count maintenance: per-day HLL sketches of
+    // user_id (mergeable state — a union-agg over kilobyte sketch rows
+    // answers "distinct users over any range" without rescanning
+    // events). Exact daily distincts are hash-checked; the sketch
+    // estimates are graded as bounded-error booleans (per-day and
+    // merged-total within 5%), the q24/q164 shape.
+    "q209_hll_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = operators.DistinctSketch.dailySketches(ev, "user_id", "ts")
+      val est = daily.select(col("day"), col("n_rows"),
+        operators.DistinctSketch.estimate(col("sketch")).as("est"))
+      val exact = ev
+        .select(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("user_id"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      val total = operators.DistinctSketch.estimateOver(daily)
+        .select(col("estimate").as("est_total"))
+      val exactTotal = ev.agg(countDistinct(col("user_id")).as("n_exact_total"))
+      est.join(exact, Seq("day"))
+        .crossJoin(broadcast(total)).crossJoin(broadcast(exactTotal))
+        .select(col("day"), col("n_rows").as("n_events"), col("n_exact"),
+          (abs(col("est").cast("double") - col("n_exact"))
+            <= col("n_exact") * lit(0.05d)).as("daily_ok"),
+          (abs(col("est_total").cast("double") - col("n_exact_total"))
+            <= col("n_exact_total") * lit(0.05d)).as("total_ok"))
+    }),
+
     // REAL MJPEG frame decode: the container walk locates each frame,
     // a genuine baseline-JPEG decode (DQT/SOF0/DHT parse, Huffman
     // entropy decode, dequant, IDCT) produces its pixels, and the
@@ -6333,6 +6360,18 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // exact daily distincts replayed relationally; the HLL estimates
+    // can't enter static SQL (sketch binaries), so their error bounds
+    // ride as pinned booleans
+    "q209_hll_incremental" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS daily_ok, TRUE AS total_ok
+        |FROM d GROUP BY day""".stripMargin,
 
     // decoded pixel stats replayed from the block-value formula: frame
     // k's 8x8 block (bx, by) is the constant

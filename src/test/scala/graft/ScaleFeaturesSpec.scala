@@ -311,6 +311,40 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(chunks.count() > 0 && hashes.count() > 0)
   }
 
+  test("hll distinct state: order/partition invariant, late-batch merge == recompute") {
+    import graft.operators.DistinctSketch
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+    val daily = DistinctSketch.dailySketches(ev, "user_id", "ts")
+    // union of per-day sketches estimates EXACTLY like one whole-history
+    // sketch (registers keep maxima — order independent)
+    val viaDays = DistinctSketch.estimateOver(daily)
+      .select("estimate").as[Long].head()
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg($"user_id")).as("e"))
+      .as[Long].head()
+    assert(viaDays == whole, s"daily-union $viaDays != whole-corpus $whole")
+    // partition invariance of the state build
+    val daily7 = DistinctSketch.dailySketches(ev.repartition(7), "user_id", "ts")
+    val est = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"day", DistinctSketch.estimate($"sketch").as("e"))
+        .as[(java.sql.Date, Long)].collect().toMap
+    assert(est(daily7) == est(daily))
+    // late batch for existing days: merge of split states == recompute
+    val (a, b) = (ev.filter($"event_id" % 3 === 0), ev.filter($"event_id" % 3 =!= 0))
+    val merged = DistinctSketch.mergeStates(Seq(
+      DistinctSketch.dailySketches(a, "user_id", "ts"),
+      DistinctSketch.dailySketches(b, "user_id", "ts")))
+    assert(est(merged) == est(daily), "merge must equal from-scratch")
+    assert(merged.agg(sum($"n_rows")).as[Long].head() == ev.count())
+    // error bound: within 5% of exact, every day
+    val exact = ev.select(date_trunc("day", $"ts").cast("date").as("day"), $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("x"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    est(daily).foreach { case (d, e) =>
+      assert(math.abs(e - exact(d)).toDouble <= exact(d) * 0.05, s"day $d: $e vs ${exact(d)}")
+    }
+  }
+
   test("ivf-pq: recall at least LSH's at equal probe cost; exact rerank cosines") {
     val dir = sf("sf0.001")
     val e = Tables.load(spark, dir, "embeddings")
