@@ -2652,6 +2652,34 @@ object SparkEntry {
         "url")
     }),
 
+    // Web-graph composite: href extraction from synthesized pages
+    // (HtmlExtract.links), link hosts canonicalized (UrlOps.host — the
+    // second anchor is deliberately messy: WWW, uppercase, default
+    // port, trailing slash), host-level edges, then PageRank over the
+    // 40-host graph. The oracle replays extraction, the canonical
+    // chain, AND all three rank iterations — one pipeline, hash-checked
+    // end to end.
+    "q210_link_graph_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m40 = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(40)).cast("string")
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://site"), m40(col("doc_id") * 3 + 1),
+        lit(".example.com/x\">t1</a>"),
+        lit("<a href=\"https://WWW.Site"), m40(col("doc_id") * 3 + 2),
+        lit(".Example.COM:443/y/\">t2</a>"),
+        lit("<a href=\"/local\">rel</a></body></html>"))
+      val links = operators.HtmlExtract
+        .links(docs.withColumn("html", html), "html", "doc_id")
+        .filter(col("url").rlike("://")) // absolute links only
+      val edges = links.select(
+          concat(lit("site"), m40(col("id")), lit(".example.com")).as("src"),
+          operators.UrlOps.host(col("url")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.PageRank.run(edges, iters = 3, damping = 0.85)
+    }),
+
     // Incremental distinct-count maintenance: per-day HLL sketches of
     // user_id (mergeable state — a union-agg over kilobyte sketch rows
     // answers "distinct users over any range" without rescanning
@@ -6361,6 +6389,42 @@ object SparkEntry {
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
 
+    // href extraction + canonical host chain + all three PageRank
+    // iterations replayed relationally over the same page synthesis
+    "q210_link_graph_rank" ->
+      ("""WITH u AS (
+        |  SELECT doc_id, url FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(
+        |        '<html><body><p>' || text || '</p>'
+        |        || '<a href="http://site' || ((doc_id * 3 + 1) % 40)
+        |        || '.example.com/x">t1</a>'
+        |        || '<a href="https://WWW.Site' || ((doc_id * 3 + 2) % 40)
+        |        || '.Example.COM:443/y/">t2</a>'
+        |        || '<a href="/local">rel</a></body></html>',
+        |        '(?i)<a[^>]+href=["'']([^"''>]+)["'']', 1)) AS url
+        |    FROM documents)
+        |  WHERE strpos(url, '://') > 0),
+        |""".stripMargin + UrlChainCtes + ",\n" +
+        """e AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 40) || '.example.com' AS src,
+        |    host AS dst
+        |  FROM s9
+        |  WHERE 'site' || (doc_id % 40) || '.example.com' <> host),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |edeg AS (SELECT e.src, e.dst, o.outdeg
+        |         FROM e JOIN outdeg o ON e.src = o.src),
+        |pr0 AS (
+        |  SELECT node, floor(1.0 / nn.n * 1e6 + 0.5) / 1e6 AS pr
+        |  FROM nodes, nn),
+        |""".stripMargin +
+        (0 until 3).map(PageRankIterCtes).mkString(",\n") + "\n" +
+        """SELECT node, pr FROM pr3""".stripMargin),
+
     // exact daily distincts replayed relationally; the HLL estimates
     // can't enter static SQL (sketch binaries), so their error bounds
     // ride as pinned booleans
@@ -6418,7 +6482,15 @@ object SparkEntry {
       |      ELSE 'HTTPS://www.example.org/?utm_campaign=c' || doc_id
       |    END AS url
       |  FROM documents),
-      |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag
+      |""".stripMargin + UrlChainCtes
+
+  /** The canonicalization steps alone — every rule in the Spark
+    * operator's order, over a caller-provided `u(doc_id, url)` CTE;
+    * ends with `s9(doc_id, url_canonical, host, ls)`. Reused by the
+    * q207/q208 oracles and by q210's link-host derivation. (A def, not
+    * a val: UrlCanonCtes above references it during object init.) */
+  private def UrlChainCtes: String =
+    """s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag
       |       FROM u),
       |s2 AS (SELECT doc_id,
       |    CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')

@@ -109,6 +109,20 @@ object HtmlExtract {
         col("col.link_chars").as("link_chars"),
         density(col("col")).as("link_density"))
 
+  /** Outlink extraction: one row per `href` attribute of an `<a>`
+    * element, in document order — (id, pos, url), the raw-url feed of
+    * the crawl-frontier / link-graph pipeline (absolute vs relative
+    * filtering and canonicalization are the caller's policy — compose
+    * with [[UrlOps.canonicalUrl]]/[[UrlOps.host]]). Noise elements are
+    * stripped first so a commented-out or scripted href never counts.
+    * Scan-side regexp + explode: no shuffle. */
+  def links(df: DataFrame, htmlCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(stripNoise(col(htmlCol)),
+          lit("(?i)<a[^>]+href=[\"']([^\"'>]+)[\"']"), lit(1))))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col").as("url"))
+
   /** Main-content extraction: (id, n_blocks, n_kept, content,
     * n_chars_main) — `content` is the kept blocks' visible text joined
     * by single spaces in document order. One zero-shuffle projection. */

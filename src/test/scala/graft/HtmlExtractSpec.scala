@@ -63,6 +63,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(out.getString(3).contains("one link"), "anchor text is content")
   }
 
+  test("links: hrefs in order, noise-element hrefs excluded") {
+    import sc.implicits._
+    val html = "<body><!-- <a href='/ghost'>x</a> -->" +
+      "<script>var s = '<a href=\"/scripted\">y</a>';</script>" +
+      "<a href=\"http://a.com/1\">one</a>" +
+      "<p>text</p><a href='/rel'>two</a>" +
+      "<A HREF='https://B.com/2'>THREE</A></body>"
+    val out = HtmlExtract.links(Seq((1L, html)).toDF("id", "html"), "html", "id")
+      .orderBy($"pos").select($"url").as[String].collect().toSeq
+    assert(out == Seq("http://a.com/1", "/rel", "https://B.com/2"),
+      s"got $out")
+  }
+
   test("malformed html degrades, never errors; zero-shuffle plan") {
     import sc.implicits._
     val df = Seq(
