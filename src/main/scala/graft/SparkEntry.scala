@@ -2652,6 +2652,21 @@ object SparkEntry {
         "url")
     }),
 
+    // Hard-negative mining: per anchor (doc_id < 5), the BM25-most-
+    // similar documents that are NOT near-duplicates — lexically hard,
+    // semantically negative, the contrastive-training pair miner.
+    // Positives come from the minhash/LSH pair output at the q94
+    // settings; the oracle excludes exact-Jaccard pairs instead (same
+    // q37/q94 recall-1.0 equivalence on this corpus).
+    "q211_hard_negatives" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Retrieval.hardNegatives(d, "text", "doc_id",
+        col("doc_id") < 5,
+        Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35),
+        k = 10)
+    }),
+
     // Web-graph composite: href extraction from synthesized pages
     // (HtmlExtract.links), link hosts canonicalized (UrlOps.host — the
     // second anchor is deliberately messy: WWW, uppercase, default
@@ -6388,6 +6403,50 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // BM25 scoring with anchor-tf query weights, exact-Jaccard pair
+    // exclusion in both orientations, per-anchor rank
+    "q211_hard_negatives" ->
+      ("WITH " + JaccardCtes(0.35) + ",\n" +
+        """toks AS (
+          |  SELECT doc_id, t AS term FROM documents,
+          |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+          |  WHERE t <> ''),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+          |q AS (
+          |  SELECT tf.doc_id AS anchor_id, tf.term, tf.tf AS qtf
+          |  FROM tf WHERE tf.doc_id < 5),
+          |hits AS (
+          |  SELECT q.anchor_id, tf.doc_id,
+          |    round(sum(q.qtf
+          |      * ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+          |      * tf.tf * 2.2
+          |      / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 4)
+          |      AS score
+          |  FROM tf
+          |  JOIN q ON tf.term = q.term AND tf.doc_id <> q.anchor_id
+          |  JOIN dfr ON dfr.term = tf.term
+          |  JOIN dlen ON dlen.doc_id = tf.doc_id
+          |  CROSS JOIN stats
+          |  GROUP BY 1, 2),
+          |posb AS (
+          |  SELECT id_a AS anchor_id, id_b AS doc_id FROM jpairs
+          |  UNION ALL SELECT id_b, id_a FROM jpairs),
+          |negs AS (
+          |  SELECT h.anchor_id, h.doc_id, h.score FROM hits h
+          |  LEFT JOIN posb p
+          |    ON p.anchor_id = h.anchor_id AND p.doc_id = h.doc_id
+          |  WHERE p.anchor_id IS NULL),
+          |ranked AS (
+          |  SELECT anchor_id, doc_id, score,
+          |    row_number() OVER (PARTITION BY anchor_id
+          |      ORDER BY score DESC, doc_id ASC) AS rank
+          |  FROM negs)
+          |SELECT anchor_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 10""".stripMargin),
 
     // href extraction + canonical host chain + all three PageRank
     // iterations replayed relationally over the same page synthesis

@@ -64,4 +64,61 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), "doc_id", k, rrfK)
   }
+
+  /** Hard-negative mining for contrastive training: for each ANCHOR
+    * document, the top-k BM25-most-similar documents that are NOT
+    * near-duplicates of it — lexically close (hard), semantically
+    * distinct (negative). Random negatives are trivial for a model;
+    * near-dup "negatives" are label noise; this picks the band between.
+    *
+    * Mechanics: each anchor's own term multiset is the BM25 query
+    * (query-term weight = its anchor-side tf); candidates come from an
+    * inverted-index join on shared terms; `positives` (id_a, id_b) —
+    * the minhash/LSH near-dup pair output — is excluded in BOTH
+    * orientations, as is the anchor itself; rank by (score desc, id).
+    *
+    * Scale (100 TB): anchors are a training BATCH (bounded — they
+    * broadcast); the candidate join is the posting-list shape, touching
+    * only postings of the anchors' terms. `maxDfFrac` is the stop-term
+    * throttle: query terms appearing in more than that fraction of the
+    * corpus are dropped from the query (a stop word's posting list IS
+    * the corpus — at scale it turns the mining into a full scan while
+    * contributing ~zero idf). Output: (anchor_id, doc_id, score, rank). */
+  def hardNegatives(df: DataFrame, textCol: String, idCol: String,
+                    anchorPred: org.apache.spark.sql.Column,
+                    positives: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    maxDfFrac: Double = 1.0): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val anchors = df.filter(anchorPred).select(col(idCol).as("anchor_id"))
+    val qterms = tf.join(anchors, tf("doc_id") === anchors("anchor_id"))
+      .select(col("anchor_id"), col("term"), col("tf").as("qtf"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= col("n") * lit(maxDfFrac))
+      .groupBy(col("anchor_id"), col("doc_id"))
+      .agg(round(sum(col("qtf") * idf * norm), 4).as("score"))
+    val posBoth = positives
+      .select(col("id_a").as("anchor_id"), col("id_b").as("doc_id"))
+      .unionByName(positives
+        .select(col("id_b").as("anchor_id"), col("id_a").as("doc_id")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(posBoth, Seq("anchor_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "doc_id", "score", "rank")
+  }
 }

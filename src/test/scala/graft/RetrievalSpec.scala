@@ -27,6 +27,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq((7L, 1L), (9L, 2L)))
   }
 
+  test("hard negatives: near-dups excluded, lexically-close docs outrank unrelated") {
+    import graft.operators.{Dedup, Retrieval}
+    val docs = Seq(
+      (1L, "spark shuffle join agg window table scan filter sort merge"),
+      (2L, "spark shuffle join agg window table scan filter sort group"), // near-dup of 1
+      (3L, "spark shuffle join hash bucket cache disk memory cpu net"),   // hard negative
+      (4L, "apples oranges pears grapes lemons plums melons figs dates kiwi")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.35)
+    assert(pairs.filter($"id_a" === 1L && $"id_b" === 2L).count() == 1L,
+      "fixture: 1-2 must be a near-dup pair")
+    val out = Retrieval.hardNegatives(docs, "text", "doc_id",
+        $"doc_id" === 1L, pairs, k = 3)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(!out.exists(_._2 == 2L), "near-dup must not be mined as a negative")
+    assert(out.head._2 == 3L, "lexically-closest non-dup ranks first")
+    val score = out.map(r => r._2 -> r._3).toMap
+    assert(!score.contains(4L) || score(3L) > score(4L),
+      "shared-term doc outranks the unrelated one")
+  }
+
   test("training order: bijective positions, shard-local ranks, row-order invariance") {
     val docs = (0L until 64L).map(i => (i, s"document body number $i"))
       .toDF("doc_id", "text")
