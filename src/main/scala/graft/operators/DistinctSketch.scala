@@ -56,4 +56,37 @@ object DistinctSketch {
 
   /** Read-time estimate column over a state row's sketch. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Streaming maintainer: a foreachBatch sink that folds each
+    * micro-batch's per-day sketches into the persisted state table at
+    * `statePath` — "distinct users per day, live" with per-batch cost
+    * proportional to the BATCH, state sized by DAYS.
+    *
+    * Delivery semantics: HLL insertion is IDEMPOTENT (a replayed row
+    * re-sets the same register maxima), so AT-LEAST-ONCE delivery gives
+    * the EXACT same state as exactly-once — no transaction watermark or
+    * key-based dedup needed, unlike count/sum state (spec-proven by
+    * replaying a batch). The state frame is localCheckpointed before
+    * overwriting the path it was read from (self-overwrite hazard). */
+  def sketchSink(stream: DataFrame, keyCol: String, tsCol: String,
+                 statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchState = dailySketches(batch, keyCol, tsCol)
+        val hasState = {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p)
+        }
+        val merged =
+          if (hasState)
+            mergeStates(Seq(spark.read.parquet(statePath), batchState))
+          else batchState
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(statePath)
+        ()
+      }
 }

@@ -434,4 +434,39 @@ class StreamingSpec extends SparkSpec {
     assert(canon(spark.read.parquet(s"$base/v$last")) ==
       canon(IncrementalAgg.partials(events, Seq("event_type"), "value")))
   }
+
+  test("streaming hll state: live distinct == batch; at-least-once replay exact") {
+    import graft.operators.DistinctSketch
+    val src = tmpDir("hll-src")
+    val state = tmpDir("hll-state") + "/s"
+    eventsDF.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def runOnce(checkpoint: String): Unit = {
+      val stream = EventStreams.readEventStream(spark, src, eventsDF.schema)
+      val q = DistinctSketch.sketchSink(stream, "user_id", "ts", state, checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(tmpDir("hcp1"))
+    def est(): Map[java.sql.Date, Long] =
+      spark.read.parquet(state)
+        .select($"day", DistinctSketch.estimate($"sketch").as("e"))
+        .as[(java.sql.Date, Long)].collect().toMap
+    val live = est()
+    val batch = DistinctSketch.dailySketches(eventsDF, "user_id", "ts")
+      .select($"day", DistinctSketch.estimate($"sketch").as("e"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(live == batch, "streamed state must equal the batch recompute")
+    assert(live.values.head == 2L, "two distinct users on the one day")
+    // fresh checkpoint = full redelivery (at-least-once worst case):
+    // HLL re-insertion is idempotent, so the state must not move
+    runOnce(tmpDir("hcp2"))
+    assert(est() == live, "replay must not change register state")
+    // a genuinely new user does move it
+    Seq((6L, ts("2024-01-01 09:00:00"), 99L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce(tmpDir("hcp2")) // same checkpoint: only the new file delivers
+    assert(est().values.head == 3L)
+  }
 }
