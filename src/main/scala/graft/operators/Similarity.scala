@@ -266,42 +266,16 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** IVF-PQ (the IVFADC structure of Jégou et al. 2011, scored under
-    * this module's cosine convention): coarse-quantize the corpus into
-    * `nlist` inverted lists, PRODUCT-QUANTIZE each vector's residual
-    * (dim = m subspaces x dsub dims, `ksub` centroids per subspace — an
-    * m-byte code per vector), then answer a query by probing its
-    * `nprobe` best lists and ranking candidates by the cosine of the
-    * query against each candidate's RECONSTRUCTION
-    * `x̂ = c_list + concat_m cb[m][code_m]` — computed as an
-    * asymmetric-distance table join, never by materializing x̂ per pair.
-    * The top `rerank` approximate candidates per query are re-ranked
-    * with exact cosine over the raw vectors; output is the exact-scored
-    * top-k, same shape as every other ANN here.
-    *
-    * Scale (100 TB): after encoding, the search-side corpus state is
-    * (vec_id, list_id, m, code, partial-norm) — the m-byte PQ promise:
-    * raw vectors are touched ONLY by the top-`rerank` join. The ADC
-    * tables are queries x nprobe x m x ksub rows (a few thousand),
-    * broadcast; scoring is one hash join on (list_id, m, code) plus a
-    * (query, vec) re-aggregation. Codebooks and coarse centroids are
-    * driver literals (nlist*dim + m*ksub*dsub doubles). Per-query work
-    * is proportional to the probed lists' code rows, not the corpus.
-    *
-    * Determinism: residuals are exact double ops from the literal
-    * centroids; codebook means round 6dp per iteration; approximate
-    * cosines round 6dp before the rerank cut (ties to smaller vec_id);
-    * exact cosines round 6dp before the final rank — every step
-    * relationally replayed by the oracle. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, dim: Int, k: Int,
-                nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, pqIters: Int = 1,
-                rerank: Int = 20): DataFrame = {
+  /** Internal: IVF-PQ build — coarse-assign, residual-split, train the
+    * per-subspace codebooks, encode. Returns (cents, codebooks,
+    * assigned(vec_id, cv, list_id), codes(vec_id, list_id, m, code,
+    * rn2)) where rn2 is the reconstruction's partial squared norm. */
+  private def pqEncodeAll(c: DataFrame, dim: Int, nlist: Int, m: Int,
+                          ksub: Int, pqIters: Int)
+      : (Seq[Array[Double]], Seq[Seq[Seq[Double]]], DataFrame, DataFrame) = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val dsub = dim / m
-    import graft.expressions.CosinesExpr.{argMax, cosinesD, topKIndices}
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
     val cents = seedCentroids(c, nlist)
     val centsLit = typedLit(cents.map(_.toSeq))
     val assigned = c.withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
@@ -319,21 +293,39 @@ object Similarity {
     val seedIds = c.orderBy(col("vec_id").asc).limit(ksub)
       .collect().map(_.getLong(0)).toSeq
     val cb = pqTrain(rsub, seedIds, ksub, dsub, pqIters)
-    val cbLit = typedLit(cb)
     // encode: per (vec, m) the code and the reconstruction's partial
     // squared norm — the only per-vector state search ever touches
-    val reconOf = (mi: Column, cid: Column, listId: Column) =>
-      zip_with(slice(element_at(centsLit, listId + 1), mi * dsub + 1, lit(dsub)),
-        element_at(element_at(cbLit, mi + 1), cid + 1), _ + _)
     val encoded = rsub.withColumn("code", pqCode(cb))
       .withColumn("rn2",
-        aggregate(reconOf(col("m"), col("code"), col("list_id")),
+        aggregate(pqRecon(cents, cb, dsub)(col("m"), col("code"), col("list_id")),
           lit(0.0d), (acc, x) => acc + x * x))
       .select("vec_id", "list_id", "m", "code", "rn2")
-    // query side: probes + the ADC contribution table
+    (cents, cb, assigned, encoded)
+  }
+
+  /** Reconstruction of sub-centroid (m, cid) inside list `listId`:
+    * the coarse centroid's subspace slice plus the codebook entry. */
+  private def pqRecon(cents: Seq[Array[Double]], cb: Seq[Seq[Seq[Double]]],
+                      dsub: Int)(mi: Column, cid: Column, listId: Column): Column =
+    zip_with(
+      slice(element_at(typedLit(cents.map(_.toSeq)), listId + 1),
+        mi * dsub + 1, lit(dsub)),
+      element_at(element_at(typedLit(cb), mi + 1), cid + 1), _ + _)
+
+  /** Internal: the IVF-PQ search tail over caller-provided code and
+    * vector frames (in-memory or pruned index scans): probe, ADC-score,
+    * cut at `rerank` by approximate cosine, exact-rerank, emit top-k. */
+  private def pqSearchTail(codes: DataFrame, vectors: DataFrame,
+                           cents: Seq[Array[Double]], cb: Seq[Seq[Seq[Double]]],
+                           dim: Int, queries: DataFrame, idCol: String,
+                           vecCol: String, k: Int, nprobe: Int,
+                           rerank: Int): DataFrame = {
+    val m = cb.length; val dsub = dim / m; val ksub = cb.head.length
+    import graft.expressions.CosinesExpr.{cosinesD, topKIndices}
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn2", aggregate(col("qv"), lit(0.0d),
         (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // ADC contribution table: queries x nprobe x m x ksub rows, broadcast
     val adc = q
       .withColumn("list_id",
         explode(topKIndices(cosinesD(col("qv"), cents), nprobe)))
@@ -346,13 +338,13 @@ object Similarity {
       .withColumn("cid", explode(sequence(lit(0), lit(ksub - 1))))
       .withColumn("contrib",
         aggregate(zip_with(col("qsub"),
-          reconOf(col("m"), col("cid"), col("list_id")), _ * _),
+          pqRecon(cents, cb, dsub)(col("m"), col("cid"), col("list_id")), _ * _),
           lit(0.0d), _ + _))
       .select("query_id", "qn2", "list_id", "m", "cid", "contrib")
-    val approx = encoded
+    val approx = codes
       .join(broadcast(adc),
-        encoded("list_id") === adc("list_id") && encoded("m") === adc("m") &&
-          encoded("code") === adc("cid"))
+        codes("list_id") === adc("list_id") && codes("m") === adc("m") &&
+          codes("code") === adc("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("contrib")).as("adot"), sum(col("rn2")).as("xn2"),
@@ -369,7 +361,7 @@ object Similarity {
       .select("query_id", "vec_id")
     // exact rerank over raw vectors — the only stage touching them
     val scored = candidates
-      .join(c, Seq("vec_id"))
+      .join(vectors.select(col("vec_id"), col("cv")), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -378,6 +370,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
   }
+
+  /** IVF-PQ (the IVFADC structure of Jégou et al. 2011, scored under
+    * this module's cosine convention): coarse-quantize the corpus into
+    * `nlist` inverted lists, PRODUCT-QUANTIZE each vector's residual
+    * (dim = m subspaces x dsub dims, `ksub` centroids per subspace — an
+    * m-byte code per vector), then answer a query by probing its
+    * `nprobe` best lists and ranking candidates by the cosine of the
+    * query against each candidate's RECONSTRUCTION
+    * `x-hat = c_list + concat_m cb[m][code_m]` — computed as an
+    * asymmetric-distance table join, never by materializing x-hat per
+    * pair. The top `rerank` approximate candidates per query are
+    * re-ranked with exact cosine over the raw vectors; output is the
+    * exact-scored top-k, same shape as every other ANN here.
+    *
+    * Scale (100 TB): after encoding, the search-side corpus state is
+    * (vec_id, list_id, m, code, partial-norm) — the m-byte PQ promise:
+    * raw vectors are touched ONLY by the top-`rerank` join. The ADC
+    * tables are queries x nprobe x m x ksub rows (a few thousand),
+    * broadcast; scoring is one hash join on (list_id, m, code) plus a
+    * (query, vec) re-aggregation. Codebooks and coarse centroids are
+    * driver literals (nlist*dim + m*ksub*dsub doubles). Per-query work
+    * is proportional to the probed lists' code rows, not the corpus —
+    * and with [[ivfPqWrite]]/[[ivfPqTopKPartitioned]] only those
+    * partitions are even READ.
+    *
+    * Determinism: residuals are exact double ops from the literal
+    * centroids; codebook means round 6dp per iteration; approximate
+    * cosines round 6dp before the rerank cut (ties to smaller vec_id);
+    * exact cosines round 6dp before the final rank — every step
+    * relationally replayed by the oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, pqIters: Int = 1,
+                rerank: Int = 20): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val (cents, cb, assigned, encoded) =
+      pqEncodeAll(c, dim, nlist, m, ksub, pqIters)
+    pqSearchTail(encoded, assigned, cents, cb, dim, queries, idCol, vecCol,
+      k, nprobe, rerank)
+  }
+
+  /** Materialized IVF-PQ index: the per-(vec, subspace) code rows
+    * written partitioned by `list_id`, plus the RAW vectors written
+    * alongside (partitioned the same way) for the rerank stage.
+    * Returns (coarse centroids, codebooks) — the query-side index
+    * metadata. At 100 TB the code table is ~m bytes of payload per
+    * vector and a query batch reads ONLY its probed list partitions of
+    * it; the raw-vector table is touched just for the top-`rerank`
+    * candidates per query. */
+  def ivfPqWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, dim: Int, nlist: Int = 16, m: Int = 8,
+                 ksub: Int = 16, pqIters: Int = 1)
+      : (Seq[Array[Double]], Seq[Seq[Seq[Double]]]) = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val (cents, cb, assigned, encoded) =
+      pqEncodeAll(c, dim, nlist, m, ksub, pqIters)
+    encoded.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/codes")
+    assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/vectors")
+    (cents, cb)
+  }
+
+  /** Search a materialized IVF-PQ index: the probed-list literal prunes
+    * BOTH scans (codes for ADC scoring, vectors for the exact rerank)
+    * to nprobe partitions — `PartitionFilters` in the plan, asserted in
+    * the spec. Results are identical to the in-memory [[ivfPqTopK]]
+    * with the same metadata. */
+  def ivfPqTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                           path: String, cents: Seq[Array[Double]],
+                           cb: Seq[Seq[Seq[Double]]], queries: DataFrame,
+                           idCol: String, vecCol: String, dim: Int, k: Int,
+                           nprobe: Int = 4, rerank: Int = 40): DataFrame = {
+    import graft.expressions.CosinesExpr.{cosinesD, topKIndices}
+    val probedLists = queries.select(col(vecCol).as("qv"))
+      .select(explode(topKIndices(cosinesD(col("qv"), cents), nprobe))
+        .as("list_id"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("list_id").isin(probedLists: _*))
+    pqSearchTail(codes, vectors, cents, cb, dim, queries, idCol, vecCol,
+      k, nprobe, rerank)
+  }
+
 
   /** Scalar int8 quantization of the embedding column: per-vector
     * symmetric scale `127 / max|x|`, elements mapped with round-half-up

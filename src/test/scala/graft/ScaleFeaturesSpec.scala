@@ -311,6 +311,27 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(chunks.count() > 0 && hashes.count() > 0)
   }
 
+  test("materialized ivf-pq index prunes both scans to probed partitions") {
+    val dir = sf("sf0.001")
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val idx = tmpDir("graft-ivfpq-idx")
+    val (cents, cb) = Similarity.ivfPqWrite(e, "vec_id", "embedding", idx,
+      dim = 64, nlist = 16, m = 8, ksub = 16, pqIters = 1)
+    val part = Similarity.ivfPqTopKPartitioned(spark, idx, cents, cb,
+      queries, "vec_id", "embedding", dim = 64, k = 10, nprobe = 4,
+      rerank = 40)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in:\n${plan.take(1500)}")
+    // identical results to the in-memory operator with the same metadata
+    val mem = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+        dim = 64, k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16,
+        pqIters = 1, rerank = 40)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(part.as[(Long, Long, Double, Long)].collect().toSet == mem)
+  }
+
   test("hll distinct state: order/partition invariant, late-batch merge == recompute") {
     import graft.operators.DistinctSketch
     val ev = Tables.load(spark, sf("sf0.001"), "events")
