@@ -2652,6 +2652,34 @@ object SparkEntry {
         "url")
     }),
 
+    // Heaps'-law vocabulary growth: cumulative vocab vs cumulative
+    // tokens along ingestion order at 20 checkpoints, log-log slope
+    // fitted with the zipfSlope arithmetic. (This corpus's 31-word
+    // synthetic vocabulary saturates in the first bucket — the curve
+    // goes flat and beta ~ 0, which is exactly the re-reading-the-
+    // same-material signal the operator exists to flag.)
+    "q213_heaps_law" -> ((s, dir) => {
+      operators.TextIndex.heapsLaw(t(s, dir, "documents"),
+        "text", "doc_id", buckets = 20)
+    }),
+
+    // The CCNet perplexity filter end to end: fit the KN bigram LM on
+    // the trusted slice (lang = 'en'), score EVERY document through the
+    // held-out backoff path, quantile-bucket the scores per source
+    // (sort-free boundaries), and keep the middle band — tail buckets
+    // are junk (too improbable) or boilerplate (too probable). Composite
+    // of q202's scorer and q187's bucketing, replayed end to end.
+    "q212_perplexity_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.NgramLm.knBigramScoreHeldOut(
+        docs.filter(col("lang") === "en"), docs, "text", "doc_id")
+      val withSrc = scored
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      operators.QuantileNorm
+        .quantileBuckets(withSrc, "mean_logp", "doc_id", "source")
+        .withColumn("keep", col("bucket").isin(1L, 2L))
+    }),
+
     // Hard-negative mining: per anchor (doc_id < 5), the BM25-most-
     // similar documents that are NOT near-duplicates — lexically hard,
     // semantically negative, the contrastive-training pair miner.
@@ -6403,6 +6431,106 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // first-owner aggregation for new terms, bucket totals, cumulative
+    // window over the 20-point frame, grid-sum least squares
+    "q213_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''),
+        |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+        |tc AS (
+        |  SELECT CAST(floor(doc_id * 20 / (mx.mx + 1)) AS BIGINT) AS bucket,
+        |    count(*) AS toks
+        |  FROM toks, mx GROUP BY 1),
+        |fo AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY 1),
+        |nv AS (
+        |  SELECT CAST(floor(fd * 20 / (mx.mx + 1)) AS BIGINT) AS bucket,
+        |    count(*) AS nv
+        |  FROM fo, mx GROUP BY 1),
+        |curve AS (
+        |  SELECT tc.bucket,
+        |    CAST(sum(tc.toks) OVER (ORDER BY tc.bucket) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tc.bucket) AS BIGINT)
+        |      AS cum_vocab
+        |  FROM tc LEFT JOIN nv USING (bucket)),
+        |pts AS (
+        |  SELECT round(ln(cum_tokens), 6) AS x, round(ln(cum_vocab), 6) AS y,
+        |    round(round(ln(cum_tokens), 6) * round(ln(cum_vocab), 6), 6) AS xy,
+        |    round(round(ln(cum_tokens), 6) * round(ln(cum_tokens), 6), 6) AS xx
+        |  FROM curve),
+        |fit AS (
+        |  SELECT floor((count(*) * round(sum(xy), 6)
+        |      - round(sum(x), 6) * round(sum(y), 6))
+        |    / (count(*) * round(sum(xx), 6)
+        |      - round(sum(x), 6) * round(sum(x), 6))
+        |    * 1e6 + 0.5) / 1e6 AS heaps_beta
+        |  FROM pts)
+        |SELECT curve.bucket, curve.cum_tokens, curve.cum_vocab,
+        |  fit.heaps_beta
+        |FROM curve, fit""".stripMargin,
+
+    // LM refit on the en slice, backoff scoring of every doc, then the
+    // q187 rank-boundary bucket replay per source over the scores
+    "q212_perplexity_filter" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT d.doc_id, d.tk[t.i] AS w1, d.tk[t.i + 1] AS w2
+        |  FROM docs0 d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) t
+        |  WHERE len(d.tk) >= 2),
+        |occf AS (
+        |  SELECT o.* FROM occ o JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en'),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM occf GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bi GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM bi),
+        |vv AS (SELECT count(*) AS v FROM bwd),
+        |sc AS (
+        |  SELECT o.doc_id,
+        |    round(ln(CASE WHEN f.c1 IS NOT NULL THEN
+        |      coalesce((b.c - 0.75) / f.c1, 0.0)
+        |        + (0.75 * f.n1f / f.c1)
+        |        * ((coalesce(w.n1b, 0) + 1) / (tt.t + vv.v + 1))
+        |    ELSE (coalesce(w.n1b, 0) + 1) / (tt.t + vv.v + 1) END), 6) AS lp
+        |  FROM occ o
+        |  LEFT JOIN bi b ON b.w1 = o.w1 AND b.w2 = o.w2
+        |  LEFT JOIN fwd f ON f.w1 = o.w1
+        |  LEFT JOIN bwd w ON w.w2 = o.w2, tt, vv),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    floor(round(sum(lp), 6) / count(*) * 1e6 + 0.5) / 1e6
+        |      AS mean_logp
+        |  FROM sc GROUP BY doc_id),
+        |j AS (
+        |  SELECT p.doc_id, d.source, p.mean_logp
+        |  FROM perdoc p JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY mean_logp) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM j),
+        |b AS (
+        |  SELECT source,
+        |    min(CASE WHEN rk >= ceil(0.25 * n) THEN mean_logp END) AS b1,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN mean_logp END) AS b2,
+        |    min(CASE WHEN rk >= ceil(0.75 * n) THEN mean_logp END) AS b3
+        |  FROM r GROUP BY source),
+        |a AS (
+        |  SELECT j.doc_id, j.source, j.mean_logp,
+        |    CAST(CAST(j.mean_logp > b.b1 AS INT)
+        |      + CAST(j.mean_logp > b.b2 AS INT)
+        |      + CAST(j.mean_logp > b.b3 AS INT) AS BIGINT) AS bucket
+        |  FROM j JOIN b ON b.source = j.source)
+        |SELECT doc_id, source, mean_logp, bucket,
+        |  (bucket IN (1, 2)) AS keep
+        |FROM a""".stripMargin,
 
     // BM25 scoring with anchor-tf query weights, exact-Jaccard pair
     // exclusion in both orientations, per-anchor rank

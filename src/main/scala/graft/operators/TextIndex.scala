@@ -254,6 +254,58 @@ object TextIndex {
           * lit(1e6) + lit(0.5d)) / lit(1e6)).as("slope"))
   }
 
+  /** Heaps'-law vocabulary-growth curve and exponent: cumulative
+    * distinct-term count vs cumulative token count along ingestion
+    * order (smaller id = earlier), sampled at `buckets` id-range
+    * checkpoints, with the log-log least-squares slope — Heaps' V(n) =
+    * K·n^beta — fitted over the curve (the zipfSlope arithmetic: 6dp
+    * grid points, grid sums, floor-grid slope). The growth curve says
+    * whether a crawl is still finding new vocabulary or re-reading the
+    * same material — the corpus-level twin of [[Dedup.spanNovelty]].
+    *
+    * Scale: "new terms per checkpoint" needs NO ordered scan — a
+    * term's first owner is one min(doc_id) aggregation (the
+    * spanNovelty shape); checkpoint totals are a buckets-sized frame
+    * and the cumulative window sorts THAT, never the corpus. Output:
+    * (bucket, cum_tokens, cum_vocab, heaps_beta) — beta identical on
+    * every row. */
+  def heapsLaw(df: DataFrame, textCol: String, idCol: String,
+               buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, "need at least two curve points")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => t =!= "")).as("term"))
+    val mx = df.agg(max(col(idCol)).cast("long").as("mx"))
+    val bucketOf = (c: Column) =>
+      floor(c.cast("long") * lit(buckets) / (col("mx") + lit(1L))).cast("long")
+    val tokCounts = toks.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val firstOwner = toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val newTerms = firstOwner.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("fd")).as("bucket"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tokCounts.join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("cum_vocab", sum(col("nv")).over(w))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+    val pts = curve
+      .withColumn("x", round(log(col("cum_tokens")), 6))
+      .withColumn("y", round(log(col("cum_vocab")), 6))
+      .withColumn("xy", round(col("x") * col("y"), 6))
+      .withColumn("xx", round(col("x") * col("x"), 6))
+    val fit = pts.agg(count(lit(1)).as("np"),
+        round(sum(col("x")), 6).as("sx"), round(sum(col("y")), 6).as("sy"),
+        round(sum(col("xy")), 6).as("sxy"), round(sum(col("xx")), 6).as("sxx"))
+      .select((floor((col("np") * col("sxy") - col("sx") * col("sy"))
+        / (col("np") * col("sxx") - col("sx") * col("sx"))
+        * lit(1e6) + lit(0.5d)) / lit(1e6)).as("heaps_beta"))
+    curve.crossJoin(broadcast(fit))
+  }
+
   /** BM25 top-k documents for a bag-of-terms query:
     * (doc_id, score, rank). score is rounded to 4dp BEFORE ranking (the
     * per-term sum is float-order-dependent in its last bits; ranking on

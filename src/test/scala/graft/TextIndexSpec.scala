@@ -68,4 +68,25 @@ class TextIndexSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"),
       s"scoring pass must be scan-local:\n$plan")
   }
+
+  test("heaps law: disjoint vocab fits beta 1, constant vocab fits beta 0") {
+    import spark.implicits._
+    import graft.operators.TextIndex
+    // every token is globally new -> cum_vocab == cum_tokens -> beta = 1
+    val fresh = (0L until 40L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val c1 = TextIndex.heapsLaw(fresh, "text", "doc_id", buckets = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(c1.length == 4)
+    c1.foreach { case (_, t, v, beta) =>
+      assert(t == v, "disjoint vocab: curve on the diagonal")
+      assert(beta == 1.0, s"beta $beta")
+    }
+    assert(c1.last._2 == 120L)
+    // one word forever -> vocab flat at 1 -> beta = 0
+    val stale = (0L until 40L).map(i => (i, "same same same")).toDF("doc_id", "text")
+    val c0 = TextIndex.heapsLaw(stale, "text", "doc_id", buckets = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(c0.forall(_._3 == 1L) && c0.forall(_._4 == 0.0))
+  }
 }
