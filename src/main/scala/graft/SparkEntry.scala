@@ -2601,6 +2601,21 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"), col("peak"), col("zcr"))
     }),
 
+    // Dominant-frequency detection: real WAV decode + the Goertzel
+    // single-bin recurrence over the 8 candidate fundamentals of the
+    // synthesized sawtooths (freq*997 Hz, Nyquist-aliased for the two
+    // highest). The detected bin is an exact integer the oracle derives
+    // straight from the synthesis formula — a wrong coefficient,
+    // sample, or power term flips the argmax and fails the hash.
+    "q214_dominant_freq" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeWavTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val cands = (3 to 10).map { f =>
+        val hz = f * 997; if (hz <= 8000) hz else 16000 - hz
+      }
+      graft.multimodal.Multimodal.dominantFrequency(media, cands)
+    }),
+
     // REAL image decode: synthesized-but-valid 24bpp BMP blobs (pixels an
     // integer function of x, y, id) run through a genuine header + padded
     // bottom-up pixel-array parser; the oracle recomputes the channel
@@ -6431,6 +6446,17 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // the detected bin replayed from the synthesis parameters: the
+    // sawtooth fundamental freq*997 Hz, folded at Nyquist
+    "q214_dominant_freq" ->
+      """SELECT doc_id AS media_id, 16000 AS sample_rate,
+        |  CAST(800 + (doc_id % 10) * 160 AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN (3 + doc_id % 8) * 997 <= 8000
+        |       THEN (3 + doc_id % 8) * 997
+        |       ELSE 16000 - (3 + doc_id % 8) * 997 END AS BIGINT)
+        |    AS detected_hz
+        |FROM documents""".stripMargin,
 
     // first-owner aggregation for new terms, bucket totals, cumulative
     // window over the 20-point frame, grid-sum least squares

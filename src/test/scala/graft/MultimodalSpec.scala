@@ -280,6 +280,31 @@ class MultimodalSpec extends SparkSpec {
     assert(counts(9L) == 6L, "exactly the corrupted frame is dropped")
   }
 
+  test("goertzel dominant frequency: aliased fundamentals found, corrupt clips quarantined") {
+    import graft.multimodal.Multimodal
+    // ids 6 and 7 give freq 9 and 10: fundamentals 8973/9970 Hz fold to
+    // 7027/6030 — the aliasing path must detect the folded bin
+    val ids = Seq(0L, 3L, 6L, 7L).toDF("id")
+    val cands = (3 to 10).map { f =>
+      val hz = f * 997; if (hz <= 8000) hz else 16000 - hz
+    }
+    val media = Multimodal.synthesizeWavTable(ids, "id")
+    val out = Multimodal.dominantFrequency(media, cands)
+      .select($"media_id", $"detected_hz").as[(Long, Long)].collect().toMap
+    def expect(id: Long): Long = {
+      val hz = (3 + id % 8) * 997; if (hz <= 8000) hz else 16000 - hz
+    }
+    Seq(0L, 3L, 6L, 7L).foreach(id =>
+      assert(out(id) == expect(id), s"clip $id: ${out(id)} vs ${expect(id)}"))
+    // quarantine: a truncated blob drops, the intact sibling survives
+    val good = Multimodal.synthesizeWav(800, 5)
+    val bad = good.take(50)
+    val mixed = Seq((1L, good), (2L, bad)).toDF("media_id", "blob")
+    val survived = Multimodal.dominantFrequency(mixed, cands)
+      .select($"media_id").as[Long].collect().toSet
+    assert(survived == Set(1L))
+  }
+
   test("resize stub rewrites metadata without touching the blob") {
     val m = Multimodal.toMediaTable(docs, "doc_id", "text")
     val r = Multimodal.resizeStub(m, 224, 224)
