@@ -2667,6 +2667,19 @@ object SparkEntry {
         "url")
     }),
 
+    // Additive Holt-Winters forecast: level/trend/weekly-seasonal state
+    // folded through the classic triple-smoothing updates over each
+    // event type's daily-count series, every state component on the 6dp
+    // grid (dyadic smoothing constants keep the oracle literals
+    // bit-identical). One fold per series over its days-sized array.
+    "q215_holt_winters" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("n"))
+      operators.Seasonal.holtWinters(daily)
+    }),
+
     // Heaps'-law vocabulary growth: cumulative vocab vs cumulative
     // tokens along ingestion order at 20 checkpoints, log-log slope
     // fitted with the zipfSlope arithmetic. (This corpus's 31-word
@@ -6446,6 +6459,56 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // every Holt-Winters update replayed as a recursive CTE: the nl
+    // expression inlines three times (a recursive SELECT cannot
+    // reference its own aliases), dyadic constants exact both sides
+    "q215_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT series, list(CAST(n AS DOUBLE) ORDER BY day) AS y
+        |  FROM daily GROUP BY 1),
+        |ok AS (SELECT * FROM arr WHERE len(y) >= 15),
+        |init0 AS (
+        |  SELECT series, y,
+        |    (SELECT sum(v) FROM unnest(y[1:7]) AS u(v)) / 7 AS a1,
+        |    (SELECT sum(v) FROM unnest(y[8:14]) AS u(v)) / 7 AS a2
+        |  FROM ok),
+        |init AS (
+        |  SELECT series, y,
+        |    floor(a1 * 1e6 + 0.5) / 1e6 AS lvl,
+        |    floor((a2 - a1) / 7 * 1e6 + 0.5) / 1e6 AS tr
+        |  FROM init0),
+        |seas0 AS (
+        |  SELECT series, y, lvl, tr,
+        |    (SELECT list(floor((y[j.i] - lvl) * 1e6 + 0.5) / 1e6 ORDER BY j.i)
+        |     FROM (SELECT unnest(range(1, 8)) AS i) j) AS seas
+        |  FROM init),
+        |step AS (
+        |  SELECT series, 7 AS t, lvl, tr, seas, y FROM seas0
+        |  UNION ALL
+        |  SELECT series, t + 1,
+        |    floor((0.25 * (y[t + 1] - seas[(t % 7) + 1])
+        |      + 0.75 * (lvl + tr)) * 1e6 + 0.5) / 1e6,
+        |    floor((0.125 * (floor((0.25 * (y[t + 1] - seas[(t % 7) + 1])
+        |        + 0.75 * (lvl + tr)) * 1e6 + 0.5) / 1e6 - lvl)
+        |      + 0.875 * tr) * 1e6 + 0.5) / 1e6,
+        |    seas[1:(t % 7)]
+        |      || [floor((0.25 * (y[t + 1]
+        |            - floor((0.25 * (y[t + 1] - seas[(t % 7) + 1])
+        |                + 0.75 * (lvl + tr)) * 1e6 + 0.5) / 1e6)
+        |          + 0.75 * seas[(t % 7) + 1]) * 1e6 + 0.5) / 1e6]
+        |      || seas[(t % 7) + 2:7],
+        |    y
+        |  FROM step WHERE t < len(y))
+        |SELECT series, CAST(len(y) AS BIGINT) AS n_days,
+        |  lvl AS level, tr AS trend,
+        |  floor((lvl + tr + seas[(t % 7) + 1]) * 1e6 + 0.5) / 1e6
+        |    AS forecast_next
+        |FROM step WHERE t = len(y)""".stripMargin,
 
     // the detected bin replayed from the synthesis parameters: the
     // sawtooth fundamental freq*997 Hz, folded at Nyquist

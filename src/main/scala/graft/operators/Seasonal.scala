@@ -153,4 +153,73 @@ object Seasonal {
         (floor(col("absc") / (lit(100.0) * col("n")) * lit(1e6) + lit(0.5d))
           / lit(1e6)).as("max_dev"))
   }
+
+  /** Additive Holt-Winters (triple exponential smoothing, Winters 1960)
+    * over an ALREADY-AGGREGATED (series, day, n) frame — level + trend +
+    * period-`m` seasonal state folded through the classic updates:
+    *
+    *   l_t = a*(y_t - s_{t-m}) + (1-a)*(l + b)
+    *   b_t = B*(l_t - l) + (1-B)*b
+    *   s_t = g*(y_t - l_t) + (1-g)*s_{t-m}
+    *
+    * Initialization is the textbook deterministic one: l0 = mean of
+    * season 1, b0 = (mean season 2 - mean season 1)/m, s0_i = y_i - l0.
+    * EVERY state component lands on the house 6dp grid after each
+    * update, so the fold's inputs — and therefore its outputs — are
+    * bit-identical across engines (the oracle replays all updates as a
+    * recursive CTE); unrounded exponential smoothing would compound
+    * last-ulp drift multiplicatively.
+    *
+    * Scale: the whole fold is ONE `aggregate` higher-order expression
+    * per series over its collected day array (days-sized by
+    * construction — the aggregate-then-fold discipline; the corpus
+    * never sorts). Series shorter than 2m+1 days are dropped (no
+    * second season to initialize the trend). Output: (series, n_days,
+    * level, trend, forecast_next) — forecast_next the one-step-ahead
+    * l + b + s_{next}.
+    *
+    * The default smoothing constants are DYADIC (1/4, 1/8, 1/4) on
+    * purpose: 1-a is then exact in binary, so the oracle's decimal
+    * literals are the identical doubles (1.0 - 0.3 is NOT the double
+    * 0.7 — a non-dyadic constant would put every update one ulp off
+    * the replay). */
+  def holtWinters(daily: DataFrame, alpha: Double = 0.25, beta: Double = 0.125,
+                  gamma: Double = 0.25, m: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, "smoothing constants must be in (0, 1)")
+    require(m >= 2, "period must be >= 2")
+    val grid = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    val series = daily
+      .groupBy(col("series"))
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("n")))),
+        s => s.getField("n").cast("double")).as("y"))
+      .filter(size(col("y")) >= 2 * m + 1)
+    val a1 = aggregate(slice(col("y"), 1, m), lit(0.0d), _ + _) / m
+    val a2 = aggregate(slice(col("y"), m + 1, m), lit(0.0d), _ + _) / m
+    val l0 = grid(a1)
+    val b0 = grid((a2 - a1) / m)
+    val s0 = transform(slice(col("y"), 1, m), v => grid(v - l0))
+    val zero = struct(lit(m).as("t"), l0.as("lvl"), b0.as("tr"), s0.as("seas"))
+    def step(st: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = {
+      val idx = pmod(st("t"), lit(m))
+      val sOld = element_at(st("seas"), idx + 1)
+      val nl = grid(lit(alpha) * (v - sOld) +
+        lit(1.0 - alpha) * (st("lvl") + st("tr")))
+      val nt = grid(lit(beta) * (nl - st("lvl")) + lit(1.0 - beta) * st("tr"))
+      val ns = grid(lit(gamma) * (v - nl) + lit(1.0 - gamma) * sOld)
+      struct((st("t") + 1).as("t"), nl.as("lvl"), nt.as("tr"),
+        concat(slice(st("seas"), lit(1), idx), array(ns),
+          slice(st("seas"), idx + 2, lit(m) - idx - 1)).as("seas"))
+    }
+    val fin = aggregate(
+      slice(col("y"), lit(m + 1), size(col("y")) - m), zero, step)
+    series.select(col("series"), size(col("y")).cast("long").as("n_days"),
+        fin.as("f"))
+      .select(col("series"), col("n_days"),
+        col("f.lvl").as("level"), col("f.tr").as("trend"),
+        grid(col("f.lvl") + col("f.tr") +
+          element_at(col("f.seas"), pmod(col("f.t"), lit(m)) + 1))
+          .as("forecast_next"))
+  }
 }

@@ -323,6 +323,34 @@ class SelectionSketchSpec extends SparkSpec {
     assert(a == out.map(_.toString).sorted.toSeq)
   }
 
+  test("holt-winters: exact periodic series is a fixed point, forecast hits next value") {
+    import sc.implicits._
+    import java.sql.Date
+    // 28 days of an exact weekly pattern, no trend: season means equal
+    // (b0 = 0), every update leaves the state unchanged, and the
+    // one-step forecast equals the next periodic value EXACTLY
+    val pattern = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val daily = (0 until 28).map { i =>
+      ("ev", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        pattern(i % 7))
+    }.toDF("series", "day", "n")
+    val out = graft.operators.Seasonal.holtWinters(daily)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(out._2 == 28L)
+    assert(out._3 == 40.0 && out._4 == 0.0, s"level/trend $out")
+    assert(out._5 == 10.0, s"forecast must hit the next periodic value: $out")
+    // constant series: level = the constant, zero trend, forecast = it
+    val const = (0 until 20).map { i =>
+      ("c", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), 5L)
+    }.toDF("series", "day", "n")
+    val c = graft.operators.Seasonal.holtWinters(const)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(c._3 == 5.0 && c._4 == 0.0 && c._5 == 5.0)
+    // too-short series are dropped, not mis-initialized
+    assert(graft.operators.Seasonal.holtWinters(
+      daily.filter($"day" < Date.valueOf("2024-01-11"))).count() == 0L)
+  }
+
   test("kl drift: divergent group scores higher, repartition invariant") {
     import sc.implicits._
     val typical = (1L to 30L).map(i => (s"common words shared vocabulary item$i", "a"))
