@@ -2667,6 +2667,36 @@ object SparkEntry {
         "url")
     }),
 
+    // Capstone sample assembly: the final training manifest a data
+    // loader reads — every gate in ONE declarative plan: Gopher quality
+    // rules, exact-dedup canonicality (first of the md5(text) group),
+    // the content-hash train/val split, embedding availability (and
+    // non-degeneracy), and the composed keep verdict. One broadcast-
+    // joined pass; each gate's oracle idiom is reused verbatim.
+    "q216_training_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = TextAnalysis.gopherRules(col("text"))
+      val canon = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+        (aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0d)
+          .as("emb_ok"))
+      docs
+        .withColumn("__h", md5(col("text")))
+        .join(canon, Seq("__h"))
+        .join(emb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+          g.pass.as("quality_pass"),
+          (col("doc_id") === col("keep_id")).as("is_canonical"),
+          when(substring(md5(col("text")), 1, 4) < "199a", "val")
+            .otherwise("train").as("split"),
+          coalesce(col("emb_ok"), lit(false)).as("has_embedding"))
+        .withColumn("keep",
+          col("quality_pass") && col("is_canonical") && col("has_embedding"))
+    }),
+
     // Additive Holt-Winters forecast: level/trend/weekly-seasonal state
     // folded through the classic triple-smoothing updates over each
     // event type's daily-count series, every state component on the 6dp
@@ -6459,6 +6489,41 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_urls,
           |  CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_canonical
           |FROM s9 GROUP BY 1""".stripMargin),
+
+    // every gate's established oracle idiom composed: q44 gopher, q30
+    // first-of-dup-group, q94 base split, embedding norm existence
+    "q216_training_manifest" ->
+      """WITH canon AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |  FROM documents GROUP BY md5(text)),
+        |emb AS (
+        |  SELECT vec_id AS doc_id,
+        |    ((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |      FROM (SELECT unnest(embedding) AS x)) > 0) AS emb_ok
+        |  FROM embeddings),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    (len(string_split(d.text, ' ')) BETWEEN 50 AND 100000
+        |     AND round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+        |           / len(string_split(d.text, ' ')), 6) BETWEEN 3 AND 10
+        |     AND round((CAST(length(d.text) - length(replace(d.text, '#', ''))
+        |           AS DOUBLE)
+        |          + CAST(length(d.text) - length(replace(d.text, '...', ''))
+        |            AS DOUBLE) / 3)
+        |         / len(string_split(d.text, ' ')), 6) < 0.1
+        |     AND round(CAST(len(string_split(d.text, '. '))
+        |          - len(list_distinct(string_split(d.text, '. '))) AS DOUBLE)
+        |         / len(string_split(d.text, '. ')), 6) < 0.3) AS quality_pass,
+        |    (d.doc_id = c.keep_id) AS is_canonical,
+        |    CASE WHEN substr(md5(d.text), 1, 4) < '199a'
+        |         THEN 'val' ELSE 'train' END AS split,
+        |    coalesce(e.emb_ok, FALSE) AS has_embedding
+        |  FROM documents d
+        |  JOIN canon c ON c.h = md5(d.text)
+        |  LEFT JOIN emb e ON e.doc_id = d.doc_id)
+        |SELECT *, (quality_pass AND is_canonical AND has_embedding) AS keep
+        |FROM base""".stripMargin,
 
     // every Holt-Winters update replayed as a recursive CTE: the nl
     // expression inlines three times (a recursive SELECT cannot
