@@ -2819,8 +2819,85 @@ object SparkEntry {
       val media = graft.multimodal.Multimodal
         .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
       graft.multimodal.Multimodal.mjpegFrameFeatures(media)
+    }),
+
+    // Exact Jaccard self-join via PREFIX FILTERING (AllPairs/PPJoin):
+    // the inverted index holds only each document's rarest
+    // `n - ceil(t*n) + 1` shingles under the global (df, hash) order —
+    // provably lossless at the threshold, so the oracle is the plain
+    // exact all-pairs SQL, not a recall floor. The scale upgrade over
+    // q33's every-shared-shingle join: candidate generation touches
+    // only the short end of the postings distribution and carries no
+    // stop-shingle cap caveat.
+    "q217_setsim_prefix_join" -> ((s, dir) => {
+      operators.SetSimJoin.prefixFilteredPairs(
+        t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+    }),
+
+    // Blocklist gate: every occurrence of every blocklist phrase in ONE
+    // Aho-Corasick pass per document (scan-side codegen'd expression,
+    // blocklist-size independent) — vs the oracle's one-regexp-per-
+    // phrase replay. Phrases are two-distinct-word strings (no
+    // self-border), so AC's all-end-positions count equals the oracle's
+    // non-overlapping left-to-right count.
+    "q218_blocklist_filter" -> ((s, dir) => {
+      val m = graft.expressions.MultiMatchExpr
+        .multiMatch(lower(col("text")), BlocklistPhrases)
+      t(s, dir, "documents").select(col("doc_id"), m.as("__m"))
+        .select(col("doc_id"),
+          size(col("__m")).cast("long").as("n_hits"),
+          array_join(array_sort(array_distinct(col("__m"))), ",")
+            .as("phrases"),
+          (size(col("__m")) === 0).as("kept"))
+    }),
+
+    // Time travel through the manifest log: publish (v1), delete a
+    // slice and compact (v2, v3), then read the table AS OF v1 — the
+    // pre-delete state must reproduce exactly even though the live tip
+    // no longer contains those rows. The oracle is the original
+    // relational state; the LIVE read is cross-checked in-query (the
+    // deleted slice must be gone at the tip, a require, not a column).
+    "q219_time_travel" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q219")
+      val root = s"$tmp/tables"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("anio"))
+      etl.ManifestTable.publish(s, root, Map("orders" -> orders),
+        Map("orders" -> "anio"))
+      etl.ManifestTable.deleteWhere(s, root, "orders",
+        col("o_orderpriority") === "1-URGENT", Some("anio"))
+      etl.ManifestTable.compact(s, root, "orders", statsCol = Some("anio"))
+      val liveUrgent = etl.ManifestTable.read(s, root, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      require(liveUrgent == 0L, s"tip still holds $liveUrgent deleted rows")
+      val out = etl.ManifestTable.readAt(s, root, "orders", 1L)
+        .groupBy(col("anio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        // materialize before tearing the root down (the q162 idiom)
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // Per-dimension z-scoring of the embedding corpus: dimension stats
+    // from order-free integer sums (one bounded-key shuffle), z-scores
+    // applied scan-side against literal mean/std arrays — no second
+    // shuffle. Output is the q82 integer-stat convention.
+    "q220_embed_standardize" -> ((s, dir) => {
+      Similarity.standardizeDims(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
     })
   )
+
+  /** q218 blocklist — lexicographically sorted; each phrase is two
+    * distinct vocab words (border-free, so overlap semantics can't
+    * diverge between the AC automaton and the oracle's regexp count). */
+  private val BlocklistPhrases: Seq[String] = Seq(
+    "batch part", "fast spark", "hash value", "key agg",
+    "row scan", "slow merge", "sort table", "table window")
 
   def oracleSql: Map[String, String] = Map(
     // Funnel: all comparisons in epoch-microseconds, mirroring the Spark
@@ -4643,6 +4720,65 @@ object SparkEntry {
     // at sf<=0.1 (max df < maxPostings; df=1 shingles can't pair).
     "q33_ngram_jaccard" ->
       ("WITH " + JaccardCtes(0.35) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
+
+    // Prefix filtering is LOSSLESS at the threshold (any pair it skips
+    // provably has jaccard < t), so the exact all-pairs SQL is the
+    // oracle verbatim — a missed prefix collision, a wrong prefix
+    // length, or a broken length filter each drop a pair and fail the
+    // hash.
+    "q217_setsim_prefix_join" ->
+      ("WITH " + JaccardCtes(0.5) + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
+
+    // One regexp scan per phrase — the composed form the AC automaton
+    // replaces; counts agree because no blocklist phrase has a
+    // self-border (see the query comment).
+    "q218_blocklist_filter" -> {
+      val lst = BlocklistPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform($lst,
+         |    p -> len(regexp_extract_all(lower(text), p)))) AS BIGINT)
+         |    AS n_hits,
+         |  coalesce(array_to_string(list_filter($lst,
+         |    p -> contains(lower(text), p)), ','), '') AS phrases,
+         |  list_sum(list_transform($lst,
+         |    p -> len(regexp_extract_all(lower(text), p)))) = 0 AS kept
+         |FROM documents""".stripMargin
+    },
+
+    // time travel to v1 sees the FULL pre-delete state — the oracle is
+    // the plain original aggregation, no priority exclusion
+    "q219_time_travel" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS anio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // identical integer-grid math: snap to 1e6, order-free dim sums,
+    // one fixed IEEE sequence for mean/std, z re-snapped to the grid
+    "q220_embed_standardize" ->
+      """WITH xi AS (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x
+        |  FROM embeddings e,
+        |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t),
+        |st AS (
+        |  SELECT pos, CAST(sum(x) AS DOUBLE) / count(*) AS m,
+        |    sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)
+        |      - (CAST(sum(x) AS DOUBLE) / count(*))
+        |        * (CAST(sum(x) AS DOUBLE) / count(*))) AS sd
+        |  FROM xi GROUP BY pos),
+        |zz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sd > 0
+        |      THEN CAST(floor((x - m) / sd * 1000000 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS z
+        |  FROM xi JOIN st USING (pos))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(z) AS BIGINT) AS z_sum,
+        |  CAST(sum(z * z) AS BIGINT) AS z_norm2
+        |FROM zz GROUP BY vec_id""".stripMargin,
 
     // The verified MinHash+LSH pairs must EQUAL the exact pairs at these
     // settings (recall 1.0 at 16x2 bands for j>=0.35; precision 1.0 by

@@ -613,4 +613,69 @@ object Similarity {
         (min(col("cos6")).cast("double") / lit(1e6)).as("min_cos"),
         (max(col("cos6")).cast("double") / lit(1e6)).as("max_cos"))
   }
+
+  /** Per-DIMENSION standardization (feature z-scoring) of an embedding
+    * column — the whitening-lite step before distance computations mix
+    * dimensions of different variance (per-vector scaling like
+    * [[quantizeInt8]] can't fix a hot dimension; this is the corpus-
+    * statistics complement).
+    *
+    * Exactness contract: inputs snap to the 1e6 grid
+    * (`floor(x*1e6+0.5)` as long), per-dimension sum / sum-of-squares
+    * are ORDER-FREE integer aggregates, and mean/std derive from them
+    * by one fixed IEEE sequence — so the z-scores are bit-identical
+    * across partitionings, re-runs, and engines (the oracle replays the
+    * integer math verbatim). A zero-variance dimension standardizes to
+    * z = 0 rather than dividing by zero.
+    *
+    * Scale: one explode for the dimension statistics (shuffle keyed on
+    * dimension index — at most `maxDims` uniform keys), then the
+    * z-transform is a SCAN-SIDE literal-array fold: no second shuffle,
+    * no join, the stats ride the plan as two dim-sized literals.
+    * `maxDims` is the fail-loud cap on that collect (embedding width is
+    * a model constant, never data-dependent).
+    *
+    * Output: per-vector integer stats over the 1e6-grid z-scores
+    * (z_sum, z_norm2 — order-free longs, the q82 output convention). */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String,
+                      maxDims: Int = 4096): DataFrame = {
+    val xi = df.select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos"),
+        floor(col("col").cast("double") * lit(1e6) + lit(0.5d))
+          .cast("long").as("x"))
+    val stats = xi.groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("s2"),
+        count(lit(1)).as("n"))
+      .limit(maxDims + 1).collect()
+    require(stats.length <= maxDims,
+      s"standardizeDims: more than $maxDims dimensions — the dimension" +
+        " statistics must stay driver-bounded; raise maxDims only for a" +
+        " genuinely wider model")
+    val byPos = stats.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val dims = byPos.size
+    require((0 until dims).forall(byPos.contains), "ragged embedding widths")
+    val means = (0 until dims).map { d =>
+      val (s, _, n) = byPos(d); s.toDouble / n
+    }
+    val stds = (0 until dims).map { d =>
+      val (_, s2, n) = byPos(d)
+      val m = means(d)
+      math.sqrt(s2.toDouble / n - m * m)
+    }
+    val z6 = transform(col(vecCol), (x, i) => {
+      val xl = floor(x.cast("double") * lit(1e6) + lit(0.5d)).cast("long")
+      val m = element_at(typedLit(means), i + 1)
+      val sd = element_at(typedLit(stds), i + 1)
+      when(sd > lit(0.0d),
+        floor((xl.cast("double") - m) / sd * lit(1e6) + lit(0.5d))
+          .cast("long"))
+        .otherwise(lit(0L))
+    })
+    df.select(col(idCol), z6.as("__z"))
+      .select(col(idCol),
+        size(col("__z")).cast("long").as("n_dims"),
+        aggregate(col("__z"), lit(0L), (a, z) => a + z).as("z_sum"),
+        aggregate(col("__z"), lit(0L), (a, z) => a + z * z).as("z_norm2"))
+  }
 }

@@ -49,6 +49,25 @@ class OperatorsSpec extends SparkSpec {
     exact.foreach { case (k, v) => assert(math.abs(mh(k) - v) < 1e-9) }
   }
 
+  test("prefix-filtered setsim join equals the exact all-pairs join") {
+    // Lossless prefix filtering: the PPJoin-style candidate rule must
+    // reproduce EVERY exact pair at the threshold — on the crafted
+    // fixture and on the real corpus slice.
+    for ((df, thr) <- Seq((docs, 0.5), (docs, 0.35),
+        (spark.read.parquet(sf() + "/documents.parquet"), 0.5))) {
+      val exact = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+          threshold = thr, maxPostings = Int.MaxValue)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toMap2
+      val pp = graft.operators.SetSimJoin.prefixFilteredPairs(
+          df, "text", "doc_id", threshold = thr)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toMap2
+      assert(pp.keySet == exact.keySet, s"pair sets differ at t=$thr")
+      exact.foreach { case (k, v) => assert(math.abs(pp(k) - v) < 1e-9) }
+    }
+  }
+
   implicit class Tup3Ops(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
