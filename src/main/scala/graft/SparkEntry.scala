@@ -2889,6 +2889,46 @@ object SparkEntry {
     "q220_embed_standardize" -> ((s, dir) => {
       Similarity.standardizeDims(t(s, dir, "embeddings"),
         "vec_id", "embedding")
+    }),
+
+    // Deterministic label-propagation communities over the near-dup
+    // graph (3 synchronous rounds, min-label ties): the dense-core
+    // complement of q37's connected components. Edges are the verified
+    // minhash pairs (= exact pairs at these settings, the house
+    // recall-1.0 equivalence); the oracle replays all three rounds as
+    // unrolled CTEs over the exact-Jaccard edge set.
+    "q221_label_propagation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Graphs.labelPropagation(
+        Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35),
+        "id_a", "id_b", d, "doc_id", iters = 3)
+    }),
+
+    // Shot-boundary detection on REAL decoded video: the q206 MJPEG
+    // decode chain feeds consecutive-frame luminance diffs; a cut fires
+    // above threshold 100 and shot_id counts cuts. The synthesized
+    // blocks advance +17 mod 256 per frame, so the diff takes one of
+    // five values depending on how many of the four blocks wrap — the
+    // oracle derives boundaries from the synthesis formula while the
+    // engine must reach them through the full container walk + JPEG
+    // entropy decode.
+    "q222_shot_boundaries" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .synthesizeAviTable(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.shotBoundaries(
+        graft.multimodal.Multimodal.mjpegFrameFeatures(media),
+        threshold = 100.0)
+    }),
+
+    // Leave-one-out nearest-centroid eval: every vector classified
+    // against centroids that exclude itself — LOO derived from the SAME
+    // per-label integer sums (no second pass), classification entirely
+    // scan-side against literal stats. correct=false rows are the
+    // label-noise screen.
+    "q223_centroid_loo" -> ((s, dir) => {
+      Similarity.centroidLooEval(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
     })
   )
 
@@ -4779,6 +4819,86 @@ object SparkEntry {
         |  CAST(sum(z) AS BIGINT) AS z_sum,
         |  CAST(sum(z * z) AS BIGINT) AS z_norm2
         |FROM zz GROUP BY vec_id""".stripMargin,
+
+    // three synchronous LPA rounds unrolled over the exact-Jaccard
+    // edges; argmax = (count desc, label asc) row_number — the same
+    // deterministic tie-break the engine's struct-max computes
+    "q221_label_propagation" ->
+      ("WITH " + JaccardCtes(0.35) + """,
+        |sym AS (
+        |  SELECT id_a AS s, id_b AS d FROM jpairs
+        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+        |lab0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+        |""".stripMargin +
+        (1 to 3).map(LpaIterCtes).mkString(",\n") + """
+        |SELECT l.id AS node, l.lab AS community, s.csize
+        |FROM lab3 l JOIN (
+        |  SELECT lab, CAST(count(*) AS BIGINT) AS csize
+        |  FROM lab3 GROUP BY 1) s USING (lab)""".stripMargin),
+
+    // frame means from the q206 block formula, then the same lag/window
+    // cut rule — boundary iff the luminance jump exceeds 100
+    "q222_shot_boundaries" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, CAST(k.i AS BIGINT) AS frame_idx
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(0, 4 + doc_id % 5)) AS i) k),
+        |bl AS (
+        |  SELECT media_id, frame_idx,
+        |    (media_id * 31 + frame_idx * 17 + bx.x * 7 + by.y * 13) % 256 AS v
+        |  FROM fr,
+        |       LATERAL (SELECT unnest(range(2)) AS x) bx,
+        |       LATERAL (SELECT unnest(range(2)) AS y) by),
+        |mg AS (
+        |  SELECT media_id, frame_idx, CAST(sum(v) AS DOUBLE) / 4 AS mean_gray
+        |  FROM bl GROUP BY 1, 2),
+        |df AS (
+        |  SELECT media_id, frame_idx,
+        |    abs(mean_gray - lag(mean_gray) OVER w) AS diff
+        |  FROM mg WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+        |SELECT media_id, frame_idx, diff,
+        |  coalesce(diff > 100.0, false) AS is_boundary,
+        |  CAST(sum(CASE WHEN coalesce(diff > 100.0, false) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
+        |    AS shot_id
+        |FROM df""".stripMargin,
+
+    // same integer-grid LOO algebra: dot(x, S_l - x) = dot(x, S_l) - P,
+    // ||S_l - x||² = Q_l - 2 dot(x, S_l) + P; cosine snapped to 6dp,
+    // argmax ties by smallest label, single-member own label sentineled
+    "q223_centroid_loo" ->
+      """WITH xi AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lab, t.i AS pos,
+        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 10000 + 0.5)
+        |      AS BIGINT) AS x
+        |  FROM embeddings e,
+        |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t),
+        |sl AS (SELECT lab, pos, sum(x) AS s, count(*) AS n
+        |       FROM xi GROUP BY 1, 2),
+        |q AS (SELECT lab, sum(s * s) AS qq, min(n) AS n FROM sl GROUP BY 1),
+        |p AS (SELECT vec_id, min(lab) AS lab, sum(x * x) AS pp
+        |      FROM xi GROUP BY 1),
+        |d AS (SELECT xi.vec_id, sl.lab AS m, sum(xi.x * sl.s) AS dm
+        |      FROM xi JOIN sl ON sl.pos = xi.pos GROUP BY 1, 2),
+        |sc AS (SELECT d.vec_id, d.m, p.lab, p.pp,
+        |    CASE WHEN d.m = p.lab THEN d.dm - p.pp ELSE d.dm END AS a,
+        |    CASE WHEN d.m = p.lab THEN q.qq - 2 * d.dm + p.pp
+        |         ELSE q.qq END AS nc,
+        |    CASE WHEN d.m = p.lab THEN q.n - 1 ELSE q.n END AS effn
+        |  FROM d JOIN p USING (vec_id) JOIN q ON q.lab = d.m),
+        |c AS (SELECT vec_id, lab, m,
+        |    CASE WHEN effn > 0 AND nc > 0 AND pp > 0
+        |      THEN CAST(floor(CAST(a AS DOUBLE)
+        |        / sqrt(CAST(pp AS DOUBLE) * CAST(nc AS DOUBLE))
+        |        * 1000000 + 0.5) AS BIGINT)
+        |      ELSE -2000000 END AS c6
+        |  FROM sc),
+        |pr AS (SELECT vec_id, lab, m, c6,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY c6 DESC, m ASC) AS rn FROM c)
+        |SELECT vec_id, lab AS label, m AS pred, c6 AS cos6,
+        |  m = lab AS correct
+        |FROM pr WHERE rn = 1""".stripMargin,
 
     // The verified MinHash+LSH pairs must EQUAL the exact pairs at these
     // settings (recall 1.0 at 16x2 bands for j>=0.35; precision 1.0 by
@@ -7060,6 +7180,23 @@ object SparkEntry {
     * tie-break as the Spark argmax), then per-list per-dimension means
     * rounded to 6dp, empty lists keeping their previous centroid —
     * mirroring `Similarity.kmeansCentroids` stage by stage. */
+  /** One synchronous LPA round as CTEs: neighbor-label counts, argmax
+    * by (count desc, label asc), nodes with no neighbors keep their
+    * label — mirroring `Graphs.labelPropagation` round for round. */
+  private def LpaIterCtes(i: Int): String =
+    s"""cnt$i AS (
+       |  SELECT y.d AS id, l.lab, count(*) AS cnt
+       |  FROM sym y JOIN lab${i - 1} l ON l.id = y.s
+       |  GROUP BY 1, 2),
+       |arg$i AS (
+       |  SELECT id, lab AS newlab FROM (
+       |    SELECT id, lab, row_number() OVER (
+       |      PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+       |    FROM cnt$i) WHERE rn = 1),
+       |lab$i AS (
+       |  SELECT n.id, coalesce(a.newlab, n.lab) AS lab
+       |  FROM lab${i - 1} n LEFT JOIN arg$i a USING (id))""".stripMargin
+
   /** One grid-snapped PageRank iteration as CTEs: per-edge share
     * floor-rounded to the 1e-6 grid, incoming sums and dangling mass
     * re-snapped, then the damped update — the exact IEEE expression tree

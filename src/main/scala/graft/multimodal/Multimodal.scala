@@ -1439,4 +1439,29 @@ object Multimodal {
       lit(height).as("height"),
       col("meta.sample_rate").as("sample_rate")))
       .withColumn("processing", lit("resize_stub"))
+
+  /** Shot-boundary detection over a decoded frame-feature table
+    * (`media_id, frame_idx, mean_gray` — [[mjpegFrameFeatures]]'s
+    * shape): a cut is declared where the absolute luminance jump
+    * between consecutive frames exceeds `threshold`, and `shot_id` is
+    * the running cut count — the segment label a frame-sampling or
+    * per-shot-dedup stage keys on.
+    *
+    * Scale: one window partitioned BY VIDEO and ordered by frame index
+    * — partitions are single videos (bounded by frame count, uniform
+    * hash keys), so the sort is per-video, never global. The luminance
+    * means come out of the decode scan; nothing else shuffles. Frame 0
+    * has no predecessor: null diff, never a boundary, shot 0. */
+  def shotBoundaries(frames: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.select(col("media_id"), col("frame_idx"), col("mean_gray"))
+      .withColumn("diff",
+        abs(col("mean_gray") - lag(col("mean_gray"), 1).over(w)))
+      .withColumn("is_boundary",
+        coalesce(col("diff") > lit(threshold), lit(false)))
+      .withColumn("shot_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).over(w))
+      .drop("mean_gray")
+  }
 }

@@ -142,4 +142,55 @@ object Graphs {
           .otherwise(lit(0.0d)))
       .orderBy(col("cc").desc, col("node").asc).limit(k)
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007), made fully deterministic: every node starts
+    * as its own label (its id), and each round every node with
+    * neighbors adopts the most frequent label among its neighbors'
+    * current labels, ties broken by the SMALLEST label. Isolated nodes
+    * keep their own label. Classic LPA resolves ties randomly and
+    * iterates to convergence; fixing the tie-break and the round count
+    * makes the result a pure function of the edge set — replayable by
+    * unrolled relational iterations (the PageRank oracle idiom), and
+    * stable across partitionings and re-runs.
+    *
+    * vs [[Dedup.resolveComponents]]: connected components fuse anything
+    * reachable; LPA splits a weakly-bridged blob into its dense cores —
+    * the dedup-cluster QA view ("is this one community or two glued by
+    * one noisy pair?").
+    *
+    * Scale: per round, one frontier-sized equi-join (labels onto the
+    * symmetric edge list) and one (node, label)-keyed count + one
+    * node-keyed argmax — all uniform hash keys; [[Lineage.cut]] after
+    * each round keeps the plan constant-depth. Skewed hub nodes cost
+    * one hot aggregation key, not a cross join.
+    *
+    * Output: (node, community, csize) for every node in `nodes`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       nodes: DataFrame, nodeCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      "LPA: iters must be in [1, 50] (one materialized round each)")
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val sym = und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+    var labels = Lineage.cut(
+      nodes.select(col(nodeCol).as("id")).distinct()
+        .select(col("id"), col("id").as("lab")))
+    for (_ <- 1 to iters) {
+      val best = labels.join(sym, labels("id") === sym("s"))
+        .groupBy(col("d").as("id2"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (count desc, label asc) as one order-free max over
+        // (cnt, -lab) structs — no per-node sort
+        .groupBy(col("id2"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("id2").as("id"), (-col("m.nl")).as("newlab"))
+      labels = Lineage.cut(labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab")))
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("id").as("node"), col("lab").as("community"), col("csize"))
+  }
 }

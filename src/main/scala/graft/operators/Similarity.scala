@@ -678,4 +678,88 @@ object Similarity {
         aggregate(col("__z"), lit(0L), (a, z) => a + z).as("z_sum"),
         aggregate(col("__z"), lit(0L), (a, z) => a + z * z).as("z_norm2"))
   }
+
+  /** LEAVE-ONE-OUT nearest-centroid classification over an embedding
+    * corpus — the label-noise screen: each vector is classified against
+    * per-label centroids computed WITHOUT itself (so a vector can't
+    * vote for its own label), and a `correct = false` row flags a
+    * likely mislabel or an overlapping class.
+    *
+    * The LOO correction needs no second pass: with per-label dimension
+    * sums S_l and counts n_l, the held-out centroid of x's own label is
+    * (S_l - x)/(n_l - 1), so cosine against it derives from the SAME
+    * integer sums as everyone else's —
+    *   dot(x, S_l - x) = dot(x, S_l) - ||x||²,
+    *   ||S_l - x||²    = ||S_l||² - 2 dot(x, S_l) + ||x||²
+    * (the scalar n_l-1 cancels in cosine). Inputs snap to the 1e4 grid
+    * so every sum/product above is an ORDER-FREE long (overflow-guarded
+    * against the collected stats), and cosines are one fixed IEEE
+    * sequence snapped to 6dp with ties broken by smallest label.
+    *
+    * Scale: one explode for the (label, dim)-keyed sums — bounded keys,
+    * uniform — then classification is a SCAN-SIDE fold against literal
+    * per-label sum arrays: no join, no second shuffle, no pairwise
+    * anything. A single-member label's held-out centroid is undefined:
+    * that label is skipped for its own member (sentinel, never wins).
+    *
+    * Output: (vec_id, label, pred, cos6, correct). */
+  def centroidLooEval(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, maxLabels: Int = 256,
+                      maxDims: Int = 4096): DataFrame = {
+    val xi = df.select(col(labelCol).cast("long").as("lab"),
+        posexplode(col(vecCol)))
+      .select(col("lab"), col("pos"),
+        floor(col("col").cast("double") * lit(1e4) + lit(0.5d))
+          .cast("long").as("x"))
+    val rows = xi.groupBy(col("lab"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .limit(maxLabels * maxDims + 1).collect()
+    require(rows.length <= maxLabels * maxDims,
+      s"centroidLooEval: more than $maxLabels*$maxDims (label, dim)" +
+        " cells — label/dim cardinality must stay driver-bounded")
+    val labels = rows.map(_.getLong(0)).distinct.sorted
+    val dims = rows.map(_.getInt(1)).max + 1
+    val sArr: Map[Long, Array[Long]] = labels.map { l =>
+      val a = new Array[Long](dims)
+      rows.filter(_.getLong(0) == l).foreach(r => a(r.getInt(1)) = r.getLong(2))
+      l -> a
+    }.toMap
+    val nOf: Map[Long, Long] =
+      rows.groupBy(_.getLong(0)).map { case (l, rs) => l -> rs.head.getLong(3) }
+    val qOf: Map[Long, Long] = labels.map { l =>
+      val q = sArr(l).foldLeft(BigInt(0))((acc, s) => acc + BigInt(s) * s)
+      require(q.isValidLong,
+        "centroidLooEval: ||S||² overflows long — corpus too large for" +
+          " the 1e4 grid; shrink the grid or shard by label")
+      l -> q.toLong
+    }.toMap
+    val xiArr = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e4) + lit(0.5d)).cast("long"))
+    val base = df.select(col(idCol), col(labelCol).cast("long").as("label"),
+        xiArr.as("__xi"))
+      .withColumn("__p",
+        aggregate(col("__xi"), lit(0L), (a, v) => a + v * v))
+    // per-label 6dp cosine against the (possibly held-out) centroid;
+    // single-member own label gets a sentinel that can never win
+    val scored = labels.map { m =>
+      val dm = aggregate(
+        zip_with(col("__xi"), typedLit(sArr(m).toSeq), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      val own = col("label") === m
+      val aNum = when(own, dm - col("__p")).otherwise(dm)
+      val nc = when(own, lit(qOf(m)) - lit(2L) * dm + col("__p"))
+        .otherwise(lit(qOf(m)))
+      val effN = when(own, lit(nOf(m) - 1L)).otherwise(lit(nOf(m)))
+      val c6 = when(effN > 0L && nc > 0L && col("__p") > 0L,
+        floor(aNum.cast("double")
+          / sqrt(col("__p").cast("double") * nc.cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long"))
+        .otherwise(lit(-2000000L))
+      struct(c6.as("c6"), lit(-m).as("nl"))
+    }
+    val best = array_max(array(scored: _*))
+    base.select(col(idCol), col("label"),
+        (-best.getField("nl")).as("pred"), best.getField("c6").as("cos6"))
+      .withColumn("correct", col("pred") === col("label"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graphs, Similarity}
+
+/** Round-9 operators on crafted fixtures: label propagation, shot
+  * boundaries, LOO nearest-centroid eval. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("label propagation: triangle absorbs its pendant, isolate keeps its label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val r = Graphs.labelPropagation(edges, "a", "b", nodes, "id", iters = 2)
+      .select("node", "community", "csize")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // sync rounds: 1..4 converge to label 1 (min-label tie-breaks),
+    // the isolated node 5 stays its own community of one
+    assert((1L to 4L).forall(n => r(n) == (1L, 4L)))
+    assert(r(5L) == (5L, 1L))
+  }
+
+  test("shot boundaries: cuts where the luminance jump exceeds threshold") {
+    val frames = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 15.0), (1L, 2L, 200.0), (1L, 3L, 205.0),
+      (2L, 0L, 50.0)).toDF("media_id", "frame_idx", "mean_gray")
+    val r = graft.multimodal.Multimodal.shotBoundaries(frames, threshold = 100.0)
+      .select("media_id", "frame_idx", "is_boundary", "shot_id")
+      .as[(Long, Long, Boolean, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r((1L, 0L)) == (false, 0L), "first frame is never a cut")
+    assert(r((1L, 1L)) == (false, 0L))
+    assert(r((1L, 2L)) == (true, 1L), "185-luma jump cuts")
+    assert(r((1L, 3L)) == (false, 1L), "same shot continues")
+    assert(r((2L, 0L)) == (false, 0L), "single-frame video: one shot")
+  }
+
+  test("LOO centroid eval: separable labels classify, a planted mislabel is flagged") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.1f, 0.9f), 1),
+      (6L, Array(0.0f, 0.9f), 1),
+      (7L, Array(1.0f, 0.0f), 1) // planted mislabel: an A point tagged B
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidLooEval(vecs, "vec_id", "embedding", "label")
+      .select("vec_id", "correct").as[(Long, Boolean)].collect().toMap
+    assert((1L to 6L).forall(r(_)), "clean points classify correctly")
+    assert(!r(7L), "the planted mislabel is flagged")
+  }
+
+  test("LOO centroid eval: single-member label cannot vote for itself") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 7) // the only member of label 7
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidLooEval(vecs, "vec_id", "embedding", "label")
+      .select("vec_id", "pred").as[(Long, Long)].collect().toMap
+    assert(r(3L) == 0L, "lone member must be assigned the OTHER label")
+  }
+}
