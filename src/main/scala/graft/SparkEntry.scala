@@ -2929,6 +2929,17 @@ object SparkEntry {
     "q223_centroid_loo" -> ((s, dir) => {
       Similarity.centroidLooEval(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label")
+    }),
+
+    // MMR diverse reranking at λ=1/2: greedy picks maximize the pure
+    // integer rel6 − max(sim6 to already-picked) over an exact top-20
+    // pool — candidate-confined pairwise similarity, one argmax round
+    // per pick, no float in the greedy loop. The oracle unrolls all
+    // five picks.
+    "q224_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.Retrieval.mmrRerank(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", poolK = 20, k = 5)
     })
   )
 
@@ -4862,6 +4873,67 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // the same exact pool (rounded-cosine top-20, ties by id), the same
+    // micro-int lift, then five unrolled greedy picks
+    "q224_mmr_rerank" ->
+      ("""WITH cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM embeddings c,
+         |    (SELECT vec_id FROM embeddings WHERE vec_id < 3) q
+         |  WHERE q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0
+         |      THEN dot / (sqrt(nq) * sqrt(nc)) ELSE 0.0 END, 6) AS cosine
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(q.embedding) AS x,
+         |             unnest(e.embedding) AS y)) AS dot,
+         |      (SELECT sum(CAST(x * x AS DOUBLE))
+         |       FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+         |      (SELECT sum(CAST(y * y AS DOUBLE))
+         |       FROM (SELECT unnest(e.embedding) AS y)) AS nc
+         |    FROM cand c
+         |    JOIN embeddings q ON q.vec_id = c.query_id
+         |    JOIN embeddings e ON e.vec_id = c.vec_id) c),
+         |pool AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel6
+         |  FROM (SELECT query_id, vec_id, cosine,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |pv AS (SELECT p.query_id, p.vec_id, e.embedding
+         |       FROM pool p JOIN embeddings e USING (vec_id)),
+         |psim AS (
+         |  SELECT z.query_id, z.a, z.b,
+         |    CAST(floor(round(CASE WHEN sqrt(z.na) * sqrt(z.nb) > 0
+         |      THEN z.dp / (sqrt(z.na) * sqrt(z.nb)) ELSE 0.0 END, 6)
+         |      * 1000000 + 0.5) AS BIGINT) AS sim6
+         |  FROM (
+         |    SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y)) AS dp,
+         |      (SELECT sum(CAST(x * x AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x)) AS na,
+         |      (SELECT sum(CAST(y * y AS DOUBLE))
+         |       FROM (SELECT unnest(b.embedding) AS y)) AS nb
+         |    FROM pv a JOIN pv b
+         |      ON a.query_id = b.query_id AND a.vec_id <> b.vec_id) z),
+         |sel1 AS (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS pick, vec_id,
+         |    rel6 AS score FROM (
+         |    SELECT query_id, vec_id, rel6,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel6 DESC, vec_id ASC) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |selu1 AS (SELECT * FROM sel1),
+         |""".stripMargin +
+        (2 to 5).map(MmrPickCtes).mkString(",\n") + """
+        |SELECT query_id, pick, vec_id, score FROM selu5""".stripMargin),
 
     // same integer-grid LOO algebra: dot(x, S_l - x) = dot(x, S_l) - P,
     // ||S_l - x||² = Q_l - 2 dot(x, S_l) + P; cosine snapped to 6dp,
@@ -7196,6 +7268,27 @@ object SparkEntry {
        |lab$i AS (
        |  SELECT n.id, coalesce(a.newlab, n.lab) AS lab
        |  FROM lab${i - 1} n LEFT JOIN arg$i a USING (id))""".stripMargin
+
+  /** One greedy MMR pick as CTEs: candidates not yet selected get the
+    * max similarity to the selected set, then argmax of the integer
+    * `rel6 - mx` with ties by smallest id — mirroring
+    * `Retrieval.mmrRerank` round for round. */
+  private def MmrPickCtes(r: Int): String =
+    s"""pen$r AS (
+       |  SELECT c.query_id, c.vec_id, c.rel6, max(p.sim6) AS mx
+       |  FROM pool c
+       |  JOIN psim p ON p.query_id = c.query_id AND p.a = c.vec_id
+       |  JOIN selu${r - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b
+       |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s2
+       |    WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)
+       |  GROUP BY 1, 2, 3),
+       |sel$r AS (
+       |  SELECT query_id, CAST($r AS BIGINT) AS pick, vec_id, score FROM (
+       |    SELECT query_id, vec_id, rel6 - mx AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel6 - mx DESC, vec_id ASC) AS rn
+       |    FROM pen$r) WHERE rn = 1),
+       |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
 
   /** One grid-snapped PageRank iteration as CTEs: per-edge share
     * floor-rounded to the 1e-6 grid, incoming sums and dangling mass

@@ -121,4 +121,68 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("anchor_id", "doc_id", "score", "rank")
   }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98) at λ = 0.5 over an exact top-`poolK` candidate pool:
+    * greedy picks maximize `rel − max_sim_to_already_picked`, so the
+    * final k trade raw relevance for coverage — the diversity stage of
+    * a RAG retrieval or a dedup-aware few-shot selector.
+    *
+    * Determinism/portability: relevance and pairwise similarity are
+    * 6dp-rounded cosines lifted to MICRO-INT units, so at λ = 0.5 the
+    * MMR objective is the pure integer `rel6 − penalty6` (the ½ factor
+    * cancels in argmax) — no float ever enters the greedy loop, and
+    * ties break by smallest candidate id. The oracle unrolls all k
+    * picks relationally.
+    *
+    * Scale: the pool is top-poolK per query (a bounded
+    * TakeOrderedAndProject), pairwise similarity is poolK² PER QUERY —
+    * candidate-confined, never corpus-pairwise — and each greedy round
+    * is one join + one argmax aggregation on uniform query keys with a
+    * constant-depth plan ([[Lineage]] cut per round). Driver never sees
+    * data.
+    *
+    * Output: (query_id, pick, vec_id, score) — `pick` the 1-based
+    * selection order, `score` the integer MMR objective at pick time. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, poolK: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= poolK && k <= 20,
+      "MMR: need 1 <= k <= min(poolK, 20) (one materialized round per pick)")
+    val rel6 = floor(col("cosine") * lit(1e6) + lit(0.5d)).cast("long")
+    val pool = Lineage.cut(
+      Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
+        .select(col("query_id"), col("vec_id"), rel6.as("rel6")))
+    val v = corpus.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
+    val withVec = pool.join(v, pool("vec_id") === v("__pid"))
+      .select(col("query_id"), col("vec_id"), col("__pv"))
+    val pa = withVec.select(col("query_id"), col("vec_id").as("a"),
+      col("__pv").as("av"))
+    val pb = withVec.select(col("query_id"), col("vec_id").as("b"),
+      col("__pv").as("bv"))
+    val psim = Lineage.cut(pa.join(pb, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        floor(round(Similarity.cosine(col("av"), col("bv")), 6) * lit(1e6)
+          + lit(0.5d)).cast("long").as("sim6")))
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
+               pick: Int): DataFrame =
+      df.groupBy(col("query_id"))
+        .agg(max(struct(score.as("s"), (-col("vec_id")).as("nv"))).as("m"))
+        .select(col("query_id"), lit(pick.toLong).as("pick"),
+          (-col("m.nv")).as("vec_id"), col("m.s").as("score"))
+    var sel = Lineage.cut(argmax(pool, col("rel6"), 1))
+    for (r <- 2 to k) {
+      val remaining = pool.join(sel.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      val pen = remaining
+        .join(psim.withColumnRenamed("a", "vec_id"), Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("vec_id"), col("rel6"))
+        .agg(max(col("sim6")).as("mx"))
+      sel = Lineage.cut(sel.unionByName(
+        argmax(pen, col("rel6") - col("mx"), r)))
+    }
+    sel
+  }
 }

@@ -50,6 +50,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(!r(7L), "the planted mislabel is flagged")
   }
 
+  test("MMR rerank: a duplicate of pick 1 loses to a diverse candidate") {
+    // query (1,0); id 10 is the best match, id 11 its exact duplicate,
+    // id 12 a diverse direction. Plain top-2 = {10, 11}; MMR must pick
+    // {10, 12}: 11's penalty (sim 1.0 to pick 1) sinks it.
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.141f)), (11L, Array(0.99f, 0.141f)),
+      (12L, Array(0.5f, -0.866f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = graft.operators.Retrieval
+      .mmrRerank(corpus, queries, "vec_id", "embedding", poolK = 3, k = 2)
+      .select("pick", "vec_id").as[(Long, Long)].collect().toMap
+    assert(picks == Map(1L -> 10L, 2L -> 12L))
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
