@@ -2940,6 +2940,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       operators.Retrieval.mmrRerank(e, e.filter(col("vec_id") < 3),
         "vec_id", "embedding", poolK = 20, k = 5)
+    }),
+
+    // Content-defined chunking dedup: boundaries where the 3-token
+    // window hash divides 8 (content property — edit-shift-resistant,
+    // unlike fixed-width chunks), then exact chunk dedup via one
+    // min(struct) first-occurrence aggregation. Per-doc savings stats.
+    "q225_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunkStats(t(s, dir, "documents"), "text", "doc_id")
     })
   )
 
@@ -4873,6 +4881,42 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // same boundary rule (md5-prefix h32 of the 3-token window mod 8 on
+    // positions [2, n-2]), chunk reassembly, digest-grouped first
+    // occurrence, per-doc savings
+    "q225_cdc_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT d.doc_id, t.i - 1 AS p, d.tk[t.i] AS tok
+        |  FROM docs d,
+        |    LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
+        |bnd AS (
+        |  SELECT d.doc_id, t.i - 1 AS b
+        |  FROM docs d, LATERAL (SELECT unnest(range(3, len(d.tk))) AS i) t
+        |  WHERE CAST(concat('0x', substr(md5(
+        |      d.tk[t.i - 2] || ' ' || d.tk[t.i - 1] || ' ' || d.tk[t.i]),
+        |      1, 8)) AS BIGINT) % 8 = 0),
+        |tokchunk AS (
+        |  SELECT p.doc_id, p.p, p.tok, count(b.b) AS c
+        |  FROM pos p LEFT JOIN bnd b ON b.doc_id = p.doc_id AND b.b < p.p
+        |  GROUP BY 1, 2, 3),
+        |chunks AS (
+        |  SELECT doc_id, c AS chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS h, count(*) AS ctok
+        |  FROM tokchunk GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT doc_id, chunk_idx, ctok,
+        |    row_number() OVER (PARTITION BY h
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN ctok ELSE 0 END) AS BIGINT)
+        |    AS n_dup_tokens
+        |FROM marked GROUP BY 1""".stripMargin,
 
     // the same exact pool (rounded-cosine top-20, ties by id), the same
     // micro-int lift, then five unrolled greedy picks

@@ -730,4 +730,57 @@ object Dedup {
     val bSide = capped.select(keys.map(col) ++ payload.map(c => col(c).as(c + "_b")): _*)
     aSide.join(bSide, keys).filter(col("id_a") < col("id_b"))
   }
+
+  /** CONTENT-DEFINED chunking dedup (the FastCDC/LBFS family, here over
+    * the token stream): chunk boundaries fall where the hash of the
+    * 3-token window ending at a position divides `divisor` — a property
+    * of the CONTENT, not of offsets, so an insertion early in a
+    * document shifts every byte offset but re-synchronizes the chunk
+    * stream at the next content boundary. Fixed-width chunking (the
+    * q116 line-dedup convention) loses every chunk after an edit;
+    * CDC loses only the edited chunk — the storage/dataset-dedup
+    * workhorse for near-identical crawl snapshots.
+    *
+    * Mechanics are ONE scan-side expression chain per document (gram
+    * hashes, boundary filter, segment slicing — no explode until the
+    * chunk rows emerge), then chunk-level exact dedup: the global first
+    * occurrence per chunk digest is one `min(struct)` aggregation (the
+    * removeDupSpans shape — no window, no stratum sort), and every
+    * later occurrence is a dup. Boundary candidates live in [2, n-2]
+    * so no empty segment can form; a short document is one chunk.
+    *
+    * Scale: the shuffle carries (digest, doc, idx, token-count) rows —
+    * chunk TEXT never leaves the scan except inside the digest; keys
+    * are uniform content hashes. Output per document:
+    * (doc_id, n_chunks, n_dup_chunks, n_dup_tokens). */
+  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String,
+                    divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2 (expected chunk length)")
+    val toks = split(col(textCol), " ", -1)
+    val n = size(toks)
+    val gramAt = (p: Column) => concat_ws(" ",
+      element_at(toks, p - 1), element_at(toks, p), element_at(toks, p + 1))
+    val bounds = filter(
+      when(n >= 4, sequence(lit(2), n - 2))
+        .otherwise(array().cast("array<int>")),
+      p => pmod(conv(substring(md5(gramAt(p)), 1, 8), 16, 10).cast("long"),
+        lit(divisor.toLong)) === 0L)
+    val starts = concat(array(lit(0)), transform(bounds, b => b + 1))
+    val ends = concat(bounds, array(n - 1))
+    val chunks = zip_with(starts, ends, (st, en) => struct(
+      md5(array_join(slice(toks, st + 1, en - st + 1), " ")).as("h"),
+      (en - st + 1).cast("long").as("ctok")))
+    val rows = df.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.h").as("h"), col("col.ctok").as("ctok"))
+    val firsts = rows.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    rows.join(firsts, "h")
+      .withColumn("dup",
+        struct(col("doc_id"), col("chunk_idx")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), col("ctok")).otherwise(0L)).as("n_dup_tokens"))
+  }
 }

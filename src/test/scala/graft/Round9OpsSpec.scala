@@ -64,6 +64,43 @@ class Round9OpsSpec extends SparkSpec {
     assert(picks == Map(1L -> 10L, 2L -> 12L))
   }
 
+  test("CDC chunking: boundaries are content-defined and survive a prefix edit") {
+    // reference replay of the boundary rule + chunking, in-test
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val tk = text.split(" ", -1).toSeq
+      val bs = (2 to tk.length - 2).filter(p =>
+        h32(s"${tk(p - 2)} ${tk(p - 1)} ${tk(p)}") % 8 == 0)
+      val starts = 0 +: bs.map(_ + 1)
+      val ends = bs :+ (tk.length - 1)
+      starts.zip(ends).map { case (s, e) => tk.slice(s, e + 1) }
+    }
+    val base = spark.read.parquet(sf() + "/documents.parquet")
+      .orderBy("doc_id").limit(3).select("text").as[String].collect()
+      .mkString(" ")
+    val shifted = "zzz " + base
+    val cA = chunksOf(base)
+    val cB = chunksOf(shifted)
+    assert(cA.length >= 3, "fixture long enough to have boundaries")
+    // the operator agrees with the in-test replay
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.cdcChunkStats(df, "text", "doc_id")
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // global first-occurrence replay over the ordered chunk stream
+    val seen = scala.collection.mutable.Set[String]()
+    val dups = scala.collection.mutable.Map(1L -> 0L, 2L -> 0L)
+    for ((d, cs) <- Seq((1L, cA), (2L, cB)); c <- cs)
+      if (!seen.add(c.mkString(" "))) dups(d) += 1
+    assert(got(1L) == (cA.length.toLong, dups(1L)))
+    assert(got(2L) == (cB.length.toLong, dups(2L)))
+    assert(dups(2L) >= (cA.length - 2).toLong, "the shifted copy mostly dedups")
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
