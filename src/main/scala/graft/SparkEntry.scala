@@ -2948,6 +2948,42 @@ object SparkEntry {
     // min(struct) first-occurrence aggregation. Per-doc savings stats.
     "q225_cdc_chunks" -> ((s, dir) => {
       Dedup.cdcChunkStats(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // Quality-aware cluster canonicalization: each near-dup cluster
+    // keeps its BEST member — score = count of passed Gopher sub-rules,
+    // ties by smallest id — instead of dedupCorpus's min-id survivor.
+    // Exposes Dedup.dedupCorpusKeepBest through the oracle gate: the
+    // recursive-CTE clusters + the q44 rule replay + per-cluster argmax.
+    "q226_quality_canonical" -> ((s, dir) => {
+      val g = TextAnalysis.gopherRules(col("text"))
+      val qscore = (when(col("__g.nWords").between(50L, 100000L), 1L).otherwise(0L)
+        + when(col("__g.meanWordLen").between(3.0d, 10.0d), 1L).otherwise(0L)
+        + when(col("__g.symbolRatio") < 0.1d, 1L).otherwise(0L)
+        + when(col("__g.dupSegRatio") < 0.3d, 1L).otherwise(0L))
+      val docs = t(s, dir, "documents")
+        .withColumn("__g", struct(g.nWords.as("nWords"),
+          g.meanWordLen.as("meanWordLen"), g.symbolRatio.as("symbolRatio"),
+          g.dupSegRatio.as("dupSegRatio")))
+        .withColumn("qscore", qscore)
+      Dedup.dedupCorpusKeepBest(docs, "text", "doc_id", "qscore",
+          threshold = 0.8)
+        .select("doc_id", "source", "n_chars", "qscore")
+    }),
+
+    // Rendezvous sharding: per-shard occupancy at S=8 plus how many of
+    // each shard's keys the 9th shard would steal — the HRW guarantee
+    // (only the new shard's wins move, ~1/9 of keys) made visible and
+    // hash-checked. Scan-side argmax projection, zero shuffle before
+    // the 8-group aggregate.
+    "q227_rendezvous_shard" -> ((s, dir) => {
+      val s8 = etl.DataLayout.rendezvousShard(col("doc_id"), 8)
+      val s9 = etl.DataLayout.rendezvousShard(col("doc_id"), 9)
+      t(s, dir, "documents")
+        .select(col("doc_id"), s8.as("shard"), s9.as("__s9"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__s9") === 8L, 1L).otherwise(0L)).as("n_moved"))
     })
   )
 
@@ -4881,6 +4917,74 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // same h32(shard:key) argmax (ties by smallest shard) at S=8 and
+    // S=9; moved keys are exactly the new shard's wins
+    "q227_rendezvous_shard" ->
+      """WITH hs AS (
+        |  SELECT doc_id, s.i AS shard,
+        |    CAST(concat('0x', substr(md5(s.i || ':' || doc_id), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(9)) AS i) s),
+        |a8 AS (
+        |  SELECT doc_id, shard FROM (
+        |    SELECT doc_id, shard, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY h DESC, shard ASC) AS rn
+        |    FROM hs WHERE shard < 8) WHERE rn = 1),
+        |a9 AS (
+        |  SELECT doc_id, shard FROM (
+        |    SELECT doc_id, shard, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY h DESC, shard ASC) AS rn
+        |    FROM hs) WHERE rn = 1)
+        |SELECT a8.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a9.shard = 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved
+        |FROM a8 JOIN a9 USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // recursive-CTE clusters at 0.8 (the q39 idiom), the q44 rule
+    // replay as an integer score, argmax per cluster (score desc, id
+    // asc); unclustered docs are their own cluster
+    "q226_quality_canonical" ->
+      ("WITH RECURSIVE " + JaccardCtes(0.8) + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          |          UNION ALL SELECT id_b, id_a FROM jpairs),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          |sc AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+          |      + CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+          |      + CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END
+          |      + CASE WHEN dup_seg_ratio < 0.3 THEN 1 ELSE 0 END
+          |      AS BIGINT) AS qscore
+          |  FROM (
+          |    SELECT doc_id,
+          |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |            / len(string_split(text, ' ')), 6) AS mean_word_len,
+          |      round((CAST(length(text) - length(replace(text, '#', ''))
+          |               AS DOUBLE)
+          |             + CAST(length(text) - length(replace(text, '...', ''))
+          |               AS DOUBLE) / 3)
+          |            / len(string_split(text, ' ')), 6) AS symbol_ratio,
+          |      round(CAST(len(string_split(text, '. '))
+          |             - len(list_distinct(string_split(text, '. ')))
+          |             AS DOUBLE)
+          |            / len(string_split(text, '. ')), 6) AS dup_seg_ratio
+          |    FROM documents)),
+          |ranked AS (
+          |  SELECT d.doc_id, sc.qscore,
+          |    row_number() OVER (
+          |      PARTITION BY coalesce(c.cluster_id, d.doc_id)
+          |      ORDER BY sc.qscore DESC, d.doc_id ASC) AS rn
+          |  FROM documents d
+          |  LEFT JOIN clusters c ON c.id = d.doc_id
+          |  JOIN sc ON sc.doc_id = d.doc_id)
+          |SELECT d.doc_id, d.source, d.n_chars, r.qscore
+          |FROM ranked r JOIN documents d USING (doc_id) WHERE r.rn = 1""".stripMargin),
 
     // same boundary rule (md5-prefix h32 of the 3-token window mod 8 on
     // positions [2, n-2]), chunk reassembly, digest-grouped first

@@ -101,6 +101,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(dups(2L) >= (cA.length - 2).toLong, "the shifted copy mostly dedups")
   }
 
+  test("keep-best dedup keeps the higher-scored member, not the smaller id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river", 1L),
+      (2L, "the quick brown fox jumps over the lazy dog near the river", 5L),
+      (3L, "entirely unrelated text about shuffle partitions and codegen", 2L)
+    ).toDF("doc_id", "text", "qscore")
+    val kept = graft.operators.Dedup
+      .dedupCorpusKeepBest(docs, "text", "doc_id", "qscore", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), "id 2 wins its cluster on score")
+  }
+
+  test("rendezvous sharding: growing the ring moves only the new shard's wins") {
+    val keys = (0L until 2000L).toDF("k")
+    val r = keys.select(
+        graft.etl.DataLayout.rendezvousShard($"k", 8).as("s8"),
+        graft.etl.DataLayout.rendezvousShard($"k", 9).as("s9"))
+      .as[(Long, Long)].collect()
+    assert(r.forall { case (s8, s9) => s9 == s8 || s9 == 8L },
+      "a key either stays put or moves to the NEW shard — never laterally")
+    val movedFrac = r.count { case (s8, s9) => s8 != s9 }.toDouble / r.length
+    assert(movedFrac > 0.05 && movedFrac < 0.18,
+      s"~1/9 of keys move, got $movedFrac")
+    assert(r.map(_._1).distinct.length == 8, "all 8 shards occupied")
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
