@@ -2984,6 +2984,18 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("__s9") === 8L, 1L).otherwise(0L)).as("n_moved"))
+    }),
+
+    // Water-filling per-language budget: the max-min-fair level C with
+    // Σ min(n_lang, C) <= 420 — small languages keep everything, the
+    // dominant one is clipped, and the kept rows are the content-hash
+    // prefix of each stratum (quota-sized sorts via the pruned rank, a
+    // dominant stratum never fully sorts). The oracle re-derives C from
+    // the counts and replays the per-stratum rank.
+    "q228_water_fill" -> ((s, dir) => {
+      operators.CorpusMix.waterFillSelect(t(s, dir, "documents"),
+          "lang", "text", "doc_id", budget = 420L)
+        .select("doc_id", "lang")
     })
   )
 
@@ -4917,6 +4929,38 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // the water level re-derived in SQL: prefix sums over counts sorted
+    // (n asc, lang asc), the unique j with floor((B-P_j)/(S-j)) in
+    // [n_j, n_{j+1}), budget-covers-all handled; then the house
+    // (md5(text), id) per-stratum rank against min(n, C)
+    "q228_water_fill" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS s,
+        |               CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        |ord AS (SELECT lang, n,
+        |    row_number() OVER (ORDER BY n ASC, lang ASC) AS rk,
+        |    sum(n) OVER (ORDER BY n ASC, lang ASC
+        |                 ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM cnt),
+        |js AS (SELECT unnest(range(0, s + 1)) AS j FROM tot),
+        |jr AS (SELECT j,
+        |    coalesce((SELECT pre FROM ord WHERE rk = j), 0) AS pj,
+        |    coalesce((SELECT n FROM ord WHERE rk = j), 0) AS nj,
+        |    (SELECT n FROM ord WHERE rk = j + 1) AS nj1
+        |  FROM js),
+        |lvl AS (SELECT min(c) AS c FROM (
+        |    SELECT jr.j, CASE WHEN jr.j = tot.s THEN (SELECT max(n) FROM cnt)
+        |        ELSE (420 - jr.pj) // (tot.s - jr.j) END AS c,
+        |      jr.nj, jr.nj1, tot.s, tot.total
+        |    FROM jr, tot) z
+        |  WHERE (z.j = z.s AND 420 >= z.total)
+        |     OR (z.j < z.s AND z.c >= z.nj
+        |         AND (z.nj1 IS NULL OR z.c < z.nj1))),
+        |rnk AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS r
+        |  FROM documents)
+        |SELECT rnk.doc_id, rnk.lang FROM rnk, lvl WHERE rnk.r <= lvl.c""".stripMargin,
 
     // same h32(shard:key) argmax (ties by smallest shard) at S=8 and
     // S=9; moved keys are exactly the new shard's wins

@@ -298,6 +298,54 @@ object CorpusMix {
       .drop("rk")
   }
 
+  /** The WATER-FILLING level for a total budget: the largest integer C
+    * with `Σ_s min(n_s, C) <= budget` (all of every stratum when the
+    * budget covers the corpus). Small strata keep everything; larger
+    * strata are clipped at one common level — the max-min-fair
+    * allocation, vs [[perSourceCap]]'s fixed-k cap that must be guessed
+    * and [[quotas]]' power-law shares that never saturate. Driver-side
+    * over the bounded stratum counts; the unique level falls out of one
+    * pass over the counts sorted ascending (ties by stratum name, the
+    * engine-portable order). Residual budget below one more unit per
+    * unsaturated stratum is left unspent — deterministic, documented. */
+  private[graft] def waterFillLevel(counts: Seq[(String, Long)],
+                                    budget: Long): Long = {
+    require(budget >= 0, "budget must be >= 0")
+    val sorted = counts.sortBy(c => (c._2, c._1))
+    val s = sorted.length
+    val total = sorted.map(_._2).sum
+    if (budget >= total) return sorted.map(_._2).max
+    var pj = 0L
+    var res = -1L
+    for (j <- 0 until s) {
+      if (res < 0L) {
+        val nj = if (j == 0) 0L else sorted(j - 1)._2
+        val nj1 = sorted(j)._2
+        val cand = (budget - pj) / (s - j)
+        if (cand >= nj && cand < nj1) res = cand
+      }
+      pj += sorted(j)._2
+    }
+    require(res >= 0L, "water-filling level not found (impossible)")
+    res
+  }
+
+  /** Budget-constrained max-min-fair selection: keep `min(n_s, C)` rows
+    * per stratum at the water-filling level C, rows chosen by the house
+    * content-hash order `(md5(text), id)` — deterministic and
+    * engine-portable. Ranking goes through [[prunedStratumRank]], so a
+    * dominant stratum sorts ~its QUOTA, never its size. */
+  def waterFillSelect(df: DataFrame, stratumCol: String, textCol: String,
+                      idCol: String, budget: Long): DataFrame = {
+    val countSeq = stratumCounts(df, stratumCol)
+    val counts = countSeq.toMap
+    val level = waterFillLevel(countSeq, budget)
+    val need = counts.map { case (s, n) => s -> math.min(n, level) }
+    prunedStratumRank(df, stratumCol, textCol, idCol, need, counts)
+      .filter(col("rk") <= lit(level))
+      .drop("rk")
+  }
+
   /** Deterministic weighted sampling without replacement: priority
     * sampling (Duffield/Lund/Thorup). Each row gets `priority = w / u`
     * with `u` a content-derived uniform in (0, 1] (first 32 md5 bits of

@@ -127,6 +127,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.map(_._1).distinct.length == 8, "all 8 shards occupied")
   }
 
+  test("water-filling level: saturation regimes and exact budgets") {
+    import graft.operators.CorpusMix.waterFillLevel
+    val counts = Seq("de" -> 71L, "zh" -> 74L, "es" -> 80L,
+      "fr" -> 82L, "en" -> 193L)
+    // nothing saturates: C = floor(350/5)
+    assert(waterFillLevel(counts, 350L) == 70L)
+    // four strata saturate: C = 420 - 307 = 113
+    assert(waterFillLevel(counts, 420L) == 113L)
+    assert(counts.map { case (_, n) => math.min(n, 113L) }.sum == 420L)
+    // budget covers the corpus: level = max count
+    assert(waterFillLevel(counts, 500L) == 193L)
+    assert(waterFillLevel(counts, 5000L) == 193L)
+    // degenerate: zero budget
+    assert(waterFillLevel(counts, 0L) == 0L)
+    // selection kept-counts match min(n, C) per stratum
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val kept = graft.operators.CorpusMix
+      .waterFillSelect(docs, "lang", "text", "doc_id", 420L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("de" -> 71L, "zh" -> 74L, "es" -> 80L,
+      "fr" -> 82L, "en" -> 113L))
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
