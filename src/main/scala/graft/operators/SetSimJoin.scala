@@ -52,11 +52,14 @@ object SetSimJoin {
                           shingleN: Int = 3,
                           threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
-    val sh = df.select(col(idCol).as("id"),
+    // Materialized once ([[Lineage.cut]]): the shingle arrays feed the
+    // postings build AND both sides of candidate verification — without
+    // the cut the plan recomputes shingling three times.
+    val sh = Lineage.cut(df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleN).as("__sh"))
       .select(col("id"),
         array_sort(transform(col("__sh"), g => xxhash64(g))).as("hs"),
-        size(col("__sh")).cast("long").as("n"))
+        size(col("__sh")).cast("long").as("n")))
     // Postings + global document frequency. agg + join (not a window
     // over g): df is a full-corpus property and the agg shape keeps the
     // exchange free of per-key sorts.
@@ -68,9 +71,13 @@ object SetSimJoin {
     val ranked = postings.join(dfreq, "g")
       .withColumn("r", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)))
-    val prefix = ranked
+    // Materialized once: both sides of the candidate self-join read the
+    // SAME prefix index (df ranking included) instead of deriving it
+    // twice — at corpus scale the df-rank derivation is the expensive
+    // half of the operator.
+    val prefix = Lineage.cut(ranked
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
-      .select(col("g"), col("id"), col("n"))
+      .select(col("g"), col("id"), col("n")))
     // Prefix collision + two-sided length filter, then pair dedup: a
     // pair colliding on several prefix shingles must verify once.
     val cand = prefix.as("a").join(prefix.as("b"),
