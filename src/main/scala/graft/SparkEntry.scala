@@ -2996,6 +2996,18 @@ object SparkEntry {
       operators.CorpusMix.waterFillSelect(t(s, dir, "documents"),
           "lang", "text", "doc_id", budget = 420L)
         .select("doc_id", "lang")
+    }),
+
+    // 2-core of the near-dup graph after 4 peels: dense duplicate blobs
+    // survive, incidental pairs and pendants peel away — the dense-blob
+    // complement of q37's components and q221's communities. Survivor
+    // set replayed round by round in the oracle.
+    "q229_kcore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Graphs.kCore(
+        Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35),
+        "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     })
   )
 
@@ -4929,6 +4941,26 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // four peels unrolled over the exact-Jaccard edges; a converged
+    // engine-side early exit equals the fixed-round replay (peeling is
+    // monotone — post-convergence rounds are identity)
+    "q229_kcore" ->
+      ("WITH " + JaccardCtes(0.35) + """,
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+        |        UNION ALL SELECT id_b, id_a FROM jpairs),
+        |alive0 AS (SELECT DISTINCT src AS id FROM sym),
+        |""".stripMargin +
+        (1 to 4).map(KCoreRoundCtes(_, 2)).mkString(",\n") + """,
+        |fin AS (
+        |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym e
+        |  JOIN alive4 a ON a.id = e.src
+        |  JOIN alive4 b ON b.id = e.dst
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS node, (f.id IS NOT NULL) AS in_core,
+        |  coalesce(f.d, 0) AS core_deg
+        |FROM documents d LEFT JOIN fin f ON f.id = d.doc_id""".stripMargin),
 
     // the water level re-derived in SQL: prefix sums over counts sorted
     // (n asc, lang asc), the unique j with floor((B-P_j)/(S-j)) in
@@ -7460,6 +7492,17 @@ object SparkEntry {
        |lab$i AS (
        |  SELECT n.id, coalesce(a.newlab, n.lab) AS lab
        |  FROM lab${i - 1} n LEFT JOIN arg$i a USING (id))""".stripMargin
+
+  /** One k-core peel as CTEs: degree among current survivors, keep
+    * degree >= k — mirroring `Graphs.kCore` round for round. */
+  private def KCoreRoundCtes(i: Int, k: Int): String =
+    s"""deg$i AS (
+       |  SELECT e.src AS id, count(*) AS d
+       |  FROM sym e
+       |  JOIN alive${i - 1} a ON a.id = e.src
+       |  JOIN alive${i - 1} b ON b.id = e.dst
+       |  GROUP BY 1),
+       |alive$i AS (SELECT id FROM deg$i WHERE d >= $k)""".stripMargin
 
   /** One greedy MMR pick as CTEs: candidates not yet selected get the
     * max similarity to the selected set, then argmax of the integer

@@ -193,4 +193,56 @@ object Graphs {
     labels.join(sizes, Seq("lab"))
       .select(col("id").as("node"), col("lab").as("community"), col("csize"))
   }
+
+  /** k-CORE peeling (Seidman 1983): repeatedly remove nodes whose
+    * degree among SURVIVORS falls below `k`, `rounds` times — the dense
+    * subgraph where every member has >= k remaining neighbors. On a
+    * near-dup graph the 2-core separates genuinely dense duplicate
+    * blobs (template farms, mirrored sites) from incidental pairs; the
+    * pairs and pendants that connected-components would glue in are
+    * peeled away.
+    *
+    * The output is the survivor set of EXACTLY `rounds` peels (the BFS
+    * maxHops convention): a pure function of the edge set whether or
+    * not peeling has converged, so the result is deterministic and
+    * relationally replayable round by round. The loop short-circuits
+    * once a round removes nothing (peeling is monotone — later rounds
+    * are then identity), so `rounds` is a bound, not a cost.
+    *
+    * Scale: each round is one survivor-restricted degree count (two
+    * semi-joins + one id-keyed aggregation, uniform keys) over the
+    * CURRENT edge set; [[Lineage.cut]] keeps plans constant-depth.
+    * Output: (node, in_core, core_deg) for every node of `nodes` —
+    * core_deg the node's degree within the final core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            nodes: DataFrame, nodeCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 50,
+      "kCore: rounds must be in [1, 50] (one materialized peel each)")
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val sym = Lineage.cut(und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"))))
+    var alive = Lineage.cut(sym.select(col("s").as("id")).distinct())
+    var aliveN = alive.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val deg = sym
+        .join(alive.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+        .join(alive.withColumnRenamed("id", "d"), Seq("d"), "left_semi")
+        .groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+      alive = Lineage.cut(deg.filter(col("deg") >= k).select(col("id")))
+      val n = alive.count()
+      done = n == aliveN
+      aliveN = n
+    }
+    val coreDeg = sym
+      .join(alive.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+      .join(alive.withColumnRenamed("id", "d"), Seq("d"), "left_semi")
+      .groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+    nodes.select(col(nodeCol).as("node")).distinct()
+      .join(coreDeg.withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("node"), col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
 }

@@ -150,6 +150,22 @@ class Round9OpsSpec extends SparkSpec {
       "fr" -> 82L, "en" -> 113L))
   }
 
+  test("k-core peeling: the triangle survives, the tail chain peels away") {
+    // triangle 1-2-3 plus a chain 3-4-5: 4 and 5 never reach degree 2
+    // among survivors; peeling needs TWO rounds to remove 4 (degree 2
+    // until 5 goes) — exercising the iteration, not just one pass
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val nodes = (1L to 6L).toDF("id")
+    val r = graft.operators.Graphs
+      .kCore(edges, "a", "b", nodes, "id", k = 2, rounds = 4)
+      .select("node", "in_core", "core_deg")
+      .as[(Long, Boolean, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert((1L to 3L).forall(n => r(n) == (true, 2L)), "triangle is the 2-core")
+    assert((4L to 6L).forall(n => r(n) == (false, 0L)), "chain and isolate peel")
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
