@@ -3008,6 +3008,18 @@ object SparkEntry {
         Dedup.minhashPairs(d, "text", "doc_id",
           bands = 16, rowsPerBand = 2, threshold = 0.35),
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
+    }),
+
+    // Theil–Sen robust trend per event type: median of all pairwise
+    // daily-count slopes (29% breakdown — anomalous days can't drag it
+    // like OLS), lower medians on the 6dp grid. Pairs are per-series
+    // over aggregated daily rows, never raw events.
+    "q230_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Seasonal.theilSen(daily)
     })
   )
 
@@ -4941,6 +4953,51 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // pairwise slopes on the 6dp grid, lower medians with day-index
+    // ties, intercept from the chosen slope — replayed step for step
+    "q230_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS xi,
+        |    CAST(count(*) AS BIGINT) AS yi
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |pairs AS (
+        |  SELECT a.series, a.xi, b.xi AS xj,
+        |    CAST(floor(CAST(b.yi - a.yi AS DOUBLE) / (b.xi - a.xi)
+        |      * 1000000 + 0.5) AS BIGINT) AS s6
+        |  FROM daily a JOIN daily b
+        |    ON a.series = b.series AND b.xi > a.xi),
+        |sm AS (
+        |  SELECT series,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN s6 END) AS slope6
+        |  FROM (SELECT series, s6,
+        |      row_number() OVER (PARTITION BY series
+        |        ORDER BY s6, xi, xj) AS rk,
+        |      count(*) OVER (PARTITION BY series) AS n
+        |    FROM pairs)
+        |  GROUP BY series),
+        |res AS (
+        |  SELECT d.series, d.xi,
+        |    CAST(floor((CAST(d.yi AS DOUBLE)
+        |      - CAST(s.slope6 AS DOUBLE) / 1000000 * d.xi)
+        |      * 1000000 + 0.5) AS BIGINT) AS b6
+        |  FROM daily d JOIN sm s USING (series)),
+        |im AS (
+        |  SELECT series,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN b6 END) AS b6m
+        |  FROM (SELECT series, b6,
+        |      row_number() OVER (PARTITION BY series ORDER BY b6, xi) AS rk,
+        |      count(*) OVER (PARTITION BY series) AS n
+        |    FROM res)
+        |  GROUP BY series)
+        |SELECT d.series, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(s.slope6 AS DOUBLE) / 1000000 AS slope,
+        |  CAST(i.b6m AS DOUBLE) / 1000000 AS intercept
+        |FROM daily d
+        |JOIN sm s ON s.series = d.series
+        |JOIN im i ON i.series = d.series
+        |GROUP BY d.series, s.slope6, i.b6m""".stripMargin,
 
     // four peels unrolled over the exact-Jaccard edges; a converged
     // engine-side early exit equals the fixed-round replay (peeling is

@@ -222,4 +222,56 @@ object Seasonal {
           element_at(col("f.seas"), pmod(col("f.t"), lit(m)) + 1))
           .as("forecast_next"))
   }
+
+  /** THEIL–SEN robust trend per series (Theil 1950, Sen 1968): slope =
+    * median of all pairwise slopes `(y_j - y_i)/(x_j - x_i)`, intercept
+    * = median of `y_i - slope * x_i` — a 29% breakdown point, so a
+    * burst of anomalous days cannot drag the trend the way it drags an
+    * OLS fit (the q113 regr_* family's known weakness on dirty series).
+    *
+    * Both medians are LOWER medians over 6dp-grid values with day-index
+    * ties (the house order-statistic convention — exact data values, no
+    * interpolation, bit-identical across engines). x is the epoch day,
+    * y the exact integer daily value.
+    *
+    * Scale: the pair join is PER SERIES over the aggregated daily rows
+    * — O(days²) per series where `days` is a calendar-bounded window,
+    * never raw events; the median ranks run over those same pair rows
+    * (uniform series keys). Input: (series, day, v) daily rows.
+    * Output: (series, n_days, slope, intercept). */
+  def theilSen(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("series"),
+      datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("xi"),
+      col("v").cast("long").as("yi"))
+    val b = a.select(col("series"), col("xi").as("xj"), col("yi").as("yj"))
+    val slopes = a.join(b, Seq("series")).filter(col("xj") > col("xi"))
+      .select(col("series"), col("xi"), col("xj"),
+        floor((col("yj") - col("yi")).cast("double")
+          / (col("xj") - col("xi")).cast("double") * lit(1e6) + lit(0.5d))
+          .cast("long").as("s6"))
+    def lowerMedian(in: DataFrame, valCol: String, tie: Seq[String],
+                    out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("series"))
+        .orderBy(col(valCol).asc +: tie.map(col(_).asc): _*)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+      in.withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .groupBy(col("series"))
+        .agg(min(when(col("__rk") >= ceil(lit(0.5) * col("__n")), col(valCol)))
+          .as(out))
+    }
+    val slope = lowerMedian(slopes, "s6", Seq("xi", "xj"), "slope6")
+    val resid = a.join(slope, Seq("series"))
+      .select(col("series"), col("xi"),
+        floor((col("yi").cast("double")
+          - col("slope6").cast("double") / lit(1e6) * col("xi").cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("b6"))
+    val icept = lowerMedian(resid, "b6", Seq("xi"), "b6m")
+    a.groupBy(col("series")).agg(count(lit(1)).as("n_days"))
+      .join(slope, Seq("series")).join(icept, Seq("series"))
+      .select(col("series"), col("n_days"),
+        (col("slope6").cast("double") / lit(1e6)).as("slope"),
+        (col("b6m").cast("double") / lit(1e6)).as("intercept"))
+  }
 }

@@ -166,6 +166,20 @@ class Round9OpsSpec extends SparkSpec {
     assert((4L to 6L).forall(n => r(n) == (false, 0L)), "chain and isolate peel")
   }
 
+  test("Theil-Sen: one wild outlier day cannot drag the trend") {
+    // y = 2x + 1 on 10 days, except day 5 spikes to 1000. The pairwise
+    // slope median stays exactly 2, intercept exactly 1 — an OLS fit
+    // would be dragged far off both.
+    val daily = (0 to 9).map { x =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong)),
+        if (x == 5) 1000L else 2L * x + 1L)
+    }.toDF("series", "day", "v")
+    val r = graft.operators.Seasonal.theilSen(daily)
+      .select("series", "n_days", "slope", "intercept")
+      .as[(String, Long, Double, Double)].head()
+    assert(r == (("s", 10L, 2.0, 1.0)))
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
