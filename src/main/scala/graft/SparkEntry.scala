@@ -3010,6 +3010,33 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Johnson–Lindenstrauss projection 64 -> 16 dims (the splitmix64
+    // literal matrix, integer-grid order-free components), graded by
+    // pairwise cosine distortion on a bounded evaluation slice: cos64
+    // (the house pair cosine) vs cos16 from the projected integer
+    // vectors. The 40-vector pair set is broadcast-bounded by
+    // construction — never corpus-pairwise.
+    "q231_jl_distortion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      val p = Similarity.jlProject(e, "vec_id", "embedding", 64, 16)
+      val base = e.join(p, "vec_id")
+      val a = base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("proj").as("pa"), col("pnorm2").as("na"))
+      val b = base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("proj").as("pb"), col("pnorm2").as("nb"))
+      val dot16 = aggregate(zip_with(col("pa"), col("pb"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val cos16 = when(col("na") > 0L && col("nb") > 0L,
+        floor(dot16.cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).otherwise(lit(0.0d))
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+        .withColumn("cos64", round(Similarity.cosine(col("va"), col("vb")), 6))
+        .withColumn("cos16", cos16)
+        .withColumn("err", round(abs(col("cos64") - col("cos16")), 6))
+        .select("id_a", "id_b", "cos64", "cos16", "err")
+    }),
+
     // Theil–Sen robust trend per event type: median of all pairwise
     // daily-count slopes (29% breakdown — anomalous days can't drag it
     // like OLS), lower medians on the 6dp grid. Pairs are per-series
@@ -4953,6 +4980,59 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // the projection matrix inlined as a VALUES relation (the exact
+    // splitmix64 constants), grid components integer-summed per plane,
+    // then both cosines over the bounded pair set
+    "q231_jl_distortion" -> {
+      val mat = operators.Similarity.planeRows(64, 16).zipWithIndex
+        .flatMap { case (r, p) =>
+          r.zipWithIndex.map { case (v, d) => s"($p, ${d + 1}, $v)" }
+        }.mkString(", ")
+      s"""WITH e40 AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 40),
+         |mat(p, d, v) AS (SELECT * FROM (VALUES $mat)),
+         |pr AS (
+         |  SELECT e.vec_id, m.p,
+         |    sum(CAST(floor(CAST(e.embedding[m.d] AS DOUBLE) * m.v
+         |      * 1000000 + 0.5) AS BIGINT)) AS y
+         |  FROM e40 e JOIN mat m ON true
+         |  GROUP BY 1, 2),
+         |n2 AS (SELECT vec_id, sum(y * y) AS n2 FROM pr GROUP BY 1),
+         |d16 AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.y * b.y) AS dot
+         |  FROM pr a JOIN pr b ON a.p = b.p AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |c16 AS (
+         |  SELECT d.id_a, d.id_b,
+         |    CASE WHEN na.n2 > 0 AND nb.n2 > 0
+         |      THEN floor(CAST(d.dot AS DOUBLE)
+         |        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         |        * 1000000 + 0.5) / 1000000
+         |      ELSE 0.0 END AS cos16
+         |  FROM d16 d
+         |  JOIN n2 na ON na.vec_id = d.id_a
+         |  JOIN n2 nb ON nb.vec_id = d.id_b),
+         |c64 AS (
+         |  SELECT z.id_a, z.id_b,
+         |    round(CASE WHEN sqrt(z.na) * sqrt(z.nb) > 0
+         |      THEN z.dp / (sqrt(z.na) * sqrt(z.nb)) ELSE 0.0 END, 6)
+         |      AS cos64
+         |  FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y)) AS dp,
+         |      (SELECT sum(CAST(x * x AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x)) AS na,
+         |      (SELECT sum(CAST(y * y AS DOUBLE))
+         |       FROM (SELECT unnest(b.embedding) AS y)) AS nb
+         |    FROM e40 a JOIN e40 b ON a.vec_id < b.vec_id) z)
+         |SELECT c64.id_a, c64.id_b, c64.cos64, c16.cos16,
+         |  round(abs(c64.cos64 - c16.cos16), 6) AS err
+         |FROM c64 JOIN c16 ON c64.id_a = c16.id_a
+         |  AND c64.id_b = c16.id_b""".stripMargin
+    },
 
     // pairwise slopes on the 6dp grid, lower medians with day-index
     // ties, intercept from the chosen slope — replayed step for step

@@ -679,6 +679,37 @@ object Similarity {
         aggregate(col("__z"), lit(0L), (a, z) => a + z * z).as("z_norm2"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions —
+    * the index-shrinking step before ANN at scale: a 4× narrower vector
+    * is 4× less shuffle, cache, and dot-product work, and the JL lemma
+    * bounds the distance distortion. The projection matrix is the SAME
+    * splitmix64-derived literal family as the LSH hyperplanes
+    * ([[planeRows]]) — fixed constants both engines inline, no stored
+    * model.
+    *
+    * Exactness: each output component is an ORDER-FREE integer sum of
+    * per-dimension products snapped to the 1e6 grid
+    * (`floor(x_d * M_pd * 1e6 + 0.5)` summed as longs), so the
+    * projected vectors are bit-identical across partitionings and
+    * engines — no float accumulation order anywhere.
+    *
+    * Scan-side only: one projection per row, zero shuffle. Output:
+    * (idCol, `proj` array<long> of grid components, `pnorm2` their
+    * exact squared norm). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                dim: Int, outDims: Int): DataFrame = {
+    val rows = planeRows(dim, outDims)
+    val comps = rows.map { r =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(r.toSeq), (x, m) =>
+          floor(x.cast("double") * m * lit(1e6) + lit(0.5d)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+      .withColumn("pnorm2",
+        aggregate(col("proj"), lit(0L), (a, v) => a + v * v))
+  }
+
   /** LEAVE-ONE-OUT nearest-centroid classification over an embedding
     * corpus — the label-noise screen: each vector is classified against
     * per-label centroids computed WITHOUT itself (so a vector can't
