@@ -3010,6 +3010,23 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Containment self-join: near-SUBSET pairs by |A∩B|/min(|A|,|B|) —
+    // the quote/syndication detector a Jaccard join structurally
+    // misses (size ratio divides resemblance away). Same inverted-
+    // index shape as q33; only the normalization differs.
+    "q233_containment_join" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+    }),
+
+    // Shannon word-distribution entropy per document — the lexical-
+    // diversity signal that catches keyword stuffing; 6dp-grid terms
+    // make the inner sum order-free and engine-portable.
+    "q232_token_entropy" -> ((s, dir) => {
+      operators.TextIndex.tokenEntropy(t(s, dir, "documents"),
+        "text", "doc_id")
+    }),
+
     // Johnson–Lindenstrauss projection 64 -> 16 dims (the splitmix64
     // literal matrix, integer-grid order-free components), graded by
     // pairwise cosine distortion on a bounded evaluation slice: cos64
@@ -4980,6 +4997,36 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // exact all-pairs containment over the same gram CTEs; min-size
+    // normalization instead of union-size
+    "q233_containment_join" ->
+      ("WITH " + JaccardCtes(0.0) + """
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(p.inter AS DOUBLE) / least(na.n, nb.n), 6)
+        |    AS containment
+        |FROM pairs p
+        |JOIN counts na ON p.id_a = na.doc_id
+        |JOIN counts nb ON p.id_b = nb.doc_id
+        |WHERE round(CAST(p.inter AS DOUBLE) / least(na.n, nb.n), 6) >= 0.8
+        |""".stripMargin),
+
+    // H = ln(n) - (1/n) sum c*ln(c), per-word terms floored to the 6dp
+    // grid before the order-free integer sum
+    "q232_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |cw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    sum(CAST(floor(c * ln(c) * 1000000 + 0.5) AS BIGINT)) AS s
+        |  FROM cw GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens, v AS n_vocab,
+        |  floor((ln(n) - CAST(s AS DOUBLE) / 1000000 / n)
+        |    * 1000000 + 0.5) / 1000000 AS entropy
+        |FROM agg""".stripMargin,
 
     // the projection matrix inlined as a VALUES relation (the exact
     // splitmix64 constants), grid components integer-summed per plane,

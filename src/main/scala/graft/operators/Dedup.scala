@@ -731,6 +731,41 @@ object Dedup {
     aSide.join(bSide, keys).filter(col("id_a") < col("id_b"))
   }
 
+  /** CONTAINMENT self-join: pairs where one document's shingle set is
+    * (nearly) a SUBSET of the other's — `|A∩B| / min(|A|, |B|)` >=
+    * threshold. The asymmetric complement of Jaccard resemblance: a
+    * short quote, a syndicated article embedded in a longer page, or a
+    * doc-plus-boilerplate wrapper scores near 1.0 containment while its
+    * Jaccard can be arbitrarily LOW (the size ratio divides it away) —
+    * so a resemblance join structurally cannot find these, and a
+    * containment join is the standard quote/subset-duplication
+    * detector (Broder 1997's resemblance-vs-containment distinction).
+    *
+    * Same inverted-index mechanics as [[ngramJaccardPairs]] (hashed
+    * postings, stop-shingle cap, agg-shape intersection counts);
+    * only the final normalization differs. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxPostings: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val postings = sh.select(col("id"), col("n"), explode(col("sh")).as("g0"))
+      .select(col("id"), col("n"), xxhash64(col("g0")).as("g"))
+    val dfreq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = postings.join(dfreq, "g")
+      .filter(col("df") >= 2 && col("df") <= maxPostings)
+    val a = rare.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = rare.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(col("inter").cast("double")
+        / least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** CONTENT-DEFINED chunking dedup (the FastCDC/LBFS family, here over
     * the token stream): chunk boundaries fall where the hash of the
     * 3-token window ending at a position divides `divisor` — a property

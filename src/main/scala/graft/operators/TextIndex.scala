@@ -336,4 +336,36 @@ object TextIndex {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "score", "rank")
   }
+
+  /** Per-document Shannon entropy of the word distribution (nats) — the
+    * lexical-diversity quality signal: near-zero entropy flags keyword
+    * stuffing and template spam that length/stopword rules miss, while
+    * natural prose sits near the corpus band.
+    *
+    * `H = ln(n) - (1/n) Σ_w c_w ln(c_w)` — the per-word terms
+    * `c ln c` snap to the 6dp grid as longs, so the inner sum is
+    * ORDER-FREE and the whole statistic one fixed IEEE sequence the
+    * oracle replays (ln of small integer counts lands identically on
+    * the grid across libms).
+    *
+    * Scale: explode + one (doc, word)-keyed count + one doc-keyed
+    * aggregation — uniform hash keys, the q47 repetition-family shuffle
+    * shape; only fixed-width stat rows leave the word stage.
+    * Output: (doc_id, n_tokens, n_vocab, entropy). */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ", -1)).as("w"))
+    toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_vocab"),
+        (floor((log(col("n_tokens").cast("double"))
+          - col("__s").cast("double") / lit(1e6)
+            / col("n_tokens").cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("entropy"))
+  }
 }
