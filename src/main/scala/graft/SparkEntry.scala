@@ -3010,6 +3010,15 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // IDF-weighted Jaccard: shared RARE content drives the score,
+    // boilerplate shingles weigh ~nothing — template-glued docs stop
+    // pairing, distinctive-passage pairs survive. 6dp-grid weights,
+    // order-free integer sums.
+    "q234_weighted_jaccard" -> ((s, dir) => {
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.4)
+    }),
+
     // Containment self-join: near-SUBSET pairs by |A∩B|/min(|A|,|B|) —
     // the quote/syndication detector a Jaccard join structurally
     // misses (size ratio divides resemblance away). Same inverted-
@@ -4997,6 +5006,44 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // same gram CTEs; per-gram weight ln(N/df) on the 6dp grid, doc
+    // totals and shared sums as integers, ratio at the end
+    "q234_weighted_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT d.doc_id,
+        |      d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2]
+        |        AS g
+        |    FROM docs d,
+        |      LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+        |    WHERE len(d.toks) >= 3
+        |    UNION ALL
+        |    SELECT doc_id, array_to_string(toks, ' ') AS g FROM docs
+        |    WHERE len(toks) < 3)),
+        |wts AS (
+        |  SELECT g, CAST(floor(ln(CAST((SELECT count(*) FROM documents)
+        |      AS DOUBLE) / count(*)) * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM grams GROUP BY g
+        |  HAVING count(*) <= 1000),
+        |wg AS (SELECT grams.doc_id, grams.g, wts.w
+        |       FROM grams JOIN wts USING (g)),
+        |tot AS (SELECT doc_id, sum(w) AS sw FROM wg GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS si
+        |  FROM wg a JOIN wg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, wjaccard FROM (
+        |  SELECT i.id_a, i.id_b,
+        |    round(CAST(i.si AS DOUBLE) / (ta.sw + tb.sw - i.si), 6)
+        |      AS wjaccard
+        |  FROM inter i
+        |  JOIN tot ta ON ta.doc_id = i.id_a
+        |  JOIN tot tb ON tb.doc_id = i.id_b)
+        |WHERE wjaccard >= 0.4""".stripMargin,
 
     // exact all-pairs containment over the same gram CTEs; min-size
     // normalization instead of union-size

@@ -766,6 +766,49 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** IDF-WEIGHTED Jaccard self-join: resemblance where each shingle
+    * counts `ln(N / df)` instead of 1 — shared RARE content drives the
+    * score while boilerplate shingles (headers, navigation, license
+    * blurbs) contribute almost nothing, so two docs glued together by
+    * template chrome no longer pair while short docs sharing one
+    * distinctive passage do. `wj = S∩ / (S_A + S_B - S∩)` over weights
+    * snapped to the 6dp grid as longs — every sum ORDER-FREE integer,
+    * the whole score engine-portable.
+    *
+    * Scale: identical inverted-index shape to [[ngramJaccardPairs]];
+    * the weight rides the postings row (one extra long), per-doc
+    * weight totals are one id-keyed aggregation, and the pair stage
+    * sums shared weights instead of counting. Stop-shingle cap applies
+    * — consistent on both numerator and denominators (weights of
+    * capped shingles are excluded everywhere, including doc totals, so
+    * the ratio stays internally consistent). */
+  def weightedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.4,
+                           maxPostings: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("g0"))
+      .select(col("id"), xxhash64(col("g0")).as("g"))
+    val n = df.count()
+    val dfreq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+      .withColumn("w", floor(log(lit(n.toDouble) / col("df").cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long"))
+    val weighted = Lineage.cut(postings.join(dfreq, "g"))
+    val totals = weighted.groupBy(col("id")).agg(sum(col("w")).as("sw"))
+    val a = weighted.select(col("g"), col("w"), col("id").as("id_a"))
+    val b = weighted.select(col("g"), col("id").as("id_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("sInter"))
+      .join(totals.select(col("id").as("id_a"), col("sw").as("swa")), "id_a")
+      .join(totals.select(col("id").as("id_b"), col("sw").as("swb")), "id_b")
+      .withColumn("wjaccard", round(col("sInter").cast("double")
+        / (col("swa") + col("swb") - col("sInter")).cast("double"), 6))
+      .filter(col("wjaccard") >= threshold)
+      .select("id_a", "id_b", "wjaccard")
+  }
+
   /** CONTENT-DEFINED chunking dedup (the FastCDC/LBFS family, here over
     * the token stream): chunk boundaries fall where the hash of the
     * 3-token window ending at a position divides `divisor` — a property
