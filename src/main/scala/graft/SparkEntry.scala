@@ -3010,6 +3010,33 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Fixed-width source round trip: documents formatted as positional
+    // records (id 10 / lang 5 / zero-padded n_chars 8), every 97th line
+    // truncated to exercise the quarantine, read back through the
+    // declared-offset parser, aggregated per lang. The oracle replays
+    // format+parse relationally — a mis-sliced offset, broken trim, or
+    // leaked corrupt row shifts a count and fails the hash.
+    "q235_fixed_width" -> ((s, dir) => {
+      import sources.FixedWidth.FwField
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fw-q235")
+      val path = s"$tmp/fw"
+      t(s, dir, "documents").select(
+          when(col("doc_id") % 97 === 0, rpad(col("doc_id").cast("string"), 4, " "))
+            .otherwise(concat(rpad(col("doc_id").cast("string"), 10, " "),
+              rpad(col("lang"), 5, " "),
+              lpad(col("n_chars").cast("string"), 8, "0"))).as("value"))
+        .write.text(path)
+      val out = sources.FixedWidth.read(s, path, Seq(
+          FwField("doc_id", 1, 10, org.apache.spark.sql.types.LongType),
+          FwField("lang", 11, 5, org.apache.spark.sql.types.StringType),
+          FwField("n_chars", 16, 8, org.apache.spark.sql.types.LongType)))
+        .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // IDF-weighted Jaccard: shared RARE content drives the score,
     // boilerplate shingles weigh ~nothing — template-glued docs stop
     // pairing, distinctive-passage pairs survive. 6dp-grid weights,
@@ -5006,6 +5033,16 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // truncated lines quarantine whole (null fields), good lines parse
+    // back to their exact source values
+    "q235_fixed_width" ->
+      """SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt' ELSE lang END
+        |    AS lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // same gram CTEs; per-gram weight ln(N/df) on the 6dp grid, doc
     // totals and shared sums as integers, ratio at the end

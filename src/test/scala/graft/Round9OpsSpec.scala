@@ -180,6 +180,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(r == (("s", 10L, 2.0, 1.0)))
   }
 
+  test("fixed-width source: exact offsets, trim, quarantine, coerce-null") {
+    import graft.sources.FixedWidth, FixedWidth.FwField
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = tmpDir("fw-spec")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.txt"),
+      ("42        en   00000157\n" + // clean
+        "7         de   notanum!\n" + // cast failure -> null field
+        "short\n" + // truncated -> quarantined whole
+        "1234567890zh   00000001extra trailing junk ok\n")
+        .getBytes("UTF-8"))
+    val rows = FixedWidth.read(spark, s"$dir/data.txt", Seq(
+        FwField("id", 1, 10, LongType), FwField("lang", 11, 5, StringType),
+        FwField("n", 16, 8, LongType)))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(rows.contains((Some(42L), Some("en"), Some(157L), None)))
+    assert(rows.contains((Some(7L), Some("de"), None, None)),
+      "bad numeric coerces to null, row survives")
+    assert(rows.contains((None, None, None, Some("short"))),
+      "short line quarantines whole")
+    assert(rows.contains((Some(1234567890L), Some("zh"), Some(1L), None)),
+      "longer-than-width lines parse their declared slice")
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
