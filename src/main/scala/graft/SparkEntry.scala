@@ -3010,6 +3010,66 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Language-ID confusion matrix: the q41 heuristic graded as an
+    // eval — (label, guess) counts plus per-cell share of the label's
+    // row, the standard classifier-debug view.
+    "q238_langid_confusion" -> ((s, dir) => {
+      val g = t(s, dir, "documents").select(
+        col("lang").as("lang_label"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+      val wl = Window.partitionBy(col("lang_label"))
+      g.groupBy(col("lang_label"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share",
+          round(col("n").cast("double")
+            / sum(col("n")).over(wl).cast("double"), 6))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift per source: sup |F_src - F_corpus|
+    // over the n_chars distribution — the binning-free complement of
+    // q191's bucketed KL. Exact integer cross-multiplied CDF diffs
+    // (cum_s*n_c - cum_c*n_s), one division at the end; the evaluation
+    // grid is sources × DISTINCT values (aggregated rows, the
+    // bounded-value-domain contract), windows only over that grid.
+    "q237_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        col("n_chars").as("v"))
+      val cv = d.groupBy(col("v")).agg(count(lit(1)).as("cc"))
+      val sv = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cs"))
+      val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val nc = d.count()
+      // bounded crossJoin: the stratum list (sources) is broadcast —
+      // never corpus × corpus
+      val grid = cv.crossJoin(broadcast(srcs))
+        .join(sv, Seq("source", "v"), "left")
+        .select(col("source"), col("ns"), col("v"), col("cc"),
+          coalesce(col("cs"), lit(0L)).as("cs"))
+      val w = Window.partitionBy(col("source")).orderBy(col("v").asc)
+      grid
+        .withColumn("cums", sum(col("cs")).over(w))
+        .withColumn("cumc", sum(col("cc")).over(w))
+        .groupBy(col("source"), col("ns"))
+        .agg(max(abs(col("cums") * lit(nc) - col("cumc") * col("ns")))
+          .as("__d"))
+        .select(col("source"), col("ns").as("n_docs"),
+          round(col("__d").cast("double")
+            / (col("ns") * lit(nc)).cast("double"), 6).as("ks"))
+    }),
+
+    // Cross-source duplication matrix: which source PAIRS share
+    // near-dups (syndication/mirror provenance). Unordered source pair
+    // per verified minhash pair, counted.
+    "q236_cross_source_dups" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35)
+        .join(d.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Fixed-width source round trip: documents formatted as positional
     // records (id 10 / lang 5 / zero-padded n_chars 8), every 97th line
     // truncated to exercise the quarantine, read back through the
@@ -5033,6 +5093,67 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // q41's rule replay grouped into the confusion matrix
+    "q238_langid_confusion" -> {
+      val guess =
+        """SELECT lang AS lang_label,
+          |  CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+          |       WHEN s_es > 0 AND s_es = best THEN 'es'
+          |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+          |       WHEN s_de > 0 AND s_de = best THEN 'de'
+          |       ELSE 'und' END AS lang_guess
+          |FROM (SELECT lang, s_en, s_es, s_fr, s_de,
+          |        greatest(s_en, s_es, s_fr, s_de) AS best
+          |      FROM (SELECT lang,
+          |        len(regexp_extract_all(lower(text), '""".stripMargin +
+          LangPats("en") + "')) AS s_en,\n        len(regexp_extract_all(lower(text), '" +
+          LangPats("es") + "')) AS s_es,\n        len(regexp_extract_all(lower(text), '" +
+          LangPats("fr") + "')) AS s_fr,\n        len(regexp_extract_all(lower(text), '" +
+          LangPats("de") + """')) AS s_de
+          |      FROM documents))""".stripMargin
+      s"""WITH g AS ($guess),
+         |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
+         |      FROM g GROUP BY 1, 2)
+         |SELECT lang_label, lang_guess, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
+         |FROM m""".stripMargin
+    },
+
+    // CDFs on the shared distinct-value grid, exact cross-multiplied
+    // diffs, one division at the end
+    "q237_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |cv AS (SELECT v, count(*) AS cc FROM d GROUP BY 1),
+        |sv AS (SELECT source, v, count(*) AS cs FROM d GROUP BY 1, 2),
+        |srcs AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM d),
+        |grid AS (
+        |  SELECT s.source, s.ns, c.v, c.cc, coalesce(sv.cs, 0) AS cs
+        |  FROM srcs s CROSS JOIN cv c
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.v = c.v),
+        |cum AS (
+        |  SELECT source, ns, v,
+        |    sum(cs) OVER (PARTITION BY source ORDER BY v) AS cums,
+        |    sum(cc) OVER (PARTITION BY source ORDER BY v) AS cumc
+        |  FROM grid)
+        |SELECT c.source, CAST(c.ns AS BIGINT) AS n_docs,
+        |  round(CAST(max(abs(c.cums * t.nc - c.cumc * c.ns)) AS DOUBLE)
+        |    / (c.ns * t.nc), 6) AS ks
+        |FROM cum c, tot t
+        |GROUP BY c.source, c.ns, t.nc""".stripMargin,
+
+    // exact pairs -> unordered source pairs
+    "q236_cross_source_dups" ->
+      ("WITH " + JaccardCtes(0.35) + """
+        |SELECT least(da.source, db.source) AS src_lo,
+        |  greatest(da.source, db.source) AS src_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM jpairs p
+        |JOIN documents da ON da.doc_id = p.id_a
+        |JOIN documents db ON db.doc_id = p.id_b
+        |GROUP BY 1, 2""".stripMargin),
 
     // truncated lines quarantine whole (null fields), good lines parse
     // back to their exact source values
