@@ -3010,6 +3010,23 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Incremental CDC dedup: chunk the history once into a digest
+    // index, then measure each NEW batch doc's already-known chunk and
+    // token mass against it — batch-proportional cost, the continuous-
+    // ingestion analog of q81's minhash index for chunk-level dedup.
+    "q239_cdc_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdcidx-q239")
+      val path = s"$tmp/idx"
+      Dedup.writeCdcChunkIndex(d.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", path)
+      val out = Dedup.incrementalCdcStats(s,
+          d.filter(col("doc_id") % 10 === 0), "text", "doc_id", path)
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // Language-ID confusion matrix: the q41 heuristic graded as an
     // eval — (label, guess) counts plus per-cell share of the label's
     // row, the standard classifier-debug view.
@@ -5093,6 +5110,45 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // same chunk CTEs as q225 over the full corpus; history digests
+    // semi-join the batch's chunks
+    "q239_cdc_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    doc_id % 10 = 0 AS isb
+        |  FROM documents),
+        |pos AS (
+        |  SELECT d.doc_id, t.i - 1 AS p, d.tk[t.i] AS tok
+        |  FROM docs d,
+        |    LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
+        |bnd AS (
+        |  SELECT d.doc_id, t.i - 1 AS b
+        |  FROM docs d, LATERAL (SELECT unnest(range(3, len(d.tk))) AS i) t
+        |  WHERE CAST(concat('0x', substr(md5(
+        |      d.tk[t.i - 2] || ' ' || d.tk[t.i - 1] || ' ' || d.tk[t.i]),
+        |      1, 8)) AS BIGINT) % 8 = 0),
+        |tokchunk AS (
+        |  SELECT p.doc_id, p.p, p.tok, count(b.b) AS c
+        |  FROM pos p LEFT JOIN bnd b ON b.doc_id = p.doc_id AND b.b < p.p
+        |  GROUP BY 1, 2, 3),
+        |chunks AS (
+        |  SELECT doc_id, c AS chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS h, count(*) AS ctok
+        |  FROM tokchunk GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT DISTINCT c.h FROM chunks c
+        |  JOIN docs d USING (doc_id) WHERE NOT d.isb),
+        |bat AS (
+        |  SELECT c.* FROM chunks c JOIN docs d USING (doc_id) WHERE d.isb)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(b.ctok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN h.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known_chunks,
+        |  CAST(sum(CASE WHEN h.h IS NOT NULL THEN b.ctok ELSE 0 END)
+        |    AS BIGINT) AS n_known_tokens
+        |FROM bat b LEFT JOIN hist h ON h.h = b.h
+        |GROUP BY 1""".stripMargin,
 
     // q41's rule replay grouped into the confusion matrix
     "q238_langid_confusion" -> {

@@ -831,8 +831,11 @@ object Dedup {
     * chunk TEXT never leaves the scan except inside the digest; keys
     * are uniform content hashes. Output per document:
     * (doc_id, n_chunks, n_dup_chunks, n_dup_tokens). */
-  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String,
-                    divisor: Int = 8): DataFrame = {
+  /** The CDC chunk rows of a corpus: (doc_id, chunk_idx, h, ctok) —
+    * the scan-side chunking shared by [[cdcChunkStats]] and the
+    * incremental chunk index. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                divisor: Int = 8): DataFrame = {
     require(divisor >= 2, "divisor must be >= 2 (expected chunk length)")
     val toks = split(col(textCol), " ", -1)
     val n = size(toks)
@@ -848,9 +851,17 @@ object Dedup {
     val chunks = zip_with(starts, ends, (st, en) => struct(
       md5(array_join(slice(toks, st + 1, en - st + 1), " ")).as("h"),
       (en - st + 1).cast("long").as("ctok")))
-    val rows = df.select(col(idCol).as("doc_id"), posexplode(chunks))
+    df.select(col(idCol).as("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col.h").as("h"), col("col.ctok").as("ctok"))
+  }
+
+  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String,
+                    divisor: Int = 8): DataFrame = {
+    // one materialization: the chunk scan (an md5 per gram AND per
+    // chunk) feeds both the first-occurrence aggregate and the dup
+    // join — recomputing it doubled the operator's cost (measured)
+    val rows = Lineage.cut(cdcChunks(df, textCol, idCol, divisor))
     val firsts = rows.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
     rows.join(firsts, "h")
@@ -860,5 +871,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
         sum(when(col("dup"), col("ctok")).otherwise(0L)).as("n_dup_tokens"))
+  }
+
+  /** Materialize the distinct chunk digests of a corpus as a parquet
+    * index, partitioned by the digest's first hex char — the continuous-
+    * ingestion shape for CDC dedup (the [[writeMinhashIndex]] pattern):
+    * chunk the history ONCE, then each new batch joins its own chunk
+    * digests against the stored index, cost proportional to the batch,
+    * never the corpus. */
+  def writeCdcChunkIndex(df: DataFrame, textCol: String, idCol: String,
+                         path: String, divisor: Int = 8): Unit =
+    cdcChunks(df, textCol, idCol, divisor)
+      .groupBy(col("h")).agg(count(lit(1)).as("n_refs"))
+      .withColumn("hp", substring(col("h"), 1, 1))
+      .write.mode("overwrite").partitionBy("hp").parquet(path)
+
+  /** Dedup a NEW batch against a stored chunk index: per new document,
+    * how many of its chunks (and tokens) already exist in the indexed
+    * history. The join carries batch-sized digest rows against the
+    * index — the whole point of materializing it. */
+  def incrementalCdcStats(spark: org.apache.spark.sql.SparkSession,
+                          newDocs: DataFrame, textCol: String, idCol: String,
+                          indexPath: String, divisor: Int = 8): DataFrame = {
+    val idx = spark.read.parquet(indexPath).select(col("h"))
+    // chunk the batch once — the known-semi-join and the totals both
+    // read the same materialization
+    val rows = Lineage.cut(cdcChunks(newDocs, textCol, idCol, divisor))
+    rows.join(idx, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_known_chunks"),
+        sum(col("ctok")).as("n_known_tokens"))
+      .join(rows.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("ctok")).as("n_tokens")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        coalesce(col("n_known_chunks"), lit(0L)).as("n_known_chunks"),
+        coalesce(col("n_known_tokens"), lit(0L)).as("n_known_tokens"))
   }
 }
