@@ -3010,6 +3010,52 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Inter-event-gap regularity per user — the behavioral bot screen:
+    // a coefficient of variation near zero means metronome-regular
+    // traffic no human produces. Exact integer gap sums (decimal-
+    // widened squares), one fixed IEEE sequence to the 6dp-grid cv.
+    "q241_bot_regularity" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__g", expr(
+          "(__us - lag(__us, 1) OVER (PARTITION BY user_id" +
+            " ORDER BY ts, event_id)) div 1000"))
+        .filter(col("__g").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("__g").cast("decimal(38,0)")).as("__s"),
+          sum(col("__g").cast("decimal(18,0)")
+            * col("__g").cast("decimal(18,0)")).as("__s2"))
+        .select(col("user_id"), col("n_gaps"),
+          (floor(col("__s").cast("double") / col("n_gaps").cast("double")
+            + lit(0.5d))).cast("long").as("mean_gap_ms"),
+          when(col("__s") > 0,
+            floor(sqrt(col("__s2").cast("double") / col("n_gaps").cast("double")
+              - (col("__s").cast("double") / col("n_gaps").cast("double"))
+                * (col("__s").cast("double") / col("n_gaps").cast("double")))
+              / (col("__s").cast("double") / col("n_gaps").cast("double"))
+              * lit(1e6) + lit(0.5d)) / lit(1e6))
+            .otherwise(lit(null).cast("double")).as("cv"))
+        .withColumn("regular",
+          col("cv").isNotNull && col("cv") < 0.3d && col("n_gaps") >= 5L)
+    }),
+
+    // Linear interpolation over a gapped daily series (every 5th epoch
+    // day removed): missing days take the exact straight-line value
+    // between observed neighbors — integer numerator/denominator, one
+    // 6dp-grid division. The gap-policy complement of q119's forward
+    // fill.
+    "q240_interpolate" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      val gapped = daily.filter(
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"),
+          lit(5L)) =!= 0L)
+      operators.Resample.interpolateLinear(gapped)
+    }),
+
     // Incremental CDC dedup: chunk the history once into a digest
     // index, then measure each NEW batch doc's already-known chunk and
     // token mass against it — batch-proportional cost, the continuous-
@@ -5110,6 +5156,74 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // identical integer gap stream (µs diffs floor-divided to ms),
+    // HUGEINT squares, the same IEEE sequence to the cv grid
+    "q241_bot_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS gm
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gm AS HUGEINT)) AS s,
+        |    sum(CAST(gm AS HUGEINT) * gm) AS s2
+        |  FROM g WHERE gm IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(floor(CAST(s AS DOUBLE) / n_gaps + 0.5) AS BIGINT)
+        |    AS mean_gap_ms,
+        |  CASE WHEN s > 0 THEN
+        |    floor(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+        |      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+        |      / (CAST(s AS DOUBLE) / n_gaps) * 1000000 + 0.5) / 1000000
+        |    ELSE NULL END AS cv,
+        |  (s > 0 AND
+        |   floor(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+        |     - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+        |     / (CAST(s AS DOUBLE) / n_gaps) * 1000000 + 0.5) / 1000000 < 0.3
+        |   AND n_gaps >= 5) AS regular
+        |FROM a""".stripMargin,
+
+    // the same two-sided ignore-nulls windows and the same integer
+    // interpolation formula over the gapped series
+    "q240_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT * FROM daily
+        |      WHERE CAST(day - DATE '1970-01-01' AS BIGINT) % 5 <> 0),
+        |grid AS (
+        |  SELECT series,
+        |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM (SELECT series, min(day) AS mn, max(day) AS mx
+        |        FROM g GROUP BY 1)),
+        |j AS (
+        |  SELECT gr.series, gr.day, g.v FROM grid gr
+        |  LEFT JOIN g ON g.series = gr.series AND g.day = gr.day),
+        |w AS (
+        |  SELECT series, day, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT series, day,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE floor(CAST(pv * CAST(nd - day AS BIGINT)
+        |        + nv * CAST(day - pd AS BIGINT) AS DOUBLE)
+        |      / CAST(nd - pd AS BIGINT) * 1000000 + 0.5) / 1000000 END
+        |    AS value,
+        |  v IS NOT NULL AS is_observed
+        |FROM w""".stripMargin,
 
     // same chunk CTEs as q225 over the full corpus; history digests
     // semi-join the batch's chunks

@@ -128,4 +128,56 @@ object Resample {
           .otherwise(lit(null).cast("double")))
       .drop("__wsum")
   }
+
+  /** LINEAR interpolation over a daily series with gaps — the two-sided
+    * complement of [[dailyForwardFill]]: a missing day takes the value
+    * on the straight line between its nearest observed neighbors,
+    *   `(pv*(nd - d) + nv*(d - pd)) / (nd - pd)`
+    * — integer numerator and denominator (values are exact longs, days
+    * are epoch ints), one division snapped to the 6dp grid, so the
+    * filled series is bit-identical across engines. Forward fill
+    * answers "what was the last known state"; interpolation answers
+    * "what was the likely level" — the right gap policy for rates and
+    * gauges rather than step-state.
+    *
+    * Input: (series, day, v) observed daily rows. Output: one row per
+    * day in each series' observed span — (series, day, value,
+    * is_observed); edges are always observed by construction (the grid
+    * spans min..max observed day).
+    *
+    * Scale: the dailyForwardFill discipline — grid join + four windows
+    * over the (series, day) axis, all output-sized, one series-keyed
+    * shuffle. */
+  def interpolateLinear(daily: DataFrame): DataFrame = {
+    val obs = daily.select(col("series"), col("day"),
+      col("v").cast("long").as("v"))
+    val grid = obs.groupBy(col("series"))
+      .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .select(col("series"),
+        explode(sequence(col("min_day"), col("max_day"),
+          expr("interval 1 day"))).as("day"))
+    val wPrev = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val epoch = (c: org.apache.spark.sql.Column) =>
+      datediff(c, lit("1970-01-01").cast("date")).cast("long")
+    grid.join(obs, Seq("series", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("series"), col("day"),
+        when(col("v").isNotNull, col("v").cast("double"))
+          .otherwise(
+            floor((col("pv") * (epoch(col("nd")) - epoch(col("day")))
+              + col("nv") * (epoch(col("day")) - epoch(col("pd"))))
+              .cast("double")
+              / (epoch(col("nd")) - epoch(col("pd"))).cast("double")
+              * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("value"),
+        col("v").isNotNull.as("is_observed"))
+  }
 }
