@@ -3010,6 +3010,17 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Pair forensics: every verified near-dup pair explained — shared /
+    // only-a / only-b shingle counts and the rarest shared shingle as a
+    // readable witness. Runs on the bounded pair output, never
+    // corpus-pairwise.
+    "q242_pair_explain" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.explainPairs(d, "text", "doc_id",
+        Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35))
+    }),
+
     // Inter-event-gap regularity per user — the behavioral bot screen:
     // a coefficient of variation near zero means metronome-regular
     // traffic no human produces. Exact integer gap sums (decimal-
@@ -5156,6 +5167,28 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // exact pairs + gram dfs; the witness is the (df, gram) argmin
+    "q242_pair_explain" ->
+      ("WITH " + JaccardCtes(0.35) + """,
+        |gdf AS (SELECT g, count(*) AS gdf FROM grams GROUP BY 1),
+        |shared AS (
+        |  SELECT p.id_a, p.id_b, ga.g, d.gdf
+        |  FROM jpairs p
+        |  JOIN grams ga ON ga.doc_id = p.id_a
+        |  JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+        |  JOIN gdf d ON d.g = ga.g),
+        |agg AS (
+        |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM shared GROUP BY 1, 2)
+        |SELECT a.id_a, a.id_b, a.inter,
+        |  na.n - a.inter AS only_a, nb.n - a.inter AS only_b,
+        |  (SELECT s.g FROM shared s
+        |   WHERE s.id_a = a.id_a AND s.id_b = a.id_b
+        |   ORDER BY s.gdf, s.g LIMIT 1) AS rare_shared
+        |FROM agg a
+        |JOIN counts na ON na.doc_id = a.id_a
+        |JOIN counts nb ON nb.doc_id = a.id_b""".stripMargin),
 
     // identical integer gap stream (µs diffs floor-divided to ms),
     // HUGEINT squares, the same IEEE sequence to the cv grid

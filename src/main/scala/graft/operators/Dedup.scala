@@ -837,7 +837,14 @@ object Dedup {
   def cdcChunks(df: DataFrame, textCol: String, idCol: String,
                 divisor: Int = 8): DataFrame = {
     require(divisor >= 2, "divisor must be >= 2 (expected chunk length)")
-    val toks = split(col(textCol), " ", -1)
+    // Materialize the token array as an ATTRIBUTE below the generator
+    // (the removeDupSpans shape): building the whole chunk expression
+    // from `split(textCol)` directly inlines one split() per
+    // element_at — O(n²) re-tokenization per document, measured as the
+    // dominant cost of the chunking family at sf0.1.
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ", -1).as("__toks"))
+    val toks = col("__toks")
     val n = size(toks)
     val gramAt = (p: Column) => concat_ws(" ",
       element_at(toks, p - 1), element_at(toks, p), element_at(toks, p + 1))
@@ -851,7 +858,7 @@ object Dedup {
     val chunks = zip_with(starts, ends, (st, en) => struct(
       md5(array_join(slice(toks, st + 1, en - st + 1), " ")).as("h"),
       (en - st + 1).cast("long").as("ctok")))
-    df.select(col(idCol).as("doc_id"), posexplode(chunks))
+    base.select(col("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col.h").as("h"), col("col.ctok").as("ctok"))
   }
@@ -871,6 +878,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
         sum(when(col("dup"), col("ctok")).otherwise(0L)).as("n_dup_tokens"))
+  }
+
+  /** Pair FORENSICS: for each already-detected near-dup pair, the
+    * shared/only-A/only-B shingle counts plus the RAREST shared shingle
+    * (smallest document frequency, ties by text) as a human-readable
+    * witness — the triage view a dedup operator reads before tuning a
+    * threshold or whitelisting a template ("are these paired by real
+    * content or by boilerplate?").
+    *
+    * Run on the PAIR OUTPUT (bounded by the detector), not the corpus:
+    * shingle STRINGS flow only for the pair-side explode and the
+    * corpus-wide df aggregation (one text-keyed agg — the price of a
+    * readable witness; the detection path itself stays hash-only).
+    * Output: (id_a, id_b, inter, only_a, only_b, rare_shared). */
+  def explainPairs(df: DataFrame, textCol: String, idCol: String,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    val dfreq = sh.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ga = p.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .select(col("id_a"), col("id_b"), explode(col("sh")).as("g"))
+    val gb = p.join(sh.withColumnRenamed("id", "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"), explode(col("sh")).as("g"))
+    val inter = ga.join(gb, Seq("id_a", "id_b", "g"))
+      .join(dfreq, "g")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(struct(col("gdf"), col("g"))).as("m"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("na") - col("inter")).as("only_a"),
+        (col("nb") - col("inter")).as("only_b"),
+        col("m.g").as("rare_shared"))
   }
 
   /** Materialize the distinct chunk digests of a corpus as a parquet

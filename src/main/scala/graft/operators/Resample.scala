@@ -140,10 +140,12 @@ object Resample {
     * "what was the likely level" — the right gap policy for rates and
     * gauges rather than step-state.
     *
-    * Input: (series, day, v) observed daily rows. Output: one row per
-    * day in each series' observed span — (series, day, value,
-    * is_observed); edges are always observed by construction (the grid
-    * spans min..max observed day).
+    * Input: (series, day, v) observed daily rows — one row per
+    * (series, day) (an AGGREGATED series; duplicate days would fan out
+    * through the grid join). Output: one row per day in each series'
+    * observed span — (series, day, value, is_observed); edges are
+    * always observed by construction (the grid spans min..max observed
+    * day).
     *
     * Scale: the dailyForwardFill discipline — grid join + four windows
     * over the (series, day) axis, all output-sized, one series-keyed

@@ -238,7 +238,9 @@ object Seasonal {
     * — O(days²) per series where `days` is a calendar-bounded window,
     * never raw events; the median ranks run over those same pair rows
     * (uniform series keys). Input: (series, day, v) daily rows.
-    * Output: (series, n_days, slope, intercept). */
+    * Output: (series, n_days, slope, intercept). A series with a
+    * single observed day has no pairwise slope — it is absent from the
+    * output (no trend is estimable), not emitted with nulls. */
   def theilSen(daily: DataFrame): DataFrame = {
     val a = daily.select(col("series"),
       datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("xi"),
