@@ -3010,6 +3010,40 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Corpus topic map: k-means over the embeddings (two replayable
+    // Lloyd's iterations, the q77 training), each cluster labeled with
+    // its three most DISTINCTIVE terms — tf * ln(1 + K/cluster-df) on
+    // the 6dp grid, ties by term. The "what is in this corpus"
+    // dashboard: clustering, assignment, and labeling all hash-checked.
+    "q243_topic_map" -> ((s, dir) => {
+      import graft.expressions.CosinesExpr.{argMax, cosinesD}
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nlist = 8, iters = 2)
+      val assigned = e.select(col("vec_id").as("doc_id"),
+        argMax(cosinesD(col("embedding"), cents)).cast("long").as("cluster"))
+      val sizes = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      val toks = t(s, dir, "documents").join(assigned, "doc_id")
+        .select(col("cluster"),
+          explode(split(lower(col("text")), " ", -1)).as("term"))
+      val tf = toks.groupBy(col("cluster"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      val scored = tf.join(cdf, "term")
+        .withColumn("score6",
+          floor(col("tf").cast("double")
+            * log(lit(1.0d) + lit(8.0d) / col("cdf").cast("double"))
+            * lit(1e6) + lit(0.5d)).cast("long"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score6").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("n_members"), col("rank"), col("term"),
+          (col("score6").cast("double") / lit(1e6)).as("score"))
+    }),
+
     // Pair forensics: every verified near-dup pair explained — shared /
     // only-a / only-b shingle counts and the rarest shared shingle as a
     // readable witness. Runs on the bounded pair output, never
@@ -5167,6 +5201,57 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // the q77 two-iteration k-means replay at nlist=8, final assignment
+    // by (cosine desc, cid asc), then the tf * ln(1 + K/cdf) labeling
+    "q243_topic_map" ->
+      ("""WITH cents0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cid,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 8)),
+         |""".stripMargin +
+        KmeansIterCtes(0) + ",\n" + KmeansIterCtes(1) + ",\n" +
+        """fasn AS (
+          |  SELECT e.vec_id, c2.cid,
+          |    (SELECT sum(CAST(x AS DOUBLE) * y)
+          |     FROM (SELECT unnest(e.embedding) AS x,
+          |           unnest(c2.cv) AS y)) AS dot,
+          |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+          |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+          |    (SELECT sum(y * y) FROM (SELECT unnest(c2.cv) AS y)) AS nc
+          |  FROM embeddings e, cents2 c2),
+          |asg AS (
+          |  SELECT vec_id AS doc_id, CAST(cid AS BIGINT) AS cluster FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY
+          |        CASE WHEN sqrt(ne) * sqrt(nc) > 0
+          |             THEN dot / (sqrt(ne) * sqrt(nc)) ELSE 0.0 END DESC,
+          |        cid ASC) AS rn
+          |    FROM fasn) WHERE rn = 1),
+          |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          |          FROM asg GROUP BY 1),
+          |toks AS (
+          |  SELECT a.cluster, unnest(string_split(lower(d.text), ' ')) AS term
+          |  FROM documents d JOIN asg a USING (doc_id)),
+          |tf AS (SELECT cluster, term, count(*) AS tf
+          |       FROM toks GROUP BY 1, 2),
+          |cdf AS (SELECT term, count(*) AS cdf FROM tf GROUP BY 1),
+          |sc AS (
+          |  SELECT tf.cluster, tf.term,
+          |    CAST(floor(tf.tf * ln(1.0 + 8.0 / cdf.cdf) * 1000000 + 0.5)
+          |      AS BIGINT) AS score6
+          |  FROM tf JOIN cdf USING (term)),
+          |top3 AS (
+          |  SELECT cluster, term, score6, CAST(rn AS BIGINT) AS rank FROM (
+          |    SELECT cluster, term, score6,
+          |      row_number() OVER (PARTITION BY cluster
+          |        ORDER BY score6 DESC, term ASC) AS rn
+          |    FROM sc) WHERE rn <= 3)
+          |SELECT t.cluster, s.n_members, t.rank, t.term,
+          |  CAST(t.score6 AS DOUBLE) / 1000000 AS score
+          |FROM top3 t JOIN sizes s USING (cluster)""".stripMargin),
 
     // exact pairs + gram dfs; the witness is the (df, gram) argmin
     "q242_pair_explain" ->
