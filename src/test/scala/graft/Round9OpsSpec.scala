@@ -204,6 +204,22 @@ class Round9OpsSpec extends SparkSpec {
       "longer-than-width lines parse their declared slice")
   }
 
+  test("pair forensics: counts add up and the witness is the rarest shared gram") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma unrelated words here entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = graft.operators.Dedup.explainPairs(docs, "text", "doc_id", pairs)
+      .select("id_a", "id_b", "inter", "only_a", "only_b", "rare_shared")
+      .as[(Long, Long, Long, Long, Long, String)].head()
+    // docs 1/2: 4 shingles each, 3 shared; "alpha beta gamma" also
+    // appears in doc 3 (df 3) while the other two shared grams have
+    // df 2 — the witness must be the lexicographically first df-2 gram
+    assert(r == ((1L, 2L, 3L, 1L, 1L, "beta gamma delta")))
+  }
+
   test("LOO centroid eval: single-member label cannot vote for itself") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.95f, 0.05f), 0),
