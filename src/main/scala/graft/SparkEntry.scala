@@ -3010,6 +3010,13 @@ object SparkEntry {
         "id_a", "id_b", d, "doc_id", k = 2, rounds = 4)
     }),
 
+    // Population stability index per source over exact corpus deciles
+    // of n_chars — the MLOps drift gate; KL (q191) covers text content,
+    // PSI covers a numeric feature's distribution shift.
+    "q244_psi_drift" -> ((s, dir) => {
+      operators.Dsir.psiDrift(t(s, dir, "documents"), "n_chars", "source")
+    }),
+
     // Corpus topic map: k-means over the embeddings (two replayable
     // Lloyd's iterations, the q77 training), each cluster labeled with
     // its three most DISTINCTIVE terms — tf * ln(1 + K/cluster-df) on
@@ -5201,6 +5208,42 @@ object SparkEntry {
         |    OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT)
         |    AS shot_id
         |FROM df""".stripMargin,
+
+    // exact integer decile boundaries (ceil-div order statistics),
+    // boundaries-strictly-below buckets, Laplace shares, 6dp terms
+    "q244_psi_drift" ->
+      """WITH d AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |cum AS (
+        |  SELECT v, count(*) AS c,
+        |    sum(count(*)) OVER (ORDER BY v) AS cum
+        |  FROM d GROUP BY v),
+        |bnd AS (
+        |  SELECT p.p, min(c2.v) AS bv
+        |  FROM (SELECT unnest(range(1, 10)) AS p) p, cum c2, tot
+        |  WHERE c2.cum >= (p.p * tot.n + 9) // 10 GROUP BY 1),
+        |bk AS (
+        |  SELECT d.grp, d.v,
+        |    (SELECT count(*) FROM bnd WHERE bnd.bv < d.v) AS b
+        |  FROM d),
+        |bysrc AS (SELECT grp, b, count(*) AS cs FROM bk GROUP BY 1, 2),
+        |srcs AS (SELECT grp, count(*) AS ns FROM d GROUP BY 1),
+        |bycorp AS (SELECT b, sum(cs) AS cc FROM bysrc GROUP BY 1),
+        |grid AS (
+        |  SELECT s.grp, s.ns, c.b, c.cc, coalesce(y.cs, 0) AS cs
+        |  FROM srcs s CROSS JOIN bycorp c
+        |  LEFT JOIN bysrc y ON y.grp = s.grp AND y.b = c.b),
+        |t AS (
+        |  SELECT grp, ns,
+        |    CAST(floor(((cs + 1.0) / (ns + 10.0) - (cc + 1.0) / (n + 10.0))
+        |      * ln(((cs + 1.0) / (ns + 10.0)) / ((cc + 1.0) / (n + 10.0)))
+        |      * 1000000 + 0.5) AS BIGINT) AS t6
+        |  FROM grid, tot)
+        |SELECT grp, CAST(max(ns) AS BIGINT) AS n_rows,
+        |  CAST(sum(t6) AS DOUBLE) / 1000000 AS psi
+        |FROM t GROUP BY grp""".stripMargin,
 
     // the q77 two-iteration k-means replay at nlist=8, final assignment
     // by (cosine desc, cid asc), then the tf * ln(1 + K/cdf) labeling

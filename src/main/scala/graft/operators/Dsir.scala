@@ -153,4 +153,65 @@ object Dsir {
       .agg(max(col("tg")).as("n_tokens"), round(sum(col("t6")), 6).as("kl"))
       .select(col("grp"), col("n_tokens"), col("kl"))
   }
+
+  /** POPULATION STABILITY INDEX per group over a NUMERIC column — the
+    * MLOps-standard drift gate (PSI < 0.1 stable, > 0.25 act), here
+    * against exact corpus deciles:
+    *
+    *   PSI_g = Σ_b (p_b - q_b) ln(p_b / q_b),  b over 10 corpus-decile
+    *   buckets, p = group share, q = corpus share, Laplace-smoothed so
+    *   empty buckets are defined.
+    *
+    * Decile boundaries are EXACT order statistics (smallest value with
+    * cumulative count >= ceil(p*n/10), integer ceil-div — no sketch, no
+    * interpolation), derived from the aggregated (value, count) rows
+    * and collected under a fail-loud cap; bucket assignment is then the
+    * scan-side boundaries-strictly-below count (the QuantileNorm
+    * idiom). Terms snap to the 6dp grid before an order-free sum.
+    *
+    * vs [[klDrift]]: KL over hashed TEXT unigrams measures content
+    * drift; PSI over value deciles measures a numeric feature's
+    * distribution shift — the pair covers both gate types.
+    * Output: (grp, n_rows, psi). */
+  def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
+               maxDistinct: Int = 65536): DataFrame = {
+    val d = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"))
+    val cum = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .limit(maxDistinct + 1).collect()
+    require(cum.length <= maxDistinct,
+      s"psiDrift: more than $maxDistinct distinct values in '$valueCol'" +
+        " — quantize upstream (deciles of an id-like column are not a" +
+        " drift gate)")
+    val n = cum.map(_.getLong(1)).sum
+    val sorted = cum.sortBy(_.getLong(0))
+    val bounds: Seq[Long] = (1 to 9).map { p =>
+      val need = (p * n + 9) / 10
+      sorted.find(_.getLong(2) >= need).get.getLong(0)
+    }
+    val bucket = size(filter(typedLit(bounds), b => b < col("v")))
+      .cast("long")
+    val bySrc = d.select(col("grp"), bucket.as("b"))
+      .groupBy(col("grp"), col("b")).agg(count(lit(1)).as("cs"))
+    val srcs = d.groupBy(col("grp")).agg(count(lit(1)).as("ns"))
+    val byCorp = bySrc.groupBy(col("b")).agg(sum(col("cs")).as("cc"))
+    // complete grid: every (group, bucket) cell, zero counts included —
+    // Laplace needs the absent cells; strata × 10 rows, broadcast side
+    val grid = srcs.crossJoin(
+        broadcast(byCorp.select(col("b"), col("cc"))))
+      .join(bySrc, Seq("grp", "b"), "left")
+      .select(col("grp"), col("ns"), col("b"),
+        coalesce(col("cs"), lit(0L)).as("cs"), col("cc"))
+    val p = (col("cs") + 1.0d) / (col("ns") + 10.0d)
+    val q = (col("cc") + 1.0d) / (lit(n.toDouble) + 10.0d)
+    grid
+      .withColumn("t6",
+        floor((p - q) * log(p / q) * lit(1e6) + lit(0.5d)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(max(col("ns")).as("n_rows"),
+        (sum(col("t6")).cast("double") / lit(1e6)).as("psi"))
+  }
 }
