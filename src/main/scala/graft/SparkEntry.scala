@@ -81,6 +81,86 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- record linkage (round 10) ----
+
+    // Best fuzzy match per part name among its first-token block peers —
+    // the "find my duplicate" linkage view. Jaro–Winkler is a custom
+    // codegen'd expression with DuckDB-parity semantics (boost only
+    // above jaro 0.7, prefix cap 4); scores compare on the 6dp grid and
+    // the argmax tie-breaks by smaller candidate id on both engines.
+    "q245_jaro_best_match" -> ((s, dir) => {
+      operators.Linkage.bestMatch(t(s, dir, "part"), "p_name", "p_partkey",
+        split(col("name"), " ").getItem(0), threshold = 0.85)
+    }),
+
+    // Sorted-neighborhood blocking: parts sorted globally by name, each
+    // paired with its next 3 neighbors — the classic complement to key
+    // blocking (typo-in-the-block-key pairs still sort adjacently).
+    // Global rank is the two-pass range-partition + offset scheme, never
+    // a single-partition window.
+    "q246_sorted_neighborhood" -> ((s, dir) => {
+      operators.Linkage.sortedNeighborhood(t(s, dir, "part"), "p_name",
+        "p_partkey", w = 3, threshold = 0.9)
+    }),
+
+    // Fellegi–Sunter probabilistic linkage over nation-blocked customer
+    // pairs: three comparison fields (segment, balance-thousands bucket,
+    // balance sign) with driver-side 6dp log2 likelihood-ratio weights,
+    // classified link / possible / non-link at ±4. Output is the
+    // per-(block, decision) aggregate — bounded regardless of pair
+    // count.
+    "q247_fellegi_sunter" -> ((s, dir) => {
+      import operators.Linkage.FsField
+      operators.Linkage.fellegiSunter(t(s, dir, "customer"), "c_custkey",
+        col("c_nationkey").cast("long"),
+        Seq(
+          FsField("seg", col("c_mktsegment"), m = 0.9, u = 0.2),
+          FsField("balk", floor(col("c_acctbal") / 1000.0d).cast("long"),
+            m = 0.8, u = 0.1),
+          FsField("neg", col("c_acctbal") < 0, m = 0.95, u = 0.5)),
+        lower = -4.0, upper = 4.0)
+    }),
+
+    // Flesch reading-ease readability per document: whitespace words,
+    // [.!?]+ sentence runs (floored at 1), vowel-group syllables, the
+    // classic coefficient formula on the 6dp grid, banded. Scan-side
+    // only — the quality-signal complement of q40/q44.
+    "q248_readability" -> ((s, dir) => {
+      val f = TextAnalysis.fleschStats(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        f.nWords.as("n_words"), f.nSentences.as("n_sentences"),
+        f.nSyllables.as("n_syllables"),
+        (f.flesch6.cast("double") / 1e6).as("flesch"), f.band.as("band"))
+    }),
+
+    // Mixed-script homoglyph screen: docs with doc_id%3=0 get 'o'/'e'
+    // swapped for Cyrillic confusables (both engines apply the same
+    // translate), then tokens holding BOTH scripts are counted — the
+    // spoof signature that survives NFC normalization (q176) and
+    // defeats exact blocklists (q218).
+    "q249_homoglyph" -> ((s, dir) => {
+      val injected = when(pmod(col("doc_id"), lit(3L)) === 0L,
+        translate(col("text"), "oe", "ое")).otherwise(col("text"))
+      val ms = TextAnalysis.mixedScriptStats(col("__t"))
+      t(s, dir, "documents").withColumn("__t", injected)
+        .select(col("doc_id"), ms.nTokens.as("n_tokens"),
+          ms.nCyrillic.as("n_cyrillic"), ms.nMixed.as("n_mixed"),
+          ms.spoof.as("spoof"))
+    }),
+
+    // Luhn mod-10 validation (codegen'd expression) over synthesized
+    // 16-digit PAN candidates — the validity gate that separates real
+    // card shapes from random digit runs in a PII scan (~10% pass by
+    // chance; the oracle replays the checksum digit-by-digit).
+    "q250_luhn" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        lpad(((col("doc_id") * lit(2654435761L) + lit(123456789L))
+          % lit(10000000000000000L)).cast("string"), 16, "0")
+          .as("pan_candidate"))
+        .withColumn("luhn_ok",
+          graft.expressions.LinkageKernels.luhnValidCol(col("pan_candidate")))
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -3286,6 +3366,126 @@ object SparkEntry {
     "row scan", "slow merge", "sort table", "table window")
 
   def oracleSql: Map[String, String] = Map(
+
+    // DuckDB's jaro_winkler_similarity replays the codegen'd expression;
+    // 6dp grid before the per-record argmax, ties to the smaller id
+    "q245_jaro_best_match" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |p AS (
+        |  SELECT a.id, a.name, b.id AS id_b, b.name AS name_b,
+        |    CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000
+        |      + 0.5) AS BIGINT) AS jw6
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id <> b.id),
+        |k AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY jw6 DESC, id_b) AS rn
+        |  FROM p)
+        |SELECT id, name, id_b AS best_id, name_b AS best_name,
+        |  CAST(jw6 AS DOUBLE) / 1000000 AS jw
+        |FROM k WHERE rn = 1 AND jw6 >= 850000""".stripMargin,
+
+    "q246_sorted_neighborhood" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |rk AS (
+        |  SELECT id, name,
+        |    CAST(row_number() OVER (ORDER BY name, id) AS BIGINT) AS rank
+        |  FROM r),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+        |    b.name AS name_b, b.rank - a.rank AS rank_gap,
+        |    CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000
+        |      + 0.5) AS BIGINT) AS jw6
+        |  FROM rk a JOIN rk b ON b.rank BETWEEN a.rank + 1 AND a.rank + 3)
+        |SELECT id_a, id_b, name_a, name_b, rank_gap,
+        |  CAST(jw6 AS DOUBLE) / 1000000 AS jw
+        |FROM p WHERE jw6 >= 900000""".stripMargin,
+
+    // literal 6dp log2 m/u weights mirror Linkage.FsField:
+    // log2(.9/.2)=2.169925, log2(.1/.8)=-3, log2(.8/.1)=3,
+    // log2(.2/.9)=-2.169925, log2(.95/.5)=0.925999, log2(.05/.5)=-3.321928
+    "q247_fellegi_sunter" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS blk,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balk,
+        |    (c_acctbal < 0) AS neg
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.blk,
+        |    (CASE WHEN a.seg = b.seg THEN 2169925 ELSE -3000000 END
+        |     + CASE WHEN a.balk = b.balk THEN 3000000 ELSE -2169925 END
+        |     + CASE WHEN a.neg = b.neg THEN 925999 ELSE -3321928 END) AS s6
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT blk AS block,
+        |  CASE WHEN s6 >= 4000000 THEN 'link'
+        |       WHEN s6 <= -4000000 THEN 'non_link'
+        |       ELSE 'possible' END AS decision,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(s6) AS DOUBLE) / 1000000 AS min_score,
+        |  CAST(max(s6) AS DOUBLE) / 1000000 AS max_score
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q248_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, CAST(floor((206.835
+        |      - 1.015 * n_words / n_sentences
+        |      - 84.6 * n_syllables / n_words) * 1000000 + 0.5)
+        |    AS BIGINT) AS f6
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(f6 AS DOUBLE) / 1000000 AS flesch,
+        |  CASE WHEN f6 >= 90000000 THEN 'very_easy'
+        |       WHEN f6 >= 70000000 THEN 'easy'
+        |       WHEN f6 >= 50000000 THEN 'medium'
+        |       WHEN f6 >= 30000000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f""".stripMargin,
+
+    // RE2 spells the Cyrillic block \p{Cyrillic} (Java: \p{IsCyrillic})
+    "q249_homoglyph" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN translate(text, 'oe', 'ое') ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    x -> regexp_matches(x, '\p{Cyrillic}'))) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    x -> regexp_matches(x, '\p{Cyrillic}')
+        |      AND regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_mixed,
+        |  len(list_filter(string_split(t, ' '),
+        |    x -> regexp_matches(x, '\p{Cyrillic}')
+        |      AND regexp_matches(x, '[a-zA-Z]'))) > 0 AS spoof
+        |FROM d""".stripMargin,
+
+    "q250_luhn" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lpad(CAST((doc_id * 2654435761 + 123456789)
+        |      % 10000000000000000 AS VARCHAR), 16, '0') AS pan_candidate
+        |  FROM documents)
+        |SELECT doc_id, pan_candidate,
+        |  list_sum(list_transform(range(16), i ->
+        |    CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN 2 * CAST(substr(pan_candidate, 16 - i, 1) AS INT) > 9
+        |        THEN 2 * CAST(substr(pan_candidate, 16 - i, 1) AS INT) - 9
+        |        ELSE 2 * CAST(substr(pan_candidate, 16 - i, 1) AS INT) END
+        |      ELSE CAST(substr(pan_candidate, 16 - i, 1) AS INT) END))
+        |    % 10 = 0 AS luhn_ok
+        |FROM d""".stripMargin,
+
     // Funnel: all comparisons in epoch-microseconds, mirroring the Spark
     // side's ns->us truncation (Tables.load `ts div 1000`).
     "q104_funnel" ->

@@ -159,4 +159,48 @@ object TextAnalysis {
       nWords.between(50, 100000) && mwl.between(3, 10) &&
         symRatio < 0.1 && dupSegRatio < 0.3)
   }
+
+  /** Flesch reading-ease over whitespace tokens: sentences are `[.!?]+`
+    * runs (floored at 1 — headline-style fragments count as one),
+    * syllables the classic vowel-group approximation (`[aeiouy]+` runs
+    * in lowercased text; no dictionary needed, stable across engines).
+    * `flesch6` lands on the 6dp grid: both engines evaluate the same
+    * literal-coefficient IEEE sequence `206.835 - 1.015*W/S -
+    * 84.6*Y/W` before one floor. All scan-side — no shuffle, no UDF. */
+  final case class FleschStats(nWords: Column, nSentences: Column,
+                               nSyllables: Column, flesch6: Column, band: Column)
+
+  def fleschStats(text: Column): FleschStats = {
+    val w = size(split(text, " ", -1)).cast("long")
+    val s = greatest(lit(1L), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    val y = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+    val f6 = floor((lit(206.835d)
+      - lit(1.015d) * w.cast("double") / s.cast("double")
+      - lit(84.6d) * y.cast("double") / w.cast("double")) * 1e6 + lit(0.5d))
+      .cast("long")
+    val band = when(f6 >= 90000000L, "very_easy")
+      .when(f6 >= 70000000L, "easy")
+      .when(f6 >= 50000000L, "medium")
+      .when(f6 >= 30000000L, "difficult")
+      .otherwise("very_difficult")
+    FleschStats(w, s, y, f6, band)
+  }
+
+  /** Mixed-script (homoglyph-spoof) screen: tokens containing BOTH a
+    * Latin letter and a Cyrillic character — the signature of confusable
+    * substitution (`раypal`) that survives NFC normalization (q176) and
+    * defeats exact dedup/blocklists. Per-row higher-order filters over
+    * the token array; zero shuffle. Regex dialects differ (Java
+    * `\p{IsCyrillic}`, RE2 `\p{Cyrillic}`) but match the same block. */
+  final case class MixedScriptStats(nTokens: Column, nCyrillic: Column,
+                                    nMixed: Column, spoof: Column)
+
+  def mixedScriptStats(text: Column): MixedScriptStats = {
+    val toks = split(text, " ", -1)
+    val cyr = "\\p{IsCyrillic}"
+    val nCyr = size(filter(toks, t => t.rlike(cyr))).cast("long")
+    val nMixed = size(filter(toks, t => t.rlike(cyr) && t.rlike("[a-zA-Z]")))
+      .cast("long")
+    MixedScriptStats(size(toks).cast("long"), nCyr, nMixed, nMixed > 0L)
+  }
 }
