@@ -161,6 +161,207 @@ object SparkEntry {
           graft.expressions.LinkageKernels.luhnValidCol(col("pan_candidate")))
     }),
 
+    // Sample autocorrelation of daily per-type event counts at calendar
+    // lags 1..7 — the period detector complementing q189's fixed-period
+    // decomposition. Exact integer numerator/denominator per lag (the
+    // n²-scaled centered sums), one portable division each.
+    "q251_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Seasonal.acf(daily, maxLag = 7)
+    }),
+
+    // Kaplan–Meier product-limit survival over SESSION lifetimes
+    // (30-min gap sessions; a session whose last event sits within one
+    // gap of the global observation end is right-censored — it may
+    // still be open). The estimator q117's naive retention curve cannot
+    // express: censored sessions stay in the risk set, add no death.
+    // 9dp-grid log terms, one exp at the end; aggregate-then-window.
+    "q252_kaplan_meier" -> ((s, dir) => {
+      operators.Survival.kaplanMeier(
+        operators.Survival.sessionLifetimes(t(s, dir, "events"), "user_id",
+          "ts", "event_id", gapSeconds = 1800L),
+        durationCol = "duration_min")
+    }),
+
+    // HBOS multivariate outlier screen over orders (price equi-width
+    // bin + epoch-day-of-week + priority): per-feature ln(N/binCount)
+    // surprisal summed on the 6dp grid, top-100 by (score, key) via
+    // sort-limit. Scan + three broadcast joins — no data-sized shuffle.
+    "q253_hbos" -> ((s, dir) => {
+      operators.Profiler.hbosTopK(t(s, dir, "orders"), "o_orderkey",
+        numFeatures = Seq("o_totalprice"),
+        catFeatures = Seq(
+          ("dow", pmod(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long"), lit(7L))),
+          ("prio", col("o_orderpriority"))),
+        bins = 20, k = 100)
+    }),
+
+    // Pearson standardized residuals for every source×lang cell with a
+    // logistic-approx two-sided p, then Benjamini–Hochberg step-up FDR
+    // at alpha=0.1 — the multiple-testing control q155's single
+    // chi-square can't give. The BH threshold compare is pure integer
+    // (p6*m*10 <= 1e6*rank): no float boundary on either engine.
+    "q254_bh_fdr" -> ((s, dir) => {
+      val tests = operators.Profiler.pearsonResidualTests(
+        t(s, dir, "documents"), "source", "lang")
+      operators.Profiler.bhAdjust(tests, Seq("r", "c"),
+        alphaNum = 1L, alphaDenom = 10L)
+        .select(col("r").as("source"), col("c").as("lang"), col("obs"),
+          col("expected"), col("z"),
+          (col("p6").cast("double") / 1e6).as("p"),
+          col("rank"), col("discovery"))
+    }),
+
+    // Neyman-optimal stratified allocation over sources (budget 200 by
+    // n_chars spread): variance-minimizing counts via exact-integer
+    // largest-remainder rounding, then the house md5-order pick inside
+    // each stratum. The variance-aware complement of q228's max-min
+    // water-fill.
+    "q255_neyman" -> ((s, dir) => {
+      operators.CorpusMix.neymanAllocate(t(s, dir, "documents"), "source",
+        "n_chars", "doc_id", budget = 200L)
+    }),
+
+    // 2-D skyline (Pareto frontier) of orders maximizing price cents
+    // and order recency: bucket-pruned scan (suffix maxima as literals)
+    // before an exact frontier sweep — no global sort of the input.
+    "q256_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long").as("price_c"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      operators.Skyline.skyline2D(o, "price_c", "day")
+        .select(col("x").as("price_c"), col("y").as("day"), col("n_rows"))
+    }),
+
+    // Adamic–Adar link prediction over the co-occurrence graph (the
+    // q129/q139 edge sample — the near-dup graph is all closed cliques,
+    // so it has no distance-2 pairs to predict): non-adjacent pairs
+    // scored by shared-neighbor rarity (1/ln deg, 9dp integer terms) —
+    // shared rare neighbors predict a missing edge, shared hubs don't.
+    "q257_adamic_adar" -> ((s, dir) => {
+      val und = cooccurrenceEdges(t(s, dir, "lineitem"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      operators.Graphs.adamicAdar(und, "u", "v")
+    }),
+
+    // Functional-dependency discovery over orders: four candidate
+    // lhs->rhs pairs, each reporting violating-group/row mass — the
+    // within-table determinism profile complementing q138's
+    // cross-table FK audit.
+    "q258_fd_discovery" -> ((s, dir) => {
+      operators.Validate.fdDiscovery(t(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority")))
+    }),
+
+    // Fano-factor burstiness per event type over hourly counts:
+    // var/mean as ONE exact-integer ratio (n·S2 − S²)/(n·S) — ≈1 for
+    // Poisson traffic, >1 bursty, <1 metronomic; the per-series
+    // complement of q241's per-user gap regularity.
+    "q259_burstiness" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type").as("series"), date_trunc("hour", col("ts")).as("hr"))
+        .groupBy(col("series"), col("hr")).agg(count(lit(1)).as("v"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("v")).as("__s"),
+          sum(col("v") * col("v")).as("__s2"))
+        .select(col("series"), col("n_hours"),
+          (floor(col("__s").cast("double") / col("n_hours").cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("mean_per_hour"),
+          (floor((col("n_hours") * col("__s2") - col("__s") * col("__s"))
+            .cast("double") / (col("n_hours") * col("__s")).cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("fano"))
+    }),
+
+    // Cramér's V association strength for two categorical pairs — the
+    // effect size q155's raw chi-square lacks (chi2 grows with N, V
+    // does not). Exact cells, 6dp integer chi2 terms, one sqrt.
+    "q260_cramers_v" -> ((s, dir) => {
+      operators.Profiler.cramersV(t(s, dir, "orders"),
+          "o_orderstatus", "o_orderpriority")
+        .unionByName(operators.Profiler.cramersV(t(s, dir, "lineitem"),
+          "l_returnflag", "l_linestatus"))
+    }),
+
+    // Mutual information between term presence and source — which words
+    // identify a source (supervised feature selection; the labeled
+    // complement of q87's unsupervised TF-IDF). Doc-level presence
+    // counts, present+absent components on the 6dp grid, top-20.
+    "q261_mi_terms" -> ((s, dir) => {
+      operators.TextIndex.miTermSource(t(s, dir, "documents"), "text",
+        "doc_id", "source", k = 20)
+    }),
+
+    // Conditional transition entropy per user over consecutive
+    // event-type bigrams — how predictable the next action is; the
+    // content-side bot screen pairing with q241's timing regularity.
+    "q262_transition_entropy" -> ((s, dir) => {
+      operators.Paths.transitionEntropy(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type")
+    }),
+
+    // Jensen–Shannon drift per source vs the corpus — symmetric and
+    // bounded (unlike q191's KL), so one threshold works for every
+    // group; full group×bucket smoothed grid, 6dp terms.
+    "q263_jsd_drift" -> ((s, dir) => {
+      operators.Dsir.jsdDrift(t(s, dir, "documents"), "text", "source")
+    }),
+
+    // Cross-correlation between event-type pairs at calendar lags
+    // -3..3 — the lead–lag detector ("clicks lead purchases") q251's
+    // ACF can't see. Exact integer Pearson sums per (pair, lag).
+    "q264_ccf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Seasonal.ccf(daily, maxLag = 3)
+    }),
+
+    // Chao1 species-richness estimate over word 4-gram "species" — how
+    // much vocabulary the corpus has NOT yet shown; the asymptote
+    // complement of q213's Heaps growth curve.
+    "q265_chao1" -> ((s, dir) => {
+      operators.TextIndex.chao1(t(s, dir, "documents"), "text", "doc_id",
+        n = 4)
+    }),
+
+    // Exact ROC AUC of the trained quality model (the q182/q195 model)
+    // against the lang=en label — rank-sum with average-rank tie
+    // handling, pure integer algebra to one division; the
+    // threshold-free discrimination summary completing q195's
+    // calibration view.
+    "q267_roc_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("__y",
+        when(col("lang") === "en", 1).otherwise(0))
+      val (w, b) = operators.QualityModel.train(labeled, "text", "__y",
+        iters = 5, lr = 0.5)
+      val scored = operators.QualityModel.score(docs, "text", w, b)
+        .select(col("doc_id"),
+          floor(col("quality_prob") * lit(1e6) + lit(0.5d)).cast("long")
+            .as("s6"))
+        .join(labeled.select(col("doc_id"), col("__y")), "doc_id")
+      operators.Profiler.rocAuc(scored, "s6", "__y")
+    }),
+
+    // LSH band planner: every (bands, rows) split of a 64-hash budget
+    // scored by its S-curve at the q31 threshold ±0.1 — the sizing
+    // table behind every minhash query's hardcoded (b, r), chosen row
+    // = max separation.
+    "q268_lsh_plan" -> ((s, dir) => {
+      Dedup.lshPlan(t(s, dir, "documents"), sigBudget = 64,
+        threshold = 0.35)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -3485,6 +3686,472 @@ object SparkEntry {
         |      ELSE CAST(substr(pan_candidate, 16 - i, 1) AS INT) END))
         |    % 10 = 0 AS luhn_ok
         |FROM d""".stripMargin,
+
+    "q251_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT series, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1),
+        |lg AS (
+        |  SELECT a.series, l.lag, CAST(sum(a.v * b.v) AS BIGINT) AS p,
+        |    CAST(sum(a.v + b.v) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN daily b ON b.series = a.series
+        |    AND b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1, 2)
+        |SELECT lg.series, CAST(lg.lag AS BIGINT) AS lag, lg.c AS n_pairs,
+        |  CASE WHEN st.n * st.n * st.s2 - st.n * st.s * st.s <> 0 THEN
+        |    floor(CAST(st.n * st.n * lg.p - st.n * st.s * lg.q
+        |        + lg.c * st.s * st.s AS DOUBLE)
+        |      / CAST(st.n * st.n * st.s2 - st.n * st.s * st.s AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS acf
+        |FROM lg JOIN st ON st.series = lg.series""".stripMargin,
+
+    "q252_kaplan_meier" ->
+      """WITH sess AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+        |    epoch_us(ts) AS us
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id)) > 1800000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events)),
+        |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+        |lt AS (
+        |  SELECT CAST((max(us) - min(us)) // 60000000 AS BIGINT) AS dur,
+        |    (max(e.end_us) - max(us) >= 1800000000) AS obs
+        |  FROM sess, e GROUP BY user_id, sid),
+        |perT AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS leaving
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+        |r AS (
+        |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM perT, tot),
+        |r2 AS (
+        |  SELECT *,
+        |    max(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero,
+        |    sum(CASE WHEN n_risk > d THEN
+        |        CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+        |      END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum9
+        |  FROM r)
+        |SELECT t AS t_days, n_risk, d AS n_events,
+        |  CASE WHEN zero = 1 THEN 0.0
+        |    ELSE floor(exp(CAST(cum9 AS DOUBLE) / 1000000000) * 1000000
+        |      + 0.5) / 1000000 END AS survival
+        |FROM r2 WHERE d > 0""".stripMargin,
+
+    "q253_hbos" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS v,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      % 7 AS dow,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx FROM o),
+        |b AS (
+        |  SELECT id, CASE WHEN mx > mn THEN
+        |      least(19, CAST(floor((v - mn) / (mx - mn) * 20) AS BIGINT))
+        |    ELSE 0 END AS bp, dow, prio
+        |  FROM o, st),
+        |cp AS (SELECT bp, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |cd AS (SELECT dow, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |cr AS (SELECT prio, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT b.id,
+        |    CAST(floor(ln(CAST(st.n AS DOUBLE) / CAST(cp.c AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |    + CAST(floor(ln(CAST(st.n AS DOUBLE) / CAST(cd.c AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |    + CAST(floor(ln(CAST(st.n AS DOUBLE) / CAST(cr.c AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS s6
+        |  FROM b JOIN cp USING (bp) JOIN cd USING (dow)
+        |    JOIN cr USING (prio), st)
+        |SELECT id AS o_orderkey, CAST(s6 AS DOUBLE) / 1000000 AS hbos
+        |FROM sc ORDER BY s6 DESC, id LIMIT 100""".stripMargin,
+
+    "q254_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |tz AS (
+        |  SELECT cells.r, cells.c, obs,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS ex
+        |  FROM cells JOIN rt USING (r) JOIN ct USING (c), nn),
+        |t2 AS (
+        |  SELECT r, c, obs,
+        |    floor(ex * 1000000 + 0.5) / 1000000 AS expected,
+        |    floor((CAST(obs AS DOUBLE) - ex) / sqrt(ex) * 1000000 + 0.5)
+        |      / 1000000 AS z,
+        |    CAST(floor(2.0 / (1.0 + exp(1.702
+        |      * abs((CAST(obs AS DOUBLE) - ex) / sqrt(ex)))) * 1000000 + 0.5)
+        |      AS BIGINT) AS p6
+        |  FROM tz),
+        |rk AS (
+        |  SELECT t2.*, CAST(row_number() OVER (ORDER BY p6, r, c) AS BIGINT)
+        |    AS rank, mm.m
+        |  FROM t2, (SELECT CAST(count(*) AS BIGINT) AS m FROM t2) mm),
+        |km AS (SELECT coalesce(max(CASE WHEN p6 * m * 10 <= 1000000 * rank
+        |  THEN rank END), 0) AS kmax FROM rk)
+        |SELECT r AS source, c AS lang, obs, expected, z,
+        |  CAST(p6 AS DOUBLE) / 1000000 AS p, rank, rank <= kmax AS discovery
+        |FROM rk, km""".stripMargin,
+
+    // sigma from exact integer sums, weights N*sigma6, largest-remainder
+    // integer rounding, then the house (md5 hex, id) per-stratum rank
+    "q255_neyman" ->
+      """WITH st AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY 1),
+        |sg AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n_rows * s2 - s * s AS DOUBLE))
+        |    / CAST(n_rows AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sigma6
+        |  FROM st),
+        |w AS (SELECT *, n_rows * sigma6 AS w FROM sg),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |b AS (
+        |  SELECT w.*, CASE WHEN tw > 0 THEN (200 * w) // tw ELSE 0 END AS base,
+        |    CASE WHEN tw > 0 THEN (200 * w) % tw ELSE 0 END AS rem
+        |  FROM w, tw),
+        |ex AS (SELECT 200 - sum(base) AS extra FROM b),
+        |al AS (
+        |  SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |    ex.extra
+        |  FROM b, ex),
+        |a2 AS (
+        |  SELECT stratum, n_rows, sigma6,
+        |    CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM al),
+        |sel AS (
+        |  SELECT d.source AS stratum, d.n_chars,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16),
+        |        d.doc_id) AS rk
+        |  FROM documents d),
+        |pick AS (
+        |  SELECT sel.stratum, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(n_chars) AS BIGINT) AS ssum
+        |  FROM sel JOIN a2 USING (stratum) WHERE sel.rk <= a2.alloc
+        |  GROUP BY 1)
+        |SELECT a2.stratum, a2.n_rows,
+        |  CAST(sigma6 AS DOUBLE) / 1000000 AS sigma, a2.alloc,
+        |  coalesce(pick.n_selected, CAST(0 AS BIGINT)) AS n_selected,
+        |  CASE WHEN coalesce(pick.n_selected, 0) > 0 THEN
+        |    floor(CAST(ssum AS DOUBLE) / CAST(pick.n_selected AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS mean_selected
+        |FROM a2 LEFT JOIN pick USING (stratum)""".stripMargin,
+
+    // frontier via the per-x-max running-max sweep (the exact finish of
+    // the Spark side's bucket-pruned plan)
+    "q256_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |pt AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM p GROUP BY 1, 2),
+        |mx AS (SELECT x, max(y) AS my FROM pt GROUP BY 1),
+        |sw AS (
+        |  SELECT x, my, max(my) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above
+        |  FROM mx)
+        |SELECT pt.x AS price_c, pt.y AS day, pt.n_rows
+        |FROM pt JOIN (SELECT x, my AS y FROM sw
+        |  WHERE above IS NULL OR my > above) f
+        |  ON pt.x = f.x AND pt.y = f.y""".stripMargin,
+
+    "q257_adamic_adar" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN count(*) > 300000 THEN 100
+        |    WHEN count(*) > 30000 THEN 10 ELSE 1 END AS f
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+        |  FROM lineitem, f
+        |  WHERE (l_orderkey * 31 + l_partkey) % f.f = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |sym AS (SELECT u AS a, v AS b FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym GROUP BY 1),
+        |wg AS (
+        |  SELECT x.b AS id_a, y.b AS id_b, x.a AS z
+        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b),
+        |sc AS (
+        |  SELECT wg.id_a, wg.id_b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(CAST(floor(1.0 / ln(CAST(d AS DOUBLE)) * 1000000000
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS s9
+        |  FROM wg JOIN deg USING (z) GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(s9 AS DOUBLE) / 1000000000 AS aa
+        |FROM sc WHERE NOT EXISTS (SELECT 1 FROM und
+        |  WHERE und.u = sc.id_a AND und.v = sc.id_b)""".stripMargin,
+
+    "q258_fd_discovery" ->
+      """WITH c1 AS (SELECT count(DISTINCT o_custkey) AS nd, count(*) AS n
+        |  FROM orders GROUP BY o_orderkey),
+        |c2 AS (SELECT count(DISTINCT o_orderstatus) AS nd, count(*) AS n
+        |  FROM orders GROUP BY o_custkey),
+        |c3 AS (SELECT count(DISTINCT o_orderpriority) AS nd, count(*) AS n
+        |  FROM orders GROUP BY o_custkey),
+        |c4 AS (SELECT count(DISTINCT o_orderpriority) AS nd, count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds FROM c1
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 FROM c2
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 FROM c3
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 FROM c4""".stripMargin,
+
+    "q259_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT series, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT series, n_hours,
+        |  floor(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS mean_per_hour,
+        |  floor(CAST(n_hours * s2 - s * s AS DOUBLE)
+        |    / CAST(n_hours * s AS DOUBLE) * 1000000 + 0.5) / 1000000 AS fano
+        |FROM st""".stripMargin,
+
+    "q260_cramers_v" ->
+      """WITH cells1 AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b2,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |ra1 AS (SELECT a, CAST(sum(obs) AS BIGINT) AS rt FROM cells1 GROUP BY 1),
+        |cb1 AS (SELECT b2, CAST(sum(obs) AS BIGINT) AS ct FROM cells1 GROUP BY 1),
+        |nn1 AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT b2) AS BIGINT) AS c FROM cells1),
+        |t1 AS (
+        |  SELECT CAST(floor((CAST(obs AS DOUBLE) - ex)
+        |    * (CAST(obs AS DOUBLE) - ex) / ex * 1000000 + 0.5) AS BIGINT) AS t6
+        |  FROM (SELECT coalesce(cells1.obs, 0) AS obs,
+        |          CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS ex
+        |        FROM ra1 CROSS JOIN cb1
+        |        LEFT JOIN cells1 USING (a, b2), nn1)),
+        |cells2 AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b2,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra2 AS (SELECT a, CAST(sum(obs) AS BIGINT) AS rt FROM cells2 GROUP BY 1),
+        |cb2 AS (SELECT b2, CAST(sum(obs) AS BIGINT) AS ct FROM cells2 GROUP BY 1),
+        |nn2 AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT b2) AS BIGINT) AS c FROM cells2),
+        |t2 AS (
+        |  SELECT CAST(floor((CAST(obs AS DOUBLE) - ex)
+        |    * (CAST(obs AS DOUBLE) - ex) / ex * 1000000 + 0.5) AS BIGINT) AS t6
+        |  FROM (SELECT coalesce(cells2.obs, 0) AS obs,
+        |          CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS ex
+        |        FROM ra2 CROSS JOIN cb2
+        |        LEFT JOIN cells2 USING (a, b2), nn2))
+        |SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+        |  nn1.n, nn1.r, nn1.c, CAST(sum(t6) AS DOUBLE) / 1000000 AS chi2,
+        |  floor(sqrt((CAST(sum(t6) AS DOUBLE) / 1000000)
+        |    / CAST(nn1.n * least(nn1.r - 1, nn1.c - 1) AS DOUBLE)) * 1000000
+        |    + 0.5) / 1000000 AS v
+        |FROM t1, nn1 GROUP BY nn1.n, nn1.r, nn1.c
+        |UNION ALL
+        |SELECT 'l_returnflag', 'l_linestatus',
+        |  nn2.n, nn2.r, nn2.c, CAST(sum(t6) AS DOUBLE) / 1000000,
+        |  floor(sqrt((CAST(sum(t6) AS DOUBLE) / 1000000)
+        |    / CAST(nn2.n * least(nn2.r - 1, nn2.c - 1) AS DOUBLE)) * 1000000
+        |    + 0.5) / 1000000
+        |FROM t2, nn2 GROUP BY nn2.n, nn2.r, nn2.c""".stripMargin,
+
+    "q261_mi_terms" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT grp, doc_id, term FROM (
+        |    SELECT source AS grp, doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |nts AS (SELECT term, grp, CAST(count(*) AS BIGINT) AS nts
+        |  FROM pres GROUP BY 1, 2),
+        |nt AS (SELECT term, CAST(sum(nts) AS BIGINT) AS nt FROM nts GROUP BY 1),
+        |ns AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS ns
+        |  FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |grid AS (
+        |  SELECT nt.term, nt.nt, ns.grp, ns.ns,
+        |    coalesce(nts.nts, 0) AS c11, ns.ns - coalesce(nts.nts, 0) AS c01,
+        |    nn.nn
+        |  FROM nt CROSS JOIN ns
+        |  LEFT JOIN nts ON nts.term = nt.term AND nts.grp = ns.grp, nn),
+        |t AS (
+        |  SELECT term, nt,
+        |    (CASE WHEN c11 > 0 THEN
+        |      CAST(floor(CAST(c11 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * ln(CAST(c11 * nn AS DOUBLE) / CAST(nt * ns AS DOUBLE))
+        |        * 1000000 + 0.5) AS BIGINT) ELSE 0 END
+        |    + CASE WHEN c01 > 0 AND nn > nt THEN
+        |      CAST(floor(CAST(c01 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * ln(CAST(c01 * nn AS DOUBLE)
+        |          / CAST((nn - nt) * ns AS DOUBLE))
+        |        * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS t6
+        |  FROM grid)
+        |SELECT term, max(nt) AS n_docs, CAST(sum(t6) AS DOUBLE) / 1000000 AS mi
+        |FROM t GROUP BY term ORDER BY sum(t6) DESC, term LIMIT 20""".stripMargin,
+
+    "q262_transition_entropy" ->
+      """WITH bi AS (
+        |  SELECT user_id, event_type AS s, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |cnt AS (SELECT user_id, s, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM bi WHERE t IS NOT NULL GROUP BY 1, 2, 3),
+        |cs AS (SELECT user_id, s, CAST(sum(c) AS BIGINT) AS cs
+        |  FROM cnt GROUP BY 1, 2),
+        |ct AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS ct
+        |  FROM cnt GROUP BY 1),
+        |t6 AS (
+        |  SELECT cnt.user_id, ct,
+        |    CAST(floor(CAST(c AS DOUBLE) / CAST(ct AS DOUBLE)
+        |      * ln(CAST(cs AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS t6
+        |  FROM cnt JOIN cs USING (user_id, s) JOIN ct USING (user_id))
+        |SELECT user_id, max(ct) AS n_transitions,
+        |  CAST(sum(t6) AS DOUBLE) / 1000000 AS cond_entropy
+        |FROM t6 GROUP BY 1""".stripMargin,
+
+    // same hashed-bucket model as q191, full smoothed grid, JS terms
+    "q263_jsd_drift" ->
+      """WITH toks AS (
+        |  SELECT source, t AS term FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bk AS (
+        |  SELECT source AS grp,
+        |    CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 256 AS bk,
+        |    count(*) AS cg
+        |  FROM toks GROUP BY 1, 2),
+        |corpus AS (SELECT bk.bk, sum(cg) AS cc FROM bk GROUP BY 1),
+        |gtot AS (SELECT grp, sum(cg) AS tg FROM bk GROUP BY 1),
+        |ctot AS (SELECT sum(cc) AS tc FROM corpus),
+        |grid AS (
+        |  SELECT g.grp, g.tg, c.bk, c.cc, ct.tc, coalesce(b.cg, 0) AS cg
+        |  FROM gtot g CROSS JOIN corpus c
+        |  LEFT JOIN bk b ON b.grp = g.grp AND b.bk = c.bk
+        |  CROSS JOIN ctot ct),
+        |t AS (
+        |  SELECT grp, tg, round(
+        |    ((cg + 1.0) / (tg + 256.0)) / 2 * ln(((cg + 1.0) / (tg + 256.0))
+        |      / ((((cg + 1.0) / (tg + 256.0))
+        |        + ((cc + 1.0) / (tc + 256.0))) / 2))
+        |    + ((cc + 1.0) / (tc + 256.0)) / 2 * ln(((cc + 1.0) / (tc + 256.0))
+        |      / ((((cg + 1.0) / (tg + 256.0))
+        |        + ((cc + 1.0) / (tc + 256.0))) / 2)), 6) AS t6
+        |  FROM grid)
+        |SELECT grp, CAST(max(tg) AS BIGINT) AS n_tokens,
+        |  round(sum(t6), 6) AS jsd
+        |FROM t GROUP BY grp""".stripMargin,
+
+    "q264_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT a.series AS series_x, b.series AS series_y, l.lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+        |    CAST(sum(a.v) AS BIGINT) AS sx1, CAST(sum(b.v) AS BIGINT) AS sy1,
+        |    CAST(sum(a.v * a.v) AS BIGINT) AS sxx,
+        |    CAST(sum(b.v * b.v) AS BIGINT) AS syy
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        |    AND a.series < b.series
+        |  GROUP BY 1, 2, 3)
+        |SELECT series_x, series_y, CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs >= 3
+        |      AND n_pairs * sxx - sx1 * sx1 > 0
+        |      AND n_pairs * syy - sy1 * sy1 > 0 THEN
+        |    floor(CAST(n_pairs * sxy - sx1 * sy1 AS DOUBLE)
+        |      / sqrt(CAST((n_pairs * sxx - sx1 * sx1)
+        |        * (n_pairs * syy - sy1 * sy1) AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS ccf
+        |FROM g""".stripMargin,
+
+    "q265_chao1" ->
+      """WITH docs AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' '
+        |    || d.toks[t.i + 2] || ' ' || d.toks[t.i + 3] AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 2)) AS i) t
+        |  WHERE len(d.toks) >= 4
+        |  UNION ALL
+        |  SELECT array_to_string(toks, ' ') FROM docs WHERE len(toks) < 4),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS v,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(count(*) AS DOUBLE)
+        |    + floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000
+        |  ELSE CAST(count(*) AS DOUBLE)
+        |    + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE) / 2.0
+        |  END AS chao1
+        |FROM cnt""".stripMargin,
 
     // Funnel: all comparisons in epoch-microseconds, mirroring the Spark
     // side's ns->us truncation (Tables.load `ts div 1000`).
@@ -6991,6 +7658,29 @@ object SparkEntry {
 
     "q195_calibration_bins" -> CalibrationBinsOracle(iters = 5, lr = 0.5),
 
+    "q267_roc_auc" -> RocAucOracle(iters = 5, lr = 0.5),
+
+    "q268_lsh_plan" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT n_docs, CAST(rr.r AS BIGINT) AS r,
+        |    CAST(64 // rr.r AS BIGINT) AS b
+        |  FROM n, (SELECT unnest(range(1, 65)) AS r) rr),
+        |p AS (
+        |  SELECT n_docs, b, r,
+        |    floor((1.0 - power(1.0 - power(0.25, CAST(r AS DOUBLE)),
+        |      CAST(b AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS p_lo,
+        |    floor((1.0 - power(1.0 - power(0.35, CAST(r AS DOUBLE)),
+        |      CAST(b AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS p_at,
+        |    floor((1.0 - power(1.0 - power(0.45, CAST(r AS DOUBLE)),
+        |      CAST(b AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS p_hi
+        |  FROM g WHERE b >= 1),
+        |s AS (SELECT *, floor((p_hi - p_lo) * 1000000 + 0.5) / 1000000
+        |  AS separation FROM p)
+        |SELECT n_docs, b, r, p_lo, p_at, p_hi, separation,
+        |  row_number() OVER (ORDER BY separation DESC, b DESC) = 1 AS chosen
+        |FROM s""".stripMargin,
+
     // rebuilds the identical CMS grid relationally — cell (j,b) = count
     // of rows whose j-th md5-slice hashes there — and takes the same min
     // over each probed key's cells
@@ -8606,6 +9296,34 @@ object SparkEntry {
        |  round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) AS quality_prob,
        |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
        |FROM feats f CROSS JOIN it$iters w""".stripMargin
+  }
+
+  /** Oracle for q267_roc_auc: the same training replay as
+    * [[TrainedQualityOracle]], then the exact rank-sum AUC with
+    * average-rank ties over the 6dp score grid. */
+  private def RocAucOracle(iters: Int, lr: Double): String = {
+    val trained = TrainedQualityOracle(iters, lr)
+    s"""WITH scored AS (
+       |${trained.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |lab AS (
+       |  SELECT CAST(floor(s.quality_prob * 1000000 + 0.5) AS BIGINT) AS s6,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+       |per AS (SELECT s6, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS np FROM lab GROUP BY 1),
+       |cum AS (SELECT *, coalesce(sum(n) OVER (ORDER BY s6
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+       |  FROM per),
+       |agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(n - np) AS BIGINT) AS n_neg,
+       |  CAST(sum(np * (2 * cp + n + 1)) AS BIGINT) AS r2 FROM cum)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |  END AS auc
+       |FROM agg""".stripMargin
   }
 
   /** Oracle body for q188 — also nested by q200's savings oracle. */

@@ -390,6 +390,71 @@ object CorpusMix {
     * GB). A literal global sort would funnel the corpus through one
     * ordering stage; this never materializes any order wider than a
     * shard. */
+  /** Neyman-optimal stratified sample allocation: stratum h gets
+    * `budget * N_h*sigma_h / Σ N*sigma` draws — variance-minimizing for
+    * a fixed budget (Neyman 1934), vs the max-min fairness of
+    * `waterFillLevel` (q228): spread-out strata earn MORE budget, not
+    * just large ones. Selection inside each stratum follows the house
+    * run-stable hash order (md5 hex, id tie-break).
+    *
+    * Portable integer algebra end-to-end: sigma lands on the 6dp grid
+    * from exact integer sums (`sqrt(n*S2 - S²)/n`), weights are
+    * `N_h * sigma6`, and the rounding is largest-remainder — base
+    * shares by integer floor-division, the leftover seats by integer
+    * remainder rank (ties by stratum name) — so allocations sum to
+    * exactly `budget` with no float boundary anywhere. Allocations are
+    * capped at the stratum size (no redistribution — undersized strata
+    * report `n_selected < alloc`).
+    *
+    * Scale: stratum stats are one map-side-combined groupBy (output
+    * bounded by #strata); the largest-remainder pass runs entirely on
+    * that bounded table; selection is one per-stratum window rank over
+    * the data partitioned by stratum. */
+  def neymanAllocate(df: DataFrame, stratumCol: String, valueCol: String,
+                     idCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val strata = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("__s"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("__s2"))
+      .withColumn("__sigma6",
+        floor(sqrt((col("n_rows") * col("__s2") - col("__s") * col("__s"))
+          .cast("double")) / col("n_rows").cast("double") * lit(1e6)
+          + lit(0.5d)).cast("long"))
+      .withColumn("__w", col("n_rows") * col("__sigma6"))
+    val tw = strata.agg(sum(col("__w")).as("__tw"))
+    val based = strata.join(broadcast(tw))
+      .withColumn("__base", when(col("__tw") > 0L,
+        expr(s"($budget * __w) div __tw")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__tw") > 0L,
+        expr(s"($budget * __w) % __tw")).otherwise(lit(0L)))
+    val extra = based.agg((lit(budget) - sum(col("__base"))).as("__extra"))
+    val wRem = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    val alloc = based.join(broadcast(extra))
+      .withColumn("__rk", row_number().over(wRem).cast("long"))
+      .withColumn("alloc", col("__base")
+        + when(col("__rk") <= col("__extra"), 1L).otherwise(0L))
+    val wSel = Window.partitionBy(col(stratumCol))
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 16).asc,
+        col(idCol).asc)
+    val picked = df
+      .withColumn("__sel_rk", row_number().over(wSel).cast("long"))
+      .join(broadcast(alloc.select(col("stratum"), col("alloc"))),
+        col(stratumCol) === col("stratum"))
+      .filter(col("__sel_rk") <= col("alloc"))
+      .groupBy(col("stratum").as("__g"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col(valueCol).cast("long")).as("__sel_sum"))
+    alloc.join(picked, col("stratum") === col("__g"), "left")
+      .select(col("stratum"), col("n_rows"),
+        (col("__sigma6").cast("double") / 1e6).as("sigma"),
+        col("alloc"), coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(coalesce(col("n_selected"), lit(0L)) > 0L,
+          floor(col("__sel_sum").cast("double")
+            / col("n_selected").cast("double") * lit(1e6) + lit(0.5d))
+            / lit(1e6)).as("mean_selected"))
+  }
+
   def shardedTrainingOrder(df: DataFrame, keyCol: String, idCol: String,
                            nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")

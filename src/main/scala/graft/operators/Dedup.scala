@@ -953,4 +953,38 @@ object Dedup {
         coalesce(col("n_known_chunks"), lit(0L)).as("n_known_chunks"),
         coalesce(col("n_known_tokens"), lit(0L)).as("n_known_tokens"))
   }
+
+  /** LSH band planner: for a signature budget of `sigBudget` hashes and
+    * a target Jaccard `threshold`, score every (bands, rowsPerBand)
+    * split with `b*r <= sigBudget` by its S-curve
+    * `p(s) = 1 - (1 - s^r)^b` — collision probability at the
+    * threshold, at threshold±0.1 (the false-positive / false-negative
+    * shoulders), and the separation `p_hi - p_lo` that a good plan
+    * maximizes. The chosen row is the max-separation split (ties to
+    * more bands = fewer rows each). The corpus size rides along from
+    * one count so the table reads as "at THIS corpus, these are the
+    * knobs" — the sizing companion every minhash query (q31, q81)
+    * otherwise hardcodes. Plan grid is `sigBudget` rows via explode —
+    * no collect, no data-sized work beyond the count. */
+  def lshPlan(df: DataFrame, sigBudget: Int, threshold: Double): DataFrame = {
+    require(sigBudget >= 2 && sigBudget <= 4096, "sigBudget in [2, 4096]")
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0,1)")
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val grid6 = (c: Column) => floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    def pAt(s: Double) = grid6(lit(1.0d)
+      - pow(lit(1.0d) - pow(lit(s), col("r").cast("double")),
+        col("b").cast("double")))
+    val lo = math.max(threshold - 0.1, 0.01)
+    val hi = math.min(threshold + 0.1, 0.99)
+    val plans = n
+      .withColumn("r", explode(sequence(lit(1), lit(sigBudget))))
+      .withColumn("b", (lit(sigBudget) / col("r")).cast("long"))
+      .filter(col("b") >= 1L)
+      .select(col("n_docs"), col("b"), col("r").cast("long").as("r"),
+        pAt(lo).as("p_lo"), pAt(threshold).as("p_at"), pAt(hi).as("p_hi"))
+      .withColumn("separation", grid6(col("p_hi") - col("p_lo")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("separation").desc, col("b").desc)
+    plans.withColumn("chosen", row_number().over(w) === 1)
+  }
 }

@@ -154,6 +154,40 @@ object Dsir {
       .select(col("grp"), col("n_tokens"), col("kl"))
   }
 
+  /** Jensen–Shannon drift per group against the whole corpus — the
+    * SYMMETRIC, [0, ln 2]-bounded complement of `klDrift`: KL explodes
+    * on mass the reference lacks, JSD stays finite and comparable
+    * across groups, so it is the one to threshold in a drift gate.
+    * Same hashed-bucket token model as klDrift, but on the FULL
+    * group×bucket grid (every observed corpus bucket joins every
+    * group, the psiDrift shape) with Laplace-smoothed p/q,
+    * `M = (P+Q)/2`, and `Σ p/2·ln(p/m) + q/2·ln(q/m)` as 6dp-rounded
+    * terms. Grid size is groups × buckets — bounded, never data-sized. */
+  def jsdDrift(df: DataFrame, textCol: String, groupCol: String,
+               buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets must be in [2, 2^20]")
+    val bk = df.select(col(groupCol).as("grp"),
+        explode(toks(textCol)).as("term"))
+      .select(col("grp"), bucketOf(col("term"), buckets).as("bk"))
+      .groupBy(col("grp"), col("bk")).agg(count(lit(1)).as("cg"))
+    val corpus = bk.groupBy(col("bk")).agg(sum(col("cg")).as("cc"))
+    val gtot = bk.groupBy(col("grp")).agg(sum(col("cg")).as("tg"))
+    val ctot = corpus.agg(sum(col("cc")).as("tc"))
+    val b = lit(buckets.toDouble)
+    val grid = gtot.crossJoin(broadcast(corpus))
+      .join(bk, Seq("grp", "bk"), "left")
+      .crossJoin(broadcast(ctot))
+      .withColumn("__cg", coalesce(col("cg"), lit(0L)))
+    val p = (col("__cg") + 1.0) / (col("tg") + b)
+    val q = (col("cc") + 1.0) / (col("tc") + b)
+    val m = (p + q) / 2.0
+    val term = p / 2.0 * log(p / m) + q / 2.0 * log(q / m)
+    grid.withColumn("__t6", round(term, 6))
+      .groupBy(col("grp"))
+      .agg(max(col("tg")).as("n_tokens"), round(sum(col("__t6")), 6).as("jsd"))
+      .select(col("grp"), col("n_tokens"), col("jsd"))
+  }
+
   /** POPULATION STABILITY INDEX per group over a NUMERIC column — the
     * MLOps-standard drift gate (PSI < 0.1 stable, > 0.25 act), here
     * against exact corpus deciles:

@@ -245,4 +245,36 @@ object Graphs {
       .select(col("node"), col("deg").isNotNull.as("in_core"),
         coalesce(col("deg"), lit(0L)).as("core_deg"))
   }
+
+  /** Adamic–Adar link prediction over the near-dup graph: for every
+    * non-adjacent pair at distance 2, score
+    * `Σ_z∈N(a)∩N(b) 1/ln(deg z)` — shared RARE neighbors predict a
+    * missing edge far more than shared hubs, so a high-AA non-edge is
+    * "these two clusters are probably one" (a band the LSH missed) or
+    * a candidate blocklist expansion.
+    *
+    * Plan: symmetrize, one self-join on the shared-neighbor key (the
+    * wedge join — the same shape as triangle counting, shuffled on z),
+    * per-neighbor 9dp-grid `1/ln(deg)` terms summed as integers, then
+    * an anti-join drops pairs that are already edges. Output is bounded
+    * by the wedge count of the (already-thresholded) graph. Degree-1
+    * neighbors cannot appear as wedge centers, so `ln(deg) >= ln 2` —
+    * no division hazard. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("a").as("z"), col("b").as("id_a"))
+      .join(sym.select(col("a").as("z"), col("b").as("id_b")), Seq("z"))
+      .filter(col("id_a") < col("id_b"))
+      .join(deg, Seq("z"))
+      .withColumn("__t9", floor(lit(1.0d) / log(col("d").cast("double"))
+        * lit(1e9) + lit(0.5d)).cast("long"))
+    wedges.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__t9")).as("__s9"))
+      .join(e, col("id_a") === col("a") && col("id_b") === col("b"),
+        "left_anti")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("__s9").cast("double") / 1e9).as("aa"))
+  }
 }

@@ -39,6 +39,36 @@ object Paths {
           * lit(1e6) + lit(0.5d)) / lit(1e6))
   }
 
+  /** Conditional transition entropy per user, `H(next | current) =
+    * Σ_{s,t} c(s,t)/C · ln(c(s,·)/c(s,t))` over consecutive event-type
+    * bigrams — how PREDICTABLE a user's next action is. Near-zero means
+    * a deterministic loop (the content-side complement of q241's timing
+    * regularity: a bot can jitter its clock but still walks the same
+    * cycle). Exact integer counts, one 6dp-grid term per observed
+    * bigram, integer sum; output one row per user with >= 1
+    * transition. One windowed pass partitioned by user, then bounded
+    * per-user aggregates. */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val bi = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(userCol).as("user"), col(typeCol).as("s"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val fromTot = bi.groupBy(col("user"), col("s")).agg(sum(col("c")).as("cs"))
+    val userTot = bi.groupBy(col("user")).agg(sum(col("c")).as("ct"))
+    bi.join(fromTot, Seq("user", "s")).join(userTot, Seq("user"))
+      .withColumn("__t6",
+        floor(col("c").cast("double") / col("ct").cast("double")
+          * log(col("cs").cast("double") / col("c").cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long"))
+      .groupBy(col("user").as("user_id"))
+      .agg(max(col("ct")).as("n_transitions"), sum(col("__t6")).as("__h6"))
+      .select(col("user_id"), col("n_transitions"),
+        (col("__h6").cast("double") / 1e6).as("cond_entropy"))
+  }
+
   /** Top-k opening paths: the first `depth` event types of each user's
     * timeline joined with '>', counted and ranked (ties break on the
     * path string). Users with fewer than `depth` events report their

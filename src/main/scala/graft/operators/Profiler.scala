@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,5 +240,163 @@ object Profiler {
       .withColumn("mean_w", floor(m * lit(1e6) + lit(0.5d)) / lit(1e6))
       .withColumn("z", z)
       .withColumn("is_anomaly", abs(col("z")) >= threshold)
+  }
+
+  /** HBOS (histogram-based outlier score, Goldstein & Dengel 2012):
+    * per feature, bin the value and score `ln(N / count(bin))` — rare
+    * bins are surprising; the row score is the sum over independent
+    * features. The multivariate screen that needs NO pairwise distances
+    * (vs q91's cluster-confined search): per feature one bounded
+    * groupBy (numeric features share a single min/max aggregate) and
+    * one broadcast join back, so the whole thing is scan + broadcast —
+    * no data-sized shuffle at any scale. Top-k by (score desc, id) via
+    * sort-limit (`TakeOrderedAndProject`).
+    *
+    * `numFeatures` get equi-width `bins` over their observed [min,max]
+    * (degenerate range -> one bin); `catFeatures` are (name, expr)
+    * used as-is. Each ln term lands on the 6dp grid before summing. */
+  def hbosTopK(df: DataFrame, idCol: String, numFeatures: Seq[String],
+               catFeatures: Seq[(String, Column)], bins: Int = 20,
+               k: Int = 100): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    require(numFeatures.nonEmpty || catFeatures.nonEmpty, "need features")
+    val rangeAgg = df.agg(count(lit(1)).as("__n"),
+      numFeatures.flatMap(f => Seq(min(col(f)).cast("double").as(s"__mn_$f"),
+        max(col(f)).cast("double").as(s"__mx_$f"))): _*)
+    val base = df.join(broadcast(rangeAgg))
+    val binned = numFeatures.foldLeft(base) { (d, f) =>
+      d.withColumn(s"__b_$f",
+        when(col(s"__mx_$f") > col(s"__mn_$f"),
+          least(lit(bins - 1).cast("long"),
+            floor((col(f).cast("double") - col(s"__mn_$f"))
+              / (col(s"__mx_$f") - col(s"__mn_$f")) * bins).cast("long")))
+          .otherwise(lit(0L)))
+    }
+    val withCats = catFeatures.foldLeft(binned) { case (d, (name, e)) =>
+      d.withColumn(s"__b_$name", e) }
+    val featNames = numFeatures ++ catFeatures.map(_._1)
+    val scored = featNames.foldLeft(withCats) { (d, f) =>
+      val counts = d.groupBy(col(s"__b_$f")).agg(count(lit(1)).as(s"__c_$f"))
+      d.join(broadcast(counts), Seq(s"__b_$f"))
+    }
+    val score6 = featNames.map(f =>
+      floor(log(col("__n").cast("double") / col(s"__c_$f").cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long")).reduce(_ + _)
+    scored.withColumn("__s6", score6)
+      .orderBy(col("__s6").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), (col("__s6").cast("double") / 1e6).as("hbos"))
+  }
+
+  /** Pearson standardized residuals for every (row, col) contingency
+    * cell — `z = (obs - exp)/sqrt(exp)`, `exp = rowTot*colTot/N` — with
+    * a logistic-approximation two-sided p-value
+    * `p = 2/(1 + exp(1.702*|z|))` so no erf is needed on either
+    * engine. All from ONE count aggregation (cell counts; margins are
+    * re-aggregated from the cells, never a second scan); z and p land
+    * on the 6dp grid. Output one row per observed cell. */
+  def pearsonResidualTests(df: DataFrame, rowCol: String,
+                           colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy(col("r")).agg(sum(col("obs")).as("rt"))
+    val colsT = cells.groupBy(col("c")).agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    val ex = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    val z = (col("obs").cast("double") - ex) / sqrt(ex)
+    cells.join(broadcast(rows), Seq("r")).join(broadcast(colsT), Seq("c"))
+      .join(broadcast(n))
+      .withColumn("expected", floor(ex * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .withColumn("z", floor(z * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .withColumn("p6", floor(lit(2.0d)
+        / (lit(1.0d) + exp(lit(1.702d) * abs(z))) * lit(1e6) + lit(0.5d))
+        .cast("long"))
+      .select(col("r"), col("c"), col("obs"), col("expected"), col("z"),
+        col("p6"))
+  }
+
+  /** Cramér's V association strength between two categorical columns —
+    * the EFFECT SIZE the raw chi-square (q155) lacks: chi2 grows with N
+    * even for trivial association, V ∈ [0,1] does not. One exact cell
+    * aggregation (margins re-aggregated from cells), 6dp-grid chi2
+    * terms summed as integers, then `V = sqrt(chi2 / (N*min(r-1,c-1)))`
+    * as one portable IEEE sequence. Output: a single row. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val ex = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    val t6 = floor((col("__obs").cast("double") - ex)
+      * (col("__obs").cast("double") - ex) / ex * lit(1e6) + lit(0.5d))
+      .cast("long")
+    // chi2 runs over the FULL r×c margin grid — zero cells contribute
+    // exp, and a deterministic mapping is mostly zero cells
+    ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("__obs", coalesce(col("obs"), lit(0L)))
+      .join(broadcast(n))
+      .withColumn("__t6", t6)
+      .agg(max(col("n")).as("n"), max(col("r")).as("r"), max(col("c")).as("c"),
+        sum(col("__t6")).as("__chi6"))
+      .select(lit(aCol).as("col_a"), lit(bCol).as("col_b"),
+        col("n"), col("r"), col("c"),
+        (col("__chi6").cast("double") / 1e6).as("chi2"),
+        (floor(sqrt((col("__chi6").cast("double") / lit(1e6))
+          / (col("n") * least(col("r") - 1L, col("c") - 1L)).cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("v"))
+  }
+
+  /** Exact ROC AUC from a 6dp-grid score column — the rank-sum
+    * (Mann–Whitney U) form with average ranks for ties, so the result
+    * is EXACT integer algebra until one final division:
+    * `AUC = (ΣR2_pos - n_pos(n_pos+1)) / (2·n_pos·n_neg)` where per
+    * distinct score `R2 = n_pos_s·(2·cumBelow + n_s + 1)` (twice the
+    * average rank mass). Runs aggregate-then-window: one groupBy on
+    * the score grid (bounded by 1e6 distinct scores, never rows), a
+    * tiny cumulative window, three scalars out. The threshold-free
+    * discrimination summary completing calibration (q195). */
+  def rocAuc(df: DataFrame, score6Col: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(score6Col).as("s6"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"))
+    val wPrev = Window.orderBy(col("s6").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("cp", coalesce(sum(col("n")).over(wPrev), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cp") + col("n") + 1L)).as("__r2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          floor((col("__r2") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("auc"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a (tiny, aggregated)
+    * table of tests with a 6dp-grid `p6` column: rank p ascending
+    * (ties by the test key), find the largest rank r with
+    * `p_r <= alpha * r / m`, flag ranks <= r as discoveries. The
+    * threshold comparison is PURE INTEGER (`p6 * m * denom <= num *
+    * 1e6 * r` with alpha = num/denom) — no float boundary anywhere.
+    * Runs aggregate-then-window: the input is one row per test, never
+    * raw data. */
+  def bhAdjust(tests: DataFrame, keyCols: Seq[String],
+               alphaNum: Long, alphaDenom: Long): DataFrame = {
+    require(alphaNum > 0 && alphaDenom > 0 && alphaNum < alphaDenom,
+      "alpha must be in (0,1) as num/denom")
+    val w = Window.orderBy(col("p6").asc +: keyCols.map(col(_).asc): _*)
+    val ranked = tests
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(tests.agg(count(lit(1)).as("m"))))
+      .withColumn("__pass",
+        col("p6") * col("m") * lit(alphaDenom) <= lit(alphaNum * 1000000L) * col("rank"))
+    val kmax = ranked.agg(coalesce(max(when(col("__pass"), col("rank"))), lit(0L))
+      .as("__kmax"))
+    ranked.join(broadcast(kmax))
+      .withColumn("discovery", col("rank") <= col("__kmax"))
+      .drop("__pass", "__kmax", "m")
   }
 }

@@ -276,4 +276,86 @@ object Seasonal {
         (col("slope6").cast("double") / lit(1e6)).as("slope"),
         (col("b6m").cast("double") / lit(1e6)).as("intercept"))
   }
+
+  /** Sample autocorrelation per series at calendar lags 1..maxLag —
+    * the seasonality detector that complements the fixed-period
+    * decomposition (q189): a weekly cycle shows as an r_7 spike without
+    * assuming the period up front.
+    *
+    * Exact-integer algebra: with S = Σx, S2 = Σx², P_k = Σ x_t·x_{t+k},
+    * Q_k = Σ(x_t + x_{t+k}) and c_k pairs at lag k, the mean-centered
+    * sums scale by n² into pure integers
+    *   num_k = n²·P_k − n·S·Q_k + c_k·S²,   den = n²·S2 − n·S²
+    * so both engines divide the SAME two integers — one IEEE division
+    * onto the 6dp grid, no running float accumulation. Lag pairs come
+    * from one equi-join on (series, day + k) with k exploded, so
+    * partial days / gaps simply drop pairs (calendar lags, not row
+    * lags). A constant series (den = 0) yields null acf.
+    *
+    * Scale: everything runs over the AGGREGATED daily rows (bounded by
+    * calendar × series, never raw events); the join shuffles on
+    * (series, day). Integer overflow needs n²·Σx² ≳ 2⁶³ — at 30-day
+    * windows that means ~10⁹-per-day counts; re-bucket to wider periods
+    * before that. Input: (series, day, v); output one row per
+    * (series, lag). */
+  /** Cross-correlation between every pair of series at calendar lags
+    * -maxLag..maxLag — the lead–lag detector ("clicks lead purchases
+    * by 2 days") ACF can't see. Pearson correlation over lag-PAIRED
+    * samples: all five sums are exact integers per (pair, lag), the
+    * one float step is `num / sqrt(d1*d2)` onto the 6dp grid.
+    * `ccf(x,y,k) = ccf(y,x,-k)`, so only `series_x < series_y` pairs
+    * emit. Runs on aggregated daily rows (one equi-join on
+    * (day+lag)); `d1*d2` needs < 2^63 — at daily counts that holds to
+    * ~10⁴/day per series; wider periods beyond. A lag with < 3
+    * overlapping days or a constant side yields null. */
+  def ccf(daily: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val a = daily.select(col("series").as("sx"), col("day"), col("v").as("x"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+    val b = daily.select(col("series").as("sy"), col("day").as("day_b"),
+      col("v").as("y"))
+    val g = a.join(b, Seq("day_b")).filter(col("sx") < col("sy"))
+      .groupBy(col("sx").as("series_x"), col("sy").as("series_y"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx1"), sum(col("y")).as("sy1"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = g("n_pairs") * col("sxy") - col("sx1") * col("sy1")
+    val d1 = g("n_pairs") * col("sxx") - col("sx1") * col("sx1")
+    val d2 = g("n_pairs") * col("syy") - col("sy1") * col("sy1")
+    g.select(col("series_x"), col("series_y"), col("lag").cast("long").as("lag"),
+      col("n_pairs"),
+      when(col("n_pairs") >= 3L && d1 > 0L && d2 > 0L,
+        floor(num.cast("double") / sqrt((d1 * d2).cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6))
+        .otherwise(lit(null).cast("double")).as("ccf"))
+  }
+
+  def acf(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val stats = daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+    val a = daily.select(col("series"), col("day"), col("v").as("xa"))
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+    val b = daily.select(col("series"), col("day").as("day_b"),
+      col("v").as("xb"))
+    val lagged = a.join(b, Seq("series", "day_b"))
+      .groupBy(col("series"), col("lag"))
+      .agg(sum(col("xa") * col("xb")).as("p"),
+        sum(col("xa") + col("xb")).as("q"),
+        count(lit(1)).as("c"))
+    lagged.join(stats, Seq("series"))
+      .select(col("series"), col("lag").cast("long").as("lag"),
+        col("c").as("n_pairs"),
+        when(col("n") * col("n") * col("s2") - col("n") * col("s") * col("s") =!= 0L,
+          floor((col("n") * col("n") * col("p")
+              - col("n") * col("s") * col("q")
+              + col("c") * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("s2")
+              - col("n") * col("s") * col("s")).cast("double")
+            * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+  }
 }

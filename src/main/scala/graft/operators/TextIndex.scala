@@ -368,4 +368,77 @@ object TextIndex {
             / col("n_tokens").cast("double"))
           * lit(1e6) + lit(0.5d)) / lit(1e6)).as("entropy"))
   }
+
+  /** Mutual information between term PRESENCE and a document group —
+    * the supervised feature-selection screen (which words identify a
+    * source?): for each term t, `MI_t = Σ_s Σ_{present,absent}
+    * p(x,s) ln(p(x,s)/(p(x)p(s)))` over doc-level presence. All
+    * probabilities are ratios of exact integer counts; each of the two
+    * per-source components lands on the 6dp grid before an integer
+    * sum, so the top-k order is engine-portable.
+    *
+    * Scale: presence counts are one distinct-explode aggregation
+    * shuffled on (term, group); the term×group grid is a JOIN of the
+    * two bounded aggregates (never a driver collect); top-k is a
+    * sort-limit. */
+  def miTermSource(df: DataFrame, textCol: String, idCol: String,
+                   groupCol: String, k: Int = 20): DataFrame = {
+    val pres = df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        explode(array_distinct(split(lower(col(textCol)), "[^a-z0-9]+")))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val nts = pres.groupBy(col("term"), col("grp")).agg(count(lit(1)).as("nts"))
+    val nt = nts.groupBy(col("term")).agg(sum(col("nts")).as("nt"))
+    val ns = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("ns"))
+    val nn = df.agg(count(lit(1)).as("nn"))
+    val grid = nt.crossJoin(broadcast(ns))
+      .join(nts, Seq("term", "grp"), "left")
+      .join(broadcast(nn))
+      .withColumn("c11", coalesce(col("nts"), lit(0L)))
+      .withColumn("c01", col("ns") - coalesce(col("nts"), lit(0L)))
+    val t1 = when(col("c11") > 0L,
+      floor(col("c11").cast("double") / col("nn").cast("double")
+        * log((col("c11") * col("nn")).cast("double")
+          / (col("nt") * col("ns")).cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long")).otherwise(lit(0L))
+    val t0 = when(col("c01") > 0L && col("nn") > col("nt"),
+      floor(col("c01").cast("double") / col("nn").cast("double")
+        * log((col("c01") * col("nn")).cast("double")
+          / ((col("nn") - col("nt")) * col("ns")).cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long")).otherwise(lit(0L))
+    grid.withColumn("__t6", t1 + t0)
+      .groupBy(col("term"))
+      .agg(max(col("nt")).as("n_docs"), sum(col("__t6")).as("__mi6"))
+      .orderBy(col("__mi6").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("n_docs"),
+        (col("__mi6").cast("double") / 1e6).as("mi"))
+  }
+
+  /** Chao1 species-richness estimator over word n-gram "species":
+    * `V + V1²/(2·V2)` (bias-corrected `V + V1(V1-1)/2` when no
+    * doubletons) — how much vocabulary the corpus has NOT yet shown,
+    * the asymptote complement of Heaps' growth curve (q213). One
+    * n-gram count aggregation, then three scalars. */
+  def chao1(df: DataFrame, textCol: String, idCol: String,
+            n: Int = 4): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df.select(
+        graft.expressions.ShingleExpr.shinglesAll(lower(col(textCol)), n)
+          .as("gs"))
+      .select(explode(col("gs")).as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("v"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("v2"))
+      .select(col("v"), col("v1"), col("v2"),
+        when(col("v2") > 0L,
+          col("v").cast("double") + floor(
+            (col("v1") * col("v1")).cast("double")
+              / (lit(2L) * col("v2")).cast("double") * lit(1e6) + lit(0.5d))
+            / lit(1e6))
+          .otherwise(col("v").cast("double")
+            + (col("v1") * (col("v1") - 1L)).cast("double") / 2.0d)
+          .as("chao1"))
+  }
 }

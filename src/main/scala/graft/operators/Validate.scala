@@ -149,4 +149,29 @@ object Validate {
     if (groupCols.isEmpty) mixed.agg(aggs.head, aggs.tail: _*)
     else mixed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Functional-dependency discovery (profiling): for each candidate
+    * `lhs -> rhs`, does every lhs value map to exactly one rhs? Reports
+    * how badly it fails — violating lhs groups and the row mass inside
+    * them — because "almost-FDs" are the interesting ones (a 99.9% FD
+    * with 12 violating keys is a data-quality bug; a 60% one is just
+    * not a dependency). Complements fkAudit (q138): that checks
+    * referential integrity ACROSS tables, this checks determinism
+    * WITHIN one.
+    *
+    * One exact `countDistinct` aggregation per candidate, each shuffled
+    * on its own lhs; output is one row per candidate. */
+  def fdDiscovery(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need candidate column pairs")
+    candidates.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs).as("__k"))
+        .agg(countDistinct(col(rhs)).as("__nd"), count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1L, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when(col("__nd") > 1L, col("__n")).otherwise(0L)).as("n_violating_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"), col("n_groups"),
+          col("n_violating_groups"), col("n_violating_rows"),
+          (col("n_violating_groups") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

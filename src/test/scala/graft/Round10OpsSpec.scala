@@ -42,4 +42,177 @@ class Round10OpsSpec extends SparkSpec {
     assert(r(2L) == (4L, 0L, 0L, false))
     assert(r(3L) == (3L, 3L, 0L, false), "pure Cyrillic is not a spoof")
   }
+
+  test("acf: a period-2 alternating series spikes negative at lag 1, positive at lag 2") {
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val daily = (0 until 20).map(i =>
+      ("s", java.sql.Date.valueOf(base.plusDays(i)),
+        if (i % 2 == 0) 10L else 2L)).toDF("series", "day", "v")
+    val r = graft.operators.Seasonal.acf(daily, maxLag = 2)
+      .select("lag", "acf").as[(Long, Option[Double])].collect().toMap
+    assert(r(1L).get < -0.9, s"alternation anti-correlates at lag 1: ${r(1L)}")
+    assert(r(2L).get > 0.85, s"period 2 re-correlates at lag 2: ${r(2L)}")
+    val const = (0 until 10).map(i =>
+      ("c", java.sql.Date.valueOf(base.plusDays(i)), 5L)).toDF("series", "day", "v")
+    val rc = graft.operators.Seasonal.acf(const, maxLag = 1)
+      .select("acf").as[Option[Double]].collect()
+    assert(rc.forall(_.isEmpty), "constant series: zero variance -> null acf")
+  }
+
+  test("kaplan-meier: censored subjects stay at risk but add no death") {
+    // durations: deaths at 1 (2 of 5 at risk), censor at 2, death at 3
+    // (1 of 2 at risk)
+    val lt = Seq((1L, 1L, true), (2L, 1L, true), (3L, 2L, false),
+      (4L, 3L, true), (5L, 3L, false)).toDF("subject", "duration_min", "observed")
+    val r = graft.operators.Survival.kaplanMeier(lt, durationCol = "duration_min")
+      .select("t_days", "n_risk", "n_events", "survival")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq == Seq((1L, 5L, 2L), (3L, 2L, 1L)),
+      "only event times emitted; the t=2 censor holds the risk set at 2 for t=3")
+    assert(math.abs(r(0)._4 - 0.6) < 1e-6, "S(1) = 1 - 2/5")
+    assert(math.abs(r(1)._4 - 0.3) < 1e-6, "S(3) = 0.6 * (1 - 1/2)")
+  }
+
+  test("hbos: the rare-bin row wins the outlier ranking") {
+    val rows = (1 to 99).map(i => (i.toLong, 10.0 + (i % 10) * 0.1, "common")) :+
+      (100L, 1000.0, "rare")
+    val df = rows.toDF("id", "v", "cat")
+    val top = graft.operators.Profiler.hbosTopK(df, "id",
+      numFeatures = Seq("v"), catFeatures = Seq(("cat", col("cat"))),
+      bins = 10, k = 3).select("id").as[Long].collect()
+    assert(top.head == 100L, "lone extreme value + lone category scores highest")
+  }
+
+  test("benjamini-hochberg: step-up keeps everything below the largest passing rank") {
+    // m=4, alpha=1/10: thresholds r/40 = .025 .05 .075 .1
+    // p = .001 .07 .06 .5 -> sorted .001 .06 .07 .5; rank3 p=.07<=.075
+    // passes, so ranks 1..3 are discoveries even though rank2 (.06>.05)
+    // fails its own threshold — the step-up subtlety.
+    val tests = Seq(("a", 1000L), ("b", 70000L), ("c", 60000L), ("d", 500000L))
+      .toDF("k", "p6")
+    val r = graft.operators.Profiler.bhAdjust(tests, Seq("k"), 1L, 10L)
+      .select("k", "discovery").as[(String, Boolean)].collect().toMap
+    assert(r == Map("a" -> true, "b" -> true, "c" -> true, "d" -> false))
+  }
+
+  test("neyman: allocations sum to budget and favor the high-variance stratum") {
+    val rows = (1 to 50).map(i => ("flat", i.toLong, 100L)) ++
+      (51 to 100).map(i => ("spread", i.toLong, if (i % 2 == 0) 10L else 500L))
+    val df = rows.toDF("src", "id", "v")
+    val r = graft.operators.CorpusMix.neymanAllocate(df, "src", "v", "id", 30L)
+      .select("stratum", "alloc", "n_selected").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r.values.map(_._1).sum == 30L, "largest-remainder sums exactly to budget")
+    assert(r("spread")._1 == 30L && r("flat")._1 == 0L,
+      "zero-variance stratum earns nothing under Neyman")
+    assert(r("spread")._2 == 30L, "selection honors the allocation")
+  }
+
+  test("skyline: dominated points drop, ties and duplicate points survive") {
+    val pts = Seq((10L, 1L), (5L, 5L), (5L, 5L), (1L, 10L),
+      (4L, 4L), (10L, 1L), (2L, 5L)).toDF("x", "y")
+    val r = graft.operators.Skyline.skyline2D(pts, "x", "y", buckets = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // (4,4) dominated by (5,5); (2,5) dominated by (5,5); dups counted
+    assert(r == Set((10L, 1L, 2L), (5L, 5L, 2L), (1L, 10L, 1L)))
+  }
+
+  test("adamic-adar: rare shared neighbor outscores hub, edges excluded") {
+    // path 1-2-3 plus hub 9 connected to 4,5,6,7: pair (1,3) shares the
+    // degree-2 node 2; pairs under the hub share only degree-4 node 9
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 4L), (9L, 5L), (9L, 6L), (9L, 7L))
+      .toDF("u", "v")
+    val r = graft.operators.Graphs.adamicAdar(edges, "u", "v")
+      .select("id_a", "id_b", "aa").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(r((1L, 3L)) - 1.0 / math.log(2.0)) < 1e-6)
+    assert(r((4L, 5L)) < r((1L, 3L)), "hub-mediated pairs score lower")
+    assert(!r.contains((1L, 2L)), "existing edges are never predicted")
+  }
+
+  test("fd discovery: a real dependency holds, a violated one reports its mass") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "b", "z"))
+      .toDF("id", "k", "v")
+    val r = graft.operators.Validate.fdDiscovery(df,
+      Seq(("id", "k"), ("k", "v")))
+      .select("lhs", "n_violating_groups", "n_violating_rows", "holds")
+      .as[(String, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r("id") == ("id", 0L, 0L, true))
+    assert(r("k") == ("k", 1L, 3L, false), "group 'a' maps to two values over 3 rows")
+  }
+
+  test("cramers-v: a deterministic mapping scores 1, independence scores ~0") {
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"), ("c", "z"))
+      .toDF("p", "q")
+    val v1 = graft.operators.Profiler.cramersV(dep, "p", "q")
+      .select("v").as[Double].head()
+    assert(math.abs(v1 - 1.0) < 1e-6, s"perfect association, got $v1")
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val v0 = graft.operators.Profiler.cramersV(ind, "p", "q")
+      .select("v").as[Double].head()
+    assert(v0 < 1e-6, s"exact independence, got $v0")
+  }
+
+  test("mi: a source-exclusive term outranks a universal one") {
+    val docs = Seq((1L, "zebra common", "s1"), (2L, "zebra common", "s1"),
+      (3L, "other common", "s2"), (4L, "other common", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextIndex.miTermSource(docs, "text", "doc_id",
+      "source", k = 3).select("term", "mi").as[(String, Double)].collect()
+    val m = r.toMap
+    assert(m("zebra") > 0.6 && m("other") > 0.6, "exclusive terms carry ~ln 2 bits")
+    assert(m.getOrElse("common", 0.0) < 1e-6, "a term in every doc carries none")
+  }
+
+  test("transition entropy: a deterministic cycle scores 0, a fair coin ln 2") {
+    val mk = (u: Long, types: Seq[String]) => types.zipWithIndex.map {
+      case (t, i) => (u, i.toLong, new java.sql.Timestamp(i * 60000L), t) }
+    val ev = (mk(1L, Seq("a", "b", "a", "b", "a", "b", "a", "b", "a")) ++
+      mk(2L, Seq("a", "a", "b", "b", "a", "b", "b", "a", "a", "b", "a", "b",
+        "b", "a", "a", "b", "b")))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = graft.operators.Paths.transitionEntropy(ev, "user_id", "ts",
+      "event_id", "event_type")
+      .select("user_id", "cond_entropy").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0, "strict alternation is fully predictable")
+    assert(r(2L) > 0.6, s"mixed transitions approach ln 2, got ${r(2L)}")
+  }
+
+  test("jsd drift: identical groups score ~0, disjoint vocabularies score high") {
+    val docs = (1 to 40).map(i => (i.toLong,
+      if (i <= 20) "alpha beta gamma delta" else "omega psi chi phi",
+      if (i <= 20) "same1" else "diff")) ++
+      (41 to 60).map(i => (i.toLong, "alpha beta gamma delta", "same2"))
+    val r = graft.operators.Dsir.jsdDrift(docs.toDF("doc_id", "text", "source"),
+      "text", "source").select("grp", "jsd").as[(String, Double)].collect().toMap
+    assert(math.abs(r("same1") - r("same2")) < 0.02,
+      "two groups with the same distribution drift equally (vs the mixed corpus)")
+    assert(r("diff") > r("same1") * 0.5 && r("diff") > 0.05,
+      s"a disjoint vocabulary drifts far more: $r")
+  }
+
+  test("ccf: a shifted copy peaks exactly at its lag") {
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val xs = (0 until 30).map(i => (i * 7919) % 13 + 1)
+    val daily = xs.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("a", java.sql.Date.valueOf(base.plusDays(i)), v.toLong)) ++
+        (if (i >= 2) Seq(("b", java.sql.Date.valueOf(base.plusDays(i)),
+          xs(i - 2).toLong)) else Nil)
+    }.toDF("series", "day", "v")
+    val r = graft.operators.Seasonal.ccf(daily, maxLag = 3)
+      .select("lag", "ccf").as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(r(2L).get - 1.0) < 1e-6, "b trails a by 2 days -> ccf=1 at lag 2")
+    assert(r(0L).get < 0.9, "no contemporaneous correlation")
+  }
+
+  test("chao1: singletons project unseen species, exhaustive corpora add none") {
+    // 4-gram species over 5-token docs: each doc contributes 2 grams
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.chao1(docs, "text", "doc_id", n = 4)
+      .select("v", "v1", "v2", "chao1").as[(Long, Long, Long, Double)].head()
+    // grams: 'a b c d'x2, 'b c d e'x2, 'f g h i'x1, 'g h i j'x1
+    assert(r == ((4L, 2L, 2L, 5.0)), s"V=4, V1=2, V2=2 -> 4 + 4/4 = 5, got $r")
+  }
 }
