@@ -362,6 +362,78 @@ object SparkEntry {
         threshold = 0.35)
     }),
 
+    // BPE merge TRAINING, fully in-plan: the first three merges learned
+    // from the corpus word-frequency table (no driver collect, no
+    // vocab cap — the scale path q180's driver-side trainer lacks).
+    // Pair argmax by (count desc, pair asc); merges applied as a
+    // boundary-aware left-to-right fold; both engines replay the exact
+    // greedy loop.
+    "q266_bpe_train" -> ((s, dir) => {
+      operators.Bpe.distributedMerges(t(s, dir, "documents"), "text",
+        nMerges = 3)
+    }),
+
+    // Poisson bootstrap 95% CI for the mean order price — the
+    // distributed bootstrap: every replicate rides one pass via
+    // Poisson(1) weights from the md5-uniform hash (no RNG,
+    // run-stable), replicate means from exact integer sums, CI bounds
+    // as house order statistics over the replicate means.
+    "q269_bootstrap_ci" -> ((s, dir) => {
+      operators.Profiler.poissonBootstrapMeanCI(t(s, dir, "orders"),
+        "o_totalprice", "o_orderkey", reps = 100)
+    }),
+
+    // Exponentially time-decayed count/value per event type (half-life
+    // 7 days from the global observation end): per-row weights snap to
+    // the 6dp grid BEFORE integer summation, so the totals are
+    // order-free — the freshness-weighted complement of q50's raw
+    // hourly rollup.
+    "q270_decayed_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val gmax = ev.agg(max(unix_micros(col("ts"))).as("gmax"))
+      ev.crossJoin(broadcast(gmax))
+        .withColumn("__w6", floor(exp(lit(-0.6931471805599453d)
+          * (col("gmax") - unix_micros(col("ts"))).cast("double")
+          / lit(604800000000.0d)) * lit(1e6) + lit(0.5d)).cast("long"))
+        .withColumn("__c", floor(col("value") * 100 + lit(0.5d)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("__w6")).cast("double") / 1e6).as("decayed_count"),
+          (sum(col("__w6") * col("__c")).cast("double") / 1e8)
+            .as("decayed_value"))
+    }),
+
+    // Declarative expectation suite over lineitem: six checks in ONE
+    // aggregation pass (null verdicts count as violations), unpivoted
+    // to one row per check — the unified data-quality front door over
+    // the scattered CHECK/FK point validations (q14, q138).
+    "q271_expectations" -> ((s, dir) => {
+      operators.Validate.expectationSuite(t(s, dir, "lineitem"), Seq(
+        ("qty_in_1_50", col("l_quantity").between(1, 50)),
+        ("qty_le_30", col("l_quantity") <= 30),
+        ("discount_le_10pct", col("l_discount") <= 0.10),
+        ("tax_nonneg", col("l_tax") >= 0),
+        ("flag_domain", col("l_returnflag").isin("A", "N", "R")),
+        ("price_positive", col("l_extendedprice") > 0)))
+    }),
+
+    // CUPED variance-reduced A/B readout: md5-hash arms, pre-period
+    // (Jan 1-14) spend as the covariate for the experiment-period
+    // metric, pooled theta from exact integer cent sums — the
+    // experimentation upgrade over q154's raw comparison.
+    "q272_cuped" -> ((s, dir) => {
+      val cents = floor(col("value") * 100 + lit(0.5d)).cast("long")
+      val perUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+            cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+            cents).otherwise(0L)).as("y"))
+        .withColumn("arm", when(pmod(conv(substring(
+          md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(2L)) === 0L, "A").otherwise("B"))
+      operators.Cohorts.cupedAbTest(perUser, "arm")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -7658,6 +7730,133 @@ object SparkEntry {
 
     "q195_calibration_bins" -> CalibrationBinsOracle(iters = 5, lr = 0.5),
 
+    "q271_expectations" ->
+      """WITH w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity <= 30, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN coalesce(l_discount <= 0.10, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN coalesce(l_tax >= 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+        |    CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v6
+        |  FROM lineitem)
+        |SELECT 'qty_in_1_50' AS "check", n AS n_rows, v1 AS n_violations,
+        |  v1 = 0 AS pass FROM w
+        |UNION ALL SELECT 'qty_le_30', n, v2, v2 = 0 FROM w
+        |UNION ALL SELECT 'discount_le_10pct', n, v3, v3 = 0 FROM w
+        |UNION ALL SELECT 'tax_nonneg', n, v4, v4 = 0 FROM w
+        |UNION ALL SELECT 'flag_domain', n, v5, v5 = 0 FROM w
+        |UNION ALL SELECT 'price_positive', n, v6, v6 = 0 FROM w""".stripMargin,
+
+    "q272_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |a AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+        |  FROM pu GROUP BY 1),
+        |t AS (
+        |  SELECT a.*, p.*,
+        |    CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN
+        |      CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+        |        / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+        |    ELSE 0.0 END AS th
+        |  FROM a, p)
+        |SELECT arm, n_users,
+        |  floor(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+        |    * 1000000 + 0.5) / 1000000 AS mean_y,
+        |  floor((CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - th * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+        |    * 1000000 + 0.5) / 1000000 AS mean_y_cuped,
+        |  floor(th * 1000000 + 0.5) / 1000000 AS theta,
+        |  CASE WHEN n * syy - sy * sy > 0 THEN
+        |    floor(th * th * CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n * syy - sy * sy AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS var_reduction
+        |FROM t""".stripMargin,
+
+    "q269_bootstrap_ci" ->
+      """WITH r0 AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |reps AS (SELECT unnest(range(1, 101)) AS rep),
+        |wr AS (
+        |  SELECT reps.rep, r0.cents,
+        |    CASE WHEN uu.u < 0.36787944117144233 THEN 0
+        |         WHEN uu.u < 0.7357588823428847 THEN 1
+        |         WHEN uu.u < 0.9196986029286058 THEN 2
+        |         WHEN uu.u < 0.9810118431238462 THEN 3
+        |         WHEN uu.u < 0.9963401531726563 THEN 4
+        |         WHEN uu.u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM r0 CROSS JOIN reps,
+        |    LATERAL (SELECT CAST(concat('0x',
+        |      substr(md5(CAST(reps.rep AS VARCHAR) || '|' || r0.id), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u) uu),
+        |pm AS (
+        |  SELECT rep, CAST(floor(CAST(sum(w * cents) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) / 100.0 * 1000000 + 0.5) AS BIGINT) AS m6
+        |  FROM wr GROUP BY rep HAVING sum(w) > 0),
+        |rk AS (
+        |  SELECT m6, rep, CAST(row_number() OVER (ORDER BY m6, rep) AS BIGINT)
+        |    AS rk, (SELECT CAST(count(*) AS BIGINT) FROM pm) AS nb
+        |  FROM pm),
+        |ci AS (
+        |  SELECT max(nb) AS n_reps,
+        |    CAST(min(CASE WHEN rk >= ceil(0.025 * nb) THEN m6 END) AS DOUBLE)
+        |      / 1000000 AS lo95,
+        |    CAST(min(CASE WHEN rk >= ceil(0.975 * nb) THEN m6 END) AS DOUBLE)
+        |      / 1000000 AS hi95
+        |  FROM rk),
+        |fl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(floor(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 100.0 * 1000000 + 0.5) AS BIGINT) AS mean6
+        |  FROM r0)
+        |SELECT n_rows, n_reps, CAST(mean6 AS DOUBLE) / 1000000 AS mean,
+        |  lo95, hi95
+        |FROM ci, fl""".stripMargin,
+
+    "q270_decayed_agg" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(exp(-0.6931471805599453
+        |    * CAST(gmax - epoch_us(ts) AS DOUBLE) / 604800000000.0)
+        |    * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+        |    AS decayed_count,
+        |  CAST(sum(CAST(floor(exp(-0.6931471805599453
+        |    * CAST(gmax - epoch_us(ts) AS DOUBLE) / 604800000000.0)
+        |    * 1000000 + 0.5) AS BIGINT)
+        |    * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000
+        |    AS decayed_value
+        |FROM events, g GROUP BY event_type""".stripMargin,
+
+    "q266_bpe_train" -> BpeTrainOracle(nMerges = 3),
+
     "q267_roc_auc" -> RocAucOracle(iters = 5, lr = 0.5),
 
     "q268_lsh_plan" ->
@@ -9296,6 +9495,43 @@ object SparkEntry {
        |  round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) AS quality_prob,
        |  (round(1.0 / (1.0 + exp(-(w.wb + f.f0 * w.w0 + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3))), 6) >= 0.5) AS kept
        |FROM feats f CROSS JOIN it$iters w""".stripMargin
+  }
+
+  /** Oracle for q266_bpe_train: the greedy BPE loop unrolled — each
+    * step counts adjacent symbol pairs over the current symbol strings,
+    * picks the (count desc, pair asc) argmax, and applies the merge as
+    * the same boundary-aware left-to-right `list_reduce` fold the Spark
+    * side runs with `aggregate`. */
+  private def BpeTrainOracle(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT t.sy[ix.i] AS a, t.sy[ix.i + 1] AS b,
+         |    CAST(sum(t.cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(symstr, ' ') AS sy, cnt FROM s${i - 1}) t,
+         |    LATERAL (SELECT unnest(range(1, len(t.sy))) AS i) ix
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |s$i AS (
+         |  SELECT list_reduce(string_split(symstr, ' '), (acc, x) ->
+         |    CASE WHEN x = b$i.b AND (acc = b$i.a
+         |        OR right(acc, length(b$i.a) + 1) = concat(' ', b$i.a))
+         |      THEN concat(left(acc, length(acc) - length(b$i.a)), b$i.a, b$i.b)
+         |      ELSE concat(acc, ' ', x) END) AS symstr, cnt
+         |  FROM s${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+       |    FROM documents) WHERE w <> '' GROUP BY 1),
+       |s0 AS (
+       |  SELECT array_to_string(string_split(word, ''), ' ') || ' </w>'
+       |    AS symstr, cnt FROM wc),
+       |$steps
+       |$sel""".stripMargin
   }
 
   /** Oracle for q267_roc_auc: the same training replay as

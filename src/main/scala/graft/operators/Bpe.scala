@@ -86,6 +86,58 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Distributed BPE merge TRAINING — the in-plan counterpart of
+    * `trainMerges`: the word-frequency table never leaves the cluster
+    * (no driver collect, no vocab cap), so it trains on the FULL
+    * vocabulary at any corpus size. Each word is a space-joined symbol
+    * string ending in the `</w>` marker (the `trainFromCounts`
+    * convention, so both trainers learn identical merges); per merge
+    * step: adjacent-pair counts (one vocab-bounded aggregation), the
+    * argmax pair by (count desc, pair asc) via sort-limit, and the
+    * merge applied as a LEFT-TO-RIGHT fold over each word's symbols
+    * (`aggregate` HOF with a boundary-aware CASE — `a a a` merges to
+    * `aa a`, never `a aa`). The symbol table is materialized once per
+    * step (Lineage.cut), so step k never replays steps 1..k-1.
+    * Returns the merge table: (step, sym_a, sym_b, pair_count). */
+  def distributedMerges(df: DataFrame, textCol: String,
+                        nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges in [1, 64]")
+    val eow = ExprKernels.BpeEow
+    var cur = wordCounts(df, textCol).select(
+      concat(concat_ws(" ",
+        filter(split(col("word"), ""), ch => ch =!= "")),
+        lit(" " + eow)).as("symstr"),
+      col("cnt"))
+    val mergeFold =
+      "aggregate(slice(__sy, 2, size(__sy) - 1), element_at(__sy, 1), " +
+        "(acc, x) -> CASE WHEN x = __b AND (acc = __a " +
+        "OR right(acc, length(__a) + 1) = concat(' ', __a)) " +
+        "THEN concat(left(acc, length(acc) - length(__a)), __a, __b) " +
+        "ELSE concat(acc, ' ', x) END)"
+    val steps = (1 to nMerges).map { step =>
+      cur = Lineage.cut(cur)
+      val pairs = cur
+        .select(split(col("symstr"), " ").as("sy"), col("cnt"))
+        .select(explode(expr("transform(sequence(1, size(sy) - 1), " +
+          "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc).limit(1)
+        .select(lit(step.toLong).as("step"), col("a").as("sym_a"),
+          col("b").as("sym_b"), col("pair_count"))
+      cur = cur
+        .crossJoin(broadcast(best.select(col("sym_a").as("__a"),
+          col("sym_b").as("__b"))))
+        .withColumn("__sy", split(col("symstr"), " "))
+        .withColumn("symstr", expr(mergeFold))
+        .select(col("symstr"), col("cnt"))
+      best
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Tokenize: array of subword symbols (word-final symbols carry the
     * `</w>` marker). Codegen'd scan-side expression. */
   def encode(c: Column, merges: Seq[(String, String)]): Column =

@@ -43,6 +43,50 @@ object Cohorts {
     * Shuffles: dedup to (user, day); constant-width explode scan-side;
     * count-distinct per day (two-phase under the hood); a day-keyed join
     * with DAU. All post-dedup frames are (users x days)-sized. */
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013): adjust the
+    * experiment metric with a pre-period covariate,
+    * `Y' = Y - θ(X - x̄)` with `θ = cov(X,Y)/var(X)` POOLED across
+    * arms (the unbiasedness requirement — per-arm θ would leak the
+    * treatment into the adjustment). Arm means of Y' need only the
+    * arm-level sums: `ȳ_a - θ(x̄_a - x̄)` — nothing per-user
+    * materializes. All covariance pieces are exact integer cent sums
+    * (one map-side-combined aggregation over the per-user frame); θ
+    * and the means land on the 6dp grid through one fixed IEEE
+    * sequence. `var_reduction = θ²·var(X)/var(Y)` — the fraction of
+    * metric variance the covariate removed. Long-sum headroom:
+    * n·Σxy < 2⁶³ holds to ~10⁴ users at ~10⁶ cents each; widen to
+    * decimal beyond.
+    *
+    * Input: one row per user with (armCol, xCents, yCents) integer
+    * columns. Output: one row per arm + pooled theta / reduction. */
+  def cupedAbTest(perUser: DataFrame, armCol: String): DataFrame = {
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val varXn = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYn = col("n") * col("syy") - col("sy") * col("sy")
+    val theta = when(varXn > 0L,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / varXn.cast("double")).otherwise(lit(0.0d))
+    val byArm = perUser.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+    val g6 = (c: Column) => floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    byArm.join(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        g6(col("sya").cast("double") / col("n_users").cast("double")
+          / lit(100.0d)).as("mean_y"),
+        g6((col("sya").cast("double") / col("n_users").cast("double")
+          - theta * (col("sxa").cast("double") / col("n_users").cast("double")
+            - col("sx").cast("double") / col("n").cast("double")))
+          / lit(100.0d)).as("mean_y_cuped"),
+        g6(theta).as("theta"),
+        when(varYn > 0L, g6(theta * theta * varXn.cast("double")
+          / varYn.cast("double"))).as("var_reduction"))
+  }
+
   def rollingActive(events: DataFrame, userCol: String, tsCol: String,
                     windowDays: Int = 7): DataFrame = {
     val ud = events.select(col(userCol).as("u"),

@@ -315,6 +315,57 @@ object Profiler {
         col("p6"))
   }
 
+  /** Poisson bootstrap 95% CI for a mean — THE distributed bootstrap:
+    * classic resampling needs n draws per replicate (a shuffle per
+    * replicate); the Poisson approximation gives every (row, replicate)
+    * an independent Poisson(1) weight, so ALL `reps` replicates ride
+    * ONE pass over the data (explode + map-side-combined groupBy on the
+    * replicate id). Weights come from the md5-uniform hash through the
+    * exact Poisson(1) inverse CDF (literal thresholds, identical on
+    * both engines — no RNG, run-stable); replicate means use exact
+    * integer cent/weight sums; the CI bounds are house order
+    * statistics (smallest value with rank >= ceil(p*B)) over the B
+    * replicate means. Output: one row. */
+  def poissonBootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+                             reps: Int = 200): DataFrame = {
+    require(reps >= 20 && reps <= 10000, "reps in [20, 10000]")
+    // P(Poisson(1) <= k) for k = 0..5; weight caps at 6
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val rows = df.select(col(idCol).cast("string").as("id"),
+      floor(col(valueCol) * 100 + lit(0.5d)).cast("long").as("cents"))
+    val u = (conv(substring(md5(concat(col("rep").cast("string"), lit("|"),
+      col("id"))), 1, 8), 16, 10).cast("long").cast("double")) / lit(4294967296.0d)
+    // foldRight so the SMALLEST threshold is the outermost when — the
+    // chain must test u < P(0) before u < P(<=1)
+    val w = cdf.zipWithIndex.reverse.foldLeft(lit(6L)) { case (acc, (c, k)) =>
+      when(u < c, k.toLong).otherwise(acc) }
+    val perRep = rows
+      .withColumn("rep", explode(sequence(lit(1), lit(reps))))
+      .withColumn("__w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("__w")).as("__sw"), sum(col("__w") * col("cents")).as("__sv"))
+      .filter(col("__sw") > 0L)
+      .select(col("rep"),
+        floor(col("__sv").cast("double") / col("__sw").cast("double")
+          / lit(100.0d) * lit(1e6) + lit(0.5d)).cast("long").as("m6"))
+    val wAsc = Window.orderBy(col("m6").asc, col("rep").asc)
+    val ranked = perRep.withColumn("rk", row_number().over(wAsc).cast("long"))
+      .join(broadcast(perRep.agg(count(lit(1)).as("nb"))))
+    val full = rows.agg(count(lit(1)).as("n_rows"),
+      floor(sum(col("cents")).cast("double") / count(lit(1)).cast("double")
+        / lit(100.0d) * lit(1e6) + lit(0.5d)).cast("long").as("mean6"))
+    ranked.agg(max(col("nb")).as("n_reps"),
+        (min(when(col("rk") >= ceil(lit(0.025d) * col("nb")), col("m6")))
+          .cast("double") / 1e6).as("lo95"),
+        (min(when(col("rk") >= ceil(lit(0.975d) * col("nb")), col("m6")))
+          .cast("double") / 1e6).as("hi95"))
+      .join(broadcast(full))
+      .select(col("n_rows"), col("n_reps"),
+        (col("mean6").cast("double") / 1e6).as("mean"),
+        col("lo95"), col("hi95"))
+  }
+
   /** Cramér's V association strength between two categorical columns —
     * the EFFECT SIZE the raw chi-square (q155) lacks: chi2 grows with N
     * even for trivial association, V ∈ [0,1] does not. One exact cell

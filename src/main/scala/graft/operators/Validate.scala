@@ -150,6 +150,27 @@ object Validate {
     else mixed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Declarative data-quality expectation suite: every check is a
+    * boolean Column over the row; a NULL verdict counts as a violation
+    * (unknown is not a pass). ALL checks ride ONE aggregation pass —
+    * one scan however many expectations — then unpivot to one row per
+    * check. The Great-Expectations-style front door unifying the
+    * point checks scattered across CleaningOps CHECKs (q14) and the
+    * FK audit (q138). */
+  def expectationSuite(df: DataFrame,
+                       checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    val aggs = count(lit(1)).as("__n") +:
+      checks.map { case (name, c) =>
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v_$name") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (name, _) =>
+      wide.select(lit(name).as("check"), col("__n").as("n_rows"),
+        col(s"__v_$name").as("n_violations"))
+    }.reduce(_ unionByName _)
+    stacked.withColumn("pass", col("n_violations") === 0L)
+  }
+
   /** Functional-dependency discovery (profiling): for each candidate
     * `lhs -> rhs`, does every lhs value map to exactly one rhs? Reports
     * how badly it fails — violating lhs groups and the row mass inside

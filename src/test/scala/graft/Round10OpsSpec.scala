@@ -206,6 +206,109 @@ class Round10OpsSpec extends SparkSpec {
     assert(r(0L).get < 0.9, "no contemporaneous correlation")
   }
 
+  test("distributed BPE training learns the same merges as the driver-side trainer") {
+    val docs = Seq((1L, "lower lower lowest newer newer newer wider"),
+      (2L, "low low lowest newest wide wide"))
+      .toDF("doc_id", "text")
+    val dist = graft.operators.Bpe.distributedMerges(docs, "text", nMerges = 4)
+      .orderBy("step").select("sym_a", "sym_b")
+      .as[(String, String)].collect().toSeq
+    val words = graft.operators.Bpe.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val ref = graft.operators.Bpe.trainFromCounts(words, nMerges = 4)
+    assert(dist == ref, s"in-plan trainer diverged: $dist vs $ref")
+  }
+
+  test("BPE merge fold is left-to-right non-overlapping on runs") {
+    // word 'aaa' x5: merge 1 is (a,a) with 10 pairs (two per word). The
+    // fold must produce [aa, a, </w>] — so round 2 sees (aa,a):5 and
+    // (a,</w>):5, tie-breaking to the lexicographically smaller
+    // (a,</w>) AT COUNT 5. An overlapping fold ([aa, aa…]) would break
+    // either the pair set or the count.
+    val docs = Seq((1L, "aaa aaa aaa aaa aaa")).toDF("doc_id", "text")
+    val r = graft.operators.Bpe.distributedMerges(docs, "text", nMerges = 2)
+      .orderBy("step").select("sym_a", "sym_b", "pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r.head == ("a", "a", 10L))
+    assert(r(1) == ("a", "</w>", 5L),
+      s"after [aa, a, </w>] the tie at 5 breaks to (a,</w>), got ${r(1)}")
+  }
+
+  test("poisson bootstrap: CI brackets the sample mean and tightens with n") {
+    val small = (1 to 50).map(i => (i.toLong, 100.0 + (i % 10))).toDF("id", "v")
+    val big = (1 to 5000).map(i => (i.toLong, 100.0 + (i % 10))).toDF("id", "v")
+    def ci(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profiler.poissonBootstrapMeanCI(df, "v", "id", reps = 100)
+        .select("mean", "lo95", "hi95").as[(Double, Double, Double)].head()
+    val (ms, los, his) = ci(small)
+    val (mb, lob, hib) = ci(big)
+    assert(los <= ms && ms <= his, s"CI brackets the mean: $los $ms $his")
+    assert(lob <= mb && mb <= hib)
+    assert(hib - lob < his - los, "100x the data gives a tighter interval")
+  }
+
+  test("decayed aggregates: fresh events count fully, week-old events half") {
+    val now = 1700000000000000L
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(now / 1000L), "a", 10.0),
+      (2L, new java.sql.Timestamp((now - 604800000000L) / 1000L), "b", 10.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val gmax = ev.agg(max(unix_micros(col("ts"))).as("gmax"))
+    val r = ev.crossJoin(broadcast(gmax))
+      .withColumn("w6", floor(exp(lit(-0.6931471805599453d)
+        * (col("gmax") - unix_micros(col("ts"))).cast("double")
+        / lit(604800000000.0d)) * lit(1e6) + lit(0.5d)).cast("long"))
+      .select("event_type", "w6").as[(String, Long)].collect().toMap
+    assert(r("a") == 1000000L, "zero age -> weight exactly 1")
+    assert(math.abs(r("b") - 500000L) <= 1L, "one half-life -> weight 0.5")
+  }
+
+  test("expectation suite: null verdicts are violations; one row per check") {
+    val df = Seq[(java.lang.Long, String)]((1L, "ok"), (2L, null), (-5L, "ok"))
+      .toDF("v", "s")
+    val r = graft.operators.Validate.expectationSuite(df, Seq(
+      ("v_positive", col("v") > 0),
+      ("s_known", col("s").isin("ok"))))
+      .select("check", "n_rows", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r("v_positive") == ("v_positive", 3L, 1L, false))
+    assert(r("s_known") == ("s_known", 3L, 1L, false),
+      "a NULL comparison is unknown, and unknown is not a pass")
+  }
+
+  test("cuped: a correlated covariate shrinks the adjusted gap, theta is cov/var") {
+    // y = 2x + arm-noise: pooled theta ~= 2, adjustment removes the
+    // covariate imbalance between arms
+    val rows = (1 to 100).map { i =>
+      val x = (i % 10) * 100L
+      val arm = if (i % 2 == 0) "A" else "B"
+      val y = 2 * x + (if (arm == "A") 50L else 0L)
+      (arm, x, y)
+    }
+    val r = graft.operators.Cohorts.cupedAbTest(rows.toDF("arm", "x", "y"), "arm")
+      .select("arm", "theta", "mean_y_cuped", "var_reduction")
+      .as[(String, Double, Double, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(math.abs(r("A")._2 - 2.0) < 0.05, s"theta ~= slope 2, got ${r("A")._2}")
+    assert(r("A")._4.get > 0.9, "a near-deterministic covariate removes >90% variance")
+    val gap = math.abs(r("A")._3 - r("B")._3)
+    assert(math.abs(gap - 0.5) < 0.05,
+      s"adjusted gap isolates the 50-cent arm effect, got $gap")
+  }
+
+  test("plan shapes: hbos is scan+broadcast+sort-limit; skyline never sorts the input") {
+    val dir = sf()
+    val hbos = graft.SparkEntry.queries("q253_hbos")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(hbos.contains("TakeOrderedAndProject"), "top-k must be sort-limit")
+    assert(!hbos.contains("SortMergeJoin"),
+      "every hbos join must broadcast — a data-sized shuffle join means a count table exploded")
+    val sky = graft.SparkEntry.queries("q256_skyline")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!sky.toLowerCase.contains("rangepartitioning"),
+      "skyline must not globally sort the input; the sweep runs on pruned candidates")
+  }
+
   test("chao1: singletons project unseen species, exhaustive corpora add none") {
     // 4-gram species over 5-token docs: each doc contributes 2 grams
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
