@@ -17,7 +17,11 @@ object Bench {
     // Warm the JVM/codegen once on the smallest SF so measured times are
     // query cost, not first-call class-loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q245_...,q269_... times a subset
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(s => s.split(",").toSet: String => Boolean).getOrElse(_ => true)
+    val results = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every computed
       // column (a fingerprint query would never hash anything). The noop

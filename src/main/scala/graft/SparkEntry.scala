@@ -380,7 +380,7 @@ object SparkEntry {
     // as house order statistics over the replicate means.
     "q269_bootstrap_ci" -> ((s, dir) => {
       operators.Profiler.poissonBootstrapMeanCI(t(s, dir, "orders"),
-        "o_totalprice", "o_orderkey", reps = 100)
+        "o_totalprice", "o_orderkey", reps = 96)
     }),
 
     // Exponentially time-decayed count/value per event type (half-life
@@ -432,6 +432,59 @@ object SparkEntry {
           md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
           lit(2L)) === 0L, "A").otherwise("B"))
       operators.Cohorts.cupedAbTest(perUser, "arm")
+    }),
+
+    // Exact weighted quartiles: quantity-weighted price cents per
+    // return flag — each row counts its weight times; targets are pure
+    // integer ceil-division of rational probs (no interpolation, no
+    // float boundary). The weighted complement of q144's row quantiles.
+    "q273_weighted_quantiles" -> ((s, dir) => {
+      operators.Profiler.weightedQuantiles(
+        t(s, dir, "lineitem")
+          .withColumn("price_c",
+            floor(col("l_extendedprice") * 100 + lit(0.5d)).cast("long")),
+        "l_returnflag", "price_c", "l_quantity")
+    }),
+
+    // TextTiling-style topic-shift segmentation: 20-token windows at
+    // stride 10, adjacent-window exact-integer term cosine, boundary
+    // below 0.5 — the topic-aware chunker complementing q123's fixed
+    // chunks. Per-doc summary only.
+    "q274_topic_segments" -> ((s, dir) => {
+      operators.TextIndex.topicSegments(t(s, dir, "documents"), "text",
+        "doc_id", w = 20, stride = 10, threshold = 0.5)
+    }),
+
+    // Siegel REPEATED-median trend — the 50%-breakdown upgrade over
+    // q230's Theil–Sen: median slope per point, then median of those
+    // medians; same 6dp grid and lower-median conventions.
+    "q275_siegel_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Seasonal.siegelTrend(daily)
+    }),
+
+    // t-closeness audit over customer equivalence classes: ordered-EMD
+    // between each class's balance-bucket distribution and the corpus,
+    // exact cross-multiplied integers — the distribution-level leak
+    // q174's k-anonymity/l-diversity cannot see.
+    "q276_t_closeness" -> ((s, dir) => {
+      operators.Privacy.tClosenessAudit(
+        t(s, dir, "customer").withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000.0d).cast("long")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_bucket", t = 0.2)
+    }),
+
+    // Laplace-mechanism noisy counts per source (epsilon=1): the DP
+    // release shape with hash-seeded noise through the exact Laplace
+    // inverse CDF — a MECHANISM DEMO (deterministic seed => replayable
+    // by the oracle, and therefore not private; swap in a secure RNG
+    // to publish).
+    "q277_dp_counts" -> ((s, dir) => {
+      operators.Privacy.laplaceNoisyCounts(t(s, dir, "documents"),
+        "source", epsilon = 1.0, seed = "graft-r10")
     }),
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -7730,6 +7783,177 @@ object SparkEntry {
 
     "q195_calibration_bins" -> CalibrationBinsOracle(iters = 5, lr = 0.5),
 
+    "q275_siegel_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT series,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS xi,
+        |    v AS yi
+        |  FROM daily),
+        |sl AS (
+        |  SELECT x.series, x.xi, y.xi AS xj,
+        |    CAST(floor(CAST(y.yi - x.yi AS DOUBLE)
+        |      / CAST(y.xi - x.xi AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s6
+        |  FROM a x JOIN a y ON y.series = x.series AND y.xi <> x.xi),
+        |pp AS (
+        |  SELECT series, xi,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN s6 END) AS mi6
+        |  FROM (SELECT series, xi, s6,
+        |      row_number() OVER (PARTITION BY series, xi ORDER BY s6, xj)
+        |        AS rk,
+        |      count(*) OVER (PARTITION BY series, xi) AS n
+        |    FROM sl)
+        |  GROUP BY 1, 2),
+        |slope AS (
+        |  SELECT series,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN mi6 END) AS slope6
+        |  FROM (SELECT series, xi, mi6,
+        |      row_number() OVER (PARTITION BY series ORDER BY mi6, xi) AS rk,
+        |      count(*) OVER (PARTITION BY series) AS n
+        |    FROM pp)
+        |  GROUP BY 1),
+        |res AS (
+        |  SELECT a.series, a.xi,
+        |    CAST(floor((CAST(yi AS DOUBLE)
+        |      - CAST(slope6 AS DOUBLE) / 1000000 * CAST(xi AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS b6
+        |  FROM a JOIN slope USING (series)),
+        |ic AS (
+        |  SELECT series,
+        |    min(CASE WHEN rk >= ceil(0.5 * n) THEN b6 END) AS b6m
+        |  FROM (SELECT series, xi, b6,
+        |      row_number() OVER (PARTITION BY series ORDER BY b6, xi) AS rk,
+        |      count(*) OVER (PARTITION BY series) AS n
+        |    FROM res)
+        |  GROUP BY 1),
+        |nd AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM a GROUP BY 1)
+        |SELECT nd.series, nd.n_days, CAST(slope6 AS DOUBLE) / 1000000 AS slope,
+        |  CAST(b6m AS DOUBLE) / 1000000 AS intercept
+        |FROM nd JOIN slope USING (series) JOIN ic USING (series)""".stripMargin,
+
+    "q276_t_closeness" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cl AS (SELECT c_mktsegment, c_nationkey, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cls GROUP BY 1, 2),
+        |co AS (SELECT sv, CAST(sum(c) AS BIGINT) AS cb FROM cls GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cb) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS nb FROM co),
+        |grid AS (
+        |  SELECT cl.c_mktsegment, cl.c_nationkey, cl.ng, co.sv, co.cb,
+        |    tt.nn, tt.nb, coalesce(cls.c, 0) AS cc
+        |  FROM cl CROSS JOIN co
+        |  LEFT JOIN cls ON cls.c_mktsegment = cl.c_mktsegment
+        |    AND cls.c_nationkey = cl.c_nationkey AND cls.sv = co.sv
+        |  CROSS JOIN tt),
+        |cum AS (
+        |  SELECT *, abs(sum(cc * nn) OVER w - sum(cb * ng) OVER w) AS cum
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey ORDER BY sv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT c_mktsegment, c_nationkey, ng AS group_n,
+        |    CAST(floor(CAST(sum(cum) AS DOUBLE)
+        |      / CAST(ng * max(nn) * (max(nb) - 1) AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS e6
+        |  FROM cum GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, c_nationkey, group_n,
+        |  CAST(e6 AS DOUBLE) / 1000000 AS emd, e6 <= 200000 AS t_ok
+        |FROM t""".stripMargin,
+
+    "q277_dp_counts" ->
+      """WITH c AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT grp, n, (CAST(concat('0x',
+        |    substr(md5('graft-r10' || '|' || grp), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 AS u
+        |  FROM c),
+        |z AS (
+        |  SELECT grp, n, -(1.0 / 1.0)
+        |    * CASE WHEN u - 0.5 > 0 THEN 1.0 WHEN u - 0.5 < 0 THEN -1.0
+        |        ELSE 0.0 END
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise_raw
+        |  FROM u)
+        |SELECT grp, n, floor(noise_raw * 1000000 + 0.5) / 1000000 AS noise,
+        |  n + CAST(floor(floor(noise_raw * 1000000 + 0.5) / 1000000 + 0.5)
+        |    AS BIGINT) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM z""".stripMargin,
+
+    "q273_weighted_quantiles" ->
+      """WITH per AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(sum(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+        |  FROM per)
+        |SELECT grp, max(tw) AS total_weight,
+        |  min(CASE WHEN cw >= (1 * tw + 3) // 4 THEN v END) AS p1_4,
+        |  min(CASE WHEN cw >= (1 * tw + 1) // 2 THEN v END) AS p1_2,
+        |  min(CASE WHEN cw >= (3 * tw + 3) // 4 THEN v END) AS p3_4
+        |FROM cum GROUP BY grp""".stripMargin,
+
+    "q274_topic_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |wins AS (
+        |  SELECT t.doc_id, CAST(ix.widx AS BIGINT) AS widx,
+        |    unnest(t.tk[ix.widx * 10 + 1 : ix.widx * 10 + 20]) AS term
+        |  FROM toks t, LATERAL (SELECT unnest(range(0,
+        |    (len(t.tk) - 20) // 10 + 1)) AS widx) ix
+        |  WHERE len(t.tk) >= 20),
+        |cnt AS (SELECT doc_id, widx, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM wins GROUP BY 1, 2, 3),
+        |norms AS (SELECT doc_id, widx, CAST(sum(c * c) AS BIGINT) AS nn
+        |  FROM cnt GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.doc_id, a.widx, CAST(sum(a.c * b.c) AS BIGINT) AS num
+        |  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id
+        |    AND b.widx = a.widx + 1 AND b.term = a.term
+        |  GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT n1.doc_id, n1.widx,
+        |    CAST(floor(CAST(coalesce(d.num, 0) AS DOUBLE)
+        |      / sqrt(CAST(n1.nn * n2.nn AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS cos6
+        |  FROM norms n1
+        |  JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.widx = n1.widx + 1
+        |  LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.widx = n1.widx),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CASE WHEN cos6 < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_boundaries,
+        |    CAST(min(cos6) AS DOUBLE) / 1000000 AS min_cos,
+        |    CAST(floor(CAST(sum(cos6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      + 0.5) AS DOUBLE) / 1000000 AS mean_cos
+        |  FROM gaps GROUP BY 1),
+        |nwin AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM norms GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(nwin.n_windows, 0) AS n_windows,
+        |  coalesce(p.n_gaps, 0) AS n_gaps,
+        |  coalesce(p.n_boundaries, 0) AS n_boundaries,
+        |  p.min_cos, p.mean_cos
+        |FROM documents d
+        |LEFT JOIN nwin ON nwin.doc_id = d.doc_id
+        |LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin,
+
     "q271_expectations" ->
       """WITH w AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -7803,20 +8027,20 @@ object SparkEntry {
         |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
-        |reps AS (SELECT unnest(range(1, 101)) AS rep),
+        |reps AS (SELECT unnest(range(1, 97)) AS rep),
         |wr AS (
         |  SELECT reps.rep, r0.cents,
-        |    CASE WHEN uu.u < 0.36787944117144233 THEN 0
-        |         WHEN uu.u < 0.7357588823428847 THEN 1
-        |         WHEN uu.u < 0.9196986029286058 THEN 2
-        |         WHEN uu.u < 0.9810118431238462 THEN 3
-        |         WHEN uu.u < 0.9963401531726563 THEN 4
-        |         WHEN uu.u < 0.9994058151824183 THEN 5
+        |    CASE WHEN uu.u < '5e2e' THEN 0
+        |         WHEN uu.u < 'bc5b' THEN 1
+        |         WHEN uu.u < 'eb72' THEN 2
+        |         WHEN uu.u < 'fb24' THEN 3
+        |         WHEN uu.u < 'ff11' THEN 4
+        |         WHEN uu.u < 'ffda' THEN 5
         |         ELSE 6 END AS w
         |  FROM r0 CROSS JOIN reps,
-        |    LATERAL (SELECT CAST(concat('0x',
-        |      substr(md5(CAST(reps.rep AS VARCHAR) || '|' || r0.id), 1, 8))
-        |      AS BIGINT) / 4294967296.0 AS u) uu),
+        |    LATERAL (SELECT
+        |      substr(md5(CAST((reps.rep - 1) // 8 AS VARCHAR) || '|' || r0.id),
+        |        CAST(((reps.rep - 1) % 8) * 4 + 1 AS INTEGER), 4) AS u) uu),
         |pm AS (
         |  SELECT rep, CAST(floor(CAST(sum(w * cents) AS DOUBLE)
         |    / CAST(sum(w) AS DOUBLE) / 100.0 * 1000000 + 0.5) AS BIGINT) AS m6

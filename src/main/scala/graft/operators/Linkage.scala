@@ -47,12 +47,22 @@ object Linkage {
         (col("__jw6").cast("double") / 1e6).as("jw"))
   }
 
-  /** Best fuzzy match per record among its block peers (both directions
-    * of every pair), ties broken by the smaller candidate id; records
-    * whose best score stays below `threshold` drop out. Output is one
-    * row per surviving record — bounded by the input, not the pair
-    * count. Scores live on the 6dp grid so the argmax order is portable
-    * across engines. */
+  /** Best fuzzy match per record among its block peers, ties broken by
+    * the smaller candidate id; records whose best score stays below
+    * `threshold` drop out. Output is one row per surviving record.
+    *
+    * EXACT distinct-name decomposition instead of the naive id-level
+    * pair expansion (which is quadratic in DUPLICATED rows — 40M JW
+    * evaluations on a 20k-part table whose names repeat): per block,
+    * JW runs only over DISTINCT name pairs; an id's candidates are
+    * then (a) its own duplicate name at jw=1.0 (partner = the smallest
+    * OTHER id of that name) and (b) the best distinct-name match, each
+    * name represented by its smallest id — identical to the full
+    * expansion under the (jw6 desc, id asc) argmax, because every
+    * same-name candidate scores the maximal 1e6 and every id of a
+    * rival name scores identically (so only its minimum id can win).
+    * The `maxBlock` guard bounds DISTINCT names per block — the actual
+    * quadratic driver. */
   def bestMatch(df: DataFrame, nameCol: String, idCol: String,
                 block: Column, threshold: Double,
                 maxBlock: Int = 1 << 20): DataFrame = {
@@ -60,17 +70,32 @@ object Linkage {
     val rows = df.select(col(idCol).cast("long").as("id"),
       col(nameCol).as("name")).na.drop()
       .withColumn("blk", block)
-    val guard = blockGuard(rows, maxBlock)
-    val a = rows.select(col("blk"), col("id"), col("name"))
-    val b = rows.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
-    a.join(b, Seq("blk")).filter(col("id") =!= col("id_b"))
+    val w2 = Window.partitionBy(col("blk"), col("name")).orderBy(col("id").asc)
+    val ranked = rows.withColumn("__rk", row_number().over(w2))
+    val nameAgg = ranked.groupBy(col("blk"), col("name"))
+      .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__id1"),
+        min(when(col("__rk") === 2, col("id"))).as("__id2"))
+    val dn = nameAgg.select(col("blk"), col("name"), col("__id1"))
+    val guard = blockGuard(dn, maxBlock)
+    val bestd = dn
+      .join(dn.select(col("blk"), col("name").as("__name_b"),
+        col("__id1").as("__idb")), Seq("blk"))
+      .filter(col("name") =!= col("__name_b"))
       .join(broadcast(guard), expr("__ok = 1"))
       .withColumn("__jw6", floor(
-        LinkageKernels.jaroWinklerCol(col("name"), col("name_b")) * 1e6
+        LinkageKernels.jaroWinklerCol(col("name"), col("__name_b")) * 1e6
           + lit(0.5d)).cast("long"))
-      .groupBy(col("id"), col("name"))
-      .agg(max(struct(col("__jw6"), (-col("id_b")).as("__nb"),
-        col("id_b"), col("name_b"))).as("__best"))
+      .groupBy(col("blk"), col("name"))
+      .agg(max(struct(col("__jw6"), (-col("__idb")).as("__nb"),
+        col("__idb").as("id_b"), col("__name_b").as("name_b"))).as("__bd"))
+    val dupPartner = when(col("id") === col("__id1"), col("__id2"))
+      .otherwise(col("__id1"))
+    val dupCand = when(col("__cnt") >= 2L,
+      struct(lit(1000000L).as("__jw6"), (-dupPartner).as("__nb"),
+        dupPartner.as("id_b"), col("name").as("name_b")))
+    ranked.join(nameAgg, Seq("blk", "name"))
+      .join(bestd, Seq("blk", "name"), "left")
+      .withColumn("__best", greatest(dupCand, col("__bd")))
       .filter(col("__best.__jw6") >= t6)
       .select(col("id"), col("name"), col("__best.id_b").as("best_id"),
         col("__best.name_b").as("best_name"),

@@ -329,19 +329,35 @@ object Profiler {
   def poissonBootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
                              reps: Int = 200): DataFrame = {
     require(reps >= 20 && reps <= 10000, "reps in [20, 10000]")
-    // P(Poisson(1) <= k) for k = 0..5; weight caps at 6
-    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    // P(Poisson(1) <= k) for k = 0..5 at 16-bit resolution, as 4-char
+    // hex thresholds: `slice/65536 < c  <=>  slice_hex < hex(floor(
+    // 65536c)+1)` — a pure lexicographic compare on the md5 substring,
+    // no radix conversion per row (conv() was half the query's cost).
+    val cdf = Seq("5e2e", "bc5b", "eb72", "fb24", "ff11", "ffda")
     val rows = df.select(col(idCol).cast("string").as("id"),
       floor(col(valueCol) * 100 + lit(0.5d)).cast("long").as("cents"))
-    val u = (conv(substring(md5(concat(col("rep").cast("string"), lit("|"),
-      col("id"))), 1, 8), 16, 10).cast("long").cast("double")) / lit(4294967296.0d)
-    // foldRight so the SMALLEST threshold is the outermost when — the
+    // one md5 serves EIGHT replicates (16-bit hex slices — plenty of
+    // resolution for the 6-step inverse CDF). The digest MATERIALIZES
+    // between the group explode and the slice explode, so it is
+    // computed once per (row, group) — 8x fewer hash evaluations than
+    // md5-per-rep, and the hash dominates this whole query at scale.
+    require(reps % 8 == 0, "reps must be a multiple of 8 (digest slicing)")
+    val u = col("__digest").substr(col("__s") * 4 + 1, lit(4))
+    // reverse so the SMALLEST threshold is the outermost when — the
     // chain must test u < P(0) before u < P(<=1)
     val w = cdf.zipWithIndex.reverse.foldLeft(lit(6L)) { case (acc, (c, k)) =>
       when(u < c, k.toLong).otherwise(acc) }
+    // the explode multiplies rows by reps IN PLACE: without a
+    // repartition the handful of scan partitions (one small parquet
+    // file) would do all n*B work on as many cores — spread the cheap
+    // input rows BEFORE the blow-up
     val perRep = rows
-      .withColumn("rep", explode(sequence(lit(1), lit(reps))))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("__g", explode(sequence(lit(0), lit(reps / 8 - 1))))
+      .withColumn("__digest", md5(concat(col("__g").cast("string"), lit("|"),
+        col("id"))))
+      .withColumn("__s", explode(sequence(lit(0), lit(7))))
+      .withColumn("rep", (col("__g") * 8 + col("__s") + 1).cast("long"))
       .withColumn("__w", w)
       .groupBy(col("rep"))
       .agg(sum(col("__w")).as("__sw"), sum(col("__w") * col("cents")).as("__sv"))
@@ -398,6 +414,36 @@ object Profiler {
         (floor(sqrt((col("__chi6").cast("double") / lit(1e6))
           / (col("n") * least(col("r") - 1L, col("c") - 1L)).cast("double"))
           * lit(1e6) + lit(0.5d)) / lit(1e6)).as("v"))
+  }
+
+  /** Exact WEIGHTED quantiles per group — each row counts `weight`
+    * times (token-weighted length medians, quantity-weighted price
+    * quartiles): the q-quantile is the smallest value whose cumulative
+    * weight reaches `ceil(p·W)`, with p carried as a RATIONAL
+    * (num/den) so the target is pure integer ceil-division — the house
+    * order-statistic convention, no interpolation, no float boundary.
+    * Aggregate-then-window: one (group, value) weight aggregation
+    * (map-side combined), a per-group cumulative window over DISTINCT
+    * values only. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String,
+                        probs: Seq[(Long, Long)] = Seq((1L, 4L), (1L, 2L), (3L, 4L))): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (n, d) => n > 0 && n < d },
+      "probs must be proper fractions")
+    val per = df.groupBy(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val wWin = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("grp"))
+    val cum = per.withColumn("cw", sum(col("w")).over(wWin))
+      .withColumn("tw", sum(col("w")).over(tot))
+    // integer ceil-div (n*W + d - 1) div d
+    val aggs = probs.map { case (n, d) =>
+      min(when(col("cw") >= expr(s"($n * tw + ${d - 1}) div $d"), col("v")))
+        .as(s"p${n}_$d") }
+    val allAggs = max(col("tw")).as("total_weight") +: aggs
+    cum.groupBy(col("grp")).agg(allAggs.head, allAggs.tail: _*)
   }
 
   /** Exact ROC AUC from a 6dp-grid score column — the rank-sum

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classical additive seasonal decomposition (the moving-average STL
@@ -298,6 +299,59 @@ object Seasonal {
     * windows that means ~10⁹-per-day counts; re-bucket to wider periods
     * before that. Input: (series, day, v); output one row per
     * (series, lag). */
+  /** Siegel REPEATED-median trend per series — the 50%-breakdown
+    * upgrade over Theil–Sen's 29% (q230): first the median slope PER
+    * POINT (over all partners), then the median of those medians, so
+    * even half the days being garbage cannot drag the trend. Same
+    * conventions as theilSen: 6dp-grid slopes, lower medians (rank >=
+    * ceil(n/2)) with deterministic tie-breaks, pair join over the
+    * aggregated daily rows (O(days²) per series, calendar-bounded).
+    * Input (series, day, v); output (series, n_days, slope,
+    * intercept). */
+  def siegelTrend(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("series"),
+      datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("xi"),
+      col("v").cast("long").as("yi"))
+    val b = a.select(col("series"), col("xi").as("xj"), col("yi").as("yj"))
+    val slopes = a.join(b, Seq("series")).filter(col("xj") =!= col("xi"))
+      .select(col("series"), col("xi"), col("xj"),
+        floor((col("yj") - col("yi")).cast("double")
+          / (col("xj") - col("xi")).cast("double") * lit(1e6) + lit(0.5d))
+          .cast("long").as("s6"))
+    val wI = Window.partitionBy(col("series"), col("xi"))
+      .orderBy(col("s6").asc, col("xj").asc)
+    val wIc = Window.partitionBy(col("series"), col("xi"))
+    val perPoint = slopes
+      .withColumn("__rk", row_number().over(wI).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wIc))
+      .groupBy(col("series"), col("xi"))
+      .agg(min(when(col("__rk") >= ceil(lit(0.5) * col("__n")), col("s6")))
+        .as("mi6"))
+    def seriesMedian(in: DataFrame, valCol: String, tie: String,
+                     out: String): DataFrame = {
+      val w = Window.partitionBy(col("series"))
+        .orderBy(col(valCol).asc, col(tie).asc)
+      val wc = Window.partitionBy(col("series"))
+      in.withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .groupBy(col("series"))
+        .agg(min(when(col("__rk") >= ceil(lit(0.5) * col("__n")), col(valCol)))
+          .as(out))
+    }
+    val slope = seriesMedian(perPoint, "mi6", "xi", "slope6")
+    val resid = a.join(slope, Seq("series"))
+      .select(col("series"), col("xi"),
+        floor((col("yi").cast("double")
+          - col("slope6").cast("double") / lit(1e6) * col("xi").cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("b6"))
+    val icept = seriesMedian(resid, "b6", "xi", "b6m")
+    a.groupBy(col("series")).agg(count(lit(1)).as("n_days"))
+      .join(slope, Seq("series")).join(icept, Seq("series"))
+      .select(col("series"), col("n_days"),
+        (col("slope6").cast("double") / lit(1e6)).as("slope"),
+        (col("b6m").cast("double") / lit(1e6)).as("intercept"))
+  }
+
   /** Cross-correlation between every pair of series at calendar lags
     * -maxLag..maxLag — the lead–lag detector ("clicks lead purchases
     * by 2 days") ACF can't see. Pearson correlation over lag-PAIRED

@@ -441,4 +441,62 @@ object TextIndex {
             + (col("v1") * (col("v1") - 1L)).cast("double") / 2.0d)
           .as("chao1"))
   }
+
+  /** TextTiling-style topic-shift segmentation (Hearst 1997, simplified):
+    * slide a `w`-token window by `stride`, compare ADJACENT windows by
+    * exact-integer term-count cosine, and call a boundary where the
+    * similarity dips under `threshold` — the topic-aware chunker that
+    * beats the fixed-size q123 chunks for long multi-topic documents
+    * (a training chunk straddling a topic shift dilutes both topics).
+    *
+    * All sums are exact integers (dot product over shared terms, both
+    * norms); the single float step is `num/sqrt(n1*n2)` onto the 6dp
+    * grid. Per-doc summary output: windows, gaps, boundaries, min/mean
+    * cosine — bounded by the document count. Everything shuffles on
+    * (doc, window) keys; no pairwise anything. */
+  def topicSegments(df: DataFrame, textCol: String, idCol: String,
+                    w: Int = 20, stride: Int = 10,
+                    threshold: Double = 0.5): DataFrame = {
+    require(w >= 2 && stride >= 1 && stride <= w, "need 2 <= stride <= w")
+    val t6 = math.floor(threshold * 1e6 + 0.5).toLong
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), " ", -1).as("tk"))
+    val wins = toks.filter(size(col("tk")) >= w)
+      .withColumn("widx", explode(sequence(lit(0),
+        floor((size(col("tk")) - w).cast("double") / stride).cast("int"))))
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        explode(slice(col("tk"), col("widx") * stride + 1, lit(w))).as("term"))
+    val cnt = wins.groupBy(col("doc_id"), col("widx"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val norms = cnt.groupBy(col("doc_id"), col("widx"))
+      .agg(sum(col("c") * col("c")).as("nn"))
+    val dots = cnt.select(col("doc_id"), col("widx"), col("term"), col("c"))
+      .join(cnt.select(col("doc_id"), (col("widx") - 1L).as("widx"),
+        col("term"), col("c").as("c2")), Seq("doc_id", "widx", "term"))
+      .groupBy(col("doc_id"), col("widx"))
+      .agg(sum(col("c") * col("c2")).as("num"))
+    val gaps = norms.join(norms.select(col("doc_id"),
+        (col("widx") - 1L).as("widx"), col("nn").as("nn2")),
+        Seq("doc_id", "widx"))
+      .join(dots, Seq("doc_id", "widx"), "left")
+      .withColumn("cos6", floor(coalesce(col("num"), lit(0L)).cast("double")
+        / sqrt((col("nn") * col("nn2")).cast("double")) * lit(1e6)
+        + lit(0.5d)).cast("long"))
+    val perDoc = gaps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("cos6") < t6, 1L).otherwise(0L)).as("n_boundaries"),
+        (min(col("cos6")).cast("double") / 1e6).as("min_cos"),
+        (floor(sum(col("cos6")).cast("double") / count(lit(1)).cast("double")
+          + lit(0.5d)).cast("double") / 1e6).as("mean_cos"))
+    val nWin = norms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    df.select(col(idCol).as("doc_id"))
+      .join(nWin, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
+        col("min_cos"), col("mean_cos"))
+  }
 }

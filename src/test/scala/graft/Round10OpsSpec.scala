@@ -238,7 +238,7 @@ class Round10OpsSpec extends SparkSpec {
     val small = (1 to 50).map(i => (i.toLong, 100.0 + (i % 10))).toDF("id", "v")
     val big = (1 to 5000).map(i => (i.toLong, 100.0 + (i % 10))).toDF("id", "v")
     def ci(df: org.apache.spark.sql.DataFrame) =
-      graft.operators.Profiler.poissonBootstrapMeanCI(df, "v", "id", reps = 100)
+      graft.operators.Profiler.poissonBootstrapMeanCI(df, "v", "id", reps = 96)
         .select("mean", "lo95", "hi95").as[(Double, Double, Double)].head()
     val (ms, los, his) = ci(small)
     val (mb, lob, hib) = ci(big)
@@ -307,6 +307,85 @@ class Round10OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!sky.toLowerCase.contains("rangepartitioning"),
       "skyline must not globally sort the input; the sweep runs on pruned candidates")
+  }
+
+  test("weighted quantiles: weights shift the median where row quantiles can't see") {
+    // values 1..4; value 4 carries 97 of 100 total weight -> every
+    // weighted quartile is 4, while the row median would be 2
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 97L))
+      .toDF("grp", "v", "w")
+    val r = graft.operators.Profiler.weightedQuantiles(df, "grp", "v", "w")
+      .select("total_weight", "p1_4", "p1_2", "p3_4")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((100L, 4L, 4L, 4L)))
+    // uniform weights reduce to the plain order statistic
+    val u = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 1L))
+      .toDF("grp", "v", "w")
+    val r2 = graft.operators.Profiler.weightedQuantiles(u, "grp", "v", "w")
+      .select("p1_4", "p1_2", "p3_4").as[(Long, Long, Long)].head()
+    assert(r2 == ((1L, 2L, 3L)), "ceil(p*4) targets -> ranks 1, 2, 3")
+  }
+
+  test("topic segments: a mid-document vocabulary shift is a boundary") {
+    val twoTopic = (Seq.fill(30)("alpha") ++ Seq.fill(30)("omega")).mkString(" ")
+    val oneTopic = Seq.fill(60)("alpha").mkString(" ")
+    val docs = Seq((1L, twoTopic), (2L, oneTopic), (3L, "short text"))
+      .toDF("doc_id", "text")
+    // non-overlapping 10-token blocks: the alpha|omega halves meet at a
+    // zero-cosine gap
+    val r = graft.operators.TextIndex.topicSegments(docs, "text", "doc_id",
+      w = 10, stride = 10, threshold = 0.5)
+      .select("doc_id", "n_windows", "n_boundaries")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == (6L, 1L), "disjoint halves meet at exactly one zero-cos boundary")
+    assert(r(2L) == (6L, 0L), "a single-topic doc has identical windows, no dips")
+    assert(r(3L) == (0L, 0L), "sub-window docs report zero windows, not errors")
+  }
+
+  test("siegel repeated median survives 40% corrupted days where the data demands it") {
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    // true line y = 3x + 10 on 10 days; days 6..9 are garbage spikes
+    val daily = (0 until 10).map { i =>
+      val y = if (i >= 6) 1000L + i * 37L else 10L + 3L * i
+      ("s", java.sql.Date.valueOf(base.plusDays(i)), y)
+    }.toDF("series", "day", "v")
+    val r = graft.operators.Seasonal.siegelTrend(daily)
+      .select("slope").as[Double].head()
+    assert(math.abs(r - 3.0) < 0.2,
+      s"per-point medians shrug off 4/10 corrupted days, got slope $r")
+  }
+
+  test("t-closeness: a skewed class is flagged, a corpus-like class passes") {
+    // corpus anchored by a big 75/25 class; 'fair' mirrors that mix,
+    // 'skew' is all-bucket-0. Corpus p0 = (45+15+20)/100 = 0.8, so
+    // emd(skew) = |1-0.8| = 0.2, emd(fair) = |0.75-0.8| = 0.05.
+    val rows =
+      (1 to 60).map(i => ("big", if (i <= 45) 0L else 1L)) ++
+      (1 to 20).map(i => ("fair", if (i <= 15) 0L else 1L)) ++
+      (1 to 20).map(_ => ("skew", 0L))
+    val r = graft.operators.Privacy.tClosenessAudit(rows.toDF("cls", "sv"),
+      Seq("cls"), "sv", t = 0.15).select("cls", "emd", "t_ok")
+      .as[(String, Double, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!r("skew")._2 && math.abs(r("skew")._1 - 0.2) < 1e-6,
+      s"skewed class leaks: $r")
+    assert(r("fair")._2 && math.abs(r("fair")._1 - 0.05) < 1e-6,
+      "the corpus-like class passes with the exact expected distance")
+  }
+
+  test("laplace mechanism: replayable noise, scale tracks 1/epsilon") {
+    val df = (1 to 100).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "x")
+    def run(eps: Double) = graft.operators.Privacy
+      .laplaceNoisyCounts(df, "g", eps, seed = "spec")
+      .select("grp", "n", "noise", "noisy_n")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1)
+    val a = run(1.0); val b = run(1.0); val tight = run(100.0)
+    assert(a.toSeq == b.toSeq, "same seed -> identical release")
+    assert(a.map(_._2).sum == 100L)
+    a.zip(tight).foreach { case ((_, _, n1, _), (_, _, n100, _)) =>
+      assert(math.abs(n100 - n1 / 100.0) < 1e-6,
+        "noise scales exactly with 1/epsilon for the same uniform draw") }
+    tight.foreach { case (_, n, _, nn) =>
+      assert(math.abs(nn - n) <= 1L, "epsilon=100 noise rounds to ~0") }
   }
 
   test("chao1: singletons project unseen species, exhaustive corpora add none") {
