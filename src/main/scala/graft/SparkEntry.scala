@@ -487,6 +487,52 @@ object SparkEntry {
         "source", epsilon = 1.0, seed = "graft-r10")
     }),
 
+    // Split-conformal prediction sets for the q182 model: calibration
+    // quantile of true-label nonconformity (hash split), then per-test
+    // prediction sets {1}/{0}/both/empty with empirical coverage — the
+    // distribution-free uncertainty readout completing AUC (q267) and
+    // calibration (q195).
+    "q278_conformal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("__y",
+        when(col("lang") === "en", 1).otherwise(0))
+      val (w, b) = operators.QualityModel.train(labeled, "text", "__y",
+        iters = 5, lr = 0.5)
+      operators.QualityModel.conformalSets(labeled, "text", "doc_id", "__y",
+        w, b, alpha = 0.1)
+    }),
+
+    // Cumulative gains / lift by score decile: how deep down the
+    // model-ranked corpus to go to capture X% of the positives.
+    // Deciles ride the two-pass global rank (never a one-partition
+    // window over data).
+    "q279_gains" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("__y",
+        when(col("lang") === "en", 1).otherwise(0))
+      val (w, b) = operators.QualityModel.train(labeled, "text", "__y",
+        iters = 5, lr = 0.5)
+      val scored = operators.QualityModel.score(docs, "text", w, b)
+        .select(col("doc_id"),
+          floor(col("quality_prob") * lit(1e6) + lit(0.5d)).cast("long")
+            .as("s6"))
+        .join(labeled.select(col("doc_id"), col("__y")), "doc_id")
+      operators.Profiler.cumulativeGains(scored, "s6", "__y", "doc_id")
+    }),
+
+    // Spearman rank correlation per return flag (quantity vs price
+    // cents): average-rank tie algebra held as exact integers,
+    // decimal(38) moment sums — the monotone complement of q110's
+    // Pearson.
+    "q280_spearman" -> ((s, dir) => {
+      operators.Profiler.spearman(
+        t(s, dir, "lineitem")
+          .withColumn("qv", col("l_quantity").cast("long"))
+          .withColumn("pv",
+            floor(col("l_extendedprice") * 100 + lit(0.5d)).cast("long")),
+        "l_returnflag", "qv", "pv")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8083,6 +8129,48 @@ object SparkEntry {
 
     "q267_roc_auc" -> RocAucOracle(iters = 5, lr = 0.5),
 
+    "q278_conformal" -> ConformalOracle(iters = 5, lr = 0.5),
+
+    "q279_gains" -> GainsOracle(iters = 5, lr = 0.5),
+
+    "q280_spearman" ->
+      """WITH r0 AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS xv,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yv
+        |  FROM lineitem),
+        |rx AS (
+        |  SELECT grp, v AS xv,
+        |    2 * coalesce(sum(nv) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + nv + 1 AS rx
+        |  FROM (SELECT grp, xv AS v, CAST(count(*) AS BIGINT) AS nv
+        |        FROM r0 GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT grp, v AS yv,
+        |    2 * coalesce(sum(nv) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + nv + 1 AS ry
+        |  FROM (SELECT grp, yv AS v, CAST(count(*) AS BIGINT) AS nv
+        |        FROM r0 GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT r.grp, CAST(rx.rx AS HUGEINT) AS rx,
+        |    CAST(ry.ry AS HUGEINT) AS ry
+        |  FROM r0 r JOIN rx ON rx.grp = r.grp AND rx.xv = r.xv
+        |  JOIN ry ON ry.grp = r.grp AND ry.yv = r.yv),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(rx) AS sx,
+        |    sum(ry) AS sy, sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |      AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+        |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |  END AS rho
+        |FROM g""".stripMargin,
+
     "q268_lsh_plan" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |g AS (
@@ -9784,6 +9872,82 @@ object SparkEntry {
        |      / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000 + 0.5) / 1000000
        |  END AS auc
        |FROM agg""".stripMargin
+  }
+
+  /** Oracle for q278_conformal: the q182 training replay, then the
+    * split-conformal calibration quantile and per-test prediction
+    * sets, mirroring QualityModel.conformalSets stage by stage. */
+  private def ConformalOracle(iters: Int, lr: Double): String = {
+    val trained = TrainedQualityOracle(iters, lr)
+    s"""WITH scored AS (
+       |${trained.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |j AS (
+       |  SELECT s.doc_id,
+       |    CAST(floor(s.quality_prob * 1000000 + 0.5) AS BIGINT) AS p6,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 4 = 0 AS cal
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+       |calr AS (
+       |  SELECT doc_id, CASE WHEN y = 1 THEN 1000000 - p6 ELSE p6 END AS s6
+       |  FROM j WHERE cal),
+       |q AS (
+       |  SELECT min(CASE WHEN rk >= ceil(CAST(0.9 AS DOUBLE) * (nc + 1))
+       |    THEN s6 END) AS q6
+       |  FROM (SELECT s6, row_number() OVER (ORDER BY s6, doc_id) AS rk,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM calr) AS nc
+       |    FROM calr)),
+       |tst AS (
+       |  SELECT y, (1000000 - p6 <= q6) AS in1, (p6 <= q6) AS in0, q6
+       |  FROM j, q WHERE NOT cal)
+       |SELECT CASE WHEN in1 AND in0 THEN 'both' WHEN in1 THEN '{1}'
+       |    WHEN in0 THEN '{0}' ELSE 'empty' END AS pred_set,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN (y = 1 AND in1) OR (y = 0 AND in0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  CAST(max(q6) AS DOUBLE) / 1000000 AS q_hat
+       |FROM tst GROUP BY 1""".stripMargin
+  }
+
+  /** Oracle for q279_gains: the q182 training replay, ranked desc on
+    * the 6dp score grid (ids break ties), integer ceil-div deciles,
+    * cumulative gain and lift. */
+  private def GainsOracle(iters: Int, lr: Double): String = {
+    val trained = TrainedQualityOracle(iters, lr)
+    s"""WITH scored AS (
+       |${trained.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |j AS (
+       |  SELECT s.doc_id,
+       |    CAST(floor(s.quality_prob * 1000000 + 0.5) AS BIGINT) AS s6,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+       |rk AS (
+       |  SELECT y, CAST(row_number() OVER (ORDER BY -s6, doc_id) AS BIGINT)
+       |    AS rank,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM j) AS nt,
+       |    (SELECT CAST(sum(y) AS BIGINT) FROM j) AS pt
+       |  FROM j),
+       |pb AS (
+       |  SELECT (rank * 10 + nt - 1) // nt AS decile,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos, max(nt) AS nt, max(pt) AS pt
+       |  FROM rk GROUP BY 1),
+       |cum AS (
+       |  SELECT *, CAST(sum(n) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pos
+       |  FROM pb)
+       |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos, cum_pos,
+       |  CASE WHEN pt > 0 THEN floor(CAST(cum_pos AS DOUBLE)
+       |    / CAST(pt AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS gain,
+       |  CASE WHEN pt > 0 THEN floor(CAST(cum_pos * nt AS DOUBLE)
+       |    / CAST(cum_n * pt AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS lift
+       |FROM cum""".stripMargin
   }
 
   /** Oracle body for q188 — also nested by q200's savings oracle. */

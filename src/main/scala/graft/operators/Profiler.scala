@@ -472,6 +472,86 @@ object Profiler {
             * lit(1e6) + lit(0.5d)) / lit(1e6)).as("auc"))
   }
 
+  /** Cumulative gains / lift table by model-score decile: rows ranked
+    * by (score desc, id) through the scalable two-pass global rank
+    * (Linkage.globalRank — offsets per PARTITION, no single-partition
+    * window over data), deciles by integer ceil-division, then one
+    * bounded aggregation: per decile the positives captured, cumulative
+    * gain (share of all positives) and lift vs random. The "how deep
+    * must I score to catch X% of the good documents" view completing
+    * AUC (q267) and calibration (q195). */
+  def cumulativeGains(df: DataFrame, score6Col: String, labelCol: String,
+                      idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val ranked = Linkage.globalRank(
+      df.select(col(idCol).cast("long").as("rid"),
+        (-col(score6Col)).as("negs"), col(labelCol).as("y")),
+      Seq("negs"), "rid")
+    val tot = ranked.agg(count(lit(1)).as("nt"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("pt"))
+    val perBin = ranked.join(broadcast(tot))
+      .withColumn("decile",
+        expr(s"(rank * $bins + nt - 1) div nt"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        max(col("nt")).as("nt"), max(col("pt")).as("pt"))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("pt") > 0L, floor(col("cum_pos").cast("double")
+          / col("pt").cast("double") * lit(1e6) + lit(0.5d)) / lit(1e6))
+          .as("gain"),
+        when(col("pt") > 0L, floor((col("cum_pos") * col("nt")).cast("double")
+          / (col("cum_n") * col("pt")).cast("double") * lit(1e6) + lit(0.5d))
+          / lit(1e6)).as("lift"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * complement of q110's Pearson: immune to outliers and nonlinearity,
+    * it correlates RANKS (average ranks for ties, held as the exact
+    * integer `2·avgRank = 2·cumBelow + n_v + 1` — the rocAuc tie
+    * algebra). Rank assignment is aggregate-then-window over DISTINCT
+    * values per group, joined back scan-side; the five moment sums
+    * accumulate as decimal(38,0) (rank products overflow long at
+    * ~10⁶ rows/group), with one double division at the end. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def ranks2(valCol: String, out: String): DataFrame = {
+      val per = df.groupBy(col(groupCol).as("grp"),
+          col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("nv"))
+      val wPrev = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.withColumn(out,
+          lit(2L) * coalesce(sum(col("nv")).over(wPrev), lit(0L))
+            + col("nv") + 1L)
+        .select(col("grp"), col("v"), col(out))
+    }
+    val rows = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("xv"), col(yCol).cast("long").as("yv"))
+    val withR = rows
+      .join(ranks2(xCol, "rx").withColumnRenamed("v", "xv"), Seq("grp", "xv"))
+      .join(ranks2(yCol, "ry").withColumnRenamed("v", "yv"), Seq("grp", "yv"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = withR.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(d(col("rx"))).as("sx"),
+        sum(d(col("ry"))).as("sy"),
+        sum(d(col("rx")) * d(col("ry"))).as("sxy"),
+        sum(d(col("rx")) * d(col("rx"))).as("sxx"),
+        sum(d(col("ry")) * d(col("ry"))).as("syy"))
+    val num = (d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val d1 = (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val d2 = (d(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")
+    g.select(col("grp"), col("n"),
+      when(d1 > 0.0d && d2 > 0.0d,
+        floor(num / sqrt(d1 * d2) * lit(1e6) + lit(0.5d)) / lit(1e6))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a (tiny, aggregated)
     * table of tests with a 6dp-grid `p6` column: rank p ascending
     * (ties by the test key), find the largest rank r with

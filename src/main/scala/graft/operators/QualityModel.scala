@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -59,6 +60,58 @@ object QualityModel {
   /** Per-row gradient contributions are quantized to this grid before
     * summation, making every gradient an EXACT integer sum. */
   val GradScale: Double = 1e6
+
+  /** Split-conformal prediction sets for the trained classifier
+    * (Vovk et al.; the distribution-free coverage guarantee): on a
+    * held-out calibration split, nonconformity is `1 - p(true label)`;
+    * `q_hat` is the `ceil((n_cal+1)(1-alpha))`-th smallest score
+    * (house order statistic); a test document's prediction SET then
+    * contains every label whose nonconformity stays within q_hat —
+    * {1}, {0}, both (ambiguous), or empty (outlier). Marginal coverage
+    * >= 1-alpha holds by construction, no distributional assumption.
+    * Output: one row per set shape with counts and the empirical
+    * coverage of that shape, plus q_hat — aggregate-sized.
+    *
+    * All scores live on the 6dp grid (scores = the replayable q182
+    * probabilities), so the rank threshold is engine-portable. The
+    * calibration membership is the house md5 hash split. */
+  def conformalSets(df: DataFrame, textCol: String, idCol: String,
+                    labelCol: String, weights: Seq[Double], bias: Double,
+                    alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val p6 = floor(round(sigmoid(logit(col(textCol), weights, bias)), 6)
+      * lit(1e6) + lit(0.5d)).cast("long")
+    val isCal = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(4L)) === 0L
+    val scored = df.select(col(idCol).as("__id"), col(labelCol).as("__y"),
+      p6.as("__p6"), isCal.as("__cal"))
+    // nonconformity of the TRUE label: 1e6 - p6 if y=1 else p6
+    val s6 = when(col("__y") === 1, lit(1000000L) - col("__p6"))
+      .otherwise(col("__p6"))
+    val cal = scored.filter(col("__cal")).withColumn("__s6", s6)
+    val wAsc = Window.orderBy(col("__s6").asc, col("__id").asc)
+    val qhat = cal
+      .withColumn("__rk", row_number().over(wAsc).cast("long"))
+      .join(broadcast(cal.agg(count(lit(1)).as("__nc"))))
+      .agg(min(when(col("__rk") >=
+        ceil(lit(1.0 - alpha) * (col("__nc") + 1L)), col("__s6")))
+        .as("__q6"))
+    scored.filter(!col("__cal"))
+      .join(broadcast(qhat))
+      .withColumn("__in1", lit(1000000L) - col("__p6") <= col("__q6"))
+      .withColumn("__in0", col("__p6") <= col("__q6"))
+      .withColumn("pred_set",
+        when(col("__in1") && col("__in0"), "both")
+          .when(col("__in1"), "{1}")
+          .when(col("__in0"), "{0}")
+          .otherwise("empty"))
+      .withColumn("__covered",
+        (col("__y") === 1 && col("__in1")) || (col("__y") === 0 && col("__in0")))
+      .groupBy(col("pred_set"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_covered"),
+        (max(col("__q6")).cast("double") / 1e6).as("q_hat"))
+  }
 
   /** Batch-gradient-descent logistic regression on a labeled frame
     * (`labelCol` in {0,1}). Each iteration aggregates the full gradient

@@ -388,6 +388,57 @@ class Round10OpsSpec extends SparkSpec {
       assert(math.abs(nn - n) <= 1L, "epsilon=100 noise rounds to ~0") }
   }
 
+  test("spearman: monotone nonlinear is exactly 1, reversal is -1, ties stay sane") {
+    val up = (1 to 50).map(i => ("up", i.toLong, i.toLong * i * i))
+    val dn = (1 to 50).map(i => ("dn", i.toLong, -(i.toLong * i)))
+    val r = graft.operators.Profiler.spearman((up ++ dn).toDF("grp", "x", "y"),
+      "grp", "x", "y").select("grp", "rho").as[(String, Option[Double])]
+      .collect().toMap
+    assert(r("up").get == 1.0, "any strictly increasing map has rho exactly 1")
+    assert(r("dn").get == -1.0)
+    val tied = Seq(("t", 1L, 5L), ("t", 2L, 5L), ("t", 3L, 5L))
+      .toDF("grp", "x", "y")
+    val rt = graft.operators.Profiler.spearman(tied, "grp", "x", "y")
+      .select("rho").as[Option[Double]].head()
+    assert(rt.isEmpty, "constant side -> zero rank variance -> null, not NaN")
+  }
+
+  test("gains: a perfect ranker captures all positives in the top deciles") {
+    // 100 rows, 20 positives, score = label (perfect separation)
+    val df = (1 to 100).map(i => (i.toLong,
+      if (i <= 20) 1000000L else 500000L, if (i <= 20) 1 else 0))
+      .toDF("id", "s6", "y")
+    val g = graft.operators.Profiler.cumulativeGains(df, "s6", "y", "id")
+      .select("decile", "cum_pos", "gain", "lift")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(g(0) == ((1L, 10L, 0.5, 5.0)), "top decile: half the positives, lift 5")
+    assert(g(1) == ((2L, 20L, 1.0, 5.0)), "second decile completes them")
+    assert(g(9)._3 == 1.0 && g(9)._4 == 1.0, "full depth always ends at gain=lift=1")
+  }
+
+  test("conformal: empirical coverage meets the 1-alpha guarantee") {
+    val docs = graft.Tables.load(spark, sf("sf0.01"), "documents")
+    val labeled = docs.withColumn("__y",
+      when(col("lang") === "en", 1).otherwise(0))
+    val (w, b) = graft.operators.QualityModel.train(labeled, "text", "__y",
+      iters = 5, lr = 0.5)
+    def run(alpha: Double) = {
+      val r = graft.operators.QualityModel.conformalSets(labeled, "text",
+        "doc_id", "__y", w, b, alpha)
+        .select("n_docs", "n_covered", "q_hat")
+        .as[(Long, Long, Double)].collect()
+      (r.map(_._2).sum.toDouble / r.map(_._1).sum, r.map(_._3).max)
+    }
+    val (covLoose, qLoose) = run(0.3)
+    val (covTight, qTight) = run(0.05)
+    assert(covLoose >= 0.55, f"alpha=0.3 keeps most labels, got $covLoose%.3f")
+    assert(qTight > qLoose && covTight > covLoose,
+      f"smaller alpha widens q_hat and raises coverage: " +
+        f"$covLoose%.3f@$qLoose -> $covTight%.3f@$qTight")
+    assert(covTight >= 0.88,
+      f"alpha=0.05 coverage near its guarantee on this split, got $covTight%.3f")
+  }
+
   test("chao1: singletons project unseen species, exhaustive corpora add none") {
     // 4-gram species over 5-token docs: each doc contributes 2 grams
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
