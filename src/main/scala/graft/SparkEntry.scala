@@ -533,6 +533,14 @@ object SparkEntry {
         "l_returnflag", "qv", "pv")
     }),
 
+    // Mann–Whitney U: are English docs systematically longer than the
+    // rest? Exact average-rank/tie-correction algebra, logistic-approx
+    // p — the location-shift complement of q237's shape-sensitive KS.
+    "q281_mann_whitney" -> ((s, dir) => {
+      operators.Profiler.mannWhitney(t(s, dir, "documents"),
+        col("lang") === "en", "n_chars")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8132,6 +8140,49 @@ object SparkEntry {
     "q278_conformal" -> ConformalOracle(iters = 5, lr = 0.5),
 
     "q279_gains" -> GainsOracle(iters = 5, lr = 0.5),
+
+    "q281_mann_whitney" ->
+      """WITH per AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na_v
+        |  FROM documents GROUP BY 1),
+        |cb AS (
+        |  SELECT *, coalesce(sum(nv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM per),
+        |g AS (
+        |  SELECT CAST(sum(na_v) AS BIGINT) AS na,
+        |    CAST(sum(nv - na_v) AS BIGINT) AS nb,
+        |    sum(CAST(na_v AS HUGEINT) * CAST(2 * cb + nv + 1 AS HUGEINT))
+        |      AS r2a,
+        |    sum(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+        |      * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT)) AS tt
+        |  FROM cb),
+        |zc AS (
+        |  SELECT na, nb,
+        |    CAST(r2a - CAST(na AS HUGEINT) * CAST(na + 1 AS HUGEINT)
+        |      AS DOUBLE) AS u2,
+        |    CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+        |      * (CAST(na + nb + 1 AS HUGEINT) * CAST(na + nb AS HUGEINT)
+        |        * CAST(na + nb - 1 AS HUGEINT) - tt) AS vnum,
+        |    CAST(12 AS HUGEINT) * CAST(na + nb AS HUGEINT)
+        |      * CAST(na + nb - 1 AS HUGEINT) AS vden
+        |  FROM g),
+        |zz AS (
+        |  SELECT na, nb, u2, vnum,
+        |    (u2 - CAST(na * nb AS DOUBLE))
+        |      / (2.0 * sqrt(CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE)))
+        |      AS z
+        |  FROM zc)
+        |SELECT na AS n_a, nb AS n_b, u2 / 2.0 AS u,
+        |  CASE WHEN na > 0 AND nb > 0 AND vnum > 0 THEN
+        |    floor(z * 1000000 + 0.5) / 1000000 END AS z,
+        |  CASE WHEN na > 0 AND nb > 0 AND vnum > 0 THEN
+        |    floor(2.0 / (1.0 + exp(1.702 * abs(z))) * 1000000 + 0.5)
+        |      / 1000000 END AS p
+        |FROM zz""".stripMargin,
 
     "q280_spearman" ->
       """WITH r0 AS (

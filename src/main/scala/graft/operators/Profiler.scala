@@ -510,6 +510,43 @@ object Profiler {
           / lit(1e6)).as("lift"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test: does group A
+    * sit systematically higher/lower than B? The location-shift
+    * complement of the KS drift gate (q237, which reacts to ANY shape
+    * difference). Rank algebra is exact: average ranks via the
+    * `2·avgRank = 2·cumBelow + n_v + 1` tie identity over distinct
+    * values (aggregate-then-window), the tie-corrected variance from
+    * the exact integer `nA·nB·((N+1)N(N−1) − Σ(t³−t))` (decimal(38) —
+    * N³-sized), z through one fixed IEEE sequence, p via the house
+    * logistic normal approximation. Output: one row. */
+  def mannWhitney(df: DataFrame, isA: Column, valueCol: String): DataFrame = {
+    val per = df.select(isA.as("a"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("nv"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("na_v"))
+    val wPrev = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = per
+      .withColumn("cb", coalesce(sum(col("nv")).over(wPrev), lit(0L)))
+      .agg(sum(col("na_v")).as("na"), sum(col("nv") - col("na_v")).as("nb"),
+        sum(d(col("na_v")) * d(lit(2L) * col("cb") + col("nv") + 1L)).as("r2a"),
+        sum(d(col("nv")) * d(col("nv")) * d(col("nv")) - d(col("nv"))).as("tt"))
+    val n = col("na") + col("nb")
+    val u2 = (col("r2a") - d(col("na")) * d(col("na") + 1L)).cast("double")
+    val varNum = (d(col("na")) * d(col("nb"))
+      * (d(n + 1L) * d(n) * d(n - 1L) - col("tt")))
+    val varDen = d(lit(12L)) * d(n) * d(n - 1L)
+    val z = ((u2 - (col("na") * col("nb")).cast("double"))
+      / (lit(2.0d) * sqrt(varNum.cast("double") / varDen.cast("double"))))
+    val ok = col("na") > 0L && col("nb") > 0L && varNum > 0
+    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (u2 / lit(2.0d)).as("u"),
+      when(ok, floor(z * lit(1e6) + lit(0.5d)) / lit(1e6)).as("z"),
+      when(ok, floor(lit(2.0d) / (lit(1.0d) + exp(lit(1.702d) * abs(z)))
+        * lit(1e6) + lit(0.5d)) / lit(1e6)).as("p"))
+  }
+
   /** Spearman rank correlation per group — the monotone-association
     * complement of q110's Pearson: immune to outliers and nonlinearity,
     * it correlates RANKS (average ranks for ties, held as the exact

@@ -439,6 +439,21 @@ class Round10OpsSpec extends SparkSpec {
       f"alpha=0.05 coverage near its guarantee on this split, got $covTight%.3f")
   }
 
+  test("mann-whitney: separated samples reject, identical samples do not") {
+    val sep = ((1 to 40).map(i => (true, 100L + i)) ++
+      (1 to 40).map(i => (false, i.toLong))).toDF("a", "v")
+    val r1 = graft.operators.Profiler.mannWhitney(sep, col("a"), "v")
+      .select("u", "z", "p").as[(Double, Double, Double)].head()
+    assert(r1._1 == 1600.0, "complete separation: U = nA*nB")
+    assert(r1._2 > 5 && r1._3 < 1e-4, s"strong shift rejects, got $r1")
+    val same = ((1 to 40).map(i => (true, i.toLong % 7)) ++
+      (1 to 40).map(i => (false, i.toLong % 7))).toDF("a", "v")
+    val r2 = graft.operators.Profiler.mannWhitney(same, col("a"), "v")
+      .select("z", "p").as[(Double, Double)].head()
+    assert(math.abs(r2._1) < 1e-6 && r2._2 > 0.99,
+      s"identical tied samples: z=0, p~1, got $r2")
+  }
+
   test("chao1: singletons project unseen species, exhaustive corpora add none") {
     // 4-gram species over 5-token docs: each doc contributes 2 grams
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
