@@ -178,7 +178,8 @@ object SparkEntry {
     // gap of the global observation end is right-censored — it may
     // still be open). The estimator q117's naive retention curve cannot
     // express: censored sessions stay in the risk set, add no death.
-    // 9dp-grid log terms, one exp at the end; aggregate-then-window.
+    // Engine-exact: 6dp integer factors folded with BIGINT div — zero
+    // transcendentals, so no libm portability hazard.
     "q252_kaplan_meier" -> ((s, dir) => {
       operators.Survival.kaplanMeier(
         operators.Survival.sessionLifetimes(t(s, dir, "events"), "user_id",
@@ -539,6 +540,19 @@ object SparkEntry {
     "q281_mann_whitney" -> ((s, dir) => {
       operators.Profiler.mannWhitney(t(s, dir, "documents"),
         col("lang") === "en", "n_chars")
+    }),
+
+    // Subject-level Kaplan–Meier: customer lifetime = days from first
+    // to last order, right-censored when the last order sits within 90
+    // days of the global observation end (the customer may still be
+    // active — the events table can't carry this curve: no user there
+    // ever goes quiet ≥ 3 days, so every user-level lifetime censors).
+    // The long-horizon complement of q252's session curve; same
+    // engine-exact 6dp-integer product-limit estimator.
+    "q282_user_survival" -> ((s, dir) => {
+      operators.Survival.kaplanMeier(
+        operators.Survival.lifetimes(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", censorDays = 90))
     }),
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -3895,7 +3909,7 @@ object SparkEntry {
         |FROM lg JOIN st ON st.series = lg.series""".stripMargin,
 
     "q252_kaplan_meier" ->
-      """WITH sess AS (
+      """WITH RECURSIVE sess AS (
         |  SELECT user_id,
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
@@ -3924,20 +3938,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
         |  FROM perT, tot),
         |r2 AS (
-        |  SELECT *,
-        |    max(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero,
-        |    sum(CASE WHEN n_risk > d THEN
-        |        CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
-        |          / CAST(n_risk AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
-        |      END) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum9
-        |  FROM r)
+        |  SELECT t, d, n_risk,
+        |    ((n_risk - d) * 1000000) // n_risk AS f6,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM r),
+        |prod AS (
+        |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
+        |  FROM r2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
+        |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
         |SELECT t AS t_days, n_risk, d AS n_events,
-        |  CASE WHEN zero = 1 THEN 0.0
-        |    ELSE floor(exp(CAST(cum9 AS DOUBLE) / 1000000000) * 1000000
-        |      + 0.5) / 1000000 END AS survival
-        |FROM r2 WHERE d > 0""".stripMargin,
+        |  CAST(p6 AS DOUBLE) / 1000000 AS survival
+        |FROM prod WHERE d > 0""".stripMargin,
 
     "q253_hbos" ->
       """WITH o AS (
@@ -4082,17 +4095,21 @@ object SparkEntry {
         |        UNION ALL SELECT v, u FROM und),
         |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS d
         |  FROM sym GROUP BY 1),
+        |kept AS (SELECT z, d FROM deg WHERE d <= 10000),
+        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN d > 10000 THEN 1
+        |  ELSE 0 END), 0) AS BIGINT) AS dropped_centers FROM deg),
         |wg AS (
         |  SELECT x.b AS id_a, y.b AS id_b, x.a AS z
-        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b),
+        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+        |  JOIN kept k ON k.z = x.a),
         |sc AS (
         |  SELECT wg.id_a, wg.id_b, CAST(count(*) AS BIGINT) AS n_common,
         |    CAST(sum(CAST(floor(1.0 / ln(CAST(d AS DOUBLE)) * 1000000000
         |      + 0.5) AS BIGINT)) AS BIGINT) AS s9
-        |  FROM wg JOIN deg USING (z) GROUP BY 1, 2)
+        |  FROM wg JOIN kept USING (z) GROUP BY 1, 2)
         |SELECT id_a, id_b, n_common,
-        |  CAST(s9 AS DOUBLE) / 1000000000 AS aa
-        |FROM sc WHERE NOT EXISTS (SELECT 1 FROM und
+        |  CAST(s9 AS DOUBLE) / 1000000000 AS aa, dr.dropped_centers
+        |FROM sc, dr WHERE NOT EXISTS (SELECT 1 FROM und
         |  WHERE und.u = sc.id_a AND und.v = sc.id_b)""".stripMargin,
 
     "q258_fd_discovery" ->
@@ -4300,8 +4317,8 @@ object SparkEntry {
         |      AND n_pairs * sxx - sx1 * sx1 > 0
         |      AND n_pairs * syy - sy1 * sy1 > 0 THEN
         |    floor(CAST(n_pairs * sxy - sx1 * sy1 AS DOUBLE)
-        |      / sqrt(CAST((n_pairs * sxx - sx1 * sx1)
-        |        * (n_pairs * syy - sy1 * sy1) AS DOUBLE))
+        |      / sqrt(CAST(n_pairs * sxx - sx1 * sx1 AS DOUBLE)
+        |        * CAST(n_pairs * syy - sy1 * sy1 AS DOUBLE))
         |      * 1000000 + 0.5) / 1000000
         |  END AS ccf
         |FROM g""".stripMargin,
@@ -8140,6 +8157,44 @@ object SparkEntry {
     "q278_conformal" -> ConformalOracle(iters = 5, lr = 0.5),
 
     "q279_gains" -> GainsOracle(iters = 5, lr = 0.5),
+
+    "q282_user_survival" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT o_custkey,
+        |    min(CAST(o_orderdate AS DATE)) AS first_day,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT max(CAST(o_orderdate AS DATE)) AS obs_end
+        |  FROM orders),
+        |lt AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+        |      AS dur,
+        |    (date_diff('day', last_day, e.obs_end) >= 90) AS obs
+        |  FROM sp, e),
+        |perT AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS leaving
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+        |r AS (
+        |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM perT, tot),
+        |r2 AS (
+        |  SELECT t, d, n_risk,
+        |    ((n_risk - d) * 1000000) // n_risk AS f6,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM r),
+        |prod AS (
+        |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
+        |  FROM r2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
+        |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
+        |SELECT t AS t_days, n_risk, d AS n_events,
+        |  CAST(p6 AS DOUBLE) / 1000000 AS survival
+        |FROM prod WHERE d > 0""".stripMargin,
 
     "q281_mann_whitney" ->
       """WITH per AS (

@@ -974,8 +974,15 @@ object Dedup {
     def pAt(s: Double) = grid6(lit(1.0d)
       - pow(lit(1.0d) - pow(lit(s), col("r").cast("double")),
         col("b").cast("double")))
-    val lo = math.max(threshold - 0.1, 0.01)
-    val hi = math.min(threshold + 0.1, 0.99)
+    // shoulders via BigDecimal: `threshold - 0.1` in binary doubles is
+    // NOT the double that the oracle's decimal literal (e.g. 0.25)
+    // parses to — the repo's non-dyadic-literal discipline. BigDecimal
+    // of the shortest decimal repr, exact decimal ±0.1, then one
+    // parse-equivalent rounding back to double.
+    val lo = math.max((BigDecimal(threshold) - BigDecimal("0.1")).toDouble,
+      0.01)
+    val hi = math.min((BigDecimal(threshold) + BigDecimal("0.1")).toDouble,
+      0.99)
     val plans = n
       .withColumn("r", explode(sequence(lit(1), lit(sigBudget))))
       .withColumn("b", (lit(sigBudget) / col("r")).cast("long"))

@@ -259,22 +259,41 @@ object Graphs {
     * an anti-join drops pairs that are already edges. Output is bounded
     * by the wedge count of the (already-thresholded) graph. Degree-1
     * neighbors cannot appear as wedge centers, so `ln(deg) >= ln 2` —
-    * no division hazard. */
-  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * no division hazard.
+    *
+    * Hub cap: a center of degree d schedules ~d² wedge rows, so one
+    * boilerplate mega-cluster node (deg 10^5+) would put 10^10 rows on
+    * a single shuffle key. Centers with `deg > maxCenterDegree` are
+    * dropped BEFORE the self-join — principled, because a hub center
+    * contributes only `1/ln(deg) ≤ 1/ln(cap)` per wedge, ≈ nothing to
+    * AA by design; the dropped mass per surviving pair is bounded by
+    * `n_droppedHubsShared/ln(cap)`. The dropped-center count rides on
+    * every row as the `dropped_centers` observability column (1-row
+    * broadcast scalar) so a caller can see when the cap fired. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxCenterDegree: Long = 10000L): DataFrame = {
+    require(maxCenterDegree >= 2, "maxCenterDegree must be >= 2")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
-    val wedges = sym.select(col("a").as("z"), col("b").as("id_a"))
-      .join(sym.select(col("a").as("z"), col("b").as("id_b")), Seq("z"))
+    val kept = deg.filter(col("d") <= maxCenterDegree)
+    val dropped = deg.agg(coalesce(sum(when(col("d") > maxCenterDegree, 1L)
+      .otherwise(0L)), lit(0L)).as("dropped_centers"))
+    // join sym with the kept centers FIRST so hub keys never reach the
+    // quadratic self-join; d rides along, replacing the later deg join
+    val zs = sym.join(kept, col("a") === col("z"))
+      .select(col("z"), col("b"), col("d"))
+    val wedges = zs.select(col("z"), col("b").as("id_a"), col("d"))
+      .join(zs.select(col("z"), col("b").as("id_b")), Seq("z"))
       .filter(col("id_a") < col("id_b"))
-      .join(deg, Seq("z"))
       .withColumn("__t9", floor(lit(1.0d) / log(col("d").cast("double"))
         * lit(1e9) + lit(0.5d)).cast("long"))
     wedges.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("__t9")).as("__s9"))
       .join(e, col("id_a") === col("a") && col("id_b") === col("b"),
         "left_anti")
+      .join(broadcast(dropped))
       .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("__s9").cast("double") / 1e9).as("aa"))
+        (col("__s9").cast("double") / 1e9).as("aa"), col("dropped_centers"))
   }
 }

@@ -359,8 +359,11 @@ object Seasonal {
     * one float step is `num / sqrt(d1*d2)` onto the 6dp grid.
     * `ccf(x,y,k) = ccf(y,x,-k)`, so only `series_x < series_y` pairs
     * emit. Runs on aggregated daily rows (one equi-join on
-    * (day+lag)); `d1*d2` needs < 2^63 — at daily counts that holds to
-    * ~10⁴/day per series; wider periods beyond. A lag with < 3
+    * (day+lag)); the variance terms are cast to double INDIVIDUALLY
+    * before multiplying — a 64-bit `d1*d2` would wrap silently in the
+    * JVM past ~10⁴/day counts while the oracle engine raises, a
+    * silent-divergence hazard; the double product cannot wrap and
+    * both engines round it identically (IEEE). A lag with < 3
     * overlapping days or a constant side yields null. */
   def ccf(daily: DataFrame, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
@@ -380,7 +383,7 @@ object Seasonal {
     g.select(col("series_x"), col("series_y"), col("lag").cast("long").as("lag"),
       col("n_pairs"),
       when(col("n_pairs") >= 3L && d1 > 0L && d2 > 0L,
-        floor(num.cast("double") / sqrt((d1 * d2).cast("double"))
+        floor(num.cast("double") / sqrt(d1.cast("double") * d2.cast("double"))
           * lit(1e6) + lit(0.5d)) / lit(1e6))
         .otherwise(lit(null).cast("double")).as("ccf"))
   }

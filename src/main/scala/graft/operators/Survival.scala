@@ -75,13 +75,22 @@ object Survival {
     * n_i at risk (duration >= t_i, censored included),
     * `S(t_i) = Π (1 - d_j/n_j)` for j <= i.
     *
-    * Portable arithmetic: each factor becomes a 9dp-grid integer log
-    * term `floor(ln((n_i-d_i)/n_i)*1e9+0.5)` (ln of a ratio of exact
-    * integers), the product a running integer sum, and the survival one
-    * final `exp` onto the 6dp grid — no compounding float drift, and
-    * the oracle replays the identical sequence. A time where the whole
-    * risk set dies (n_i = d_i) pins survival to exactly 0. Only event
-    * times (d_i > 0) are emitted, per convention. */
+    * Engine-exact arithmetic — NO transcendentals: each factor is the
+    * exact 6dp integer `(n_i - d_i) * 10^6 div n_i` (BIGINT floor
+    * division), and the running product is folded in pure integer math,
+    * `acc' = acc * f div 10^6` (acc, f ≤ 10^6 so the product ≤ 10^12
+    * never overflows a long). Every engine computes the identical
+    * integers — no libm, no .5-grid ulp hazards (the previous ln/exp
+    * 9dp-grid form flipped a hash when JVM Math.log and DuckDB libm
+    * disagreed at a grid boundary). A time where the whole risk set
+    * dies (n_i = d_i) yields factor 0, pinning survival to exactly 0
+    * from then on. Only event times (d_i > 0) are emitted, per
+    * convention; censored-only times carry factor 10^6 (identity) so
+    * they can stay in the fold unfiltered.
+    *
+    * Scale: the fold runs over the prefix list of per-time factors —
+    * O(T²) in the number of DISTINCT durations, which is bounded by
+    * the calendar window (days/minutes), never by subjects. */
   def kaplanMeier(lifetimes: DataFrame,
                   durationCol: String = "duration_days"): DataFrame = {
     val perT = lifetimes.groupBy(col(durationCol).as("t"))
@@ -95,16 +104,12 @@ object Survival {
     perT.join(broadcast(total))
       .withColumn("n_risk",
         col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
-      .withColumn("__term9", when(col("n_risk") > col("d"),
-        floor(log((col("n_risk") - col("d")).cast("double")
-          / col("n_risk").cast("double")) * lit(1e9) + lit(0.5d)).cast("long")))
-      .withColumn("__zero", max(when(col("n_risk") === col("d"), 1L)
-        .otherwise(0L)).over(wAsc))
-      .withColumn("__cum9", sum(col("__term9")).over(wAsc))
+      .withColumn("__f6", expr("((n_risk - d) * 1000000L) div n_risk"))
+      .withColumn("__fs", collect_list(col("__f6")).over(wAsc))
+      .withColumn("__p6",
+        expr("aggregate(__fs, 1000000L, (acc, x) -> (acc * x) div 1000000L)"))
       .filter(col("d") > 0L)
       .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
-        when(col("__zero") === 1L, lit(0.0d))
-          .otherwise(floor(exp(col("__cum9").cast("double") / lit(1e9))
-            * lit(1e6) + lit(0.5d)) / lit(1e6)).as("survival"))
+        (col("__p6").cast("double") / lit(1000000)).as("survival"))
   }
 }
