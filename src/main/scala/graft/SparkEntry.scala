@@ -555,6 +555,70 @@ object SparkEntry {
           "o_orderdate", censorDays = 90))
     }),
 
+    // Model-grade language ID: multinomial Naive Bayes over word
+    // unigrams, trained fully in-plan from the labeled corpus (no
+    // driver collect, no vocab cap) and graded on the same confusion-
+    // matrix board as the q41/q238 stopword heuristic — which this
+    // model beats (fewer off-diagonal docs, spec-asserted). 9dp
+    // integer log grid, ties to the smallest language.
+    "q283_nb_langid" -> ((s, dir) => {
+      operators.LangModel.naiveBayesConfusion(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+    }),
+
+    // Graph ANN: deterministic k-NN graph (two independent sign-LSH
+    // tables for a NAVIGABLE init, 3 NN-descent refine rounds, 16
+    // best neighbors per node) + 8-round beam-32 greedy search seeded
+    // from the query's own buckets — the NSW-shaped high-recall option
+    // the quantization family (q36/q38/q205) lacks. Graded like q164:
+    // per-query hits against the exact brute-force top-10; measured
+    // recall 1.0 / 0.98 / 0.86 at sf0.001/0.01/0.1 on RANDOM 64-dim
+    // embeddings (the no-structure worst case), thresholds pinned TRUE
+    // with margin. Probe cost ~40% of corpus here; on real corpora
+    // with low intrinsic dimension the same beam explores far less.
+    "q284_graph_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id"))
+      val g = operators.GraphAnn.knnGraph(e, "vec_id", "embedding",
+        dim = 64, planes = 4, tables = 2, degree = 16, refine = 3)
+      val seeds = operators.GraphAnn.lshSeeds(e, qs, "vec_id", "embedding",
+        dim = 64, planes = 4, tables = 2, entries = (0L until 16L).toSeq)
+      val ann = operators.GraphAnn.beamTopK(e, qs, g, seeds, "vec_id",
+          "embedding", rounds = 8, beamWidth = 32)
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("graph_hits"))
+      exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          array_join(transform(array_sort(collect_list(col("vec_id"))),
+            _.cast("string")), "|").as("exact_topk"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("graph_hits", coalesce(col("graph_hits"), lit(0L)))
+        // 5 query points — single-row-per-query reduce, not data-sized
+        .withColumn("graph_total",
+          sum(col("graph_hits")).over(Window.partitionBy()))
+        .withColumn("k_total", sum(col("k")).over(Window.partitionBy()))
+        .select(col("query_id"), col("k"), col("exact_topk"),
+          col("graph_hits"),
+          (col("graph_hits").cast("double") / col("k").cast("double")
+            >= 0.7d).as("graph_recall_ok"),
+          (col("graph_total").cast("double") / col("k_total").cast("double")
+            >= 0.8d).as("graph_corpus_ok"))
+    }),
+
+    // Compressibility screen: within-doc repeated-bigram mass (the
+    // share a dictionary coder would squeeze out — boilerplate and
+    // keyword stuffing compress, prose doesn't) as a scan-side quality
+    // column; docs above 10% repeated mass are dropped. The
+    // oracle-replayable stand-in for the classic zlib-ratio filter.
+    "q285_compressibility" -> ((s, dir) => {
+      Dedup.compressibility(t(s, dir, "documents"), "text", "doc_id",
+        spanN = 2, maxRepeatMass = 0.1)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8196,6 +8260,52 @@ object SparkEntry {
         |  CAST(p6 AS DOUBLE) / 1000000 AS survival
         |FROM prod WHERE d > 0""".stripMargin,
 
+    "q283_nb_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang AS lang_label, w FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |cnt AS (SELECT lang_label AS cand, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lang_label AS cand, CAST(count(*) AS BIGINT) AS t
+        |  FROM tk GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM tk),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |lp AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS d
+        |  FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |grid AS (
+        |  SELECT t.cand, vo.w,
+        |    CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+        |        / CAST(t.t + vv.v AS DOUBLE)) * 1000000000 + 0.5)
+        |      AS BIGINT) AS term9
+        |  FROM vocab vo CROSS JOIN tot t CROSS JOIN vv
+        |  LEFT JOIN cnt c ON c.cand = t.cand AND c.w = vo.w),
+        |pri AS (
+        |  SELECT lp.cand,
+        |    CAST(floor(ln(CAST(lp.d AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS prior9
+        |  FROM lp, nn),
+        |dt AS (SELECT doc_id, lang_label, w, CAST(count(*) AS BIGINT) AS n_dw
+        |  FROM tk GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT s.doc_id, s.lang_label, s.cand, s.sw9 + p.prior9 AS s9
+        |  FROM (SELECT dt.doc_id, dt.lang_label, g.cand,
+        |          sum(dt.n_dw * g.term9) AS sw9
+        |        FROM dt JOIN grid g ON g.w = dt.w GROUP BY 1, 2, 3) s
+        |  JOIN pri p ON p.cand = s.cand),
+        |guess AS (
+        |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s9 DESC, cand ASC) AS rn FROM sc) WHERE rn = 1),
+        |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
+        |  FROM guess GROUP BY 1, 2)
+        |SELECT lang_label, lang_guess, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
+        |FROM m""".stripMargin,
+
     "q281_mann_whitney" ->
       """WITH per AS (
         |  SELECT CAST(n_chars AS BIGINT) AS v,
@@ -8276,6 +8386,31 @@ object SparkEntry {
         |        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) / 1000000
         |  END AS rho
         |FROM g""".stripMargin,
+
+    "q284_graph_ann" -> GraphAnnOracle(degree = 16, refine = 3,
+      beamWidth = 32, rounds = 8),
+
+    "q285_compressibility" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT d.doc_id, array_to_string(d.toks[t.i:t.i+1], ' ') AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t
+        |  WHERE len(d.toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(toks, ' ') FROM docs
+        |  WHERE len(toks) < 2),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+        |  FROM grams GROUP BY 1)
+        |SELECT doc_id, n_windows, n_distinct,
+        |  floor(CAST(n_windows - n_distinct AS DOUBLE) / n_windows
+        |    * 1000000 + 0.5) / 1000000 AS repeat_mass,
+        |  (floor(CAST(n_windows - n_distinct AS DOUBLE) / n_windows
+        |    * 1000000 + 0.5) / 1000000 <= 0.1) AS keep
+        |FROM per""".stripMargin,
 
     "q268_lsh_plan" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
@@ -9836,8 +9971,9 @@ object SparkEntry {
     * raw dot is only mathematical; a plane dot within rounding error of
     * zero could land on either side, so the oracle mirrors the actual
     * arithmetic; `e.nsq` must be in scope). */
-  private def BucketExprSql(normalize: Boolean = false): String = {
-    val planes = operators.Similarity.planeRows(64, 4)
+  private def BucketExprSql(normalize: Boolean = false,
+                            nPlanes: Int = 4): String = {
+    val planes = operators.Similarity.planeRows(64, nPlanes)
     val elem =
       if (normalize)
         "(CASE WHEN e.nsq > 0 THEN CAST(x AS DOUBLE) / sqrt(e.nsq) ELSE CAST(x AS DOUBLE) END)"
@@ -9849,6 +9985,132 @@ object SparkEntry {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotP(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  /** Oracle for q284_graph_ann: REPLAYS the whole pipeline in SQL —
+    * the 8-plane signature (exact hyperplane literals), two bucket
+    * tables, the LSH-candidate k-NN graph with `refine` unrolled
+    * NN-descent rounds (fwd ∪ rev ∪ 2-hop, rescored, re-ranked), the
+    * bucket-seeded beam search with `rounds` unrolled hops, and the
+    * exact brute-force top-10 it is graded against. Norms are
+    * precomputed once; every cosine is the proven CosineRankTail
+    * arithmetic rounded to 6dp, ties to the smaller id. */
+  private def GraphAnnOracle(degree: Int, refine: Int, beamWidth: Int,
+                             rounds: Int): String = {
+    // scored edge list from a (src, dst) candidate CTE
+    def edgeTopK(in: String, out: String): String =
+      s"""${out}s AS MATERIALIZED (
+         |  SELECT c.src, c.dst,
+         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y))
+         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cos
+         |  FROM $in c
+         |  JOIN emb a ON a.vec_id = c.src
+         |  JOIN emb b ON b.vec_id = c.dst
+         |  JOIN nrm na ON na.vec_id = c.src
+         |  JOIN nrm nb ON nb.vec_id = c.dst),
+         |$out AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rn FROM ${out}s)
+         |  WHERE rn <= $degree)""".stripMargin
+    // per-query scored top-k from a (query_id, vec_id) candidate CTE
+    def queryTopK(in: String, out: String, k: Int): String =
+      s"""${out}s AS MATERIALIZED (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y))
+         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cosine
+         |  FROM $in c
+         |  JOIN emb a ON a.vec_id = c.query_id
+         |  JOIN emb b ON b.vec_id = c.vec_id
+         |  JOIN nrm na ON na.vec_id = c.query_id
+         |  JOIN nrm nb ON nb.vec_id = c.vec_id),
+         |$out AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+         |      AS rn FROM ${out}s)
+         |  WHERE rn <= $k)""".stripMargin
+    val refineCtes = (1 to refine).map { i =>
+      s"""g${i}c AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM g${i - 1}
+         |    UNION ALL SELECT dst, src FROM g${i - 1}
+         |    UNION ALL SELECT a.src, b.dst
+         |      FROM g${i - 1} a JOIN g${i - 1} b ON b.src = a.dst)
+         |  WHERE src <> dst),
+         |${edgeTopK(s"g${i}c", s"g$i")}""".stripMargin
+    }.mkString(",\n")
+    val beamCtes = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT b.query_id, g.dst AS vec_id
+         |      FROM b${r - 1} b JOIN g$refine g ON g.src = b.vec_id
+         |    UNION ALL SELECT query_id, vec_id FROM b${r - 1})
+         |  WHERE vec_id <> query_id),
+         |${queryTopK(s"x$r", s"b$r", beamWidth)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${BucketExprSql(nPlanes = 8)} AS b8
+       |  FROM emb e),
+       |ck AS MATERIALIZED (SELECT vec_id, 0 AS tbl, b8 % 16 AS key FROM cb
+       |       UNION ALL SELECT vec_id, 1, b8 // 16 FROM cb),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, (SELECT sum(CAST(x * x AS DOUBLE))
+       |    FROM (SELECT unnest(embedding) AS x)) AS nsq
+       |  FROM emb),
+       |g0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ck a JOIN ck b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${edgeTopK("g0c", "g0")},
+       |$refineCtes,
+       |sd AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT qk.vec_id AS query_id, c.vec_id
+       |    FROM ck qk JOIN ck c ON c.tbl = qk.tbl AND c.key = qk.key
+       |    WHERE qk.vec_id < 5
+       |    UNION ALL
+       |    SELECT q.vec_id, t.n FROM
+       |      (SELECT vec_id FROM emb WHERE vec_id < 5) q,
+       |      (SELECT unnest(range(0, 16)) AS n) t)
+       |  WHERE vec_id <> query_id),
+       |${queryTopK("sd", "b0", beamWidth)},
+       |$beamCtes,
+       |${queryTopK(s"b$rounds", "fin", 10)},
+       |ex0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.vec_id
+       |  FROM emb q, emb e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |${queryTopK("ex0", "exact", 10)},
+       |hits AS MATERIALIZED (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS graph_hits
+       |  FROM exact e JOIN fin f ON f.query_id = e.query_id
+       |    AND f.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |agg AS MATERIALIZED (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |    string_agg(CAST(vec_id AS VARCHAR), '|' ORDER BY vec_id)
+       |      AS exact_topk
+       |  FROM exact GROUP BY 1),
+       |tt AS (
+       |  SELECT CAST(sum(coalesce(h.graph_hits, 0)) AS BIGINT) AS gt,
+       |    CAST(sum(a.k) AS BIGINT) AS kt
+       |  FROM agg a LEFT JOIN hits h USING (query_id))
+       |SELECT a.query_id, a.k, a.exact_topk,
+       |  CAST(coalesce(h.graph_hits, 0) AS BIGINT) AS graph_hits,
+       |  (CAST(coalesce(h.graph_hits, 0) AS DOUBLE) / CAST(a.k AS DOUBLE)
+       |    >= 0.7) AS graph_recall_ok,
+       |  (CAST(tt.gt AS DOUBLE) / CAST(tt.kt AS DOUBLE)
+       |    >= 0.8) AS graph_corpus_ok
+       |FROM agg a LEFT JOIN hits h USING (query_id), tt""".stripMargin
   }
 
   private def LshOracleSql: String = {

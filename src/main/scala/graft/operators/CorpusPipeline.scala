@@ -29,16 +29,26 @@ object CorpusPipeline {
     * `perSourceCap` docs per source in (md5, id) order. */
   def prepare(docs: DataFrame, textCol: String, idCol: String,
               sourceCol: String, minTokens: Int = 10,
-              maxTopShare: Double = 0.2, perSourceCap: Int = 50): DataFrame = {
+              maxTopShare: Double = 0.2, perSourceCap: Int = 50,
+              maxRepeatMass: Double = 1.0): DataFrame = {
     val text: Column = col(textCol)
     val st = graft.expressions.ShingleExpr.topGramStats(text, 2)
-    val kept = docs
+    val kept0 = docs
       .filter(TextAnalysis.tokenCount(text) >= minTokens)
       .withColumn("__st", st)
       // UNROUNDED share, strict mirror of the oracle's max(c)/sum(c)
       .filter(col("__st").getItem(1).cast("double") / col("__st").getItem(0)
         <= maxTopShare)
       .drop("__st")
+    // optional compressibility screen (the q285 repeated-window mass):
+    // scan-side like the rules above, so opting in adds no shuffle
+    val kept = if (maxRepeatMass >= 1.0) kept0 else kept0
+      .withColumn("__wn",
+        graft.functions.TextAnalysis.shinglesAll(text, 2))
+      .filter((size(col("__wn")) - size(array_distinct(col("__wn"))))
+        .cast("double") / size(col("__wn")).cast("double")
+        <= maxRepeatMass)
+      .drop("__wn")
     val byDigest = Window.partitionBy(md5(text)).orderBy(col(idCol).asc)
     val deduped = kept.withColumn("__rn", row_number().over(byDigest))
       .filter(col("__rn") === 1).drop("__rn")

@@ -954,6 +954,33 @@ object Dedup {
         coalesce(col("n_known_tokens"), lit(0L)).as("n_known_tokens"))
   }
 
+  /** Compressibility proxy — within-document repeated-window mass: the
+    * fraction of a doc's overlapping `spanN`-token windows that repeat
+    * an earlier window of the SAME doc, i.e. the share a dictionary
+    * coder would eliminate. The classic zlib-ratio corpus screen
+    * (machine-generated boilerplate and keyword-stuffed spam compress
+    * far better than prose) without the non-replayable codec
+    * dependency: window counting is exact and both engines replay it.
+    *
+    * Scale: ZERO shuffle — one codegen'd shingle pass plus
+    * `array_distinct` per row, a purely scan-side column (unlike the
+    * corpus-global span families above, self-redundancy never needs to
+    * leave the row). Output: (doc_id, n_windows, n_distinct,
+    * repeat_mass, keep). */
+  def compressibility(df: DataFrame, textCol: String, idCol: String,
+                      spanN: Int = 2, maxRepeatMass: Double = 0.1): DataFrame = {
+    require(spanN >= 1, "spanN must be >= 1")
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextAnalysis.shinglesAll(col(textCol), spanN)
+          .as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_windows"),
+        size(array_distinct(col("__w"))).cast("long").as("n_distinct"))
+      .withColumn("repeat_mass",
+        floor((col("n_windows") - col("n_distinct")).cast("double")
+          / col("n_windows") * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .withColumn("keep", col("repeat_mass") <= lit(maxRepeatMass))
+  }
+
   /** LSH band planner: for a signature budget of `sigBudget` hashes and
     * a target Jaccard `threshold`, score every (bands, rowsPerBand)
     * split with `b*r <= sigBudget` by its S-curve

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbor: a deterministic k-NN
+  * graph (NSW shape — navigable small world without the randomized
+  * insertion order) plus greedy beam search. The high-recall
+  * complement of the quantization family (LSH q36, IVF q38, IVF-PQ
+  * q205): instead of shrinking the candidate set by geometry alone,
+  * the search WALKS the neighborhood graph, so recall degrades
+  * gracefully where cluster boundaries cut true neighbors apart.
+  *
+  * Everything is deterministic and engine-replayable: the graph is
+  * built from sign-LSH buckets (literal hyperplanes shared with the
+  * q36 oracle), edges rank by (cosine desc, id asc) on the 6dp grid,
+  * entry points are the smallest corpus ids, and each beam round
+  * keeps top-`beamWidth` by the same total order — the oracle unrolls
+  * the identical rounds in SQL.
+  *
+  * Scale: graph build is bucket-confined pairwise (the SemDeDup q91
+  * contract — pair count is Σ bucket², controlled by the plane count;
+  * raise `planes` as the corpus grows). Search state is
+  * (queries × beamWidth) rows per round — each round is one join with
+  * the edge list (shuffled on src), one join with the corpus vectors
+  * (shuffled on vec_id), one per-query top-k window; lineage is cut
+  * per round. No driver-side index, no unbounded collect. */
+object GraphAnn {
+
+  /** (id, tbl, key) bucket memberships under `tables` INDEPENDENT
+    * sign-LSH hash tables: one `planes*tables`-bit signature per
+    * vector (one codegen'd pass), table t keyed by its own
+    * `planes`-bit slice. Independence across tables is what makes the
+    * k-NN graph NAVIGABLE — a single bucketing partitions the corpus,
+    * so a bucket-confined graph is disconnected and a beam walk could
+    * never leave its seed buckets. */
+  private def tableKeys(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, planes: Int, tables: Int,
+                        outId: String): DataFrame = {
+    val sig = df.select(col(idCol).as(outId),
+      Similarity.hyperplaneBucket(col(vecCol), dim, planes * tables)
+        .as("__sig"))
+    val mask = (1L << planes) - 1L
+    (0 until tables).map { t =>
+      sig.select(col(outId), lit(t).as("tbl"),
+        expr(s"(__sig div ${1L << (planes * t)})").bitwiseAND(lit(mask))
+          .as("key"))
+    }.reduce(_ union _)
+  }
+
+  /** Directed k-NN edge list (src, dst): `degree` best neighbors per
+    * node by (cosine desc, dst asc), initialized from candidates
+    * sharing a bucket in ANY of the `tables` hash tables, then
+    * improved by `refine` NN-descent rounds (candidates = current
+    * edges ∪ reversed edges ∪ two-hop neighbors, rescored, re-ranked)
+    * — the standard index-build trade: refinement cost is paid once
+    * offline, search cost is untouched. All rescoring shuffles carry
+    * (id, id) pairs only; vectors join in by key. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, planes: Int, tables: Int, degree: Int,
+               refine: Int = 1): DataFrame = {
+    require(degree >= 1 && planes >= 1 && tables >= 1 && refine >= 0,
+      "degree, planes, tables >= 1 and refine >= 0")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    def best(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("dst").asc)
+      cand.join(c, Seq("vec_id"))
+        .join(c.select(col("vec_id").as("dst"), col("cv").as("dv")),
+          Seq("dst"))
+        .withColumn("cos", round(Similarity.cosine(col("cv"), col("dv")), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= degree)
+        .select(col("vec_id").as("src"), col("dst"))
+    }
+    val ck = tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id")
+    var graph = Lineage.cut(best(ck
+      .join(ck.select(col("tbl"), col("key"), col("vec_id").as("dst")),
+        Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id"), col("dst")).distinct()))
+    for (_ <- 1 to refine) {
+      val fwd = graph.select(col("src").as("vec_id"), col("dst"))
+      val rev = graph.select(col("dst").as("vec_id"), col("src").as("dst"))
+      val hop2 = graph.join(
+          graph.select(col("src").as("dst"), col("dst").as("dst2")),
+          Seq("dst"))
+        .select(col("src").as("vec_id"), col("dst2").as("dst"))
+      graph = Lineage.cut(best(fwd.union(rev).union(hop2)
+        .filter(col("vec_id") =!= col("dst")).distinct()))
+    }
+    graph
+  }
+
+  /** Per-query beam seeds: the query's bucket members under every
+    * hash table (the radius-0 probes) plus fixed global `entries` as
+    * a backstop for singleton buckets. (query_id, vec_id), self
+    * excluded. */
+  def lshSeeds(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, dim: Int, planes: Int, tables: Int,
+               entries: Seq[Long]): DataFrame = {
+    val ck = tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id")
+    val qk = tableKeys(queries, idCol, vecCol, dim, planes, tables,
+      "query_id")
+    qk.join(ck, Seq("tbl", "key")).select(col("query_id"), col("vec_id"))
+      .union(queries.select(col(idCol).as("query_id"))
+        .crossJoin(broadcast(entries.toDF("vec_id"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .distinct()
+  }
+
+  /** Greedy beam search over a prebuilt edge list: start every query
+    * at its `seeds` (query_id, vec_id) rows, then `rounds` times
+    * expand the beam by one graph hop and keep the `beamWidth` best
+    * candidates seen, ties to the smaller id. Output: (query_id,
+    * vec_id, cosine, rank) for the final beam, rank 1..beamWidth. */
+  def beamTopK(corpus: DataFrame, queries: DataFrame, graph: DataFrame,
+               seeds: DataFrame, idCol: String, vecCol: String,
+               rounds: Int, beamWidth: Int): DataFrame = {
+    require(rounds >= 1 && beamWidth >= 1, "rounds, beamWidth >= 1")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    def topk(cand: DataFrame): DataFrame = cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= beamWidth)
+    var beam = topk(seeds).select(col("query_id"), col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val expanded = beam
+        .join(graph, beam("vec_id") === graph("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .union(beam.select(col("query_id"), col("vec_id")))
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct()
+      beam = Lineage.cut(topk(expanded).select(col("query_id"), col("vec_id")))
+    }
+    topk(beam).select(col("query_id"), col("vec_id"), col("cosine"),
+      col("rank"))
+  }
+
+  private implicit class LongSeqToDf(xs: Seq[Long]) {
+    def toDF(name: String): DataFrame = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import spark.implicits._
+      spark.createDataset(xs).toDF(name)
+    }
+  }
+}

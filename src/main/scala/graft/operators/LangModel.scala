@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-grade language identification: a multinomial Naive Bayes
+  * classifier over word unigrams, trained fully IN-PLAN from the
+  * labeled corpus (no driver collect, no vocabulary cap) and scored
+  * back over the same corpus — the trainable replacement for the
+  * stopword-argmax heuristic (`TextAnalysis.langId`), whose confusion
+  * matrix (q238) exists precisely because the heuristic misclassifies.
+  *
+  * Model: `score(doc, L) = ln P(L) + Σ_w n_dw · ln P(w|L)` with add-1
+  * smoothing `P(w|L) = (c_Lw + 1) / (t_L + V)`. Every log term lands
+  * on the house 9dp integer grid (`floor(ln(x)·1e9 + 0.5)`, the HBOS /
+  * Adamic–Adar idiom), so per-doc scores are exact integer sums the
+  * oracle replays term-for-term; argmax ties break to the
+  * lexicographically smallest language.
+  *
+  * Scale: the model is RELATIONAL — a (language × vocab) smoothed
+  * term grid built from two corpus-token aggregations (map-side
+  * combined, shuffled on (lang, word) then word). Scoring joins the
+  * per-doc distinct-word counts to the grid on `word` (fan-out =
+  * #languages, a constant) and reduces on doc_id. No driver-side
+  * model, no literal-map size cliff — vocabulary can be billions of
+  * rows. */
+object LangModel {
+
+  /** (doc_id, lang_label, lang_guess) for every doc with ≥1 token. */
+  def naiveBayesGuess(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("lang_label"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cnt = tk.groupBy(col("lang_label").as("cand"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tk.groupBy(col("lang_label").as("cand"))
+      .agg(count(lit(1)).as("t"))
+    val vocab = tk.select(col("w")).distinct()
+    val vv = vocab.agg(count(lit(1)).as("v"))
+    val lp = docs.groupBy(col(labelCol).as("cand"))
+      .agg(count(lit(1)).as("d"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    // smoothed per-(language, word) 9dp log-likelihood grid; zero-count
+    // words get the same add-1 floor the oracle computes
+    val grid = vocab.crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+      .join(cnt, Seq("cand", "w"), "left")
+      .select(col("cand"), col("w"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+            / (col("t") + col("v")).cast("double")) * lit(1e9) + lit(0.5d))
+          .cast("long").as("term9"))
+    val pri = lp.join(broadcast(nn))
+      .select(col("cand"), floor(log(col("d").cast("double")
+          / col("n").cast("double")) * lit(1e9) + lit(0.5d))
+        .cast("long").as("prior9"))
+    val dt = tk.groupBy(col("doc_id"), col("lang_label"), col("w"))
+      .agg(count(lit(1)).as("n_dw"))
+    val sc = dt.join(grid, Seq("w"))
+      .groupBy(col("doc_id"), col("lang_label"), col("cand"))
+      .agg(sum(col("n_dw") * col("term9")).as("sw9"))
+      .join(broadcast(pri), Seq("cand"))
+      .withColumn("s9", col("sw9") + col("prior9"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s9").desc, col("cand").asc)
+    sc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang_label"), col("cand").as("lang_guess"))
+  }
+
+  /** Confusion matrix of the trained model — the q238 shape
+    * (lang_label, lang_guess, n, row_share) so the two classifiers
+    * grade on the same board. */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: String): DataFrame = {
+    val g = naiveBayesGuess(docs, idCol, textCol, labelCol)
+    val wl = Window.partitionBy(col("lang_label"))
+    g.groupBy(col("lang_label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share", round(col("n").cast("double")
+        / sum(col("n")).over(wl).cast("double"), 6))
+  }
+}

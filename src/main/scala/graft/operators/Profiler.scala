@@ -433,11 +433,11 @@ object Profiler {
     val per = df.groupBy(col(groupCol).as("grp"),
         col(valueCol).cast("long").as("v"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
-    val wWin = Window.partitionBy(col("grp")).orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("grp"))
-    val cum = per.withColumn("cw", sum(col("w")).over(wWin))
-      .withColumn("tw", sum(col("w")).over(tot))
+    // scale-adaptive per-group cumulative (two-pass above 1M distinct
+    // (grp, v) rows); group totals ride along from the same bounded
+    // subtotal collect instead of a whole-partition window
+    val cum = Ranks.cumSums(per, Seq("grp"), "v", Seq(("w", "cw", true)),
+      totals = Seq(("w", "tw")))
     // integer ceil-div (n*W + d - 1) div d
     val aggs = probs.map { case (n, d) =>
       min(when(col("cw") >= expr(s"($n * tw + ${d - 1}) div $d"), col("v")))
@@ -459,9 +459,9 @@ object Profiler {
     val per = df.groupBy(col(score6Col).as("s6"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"))
-    val wPrev = Window.orderBy(col("s6").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    per.withColumn("cp", coalesce(sum(col("n")).over(wPrev), lit(0L)))
+    // scale-adaptive cumulative: plain window on bounded grids, the
+    // two-pass globalRank shape above 1M distinct scores
+    Ranks.cumSums(per, Nil, "s6", Seq(("n", "cp", false)))
       .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
         sum(col("np") * (lit(2L) * col("cp") + col("n") + 1L)).as("__r2"))
       .select(col("n_pos"), col("n_neg"),
@@ -524,11 +524,10 @@ object Profiler {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("nv"),
         sum(when(col("a"), 1L).otherwise(0L)).as("na_v"))
-    val wPrev = Window.orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
     val d = (c: Column) => c.cast("decimal(38,0)")
-    val g = per
-      .withColumn("cb", coalesce(sum(col("nv")).over(wPrev), lit(0L)))
+    // scale-adaptive cumulative: plain window on bounded grids, the
+    // two-pass globalRank shape above 1M distinct values
+    val g = Ranks.cumSums(per, Nil, "v", Seq(("nv", "cb", false)))
       .agg(sum(col("na_v")).as("na"), sum(col("nv") - col("na_v")).as("nb"),
         sum(d(col("na_v")) * d(lit(2L) * col("cb") + col("nv") + 1L)).as("r2a"),
         sum(d(col("nv")) * d(col("nv")) * d(col("nv")) - d(col("nv"))).as("tt"))
@@ -601,10 +600,19 @@ object Profiler {
                alphaNum: Long, alphaDenom: Long): DataFrame = {
     require(alphaNum > 0 && alphaDenom > 0 && alphaNum < alphaDenom,
       "alpha must be in (0,1) as num/denom")
-    val w = Window.orderBy(col("p6").asc +: keyCols.map(col(_).asc): _*)
-    val ranked = tests
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .join(broadcast(tests.agg(count(lit(1)).as("m"))))
+    // scale-adaptive rank: a tests table is bounded by construction
+    // (one row per hypothesis), so the plain window is the normal
+    // path; a degenerate mega-suite routes through the two-pass
+    // globalRank instead of funnelling into one partition
+    val cut = Lineage.cut(tests)
+    val ranked0 =
+      if (cut.count() <= 1048576L) {
+        val w = Window.orderBy(col("p6").asc +: keyCols.map(col(_).asc): _*)
+        cut.withColumn("rank", row_number().over(w).cast("long"))
+      } else if (keyCols.isEmpty) Linkage.globalRank(cut, Nil, "p6")
+      else Linkage.globalRank(cut, "p6" +: keyCols.init, keyCols.last)
+    val ranked = ranked0
+      .join(broadcast(cut.agg(count(lit(1)).as("m"))))
       .withColumn("__pass",
         col("p6") * col("m") * lit(alphaDenom) <= lit(alphaNum * 1000000L) * col("rank"))
     val kmax = ranked.agg(coalesce(max(when(col("__pass"), col("rank"))), lit(0L))

@@ -63,4 +63,138 @@ class Round11OpsSpec extends SparkSpec {
       .select("dropped_centers").as[Long].collect()
     assert(uncapped.forall(_ == 0L), "default cap fires on nothing here")
   }
+
+  test("ranks: two-pass cumulative equals the plain window, no global window") {
+    val rows = (1 to 300).map(i =>
+      ("g" + (i % 3), (i * 7919 % 97).toLong, (i % 5 + 1).toLong))
+    val per = rows.toDF("grp", "v", "w0").groupBy("grp", "v")
+      .agg(sum("w0").as("w"))
+    def run(threshold: Long) = graft.operators.Ranks.cumSums(per,
+        Seq("grp"), "v", Seq(("w", "cw", true), ("w", "cb", false)),
+        largeDomain = threshold)
+      .select("grp", "v", "cw", "cb").as[(String, Long, Long, Long)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val small = run(1000000L)
+    val big = run(1L)
+    assert(small == big, "two-pass path must be bit-identical to the window")
+    // above the threshold, no cumulative window may run on ONE partition
+    // (contract: the input is a DISTINCT-value grid)
+    val perV = per.groupBy("v").agg(sum("w").as("w"))
+    val twoPass = graft.operators.Ranks.cumSums(perV, Nil, "v",
+      Seq(("w", "cb", false)), largeDomain = 1L)
+    val bad = twoPass.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "large-domain path must not plan a global window")
+    // ungrouped exclusive cumsum agrees with a hand computation
+    val vals = twoPass.select("v", "cb").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val per2 = perV.select("v", "w").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val expect = per2.map(_._2).scanLeft(0L)(_ + _).init
+    assert(vals.map(_._2) == expect)
+  }
+
+  test("nb langid: learned word-class association classifies held-in docs") {
+    val docs = Seq((1L, "aa bb aa", "x"), (2L, "aa bb", "x"),
+      (3L, "cc dd cc", "y"), (4L, "cc dd", "y")).toDF("doc_id", "text", "lang")
+    val g = graft.operators.LangModel.naiveBayesGuess(docs, "doc_id",
+        "text", "lang")
+      .select("doc_id", "lang_label", "lang_guess")
+      .as[(Long, String, String)].collect()
+    assert(g.length == 4 && g.forall(t => t._2 == t._3),
+      s"disjoint vocabularies separate perfectly, got ${g.toSeq}")
+  }
+
+  test("graph ann: beam search finds the planted axis-aligned neighbors") {
+    // 64 vectors in 8 groups: group g = unit axis 8g with a tiny
+    // deterministic per-id jitter on axis 8g+1 — nearest neighbors of
+    // any vector are exactly its 7 group-mates
+    val vecs = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(8 * (i % 8)) = 1.0f
+      v(8 * (i % 8) + 1) = 0.001f * (i / 8 + 1)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val g = graft.operators.GraphAnn.knnGraph(vecs, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 2)
+    val seeds = graft.operators.GraphAnn.lshSeeds(vecs,
+      vecs.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, entries = Seq(0L, 1L, 2L, 3L))
+    val r = graft.operators.GraphAnn.beamTopK(vecs,
+        vecs.filter(col("vec_id") < 3), g, seeds, "vec_id", "embedding",
+        rounds = 4, beamWidth = 8)
+      .filter(col("rank") <= 7)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    for (q <- 0L until 3L)
+      assert(r(q) == (0 until 64).filter(i => i % 8 == q && i != q)
+        .map(_.toLong).toSet, s"query $q walks to its own group: ${r(q)}")
+  }
+
+  test("graph ann recall >= ivf-pq recall on the real embeddings") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity.bruteForceTopK(e, qs, "vec_id",
+      "embedding", k = 10).select("query_id", "vec_id")
+    val g = graft.operators.GraphAnn.knnGraph(e, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 16, refine = 3)
+    val seeds = graft.operators.GraphAnn.lshSeeds(e, qs, "vec_id",
+      "embedding", dim = 64, planes = 4, tables = 2,
+      entries = (0L until 16L).toSeq)
+    val ann = graft.operators.GraphAnn.beamTopK(e, qs, g, seeds, "vec_id",
+        "embedding", rounds = 8, beamWidth = 32)
+      .filter(col("rank") <= 10).select("query_id", "vec_id")
+    val pq = graft.operators.Similarity.ivfPqTopK(e, qs, "vec_id",
+        "embedding", dim = 64, k = 10, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, pqIters = 1, rerank = 40)
+      .select("query_id", "vec_id")
+    val gHits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
+    val pqHits = exact.join(pq, Seq("query_id", "vec_id"), "left_semi").count()
+    assert(gHits >= pqHits,
+      s"graph ANN recall ($gHits/50) must not trail IVF-PQ ($pqHits/50)")
+    assert(gHits >= 40L, s"graph corpus recall >= 0.8, got $gHits/50")
+  }
+
+  test("compressibility: repetitive docs flag, prose and short docs keep") {
+    val docs = Seq(
+      (1L, "a b a b a b"),              // 5 windows, 2 distinct -> 0.6
+      (2L, "one two three four five"),  // all distinct -> 0.0
+      (3L, "word")                      // short text: 1 window, mass 0
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.compressibility(docs, "text", "doc_id",
+        spanN = 2, maxRepeatMass = 0.1)
+      .select("doc_id", "n_windows", "n_distinct", "repeat_mass", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 5L, 2L, 0.6, false)))
+    assert(r(2L) == ((2L, 4L, 4L, 0.0, true)))
+    assert(r(3L) == ((3L, 1L, 1L, 0.0, true)))
+  }
+
+  test("prepare: the opt-in compressibility screen drops cyclic boilerplate") {
+    val cycle = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$cycle $cycle", "s1"),  // 20 tokens, repeat mass ~0.42, top share ~0.1
+      (2L, (0 until 20).map(i => s"u$i").mkString(" "), "s1")
+    ).toDF("doc_id", "text", "source")
+    val off = graft.operators.CorpusPipeline.prepare(docs, "text", "doc_id",
+      "source").select("doc_id").as[Long].collect().toSet
+    val on = graft.operators.CorpusPipeline.prepare(docs, "text", "doc_id",
+      "source", maxRepeatMass = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(off == Set(1L, 2L), "screen off: both docs survive")
+    assert(on == Set(2L), "screen on: the cyclic doc drops, prose stays")
+  }
+
+  test("nb langid beats the stopword heuristic on the labeled corpus") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val mOff = graft.operators.LangModel.naiveBayesGuess(docs, "doc_id",
+        "text", "lang")
+      .filter(col("lang_guess") =!= col("lang_label")).count()
+    val hOff = docs.select(col("lang").as("l"),
+        graft.functions.TextAnalysis.langId(col("text")).as("g"))
+      .filter(col("g") =!= col("l")).count()
+    assert(mOff < hOff,
+      s"trained model must misclassify fewer docs: model $mOff vs heuristic $hOff")
+  }
 }
