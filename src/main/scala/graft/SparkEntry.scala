@@ -619,6 +619,46 @@ object SparkEntry {
         spanN = 2, maxRepeatMass = 0.1)
     }),
 
+    // ECOD tail-probability outliers over orders (price cents × epoch
+    // day): per-feature min(left, right) EXACT empirical-CDF tail
+    // counts — the parameter-free complement of q253's binned HBOS —
+    // 9dp ln(n/tailCount) surprisals summed, top-100 by (score, key).
+    "q286_ecod" -> ((s, dir) => {
+      operators.Profiler.ecodTopK(t(s, dir, "orders"), "o_orderkey", Seq(
+        ("price", floor(col("o_totalprice") * 100 + lit(0.5d))),
+        ("day", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")))), k = 100)
+    }),
+
+    // HITS hubs/authorities over the DIRECTED part→supplier graph —
+    // the two-sided centrality PageRank's (q106) single score
+    // conflates. Engine-exact: 6dp integer scores, per-half-step
+    // max-renormalization via BIGINT floor division, 3 iterations.
+    "q287_hits" -> ((s, dir) => {
+      operators.Graphs.hits(cooccurrenceEdges(t(s, dir, "lineitem")),
+        "src", "dst", iters = 3)
+    }),
+
+    // Winnowing passage overlap (the MOSS fingerprint scheme): char
+    // 16-gram hashes, window-8 minima — any shared run >= 23 chars
+    // leaves a shared fingerprint — stop-fingerprints (df > 10)
+    // dropped before the pair join, pairs scored by containment.
+    // The substring-GRANULAR complement of MinHash whole-doc sim.
+    "q288_winnow_overlap" -> ((s, dir) => {
+      Dedup.winnowOverlap(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, w = 8, maxDf = 10)
+        .filter(col("n_shared") >= 3)
+    }),
+
+    // RAKE keyword extraction: candidate phrases = maximal non-stopword
+    // runs (running-stopword-count phrase ids, the sessionizer idiom),
+    // word score = degree/freq as exact 6dp integer division, phrase
+    // score = member-word sum, corpus top-25 by (score, phrase).
+    "q289_rake_keywords" -> ((s, dir) => {
+      operators.TextIndex.rakeKeywords(t(s, dir, "documents"), "text",
+        "doc_id", topK = 25)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8390,6 +8430,82 @@ object SparkEntry {
     "q284_graph_ann" -> GraphAnnOracle(degree = 16, refine = 3,
       beamWidth = 32, rounds = 8),
 
+    "q287_hits" -> HitsOracle(iters = 3),
+
+    "q289_rake_keywords" -> RakeOracle(maxPhraseLen = 4, topK = 25),
+
+    "q288_winnow_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i.i AS pos, substr(t, i.i, 16) AS gr
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(t) - 14)) AS i) i
+        |  WHERE len(t) >= 16
+        |  UNION ALL
+        |  SELECT doc_id, 1, t FROM d WHERE len(t) < 16),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    CAST(concat('0x', substr(md5(gr), 1, 8)) AS BIGINT) AS hh,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id, pos, m, min(hh) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+        |  WHERE pos <= greatest(m - 7, 1)),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM fps GROUP BY 1),
+        |keepfp AS (SELECT fp FROM
+        |  (SELECT fp, count(*) AS df FROM fps GROUP BY 1) WHERE df <= 10),
+        |rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN keepfp USING (fp)),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM rare a JOIN rare b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pr.id_a, pr.id_b, pr.n_shared, pa.n_fp AS n_a,
+        |  pb.n_fp AS n_b,
+        |  floor(CAST(pr.n_shared AS DOUBLE)
+        |    / CAST(least(pa.n_fp, pb.n_fp) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS containment
+        |FROM pr
+        |JOIN pd pa ON pa.doc_id = pr.id_a
+        |JOIN pd pb ON pb.doc_id = pr.id_b
+        |WHERE pr.n_shared >= 3""".stripMargin,
+
+    "q286_ecod" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vp,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS vd
+        |  FROM orders),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |gp AS (SELECT vp AS v, CAST(count(*) AS BIGINT) AS nv
+        |  FROM o GROUP BY 1),
+        |cp AS (SELECT v, nv, sum(nv) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle FROM gp),
+        |gd AS (SELECT vd AS v, CAST(count(*) AS BIGINT) AS nv
+        |  FROM o GROUP BY 1),
+        |cd AS (SELECT v, nv, sum(nv) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle FROM gd),
+        |sc AS (
+        |  SELECT o.id,
+        |    CAST(floor(ln(CAST(nn.n AS DOUBLE)
+        |        / CAST(least(cp.cle, nn.n - cp.cle + cp.nv) AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT)
+        |    + CAST(floor(ln(CAST(nn.n AS DOUBLE)
+        |        / CAST(least(cd.cle, nn.n - cd.cle + cd.nv) AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS s9
+        |  FROM o CROSS JOIN nn
+        |  JOIN cp ON cp.v = o.vp
+        |  JOIN cd ON cd.v = o.vd)
+        |SELECT id AS o_orderkey, CAST(s9 AS DOUBLE) / 1000000000 AS ecod
+        |FROM sc ORDER BY s9 DESC, id LIMIT 100""".stripMargin,
+
     "q285_compressibility" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -9985,6 +10101,88 @@ object SparkEntry {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotP(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  /** Oracle for q289_rake_keywords: the RAKE pipeline replayed with the
+    * SAME stopword literals (TextAnalysis.StopwordTable is the single
+    * source of truth) and the same integer word-score division. */
+  private def RakeOracle(maxPhraseLen: Int, topK: Int): String = {
+    val stops = graft.functions.TextAnalysis.StopwordTable
+      .flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, i.i AS pos, arr[i.i] AS w
+       |  FROM toks0, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) i
+       |  WHERE arr[i.i] <> ''),
+       |ph AS (
+       |  SELECT doc_id, pos, w,
+       |    sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       |  FROM toks),
+       |inph AS (SELECT * FROM ph WHERE w NOT IN ($stops)),
+       |wl AS (
+       |  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, pid)
+       |    AS BIGINT) AS plen
+       |  FROM inph),
+       |wf AS (SELECT * FROM wl WHERE plen <= $maxPhraseLen),
+       |st AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |  CAST(sum(plen) AS BIGINT) AS deg FROM wf GROUP BY 1),
+       |ws AS (SELECT w, (deg * 1000000) // freq AS ws6 FROM st),
+       |phr AS (
+       |  SELECT wf.doc_id, wf.pid,
+       |    string_agg(wf.w, ' ' ORDER BY wf.pos) AS phrase,
+       |    CAST(max(wf.plen) AS BIGINT) AS plen,
+       |    CAST(sum(ws.ws6) AS BIGINT) AS s6
+       |  FROM wf JOIN ws ON ws.w = wf.w GROUP BY 1, 2)
+       |SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(max(s6) AS DOUBLE) / 1000000 AS score
+       |FROM phr GROUP BY 1
+       |ORDER BY max(s6) DESC, phrase LIMIT $topK""".stripMargin
+  }
+
+  /** Oracle for q287_hits: the integer-grid HITS iterations unrolled —
+    * each half-step a neighbor-sum + max-renormalization in BIGINT
+    * floor division, exactly the Spark sequence. */
+  private def HitsOracle(iters: Int): String = {
+    def halfStep(i: Int, prev: String, joinKey: String, groupKey: String,
+                 out: String): String =
+      s"""${out}r AS (
+         |  SELECT e.$groupKey AS node, CAST(sum($prev.sc) AS BIGINT) AS raw
+         |  FROM e JOIN $prev ON $prev.node = e.$joinKey GROUP BY 1),
+         |${out}f AS (
+         |  SELECT n.node, coalesce(${out}r.raw, 0) AS raw
+         |  FROM nodes n LEFT JOIN ${out}r USING (node)),
+         |$out AS (
+         |  SELECT f.node, CASE WHEN m.mx > 0 THEN (f.raw * 1000000) // m.mx
+         |    ELSE 0 END AS sc
+         |  FROM ${out}f f, (SELECT max(raw) AS mx FROM ${out}f) m)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      halfStep(i, s"h${i - 1}", "s", "d", s"a$i") + ",\n" +
+        halfStep(i, s"a$i", "d", "s", s"h$i")
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT CASE WHEN count(*) > 300000 THEN 100
+       |    WHEN count(*) > 30000 THEN 10 ELSE 1 END AS f
+       |  FROM lineitem),
+       |e0 AS (
+       |  SELECT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+       |  FROM lineitem, f
+       |  WHERE (l_orderkey * 31 + l_partkey) % f.f = 0),
+       |e AS (SELECT DISTINCT src AS s, dst AS d FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM nodes),
+       |$steps
+       |SELECT h$iters.node,
+       |  CAST(h$iters.sc AS DOUBLE) / 1000000 AS hub,
+       |  CAST(a$iters.sc AS DOUBLE) / 1000000 AS authority
+       |FROM h$iters JOIN a$iters USING (node)""".stripMargin
   }
 
   /** Oracle for q284_graph_ann: REPLAYS the whole pipeline in SQL —

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -952,6 +953,77 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
         coalesce(col("n_known_chunks"), lit(0L)).as("n_known_chunks"),
         coalesce(col("n_known_tokens"), lit(0L)).as("n_known_tokens"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003 —
+    * the MOSS algorithm): hash every character `k`-gram of the
+    * separator-stripped text, slide a window of `w` consecutive hashes,
+    * keep each window's MINIMUM — guaranteeing any shared substring of
+    * length ≥ k+w−1 contributes at least one shared fingerprint, at
+    * ~1/w the storage of full k-gram sets. The substring-granular
+    * complement of MinHash (q31, whole-document similarity): winnowing
+    * localizes WHICH passages overlap.
+    *
+    * Determinism: the house md5-prefix 32-bit hash (engine-replayable,
+    * unlike xxhash64 in DuckDB), windows over 1-based gram positions,
+    * texts shorter than k+w−1 grams degrade gracefully (single window
+    * over what exists). Output: distinct (doc_id, fp).
+    *
+    * Scale: ZERO shuffle — grams, hashes and sliding-window minima all
+    * compute inside per-row array transforms (each stage materialized
+    * in its OWN projection: an expression referenced inside a lambda
+    * re-executes per element, the O(len²) trap BENCHNOTES.md round 11
+    * documents), and per-doc dedup is `array_distinct` before the
+    * explode, so rows leave the scan already unique. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, "k >= 2 and w >= 1")
+    val normed = df.select(col(idCol).as("doc_id"),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "").as("__t"))
+    val norm = col("__t")
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - k + 1),
+        i => norm.substr(i, lit(k))))
+      .otherwise(array(norm))
+    val hashed = normed.select(col("doc_id"), grams.as("__gs"))
+      .select(col("doc_id"), transform(col("__gs"),
+        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("__hs"))
+    val m = size(col("__hs"))
+    val wins = transform(sequence(lit(1), greatest(m - lit(w - 1), lit(1))),
+      j => array_min(slice(col("__hs"), j, lit(w))))
+    hashed.select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
+  }
+
+  /** Passage-overlap pairs from winnowing fingerprints: docs sharing
+    * fingerprints, scored by shared count and containment
+    * (shared / min fingerprint count — the asymmetric-size-robust
+    * ratio). Fingerprints shared by more than `maxDf` docs are dropped
+    * as stop-fingerprints BEFORE the pair join (boilerplate headers
+    * would otherwise quadratically explode one hash key — the same
+    * hub discipline as the q257 wedge cap). */
+  def winnowOverlap(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, w: Int = 4, maxDf: Int = 100): DataFrame = {
+    require(maxDf >= 2, "maxDf must be >= 2")
+    val fps = Lineage.cut(winnowFingerprints(df, textCol, idCol, k, w))
+    val perDoc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val rare = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("fp")),
+      Seq("fp"))
+    rare.join(rare.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("doc_id") < col("id_b"))
+      .groupBy(col("doc_id").as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(perDoc.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .withColumn("containment",
+        floor(col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double") * lit(1e6)
+          + lit(0.5d)) / lit(1e6))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment"))
   }
 
   /** Compressibility proxy — within-document repeated-window mass: the

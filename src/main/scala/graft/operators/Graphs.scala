@@ -296,4 +296,52 @@ object Graphs {
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("__s9").cast("double") / 1e9).as("aa"), col("dropped_centers"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — the query-independent "which nodes point at good content /
+    * are good content" pair PageRank's single score conflates. On a
+    * bipartite buyer→supplier graph, authorities are the suppliers
+    * many well-connected parts draw from, hubs the parts spreading
+    * across strong suppliers.
+    *
+    * Engine-exact iterations: scores live on a 6dp INTEGER grid,
+    * initialized to 10⁶; each half-step sums neighbor scores (exact
+    * long sums — score ≤ 10⁶ so a node needs 9×10¹² in-edges to
+    * overflow) and renormalizes by the max via BIGINT floor division.
+    * No float accumulation, no L2 norm — both engines replay the
+    * identical integers, and dividing by the max keeps the scale
+    * interpretation (best node = exactly 1.0).
+    *
+    * Scale: per iteration two edge-keyed joins + two map-side-combined
+    * aggregations + a 1-row broadcast max; lineage cut per iteration
+    * (the [[Lineage]] policy all iterative graph ops share). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = Lineage.cut(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d")).distinct())
+    val nodes = Lineage.cut(e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct())
+    def half(scores: DataFrame, scoreCol: String, keyIn: String,
+             keyOut: String, out: String): DataFrame = {
+      val raw = e
+        .join(scores.withColumnRenamed("node", keyIn), Seq(keyIn))
+        .groupBy(col(keyOut).as("node")).agg(sum(col(scoreCol)).as("__raw"))
+      val full = nodes.join(raw, Seq("node"), "left")
+        .withColumn("__raw", coalesce(col("__raw"), lit(0L)))
+      val mx = full.agg(max(col("__raw")).as("__mx"))
+      Lineage.cut(full.join(broadcast(mx))
+        .select(col("node"), coalesce(
+          expr("(__raw * 1000000L) div __mx"), lit(0L)).as(out)))
+    }
+    var hub = nodes.withColumn("h6", lit(1000000L))
+    var auth = nodes.withColumn("a6", lit(1000000L))
+    for (_ <- 1 to iters) {
+      auth = half(hub, "h6", "s", "d", "a6")
+      hub = half(auth, "a6", "d", "s", "h6")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), (col("h6").cast("double") / 1e6).as("hub"),
+        (col("a6").cast("double") / 1e6).as("authority"))
+  }
 }

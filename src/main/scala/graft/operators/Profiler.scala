@@ -288,6 +288,48 @@ object Profiler {
       .select(col(idCol), (col("__s6").cast("double") / 1e6).as("hbos"))
   }
 
+  /** ECOD-style tail-probability outliers (Li et al. 2022's
+    * "unsupervised outlier detection using empirical cumulative
+    * distribution functions", the parameter-free complement of HBOS's
+    * binned density): per feature the row's tail probability is
+    * `min(P(X <= x), P(X >= x))` from the EXACT empirical CDF (no
+    * bins, no bandwidth), the per-feature surprisal is the 9dp-grid
+    * `ln(n / tailCount)` (a ratio of exact integers — the HBOS idiom),
+    * and the outlier score sums surprisals across features. Top-k by
+    * (score desc, id asc) via sort-limit.
+    *
+    * Scale: one aggregate-then-cumsum per feature over DISTINCT values
+    * (routed through [[Ranks.cumSums]], so a continuous feature takes
+    * the two-pass path instead of one partition), joined back
+    * scan-side on the value; the final top-k plans as
+    * TakeOrderedAndProject. Values are integerized by the caller's
+    * column expressions (cents, day numbers — the house convention). */
+  def ecodTopK(df: DataFrame, idCol: String, features: Seq[(String, Column)],
+               k: Int = 100): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val base = df.select(col(idCol) +:
+      features.map { case (f, e) => e.cast("long").as(s"__v_$f") }: _*)
+      .join(broadcast(n))
+    val joined = features.foldLeft(base) { case (d, (f, e)) =>
+      val per = df.groupBy(e.cast("long").as(s"__v_$f"))
+        .agg(count(lit(1)).as(s"__nv_$f"))
+      val grid = Ranks.cumSums(per, Nil, s"__v_$f",
+        Seq((s"__nv_$f", s"__cle_$f", true)))
+      d.join(grid, Seq(s"__v_$f"))
+    }
+    val score9 = features.map { case (f, _) =>
+      val cle = col(s"__cle_$f")
+      val cge = col("__n") - cle + col(s"__nv_$f")
+      floor(log(col("__n").cast("double") / least(cle, cge).cast("double"))
+        * lit(1e9) + lit(0.5d)).cast("long")
+    }.reduce(_ + _)
+    joined.withColumn("__s9", score9)
+      .orderBy(col("__s9").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), (col("__s9").cast("double") / 1e9).as("ecod"))
+  }
+
   /** Pearson standardized residuals for every (row, col) contingency
     * cell — `z = (obs - exp)/sqrt(exp)`, `exp = rowTot*colTot/N` — with
     * a logistic-approximation two-sided p-value

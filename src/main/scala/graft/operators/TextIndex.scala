@@ -499,4 +499,63 @@ object TextIndex {
         coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
         col("min_cos"), col("mean_cos"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Rapid Automatic
+    * Keyword Extraction"): candidate phrases are maximal runs of
+    * non-stopword tokens (the phrase id is a running stopword count —
+    * the sessionizer idiom, no regex-alternation splitting to keep
+    * engine parity trivial); each word scores `degree/frequency`
+    * where degree sums the lengths of the phrases it appears in, and
+    * a phrase scores the sum of its member words. Phrases longer than
+    * `maxPhraseLen` are dropped BEFORE the word statistics (standard
+    * RAKE practice — run-on fragments poison degree).
+    *
+    * Engine-exact: word scores are 6dp integers via BIGINT floor
+    * division (`deg·10⁶ div freq`), phrase scores exact integer sums;
+    * identical phrase text ⇒ identical score, so the corpus top-k by
+    * (score desc, phrase asc) is deterministic.
+    *
+    * Scale: one generate-only tokenization, per-doc windows (keyed on
+    * doc), one word-keyed aggregation + join, one phrase-keyed
+    * aggregation; the top-k plans as TakeOrderedAndProject. */
+  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+                   stopwords: Seq[String] =
+                     graft.functions.TextAnalysis.StopwordTable
+                       .flatMap(_._2).distinct.sorted,
+                   maxPhraseLen: Int = 4, topK: Int = 20): DataFrame = {
+    require(maxPhraseLen >= 1 && topK >= 1, "maxPhraseLen, topK >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val isStop = col("w").isInCollection(stopwords)
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inPhrase = toks
+      .withColumn("pid", sum(when(isStop, 1L).otherwise(0L)).over(runW))
+      .filter(!isStop)
+    val withLen = inPhrase
+      .withColumn("plen", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"), col("pid"))))
+      .filter(col("plen") <= maxPhraseLen)
+    val stats = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("ws6", expr("(deg * 1000000L) div freq"))
+    val phraseW = Window.partitionBy(col("doc_id"), col("pid"))
+      .orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val phr = withLen
+      .withColumn("phrase", array_join(collect_list(col("w")).over(phraseW),
+        " "))
+      .join(stats.select(col("w"), col("ws6")), Seq("w"))
+      .groupBy(col("doc_id"), col("pid"), col("phrase"))
+      .agg(max(col("plen")).as("plen"), sum(col("ws6")).as("score6"))
+    phr.groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"),
+        count(lit(1)).as("n_occurrences"), max(col("score6")).as("__s6"))
+      .orderBy(col("__s6").desc, col("phrase").asc)
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        (col("__s6").cast("double") / 1e6).as("score"))
+  }
 }

@@ -186,6 +186,68 @@ class Round11OpsSpec extends SparkSpec {
     assert(on == Set(2L), "screen on: the cyclic doc drops, prose stays")
   }
 
+  test("ecod: the two-sided tail extreme tops the ranking") {
+    // values clustered at 50 with one low and one high extreme; ECOD
+    // must rank BOTH tails high (HBOS-style one-sided density would
+    // miss a dense-bin edge case, ECOD never does)
+    val rows = (1 to 98).map(i => (i.toLong, 50L + (i % 3))) ++
+      Seq((99L, 1L), (100L, 999L))
+    val df = rows.toDF("id", "v")
+    val top = graft.operators.Profiler.ecodTopK(df, "id",
+      Seq(("v", col("v"))), k = 2).select("id").as[Long].collect()
+    assert(top.toSet == Set(99L, 100L), s"both tails win, got ${top.toSeq}")
+  }
+
+  test("hits: the fan-out hub and the shared authority hit exactly 1.0") {
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("s", "d")
+    val r = graft.operators.Graphs.hits(edges, "s", "d", iters = 3)
+      .select("node", "hub", "authority")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    assert(r(1L)._1 == 1.0, "node 1 points at everything: max hub")
+    assert(r(10L)._2 == 1.0, "node 10 is cited by both hubs: max authority")
+    assert(r(10L)._2 > r(11L)._2, "two citers beat one")
+    assert(r(10L)._1 == 0.0 && r(1L)._2 == 0.0, "pure hub / pure authority")
+  }
+
+  test("winnowing: a shared k+w-1 run leaves a shared fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"omega psi $shared chi phi"),
+      (3L, "completely different content with nothing in common here"))
+      .toDF("doc_id", "text")
+    val ov = graft.operators.Dedup.winnowOverlap(docs, "text", "doc_id",
+        k = 8, w = 4, maxDf = 10)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(ov.contains((1L, 2L)) && ov((1L, 2L)) >= 3L,
+      s"the shared passage must fingerprint-collide: $ov")
+    assert(!ov.contains((1L, 3L)) && !ov.contains((2L, 3L)),
+      "disjoint docs share nothing")
+  }
+
+  test("rake: multiword phrases outscore their member words") {
+    val docs = Seq(
+      (1L, "the neural network training of deep neural network models"),
+      (2L, "neural network training is the key and neural network wins"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.rakeKeywords(docs, "text", "doc_id",
+        topK = 10)
+      .select("phrase", "n_words", "score")
+      .as[(String, Long, Double)].collect()
+    val byPhrase = r.map(t => t._1 -> t).toMap
+    assert(byPhrase.contains("neural network training"),
+      s"stopword-delimited phrase extracted: ${r.map(_._1).toSeq}")
+    val top = r.maxBy(t => (t._3, t._1))
+    assert(top._2 > 1, s"a multiword phrase tops the list, got $top")
+    // phrase score is the sum of member word scores -> strictly above
+    // any single member's score
+    val single = r.filter(_._2 == 1).map(_._3)
+    assert(single.forall(_ < top._3))
+  }
+
   test("nb langid beats the stopword heuristic on the labeled corpus") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val mOff = graft.operators.LangModel.naiveBayesGuess(docs, "doc_id",
