@@ -659,6 +659,46 @@ object SparkEntry {
         "doc_id", topK = 25)
     }),
 
+    // Benford first-digit audit over extended prices — the classic
+    // fabricated-numbers / broken-ETL screen. First digit from the
+    // integer-cents STRING (no log10 anywhere), driver-literal 6dp
+    // expectations, per-digit 6dp-floored chi² terms so the suite
+    // total is an order-free integer sum; Nigrini MAD rides along.
+    "q290_benford" -> ((s, dir) => {
+      operators.Validate.benfordAudit(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + lit(0.5d)))
+    }),
+
+    // Pettitt rank changepoint per event-type series: U_t via the
+    // antisymmetry identity (prefix sums of rank differences — no
+    // pair join), peak = most probable level-shift day, approximate p.
+    // The reference-free complement of CUSUM (q190) and KS (q237).
+    "q291_pettitt" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Seasonal.pettittChangepoint(daily)
+    }),
+
+    // PPMI collocations: word pairs within ±2 tokens co-occurring far
+    // above chance (Church–Hanks association) — multiword-expression
+    // discovery for tokenizer/vocab curation. Exact decimal(38,0)
+    // ratio sides, one double conversion each, 9dp ln grid, top-30.
+    "q292_ppmi" -> ((s, dir) => {
+      operators.TextIndex.ppmiCollocations(t(s, dir, "documents"), "text",
+        "doc_id", window = 2, minCount = 5L, topK = 30)
+    }),
+
+    // Lorenz curve + Gini of the corpus character mass: what share of
+    // total characters the smallest k/10 of documents hold, plus the
+    // exact rank-identity Gini — measured concentration, the audit
+    // behind the q49/q92 source-balance knobs. Pure integer grid
+    // algebra, no per-row sort.
+    "q293_lorenz_gini" -> ((s, dir) => {
+      operators.Profiler.lorenzGini(t(s, dir, "documents"), "n_chars")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8434,6 +8474,116 @@ object SparkEntry {
 
     "q289_rake_keywords" -> RakeOracle(maxPhraseLen = 4, topK = 25),
 
+    "q290_benford" -> BenfordOracle,
+
+    "q292_ppmi" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i.i AS pos, arr[i.i] AS w
+        |  FROM toks0, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) i
+        |  WHERE arr[i.i] <> ''),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |pairs AS (
+        |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+        |sc AS (
+        |  SELECT c12.w1, c12.w2, c12.c12, u1.c AS c1, u2.c AS c2,
+        |    CAST(floor(ln(
+        |      CAST(CAST(c12.c12 AS HUGEINT) * nt.n * nt.n AS DOUBLE)
+        |      / CAST(CAST(np.np AS HUGEINT) * u1.c * u2.c AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS p9
+        |  FROM c12
+        |  JOIN uni u1 ON u1.w = c12.w1
+        |  JOIN uni u2 ON u2.w = c12.w2
+        |  CROSS JOIN nt CROSS JOIN np)
+        |SELECT w1, w2, c12, c1, c2, CAST(p9 AS DOUBLE) / 1000000000 AS ppmi
+        |FROM sc WHERE p9 > 0
+        |ORDER BY p9 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q293_lorenz_gini" ->
+      """WITH grid AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS n_eq,
+        |    CAST(n_chars AS BIGINT) * CAST(count(*) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v, n_eq, mass,
+        |    coalesce(sum(n_eq) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cdb,
+        |    coalesce(sum(mass) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cvb
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(n_eq) AS BIGINT) AS nt,
+        |  CAST(sum(mass) AS BIGINT) AS st FROM grid),
+        |gn AS (
+        |  SELECT floor(
+        |    CAST(2 * sum(CAST(v AS HUGEINT) * (CAST(n_eq AS HUGEINT) * cdb
+        |        + n_eq * (n_eq + 1) // 2))
+        |      - CAST(t.nt + 1 AS HUGEINT) * t.st AS DOUBLE)
+        |    / CAST(CAST(t.nt AS HUGEINT) * t.st AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS gini
+        |  FROM cum, tot t GROUP BY t.nt, t.st),
+        |dec AS (
+        |  SELECT d.decile, (d.decile * t.nt) // 10 AS m_k, t.nt, t.st
+        |  FROM (SELECT unnest(range(1, 10)) AS decile) d, tot t)
+        |SELECT CAST(dec.decile AS BIGINT) AS decile,
+        |  CAST(dec.m_k AS BIGINT) AS n_docs,
+        |  CAST((CAST(dec.m_k AS HUGEINT) * 1000000) // dec.nt AS DOUBLE)
+        |    / 1000000 AS cum_doc_share,
+        |  CAST((CAST(c.cvb + (dec.m_k - c.cdb) * c.v AS HUGEINT) * 1000000)
+        |    // dec.st AS DOUBLE) / 1000000 AS cum_mass_share,
+        |  gn.gini
+        |FROM dec
+        |JOIN cum c ON c.cdb < dec.m_k AND dec.m_k <= c.cdb + c.n_eq
+        |CROSS JOIN gn
+        |WHERE dec.m_k >= 1""".stripMargin,
+
+    "q291_pettitt" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT series, CAST(count(*) AS BIGINT) AS t_days
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT series, v, CAST(count(*) AS BIGINT) AS n_eq
+        |  FROM daily GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT series, v, n_eq,
+        |    coalesce(sum(n_eq) OVER (PARTITION BY series ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM grid),
+        |u0 AS (
+        |  SELECT d.series, d.day, t.t_days,
+        |    wb.cb - (t.t_days - wb.cb - wb.n_eq) AS vi
+        |  FROM daily d
+        |  JOIN wb ON wb.series = d.series AND wb.v = d.v
+        |  JOIN t ON t.series = d.series),
+        |u1 AS (
+        |  SELECT series, day, t_days,
+        |    sum(vi) OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+        |    max(day) OVER (PARTITION BY series) AS mxday
+        |  FROM u0),
+        |u2 AS (
+        |  SELECT series, day, t_days, u,
+        |    max(abs(u)) OVER (PARTITION BY series) AS k
+        |  FROM u1 WHERE day < mxday)
+        |SELECT series, t_days, CAST(max(k) AS BIGINT) AS k,
+        |  min(CASE WHEN abs(u) = k THEN day END) AS change_day,
+        |  floor(2.0 * exp(-6.0 * CAST(max(k) * max(k) AS DOUBLE)
+        |    / CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS p
+        |FROM u2 GROUP BY series, t_days""".stripMargin,
+
     "q288_winnow_overlap" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -10144,6 +10294,44 @@ object SparkEntry {
        |  CAST(max(s6) AS DOUBLE) / 1000000 AS score
        |FROM phr GROUP BY 1
        |ORDER BY max(s6) DESC, phrase LIMIT $topK""".stripMargin
+  }
+
+  /** Oracle for q290_benford: same digit extraction from the cents
+    * string, the SAME driver-computed 6dp expectation literals
+    * (Validate.BenfordP6 — no engine evaluates log10), per-digit
+    * integerized chi² terms. */
+  private def BenfordOracle: String = {
+    val ps = operators.Validate.BenfordP6.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+       |  WHERE digit >= 1 GROUP BY 1),
+       |g AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(p6 AS BIGINT) AS p6
+       |  FROM (VALUES $ps) AS t(digit, p6)),
+       |f AS (SELECT g.digit, g.p6, coalesce(c.n, 0) AS n
+       |  FROM g LEFT JOIN c ON c.digit = g.digit),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM f),
+       |per AS (
+       |  SELECT digit, n, p6, (n * 1000000) // nt AS obs6,
+       |    abs((n * 1000000) // nt - p6) AS dev6,
+       |    CAST(floor(
+       |      CAST(n * 1000000 - nt * p6 AS DOUBLE)
+       |        * CAST(n * 1000000 - nt * p6 AS DOUBLE)
+       |        / (CAST(nt * p6 AS DOUBLE) * 1000000)
+       |      * 1000000 + 0.5) AS BIGINT) AS chi6
+       |  FROM f, tot),
+       |s AS (SELECT CAST(sum(dev6) // 9 AS BIGINT) AS mad6,
+       |  CAST(sum(chi6) AS BIGINT) AS chi2_6 FROM per)
+       |SELECT per.digit, per.n,
+       |  CAST(obs6 AS DOUBLE) / 1000000 AS observed,
+       |  CAST(p6 AS DOUBLE) / 1000000 AS expected,
+       |  CAST(dev6 AS DOUBLE) / 1000000 AS deviation,
+       |  CAST(s.mad6 AS DOUBLE) / 1000000 AS mad,
+       |  CAST(s.chi2_6 AS DOUBLE) / 1000000 AS chi2
+       |FROM per, s""".stripMargin
   }
 
   /** Oracle for q287_hits: the integer-grid HITS iterations unrolled —

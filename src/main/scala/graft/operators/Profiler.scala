@@ -288,6 +288,60 @@ object Profiler {
       .select(col(idCol), (col("__s6").cast("double") / 1e6).as("hbos"))
   }
 
+  /** Lorenz curve + Gini coefficient of a non-negative integer mass
+    * column — the corpus-concentration audit ("what share of total
+    * characters sits in the smallest 30% of documents"; a Gini near 1
+    * means a few megadocs dominate the training mix, the imbalance
+    * q49/q92's source caps exist to fix, measured instead of assumed).
+    *
+    * Exact integer algebra on the distinct-value grid: Lorenz point k
+    * uses rank `m_k = k·N div bins`; the doc at that rank sits in the
+    * unique grid row with `cdBelow < m_k ≤ cdBelow+n_eq`, so the
+    * bottom-m_k mass is `cvBelow + (m_k−cdBelow)·v` — no per-row sort,
+    * no interpolation. Gini from the sorted-rank identity
+    * `G = (2·Σ i·x_(i) − (N+1)·Σx) / (N·Σx)` with the rank sum per
+    * value as `v·(n_eq·cdBelow + n_eq(n_eq+1)/2)` in decimal(38,0),
+    * one double division onto the 6dp grid.
+    *
+    * Scale: one grid aggregation, cumulative sums through
+    * [[Ranks.cumSums]] (two-pass above 2²⁰ distinct values), a
+    * bins-row broadcast join. */
+  def lorenzGini(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val grid = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
+      .withColumn("mass", col("v") * col("n_eq"))
+    val cum = Ranks.cumSums(grid, Nil, "v",
+      Seq(("n_eq", "cdb", false), ("mass", "cvb", false)),
+      totals = Seq(("n_eq", "nt"), ("mass", "st")))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val gini = cum.agg(
+      sum(d(col("v")) * (d(col("n_eq")) * d(col("cdb"))
+        + d(expr("n_eq * (n_eq + 1) div 2")))).as("__six"),
+      max(col("nt")).as("nt"), max(col("st")).as("st"))
+      .select((floor((d(lit(2)) * col("__six")
+          - d(col("nt") + 1) * d(col("st"))).cast("double")
+          / (d(col("nt")) * d(col("st"))).cast("double")
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("gini"))
+    val deciles = df.sparkSession.range(1, bins).toDF("decile")
+    deciles.crossJoin(broadcast(cum.agg(max(col("nt")).as("nt"),
+        max(col("st")).as("st"))))
+      .withColumn("m_k", expr("(decile * nt) div " + bins))
+      .filter(col("m_k") >= 1L)
+      .join(cum.select(col("v"), col("n_eq"), col("cdb"), col("cvb")),
+        col("cdb") < col("m_k") && col("m_k") <= col("cdb") + col("n_eq"))
+      .withColumn("__chars", col("cvb") + (col("m_k") - col("cdb")) * col("v"))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("m_k").as("n_docs"),
+        // decimal(38) numerators: mass·10⁶ overflows a long at ~10¹³
+        // total mass — real at corpus scale
+        (expr("(cast(m_k as decimal(38,0)) * 1000000) div nt")
+          .cast("double") / 1e6).as("cum_doc_share"),
+        (expr("(cast(__chars as decimal(38,0)) * 1000000) div st")
+          .cast("double") / 1e6).as("cum_mass_share"),
+        col("gini"))
+  }
+
   /** ECOD-style tail-probability outliers (Li et al. 2022's
     * "unsupervised outlier detection using empirical cumulative
     * distribution functions", the parameter-free complement of HBOS's

@@ -242,6 +242,52 @@ object Seasonal {
     * Output: (series, n_days, slope, intercept). A series with a
     * single observed day has no pairwise slope — it is absent from the
     * output (no trend is estimable), not emitted with nulls. */
+  /** Pettitt changepoint test (Pettitt 1979): the rank-based "did the
+    * level shift, and when" complement of CUSUM (q190, which needs a
+    * mean) and the drift gates (which need a reference window). The
+    * statistic `U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)` peaks at the
+    * most probable split; `p ≈ 2·exp(−6K²/(T³+T²))`.
+    *
+    * NO pair join: by antisymmetry `U_t = Σ_{i≤t} V_i` with
+    * `V_i = #{x_j < x_i} − #{x_j > x_i}` — pure rank algebra on the
+    * per-series distinct-value grid (one aggregation + one bounded
+    * window), then a prefix sum over days. All integers until the one
+    * exp onto the 6dp grid (exact-integer ratio argument, the house
+    * HBOS idiom). Ties at the peak break to the earliest day. */
+  def pettittChangepoint(daily: DataFrame): DataFrame = {
+    val t = daily.groupBy(col("series")).agg(count(lit(1)).as("t_days"))
+    val grid = daily.groupBy(col("series"), col("v"))
+      .agg(count(lit(1)).as("n_eq"))
+    val wVal = Window.partitionBy(col("series")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = grid.withColumn("cb",
+      coalesce(sum(col("n_eq")).over(wVal), lit(0L)))
+    val wDay = Window.partitionBy(col("series")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = daily
+      .join(withBelow, Seq("series", "v"))
+      .join(broadcast(t), Seq("series"))
+      .withColumn("__vi",
+        col("cb") - (col("t_days") - col("cb") - col("n_eq")))
+      .withColumn("__u", sum(col("__vi")).over(wDay))
+      .withColumn("__mxday", max(col("day"))
+        .over(Window.partitionBy(col("series"))))
+      .filter(col("day") < col("__mxday"))
+    u.withColumn("__k",
+        max(abs(col("__u"))).over(Window.partitionBy(col("series"))))
+      .groupBy(col("series"), col("t_days"))
+      .agg(max(col("__k")).as("k"),
+        min(when(abs(col("__u")) === col("__k"), col("day")))
+          .as("change_day"))
+      .withColumn("p", floor(lit(2.0d) * exp(lit(-6.0d)
+          * (col("k") * col("k")).cast("double")
+          / (col("t_days") * col("t_days") * col("t_days")
+            + col("t_days") * col("t_days")).cast("double"))
+        * lit(1e6) + lit(0.5d)) / lit(1e6))
+      .select(col("series"), col("t_days"), col("k"), col("change_day"),
+        col("p"))
+  }
+
   def theilSen(daily: DataFrame): DataFrame = {
     val a = daily.select(col("series"),
       datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("xi"),

@@ -500,6 +500,57 @@ object TextIndex {
         col("min_cos"), col("mean_cos"))
   }
 
+  /** PPMI collocations (positive pointwise mutual information, the
+    * Church–Hanks association measure): word pairs co-occurring within
+    * a ±`window` token distance far more often than their marginal
+    * frequencies predict — multiword-expression discovery, tokenizer
+    * vocab curation, and the classic distributional-semantics building
+    * block. `ppmi = max(0, ln(c12·N² / (Npairs·c1·c2)))` with both
+    * sides of the ratio held as EXACT decimal(38,0) integers before
+    * ONE correctly-rounded double conversion each (the Mann–Whitney
+    * precision discipline), then the 9dp ln grid.
+    *
+    * Scale: tokenization is generate-only; the pair join is POSITION-
+    * bounded (each token joins its next `window` neighbors within the
+    * doc — ≤ window·N pairs, never quadratic); counts are map-side-
+    * combined aggregations; the final top-k is sort-limit. */
+  def ppmiCollocations(df: DataFrame, textCol: String, idCol: String,
+                       window: Int = 2, minCount: Long = 5,
+                       topK: Int = 30): DataFrame = {
+    require(window >= 1 && topK >= 1, "window, topK >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n"))
+    val pairs = toks.alias("a")
+      .join(toks.alias("b"),
+        col("a.doc_id") === col("b.doc_id")
+          && col("b.pos") > col("a.pos")
+          && col("b.pos") <= col("a.pos") + window)
+      .select(least(col("a.w"), col("b.w")).as("w1"),
+        greatest(col("a.w"), col("b.w")).as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val nPair = pairs.agg(count(lit(1)).as("np"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    c12
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .join(broadcast(nTok)).join(broadcast(nPair))
+      .withColumn("__ppmi9", floor(log(
+          (d(col("c12")) * d(col("n")) * d(col("n"))).cast("double")
+            / (d(col("np")) * d(col("c1")) * d(col("c2"))).cast("double"))
+        * lit(1e9) + lit(0.5d)).cast("long"))
+      .filter(col("__ppmi9") > 0L)
+      .orderBy(col("__ppmi9").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (col("__ppmi9").cast("double") / 1e9).as("ppmi"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Rapid Automatic
     * Keyword Extraction"): candidate phrases are maximal runs of
     * non-stopword tokens (the phrase id is a running stopword count —

@@ -195,4 +195,63 @@ object Validate {
           (col("n_violating_groups") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Benford first-digit expectations `log10(1 + 1/d)` on the 6dp
+    * grid, computed ONCE driver-side — the single source of truth the
+    * oracle inlines as literals, so no engine ever evaluates log10. */
+  private[graft] val BenfordP6: Seq[Long] = (1 to 9).map(d =>
+    math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  /** Benford's-law first-digit audit — the classic fabricated-numbers
+    * / broken-ETL screen: naturally occurring multi-magnitude amounts
+    * follow `P(d) = log10(1+1/d)`; uniform or hand-entered values
+    * don't. The first significant digit comes from the INTEGER cents
+    * STRING (`substr(cast(v as string), 1, 1)`) — scale-invariant and
+    * free of any log10/floor boundary on either engine; expected
+    * shares are driver-side 6dp literals.
+    *
+    * Output: one row per digit 1–9 (zero-count digits kept via a
+    * 9-row literal grid) with observed/expected shares and the 6dp
+    * deviation, plus the suite-level MAD (mean absolute deviation —
+    * Nigrini's conformity statistic, ≤ 0.006 "close conformity" for
+    * the first digit) and chi² riding on every row from a 1-row
+    * broadcast.
+    *
+    * Scale: one map-side-combined 9-group aggregation; everything
+    * after is constant-sized. */
+  def benfordAudit(df: DataFrame, valueCents: Column): DataFrame = {
+    val digits = df.select(substring(valueCents.cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1L)
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).toDF("digit")
+      .withColumn("p6", BenfordP6.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p))
+          .otherwise(acc) })
+    val full = grid.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = full.agg(sum(col("n")).as("nt"))
+    val per = full.join(broadcast(tot))
+      .withColumn("obs6", expr("(n * 1000000L) div nt"))
+      .withColumn("dev6", abs(col("obs6") - col("p6")))
+      // chi² term: exact-integer numerator difference squared in
+      // double (values fit exactly), one division, 6dp-floored PER
+      // DIGIT so the suite total is an ORDER-FREE integer sum (a
+      // 9-term double sum would be at the mercy of addition order)
+      .withColumn("__chi6", floor(
+        (col("n") * lit(1000000L) - col("nt") * col("p6")).cast("double")
+          * (col("n") * lit(1000000L) - col("nt") * col("p6")).cast("double")
+          / ((col("nt") * col("p6")).cast("double") * lit(1e6))
+          * lit(1e6) + lit(0.5d)).cast("long"))
+    val summary = per.agg(
+      expr("sum(dev6) div 9").as("mad6"),
+      sum(col("__chi6")).as("chi2_6"))
+    per.join(broadcast(summary))
+      .select(col("digit"), col("n"),
+        (col("obs6").cast("double") / 1e6).as("observed"),
+        (col("p6").cast("double") / 1e6).as("expected"),
+        (col("dev6").cast("double") / 1e6).as("deviation"),
+        (col("mad6").cast("double") / 1e6).as("mad"),
+        (col("chi2_6").cast("double") / 1e6).as("chi2"))
+  }
 }

@@ -248,6 +248,67 @@ class Round11OpsSpec extends SparkSpec {
     assert(single.forall(_ < top._3))
   }
 
+  test("benford: observed shares and deviations on a hand-checked sample") {
+    // first digits: 1 x5, 2 x3, 9 x2 (from cents values)
+    val vals = Seq(100L, 150L, 19L, 12L, 1999L, 2L, 25L, 299L, 9L, 90L)
+    val df = vals.map(Tuple1(_)).toDF("cents")
+    val r = graft.operators.Validate.benfordAudit(df, col("cents"))
+      .select("digit", "n", "observed", "expected")
+      .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.size == 9, "all nine digits present, zero-count included")
+    assert(r(1L)._2 == 5L && r(1L)._3 == 0.5)
+    assert(r(2L)._2 == 3L && r(9L)._2 == 2L && r(3L)._2 == 0L)
+    assert(math.abs(r(1L)._4 - 0.30103) < 1e-5, "Benford P(1) = log10(2)")
+  }
+
+  test("pettitt: a planted level shift is found at the boundary day") {
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val daily = (0 until 20).map(i => ("s",
+      java.sql.Date.valueOf(base.plusDays(i)),
+      if (i < 10) 5L else 50L)).toDF("series", "day", "v")
+    val r = graft.operators.Seasonal.pettittChangepoint(daily)
+      .select("series", "t_days", "k", "change_day", "p")
+      .as[(String, Long, Long, java.sql.Date, Double)].collect().head
+    assert(r._2 == 20L)
+    assert(r._3 == 100L, s"U peaks at 10x10 crossing pairs, got ${r._3}")
+    assert(r._4 == java.sql.Date.valueOf(base.plusDays(9)),
+      "the last low day is the change point")
+    assert(r._5 < 0.01, s"a clean shift is significant, p=${r._5}")
+  }
+
+  test("ppmi: a planted collocation tops the ranking") {
+    // "new york" always adjacent; fillers vary so marginals stay low
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"w$i new york x$i y$i z$i")).toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.ppmiCollocations(docs, "text",
+        "doc_id", window = 2, minCount = 5L, topK = 5)
+      .select("w1", "w2", "c12", "ppmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.nonEmpty && r.head._1 == "new" && r.head._2 == "york",
+      s"the collocation wins, got ${r.toSeq}")
+    assert(r.head._3 == 30L, "30 adjacent co-occurrences")
+    assert(r.head._4 > 0.0)
+  }
+
+  test("lorenz/gini: uniform mass scores 0, the curve is the diagonal") {
+    val df = (1 to 10).map(i => (i.toLong, 10L)).toDF("id", "sz")
+    val r = graft.operators.Profiler.lorenzGini(df, "sz")
+      .select("decile", "cum_doc_share", "cum_mass_share", "gini")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r.length == 9)
+    assert(r.forall(_._4 == 0.0), "equal sizes: zero concentration")
+    assert(r.forall(t => t._2 == t._3), "Lorenz curve on the diagonal")
+    assert(r(2)._2 == 0.3)
+    // one megadoc: bottom 90% of docs hold far less than 90% of mass
+    val skew = ((1 to 9).map(i => (i.toLong, 1L)) :+ (10L, 991L))
+      .toDF("id", "sz")
+    val g = graft.operators.Profiler.lorenzGini(skew, "sz")
+      .select("decile", "cum_mass_share", "gini")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(g.last._2 == 0.009 && g.head._3 > 0.85,
+      s"bottom 9 docs hold 9/1000 of mass, gini near 1: ${g.toSeq}")
+  }
+
   test("nb langid beats the stopword heuristic on the labeled corpus") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val mOff = graft.operators.LangModel.naiveBayesGuess(docs, "doc_id",
