@@ -57,6 +57,15 @@ object SparkEntry {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Fixed evaluation queries for the q295 NDCG board — corpus-vocab
+    * terms, one query per operator family so graded relevance (term
+    * coverage) spreads over 1..3. Shared verbatim with the oracle. */
+  private val NdcgQueries: Seq[(String, Seq[String])] = Seq(
+    ("q_join", Seq("join", "merge", "hash")),
+    ("q_scan", Seq("scan", "filter", "table")),
+    ("q_stream", Seq("stream", "batch", "window")),
+    ("q_sort", Seq("sort", "order", "group")))
+
   /** Crawl-style messy URL synthesis for the q207/q208 canonicalization
     * queries — five spelling families covering every canonical rule:
     * uppercase + www + default port + tracking + unsorted params +
@@ -697,6 +706,64 @@ object SparkEntry {
     // algebra, no per-row sort.
     "q293_lorenz_gini" -> ((s, dir) => {
       operators.Profiler.lorenzGini(t(s, dir, "documents"), "n_chars")
+    }),
+
+    // Cohen's kappa between the two language-ID systems (q41 stopword
+    // heuristic vs q283 Naive Bayes) — the chance-corrected agreement
+    // a labeling pipeline reports before trusting silver labels. Exact
+    // integer margins in decimal(38,0), one double division.
+    "q294_langid_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("g1"))
+      val m = operators.LangModel
+        .naiveBayesGuess(docs, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang_guess").as("g2"))
+      operators.Agreement.cohenKappa(h.join(m, Seq("doc_id")), "g1", "g2")
+    }),
+
+    // NDCG@10 of the BM25 ranking (the q88 scorer) against graded
+    // term-coverage relevance, per query — the ranking-quality board
+    // completing the retrieval family (q87/q88/q178/q224). Gains and
+    // discounts are exact integers on driver-literal grids.
+    "q295_ndcg" -> ((s, dir) => {
+      operators.TextIndex.ndcgAtK(t(s, dir, "documents"), "text",
+        "doc_id", NdcgQueries, k = 10)
+    }),
+
+    // ROLLUP profile: doc counts and char mass at (source, lang),
+    // per-source subtotal, and grand-total grains in ONE pass — the
+    // multi-grain profiling surface (Spark `rollup` ↔ ANSI GROUP BY
+    // ROLLUP); subtotal rows carry a portable grouping id derived
+    // from the NULL pattern, sentinel '__all__' labels.
+    "q296_rollup_profile" -> ((s, dir) => {
+      t(s, dir, "documents").rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+        .select(coalesce(col("source"), lit("__all__")).as("source"),
+          coalesce(col("lang"), lit("__all__")).as("lang"),
+          (when(col("source").isNull, lit(2L)).otherwise(lit(0L))
+            + when(col("lang").isNull, lit(1L)).otherwise(lit(0L))).as("gid"),
+          col("n_docs"), col("chars_sum"))
+    }),
+
+    // Embedding-space drift: per-label centroid direction vs the
+    // corpus centroid (6dp cosine of exact integer sum vectors) plus
+    // the label's centroid norm — the stratum diagnostic run before
+    // trusting per-label mixing weights. Fully relational (no driver
+    // centroids, any label cardinality).
+    "q297_centroid_cosine" -> ((s, dir) => {
+      Similarity.labelCentroidCosine(t(s, dir, "embeddings"),
+        "embedding", "label")
+    }),
+
+    // First-order Markov chain over per-user event sequences:
+    // transition matrix on the 6dp integer grid + stationary
+    // distribution by 6 exact power iterations (the q287 HITS
+    // discipline) — where user behavior spends its time in the long
+    // run, the model-grade complement of the q104 fixed funnel.
+    "q298_markov" -> ((s, dir) => {
+      operators.Markov.stationary(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", iters = 6)
     }),
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -6633,31 +6700,14 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // q41's rule replay grouped into the confusion matrix
-    "q238_langid_confusion" -> {
-      val guess =
-        """SELECT lang AS lang_label,
-          |  CASE WHEN s_en > 0 AND s_en = best THEN 'en'
-          |       WHEN s_es > 0 AND s_es = best THEN 'es'
-          |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
-          |       WHEN s_de > 0 AND s_de = best THEN 'de'
-          |       ELSE 'und' END AS lang_guess
-          |FROM (SELECT lang, s_en, s_es, s_fr, s_de,
-          |        greatest(s_en, s_es, s_fr, s_de) AS best
-          |      FROM (SELECT lang,
-          |        len(regexp_extract_all(lower(text), '""".stripMargin +
-          LangPats("en") + "')) AS s_en,\n        len(regexp_extract_all(lower(text), '" +
-          LangPats("es") + "')) AS s_es,\n        len(regexp_extract_all(lower(text), '" +
-          LangPats("fr") + "')) AS s_fr,\n        len(regexp_extract_all(lower(text), '" +
-          LangPats("de") + """')) AS s_de
-          |      FROM documents))""".stripMargin
-      s"""WITH g AS ($guess),
+    "q238_langid_confusion" ->
+      s"""WITH $HeurGuessCte,
          |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
-         |      FROM g GROUP BY 1, 2)
+         |      FROM hg GROUP BY 1, 2)
          |SELECT lang_label, lang_guess, n,
          |  round(CAST(n AS DOUBLE) /
          |    sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
-         |FROM m""".stripMargin
-    },
+         |FROM m""".stripMargin,
 
     // CDFs on the shared distinct-value grid, exact cross-multiplied
     // diffs, one division at the end
@@ -8341,50 +8391,13 @@ object SparkEntry {
         |FROM prod WHERE d > 0""".stripMargin,
 
     "q283_nb_langid" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang AS lang_label, w FROM (
-        |    SELECT doc_id, lang,
-        |      unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) WHERE w <> ''),
-        |cnt AS (SELECT lang_label AS cand, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM tk GROUP BY 1, 2),
-        |tot AS (SELECT lang_label AS cand, CAST(count(*) AS BIGINT) AS t
-        |  FROM tk GROUP BY 1),
-        |vocab AS (SELECT DISTINCT w FROM tk),
-        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-        |lp AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS d
-        |  FROM documents GROUP BY 1),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |grid AS (
-        |  SELECT t.cand, vo.w,
-        |    CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
-        |        / CAST(t.t + vv.v AS DOUBLE)) * 1000000000 + 0.5)
-        |      AS BIGINT) AS term9
-        |  FROM vocab vo CROSS JOIN tot t CROSS JOIN vv
-        |  LEFT JOIN cnt c ON c.cand = t.cand AND c.w = vo.w),
-        |pri AS (
-        |  SELECT lp.cand,
-        |    CAST(floor(ln(CAST(lp.d AS DOUBLE) / CAST(nn.n AS DOUBLE))
-        |      * 1000000000 + 0.5) AS BIGINT) AS prior9
-        |  FROM lp, nn),
-        |dt AS (SELECT doc_id, lang_label, w, CAST(count(*) AS BIGINT) AS n_dw
-        |  FROM tk GROUP BY 1, 2, 3),
-        |sc AS (
-        |  SELECT s.doc_id, s.lang_label, s.cand, s.sw9 + p.prior9 AS s9
-        |  FROM (SELECT dt.doc_id, dt.lang_label, g.cand,
-        |          sum(dt.n_dw * g.term9) AS sw9
-        |        FROM dt JOIN grid g ON g.w = dt.w GROUP BY 1, 2, 3) s
-        |  JOIN pri p ON p.cand = s.cand),
-        |guess AS (
-        |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY s9 DESC, cand ASC) AS rn FROM sc) WHERE rn = 1),
-        |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
-        |  FROM guess GROUP BY 1, 2)
-        |SELECT lang_label, lang_guess, n,
-        |  round(CAST(n AS DOUBLE)
-        |    / sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
-        |FROM m""".stripMargin,
+      s"""WITH $NbGuessCtes,
+         |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
+         |  FROM nbguess GROUP BY 1, 2)
+         |SELECT lang_label, lang_guess, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
+         |FROM m""".stripMargin,
 
     "q281_mann_whitney" ->
       """WITH per AS (
@@ -8475,6 +8488,67 @@ object SparkEntry {
     "q289_rake_keywords" -> RakeOracle(maxPhraseLen = 4, topK = 25),
 
     "q290_benford" -> BenfordOracle,
+
+    "q294_langid_kappa" ->
+      s"""WITH $HeurGuessCte,
+         |$NbGuessCtes,
+         |j AS (SELECT hg.lang_guess AS g1, nb.lang_guess AS g2
+         |      FROM hg JOIN nbguess nb USING (doc_id)),
+         |cells AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2),
+         |rm AS (SELECT g1 AS k, CAST(sum(n) AS BIGINT) AS r
+         |  FROM cells GROUP BY 1),
+         |cm AS (SELECT g2 AS k, CAST(sum(n) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1),
+         |ch AS (SELECT coalesce(sum(CAST(rm.r AS HUGEINT) * cm.c), 0) AS s
+         |  FROM rm JOIN cm USING (k)),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN g1 = g2 THEN n ELSE 0 END) AS BIGINT)
+         |    AS agree_n
+         |  FROM cells)
+         |SELECT cells.g1, cells.g2, cells.n, tt.n_total, tt.agree_n,
+         |  round(
+         |    CAST(CAST(tt.n_total AS HUGEINT) * tt.agree_n - ch.s AS DOUBLE)
+         |    / CAST(CAST(tt.n_total AS HUGEINT) * tt.n_total - ch.s
+         |      AS DOUBLE), 6) AS kappa
+         |FROM cells, tt, ch""".stripMargin,
+
+    "q295_ndcg" -> NdcgOracle(NdcgQueries, k = 10),
+
+    "q296_rollup_profile" ->
+      """SELECT coalesce(source, '__all__') AS source,
+        |  coalesce(lang, '__all__') AS lang,
+        |  CAST(CASE WHEN source IS NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "q297_centroid_cosine" ->
+      """WITH el AS (
+        |  SELECT label, i.i AS d,
+        |    CAST(floor(CAST(arr[i.i] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x6
+        |  FROM (SELECT label, embedding AS arr FROM embeddings) e,
+        |    LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) i),
+        |ls AS (SELECT label, d, CAST(sum(x6) AS BIGINT) AS s
+        |  FROM el GROUP BY 1, 2),
+        |gs AS (SELECT d, CAST(sum(s) AS BIGINT) AS g FROM ls GROUP BY 1),
+        |gn AS (SELECT sum(CAST(g AS HUGEINT) * g) AS nb FROM gs),
+        |nf AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings GROUP BY 1),
+        |pa AS (SELECT ls.label, sum(CAST(ls.s AS HUGEINT) * gs.g) AS dot,
+        |    sum(CAST(ls.s AS HUGEINT) * ls.s) AS na
+        |  FROM ls JOIN gs USING (d) GROUP BY 1)
+        |SELECT pa.label, nf.n_vecs,
+        |  floor(CAST(pa.dot AS DOUBLE)
+        |    / (sqrt(CAST(pa.na AS DOUBLE)) * sqrt(CAST(gn.nb AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000 AS cos_to_corpus,
+        |  floor(sqrt(CAST(pa.na AS DOUBLE)) / nf.n_vecs + 0.5) / 1000000
+        |    AS centroid_norm
+        |FROM pa CROSS JOIN gn JOIN nf ON nf.label = pa.label""".stripMargin,
+
+    "q298_markov" -> MarkovOracle(iters = 6),
 
     "q292_ppmi" ->
       """WITH toks0 AS (
@@ -10300,6 +10374,165 @@ object SparkEntry {
     * string, the SAME driver-computed 6dp expectation literals
     * (Validate.BenfordP6 — no engine evaluates log10), per-digit
     * integerized chi² terms. */
+  /** WITH-body CTE chain ending in `nbguess(doc_id, lang_label,
+    * lang_guess)` — the q283 Naive Bayes language-ID refit + scoring
+    * replayed in SQL, shared by the q283 confusion board and the q294
+    * kappa oracle. */
+  private def NbGuessCtes: String =
+    """tk AS (
+      |  SELECT doc_id, lang AS lang_label, w FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |cnt AS (SELECT lang_label AS cand, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2),
+      |tot AS (SELECT lang_label AS cand, CAST(count(*) AS BIGINT) AS t
+      |  FROM tk GROUP BY 1),
+      |vocab AS (SELECT DISTINCT w FROM tk),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |lp AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS d
+      |  FROM documents GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |grid AS (
+      |  SELECT t.cand, vo.w,
+      |    CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+      |        / CAST(t.t + vv.v AS DOUBLE)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS term9
+      |  FROM vocab vo CROSS JOIN tot t CROSS JOIN vv
+      |  LEFT JOIN cnt c ON c.cand = t.cand AND c.w = vo.w),
+      |pri AS (
+      |  SELECT lp.cand,
+      |    CAST(floor(ln(CAST(lp.d AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |      * 1000000000 + 0.5) AS BIGINT) AS prior9
+      |  FROM lp, nn),
+      |dt AS (SELECT doc_id, lang_label, w, CAST(count(*) AS BIGINT) AS n_dw
+      |  FROM tk GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT s.doc_id, s.lang_label, s.cand, s.sw9 + p.prior9 AS s9
+      |  FROM (SELECT dt.doc_id, dt.lang_label, g.cand,
+      |          sum(dt.n_dw * g.term9) AS sw9
+      |        FROM dt JOIN grid g ON g.w = dt.w GROUP BY 1, 2, 3) s
+      |  JOIN pri p ON p.cand = s.cand),
+      |nbguess AS (
+      |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY s9 DESC, cand ASC) AS rn FROM sc) WHERE rn = 1)""".stripMargin
+
+  /** CTE `hg(doc_id, lang_label, lang_guess)` — the q41/q238 stopword
+    * heuristic replayed in SQL, shared by the q238 confusion board and
+    * the q294 kappa oracle. */
+  private def HeurGuessCte: String =
+    """hg AS (
+      |  SELECT doc_id, lang AS lang_label,
+      |    CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+      |         WHEN s_es > 0 AND s_es = best THEN 'es'
+      |         WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+      |         WHEN s_de > 0 AND s_de = best THEN 'de'
+      |         ELSE 'und' END AS lang_guess
+      |  FROM (SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+      |          greatest(s_en, s_es, s_fr, s_de) AS best
+      |        FROM (SELECT doc_id, lang,
+      |          len(regexp_extract_all(lower(text), '""".stripMargin +
+      LangPats("en") +
+      "')) AS s_en,\n          len(regexp_extract_all(lower(text), '" +
+      LangPats("es") +
+      "')) AS s_es,\n          len(regexp_extract_all(lower(text), '" +
+      LangPats("fr") +
+      "')) AS s_fr,\n          len(regexp_extract_all(lower(text), '" +
+      LangPats("de") + "')) AS s_de\n        FROM documents)))"
+
+  /** Oracle for q295_ndcg: the q88 BM25 scorer per evaluation query,
+    * graded by term coverage; gains via the same literal CASE and
+    * discounts from the SAME driver-computed 9dp literals the Spark
+    * plan joins (TextIndex.ndcgWeights9) — no in-plan log2 anywhere. */
+  private def NdcgOracle(queries: Seq[(String, Seq[String])],
+                         k: Int): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+      .map(tm => s"'$tm'").mkString(", ")
+    val qv = queries
+      .flatMap { case (q, ts) => ts.map(tm => s"('$q', '$tm')") }
+      .mkString(", ")
+    val wv = operators.TextIndex.ndcgWeights9(k)
+      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
+    val maxLen = queries.map(_._2.length).max
+    val gainCase = (1 to maxLen)
+      .map(r => s"WHEN $r THEN ${(1L << r) - 1L}").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term FROM documents,
+       |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+       |  WHERE t <> ''),
+       |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($allTerms) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT * FROM (VALUES $qv) AS q(qid, term)),
+       |hits AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 4)
+       |      AS score,
+       |    CAST(count(*) AS BIGINT) AS rel
+       |  FROM tf JOIN q ON q.term = tf.term JOIN df ON df.term = tf.term
+       |  JOIN dlen ON dlen.doc_id = tf.doc_id CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |g0 AS (SELECT *, CASE rel $gainCase ELSE 0 END AS gain FROM hits),
+       |g AS (SELECT *,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id ASC) AS rank,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY gain DESC, doc_id ASC) AS irank
+       |  FROM g0),
+       |w AS (SELECT * FROM (VALUES $wv) AS w(r, w9)),
+       |nh AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM g GROUP BY 1),
+       |dcg AS (SELECT qid, sum(CAST(gain AS BIGINT) * w.w9) AS dcg9 FROM g
+       |  JOIN w ON w.r = g.rank WHERE g.rank <= $k GROUP BY 1),
+       |idcg AS (SELECT qid, sum(CAST(gain AS BIGINT) * w.w9) AS idcg9 FROM g
+       |  JOIN w ON w.r = g.irank WHERE g.irank <= $k GROUP BY 1)
+       |SELECT nh.qid, nh.n_hits,
+       |  round(CAST(dcg9 AS DOUBLE) / 1000000000, 6) AS dcg,
+       |  round(CAST(idcg9 AS DOUBLE) / 1000000000, 6) AS idcg,
+       |  round(CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE), 6) AS ndcg
+       |FROM nh JOIN dcg ON dcg.qid = nh.qid
+       |JOIN idcg ON idcg.qid = nh.qid""".stripMargin
+  }
+
+  /** Oracle for q298_markov: lag pairs → 6dp integer transition grid →
+    * `iters` unrolled power iterations, each an exact neighbor-sum +
+    * sum-renormalization in floor division — the HitsOracle shape. */
+  private def MarkovOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT p.dst AS state, sum(v.v6 * p.p6) AS raw
+         |  FROM p JOIN vi${i - 1} v ON v.state = p.src GROUP BY 1),
+         |f$i AS (
+         |  SELECT s.state, coalesce(r$i.raw, 0) AS raw
+         |  FROM states s LEFT JOIN r$i USING (state)),
+         |vi$i AS (
+         |  SELECT f.state, (f.raw * 1000000) // t.tot AS v6
+         |  FROM f$i f, (SELECT sum(raw) AS tot FROM f$i) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT src, event_type AS dst FROM (
+       |    SELECT event_type, lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+       |    FROM events) WHERE src IS NOT NULL),
+       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs GROUP BY 1, 2),
+       |rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |p AS (SELECT cnt.src, cnt.dst, cnt.n, (cnt.n * 1000000) // rt.t AS p6
+       |  FROM cnt JOIN rt ON rt.src = cnt.src),
+       |states AS (SELECT DISTINCT state FROM
+       |  (SELECT src AS state FROM p UNION ALL SELECT dst FROM p)),
+       |vi0 AS (SELECT state, CAST(1000000 AS BIGINT) AS v6 FROM states),
+       |$steps
+       |SELECT p.src, p.dst, p.n, CAST(p.p6 AS DOUBLE) / 1000000 AS p,
+       |  CAST(v.v6 AS DOUBLE) / 1000000 AS src_pi
+       |FROM p JOIN vi$iters v ON v.state = p.src""".stripMargin
+  }
+
   private def BenfordOracle: String = {
     val ps = operators.Validate.BenfordP6.zipWithIndex
       .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")

@@ -793,4 +793,56 @@ object Similarity {
         (-best.getField("nl")).as("pred"), best.getField("c6").as("cos6"))
       .withColumn("correct", col("pred") === col("label"))
   }
+
+  /** Per-label centroid direction vs the corpus centroid — the
+    * embedding-space drift diagnostic: a label (or source / time
+    * slice) whose centroid points away from the corpus mean is the
+    * stratum to inspect before mixing. Unlike [[centroidLooEval]]
+    * (driver-side literal centroids, a classifier), this is FULLY
+    * relational — no collect, any label cardinality.
+    *
+    * Exact arithmetic: elements snap to a 6dp integer grid scan-side
+    * (`floor(x·1e6 + 0.5)`), per-(label, dim) sums are exact BIGINTs,
+    * and cosine is scale-invariant so the UNNORMALIZED sum vectors
+    * stand in for the centroids. Dot products and squared norms
+    * accumulate in decimal(38,0) (a 1e6-grid sum vector squared
+    * overflows BIGINT at real corpus size); one sqrt+division per
+    * label at the end, floored onto the 6dp grid.
+    *
+    * Scale: posexplode → (label, dim)-keyed sum (map-side combined;
+    * output is |labels|·dim rows), dim-keyed re-aggregation for the
+    * corpus vector, one broadcast join on dim, one 1-row broadcast
+    * for the corpus norm. The exploded stage is the only data-sized
+    * shuffle and its key space is uniform. */
+  def labelCentroidCosine(df: DataFrame, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val el = df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("label"), (col("d") + 1).as("d"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5d))
+          .cast("long").as("x6"))
+    val ls = el.groupBy(col("label"), col("d")).agg(sum(col("x6")).as("s"))
+    val gs = ls.groupBy(col("d")).agg(sum(col("s")).as("g"))
+    val gn = gs.agg(sum(col("g").cast(dec) * col("g").cast(dec)).as("nb"))
+    val nOf = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    ls.join(broadcast(gs), Seq("d"))
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast(dec) * col("g").cast(dec)).as("dot"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("na"))
+      .crossJoin(broadcast(gn))
+      .join(nOf, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        floor(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * lit(1e6) + lit(0.5d)).cast("double").divide(lit(1e6))
+          .as("cos_to_corpus"),
+        // centroid vector norm of the label on the same 6dp grid — a
+        // low value flags an incoherent (self-cancelling) stratum.
+        // ||centroid|| = ||sum||/(n·1e6); ·1e6 to grid units cancels
+        // the grid factor, leaving floor(||sum||/n + 0.5)/1e6
+        floor(sqrt(col("na").cast("double")) / col("n_vecs").cast("double")
+          + lit(0.5d)).cast("double").divide(lit(1e6)).as("centroid_norm"))
+  }
 }

@@ -337,6 +337,86 @@ object TextIndex {
       .select("doc_id", "score", "rank")
   }
 
+  /** 9dp integer DCG position discounts `round(1e9 / log2(r+1))` for
+    * ranks 1..k — computed ONCE driver-side and injected as literals
+    * into both the Spark plan and the oracle SQL, so no in-plan
+    * transcendental can diverge across engines. */
+  def ndcgWeights9(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(r => (r.toLong,
+      math.floor(1e9 * math.log(2.0) / math.log(r + 1.0) + 0.5).toLong))
+
+  /** NDCG@k retrieval evaluation: grade the BM25 ranking (the q88
+    * scorer, unchanged) against graded relevance = number of query
+    * terms the document contains — the query-coverage gold standard a
+    * synthetic corpus supports without human judgments. One row per
+    * query: (qid, n_hits, dcg, idcg, ndcg).
+    *
+    * Engine-exact: gains `2^rel - 1` via a literal CASE (rel is ≤ the
+    * query length), discounts from [[ndcgWeights9]] joined as a
+    * broadcast literal table, DCG/IDCG as exact integer sums on the
+    * 9dp grid, ONE double division per query at the end. Both the
+    * real ranking (rounded score desc, doc_id asc) and the ideal
+    * ranking (gain desc, doc_id asc) are engine-portable total orders.
+    *
+    * Scale: the tf pass filters to the union of query terms BEFORE
+    * aggregating (posting lists only — the bm25TopK contract), so the
+    * per-qid rank windows run over candidate sets bounded by those
+    * posting lists, partitioned by qid. At web scale prune each list
+    * to its top-M postings by impact first; the metric only needs
+    * ranks ≤ k plus the ideal head. */
+  def ndcgAtK(df: DataFrame, textCol: String, idCol: String,
+              queries: Seq[(String, Seq[String])], k: Int,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val maxLen = queries.map(_._2.length).max
+    val qt = queries.flatMap { case (q, ts) => ts.map(tm => (q, tm)) }
+      .toDF("qid", "term")
+    val toks = tokens(df, textCol, idCol)
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm: Column = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val hits = tf.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(idf * norm), 4).as("score"),
+        count(lit(1)).as("rel"))
+    // 2^rel - 1 as a literal CASE — rel is bounded by the query length
+    val gain = (1 to maxLen).foldLeft(lit(0L)) { (acc, r) =>
+      when(col("rel") === r, lit((1L << r) - 1L)).otherwise(acc)
+    }
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("gain").desc, col("doc_id").asc)
+    val weights = ndcgWeights9(k).toDF("r", "w9")
+    val ranked = hits.withColumn("gain", gain)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("irank", row_number().over(wIdeal).cast("long"))
+    val nh = ranked.groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val dcg = ranked.filter(col("rank") <= k)
+      .join(broadcast(weights), col("rank") === col("r"))
+      .groupBy(col("qid")).agg(sum(col("gain") * col("w9")).as("dcg9"))
+    val idcg = ranked.filter(col("irank") <= k)
+      .join(broadcast(weights), col("irank") === col("r"))
+      .groupBy(col("qid")).agg(sum(col("gain") * col("w9")).as("idcg9"))
+    nh.join(dcg, Seq("qid")).join(idcg, Seq("qid"))
+      .select(col("qid"), col("n_hits"),
+        round(col("dcg9").cast("double") / 1e9, 6).as("dcg"),
+        round(col("idcg9").cast("double") / 1e9, 6).as("idcg"),
+        round(col("dcg9").cast("double") / col("idcg9").cast("double"), 6)
+          .as("ndcg"))
+  }
+
   /** Per-document Shannon entropy of the word distribution (nats) — the
     * lexical-diversity quality signal: near-zero entropy flags keyword
     * stuffing and template spam that length/stopword rules miss, while

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 second wave on crafted fixtures: Cohen's kappa, NDCG@k,
+  * rollup profiling, label-centroid cosine drift, Markov stationary. */
+class Round11cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kappa: perfect agreement is 1, disjoint labels go negative") {
+    val perfect = Seq(("en", "en"), ("es", "es"), ("en", "en"))
+      .toDF("g1", "g2")
+    val k1 = graft.operators.Agreement.cohenKappa(perfect, "g1", "g2")
+      .select("kappa").as[Double].head()
+    assert(k1 == 1.0, s"perfect agreement, got $k1")
+    // systematic disagreement: chance-corrected score < 0
+    val swapped = Seq(("en", "es"), ("es", "en"), ("en", "es"), ("es", "en"))
+      .toDF("g1", "g2")
+    val k2 = graft.operators.Agreement.cohenKappa(swapped, "g1", "g2")
+      .select("kappa").as[Double].head()
+    assert(k2 < 0.0, s"anti-agreement must be negative, got $k2")
+  }
+
+  test("kappa: hand-checked 2x2 table") {
+    // cells: (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15; N=50, agree=35
+    // rows: a=25 b=25; cols: a=30 b=20; S=25*30+25*20=1250
+    // kappa = (50*35-1250)/(50*50-1250) = 500/1250 = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = graft.operators.Agreement
+      .cohenKappa(rows.toDF("g1", "g2"), "g1", "g2")
+      .select("n_total", "agree_n", "kappa")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((50L, 35L, 0.4)), s"got $r")
+  }
+
+  test("ndcg: score order matching gain order gives exactly 1.0") {
+    // d1 holds both terms (rel 2, highest score); d2/d3 tie on rel and
+    // on score — both orders break ties by doc_id, so NDCG is exact 1
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "b"), (4L, "c c"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.ndcgAtK(docs, "text", "doc_id",
+        Seq(("q", Seq("a", "b"))), k = 10)
+      .select("qid", "n_hits", "ndcg").as[(String, Long, Double)].head()
+    assert(r._2 == 3L, s"three docs hit, got ${r._2}")
+    assert(r._3 == 1.0, s"ideal ranking scores 1.0, got $r")
+  }
+
+  test("ndcg: a long high-rel doc outranked by short low-rel docs") {
+    // d1 holds both terms but 200 tokens of padding crush its length
+    // norm; d2's dense short hit and the d3/d4 b-hits all outscore it
+    // -> actual rank (d2,d3,d4,d1) vs ideal (d1,d2,d3,d4); expected
+    // value exact from the shared 9dp weights
+    val pad = Seq.fill(200)("z").mkString(" ")
+    val docs = Seq((1L, s"a b $pad"), (2L, "a a a a a a"),
+      (3L, "b z"), (4L, "b z")).toDF("doc_id", "text")
+    val out = graft.operators.TextIndex.ndcgAtK(docs, "text", "doc_id",
+        Seq(("q", Seq("a", "b"))), k = 10)
+      .select("dcg", "idcg", "ndcg").as[(Double, Double, Double)].head()
+    val w = graft.operators.TextIndex.ndcgWeights9(10).toMap
+    val dcg9 = 1L * w(1L) + 1L * w(2L) + 1L * w(3L) + 3L * w(4L)
+    val idcg9 = 3L * w(1L) + 1L * w(2L) + 1L * w(3L) + 1L * w(4L)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._1 == r6(dcg9 / 1e9), s"dcg, got $out")
+    assert(out._2 == r6(idcg9 / 1e9), s"idcg, got $out")
+    assert(out._3 == r6(dcg9.toDouble / idcg9.toDouble) && out._3 < 1.0,
+      s"swapped ranking NDCG, got $out")
+  }
+
+  test("markov: a deterministic alternating chain") {
+    val ts = (m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val ev = Seq((1L, ts(1), 10L, "A"), (2L, ts(2), 10L, "B"),
+        (3L, ts(3), 10L, "A"), (4L, ts(4), 10L, "B"), (5L, ts(5), 10L, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.operators.Markov
+      .stationary(ev, "user_id", "ts", "event_id", "event_type", iters = 4)
+      .select("src", "dst", "n", "p", "src_pi")
+      .as[(String, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(("A", "B", 2L, 1.0, 0.5), ("B", "A", 2L, 1.0, 0.5)),
+      s"got ${r.toSeq}")
+  }
+
+  test("centroid cosine: hand-checked 2-d labels") {
+    // A: (1,0) x2; B: (0,1) x1 -> global sum (2,1)
+    // cos(A) = 2/sqrt(5) = 0.894427..; cos(B) = 1/sqrt(5) = 0.447213..
+    val df = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+        (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity
+      .labelCentroidCosine(df, "embedding", "label")
+      .select("label", "n_vecs", "cos_to_corpus", "centroid_norm")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((0, 2L, 0.894427, 1.0)), s"got ${r(0)}")
+    assert(r(1) == ((1, 1L, 0.447214, 1.0)), s"got ${r(1)}")
+  }
+
+  test("rollup profile covers all three grains with consistent totals") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
+      .select("source", "lang", "gid", "n_docs").collect()
+    val total = docs.count()
+    val grand = r.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(3) == total)
+    val bySource = r.filter(_.getLong(2) == 1L).map(_.getLong(3)).sum
+    val leaves = r.filter(_.getLong(2) == 0L).map(_.getLong(3)).sum
+    assert(bySource == total && leaves == total,
+      "every grain re-adds to the corpus")
+  }
+}
