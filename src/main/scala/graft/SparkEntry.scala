@@ -766,6 +766,62 @@ object SparkEntry {
         "event_id", "event_type", iters = 6)
     }),
 
+    // Confident-learning label-error queue: docs whose NB posterior
+    // (the q283 model) prefers a DIFFERENT language than their given
+    // label, top-50 by the exact 9dp log-posterior margin — "which
+    // silver labels to re-annotate first", the curation op the
+    // confusion boards (q238/q283) motivate.
+    "q299_label_suspects" -> ((s, dir) => {
+      operators.LangModel.labelSuspects(t(s, dir, "documents"),
+        "doc_id", "text", "lang", k = 50)
+    }),
+
+    // Kleinberg two-state burst labeling per event-type day series —
+    // every day tagged base/burst by the optimal Viterbi path (enter
+    // cost γ=1.0, burst rate 3×μ), the full-sequence complement of
+    // the single-change-point screens (q190 CUSUM, q291 Pettitt).
+    // Exact integer DP on the 9dp emission grid; the oracle replays
+    // forward and backtrack as recursive CTEs.
+    "q300_burst" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("series"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .groupBy(col("series"), col("day")).agg(count(lit(1)).as("v"))
+      operators.Burst.kleinberg(daily)
+    }),
+
+    // Manifest snapshot diff: publish v1, deleteWhere the urgent rows
+    // (v2), appendNew a +10M-keyed low-priority slab (v3), then audit
+    // v1→v3 row-level with ManifestTable.snapshotDiff — added rows are
+    // exactly the appended slab, removed exactly the deleted rows,
+    // everything carried through the file rewrites cancels. Aggregated
+    // per (anio, change) so the oracle recomputes from raw orders.
+    "q301_snapshot_diff" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-q301")
+      val root = s"$tmp/tables"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("anio"))
+      etl.ManifestTable.publish(s, root, Map("orders" -> orders),
+        Map("orders" -> "anio"))
+      etl.ManifestTable.deleteWhere(s, root, "orders",
+        col("priority") === "1-URGENT", Some("anio"))
+      val appended = etl.ManifestTable.appendNew(s, root, "orders",
+        orders.filter(col("priority") === "5-LOW")
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("priority"), (col("cents") + 1L).as("cents"), col("anio")),
+        key = Seq("o_orderkey"), statsCol = Some("anio"))
+      require(appended > 0L, "append slab came back empty")
+      val out = etl.ManifestTable.snapshotDiff(s, root, "orders", 1L, 3L)
+        .groupBy(col("anio"), col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        // materialize before tearing the root down (the q162 idiom)
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8550,6 +8606,76 @@ object SparkEntry {
 
     "q298_markov" -> MarkovOracle(iters = 6),
 
+    // the diff IS derivable from raw orders: removed = the deleted
+    // urgent rows, added = the +1-cent appended slab
+    "q301_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate) AS BIGINT) AS anio
+        |  FROM orders)
+        |SELECT anio, 'removed' AS change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM base WHERE priority = '1-URGENT' GROUP BY 1
+        |UNION ALL
+        |SELECT anio, 'added' AS change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents + 1) AS BIGINT) AS cents
+        |FROM base WHERE priority = '5-LOW' GROUP BY 1""".stripMargin,
+
+    "q300_burst" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS series,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |stt AS (SELECT series, CAST(count(*) AS BIGINT) AS t_days,
+        |  CAST(sum(v) AS BIGINT) AS tot FROM daily GROUP BY 1),
+        |par AS (SELECT series,
+        |  CAST(floor(mu * 1000000000 + 0.5) AS BIGINT) AS a9,
+        |  CAST(floor(ln(mu) * 1000000000 + 0.5) AS BIGINT) AS b9,
+        |  CAST(floor(mu * 3.0 * 1000000000 + 0.5) AS BIGINT) AS a19,
+        |  CAST(floor(ln(mu * 3.0) * 1000000000 + 0.5) AS BIGINT) AS b19
+        |  FROM (SELECT series, CAST(tot AS DOUBLE) / t_days AS mu
+        |        FROM stt)),
+        |e AS (SELECT d.series,
+        |  row_number() OVER (PARTITION BY d.series ORDER BY d.day) AS i,
+        |  d.day, d.v, p.a9 - d.v * p.b9 AS e0, p.a19 - d.v * p.b19 AS e1
+        |  FROM daily d JOIN par p ON p.series = d.series),
+        |mx AS (SELECT series, CAST(max(i) AS BIGINT) AS n
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT series, i, e0 AS d0, 1000000000 + e1 AS d1
+        |  FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.series, e.i, least(f.d0, f.d1) + e.e0,
+        |    least(f.d0 + 1000000000, f.d1) + e.e1
+        |  FROM f JOIN e ON e.series = f.series AND e.i = f.i + 1),
+        |b AS (
+        |  SELECT f.series, f.i,
+        |    CASE WHEN f.d1 < f.d0 THEN 1 ELSE 0 END AS s
+        |  FROM f JOIN mx ON mx.series = f.series AND f.i = mx.n
+        |  UNION ALL
+        |  SELECT f.series, f.i,
+        |    CASE WHEN b.s = 1 THEN
+        |      CASE WHEN f.d1 <= f.d0 + 1000000000 THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END END
+        |  FROM b JOIN f ON f.series = b.series AND f.i = b.i - 1)
+        |SELECT e.series, e.day, e.v, b.s = 1 AS burst
+        |FROM e JOIN b ON b.series = e.series AND b.i = e.i""".stripMargin,
+
+    "q299_label_suspects" ->
+      s"""WITH $NbScoreCtes,
+         |best AS (
+         |  SELECT doc_id, lang_label, cand AS best_guess, s9 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY s9 DESC, cand ASC) AS rn FROM sc) WHERE rn = 1),
+         |lbl AS (SELECT doc_id, s9 AS s9l FROM sc WHERE cand = lang_label)
+         |SELECT b.doc_id, b.lang_label, b.best_guess,
+         |  CAST(b.s9 - l.s9l AS DOUBLE) / 1000000000 AS margin
+         |FROM best b JOIN lbl l USING (doc_id)
+         |WHERE b.best_guess <> b.lang_label
+         |ORDER BY b.s9 - l.s9l DESC, b.doc_id ASC LIMIT 50""".stripMargin,
+
     "q292_ppmi" ->
       """WITH toks0 AS (
         |  SELECT doc_id,
@@ -10374,11 +10500,12 @@ object SparkEntry {
     * string, the SAME driver-computed 6dp expectation literals
     * (Validate.BenfordP6 — no engine evaluates log10), per-digit
     * integerized chi² terms. */
-  /** WITH-body CTE chain ending in `nbguess(doc_id, lang_label,
-    * lang_guess)` — the q283 Naive Bayes language-ID refit + scoring
-    * replayed in SQL, shared by the q283 confusion board and the q294
-    * kappa oracle. */
-  private def NbGuessCtes: String =
+  /** WITH-body CTE chain ending in `sc(doc_id, lang_label, cand, s9)`
+    * — the q283 Naive Bayes language-ID refit + per-candidate scoring
+    * replayed in SQL (LangModel.naiveBayesScores), shared by the q283
+    * confusion board, the q294 kappa oracle, and the q299 label-error
+    * queue. */
+  private def NbScoreCtes: String =
     """tk AS (
       |  SELECT doc_id, lang AS lang_label, w FROM (
       |    SELECT doc_id, lang,
@@ -10412,7 +10539,12 @@ object SparkEntry {
       |  FROM (SELECT dt.doc_id, dt.lang_label, g.cand,
       |          sum(dt.n_dw * g.term9) AS sw9
       |        FROM dt JOIN grid g ON g.w = dt.w GROUP BY 1, 2, 3) s
-      |  JOIN pri p ON p.cand = s.cand),
+      |  JOIN pri p ON p.cand = s.cand)""".stripMargin
+
+  /** [[NbScoreCtes]] extended with the argmax:
+    * `nbguess(doc_id, lang_label, lang_guess)`. */
+  private def NbGuessCtes: String =
+    NbScoreCtes + """,
       |nbguess AS (
       |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
       |    SELECT *, row_number() OVER (PARTITION BY doc_id

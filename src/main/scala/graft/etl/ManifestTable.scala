@@ -200,6 +200,31 @@ object ManifestTable {
     toDf(spark, rootP, parseCommit(fs, new HPath(cd, name)), table)
   }
 
+  /** Row-level diff between two retained snapshots: every row only in
+    * `toVersion` tagged `'added'`, every row only in `fromVersion`
+    * tagged `'removed'` (multiset semantics via exceptAll, so
+    * duplicate-row cardinality changes surface too) — the
+    * time-travel-powered change audit ("what did the last N commits
+    * actually do to this table") that completes the snapshot surface
+    * next to [[readAt]] / [[compact]] / [[vacuum]].
+    *
+    * Scale: two manifest reads (file lists from two commit files, no
+    * log replay) + one hash-partitioned set difference per direction —
+    * the standard full-row diff shuffle. Files shared by BOTH commits
+    * are read twice but cancel; a dominant unchanged majority costs
+    * scan + shuffle of the table, which is the honest lower bound for
+    * row-level certainty (file-level identity can prune: entries with
+    * equal (relPath, bytes) in both commits hold identical rows, and
+    * [[entriesAt]] exposes exactly that for callers that want the
+    * cheap screen first). */
+  def snapshotDiff(spark: SparkSession, root: String, table: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    val a = readAt(spark, root, table, fromVersion)
+    val b = readAt(spark, root, table, toVersion)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   private def parseCommit(fs: FileSystem, p: HPath): Seq[FileEntry] = {
     commitFileReads.incrementAndGet()
     val in = fs.open(p)

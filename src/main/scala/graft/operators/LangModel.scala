@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * rows. */
 object LangModel {
 
-  /** (doc_id, lang_label, lang_guess) for every doc with ≥1 token. */
-  def naiveBayesGuess(docs: DataFrame, idCol: String, textCol: String,
-                      labelCol: String): DataFrame = {
+  /** Per-(doc, candidate-language) 9dp-integer posterior scores
+    * `(doc_id, lang_label, cand, s9)` — the full score table
+    * [[naiveBayesGuess]] argmaxes and [[labelSuspects]] margins. */
+  def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String): DataFrame = {
     val tk = docs.select(col(idCol).as("doc_id"),
         col(labelCol).as("lang_label"),
         explode(split(lower(col(textCol)), " ")).as("w"))
@@ -57,16 +59,53 @@ object LangModel {
         .cast("long").as("prior9"))
     val dt = tk.groupBy(col("doc_id"), col("lang_label"), col("w"))
       .agg(count(lit(1)).as("n_dw"))
-    val sc = dt.join(grid, Seq("w"))
+    dt.join(grid, Seq("w"))
       .groupBy(col("doc_id"), col("lang_label"), col("cand"))
       .agg(sum(col("n_dw") * col("term9")).as("sw9"))
       .join(broadcast(pri), Seq("cand"))
-      .withColumn("s9", col("sw9") + col("prior9"))
+      .select(col("doc_id"), col("lang_label"), col("cand"),
+        (col("sw9") + col("prior9")).as("s9"))
+  }
+
+  /** (doc_id, lang_label, lang_guess) for every doc with ≥1 token. */
+  def naiveBayesGuess(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String): DataFrame = {
+    val sc = naiveBayesScores(docs, idCol, textCol, labelCol)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("s9").desc, col("cand").asc)
     sc.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang_label"), col("cand").as("lang_guess"))
+  }
+
+  /** Confident-learning-style label-error candidates: documents whose
+    * model posterior prefers a DIFFERENT language than their given
+    * label, ranked by the 9dp-integer log-posterior margin
+    * `s9(best) - s9(label)` — the standard "which silver labels to
+    * re-annotate first" queue (Northcutt et al.'s confident-learning
+    * intuition on the in-plan NB posterior). Top-k by (margin desc,
+    * doc_id) via sort+limit, never a global window.
+    *
+    * Scale: two derivations of the same score table (argmax window
+    * partitioned per doc; the label row by equi-filter), one doc-keyed
+    * join — everything downstream of scoring is doc-count-sized. */
+  def labelSuspects(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val sc = naiveBayesScores(docs, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s9").desc, col("cand").asc)
+    val best = sc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang_label"),
+        col("cand").as("best_guess"), col("s9").as("__sb"))
+    val lbl = sc.filter(col("cand") === col("lang_label"))
+      .select(col("doc_id"), col("s9").as("__sl"))
+    best.join(lbl, Seq("doc_id"))
+      .filter(col("best_guess") =!= col("lang_label"))
+      .withColumn("__m9", col("__sb") - col("__sl"))
+      .orderBy(col("__m9").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("lang_label"), col("best_guess"),
+        (col("__m9").cast("double") / 1e9).as("margin"))
   }
 
   /** Confusion matrix of the trained model — the q238 shape

@@ -96,6 +96,65 @@ class Round11cOpsSpec extends SparkSpec {
     assert(r(1) == ((1, 1L, 0.447214, 1.0)), s"got ${r(1)}")
   }
 
+  test("burst: a planted 3-day spike is labeled, base days are not") {
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    val daily = (0 until 23).map(i => ("s",
+      java.sql.Date.valueOf(base.plusDays(i)),
+      if (i >= 20) 50L else 5L)).toDF("series", "day", "v")
+    val r = graft.operators.Burst.kleinberg(daily)
+      .select("day", "burst").as[(java.sql.Date, Boolean)].collect().toMap
+    assert(r.size == 23)
+    (0 until 23).foreach { i =>
+      val expect = i >= 20
+      assert(r(java.sql.Date.valueOf(base.plusDays(i))) == expect,
+        s"day $i burst should be $expect")
+    }
+  }
+
+  test("burst: a flat series never enters the burst state") {
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    val daily = (0 until 10).map(i => ("s",
+      java.sql.Date.valueOf(base.plusDays(i)), 7L)).toDF("series", "day", "v")
+    val r = graft.operators.Burst.kleinberg(daily)
+      .select("burst").as[Boolean].collect()
+    assert(r.length == 10 && r.forall(!_))
+  }
+
+  test("label suspects: a mislabeled doc tops the queue") {
+    val docs = Seq(
+      (1L, "the and of the and", "en"), (2L, "the of and the", "en"),
+      (3L, "and the of of", "en"),
+      (4L, "el la de el la", "es"), (5L, "la de el la", "es"),
+      (6L, "de el la de", "es"),
+      (7L, "el la de el la de", "en") // wrong label
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.operators.LangModel
+      .labelSuspects(docs, "doc_id", "text", "lang", k = 5)
+      .select("doc_id", "lang_label", "best_guess", "margin")
+      .as[(Long, String, String, Double)].collect()
+    assert(r.nonEmpty && r.head._1 == 7L && r.head._3 == "es",
+      s"doc 7 should lead the queue, got ${r.toSeq}")
+    assert(r.head._4 > 0.0, "margin is strictly positive for a flip")
+  }
+
+  test("snapshot diff: added and removed rows are exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdiff")
+    val root = s"$tmp/t"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    graft.etl.ManifestTable.publish(spark, root, Map("x" -> v1))
+    graft.etl.ManifestTable.deleteWhere(spark, root, "x", col("k") === 2L)
+    graft.etl.ManifestTable.appendNew(spark, root, "x",
+      Seq((9L, "z")).toDF("k", "s"), key = Seq("k"))
+    val d = graft.etl.ManifestTable.snapshotDiff(spark, root, "x", 1L, 3L)
+      .select("k", "s", "change").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    graft.etl.IncrementalLoad.deleteRecursively(tmp)
+    assert(d.toSeq == Seq((2L, "b", "removed"), (9L, "z", "added")),
+      s"got ${d.toSeq}")
+    // identical snapshots diff to nothing — run against a fresh root
+    // is implied by v3 vs v3
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
