@@ -822,6 +822,29 @@ object SparkEntry {
       out
     }),
 
+    // DBSCAN over the embedding corpus (cosine ε = 0.3, minPts = 4):
+    // density clusters + explicit noise verdicts, candidates from the
+    // q284 two-table sign-LSH bucketing rescored exact, clusters =
+    // star-contraction CC of the core–core graph, border assigned to
+    // the smallest core neighbor's cluster. The no-k complement of the
+    // IVF/SemDeDup centroid family; oracle replays buckets, cosines,
+    // degrees, a recursive-CTE closure, and the border rule.
+    "q302_dbscan" -> ((s, dir) => {
+      operators.Dbscan.dbscan(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, planes = 3, tables = 2, tau = 0.3,
+        minPts = 4)
+    }),
+
+    // Frequent consecutive event trigrams across user streams —
+    // sequential pattern mining, the "which 3-step behaviors actually
+    // occur" discovery pass behind the hard-coded q104 funnel and the
+    // q298 first-order chain. Occurrence totals + distinct-user
+    // support, top-25 by (occurrences, pattern), sort+limit.
+    "q303_frequent_sequences" -> ((s, dir) => {
+      operators.Funnel.frequentSequences(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", n = 3, topK = 25)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8606,6 +8629,23 @@ object SparkEntry {
 
     "q298_markov" -> MarkovOracle(iters = 6),
 
+    "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q303_frequent_sequences" ->
+      """WITH g AS (
+        |  SELECT user_id AS u,
+        |    event_type || '>' || lead(event_type, 1) OVER w || '>'
+        |      || lead(event_type, 2) OVER w AS pattern,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT pattern, u, count(*) AS c FROM g
+        |  WHERE e2 IS NOT NULL GROUP BY 1, 2)
+        |SELECT pattern, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY 2 DESC, 1 ASC LIMIT 25""".stripMargin,
+
     // the diff IS derivable from raw orders: removed = the deleted
     // urgent rows, added = the +1-cent appended slab
     "q301_snapshot_diff" ->
@@ -10437,6 +10477,78 @@ object SparkEntry {
     * raw dot is only mathematical; a plane dot within rounding error of
     * zero could land on either side, so the oracle mirrors the actual
     * arithmetic; `e.nsq` must be in scope). */
+  /** Oracle for q302_dbscan: the two-table sign-LSH buckets (same
+    * literal hyperplanes via BucketExprSql), exact 6dp cosine rescore,
+    * degree threshold, a recursive-CTE transitive closure for the
+    * core–core components (min reachable id = the star-contraction
+    * representative), and the smallest-core-neighbor border rule. */
+  private def DbscanOracle(planes: Int, tau: String, minPts: Int): String = {
+    val nKeys = 1 << planes
+    s"""WITH RECURSIVE emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${BucketExprSql(nPlanes = planes * 2)} AS b
+       |  FROM emb e),
+       |ck AS MATERIALIZED (
+       |  SELECT vec_id, 0 AS tbl, b % $nKeys AS key FROM cb
+       |  UNION ALL SELECT vec_id, 1, b // $nKeys FROM cb),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, (SELECT sum(CAST(x * x AS DOUBLE))
+       |    FROM (SELECT unnest(embedding) AS x)) AS nsq
+       |  FROM emb),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ck a JOIN ck b ON b.tbl = a.tbl AND b.key = a.key
+       |    AND a.vec_id < b.vec_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+       |        (SELECT sum(CAST(x * y AS DOUBLE))
+       |         FROM (SELECT unnest(a.embedding) AS x,
+       |               unnest(b.embedding) AS y))
+       |        / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cos
+       |    FROM cand c
+       |    JOIN emb a ON a.vec_id = c.id_a
+       |    JOIN emb b ON b.vec_id = c.id_b
+       |    JOIN nrm na ON na.vec_id = c.id_a
+       |    JOIN nrm nb ON nb.vec_id = c.id_b)
+       |  WHERE cos >= $tau),
+       |sym AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |core AS MATERIALIZED (
+       |  SELECT id_a AS vec_id FROM sym GROUP BY 1
+       |  HAVING count(*) >= $minPts),
+       |edges AS MATERIALIZED (
+       |  SELECT p.id_a AS src, p.id_b AS dst FROM pairs p
+       |  JOIN core c1 ON c1.vec_id = p.id_a
+       |  JOIN core c2 ON c2.vec_id = p.id_b
+       |  UNION ALL
+       |  SELECT p.id_b, p.id_a FROM pairs p
+       |  JOIN core c1 ON c1.vec_id = p.id_a
+       |  JOIN core c2 ON c2.vec_id = p.id_b),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |corecl AS MATERIALIZED (
+       |  SELECT c.vec_id, coalesce(cl.cluster_id, c.vec_id) AS cluster_id
+       |  FROM core c LEFT JOIN cl ON cl.id = c.vec_id),
+       |bord AS MATERIALIZED (
+       |  SELECT s.id_a AS vec_id, min(k.cluster_id) AS cluster_id
+       |  FROM sym s JOIN corecl k ON k.vec_id = s.id_b
+       |  WHERE s.id_a NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY 1),
+       |tag AS (
+       |  SELECT vec_id, 'core' AS role, cluster_id FROM corecl
+       |  UNION ALL SELECT vec_id, 'border', cluster_id FROM bord)
+       |SELECT e.vec_id, coalesce(t.role, 'noise') AS role,
+       |  CAST(coalesce(t.cluster_id, -1) AS BIGINT) AS cluster_id
+       |FROM emb e LEFT JOIN tag t ON t.vec_id = e.vec_id""".stripMargin
+  }
+
   private def BucketExprSql(normalize: Boolean = false,
                             nPlanes: Int = 4): String = {
     val planes = operators.Similarity.planeRows(64, nPlanes)

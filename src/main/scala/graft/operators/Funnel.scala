@@ -70,4 +70,38 @@ object Funnel {
     userStages(events, userCol, tsCol, typeCol, steps, maxGapMinutes)
       .groupBy(col("stage"))
       .agg(count(lit(1)).cast("long").as("n_users"))
+
+  /** Frequent CONSECUTIVE event n-grams across user streams — the
+    * sequential-pattern-mining counterpart of the fixed funnel (which
+    * n-step behaviors actually occur, before anyone hard-codes a
+    * funnel to measure) and of the Markov chain (observed n-th-order
+    * patterns vs the fitted 1st-order model). Each user's
+    * (ts, event_id)-ordered stream contributes every length-`n` run;
+    * output the `topK` patterns by total occurrences with distinct-
+    * user support, ties to the lexicographically smallest pattern.
+    *
+    * Scale: ONE hash shuffle on user (the funnel partitioning) for
+    * the lead windows, then a pattern-keyed count/count-distinct pair
+    * (two-level agg keeps the (pattern, user) partial map-side);
+    * top-k is sort+limit, never a global window. */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String, n: Int,
+                        topK: Int): DataFrame = {
+    require(n >= 2, "n >= 2 (a 1-gram is just a value count)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts").asc, col("eid").asc)
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(idCol).as("eid"), col(typeCol).as("e0"))
+    val withLeads = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"e$i", lead(col("e0"), i).over(w))
+    }
+    val gram = concat_ws(">", (0 until n).map(i => col(s"e$i")): _*)
+    val perUser = withLeads.filter(col(s"e${n - 1}").isNotNull)
+      .select(col("u"), gram.as("pattern"))
+      .groupBy(col("pattern"), col("u")).agg(count(lit(1)).as("__c"))
+    perUser.groupBy(col("pattern"))
+      .agg(sum(col("__c")).as("n_occurrences"),
+        count(lit(1)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("pattern").asc).limit(topK)
+  }
 }

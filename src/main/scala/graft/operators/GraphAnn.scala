@@ -35,7 +35,7 @@ object GraphAnn {
     * k-NN graph NAVIGABLE — a single bucketing partitions the corpus,
     * so a bucket-confined graph is disconnected and a beam walk could
     * never leave its seed buckets. */
-  private def tableKeys(df: DataFrame, idCol: String, vecCol: String,
+  private[operators] def tableKeys(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, planes: Int, tables: Int,
                         outId: String): DataFrame = {
     val sig = df.select(col(idCol).as(outId),

@@ -155,6 +155,48 @@ class Round11cOpsSpec extends SparkSpec {
     // is implied by v3 vs v3
   }
 
+  test("dbscan: planted clusters, a border point, and noise") {
+    // all angles chosen so each family shares its sign-LSH buckets
+    // under the literal splitmix planes (verified against planeRows):
+    // cluster A at 0/3/-3 deg, cluster C at 30/33/36, border at 50
+    // (one eps-neighbor < minPts), noise at 80 (bucket-mates rescore
+    // below tau)
+    def v(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    val df = Seq(
+      (1L, v(0.0)), (2L, v(3.0)), (3L, v(-3.0)),
+      (10L, v(30.0)), (11L, v(33.0)), (12L, v(36.0)),
+      (13L, v(50.0)), (20L, v(80.0))).toDF("vec_id", "embedding")
+    val r = graft.operators.Dbscan.dbscan(df, "vec_id", "embedding",
+        dim = 8, planes = 1, tables = 2, tau = 0.96, minPts = 2)
+      .select("vec_id", "role", "cluster_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (10L, "core", 10L), (11L, "core", 10L), (12L, "core", 10L),
+      (13L, "border", 10L), (20L, "noise", -1L)), s"got ${r.toSeq}")
+  }
+
+  test("frequent sequences: hand-counted trigrams with user support") {
+    val ts = (m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // user 10: v c p v c p  -> v>c>p x2, c>p>v x1, p>v>c x1
+    // user 20: v c p        -> v>c>p x1
+    val ev = (Seq("v", "c", "p", "v", "c", "p").zipWithIndex.map {
+      case (e, i) => (i.toLong, ts(i), 10L, e)
+    } ++ Seq("v", "c", "p").zipWithIndex.map {
+      case (e, i) => (100L + i, ts(i), 20L, e)
+    }).toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.operators.Funnel.frequentSequences(ev, "user_id", "ts",
+        "event_id", "event_type", n = 3, topK = 10)
+      .as[(String, Long, Long)].collect()
+    assert(r.head == (("v>c>p", 3L, 2L)), s"got ${r.toSeq}")
+    assert(r.toSet == Set(("v>c>p", 3L, 2L), ("c>p>v", 1L, 1L),
+      ("p>v>c", 1L, 1L)), s"got ${r.toSeq}")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
