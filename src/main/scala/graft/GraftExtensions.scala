@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in optimizer rule: range-predicate joins -> bucketed interval
     // join (fires only when spark.graft.rangeJoin.bucket is set).
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
+    // Whole-operator strategy: TopKPerKeyNode -> heap-based physical
+    // top-k-per-key (graft.operators.TopK.perKey).
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleExpr].getName, "shingles"),
       (args: Seq[Expression]) => {

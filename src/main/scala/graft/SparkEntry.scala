@@ -845,6 +845,25 @@ object SparkEntry {
         "ts", "event_id", "event_type", n = 3, topK = 25)
     }),
 
+    // Custom whole-operator top-k-per-key (TopKPerKeyNode -> Strategy
+    // -> heap-based SparkPlan, the tier-(c) extension path): top-3
+    // revenue parts per supplier in ONE pass with bounded per-key
+    // heaps — O(n log k), no sort, no spill — where the window form
+    // full-sorts every partition. Plan-asserted sortless in
+    // TopKPerKeySpec; the oracle replays the window form (identical
+    // rows under the total (revenue desc, partkey) order).
+    "q304_topk_per_key" -> ((s, dir) => {
+      // per-row cents then exact integer sums (the q219 idiom) — a
+      // round(sum(double), 2) here flips cent boundaries between
+      // engines when group sums associate differently
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100d + lit(0.5d)).cast("long")).as("revenue_cents"))
+      operators.TopK.perKey(rev, Seq("l_suppkey"),
+        Seq(("revenue_cents", false), ("l_partkey", true)), k = 3)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8630,6 +8649,16 @@ object SparkEntry {
     "q298_markov" -> MarkovOracle(iters = 6),
 
     "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q304_topk_per_key" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY revenue_cents DESC, l_partkey ASC) AS rn FROM rev)
+        |SELECT l_suppkey, l_partkey, revenue_cents FROM r WHERE rn <= 3""".stripMargin,
 
     "q303_frequent_sequences" ->
       """WITH g AS (

@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator top-k-per-key: the rows that would rank 1..k within
+  * each key group under `order` — the "best n per group" shape a dozen
+  * engine queries express as `row_number() OVER (PARTITION BY ...) <= k`.
+  *
+  * The window form forces a FULL SORT of every partition (sort by
+  * (key, order), then rank, then throw away all but k rows per key) —
+  * O(n log n) comparisons and sort spill proportional to the whole
+  * input. This operator keeps a bounded heap of k rows per key in one
+  * pass: O(n log k), memory bounded by (#keys-per-partition × k) rows
+  * — the same working-set bound as the hash aggregate that usually
+  * precedes it — and nothing spills because nothing beyond the heaps
+  * is retained.
+  *
+  * This is the tier-(c) extension path (custom logical node →
+  * `SparkStrategy` → physical `SparkPlan`, registered through
+  * `SparkSessionExtensions`): the semantics ARE expressible with
+  * built-ins (and every oracle replays the window form), but the
+  * built-in plan's cost shape is wrong at scale — the one case the
+  * design rules reserve for a custom operator.
+  *
+  * Correctness contract: `order` must be a TOTAL order (include a
+  * unique tiebreak column) — the operator asserts nothing about ties;
+  * like the window form, a non-total order returns an arbitrary
+  * member of each tie class. Distribution: declares
+  * `ClusteredDistribution(keys)`, so EnsureRequirements inserts the
+  * same hash exchange a window would get — already-clustered children
+  * (e.g. straight out of a groupBy on the same keys) skip the
+  * exchange entirely, which the window form also does. */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "topKPerKey: k must be >= 1")
+  require(keys.nonEmpty, "topKPerKey: keys must be non-empty " +
+    "(global top-k is orderBy(...).limit(k), which Spark already " +
+    "plans as TakeOrderedAndProject)")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+/** Planner strategy for [[TopKPerKeyNode]] (injected by
+  * `GraftExtensions`). */
+class TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keysLocal = keys
+    val orderLocal = order
+    val attrs = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keysLocal, attrs)
+      val ord = RowOrdering.create(orderLocal, attrs)
+      // worst row at the head so one peek decides admission
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kLocal) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      val hIt = heaps.values().iterator()
+      while (hIt.hasNext) {
+        val arr = hIt.next().toArray(Array.empty[InternalRow])
+        java.util.Arrays.sort(arr, ord)
+        out ++= arr
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
