@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator strategy: TopKPerKeyNode -> heap-based physical
     // top-k-per-key (graft.operators.TopK.perKey).
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // Opt-in rewrite: row_number window + rank<=k filter gains a
+    // TopKPerKeyNode under the window (spark.graft.topk.rewrite=true).
+    ext.injectOptimizerRule(_ => new graft.plans.TopKRewriteRule)
     ext.injectFunction((FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleExpr].getName, "shingles"),
       (args: Seq[Expression]) => {

@@ -864,6 +864,28 @@ object SparkEntry {
         Seq(("revenue_cents", false), ("l_partkey", true)), k = 3)
     }),
 
+    // The q304 heap operator arriving through CATALYST instead of the
+    // API: user code writes the stock row_number-filter idiom, the
+    // opt-in TopKRewriteRule (spark.graft.topk.rewrite) plants
+    // TopKPerKeyNode under the window, and the window's sort runs
+    // over <= 2 rows per supplier. Materialized eagerly while the
+    // conf is on (the q219 localCheckpoint idiom); identical rows to
+    // the plain window plan, which IS the oracle.
+    "q305_topk_rewrite" -> ((s, dir) => {
+      s.conf.set("spark.graft.topk.rewrite", "true")
+      try {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("rn").cast("long").as("rn"))
+          .localCheckpoint()
+      } finally s.conf.unset("spark.graft.topk.rewrite")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8649,6 +8671,16 @@ object SparkEntry {
     "q298_markov" -> MarkovOracle(iters = 6),
 
     "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q305_topk_rewrite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC,
+        |        l_linenumber ASC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2""".stripMargin,
 
     "q304_topk_per_key" ->
       """WITH rev AS (
