@@ -73,6 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArgs(args, 2, "dot_pair")
         DotPairExpr(args.head, args(1))
       }))
+    // Generator (UDTF): LATERAL VIEW shingle_rows(text, 2) -> one
+    // (pos, gram) row per window, streamed (no per-doc array)
+    ext.injectFunction((FunctionIdentifier("shingle_rows"),
+      new ExpressionInfo(classOf[graft.expressions.ShingleRowsGen].getName,
+        "shingle_rows"),
+      (args: Seq[Expression]) => {
+        requireArgs(args, 2, "shingle_rows")
+        graft.expressions.ShingleRowsGen(args.head,
+          litInt(args(1), "shingle_rows"))
+      }))
     // SELECT zorder2(a, b) -> Morton curve value (data-layout key)
     ext.injectFunction((FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),

@@ -886,6 +886,20 @@ object SparkEntry {
       } finally s.conf.unset("spark.graft.topk.rewrite")
     }),
 
+    // Custom Catalyst GENERATOR (UDTF): `shingle_rows(text, 2)` emits
+    // one (pos, gram) row per window, streamed — no per-document gram
+    // array is ever materialized (the long-tail-document safety the
+    // explode(shingles(...)) form lacks). Exercised through SQL
+    // (LATERAL VIEW, the injected function) into a bigram posting
+    // board: occurrences + doc frequency, top-20.
+    "q306_shingle_generator" -> ((s, dir) => Engine.sql(s, dir,
+      """SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM documents
+        |LATERAL VIEW shingle_rows(text, 2) t AS pos, gram
+        |GROUP BY gram
+        |ORDER BY n DESC, gram ASC
+        |LIMIT 20""".stripMargin)),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8671,6 +8685,21 @@ object SparkEntry {
     "q298_markov" -> MarkovOracle(iters = 6),
 
     "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q306_shingle_generator" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS arr
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, arr[i.i] || ' ' || arr[i.i + 1] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(arr))) AS i) i
+        |  WHERE len(arr) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(arr, ' ') FROM toks
+        |  WHERE len(arr) < 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
 
     "q305_topk_rewrite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -42,10 +42,22 @@ object Burst {
         floor(col("mu") * lit(s) * lit(1e9) + lit(0.5d)).cast("long").as("a19"),
         floor(log(col("mu") * lit(s)) * lit(1e9) + lit(0.5d)).cast("long")
           .as("b19"))
+    // fail-loud above the BIGINT-exact emission bound (the ccf lesson:
+    // DuckDB raises on BIGINT overflow, the JVM wraps silently — the
+    // engines must never diverge quietly): per-term |e| stays under
+    // 2.4e16 so even a 366-step DP sum cannot wrap
+    val guard = daily.join(broadcast(st), Seq("series"))
+      .agg(max(abs(col("v")) * greatest(abs(col("b9")), abs(col("b19"))))
+        .as("__mx")).select(
+        when(col("__mx") > 24000000000000000L, raise_error(concat(
+          lit("Burst.kleinberg: emission term exceeds the integer-exact" +
+            " bound; counts too large for the 9dp grid: "), col("__mx"))))
+          .otherwise(lit(1L)).as("__ok"))
     // day-sorted per-series array of (day, v, e0, e1); emission costs
     // are per-row projections (cheap, shuffle-free), the collect is
     // keyed on series and bounded by the calendar
     val packed = daily.join(broadcast(st), Seq("series"))
+      .join(broadcast(guard), expr("__ok = 1"))
       .withColumn("e0", col("a9") - col("v") * col("b9"))
       .withColumn("e1", col("a19") - col("v") * col("b19"))
       .groupBy(col("series"))

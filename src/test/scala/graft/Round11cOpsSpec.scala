@@ -197,6 +197,23 @@ class Round11cOpsSpec extends SparkSpec {
       ("p>v>c", 1L, 1L)), s"got ${r.toSeq}")
   }
 
+  test("shingle_rows generator: windows in order, short-text collapse") {
+    val df = Seq((1L, "A b c d"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("__sg")
+    val r = spark.sql(
+      "SELECT doc_id, pos, gram FROM __sg " +
+        "LATERAL VIEW shingle_rows(text, 2) t AS pos, gram")
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq((1L, 1, "a b"), (1L, 2, "b c"), (1L, 3, "c d"),
+      (2L, 1, "x")), s"got ${r.toSeq}")
+    // and the plan is a Generate over the UDTF, not explode(array)
+    val plan = spark.sql("SELECT gram FROM __sg " +
+      "LATERAL VIEW shingle_rows(text, 2) t AS pos, gram")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shingle_rows"), s"generator missing:\n$plan")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
