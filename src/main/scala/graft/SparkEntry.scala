@@ -900,6 +900,20 @@ object SparkEntry {
         |ORDER BY n DESC, gram ASC
         |LIMIT 20""".stripMargin)),
 
+    // Two-group log-rank test: do BUILDING-segment customers retire
+    // (go order-quiet) on the same curve as everyone else? The
+    // hypothesis test completing the K-M family (q252/q282): pooled
+    // risk sets on the shared duration grid, hypergeometric
+    // expectation/variance per event time on the 9dp grid (one fixed
+    // IEEE sequence each), chi2 on 1 df as a single rounded division.
+    "q308_logrank" -> ((s, dir) => {
+      val lt = operators.Survival.lifetimes(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", censorDays = 90)
+      val seg = t(s, dir, "customer").select(col("c_custkey").as("subject"),
+        (col("c_mktsegment") === "BUILDING").as("grp"))
+      operators.Survival.logRank(lt.join(seg, Seq("subject")), "grp")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8685,6 +8699,66 @@ object SparkEntry {
     "q298_markov" -> MarkovOracle(iters = 6),
 
     "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q308_logrank" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_day,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT max(CAST(o_orderdate AS DATE)) AS obs_end FROM orders),
+        |lt AS (
+        |  SELECT sp.o_custkey,
+        |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur,
+        |    (date_diff('day', last_day, e.obs_end) >= 90) AS obs
+        |  FROM sp, e),
+        |lg AS (
+        |  SELECT lt.dur, lt.obs, (c.c_mktsegment = 'BUILDING') AS grp
+        |  FROM lt JOIN customer c ON c.c_custkey = lt.o_custkey),
+        |perT AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN obs AND grp THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN obs AND NOT grp THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |    CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS l2
+        |  FROM lg GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt1,
+        |    CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS nt2
+        |  FROM lg),
+        |grid AS (
+        |  SELECT t, d1, d2,
+        |    nt1 - coalesce(sum(l1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    nt2 - coalesce(sum(l2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM perT, tot),
+        |g2 AS (
+        |  SELECT *, d1 + d2 AS d, n1 + n2 AS n FROM grid
+        |  WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+        |g3 AS (
+        |  SELECT d1,
+        |    CAST(floor(CAST(d AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS e9,
+        |    CAST(floor(CAST(d AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS v9
+        |  FROM g2),
+        |s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |  CAST(sum(e9) AS BIGINT) AS e9,
+        |  CAST(sum(v9) AS BIGINT) AS v9 FROM g3)
+        |SELECT tot.nt1 AS n_group1, tot.nt2 AS n_group2,
+        |  s.o1 AS observed1,
+        |  CAST(s.e9 AS DOUBLE) / 1000000000 AS expected1,
+        |  round((CAST(s.o1 AS DOUBLE) * 1000000000 - CAST(s.e9 AS DOUBLE))
+        |    * (CAST(s.o1 AS DOUBLE) * 1000000000 - CAST(s.e9 AS DOUBLE))
+        |    / (1000000000 * CAST(s.v9 AS DOUBLE)), 6) AS chi2
+        |FROM s, tot""".stripMargin,
 
     "q306_shingle_generator" ->
       """WITH toks AS (

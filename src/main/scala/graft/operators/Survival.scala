@@ -112,4 +112,68 @@ object Survival {
       .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
         (col("__p6").cast("double") / lit(1000000)).as("survival"))
   }
+
+  /** Two-group log-rank test over (duration, observed, group) rows —
+    * "do these two cohorts have the same survival curve", the
+    * hypothesis test completing the K-M estimator pair (q252/q282):
+    * at each event time the observed group-1 deaths are compared to
+    * the hypergeometric expectation given the pooled risk set, and
+    * `chi2 = (O1 - E1)² / V` on one degree of freedom.
+    *
+    * Engine-exact: at-risk and death counts are exact integers from
+    * one grid of distinct durations × 2 groups (the kaplanMeier
+    * window shape); the per-time expectation and variance land on the
+    * house 9dp grid through ONE fixed IEEE sequence each
+    * (`d·(n1/n)·1e9`, `d·(n1/n)·(n2/n)·((n-d)/(n-1))·1e9` — doubles,
+    * identical order in the oracle), so their sums are order-free
+    * integer sums and chi2 is a single rounded division.
+    *
+    * Scale: grid size = distinct durations (calendar-bounded, the K-M
+    * contract); windows ordered over that bounded grid only. */
+  def logRank(lifetimes: DataFrame, groupCol: String,
+              durationCol: String = "duration_days"): DataFrame = {
+    val perTG = lifetimes.groupBy(col(durationCol).as("t"),
+        col(groupCol).as("g1"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+      .select(col("t"), when(col("g1"), col("d")).otherwise(lit(0L)).as("d1"),
+        when(!col("g1"), col("d")).otherwise(lit(0L)).as("d2"),
+        when(col("g1"), col("leaving")).otherwise(lit(0L)).as("l1"),
+        when(!col("g1"), col("leaving")).otherwise(lit(0L)).as("l2"))
+      .groupBy(col("t"))
+      .agg(sum(col("d1")).as("d1"), sum(col("d2")).as("d2"),
+        sum(col("l1")).as("l1"), sum(col("l2")).as("l2"))
+    val tot = lifetimes.agg(
+      sum(when(col(groupCol), 1L).otherwise(0L)).as("nt1"),
+      sum(when(!col(groupCol), 1L).otherwise(0L)).as("nt2"))
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = perTG.join(broadcast(tot))
+      .withColumn("n1",
+        col("nt1") - coalesce(sum(col("l1")).over(wPrev), lit(0L)))
+      .withColumn("n2",
+        col("nt2") - coalesce(sum(col("l2")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0L && col("n") > 1L)
+      // ONE fixed IEEE sequence per term, mirrored by the oracle
+      .withColumn("e9", floor(col("d").cast("double")
+        * (col("n1").cast("double") / col("n").cast("double"))
+        * lit(1e9) + lit(0.5d)).cast("long"))
+      .withColumn("v9", floor(col("d").cast("double")
+        * (col("n1").cast("double") / col("n").cast("double"))
+        * (col("n2").cast("double") / col("n").cast("double"))
+        * ((col("n") - col("d")).cast("double")
+          / (col("n") - 1L).cast("double"))
+        * lit(1e9) + lit(0.5d)).cast("long"))
+    grid.agg(sum(col("d1")).as("o1"), sum(col("e9")).as("__e9"),
+        sum(col("v9")).as("__v9"))
+      .crossJoin(broadcast(tot))
+      .select(col("nt1").as("n_group1"), col("nt2").as("n_group2"),
+        col("o1").as("observed1"),
+        (col("__e9").cast("double") / 1e9).as("expected1"),
+        round((col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
+          * (col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
+          / (lit(1e9) * col("__v9").cast("double")), 6).as("chi2"))
+  }
 }

@@ -214,6 +214,24 @@ class Round11cOpsSpec extends SparkSpec {
     assert(plan.contains("shingle_rows"), s"generator missing:\n$plan")
   }
 
+  test("log-rank: symmetric groups score 0, separated groups hand-check") {
+    val same = Seq((1L, 1L, true, true), (2L, 2L, true, true),
+        (3L, 1L, true, false), (4L, 2L, true, false))
+      .toDF("subject", "duration_days", "observed", "grp")
+    val r0 = graft.operators.Survival.logRank(same, "grp")
+      .select("observed1", "expected1", "chi2")
+      .as[(Long, Double, Double)].head()
+    assert(r0 == ((2L, 2.0, 0.0)), s"got $r0")
+    // A dies at t=1 (both), B at t=5: E1 = 1, V = 1/3, chi2 = 3
+    val split = Seq((1L, 1L, true, true), (2L, 1L, true, true),
+        (3L, 5L, true, false), (4L, 5L, true, false))
+      .toDF("subject", "duration_days", "observed", "grp")
+    val r1 = graft.operators.Survival.logRank(split, "grp")
+      .select("observed1", "expected1", "chi2")
+      .as[(Long, Double, Double)].head()
+    assert(r1._1 == 2L && r1._2 == 1.0 && r1._3 == 3.0, s"got $r1")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
