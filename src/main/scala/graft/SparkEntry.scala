@@ -914,6 +914,17 @@ object SparkEntry {
       operators.Survival.logRank(lt.join(seg, Seq("subject")), "grp")
     }),
 
+    // Pseudo-relevance feedback (Rocchio): BM25 top-5 docs for the
+    // seed query feed back their 3 strongest non-query terms (4dp
+    // tf×idf grid), and the expanded query re-ranks — the classical
+    // recall-repair loop closing the retrieval family
+    // (q87/q88/q178/q224/q295). Expansion term set is computed
+    // in-plan and applied via broadcast semi-joins.
+    "q309_prf_expand" -> ((s, dir) => {
+      operators.TextIndex.prfExpandedTopK(t(s, dir, "documents"), "text",
+        "doc_id", Seq("spark", "stream"), fbDocs = 5, fbTerms = 3, k = 10)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8699,6 +8710,54 @@ object SparkEntry {
     "q298_markov" -> MarkovOracle(iters = 6),
 
     "q302_dbscan" -> DbscanOracle(planes = 3, tau = "0.3", minPts = 4),
+
+    "q309_prf_expand" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q0 AS (SELECT unnest(['spark', 'stream']) AS term),
+        |s1 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 4)
+        |      AS score
+        |  FROM tf JOIN q0 USING (term) JOIN dfq USING (term)
+        |  JOIN dlen USING (doc_id) CROSS JOIN stats GROUP BY 1),
+        |fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id ASC
+        |  LIMIT 5),
+        |ex AS (
+        |  SELECT tf.term,
+        |    round(sum(tf.tf)
+        |      * ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)), 4) AS w
+        |  FROM tf JOIN fb USING (doc_id)
+        |  JOIN dfq ON dfq.term = tf.term CROSS JOIN stats
+        |  WHERE tf.term NOT IN (SELECT term FROM q0)
+        |  GROUP BY tf.term, dfq.df, stats.n
+        |  ORDER BY w DESC, tf.term ASC LIMIT 3),
+        |q1 AS (SELECT term FROM q0 UNION ALL SELECT term FROM ex),
+        |s2 AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 4)
+        |      AS score
+        |  FROM tf JOIN q1 USING (term) JOIN dfq USING (term)
+        |  JOIN dlen USING (doc_id) CROSS JOIN stats GROUP BY 1),
+        |el AS (SELECT string_agg(term, '|' ORDER BY term) AS expanded
+        |  FROM ex),
+        |topk AS (SELECT doc_id, score FROM s2
+        |  ORDER BY score DESC, doc_id ASC LIMIT 10)
+        |SELECT t.doc_id, t.score,
+        |  CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id ASC)
+        |    AS BIGINT) AS rank,
+        |  el.expanded
+        |FROM topk t, el""".stripMargin,
 
     "q308_logrank" ->
       """WITH sp AS (

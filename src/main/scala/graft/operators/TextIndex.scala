@@ -417,6 +417,71 @@ object TextIndex {
           .as("ndcg"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio shape): run the BM25 query,
+    * take the top `fbDocs` documents as presumed-relevant, mine their
+    * `fbTerms` strongest non-query terms (feedback tf summed × the
+    * BM25 idf, 4dp grid, term tie-break), and re-run BM25 with the
+    * EXPANDED term set — the classical recall-repair loop every
+    * retrieval stack ships (used here to surface related documents
+    * the literal query vocabulary misses).
+    *
+    * Output: (doc_id, score, rank, expanded) for the final top-k,
+    * `expanded` = '|'-joined expansion terms (same on every row — an
+    * observability column, the q257 convention).
+    *
+    * Determinism: both rankings order by (4dp-rounded score, doc_id);
+    * expansion terms by (4dp weight, term). Scale: the tf pass of
+    * stage 1 touches only the original query's posting lists; stage 2
+    * adds the `fbTerms` expansion lists via a broadcast semi-join
+    * (the term set is computed in-plan, so no literal isin). Feedback
+    * term mining aggregates over fbDocs documents only. */
+  def prfExpandedTopK(df: DataFrame, textCol: String, idCol: String,
+                      queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(df, textCol, idCol)
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tfAll = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreqAll = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm: Column = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    def bm25Of(termSet: DataFrame): DataFrame =
+      tfAll.join(broadcast(termSet), Seq("term"), "left_semi")
+        .join(broadcast(dfreqAll.join(broadcast(termSet), Seq("term"),
+          "left_semi")), Seq("term"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(idf * norm), 4).as("score"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q0 = queryTerms.toDF("term")
+    val fb = bm25Of(q0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(fbDocs)
+      .select(col("doc_id"))
+    // Rocchio term mining: feedback tf mass × idf, original terms out
+    val expansion = tfAll.join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("tf")).as("__ftf"))
+      .join(broadcast(q0), Seq("term"), "left_anti")
+      .join(broadcast(dfreqAll), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), round(col("__ftf") * idf, 4).as("__w"))
+      .orderBy(col("__w").desc, col("term").asc).limit(fbTerms)
+    val expandedList = broadcast(expansion)
+      .agg(array_join(array_sort(collect_list(col("term"))), "|")
+        .as("expanded"))
+    val q1 = q0.unionByName(expansion.select(col("term")))
+    bm25Of(q1)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .crossJoin(broadcast(expandedList))
+      .select(col("doc_id"), col("score"), col("rank"), col("expanded"))
+  }
+
   /** Per-document Shannon entropy of the word distribution (nats) — the
     * lexical-diversity quality signal: near-zero entropy flags keyword
     * stuffing and template spam that length/stopword rules miss, while

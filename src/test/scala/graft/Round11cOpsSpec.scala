@@ -232,6 +232,21 @@ class Round11cOpsSpec extends SparkSpec {
     assert(r1._1 == 2L && r1._2 == 1.0 && r1._3 == 3.0, s"got $r1")
   }
 
+  test("prf: expansion surfaces a doc the seed query cannot reach") {
+    val docs = Seq(
+      (1L, "alpha beta beta noise1"), (2L, "beta beta gamma noise2"),
+      (3L, "alpha noise3"), (4L, "delta epsilon noise4"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextIndex.prfExpandedTopK(docs, "text",
+        "doc_id", Seq("alpha"), fbDocs = 2, fbTerms = 1, k = 4)
+      .select("doc_id", "rank", "expanded")
+      .as[(Long, Long, String)].collect()
+    assert(r.head._3 == "beta",
+      s"feedback docs 1/3 must mine 'beta', got ${r.head._3}")
+    assert(r.map(_._1).contains(2L),
+      s"doc 2 (no 'alpha') must enter via expansion: ${r.toSeq}")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
