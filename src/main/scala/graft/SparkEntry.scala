@@ -8859,11 +8859,13 @@ object SparkEntry {
         |  SELECT user_id AS u,
         |    event_type || '>' || lead(event_type, 1) OVER w || '>'
         |      || lead(event_type, 2) OVER w AS pattern,
+        |    event_type AS e0, lead(event_type, 1) OVER w AS e1,
         |    lead(event_type, 2) OVER w AS e2
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |p AS (SELECT pattern, u, count(*) AS c FROM g
-        |  WHERE e2 IS NOT NULL GROUP BY 1, 2)
+        |  WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+        |  GROUP BY 1, 2)
         |SELECT pattern, CAST(sum(c) AS BIGINT) AS n_occurrences,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY 1

@@ -40,7 +40,7 @@ case class ShingleRowsGen(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val toks = v.toString.toLowerCase.split(" ", -1)
+    val toks = v.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (toks.length < n) {
       Iterator.single(InternalRow(1,
         UTF8String.fromString(toks.mkString(" "))))

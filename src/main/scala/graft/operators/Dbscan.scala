@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * core = ≥ `minPts` ε-neighbors (self excluded), clusters = connected
   * components of the core–core ε-graph (the house star-contraction CC,
   * min-id representative), border = non-core with a core ε-neighbor
-  * (assigned its SMALLEST core neighbor's cluster — a fixed tie rule;
-  * plain DBSCAN leaves border assignment order-dependent), noise =
+  * (assigned the SMALLEST cluster id among its core neighbors'
+  * clusters — a fixed tie rule; plain DBSCAN leaves border
+  * assignment order-dependent), noise =
   * the rest.
   *
   * Scale: bucket self-joins are id-only and fail loudly past

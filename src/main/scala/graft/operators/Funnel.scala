@@ -95,8 +95,14 @@ object Funnel {
     val withLeads = (1 until n).foldLeft(base) { (df, i) =>
       df.withColumn(s"e$i", lead(col("e0"), i).over(w))
     }
-    val gram = concat_ws(">", (0 until n).map(i => col(s"e$i")): _*)
-    val perUser = withLeads.filter(col(s"e${n - 1}").isNotNull)
+    // concat (NOT concat_ws): a NULL event type must kill the gram,
+    // not silently collapse it into a shorter pattern; the filter
+    // below drops every window touching a NULL or the stream tail.
+    // (Patterns assume '>' does not occur inside event-type names.)
+    val gram = concat((0 until n).flatMap(i =>
+      if (i == 0) Seq(col("e0")) else Seq(lit(">"), col(s"e$i"))): _*)
+    val perUser = withLeads
+      .filter((0 until n).map(i => col(s"e$i").isNotNull).reduce(_ && _))
       .select(col("u"), gram.as("pattern"))
       .groupBy(col("pattern"), col("u")).agg(count(lit(1)).as("__c"))
     perUser.groupBy(col("pattern"))

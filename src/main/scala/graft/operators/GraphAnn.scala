@@ -38,6 +38,9 @@ object GraphAnn {
   private[operators] def tableKeys(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, planes: Int, tables: Int,
                         outId: String): DataFrame = {
+    require(planes * tables <= 63,
+      s"planes*tables must fit a 64-bit signature (<= 63 bits), got " +
+        s"${planes * tables} — the shifted key slices would silently wrap")
     val sig = df.select(col(idCol).as(outId),
       Similarity.hyperplaneBucket(col(vecCol), dim, planes * tables)
         .as("__sig"))

@@ -306,8 +306,11 @@ object Graphs {
     *
     * Engine-exact iterations: scores live on a 6dp INTEGER grid,
     * initialized to 10⁶; each half-step sums neighbor scores (exact
-    * long sums — score ≤ 10⁶ so a node needs 9×10¹² in-edges to
-    * overflow) and renormalizes by the max via BIGINT floor division.
+    * long sums — score ≤ 10⁶ so the sum needs 9×10¹² in-edges to
+    * overflow) and renormalizes by the max via decimal(38,0) floor
+    * division (the ·10⁶ renormalizer product would wrap a long at
+    * ~9×10⁶ in-edges, so it widens first — identical floors on both
+    * engines).
     * No float accumulation, no L2 norm — both engines replay the
     * identical integers, and dividing by the max keeps the scale
     * interpretation (best node = exactly 1.0).
@@ -330,9 +333,14 @@ object Graphs {
       val full = nodes.join(raw, Seq("node"), "left")
         .withColumn("__raw", coalesce(col("__raw"), lit(0L)))
       val mx = full.agg(max(col("__raw")).as("__mx"))
+      // decimal(38,0) for the renormalizer product: __raw is bounded
+      // by 10⁶ · in-degree, so a long ·10⁶ wraps silently past ~9e6
+      // in-edges while DuckDB widens sum() to HUGEINT — the decimal
+      // div computes the identical floor on both engines
       Lineage.cut(full.join(broadcast(mx))
         .select(col("node"), coalesce(
-          expr("(__raw * 1000000L) div __mx"), lit(0L)).as(out)))
+          expr("CAST((CAST(__raw AS DECIMAL(38,0)) * 1000000)" +
+            " div __mx AS BIGINT)"), lit(0L)).as(out)))
     }
     var hub = nodes.withColumn("h6", lit(1000000L))
     var auth = nodes.withColumn("a6", lit(1000000L))

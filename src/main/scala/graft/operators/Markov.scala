@@ -61,8 +61,10 @@ object Markov {
     val states = Lineage.cut(tr.select(col("src").as("state"))
       .union(tr.select(col("dst"))).distinct())
     // fail-loud above the BIGINT-exact bound (the linkage blockGuard
-    // idiom): past ~9e3 states the renormalizer product could wrap
-    // silently in the JVM while DuckDB widens to HUGEINT
+    // idiom): the raw neighbor-sum itself is bounded by |S|·10¹² on
+    // the uniform first iteration, so the conservative 9e3 cap keeps
+    // every intermediate far inside long range (the renormalizer
+    // product additionally runs in decimal below)
     val guard = states.agg(count(lit(1)).as("__k")).select(
       when(col("__k") > 9000L, raise_error(concat(
         lit("Markov.stationary: state count exceeds the integer-exact" +
@@ -76,9 +78,14 @@ object Markov {
       val full = states.join(raw, Seq("state"), "left")
         .withColumn("__raw", coalesce(col("__raw"), lit(0L)))
       val tot = full.agg(sum(col("__raw")).as("__tot"))
+      // decimal(38,0) for the renormalizer product: __raw peaks at
+      // |S|·10¹² on the uniform first iteration, so a long ·10⁶ wraps
+      // silently past 9 states while DuckDB widens to HUGEINT — the
+      // decimal div computes the identical floor on both engines
       v = Lineage.cut(full.join(broadcast(tot))
         .select(col("state"),
-          expr("(__raw * 1000000L) div __tot").as("v6")))
+          expr("CAST((CAST(__raw AS DECIMAL(38,0)) * 1000000)" +
+            " div __tot AS BIGINT)").as("v6")))
     }
     tr.join(v.withColumnRenamed("state", "src"), Seq("src"))
       .select(col("src"), col("dst"), col("n"),

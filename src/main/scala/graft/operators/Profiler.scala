@@ -316,8 +316,12 @@ object Profiler {
       totals = Seq(("n_eq", "nt"), ("mass", "st")))
     val d = (c: Column) => c.cast("decimal(38,0)")
     val gini = cum.agg(
+      // the triangular term widens BEFORE the multiply: n_eq(n_eq+1)
+      // in long wraps silently past ~4.3e9 duplicates of one value
+      // while the oracle's HUGEINT stays exact
       sum(d(col("v")) * (d(col("n_eq")) * d(col("cdb"))
-        + d(expr("n_eq * (n_eq + 1) div 2")))).as("__six"),
+        + expr("(CAST(n_eq AS DECIMAL(38,0)) * (n_eq + 1)) / 2")
+          .cast("decimal(38,0)"))).as("__six"),
       max(col("nt")).as("nt"), max(col("st")).as("st"))
       .select((floor((d(lit(2)) * col("__six")
           - d(col("nt") + 1) * d(col("st"))).cast("double")

@@ -96,8 +96,15 @@ private[graft] object Ranks {
                   org.apache.spark.sql.types.LongType, nullable = false) })))
       val offDf = cut.sparkSession.createDataFrame(
         java.util.Arrays.asList(offRows: _*), offSchema)
-      val joined = ranged.join(broadcast(offDf),
-        grpCols :+ "__pid", "left")
+      // null-safe on the group keys: a NULL stratum still has subtotal
+      // rows in the collect, and a plain USING join would silently
+      // zero its cross-partition offsets
+      val joinCond = (grpCols.map(c => ranged(c) <=> offDf(c)) :+
+        (ranged("__pid") === offDf("__pid"))).reduce(_ && _)
+      val joined0 = ranged.join(broadcast(offDf), joinCond, "left")
+      val joined = grpCols.foldLeft(joined0.drop(offDf("__pid"))) {
+        (df, c) => df.drop(offDf(c))
+      }
       val baseW = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
         .orderBy(col(orderCol).asc)
       sums.foldLeft(joined) { case (df, (src, out, inclusive)) =>

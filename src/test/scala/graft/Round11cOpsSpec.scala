@@ -247,6 +247,19 @@ class Round11cOpsSpec extends SparkSpec {
       s"doc 2 (no 'alpha') must enter via expansion: ${r.toSeq}")
   }
 
+  test("cumSums two-pass path keeps NULL-stratum offsets (null-safe join)") {
+    val rows = (1 to 300).map(i =>
+      (if (i % 3 == 0) null else "g" + (i % 2), i.toLong, (i % 5 + 1).toLong))
+    val per = rows.toDF("grp", "v", "w0").groupBy("grp", "v")
+      .agg(sum("w0").as("w"))
+    def run(threshold: Long) = graft.operators.Ranks.cumSums(per,
+        Seq("grp"), "v", Seq(("w", "cw", true)), largeDomain = threshold)
+      .select("grp", "v", "cw").as[(String, Long, Long)]
+      .collect().sortBy(t => (Option(t._1).getOrElse(""), t._2)).toSeq
+    assert(run(1000000L) == run(1L),
+      "NULL-group rows must carry cross-partition offsets on both paths")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
