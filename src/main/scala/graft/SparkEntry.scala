@@ -925,6 +925,20 @@ object SparkEntry {
         "doc_id", Seq("spark", "stream"), fbDocs = 5, fbTerms = 3, k = 10)
     }),
 
+    // Personalized PageRank from seed nodes {0,1,2} of the q106
+    // co-occurrence graph: restart and dangling mass return to the
+    // seeds, so ranks measure importance RELATIVE to the seed set
+    // (seed-expansion / related-item discovery) and unreachable nodes
+    // stay exactly 0. Same 1e-6 grid + unrolled-CTE oracle as q106.
+    "q310_ppr" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(100L)).as("src"),
+        pmod(col("l_suppkey"), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.PageRank.personalized(e, seeds = Seq(0L, 1L, 2L),
+        iters = 5, damping = 0.85)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -4756,6 +4770,26 @@ object SparkEntry {
 
     // Five unrolled grid-snapped PageRank iterations (PageRankIterCtes),
     // same IEEE expression tree as operators.PageRank.
+    "q310_ppr" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
+        |  FROM lineitem WHERE l_partkey % 100 <> l_suppkey % 100),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |seeds AS (SELECT unnest([0, 1, 2]) AS node),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |edeg AS (SELECT e.src, e.dst, o.outdeg
+        |  FROM e JOIN outdeg o ON e.src = o.src),
+        |pr0 AS (
+        |  SELECT n.node, CASE WHEN s.node IS NOT NULL
+        |    THEN floor(1.0 / CAST(3 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ELSE 0 END AS pr
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        |""".stripMargin +
+        (0 until 5).map(i => PprIterCtes(i, k = 3)).mkString(",\n") + "\n" +
+        """SELECT node, pr FROM pr5""".stripMargin),
+
     "q106_pagerank" ->
       ("""WITH e AS (
         |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
@@ -10623,6 +10657,34 @@ object SparkEntry {
     * re-snapped, then the damped update — the exact IEEE expression tree
     * `operators.PageRank.run` evaluates, so iteration k is bit-identical
     * on both engines. */
+  /** Oracle for q310_ppr: the q106 iteration CTEs with the restart
+    * (and dangling) mass routed to the seed set — `[v∈S]/|S|` replaces
+    * every `1/n` term; same 1e-6 grid snapping. */
+  private def PprIterCtes(i: Int, k: Int): String = {
+    val (p, n) = (s"pr$i", s"pr${i + 1}")
+    s"""ins$i AS (
+       |  SELECT e.dst,
+       |    floor(sum(floor(p.pr / CAST(e.outdeg AS DOUBLE) * 1e6 + 0.5)
+       |      / 1e6) * 1e6 + 0.5) / 1e6 AS in_sum
+       |  FROM edeg e JOIN $p p ON e.src = p.node
+       |  GROUP BY e.dst),
+       |dang$i AS (
+       |  SELECT floor(coalesce(sum(p.pr), 0) * 1e6 + 0.5) / 1e6 AS dang
+       |  FROM $p p LEFT JOIN outdeg o ON p.node = o.src
+       |  WHERE o.src IS NULL),
+       |$n AS (
+       |  SELECT p.node,
+       |    floor((CASE WHEN s.node IS NOT NULL
+       |        THEN (CAST(1 AS DOUBLE) - 0.85) / CAST($k AS DOUBLE)
+       |        ELSE 0 END
+       |      + 0.85 * (coalesce(i.in_sum, 0)
+       |        + CASE WHEN s.node IS NOT NULL
+       |            THEN d.dang / CAST($k AS DOUBLE) ELSE 0 END))
+       |      * 1e6 + 0.5) / 1e6 AS pr
+       |  FROM $p p LEFT JOIN ins$i i ON p.node = i.dst
+       |  LEFT JOIN seeds s ON s.node = p.node, dang$i d)""".stripMargin
+  }
+
   private def PageRankIterCtes(i: Int): String = {
     val (p, n) = (s"pr$i", s"pr${i + 1}")
     s"""ins$i AS (

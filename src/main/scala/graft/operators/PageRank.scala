@@ -72,6 +72,51 @@ object PageRank {
     pr
   }
 
+  /** Personalized PageRank: the restart (and dangling) mass returns to
+    * the SEED set instead of spreading uniformly — "importance relative
+    * to these nodes", the seed-expansion primitive behind related-item
+    * discovery and local community detection (Jeh–Widom 2003 shape).
+    * Nodes unreachable from the seeds keep rank exactly 0 (the grid
+    * never injects uniform mass), so the output doubles as a soft
+    * reachability measure.
+    *
+    * Same 1e-6-grid discipline and per-iteration lineage cut as
+    * [[run]]; the only change is the restart vector `[v∈S]/|S|`. */
+  def personalized(edges: DataFrame, seeds: Seq[Long], iters: Int = 5,
+                   damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(seeds.nonEmpty, "personalized PageRank needs >= 1 seed")
+    val e = cut(edges.select(col("src"), col("dst")).distinct())
+    val nodes = cut(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    val k = seeds.length.toDouble
+    val isSeed = col("node").isin(seeds: _*)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = cut(e.join(outdeg, "src"))
+    val dangNodes = nodes.join(outdeg, nodes("node") === outdeg("src"),
+      "left_anti")
+    var pr = cut(nodes.withColumn("pr",
+      when(isSeed, r6(lit(1.0) / lit(k))).otherwise(lit(0.0d))))
+    for (_ <- 1 to iters) {
+      val inSum = eDeg.join(pr, eDeg("src") === pr("node"))
+        .select(col("dst"),
+          r6(col("pr") / col("outdeg").cast("double")).as("share"))
+        .groupBy("dst").agg(r6(sum(col("share"))).as("in_sum"))
+      val dang = dangNodes.join(pr, Seq("node"))
+        .agg(r6(coalesce(sum(col("pr")), lit(0.0d))).as("dang"))
+      val next = pr.join(inSum, pr("node") === inSum("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          r6(when(isSeed, lit(1.0 - damping) / lit(k)).otherwise(lit(0.0d))
+            + lit(damping) * (coalesce(col("in_sum"), lit(0.0d))
+              + when(isSeed, col("dang") / lit(k)).otherwise(lit(0.0d))))
+            .as("pr"))
+      pr = cut(next)
+    }
+    pr
+  }
+
   /** Shared iterative-operator policy: reliable checkpoint when
     * `spark.graft.checkpoint.dir` is set (survives executor loss),
     * localCheckpoint otherwise (local-mode fast path). */

@@ -260,6 +260,17 @@ class Round11cOpsSpec extends SparkSpec {
       "NULL-group rows must carry cross-partition offsets on both paths")
   }
 
+  test("personalized pagerank: mass stays in the seed component") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val r = graft.operators.PageRank.personalized(e, seeds = Seq(1L),
+        iters = 4).as[(Long, Double)].collect().toMap
+    assert(r(4L) == 0.0 && r(5L) == 0.0,
+      s"unreachable nodes must stay exactly 0: $r")
+    assert(r(1L) > 0.0 && r(2L) > 0.0 && r(3L) > 0.0)
+    assert(r(1L) > r(3L), s"the seed holds the restart mass: $r")
+  }
+
   test("rollup profile covers all three grains with consistent totals") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = SparkEntry.queries("q296_rollup_profile")(spark, sf("sf0.001"))
