@@ -188,12 +188,15 @@ object SparkEntry {
     // still be open). The estimator q117's naive retention curve cannot
     // express: censored sessions stay in the risk set, add no death.
     // Engine-exact: 6dp integer factors folded with BIGINT div — zero
-    // transcendentals, so no libm portability hazard.
+    // transcendentals, so no libm portability hazard. The HASHED
+    // output keys on the exact integer survival_p6 (the derived
+    // double is dropped: an integer column cannot diverge under any
+    // DuckDB build or float-canonicalization scheme).
     "q252_kaplan_meier" -> ((s, dir) => {
       operators.Survival.kaplanMeier(
         operators.Survival.sessionLifetimes(t(s, dir, "events"), "user_id",
           "ts", "event_id", gapSeconds = 1800L),
-        durationCol = "duration_min")
+        durationCol = "duration_min").drop("survival")
     }),
 
     // HBOS multivariate outlier screen over orders (price equi-width
@@ -557,11 +560,12 @@ object SparkEntry {
     // active — the events table can't carry this curve: no user there
     // ever goes quiet ≥ 3 days, so every user-level lifetime censors).
     // The long-horizon complement of q252's session curve; same
-    // engine-exact 6dp-integer product-limit estimator.
+    // engine-exact 6dp-integer product-limit estimator, hashed on the
+    // integer survival_p6 (derived double dropped, as q252).
     "q282_user_survival" -> ((s, dir) => {
       operators.Survival.kaplanMeier(
         operators.Survival.lifetimes(t(s, dir, "orders"), "o_custkey",
-          "o_orderdate", censorDays = 90))
+          "o_orderdate", censorDays = 90)).drop("survival")
     }),
 
     // Model-grade language ID: multinomial Naive Bayes over word
@@ -868,22 +872,27 @@ object SparkEntry {
     // API: user code writes the stock row_number-filter idiom, the
     // opt-in TopKRewriteRule (spark.graft.topk.rewrite) plants
     // TopKPerKeyNode under the window, and the window's sort runs
-    // over <= 2 rows per supplier. Materialized eagerly while the
-    // conf is on (the q219 localCheckpoint idiom); identical rows to
-    // the plain window plan, which IS the oracle.
-    "q305_topk_rewrite" -> ((s, dir) => {
+    // over <= 2 rows per supplier. Runs on a THROWAWAY newSession()
+    // so the conf toggles can never leak into a query planned
+    // concurrently on the shared session; windowGroupLimitThreshold=0
+    // keeps Spark's own InferWindowGroupLimit out of the way (the
+    // rule bails out where the built-in would cover the bound).
+    // Materialized eagerly while the confs are on (the q219
+    // localCheckpoint idiom); identical rows to the plain window
+    // plan, which IS the oracle.
+    "q305_topk_rewrite" -> ((s0, dir) => {
+      val s = s0.newSession()
       s.conf.set("spark.graft.topk.rewrite", "true")
-      try {
-        val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
-            col("l_linenumber").asc)
-        t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 2)
-          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            col("l_extendedprice"), col("rn").cast("long").as("rn"))
-          .localCheckpoint()
-      } finally s.conf.unset("spark.graft.topk.rewrite")
+      s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "0")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rn").cast("long").as("rn"))
+        .localCheckpoint()
     }),
 
     // Custom Catalyst GENERATOR (UDTF): `shingle_rows(text, 2)` emits
@@ -4333,7 +4342,7 @@ object SparkEntry {
         |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
         |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
         |SELECT t AS t_days, n_risk, d AS n_events,
-        |  CAST(p6 AS DOUBLE) / 1000000 AS survival
+        |  CAST(p6 AS BIGINT) AS survival_p6
         |FROM prod WHERE d > 0""".stripMargin,
 
     "q253_hbos" ->
@@ -4783,12 +4792,12 @@ object SparkEntry {
         |  FROM e JOIN outdeg o ON e.src = o.src),
         |pr0 AS (
         |  SELECT n.node, CASE WHEN s.node IS NOT NULL
-        |    THEN floor(1.0 / CAST(3 AS DOUBLE) * 1e6 + 0.5) / 1e6
-        |    ELSE 0 END AS pr
+        |    THEN (2000000 + 3) // (2 * 3)
+        |    ELSE 0 END AS pr6
         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
         |""".stripMargin +
         (0 until 5).map(i => PprIterCtes(i, k = 3)).mkString(",\n") + "\n" +
-        """SELECT node, pr FROM pr5""".stripMargin),
+        """SELECT node, CAST(pr6 AS DOUBLE) / 1000000 AS pr FROM pr5""".stripMargin),
 
     "q106_pagerank" ->
       ("""WITH e AS (
@@ -4797,14 +4806,14 @@ object SparkEntry {
         |nodes AS (
         |  SELECT DISTINCT node FROM (
         |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
         |edeg AS (SELECT e.src, e.dst, o.outdeg FROM e JOIN outdeg o ON e.src = o.src),
         |pr0 AS (
-        |  SELECT node, floor(1.0 / nn.n * 1e6 + 0.5) / 1e6 AS pr FROM nodes, nn),
+        |  SELECT node, (2000000 + nn.n) // (2 * nn.n) AS pr6 FROM nodes, nn),
         |""".stripMargin +
         (0 until 5).map(PageRankIterCtes).mkString(",\n") + "\n" +
-        """SELECT node, pr FROM pr5""".stripMargin),
+        """SELECT node, CAST(pr6 AS DOUBLE) / 1000000 AS pr FROM pr5""".stripMargin),
 
     "q107_robust_outliers" ->
       """WITH rk AS (
@@ -8580,7 +8589,7 @@ object SparkEntry {
         |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
         |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
         |SELECT t AS t_days, n_risk, d AS n_events,
-        |  CAST(p6 AS DOUBLE) / 1000000 AS survival
+        |  CAST(p6 AS BIGINT) AS survival_p6
         |FROM prod WHERE d > 0""".stripMargin,
 
     "q283_nb_langid" ->
@@ -8700,10 +8709,12 @@ object SparkEntry {
          |    AS agree_n
          |  FROM cells)
          |SELECT cells.g1, cells.g2, cells.n, tt.n_total, tt.agree_n,
-         |  round(
-         |    CAST(CAST(tt.n_total AS HUGEINT) * tt.agree_n - ch.s AS DOUBLE)
-         |    / CAST(CAST(tt.n_total AS HUGEINT) * tt.n_total - ch.s
-         |      AS DOUBLE), 6) AS kappa
+         |  CASE WHEN CAST(tt.n_total AS HUGEINT) * tt.n_total - ch.s = 0
+         |    THEN NULL
+         |    ELSE round(
+         |      CAST(CAST(tt.n_total AS HUGEINT) * tt.agree_n - ch.s AS DOUBLE)
+         |      / CAST(CAST(tt.n_total AS HUGEINT) * tt.n_total - ch.s
+         |        AS DOUBLE), 6) END AS kappa
          |FROM cells, tt, ch""".stripMargin,
 
     "q295_ndcg" -> NdcgOracle(NdcgQueries, k = 10),
@@ -8848,9 +8859,11 @@ object SparkEntry {
         |SELECT tot.nt1 AS n_group1, tot.nt2 AS n_group2,
         |  s.o1 AS observed1,
         |  CAST(s.e9 AS DOUBLE) / 1000000000 AS expected1,
-        |  round((CAST(s.o1 AS DOUBLE) * 1000000000 - CAST(s.e9 AS DOUBLE))
-        |    * (CAST(s.o1 AS DOUBLE) * 1000000000 - CAST(s.e9 AS DOUBLE))
-        |    / (1000000000 * CAST(s.v9 AS DOUBLE)), 6) AS chi2
+        |  CASE WHEN s.v9 = 0 THEN NULL
+        |    ELSE round((CAST(s.o1 AS DOUBLE) * 1000000000
+        |        - CAST(s.e9 AS DOUBLE))
+        |      * (CAST(s.o1 AS DOUBLE) * 1000000000 - CAST(s.e9 AS DOUBLE))
+        |      / (1000000000 * CAST(s.v9 AS DOUBLE)), 6) END AS chi2
         |FROM s, tot""".stripMargin,
 
     "q306_shingle_generator" ->
@@ -10434,16 +10447,16 @@ object SparkEntry {
         |nodes AS (
         |  SELECT DISTINCT node FROM (
         |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
         |edeg AS (SELECT e.src, e.dst, o.outdeg
         |         FROM e JOIN outdeg o ON e.src = o.src),
         |pr0 AS (
-        |  SELECT node, floor(1.0 / nn.n * 1e6 + 0.5) / 1e6 AS pr
+        |  SELECT node, (2000000 + nn.n) // (2 * nn.n) AS pr6
         |  FROM nodes, nn),
         |""".stripMargin +
         (0 until 3).map(PageRankIterCtes).mkString(",\n") + "\n" +
-        """SELECT node, pr FROM pr3""".stripMargin),
+        """SELECT node, CAST(pr6 AS DOUBLE) / 1000000 AS pr FROM pr3""".stripMargin),
 
     // exact daily distincts replayed relationally; the HLL estimates
     // can't enter static SQL (sketch binaries), so their error bounds
@@ -10652,35 +10665,33 @@ object SparkEntry {
        |    FROM pen$r) WHERE rn = 1),
        |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
 
-  /** One grid-snapped PageRank iteration as CTEs: per-edge share
-    * floor-rounded to the 1e-6 grid, incoming sums and dangling mass
-    * re-snapped, then the damped update — the exact IEEE expression tree
-    * `operators.PageRank.run` evaluates, so iteration k is bit-identical
-    * on both engines. */
+  /** One integer-grid PageRank iteration as CTEs — the exact BIGINT
+    * fold `operators.PageRank.run` evaluates (per-edge round-half-up
+    * share, exact integer incoming/dangling sums, damped update on the
+    * documented 1e-12 grids; HUGEINT mirrors the engine's
+    * decimal(38,0) product), so iteration k is bit-identical on both
+    * engines under ANY summation order. */
   /** Oracle for q310_ppr: the q106 iteration CTEs with the restart
     * (and dangling) mass routed to the seed set — `[v∈S]/|S|` replaces
-    * every `1/n` term; same 1e-6 grid snapping. */
+    * every `1/n` term; same integer grids. */
   private def PprIterCtes(i: Int, k: Int): String = {
     val (p, n) = (s"pr$i", s"pr${i + 1}")
     s"""ins$i AS (
-       |  SELECT e.dst,
-       |    floor(sum(floor(p.pr / CAST(e.outdeg AS DOUBLE) * 1e6 + 0.5)
-       |      / 1e6) * 1e6 + 0.5) / 1e6 AS in_sum
+       |  SELECT e.dst, sum((2 * p.pr6 + e.outdeg) // (2 * e.outdeg)) AS in6
        |  FROM edeg e JOIN $p p ON e.src = p.node
        |  GROUP BY e.dst),
        |dang$i AS (
-       |  SELECT floor(coalesce(sum(p.pr), 0) * 1e6 + 0.5) / 1e6 AS dang
+       |  SELECT coalesce(sum(p.pr6), 0) AS dang6
        |  FROM $p p LEFT JOIN outdeg o ON p.node = o.src
        |  WHERE o.src IS NULL),
        |$n AS (
        |  SELECT p.node,
-       |    floor((CASE WHEN s.node IS NOT NULL
-       |        THEN (CAST(1 AS DOUBLE) - 0.85) / CAST($k AS DOUBLE)
-       |        ELSE 0 END
-       |      + 0.85 * (coalesce(i.in_sum, 0)
+       |    (CASE WHEN s.node IS NOT NULL
+       |        THEN ((1000000 - 850000) * CAST(1000000 AS BIGINT)) // $k ELSE 0 END
+       |      + (850000 * (CAST(coalesce(i.in6, 0) AS HUGEINT) * 1000000
        |        + CASE WHEN s.node IS NOT NULL
-       |            THEN d.dang / CAST($k AS DOUBLE) ELSE 0 END))
-       |      * 1e6 + 0.5) / 1e6 AS pr
+       |            THEN (d.dang6 * 1000000) // $k ELSE 0 END)) // 1000000
+       |      + 500000) // 1000000 AS pr6
        |  FROM $p p LEFT JOIN ins$i i ON p.node = i.dst
        |  LEFT JOIN seeds s ON s.node = p.node, dang$i d)""".stripMargin
   }
@@ -10688,20 +10699,19 @@ object SparkEntry {
   private def PageRankIterCtes(i: Int): String = {
     val (p, n) = (s"pr$i", s"pr${i + 1}")
     s"""ins$i AS (
-       |  SELECT e.dst,
-       |    floor(sum(floor(p.pr / CAST(e.outdeg AS DOUBLE) * 1e6 + 0.5) / 1e6)
-       |      * 1e6 + 0.5) / 1e6 AS in_sum
+       |  SELECT e.dst, sum((2 * p.pr6 + e.outdeg) // (2 * e.outdeg)) AS in6
        |  FROM edeg e JOIN $p p ON e.src = p.node
        |  GROUP BY e.dst),
        |dang$i AS (
-       |  SELECT floor(coalesce(sum(p.pr), 0) * 1e6 + 0.5) / 1e6 AS dang
+       |  SELECT coalesce(sum(p.pr6), 0) AS dang6
        |  FROM $p p LEFT JOIN outdeg o ON p.node = o.src
        |  WHERE o.src IS NULL),
        |$n AS (
        |  SELECT p.node,
-       |    floor(((CAST(1 AS DOUBLE) - 0.85) / nn.n
-       |      + 0.85 * (coalesce(i.in_sum, 0) + d.dang / nn.n)) * 1e6 + 0.5) / 1e6
-       |      AS pr
+       |    (((1000000 - 850000) * CAST(1000000 AS BIGINT)) // nn.n
+       |      + (850000 * (CAST(coalesce(i.in6, 0) AS HUGEINT) * 1000000
+       |        + (d.dang6 * 1000000) // nn.n)) // 1000000
+       |      + 500000) // 1000000 AS pr6
        |  FROM $p p LEFT JOIN ins$i i ON p.node = i.dst, dang$i d, nn)""".stripMargin
   }
 

@@ -41,12 +41,18 @@ object Agreement {
     val tot = cells.agg(sum(col("n")).as("n_total"),
       sum(when(col("g1") === col("g2"), col("n")).otherwise(lit(0L)))
         .as("agree_n"))
+    // p_e = 1 (both labelings one identical constant class) zeroes the
+    // denominator: kappa is undefined there — emit NULL explicitly on
+    // both engines rather than ride each engine's div-by-zero habits
+    // (Spark NULL vs DuckDB inf would silently hash-diverge)
+    val den = (col("n_total").cast(dec) * col("n_total").cast(dec)
+      - col("s")).cast("double")
     val stats = tot.crossJoin(broadcast(chance))
       .select(col("n_total"), col("agree_n"),
-        round((col("n_total").cast(dec) * col("agree_n").cast(dec)
-            - col("s")).cast("double")
-          / (col("n_total").cast(dec) * col("n_total").cast(dec)
-            - col("s")).cast("double"), 6).as("kappa"))
+        when(den =!= lit(0.0d),
+          round((col("n_total").cast(dec) * col("agree_n").cast(dec)
+            - col("s")).cast("double") / den, 6))
+          .otherwise(lit(null).cast("double")).as("kappa"))
     cells.crossJoin(broadcast(stats))
   }
 }

@@ -88,9 +88,16 @@ object Survival {
     * convention; censored-only times carry factor 10^6 (identity) so
     * they can stay in the fold unfiltered.
     *
-    * Scale: the fold runs over the prefix list of per-time factors —
-    * O(T²) in the number of DISTINCT durations, which is bounded by
-    * the calendar window (days/minutes), never by subjects. */
+    * Output carries the survival probability TWICE: `survival_p6` is
+    * the exact 6dp integer (BIGINT — the hash-stable column a
+    * cross-engine compare should key on; an integer cannot diverge
+    * under any float-canonicalization scheme) and `survival` is the
+    * derived double convenience view (`p6 / 1e6`, one IEEE division).
+    *
+    * Scale: the product is a [[graft.expressions.Product6FoldAgg]]
+    * running-window fold — O(T) in the number of DISTINCT durations
+    * (previously an O(T²) collect_list prefix fold), and T is bounded
+    * by the calendar window (days/minutes), never by subjects. */
   def kaplanMeier(lifetimes: DataFrame,
                   durationCol: String = "duration_days"): DataFrame = {
     val perT = lifetimes.groupBy(col(durationCol).as("t"))
@@ -105,11 +112,11 @@ object Survival {
       .withColumn("n_risk",
         col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
       .withColumn("__f6", expr("((n_risk - d) * 1000000L) div n_risk"))
-      .withColumn("__fs", collect_list(col("__f6")).over(wAsc))
       .withColumn("__p6",
-        expr("aggregate(__fs, 1000000L, (acc, x) -> (acc * x) div 1000000L)"))
+        graft.expressions.Product6FoldAgg.product6(col("__f6")).over(wAsc))
       .filter(col("d") > 0L)
       .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("__p6").as("survival_p6"),
         (col("__p6").cast("double") / lit(1000000)).as("survival"))
   }
 
@@ -172,8 +179,13 @@ object Survival {
       .select(col("nt1").as("n_group1"), col("nt2").as("n_group2"),
         col("o1").as("observed1"),
         (col("__e9").cast("double") / 1e9).as("expected1"),
-        round((col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
-          * (col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
-          / (lit(1e9) * col("__v9").cast("double")), 6).as("chi2"))
+        // V = 0 (every event time degenerate: one subject at risk, or a
+        // single-group grid) leaves chi2 undefined — explicit NULL on
+        // both engines, never an engine-specific inf/nan
+        when(col("__v9") =!= 0L,
+          round((col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
+            * (col("o1").cast("double") * lit(1e9) - col("__e9").cast("double"))
+            / (lit(1e9) * col("__v9").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"))
   }
 }

@@ -15,10 +15,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (key, order), then rank, then throw away all but k rows per key) —
   * O(n log n) comparisons and sort spill proportional to the whole
   * input. This operator keeps a bounded heap of k rows per key in one
-  * pass: O(n log k), memory bounded by (#keys-per-partition × k) rows
-  * — the same working-set bound as the hash aggregate that usually
-  * precedes it — and nothing spills because nothing beyond the heaps
-  * is retained.
+  * pass: O(n log k), memory bounded by (#keys-per-partition × k) rows.
+  *
+  * MEMORY CONTRACT — no spill path: the per-partition heap map is
+  * plain JVM heap with no TaskMemoryManager accounting, and unlike
+  * Spark's hash aggregate (which falls back to sort-based spilling)
+  * it cannot degrade gracefully — a pathological key cardinality
+  * would OOM the executor where the window form would spill and
+  * finish. The operator therefore fail-louds past
+  * `spark.graft.topk.maxKeysPerPartition` distinct keys per partition
+  * (default 8e6 — at k=3 short rows that is ~GB-scale working set,
+  * far past where the heap plan stopped being the right choice): the
+  * error names the conf and the window fallback instead of dying with
+  * an undiagnosable executor OOM. Keys are hash-clustered, so the cap
+  * applies to keys-per-PARTITION — raising shuffle partitions lowers
+  * the per-partition key count proportionally.
   *
   * This is the tier-(c) extension path (custom logical node →
   * `SparkStrategy` → physical `SparkPlan`, registered through
@@ -68,6 +79,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keysLocal = keys
     val orderLocal = order
     val attrs = child.output
+    val maxKeys = conf.getConfString(
+      "spark.graft.topk.maxKeysPerPartition", "8000000").toLong
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keysLocal, attrs)
       val ord = RowOrdering.create(orderLocal, attrs)
@@ -83,6 +96,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxKeys) throw new IllegalStateException(
+            s"TopKPerKeyExec: more than $maxKeys distinct keys in one " +
+              "partition — the heap operator has no spill path, so this " +
+              "working set risks an executor OOM. Raise " +
+              "spark.graft.topk.maxKeysPerPartition (with executor memory " +
+              "to match), raise spark.sql.shuffle.partitions to spread " +
+              "keys, or use the row_number window form, which spills.")
           heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
           heaps.put(key.copy(), heap)
         }

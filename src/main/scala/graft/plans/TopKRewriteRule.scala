@@ -22,6 +22,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * window form and the heap keep SOME k rows — but not necessarily
   * the same ones (the window form is itself layout-dependent there).
   *
+  * Interplay with Spark's own InferWindowGroupLimit (>= 3.5, present
+  * in the bundled 4.1.2): that rule plants a WindowGroupLimit below
+  * the Window for the SAME Filter-over-row_number shape whenever the
+  * rank bound is within `spark.sql.optimizer.windowGroupLimitThreshold`
+  * (default 1000), and it runs AFTER injected rules — so a rewrite
+  * here would stack the two operators and run a redundant second
+  * top-k pass. This rule therefore BAILS OUT when the built-in
+  * threshold covers the bound (`k <= threshold`), firing only where
+  * the built-in won't: k above the threshold, or the built-in
+  * disabled via threshold = -1. ("The window form full-sorts every
+  * partition" is the pre-3.5 cost story; post-3.5 the heap operator's
+  * remaining edge is the large-k / disabled-threshold regime.)
+  *
   * Fires only on the safe shape: exactly one window expression, a
   * `row_number()` with the default (rows, unbounded-preceding →
   * current-row) frame — `rank()` must NOT match (rank ≤ k can keep
@@ -52,9 +65,12 @@ class TopKRewriteRule extends Rule[LogicalPlan] {
             RowFrame, UnboundedPreceding, CurrentRow))), _)),
           _, _, child, _) if part.nonEmpty && order.nonEmpty =>
         val rnAttr = w.windowOutputSet.head
-        boundOf(cond, rnAttr).map { k =>
-          w.copy(child = TopKPerKeyNode(part, order, k, child))
-        }
+        val th = conf.windowGroupLimitThreshold
+        boundOf(cond, rnAttr)
+          // built-in InferWindowGroupLimit covers k <= threshold; adding
+          // the heap node there would just stack a redundant second pass
+          .filter(k => th == -1 || k > th)
+          .map { k => w.copy(child = TopKPerKeyNode(part, order, k, child)) }
       case _ => None
     }
 

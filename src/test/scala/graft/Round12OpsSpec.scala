@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 fixes on crafted fixtures: hash-proof integer Kaplan–Meier
+  * output, the O(T) running-product window fold, integer-grid PageRank,
+  * TopKPerKeyExec key-count guard, kappa/log-rank degenerate-input
+  * guards. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplan-meier: survival_p6 is the exact integer behind the double") {
+    val lt = Seq((1L, 1L, true), (2L, 2L, true), (3L, 2L, true))
+      .toDF("subject", "duration_days", "observed")
+    val r = graft.operators.Survival.kaplanMeier(lt)
+      .select("t_days", "survival_p6", "survival")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._1 == 1000000L * 2 / 3, "S(1) as the exact floor-grid integer")
+    assert(r(1L)._2 == r(1L)._1.toDouble / 1e6, "double is derived, not recomputed")
+    assert(r(2L) == ((0L, 0.0)), "whole-risk-set death pins p6 to integer 0")
+  }
+
+  test("kaplan-meier: O(T) fold handles 100k distinct durations in seconds") {
+    // one subject per distinct duration — the old collect_list prefix
+    // fold would materialize ~5e9 list cells here and never finish
+    val n = 100000
+    val lt = spark.range(1, n + 1).select(col("id").as("subject"),
+      col("id").as("duration_days"), lit(true).as("observed"))
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Survival.kaplanMeier(lt)
+      .agg(count(lit(1)), min("survival_p6"), max("survival_p6"))
+      .as[(Long, Long, Long)].collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows._1 == n.toLong, "every duration is an event time")
+    assert(rows._2 == 0L, "the last death (n_risk = d = 1) pins p6 to 0")
+    // S(1) = (n-1)/n on the 6dp floor grid
+    assert(rows._3 == (n.toLong - 1L) * 1000000L / n.toLong)
+    assert(secs < 60.0, s"O(T) fold took ${secs}s — quadratic regression?")
+  }
+
+  test("pagerank: no double accumulation anywhere in the analyzed plan") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // capture the per-iteration update plan (the final pr frame)
+    for (plan <- Seq(
+        graft.operators.PageRank.run(e, iters = 1),
+        graft.operators.PageRank.personalized(e, seeds = Seq(1L), iters = 1))
+        .map(_.queryExecution.analyzed.toString.toLowerCase)) {
+      // the old double-grid form left floor(x * 1e6 + 0.5) markers and
+      // double-typed sums; the integer grid has neither
+      assert(!plan.contains("floor("), s"double-grid floor in plan:\n$plan")
+      for (m <- """sum\(([^)]*)\)""".r.findAllMatchIn(plan))
+        assert(!m.group(1).contains("double"),
+          s"double accumulation: ${m.matched}")
+    }
+    // bit-identity across partitionings, the property the grid buys
+    val big = (1 to 200).map(i => (i.toLong % 50, (i * 7).toLong % 50))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val a = graft.operators.PageRank.run(big.repartition(1), iters = 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val b = graft.operators.PageRank.run(big.repartition(13), iters = 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    assert(a == b, "ranks must be partition-order independent")
+  }
+
+  test("kappa: one identical constant class yields NULL, not inf") {
+    val df = Seq.fill(5)(("en", "en")).toDF("a", "b")
+    val r = graft.operators.Agreement.cohenKappa(df, "a", "b")
+      .select("kappa").as[Option[Double]].collect()
+    assert(r.length == 1 && r.head.isEmpty,
+      s"p_e = 1 must yield NULL kappa, got ${r.toSeq}")
+    // sanity: a non-degenerate board still scores
+    val ok = Seq(("en", "en"), ("en", "de"), ("de", "de"), ("de", "de"))
+      .toDF("a", "b")
+    val k = graft.operators.Agreement.cohenKappa(ok, "a", "b")
+      .select("kappa").as[Option[Double]].collect().head
+    assert(k.isDefined && k.get > 0.0 && k.get < 1.0)
+  }
+
+  test("log-rank: zero pooled variance yields NULL chi2, not inf") {
+    // two subjects, one per group, both die at t=1: at that time
+    // n=2, d=2 -> the (n-d)/(n-1) factor zeroes V while E is defined
+    val lt = Seq((1L, true, true), (1L, true, false))
+      .toDF("duration_days", "observed", "grp")
+    val r = graft.operators.Survival.logRank(lt, "grp")
+      .select("chi2").as[Option[Double]].collect().head
+    assert(r.isEmpty, s"V = 0 must yield NULL chi2, got $r")
+  }
+
+  test("product6_fold: merge (partial-aggregate use) fails loud") {
+    val df = Seq(500000L, 500000L).toDF("f6")
+    val agg = df.groupBy().agg(
+      graft.expressions.Product6FoldAgg.product6(col("f6")).as("p6"))
+    val e = intercept[Exception] { agg.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("ORDERED"))),
+      s"expected the ordered-fold contract message, got $e")
+  }
+}

@@ -6,9 +6,24 @@ import org.apache.spark.sql.functions._
 /** The opt-in window-rank rewrite: with spark.graft.topk.rewrite=true
   * the standard `row_number().over(W) <= k` idiom gains a
   * TopKPerKeyExec under the window; results stay identical under a
-  * total order; rank() and the conf-off path are untouched. */
+  * total order; rank() and the conf-off path are untouched; the rule
+  * yields to Spark's own InferWindowGroupLimit when the built-in
+  * threshold covers the bound. */
 class TopKRewriteRuleSpec extends SparkSpec {
   import spark.implicits._
+
+  private val ThresholdKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+  /** Both toggles on, built-in group-limit out of the way, restore after. */
+  private def withRewrite[T](body: => T): T = {
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    spark.conf.set(ThresholdKey, "0")
+    try body
+    finally {
+      spark.conf.unset("spark.graft.topk.rewrite")
+      spark.conf.unset(ThresholdKey)
+    }
+  }
 
   private def topkDf = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -24,42 +39,75 @@ class TopKRewriteRuleSpec extends SparkSpec {
     val off = topkDf.collect().map(_.toSeq).toSet
     assert(!topkDf.queryExecution.executedPlan.toString
       .contains("TopKPerKey"), "must not fire with the conf unset")
-    spark.conf.set("spark.graft.topk.rewrite", "true")
-    try {
+    withRewrite {
       val plan = topkDf.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
       val on = topkDf.collect().map(_.toSeq).toSet
       assert(on == off, "rewritten plan must return identical rows")
       assert(on.nonEmpty)
+    }
+  }
+
+  test("rule yields to InferWindowGroupLimit when the threshold covers k") {
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    // default threshold is 1000 >= 2: the built-in WindowGroupLimit
+    // already bounds the sort — stacking the heap node would be a
+    // redundant second top-k pass, so the rule must not fire
+    try {
+      val plan = topkDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"),
+        s"must bail out under the built-in threshold:\n$plan")
+      assert(plan.contains("WindowGroupLimit"),
+        s"the built-in group limit should be the one that fires:\n$plan")
     } finally spark.conf.unset("spark.graft.topk.rewrite")
   }
 
   test("rank() windows are never rewritten (ties may exceed k)") {
-    spark.conf.set("spark.graft.topk.rewrite", "true")
-    try {
+    withRewrite {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice").desc)
       val df = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
         .withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
       assert(!df.queryExecution.executedPlan.toString
         .contains("TopKPerKey"), "rank() must not match the rewrite")
-    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    }
   }
 
   test("the tightest conjunct bound wins and rn = 1 rewrites too") {
-    spark.conf.set("spark.graft.topk.rewrite", "true")
-    try {
+    withRewrite {
       val w = Window.partitionBy(col("k")).orderBy(col("v").asc, col("id").asc)
       val df = (1L to 20L).map(i => (i % 4, i % 7, i)).toDF("k", "v", "id")
         .withColumn("rn", row_number().over(w))
       val eq1 = df.filter(col("rn") === 1)
       val plan1 = eq1.queryExecution.executedPlan.toString
       assert(plan1.contains("TopKPerKey"), s"rn = 1 shape:\n$plan1")
-      assert(plan1.contains("k=1,") || plan1.contains("k=1]")
-        || plan1.contains("1,"), "bound 1 reaches the node")
+      assert("""TopKPerKey .*, 1\b""".r.findFirstIn(plan1).isDefined,
+        s"bound 1 reaches the node:\n$plan1")
       // deterministic keep-first semantics survive the rewrite
       val keep = eq1.select("k", "id").as[(Long, Long)].collect().toMap
       assert(keep.size == 4)
-    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    }
+  }
+
+  test("heap exec fail-louds past maxKeysPerPartition instead of OOMing") {
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "100")
+    try {
+      // 1000 distinct keys funneled into ONE partition trips the cap
+      val df = (1L to 1000L).map(i => (i, i * 7 % 997)).toDF("k", "v")
+        .repartition(1)
+      val e = intercept[Exception] {
+        graft.operators.TopK.perKey(df, Seq("k"), Seq(("v", true)), k = 1)
+          .collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("maxKeysPerPartition"))),
+        s"expected the key-cap message, got $e")
+      // under the cap, same shape completes
+      val ok = (1L to 99L).map(i => (i, i)).toDF("k", "v").repartition(1)
+      assert(graft.operators.TopK.perKey(ok, Seq("k"), Seq(("v", true)), 1)
+        .count() == 99L)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 }
