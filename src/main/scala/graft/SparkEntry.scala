@@ -948,6 +948,52 @@ object SparkEntry {
         iters = 5, damping = 0.85)
     }),
 
+    // Persisted + LAYERED graph-ANN (the ivfWrite contract for the
+    // graph family): graphWrite materializes the full k-NN edge list
+    // AND a deterministic sampled upper layer (id % 4 == 0, HNSW-style
+    // two-level hierarchy) partitioned by src shard; the search is a
+    // cheap beam over the sparse upper graph first (localizes every
+    // query from 4 fixed entries), then the full-layer beam SEEDED by
+    // those per-query-adapted entry points + LSH bucket mates — which
+    // is why 3 full rounds here match 8 blind rounds in q284. Graded
+    // on the q284 recall board (thresholds 0.7/0.9 — TIGHTER than
+    // q284's 0.7/0.8). The oracle replays build and both beam phases.
+    "q311_graph_ann_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id"))
+      val path = java.nio.file.Files.createTempDirectory("graft-gann-idx")
+        .toString
+      operators.GraphAnn.graphWrite(e, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, degree = 16, refine = 2, path = path,
+        upperMod = 4, upperDegree = 8, upperRefine = 1)
+      val ann = operators.GraphAnn.layeredTopKPartitioned(s, path, e, qs,
+          "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+          entries = Seq(0L, 4L, 8L, 12L), upperRounds = 2, upperWidth = 16,
+          rounds = 3, beamWidth = 32)
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("index_hits"))
+      exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          array_join(transform(array_sort(collect_list(col("vec_id"))),
+            _.cast("string")), "|").as("exact_topk"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("index_hits", coalesce(col("index_hits"), lit(0L)))
+        // 5 query points — single-row-per-query reduce, not data-sized
+        .withColumn("idx_total",
+          sum(col("index_hits")).over(Window.partitionBy()))
+        .withColumn("k_total", sum(col("k")).over(Window.partitionBy()))
+        .select(col("query_id"), col("k"), col("exact_topk"),
+          col("index_hits"),
+          (col("index_hits").cast("double") / col("k").cast("double")
+            >= 0.7d).as("layer_recall_ok"),
+          (col("idx_total").cast("double") / col("k_total").cast("double")
+            >= 0.9d).as("layer_corpus_ok"))
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8682,6 +8728,8 @@ object SparkEntry {
         |  END AS rho
         |FROM g""".stripMargin,
 
+    "q311_graph_ann_index" -> GraphAnnIndexOracle,
+
     "q284_graph_ann" -> GraphAnnOracle(degree = 16, refine = 3,
       beamWidth = 32, rounds = 8),
 
@@ -11270,6 +11318,142 @@ object SparkEntry {
        |    >= 0.7) AS graph_recall_ok,
        |  (CAST(tt.gt AS DOUBLE) / CAST(tt.kt AS DOUBLE)
        |    >= 0.8) AS graph_corpus_ok
+       |FROM agg a LEFT JOIN hits h USING (query_id), tt""".stripMargin
+  }
+
+  /** Oracle for q311_graph_ann_index: REPLAYS graphWrite +
+    * layeredTopKPartitioned — the full-layer graph (degree 16, 2
+    * NN-descent rounds), the UPPER-layer graph over `vec_id % 4 = 0`
+    * (degree 8, 1 round), the 2-round upper beam from the fixed
+    * entries, the 3-round full beam seeded by the upper results ∪ LSH
+    * bucket mates, and the exact top-10 board. The parquet round trip
+    * the engine does between build and search is value-invariant
+    * (long edge pairs), so the replay skips it. */
+  private def GraphAnnIndexOracle: String = {
+    def edgeTopK(in: String, out: String, degree: Int): String =
+      s"""${out}s AS MATERIALIZED (
+         |  SELECT c.src, c.dst,
+         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y))
+         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cos
+         |  FROM $in c
+         |  JOIN emb a ON a.vec_id = c.src
+         |  JOIN emb b ON b.vec_id = c.dst
+         |  JOIN nrm na ON na.vec_id = c.src
+         |  JOIN nrm nb ON nb.vec_id = c.dst),
+         |$out AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rn FROM ${out}s)
+         |  WHERE rn <= $degree)""".stripMargin
+    def queryTopK(in: String, out: String, k: Int): String =
+      s"""${out}s AS MATERIALIZED (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+         |      (SELECT sum(CAST(x * y AS DOUBLE))
+         |       FROM (SELECT unnest(a.embedding) AS x,
+         |             unnest(b.embedding) AS y))
+         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cosine
+         |  FROM $in c
+         |  JOIN emb a ON a.vec_id = c.query_id
+         |  JOIN emb b ON b.vec_id = c.vec_id
+         |  JOIN nrm na ON na.vec_id = c.query_id
+         |  JOIN nrm nb ON nb.vec_id = c.vec_id),
+         |$out AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+         |      AS rn FROM ${out}s)
+         |  WHERE rn <= $k)""".stripMargin
+    def nnDescent(g: String, i: Int, degree: Int): String =
+      s"""$g${i}c AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM $g${i - 1}
+         |    UNION ALL SELECT dst, src FROM $g${i - 1}
+         |    UNION ALL SELECT a.src, b.dst
+         |      FROM $g${i - 1} a JOIN $g${i - 1} b ON b.src = a.dst)
+         |  WHERE src <> dst),
+         |${edgeTopK(s"$g${i}c", s"$g$i", degree)}""".stripMargin
+    def beamRound(b: String, r: Int, g: String, width: Int): String =
+      s"""${b}x$r AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT b.query_id, g.dst AS vec_id
+         |      FROM $b${r - 1} b JOIN $g g ON g.src = b.vec_id
+         |    UNION ALL SELECT query_id, vec_id FROM $b${r - 1})
+         |  WHERE vec_id <> query_id),
+         |${queryTopK(s"${b}x$r", s"$b$r", width)}""".stripMargin
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${BucketExprSql(nPlanes = 8)} AS b8
+       |  FROM emb e),
+       |ck AS MATERIALIZED (SELECT vec_id, 0 AS tbl, b8 % 16 AS key FROM cb
+       |       UNION ALL SELECT vec_id, 1, b8 // 16 FROM cb),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, (SELECT sum(CAST(x * x AS DOUBLE))
+       |    FROM (SELECT unnest(embedding) AS x)) AS nsq
+       |  FROM emb),
+       |g0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ck a JOIN ck b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${edgeTopK("g0c", "g0", 16)},
+       |${nnDescent("g", 1, 16)},
+       |${nnDescent("g", 2, 16)},
+       |uk AS MATERIALIZED (SELECT * FROM ck WHERE vec_id % 4 = 0),
+       |u0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM uk a JOIN uk b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${edgeTopK("u0c", "u0", 8)},
+       |${nnDescent("u", 1, 8)},
+       |us AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, t.n AS vec_id FROM
+       |    (SELECT vec_id FROM emb WHERE vec_id < 5) q,
+       |    (SELECT unnest([0, 4, 8, 12]) AS n) t
+       |  WHERE t.n <> q.vec_id),
+       |${queryTopK("us", "ub0", 16)},
+       |${beamRound("ub", 1, "u1", 16)},
+       |${beamRound("ub", 2, "u1", 16)},
+       |fs AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id FROM ub2
+       |    UNION ALL
+       |    SELECT qk.vec_id AS query_id, c.vec_id
+       |    FROM ck qk JOIN ck c ON c.tbl = qk.tbl AND c.key = qk.key
+       |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
+       |${queryTopK("fs", "b0", 32)},
+       |${beamRound("b", 1, "g2", 32)},
+       |${beamRound("b", 2, "g2", 32)},
+       |${beamRound("b", 3, "g2", 32)},
+       |${queryTopK("b3", "fin", 10)},
+       |ex0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.vec_id
+       |  FROM emb q, emb e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |${queryTopK("ex0", "exact", 10)},
+       |hits AS MATERIALIZED (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS index_hits
+       |  FROM exact e JOIN fin f ON f.query_id = e.query_id
+       |    AND f.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |agg AS MATERIALIZED (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |    string_agg(CAST(vec_id AS VARCHAR), '|' ORDER BY vec_id)
+       |      AS exact_topk
+       |  FROM exact GROUP BY 1),
+       |tt AS (
+       |  SELECT CAST(sum(coalesce(h.index_hits, 0)) AS BIGINT) AS gt,
+       |    CAST(sum(a.k) AS BIGINT) AS kt
+       |  FROM agg a LEFT JOIN hits h USING (query_id))
+       |SELECT a.query_id, a.k, a.exact_topk,
+       |  CAST(coalesce(h.index_hits, 0) AS BIGINT) AS index_hits,
+       |  (CAST(coalesce(h.index_hits, 0) AS DOUBLE) / CAST(a.k AS DOUBLE)
+       |    >= 0.7) AS layer_recall_ok,
+       |  (CAST(tt.gt AS DOUBLE) / CAST(tt.kt AS DOUBLE)
+       |    >= 0.9) AS layer_corpus_ok
        |FROM agg a LEFT JOIN hits h USING (query_id), tt""".stripMargin
   }
 

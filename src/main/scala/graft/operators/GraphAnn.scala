@@ -146,6 +146,73 @@ object GraphAnn {
       col("rank"))
   }
 
+  /** Materialize the k-NN graph index: the full-layer edge list plus a
+    * sampled UPPER-layer graph (HNSW-style two-level hierarchy), each
+    * written partitioned by a `src` shard. The deterministic upper
+    * layer is the nodes with `id % upperMod == 0` — a property of the
+    * id, not of insertion order, so the whole index is a pure function
+    * of the corpus and an oracle replays it exactly.
+    *
+    * This is the `ivfWrite` contract for the graph family: build cost
+    * (bucket-confined pairwise + NN-descent) is paid ONCE offline;
+    * searches read the edge lists back and pay only beam-walk joins.
+    * At 100 TB the shard partitioning keys the per-round
+    * beam-to-edges join: a cluster deployment bucket-joins on src
+    * shard instead of re-shuffling the (much larger) edge side every
+    * round. */
+  def graphWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, planes: Int, tables: Int, degree: Int,
+                 refine: Int, path: String, upperMod: Int = 4,
+                 upperDegree: Int = 8, upperRefine: Int = 1,
+                 shards: Int = 32): Unit = {
+    require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
+    knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine)
+      .withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+    val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
+        upperRefine)
+      .withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/upper_edges")
+  }
+
+  /** Two-phase layered search over a [[graphWrite]] index: a cheap
+    * beam over the SPARSE upper graph first (few nodes, small degree —
+    * it localizes every query to its neighborhood from fixed global
+    * entry points), then the full-layer beam SEEDED by the upper
+    * results plus the query's own LSH bucket mates. The upper phase
+    * replaces blind global entry points with per-query-adapted ones,
+    * which is what lets the full-layer walk converge in fewer rounds
+    * at equal-or-better recall (the HNSW argument, two levels deep).
+    *
+    * `entries` must be upper-layer ids (multiples of `upperMod`).
+    * Output: (query_id, vec_id, cosine, rank), rank 1..beamWidth. */
+  def layeredTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, corpus: DataFrame,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, dim: Int, planes: Int,
+                             tables: Int, entries: Seq[Long],
+                             upperRounds: Int = 2, upperWidth: Int = 16,
+                             rounds: Int = 3, beamWidth: Int = 32,
+                             upperMod: Int = 4): DataFrame = {
+    require(entries.forall(_ % upperMod == 0),
+      s"entries must live on the upper layer (id % $upperMod == 0)")
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
+    val upperEdges = spark.read.parquet(s"$path/upper_edges")
+      .select("src", "dst")
+    val upperSeeds = queries.select(col(idCol).as("query_id"))
+      .crossJoin(broadcast(entries.toDF("vec_id")))
+      .filter(col("vec_id") =!= col("query_id"))
+    val upperBeam = beamTopK(corpus, queries, upperEdges, upperSeeds,
+      idCol, vecCol, upperRounds, upperWidth)
+    val seeds = upperBeam.select(col("query_id"), col("vec_id"))
+      .union(lshSeeds(corpus, queries, idCol, vecCol, dim, planes, tables,
+        entries = Seq.empty))
+      .distinct()
+    beamTopK(corpus, queries, edges, seeds, idCol, vecCol, rounds, beamWidth)
+  }
+
   private implicit class LongSeqToDf(xs: Seq[Long]) {
     def toDF(name: String): DataFrame = {
       val spark = org.apache.spark.sql.SparkSession.active

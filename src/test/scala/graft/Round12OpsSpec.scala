@@ -86,6 +86,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(r.isEmpty, s"V = 0 must yield NULL chi2, got $r")
   }
 
+  test("graph ann index: persisted two-layer search matches or beats flat recall") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity.bruteForceTopK(e, qs, "vec_id",
+      "embedding", k = 10).select("query_id", "vec_id")
+    val path = tmpDir("graft-gann")
+    val t0 = System.nanoTime()
+    graft.operators.GraphAnn.graphWrite(e, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 16, refine = 2,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val ann = graft.operators.GraphAnn.layeredTopKPartitioned(spark, path,
+        e, qs, "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+        entries = Seq(0L, 4L, 8L, 12L), upperRounds = 2, upperWidth = 16,
+        rounds = 3, beamWidth = 32)
+      .filter(col("rank") <= 10).select("query_id", "vec_id")
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
+    val tSearch = (System.nanoTime() - t1) / 1e9
+    info(f"build ${tBuild}%.1fs, search ${tSearch}%.1fs, recall $hits/50")
+    assert(hits >= 45L, s"layered corpus recall >= 0.9, got $hits/50")
+  }
+
   test("product6_fold: merge (partial-aggregate use) fails loud") {
     val df = Seq(500000L, 500000L).toDF("f6")
     val agg = df.groupBy().agg(
