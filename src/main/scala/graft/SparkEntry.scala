@@ -994,6 +994,20 @@ object SparkEntry {
             >= 0.9d).as("layer_corpus_ok"))
     }),
 
+    // Short-text language ID: the q283 multinomial NB retrained on
+    // overlapping char 3..5-grams (Cavnar–Trenkle profiles as NB) over
+    // a tweet-length regime (every doc truncated to 60 chars). The
+    // word-unigram grid starves there — most words unseen per
+    // language, zh unsegmentable — while char grams keep corpus-wide
+    // support: 96 vs 260 misclassified on this board, spec-asserted.
+    // Same 9dp grid, same relational no-vocab-cap model.
+    "q312_char_langid" -> ((s, dir) => {
+      val short = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 60).as("text"))
+      operators.LangModel.charNaiveBayesConfusion(short, "doc_id", "text",
+        "lang")
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8730,6 +8744,15 @@ object SparkEntry {
 
     "q311_graph_ann_index" -> GraphAnnIndexOracle,
 
+    "q312_char_langid" ->
+      s"""WITH $CharNbGuessCtes,
+         |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
+         |  FROM cnbguess GROUP BY 1, 2)
+         |SELECT lang_label, lang_guess, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / sum(n) OVER (PARTITION BY lang_label), 6) AS row_share
+         |FROM m""".stripMargin,
+
     "q284_graph_ann" -> GraphAnnOracle(degree = 16, refine = 3,
       beamWidth = 32, rounds = 8),
 
@@ -11006,6 +11029,53 @@ object SparkEntry {
       |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
       |    SELECT *, row_number() OVER (PARTITION BY doc_id
       |      ORDER BY s9 DESC, cand ASC) AS rn FROM sc) WHERE rn = 1)""".stripMargin
+
+  /** Oracle CTEs for q312_char_langid: the NbScoreCtes model with the
+    * char-3..5-gram tokenizer over 60-char-truncated docs — truncate
+    * THEN lower, the engine's order (Unicode case mapping after the
+    * cut, so both engines window the same string). Ends in
+    * `cnbguess(doc_id, lang_label, lang_guess)`. */
+  private def CharNbGuessCtes: String =
+    """ctk AS (
+      |  SELECT doc_id, lang AS lang_label, substr(t, i.i, n.n) AS w
+      |  FROM (SELECT doc_id, lang, lower(substr(text, 1, 60)) AS t
+      |        FROM documents) d,
+      |    (SELECT unnest([3, 4, 5]) AS n) n,
+      |    LATERAL (SELECT unnest(range(1, len(d.t) - n.n + 2)) AS i) i
+      |  WHERE len(d.t) >= n.n),
+      |ccnt AS (SELECT lang_label AS cand, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM ctk GROUP BY 1, 2),
+      |ctot AS (SELECT lang_label AS cand, CAST(count(*) AS BIGINT) AS t
+      |  FROM ctk GROUP BY 1),
+      |cvocab AS (SELECT DISTINCT w FROM ctk),
+      |cvv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cvocab),
+      |clp AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS d
+      |  FROM documents GROUP BY 1),
+      |cnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |cgrid AS (
+      |  SELECT t.cand, vo.w,
+      |    CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+      |        / CAST(t.t + cvv.v AS DOUBLE)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS term9
+      |  FROM cvocab vo CROSS JOIN ctot t CROSS JOIN cvv
+      |  LEFT JOIN ccnt c ON c.cand = t.cand AND c.w = vo.w),
+      |cpri AS (
+      |  SELECT clp.cand,
+      |    CAST(floor(ln(CAST(clp.d AS DOUBLE) / CAST(cnn.n AS DOUBLE))
+      |      * 1000000000 + 0.5) AS BIGINT) AS prior9
+      |  FROM clp, cnn),
+      |cdt AS (SELECT doc_id, lang_label, w, CAST(count(*) AS BIGINT) AS n_dw
+      |  FROM ctk GROUP BY 1, 2, 3),
+      |csc AS (
+      |  SELECT s.doc_id, s.lang_label, s.cand, s.sw9 + p.prior9 AS s9
+      |  FROM (SELECT cdt.doc_id, cdt.lang_label, g.cand,
+      |          sum(cdt.n_dw * g.term9) AS sw9
+      |        FROM cdt JOIN cgrid g ON g.w = cdt.w GROUP BY 1, 2, 3) s
+      |  JOIN cpri p ON p.cand = s.cand),
+      |cnbguess AS (
+      |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY s9 DESC, cand ASC) AS rn FROM csc) WHERE rn = 1)""".stripMargin
 
   /** CTE `hg(doc_id, lang_label, lang_guess)` — the q41/q238 stopword
     * heuristic replayed in SQL, shared by the q238 confusion board and

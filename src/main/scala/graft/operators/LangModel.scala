@@ -36,6 +36,48 @@ object LangModel {
         col(labelCol).as("lang_label"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
+    scoresFromTokens(docs, labelCol, tk)
+  }
+
+  /** Char-3..5-gram token frame (doc_id, lang_label, w): every
+    * character window of the LOWERCASED text, spaces included —
+    * boundary grams like "he " carry the word-edge signal the
+    * classic Cavnar–Trenkle profiles rely on. Grams come off one
+    * codegen'd nested-transform expression per row (no per-doc
+    * array column survives past the explode). */
+  private[graft] def charNgramTokens(docs: DataFrame, idCol: String,
+                                         textCol: String, labelCol: String,
+                                         nMin: Int, nMax: Int): DataFrame = {
+    require(nMin >= 1 && nMax >= nMin, "need 1 <= nMin <= nMax")
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("lang_label"),
+        lower(col(textCol)).as("__t"))
+      .withColumn("w", explode(expr(
+        s"flatten(transform(sequence($nMin, $nMax), n -> " +
+          "CASE WHEN length(__t) >= n " +
+          "THEN transform(sequence(1, length(__t) - n + 1), " +
+          "i -> substring(__t, i, n)) " +
+          "ELSE array() END))")))
+      .select(col("doc_id"), col("lang_label"), col("w"))
+  }
+
+  /** Char-n-gram Naive Bayes scores — the SHORT-TEXT language
+    * identifier: on tweet-length documents the word-unigram grid
+    * ([[naiveBayesScores]]) is too sparse (most words unseen per
+    * language), while overlapping char 3..5-grams give every doc
+    * hundreds of features with corpus-wide support (Cavnar–Trenkle
+    * 1994's n-gram profiles recast as multinomial NB). Same 9dp
+    * integer grid, same relational no-vocab-cap model — only the
+    * tokenizer changes. */
+  def charNaiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, nMin: Int = 3,
+                           nMax: Int = 5): DataFrame =
+    scoresFromTokens(docs, labelCol,
+      charNgramTokens(docs, idCol, textCol, labelCol, nMin, nMax))
+
+  /** Shared multinomial-NB core over any (doc_id, lang_label, w)
+    * token frame — see [[naiveBayesScores]] for the model and grid. */
+  private def scoresFromTokens(docs: DataFrame, labelCol: String,
+                               tk: DataFrame): DataFrame = {
     val cnt = tk.groupBy(col("lang_label").as("cand"), col("w"))
       .agg(count(lit(1)).as("c"))
     val tot = tk.groupBy(col("lang_label").as("cand"))
@@ -69,13 +111,38 @@ object LangModel {
 
   /** (doc_id, lang_label, lang_guess) for every doc with ≥1 token. */
   def naiveBayesGuess(docs: DataFrame, idCol: String, textCol: String,
-                      labelCol: String): DataFrame = {
-    val sc = naiveBayesScores(docs, idCol, textCol, labelCol)
+                      labelCol: String): DataFrame =
+    guessFromScores(naiveBayesScores(docs, idCol, textCol, labelCol))
+
+  /** Char-n-gram argmax guesses — every doc with ≥1 char gram
+    * (i.e. length ≥ nMin). */
+  def charNaiveBayesGuess(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, nMin: Int = 3,
+                          nMax: Int = 5): DataFrame =
+    guessFromScores(
+      charNaiveBayesScores(docs, idCol, textCol, labelCol, nMin, nMax))
+
+  /** Char-n-gram confusion matrix on the q238/q283 board shape. */
+  def charNaiveBayesConfusion(docs: DataFrame, idCol: String,
+                              textCol: String, labelCol: String,
+                              nMin: Int = 3, nMax: Int = 5): DataFrame =
+    confusionFromGuess(
+      charNaiveBayesGuess(docs, idCol, textCol, labelCol, nMin, nMax))
+
+  private def guessFromScores(sc: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("s9").desc, col("cand").asc)
     sc.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang_label"), col("cand").as("lang_guess"))
+  }
+
+  private def confusionFromGuess(g: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("lang_label"))
+    g.groupBy(col("lang_label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share", round(col("n").cast("double")
+        / sum(col("n")).over(wl).cast("double"), 6))
   }
 
   /** Confident-learning-style label-error candidates: documents whose
@@ -112,12 +179,6 @@ object LangModel {
     * (lang_label, lang_guess, n, row_share) so the two classifiers
     * grade on the same board. */
   def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
-                          labelCol: String): DataFrame = {
-    val g = naiveBayesGuess(docs, idCol, textCol, labelCol)
-    val wl = Window.partitionBy(col("lang_label"))
-    g.groupBy(col("lang_label"), col("lang_guess"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("row_share", round(col("n").cast("double")
-        / sum(col("n")).over(wl).cast("double"), 6))
-  }
+                          labelCol: String): DataFrame =
+    confusionFromGuess(naiveBayesGuess(docs, idCol, textCol, labelCol))
 }

@@ -109,6 +109,36 @@ class Round12OpsSpec extends SparkSpec {
     assert(hits >= 45L, s"layered corpus recall >= 0.9, got $hits/50")
   }
 
+  test("char-ngram langid: fewer misclassified than word NB on short texts") {
+    // tweet-length regime: every doc truncated to its first 60 chars —
+    // the word grid starves (few words, most unseen per language)
+    // while overlapping char 3..5-grams keep corpus-wide support
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 60).as("text"))
+    def wrong(g: org.apache.spark.sql.DataFrame): Long =
+      g.filter(col("lang_label") =!= col("lang_guess")).count()
+    val word = wrong(graft.operators.LangModel.naiveBayesGuess(
+      docs, "doc_id", "text", "lang"))
+    val char = wrong(graft.operators.LangModel.charNaiveBayesGuess(
+      docs, "doc_id", "text", "lang"))
+    info(s"misclassified on 60-char texts: word=$word char=$char")
+    assert(char < word,
+      s"char 3..5-grams must beat word unigrams on short texts: $char vs $word")
+  }
+
+  test("char-ngram tokens: windows, boundaries and short-doc edge cases") {
+    val docs = Seq((1L, "AbC", "x"), (2L, "ab", "x"), (3L, "abcd", "y"))
+      .toDF("doc_id", "text", "lang")
+    val tk = graft.operators.LangModel.charNgramTokens(docs, "doc_id",
+        "text", "lang", nMin = 2, nMax = 3)
+      .select("doc_id", "w").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, ws) => d -> ws.map(_._2).toSeq.sorted }
+    assert(tk(1L) == Seq("ab", "abc", "bc"), "lowercased, both gram sizes")
+    assert(tk(2L) == Seq("ab"), "doc shorter than nMax keeps its smaller grams")
+    assert(tk(3L) == Seq("ab", "abc", "bc", "bcd", "cd"))
+  }
+
   test("product6_fold: merge (partial-aggregate use) fails loud") {
     val df = Seq(500000L, 500000L).toDF("f6")
     val agg = df.groupBy().agg(
