@@ -1008,6 +1008,21 @@ object SparkEntry {
         "lang")
     }),
 
+    // Unigram-LM subword tokenizer training (the SentencePiece shape,
+    // Kudo 2018) — the prune-down complement of bottom-up BPE
+    // (q180/q266): substring seed vocab, two EM rounds of
+    // forward/backward integer Viterbi DP over the distinct-word
+    // table (one fold expression per word, no per-position joins),
+    // on-optimal-path expected counts, 9dp re-smoothing, top-200
+    // multi-char prune with an always-kept single-char floor. The
+    // oracle replays seed, both DPs (unrolled per-level CTEs), the
+    // path-membership counts and every prune round.
+    "q313_unigram_lm" -> ((s, dir) => {
+      operators.UnigramLm.emTrain(t(s, dir, "documents"), "text",
+        iters = 2, maxPieceLen = 4, maxWordLen = 10, seedK = 300,
+        keepK = 200)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8744,6 +8759,9 @@ object SparkEntry {
 
     "q311_graph_ann_index" -> GraphAnnIndexOracle,
 
+    "q313_unigram_lm" -> UnigramLmOracle(iters = 2, maxPieceLen = 4,
+      maxWordLen = 10, seedK = 300, keepK = 200),
+
     "q312_char_langid" ->
       s"""WITH $CharNbGuessCtes,
          |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
@@ -11076,6 +11094,105 @@ object SparkEntry {
       |  SELECT doc_id, lang_label, cand AS lang_guess FROM (
       |    SELECT *, row_number() OVER (PARTITION BY doc_id
       |      ORDER BY s9 DESC, cand ASC) AS rn FROM csc) WHERE rn = 1)""".stripMargin
+
+  /** Oracle for q313_unigram_lm: REPLAYS UnigramLm.emTrain — the
+    * substring seed, each EM round's forward and backward Viterbi DPs
+    * as unrolled per-level CTEs (level i = best 9dp score for a
+    * prefix/suffix of i chars; only words long enough appear at a
+    * level, and single-char pieces are never pruned so every level is
+    * totally reachable), the forward-backward path-membership counts,
+    * and the prune + re-smooth per round. Pure integer DP sums and
+    * floor-grid ln's — bit-identical to the engine's fold expressions
+    * under any execution shape. */
+  private def UnigramLmOracle(iters: Int, maxPieceLen: Int, maxWordLen: Int,
+                              seedK: Int, keepK: Int): String = {
+    val L = maxPieceLen
+    val W = maxWordLen
+    def keepCtes(t: Int, est: String, k: Int): String =
+      s"""keep$t AS MATERIALIZED (
+         |  SELECT p, cnt FROM $est WHERE len(p) = 1
+         |  UNION ALL
+         |  SELECT p, cnt FROM (
+         |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p ASC)
+         |      AS rn FROM $est WHERE len(p) >= 2) WHERE rn <= $k),
+         |tv$t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+         |  CAST(count(*) AS BIGINT) AS v FROM keep$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT p, cnt AS n_est,
+         |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+         |      * 1000000000 + 0.5) AS BIGINT) AS lp9
+         |  FROM keep$t, tv$t)""".stripMargin
+    def fwdLevel(t: Int, i: Int): String = {
+      val union = (math.max(0, i - L) until i)
+        .map(j => s"SELECT w, s9, $j AS jj FROM f${t}_$j")
+        .mkString("\n    UNION ALL ")
+      s"""f${t}_$i AS MATERIALIZED (
+         |  SELECT u.w, max(u.s9 + v.lp9) AS s9 FROM (
+         |    $union) u
+         |  JOIN wlen ww ON ww.w = u.w AND ww.wl >= $i
+         |  JOIN v${t - 1} v ON v.p = substr(u.w, u.jj + 1, $i - u.jj)
+         |  GROUP BY 1)""".stripMargin
+    }
+    def bwdLevel(t: Int, k: Int): String = {
+      val union = (1 to math.min(L, k))
+        .map(l => s"SELECT w, s9, $l AS ll FROM b${t}_${k - l}")
+        .mkString("\n    UNION ALL ")
+      s"""b${t}_$k AS MATERIALIZED (
+         |  SELECT u.w, max(u.s9 + v.lp9) AS s9 FROM (
+         |    $union) u
+         |  JOIN wlen ww ON ww.w = u.w AND ww.wl >= $k
+         |  JOIN v${t - 1} v ON v.p = substr(u.w, ww.wl - $k + 1, u.ll)
+         |  GROUP BY 1)""".stripMargin
+    }
+    def emIter(t: Int): String = {
+      val zero = s"SELECT w, CAST(0 AS BIGINT) AS s9 FROM wlen"
+      val fa = (0 to W).map(i => s"SELECT w, $i AS i, s9 FROM f${t}_$i")
+        .mkString("\n  UNION ALL ")
+      val ba = (0 to W).map(k => s"SELECT w, $k AS k, s9 FROM b${t}_$k")
+        .mkString("\n  UNION ALL ")
+      s"""f${t}_0 AS ($zero),
+         |${(1 to W).map(i => fwdLevel(t, i)).mkString(",\n")},
+         |b${t}_0 AS ($zero),
+         |${(1 to W).map(k => bwdLevel(t, k)).mkString(",\n")},
+         |fa$t AS MATERIALIZED ($fa),
+         |ba$t AS MATERIALIZED ($ba),
+         |cnt$t AS MATERIALIZED (
+         |  SELECT o.p, CAST(sum(o.f) AS BIGINT) AS cnt
+         |  FROM occ o
+         |  JOIN v${t - 1} v ON v.p = o.p
+         |  JOIN fa$t fs ON fs.w = o.w AND fs.i = o.s - 1
+         |  JOIN ba$t bs ON bs.w = o.w AND bs.k = o.wl - o.s + 1 - o.l
+         |  JOIN fa$t ft ON ft.w = o.w AND ft.i = o.wl
+         |  WHERE fs.s9 + v.lp9 + bs.s9 = ft.s9
+         |  GROUP BY 1),
+         |est$t AS (
+         |  SELECT v.p, coalesce(c.cnt, 0) AS cnt
+         |  FROM v${t - 1} v LEFT JOIN cnt$t c ON c.p = v.p),
+         |${keepCtes(t, s"est$t", keepK)}""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(sum(cnt) AS BIGINT) AS f FROM (
+       |    SELECT substr(word, 1, $W) AS w, cnt FROM (
+       |      SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       |          AS t FROM documents) WHERE t <> '' GROUP BY 1))
+       |  GROUP BY 1),
+       |wlen AS MATERIALIZED (
+       |  SELECT w, f, CAST(len(w) AS INTEGER) AS wl FROM words),
+       |occ AS MATERIALIZED (
+       |  SELECT o.w, o.f, o.wl, s.s AS s, l.l AS l,
+       |    substr(o.w, s.s, l.l) AS p
+       |  FROM wlen o,
+       |    LATERAL (SELECT unnest(range(1, o.wl + 1)) AS s) s,
+       |    LATERAL (SELECT unnest(range(1, least($L, o.wl - s.s + 1) + 1))
+       |      AS l) l),
+       |scnt AS MATERIALIZED (
+       |  SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+       |${keepCtes(0, "scnt", seedK)},
+       |${(1 to iters).map(emIter).mkString(",\n")}
+       |SELECT p AS piece, CAST(n_est AS BIGINT) AS n_est, lp9
+       |FROM v$iters""".stripMargin
+  }
 
   /** CTE `hg(doc_id, lang_label, lang_guess)` — the q41/q238 stopword
     * heuristic replayed in SQL, shared by the q238 confusion board and

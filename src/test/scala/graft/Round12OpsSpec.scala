@@ -139,6 +139,64 @@ class Round12OpsSpec extends SparkSpec {
     assert(tk(3L) == Seq("ab", "abc", "bc", "bcd", "cd"))
   }
 
+  test("unigram lm: EM concentrates mass on the planted subword") {
+    // every word contains "ana": the trained model must give "ana"
+    // (or a superstring) heavy expected counts while junk substrings
+    // that never sit on an optimal path starve to zero
+    val docs = Seq((1L, "banana bandana cabana banana"),
+      (2L, "cabana bandana banana banana")).toDF("doc_id", "text")
+    val v = graft.operators.UnigramLm.emTrain(docs, "text", iters = 2,
+        maxPieceLen = 4, maxWordLen = 10, seedK = 50, keepK = 20)
+      .select("piece", "n_est", "lp9")
+      .as[(String, Long, Long)].collect()
+    val byPiece = v.map(t => t._1 -> t._2).toMap
+    assert(byPiece.keys.count(_.length == 1) ==
+      "bandc".toSet.size, "exactly the corpus alphabet survives as singles")
+    assert(byPiece.getOrElse("ana", 0L) + byPiece.getOrElse("anan", 0L)
+      + byPiece.getOrElse("ban", 0L) > 0L,
+      s"planted subwords carry mass: ${v.toSeq.sortBy(-_._2).take(8)}")
+    assert(v.forall(_._3 < 0L), "log-probs are negative on the 9dp grid")
+    assert(v.count(_._1.length >= 2) <= 20, "keepK bounds the multi vocab")
+  }
+
+  test("unigram lm: viterbi encode round-trips and ties break to longest piece") {
+    val vocab = Seq(("ab", -1000000000L), ("a", -2000000000L),
+      ("b", -2000000000L), ("c", -3000000000L))
+    val df = Seq((1L, "Abab, Cab!"), (2L, "zq ab")).toDF("id", "text")
+    val enc = df.select(col("id"),
+      graft.operators.UnigramLm.encode(col("text"), vocab).as("toks"))
+    val toks = enc.as[(Long, Seq[String])].collect().toMap
+    // "abab" -> ab|ab (score -2e9) beats a|b|a|b (-8e9); "cab" -> c|ab
+    assert(toks(1L) == Seq("ab", "ab", "</w>", "c", "ab", "</w>"), toks(1L))
+    // unknown chars encode as themselves (UNK-as-self), never fail
+    assert(toks(2L) == Seq("z", "q", "</w>", "ab", "</w>"), toks(2L))
+    val rt = enc.select(col("id"),
+        graft.operators.UnigramLm.decode(col("toks")).as("txt"))
+      .as[(Long, String)].collect().toMap
+    assert(rt(1L) == "abab cab" && rt(2L) == "zq ab",
+      "decode inverts to the canonical text")
+  }
+
+  test("unigram lm: trained encode round-trips the real corpus like BPE") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val vocab = graft.operators.UnigramLm.emTrain(docs, "text", iters = 1,
+        seedK = 200, keepK = 150)
+      .select("piece", "lp9").as[(String, Long)].collect().toSeq
+    val merges = graft.operators.Bpe.trainMerges(docs, "text",
+      nMerges = 30, maxWords = 500)
+    val both = docs.select(
+      graft.operators.Bpe.canonicalText(col("text")).as("canon"),
+      graft.operators.UnigramLm.decode(
+        graft.operators.UnigramLm.encode(col("text"), vocab)).as("uni"),
+      graft.operators.Bpe.decode(
+        graft.operators.Bpe.encode(col("text"), merges)).as("bpe"))
+    assert(both.filter(col("uni") =!= col("canon")).count() == 0,
+      "unigram encode/decode round-trips every doc")
+    assert(both.filter(col("bpe") =!= col("canon")).count() == 0,
+      "BPE baseline round-trips the same corpus")
+  }
+
   test("product6_fold: merge (partial-aggregate use) fails loud") {
     val df = Seq(500000L, 500000L).toDF("f6")
     val agg = df.groupBy().agg(
