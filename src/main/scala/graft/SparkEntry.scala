@@ -1023,6 +1023,36 @@ object SparkEntry {
         keepK = 200)
     }),
 
+    // WEIGHTED PageRank over the q106 co-occurrence graph with edge
+    // weight = co-occurrence COUNT (how many lineitems link the pair)
+    // — the rank the unweighted walk throws away: a pair linked by 50
+    // rows now pulls 50x the mass of a once-linked pair. Same integer
+    // discipline as q106 with the per-edge share straight on the
+    // 1e-12 grid (decimal(38,0) product, HUGEINT in the oracle).
+    "q314_weighted_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+          pmod(col("l_partkey"), lit(100L)).as("src"),
+          pmod(col("l_suppkey"), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      operators.PageRank.runWeighted(e, "w", iters = 5, damping = 0.85)
+    }),
+
+    // WEIGHTED label propagation over the q221 near-dup similarity
+    // graph, votes weighted by the 1e-6-snapped jaccard — a
+    // 0.9-duplicate neighbor pulls ~2.6x a 0.35 one, the structure
+    // the unweighted vote discards. Same deterministic
+    // (weight desc, label asc) argmax, 3 unrolled rounds.
+    "q315_weighted_lpa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35)
+        .withColumn("w6",
+          floor(col("jaccard") * lit(1e6) + lit(0.5d)).cast("long"))
+      operators.Graphs.weightedLabelPropagation(pairs, "id_a", "id_b",
+        "w6", d, "doc_id", iters = 3)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8762,6 +8792,43 @@ object SparkEntry {
     "q313_unigram_lm" -> UnigramLmOracle(iters = 2, maxPieceLen = 4,
       maxWordLen = 10, seedK = 300, keepK = 200),
 
+    "q314_weighted_pagerank" ->
+      ("""WITH e AS (
+        |  SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 100 <> l_suppkey % 100
+        |  GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+        |  FROM e GROUP BY 1),
+        |edegw AS (SELECT e.src, e.dst, e.w, o.wsum
+        |  FROM e JOIN wsum o ON e.src = o.src),
+        |pr0 AS (
+        |  SELECT node, (2000000 + nn.n) // (2 * nn.n) AS pr6 FROM nodes, nn),
+        |""".stripMargin +
+        (0 until 5).map(WPageRankIterCtes).mkString(",\n") + "\n" +
+        """SELECT node, CAST(pr6 AS DOUBLE) / 1000000 AS pr FROM pr5""".stripMargin),
+
+    "q315_weighted_lpa" ->
+      ("WITH " + JaccardCtes(0.35) + """,
+        |wnorm AS (
+        |  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v,
+        |    CAST(sum(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM jpairs GROUP BY 1, 2),
+        |wsym AS (SELECT u AS s, v AS d, w FROM wnorm
+        |  UNION ALL SELECT v, u, w FROM wnorm),
+        |wlab0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+        |""".stripMargin +
+        (1 to 3).map(WLpaIterCtes).mkString(",\n") + """
+        |SELECT l.id AS node, l.lab AS community, s.csize
+        |FROM wlab3 l JOIN (
+        |  SELECT lab, CAST(count(*) AS BIGINT) AS csize
+        |  FROM wlab3 GROUP BY 1) s USING (lab)""".stripMargin),
+
     "q312_char_langid" ->
       s"""WITH $CharNbGuessCtes,
          |m AS (SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
@@ -10708,6 +10775,48 @@ object SparkEntry {
   /** One synchronous LPA round as CTEs: neighbor-label counts, argmax
     * by (count desc, label asc), nodes with no neighbors keep their
     * label — mirroring `Graphs.labelPropagation` round for round. */
+  /** One WEIGHTED integer-grid PageRank iteration as CTEs — the q314
+    * share lands straight on the 1e-12 grid:
+    * `floor(pr6·10^6·w / W)` per edge (HUGEINT mirrors the engine's
+    * decimal(38,0) product), exact integer incoming sums. */
+  private def WPageRankIterCtes(i: Int): String = {
+    val (p, n) = (s"pr$i", s"pr${i + 1}")
+    s"""ins$i AS (
+       |  SELECT e.dst,
+       |    sum(CAST((CAST(p.pr6 AS HUGEINT) * 1000000 * e.w) // e.wsum
+       |      AS BIGINT)) AS in12
+       |  FROM edegw e JOIN $p p ON e.src = p.node
+       |  GROUP BY e.dst),
+       |dang$i AS (
+       |  SELECT coalesce(sum(p.pr6), 0) AS dang6
+       |  FROM $p p LEFT JOIN wsum o ON p.node = o.src
+       |  WHERE o.src IS NULL),
+       |$n AS (
+       |  SELECT p.node,
+       |    (((1000000 - 850000) * CAST(1000000 AS BIGINT)) // nn.n
+       |      + (850000 * (CAST(coalesce(i.in12, 0) AS HUGEINT)
+       |        + (d.dang6 * 1000000) // nn.n)) // 1000000
+       |      + 500000) // 1000000 AS pr6
+       |  FROM $p p LEFT JOIN ins$i i ON p.node = i.dst, dang$i d, nn)""".stripMargin
+  }
+
+  /** One weighted LPA round as CTEs: neighbor votes summed by edge
+    * weight, argmax (weight desc, label asc) — mirroring
+    * `Graphs.weightedLabelPropagation` round for round. */
+  private def WLpaIterCtes(i: Int): String =
+    s"""wcnt$i AS (
+       |  SELECT y.d AS id, l.lab, CAST(sum(y.w) AS BIGINT) AS wv
+       |  FROM wsym y JOIN wlab${i - 1} l ON l.id = y.s
+       |  GROUP BY 1, 2),
+       |warg$i AS (
+       |  SELECT id, lab AS newlab FROM (
+       |    SELECT id, lab, row_number() OVER (
+       |      PARTITION BY id ORDER BY wv DESC, lab ASC) AS rn
+       |    FROM wcnt$i) WHERE rn = 1),
+       |wlab$i AS (
+       |  SELECT n.id, coalesce(a.newlab, n.lab) AS lab
+       |  FROM wlab${i - 1} n LEFT JOIN warg$i a USING (id))""".stripMargin
+
   private def LpaIterCtes(i: Int): String =
     s"""cnt$i AS (
        |  SELECT y.d AS id, l.lab, count(*) AS cnt

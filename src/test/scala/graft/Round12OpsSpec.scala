@@ -197,6 +197,48 @@ class Round12OpsSpec extends SparkSpec {
       "BPE baseline round-trips the same corpus")
   }
 
+  test("weighted pagerank: heavy edges pull proportionally more mass") {
+    // hub 1 points at 2 (weight 9) and 3 (weight 1): node 2 must end
+    // far above node 3, while the unweighted walk ranks them equal
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val wpr = graft.operators.PageRank.runWeighted(e, "w", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // restart + dangling redistribution put a uniform floor under every
+    // node, so the gap is additive, not a pure 9:1 ratio
+    assert(wpr(2L) > wpr(3L) + 0.1,
+      s"the weight-9 target dominates the weight-1 target: $wpr")
+    val upr = graft.operators.PageRank.run(
+        e.select("src", "dst"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(upr(2L) == upr(3L), "unweighted baseline treats both alike")
+    // uniform weights reduce to symmetric behavior across partitionings
+    val big = (1 to 120).map(i =>
+      (i.toLong % 40, (i * 11).toLong % 40, (i % 3 + 1).toLong))
+      .filter(t => t._1 != t._2).toDF("src", "dst", "w")
+    val a = graft.operators.PageRank.runWeighted(big.repartition(1), "w", 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val b = graft.operators.PageRank.runWeighted(big.repartition(7), "w", 3)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    assert(a == b, "integer grid: bit-identical across partitionings")
+  }
+
+  test("weighted lpa: strong edges outvote a numerically larger weak clique") {
+    // node 10 has TWO weak (w=1) neighbors labeled 1,2 and ONE strong
+    // (w=5) neighbor labeled 3: count-votes pick min(1,2)=1, but
+    // weight-votes pick 3
+    val e = Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 10L, 5L))
+      .toDF("a", "b", "w")
+    val nodes = Seq(1L, 2L, 3L, 10L).toDF("id")
+    val wl = graft.operators.Graphs.weightedLabelPropagation(
+        e, "a", "b", "w", nodes, "id", iters = 1)
+      .select("node", "community").as[(Long, Long)].collect().toMap
+    assert(wl(10L) == 3L, s"weight 5 outvotes two weight-1 edges: $wl")
+    val ul = graft.operators.Graphs.labelPropagation(
+        e.select("a", "b"), "a", "b", nodes, "id", iters = 1)
+      .select("node", "community").as[(Long, Long)].collect().toMap
+    assert(ul(10L) == 1L, "count votes tie 1-1-1 and break to the smallest")
+  }
+
   test("product6_fold: merge (partial-aggregate use) fails loud") {
     val df = Seq(500000L, 500000L).toDF("f6")
     val agg = df.groupBy().agg(
