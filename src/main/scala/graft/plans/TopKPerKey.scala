@@ -1,11 +1,14 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator top-k-per-key: the rows that would rank 1..k within
   * each key group under `order` — the "best n per group" shape a dozen
@@ -17,19 +20,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * input. This operator keeps a bounded heap of k rows per key in one
   * pass: O(n log k), memory bounded by (#keys-per-partition × k) rows.
   *
-  * MEMORY CONTRACT — no spill path: the per-partition heap map is
-  * plain JVM heap with no TaskMemoryManager accounting, and unlike
-  * Spark's hash aggregate (which falls back to sort-based spilling)
-  * it cannot degrade gracefully — a pathological key cardinality
-  * would OOM the executor where the window form would spill and
-  * finish. The operator therefore fail-louds past
-  * `spark.graft.topk.maxKeysPerPartition` distinct keys per partition
-  * (default 8e6 — at k=3 short rows that is ~GB-scale working set,
-  * far past where the heap plan stopped being the right choice): the
-  * error names the conf and the window fallback instead of dying with
-  * an undiagnosable executor OOM. Keys are hash-clustered, so the cap
-  * applies to keys-per-PARTITION — raising shuffle partitions lowers
-  * the per-partition key count proportionally.
+  * MEMORY CONTRACT — the hash-aggregate discipline: the heap map is
+  * plain JVM heap, bounded by `spark.graft.topk.maxKeysPerPartition`
+  * distinct keys (default 8e6; at k=3 short rows that is ~GB-scale
+  * working set). Past the cap the operator DEGRADES to a managed
+  * sort-based pass — retained candidates plus the remaining input go
+  * through an `UnsafeExternalRowSorter` (TaskMemoryManager-accounted,
+  * spills to disk) ordered by (key, order), and the output is the
+  * first k rows per key group — exactly the hash aggregate's
+  * sort-fallback shape, so a pathological key cardinality finishes
+  * instead of OOMing. Eviction before the switch is safe: a row
+  * evicted from a key's heap already had k better rows for that key,
+  * so the candidate set entering the sort still contains every true
+  * top-k row. Keys are hash-clustered, so the cap applies to
+  * keys-per-PARTITION — raising shuffle partitions lowers the
+  * per-partition key count proportionally.
   *
   * This is the tier-(c) extension path (custom logical node →
   * `SparkStrategy` → physical `SparkPlan`, registered through
@@ -91,34 +96,83 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       }
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
+      var sorter: UnsafeExternalRowSorter = null
+      lazy val toUnsafe = UnsafeProjection.create(attrs, attrs)
+      def insertSorter(r: InternalRow): Unit = r match {
+        case u: UnsafeRow => sorter.insertRow(u)
+        case other => sorter.insertRow(toUnsafe(other)) // insertRow copies
+      }
+      while (it.hasNext && sorter == null) {
         val row = it.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          if (heaps.size() >= maxKeys) throw new IllegalStateException(
-            s"TopKPerKeyExec: more than $maxKeys distinct keys in one " +
-              "partition — the heap operator has no spill path, so this " +
-              "working set risks an executor OOM. Raise " +
-              "spark.graft.topk.maxKeysPerPartition (with executor memory " +
-              "to match), raise spark.sql.shuffle.partitions to spread " +
-              "keys, or use the row_number window form, which spills.")
+        if (heap == null && heaps.size() < maxKeys) {
           heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size() < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size() < kLocal) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+        } else {
+          // key cap hit: switch to the managed sort-based fallback —
+          // (key, order)-sorted external sort over the retained
+          // candidates plus everything not yet consumed
+          sorter = UnsafeExternalRowSorter.create(
+            DataTypeUtils.fromAttributes(attrs),
+            RowOrdering.create(
+              keysLocal.map(SortOrder(_, Ascending)) ++ orderLocal, attrs),
+            PrefixComparators.LONG,
+            new UnsafeExternalRowSorter.PrefixComputer {
+              private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+              override def computePrefix(row: InternalRow)
+                  : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+                p.isNull = false; p.value = 0L; p
+              }
+            },
+            SparkEnv.get.memoryManager.pageSizeBytes,
+            false)
+          val hIt = heaps.values().iterator()
+          while (hIt.hasNext) hIt.next().forEach(insertSorter(_))
+          heaps.clear()
+          insertSorter(row)
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      val hIt = heaps.values().iterator()
-      while (hIt.hasNext) {
-        val arr = hIt.next().toArray(Array.empty[InternalRow])
-        java.util.Arrays.sort(arr, ord)
-        out ++= arr
+      if (sorter == null) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        val hIt = heaps.values().iterator()
+        while (hIt.hasNext) {
+          val arr = hIt.next().toArray(Array.empty[InternalRow])
+          java.util.Arrays.sort(arr, ord)
+          out ++= arr
+        }
+        out.iterator
+      } else {
+        while (it.hasNext) insertSorter(it.next())
+        val sorted = sorter.sort()
+        // first k rows of every (key-adjacent, order-sorted) group
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var n = 0
+          private var pending: InternalRow = null
+          private def fetch(): Boolean = {
+            while (pending == null && sorted.hasNext) {
+              val r = sorted.next()
+              val k2 = keyProj(r)
+              if (curKey == null || k2 != curKey) { curKey = k2.copy(); n = 0 }
+              n += 1
+              if (n <= kLocal) pending = r
+            }
+            pending != null
+          }
+          override def hasNext: Boolean = pending != null || fetch()
+          override def next(): InternalRow = {
+            if (pending == null && !fetch()) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
+        }
       }
-      out.iterator
     }, preservesPartitioning = true)
   }
 

@@ -89,25 +89,24 @@ class TopKRewriteRuleSpec extends SparkSpec {
     }
   }
 
-  test("heap exec fail-louds past maxKeysPerPartition instead of OOMing") {
-    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "100")
+  test("heap exec degrades to the spilling sort fallback past maxKeysPerPartition") {
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "7")
     try {
-      // 1000 distinct keys funneled into ONE partition trips the cap
-      val df = (1L to 1000L).map(i => (i, i * 7 % 997)).toDF("k", "v")
-        .repartition(1)
-      val e = intercept[Exception] {
-        graft.operators.TopK.perKey(df, Seq("k"), Seq(("v", true)), k = 1)
-          .collect()
-      }
-      def chain(t: Throwable): Seq[Throwable] =
-        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
-      assert(chain(e).exists(t => Option(t.getMessage)
-        .exists(_.contains("maxKeysPerPartition"))),
-        s"expected the key-cap message, got $e")
-      // under the cap, same shape completes
-      val ok = (1L to 99L).map(i => (i, i)).toDF("k", "v").repartition(1)
-      assert(graft.operators.TopK.perKey(ok, Seq("k"), Seq(("v", true)), 1)
-        .count() == 99L)
+      // 1000 interleaved keys in ONE partition trip the 7-key cap
+      // mid-stream, after some heaps already admitted and evicted rows
+      val rows = (1 to 5000).map(i =>
+        ((i % 1000).toLong, (i * 7919 % 4999).toLong, i.toLong))
+      val df = rows.toDF("k", "v", "id").repartition(1)
+      val got = graft.operators.TopK.perKey(df, Seq("k"),
+          Seq(("v", true), ("id", true)), k = 2)
+        .select("k", "v", "id").as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("v").asc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("k", "v", "id").as[(Long, Long, Long)].collect().toSet
+      assert(got == want, "fallback path returns exactly the window top-k")
+      assert(got.size > 1900, "every key keeps its k rows through the switch")
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 }
