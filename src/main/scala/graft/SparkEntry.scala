@@ -1053,6 +1053,37 @@ object SparkEntry {
         "w6", d, "doc_id", iters = 3)
     }),
 
+    // Token-budget accounting under the TRAINED q313 unigram
+    // tokenizer: the per-word-length compression profile of the
+    // canonical (10-char-truncated, the training contract) vocabulary
+    // — pieces per word TYPE and per word OCCURRENCE, the number a
+    // pipeline multiplies into its token-budget forecasts. The
+    // trained vocab is a bounded driver literal (<= 236 pieces, the
+    // k-means-centroid collect discipline); encoding is the codegen'd
+    // Viterbi expression; the oracle replays training PLUS the encode
+    // DP with its min-split backtrace per word.
+    "q316_tokenizer_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.UnigramLm.emTrain(docs, "text", iters = 2,
+          maxPieceLen = 4, maxWordLen = 10, seedK = 300, keepK = 200)
+        .select(col("piece"), col("lp9")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val words = operators.Bpe.wordCounts(docs, "text")
+        .select(substring(col("word"), 1, 10).as("w"), col("cnt").as("f"))
+        .groupBy(col("w")).agg(sum(col("f")).as("f"))
+      words
+        .withColumn("toks", operators.UnigramLm.encode(col("w"), vocab))
+        .withColumn("np", (size(col("toks")) - 1).cast("long"))
+        .groupBy(length(col("w")).cast("long").as("wl"))
+        .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_occ"),
+          sum(col("np")).as("pieces_types"),
+          sum(col("np") * col("f")).as("pieces_occ"))
+        .withColumn("pieces_per_type6",
+          expr("(pieces_types * 1000000L) div n_types"))
+        .withColumn("pieces_per_occ6",
+          expr("(pieces_occ * 1000000L) div n_occ"))
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8789,8 +8820,11 @@ object SparkEntry {
 
     "q311_graph_ann_index" -> GraphAnnIndexOracle,
 
-    "q313_unigram_lm" -> UnigramLmOracle(iters = 2, maxPieceLen = 4,
+    "q313_unigram_lm" -> UnigramLmOracleSelect(iters = 2, maxPieceLen = 4,
       maxWordLen = 10, seedK = 300, keepK = 200),
+
+    "q316_tokenizer_budget" -> TokenizerBudgetOracle(iters = 2,
+      maxPieceLen = 4, maxWordLen = 10, seedK = 300, keepK = 200),
 
     "q314_weighted_pagerank" ->
       ("""WITH e AS (
@@ -11298,9 +11332,84 @@ object SparkEntry {
        |scnt AS MATERIALIZED (
        |  SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM occ GROUP BY 1),
        |${keepCtes(0, "scnt", seedK)},
-       |${(1 to iters).map(emIter).mkString(",\n")}
-       |SELECT p AS piece, CAST(n_est AS BIGINT) AS n_est, lp9
-       |FROM v$iters""".stripMargin
+       |${(1 to iters).map(emIter).mkString(",\n")}"""
+      .stripMargin
+  }
+
+  private def UnigramLmOracleSelect(iters: Int, maxPieceLen: Int,
+                                    maxWordLen: Int, seedK: Int,
+                                    keepK: Int): String =
+    UnigramLmOracle(iters, maxPieceLen, maxWordLen, seedK, keepK) +
+      s"\nSELECT p AS piece, CAST(n_est AS BIGINT) AS n_est, lp9 FROM v$iters"
+
+  /** Oracle for q316_tokenizer_budget: the full q313 training replay
+    * plus the Viterbi ENCODE under the final vocabulary — a fresh
+    * forward DP per word (unrolled levels, now scored by v{iters}),
+    * the min-split-point rule at every position (`bj` CTEs — the
+    * engine expression's longest-final-piece tie-break), and the
+    * unrolled backtrace chain counting pieces per word. */
+  private def TokenizerBudgetOracle(iters: Int, maxPieceLen: Int,
+                                    maxWordLen: Int, seedK: Int,
+                                    keepK: Int): String = {
+    val L = maxPieceLen
+    val W = maxWordLen
+    val vf = s"v$iters"
+    def fwd(i: Int): String = {
+      val union = (math.max(0, i - L) until i)
+        .map(j => s"SELECT w, s9, $j AS jj FROM e_$j")
+        .mkString("\n    UNION ALL ")
+      s"""e_$i AS MATERIALIZED (
+         |  SELECT u.w, max(u.s9 + v.lp9) AS s9 FROM (
+         |    $union) u
+         |  JOIN wlen ww ON ww.w = u.w AND ww.wl >= $i
+         |  JOIN $vf v ON v.p = substr(u.w, u.jj + 1, $i - u.jj)
+         |  GROUP BY 1)""".stripMargin
+    }
+    def bj(i: Int): String = {
+      val union = (math.max(0, i - L) until i)
+        .map(j => s"SELECT w, s9, $j AS jj FROM e_$j")
+        .mkString("\n    UNION ALL ")
+      s"""bj_$i AS MATERIALIZED (
+         |  SELECT u.w, min(u.jj) AS bj FROM (
+         |    $union) u
+         |  JOIN wlen ww ON ww.w = u.w AND ww.wl >= $i
+         |  JOIN $vf v ON v.p = substr(u.w, u.jj + 1, $i - u.jj)
+         |  JOIN e_$i t ON t.w = u.w
+         |  WHERE u.s9 + v.lp9 = t.s9
+         |  GROUP BY 1)""".stripMargin
+    }
+    def chain(s: Int): String =
+      s"""c$s AS MATERIALIZED (
+         |  SELECT c.w, b.bj AS pos, c.np + 1 AS np
+         |  FROM c${s - 1} c JOIN bja b ON b.w = c.w AND b.i = c.pos
+         |  WHERE c.pos > 0)""".stripMargin
+    val bja = (1 to W).map(i => s"SELECT w, $i AS i, bj FROM bj_$i")
+      .mkString("\n  UNION ALL ")
+    val chains = (0 to W).map(s => s"SELECT w, pos, np FROM c$s")
+      .mkString("\n    UNION ALL ")
+    UnigramLmOracle(iters, maxPieceLen, maxWordLen, seedK, keepK) + s""",
+       |e_0 AS (SELECT w, CAST(0 AS BIGINT) AS s9 FROM wlen),
+       |${(1 to W).map(fwd).mkString(",\n")},
+       |${(1 to W).map(bj).mkString(",\n")},
+       |bja AS MATERIALIZED (
+       |  $bja),
+       |c0 AS (SELECT w, wl AS pos, CAST(0 AS BIGINT) AS np FROM wlen),
+       |${(1 to W).map(chain).mkString(",\n")},
+       |npw AS MATERIALIZED (
+       |  SELECT w, CAST(max(np) AS BIGINT) AS np FROM (
+       |    $chains)
+       |  WHERE pos = 0 GROUP BY 1)
+       |SELECT CAST(ww.wl AS BIGINT) AS wl,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(ww.f) AS BIGINT) AS n_occ,
+       |  CAST(sum(n.np) AS BIGINT) AS pieces_types,
+       |  CAST(sum(n.np * ww.f) AS BIGINT) AS pieces_occ,
+       |  CAST((sum(n.np) * 1000000) // count(*) AS BIGINT)
+       |    AS pieces_per_type6,
+       |  CAST((sum(n.np * ww.f) * 1000000) // sum(ww.f) AS BIGINT)
+       |    AS pieces_per_occ6
+       |FROM npw n JOIN wlen ww ON ww.w = n.w
+       |GROUP BY 1""".stripMargin
   }
 
   /** CTE `hg(doc_id, lang_label, lang_guess)` — the q41/q238 stopword
