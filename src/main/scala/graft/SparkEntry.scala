@@ -1084,6 +1084,55 @@ object SparkEntry {
           expr("(pieces_occ * 1000000L) div n_occ"))
     }),
 
+    // Incremental ANN-index maintenance: the q311 index built WITHOUT
+    // vec_ids 5..24, then those 20 vectors inserted via graphAppend
+    // (beam-searched neighborhoods + reverse-edge re-rank — never a
+    // rebuild), then the probes searched against the UPDATED persisted
+    // index. The board adds delta accounting: of each probe's exact
+    // top-10 that live in the inserted batch, how many the post-append
+    // search finds — proof the insertion made new nodes discoverable,
+    // not just stored. Oracle replays base build, insertion and the
+    // layered search end to end.
+    "q317_graph_ann_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val isDelta = col("vec_id") >= 5 && col("vec_id") < 25
+      val base = e.filter(!isDelta)
+      val delta = e.filter(isDelta)
+      val qs = e.filter(col("vec_id") < 5)
+      val path = java.nio.file.Files.createTempDirectory("graft-gann-app")
+        .toString
+      operators.GraphAnn.graphWrite(base, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, degree = 16, refine = 2, path = path,
+        upperMod = 4, upperDegree = 8, upperRefine = 1)
+      operators.GraphAnn.graphAppend(s, path, base, delta, "vec_id",
+        "embedding", dim = 64, planes = 4, tables = 2, degree = 16,
+        rounds = 3, beamWidth = 32, entries = Seq(0L, 4L, 28L, 32L))
+      val ann = operators.GraphAnn.layeredTopKPartitioned(s, path, e, qs,
+          "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+          entries = Seq(0L, 4L, 28L, 32L), upperRounds = 2, upperWidth = 16,
+          rounds = 3, beamWidth = 32)
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      val board = exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("vec_id") >= 5 && col("vec_id") < 25, 1L)
+            .otherwise(0L)).as("delta_exact"))
+      val found = hits.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("index_hits"),
+          sum(when(col("vec_id") >= 5 && col("vec_id") < 25, 1L)
+            .otherwise(0L)).as("delta_found"))
+      board.join(found, Seq("query_id"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("index_hits"), lit(0L)).as("index_hits"),
+          col("delta_exact"),
+          coalesce(col("delta_found"), lit(0L)).as("delta_found"),
+          (coalesce(col("index_hits"), lit(0L)).cast("double")
+            / col("k").cast("double") >= 0.7d).as("recall_ok"))
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8820,6 +8869,8 @@ object SparkEntry {
 
     "q311_graph_ann_index" -> GraphAnnIndexOracle,
 
+    "q317_graph_ann_append" -> GraphAnnAppendOracle,
+
     "q313_unigram_lm" -> UnigramLmOracleSelect(iters = 2, maxPieceLen = 4,
       maxWordLen = 10, seedK = 300, keepK = 200),
 
@@ -11734,61 +11785,75 @@ object SparkEntry {
     * bucket mates, and the exact top-10 board. The parquet round trip
     * the engine does between build and search is value-invariant
     * (long edge pairs), so the replay skips it. */
+  /** Scored (src, dst) edge top-k CTE pair — shared by the graph-ANN
+    * oracles (q311/q317). */
+  private def gannEdgeTopK(in: String, out: String, degree: Int): String =
+    s"""${out}s AS MATERIALIZED (
+       |  SELECT c.src, c.dst,
+       |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+       |      (SELECT sum(CAST(x * y AS DOUBLE))
+       |       FROM (SELECT unnest(a.embedding) AS x,
+       |             unnest(b.embedding) AS y))
+       |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cos
+       |  FROM $in c
+       |  JOIN emb a ON a.vec_id = c.src
+       |  JOIN emb b ON b.vec_id = c.dst
+       |  JOIN nrm na ON na.vec_id = c.src
+       |  JOIN nrm nb ON nb.vec_id = c.dst),
+       |$out AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst ASC) AS rn FROM ${out}s)
+       |  WHERE rn <= $degree)""".stripMargin
+
+  private def gannQueryTopK(in: String, out: String, k: Int): String =
+    s"""${out}s AS MATERIALIZED (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
+       |      (SELECT sum(CAST(x * y AS DOUBLE))
+       |       FROM (SELECT unnest(a.embedding) AS x,
+       |             unnest(b.embedding) AS y))
+       |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cosine
+       |  FROM $in c
+       |  JOIN emb a ON a.vec_id = c.query_id
+       |  JOIN emb b ON b.vec_id = c.vec_id
+       |  JOIN nrm na ON na.vec_id = c.query_id
+       |  JOIN nrm nb ON nb.vec_id = c.vec_id),
+       |$out AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+       |      AS rn FROM ${out}s)
+       |  WHERE rn <= $k)""".stripMargin
+
+  private def gannNnDescent(g: String, i: Int, degree: Int): String =
+    s"""$g${i}c AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM $g${i - 1}
+       |    UNION ALL SELECT dst, src FROM $g${i - 1}
+       |    UNION ALL SELECT a.src, b.dst
+       |      FROM $g${i - 1} a JOIN $g${i - 1} b ON b.src = a.dst)
+       |  WHERE src <> dst),
+       |${gannEdgeTopK(s"$g${i}c", s"$g$i", degree)}""".stripMargin
+
+  private def gannBeamRound(b: String, r: Int, g: String, width: Int): String =
+    s"""${b}x$r AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT b.query_id, g.dst AS vec_id
+       |      FROM $b${r - 1} b JOIN $g g ON g.src = b.vec_id
+       |    UNION ALL SELECT query_id, vec_id FROM $b${r - 1})
+       |  WHERE vec_id <> query_id),
+       |${gannQueryTopK(s"${b}x$r", s"$b$r", width)}""".stripMargin
+
   private def GraphAnnIndexOracle: String = {
     def edgeTopK(in: String, out: String, degree: Int): String =
-      s"""${out}s AS MATERIALIZED (
-         |  SELECT c.src, c.dst,
-         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
-         |      (SELECT sum(CAST(x * y AS DOUBLE))
-         |       FROM (SELECT unnest(a.embedding) AS x,
-         |             unnest(b.embedding) AS y))
-         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cos
-         |  FROM $in c
-         |  JOIN emb a ON a.vec_id = c.src
-         |  JOIN emb b ON b.vec_id = c.dst
-         |  JOIN nrm na ON na.vec_id = c.src
-         |  JOIN nrm nb ON nb.vec_id = c.dst),
-         |$out AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |      ORDER BY cos DESC, dst ASC) AS rn FROM ${out}s)
-         |  WHERE rn <= $degree)""".stripMargin
+      gannEdgeTopK(in, out, degree)
     def queryTopK(in: String, out: String, k: Int): String =
-      s"""${out}s AS MATERIALIZED (
-         |  SELECT c.query_id, c.vec_id,
-         |    round(CASE WHEN sqrt(na.nsq) * sqrt(nb.nsq) > 0 THEN
-         |      (SELECT sum(CAST(x * y AS DOUBLE))
-         |       FROM (SELECT unnest(a.embedding) AS x,
-         |             unnest(b.embedding) AS y))
-         |      / (sqrt(na.nsq) * sqrt(nb.nsq)) ELSE 0.0 END, 6) AS cosine
-         |  FROM $in c
-         |  JOIN emb a ON a.vec_id = c.query_id
-         |  JOIN emb b ON b.vec_id = c.vec_id
-         |  JOIN nrm na ON na.vec_id = c.query_id
-         |  JOIN nrm nb ON nb.vec_id = c.vec_id),
-         |$out AS MATERIALIZED (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
-         |      AS rn FROM ${out}s)
-         |  WHERE rn <= $k)""".stripMargin
+      gannQueryTopK(in, out, k)
     def nnDescent(g: String, i: Int, degree: Int): String =
-      s"""$g${i}c AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM $g${i - 1}
-         |    UNION ALL SELECT dst, src FROM $g${i - 1}
-         |    UNION ALL SELECT a.src, b.dst
-         |      FROM $g${i - 1} a JOIN $g${i - 1} b ON b.src = a.dst)
-         |  WHERE src <> dst),
-         |${edgeTopK(s"$g${i}c", s"$g$i", degree)}""".stripMargin
+      gannNnDescent(g, i, degree)
     def beamRound(b: String, r: Int, g: String, width: Int): String =
-      s"""${b}x$r AS MATERIALIZED (
-         |  SELECT DISTINCT query_id, vec_id FROM (
-         |    SELECT b.query_id, g.dst AS vec_id
-         |      FROM $b${r - 1} b JOIN $g g ON g.src = b.vec_id
-         |    UNION ALL SELECT query_id, vec_id FROM $b${r - 1})
-         |  WHERE vec_id <> query_id),
-         |${queryTopK(s"${b}x$r", s"$b$r", width)}""".stripMargin
+      gannBeamRound(b, r, g, width)
     s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings),
        |cb AS MATERIALIZED (
@@ -11860,6 +11925,121 @@ object SparkEntry {
        |  (CAST(tt.gt AS DOUBLE) / CAST(tt.kt AS DOUBLE)
        |    >= 0.9) AS layer_corpus_ok
        |FROM agg a LEFT JOIN hits h USING (query_id), tt""".stripMargin
+  }
+
+  /** Oracle for q317_graph_ann_append: REPLAYS graphWrite over the
+    * BASE corpus (vec_id < 5 or >= 25), the graphAppend insertion of
+    * the 20-vector delta (beam-searched forward edges + delta-delta
+    * bucket mates, affected-base reverse-edge re-rank, merge), and the
+    * layered probe search over the UPDATED graph — plus the delta
+    * accounting board. The parquet rewrite between steps is
+    * value-invariant, so the replay chains the CTEs directly. */
+  private def GraphAnnAppendOracle: String = {
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${BucketExprSql(nPlanes = 8)} AS b8
+       |  FROM emb e),
+       |ckf AS MATERIALIZED (SELECT vec_id, 0 AS tbl, b8 % 16 AS key FROM cb
+       |       UNION ALL SELECT vec_id, 1, b8 // 16 FROM cb),
+       |ckb AS MATERIALIZED (SELECT * FROM ckf
+       |  WHERE vec_id < 5 OR vec_id >= 25),
+       |ckd AS MATERIALIZED (SELECT * FROM ckf
+       |  WHERE vec_id >= 5 AND vec_id < 25),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, (SELECT sum(CAST(x * x AS DOUBLE))
+       |    FROM (SELECT unnest(embedding) AS x)) AS nsq
+       |  FROM emb),
+       |g0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ckb a JOIN ckb b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${gannEdgeTopK("g0c", "g0", 16)},
+       |${gannNnDescent("g", 1, 16)},
+       |${gannNnDescent("g", 2, 16)},
+       |uk AS MATERIALIZED (SELECT * FROM ckb WHERE vec_id % 4 = 0),
+       |u0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM uk a JOIN uk b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${gannEdgeTopK("u0c", "u0", 8)},
+       |${gannNnDescent("u", 1, 8)},
+       |sd2 AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT dk.vec_id AS query_id, c.vec_id
+       |    FROM ckd dk JOIN ckb c ON c.tbl = dk.tbl AND c.key = dk.key
+       |    UNION ALL
+       |    SELECT d.vec_id, t.n FROM
+       |      (SELECT DISTINCT vec_id FROM ckd) d,
+       |      (SELECT unnest([0, 4, 28, 32]) AS n) t)
+       |  WHERE vec_id <> query_id),
+       |${gannQueryTopK("sd2", "db0", 32)},
+       |${gannBeamRound("db", 1, "g2", 32)},
+       |${gannBeamRound("db", 2, "g2", 32)},
+       |${gannBeamRound("db", 3, "g2", 32)},
+       |fc AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT query_id AS src, vec_id AS dst FROM db3
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id FROM ckd a
+       |    JOIN ckd b ON a.tbl = b.tbl AND a.key = b.key
+       |      AND a.vec_id <> b.vec_id)),
+       |${gannEdgeTopK("fc", "fwd", 16)},
+       |aff AS MATERIALIZED (SELECT DISTINCT dst AS src FROM fwd),
+       |ac AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT g.src, g.dst FROM g2 g JOIN aff ON aff.src = g.src
+       |    UNION ALL SELECT f.dst, f.src FROM fwd f)),
+       |${gannEdgeTopK("ac", "affE", 16)},
+       |gm AS MATERIALIZED (
+       |  SELECT g.src, g.dst FROM g2 g LEFT JOIN aff a ON a.src = g.src
+       |  WHERE a.src IS NULL
+       |  UNION ALL SELECT src, dst FROM affE
+       |  UNION ALL SELECT src, dst FROM fwd),
+       |us3 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, t.n AS vec_id FROM
+       |    (SELECT vec_id FROM emb WHERE vec_id < 5) q,
+       |    (SELECT unnest([0, 4, 28, 32]) AS n) t
+       |  WHERE t.n <> q.vec_id),
+       |${gannQueryTopK("us3", "pb0", 16)},
+       |${gannBeamRound("pb", 1, "u1", 16)},
+       |${gannBeamRound("pb", 2, "u1", 16)},
+       |fs3 AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id FROM pb2
+       |    UNION ALL
+       |    SELECT qk.vec_id AS query_id, c.vec_id
+       |    FROM ckf qk JOIN ckf c ON c.tbl = qk.tbl AND c.key = qk.key
+       |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
+       |${gannQueryTopK("fs3", "sb0", 32)},
+       |${gannBeamRound("sb", 1, "gm", 32)},
+       |${gannBeamRound("sb", 2, "gm", 32)},
+       |${gannBeamRound("sb", 3, "gm", 32)},
+       |${gannQueryTopK("sb3", "fin", 10)},
+       |ex0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.vec_id
+       |  FROM emb q, emb e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |${gannQueryTopK("ex0", "exact", 10)},
+       |agg AS MATERIALIZED (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(CASE WHEN vec_id >= 5 AND vec_id < 25
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS delta_exact
+       |  FROM exact GROUP BY 1),
+       |hits AS MATERIALIZED (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS index_hits,
+       |    CAST(sum(CASE WHEN e.vec_id >= 5 AND e.vec_id < 25
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS delta_found
+       |  FROM exact e JOIN fin f ON f.query_id = e.query_id
+       |    AND f.vec_id = e.vec_id
+       |  GROUP BY 1)
+       |SELECT a.query_id, a.k,
+       |  CAST(coalesce(h.index_hits, 0) AS BIGINT) AS index_hits,
+       |  a.delta_exact,
+       |  CAST(coalesce(h.delta_found, 0) AS BIGINT) AS delta_found,
+       |  (CAST(coalesce(h.index_hits, 0) AS DOUBLE) / CAST(a.k AS DOUBLE)
+       |    >= 0.7) AS recall_ok
+       |FROM agg a LEFT JOIN hits h USING (query_id)""".stripMargin
   }
 
   private def LshOracleSql: String = {

@@ -213,6 +213,78 @@ object GraphAnn {
     beamTopK(corpus, queries, edges, seeds, idCol, vecCol, rounds, beamWidth)
   }
 
+  /** Rank a (src, dst) candidate frame to the `degree` best per src by
+    * (cosine desc, dst asc), scoring against `vecs` (vec_id, cv). */
+  private def topEdges(cand: DataFrame, vecs: DataFrame,
+                       degree: Int): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    cand.select(col("src"), col("dst"))
+      .join(vecs.select(col("vec_id").as("src"), col("cv").as("sv")),
+        Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("cv").as("dv")),
+        Seq("dst"))
+      .withColumn("cos", round(Similarity.cosine(col("sv"), col("dv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= degree)
+      .select(col("src"), col("dst"))
+  }
+
+  /** INCREMENTAL index maintenance — insert a `delta` batch into a
+    * [[graphWrite]] index WITHOUT rebuilding (the HNSW insertion
+    * pattern, batched): each new node beam-searches the existing
+    * full-layer graph for its neighborhood (plus LSH bucket mates
+    * among the delta itself, so intra-batch near-dups still connect),
+    * keeps its `degree` best by (cosine desc, id asc), and the
+    * affected base nodes re-rank their adjacency over
+    * (existing targets ∪ new reverse partners) — the standard
+    * insert-with-reverse-edges + prune step, made deterministic by the
+    * fixed tie-breaks. The merged edge list replaces `$path/edges`
+    * (materialized through a lineage cut first — never a lazy
+    * self-overwrite).
+    *
+    * The upper ROUTING layer is deliberately left stale (it only
+    * seeds the beam; new nodes are reachable through the full-layer
+    * forward AND reverse edges) — rebuild it on the normal compaction
+    * cadence, the manifest-table discipline.
+    *
+    * Cost is delta-proportional: one beam search per new node over
+    * the persisted graph + rescoring of the touched base adjacencies;
+    * the base corpus is never re-paired. */
+  def graphAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                  base: DataFrame, delta: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, planes: Int, tables: Int,
+                  degree: Int, rounds: Int, beamWidth: Int,
+                  entries: Seq[Long], shards: Int = 32): Unit = {
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
+    val all = base.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .unionByName(delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+    val seeds = lshSeeds(base, delta, idCol, vecCol, dim, planes, tables,
+      entries)
+    val beamNbrs = beamTopK(base, delta, edges, seeds, idCol, vecCol,
+        rounds, beamWidth)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val dk = tableKeys(delta, idCol, vecCol, dim, planes, tables, "vec_id")
+    val mates = dk
+      .join(dk.select(col("tbl"), col("key"), col("vec_id").as("dst")),
+        Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"))
+    val fwd = Lineage.cut(topEdges(
+      beamNbrs.unionByName(mates).distinct(), all, degree))
+    // base nodes gaining reverse edges re-rank over old ∪ new targets
+    val aff = fwd.select(col("dst").as("src")).distinct()
+    val acand = edges.join(aff, Seq("src"), "left_semi")
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val merged = Lineage.cut(
+      edges.join(aff, Seq("src"), "left_anti")
+        .unionByName(topEdges(acand, all, degree))
+        .unionByName(fwd))
+    merged.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+  }
+
   private implicit class LongSeqToDf(xs: Seq[Long]) {
     def toDF(name: String): DataFrame = {
       val spark = org.apache.spark.sql.SparkSession.active

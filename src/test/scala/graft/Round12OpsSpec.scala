@@ -239,6 +239,38 @@ class Round12OpsSpec extends SparkSpec {
     assert(ul(10L) == 1L, "count votes tie 1-1-1 and break to the smallest")
   }
 
+  test("graph ann append: inserted group-mates become the probe's top results") {
+    // 64 vectors in 8 axis-aligned groups (the planted-neighbor
+    // fixture): build the index WITHOUT probe 0's seven group-mates,
+    // append them, and the post-append search must surface exactly
+    // those mates — proof insertion rewires the graph, not just stores
+    val vecs = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(8 * (i % 8)) = 1.0f
+      v(8 * (i % 8) + 1) = 0.001f * (i / 8 + 1)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val mates = (0 until 64).filter(i => i % 8 == 0 && i != 0).map(_.toLong)
+    val base = vecs.filter(!col("vec_id").isin(mates: _*))
+    val delta = vecs.filter(col("vec_id").isin(mates: _*))
+    val path = tmpDir("graft-gann-app-spec")
+    graft.operators.GraphAnn.graphWrite(base, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    graft.operators.GraphAnn.graphAppend(spark, path, base, delta,
+      "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+      degree = 8, rounds = 3, beamWidth = 16,
+      entries = Seq(4L, 12L, 20L, 28L))
+    val got = graft.operators.GraphAnn.layeredTopKPartitioned(spark, path,
+        vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 64, planes = 4, tables = 2,
+        entries = Seq(4L, 12L, 20L, 28L), upperRounds = 2, upperWidth = 8,
+        rounds = 3, beamWidth = 16)
+      .filter(col("rank") <= 7).select("vec_id").as[Long].collect().toSet
+    assert(got == mates.toSet,
+      s"probe 0 finds exactly its inserted group-mates, got $got")
+  }
+
   test("product6_fold: merge (partial-aggregate use) fails loud") {
     val df = Seq(500000L, 500000L).toDF("f6")
     val agg = df.groupBy().agg(
