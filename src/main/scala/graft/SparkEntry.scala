@@ -1102,7 +1102,7 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft-gann-app")
         .toString
       operators.GraphAnn.graphWrite(base, "vec_id", "embedding", dim = 64,
-        planes = 4, tables = 2, degree = 16, refine = 2, path = path,
+        planes = 4, tables = 2, degree = 16, refine = 1, path = path,
         upperMod = 4, upperDegree = 8, upperRefine = 1)
       operators.GraphAnn.graphAppend(s, path, base, delta, "vec_id",
         "embedding", dim = 64, planes = 4, tables = 2, degree = 16,
@@ -11956,7 +11956,6 @@ object SparkEntry {
        |    AND a.vec_id <> b.vec_id),
        |${gannEdgeTopK("g0c", "g0", 16)},
        |${gannNnDescent("g", 1, 16)},
-       |${gannNnDescent("g", 2, 16)},
        |uk AS MATERIALIZED (SELECT * FROM ckb WHERE vec_id % 4 = 0),
        |u0c AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -11974,9 +11973,9 @@ object SparkEntry {
        |      (SELECT unnest([0, 4, 28, 32]) AS n) t)
        |  WHERE vec_id <> query_id),
        |${gannQueryTopK("sd2", "db0", 32)},
-       |${gannBeamRound("db", 1, "g2", 32)},
-       |${gannBeamRound("db", 2, "g2", 32)},
-       |${gannBeamRound("db", 3, "g2", 32)},
+       |${gannBeamRound("db", 1, "g1", 32)},
+       |${gannBeamRound("db", 2, "g1", 32)},
+       |${gannBeamRound("db", 3, "g1", 32)},
        |fc AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT query_id AS src, vec_id AS dst FROM db3
@@ -11988,11 +11987,11 @@ object SparkEntry {
        |aff AS MATERIALIZED (SELECT DISTINCT dst AS src FROM fwd),
        |ac AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT g.src, g.dst FROM g2 g JOIN aff ON aff.src = g.src
+       |    SELECT g.src, g.dst FROM g1 g JOIN aff ON aff.src = g.src
        |    UNION ALL SELECT f.dst, f.src FROM fwd f)),
        |${gannEdgeTopK("ac", "affE", 16)},
        |gm AS MATERIALIZED (
-       |  SELECT g.src, g.dst FROM g2 g LEFT JOIN aff a ON a.src = g.src
+       |  SELECT g.src, g.dst FROM g1 g LEFT JOIN aff a ON a.src = g.src
        |  WHERE a.src IS NULL
        |  UNION ALL SELECT src, dst FROM affE
        |  UNION ALL SELECT src, dst FROM fwd),
