@@ -227,7 +227,8 @@ object Graphs {
     for (_ <- 1 to iters) {
       val best = labels.join(sym, labels("id") === sym("s"))
         .groupBy(col("d").as("id2"), col("lab"))
-        .agg(sum(col("w")).as("wv"))
+        // decimal vote sums — long would wrap where DuckDB widens
+        .agg(sum(col("w").cast("decimal(38,0)")).as("wv"))
         .groupBy(col("id2"))
         .agg(max(struct(col("wv"), (-col("lab")).as("nl"))).as("m"))
         .select(col("id2").as("id"), (-col("m.nl")).as("newlab"))

@@ -122,7 +122,12 @@ object PageRank {
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
-    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    // decimal out-weight totals: a long sum would wrap silently at
+    // ~9e18 total weight per node while DuckDB widens to HUGEINT —
+    // the exact cross-engine divergence class this operator exists
+    // to rule out (the Markov renormalizer discipline)
+    val wsum = e.groupBy("src")
+      .agg(sum(col("w").cast("decimal(38,0)")).as("wsum"))
     val eW = cut(e.join(wsum, "src"))
     val dangNodes = nodes.join(wsum, nodes("node") === wsum("src"), "left_anti")
     var pr = cut(nodes.withColumn("pr6",

@@ -59,6 +59,15 @@ object UnigramLm {
               seedK: Int = 300, keepK: Int = 200): DataFrame = {
     require(iters >= 1 && maxPieceLen >= 2 && maxWordLen >= maxPieceLen
       && seedK >= 1 && keepK >= 1, "bad unigram-LM hyperparameters")
+    // the vocabulary rides as a map COLUMN on every word row (the
+    // crossJoin below copies its bytes per row): cap it so a config
+    // mistake degrades loudly instead of multiplying the word table
+    // by a gigabyte-scale literal
+    require(seedK <= 65536 && keepK <= 65536,
+      s"unigram-LM vocab caps seedK=$seedK/keepK=$keepK exceed 65536 — " +
+        "the vocabulary map is materialized per word row during the DP; " +
+        "train a larger vocabulary hierarchically (per-shard vocabs, " +
+        "merged) rather than widening the broadcast map")
     val words = Lineage.cut(Bpe.wordCounts(df, textCol)
       .select(substring(col("word"), 1, maxWordLen).as("w"),
         col("cnt").as("f"))
