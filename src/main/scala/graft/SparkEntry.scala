@@ -57,6 +57,20 @@ object SparkEntry {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Order-free integer self-checksum over all-BIGINT output columns
+    * (q318/q319 diagnostic): the Validate polynomial rowMix per row,
+    * summed mod P across the table, replicated onto every row as
+    * `board_ck`. The single-partition window is over the FINAL board
+    * (tens of rows), never the data. */
+  private def withBoardChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.operators.Validate
+    df.withColumn("__mix", Validate.rowMix(cols.map(c => Validate.enc.long(col(c)))))
+      .withColumn("board_ck",
+        (sum(col("__mix").cast("decimal(38,0)"))
+          .over(Window.partitionBy()) % lit(Validate.P)).cast("long"))
+      .drop("__mix")
+  }
+
   /** Fixed evaluation queries for the q295 NDCG board — corpus-vocab
     * terms, one query per operator family so graded relevance (term
     * coverage) spreads over 1..3. Shared verbatim with the oracle. */
@@ -1131,6 +1145,32 @@ object SparkEntry {
           coalesce(col("delta_found"), lit(0L)).as("delta_found"),
           (coalesce(col("index_hits"), lit(0L)).cast("double")
             / col("k").cast("double") >= 0.7d).as("recall_ok"))
+    }),
+
+    // HARNESS-INTERACTION DIAGNOSTIC for the three-round q252/q282
+    // hash-only red (rows/schema green, value-level DuckDB compare
+    // green locally — see ROUND13.md): the IDENTICAL all-integer
+    // bodies re-registered under FRESH names, to falsify per-name
+    // stale state in the driver's compare, PLUS an order-free integer
+    // self-checksum column (`board_ck`: the q120 Validate polynomial
+    // over the four BIGINT output columns, summed mod 2^31-1,
+    // replicated on every row) computed identically by the oracle —
+    // so any future mismatch localizes to values (board_ck differs)
+    // vs hash canonicalization (board_ck equal, hash red).
+    "q318_kaplan_meier_v2" -> ((s, dir) => {
+      val km = operators.Survival.kaplanMeier(
+        operators.Survival.sessionLifetimes(t(s, dir, "events"), "user_id",
+          "ts", "event_id", gapSeconds = 1800L),
+        durationCol = "duration_min").drop("survival")
+      withBoardChecksum(km, Seq("t_days", "n_risk", "n_events", "survival_p6"))
+    }),
+
+    // q282's body verbatim under a fresh name + board_ck (see q318).
+    "q319_user_survival_v2" -> ((s, dir) => {
+      val km = operators.Survival.kaplanMeier(
+        operators.Survival.lifetimes(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", censorDays = 90)).drop("survival")
+      withBoardChecksum(km, Seq("t_days", "n_risk", "n_events", "survival_p6"))
     }),
 
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
@@ -4337,6 +4377,112 @@ object SparkEntry {
     "batch part", "fast spark", "hash value", "key agg",
     "row scan", "slow merge", "sort table", "table window")
 
+  /** Session-level Kaplan–Meier oracle (q252; wrapped for q318): the
+    * exact integer product-limit fold as a recursive CTE. Shared so the
+    * fresh-name diagnostic re-registration cannot drift from the
+    * original. */
+  private val KmSessionOracleSql: String =
+    """WITH RECURSIVE sess AS (
+      |  SELECT user_id,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |    epoch_us(ts) AS us
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id)) > 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events)),
+      |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+      |lt AS (
+      |  SELECT CAST((max(us) - min(us)) // 60000000 AS BIGINT) AS dur,
+      |    (max(e.end_us) - max(us) >= 1800000000) AS obs
+      |  FROM sess, e GROUP BY user_id, sid),
+      |perT AS (
+      |  SELECT dur AS t,
+      |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS leaving
+      |  FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+      |r AS (
+      |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM perT, tot),
+      |r2 AS (
+      |  SELECT t, d, n_risk,
+      |    ((n_risk - d) * 1000000) // n_risk AS f6,
+      |    row_number() OVER (ORDER BY t) AS rn
+      |  FROM r),
+      |prod AS (
+      |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
+      |  FROM r2 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
+      |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
+      |SELECT t AS t_days, n_risk, d AS n_events,
+      |  CAST(p6 AS BIGINT) AS survival_p6
+      |FROM prod WHERE d > 0""".stripMargin
+
+  /** Customer-lifetime Kaplan–Meier oracle (q282; wrapped for q319). */
+  private val KmUserOracleSql: String =
+    """WITH RECURSIVE sp AS (
+      |  SELECT o_custkey,
+      |    min(CAST(o_orderdate AS DATE)) AS first_day,
+      |    max(CAST(o_orderdate AS DATE)) AS last_day
+      |  FROM orders GROUP BY 1),
+      |e AS (SELECT max(CAST(o_orderdate AS DATE)) AS obs_end
+      |  FROM orders),
+      |lt AS (
+      |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+      |      AS dur,
+      |    (date_diff('day', last_day, e.obs_end) >= 90) AS obs
+      |  FROM sp, e),
+      |perT AS (
+      |  SELECT dur AS t,
+      |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS leaving
+      |  FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+      |r AS (
+      |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM perT, tot),
+      |r2 AS (
+      |  SELECT t, d, n_risk,
+      |    ((n_risk - d) * 1000000) // n_risk AS f6,
+      |    row_number() OVER (ORDER BY t) AS rn
+      |  FROM r),
+      |prod AS (
+      |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
+      |  FROM r2 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
+      |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
+      |SELECT t AS t_days, n_risk, d AS n_events,
+      |  CAST(p6 AS BIGINT) AS survival_p6
+      |FROM prod WHERE d > 0""".stripMargin
+
+  /** Oracle-side mirror of [[withBoardChecksum]]: wraps a K-M board
+    * query (columns t_days, n_risk, n_events, survival_p6 — BIGINT,
+    * non-null, non-negative, so the enc.long sentinel/normalization
+    * reduces to `c % P`) with the identical rowMix fold and mod-P sum,
+    * replicated onto every row as board_ck. */
+  private def withBoardChecksumSql(base: String): String = {
+    val mix = Seq("t_days", "n_risk", "n_events", "survival_p6")
+      .foldLeft("17") { (acc, c) =>
+        s"(($acc * 1000003 + $c % 2147483647) % 2147483647)"
+      }
+    s"""WITH out AS (SELECT * FROM ($base) __km),
+       |mx AS (SELECT *, $mix AS premix FROM out),
+       |ck AS (SELECT CAST(sum(premix) % 2147483647 AS BIGINT) AS board_ck
+       |  FROM mx)
+       |SELECT out.t_days, out.n_risk, out.n_events, out.survival_p6,
+       |  ck.board_ck
+       |FROM out, ck""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     // DuckDB's jaro_winkler_similarity replays the codegen'd expression;
@@ -4486,49 +4632,11 @@ object SparkEntry {
         |  END AS acf
         |FROM lg JOIN st ON st.series = lg.series""".stripMargin,
 
-    "q252_kaplan_meier" ->
-      """WITH RECURSIVE sess AS (
-        |  SELECT user_id,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
-        |    epoch_us(ts) AS us
-        |  FROM (
-        |    SELECT user_id, event_id, ts,
-        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
-        |          ORDER BY ts, event_id) IS NULL
-        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-        |          ORDER BY ts, event_id)) > 1800000000
-        |        THEN 1 ELSE 0 END AS is_new
-        |    FROM events)),
-        |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
-        |lt AS (
-        |  SELECT CAST((max(us) - min(us)) // 60000000 AS BIGINT) AS dur,
-        |    (max(e.end_us) - max(us) >= 1800000000) AS obs
-        |  FROM sess, e GROUP BY user_id, sid),
-        |perT AS (
-        |  SELECT dur AS t,
-        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |    CAST(count(*) AS BIGINT) AS leaving
-        |  FROM lt GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
-        |r AS (
-        |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-        |  FROM perT, tot),
-        |r2 AS (
-        |  SELECT t, d, n_risk,
-        |    ((n_risk - d) * 1000000) // n_risk AS f6,
-        |    row_number() OVER (ORDER BY t) AS rn
-        |  FROM r),
-        |prod AS (
-        |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
-        |  FROM r2 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
-        |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
-        |SELECT t AS t_days, n_risk, d AS n_events,
-        |  CAST(p6 AS BIGINT) AS survival_p6
-        |FROM prod WHERE d > 0""".stripMargin,
+    "q252_kaplan_meier" -> KmSessionOracleSql,
+
+    "q318_kaplan_meier_v2" -> withBoardChecksumSql(KmSessionOracleSql),
+
+    "q319_user_survival_v2" -> withBoardChecksumSql(KmUserOracleSql),
 
     "q253_hbos" ->
       """WITH o AS (
@@ -8739,43 +8847,7 @@ object SparkEntry {
 
     "q279_gains" -> GainsOracle(iters = 5, lr = 0.5),
 
-    "q282_user_survival" ->
-      """WITH RECURSIVE sp AS (
-        |  SELECT o_custkey,
-        |    min(CAST(o_orderdate AS DATE)) AS first_day,
-        |    max(CAST(o_orderdate AS DATE)) AS last_day
-        |  FROM orders GROUP BY 1),
-        |e AS (SELECT max(CAST(o_orderdate AS DATE)) AS obs_end
-        |  FROM orders),
-        |lt AS (
-        |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
-        |      AS dur,
-        |    (date_diff('day', last_day, e.obs_end) >= 90) AS obs
-        |  FROM sp, e),
-        |perT AS (
-        |  SELECT dur AS t,
-        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |    CAST(count(*) AS BIGINT) AS leaving
-        |  FROM lt GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
-        |r AS (
-        |  SELECT *, n_total - coalesce(sum(leaving) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-        |  FROM perT, tot),
-        |r2 AS (
-        |  SELECT t, d, n_risk,
-        |    ((n_risk - d) * 1000000) // n_risk AS f6,
-        |    row_number() OVER (ORDER BY t) AS rn
-        |  FROM r),
-        |prod AS (
-        |  SELECT rn, t, d, n_risk, (1000000 * f6) // 1000000 AS p6
-        |  FROM r2 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
-        |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
-        |SELECT t AS t_days, n_risk, d AS n_events,
-        |  CAST(p6 AS BIGINT) AS survival_p6
-        |FROM prod WHERE d > 0""".stripMargin,
+    "q282_user_survival" -> KmUserOracleSql,
 
     "q283_nb_langid" ->
       s"""WITH $NbGuessCtes,
