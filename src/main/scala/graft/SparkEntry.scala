@@ -12063,10 +12063,11 @@ object SparkEntry {
        |    UNION ALL SELECT f.dst, f.src FROM fwd f)),
        |${gannEdgeTopK("ac", "affE", 16)},
        |gm AS MATERIALIZED (
-       |  SELECT g.src, g.dst FROM g1 g LEFT JOIN aff a ON a.src = g.src
-       |  WHERE a.src IS NULL
-       |  UNION ALL SELECT src, dst FROM affE
-       |  UNION ALL SELECT src, dst FROM fwd),
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT g.src, g.dst FROM g1 g LEFT JOIN aff a ON a.src = g.src
+       |    WHERE a.src IS NULL
+       |    UNION ALL SELECT src, dst FROM affE
+       |    UNION ALL SELECT src, dst FROM fwd)),
        |us3 AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, t.n AS vec_id FROM
        |    (SELECT vec_id FROM emb WHERE vec_id < 5) q,

@@ -211,6 +211,41 @@ object IncrementalLoad {
     } finally fs.delete(stage, true)
   }
 
+  /** Atomic in-place rewrite of ONE table path: `write` stages the new
+    * contents into a sibling `.rewrite-staging-*` dir, then the swap is
+    * move-aside / swap-in / restore-on-failure (the [[compact]]
+    * discipline). Until the first rename the published path is
+    * untouched, so a concurrent reader never observes a half-deleted
+    * directory and a mid-write failure loses nothing; a mid-swap
+    * failure restores the moved-aside original. A missing target (first
+    * publish) simply renames the staging in. Callers whose new contents
+    * DERIVE from the current table contents must materialize that read
+    * (lineage cut) before calling — the staged write otherwise races
+    * the swap it feeds. */
+  def atomicRewrite(spark: SparkSession, path: String)
+                   (write: String => Unit): Unit = {
+    val (fs, target) = fsFor(spark, path)
+    val parent = Option(target.getParent).getOrElse(target)
+    fs.mkdirs(parent)
+    val tag = System.nanoTime()
+    val stage = new HPath(parent, s".rewrite-staging-$tag")
+    val old = new HPath(parent, s".rewrite-old-$tag")
+    try {
+      write(stage.toString)
+      require(fs.exists(stage),
+        s"atomicRewrite: write callback produced nothing at $stage")
+      val hadOld = fs.exists(target)
+      if (hadOld) mv(fs, target, old, "rewrite move-aside")
+      try mv(fs, stage, target, "rewrite swap-in")
+      catch {
+        case NonFatal(e) =>
+          if (hadOld) mv(fs, old, target, "rewrite restore")
+          throw e
+      }
+      if (hadOld) fs.delete(old, true)
+    } finally fs.delete(stage, true)
+  }
+
   /** Hive partition columns of a table directory, outermost first, read
     * from the `col=value` directory names. */
   private def partitionColumns(fs: FileSystem, target: HPath): Seq[String] = {

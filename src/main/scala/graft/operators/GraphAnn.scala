@@ -277,12 +277,26 @@ object GraphAnn {
     val acand = edges.join(aff, Seq("src"), "left_semi")
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    // distinct: a delta node reachable through delta-delta mates appears
+    // as src in BOTH fwd and the affected re-rank, so without it the
+    // persisted index could hold duplicate (src,dst) rows — and repeated
+    // appends would compound them (a duplicated edge occupies two
+    // top-degree slots in any later re-rank). Mirrored in the oracle's
+    // gm CTE.
     val merged = Lineage.cut(
       edges.join(aff, Seq("src"), "left_anti")
         .unionByName(topEdges(acand, all, degree))
-        .unionByName(fwd))
-    merged.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+        .unionByName(fwd)
+        .distinct())
+    // Publish through a staged swap: the old in-place overwrite deleted
+    // the ONLY copy of the index before the new write committed (a
+    // mid-write failure lost it; a concurrent reader could see a
+    // half-deleted directory). `merged` is lineage-cut above, so the
+    // staged write no longer reads from the path it replaces.
+    graft.etl.IncrementalLoad.atomicRewrite(spark, s"$path/edges") { staging =>
+      merged.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    }
   }
 
   private implicit class LongSeqToDf(xs: Seq[Long]) {

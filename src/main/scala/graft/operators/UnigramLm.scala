@@ -41,10 +41,15 @@ import org.apache.spark.sql.functions._
   * SentencePiece max-sentencepiece-length discipline) so the DP fold
   * is O(maxWordLen · maxPieceLen) per word.
   *
-  * Determinism: pure integer DP sums, floor-grid logs, lexicographic
-  * tie-breaks in every top-k — a DuckDB oracle replays seed, both DPs
-  * (as unrolled per-level CTEs), the on-path counts, and each prune
-  * round bit-for-bit. */
+  * Determinism: the integer DP sums and lexicographic tie-breaks are
+  * bit-identical under ANY execution shape (partitioning, merge order)
+  * — that claim covers the integer arithmetic only. The lp9 grid
+  * itself comes from `floor(ln(·)·1e9 + 0.5)`, so it carries the known
+  * libm-portability hazard (the q283 class): a 1-ulp JVM-vs-DuckDB
+  * difference in `ln` at a .5 grid boundary would flip lp9 by 1 and
+  * cascade through EM pruning. Observed agreement with the DuckDB
+  * oracle is therefore an empirical property of the tested corpus, not
+  * a structural guarantee like the PageRank/K-M all-integer paths. */
 object UnigramLm {
 
   /** "Impossible" DP sentinel: far below any real 9dp log-prob sum

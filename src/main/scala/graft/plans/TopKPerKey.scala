@@ -3,12 +3,11 @@ package graft.plans
 import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder, SortPrefix, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
-import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+import org.apache.spark.sql.execution.{SortPrefixUtils, SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 
 /** Whole-operator top-k-per-key: the rows that would rank 1..k within
   * each key group under `order` — the "best n per group" shape a dozen
@@ -119,20 +118,33 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           // key cap hit: switch to the managed sort-based fallback —
           // (key, order)-sorted external sort over the retained
           // candidates plus everything not yet consumed
+          // real radix prefix from the first sort column (the SortExec
+          // pattern) — a constant prefix would push EVERY comparison in
+          // this degraded path through the full record comparator,
+          // making the fallback that exists for pathological key
+          // cardinality run at its slowest possible sort speed
+          val boundFirst = BindReferences.bindReference(
+            SortOrder(keysLocal.head, Ascending), attrs)
+          val prefixExpr = SortPrefix(boundFirst)
+          val prefixProj = UnsafeProjection.create(Seq(prefixExpr))
           sorter = UnsafeExternalRowSorter.create(
             DataTypeUtils.fromAttributes(attrs),
             RowOrdering.create(
               keysLocal.map(SortOrder(_, Ascending)) ++ orderLocal, attrs),
-            PrefixComparators.LONG,
+            SortPrefixUtils.getPrefixComparator(boundFirst),
             new UnsafeExternalRowSorter.PrefixComputer {
               private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
               override def computePrefix(row: InternalRow)
                   : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
-                p.isNull = false; p.value = 0L; p
+                val r = prefixProj.apply(row)
+                p.isNull = r.isNullAt(0)
+                p.value = if (p.isNull) prefixExpr.nullValue else r.getLong(0)
+                p
               }
             },
             SparkEnv.get.memoryManager.pageSizeBytes,
-            false)
+            SortPrefixUtils.canSortFullyWithPrefix(boundFirst)
+              && keysLocal.size == 1 && orderLocal.isEmpty)
           val hIt = heaps.values().iterator()
           while (hIt.hasNext) hIt.next().forEach(insertSorter(_))
           heaps.clear()
