@@ -1173,6 +1173,30 @@ object SparkEntry {
       withBoardChecksum(km, Seq("t_days", "n_risk", "n_events", "survival_p6"))
     }),
 
+    // Incremental IVF-index maintenance (the q317 story for the
+    // quantization family): the q38 index built WITHOUT vec_ids 5..24,
+    // then those 20 vectors inserted via ivfAppend — assigned to the
+    // EXISTING centroids (no re-train), appended to the affected
+    // list_id partitions only — then the probes searched against the
+    // updated persisted index through the partition-pruned path.
+    // Assignment is per-vector, so the oracle replays it in one pass
+    // over base ∪ delta under the base-corpus centroids; search output
+    // is hash-checked end to end (delta vectors must surface in the
+    // top-10 wherever they truly belong).
+    "q320_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val isDelta = col("vec_id") >= 5 && col("vec_id") < 25
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+        .toString + "/ivf"
+      val cents = Similarity.ivfWrite(e.filter(!isDelta), "vec_id",
+        "embedding", path, nlist = 16)
+      Similarity.ivfAppend(e.filter(isDelta), "vec_id", "embedding", path,
+        cents)
+      Similarity.ivfTopKPartitioned(s, path, cents,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        nprobe = 4)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -7898,6 +7922,45 @@ object SparkEntry {
       ("""WITH cents AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents c2),
+        |asn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM asn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.vec_id),
+        |""".stripMargin + CosineRankTail),
+
+    // the q38 mirror with centroids seeded from the BASE corpus (delta
+    // ids 5..24 excluded from the seed scan) and assignment over
+    // base ∪ delta in one pass — per-vector assignment is batch-order
+    // independent, so this replays ivfWrite-then-ivfAppend exactly
+    "q320_ivf_append" ->
+      ("""WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id < 5 OR vec_id >= 25 ORDER BY vec_id LIMIT 16)),
         |asn AS (
         |  SELECT e.vec_id, c2.cid,
         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))

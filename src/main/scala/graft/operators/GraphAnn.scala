@@ -166,15 +166,61 @@ object GraphAnn {
                  upperDegree: Int = 8, upperRefine: Int = 1,
                  shards: Int = 32): Unit = {
     require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
-    knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine)
-      .withColumn("shard", pmod(col("src"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
+    val spark = corpus.sparkSession
+    // staged swaps, not in-place overwrites: a REBUILD over an existing
+    // index must never delete the only copy before the new one commits
+    publishEdges(spark, s"$path/edges",
+      knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine),
+      shards)
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
-    knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
-        upperRefine)
-      .withColumn("shard", pmod(col("src"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$path/upper_edges")
+    publishEdges(spark, s"$path/upper_edges",
+      knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
+        upperRefine),
+      shards)
+  }
+
+  /** Atomically publish an edge list to `path`, sharded on src. */
+  private def publishEdges(spark: org.apache.spark.sql.SparkSession,
+                           path: String, edges: DataFrame,
+                           shards: Int): Unit =
+    graft.etl.IncrementalLoad.atomicRewrite(spark, path) { staging =>
+      edges.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    }
+
+  /** Index COMPACTION — rebuild the upper routing layer from the
+    * CURRENT corpus on the manifest-compaction cadence: [[graphAppend]]
+    * deliberately leaves the upper layer stale (inserted nodes stay
+    * reachable through full-layer forward/reverse edges, but never
+    * ROUTE queries), so repeated appends degrade routing quality
+    * without bound — regions populated only by appended vectors have
+    * no upper-layer presence and queries landing there start from
+    * entry points a full graph diameter away. Compaction restores the
+    * [[graphWrite]] invariant exactly: post-compact `upper_edges`
+    * equals a fresh build's for the same corpus (the upper layer is a
+    * pure function of the corpus — `id % upperMod == 0` membership +
+    * deterministic k-NN build — spec-asserted in Round13OpsSpec).
+    *
+    * The FULL layer is not rebuilt: appends maintain it (and each
+    * append republishes it whole, so file layout never fragments).
+    * Publishes through the atomic staged swap — a failed compaction
+    * leaves the old routing layer readable.
+    *
+    * Cost: the upper layer holds ~1/upperMod of the corpus at degree
+    * `upperDegree`, so compaction costs one sparse knnGraph build —
+    * cheap relative to the full layer, which is why it can run on
+    * every Nth append batch. */
+  def graphCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, planes: Int, tables: Int, upperMod: Int = 4,
+                   upperDegree: Int = 8, upperRefine: Int = 1,
+                   shards: Int = 32): Unit = {
+    require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
+    val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    publishEdges(spark, s"$path/upper_edges",
+      knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
+        upperRefine),
+      shards)
   }
 
   /** Two-phase layered search over a [[graphWrite]] index: a cheap

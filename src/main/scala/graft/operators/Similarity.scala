@@ -193,6 +193,36 @@ object Similarity {
     cents
   }
 
+  /** INCREMENTAL IVF insert — add a `delta` batch to an [[ivfWrite]]
+    * index WITHOUT re-training: each delta vector is assigned to its
+    * nearest EXISTING centroid (the exact [[ivfWrite]] argmax — same
+    * literal centroid matrix, same tie-break), and the batch is
+    * appended to the affected `list_id` partitions only. The centroids
+    * are immutable index metadata ([[ivfWrite]]'s return, persisted by
+    * the caller) — re-training would reassign the whole corpus, which
+    * is a rebuild, not an append. Drift discipline: as the appended
+    * fraction grows, lists get lopsided relative to what re-trained
+    * centroids would give; rebuild on the compaction cadence (the
+    * [[graft.operators.GraphAnn.graphCompact]] story).
+    *
+    * Cost is delta-proportional: one codegen'd assignment pass over
+    * the batch + new parquet files in the touched partitions; base
+    * files are never rewritten, so a mid-write failure leaves only
+    * uncommitted temporaries (parquet readers ignore `_temporary`) and
+    * the committed index keeps serving.
+    *
+    * Search equality contract (spec-asserted): at fixed centroids, a
+    * search of the appended index is IDENTICAL to a search of an index
+    * built from the full corpus in one shot — assignment is per-vector,
+    * so batching cannot change it. */
+  def ivfAppend(delta: DataFrame, idCol: String, vecCol: String,
+                path: String, cents: Seq[Array[Double]]): Unit = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
   /** Search a materialized IVF index: the scan filter `list_id IN
     * (probed lists)` hits the partition columns, so only nprobe
     * partitions of the corpus are read (`PartitionFilters` in the plan —
