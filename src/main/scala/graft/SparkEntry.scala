@@ -1197,6 +1197,17 @@ object SparkEntry {
         nprobe = 4)
     }),
 
+    // Maximal duplicated-span extraction (the suffix-array ExactSubstr
+    // report at match length 10): per doc, each maximal interval of
+    // token positions covered by repeated 10-token windows, with exact
+    // (start, len) boundaries — the longest-duplicate-match answer
+    // q96's per-doc fraction and q188's removal both build on, now
+    // surfaced as intervals. Oracle replays windows (gram strings),
+    // occurrence counts and the gaps-and-islands merge.
+    "q321_dup_span_extents" -> ((s, dir) => {
+      Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", spanN = 10)
+    }),
+
     // ---- A-family: aggregation / distinct / dedup (SURVEY §2.3) ----
 
     // Grouped aggregation over the big fact (TPC-H Q1 shape); exercises
@@ -8224,6 +8235,34 @@ object SparkEntry {
         |  (floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) * 1e6 + 0.5) / 1e6 <= 0.5) AS keep
         |FROM wdf GROUP BY doc_id""".stripMargin,
+
+    // windows over gram STRINGS (Spark shuffles hashes), occurrence
+    // count >= 2, then the identical gaps-and-islands interval merge
+    "q321_dup_span_extents" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, t.i - 1 AS pos,
+        |    array_to_string(tk[t.i:t.i+9], ' ') AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
+        |  WHERE len(d.tk) >= 10),
+        |occ AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN occ o ON o.g = w.g),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_len,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl2 GROUP BY doc_id, grp""".stripMargin,
 
     // quota DIV n copies + one extra for the first (quota MOD n) ranked
     // rows; epochs unrolled with generate_series

@@ -249,6 +249,71 @@ object Dedup {
         (col("__n") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** MAXIMAL duplicated-span extraction — the suffix-array ExactSubstr
+    * REPORT of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), expressed relationally: for each
+    * document, the maximal intervals of token positions covered by
+    * duplicated `spanN`-token windows (total occurrence count >= 2
+    * anywhere in the corpus — within-doc repeats included, the Lee et
+    * al. rule).
+    *
+    * EXACT longest-match semantics at threshold `spanN`, not an
+    * approximation: a repeated substring of length L >= spanN has all
+    * of its L-spanN+1 windows repeated, and a repeated window IS a
+    * repeated substring of length spanN — so "positions inside some
+    * duplicated window" equals "positions inside some maximal repeated
+    * substring of length >= spanN", the exact set a suffix array
+    * computes at the same minimum match length. The interval merge
+    * (gaps-and-islands over duplicated window starts) therefore
+    * reports each maximal duplicated region with its exact boundaries:
+    * a planted overlap of L >= spanN tokens comes back as one row with
+    * its true (start, len); an overlap under spanN is invisible — the
+    * same recall boundary a suffix array has at match length spanN
+    * (spec-pinned on planted variable-length overlaps in
+    * Round13OpsSpec). Two duplicated regions of the SAME doc closer
+    * than spanN tokens merge into one reported interval — positional-
+    * cover semantics, the union ExactSubstr's removal step takes (and
+    * [[removeDupSpans]] elides).
+    *
+    * Scale: the [[dupSpanStats]] shuffle discipline — windows hash
+    * scan-side, the corpus-sized shuffle carries (hash, doc, pos)
+    * rows, never window text; the interval merge is one per-doc
+    * window pass over DUPLICATED window starts only (sparse: a mostly
+    * novel corpus contributes almost nothing). Cross-corpus xxhash64
+    * collisions could bridge two distinct grams (~n²/2^64); the
+    * oracle works over gram strings, so the harness would catch one.
+    * Output: (doc_id, span_start, span_len, n_windows) — one row per
+    * maximal duplicated interval. */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               spanN: Int = 10): DataFrame = {
+    require(spanN >= 2, "spanN must be >= 2")
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ", -1).as("__toks"))
+    val win = base.filter(size(col("__toks")) >= spanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $spanN)," +
+          s" i -> xxhash64(array_join(slice(__toks, i + 1, $spanN), ' ')))")))
+      .withColumnRenamed("col", "h")
+    val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val dup = win.join(occ.filter(col("occ") >= 2), "h")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("pos"), 1).over(w)
+    dup
+      // windows [p0, p0+N-1] and [p, p+N-1] cover contiguously iff
+      // p <= p0 + N (adjacent counts: the union has no hole)
+      .withColumn("__new",
+        when(prev.isNull || col("pos") - prev > spanN, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + spanN).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
   /** Line-level dedup (the CCNet/RefinedWeb line-dedup stage): drop lines
     * duplicated ACROSS documents — boilerplate headers, navigation,
     * cookie banners — while keeping one canonical copy (the occurrence in

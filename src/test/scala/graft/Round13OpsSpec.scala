@@ -91,6 +91,61 @@ class Round13OpsSpec extends SparkSpec {
       .exists(_.getName.startsWith(".rewrite-")), "no staging left behind")
   }
 
+  // ---- dupSpans: exact boundaries at the suffix-array recall bound ----
+
+  test("dupSpans: planted overlaps come back with exact boundaries; sub-spanN invisible") {
+    def toks(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared14 = toks("s", 14) // planted overlap, L = 14 >= spanN
+    val shared9 = toks("t", 9)   // planted overlap, L = 9 < spanN
+    val docs = Seq(
+      // doc 1: 10 unique + shared14 + 10 unique -> interval (10, 14)
+      (1L, (toks("a", 10) ++ shared14 ++ toks("b", 10)).mkString(" ")),
+      // doc 2: 15 unique + shared14 + 5 unique -> interval (15, 14)
+      (2L, (toks("c", 15) ++ shared14 ++ toks("d", 5)).mkString(" ")),
+      // docs 3/4 share only the 9-token run: below the match length
+      (3L, (toks("e", 10) ++ shared9 ++ toks("f", 10)).mkString(" ")),
+      (4L, (toks("g", 10) ++ shared9 ++ toks("h", 10)).mkString(" ")),
+      // doc 5: WITHIN-doc repeat of shared14 with a > spanN gap
+      // between the copies -> two intervals, both exact
+      (5L, (shared14 ++ toks("i", 12) ++ shared14).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpans(docs, "text", "doc_id",
+        spanN = 10)
+      .select("doc_id", "span_start", "span_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 14L), (2L, 15L, 14L),
+      (5L, 0L, 14L), (5L, 26L, 14L)),
+      s"exact maximal-span boundaries, got $got")
+    // recall boundary: L >= spanN always found (above), L < spanN never
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L),
+      "9-token overlap below the match length is invisible")
+    // n_windows accounting: a length-L region holds L - spanN + 1 windows
+    val nw = graft.operators.Dedup.dupSpans(docs, "text", "doc_id", spanN = 10)
+      .filter(col("doc_id") === 1L).select("n_windows").as[Long].head()
+    assert(nw == 5L, s"14-token region holds 5 duplicated windows, got $nw")
+  }
+
+  test("dupSpans: adjacent duplicated regions merge to one covered interval") {
+    // doc 20 concatenates two DIFFERENT duplicated runs back to back
+    // (each shared with a different doc): their position coverage is
+    // contiguous, so positional-cover semantics reports ONE maximal
+    // interval spanning both — the same union ExactSubstr removal takes
+    val s1 = (0 until 12).map(i => s"s$i")
+    val s2 = (0 until 12).map(i => s"u$i")
+    val docs = Seq(
+      (20L, (s1 ++ s2).mkString(" ")),
+      (21L, (Seq("y0", "y1") ++ s1 ++ Seq("z0", "z1")).mkString(" ")),
+      (22L, (Seq("w0", "w1", "w2") ++ s2 ++ Seq("v0")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpans(docs, "text", "doc_id",
+        spanN = 10)
+      .select("doc_id", "span_start", "span_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((20L, 0L, 24L), (21L, 2L, 12L), (22L, 3L, 12L)),
+      s"doc 20's adjacent regions merge into one 24-token interval: $got")
+  }
+
   // ---- ivfAppend: incremental insert at fixed centroids ----
 
   test("ivfAppend: appended index searches identically to a one-shot build") {
