@@ -980,12 +980,12 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft-gann-idx")
         .toString
       operators.GraphAnn.graphWrite(e, "vec_id", "embedding", dim = 64,
-        planes = 4, tables = 2, degree = 16, refine = 2, path = path,
-        upperMod = 4, upperDegree = 8, upperRefine = 1)
+        planes = 4, tables = 2, degree = 16, refine = 1, path = path,
+        upperMod = 4, upperDegree = 8, upperRefine = 0)
       val ann = operators.GraphAnn.layeredTopKPartitioned(s, path, e, qs,
           "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
           entries = Seq(0L, 4L, 8L, 12L), upperRounds = 2, upperWidth = 16,
-          rounds = 3, beamWidth = 32)
+          rounds = 3, beamWidth = 48)
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id"))
       val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
@@ -1117,14 +1117,14 @@ object SparkEntry {
         .toString
       operators.GraphAnn.graphWrite(base, "vec_id", "embedding", dim = 64,
         planes = 4, tables = 2, degree = 16, refine = 1, path = path,
-        upperMod = 4, upperDegree = 8, upperRefine = 1)
+        upperMod = 4, upperDegree = 8, upperRefine = 0)
       operators.GraphAnn.graphAppend(s, path, base, delta, "vec_id",
         "embedding", dim = 64, planes = 4, tables = 2, degree = 16,
-        rounds = 3, beamWidth = 32, entries = Seq(0L, 4L, 28L, 32L))
+        rounds = 2, beamWidth = 32, entries = Seq(0L, 4L, 28L, 32L))
       val ann = operators.GraphAnn.layeredTopKPartitioned(s, path, e, qs,
           "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
           entries = Seq(0L, 4L, 28L, 32L), upperRounds = 2, upperWidth = 16,
-          rounds = 3, beamWidth = 32)
+          rounds = 3, beamWidth = 48)
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id"))
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
@@ -12105,22 +12105,20 @@ object SparkEntry {
        |    AND a.vec_id <> b.vec_id),
        |${edgeTopK("g0c", "g0", 16)},
        |${nnDescent("g", 1, 16)},
-       |${nnDescent("g", 2, 16)},
        |uk AS MATERIALIZED (SELECT * FROM ck WHERE vec_id % 4 = 0),
        |u0c AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM uk a JOIN uk b ON a.tbl = b.tbl AND a.key = b.key
        |    AND a.vec_id <> b.vec_id),
        |${edgeTopK("u0c", "u0", 8)},
-       |${nnDescent("u", 1, 8)},
        |us AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, t.n AS vec_id FROM
        |    (SELECT vec_id FROM emb WHERE vec_id < 5) q,
        |    (SELECT unnest([0, 4, 8, 12]) AS n) t
        |  WHERE t.n <> q.vec_id),
        |${queryTopK("us", "ub0", 16)},
-       |${beamRound("ub", 1, "u1", 16)},
-       |${beamRound("ub", 2, "u1", 16)},
+       |${beamRound("ub", 1, "u0", 16)},
+       |${beamRound("ub", 2, "u0", 16)},
        |fs AS MATERIALIZED (
        |  SELECT DISTINCT query_id, vec_id FROM (
        |    SELECT query_id, vec_id FROM ub2
@@ -12128,10 +12126,10 @@ object SparkEntry {
        |    SELECT qk.vec_id AS query_id, c.vec_id
        |    FROM ck qk JOIN ck c ON c.tbl = qk.tbl AND c.key = qk.key
        |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
-       |${queryTopK("fs", "b0", 32)},
-       |${beamRound("b", 1, "g2", 32)},
-       |${beamRound("b", 2, "g2", 32)},
-       |${beamRound("b", 3, "g2", 32)},
+       |${queryTopK("fs", "b0", 48)},
+       |${beamRound("b", 1, "g1", 48)},
+       |${beamRound("b", 2, "g1", 48)},
+       |${beamRound("b", 3, "g1", 48)},
        |${queryTopK("b3", "fin", 10)},
        |ex0 AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, e.vec_id
@@ -12196,7 +12194,6 @@ object SparkEntry {
        |  FROM uk a JOIN uk b ON a.tbl = b.tbl AND a.key = b.key
        |    AND a.vec_id <> b.vec_id),
        |${gannEdgeTopK("u0c", "u0", 8)},
-       |${gannNnDescent("u", 1, 8)},
        |sd2 AS MATERIALIZED (
        |  SELECT DISTINCT query_id, vec_id FROM (
        |    SELECT dk.vec_id AS query_id, c.vec_id
@@ -12209,10 +12206,9 @@ object SparkEntry {
        |${gannQueryTopK("sd2", "db0", 32)},
        |${gannBeamRound("db", 1, "g1", 32)},
        |${gannBeamRound("db", 2, "g1", 32)},
-       |${gannBeamRound("db", 3, "g1", 32)},
        |fc AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT query_id AS src, vec_id AS dst FROM db3
+       |    SELECT query_id AS src, vec_id AS dst FROM db2
        |    UNION ALL
        |    SELECT a.vec_id, b.vec_id FROM ckd a
        |    JOIN ckd b ON a.tbl = b.tbl AND a.key = b.key
@@ -12236,8 +12232,8 @@ object SparkEntry {
        |    (SELECT unnest([0, 4, 28, 32]) AS n) t
        |  WHERE t.n <> q.vec_id),
        |${gannQueryTopK("us3", "pb0", 16)},
-       |${gannBeamRound("pb", 1, "u1", 16)},
-       |${gannBeamRound("pb", 2, "u1", 16)},
+       |${gannBeamRound("pb", 1, "u0", 16)},
+       |${gannBeamRound("pb", 2, "u0", 16)},
        |fs3 AS MATERIALIZED (
        |  SELECT DISTINCT query_id, vec_id FROM (
        |    SELECT query_id, vec_id FROM pb2
@@ -12245,10 +12241,10 @@ object SparkEntry {
        |    SELECT qk.vec_id AS query_id, c.vec_id
        |    FROM ckf qk JOIN ckf c ON c.tbl = qk.tbl AND c.key = qk.key
        |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
-       |${gannQueryTopK("fs3", "sb0", 32)},
-       |${gannBeamRound("sb", 1, "gm", 32)},
-       |${gannBeamRound("sb", 2, "gm", 32)},
-       |${gannBeamRound("sb", 3, "gm", 32)},
+       |${gannQueryTopK("fs3", "sb0", 48)},
+       |${gannBeamRound("sb", 1, "gm", 48)},
+       |${gannBeamRound("sb", 2, "gm", 48)},
+       |${gannBeamRound("sb", 3, "gm", 48)},
        |${gannQueryTopK("sb3", "fin", 10)},
        |ex0 AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, e.vec_id

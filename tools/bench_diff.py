@@ -11,7 +11,14 @@ informationally, never failed — the allowlist is implicit. Also reports the
 two BASELINE.md SLA numbers: the frozen round-1 49-query subset total and
 the per-query normalization.
 
-Exit 1 on any regression, 0 otherwise.
+HOST-STATE NORMALIZATION (the BENCHNOTES.md recommendation): q01_agg is a
+fixed-cost probe whose code never changes, so its cross-round ratio is pure
+host noise. Every per-query ratio is therefore ALSO reported divided by the
+rounds' q01 ratio, and the regression gate fires on the NORMALIZED number —
+a round run on a 2x-loaded host no longer needs a manual code-identical
+control run to dismiss uniform slowdowns. Raw ratios stay in the report.
+
+Exit 1 on any normalized regression, 0 otherwise.
 """
 import argparse
 import json
@@ -44,16 +51,27 @@ def main():
     prev, prev_total = load_queries(args.prev)
     cur, cur_total = load_queries(args.cur)
 
+    # host-state factor: the q01 ratio (1.0 when q01 is missing either side)
+    host = 1.0
+    if prev.get("q01_agg", 0) > 0 and cur.get("q01_agg", 0) > 0:
+        host = cur["q01_agg"] / prev["q01_agg"]
+    print(f"host factor (q01 ratio): {host:.2f}x"
+          + (" [unavailable, using 1.0]" if host == 1.0 and
+             "q01_agg" not in cur else ""))
+
     regressions, improved, new = [], [], []
     for q, t in sorted(cur.items()):
         if q not in prev:
             new.append((q, t))
             continue
         p = prev[q]
-        if p > 0 and t / p > args.threshold and t >= args.min_sec:
-            regressions.append((q, p, t, t / p))
-        elif t > 0 and p / t > args.threshold and p >= args.min_sec:
-            improved.append((q, p, t, p / t))
+        raw = t / p if p > 0 else float("inf")
+        norm = raw / host
+        if p > 0 and norm > args.threshold and t >= args.min_sec:
+            regressions.append((q, p, t, raw, norm))
+        elif t > 0 and (1.0 / norm if norm > 0 else 0) > args.threshold \
+                and p >= args.min_sec:
+            improved.append((q, p, t, 1.0 / norm))
 
     print(f"prev: {len(prev)} queries, total {prev_total:.1f}s"
           if prev_total else f"prev: {len(prev)} queries")
@@ -64,15 +82,16 @@ def main():
         for q, t in new:
             print(f"  {q}: {t:.2f}s")
     if improved:
-        print(f"\nimproved >{args.threshold}x ({len(improved)}):")
+        print(f"\nimproved >{args.threshold}x host-normalized ({len(improved)}):")
         for q, p, t, r in improved:
-            print(f"  {q}: {p:.2f}s -> {t:.2f}s ({r:.1f}x faster)")
+            print(f"  {q}: {p:.2f}s -> {t:.2f}s ({r:.1f}x faster normalized)")
     if regressions:
-        print(f"\nREGRESSED >{args.threshold}x ({len(regressions)}):")
-        for q, p, t, r in regressions:
-            print(f"  {q}: {p:.2f}s -> {t:.2f}s ({r:.1f}x slower)")
+        print(f"\nREGRESSED >{args.threshold}x host-normalized ({len(regressions)}):")
+        for q, p, t, raw, norm in regressions:
+            print(f"  {q}: {p:.2f}s -> {t:.2f}s "
+                  f"({raw:.1f}x raw, {norm:.1f}x normalized)")
     else:
-        print("\nno per-query regressions")
+        print("\nno host-normalized per-query regressions")
 
     # BASELINE.md SLA bookkeeping (informational)
     shared = [q for q in cur if q in prev]
