@@ -1216,6 +1216,125 @@ object SparkEntry {
         labels, "node", "community")
     }),
 
+    // Span-level benchmark decontamination: the q45 doc-level flag
+    // upgraded to a SCRUB — only the token positions covered by a
+    // 10-token window occurring verbatim in the eval split (doc_id %
+    // 20 == 0) are removed from each training doc, ALL occurrences
+    // (no first-copy survivor: eval text must not exist in training
+    // data). Same split as q45, same reassembly as q188, boundary
+    // semantics of q321. Oracle replays windows (gram strings), the
+    // eval membership cover and the rebuild.
+    "q323_scrub_eval_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.scrubEvalSpans(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        spanN = 10)
+    }),
+
+    // IVF index DELETE — the missing quarter of the index lifecycle
+    // (q38 write / q320 append / delete / vacuum): LSM-style tombstone
+    // sidecar, never a data-file rewrite — a delete batch costs
+    // O(batch), base files stay immutable, and the search anti-joins
+    // the broadcast tombstone set. Deletes vec_id % 7 == 3 from a
+    // full-corpus index, then the q320 search shape; the oracle
+    // replays assignment and search minus the tombstoned rows.
+    "q324_ivf_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+        .toString + "/ivf"
+      val cents = Similarity.ivfWrite(e, "vec_id", "embedding", path,
+        nlist = 16)
+      Similarity.ivfDelete(s, path,
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      Similarity.ivfTopKPartitioned(s, path, cents,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        nprobe = 4)
+    }),
+
+    // Graph-ANN index DELETE (the HNSW soft-delete discipline):
+    // tombstoned nodes keep ROUTING the beam — their edges stay in
+    // both layers, cutting them would disconnect regions — but can
+    // never be RETURNED: the final beam is anti-joined against the
+    // tombstone sidecar and re-ranked, so rank <= 10 still yields 10
+    // LIVE results. Tombstones vec_id % 5 == 2 (including upper entry
+    // 12 and query 2's own id — both still route). Build uses the
+    // cheap refine=0 profile: the grade here is delete semantics, not
+    // recall (q311 holds the recall gates). Oracle replays build, both
+    // beam phases, and the live re-rank.
+    "q325_graph_ann_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-gann-del")
+        .toString
+      operators.GraphAnn.graphWrite(e, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, degree = 16, refine = 0, path = path,
+        upperMod = 4, upperDegree = 8, upperRefine = 0)
+      operators.GraphAnn.graphDelete(s, path,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
+      operators.GraphAnn.layeredTopKPartitioned(s, path, e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64,
+          planes = 4, tables = 2, entries = Seq(0L, 4L, 8L, 12L),
+          upperRounds = 1, upperWidth = 16, rounds = 2, beamWidth = 32)
+        .filter(col("rank") <= 10)
+    }),
+
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    // top-5 from the 20 most relevant candidates, each pick maximizing
+    // λ·rel − (1−λ)·max-sim-to-picked on the exact integer grid
+    // (λ = 0.7) — the re-rank that stops a near-duplicate cluster from
+    // monopolizing a result page. Oracle unrolls the 5 greedy rounds.
+    "q326_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, lambda6 = 700000L, candK = 20)
+    }),
+
+    // Dedup-index LIFECYCLE (the q81 index under maintenance): index
+    // the historical 80%, APPEND the %10==1 batch (skew cap maintained
+    // across appends), FORGET doc_id % 10 == 5 (right-to-be-forgotten —
+    // a removed document must stop generating near-dup candidates
+    // immediately, not at the next re-index), then dedup the %10==0
+    // batch against the maintained index (forget class %10==2 is
+    // chosen to intersect the q81 pair set, so the tombstone path is
+    // actually graded, not vacuous). Oracle = exact cross Jaccard
+    // between the batch and the LIVE indexed set (the q81
+    // empirical-recall caveat, minus the forgotten ids).
+    "q327_dedup_index_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m10 = col("doc_id") % 10
+      val idxTmp = java.nio.file.Files.createTempDirectory("graft-mh-lc")
+      val idx = idxTmp.resolve("index").toString
+      Dedup.writeMinhashIndex(docs.filter(m10 =!= 0 && m10 =!= 1), "text",
+        "doc_id", idx, bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.minhashIndexAppend(s, docs.filter(m10 === 1), "text", "doc_id",
+        idx, bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.minhashIndexDelete(s, idx,
+        docs.filter(m10 === 2).select(col("doc_id")))
+      val out = Dedup.incrementalPairs(s, docs.filter(m10 === 0),
+          docs.filter(m10 =!= 0), "text", "doc_id", idx,
+          bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35)
+        .localCheckpoint() // materialize, then drop the on-disk index
+      etl.IncrementalLoad.deleteRecursively(idxTmp)
+      out
+    }),
+
+    // FILTERED ANN: top-10 among label == 3 only — the metadata column
+    // rides in the index files (ivfWrite metaCols), so the predicate
+    // pushes into the probed-list parquet scan (PartitionFilters ×
+    // PushedFilters, spec-asserted) instead of post-hoc filtering an
+    // unconstrained top-k (which, at 10 uniform labels, would keep ~1
+    // of 10 results). nprobe raised to 6: the standard over-probe
+    // trade under a selective predicate.
+    "q328_filtered_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-flt")
+        .toString + "/ivf"
+      val cents = Similarity.ivfWrite(e, "vec_id", "embedding", path,
+        nlist = 16, metaCols = Seq("label"))
+      Similarity.ivfTopKPartitionedWhere(s, path, cents,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        col("label") === 3, k = 10, nprobe = 6)
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -8021,6 +8140,95 @@ object SparkEntry {
         |  WHERE p.query_id <> a.vec_id),
         |""".stripMargin + CosineRankTail),
 
+    // the q320 assignment replay over the FULL corpus, with the
+    // tombstoned rows (vec_id % 7 = 3) removed from the candidate set —
+    // exactly the search-side anti-join of the tombstone sidecar
+    "q324_ivf_delete" ->
+      ("""WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents c2),
+        |asn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM asn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.vec_id AND a.vec_id % 7 <> 3),
+        |""".stripMargin + CosineRankTail),
+
+    "q325_graph_ann_delete" -> GraphAnnDeleteOracle,
+
+    "q326_mmr_rerank" -> MmrOracle(k = 5, lambda6 = 700000L, candK = 20),
+
+    // the q81 oracle with the forgotten ids (old side % 10 = 2)
+    // excluded — exactly the index's tombstone anti-join
+    "q327_dedup_index_lifecycle" ->
+      ("WITH " + JaccardCtes(0.35) + """
+        |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS old_id,
+        |  jaccard
+        |FROM jpairs
+        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+        |  AND (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 10 <> 2""".stripMargin),
+
+    // the q324 assignment replay with nprobe=6 probes and the label=3
+    // predicate applied to the candidate set — exactly the pushed scan
+    // filter of the metadata-bearing index
+    "q328_filtered_ann" ->
+      ("""WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT e.vec_id, e.label, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents c2),
+        |asn2 AS (
+        |  SELECT vec_id, label, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM asn),
+        |assigned AS (
+        |  SELECT vec_id, label, cid AS list_id FROM (
+        |    SELECT vec_id, label, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 6),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.vec_id AND a.label = 3),
+        |""".stripMargin + CosineRankTail),
+
     // identical quantization math: max|x| in double, 127/am, round-half-up
     // via floor(x*scale + 0.5), clamp, then order-independent integer sums
     "q82_embed_quantize" ->
@@ -8254,6 +8462,41 @@ object SparkEntry {
         |  (floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) * 1e6 + 0.5) / 1e6 <= 0.5) AS keep
         |FROM wdf GROUP BY doc_id""".stripMargin,
+
+    // the q188 rebuild shape with cover = windows present in the eval
+    // split (all occurrences removed, no rn > 1 survivor rule)
+    "q323_scrub_eval_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |corp AS (SELECT * FROM docs WHERE doc_id % 20 <> 0),
+        |win AS (
+        |  SELECT doc_id, t.i - 1 AS pos,
+        |    array_to_string(tk[t.i:t.i+9], ' ') AS g
+        |  FROM corp d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
+        |  WHERE len(d.tk) >= 10),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(tk[t.i:t.i+9], ' ') AS g
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.tk) - 8)) AS i) t
+        |  WHERE doc_id % 20 = 0 AND len(d.tk) >= 10),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.pos + t.j AS tp
+        |  FROM win w JOIN ev USING (g),
+        |    LATERAL (SELECT unnest(range(0, 10)) AS j) t),
+        |toks AS (
+        |  SELECT doc_id, t.i - 1 AS tp, tk[t.i] AS tok
+        |  FROM corp d, LATERAL (SELECT unnest(range(1, len(d.tk) + 1)) AS i) t),
+        |kept AS (
+        |  SELECT k.doc_id, k.tp, k.tok FROM toks k
+        |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tp) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(d.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM corp d
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     // windows over gram STRINGS (Spark shuffles hashes), occurrence
     // count >= 2, then the identical gaps-and-islands interval merge
@@ -12157,6 +12400,148 @@ object SparkEntry {
        |  (CAST(tt.gt AS DOUBLE) / CAST(tt.kt AS DOUBLE)
        |    >= 0.9) AS layer_corpus_ok
        |FROM agg a LEFT JOIN hits h USING (query_id), tt""".stripMargin
+  }
+
+  /** Oracle for q326_mmr_rerank: the brute-force candidate pass, the
+    * candidate-pairwise 6dp-integer sim grid, then the `k` greedy MMR
+    * rounds UNROLLED — round i excludes the i-1 picks, aggregates each
+    * survivor's max sim to the picked set, scores the exact integer
+    * `λ6·rel6 − (1e6−λ6)·msim6` and picks the (score desc, id asc)
+    * argmax, exactly the Spark loop. */
+  private def MmrOracle(k: Int, lambda6: Long, candK: Int): String = {
+    val mu = 1000000L - lambda6
+    def picksThrough(i: Int): String =
+      (1 to i).map(j => s"SELECT query_id, vec_id FROM p$j")
+        .mkString(" UNION ALL ")
+    val rounds = (2 to k).map { i =>
+      s"""ms$i AS (
+         |  SELECT s.query_id, s.a AS vec_id, max(s.sim6) AS msim6
+         |  FROM sims s JOIN (${picksThrough(i - 1)}) p
+         |    ON p.query_id = s.query_id AND p.vec_id = s.b
+         |  GROUP BY 1, 2),
+         |sc$i AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    c.rel6 * $lambda6 - m.msim6 * $mu AS mmr12
+         |  FROM cand c
+         |  JOIN ms$i m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+         |  LEFT JOIN (${picksThrough(i - 1)}) q
+         |    ON q.query_id = c.query_id AND q.vec_id = c.vec_id
+         |  WHERE q.vec_id IS NULL),
+         |p$i AS (
+         |  SELECT query_id, vec_id, mmr12 FROM (
+         |    SELECT query_id, vec_id, mmr12, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY mmr12 DESC, vec_id ASC) AS rn
+         |    FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(j =>
+      s"SELECT query_id, vec_id, mmr12, $j AS rank FROM p$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH scoredq AS (
+       |  SELECT query_id, vec_id,
+       |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0
+       |      THEN dot / (sqrt(nq) * sqrt(nc)) ELSE 0.0 END, 6) AS cosine
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      (SELECT sum(CAST(x * y AS DOUBLE))
+       |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+       |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+       |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+       |    FROM embeddings q, embeddings e
+       |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id,
+       |    CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS rel6
+       |  FROM (
+       |    SELECT query_id, vec_id, cosine, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+       |    FROM scoredq)
+       |  WHERE rn <= $candK),
+       |sims0 AS (
+       |  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+       |    (SELECT sum(CAST(x * y AS DOUBLE))
+       |     FROM (SELECT unnest(ea.embedding) AS x, unnest(eb.embedding) AS y)) AS dot,
+       |    (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(ea.embedding) AS x)) AS na,
+       |    (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(eb.embedding) AS y)) AS nb
+       |  FROM cand a
+       |  JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sims AS MATERIALIZED (
+       |  SELECT query_id, a, b,
+       |    CAST(floor(round(CASE WHEN sqrt(na) * sqrt(nb) > 0
+       |      THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) * 1e6 + 0.5)
+       |      AS BIGINT) AS sim6
+       |  FROM sims0),
+       |p1 AS (
+       |  SELECT query_id, vec_id, rel6 * $lambda6 AS mmr12 FROM (
+       |    SELECT query_id, vec_id, rel6, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel6 * $lambda6 DESC, vec_id ASC)
+       |      AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, vec_id, CAST(mmr12 AS BIGINT) AS mmr12,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM ($unionAll)""".stripMargin
+  }
+
+  /** Oracle for q325_graph_ann_delete: REPLAYS the cheap-profile
+    * graphWrite (refine 0: bucket-confined g0/u0 only), the 1-round
+    * upper beam from the fixed entries, the 2-round full beam at width
+    * 32, then the SOFT-DELETE contract — drop tombstoned ids
+    * (vec_id % 5 = 2) from the FINAL beam only (they still routed every
+    * round above) and re-rank the live survivors to rank 1..10. */
+  private def GraphAnnDeleteOracle: String = {
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${BucketExprSql(nPlanes = 8)} AS b8
+       |  FROM emb e),
+       |ck AS MATERIALIZED (SELECT vec_id, 0 AS tbl, b8 % 16 AS key FROM cb
+       |       UNION ALL SELECT vec_id, 1, b8 // 16 FROM cb),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, (SELECT sum(CAST(x * x AS DOUBLE))
+       |    FROM (SELECT unnest(embedding) AS x)) AS nsq
+       |  FROM emb),
+       |g0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ck a JOIN ck b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${gannEdgeTopK("g0c", "g0", 16)},
+       |uk AS MATERIALIZED (SELECT * FROM ck WHERE vec_id % 4 = 0),
+       |u0c AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM uk a JOIN uk b ON a.tbl = b.tbl AND a.key = b.key
+       |    AND a.vec_id <> b.vec_id),
+       |${gannEdgeTopK("u0c", "u0", 8)},
+       |us AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, t.n AS vec_id FROM
+       |    (SELECT vec_id FROM emb WHERE vec_id < 5) q,
+       |    (SELECT unnest([0, 4, 8, 12]) AS n) t
+       |  WHERE t.n <> q.vec_id),
+       |${gannQueryTopK("us", "ub0", 16)},
+       |${gannBeamRound("ub", 1, "u0", 16)},
+       |fs AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id FROM ub1
+       |    UNION ALL
+       |    SELECT qk.vec_id AS query_id, c.vec_id
+       |    FROM ck qk JOIN ck c ON c.tbl = qk.tbl AND c.key = qk.key
+       |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
+       |${gannQueryTopK("fs", "b0", 32)},
+       |${gannBeamRound("b", 1, "g0", 32)},
+       |${gannBeamRound("b", 2, "g0", 32)},
+       |live AS (
+       |  SELECT query_id, vec_id, cosine FROM (
+       |    SELECT query_id, vec_id, cosine, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+       |    FROM b2s)
+       |  WHERE rn <= 32 AND vec_id % 5 <> 2)
+       |SELECT query_id, vec_id, cosine, rank FROM (
+       |  SELECT query_id, vec_id, cosine, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+       |    AS BIGINT) AS rank
+       |  FROM live)
+       |WHERE rank <= 10""".stripMargin
   }
 
   /** Oracle for q317_graph_ann_append: REPLAYS graphWrite over the

@@ -44,7 +44,7 @@ object IncrementalLoad {
 
   /** Filesystem of `p` (from the path's scheme, e.g. file:/HDFS) plus the
     * fully-qualified path. */
-  private def fsFor(spark: SparkSession, p: String): (FileSystem, HPath) = {
+  private[graft] def fsFor(spark: SparkSession, p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (fs, fs.makeQualified(hp))

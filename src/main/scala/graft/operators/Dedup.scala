@@ -314,6 +314,60 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** SPAN-level benchmark decontamination — the scrub the doc-level
+    * flag ([[contamination]], q45) cannot do: instead of dropping any
+    * training document sharing shingles with the eval set (which
+    * throws away a whole book over one quoted benchmark question),
+    * remove ONLY the token positions covered by a `spanN`-token
+    * window that appears verbatim anywhere in the eval texts, and
+    * reassemble the document — the Lee et al. ExactSubstr machinery
+    * pointed at a reference set. ALL matching occurrences are elided
+    * (no first-copy survivor: eval text must not exist in training
+    * data at all). Positional-cover semantics identical to
+    * [[removeDupSpans]]; boundary semantics identical to [[dupSpans]]
+    * (an eval overlap of length >= spanN is scrubbed exactly; under
+    * spanN it is invisible — the match-length contract).
+    *
+    * Scale: eval windows hash scan-side to a distinct 64-bit set —
+    * typically broadcast-sized (eval suites are MBs, corpora are TBs)
+    * so the cover test is a broadcast semi-join; the corpus-sized
+    * shuffles carry (doc, tokpos) ints and the reassembly groups by
+    * doc. Cross-set xxhash64 collisions could scrub an innocent
+    * window (~n_eval·n_corpus/2^64); the oracle works over gram
+    * strings, so the harness would catch one.
+    * Output: (doc_id, clean_text, n_removed) for every corpus doc. */
+  def scrubEvalSpans(corpus: DataFrame, eval: DataFrame, textCol: String,
+                     idCol: String, spanN: Int = 10): DataFrame = {
+    require(spanN >= 2, "spanN must be >= 2")
+    def windows(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__toks"))
+      .filter(size(col("__toks")) >= spanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $spanN)," +
+          s" i -> xxhash64(array_join(slice(__toks, i + 1, $spanN), ' ')))")))
+      .withColumnRenamed("col", "h")
+    val evalW = broadcast(windows(eval).select(col("h")).distinct())
+    val covered = windows(corpus).join(evalW, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanN - 1))).as("tp"))
+      .distinct()
+    val base = corpus.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ", -1).as("__toks"))
+    val toks = base.select(col("doc_id"), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "tp").withColumnRenamed("col", "tok")
+    val rebuilt = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Line-level dedup (the CCNet/RefinedWeb line-dedup stage): drop lines
     * duplicated ACROSS documents — boilerplate headers, navigation,
     * cookie banners — while keeping one canonical copy (the occurrence in
@@ -612,6 +666,56 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(path)
   }
 
+  /** APPEND a new batch's banded keys to a [[writeMinhashIndex]] index —
+    * continuous ingestion without ever re-indexing the corpus: cost is
+    * one signature pass over the batch plus new files in the touched
+    * band partitions (base files are never rewritten). The write-time
+    * skew cap is maintained across appends: a batch row is dropped when
+    * its bucket's COMBINED size (existing index rows + batch rows) would
+    * exceed `maxBucket` — existing counts come from a semi-joined read
+    * of only the buckets the batch touches, so no bucket in the index
+    * ever exceeds the cap no matter how many appends ran. Band settings
+    * MUST match the ones the index was written with. */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, textCol: String, idCol: String,
+                         path: String, bands: Int = 16, rowsPerBand: Int = 2,
+                         shingleN: Int = 3, maxBucket: Int = 1000): Unit = {
+    val banded = bandedSignatures(df, textCol, idCol, bands, rowsPerBand,
+      shingleN)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val existing = spark.read.parquet(path)
+      .join(banded.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"), "left_semi")
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__en"))
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .join(existing, Seq("band", "bh"), "left")
+      .filter(col("__bn") + coalesce(col("__en"), lit(0L)) <= maxBucket)
+      .drop("__bn", "__en")
+      .write.mode("append").partitionBy("band").parquet(path)
+  }
+
+  /** SOFT-delete ids from a [[writeMinhashIndex]] index — the
+    * right-to-be-forgotten path for the dedup family: a removed
+    * document must stop generating near-dup candidates IMMEDIATELY
+    * (not at the next full re-index), or [[incrementalPairs]] keeps
+    * reporting new batches as duplicates of text that no longer
+    * exists. Same LSM tombstone sidecar as the vector indexes
+    * ([[graft.etl.Tombstones]]): O(batch) distinct-union republish,
+    * immutable data files, candidate generation anti-joins the
+    * broadcast set. Reclaim rows physically with
+    * [[minhashIndexVacuum]] on the compaction cadence. */
+  def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame): Unit =
+    graft.etl.Tombstones.delete(spark, path, ids, "id")
+
+  /** Physically drop tombstoned signature rows (touched band partitions
+    * only, each an atomic swap, idempotent mid-crash), then clear the
+    * sidecar. */
+  def minhashIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit =
+    graft.etl.Tombstones.vacuum(spark, path, "id", "band")
+
   /** Near-dup pairs between a NEW batch and an indexed historical corpus:
     * candidates come from joining the batch's banded keys against the
     * index on (band, bh) — the corpus side never recomputes signatures —
@@ -624,7 +728,14 @@ object Dedup {
                        bands: Int = 16, rowsPerBand: Int = 2,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val newBanded = bandedSignatures(newDocs, textCol, idCol, bands, rowsPerBand, shingleN)
-    val idx = spark.read.parquet(indexPath).withColumnRenamed("id", "old_id")
+    val idx0 = spark.read.parquet(indexPath)
+    // forgotten documents must stop generating candidates immediately
+    // (minhashIndexDelete contract) — dead signature rows are masked
+    // here until a vacuum reclaims them
+    val idx = (graft.etl.Tombstones.read(spark, indexPath, "id") match {
+      case Some(tomb) => idx0.join(broadcast(tomb), Seq("id"), "left_anti")
+      case None       => idx0
+    }).withColumnRenamed("id", "old_id")
     val candidates = cut(newBanded.join(idx, Seq("band", "bh"))
       .filter(col("id") =!= col("old_id"))
       .select(col("id").as("new_id"), col("old_id")).distinct())

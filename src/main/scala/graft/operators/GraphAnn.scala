@@ -223,6 +223,73 @@ object GraphAnn {
       shards)
   }
 
+  /** Tombstone sidecar of a [[graphWrite]] index — a CHILD of the index
+    * root next to `edges`/`upper_edges` (each layer is its own parquet
+    * root, so a sibling dir cannot disturb their partition discovery). */
+  private def tombstonePath(path: String): String =
+    s"${path.stripSuffix("/")}/tombstones"
+
+  /** Current tombstone set as a 1-column (vec_id) frame, or None when
+    * nothing was ever deleted. */
+  def graphTombstones(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Option[DataFrame] = {
+    val tp = tombstonePath(path)
+    val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark, tp)
+    if (fs.exists(hp)) Some(spark.read.parquet(tp).select(col("vec_id")))
+    else None
+  }
+
+  /** SOFT-delete ids from a [[graphWrite]] index — the HNSW soft-delete
+    * discipline: tombstoned nodes keep ROUTING (their edges stay in
+    * both layers, so the graph stays navigable — cutting them would
+    * disconnect regions and crater recall) but can never be RETURNED:
+    * [[layeredTopKPartitioned]] drops them from the final beam and
+    * re-ranks the live survivors. Deletion cost is O(batch) — one
+    * distinct-union republish of the (id-list-sized) sidecar through
+    * the atomic staged swap; the edge shards are untouched. Reclaim
+    * the dead nodes for real on the compaction cadence with
+    * [[graphVacuum]]. Idempotent. */
+  def graphDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                  ids: DataFrame): Unit = {
+    val nw = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+    val merged = graphTombstones(spark, path) match {
+      case Some(old) => old.union(nw).distinct()
+      case None      => nw.distinct()
+    }
+    graft.etl.IncrementalLoad.atomicRewrite(spark, tombstonePath(path)) {
+      staging =>
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** VACUUM a tombstoned graph index: rebuild BOTH layers from the
+    * live corpus (a k-NN graph over the survivors is NOT the survivor
+    * subgraph of the old edge lists — removing a hub must re-route its
+    * neighborhood through new edges, so vacuum is a rebuild by
+    * construction, unlike the IVF case where dropping rows suffices),
+    * then clear the tombstone sidecar. Each layer publishes through
+    * the atomic staged swap and the sidecar is removed LAST, so a
+    * crash at any point leaves an index where tombstone-filtered
+    * search still returns exactly the live top-k; re-running
+    * completes. Post-vacuum the index equals a fresh [[graphWrite]]
+    * over the live corpus (pure-function-of-corpus invariant,
+    * spec-asserted). */
+  def graphVacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, planes: Int, tables: Int, degree: Int,
+                  refine: Int, upperMod: Int = 4, upperDegree: Int = 8,
+                  upperRefine: Int = 1, shards: Int = 32): Unit = {
+    val live = graphTombstones(spark, path) match {
+      case Some(tomb) => corpus.join(broadcast(tomb),
+        corpus(idCol) === tomb("vec_id"), "left_anti")
+      case None => corpus
+    }
+    graphWrite(live, idCol, vecCol, dim, planes, tables, degree, refine,
+      path, upperMod, upperDegree, upperRefine, shards)
+    val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark, tombstonePath(path))
+    fs.delete(hp, true)
+  }
+
   /** Two-phase layered search over a [[graphWrite]] index: a cheap
     * beam over the SPARSE upper graph first (few nodes, small degree —
     * it localizes every query to its neighborhood from fixed global
@@ -256,7 +323,20 @@ object GraphAnn {
       .union(lshSeeds(corpus, queries, idCol, vecCol, dim, planes, tables,
         entries = Seq.empty))
       .distinct()
-    beamTopK(corpus, queries, edges, seeds, idCol, vecCol, rounds, beamWidth)
+    val beam = beamTopK(corpus, queries, edges, seeds, idCol, vecCol,
+      rounds, beamWidth)
+    // soft-deleted nodes routed the walk above but may not be RETURNED:
+    // drop them from the final beam and re-rank the live survivors so
+    // `rank <= k` still yields k results (graphDelete contract)
+    graphTombstones(spark, path) match {
+      case Some(tomb) =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        beam.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      case None => beam
+    }
   }
 
   /** Rank a (src, dst) candidate frame to the `degree` best per src by

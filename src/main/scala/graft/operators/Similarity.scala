@@ -80,6 +80,89 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select `k` of the `candK` most relevant
+    * candidates, each pick maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` — the re-rank that
+    * stops a near-duplicate cluster from monopolizing a result page,
+    * and the retrieval-side complement of [[semanticDedup]] (which
+    * removes near-dups from the CORPUS; MMR tolerates them and
+    * diversifies per query instead).
+    *
+    * Determinism: rel and sim live on the 6dp integer grid
+    * (floor(round(cos,6)·1e6 + 0.5)), λ on the same 1e6 grid, so every
+    * greedy score is the exact integer `λ6·rel6 − (1e6−λ6)·sim6`
+    * (|·| ≤ 1e12, fits a long with 6 digits of headroom) and ties
+    * break to the smaller id — an oracle replays the unrolled rounds.
+    *
+    * Scale: the greedy loop is k bounded driver-side ROUNDS (the
+    * PageRank discipline), never a driver-side collect — each round is
+    * one aggregation over the (queries × candK²)-bounded pairwise-sim
+    * frame plus one per-query argmax. candK caps the quadratic factor
+    * per query, independent of corpus size; the corpus-sized work is
+    * exactly one [[bruteForceTopK]] (swap in the IVF/graph searchers
+    * for the candidate pass at scale — MMR only needs (query_id,
+    * vec_id, rel) rows).
+    *
+    * Output: (query_id, vec_id, mmr12, rank), rank 1..k per query
+    * (fewer when a query has under k candidates). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, lambda6: Long = 700000L,
+              candK: Int = 20): DataFrame = {
+    require(k >= 1 && candK >= k, "need k >= 1 and candK >= k")
+    require(lambda6 >= 0L && lambda6 <= 1000000L,
+      "lambda6 is a 6dp fraction in [0, 1000000]")
+    // both frames feed every greedy round: cut once so k rounds don't
+    // re-run the corpus-sized candidate pass k times
+    val cand = Lineage.cut(
+      bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("cosine") * lit(1e6) + lit(0.5d)).cast("long")
+            .as("rel6")))
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val withV = cand.select(col("query_id"), col("vec_id")).join(cv, Seq("vec_id"))
+    // candidate-candidate sims, per query: ≤ candK² rows per query, the
+    // bounded frame every round's max-sim-to-picked aggregates over
+    val sims = Lineage.cut(withV.select(col("query_id"),
+        col("vec_id").as("a"), col("cv").as("av"))
+      .join(withV.select(col("query_id"), col("vec_id").as("b"),
+        col("cv").as("bv")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        floor(round(cosine(col("av"), col("bv")), 6) * lit(1e6) + lit(0.5d))
+          .cast("long").as("sim6")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr12").desc, col("vec_id").asc)
+    // round 1: no picked set, the max-sim penalty is 0 — pure relevance
+    var picked = Lineage.cut(cand
+      .withColumn("mmr12", col("rel6") * lit(lambda6))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("mmr12"),
+        lit(1L).as("rank")))
+    for (r <- 2 to k) {
+      val maxSim = sims
+        .join(picked.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim6")).as("msim6"))
+        .select(col("query_id"), col("a").as("vec_id"), col("msim6"))
+      val scored = cand
+        .join(picked.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("mmr12", col("rel6") * lit(lambda6)
+          - col("msim6") * lit(1000000L - lambda6))
+      val pick = scored
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("mmr12"),
+          lit(r.toLong).as("rank"))
+      picked = Lineage.cut(picked.union(pick))
+    }
+    picked
+  }
+
   /** Deterministic seed centroids: the nlist smallest ids, exact float
     * values widened to double. orderBy + limit plans as
     * TakeOrderedAndProject — a distributed top-k, not a single-task global
@@ -182,9 +265,14 @@ object Similarity {
     * point of IVF: a query batch reads ONLY its probed list partitions
     * (classic IVF pruning, expressed as Spark partition pruning). */
   def ivfWrite(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-               nlist: Int = 16, trainIters: Int = 0): Seq[Array[Double]] = {
+               nlist: Int = 16, trainIters: Int = 0,
+               metaCols: Seq[String] = Nil): Seq[Array[Double]] = {
     import graft.expressions.CosinesExpr.{argMax, cosinesD}
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // metaCols ride along in the index files so a filtered search
+    // (ivfTopKPartitionedWhere) pushes its predicate into the parquet
+    // scan instead of joining metadata back in by id
+    val c = corpus.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      ++ metaCols.map(col)): _*)
     val cents =
       if (trainIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
       else seedCentroids(c, nlist)
@@ -216,9 +304,13 @@ object Similarity {
     * built from the full corpus in one shot — assignment is per-vector,
     * so batching cannot change it. */
   def ivfAppend(delta: DataFrame, idCol: String, vecCol: String,
-                path: String, cents: Seq[Array[Double]]): Unit = {
+                path: String, cents: Seq[Array[Double]],
+                metaCols: Seq[String] = Nil): Unit = {
     import graft.expressions.CosinesExpr.{argMax, cosinesD}
-    delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // metaCols must match the ivfWrite call's, or appended files would
+    // diverge from the index schema
+    delta.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+        ++ metaCols.map(col)): _*)
       .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
@@ -237,10 +329,79 @@ object Similarity {
     // filter is a literal and prunes partitions at planning time
     val probedLists = q.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(path)
+    val assigned0 = spark.read.parquet(path)
       .filter(col("list_id").isin(probedLists: _*))
+    val assigned = ivfTombstones(spark, path) match {
+      case Some(tomb) =>
+        assigned0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      case None => assigned0
+    }
     rankProbedLists(assigned, q, k)
   }
+
+  /** FILTERED ANN search over a materialized IVF index: top-k among
+    * the corpus rows satisfying `pred` — the "constrained nearest
+    * neighbor" query every retrieval stack needs (top-k within a
+    * language / license / date range). The predicate evaluates against
+    * metadata columns STORED IN THE INDEX (`ivfWrite(metaCols = ...)`),
+    * so the plan stacks BOTH prunings: `PartitionFilters` keeps the
+    * scan to the probed lists and `PushedFilters` drops non-matching
+    * row groups before any cosine is computed — no id-join back to a
+    * metadata table, no post-hoc filtering of a top-k that came up
+    * short. Selectivity discipline: the filter shrinks each probed
+    * list, not the probe count — under a highly selective predicate
+    * raise `nprobe` (the standard over-probe trade) or the k results
+    * may not exist in the probed lists at all. Tombstones are honored
+    * like the unfiltered path. */
+  def ivfTopKPartitionedWhere(spark: org.apache.spark.sql.SparkSession,
+                              path: String, cents: Seq[Array[Double]],
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, pred: Column, k: Int,
+                              nprobe: Int = 4): DataFrame = {
+    val q = probes(queries, idCol, vecCol, cents, nprobe)
+    val probedLists = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned0 = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists: _*))
+      .filter(pred)
+    val assigned = ivfTombstones(spark, path) match {
+      case Some(tomb) =>
+        assigned0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      case None => assigned0
+    }
+    rankProbedLists(assigned, q, k)
+  }
+
+  /** Current tombstone set of an IVF index as a 1-column (vec_id)
+    * frame, or None when nothing was ever deleted. */
+  def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[DataFrame] =
+    graft.etl.Tombstones.read(spark, path, "vec_id")
+
+  /** SOFT-delete ids from an [[ivfWrite]] index — the missing quarter
+    * of the index lifecycle (write / [[ivfAppend]] / delete /
+    * [[ivfVacuum]]). Deletion is a TOMBSTONE union, never a data-file
+    * rewrite: the LSM discipline — at 100 TB a delete batch must cost
+    * O(batch), not O(touched partitions), and the base files stay
+    * immutable for snapshot readers. [[ivfTopKPartitioned]] anti-joins
+    * the (broadcast-sized) tombstone set, so deleted vectors stop
+    * appearing in results the moment the sidecar commits. The sidecar
+    * is republished through the atomic staged swap: a delete that dies
+    * mid-write leaves the previous tombstone set intact and readable.
+    * Idempotent — re-deleting the same ids is a distinct-union no-op. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                ids: DataFrame): Unit =
+    graft.etl.Tombstones.delete(spark, path, ids, "vec_id")
+
+  /** VACUUM an IVF index: physically drop tombstoned rows, then clear
+    * the tombstone sidecar — run on the compaction cadence when the
+    * tombstone fraction makes the search-side anti-join (or the dead
+    * bytes scanned in probed lists) worth reclaiming. Only TOUCHED
+    * `list_id` partitions are rewritten; crash consistency by
+    * idempotence (see [[graft.etl.Tombstones.vacuum]]). */
+  def ivfVacuum(spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit =
+    graft.etl.Tombstones.vacuum(spark, path, "vec_id", "list_id")
 
   /** Per-subspace product-quantization codebooks trained on coarse
     * RESIDUALS with Lloyd's iterations under L2 (the PQ metric of Jégou

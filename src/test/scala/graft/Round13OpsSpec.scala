@@ -211,6 +211,39 @@ class Round13OpsSpec extends SparkSpec {
       s"doc 20's adjacent regions merge into one 24-token interval: $got")
   }
 
+  // ---- scrubEvalSpans: span-level benchmark decontamination ----
+
+  test("scrubEvalSpans: eval text is excised everywhere, sub-spanN untouched") {
+    def toks(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val s12 = toks("s", 12)
+    val t9 = toks("t", 9)
+    val evalSet = Seq((100L, s12.mkString(" ")), (101L, t9.mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // one embedded copy -> exact excision
+      (1L, (toks("u", 5) ++ s12 ++ toks("v", 5)).mkString(" ")),
+      // TWO copies -> BOTH removed (no first-copy survivor)
+      (2L, (s12 ++ toks("m", 4) ++ s12).mkString(" ")),
+      // 9-token eval doc is below the match length -> invisible
+      (3L, (toks("w", 10) ++ t9 ++ toks("x", 10)).mkString(" ")),
+      // clean doc -> untouched
+      (4L, toks("y", 15).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.scrubEvalSpans(corpus, evalSet,
+        "text", "doc_id", spanN = 10)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (((toks("u", 5) ++ toks("v", 5)).mkString(" "), 12L)),
+      s"embedded eval span excised exactly: ${got(1L)}")
+    assert(got(2L) == ((toks("m", 4).mkString(" "), 24L)),
+      s"both copies removed, no survivor: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"9-token eval doc invisible: ${got(3L)}")
+    assert(got(4L)._2 == 0L && got(4L)._1 == toks("y", 15).mkString(" "),
+      "clean doc byte-identical")
+  }
+
   // ---- ivfAppend: incremental insert at fixed centroids ----
 
   test("ivfAppend: appended index searches identically to a one-shot build") {
@@ -326,5 +359,310 @@ class Round13OpsSpec extends SparkSpec {
     // degree contract holds for every node, delta included
     val over = edges.groupBy("src").count().filter(col("count") > 8).collect()
     assert(over.isEmpty, s"adjacency past the degree cap: ${over.mkString(",")}")
+  }
+
+  // ---- ivfDelete / ivfVacuum: tombstones, then physical reclaim ----
+
+  test("ivfDelete: tombstoned rows vanish from search; delete is idempotent") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val qs = e.filter(col("vec_id") < 3)
+    val path = tmpDir("ivf-del") + "/ivf"
+    val cents = graft.operators.Similarity.ivfWrite(e, "vec_id",
+      "embedding", path, nlist = 16)
+    val dead = (id: org.apache.spark.sql.Column) => id % 7 === 3
+    def search(k: Int) = graft.operators.Similarity
+      .ivfTopKPartitioned(spark, path, cents, qs, "vec_id", "embedding",
+        k = k, nprobe = 4)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect()
+    // wide pre-delete board: the post-delete expectation is this board
+    // minus the dead ids, ranks compacted — deletion must change
+    // NOTHING else (same probes, same candidates, same tie-breaks)
+    val pre = search(20).toSeq
+    graft.operators.Similarity.ivfDelete(spark, path,
+      e.filter(dead(col("vec_id"))).select("vec_id"))
+    val post = search(5).toSet
+    val expected = pre.filter(_._2 % 7 != 3).groupBy(_._1).toSeq.flatMap {
+      case (q, rows) => rows.sortBy(_._3).take(5)
+        .zipWithIndex.map { case ((_, v, _), i) => (q, v, i + 1L) }
+    }.toSet
+    assert(post == expected,
+      s"post-delete top-5 == live pre-delete rows re-ranked\n$post\n$expected")
+    assert(!post.exists(_._2 % 7 == 3), "no tombstoned id in results")
+    // idempotent: re-deleting the same ids leaves one tombstone per id
+    graft.operators.Similarity.ivfDelete(spark, path,
+      e.filter(dead(col("vec_id"))).select("vec_id"))
+    val tomb = graft.operators.Similarity.ivfTombstones(spark, path).get
+    assert(tomb.count() == tomb.distinct().count() &&
+      tomb.count() == e.filter(dead(col("vec_id"))).count(),
+      "distinct-union tombstone set, no growth on re-delete")
+  }
+
+  test("ivfVacuum: touched lists rewritten, untouched files byte-stable, " +
+    "interrupted vacuum stays correct") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val qs = e.filter(col("vec_id") < 3)
+    val path = tmpDir("ivf-vac") + "/ivf"
+    val cents = graft.operators.Similarity.ivfWrite(e, "vec_id",
+      "embedding", path, nlist = 16)
+    graft.operators.Similarity.ivfDelete(spark, path,
+      e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    def search() = graft.operators.Similarity
+      .ivfTopKPartitioned(spark, path, cents, qs, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val tombstoned = search()
+    val touched = spark.read.parquet(path)
+      .filter(col("vec_id") % 7 === 3)
+      .select("list_id").distinct().as[Int].collect().toSet
+    val untouched = spark.read.parquet(path)
+      .select("list_id").distinct().as[Int].collect().toSet -- touched
+    def files(lids: Set[Int]) = lids.flatMap { lid =>
+      val d = new java.io.File(s"$path/list_id=$lid")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length()))
+    }
+    val beforeFiles = files(untouched)
+    // emulate a vacuum killed after ONE touched list committed: the
+    // idempotence contract — every read during a partial vacuum sees
+    // the same live rows (list already clean + tombstones still mask
+    // the rest), and re-running completes
+    val firstList = touched.min
+    graft.etl.IncrementalLoad.atomicRewrite(spark,
+      s"$path/list_id=$firstList") { staging =>
+      spark.read.parquet(s"$path/list_id=$firstList")
+        .filter(col("vec_id") % 7 =!= 3)
+        .write.mode("overwrite").parquet(staging)
+    }
+    assert(search() == tombstoned, "mid-vacuum reads are unchanged")
+    graft.operators.Similarity.ivfVacuum(spark, path)
+    assert(search() == tombstoned, "post-vacuum reads are unchanged")
+    assert(graft.operators.Similarity.ivfTombstones(spark, path).isEmpty,
+      "sidecar cleared after all lists committed")
+    assert(spark.read.parquet(path)
+      .filter(col("vec_id") % 7 === 3).count() == 0,
+      "tombstoned rows physically gone")
+    assert(files(untouched) == beforeFiles,
+      "untouched list partitions not rewritten")
+    // vacuum with no tombstones is a no-op
+    graft.operators.Similarity.ivfVacuum(spark, path)
+    assert(search() == tombstoned)
+  }
+
+  // ---- graphDelete / graphVacuum: HNSW soft delete, then rebuild ----
+
+  test("graphDelete: tombstoned nodes still ROUTE but are never returned") {
+    val vecs = groupedVecs()
+    val path = tmpDir("gann-del")
+    graft.operators.GraphAnn.graphWrite(vecs, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    val qs = vecs.filter(col("vec_id") < 3)
+    def search() = graft.operators.GraphAnn
+      .layeredTopKPartitioned(spark, path, vecs, qs, "vec_id",
+        "embedding", dim = 64, planes = 4, tables = 2,
+        entries = Seq(0L, 4L), upperRounds = 1, upperWidth = 8,
+        rounds = 2, beamWidth = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSeq
+    val pre = search()
+    graft.operators.GraphAnn.graphDelete(spark, path,
+      vecs.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    val post = search().toSet
+    // the ONLY change is the final filter + re-rank: deleted nodes kept
+    // routing (edge shards untouched), so post == pre minus dead ids
+    // with ranks compacted
+    val expected = pre.filter(_._2 % 5 != 2).groupBy(_._1).toSeq.flatMap {
+      case (q, rows) => rows.sortBy(_._3)
+        .zipWithIndex.map { case ((_, v, _), i) => (q, v, i + 1L) }
+    }.toSet
+    assert(post == expected,
+      s"soft delete touches only the final re-rank\n$post\n$expected")
+    val edges = spark.read.parquet(s"$path/edges")
+    assert(edges.filter(col("src") % 5 === 2 || col("dst") % 5 === 2)
+      .count() > 0, "edge shards untouched — dead nodes still route")
+  }
+
+  test("graphVacuum: index equals a fresh build over the live corpus") {
+    val vecs = groupedVecs()
+    val path = tmpDir("gann-vac")
+    graft.operators.GraphAnn.graphWrite(vecs, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    graft.operators.GraphAnn.graphDelete(spark, path,
+      vecs.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    graft.operators.GraphAnn.graphVacuum(spark, path, vecs, "vec_id",
+      "embedding", dim = 64, planes = 4, tables = 2, degree = 8,
+      refine = 1, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    val fresh = tmpDir("gann-vac-fresh")
+    graft.operators.GraphAnn.graphWrite(
+      vecs.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = fresh, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    def layer(p: String, l: String) = spark.read.parquet(s"$p/$l")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(layer(path, "edges") == layer(fresh, "edges"),
+      "vacuumed full layer == fresh build over live corpus")
+    assert(layer(path, "upper_edges") == layer(fresh, "upper_edges"),
+      "vacuumed upper layer == fresh build over live corpus")
+    assert(graft.operators.GraphAnn.graphTombstones(spark, path).isEmpty,
+      "tombstone sidecar cleared")
+  }
+
+  // ---- mmrTopK: diversity-aware greedy re-rank ----
+
+  test("mmrTopK: breaks up a near-duplicate cluster that pure top-k returns") {
+    // the query sits between two topic clusters, closer to A: five
+    // near-identical A vectors (rel ≈ 0.776) and one B vector
+    // (rel ≈ 0.705, near-orthogonal to A). Pure top-2 is two A-clones;
+    // MMR(λ=0.7) must take the B outlier second:
+    //   2nd A-clone: 0.7·0.776e12 − 0.3·~1.0e12  ≈ 0.243e12
+    //   B:           0.7·0.705e12 − 0.3·~0.10e12 ≈ 0.464e12
+    def vec(a: Double, b: Double, eps: Double = 0.0) =
+      Array.tabulate(64)(j =>
+        if (j == 0) a else if (j == 8) b else if (j == 16) eps else 0.0).toSeq
+    val corpus = (
+      (0 until 5).map(i => (10L + i, vec(1.0, 0.05, i * 0.001))) :+
+        (20L, vec(0.05, 1.0)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, vec(1.0, 0.9))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmrTopK(corpus, query, "vec_id",
+        "embedding", k = 3, lambda6 = 700000L, candK = 6)
+      .select("vec_id", "rank").as[(Long, Long)].collect()
+      .map { case (v, r) => r -> v }.toMap
+    val rel = graft.operators.Similarity.bruteForceTopK(corpus, query,
+        "vec_id", "embedding", k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rel.subsetOf((10L until 15L).toSet),
+      s"pure top-2 is all A-clones: $rel")
+    assert(got(1L) >= 10L && got(1L) < 15L, s"rank 1 is the best A: $got")
+    assert(got(2L) == 20L, s"rank 2 diversifies to the B outlier: $got")
+    assert(got(3L) >= 10L && got(3L) < 15L, s"rank 3 returns to A: $got")
+    // λ = 1 degenerates to pure relevance order
+    val pure = graft.operators.Similarity.mmrTopK(corpus, query, "vec_id",
+        "embedding", k = 3, lambda6 = 1000000L, candK = 6)
+      .select("vec_id", "rank").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    val bf = graft.operators.Similarity.bruteForceTopK(corpus, query,
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    assert(pure == bf, s"λ=1 is relevance order: $pure vs $bf")
+  }
+
+  // ---- minhash index lifecycle: append / delete / vacuum ----
+
+  test("minhashIndexAppend: maintained index pairs == one-shot index pairs") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    val batch = docs.filter(col("doc_id") % 10 === 1)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val appended = tmpDir("mh-app") + "/index"
+    val oneShot = tmpDir("mh-one") + "/index"
+    graft.operators.Dedup.writeMinhashIndex(hist, "text", "doc_id",
+      appended, bands = 16, rowsPerBand = 2, shingleN = 3)
+    graft.operators.Dedup.minhashIndexAppend(spark, batch, "text",
+      "doc_id", appended, bands = 16, rowsPerBand = 2, shingleN = 3)
+    graft.operators.Dedup.writeMinhashIndex(corpus, "text", "doc_id",
+      oneShot, bands = 16, rowsPerBand = 2, shingleN = 3)
+    def pairs(idx: String) = graft.operators.Dedup.incrementalPairs(spark,
+        fresh, corpus, "text", "doc_id", idx, bands = 16, rowsPerBand = 2,
+        shingleN = 3, threshold = 0.35)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(pairs(appended) == pairs(oneShot),
+      "write-then-append == one-shot build (signatures are per-doc)")
+  }
+
+  test("minhashIndexAppend: skew cap holds across appends (combined count)") {
+    // identical texts share every (band, bh) bucket; cap 3 means the
+    // 2-row append onto a 2-row bucket must be dropped whole
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val idx = tmpDir("mh-cap") + "/index"
+    graft.operators.Dedup.writeMinhashIndex(mk(Seq(1L, 2L)), "text",
+      "doc_id", idx, bands = 4, rowsPerBand = 2, shingleN = 3, maxBucket = 3)
+    graft.operators.Dedup.minhashIndexAppend(spark, mk(Seq(3L, 4L)), "text",
+      "doc_id", idx, bands = 4, rowsPerBand = 2, shingleN = 3, maxBucket = 3)
+    val perBucket = spark.read.parquet(idx).groupBy("band", "bh").count()
+      .agg(max("count")).as[Long].collect().head
+    assert(perBucket <= 3, s"no bucket may exceed the cap, got $perBucket")
+    assert(spark.read.parquet(idx).filter(col("id") >= 3).count() == 0,
+      "the over-cap append batch is dropped whole (all-or-nothing per bucket)")
+    // a batch landing in fresh buckets still appends
+    graft.operators.Dedup.minhashIndexAppend(spark,
+      Seq((9L, "omicron pi rho sigma tau upsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, bands = 4, rowsPerBand = 2, shingleN = 3,
+      maxBucket = 3)
+    assert(spark.read.parquet(idx).filter(col("id") === 9).count() === 4L,
+      "fresh-bucket batch appends one row per band")
+  }
+
+  test("minhashIndexDelete: forgotten docs stop pairing immediately; vacuum reclaims") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val idx = tmpDir("mh-del") + "/index"
+    graft.operators.Dedup.writeMinhashIndex(corpus, "text", "doc_id", idx,
+      bands = 16, rowsPerBand = 2, shingleN = 3)
+    def pairs() = graft.operators.Dedup.incrementalPairs(spark, fresh,
+        corpus, "text", "doc_id", idx, bands = 16, rowsPerBand = 2,
+        shingleN = 3, threshold = 0.35)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    val forgotten = before.map(_._2).head
+    graft.operators.Dedup.minhashIndexDelete(spark, idx,
+      Seq(forgotten).toDF("doc_id"))
+    val after = pairs()
+    assert(after == before.filterNot(_._2 == forgotten),
+      "exactly the forgotten doc's pairs disappear")
+    graft.operators.Dedup.minhashIndexVacuum(spark, idx)
+    assert(pairs() == after, "vacuum preserves the live pairs")
+    assert(spark.read.parquet(idx).filter(col("id") === forgotten).count() == 0,
+      "signature rows physically gone")
+    assert(graft.etl.Tombstones.read(spark, idx, "id").isEmpty,
+      "sidecar cleared")
+  }
+
+  // ---- filtered ANN: predicate pushed into the probed index scan ----
+
+  test("ivfTopKPartitionedWhere: both prunings in the plan; post-hoc filtering loses results") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 3)
+    val path = tmpDir("ivf-flt") + "/ivf"
+    val cents = graft.operators.Similarity.ivfWrite(e, "vec_id",
+      "embedding", path, nlist = 16, metaCols = Seq("label"))
+    val filtered = graft.operators.Similarity.ivfTopKPartitionedWhere(
+      spark, path, cents, qs, "vec_id", "embedding",
+      col("label") === 3, k = 10, nprobe = 6)
+    // the scan must prune BOTH ways: probed lists via the partition
+    // column, the label predicate via parquet row-group pushdown —
+    // never a metadata join or a post-scan-only filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"probed-list partition pruning missing:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(label,3"),
+      s"label predicate not pushed to the scan:\n$plan")
+    val rows = filtered.select("query_id", "vec_id").as[(Long, Long)]
+      .collect()
+    val labels = e.filter(col("label") === 3).select("vec_id")
+      .as[Long].collect().toSet
+    assert(rows.forall(r => labels.contains(r._2)),
+      "every result satisfies the predicate")
+    assert(rows.groupBy(_._1).forall(_._2.length == 10),
+      "a full page of 10 per query under the filter")
+    // the naive alternative — filter an UNCONSTRAINED top-10 — keeps
+    // ~1 of 10 at this label cardinality; that deficit is the operator
+    val posthoc = graft.operators.Similarity.ivfTopKPartitioned(spark,
+        path, cents, qs, "vec_id", "embedding", k = 10, nprobe = 6)
+      .join(e.filter(col("label") === 3).select("vec_id"), Seq("vec_id"),
+        "left_semi")
+      .groupBy("query_id").count().agg(max("count")).as[Long]
+      .collect().head
+    assert(posthoc < 10,
+      s"post-hoc filtering must come up short, kept $posthoc of 10")
   }
 }
