@@ -665,4 +665,59 @@ class Round13OpsSpec extends SparkSpec {
     assert(posthoc < 10,
       s"post-hoc filtering must come up short, kept $posthoc of 10")
   }
+
+  // ---- streaming corpus ingestion behind the near-dup gate ----
+
+  test("CorpusIngest: within-batch, cross-history and cross-batch dups " +
+    "gated; batch replay is a no-op") {
+    def doc(id: Long, text: String) = (id, text)
+    val h = Seq(
+      doc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(2L, "colorless green ideas sleep furiously under winter moons tonight"))
+      .toDF("doc_id", "text")
+    val root = tmpDir("ingest")
+    val idx = s"$root/index"
+    val corpus = s"$root/corpus"
+    // bootstrap: index + corpus are one logical table
+    graft.operators.Dedup.writeMinhashIndex(h, "text", "doc_id", idx,
+      bands = 16, rowsPerBand = 2, shingleN = 3)
+    h.write.parquet(corpus)
+    val b1 = Seq(
+      doc(10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      doc(11L, "the quick brown fox jumps over the lazy dog again and again"), // == h1
+      doc(12L, "granite rivers remember every glacier that carved them long ago"),
+      doc(13L, "granite rivers remember every glacier that carved them long ago")) // == 12
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(20L, "seven crimson airships drifted across the copper morning skyline slowly"), // == 10
+      doc(21L, "binary stars trade plasma in slow ten thousand year waltzes"))
+      .toDF("doc_id", "text")
+    val src = s"$root/src"
+    def ingest(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = graft.streaming.CorpusIngest.dedupIngest(stream, "text",
+        "doc_id", idx, corpus, s"$root/ckpt", bands = 16,
+        rowsPerBand = 2, shingleN = 3, threshold = 0.8).start()
+      q.processAllAvailable(); q.stop()
+    }
+    b1.coalesce(1).write.mode("append").parquet(src)
+    ingest()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    ingest()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    def indexIds() = spark.read.parquet(idx)
+      .select(col("id")).distinct().as[Long].collect().toSet
+    val live = Set(1L, 2L, 10L, 12L, 21L)
+    assert(corpusIds() == live, s"corpus gates all three dup kinds: ${corpusIds()}")
+    assert(indexIds() == live, "index stays in step with the corpus")
+    // replay of an already-committed batch (the foreachBatch crash
+    // contract): both sinks unchanged
+    graft.streaming.CorpusIngest.ingestBatch(b1, "text", "doc_id", idx,
+      corpus, bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.8)
+    assert(corpusIds() == live && indexIds() == live,
+      "batch replay appends nothing anywhere")
+    assert(spark.read.parquet(corpus).count() == 5,
+      "no duplicate corpus rows after replay")
+  }
 }
