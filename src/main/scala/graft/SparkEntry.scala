@@ -1335,6 +1335,27 @@ object SparkEntry {
         col("label") === 3, k = 10, nprobe = 6)
     }),
 
+    // FILTERED graph-ANN (the q328 constraint on the graph index): the
+    // walk stays unconstrained — non-matching nodes keep routing, since
+    // filtering during the walk fragments the graph under selective
+    // predicates (the ACORN problem) — and label == 3 applies to the
+    // FINAL 48-wide beam, re-ranked over survivors (over-widen rule:
+    // beamWidth ≈ k/selectivity). Same cheap build profile as q325.
+    "q329_graph_ann_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-gann-flt")
+        .toString
+      operators.GraphAnn.graphWrite(e, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, degree = 16, refine = 0, path = path,
+        upperMod = 4, upperDegree = 8, upperRefine = 0)
+      operators.GraphAnn.layeredTopKPartitionedWhere(s, path, e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", dim = 64,
+          planes = 4, tables = 2, entries = Seq(0L, 4L, 8L, 12L),
+          pred = col("label") === 3, upperRounds = 1, upperWidth = 16,
+          rounds = 2, beamWidth = 48)
+        .filter(col("rank") <= 5)
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -8177,7 +8198,14 @@ object SparkEntry {
         |  WHERE p.query_id <> a.vec_id AND a.vec_id % 7 <> 3),
         |""".stripMargin + CosineRankTail),
 
-    "q325_graph_ann_delete" -> GraphAnnDeleteOracle,
+    "q325_graph_ann_delete" ->
+      GraphAnnCheapSearchOracle(beamWidth = 32,
+        liveCond = "vec_id % 5 <> 2", k = 10),
+
+    "q329_graph_ann_filtered" ->
+      GraphAnnCheapSearchOracle(beamWidth = 48,
+        liveCond = "vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)",
+        k = 5),
 
     "q326_mmr_rerank" -> MmrOracle(k = 5, lambda6 = 700000L, candK = 20),
 
@@ -12484,13 +12512,15 @@ object SparkEntry {
        |FROM ($unionAll)""".stripMargin
   }
 
-  /** Oracle for q325_graph_ann_delete: REPLAYS the cheap-profile
-    * graphWrite (refine 0: bucket-confined g0/u0 only), the 1-round
-    * upper beam from the fixed entries, the 2-round full beam at width
-    * 32, then the SOFT-DELETE contract — drop tombstoned ids
-    * (vec_id % 5 = 2) from the FINAL beam only (they still routed every
-    * round above) and re-rank the live survivors to rank 1..10. */
-  private def GraphAnnDeleteOracle: String = {
+  /** Shared oracle for the cheap-profile (refine 0) graph-ANN searches
+    * with a final-beam survivor filter: REPLAYS graphWrite
+    * (bucket-confined g0/u0 only), the 1-round upper beam from the
+    * fixed entries, the `beamWidth`-wide 2-round full beam, then keeps
+    * only beam members satisfying `liveCond` (they all still ROUTED
+    * every round) re-ranked 1..k — the soft-delete (q325) and
+    * filtered-search (q329) contracts differ only in the condition. */
+  private def GraphAnnCheapSearchOracle(beamWidth: Int, liveCond: String,
+                                        k: Int): String = {
     s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings),
        |cb AS MATERIALIZED (
@@ -12527,21 +12557,21 @@ object SparkEntry {
        |    SELECT qk.vec_id AS query_id, c.vec_id
        |    FROM ck qk JOIN ck c ON c.tbl = qk.tbl AND c.key = qk.key
        |    WHERE qk.vec_id < 5 AND c.vec_id <> qk.vec_id)),
-       |${gannQueryTopK("fs", "b0", 32)},
-       |${gannBeamRound("b", 1, "g0", 32)},
-       |${gannBeamRound("b", 2, "g0", 32)},
+       |${gannQueryTopK("fs", "b0", beamWidth)},
+       |${gannBeamRound("b", 1, "g0", beamWidth)},
+       |${gannBeamRound("b", 2, "g0", beamWidth)},
        |live AS (
        |  SELECT query_id, vec_id, cosine FROM (
        |    SELECT query_id, vec_id, cosine, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
        |    FROM b2s)
-       |  WHERE rn <= 32 AND vec_id % 5 <> 2)
+       |  WHERE rn <= $beamWidth AND ($liveCond))
        |SELECT query_id, vec_id, cosine, rank FROM (
        |  SELECT query_id, vec_id, cosine, CAST(row_number() OVER (
        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
        |    AS BIGINT) AS rank
        |  FROM live)
-       |WHERE rank <= 10""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** Oracle for q317_graph_ann_append: REPLAYS graphWrite over the

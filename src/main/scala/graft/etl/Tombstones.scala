@@ -57,20 +57,29 @@ private[graft] object Tombstones {
   def vacuum(spark: SparkSession, indexPath: String, idCol: String,
              partitionCol: String): Unit = {
     read(spark, indexPath, idCol).foreach { tomb =>
-      val touched = spark.read.parquet(indexPath)
-        .join(broadcast(tomb), Seq(idCol), "left_semi")
-        .select(col(partitionCol)).distinct()
-        .collect().map(_.get(0).toString).sorted
-      touched.foreach { pv =>
-        val partPath = s"${indexPath.stripSuffix("/")}/$partitionCol=$pv"
-        IncrementalLoad.atomicRewrite(spark, partPath) { staging =>
-          spark.read.parquet(partPath)
-            .join(broadcast(tomb), Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(staging)
-        }
-      }
+      vacuumTable(spark, indexPath, tomb, idCol, partitionCol)
       val (fs, hp) = IncrementalLoad.fsFor(spark, sidecarPath(indexPath))
       fs.delete(hp, true)
+    }
+  }
+
+  /** The partition-local reclaim of [[vacuum]] against one parquet
+    * table, for indexes whose root holds SEVERAL tables under one
+    * sidecar (IVF-PQ: codes + vectors) — the caller clears the sidecar
+    * itself after every table committed. */
+  def vacuumTable(spark: SparkSession, tablePath: String, tomb: DataFrame,
+                  idCol: String, partitionCol: String): Unit = {
+    val touched = spark.read.parquet(tablePath)
+      .join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    touched.foreach { pv =>
+      val partPath = s"${tablePath.stripSuffix("/")}/$partitionCol=$pv"
+      IncrementalLoad.atomicRewrite(spark, partPath) { staging =>
+        spark.read.parquet(partPath)
+          .join(broadcast(tomb), Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(staging)
+      }
     }
   }
 }

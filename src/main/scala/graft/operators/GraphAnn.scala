@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -337,6 +337,37 @@ object GraphAnn {
           .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
       case None => beam
     }
+  }
+
+  /** FILTERED layered search: top results among corpus rows satisfying
+    * `pred` (evaluated against `corpus`, which carries the metadata
+    * columns). The walk itself stays UNCONSTRAINED — non-matching nodes
+    * keep routing exactly like soft-deleted ones, because filtering
+    * during the walk fragments the graph under selective predicates
+    * (the ACORN problem) — and the predicate applies to the FINAL beam,
+    * re-ranked over the survivors. The over-widen discipline is the
+    * price: at selectivity s, a beam of width w yields ~s·w filtered
+    * results, so size `beamWidth ≈ k/s` (the graph twin of q328's
+    * over-probe rule). The filter side is an id-only column-pruned
+    * scan semi-joined against the (queries × beamWidth)-sized beam. */
+  def layeredTopKPartitionedWhere(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, corpus: DataFrame,
+                                  queries: DataFrame, idCol: String,
+                                  vecCol: String, dim: Int, planes: Int,
+                                  tables: Int, entries: Seq[Long],
+                                  pred: Column,
+                                  upperRounds: Int = 2, upperWidth: Int = 16,
+                                  rounds: Int = 3, beamWidth: Int = 32,
+                                  upperMod: Int = 4): DataFrame = {
+    val beam = layeredTopKPartitioned(spark, path, corpus, queries, idCol,
+      vecCol, dim, planes, tables, entries, upperRounds, upperWidth,
+      rounds, beamWidth, upperMod)
+    val keep = corpus.filter(pred).select(col(idCol).as("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    beam.join(keep, Seq("vec_id"), "left_semi")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
   /** Rank a (src, dst) candidate frame to the `degree` best per src by

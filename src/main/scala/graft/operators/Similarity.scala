@@ -640,13 +640,42 @@ object Similarity {
       .select(explode(topKIndices(cosinesD(col("qv"), cents), nprobe))
         .as("list_id"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes0 = spark.read.parquet(s"$path/codes")
       .filter(col("list_id").isin(probedLists: _*))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors0 = spark.read.parquet(s"$path/vectors")
       .filter(col("list_id").isin(probedLists: _*))
+    // one sidecar covers both tables (they are one logical index)
+    val (codes, vectors) = ivfTombstones(spark, path) match {
+      case Some(tomb) =>
+        (codes0.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          vectors0.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      case None => (codes0, vectors0)
+    }
     pqSearchTail(codes, vectors, cents, cb, dim, queries, idCol, vecCol,
       k, nprobe, rerank)
   }
+
+  /** SOFT-delete ids from an [[ivfPqWrite]] index — same LSM sidecar
+    * contract as [[ivfDelete]]; one tombstone set masks both the codes
+    * and the exact-rerank vectors table. */
+  def ivfPqDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                  ids: DataFrame): Unit =
+    graft.etl.Tombstones.delete(spark, path, ids, "vec_id")
+
+  /** VACUUM an IVF-PQ index: reclaim tombstoned rows from BOTH tables
+    * (touched list partitions only), clear the sidecar last — same
+    * idempotent crash story as [[ivfVacuum]]. */
+  def ivfPqVacuum(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit =
+    ivfTombstones(spark, path).foreach { tomb =>
+      graft.etl.Tombstones.vacuumTable(spark, s"$path/codes", tomb,
+        "vec_id", "list_id")
+      graft.etl.Tombstones.vacuumTable(spark, s"$path/vectors", tomb,
+        "vec_id", "list_id")
+      val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark,
+        graft.etl.Tombstones.sidecarPath(path))
+      fs.delete(hp, true)
+    }
 
 
   /** Scalar int8 quantization of the embedding column: per-vector

@@ -720,4 +720,70 @@ class Round13OpsSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 5,
       "no duplicate corpus rows after replay")
   }
+
+  // ---- ivfPq delete/vacuum: one sidecar over both index tables ----
+
+  test("ivfPqDelete/Vacuum: tombstones mask codes AND vectors; vacuum reclaims both") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val qs = e.filter(col("vec_id") < 3)
+    val path = tmpDir("ivfpq-del") + "/pq"
+    val (cents, cb) = graft.operators.Similarity.ivfPqWrite(e, "vec_id",
+      "embedding", path, dim = 64, nlist = 16)
+    def search() = graft.operators.Similarity.ivfPqTopKPartitioned(spark,
+        path, cents, cb, qs, "vec_id", "embedding", dim = 64, k = 5,
+        nprobe = 4)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val pre = search()
+    val dead = pre.map(_._2).head
+    graft.operators.Similarity.ivfPqDelete(spark, path,
+      Seq(dead).toDF("vec_id"))
+    val post = search()
+    assert(!post.exists(_._2 == dead), "tombstoned id never returned")
+    assert(post != pre, "the board actually changed")
+    graft.operators.Similarity.ivfPqVacuum(spark, path)
+    assert(search() == post, "vacuum preserves the masked board")
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === dead).count() == 0 &&
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("vec_id") === dead).count() == 0,
+      "both tables physically reclaimed")
+    assert(graft.operators.Similarity.ivfTombstones(spark, path).isEmpty,
+      "sidecar cleared after both tables committed")
+  }
+
+  // ---- graph-ANN filtered search: constrained final beam ----
+
+  test("layeredTopKPartitionedWhere: predicate on the final beam only; walk unconstrained") {
+    val vecs = groupedVecs().withColumn("label",
+      (col("vec_id") % 2).cast("int"))
+    val path = tmpDir("gann-flt")
+    graft.operators.GraphAnn.graphWrite(vecs, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    val qs = vecs.filter(col("vec_id") < 3)
+    val unfiltered = graft.operators.GraphAnn.layeredTopKPartitioned(
+        spark, path, vecs, qs, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, entries = Seq(0L, 4L), upperRounds = 1,
+        upperWidth = 8, rounds = 2, beamWidth = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSeq
+    val filtered = graft.operators.GraphAnn.layeredTopKPartitionedWhere(
+        spark, path, vecs, qs, "vec_id", "embedding", dim = 64,
+        planes = 4, tables = 2, entries = Seq(0L, 4L),
+        pred = col("label") === 0, upperRounds = 1, upperWidth = 8,
+        rounds = 2, beamWidth = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(filtered.forall(_._2 % 2 == 0), "every result satisfies the predicate")
+    // the filter applies to the final beam ONLY: filtered == unfiltered
+    // minus odd ids, ranks compacted — identical routing both runs
+    val expected = unfiltered.filter(_._2 % 2 == 0).groupBy(_._1).toSeq
+      .flatMap { case (q, rows) => rows.sortBy(_._3)
+        .zipWithIndex.map { case ((_, v, _), i) => (q, v, i + 1L) } }
+      .toSet
+    assert(filtered == expected,
+      s"constraint touches only the final re-rank\n$filtered\n$expected")
+  }
 }
