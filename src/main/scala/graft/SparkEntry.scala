@@ -1356,6 +1356,17 @@ object SparkEntry {
         .filter(col("rank") <= 5)
     }),
 
+    // Hard-negative mining (the contrastive-training board): per
+    // anchor, the 5 most-similar WRONG-label vectors, each against the
+    // anchor's best same-label positive with the integer margin —
+    // margin6 >= 0 flags negatives that outrank every positive (a
+    // label-error suspect as much as a training example, see q299).
+    "q330_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", "label", k = 5)
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -8206,6 +8217,36 @@ object SparkEntry {
       GraphAnnCheapSearchOracle(beamWidth = 48,
         liveCond = "vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)",
         k = 5),
+
+    // identical cosine/rank math as q35 with the label split: negatives
+    // ranked per anchor, positives reduced to the max, integer margin
+    "q330_hard_negatives" ->
+      """WITH sc AS (
+        |  SELECT c.query_id, c.vec_id, c.c_lab, c.q_lab,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id, e.label AS c_lab,
+        |      q.label AS q_lab,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+        |    FROM embeddings q, embeddings e
+        |    WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) c),
+        |pos AS (
+        |  SELECT query_id, max(cosine) AS pos_cos FROM sc
+        |  WHERE c_lab = q_lab GROUP BY query_id),
+        |neg AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM sc WHERE c_lab <> q_lab)
+        |SELECT n.query_id, n.vec_id, n.cosine, n.rank, p.pos_cos,
+        |  CAST(floor(n.cosine * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(p.pos_cos * 1e6 + 0.5) AS BIGINT) AS margin6
+        |FROM neg n LEFT JOIN pos p USING (query_id)
+        |WHERE n.rank <= 5""".stripMargin,
 
     "q326_mmr_rerank" -> MmrOracle(k = 5, lambda6 = 700000L, candK = 20),
 

@@ -163,6 +163,46 @@ object Similarity {
     picked
   }
 
+  /** HARD-NEGATIVE mining for embedding/contrastive training (the
+    * triplet-mining board): per anchor, the `k` most-similar corpus
+    * vectors with a DIFFERENT label — high cosine, wrong class, the
+    * negatives a contrastive loss actually learns from — each with the
+    * anchor's best same-label positive and the integer margin
+    * `floor(neg·1e6+.5) − floor(pos·1e6+.5)` (≥ 0 means the negative
+    * OUTRANKS every positive: a label-error suspect as much as a
+    * training example, the q299 connection). Anchors without a
+    * same-label peer report a NULL positive/margin.
+    *
+    * Scale: one broadcast pass of the (small) anchor set against the
+    * corpus scan — the q35 shape; at 100 TB swap the candidate pass
+    * for the IVF/graph searchers (the miner only needs (query_id,
+    * vec_id, cosine, labels) candidate rows) and keep the same
+    * per-anchor split/rank tail.
+    * Output: (query_id, vec_id, cosine, rank, pos_cos, margin6). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_lab"))
+    val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_lab"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val pos = scored.filter(col("c_lab") === col("q_lab"))
+      .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.filter(col("c_lab") =!= col("q_lab"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"),
+        col("pos_cos"),
+        (floor(col("cosine") * lit(1e6) + lit(0.5d)).cast("long")
+          - floor(col("pos_cos") * lit(1e6) + lit(0.5d)).cast("long"))
+          .as("margin6"))
+  }
+
   /** Deterministic seed centroids: the nlist smallest ids, exact float
     * values widened to double. orderBy + limit plans as
     * TakeOrderedAndProject — a distributed top-k, not a single-task global
@@ -466,8 +506,20 @@ object Similarity {
       : (Seq[Array[Double]], Seq[Seq[Seq[Double]]], DataFrame, DataFrame) = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val dsub = dim / m
-    import graft.expressions.CosinesExpr.{argMax, cosinesD}
     val cents = seedCentroids(c, nlist)
+    val (assigned, rsub) = pqResidSub(c, cents, m, dsub)
+    val seedIds = c.orderBy(col("vec_id").asc).limit(ksub)
+      .collect().map(_.getLong(0)).toSeq
+    val cb = pqTrain(rsub, seedIds, ksub, dsub, pqIters)
+    (cents, cb, assigned, pqEncodeRsub(rsub, cents, cb, dsub))
+  }
+
+  /** Coarse-assign at FIXED centroids + long-form residual split —
+    * shared by the one-shot build and [[ivfPqAppend]]. Returns
+    * (assigned(vec_id, cv, list_id), rsub(vec_id, list_id, m, sub)). */
+  private def pqResidSub(c: DataFrame, cents: Seq[Array[Double]], m: Int,
+                         dsub: Int): (DataFrame, DataFrame) = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
     val centsLit = typedLit(cents.map(_.toSeq))
     val assigned = c.withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
     // residual r = widen(v) - c_list, split into m long-form subvectors
@@ -481,17 +533,44 @@ object Similarity {
             slice(col("r"), i * dsub + 1, lit(dsub)).as("sub")))).as("ms"))
       .select(col("vec_id"), col("list_id"),
         col("ms.m").as("m"), col("ms.sub").as("sub"))
-    val seedIds = c.orderBy(col("vec_id").asc).limit(ksub)
-      .collect().map(_.getLong(0)).toSeq
-    val cb = pqTrain(rsub, seedIds, ksub, dsub, pqIters)
-    // encode: per (vec, m) the code and the reconstruction's partial
-    // squared norm — the only per-vector state search ever touches
-    val encoded = rsub.withColumn("code", pqCode(cb))
+    (assigned, rsub)
+  }
+
+  /** Encode long-form residuals under FIXED codebooks: per (vec, m) the
+    * code and the reconstruction's partial squared norm — the only
+    * per-vector state search ever touches. */
+  private def pqEncodeRsub(rsub: DataFrame, cents: Seq[Array[Double]],
+                           cb: Seq[Seq[Seq[Double]]],
+                           dsub: Int): DataFrame =
+    rsub.withColumn("code", pqCode(cb))
       .withColumn("rn2",
         aggregate(pqRecon(cents, cb, dsub)(col("m"), col("code"), col("list_id")),
           lit(0.0d), (acc, x) => acc + x * x))
       .select("vec_id", "list_id", "m", "code", "rn2")
-    (cents, cb, assigned, encoded)
+
+  /** INCREMENTAL IVF-PQ insert — the [[ivfAppend]] contract for the
+    * quantized index: delta vectors coarse-assign to their nearest
+    * EXISTING centroid and PQ-encode under the FIXED trained codebooks
+    * (the exact build-time argmax/argmin — same literals, same
+    * tie-breaks), then append to the touched list partitions of BOTH
+    * tables. Centroids and codebooks are immutable index metadata —
+    * re-training either is a rebuild, not an append; as the appended
+    * fraction grows, quantization error drifts upward relative to
+    * re-trained codebooks — rebuild on the compaction cadence. Search
+    * equality at fixed (cents, cb) is batch-independent by
+    * construction (per-vector assignment + encoding), spec-asserted
+    * against a one-shot build. */
+  def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
+                  path: String, cents: Seq[Array[Double]],
+                  cb: Seq[Seq[Seq[Double]]], dim: Int): Unit = {
+    val m = cb.length
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val c = delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val (assigned, rsub) = pqResidSub(c, cents, m, dim / m)
+    pqEncodeRsub(rsub, cents, cb, dim / m)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+    assigned.write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/vectors")
   }
 
   /** Reconstruction of sub-centroid (m, cid) inside list `listId`:

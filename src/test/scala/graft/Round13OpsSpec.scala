@@ -786,4 +786,72 @@ class Round13OpsSpec extends SparkSpec {
     assert(filtered == expected,
       s"constraint touches only the final re-rank\n$filtered\n$expected")
   }
+
+  // ---- ivfPqAppend: incremental insert at fixed cents + codebooks ----
+
+  test("ivfPqAppend: appended index searches identically to a one-shot build") {
+    // base holds the 16 smallest ids (seed centroids AND pq seed rows);
+    // pqIters = 0 keeps the codebooks at their seeds — a pure function
+    // of those ids — so the base-trained and corpus-trained metadata
+    // coincide and fixed-metadata equality is exact (with training
+    // iterations the codebooks are corpus statistics and a rebuild
+    // legitimately differs — that drift is the documented rebuild-on-
+    // compaction-cadence contract, not an append defect)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val base = e.filter(col("vec_id") < 40)
+    val delta = e.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val corpus = e.filter(col("vec_id") < 60)
+    val qs = e.filter(col("vec_id") < 3)
+    val appended = tmpDir("ivfpq-app") + "/pq"
+    val oneShot = tmpDir("ivfpq-one") + "/pq"
+    val (c1, cb1) = graft.operators.Similarity.ivfPqWrite(base, "vec_id",
+      "embedding", appended, dim = 64, nlist = 16, pqIters = 0)
+    graft.operators.Similarity.ivfPqAppend(delta, "vec_id", "embedding",
+      appended, c1, cb1, dim = 64)
+    val (c2, cb2) = graft.operators.Similarity.ivfPqWrite(corpus, "vec_id",
+      "embedding", oneShot, dim = 64, nlist = 16, pqIters = 0)
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq) && cb1 == cb2,
+      "same seed rules, same centroids and codebooks")
+    def search(p: String, c: Seq[Array[Double]], cb: Seq[Seq[Seq[Double]]]) =
+      graft.operators.Similarity.ivfPqTopKPartitioned(spark, p, c, cb, qs,
+          "vec_id", "embedding", dim = 64, k = 5, nprobe = 4)
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(search(appended, c1, cb1) == search(oneShot, c2, cb2),
+      "append-then-search == build-then-search at fixed metadata")
+    assert(spark.read.parquet(s"$appended/codes")
+      .filter(col("vec_id") >= 40).count() > 0, "delta codes landed")
+  }
+
+  // ---- hardNegatives: the contrastive-training mining board ----
+
+  test("hardNegatives: wrong-label lookalikes surface with the exact margin") {
+    def vec(a: Double, b: Double, eps: Double = 0.0) =
+      Array.tabulate(64)(j =>
+        if (j == 0) a else if (j == 8) b else if (j == 16) eps else 0.0).toSeq
+    // anchor 100 (label 0); its class-mates point the same way but
+    // weaker; one label-1 vector is nearly IDENTICAL to the anchor (the
+    // planted hard negative / label-error suspect), one label-1 vector
+    // is orthogonal (an easy negative)
+    val corpus = Seq(
+      (100L, vec(1.0, 0.0), 0),
+      (101L, vec(1.0, 0.4), 0),  // best positive
+      (102L, vec(1.0, 0.8), 0),
+      (200L, vec(1.0, 0.01), 1), // planted hard negative, cos ~ 1
+      (201L, vec(0.0, 1.0), 1))  // easy negative, cos ~ 0
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") === 100L), "vec_id", "embedding",
+        "label", k = 2)
+      .select("vec_id", "rank", "margin6").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(200L, 201L),
+      s"hard negative ranks above the easy one: ${got.toSeq}")
+    // the planted negative OUTRANKS the best positive (cos ~1 vs ~0.93):
+    // margin6 >= 0 — the label-error signal
+    assert(got(0)._3 > 0L, s"planted lookalike has a positive margin: ${got(0)}")
+    assert(got(1)._3 < 0L, s"easy negative sits far below the positive: ${got(1)}")
+    // self and same-label vectors never appear
+    assert(!got.exists(r => r._1 == 100L || r._1 == 101L || r._1 == 102L))
+  }
 }
