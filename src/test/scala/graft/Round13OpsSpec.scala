@@ -361,6 +361,23 @@ class Round13OpsSpec extends SparkSpec {
     assert(over.isEmpty, s"adjacency past the degree cap: ${over.mkString(",")}")
   }
 
+  test("scrubEvalSpans: the eval cover test is a broadcast semi-join") {
+    // the plan contract behind the 100 TB story: eval windows hash to a
+    // broadcast-sized distinct set, the corpus side probes it with a
+    // semi-join — never a shuffle keyed on gram strings, never a
+    // cartesian stage
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = graft.operators.Dedup.scrubEvalSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", spanN = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"),
+      s"eval membership must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian stage anywhere:\n$plan")
+  }
+
   // ---- ivfDelete / ivfVacuum: tombstones, then physical reclaim ----
 
   test("ivfDelete: tombstoned rows vanish from search; delete is idempotent") {
