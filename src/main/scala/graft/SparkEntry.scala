@@ -1290,7 +1290,7 @@ object SparkEntry {
 
     // Dedup-index LIFECYCLE (the q81 index under maintenance): index
     // the historical 80%, APPEND the %10==1 batch (skew cap maintained
-    // across appends), FORGET doc_id % 10 == 5 (right-to-be-forgotten —
+    // across appends), FORGET doc_id % 10 == 2 (right-to-be-forgotten —
     // a removed document must stop generating near-dup candidates
     // immediately, not at the next re-index), then dedup the %10==0
     // batch against the maintained index (forget class %10==2 is
@@ -1365,6 +1365,36 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), "vec_id",
         "embedding", "label", k = 5)
+    }),
+
+    // Single-row digest of the two K-M boards (the round-13 verdict's
+    // final survival-board discriminator): ONE all-BIGINT row carrying
+    // (n_rows, board_ck) for the q252 session board and the q282
+    // customer board side by side. Root cause of the 4-round hash-only
+    // red was found this round — the oracle's uncast `n_risk` (a
+    // window SUM over BIGINT) is HUGEINT in DuckDB, which a pandas
+    // fetch renders float64 (`9549.0` vs Spark's `9549`), red under
+    // any value-formatting hash while rows/schema/== stay green. The
+    // base oracles now CAST it; this digest pins the fold itself under
+    // a surface where no such type drift is possible (see ROUND14.md).
+    "q331_km_board_digest" -> ((s, dir) => {
+      import graft.operators.Validate
+      val cols = Seq("t_days", "n_risk", "n_events", "survival_p6")
+      def digest(df: DataFrame, rowsName: String, ckName: String) =
+        df.withColumn("__mix",
+            Validate.rowMix(cols.map(c => Validate.enc.long(col(c)))))
+          .agg(count(lit(1)).as(rowsName),
+            (sum(col("__mix").cast("decimal(38,0)")) % lit(Validate.P))
+              .cast("long").as(ckName))
+      val km = operators.Survival.kaplanMeier(
+        operators.Survival.sessionLifetimes(t(s, dir, "events"), "user_id",
+          "ts", "event_id", gapSeconds = 1800L),
+        durationCol = "duration_min").drop("survival")
+      val usr = operators.Survival.kaplanMeier(
+        operators.Survival.lifetimes(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", censorDays = 90)).drop("survival")
+      digest(km, "km_rows", "km_ck")
+        .crossJoin(digest(usr, "user_rows", "user_ck"))
     }),
 
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
@@ -4626,8 +4656,8 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
       |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
-      |SELECT t AS t_days, n_risk, d AS n_events,
-      |  CAST(p6 AS BIGINT) AS survival_p6
+      |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS n_events, CAST(p6 AS BIGINT) AS survival_p6
       |FROM prod WHERE d > 0""".stripMargin
 
   /** Customer-lifetime Kaplan–Meier oracle (q282; wrapped for q319). */
@@ -4665,8 +4695,8 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT b.rn, b.t, b.d, b.n_risk, (p.p6 * b.f6) // 1000000
       |  FROM prod p JOIN r2 b ON b.rn = p.rn + 1)
-      |SELECT t AS t_days, n_risk, d AS n_events,
-      |  CAST(p6 AS BIGINT) AS survival_p6
+      |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS n_events, CAST(p6 AS BIGINT) AS survival_p6
       |FROM prod WHERE d > 0""".stripMargin
 
   /** Oracle-side mirror of [[withBoardChecksum]]: wraps a K-M board
@@ -4686,6 +4716,26 @@ object SparkEntry {
        |SELECT out.t_days, out.n_risk, out.n_events, out.survival_p6,
        |  ck.board_ck
        |FROM out, ck""".stripMargin
+  }
+
+  /** Oracle for q331: both K-M boards reduced to (count, board_ck) and
+    * emitted as ONE all-BIGINT row. Every column is an explicit CAST —
+    * no sum/window output escapes uncast, so no HUGEINT→float64 drift
+    * is possible on the driver's pandas fetch. */
+  private def KmDigestSql: String = {
+    val mix = Seq("t_days", "n_risk", "n_events", "survival_p6")
+      .foldLeft("17") { (acc, c) =>
+        s"(($acc * 1000003 + $c % 2147483647) % 2147483647)"
+      }
+    s"""WITH sd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS km_rows,
+       |    CAST(sum($mix) % 2147483647 AS BIGINT) AS km_ck
+       |  FROM ($KmSessionOracleSql) __s),
+       |ud AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS user_rows,
+       |    CAST(sum($mix) % 2147483647 AS BIGINT) AS user_ck
+       |  FROM ($KmUserOracleSql) __u)
+       |SELECT km_rows, km_ck, user_rows, user_ck FROM sd, ud""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4838,6 +4888,7 @@ object SparkEntry {
         |FROM lg JOIN st ON st.series = lg.series""".stripMargin,
 
     "q252_kaplan_meier" -> KmSessionOracleSql,
+    "q331_km_board_digest" -> KmDigestSql,
 
     "q318_kaplan_meier_v2" -> withBoardChecksumSql(KmSessionOracleSql),
 

@@ -42,7 +42,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        if gcols != wcols:
+        # The driver fetches DuckDB results via pandas, where HUGEINT
+        # (e.g. any uncast SUM over BIGINT) becomes float64 and its
+        # formatted value ("9549.0" vs Spark's "9549") hash-mismatches
+        # even when ==-compare passes. Native fetchall() hides this, so
+        # lint the oracle's declared types explicitly (the 4-round
+        # q252/q282 red, root-caused in round 14).
+        hug = [c for c, t in zip(want.columns, want.types)
+               if "HUGEINT" in str(t).upper()]
+        if hug:
+            print(f"FAIL {name}: HUGEINT oracle columns {hug} — pandas "
+                  f"renders these float64; CAST them to BIGINT")
+            n_fail += 1
+        elif gcols != wcols:
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
         elif grows != wrows:
