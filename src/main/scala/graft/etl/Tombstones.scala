@@ -14,10 +14,19 @@ import org.apache.spark.sql.functions._
   * anything inside the root would break its `col=value` partition
   * discovery. Every publish goes through
   * [[IncrementalLoad.atomicRewrite]]'s staged swap, and vacuum clears
-  * the sidecar LAST, so a crash at any point leaves reads unchanged
+  * the sidecar LAST. Crash consistency is by idempotence, not a global
+  * transaction: a crash outside a swap leaves reads unchanged
   * (already-clean partitions + a still-present tombstone mask agree
-  * with the pre-crash live set) and a re-run completes the job —
-  * crash consistency by idempotence, not a global transaction.
+  * with the pre-crash live set) and a re-run completes the job. A hard
+  * crash INSIDE a swap's two-rename window parks the partition's live
+  * rows in a `.rewrite-old-*` sidecar that plain reads skip — so
+  * vacuum's first act is [[IncrementalLoad.recoverRewrites]], which
+  * restores any such partition before the touched-partition scan
+  * decides what to rewrite (otherwise the scan would never revisit it
+  * and a vacuum re-run could "complete" minus that partition's rows).
+  * Readers racing that window see the partition missing until the next
+  * writer/vacuum repairs it; readers needing isolation belong on
+  * [[ManifestTable]].
   */
 private[graft] object Tombstones {
 
@@ -69,6 +78,10 @@ private[graft] object Tombstones {
     * itself after every table committed. */
   def vacuumTable(spark: SparkSession, tablePath: String, tomb: DataFrame,
                   idCol: String, partitionCol: String): Unit = {
+    // repair interrupted swaps FIRST: a partition parked in
+    // .rewrite-old-* by a crashed rewrite is invisible to the touched
+    // scan below, and skipping it would lose its live rows for good
+    IncrementalLoad.recoverRewrites(spark, tablePath)
     val touched = spark.read.parquet(tablePath)
       .join(broadcast(tomb), Seq(idCol), "left_semi")
       .select(col(partitionCol)).distinct()
