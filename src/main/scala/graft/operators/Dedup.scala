@@ -636,6 +636,16 @@ object Dedup {
     * historical corpus once, then each new batch joins its own banded
     * keys against the index instead of re-pairing the full corpus —
     * incremental cost is proportional to the batch, not the corpus. */
+  /** Read a [[writeMinhashIndex]] index with its FIXED schema declared
+    * explicitly, so an EMPTY index (a bootstrap `writeMinhashIndex`
+    * over zero documents writes a directory with no parquet footers)
+    * reads as an empty frame instead of failing schema inference —
+    * the empty-history bootstrap every reader of the index must
+    * survive. */
+  private[graft] def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): DataFrame =
+    spark.read.schema("id LONG, bh LONG, band INT").parquet(path)
+
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, bands: Int = 16, rowsPerBand: Int = 2,
                         shingleN: Int = 3, maxBucket: Int = 1000): Unit = {
@@ -684,7 +694,7 @@ object Dedup {
       shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
-    val existing = spark.read.parquet(path)
+    val existing = readMinhashIndex(spark, path)
       .join(banded.select(col("band"), col("bh")).distinct(),
         Seq("band", "bh"), "left_semi")
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__en"))
@@ -728,7 +738,7 @@ object Dedup {
                        bands: Int = 16, rowsPerBand: Int = 2,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val newBanded = bandedSignatures(newDocs, textCol, idCol, bands, rowsPerBand, shingleN)
-    val idx0 = spark.read.parquet(indexPath)
+    val idx0 = readMinhashIndex(spark, indexPath)
     // forgotten documents must stop generating candidates immediately
     // (minhashIndexDelete contract) — dead signature rows are masked
     // here until a vacuum reclaims them

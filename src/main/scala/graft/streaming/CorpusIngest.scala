@@ -12,10 +12,17 @@ import graft.operators.Dedup
   * deduped WITHIN itself, then against the persisted index
   * (`incrementalPairs` — batch-proportional, the corpus never
   * re-signs), and only the unique survivors append to the corpus sink
-  * and contribute their signatures to the index. This is the shape a
-  * 100 TB training-data pipeline actually runs: the index is the only
-  * state that grows with the corpus, and every batch touches it
-  * key-locally.
+  * and contribute their signatures to the index. Gated near-dups are
+  * not dropped silently: when `quarantinePath` is set they are routed
+  * to an audit table carrying what matched them (`doc_id, matched_id,
+  * jaccard, kind, batch_id`) — `kind = "batch"` for within-batch
+  * losers (matched_id = the surviving cluster representative; jaccard
+  * only when directly paired — transitive members carry null),
+  * `kind = "index"` for cross-history dups (matched_id = the smallest
+  * matching historical id, jaccard = the strongest match). This is the
+  * shape a 100 TB training-data pipeline actually runs: the index is
+  * the only state that grows with the corpus, and every batch touches
+  * it key-locally.
   *
   * Bootstrap contract: the caller creates the index once
   * (`writeMinhashIndex` over the historical corpus, possibly empty)
@@ -23,17 +30,33 @@ import graft.operators.Dedup
   * indexed documents (the index supplies candidates, the corpus
   * supplies their texts for exact-Jaccard verification — the two are
   * one logical table and this operator keeps them in step). An empty
-  * history is fine: index over an empty frame, no corpus dir yet.
+  * history is fine: index over an empty frame (readers use the
+  * explicit-schema `Dedup.readMinhashIndex`, so the footer-less empty
+  * index reads as an empty frame), no corpus dir yet.
   *
-  * Crash consistency (foreachBatch replays a failed batch): the
-  * batch's dup/unique decision is REPLAY-STABLE — near-dup candidates
-  * whose old side is one of the batch's own ids are excluded, so a
-  * partially-committed index append cannot make the batch's survivors
-  * look like duplicates of themselves — and each sink is guarded by
-  * its own membership anti-join, so a replay completes exactly the
-  * side effects that are missing (index-only, corpus-only, or
-  * neither). Net effect: every unique document lands in both sinks
-  * exactly once.
+  * Crash consistency (foreachBatch replays a failed batch UNDER THE
+  * SAME batch id — the Structured Streaming contract): a per-batch
+  * commit log beside the corpus (`<corpus>_commits/`, one empty
+  * `begin-<id>` marker before any sink write and one `commit-<id>`
+  * after all of them) makes the steady state O(1):
+  *   - `commit` present  → the batch fully landed; the replay returns
+  *     before reading anything (not even the index).
+  *   - no `begin`        → a genuinely fresh batch; its ids are new to
+  *     every sink, so the survivors append with NO membership scan.
+  *   - `begin` without `commit` → a crashed replay (the only time the
+  *     expensive path runs): each sink is re-guarded by an exact
+  *     membership anti-join so the replay completes exactly the side
+  *     effects that are missing (index-only, corpus-only, or neither).
+  * The batch's dup/unique DECISION is replay-stable independently of
+  * the log: near-dup candidates whose old side is one of the batch's
+  * own ids are excluded, so a partially-committed index append cannot
+  * make the batch's survivors look like duplicates of themselves. The
+  * quarantine sink needs no guard at all — each batch overwrites its
+  * own `batch_id=<id>` partition, idempotent by construction. Net
+  * effect: every unique document lands in both sinks exactly once,
+  * every gated document in the audit table exactly once, and the
+  * replay guard never scans the index (the round-13 O(index)-per-
+  * trigger flaw).
   */
 object CorpusIngest {
 
@@ -42,61 +65,128 @@ object CorpusIngest {
   def dedupIngest(stream: DataFrame, textCol: String, idCol: String,
                   indexPath: String, corpusPath: String, checkpoint: String,
                   bands: Int = 16, rowsPerBand: Int = 2, shingleN: Int = 3,
-                  threshold: Double = 0.8): DataStreamWriter[org.apache.spark.sql.Row] =
+                  threshold: Double = 0.8,
+                  quarantinePath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, textCol, idCol, indexPath, corpusPath,
-          bands, rowsPerBand, shingleN, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, textCol, idCol, indexPath, corpusPath, batchId,
+          bands, rowsPerBand, shingleN, threshold, quarantinePath)
         ()
       }
 
   /** One micro-batch through the gate (exposed for replay testing). */
   private[graft] def ingestBatch(batch: DataFrame, textCol: String,
                                  idCol: String, indexPath: String,
-                                 corpusPath: String, bands: Int,
-                                 rowsPerBand: Int, shingleN: Int,
-                                 threshold: Double): Unit = {
+                                 corpusPath: String, batchId: Long,
+                                 bands: Int, rowsPerBand: Int,
+                                 shingleN: Int, threshold: Double,
+                                 quarantinePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // O(1) replay fast path: a committed batch re-fires as a no-op
+    // without touching the index, the corpus, or even the batch data
+    if (hasMarker(spark, corpusPath, s"commit-$batchId")) return
+    val crashed = hasMarker(spark, corpusPath, s"begin-$batchId")
+    putMarker(spark, corpusPath, s"begin-$batchId")
     val cached = batch.localCheckpoint() // source offsets are one-shot
-    if (cached.isEmpty) return
-    // 1) within-batch dedup: keep each near-dup cluster's min id
-    val surv = Dedup.dedupCorpus(cached, textCol, idCol, bands,
+    if (cached.isEmpty) {
+      putMarker(spark, corpusPath, s"commit-$batchId"); return
+    }
+    // 1) within-batch dedup: keep each near-dup cluster's min id; the
+    // losers go to quarantine with their surviving representative
+    val pairs = Dedup.minhashPairs(cached, textCol, idCol, bands,
       rowsPerBand, shingleN, threshold).localCheckpoint()
+    val batchDrops = Dedup.clusters(pairs)
+      .filter(col("id") =!= col("cluster_id")).localCheckpoint()
+    val surv = cached
+      .join(batchDrops.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
     val batchIds = broadcast(cached.select(col(idCol)))
     // 2) cross-batch dedup against the maintained index; candidates
     // whose old side is a batch id are replay artifacts of a partially
     // committed index append, never real history — excluded for
     // idempotence (a real dup's old id predates the batch)
     val corpusOpt = readIfExists(spark, corpusPath)
-    val dupIds = corpusOpt match {
+    val indexDups = (corpusOpt match {
       case Some(corpus) =>
         Dedup.incrementalPairs(spark, surv, corpus, textCol, idCol,
             indexPath, bands, rowsPerBand, shingleN, threshold)
           .join(batchIds.select(col(idCol).as("old_id")), Seq("old_id"),
             "left_anti")
-          .select(col("new_id").as(idCol)).distinct()
-      case None => spark.emptyDataFrame.withColumn(idCol, lit(0L))
-        .select(col(idCol))
-    }
-    val unique = surv.join(dupIds, Seq(idCol), "left_anti")
+      case None => spark.range(0)
+        .select(col("id").as("new_id"), col("id").as("old_id"),
+          lit(0d).as("jaccard")).limit(0)
+    }).groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("matched_id"), max(col("jaccard")).as("jaccard"))
       .localCheckpoint()
-    // 3) per-sink idempotence guards, then commit each side
-    val indexedIds = spark.read.parquet(indexPath)
-      .join(batchIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id").as(idCol)).distinct()
-    val toIndex = unique.join(indexedIds, Seq(idCol), "left_anti")
+    val unique = surv
+      .join(indexDups.select(col("new_id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // 3) quarantine the gated docs — idempotent by layout: the batch
+    // owns (and overwrites) its own batch_id partition, so a replay
+    // rewrites the identical rows instead of appending duplicates
+    quarantinePath.foreach { qp =>
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("mid"),
+          col("jaccard"))
+        .unionByName(pairs.select(col("id_b").as("id"),
+          col("id_a").as("mid"), col("jaccard")))
+      val batchQ = batchDrops
+        .join(sym, batchDrops("id") === sym("id") &&
+          batchDrops("cluster_id") === sym("mid"), "left")
+        .groupBy(batchDrops("id").as("doc_id"),
+          col("cluster_id").as("matched_id"))
+        .agg(max(col("jaccard")).as("jaccard"))
+        .withColumn("kind", lit("batch"))
+      val indexQ = indexDups.select(col("new_id").as("doc_id"),
+        col("matched_id"), col("jaccard"), lit("index").as("kind"))
+      val q = batchQ.unionByName(indexQ)
+      if (!q.isEmpty)
+        q.coalesce(1).write.mode("overwrite")
+          .parquet(s"${qp.stripSuffix("/")}/batch_id=$batchId")
+    }
+    // 4) commit each sink; membership guards ONLY on a crashed replay
+    // (the one case where a sink may already hold part of the batch)
+    val toIndex =
+      if (crashed) unique.join(
+        Dedup.readMinhashIndex(spark, indexPath)
+          .join(batchIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      else unique
     if (!toIndex.isEmpty)
       Dedup.minhashIndexAppend(spark, toIndex, textCol, idCol, indexPath,
         bands, rowsPerBand, shingleN)
-    val toCorpus = corpusOpt match {
-      case Some(corpus) => unique.join(
+    val toCorpus = (corpusOpt, crashed) match {
+      case (Some(corpus), true) => unique.join(
         corpus.join(batchIds, Seq(idCol), "left_semi").select(col(idCol)),
         Seq(idCol), "left_anti")
-      case None => unique
+      case _ => unique
     }
     if (!toCorpus.isEmpty)
       toCorpus.write.mode("append").parquet(corpusPath)
+    putMarker(spark, corpusPath, s"commit-$batchId")
+  }
+
+  /** The per-batch commit log: empty marker files in a sibling dir of
+    * the corpus (`<corpus>_commits/` — the Tombstones sidecar idiom),
+    * one `begin-<id>`/`commit-<id>` pair per batch. Probing one is a
+    * single filesystem `exists` — O(1) regardless of index size. */
+  private[graft] def commitLogPath(corpusPath: String): String =
+    corpusPath.stripSuffix("/") + "_commits"
+
+  private def hasMarker(spark: SparkSession, corpusPath: String,
+                        name: String): Boolean = {
+    val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark,
+      s"${commitLogPath(corpusPath)}/$name")
+    fs.exists(hp)
+  }
+
+  private def putMarker(spark: SparkSession, corpusPath: String,
+                        name: String): Unit = {
+    val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark,
+      s"${commitLogPath(corpusPath)}/$name")
+    fs.mkdirs(hp.getParent)
+    if (!fs.exists(hp)) fs.create(hp, true).close()
   }
 
   private def readIfExists(spark: SparkSession,

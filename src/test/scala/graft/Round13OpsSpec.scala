@@ -731,7 +731,8 @@ class Round13OpsSpec extends SparkSpec {
     // replay of an already-committed batch (the foreachBatch crash
     // contract): both sinks unchanged
     graft.streaming.CorpusIngest.ingestBatch(b1, "text", "doc_id", idx,
-      corpus, bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.8)
+      corpus, batchId = 0L, bands = 16, rowsPerBand = 2, shingleN = 3,
+      threshold = 0.8)
     assert(corpusIds() == live && indexIds() == live,
       "batch replay appends nothing anywhere")
     assert(spark.read.parquet(corpus).count() == 5,

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-14 fixes on crafted fixtures: recovery from a hard crash
+/** Round-14 fixes on crafted fixtures: crash recovery for the staged
+  * swap, and the reworked streaming ingestion gate (O(1) replay guard,
+  * quarantine audit sink, empty-history bootstrap).
+  *
+  * Recovery from a hard crash
   * inside atomicRewrite's two-rename swap window (the round-13 ADVICE
   * finding — live rows parked in `.rewrite-old-*` with the target
   * missing), both at the single-path entry and in vacuum's
@@ -84,5 +88,127 @@ class Round14OpsSpec extends SparkSpec {
       == Set(1L, 2L, 4L), "live row 4 restored then kept; 3 reclaimed")
     assert(!new java.io.File(graft.etl.Tombstones.sidecarPath(tbl)).exists(),
       "sidecar cleared last")
+  }
+
+  // ---- CorpusIngest: O(1) replay guard + quarantine + empty bootstrap ----
+
+  private def ingestFixture(prefix: String) = {
+    val root = tmpDir(prefix)
+    (root, s"$root/index", s"$root/corpus", s"$root/quarantine")
+  }
+
+  private def ingest(batch: org.apache.spark.sql.DataFrame, idx: String,
+                     corpus: String, batchId: Long,
+                     quarantine: Option[String] = None): Unit =
+    graft.streaming.CorpusIngest.ingestBatch(batch, "text", "doc_id", idx,
+      corpus, batchId, bands = 16, rowsPerBand = 2, shingleN = 3,
+      threshold = 0.8, quarantinePath = quarantine)
+
+  test("CorpusIngest: committed-batch replay is O(1) — never reads the index") {
+    val (_, idx, corpus, _) = ingestFixture("ing-o1")
+    val h = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(h, "text", "doc_id", idx)
+    h.write.parquet(corpus)
+    val b = Seq((10L, "granite rivers remember every glacier that carved them long ago"))
+      .toDF("doc_id", "text")
+    ingest(b, idx, corpus, batchId = 0L)
+    assert(spark.read.parquet(corpus).count() == 2)
+    // replay with BOTH data paths destroyed: under the round-13 design
+    // this crashed on the per-batch index scan; the commit-log fast
+    // path must return without touching anything
+    val fakeIdx = idx + "-gone"
+    val fakeBatch = Seq((10L, "granite rivers remember every glacier that carved them long ago"))
+      .toDF("doc_id", "text")
+    ingest(fakeBatch, fakeIdx, corpus, batchId = 0L)
+    assert(spark.read.parquet(corpus).count() == 2, "no-op replay")
+    assert(!new java.io.File(fakeIdx).exists(),
+      "replay never touched the (absent) index")
+  }
+
+  test("CorpusIngest: crashed replay completes only the missing sink") {
+    val (_, idx, corpus, _) = ingestFixture("ing-crash")
+    val h = Seq((1L, "colorless green ideas sleep furiously under winter moons tonight"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(h, "text", "doc_id", idx)
+    h.write.parquet(corpus)
+    val b = Seq(
+      (10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      (11L, "binary stars trade plasma in slow ten thousand year waltzes"))
+      .toDF("doc_id", "text")
+    // simulate a crash AFTER the index append, BEFORE the corpus append:
+    // begin marker present, commit absent, index already holds the batch
+    val logDir = graft.streaming.CorpusIngest.commitLogPath(corpus)
+    new java.io.File(logDir).mkdirs()
+    new java.io.File(logDir, "begin-7").createNewFile()
+    graft.operators.Dedup.minhashIndexAppend(spark, b, "text", "doc_id", idx)
+    ingest(b, idx, corpus, batchId = 7L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 10L, 11L), "corpus completed")
+    assert(graft.operators.Dedup.readMinhashIndex(spark, idx)
+      .groupBy("id", "band").count().filter(col("count") > 1).isEmpty,
+      "no duplicate signature rows after the guarded replay")
+    assert(new java.io.File(logDir, "commit-7").exists(), "batch committed")
+  }
+
+  test("CorpusIngest: kept + quarantined = batch; quarantine replay-idempotent") {
+    val (_, idx, corpus, quar) = ingestFixture("ing-quar")
+    val h = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(h, "text", "doc_id", idx)
+    h.write.parquet(corpus)
+    val b = Seq(
+      (10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // == h1
+      (12L, "granite rivers remember every glacier that carved them long ago"),
+      (13L, "granite rivers remember every glacier that carved them long ago")) // == 12
+      .toDF("doc_id", "text")
+    ingest(b, idx, corpus, batchId = 0L, quarantine = Some(quar))
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet -- Set(1L)
+    val q = spark.read.parquet(quar)
+    val quarantined = q.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L), s"kept: $kept")
+    assert(quarantined == Set(11L, 13L), s"quarantined: $quarantined")
+    assert((kept ++ quarantined).size == 4, "kept + quarantined = batch")
+    val rows = q.select("doc_id", "matched_id", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((11L, 1L, "index"), (13L, 12L, "batch")),
+      s"audit carries what matched: $rows")
+    assert(q.filter(col("kind") === "index" && col("jaccard") < 0.8).isEmpty,
+      "index-dup jaccard recorded at/above threshold")
+    // crashed replay (begin present, commit removed): quarantine
+    // overwrites its own batch partition — no duplicate audit rows
+    new java.io.File(graft.streaming.CorpusIngest.commitLogPath(corpus),
+      "commit-0").delete()
+    ingest(b, idx, corpus, batchId = 0L, quarantine = Some(quar))
+    assert(spark.read.parquet(quar).count() == 2, "quarantine idempotent")
+    assert(spark.read.parquet(corpus).count() == 3, "corpus idempotent")
+  }
+
+  test("CorpusIngest: empty-history bootstrap (empty index, no corpus dir)") {
+    val (_, idx, corpus, _) = ingestFixture("ing-empty")
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    graft.operators.Dedup.writeMinhashIndex(empty, "text", "doc_id", idx)
+    val b = Seq(
+      (10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      (11L, "seven crimson airships drifted across the copper morning skyline slowly"))
+      .toDF("doc_id", "text")
+    ingest(b, idx, corpus, batchId = 0L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(10L), "within-batch dedup still applies")
+    assert(graft.operators.Dedup.readMinhashIndex(spark, idx)
+      .select("id").distinct().as[Long].collect().toSet == Set(10L),
+      "index bootstrapped from empty")
+    // and a second batch dedupes against the now-populated index
+    val b2 = Seq((20L, "seven crimson airships drifted across the copper morning skyline slowly"))
+      .toDF("doc_id", "text")
+    ingest(b2, idx, corpus, batchId = 1L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(10L), "cross-batch dup gated after bootstrap")
   }
 }
