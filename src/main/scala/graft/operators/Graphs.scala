@@ -296,9 +296,18 @@ object Graphs {
       .withColumn("q_num",
         lit(4).cast("decimal(38,0)") * col("m2") * col("w_in")
           - col("deg_sum") * col("deg_sum"))
-    board
-      .withColumn("__qsum",
-        sum(col("q_num")).over(Window.partitionBy()))
+    // global Q numerator via aggregate + broadcast cross-join (the mTot
+    // idiom above), NOT a partition-less window: the board is bounded
+    // by #communities, but at millions of communities a single-
+    // partition WindowExec is a one-task straggler while this shape
+    // stays a tree-reduced aggregate. The board is lineage-cut first so
+    // the edge-sized label joins behind it evaluate once, not once per
+    // branch.
+    val cutBoard = Lineage.cut(board)
+    val qsum = cutBoard.agg(
+      sum(col("q_num")).as("__qsum"))
+    cutBoard
+      .crossJoin(broadcast(qsum))
       .select(col("lab").as("community"), col("csize"),
         col("w_in").cast("long").as("w_in"),
         col("deg_sum").cast("long").as("deg_sum"),

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("cur")
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=1.0)
+    ap.add_argument("--allow-host-factor", action="store_true",
+                    help="do not fail when the q01 host factor itself "
+                         "exceeds the threshold (contended-host runs)")
     args = ap.parse_args()
 
     prev, prev_total = load_queries(args.prev)
@@ -93,6 +96,25 @@ def main():
     else:
         print("\nno host-normalized per-query regressions")
 
+    # The normalization is only noise-pure while shared infrastructure
+    # (session conf, scan layer) is untouched: a framework-wide
+    # regression slows q01 TOO and would otherwise be divided away. So
+    # the host factor itself is gated — when it exceeds the threshold,
+    # either the host was loaded (re-run on a quiet host, or pass
+    # --allow-host-factor for a contended driver artifact) or the
+    # regression is real and uniform.
+    host_fail = False
+    if host > args.threshold or (host > 0 and 1.0 / host > args.threshold):
+        msg = (f"host factor {host:.2f}x exceeds threshold "
+               f"{args.threshold}x: a UNIFORM slowdown (session conf / "
+               f"scan layer) is indistinguishable from host noise here — "
+               f"confirm on a quiet host")
+        if args.allow_host_factor:
+            print(f"\nWARNING (allowed): {msg}")
+        else:
+            print(f"\nFAIL: {msg}")
+            host_fail = True
+
     # BASELINE.md SLA bookkeeping (informational)
     shared = [q for q in cur if q in prev]
     if shared and cur_total and prev_total:
@@ -101,7 +123,7 @@ def main():
               f"cur {sum(cur[q] for q in shared):.1f}s")
         print(f"per-query mean: prev {prev_total / len(prev):.2f}s, "
               f"cur {cur_total / len(cur):.2f}s")
-    return 1 if regressions else 0
+    return 1 if regressions or host_fail else 0
 
 
 if __name__ == "__main__":
