@@ -1397,6 +1397,32 @@ object SparkEntry {
         .crossJoin(digest(usr, "user_rows", "user_ck"))
     }),
 
+    // ManifestTable-backed IVF index (the versioned ANN lifecycle):
+    // build on the base corpus (one atomic commit = version 1), APPEND
+    // the 5..24 batch (version 2), DELETE vec_id % 7 == 3 by manifest
+    // copy-on-write (version 3), then search BOTH snapshots — pinned
+    // at version 1 (pre-append, pre-delete: the deleted rows are still
+    // visible there, which IS the snapshot-isolation contract) and at
+    // the latest version (base ∪ delta minus deleted). One frame,
+    // tagged by `snapshot`. The oracle replays assignment under the
+    // base-seeded centroids and both candidate sets.
+    "q332_ivf_versioned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val isDelta = col("vec_id") >= 5 && col("vec_id") < 25
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-ver")
+        .toString + "/ivf"
+      val cents = Similarity.ivfWriteVersioned(e.filter(!isDelta), "vec_id",
+        "embedding", root, nlist = 16)
+      Similarity.ivfAppendVersioned(e.filter(isDelta), "vec_id", "embedding",
+        root, cents)
+      Similarity.ivfDeleteVersioned(s, root, col("vec_id") % 7 === 3)
+      val q = e.filter(col("vec_id") < 5)
+      def searchAt(v: Option[Long], tag: Long) =
+        Similarity.ivfTopKVersioned(s, root, cents, q, "vec_id", "embedding",
+          k = 10, nprobe = 4, version = v).withColumn("snapshot", lit(tag))
+      searchAt(Some(1L), 1L).unionByName(searchAt(None, 3L))
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -8222,6 +8248,68 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
         |  WHERE p.query_id <> a.vec_id),
         |""".stripMargin + CosineRankTail),
+
+    // the q320 replay searched under TWO snapshots: version 1 holds
+    // only the base corpus (the append and the delete came later — the
+    // deleted rows are still visible, which is the isolation contract
+    // under test), the latest holds base ∪ delta minus vec_id % 7 = 3.
+    // Centroids are base-seeded (immutable across versions); assignment
+    // is per-vector so one pass covers both candidate sets.
+    "q332_ivf_versioned" ->
+      ("""WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id < 5 OR vec_id >= 25 ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(c2.cv) AS y)) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |     FROM (SELECT unnest(e.embedding) AS x)) AS ne,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |     FROM (SELECT unnest(c2.cv) AS y)) AS nc
+        |  FROM embeddings e, cents c2),
+        |asn2 AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN sqrt(ne) * sqrt(nc) > 0 THEN dot / (sqrt(ne) * sqrt(nc))
+        |         ELSE 0.0 END AS cos
+        |  FROM asn),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM asn2 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id, s.snapshot
+        |  FROM probes p
+        |  JOIN assigned a ON p.list_id = a.list_id
+        |  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT))) s(snapshot)
+        |  WHERE p.query_id <> a.vec_id
+        |    AND ((s.snapshot = 1 AND (a.vec_id < 5 OR a.vec_id >= 25))
+        |      OR (s.snapshot = 3 AND a.vec_id % 7 <> 3))),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id, c.snapshot,
+        |    round(CASE WHEN sqrt(nq) * sqrt(nc) > 0 THEN dot / (sqrt(nq) * sqrt(nc))
+        |               ELSE 0.0 END, 6) AS cosine
+        |  FROM (
+        |    SELECT c.query_id, c.vec_id, c.snapshot,
+        |      (SELECT sum(CAST(x * y AS DOUBLE))
+        |       FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) AS dot,
+        |      (SELECT sum(CAST(x * x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x)) AS nq,
+        |      (SELECT sum(CAST(y * y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y)) AS nc
+        |    FROM cand c
+        |    JOIN embeddings q ON q.vec_id = c.query_id
+        |    JOIN embeddings e ON e.vec_id = c.vec_id) c)
+        |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank, snapshot FROM (
+        |  SELECT query_id, vec_id, cosine, snapshot,
+        |    row_number() OVER (PARTITION BY query_id, snapshot
+        |                       ORDER BY cosine DESC, vec_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin),
 
     // the q320 assignment replay over the FULL corpus, with the
     // tombstoned rows (vec_id % 7 = 3) removed from the candidate set —

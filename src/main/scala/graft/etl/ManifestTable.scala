@@ -454,6 +454,40 @@ object ManifestTable {
     base.filter(col(statsCol).cast("long") >= lo && col(statsCol).cast("long") <= hi)
   }
 
+  /** [[readPruned]] for a SET of probe values instead of one range,
+    * optionally pinned to a retained `version` (time travel): only
+    * files whose [min,max] contains at least one probe value are
+    * opened, and the membership predicate is re-applied so results
+    * equal a full scan. This is how a manifest-committed IVF index
+    * expresses probed-list pruning — the probe set is the nprobe
+    * best lists, tiny by construction — while the version pin gives
+    * the racing-reader isolation a `list_id=` directory can't. */
+  def readPrunedIn(spark: SparkSession, root: String, table: String,
+                   statsCol: String, values: Seq[Long],
+                   version: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readPrunedIn: empty probe set")
+    val (_, rootP) = fsFor(spark, root)
+    val entries = version match {
+      case Some(v) => entriesAt(spark, root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"readPrunedIn: version $v not retained under $root (vacuumed?)"))
+      case None => current(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed table under $root")).entries
+    }
+    val mine = entries.filter(_.table == table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val keep = mine.filter(e => (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
+      case _ => true
+    })
+    val base =
+      if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
+      else spark.read.parquet(
+        keep.map(e => new HPath(rootP, e.relPath).toString): _*)
+    base.filter(col(statsCol).cast("long").isin(values: _*))
+  }
+
   /** Kept-vs-total file counts for a pruning range — observability for
     * specs and ops dashboards. */
   def pruneStats(spark: SparkSession, root: String, table: String,

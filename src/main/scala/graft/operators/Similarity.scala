@@ -443,6 +443,102 @@ object Similarity {
                 path: String): Unit =
     graft.etl.Tombstones.vacuum(spark, path, "vec_id", "list_id")
 
+  // ------------- versioned IVF: ManifestTable-committed index -------------
+
+  /** Table name the versioned IVF index commits under its root. */
+  private val IvfTable = "lists"
+
+  /** [[ivfWrite]] committed through [[graft.etl.ManifestTable]]
+    * instead of a raw `list_id=` directory: every index publish is ONE
+    * atomic commit-file PUT, which upgrades the staged-swap story to
+    * real SNAPSHOT ISOLATION — a reader racing an append or vacuum
+    * plans from a consistent manifest file list, never a re-listed
+    * directory — plus "search as of version V" time travel
+    * ([[ivfTopKVersioned]]) and retention-based vacuum
+    * ([[graft.etl.ManifestTable.vacuum]]) for free. Directory
+    * partition pruning is replaced by manifest min/max FILE SKIPPING
+    * on `list_id`: rows are range-clustered by list before the write
+    * so each file covers a tight list range, and a probed search opens
+    * only files whose [min,max] intersects its probed set
+    * ([[graft.etl.ManifestTable.readPrunedIn]]) — the same I/O shape,
+    * one atomic commit. Returns the centroids (immutable index
+    * metadata the caller persists, as [[ivfWrite]]). */
+  def ivfWriteVersioned(corpus: DataFrame, idCol: String, vecCol: String,
+                        root: String, nlist: Int = 16, trainIters: Int = 0,
+                        metaCols: Seq[String] = Nil): Seq[Array[Double]] = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    val c = corpus.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      ++ metaCols.map(col)): _*)
+    val cents =
+      if (trainIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else seedCentroids(c, nlist)
+    val assigned = c
+      .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+      .repartitionByRange(nlist, col("list_id"))
+      .sortWithinPartitions(col("list_id"))
+    graft.etl.ManifestTable.overwrite(corpus.sparkSession, root, IvfTable,
+      assigned, statsCol = Some("list_id"))
+    cents
+  }
+
+  /** [[ivfAppend]] against a [[ivfWriteVersioned]] index: the delta is
+    * assigned under the same immutable centroids, range-clustered, and
+    * committed as a NEW VERSION via the idempotent manifest append —
+    * a replayed batch appends 0 rows and creates no version, readers
+    * of the previous version are untouched, and the search-equality
+    * contract of [[ivfAppend]] holds (assignment is per-vector).
+    * Returns rows appended. */
+  def ivfAppendVersioned(delta: DataFrame, idCol: String, vecCol: String,
+                         root: String, cents: Seq[Array[Double]],
+                         metaCols: Seq[String] = Nil): Long = {
+    import graft.expressions.CosinesExpr.{argMax, cosinesD}
+    val assigned = delta
+      .select((Seq(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+        ++ metaCols.map(col)): _*)
+      .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
+      .repartitionByRange(col("list_id"))
+      .sortWithinPartitions(col("list_id"))
+    graft.etl.ManifestTable.appendNew(delta.sparkSession, root, IvfTable,
+      assigned, key = Seq("vec_id"), statsCol = Some("list_id"))
+  }
+
+  /** Delete from a [[ivfWriteVersioned]] index: manifest copy-on-write
+    * at FILE granularity ([[graft.etl.ManifestTable.deleteWhere]]) —
+    * only files holding a matching row are rewritten, untouched files
+    * carry over byte-identical, and the whole delete is one atomic
+    * commit. Unlike the tombstone-sidecar [[ivfDelete]] this pays the
+    * rewrite up front (no search-side anti-join, no separate vacuum),
+    * and every pre-delete version stays searchable until retention
+    * drops it — the audit trail a right-to-be-forgotten pipeline wants
+    * ([[graft.etl.ManifestTable.snapshotDiff]] shows exactly what each
+    * delete removed). Returns (filesRewritten, rowsDeleted). */
+  def ivfDeleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                         root: String,
+                         pred: Column): (Long, Long) =
+    graft.etl.ManifestTable.deleteWhere(spark, root, IvfTable, pred,
+      statsCol = Some("list_id"))
+
+  /** Search a [[ivfWriteVersioned]] index, optionally pinned to a
+    * retained `version` (time travel — "what did this query return
+    * before yesterday's delete?") and optionally filtered by a
+    * metadata predicate over index-resident columns (the
+    * [[ivfTopKPartitionedWhere]] semantics). The probed-list set
+    * prunes at FILE granularity through the manifest's min/max stats;
+    * `pred` pushes into the parquet scan of the surviving files. */
+  def ivfTopKVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String, cents: Seq[Array[Double]],
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 4,
+                       version: Option[Long] = None,
+                       pred: Option[Column] = None): DataFrame = {
+    val q = probes(queries, idCol, vecCol, cents, nprobe)
+    val probedLists = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0).toLong).toSeq
+    val assigned0 = graft.etl.ManifestTable.readPrunedIn(spark, root,
+      IvfTable, "list_id", probedLists, version)
+    rankProbedLists(pred.fold(assigned0)(assigned0.filter), q, k)
+  }
+
   /** Per-subspace product-quantization codebooks trained on coarse
     * RESIDUALS with Lloyd's iterations under L2 (the PQ metric of Jégou
     * et al. 2011, "Product Quantization for Nearest Neighbor Search").
@@ -556,10 +652,13 @@ object Similarity {
     * tables. Centroids and codebooks are immutable index metadata —
     * re-training either is a rebuild, not an append; as the appended
     * fraction grows, quantization error drifts upward relative to
-    * re-trained codebooks — rebuild on the compaction cadence. Search
-    * equality at fixed (cents, cb) is batch-independent by
-    * construction (per-vector assignment + encoding), spec-asserted
-    * against a one-shot build. */
+    * re-trained codebooks — rebuild on the compaction cadence. The
+    * drift is MEASURED, not asserted: Round14OpsSpec's drift board
+    * grades appended-index recall against a full rebuild at 10/50/100%
+    * append fractions and pins the 50% floor (the compact-before-here
+    * trigger). Search equality at fixed (cents, cb) is
+    * batch-independent by construction (per-vector assignment +
+    * encoding), spec-asserted against a one-shot build. */
   def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
                   path: String, cents: Seq[Array[Double]],
                   cb: Seq[Seq[Seq[Double]]], dim: Int): Unit = {

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-14 fixes on crafted fixtures: crash recovery for the staged
-  * swap, and the reworked streaming ingestion gate (O(1) replay guard,
-  * quarantine audit sink, empty-history bootstrap).
+  * swap, the reworked streaming ingestion gate (O(1) replay guard,
+  * quarantine audit sink, empty-history bootstrap), the
+  * ManifestTable-committed IVF index, and the tombstone-aware graph
+  * compaction cadence.
   *
   * Recovery from a hard crash
   * inside atomicRewrite's two-rename swap window (the round-13 ADVICE
@@ -210,5 +212,55 @@ class Round14OpsSpec extends SparkSpec {
     ingest(b2, idx, corpus, batchId = 1L)
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSet == Set(10L), "cross-batch dup gated after bootstrap")
+  }
+
+  // ---- versioned IVF: ManifestTable-committed index lifecycle ----
+
+  test("versioned IVF: pinned reader byte-stable across append + delete; " +
+    "retention vacuum; probed-set file skipping") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val isDelta = col("vec_id") >= 5 && col("vec_id") < 25
+    val qs = e.filter(col("vec_id") < 3)
+    val root = tmpDir("ivf-ver") + "/ivf"
+    def search(v: Option[Long]) = graft.operators.Similarity
+      .ivfTopKVersioned(spark, root, cents, qs, "vec_id", "embedding",
+        k = 5, nprobe = 4, version = v)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    lazy val cents = graft.operators.Similarity.ivfWriteVersioned(
+      e.filter(!isDelta), "vec_id", "embedding", root, nlist = 16)
+    cents // force the v1 build
+    val r1 = search(None)
+    // append commits version 2; the pinned-v1 board must not move
+    val appended = graft.operators.Similarity.ivfAppendVersioned(
+      e.filter(isDelta), "vec_id", "embedding", root, cents)
+    assert(appended == 20L, s"delta rows appended: $appended")
+    assert(search(Some(1L)) == r1, "v1 pinned across the append")
+    val r2 = search(None)
+    assert(r2 != r1, "latest sees the delta")
+    // replayed append: 0 rows, NO new version (idempotent)
+    assert(graft.operators.Similarity.ivfAppendVersioned(
+      e.filter(isDelta), "vec_id", "embedding", root, cents) == 0L)
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == 2L,
+      "replay created no version")
+    // delete one returned id by manifest copy-on-write (version 3)
+    val dead = r2.map(_._2).head
+    graft.operators.Similarity.ivfDeleteVersioned(spark, root,
+      col("vec_id") === dead)
+    assert(!search(None).exists(_._2 == dead), "deleted id gone at latest")
+    assert(search(Some(2L)) == r2 && search(Some(1L)) == r1,
+      "both prior snapshots byte-stable across the delete")
+    // retention: vacuum to the current version only — time travel to
+    // v1/v2 must now fail LOUDLY, latest must still serve
+    graft.etl.ManifestTable.vacuum(spark, root, keepVersions = 1)
+    intercept[IllegalArgumentException] { search(Some(1L)) }
+    assert(!search(None).exists(_._2 == dead), "latest survives vacuum")
+    // probed-set pruning is real: a single-list probe opens fewer
+    // files than the table holds (manifest min/max file skipping)
+    val (kept, total) = graft.etl.ManifestTable.pruneStats(spark, root,
+      "lists", lo = 0L, hi = 0L)
+    assert(kept < total && total > 1,
+      s"file skipping prunes: kept $kept of $total")
   }
 }
