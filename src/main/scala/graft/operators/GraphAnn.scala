@@ -407,12 +407,39 @@ object GraphAnn {
     *
     * Cost is delta-proportional: one beam search per new node over
     * the persisted graph + rescoring of the touched base adjacencies;
-    * the base corpus is never re-paired. */
+    * the base corpus is never re-paired — EXCEPT when the tombstone
+    * fraction has crossed `vacuumAtTombstoneFraction`, where the
+    * append escalates itself to a [[graphVacuum]] rebuild (see the
+    * cadence note in the body). */
   def graphAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                   base: DataFrame, delta: DataFrame, idCol: String,
                   vecCol: String, dim: Int, planes: Int, tables: Int,
                   degree: Int, rounds: Int, beamWidth: Int,
-                  entries: Seq[Long], shards: Int = 32): Unit = {
+                  entries: Seq[Long], shards: Int = 32,
+                  vacuumAtTombstoneFraction: Double = 0.25,
+                  refine: Int = 1, upperMod: Int = 4,
+                  upperDegree: Int = 8, upperRefine: Int = 1): Unit = {
+    // Tombstone-aware compaction cadence: every append republishes the
+    // FULL edge layer — including tombstoned nodes' edges — so under
+    // churn an append-only regime re-copies an ever-growing dead
+    // fraction forever and the soft-deleted nodes keep costing beam
+    // slots. When the tombstone set reaches the bar relative to the
+    // post-append live corpus, fold this append INTO a [[graphVacuum]]
+    // rebuild over base ∪ delta: one rebuild instead of append-then-
+    // rebuild, the dead edges vanish physically, the sidecar clears,
+    // and the post-state equals a fresh [[graphWrite]] over the live
+    // corpus (the vacuum invariant). The sidecar count is O(deletes) —
+    // a tiny single-file read, not an index scan.
+    val tombN = graphTombstones(spark, path).map(_.count()).getOrElse(0L)
+    if (tombN > 0 &&
+        tombN.toDouble / (base.count() + delta.count()).max(1L)
+          >= vacuumAtTombstoneFraction) {
+      val corpus = base.select(col(idCol), col(vecCol))
+        .unionByName(delta.select(col(idCol), col(vecCol)))
+      graphVacuum(spark, path, corpus, idCol, vecCol, dim, planes, tables,
+        degree, refine, upperMod, upperDegree, upperRefine, shards)
+      return
+    }
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
     val all = base.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .unionByName(delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))

@@ -263,4 +263,68 @@ class Round14OpsSpec extends SparkSpec {
     assert(kept < total && total > 1,
       s"file skipping prunes: kept $kept of $total")
   }
+
+  // ---- graphAppend: tombstone-aware compaction cadence ----
+
+  /** The Round12/13 graph fixture: 8 well-separated direction groups of
+    * 4 vectors each (ids i, i+8, i+16, i+24 share direction i%8). */
+  private def groupedVecs() = {
+    val rows = (0 until 32).map { i =>
+      val d = i % 8
+      val v = Array.tabulate(64)(j =>
+        if (j == d * 8) 10.0 else if (j == d * 8 + 1) (i / 8).toDouble else 0.1)
+        .toSeq
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("graphAppend: past the tombstone bar the append compacts; " +
+    "below it dead edges persist") {
+    val vecs = groupedVecs()
+    val isDelta = col("vec_id") >= 24 // one whole direction tier
+    val base = vecs.filter(!isDelta)
+    val delta = vecs.filter(isDelta)
+    val path = tmpDir("gann-cadence")
+    graft.operators.GraphAnn.graphWrite(base, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = path, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    // M deletes: 6 of 24 base nodes dead = 6/32 of the post-append
+    // corpus — under the bar at 0.25, over it at 0.15
+    val deadIds = Seq(1L, 2L, 3L, 9L, 10L, 11L)
+    graft.operators.GraphAnn.graphDelete(spark, path,
+      deadIds.toDF("vec_id"))
+    def deadEdges() = spark.read.parquet(s"$path/edges")
+      .filter(col("src").isin(deadIds: _*)).count()
+    assert(deadEdges() > 0, "fixture: dead nodes hold edges pre-append")
+    // below the bar: plain append — dead edges still republished,
+    // sidecar still present (the documented churn cost)
+    graft.operators.GraphAnn.graphAppend(spark, path, base, delta,
+      "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+      degree = 8, rounds = 2, beamWidth = 16, entries = Seq(4L, 12L),
+      vacuumAtTombstoneFraction = 0.25)
+    assert(deadEdges() > 0 &&
+      graft.operators.GraphAnn.graphTombstones(spark, path).nonEmpty,
+      "below the bar the append stays an append")
+    // over the bar: the SAME append escalates to a vacuum rebuild
+    graft.operators.GraphAnn.graphAppend(spark, path, base, delta,
+      "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+      degree = 8, rounds = 2, beamWidth = 16, entries = Seq(4L, 12L),
+      vacuumAtTombstoneFraction = 0.15)
+    assert(deadEdges() == 0, "dead edges physically gone")
+    assert(graft.operators.GraphAnn.graphTombstones(spark, path).isEmpty,
+      "sidecar cleared by the escalated append")
+    // search equality: the compacting append's index == a fresh build
+    // over the live corpus (base minus deleted, plus delta)
+    val fresh = tmpDir("gann-cadence-fresh")
+    graft.operators.GraphAnn.graphWrite(
+      vecs.filter(!col("vec_id").isin(deadIds: _*)), "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      path = fresh, upperMod = 4, upperDegree = 8, upperRefine = 1)
+    def layer(p: String, l: String) = spark.read.parquet(s"$p/$l")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(layer(path, "edges") == layer(fresh, "edges") &&
+      layer(path, "upper_edges") == layer(fresh, "upper_edges"),
+      "post-cadence index is a pure function of the live corpus")
+  }
 }
