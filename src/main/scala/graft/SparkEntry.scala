@@ -1423,6 +1423,18 @@ object SparkEntry {
       searchAt(Some(1L), 1L).unionByName(searchAt(None, 3L))
     }),
 
+    // Measured LSH recall board (round-13 verdict #6): banded-minhash
+    // candidate recall vs the EXACT Jaccard pair set, oracle-graded —
+    // possible because the board runs a PORTABLE hash family (literal
+    // constants, pure integer mod-P arithmetic) instead of xxhash64,
+    // so DuckDB replays every minhash, band key, candidate pair and
+    // the recall division bit-for-bit. One row per (bands, rows)
+    // config: the empirical S-curve behind the q268 band planner.
+    "q333_lsh_recall_board" -> ((s, dir) => {
+      Dedup.minhashRecallBoard(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+    }),
+
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
     // report at match length 10): per doc, each maximal interval of
     // token positions covered by repeated 10-token windows, with exact
@@ -4744,6 +4756,67 @@ object SparkEntry {
        |FROM out, ck""".stripMargin
   }
 
+  /** Oracle for q333: the recall board replayed end to end — the SAME
+    * portable-hash constants (`Dedup.portableAB` feeds literals into
+    * BOTH engines, so the families cannot drift), `JaccardCtes(0.5)`
+    * as the exact grader, one branch per band config. Every count is
+    * CAST BIGINT (the q252 HUGEINT lesson); the recall division is the
+    * identical IEEE double expression on both sides. */
+  private def LshRecallBoardSql: String = {
+    val P = graft.operators.Dedup.PortableP
+    val values = graft.operators.Dedup.portableAB(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    def cfg(bands: Int, r: Int): String = {
+      val tag = s"${bands}_$r"
+      val key = r match {
+        case 2 =>
+          s"""max(CASE WHEN j % 2 = 0 THEN m END) * 2147483648
+             |      + max(CASE WHEN j % 2 = 1 THEN m END)""".stripMargin
+        case 4 =>
+          s"""((max(CASE WHEN j % 4 = 0 THEN m END) * 2147483648
+             |      + max(CASE WHEN j % 4 = 1 THEN m END)) % $P) * 2147483648
+             |      + ((max(CASE WHEN j % 4 = 2 THEN m END) * 2147483648
+             |      + max(CASE WHEN j % 4 = 3 THEN m END)) % $P)""".stripMargin
+      }
+      s"""key_$tag AS (
+         |  SELECT id, j // $r AS band,
+         |    $key AS key
+         |  FROM mh WHERE j < ${bands * r} GROUP BY 1, 2),
+         |cand_$tag AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM key_$tag a
+         |  JOIN key_$tag b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |row_$tag AS (
+         |  SELECT CAST($bands AS BIGINT) AS bands,
+         |    CAST($r AS BIGINT) AS rows_per_band,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$tag) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM cand_$tag c JOIN jp USING (id_a, id_b)) AS n_hits)""".stripMargin
+    }
+    val configs = Seq((4, 4), (8, 2), (16, 2))
+    s"""WITH ${JaccardCtes(0.5)},
+       |jp AS (SELECT id_a, id_b FROM jpairs),
+       |hs AS (
+       |  SELECT doc_id AS id,
+       |    CAST(list_sum(list_transform(range(1, length(g) + 1),
+       |      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT) * i))
+       |      % $P AS BIGINT) AS h
+       |  FROM grams),
+       |mh AS (
+       |  SELECT id, ab.j AS j, min((ab.a * h + ab.b) % $P) AS m
+       |  FROM hs, (VALUES $values) ab(j, a, b)
+       |  GROUP BY 1, 2),
+       |${configs.map { case (b, r) => cfg(b, r) }.mkString(",\n")}
+       |SELECT bands, rows_per_band, n_exact, n_cand, n_hits,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |      * 1000000 + 0.5) AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS recall_p6
+       |FROM (${configs.map { case (b, r) => s"SELECT * FROM row_${b}_$r" }
+             .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** Oracle for q331: both K-M boards reduced to (count, board_ck) and
     * emitted as ONE all-BIGINT row. Every column is an explicit CAST —
     * no sum/window output escapes uncast, so no HUGEINT→float64 drift
@@ -4915,6 +4988,7 @@ object SparkEntry {
 
     "q252_kaplan_meier" -> KmSessionOracleSql,
     "q331_km_board_digest" -> KmDigestSql,
+    "q333_lsh_recall_board" -> LshRecallBoardSql,
 
     "q318_kaplan_meier_v2" -> withBoardChecksumSql(KmSessionOracleSql),
 

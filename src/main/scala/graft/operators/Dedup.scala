@@ -766,6 +766,115 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  // ---------------- SQL-replayable LSH recall board ----------------
+
+  /** Modulus of the portable hash family: 2^31 - 1 (prime). */
+  private[graft] val PortableP = 2147483647L
+
+  /** Literal-constant (a_j, b_j) pairs of the portable universal-hash
+    * family — a deterministic power ladder mod P, generated once and
+    * embedded as LITERALS on both engine sides (the Spark plan and the
+    * oracle SQL string are built from this same Seq, so they cannot
+    * drift). */
+  private[graft] def portableAB(k: Int): Seq[(Long, Long)] = {
+    var a = 1L; var b = 7L
+    (0 until k).map { _ =>
+      a = a * 1000003L % PortableP
+      b = (b * 8191L + 5381L) % PortableP
+      (a, b)
+    }
+  }
+
+  /** Measured MinHash-LSH RECALL board, oracle-gradable end to end.
+    *
+    * The production signature path ([[minhashPairs]] /
+    * [[writeMinhashIndex]]) hashes with xxhash64 — codegen'd and
+    * scan-side, but not replayable in an external SQL engine, so its
+    * recall could only ever be a spec assertion on fixtures. This board
+    * swaps in a PORTABLE hash family whose every step is exact integer
+    * arithmetic any ANSI engine reproduces bit-for-bit:
+    *
+    *   h(s)     = (Σ_i codepoint(s_i) · i) mod P          (P = 2^31-1)
+    *   m_j      = min over shingles of (a_j·h + b_j) mod P (literal a,b)
+    *   band key = the r row minhashes packed 31 bits at a time
+    *              (pairs mod-P-folded once beyond 62 bits)
+    *
+    * and grades the banded candidate pairs against the EXACT Jaccard
+    * pair set ([[SetSimJoin.prefixFilteredPairs]] — lossless at the
+    * threshold). One row per (bands, rowsPerBand) config:
+    * (bands, rows_per_band, n_exact, n_cand, n_hits, recall_p6) — the
+    * empirical S-curve the band planner (q268) predicts analytically,
+    * now measured under an oracle instead of asserted on fixtures.
+    *
+    * Scale: the hash/minhash/band stages keep the production shuffle
+    * shape (id-keyed, signatures only), but the exact grader bounds the
+    * corpus this board should run on — it is a measurement harness for
+    * a sampled slice, not a dedup path. Parity caveat: per-character
+    * indexing assumes BMP text (both engines compare code points;
+    * supplementary-plane indexing differs across engines). */
+  def minhashRecallBoard(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         configs: Seq[(Int, Int)] =
+                           Seq((4, 4), (8, 2), (16, 2))): DataFrame = {
+    require(configs.forall { case (_, r) => r == 2 || r == 4 },
+      "rowsPerBand must be 2 or 4 (the 31-bit band-key packing)")
+    val kMax = configs.map { case (b, r) => b * r }.max
+    val ab = portableAB(kMax)
+    val sh = Lineage.cut(df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleN)).as("s"))
+      .distinct())
+    val h = sh.withColumn("h", expr(
+      s"""aggregate(
+         |  transform(sequence(1, char_length(s)),
+         |    i -> CAST(ascii(substring(s, i, 1)) AS BIGINT) * i),
+         |  0L, (acc, x) -> acc + x) % $PortableP""".stripMargin))
+    val jab = array(ab.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b")) }: _*)
+    val mh = Lineage.cut(h
+      .select(col("id"), col("h"), explode(jab).as("x"))
+      .select(col("id"), col("x.j").as("j"),
+        ((col("x.a") * col("h") + col("x.b")) % lit(PortableP)).as("v"))
+      .groupBy(col("id"), col("j")).agg(min(col("v")).as("m")))
+    val exact = Lineage.cut(SetSimJoin.prefixFilteredPairs(df, textCol,
+      idCol, shingleN, threshold).select(col("id_a"), col("id_b")))
+    val Shift = 2147483648L // 2^31: each minhash is < P < 2^31
+    val boards = configs.map { case (bands, r) =>
+      val slots = mh.filter(col("j") < bands * r)
+        .withColumn("band", (col("j") / r).cast("int"))
+        .withColumn("slot", (col("j") % r).cast("int"))
+      val aggs = (0 until r).map(i =>
+        max(when(col("slot") === i, col("m"))).as(s"m$i"))
+      val g = slots.groupBy(col("id"), col("band"))
+        .agg(aggs.head, aggs.tail: _*)
+      val key = r match {
+        case 2 => col("m0") * Shift + col("m1")
+        case 4 => ((col("m0") * Shift + col("m1")) % PortableP) * Shift +
+          ((col("m2") * Shift + col("m3")) % PortableP)
+      }
+      val bk = g.select(col("id"), col("band"), key.as("key"))
+      val cand = bk.join(bk.select(col("band"), col("key"),
+          col("id").as("id_b")), Seq("band", "key"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b")).distinct()
+      val stats = cand
+        .join(exact.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"),
+          "left")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      stats.crossJoin(broadcast(ne))
+        .select(lit(bands.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          col("n_exact"), col("n_cand"), col("n_hits"),
+          when(col("n_exact") > 0,
+            floor(col("n_hits").cast("double")
+              / col("n_exact").cast("double") * lit(1e6) + lit(0.5d))
+              .cast("long"))
+            .otherwise(lit(-1L)).as("recall_p6"))
+    }
+    boards.reduce(_ unionByName _)
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * `minOverlap` distinct word n-grams with any document of the (small)
     * eval set — the published C4/GPT-3-style containment check run before

@@ -327,4 +327,64 @@ class Round14OpsSpec extends SparkSpec {
       layer(path, "upper_edges") == layer(fresh, "upper_edges"),
       "post-cadence index is a pure function of the live corpus")
   }
+
+  // ---- ivfPqAppend: recall-drift board (rebuild-trigger curve) ----
+
+  test("ivfPqAppend drift board: appended-index recall vs a full rebuild " +
+    "at 10%/50%/100% append fractions") {
+    // ivfPqAppend freezes the base's coarse centroids and codebooks; as
+    // the appended fraction grows, quantization drifts from what a
+    // re-trained index would use. This board MEASURES that drift — the
+    // recall-vs-rebuild curve the ivfPqAppend docs previously asserted
+    // by prose — and pins a floor at the 50% fraction (the documented
+    // compaction trigger: compact before the appended fraction passes
+    // the base size).
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val base = e.filter(col("vec_id") >= 5 && col("vec_id") < 125) // 120
+    def delta(n: Int) = e.filter(col("vec_id") >= 125 &&
+      col("vec_id") < 125 + n)
+    val k = 10
+    def recall(found: org.apache.spark.sql.DataFrame,
+               truth: Set[(Long, Long)]): Double = {
+      val f = found.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet
+      (f & truth).size.toDouble / truth.size
+    }
+    val curve = Seq(12, 60, 120).map { n => // 10% / 50% / 100% of base
+      val corpus = base.unionByName(delta(n))
+      val truth = graft.operators.Similarity.bruteForceTopK(corpus, qs,
+          "vec_id", "embedding", k = k)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val aPath = tmpDir(s"pq-drift-a$n") + "/pq"
+      val (cents, cb) = graft.operators.Similarity.ivfPqWrite(base,
+        "vec_id", "embedding", aPath, dim = 64, nlist = 16)
+      graft.operators.Similarity.ivfPqAppend(delta(n), "vec_id",
+        "embedding", aPath, cents, cb, dim = 64)
+      val appended = recall(graft.operators.Similarity.ivfPqTopKPartitioned(
+        spark, aPath, cents, cb, qs, "vec_id", "embedding", dim = 64,
+        k = k, nprobe = 8), truth)
+      val rPath = tmpDir(s"pq-drift-r$n") + "/pq"
+      val (rc, rcb) = graft.operators.Similarity.ivfPqWrite(corpus,
+        "vec_id", "embedding", rPath, dim = 64, nlist = 16)
+      val rebuilt = recall(graft.operators.Similarity.ivfPqTopKPartitioned(
+        spark, rPath, rc, rcb, qs, "vec_id", "embedding", dim = 64,
+        k = k, nprobe = 8), truth)
+      info(f"append fraction ${n * 100 / 120}%3d%%: appended recall@$k " +
+        f"$appended%.2f vs rebuilt $rebuilt%.2f")
+      (n, appended, rebuilt)
+    }
+    // pinned floors (deterministic fixture; measured curve: 10% ->
+    // 0.48 vs 0.50, 50% -> 0.42 vs 0.42, 100% -> 0.32 vs 0.34): at the
+    // 50% fraction the appended index must hold recall within 0.1 of a
+    // full rebuild and at least 0.40 absolute — past that, compact
+    // (rebuild) per the ivfPqAppend docs. The small measured drift IS
+    // the board's finding: at these fractions the frozen codebooks
+    // track a retrain closely, so the trigger is corpus growth (both
+    // curves sink as k-NN gets harder), not quantization collapse.
+    val (_, app50, reb50) = curve(1)
+    assert(app50 >= 0.40, f"appended recall@10 at 50%% = $app50%.2f")
+    assert(reb50 - app50 <= 0.1,
+      f"drift at 50%% exceeds the rebuild trigger: $app50%.2f vs $reb50%.2f")
+  }
 }
