@@ -1423,6 +1423,54 @@ object SparkEntry {
       searchAt(Some(1L), 1L).unionByName(searchAt(None, 3L))
     }),
 
+    // Versioned graph-ANN (the q332 manifest story for the graph
+    // family): both edge layers + the tombstone table land in ONE
+    // commit. Build (v1), DELETE a slice (v2 — tombstones only), then
+    // run the q311 recall board against the index PINNED AT VERSION 1:
+    // if snapshot isolation broke anywhere — the delete leaking into
+    // the pinned read, a layer resolving from a different version —
+    // the tombstoned nodes would vanish from the final beam and the
+    // oracle (the q311 replay, which knows nothing of the delete)
+    // would hash-mismatch. Isolation oracle-graded, not just
+    // spec-asserted.
+    "q334_graph_ann_versioned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id"))
+      val root = java.nio.file.Files.createTempDirectory("graft-gann-ver")
+        .toString + "/g"
+      operators.GraphAnn.graphWriteVersioned(e, "vec_id", "embedding",
+        dim = 64, planes = 4, tables = 2, degree = 16, refine = 1,
+        root = root, upperMod = 4, upperDegree = 8, upperRefine = 0)
+      operators.GraphAnn.graphDeleteVersioned(s, root,
+        e.filter(col("vec_id") % 9 === 1).select("vec_id"))
+      val ann = operators.GraphAnn.layeredTopKVersioned(s, root, e, qs,
+          "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+          entries = Seq(0L, 4L, 8L, 12L), upperRounds = 2, upperWidth = 16,
+          rounds = 3, beamWidth = 48, version = Some(1L))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("index_hits"))
+      exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          array_join(transform(array_sort(collect_list(col("vec_id"))),
+            _.cast("string")), "|").as("exact_topk"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("index_hits", coalesce(col("index_hits"), lit(0L)))
+        // 5 query points — single-row-per-query reduce, not data-sized
+        .withColumn("idx_total",
+          sum(col("index_hits")).over(Window.partitionBy()))
+        .withColumn("k_total", sum(col("k")).over(Window.partitionBy()))
+        .select(col("query_id"), col("k"), col("exact_topk"),
+          col("index_hits"),
+          (col("index_hits").cast("double") / col("k").cast("double")
+            >= 0.7d).as("layer_recall_ok"),
+          (col("idx_total").cast("double") / col("k_total").cast("double")
+            >= 0.9d).as("layer_corpus_ok"))
+    }),
+
     // Measured LSH recall board (round-13 verdict #6): banded-minhash
     // candidate recall vs the EXACT Jaccard pair set, oracle-graded —
     // possible because the board runs a PORTABLE hash family (literal
@@ -9586,6 +9634,11 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "q311_graph_ann_index" -> GraphAnnIndexOracle,
+
+    // the q311 replay verbatim: the versioned build is the same pure
+    // function of the corpus, and the pinned-v1 search must be blind
+    // to the later delete — any isolation leak diverges from this SQL
+    "q334_graph_ann_versioned" -> GraphAnnIndexOracle,
 
     "q317_graph_ann_append" -> GraphAnnAppendOracle,
 

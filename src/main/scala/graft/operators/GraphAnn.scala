@@ -308,12 +308,27 @@ object GraphAnn {
                              tables: Int, entries: Seq[Long],
                              upperRounds: Int = 2, upperWidth: Int = 16,
                              rounds: Int = 3, beamWidth: Int = 32,
-                             upperMod: Int = 4): DataFrame = {
+                             upperMod: Int = 4): DataFrame =
+    layeredSearch(
+      spark.read.parquet(s"$path/edges").select("src", "dst"),
+      spark.read.parquet(s"$path/upper_edges").select("src", "dst"),
+      graphTombstones(spark, path),
+      corpus, queries, idCol, vecCol, dim, planes, tables, entries,
+      upperRounds, upperWidth, rounds, beamWidth, upperMod)
+
+  /** The layered walk over caller-provided edge frames — shared by the
+    * directory index ([[layeredTopKPartitioned]]) and the
+    * manifest-versioned index ([[layeredTopKVersioned]]). */
+  private def layeredSearch(edges: DataFrame, upperEdges: DataFrame,
+                            tombOpt: Option[DataFrame], corpus: DataFrame,
+                            queries: DataFrame, idCol: String,
+                            vecCol: String, dim: Int, planes: Int,
+                            tables: Int, entries: Seq[Long],
+                            upperRounds: Int, upperWidth: Int,
+                            rounds: Int, beamWidth: Int,
+                            upperMod: Int): DataFrame = {
     require(entries.forall(_ % upperMod == 0),
       s"entries must live on the upper layer (id % $upperMod == 0)")
-    val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
-    val upperEdges = spark.read.parquet(s"$path/upper_edges")
-      .select("src", "dst")
     val upperSeeds = queries.select(col(idCol).as("query_id"))
       .crossJoin(broadcast(entries.toDF("vec_id")))
       .filter(col("vec_id") =!= col("query_id"))
@@ -328,7 +343,7 @@ object GraphAnn {
     // soft-deleted nodes routed the walk above but may not be RETURNED:
     // drop them from the final beam and re-rank the live survivors so
     // `rank <= k` still yields k results (graphDelete contract)
-    graphTombstones(spark, path) match {
+    tombOpt match {
       case Some(tomb) =>
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -441,6 +456,29 @@ object GraphAnn {
       return
     }
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
+    val merged = appendMergedEdges(edges, base, delta, idCol, vecCol,
+      dim, planes, tables, degree, rounds, beamWidth, entries)
+    // Publish through a staged swap: the old in-place overwrite deleted
+    // the ONLY copy of the index before the new write committed (a
+    // mid-write failure lost it; a concurrent reader could see a
+    // half-deleted directory). `merged` is lineage-cut, so the staged
+    // write no longer reads from the path it replaces.
+    graft.etl.IncrementalLoad.atomicRewrite(spark, s"$path/edges") { staging =>
+      merged.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    }
+  }
+
+  /** The insert-with-reverse-edges merge of [[graphAppend]] over a
+    * caller-provided current edge frame — shared by the directory and
+    * manifest-versioned appends. Returns the lineage-cut merged edge
+    * list (safe to publish over the frame it was derived from). */
+  private def appendMergedEdges(edges: DataFrame, base: DataFrame,
+                                delta: DataFrame, idCol: String,
+                                vecCol: String, dim: Int, planes: Int,
+                                tables: Int, degree: Int, rounds: Int,
+                                beamWidth: Int,
+                                entries: Seq[Long]): DataFrame = {
     val all = base.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .unionByName(delta.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
     val seeds = lshSeeds(base, delta, idCol, vecCol, dim, planes, tables,
@@ -467,20 +505,162 @@ object GraphAnn {
     // appends would compound them (a duplicated edge occupies two
     // top-degree slots in any later re-rank). Mirrored in the oracle's
     // gm CTE.
-    val merged = Lineage.cut(
+    Lineage.cut(
       edges.join(aff, Seq("src"), "left_anti")
         .unionByName(topEdges(acand, all, degree))
         .unionByName(fwd)
         .distinct())
-    // Publish through a staged swap: the old in-place overwrite deleted
-    // the ONLY copy of the index before the new write committed (a
-    // mid-write failure lost it; a concurrent reader could see a
-    // half-deleted directory). `merged` is lineage-cut above, so the
-    // staged write no longer reads from the path it replaces.
-    graft.etl.IncrementalLoad.atomicRewrite(spark, s"$path/edges") { staging =>
-      merged.withColumn("shard", pmod(col("src"), lit(shards.toLong)))
-        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+  }
+
+  // ------- versioned graph index: ManifestTable-committed layers -------
+
+  private val EdgesT = "edges"
+  private val UpperT = "upper_edges"
+  private val TombT = "tombstones"
+
+  /** Footer-only empty tombstone table (the ManifestTable.deleteWhere
+    * schema-preservation idiom: repartition(1) of an empty frame still
+    * writes one parquet footer, so the table stays readable). */
+  private def emptyTombstones(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("vec_id")).repartition(1)
+
+  /** [[graphWrite]] committed through [[graft.etl.ManifestTable]]: both
+    * edge layers AND the tombstone table land in ONE commit-file PUT —
+    * which closes the one atomicity gap the staged-swap family cannot
+    * (graphWrite publishes `edges` then `upper_edges` as two separate
+    * swaps, so a crash between them leaves a full layer newer than its
+    * routing layer). On top of cross-layer atomicity the manifest buys
+    * the versioned-IVF feature set: snapshot isolation for readers
+    * racing any maintenance op, "search as of version V"
+    * ([[layeredTopKVersioned]]), and retention vacuum
+    * ([[graft.etl.ManifestTable.vacuum]]). Returns the version. */
+  def graphWriteVersioned(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, planes: Int, tables: Int, degree: Int,
+                          refine: Int, root: String, upperMod: Int = 4,
+                          upperDegree: Int = 8,
+                          upperRefine: Int = 1): Long = {
+    require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
+    val spark = corpus.sparkSession
+    val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    graft.etl.ManifestTable.publish(spark, root, Map(
+      EdgesT -> knnGraph(corpus, idCol, vecCol, dim, planes, tables,
+        degree, refine),
+      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
+        upperDegree, upperRefine),
+      TombT -> emptyTombstones(spark)))
+  }
+
+  /** [[graphDelete]] for the versioned index: the merged tombstone set
+    * republishes as a new version in one commit (edge layers carried
+    * untouched — byte-identical, never re-read). Soft-delete semantics
+    * are identical to the sidecar family: tombstoned nodes keep
+    * ROUTING, never RETURN. Pre-delete versions stay searchable until
+    * retention drops them. Idempotent. */
+  def graphDeleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, ids: DataFrame): Long = {
+    val nw = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+    val merged = graft.etl.ManifestTable.read(spark, root, TombT)
+      .select(col("vec_id")).union(nw).distinct()
+    graft.etl.ManifestTable.publish(spark, root,
+      Map(TombT -> merged.coalesce(1)))
+  }
+
+  /** [[graphVacuum]] for the versioned index: rebuild BOTH layers from
+    * the live corpus and clear the tombstone table — all three tables
+    * in ONE atomic commit (the sidecar family needs two swaps plus a
+    * sidecar delete, idempotence doing the work a transaction would).
+    * Post-vacuum the latest version equals a fresh
+    * [[graphWriteVersioned]] over the live corpus. */
+  def graphVacuumVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, corpus: DataFrame, idCol: String,
+                           vecCol: String, dim: Int, planes: Int,
+                           tables: Int, degree: Int, refine: Int,
+                           upperMod: Int = 4, upperDegree: Int = 8,
+                           upperRefine: Int = 1): Long = {
+    val tomb = graft.etl.ManifestTable.read(spark, root, TombT)
+      .select(col("vec_id"))
+    val live = corpus.join(broadcast(tomb),
+      corpus(idCol) === tomb("vec_id"), "left_anti")
+    val upper = live.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    graft.etl.ManifestTable.publish(spark, root, Map(
+      EdgesT -> knnGraph(live, idCol, vecCol, dim, planes, tables,
+        degree, refine),
+      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
+        upperDegree, upperRefine),
+      TombT -> emptyTombstones(spark)))
+  }
+
+  /** [[graphCompact]] for the versioned index: the upper routing layer
+    * rebuilds as a new version (full layer + tombstones carried).
+    * Tombstoned nodes stay IN the routing layer by the soft-delete
+    * contract — they route, they don't return. */
+  def graphCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+                            root: String, corpus: DataFrame, idCol: String,
+                            vecCol: String, dim: Int, planes: Int,
+                            tables: Int, upperMod: Int = 4,
+                            upperDegree: Int = 8,
+                            upperRefine: Int = 1): Long = {
+    require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
+    val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    graft.etl.ManifestTable.publish(spark, root, Map(
+      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
+        upperDegree, upperRefine)))
+  }
+
+  /** [[graphAppend]] for the versioned index: the merged full layer
+    * commits as ONE new version (upper layer + tombstones carried
+    * untouched), with the same tombstone-fraction cadence — past the
+    * bar the append escalates to [[graphVacuumVersioned]], whose
+    * rebuild is itself a single commit. Returns the version. */
+  def graphAppendVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, base: DataFrame, delta: DataFrame,
+                           idCol: String, vecCol: String, dim: Int,
+                           planes: Int, tables: Int, degree: Int,
+                           rounds: Int, beamWidth: Int, entries: Seq[Long],
+                           vacuumAtTombstoneFraction: Double = 0.25,
+                           refine: Int = 1, upperMod: Int = 4,
+                           upperDegree: Int = 8,
+                           upperRefine: Int = 1): Long = {
+    val tombN = graft.etl.ManifestTable.read(spark, root, TombT).count()
+    if (tombN > 0 &&
+        tombN.toDouble / (base.count() + delta.count()).max(1L)
+          >= vacuumAtTombstoneFraction) {
+      val corpus = base.select(col(idCol), col(vecCol))
+        .unionByName(delta.select(col(idCol), col(vecCol)))
+      return graphVacuumVersioned(spark, root, corpus, idCol, vecCol, dim,
+        planes, tables, degree, refine, upperMod, upperDegree, upperRefine)
     }
+    val edges = graft.etl.ManifestTable.read(spark, root, EdgesT)
+      .select("src", "dst")
+    val merged = appendMergedEdges(edges, base, delta, idCol, vecCol,
+      dim, planes, tables, degree, rounds, beamWidth, entries)
+    graft.etl.ManifestTable.publish(spark, root, Map(EdgesT -> merged))
+  }
+
+  /** [[layeredTopKPartitioned]] against a [[graphWriteVersioned]]
+    * index, optionally pinned to a retained `version` — every layer
+    * (edges, routing, tombstones) resolves from the SAME commit, so a
+    * pinned search is consistent by construction even while appends,
+    * deletes, and vacuums commit concurrently. */
+  def layeredTopKVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, corpus: DataFrame,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, dim: Int, planes: Int,
+                           tables: Int, entries: Seq[Long],
+                           upperRounds: Int = 2, upperWidth: Int = 16,
+                           rounds: Int = 3, beamWidth: Int = 32,
+                           upperMod: Int = 4,
+                           version: Option[Long] = None): DataFrame = {
+    def tbl(t: String) = version match {
+      case Some(v) => graft.etl.ManifestTable.readAt(spark, root, t, v)
+      case None    => graft.etl.ManifestTable.read(spark, root, t)
+    }
+    layeredSearch(tbl(EdgesT).select("src", "dst"),
+      tbl(UpperT).select("src", "dst"),
+      Some(tbl(TombT).select(col("vec_id"))),
+      corpus, queries, idCol, vecCol, dim, planes, tables, entries,
+      upperRounds, upperWidth, rounds, beamWidth, upperMod)
   }
 
   private implicit class LongSeqToDf(xs: Seq[Long]) {

@@ -328,6 +328,78 @@ class Round14OpsSpec extends SparkSpec {
       "post-cadence index is a pure function of the live corpus")
   }
 
+  // ---- versioned graph-ANN: one commit per maintenance op ----
+
+  test("versioned graph index: pinned search stable across delete + " +
+    "append; vacuum equals a fresh build; cadence escalates in one commit") {
+    val vecs = groupedVecs()
+    val isDelta = col("vec_id") >= 24
+    val base = vecs.filter(!isDelta)
+    val root = tmpDir("gann-ver") + "/g"
+    def search(v: Option[Long]) = graft.operators.GraphAnn
+      .layeredTopKVersioned(spark, root, vecs, vecs.filter(col("vec_id") === 8L),
+        "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+        entries = Seq(0L, 4L), rounds = 3, beamWidth = 8, version = v)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSet
+    val v1 = graft.operators.GraphAnn.graphWriteVersioned(base, "vec_id",
+      "embedding", dim = 64, planes = 4, tables = 2, degree = 8,
+      refine = 1, root = root, upperMod = 4, upperDegree = 8,
+      upperRefine = 1)
+    assert(v1 == 1L)
+    val r1 = search(None)
+    // soft delete: one commit, tombstones only; pinned v1 unmoved
+    val dead = r1.map(_._1).head
+    graft.operators.GraphAnn.graphDeleteVersioned(spark, root,
+      Seq(dead).toDF("vec_id"))
+    assert(!search(None).exists(_._1 == dead), "tombstoned never returned")
+    assert(search(Some(1L)) == r1, "v1 pinned across the delete")
+    // append below the cadence bar: one commit, edges only; pinned
+    // versions unmoved, latest routes to the inserted tier
+    graft.operators.GraphAnn.graphAppendVersioned(spark, root, base,
+      vecs.filter(isDelta), "vec_id", "embedding", dim = 64, planes = 4,
+      tables = 2, degree = 8, rounds = 2, beamWidth = 16,
+      entries = Seq(0L, 4L), vacuumAtTombstoneFraction = 0.5)
+    assert(search(Some(1L)) == r1, "v1 pinned across the append")
+    assert(!search(None).exists(_._1 == dead), "tombstones carried")
+    // vacuum: both layers + cleared tombstones in ONE commit; latest
+    // equals a fresh build over the live corpus
+    graft.operators.GraphAnn.graphVacuumVersioned(spark, root, vecs,
+      "vec_id", "embedding", dim = 64, planes = 4, tables = 2,
+      degree = 8, refine = 1)
+    val fresh = tmpDir("gann-ver-fresh") + "/g"
+    graft.operators.GraphAnn.graphWriteVersioned(
+      vecs.filter(col("vec_id") =!= dead), "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 2, degree = 8, refine = 1,
+      root = fresh)
+    def layer(r: String, t: String) = graft.etl.ManifestTable
+      .read(spark, r, t).select("src", "dst").as[(Long, Long)]
+      .collect().toSet
+    assert(layer(root, "edges") == layer(fresh, "edges") &&
+      layer(root, "upper_edges") == layer(fresh, "upper_edges"),
+      "post-vacuum latest is a pure function of the live corpus")
+    assert(graft.etl.ManifestTable.read(spark, root, "tombstones")
+      .isEmpty, "tombstone table cleared in the same commit")
+    // and v1 is STILL searchable (retention, not overwrite)
+    assert(search(Some(1L)) == r1, "v1 pinned across the vacuum")
+    // cadence: past the tombstone bar the append escalates to a vacuum
+    // rebuild that lands as ONE commit — exactly one new version, dead
+    // edges gone, tombstone table cleared atomically with the layers
+    val deadIds = Seq(1L, 2L, 3L, 9L, 10L, 11L) // 6/32 ≥ the 0.15 bar
+    graft.operators.GraphAnn.graphDeleteVersioned(spark, root,
+      deadIds.toDF("vec_id"))
+    val vBefore = graft.etl.ManifestTable.current(spark, root).get.version
+    graft.operators.GraphAnn.graphAppendVersioned(spark, root, base,
+      vecs.filter(isDelta), "vec_id", "embedding", dim = 64, planes = 4,
+      tables = 2, degree = 8, rounds = 2, beamWidth = 16,
+      entries = Seq(0L, 4L), vacuumAtTombstoneFraction = 0.15)
+    assert(graft.etl.ManifestTable.current(spark, root).get.version
+      == vBefore + 1, "the escalated append is ONE commit")
+    assert(graft.etl.ManifestTable.read(spark, root, "tombstones").isEmpty
+      && graft.etl.ManifestTable.read(spark, root, "edges")
+        .filter(col("src").isin(deadIds: _*)).isEmpty,
+      "dead edges reclaimed and tombstones cleared atomically")
+  }
+
   // ---- ivfPqAppend: recall-drift board (rebuild-trigger curve) ----
 
   test("ivfPqAppend drift board: appended-index recall vs a full rebuild " +
