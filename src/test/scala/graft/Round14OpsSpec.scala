@@ -229,19 +229,22 @@ class Round14OpsSpec extends SparkSpec {
       .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
       .collect().toSet
     lazy val cents = graft.operators.Similarity.ivfWriteVersioned(
-      e.filter(!isDelta), "vec_id", "embedding", root, nlist = 16)
+      e.filter(!isDelta), "vec_id", "embedding", root, nlist = 16,
+      metaCols = Seq("label"))
     cents // force the v1 build
     val r1 = search(None)
     // append commits version 2; the pinned-v1 board must not move
     val appended = graft.operators.Similarity.ivfAppendVersioned(
-      e.filter(isDelta), "vec_id", "embedding", root, cents)
+      e.filter(isDelta), "vec_id", "embedding", root, cents,
+      metaCols = Seq("label"))
     assert(appended == 20L, s"delta rows appended: $appended")
     assert(search(Some(1L)) == r1, "v1 pinned across the append")
     val r2 = search(None)
     assert(r2 != r1, "latest sees the delta")
     // replayed append: 0 rows, NO new version (idempotent)
     assert(graft.operators.Similarity.ivfAppendVersioned(
-      e.filter(isDelta), "vec_id", "embedding", root, cents) == 0L)
+      e.filter(isDelta), "vec_id", "embedding", root, cents,
+      metaCols = Seq("label")) == 0L)
     assert(graft.etl.ManifestTable.current(spark, root).get.version == 2L,
       "replay created no version")
     // delete one returned id by manifest copy-on-write (version 3)
@@ -262,6 +265,22 @@ class Round14OpsSpec extends SparkSpec {
       "lists", lo = 0L, hi = 0L)
     assert(kept < total && total > 1,
       s"file skipping prunes: kept $kept of $total")
+    // filtered search: the metadata predicate evaluates against the
+    // index-resident label column, pushed into the parquet scan of the
+    // surviving files (the q328 semantics on the versioned family)
+    val filteredDf = graft.operators.Similarity.ivfTopKVersioned(spark,
+      root, cents, qs, "vec_id", "embedding", k = 5, nprobe = 8,
+      pred = Some(col("label") === 1))
+    val lbl = e.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val filtered = filteredDf.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(filtered.nonEmpty &&
+      filtered.forall { case (_, v) => lbl(v) == 1 },
+      "every filtered hit satisfies the predicate")
+    val plan = filteredDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate pushed into the manifest-file scan")
   }
 
   // ---- graphAppend: tombstone-aware compaction cadence ----
