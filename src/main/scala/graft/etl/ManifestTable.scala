@@ -796,6 +796,62 @@ object ManifestTable {
     true
   }
 
+  /** Has `writerId` already applied `batchId` (to any table) via
+    * [[transactionalAppendAll]]? One manifest resolve — the O(1)
+    * replay probe for foreachBatch writers, checked BEFORE computing
+    * the batch. */
+  def batchApplied(spark: SparkSession, root: String, writerId: String,
+                   batchId: Long): Boolean =
+    current(spark, root).exists(_.entries.exists(e =>
+      e.table == TxnTable && e.relPath == s"$writerId/__txn" &&
+        e.min.exists(_ >= batchId)))
+
+  /** [[transactionalAppend]] for a MULTI-SINK batch: every table's new
+    * files and the `(writerId, batchId)` watermark land in ONE commit —
+    * the whole batch is a single transaction, so there is no ordering
+    * among sinks to crash between and no per-sink idempotence guard to
+    * re-derive on replay (the CorpusIngest marker-file design needs a
+    * begin/commit pair and an expensive crashed-replay path precisely
+    * because its sinks commit separately). A crash before the commit
+    * leaves only orphan data files (invisible to readers, reclaimed by
+    * [[vacuum]]); the replay recomputes and commits whole.
+    *
+    * Empty frames: a table whose batch contribution is empty writes one
+    * footer-only file ONLY when the table does not exist yet (schema
+    * establishment — the deleteWhere readability idiom); otherwise it
+    * is carried untouched, so long streams do not accumulate empty
+    * files. Returns false iff `batchId` was already applied. */
+  def transactionalAppendAll(spark: SparkSession, root: String,
+                             tables: Map[String, DataFrame],
+                             writerId: String, batchId: Long,
+                             statsCols: Map[String, String] = Map.empty): Boolean = {
+    require(tables.nonEmpty, "transactionalAppendAll: no tables")
+    require(!writerId.contains("\t") && !writerId.contains("\n") &&
+      !writerId.contains("/"), s"illegal writerId: $writerId")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
+    val cur = current(spark, root)
+    val markerPath = s"$writerId/__txn"
+    val applied = cur.exists(_.entries.exists(e =>
+      e.table == TxnTable && e.relPath == markerPath &&
+        e.min.exists(_ >= batchId)))
+    if (applied) return false
+    val newEntries = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      val exists = cur.exists(_.entries.exists(_.table == name))
+      if (df.isEmpty) {
+        if (exists) Nil
+        else writeData(spark, rootP, fs, name, df.repartition(1),
+          statsCols.get(name))
+      } else writeData(spark, rootP, fs, name, df, statsCols.get(name))
+    }
+    val carried = cur.map(_.entries.filterNot(e =>
+      e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
+    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
+      carried ++ newEntries :+
+        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
+    true
+  }
+
   // ----------------------------------------- commit-log compaction / vacuum
 
   /** Bound the commit log WITHOUT touching data: delete all but the

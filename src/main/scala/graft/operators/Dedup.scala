@@ -689,12 +689,26 @@ object Dedup {
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          df: DataFrame, textCol: String, idCol: String,
                          path: String, bands: Int = 16, rowsPerBand: Int = 2,
-                         shingleN: Int = 3, maxBucket: Int = 1000): Unit = {
+                         shingleN: Int = 3, maxBucket: Int = 1000): Unit =
+    cappedIndexRows(readMinhashIndex(spark, path), df, textCol, idCol,
+      bands, rowsPerBand, shingleN, maxBucket)
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /** The batch's banded signature rows under the COMBINED skew cap
+    * (existing index rows + batch rows per bucket ≤ `maxBucket`),
+    * against a caller-provided existing-index frame — the write-free
+    * core of [[minhashIndexAppend]], shared with the manifest-table
+    * ingestion path. */
+  private[graft] def cappedIndexRows(existingIdx: DataFrame, df: DataFrame,
+                                     textCol: String, idCol: String,
+                                     bands: Int, rowsPerBand: Int,
+                                     shingleN: Int,
+                                     maxBucket: Int): DataFrame = {
     val banded = bandedSignatures(df, textCol, idCol, bands, rowsPerBand,
       shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
-    val existing = readMinhashIndex(spark, path)
+    val existing = existingIdx
       .join(banded.select(col("band"), col("bh")).distinct(),
         Seq("band", "bh"), "left_semi")
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__en"))
@@ -702,7 +716,6 @@ object Dedup {
       .join(existing, Seq("band", "bh"), "left")
       .filter(col("__bn") + coalesce(col("__en"), lit(0L)) <= maxBucket)
       .drop("__bn", "__en")
-      .write.mode("append").partitionBy("band").parquet(path)
   }
 
   /** SOFT-delete ids from a [[writeMinhashIndex]] index — the
@@ -737,15 +750,31 @@ object Dedup {
                        textCol: String, idCol: String, indexPath: String,
                        bands: Int = 16, rowsPerBand: Int = 2,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val newBanded = bandedSignatures(newDocs, textCol, idCol, bands, rowsPerBand, shingleN)
     val idx0 = readMinhashIndex(spark, indexPath)
     // forgotten documents must stop generating candidates immediately
     // (minhashIndexDelete contract) — dead signature rows are masked
     // here until a vacuum reclaims them
-    val idx = (graft.etl.Tombstones.read(spark, indexPath, "id") match {
+    val idx = graft.etl.Tombstones.read(spark, indexPath, "id") match {
       case Some(tomb) => idx0.join(broadcast(tomb), Seq("id"), "left_anti")
       case None       => idx0
-    }).withColumnRenamed("id", "old_id")
+    }
+    incrementalPairsFrame(newDocs, corpus, idx, textCol, idCol, bands,
+      rowsPerBand, shingleN, threshold)
+  }
+
+  /** [[incrementalPairs]] against a caller-provided (already
+    * tombstone-masked) index FRAME — the manifest-table ingestion path
+    * reads its index through [[graft.etl.ManifestTable]] rather than a
+    * `band=`-partitioned directory. */
+  private[graft] def incrementalPairsFrame(newDocs: DataFrame,
+                                           corpus: DataFrame,
+                                           indexFrame: DataFrame,
+                                           textCol: String, idCol: String,
+                                           bands: Int, rowsPerBand: Int,
+                                           shingleN: Int,
+                                           threshold: Double): DataFrame = {
+    val newBanded = bandedSignatures(newDocs, textCol, idCol, bands, rowsPerBand, shingleN)
+    val idx = indexFrame.withColumnRenamed("id", "old_id")
     val candidates = cut(newBanded.join(idx, Seq("band", "bh"))
       .filter(col("id") =!= col("old_id"))
       .select(col("id").as("new_id"), col("old_id")).distinct())

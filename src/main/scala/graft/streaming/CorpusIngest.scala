@@ -126,20 +126,7 @@ object CorpusIngest {
     // owns (and overwrites) its own batch_id partition, so a replay
     // rewrites the identical rows instead of appending duplicates
     quarantinePath.foreach { qp =>
-      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("mid"),
-          col("jaccard"))
-        .unionByName(pairs.select(col("id_b").as("id"),
-          col("id_a").as("mid"), col("jaccard")))
-      val batchQ = batchDrops
-        .join(sym, batchDrops("id") === sym("id") &&
-          batchDrops("cluster_id") === sym("mid"), "left")
-        .groupBy(batchDrops("id").as("doc_id"),
-          col("cluster_id").as("matched_id"))
-        .agg(max(col("jaccard")).as("jaccard"))
-        .withColumn("kind", lit("batch"))
-      val indexQ = indexDups.select(col("new_id").as("doc_id"),
-        col("matched_id"), col("jaccard"), lit("index").as("kind"))
-      val q = batchQ.unionByName(indexQ)
+      val q = quarantineRows(pairs, batchDrops, indexDups)
       if (!q.isEmpty)
         q.coalesce(1).write.mode("overwrite")
           .parquet(s"${qp.stripSuffix("/")}/batch_id=$batchId")
@@ -165,6 +152,114 @@ object CorpusIngest {
     if (!toCorpus.isEmpty)
       toCorpus.write.mode("append").parquet(corpusPath)
     putMarker(spark, corpusPath, s"commit-$batchId")
+  }
+
+  /** Audit rows for the gated docs of one batch: within-batch losers
+    * with their surviving representative (direct-pair jaccard when
+    * available, null for transitive members) and cross-history dups
+    * with their strongest match. */
+  private def quarantineRows(pairs: DataFrame, batchDrops: DataFrame,
+                             indexDups: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("mid"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("mid"), col("jaccard")))
+    val batchQ = batchDrops
+      .join(sym, batchDrops("id") === sym("id") &&
+        batchDrops("cluster_id") === sym("mid"), "left")
+      .groupBy(batchDrops("id").as("doc_id"),
+        col("cluster_id").as("matched_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .withColumn("kind", lit("batch"))
+    val indexQ = indexDups.select(col("new_id").as("doc_id"),
+      col("matched_id"), col("jaccard"), lit("index").as("kind"))
+    batchQ.unionByName(indexQ)
+  }
+
+  /** [[dedupIngest]] in MANIFEST MODE: corpus, index, and quarantine
+    * are tables of ONE [[graft.etl.ManifestTable]] root, and the entire
+    * batch lands as a SINGLE transactional commit carrying the
+    * `(writer, batchId)` watermark — the strongest exactly-once shape
+    * this operator can have. There is no marker-file window, no sink
+    * ordering to crash between, and no crashed-replay guard path: a
+    * replay either sees the watermark (O(1) manifest resolve, before
+    * touching the batch) and no-ops, or recomputes and commits whole;
+    * a pre-commit crash leaves only orphan data files that readers
+    * never see and `ManifestTable.vacuum` reclaims. The replay-artifact
+    * exclusion of the marker-file mode is unnecessary here for the same
+    * reason — a candidate whose old side is a batch id cannot exist,
+    * because no partial index append can ever be visible. Readers get
+    * snapshot isolation and time travel over all three tables for
+    * free; `ManifestTable.compactLog` bounds the per-batch commit log. */
+  def dedupIngestManifest(stream: DataFrame, textCol: String, idCol: String,
+                          root: String, checkpoint: String,
+                          bands: Int = 16, rowsPerBand: Int = 2,
+                          shingleN: Int = 3, threshold: Double = 0.8,
+                          quarantine: Boolean = true,
+                          maxBucket: Int = 1000): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchManifest(batch, textCol, idCol, root, batchId, bands,
+          rowsPerBand, shingleN, threshold, quarantine, maxBucket)
+        ()
+      }
+
+  /** One micro-batch in manifest mode (exposed for replay testing). */
+  private[graft] def ingestBatchManifest(batch: DataFrame, textCol: String,
+                                         idCol: String, root: String,
+                                         batchId: Long, bands: Int,
+                                         rowsPerBand: Int, shingleN: Int,
+                                         threshold: Double,
+                                         quarantine: Boolean = true,
+                                         maxBucket: Int = 1000): Unit = {
+    import graft.etl.ManifestTable
+    val spark = batch.sparkSession
+    val Writer = "corpus-ingest"
+    // O(1) replay fast path: the watermark rides the manifest itself
+    if (ManifestTable.batchApplied(spark, root, Writer, batchId)) return
+    val cached = batch.localCheckpoint()
+    if (cached.isEmpty) return
+    val pairs = Dedup.minhashPairs(cached, textCol, idCol, bands,
+      rowsPerBand, shingleN, threshold).localCheckpoint()
+    val batchDrops = Dedup.clusters(pairs)
+      .filter(col("id") =!= col("cluster_id")).localCheckpoint()
+    val surv = cached
+      .join(batchDrops.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val cur = ManifestTable.current(spark, root)
+    def tbl(t: String): Option[DataFrame] =
+      if (cur.exists(_.entries.exists(_.table == t)))
+        Some(ManifestTable.read(spark, root, t))
+      else None
+    val indexDups = ((tbl("corpus"), tbl("index")) match {
+      case (Some(corpus), Some(idx)) =>
+        Dedup.incrementalPairsFrame(surv, corpus,
+          idx.select(col("id"), col("bh"), col("band")), textCol, idCol,
+          bands, rowsPerBand, shingleN, threshold)
+      case _ => spark.range(0)
+        .select(col("id").as("new_id"), col("id").as("old_id"),
+          lit(0d).as("jaccard"))
+    }).groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("matched_id"),
+        max(col("jaccard")).as("jaccard"))
+      .localCheckpoint()
+    val unique = surv
+      .join(indexDups.select(col("new_id").as(idCol)), Seq(idCol),
+        "left_anti")
+      .localCheckpoint()
+    val emptyIdx = spark.range(0).select(col("id"), lit(0L).as("bh"),
+      lit(0).as("band"))
+    val indexRows = Dedup.cappedIndexRows(tbl("index").getOrElse(emptyIdx),
+      unique, textCol, idCol, bands, rowsPerBand, shingleN, maxBucket)
+    val tables = Map("corpus" -> unique, "index" -> indexRows) ++
+      (if (quarantine)
+        Map("quarantine" -> quarantineRows(pairs, batchDrops, indexDups)
+          .withColumn("batch_id", lit(batchId)))
+      else Map.empty)
+    ManifestTable.transactionalAppendAll(spark, root, tables, Writer,
+      batchId, statsCols = Map("index" -> "band"))
+    ()
   }
 
   /** The per-batch commit log: empty marker files in a sibling dir of

@@ -214,6 +214,90 @@ class Round14OpsSpec extends SparkSpec {
       .collect().toSet == Set(10L), "cross-batch dup gated after bootstrap")
   }
 
+  // ---- CorpusIngest manifest mode: the batch is ONE transaction ----
+
+  test("CorpusIngest manifest mode: all three dup kinds gated; replay " +
+    "is an O(1) watermark no-op; orphans of a pre-commit crash invisible") {
+    def doc(id: Long, text: String) = (id, text)
+    val root = tmpDir("ingest-mf") + "/corpus"
+    def ingestM(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.CorpusIngest.ingestBatchManifest(b, "text", "doc_id",
+        root, id, bands = 16, rowsPerBand = 2, shingleN = 3,
+        threshold = 0.8)
+    val b0 = Seq( // bootstrap batch — no tables exist yet
+      doc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(2L, "colorless green ideas sleep furiously under winter moons tonight"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      doc(10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      doc(11L, "the quick brown fox jumps over the lazy dog again and again"), // == 1
+      doc(12L, "granite rivers remember every glacier that carved them long ago"),
+      doc(13L, "granite rivers remember every glacier that carved them long ago")) // == 12
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(20L, "seven crimson airships drifted across the copper morning skyline slowly"), // == 10
+      doc(21L, "binary stars trade plasma in slow ten thousand year waltzes"))
+      .toDF("doc_id", "text")
+    ingestM(b0, 0L); ingestM(b1, 1L); ingestM(b2, 2L)
+    def corpusIds() = graft.etl.ManifestTable.read(spark, root, "corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def indexIds() = graft.etl.ManifestTable.read(spark, root, "index")
+      .select(col("id")).distinct().as[Long].collect().toSet
+    val live = Set(1L, 2L, 10L, 12L, 21L)
+    assert(corpusIds() == live, s"corpus gates all three dup kinds: ${corpusIds()}")
+    assert(indexIds() == live, "index stays in step with the corpus")
+    val q = graft.etl.ManifestTable.read(spark, root, "quarantine")
+    assert(q.select("doc_id", "matched_id", "kind")
+      .as[(Long, Long, String)].collect().toSet
+      == Set((11L, 1L, "index"), (13L, 12L, "batch"), (20L, 10L, "index")),
+      "quarantine audits every gated doc exactly once")
+    // replay: the watermark no-ops before touching anything — version
+    // count and both sinks unchanged
+    val v = graft.etl.ManifestTable.current(spark, root).get.version
+    ingestM(b1, 1L)
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == v &&
+      corpusIds() == live, "watermark replay is a no-op")
+    // a pre-commit crash leaves only ORPHAN data files — readers never
+    // see them (nothing references them until a commit lands)
+    Seq(doc(99L, "never committed")).toDF("doc_id", "text")
+      .write.parquet(s"$root/corpus/d-deadbeefcafe")
+    assert(corpusIds() == live, "orphans of a crashed batch are invisible")
+    // skew-cap parity with the directory family: the combined cap holds
+    // across manifest appends too (every bucket ≤ maxBucket)
+    assert(graft.etl.ManifestTable.read(spark, root, "index")
+      .groupBy("band", "bh").count().filter(col("count") > 1000).isEmpty)
+  }
+
+  test("CorpusIngest manifest mode: end-to-end stream across restarts") {
+    val root0 = tmpDir("ingest-mf-e2e")
+    val root = s"$root0/corpus"
+    val src = s"$root0/src"
+    val b1 = Seq(
+      (10L, "seven crimson airships drifted across the copper morning skyline slowly"),
+      (11L, "seven crimson airships drifted across the copper morning skyline slowly"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "seven crimson airships drifted across the copper morning skyline slowly"), // == 10
+      (21L, "binary stars trade plasma in slow ten thousand year waltzes"))
+      .toDF("doc_id", "text")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = graft.streaming.CorpusIngest.dedupIngestManifest(stream,
+        "text", "doc_id", root, s"$root0/ckpt").start()
+      q.processAllAvailable(); q.stop()
+    }
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run() // stream run 1 (bootstrap: no tables exist)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run() // stream run 2 (restart from the checkpoint)
+    assert(graft.etl.ManifestTable.read(spark, root, "corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 21L),
+      "within-batch and cross-batch dups gated across restarts")
+    assert(graft.etl.ManifestTable.read(spark, root, "quarantine")
+      .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+      == Set((11L, 10L), (20L, 10L)), "audit complete across restarts")
+  }
+
   // ---- versioned IVF: ManifestTable-committed index lifecycle ----
 
   test("versioned IVF: pinned reader byte-stable across append + delete; " +
