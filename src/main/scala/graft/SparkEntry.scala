@@ -1317,6 +1317,48 @@ object SparkEntry {
       out
     }),
 
+    // VERSIONED dedup index (the q327 lifecycle on ManifestTable
+    // commits — the last index family to match IVF q332 / graph q334):
+    // write over m10∉{0,1}, append m10=1, PIN that version, then forget
+    // m10=2 as a later commit. The pairs query runs pinned at the
+    // pre-forget version, so the m10=2 matches MUST still appear — the
+    // oracle is q327's WITHOUT the deletion exclusion, and any snapshot
+    // isolation leak (the pin observing the later delete) loses those
+    // rows and hash-mismatches. Snapshot isolation itself is the thing
+    // under oracle grade, the q334 discipline.
+    "q335_dedup_index_versioned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m10 = col("doc_id") % 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mh-ver")
+      val root = tmp.resolve("mh").toString
+      Dedup.minhashIndexWriteVersioned(docs.filter(m10 =!= 0 && m10 =!= 1),
+        "text", "doc_id", root, bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.minhashIndexAppendVersioned(s, docs.filter(m10 === 1), "text",
+        "doc_id", root, bands = 16, rowsPerBand = 2, shingleN = 3)
+      val vPin = etl.ManifestTable.current(s, root).get.version
+      Dedup.minhashIndexDeleteVersioned(s, root, col("id") % 10 === 2)
+      val out = Dedup.incrementalPairsVersioned(s, docs.filter(m10 === 0),
+          docs.filter(m10 =!= 0), "text", "doc_id", root,
+          bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35,
+          version = Some(vPin))
+        .localCheckpoint() // materialize, then drop the on-disk index
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // NVARCHAR width-cap validation (the DDL's declared widths,
+    // sql:49-50, enforced engine-side): validate-or-quarantine split on
+    // length(text) <= 300 (document lengths straddle the cap, so both
+    // sides are populated), both sides labeled — proves the cap
+    // semantics (chars, NULL passes) against the SQL CASE mirror.
+    "q336_length_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (ok, bad) = etl.CleaningOps.validate(d,
+        etl.CleaningOps.lengthCap(col("text"), 300))
+      ok.select(col("doc_id"), lit("valid").as("side"))
+        .unionByName(bad.select(col("doc_id"), lit("quarantined").as("side")))
+    }),
+
     // FILTERED ANN: top-10 among label == 3 only — the metadata column
     // rides in the index files (ivfWrite metaCols), so the predicate
     // pushes into the probed-list parquet scan (PartitionFilters ×
@@ -1478,9 +1520,24 @@ object SparkEntry {
     // so DuckDB replays every minhash, band key, candidate pair and
     // the recall division bit-for-bit. One row per (bands, rows)
     // config: the empirical S-curve behind the q268 band planner.
+    // Round 15: the board grades a GRADED-near-dup corpus (every even
+    // doc plus a prefix-truncated variant at ~1.0/0.9/0.75/0.6
+    // Jaccard, the GradedCorpusSql mirror) so recall DISCRIMINATES
+    // between the four configs instead of reading 1.0 everywhere.
     "q333_lsh_recall_board" -> ((s, dir) => {
-      Dedup.minhashRecallBoard(t(s, dir, "documents"), "text", "doc_id",
-        shingleN = 3, threshold = 0.5)
+      val base = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val frac = when(col("doc_id") % 8 === 0, lit(1.0d))
+        .when(col("doc_id") % 8 === 2, lit(0.9d))
+        .when(col("doc_id") % 8 === 4, lit(0.75d))
+        .otherwise(lit(0.6d))
+      val keepN = greatest(lit(3),
+        floor(size(toks).cast("double") * frac).cast("int"))
+      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), keepN), " ").as("text"))
+      Dedup.minhashRecallBoard(base.unionByName(variants), "text", "doc_id",
+        shingleN = 3, threshold = 0.5, configs = RecallBoardConfigs)
     }),
 
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
@@ -4810,6 +4867,34 @@ object SparkEntry {
     * as the exact grader, one branch per band config. Every count is
     * CAST BIGINT (the q252 HUGEINT lesson); the recall division is the
     * identical IEEE double expression on both sides. */
+  /** Band configs the q333 recall board grades — ONE list feeding both
+    * the Spark query and the oracle SQL so they cannot drift. (2,4) is
+    * the deliberately-lossy anchor at the low end; at the graded-corpus
+    * Jaccard levels the expected candidate probabilities separate
+    * monotonically across all four. */
+  private val RecallBoardConfigs: Seq[(Int, Int)] =
+    Seq((2, 4), (4, 4), (8, 2), (16, 2))
+
+  /** q333's GRADED-near-dup corpus in SQL (the Spark query mirrors this
+    * expression for expression): even-id documents plus one
+    * prefix-truncated variant each — keep 100/90/75/60% of the
+    * whitespace tokens by id mod 8, so variant pairs land at Jaccard
+    * ~1.0/~0.9/~0.75/~0.6 and the board's recall column DISCRIMINATES
+    * between band configs instead of reading 1.0 everywhere (the
+    * round-14 board could not rank configs because every planted dup
+    * was exact). */
+  private val GradedCorpusSql: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |  array_to_string(list_slice(string_split(text, ' '), 1,
+      |    greatest(3, CAST(floor(len(string_split(text, ' ')) *
+      |      (CASE WHEN doc_id % 8 = 0 THEN 1.0
+      |            WHEN doc_id % 8 = 2 THEN 0.9
+      |            WHEN doc_id % 8 = 4 THEN 0.75
+      |            ELSE 0.6 END)) AS BIGINT))), ' ') AS text
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
   private def LshRecallBoardSql: String = {
     val P = graft.operators.Dedup.PortableP
     val values = graft.operators.Dedup.portableAB(32).zipWithIndex
@@ -4842,8 +4927,8 @@ object SparkEntry {
          |    (SELECT CAST(count(*) AS BIGINT)
          |     FROM cand_$tag c JOIN jp USING (id_a, id_b)) AS n_hits)""".stripMargin
     }
-    val configs = Seq((4, 4), (8, 2), (16, 2))
-    s"""WITH ${JaccardCtes(0.5)},
+    val configs = RecallBoardConfigs
+    s"""WITH ${JaccardCtesFrom(GradedCorpusSql, 0.5)},
        |jp AS (SELECT id_a, id_b FROM jpairs),
        |hs AS (
        |  SELECT doc_id AS id,
@@ -8522,6 +8607,23 @@ object SparkEntry {
         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
         |  AND (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 10 <> 2""".stripMargin),
 
+    // q327's oracle WITHOUT the deletion exclusion: the Spark side pins
+    // the pre-forget version, so the m10=2 partners must be present —
+    // the oracle knows nothing of the later delete by design
+    "q335_dedup_index_versioned" ->
+      ("WITH " + JaccardCtes(0.35) + """
+        |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS old_id,
+        |  jaccard
+        |FROM jpairs
+        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin),
+
+    "q336_length_cap" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) <= 300 OR text IS NULL
+        |       THEN 'valid' ELSE 'quarantined' END AS side
+        |FROM documents""".stripMargin,
+
     // the q324 assignment replay with nprobe=6 probes and the label=3
     // predicate applied to the candidate set — exactly the pushed scan
     // filter of the metadata-bearing index
@@ -11639,8 +11741,14 @@ object SparkEntry {
     * ShingleExpr + the inverted-index pair join). Used by q33 directly and
     * by the q37/q39 connected-components oracles. */
   private def JaccardCtes(threshold: Double): String =
+    JaccardCtesFrom("SELECT doc_id, text FROM documents", threshold)
+
+  /** [[JaccardCtes]] over an arbitrary (doc_id, text) source subquery —
+    * q333's graded-near-dup corpus grades recall over a DERIVED corpus,
+    * not the raw table. */
+  private def JaccardCtesFrom(src: String, threshold: Double): String =
     s"""docs AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM ($src)),
        |grams AS (
        |  SELECT DISTINCT doc_id, g FROM (
        |    SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g

@@ -44,6 +44,18 @@ object CleaningOps {
   /** P12: CHECK (x BETWEEN lo AND hi) as a validation predicate. */
   def checkRange(c: Column, lo: Int, hi: Int): Column = c.between(lo, hi)
 
+  /** NVARCHAR(n) width cap as a validation predicate — the declared
+    * column widths the reference leaves to the database to enforce
+    * (`Nombre NVARCHAR(100)` / `Email NVARCHAR(100)`,
+    * `Base de Datos Relacional copy.sql:49-50,55`), enforced
+    * engine-side instead of letting the load transaction blow up on an
+    * oversized row. T-SQL CHECK semantics: a NULL value PASSES the
+    * constraint (only the NOT NULL clause rejects nulls), hence the
+    * coalesce-to-true. Character count, not bytes — both engines
+    * compare code points. */
+  def lengthCap(c: Column, n: Int): Column =
+    coalesce(length(c.cast("string")) <= n, lit(true))
+
   /** Split a frame into (valid, quarantined) on a CHECK predicate — the
     * engine-side upgrade over the reference's "let the DB reject the row". */
   def validate(df: DataFrame, pred: Column): (DataFrame, DataFrame) =

@@ -229,9 +229,16 @@ object IncrementalLoad {
     * vacuum's touched-partition scan). A concurrent reader inside the
     * two-rename window can still observe a missing path — single-swap
     * readers should retry; versioned readers belong on
-    * [[ManifestTable]]. Concurrent writers to the SAME path are not
-    * supported (the deterministic staging would collide — by design,
-    * loudly). A missing target (first publish) simply renames the
+    * [[ManifestTable]]. Concurrent writers to the SAME path must be
+    * externally serialized per table tree — the deterministic staging
+    * name means writer B's entry deletes writer A's in-flight staging.
+    * A per-attempt CLAIM MARKER (a unique dot-file dropped inside the
+    * staging after the write callback, re-checked before the swap)
+    * turns that collision into a loud failure on at least one side
+    * instead of A silently publishing B's contents as its own; it is a
+    * tripwire, not a lock — interleavings narrower than the
+    * check-to-rename window still need the external serialization. A
+    * missing target (first publish) simply renames the
     * staging in. Callers whose new contents DERIVE from the current
     * table contents must materialize that read (lineage cut) before
     * calling — the staged write otherwise races the swap it feeds. */
@@ -248,6 +255,16 @@ object IncrementalLoad {
       write(stage.toString)
       require(fs.exists(stage),
         s"atomicRewrite: write callback produced nothing at $stage")
+      // claim the staging: dot-underscore names are hidden from Spark
+      // reads, so a marker that outlives cleanup is inert
+      val claim = s"._graft-claim-${java.util.UUID.randomUUID().toString}"
+      fs.create(new HPath(stage, claim), false).close()
+      val claims = fs.listStatus(stage).map(_.getPath.getName)
+        .filter(_.startsWith("._graft-claim-")).sorted
+      require(claims.sameElements(Array(claim)),
+        s"atomicRewrite: concurrent writer detected on $target " +
+          s"(staging claims: ${claims.mkString(", ")}) — writers to one " +
+          "table tree must be externally serialized")
       val hadOld = fs.exists(target)
       if (hadOld) mv(fs, target, old, "rewrite move-aside")
       try mv(fs, stage, target, "rewrite swap-in")
@@ -257,6 +274,7 @@ object IncrementalLoad {
           throw e
       }
       if (hadOld) fs.delete(old, true)
+      fs.delete(new HPath(target, claim), false)
     } finally fs.delete(stage, true)
   }
 
@@ -290,10 +308,19 @@ object IncrementalLoad {
     def sweep(dir: HPath): Unit =
       fs.listStatus(dir).toSeq.filter(_.isDirectory).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith(".rewrite-old-"))
-          repairSwap(fs, new HPath(dir, n.stripPrefix(".rewrite-old-")),
-            s.getPath)
-        else if (n.startsWith(".rewrite-staging-"))
+        if (n.startsWith(".rewrite-old-")) {
+          val stripped = n.stripPrefix(".rewrite-old-")
+          val tgt = new HPath(dir, stripped)
+          // a pre-deterministic-naming leftover (`.rewrite-old-<nanoTime>`,
+          // all digits) names no real target: "restoring" it would
+          // resurrect a stale backup as a visible data dir named after
+          // the tag. Repair only when a sibling target exists (normal
+          // drop-the-backup path) or the stripped name is non-numeric
+          // (the current naming); otherwise delete the legacy dir.
+          if (fs.exists(tgt) || !stripped.forall(_.isDigit))
+            repairSwap(fs, tgt, s.getPath)
+          else fs.delete(s.getPath, true)
+        } else if (n.startsWith(".rewrite-staging-"))
           fs.delete(s.getPath, true)
         else if (!n.startsWith(".")) sweep(s.getPath)
       }

@@ -461,7 +461,16 @@ object ManifestTable {
     * equal a full scan. This is how a manifest-committed IVF index
     * expresses probed-list pruning — the probe set is the nprobe
     * best lists, tiny by construction — while the version pin gives
-    * the racing-reader isolation a `list_id=` directory can't. */
+    * the racing-reader isolation a `list_id=` directory can't.
+    *
+    * COMPOSES with [[indexBloom]]: a file surviving the min/max test
+    * is additionally probed against its Bloom filter when one exists
+    * on `statsCol`, so files inside a probe's [min,max] envelope that
+    * do not actually CONTAIN any probed value are skipped too — the
+    * case range stats alone can never catch once values interleave
+    * across many files. Bloom misses are exact (no false negatives),
+    * so results still equal a full scan; files without a bloom on
+    * `statsCol` are simply never bloom-skipped. */
   def readPrunedIn(spark: SparkSession, root: String, table: String,
                    statsCol: String, values: Seq[Long],
                    version: Option[Long] = None): DataFrame = {
@@ -477,15 +486,53 @@ object ManifestTable {
     }
     val mine = entries.filter(_.table == table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val keep = mine.filter(e => (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
-      case _ => true
-    })
+    val keep = mine.filter(e => keepInSet(e, statsCol, values))
     val base =
       if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
       else spark.read.parquet(
         keep.map(e => new HPath(rootP, e.relPath).toString): _*)
     base.filter(col(statsCol).cast("long").isin(values: _*))
+  }
+
+  /** The [[readPrunedIn]] skip test for one file: min/max range first,
+    * then the per-file Bloom filter when one covers `statsCol`. */
+  private def keepInSet(e: FileEntry, statsCol: String,
+                        values: Seq[Long]): Boolean = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rangeOk = (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
+      case _ => true
+    }
+    rangeOk && (e.bloom match {
+      case Some((bc, b64)) if bc == statsCol =>
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+        values.exists(v => bf.mightContainBinary(bloomKeyBytes(v)))
+      case _ => true
+    })
+  }
+
+  /** Kept-vs-total file counts for a probe SET, with and without the
+    * bloom composition — (keptBloomComposed, keptMinMaxOnly, total),
+    * the observability hook for [[readPrunedIn]]'s skip rate. */
+  def prunedInStats(spark: SparkSession, root: String, table: String,
+                    statsCol: String, values: Seq[Long],
+                    version: Option[Long] = None): (Long, Long, Long) = {
+    val entries = version match {
+      case Some(v) => entriesAt(spark, root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"prunedInStats: version $v not retained under $root"))
+      case None => current(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed table under $root")).entries
+    }
+    val mine = entries.filter(_.table == table)
+    val keptRange = mine.count(e => (e.min, e.max) match {
+      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
+      case _ => true
+    })
+    val keptBloom = mine.count(e => keepInSet(e, statsCol, values))
+    (keptBloom.toLong, keptRange.toLong, mine.size.toLong)
   }
 
   /** Kept-vs-total file counts for a pruning range — observability for
@@ -786,8 +833,16 @@ object ManifestTable {
       e.table == TxnTable && e.relPath == markerPath &&
         e.min.exists(_ >= batchId)))
     if (applied) return false
-    if (df.isEmpty) return true
-    val newEntries = writeData(spark, rootP, fs, table, df, statsCol)
+    // write FIRST, count from the written footers, drop the dir when
+    // empty — one execution of `df` (the appendNew discipline); the
+    // empty batch still returns true without creating a version
+    val written = writeData(spark, rootP, fs, table, df, statsCol)
+    val writtenDir = new HPath(rootP, written.head.relPath).getParent
+    if (spark.read.parquet(writtenDir.toString).count() == 0L) {
+      fs.delete(writtenDir, true)
+      return true
+    }
+    val newEntries = written
     val carried = cur.map(_.entries.filterNot(e =>
       e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
     writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
@@ -838,11 +893,28 @@ object ManifestTable {
     if (applied) return false
     val newEntries = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
       val exists = cur.exists(_.entries.exists(_.table == name))
-      if (df.isEmpty) {
-        if (exists) Nil
-        else writeData(spark, rootP, fs, name, df.repartition(1),
+      // write FIRST, then count the written files (a parquet
+      // metadata-only count) — ONE execution of each frame, the
+      // appendNew discipline: an isEmpty pre-check would run the plan
+      // twice, and a non-deterministic frame could then commit rows
+      // the probe never saw
+      val written = writeData(spark, rootP, fs, name, df, statsCols.get(name))
+      val dir = new HPath(rootP, written.head.relPath).getParent
+      val n = spark.read.parquet(dir.toString).count()
+      if (n > 0L) written
+      else if (exists) { fs.delete(dir, true); Nil }
+      else {
+        // schema establishment for a brand-new table with an empty
+        // first contribution: collapse the footer-only partition files
+        // to ONE (schema read back from the written footers — nothing
+        // of the original plan re-executes)
+        val schema = spark.read.parquet(dir.toString).schema
+        fs.delete(dir, true)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        writeData(spark, rootP, fs, name, empty.repartition(1),
           statsCols.get(name))
-      } else writeData(spark, rootP, fs, name, df, statsCols.get(name))
+      }
     }
     val carried = cur.map(_.entries.filterNot(e =>
       e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)

@@ -739,6 +739,104 @@ object Dedup {
                          path: String): Unit =
     graft.etl.Tombstones.vacuum(spark, path, "id", "band")
 
+  // -------- versioned minhash index: ManifestTable-committed --------
+
+  /** Table name the versioned dedup index commits under its root —
+    * deliberately the SAME name the manifest-mode ingestion gate
+    * ([[graft.streaming.CorpusIngest.dedupIngestManifest]]) writes, so
+    * batch and stream publish one index shape. */
+  private val MhIndexTable = "index"
+
+  /** Fixed-schema empty index frame (the bootstrap shape every index
+    * reader must survive). */
+  private[graft] def emptyMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id"), lit(0L).as("bh"), lit(0).as("band"))
+
+  /** [[writeMinhashIndex]] committed through [[graft.etl.ManifestTable]]
+    * instead of a raw `band=` directory — the last index family to get
+    * what IVF ([[Similarity.ivfWriteVersioned]]) and graph-ANN
+    * ([[GraphAnn.graphWriteVersioned]]) already have: one atomic
+    * commit-file PUT per publish, snapshot isolation for readers racing
+    * appends/forgets, "pairs as of version V" time travel
+    * ([[incrementalPairsVersioned]]), and retention vacuum. Rows are
+    * range-clustered by `band` so manifest min/max stats skip files per
+    * band, matching the directory family's partition layout and the
+    * manifest-mode ingestion gate's `statsCols`. The write-time skew cap
+    * is identical ([[cappedIndexRows]] against an empty index). Returns
+    * the version. */
+  def minhashIndexWriteVersioned(df: DataFrame, textCol: String,
+                                 idCol: String, root: String,
+                                 bands: Int = 16, rowsPerBand: Int = 2,
+                                 shingleN: Int = 3,
+                                 maxBucket: Int = 1000): Long = {
+    val spark = df.sparkSession
+    val rows = cappedIndexRows(emptyMinhashIndex(spark), df, textCol, idCol,
+        bands, rowsPerBand, shingleN, maxBucket)
+      .repartitionByRange(col("band"))
+      .sortWithinPartitions(col("band"), col("bh"))
+    graft.etl.ManifestTable.overwrite(spark, root, MhIndexTable, rows,
+      statsCol = Some("band"))
+  }
+
+  /** [[minhashIndexAppend]] for the versioned index: the batch's capped
+    * signature rows commit as a NEW version through the idempotent
+    * manifest append (keyed on (id, band) — one bucket row per document
+    * per band), so a replayed batch appends 0 rows and creates NO
+    * version, and readers of the previous version are untouched. The
+    * combined skew cap holds across appends exactly as in the directory
+    * family. Returns rows appended. */
+  def minhashIndexAppendVersioned(spark: org.apache.spark.sql.SparkSession,
+                                  df: DataFrame, textCol: String,
+                                  idCol: String, root: String,
+                                  bands: Int = 16, rowsPerBand: Int = 2,
+                                  shingleN: Int = 3,
+                                  maxBucket: Int = 1000): Long = {
+    val existing = graft.etl.ManifestTable.read(spark, root, MhIndexTable)
+      .select(col("id"), col("bh"), col("band"))
+    val rows = cappedIndexRows(existing, df, textCol, idCol, bands,
+      rowsPerBand, shingleN, maxBucket)
+    graft.etl.ManifestTable.appendNew(spark, root, MhIndexTable, rows,
+      key = Seq("id", "band"), statsCol = Some("band"))
+  }
+
+  /** Forget documents from the versioned index: manifest copy-on-write
+    * at FILE granularity ([[graft.etl.ManifestTable.deleteWhere]]) —
+    * the forgotten ids stop generating candidates in the CURRENT
+    * version immediately, while every pre-delete version stays
+    * queryable until retention drops it (the audit trail the
+    * tombstone-sidecar [[minhashIndexDelete]] cannot give). Returns
+    * (filesRewritten, rowsDeleted). */
+  def minhashIndexDeleteVersioned(spark: org.apache.spark.sql.SparkSession,
+                                  root: String,
+                                  pred: Column): (Long, Long) =
+    graft.etl.ManifestTable.deleteWhere(spark, root, MhIndexTable, pred,
+      statsCol = Some("band"))
+
+  /** [[incrementalPairs]] against a versioned index, optionally pinned
+    * to a retained `version` — "which of these documents were near-dups
+    * of the corpus AS OF version V", consistent by construction while
+    * appends and forgets commit concurrently. `corpus` must supply the
+    * texts of the pinned version's ids (the caller pins both or accepts
+    * missing-text drops, exactly the directory family's
+    * index-corpus-in-step contract). */
+  def incrementalPairsVersioned(spark: org.apache.spark.sql.SparkSession,
+                                newDocs: DataFrame, corpus: DataFrame,
+                                textCol: String, idCol: String,
+                                root: String, bands: Int = 16,
+                                rowsPerBand: Int = 2, shingleN: Int = 3,
+                                threshold: Double = 0.5,
+                                version: Option[Long] = None): DataFrame = {
+    val idx = version match {
+      case Some(v) =>
+        graft.etl.ManifestTable.readAt(spark, root, MhIndexTable, v)
+      case None => graft.etl.ManifestTable.read(spark, root, MhIndexTable)
+    }
+    incrementalPairsFrame(newDocs, corpus,
+      idx.select(col("id"), col("bh"), col("band")), textCol, idCol,
+      bands, rowsPerBand, shingleN, threshold)
+  }
+
   /** Near-dup pairs between a NEW batch and an indexed historical corpus:
     * candidates come from joining the batch's banded keys against the
     * index on (band, bh) — the corpus side never recomputes signatures —

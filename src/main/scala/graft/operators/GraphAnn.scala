@@ -177,6 +177,11 @@ object GraphAnn {
       knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
         upperRefine),
       shards)
+    // record the build knobs so later maintenance (and especially the
+    // append-triggered vacuum escalation) rebuilds under THESE params,
+    // never under some call site's defaults
+    writeParamsSidecar(spark, path, BuildParams(dim, planes, tables,
+      degree, refine, upperMod, upperDegree, upperRefine, 0L, 0L))
   }
 
   /** Atomically publish an edge list to `path`, sharded on src. */
@@ -221,6 +226,11 @@ object GraphAnn {
       knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
         upperRefine),
       shards)
+    // a caller-driven upper rebuild under NEW knobs updates the
+    // persisted record, so later escalations rebuild under these
+    readParamsSidecar(spark, path).foreach(p =>
+      writeParamsSidecar(spark, path, p.copy(upperMod = upperMod,
+        upperDegree = upperDegree, upperRefine = upperRefine)))
   }
 
   /** Tombstone sidecar of a [[graphWrite]] index — a CHILD of the index
@@ -451,8 +461,16 @@ object GraphAnn {
           >= vacuumAtTombstoneFraction) {
       val corpus = base.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
-      graphVacuum(spark, path, corpus, idCol, vecCol, dim, planes, tables,
-        degree, refine, upperMod, upperDegree, upperRefine, shards)
+      // rebuild under the index's PERSISTED build params: an index
+      // built with e.g. upperRefine=0 must not be silently rebuilt
+      // under this call site's defaults (legacy indexes without the
+      // sidecar keep the old call-site-args behavior)
+      val p = readParamsSidecar(spark, path).getOrElse(BuildParams(dim,
+        planes, tables, degree, refine, upperMod, upperDegree,
+        upperRefine, 0L, 0L))
+      graphVacuum(spark, path, corpus, idCol, vecCol, p.dim, p.planes,
+        p.tables, p.degree, p.refine, p.upperMod, p.upperDegree,
+        p.upperRefine, shards)
       return
     }
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
@@ -512,11 +530,76 @@ object GraphAnn {
         .distinct())
   }
 
+  // ---------------------- persisted build parameters ----------------------
+
+  /** The build-time knobs an index must be REBUILT under to stay
+    * self-consistent: an escalated vacuum/compaction that silently used
+    * call-site defaults instead (refine=1, upperRefine=1, ...) would
+    * change search results after the escalation fires. Persisted with
+    * the index at write time and read back by every maintenance op that
+    * rebuilds a layer. `baseN`/`appendedN` additionally carry the
+    * upper-layer staleness accounting for the versioned family: baseN =
+    * corpus size when the upper layer was last built, appendedN = rows
+    * appended since. */
+  private[graft] case class BuildParams(dim: Int, planes: Int,
+      tables: Int, degree: Int, refine: Int, upperMod: Int,
+      upperDegree: Int, upperRefine: Int, baseN: Long, appendedN: Long)
+
+  private def paramsDf(spark: org.apache.spark.sql.SparkSession,
+                       p: BuildParams): DataFrame =
+    spark.range(1).select(
+      lit(p.dim).as("dim"), lit(p.planes).as("planes"),
+      lit(p.tables).as("tables"), lit(p.degree).as("degree"),
+      lit(p.refine).as("refine"), lit(p.upperMod).as("upper_mod"),
+      lit(p.upperDegree).as("upper_degree"),
+      lit(p.upperRefine).as("upper_refine"),
+      lit(p.baseN).as("base_n"), lit(p.appendedN).as("appended_n"))
+
+  private def paramsOf(df: DataFrame): BuildParams = {
+    val r = df.select("dim", "planes", "tables", "degree", "refine",
+      "upper_mod", "upper_degree", "upper_refine", "base_n",
+      "appended_n").head()
+    BuildParams(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getLong(8),
+      r.getLong(9))
+  }
+
+  /** Sidecar path of the directory family's persisted params (a child
+    * of the index root, like the tombstone sidecar). */
+  private def paramsPath(path: String): String =
+    s"${path.stripSuffix("/")}/build_params"
+
+  private def writeParamsSidecar(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, p: BuildParams): Unit =
+    graft.etl.IncrementalLoad.atomicRewrite(spark, paramsPath(path)) {
+      staging =>
+        paramsDf(spark, p).coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+
+  /** Persisted params of a directory index, or None for an index
+    * written before params were recorded (legacy — maintenance then
+    * falls back to call-site values, the pre-persistence behavior). */
+  def readParamsSidecar(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[BuildParams] = {
+    val (fs, hp) = graft.etl.IncrementalLoad.fsFor(spark, paramsPath(path))
+    if (fs.exists(hp)) Some(paramsOf(spark.read.parquet(paramsPath(path))))
+    else None
+  }
+
   // ------- versioned graph index: ManifestTable-committed layers -------
 
   private val EdgesT = "edges"
   private val UpperT = "upper_edges"
   private val TombT = "tombstones"
+  private val ParamsT = "build_params"
+
+  /** Persisted params of a versioned index (None for pre-params
+    * commits). */
+  private[graft] def readParamsVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[BuildParams] =
+    scala.util.Try(
+      paramsOf(graft.etl.ManifestTable.read(spark, root, ParamsT))).toOption
 
   /** Footer-only empty tombstone table (the ManifestTable.deleteWhere
     * schema-preservation idiom: repartition(1) of an empty frame still
@@ -548,7 +631,9 @@ object GraphAnn {
         degree, refine),
       UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
         upperDegree, upperRefine),
-      TombT -> emptyTombstones(spark)))
+      TombT -> emptyTombstones(spark),
+      ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
+        refine, upperMod, upperDegree, upperRefine, corpus.count(), 0L))))
   }
 
   /** [[graphDelete]] for the versioned index: the merged tombstone set
@@ -581,14 +666,18 @@ object GraphAnn {
     val tomb = graft.etl.ManifestTable.read(spark, root, TombT)
       .select(col("vec_id"))
     val live = corpus.join(broadcast(tomb),
-      corpus(idCol) === tomb("vec_id"), "left_anti")
-    val upper = live.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
-    graft.etl.ManifestTable.publish(spark, root, Map(
-      EdgesT -> knnGraph(live, idCol, vecCol, dim, planes, tables,
-        degree, refine),
-      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
-        upperDegree, upperRefine),
-      TombT -> emptyTombstones(spark)))
+      corpus(idCol) === tomb("vec_id"), "left_anti").persist()
+    try {
+      val upper = live.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+      graft.etl.ManifestTable.publish(spark, root, Map(
+        EdgesT -> knnGraph(live, idCol, vecCol, dim, planes, tables,
+          degree, refine),
+        UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
+          upperDegree, upperRefine),
+        TombT -> emptyTombstones(spark),
+        ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
+          refine, upperMod, upperDegree, upperRefine, live.count(), 0L))))
+    } finally live.unpersist()
   }
 
   /** [[graphCompact]] for the versioned index: the upper routing layer
@@ -603,39 +692,85 @@ object GraphAnn {
                             upperRefine: Int = 1): Long = {
     require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
-    graft.etl.ManifestTable.publish(spark, root, Map(
-      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
-        upperDegree, upperRefine)))
+    val tbls = Map(UpperT -> knnGraph(upper, idCol, vecCol, dim, planes,
+      tables, upperDegree, upperRefine)) ++
+      // the upper layer is fresh again: record the (possibly new) upper
+      // knobs and reset the staleness accounting
+      readParamsVersioned(spark, root).map(p =>
+        ParamsT -> paramsDf(spark, p.copy(upperMod = upperMod,
+          upperDegree = upperDegree, upperRefine = upperRefine,
+          baseN = corpus.count(), appendedN = 0L)))
+    graft.etl.ManifestTable.publish(spark, root, tbls)
   }
 
   /** [[graphAppend]] for the versioned index: the merged full layer
     * commits as ONE new version (upper layer + tombstones carried
-    * untouched), with the same tombstone-fraction cadence — past the
-    * bar the append escalates to [[graphVacuumVersioned]], whose
-    * rebuild is itself a single commit. Returns the version. */
+    * untouched), with TWO self-escalation cadences, both evaluated
+    * under the index's PERSISTED build params (never this call site's
+    * defaults — an index built with upperRefine=0 must not be silently
+    * rebuilt under upperRefine=1):
+    *
+    *  - tombstone fraction >= `vacuumAtTombstoneFraction` → the append
+    *    folds into [[graphVacuumVersioned]] (one rebuild commit);
+    *  - appended fraction >= `compactAtAppendedFraction` → the commit
+    *    ALSO rebuilds the upper routing layer
+    *    ([[graphCompactVersioned]] semantics) in the SAME version.
+    *    Without this, pure append-only growth — the most common
+    *    workload — degrades routing without bound: appended nodes never
+    *    enter the upper layer, so regions populated only by appends
+    *    have no routing presence. The accounting rides the
+    *    `build_params` table: `base_n` = corpus size at the last upper
+    *    build, `appended_n` = rows appended since, reset whenever any
+    *    op rebuilds the upper layer.
+    *
+    * Returns the version. */
   def graphAppendVersioned(spark: org.apache.spark.sql.SparkSession,
                            root: String, base: DataFrame, delta: DataFrame,
                            idCol: String, vecCol: String, dim: Int,
                            planes: Int, tables: Int, degree: Int,
                            rounds: Int, beamWidth: Int, entries: Seq[Long],
                            vacuumAtTombstoneFraction: Double = 0.25,
+                           compactAtAppendedFraction: Double = 0.5,
                            refine: Int = 1, upperMod: Int = 4,
                            upperDegree: Int = 8,
                            upperRefine: Int = 1): Long = {
+    val p = readParamsVersioned(spark, root).getOrElse(BuildParams(dim,
+      planes, tables, degree, refine, upperMod, upperDegree, upperRefine,
+      baseN = base.count(), appendedN = 0L))
     val tombN = graft.etl.ManifestTable.read(spark, root, TombT).count()
+    val deltaN = delta.count()
     if (tombN > 0 &&
-        tombN.toDouble / (base.count() + delta.count()).max(1L)
+        tombN.toDouble / (base.count() + deltaN).max(1L)
           >= vacuumAtTombstoneFraction) {
       val corpus = base.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
-      return graphVacuumVersioned(spark, root, corpus, idCol, vecCol, dim,
-        planes, tables, degree, refine, upperMod, upperDegree, upperRefine)
+      return graphVacuumVersioned(spark, root, corpus, idCol, vecCol,
+        p.dim, p.planes, p.tables, p.degree, p.refine, p.upperMod,
+        p.upperDegree, p.upperRefine)
     }
     val edges = graft.etl.ManifestTable.read(spark, root, EdgesT)
       .select("src", "dst")
     val merged = appendMergedEdges(edges, base, delta, idCol, vecCol,
-      dim, planes, tables, degree, rounds, beamWidth, entries)
-    graft.etl.ManifestTable.publish(spark, root, Map(EdgesT -> merged))
+      p.dim, p.planes, p.tables, p.degree, rounds, beamWidth, entries)
+    val appended = p.appendedN + deltaN
+    if (appended.toDouble / p.baseN.max(1L) >= compactAtAppendedFraction) {
+      // upper-staleness escalation: merged full layer AND the rebuilt
+      // routing layer land in ONE commit (tombstoned nodes stay in the
+      // routing layer — they route, they don't return)
+      val corpus = base.select(col(idCol).as("__i"), col(vecCol).as("__v"))
+        .unionByName(delta.select(col(idCol).as("__i"), col(vecCol).as("__v")))
+      val upper = corpus.filter(pmod(col("__i"), lit(p.upperMod.toLong)) === 0L)
+      val newBase = p.baseN + appended
+      graft.etl.ManifestTable.publish(spark, root, Map(
+        EdgesT -> merged,
+        UpperT -> knnGraph(upper, "__i", "__v", p.dim, p.planes, p.tables,
+          p.upperDegree, p.upperRefine),
+        ParamsT -> paramsDf(spark, p.copy(baseN = newBase, appendedN = 0L))))
+    } else {
+      graft.etl.ManifestTable.publish(spark, root, Map(
+        EdgesT -> merged,
+        ParamsT -> paramsDf(spark, p.copy(appendedN = appended))))
+    }
   }
 
   /** [[layeredTopKPartitioned]] against a [[graphWriteVersioned]]

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -89,11 +88,21 @@ object QualityModel {
     val s6 = when(col("__y") === 1, lit(1000000L) - col("__p6"))
       .otherwise(col("__p6"))
     val cal = scored.filter(col("__cal")).withColumn("__s6", s6)
-    val wAsc = Window.orderBy(col("__s6").asc, col("__id").asc)
-    val qhat = cal
-      .withColumn("__rk", row_number().over(wAsc).cast("long"))
-      .join(broadcast(cal.agg(count(lit(1)).as("__nc"))))
-      .agg(min(when(col("__rk") >=
+    // Single order statistic via the aggregate-then-cumulative idiom
+    // (the rocAuc / weightedQuantiles shape): group the calibration
+    // split by the BOUNDED __s6 grid (<= 1e6+1 distinct values no
+    // matter the corpus size), scale-adaptive cumulative count
+    // (Ranks.cumSums — two-pass global offsets above 1M distinct
+    // scores), then q_hat = the smallest score whose cumulative count
+    // reaches ceil((1-alpha)(n+1)). Ranks within a tied score are
+    // contiguous, so min-score-with-cum>=k equals the old
+    // min-score-with-rank>=k exactly — same q_hat, but the
+    // corpus-proportional single-partition row_number window is gone:
+    // nothing row-proportional ever funnels into one task.
+    val perScore = cal.groupBy(col("__s6")).agg(count(lit(1)).as("__nv"))
+    val qhat = Ranks.cumSums(perScore, Nil, "__s6",
+        Seq(("__nv", "__cum", true)), totals = Seq(("__nv", "__nc")))
+      .agg(min(when(col("__cum") >=
         ceil(lit(1.0 - alpha) * (col("__nc") + 1L)), col("__s6")))
         .as("__q6"))
     scored.filter(!col("__cal"))

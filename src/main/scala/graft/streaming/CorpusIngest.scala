@@ -90,10 +90,16 @@ object CorpusIngest {
     putMarker(spark, corpusPath, s"begin-$batchId")
     val cached = batch.localCheckpoint() // source offsets are one-shot
     if (cached.isEmpty) {
-      putMarker(spark, corpusPath, s"commit-$batchId"); return
+      putMarker(spark, corpusPath, s"commit-$batchId")
+      pruneMarkers(spark, corpusPath, batchId - 1)
+      return
     }
     // 1) within-batch dedup: keep each near-dup cluster's min id; the
-    // losers go to quarantine with their surviving representative
+    // losers go to quarantine with their surviving representative.
+    // `clusters` is O(component diameter) label propagation — fine HERE
+    // because the pair graph is BATCH-confined (one micro-batch's
+    // near-dups, diameters of a handful); corpus-sized pair graphs
+    // belong on the O(log n) Dedup.clustersStar instead.
     val pairs = Dedup.minhashPairs(cached, textCol, idCol, bands,
       rowsPerBand, shingleN, threshold).localCheckpoint()
     val batchDrops = Dedup.clusters(pairs)
@@ -152,6 +158,7 @@ object CorpusIngest {
     if (!toCorpus.isEmpty)
       toCorpus.write.mode("append").parquet(corpusPath)
     putMarker(spark, corpusPath, s"commit-$batchId")
+    pruneMarkers(spark, corpusPath, batchId - 1)
   }
 
   /** Audit rows for the gated docs of one batch: within-batch losers
@@ -191,17 +198,26 @@ object CorpusIngest {
     * because no partial index append can ever be visible. Readers get
     * snapshot isolation and time travel over all three tables for
     * free; `ManifestTable.compactLog` bounds the per-batch commit log. */
+  /** `compactLogEvery` > 0 runs [[graft.etl.ManifestTable.compactLog]]
+    * every that-many batches (keeping `keepVersions` commits) INSIDE the
+    * stream — the hygiene cadence a per-batch committer needs or the
+    * commit log grows one file per trigger forever. Safe mid-stream:
+    * commit files are self-contained snapshots and the watermark rides
+    * the current one, so dropping old commits never perturbs a replay. */
   def dedupIngestManifest(stream: DataFrame, textCol: String, idCol: String,
                           root: String, checkpoint: String,
                           bands: Int = 16, rowsPerBand: Int = 2,
                           shingleN: Int = 3, threshold: Double = 0.8,
                           quarantine: Boolean = true,
-                          maxBucket: Int = 1000): DataStreamWriter[org.apache.spark.sql.Row] =
+                          maxBucket: Int = 1000,
+                          compactLogEvery: Int = 0,
+                          keepVersions: Int = 10): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchManifest(batch, textCol, idCol, root, batchId, bands,
-          rowsPerBand, shingleN, threshold, quarantine, maxBucket)
+          rowsPerBand, shingleN, threshold, quarantine, maxBucket,
+          compactLogEvery, keepVersions)
         ()
       }
 
@@ -212,7 +228,9 @@ object CorpusIngest {
                                          rowsPerBand: Int, shingleN: Int,
                                          threshold: Double,
                                          quarantine: Boolean = true,
-                                         maxBucket: Int = 1000): Unit = {
+                                         maxBucket: Int = 1000,
+                                         compactLogEvery: Int = 0,
+                                         keepVersions: Int = 10): Unit = {
     import graft.etl.ManifestTable
     val spark = batch.sparkSession
     val Writer = "corpus-ingest"
@@ -259,6 +277,8 @@ object CorpusIngest {
       else Map.empty)
     ManifestTable.transactionalAppendAll(spark, root, tables, Writer,
       batchId, statsCols = Map("index" -> "band"))
+    if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
+      ManifestTable.compactLog(spark, root, keepVersions)
     ()
   }
 
@@ -282,6 +302,29 @@ object CorpusIngest {
       s"${commitLogPath(corpusPath)}/$name")
     fs.mkdirs(hp.getParent)
     if (!fs.exists(hp)) fs.create(hp, true).close()
+  }
+
+  /** GC the commit log: drop begin/commit markers of batches `< below`.
+    * Under the Structured Streaming contract only the LATEST batch can
+    * ever replay, so markers below batchId-1 are dead weight — without
+    * this the log grows two small files per trigger forever, and a
+    * begin marker orphaned by an old crash keeps forcing the expensive
+    * membership-guard path on every same-id replay long after the batch
+    * committed. Called when the commit marker lands, so the directory
+    * the O(1) exists-probe lists stays O(1)-sized too. */
+  private def pruneMarkers(spark: SparkSession, corpusPath: String,
+                           below: Long): Unit = {
+    if (below <= 0L) return
+    val (fs, dir) = graft.etl.IncrementalLoad.fsFor(spark,
+      commitLogPath(corpusPath))
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      val id = n.dropWhile(_ != '-').drop(1)
+      if ((n.startsWith("begin-") || n.startsWith("commit-")) &&
+          id.nonEmpty && id.forall(_.isDigit) && id.toLong < below)
+        fs.delete(s.getPath, false)
+    }
   }
 
   private def readIfExists(spark: SparkSession,
