@@ -1346,6 +1346,63 @@ object SparkEntry {
       out
     }),
 
+    // Storage-level MERGE (upsert) on a ManifestTable — the Delta/
+    // Iceberg MERGE INTO shape: publish customers with custkey%3!=0,
+    // then merge a source of custkey%2==0 rows carrying acctbal+1000 —
+    // matched rows replaced, unmatched inserted, only files holding a
+    // matched key rewritten (file-granular copy-on-write, one atomic
+    // commit). The oracle is the equivalent CASE over the union.
+    "q337_manifest_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge")
+      val root = tmp.resolve("t").toString
+      etl.ManifestTable.publish(s, root,
+        Map("customers" -> c.filter(col("c_custkey") % 3 =!= 0)),
+        statsCols = Map("customers" -> "c_custkey"))
+      val src = c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000.0d, 2))
+      etl.ManifestTable.mergeInto(s, root, "customers", src,
+        key = Seq("c_custkey"), statsCol = Some("c_custkey"))
+      val out = etl.ManifestTable.read(s, root, "customers")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // Exactly-once CDC apply (the streaming descendant of main.py:45-69
+    // generalized to updates/deletes): two change batches — inserts of
+    // orderkey%4!=0, then upserts of %2==0 at price+10 mixed with
+    // deletes of %8==1 — applied through transactionalMerge (upserts +
+    // deletes + watermark in ONE commit, file-granular copy-on-write).
+    // The oracle replays the same history as CASE/WHERE over orders.
+    "q338_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc")
+      val root = tmp.resolve("t").toString
+      val b0 = o.filter(col("o_orderkey") % 4 =!= 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val up1 = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price", round(col("price") + 10.0d, 2))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val del1 = o.filter(col("o_orderkey") % 8 === 1)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      streaming.CdcApply.applyBatch(b0, root, "orders", Seq("o_orderkey"),
+        Seq("seq"), "op", batchId = 0L, statsCol = Some("o_orderkey"))
+      streaming.CdcApply.applyBatch(up1.unionByName(del1), root, "orders",
+        Seq("o_orderkey"), Seq("seq"), "op", batchId = 1L,
+        statsCol = Some("o_orderkey"))
+      val out = etl.ManifestTable.read(s, root, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // NVARCHAR width-cap validation (the DDL's declared widths,
     // sql:49-50, enforced engine-side): validate-or-quarantine split on
     // length(text) <= 300 (document lengths straddle the cap, so both
@@ -8617,6 +8674,22 @@ object SparkEntry {
         |  jaccard
         |FROM jpairs
         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin),
+
+    "q338_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CASE WHEN o_orderkey % 2 = 0
+        |             THEN round(o_totalprice, 2) + 10.0
+        |             ELSE round(o_totalprice, 2) END, 2) AS price
+        |FROM orders
+        |WHERE (o_orderkey % 4 <> 0 OR o_orderkey % 2 = 0)
+        |  AND o_orderkey % 8 <> 1""".stripMargin,
+
+    "q337_manifest_merge" ->
+      """SELECT c_custkey, c_name,
+        |  round(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0
+        |             ELSE c_acctbal END, 2) AS acctbal
+        |FROM customer
+        |WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0""".stripMargin,
 
     "q336_length_cap" ->
       """SELECT doc_id,

@@ -46,7 +46,7 @@ object CleaningOps {
 
   /** NVARCHAR(n) width cap as a validation predicate — the declared
     * column widths the reference leaves to the database to enforce
-    * (`Nombre NVARCHAR(100)` / `Email NVARCHAR(100)`,
+    * (`Nombre NVARCHAR(100)` / `Email NVARCHAR(150)`,
     * `Base de Datos Relacional copy.sql:49-50,55`), enforced
     * engine-side instead of letting the load transaction blow up on an
     * oversized row. T-SQL CHECK semantics: a NULL value PASSES the

@@ -374,11 +374,15 @@ object ManifestTable {
 
   /** Write `df` as immutable data files under `<table>/d-<uuid>/` and
     * return their manifest entries (with min/max of `statsCol` if
-    * given). The files are INVISIBLE to readers until a commit lists
-    * them — writing is not publishing. */
+    * given, and a per-file Bloom filter of `bloomCol` if given — so
+    * files appended AFTER an [[indexBloom]] call keep the table's bloom
+    * coverage instead of silently never being skipped). The files are
+    * INVISIBLE to readers until a commit lists them — writing is not
+    * publishing. */
   private def writeData(spark: SparkSession, rootP: HPath, fs: FileSystem,
                         table: String, df: DataFrame,
-                        statsCol: Option[String]): Seq[FileEntry] = {
+                        statsCol: Option[String],
+                        bloomCol: Option[String] = None): Seq[FileEntry] = {
     require(table.matches("[A-Za-z0-9._-]+"), s"illegal table name: $table")
     val dir = s"$table/d-${uuid()}"
     val full = new HPath(rootP, dir)
@@ -386,7 +390,7 @@ object ManifestTable {
     val names = fs.listStatus(full).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.toSeq
     require(names.nonEmpty, s"writeData: no parquet files produced at $full")
-    statsCol match {
+    val base = statsCol match {
       case None => names.map(n => FileEntry(table, s"$dir/$n", None, None))
       case Some(c) =>
         // one pass over the just-written files, grouped per file — the
@@ -404,6 +408,39 @@ object ManifestTable {
           FileEntry(table, s"$dir/$n", mn, mx)
         }
     }
+    bloomCol match {
+      case None => base
+      case Some(kc) =>
+        val blooms = fileBloomsB64(spark, Seq(full.toString), kc)
+        base.map { e =>
+          blooms.collectFirst { case (f, b64) if f.endsWith(e.relPath.split("/").last) =>
+            e.copy(bloom = Some((kc, b64)))
+          }.getOrElse(e)
+        }
+    }
+  }
+
+  /** One distributed pass building a serialized (base64) Bloom filter of
+    * `keyCol` per data file under `paths` — shared by [[indexBloom]]
+    * (retro-fitting an existing table) and [[writeData]] (covering
+    * just-written files at append time). Partial filters merge by
+    * bit-OR, so the result is partitioning-invariant. */
+  private def fileBloomsB64(spark: SparkSession, paths: Seq[String],
+                            keyCol: String,
+                            expectedItemsPerFile: Long = 50000L,
+                            fpp: Double = 0.03): Map[String, String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    spark.read.parquet(paths: _*)
+      .select(input_file_name().as("__f"), col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .rdd
+      .map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
+        (b, v) => { b.putBinary(v.getBytes(StandardCharsets.UTF_8)); b },
+        (a, b) => { a.mergeInPlace(b); a })
+      .mapValues(b => java.util.Base64.getEncoder.encodeToString(
+        graft.expressions.BloomExprs.toBytes(b)))
+      .collect().toMap
   }
 
   private def entriesOf(c: Option[Commit], table: String): Seq[FileEntry] =
@@ -586,18 +623,9 @@ object ManifestTable {
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(cur), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val byPath = spark.read
-      .parquet(mine.map(e => new HPath(rootP, e.relPath).toString): _*)
-      .select(input_file_name().as("__f"), col(keyCol).cast("string").as("__k"))
-      .filter(col("__k").isNotNull)
-    val blooms: Map[String, String] = byPath.rdd
-      .map(r => (r.getString(0), r.getString(1)))
-      .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
-        (b, v) => { b.putBinary(v.getBytes(StandardCharsets.UTF_8)); b },
-        (a, b) => { a.mergeInPlace(b); a })
-      .mapValues(b => java.util.Base64.getEncoder.encodeToString(
-        graft.expressions.BloomExprs.toBytes(b)))
-      .collect().toMap
+    val blooms: Map[String, String] = fileBloomsB64(spark,
+      mine.map(e => new HPath(rootP, e.relPath).toString), keyCol,
+      expectedItemsPerFile, fpp)
     val updated = mine.map { e =>
       blooms.collectFirst { case (f, b64) if f.endsWith(e.relPath) =>
         e.copy(bloom = Some((keyCol, b64)))
@@ -665,13 +693,15 @@ object ManifestTable {
     * version (publishing a subset never drops the rest). Returns the new
     * version. */
   def publish(spark: SparkSession, root: String, tables: Map[String, DataFrame],
-              statsCols: Map[String, String] = Map.empty): Long = {
+              statsCols: Map[String, String] = Map.empty,
+              bloomCols: Map[String, String] = Map.empty): Long = {
     require(tables.nonEmpty, "publish: no tables")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
     val fresh = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
-      writeData(spark, rootP, fs, name, df, statsCols.get(name))
+      writeData(spark, rootP, fs, name, df, statsCols.get(name),
+        bloomCols.get(name))
     }
     val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
       .getOrElse(Nil)
@@ -694,7 +724,8 @@ object ManifestTable {
     * commit lands. Returns rows appended. */
   def appendNew(spark: SparkSession, root: String, table: String,
                 incoming: DataFrame, key: Seq[String],
-                statsCol: Option[String] = None): Long = {
+                statsCol: Option[String] = None,
+                bloomCol: Option[String] = None): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
@@ -704,7 +735,8 @@ object ManifestTable {
       // `incoming` even when it is non-deterministic, and the same
       // "0 rows -> no new version" contract as the initialized path
       // (an intentionally-empty table is publish/overwrite's job)
-      val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol)
+      val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol,
+        bloomCol)
       val newDir = new HPath(rootP, newEntries.head.relPath).getParent
       val n = spark.read.parquet(newDir.toString).count()
       if (n == 0L) { fs.delete(newDir, true); return 0L }
@@ -717,7 +749,8 @@ object ManifestTable {
     // write FIRST, then count the written files (a parquet metadata-only
     // count) — one execution of the anti-join, no staging step, and the
     // old files the plan reads are untouched throughout
-    val newEntries = writeData(spark, rootP, fs, table, fresh, statsCol)
+    val newEntries = writeData(spark, rootP, fs, table, fresh, statsCol,
+      bloomCol)
     val newDir = new HPath(rootP, newEntries.head.relPath).getParent
     val n = spark.read.parquet(newDir.toString).count()
     if (n == 0L) { fs.delete(newDir, true); return 0L } // no new version
@@ -763,6 +796,68 @@ object ManifestTable {
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
     (aff.size.toLong, nDel)
+  }
+
+  /** MERGE (upsert) by key at FILE granularity — the storage-level
+    * sibling of [[graft.operators.ChangeDataCapture.mergeUpsert]] (which
+    * merges frames, leaving persistence to the caller): existing rows
+    * whose key matches a `source` row are REPLACED by it, unmatched
+    * source rows are INSERTED, and only files that actually CONTAIN a
+    * matched key are rewritten — every other file carries into the new
+    * version byte-identical, not even re-read at commit time (manifest
+    * stats bound the affected set for stats-correlated keys). The whole
+    * merge is ONE atomic commit; readers of prior versions are
+    * untouched. At 100 TB this is the difference between upserting 0.1%
+    * of rows and rewriting the table.
+    *
+    * `source` must carry exactly the table's columns and UNIQUE keys
+    * (a duplicate-key source makes "replace" ambiguous — rejected
+    * loudly, one aggregation). The source is lineage-cut first: it is
+    * read twice (match + write) and a lazy non-deterministic frame
+    * could otherwise write rows the match never saw. Returns
+    * (filesRewritten, rowsUpdated, rowsInserted). */
+  def mergeInto(spark: SparkSession, root: String, table: String,
+                source: DataFrame, key: Seq[String],
+                statsCol: Option[String] = None,
+                bloomCol: Option[String] = None): (Long, Long, Long) = {
+    require(key.nonEmpty, "mergeInto: empty key")
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val df = toDf(spark, rootP, cur.entries, table)
+    require(source.columns.toSet == df.columns.toSet,
+      s"mergeInto: source columns ${source.columns.toSeq} must match " +
+        s"table columns ${df.columns.toSeq}")
+    val src = graft.operators.Lineage.cut(
+      source.select(df.columns.map(col): _*))
+    val nSrc = src.count()
+    if (nSrc == 0L) return (0L, 0L, 0L)
+    val srcKeys = src.select(key.map(col): _*)
+    require(srcKeys.distinct().count() == nSrc,
+      "mergeInto: duplicate keys in source make the replace ambiguous")
+    val affectedFiles = df.join(srcKeys, key, "left_semi")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (aff, keep) = mine.partition(e =>
+      affectedFiles.exists(_.endsWith(e.relPath)))
+    val (newRows, nUpdated, nMatchedKeys) =
+      if (aff.isEmpty) (src, 0L, 0L)
+      else {
+        val adf = spark.read.parquet(
+          aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        val matched = adf.join(srcKeys, key, "left_semi").count()
+        val matchedKeys = srcKeys.join(adf.select(key.map(col): _*),
+          key, "left_semi").count()
+        (adf.join(srcKeys, key, "left_anti").unionByName(src),
+          matched, matchedKeys)
+      }
+    val newEntries = writeData(spark, rootP, fs, table, newRows, statsCol,
+      bloomCol)
+    writeCommit(fs, rootP, cur.version + 1L,
+      cur.entries.filterNot(_.table == table) ++ keep ++ newEntries)
+    (aff.size.toLong, nUpdated, nSrc - nMatchedKeys)
   }
 
   /** Small-file compaction: rewrite the table into
@@ -860,6 +955,94 @@ object ManifestTable {
     current(spark, root).exists(_.entries.exists(e =>
       e.table == TxnTable && e.relPath == s"$writerId/__txn" &&
         e.min.exists(_ >= batchId)))
+
+  /** The per-table twin of [[batchApplied]] for
+    * [[transactionalAppend]]/[[transactionalMerge]] writers (their
+    * watermark rides `<writerId>/<table>`). */
+  def tableBatchApplied(spark: SparkSession, root: String, table: String,
+                        writerId: String, batchId: Long): Boolean =
+    current(spark, root).exists(_.entries.exists(e =>
+      e.table == TxnTable && e.relPath == s"$writerId/$table" &&
+        e.min.exists(_ >= batchId)))
+
+  /** Exactly-once CDC apply — [[mergeInto]] plus a delete set plus the
+    * `(writerId, batchId)` watermark, all in ONE commit: existing rows
+    * matching an upsert key are replaced, rows matching a delete key
+    * vanish, unmatched upserts insert, and only files containing a
+    * touched key are rewritten (every other file carries
+    * byte-identical). A replay of batchId <= the watermark no-ops
+    * before reading the batch; a batch that changes nothing writes no
+    * version (re-running it is harmless, the [[transactionalAppend]]
+    * empty-batch contract). A missing table bootstraps from the
+    * upserts, so a CDC stream needs no separate initialization step.
+    * Upsert keys must be unique within the batch (collapse the change
+    * log first — [[graft.operators.ChangeDataCapture.applyChangeLog]]).
+    * Returns false iff the batch was already applied. */
+  def transactionalMerge(spark: SparkSession, root: String, table: String,
+                         upserts: DataFrame, deleteKeys: DataFrame,
+                         key: Seq[String], writerId: String, batchId: Long,
+                         statsCol: Option[String] = None): Boolean = {
+    require(key.nonEmpty, "transactionalMerge: empty key")
+    require(!writerId.contains("\t") && !writerId.contains("\n") &&
+      !writerId.contains("/"), s"illegal writerId: $writerId")
+    val (fs, rootP) = fsFor(spark, root)
+    fs.mkdirs(rootP)
+    val cur = current(spark, root)
+    val markerPath = s"$writerId/$table"
+    if (cur.exists(_.entries.exists(e =>
+      e.table == TxnTable && e.relPath == markerPath &&
+        e.min.exists(_ >= batchId)))) return false
+    val up = graft.operators.Lineage.cut(upserts)
+    val nUp = up.count()
+    require(up.select(key.map(col): _*).distinct().count() == nUp,
+      "transactionalMerge: duplicate upsert keys — collapse the change " +
+        "log first (applyChangeLog)")
+    val del = graft.operators.Lineage.cut(
+      deleteKeys.select(key.zip(deleteKeys.columns).map {
+        case (k, c) => col(c).as(k) }: _*))
+    val exists = cur.exists(_.entries.exists(_.table == table))
+    def commit(dropped: Seq[FileEntry], added: Seq[FileEntry]): Boolean = {
+      val carried = cur.map(_.entries.filterNot(e =>
+        dropped.contains(e) ||
+          (e.table == TxnTable && e.relPath == markerPath))).getOrElse(Nil)
+      writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
+        carried ++ added :+
+          FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
+      true
+    }
+    if (!exists) {
+      if (nUp == 0L) return true // nothing to create; replay harmless
+      return commit(Nil, writeData(spark, rootP, fs, table, up, statsCol))
+    }
+    val mine = entriesOf(cur, table)
+    val df = toDf(spark, rootP, cur.get.entries, table)
+    require(up.columns.toSet == df.columns.toSet || nUp == 0L,
+      s"transactionalMerge: upsert columns ${up.columns.toSeq} must " +
+        s"match table columns ${df.columns.toSeq}")
+    val touched = up.select(key.map(col): _*).unionByName(del).distinct()
+    val affectedFiles = df.join(touched, key, "left_semi")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (aff, keep) = mine.partition(e =>
+      affectedFiles.exists(_.endsWith(e.relPath)))
+    if (aff.isEmpty && nUp == 0L) return true // no-change batch
+    val keepRows =
+      if (aff.isEmpty) up.where(lit(false))
+      else spark.read.parquet(
+        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        .join(touched, key, "left_anti")
+    val newRows =
+      if (nUp == 0L) keepRows
+      else keepRows.select(up.columns.map(col): _*).unionByName(up)
+    // a fully-emptied table keeps one footer-only file for its schema
+    // (the deleteWhere readability contract)
+    val newEntries =
+      if (keep.isEmpty || !newRows.isEmpty)
+        writeData(spark, rootP, fs, table,
+          if (newRows.isEmpty) newRows.repartition(1) else newRows, statsCol)
+      else Nil
+    commit(aff, newEntries)
+  }
 
   /** [[transactionalAppend]] for a MULTI-SINK batch: every table's new
     * files and the `(writerId, batchId)` watermark land in ONE commit —

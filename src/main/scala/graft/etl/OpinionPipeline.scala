@@ -80,15 +80,16 @@ object OpinionPipeline {
     }
 
     // Union + duplicate-email rewrite (A4/P9, main.py:127-129), then the
-    // DDL's declared NVARCHAR(100) widths on Nombre/Email (sql:49-50)
-    // enforced engine-side — the one declared-constraint class the
-    // reference delegates entirely to the database. NULLs pass (CHECK
-    // semantics), so the reference's null-tolerant rows are untouched.
+    // DDL's declared widths — Nombre NVARCHAR(100), Email NVARCHAR(150)
+    // (sql:49-50) — enforced engine-side: the one declared-constraint
+    // class the reference delegates entirely to the database. NULLs pass
+    // (CHECK semantics), so the reference's null-tolerant rows are
+    // untouched.
     val clientes = EntityResolution.rewriteDupGroups(
       clientesDedup.select("IdCliente", "Nombre", "Email").unionByName(placeholderRows),
       key = "Email", target = "Email",
       replacement = placeholderEmail(col("IdCliente")))
-      .filter(lengthCap(col("Nombre"), 100) && lengthCap(col("Email"), 100))
+      .filter(lengthCap(col("Nombre"), 100) && lengthCap(col("Email"), 150))
 
     // ---- productos: lookup-join to Categorias (J1, main.py:132-133) ----
     val productos = products

@@ -46,6 +46,22 @@ object ChangeDataCapture {
       .drop(opCol)
   }
 
+  /** Keys whose LATEST change is a delete — the delete set
+    * [[applyChangeLog]] drops silently, exposed for storage-level
+    * appliers ([[graft.etl.ManifestTable.transactionalMerge]]) that
+    * must erase those keys from the persisted table. Same
+    * max(struct(...)) shape: shuffle volume is ~|keys|. */
+  def latestDeletes(changes: DataFrame, keyCols: Seq[String],
+                    seqCols: Seq[String], opCol: String,
+                    deleteOp: String = "D"): DataFrame = {
+    val payload = changes.columns.filterNot(keyCols.contains).toSeq
+    val ordered = struct((seqCols ++ payload.filterNot(seqCols.contains)).map(col): _*)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__last"))
+      .filter(col(s"__last.`$opCol`") === lit(deleteOp))
+      .select(keyCols.map(col): _*)
+  }
+
   /** MERGE: apply a change log onto a target snapshot. The target must
     * have exactly the columns `applyChangeLog` emits (keys + seq +
     * payload-without-op). Untouched target rows pass through via a

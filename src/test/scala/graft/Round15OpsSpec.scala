@@ -373,6 +373,130 @@ class Round15OpsSpec extends SparkSpec {
       == Seq(4L, 7L), "multi-probe set keeps every containing file")
   }
 
+  // ---- storage-level MERGE on ManifestTable ----
+
+  test("mergeInto: file-granular copy-on-write upsert — untouched files " +
+    "carry byte-identical, counts exact, snapshot isolation holds") {
+    val root = tmpDir("merge") + "/t"
+    // two files: keys 1-3 and keys 11-13 (explicit partitions so the
+    // layout is deterministic)
+    val rdd = spark.sparkContext.parallelize(0 until 2, 2)
+      .mapPartitionsWithIndex { (i, _) =>
+        (if (i == 0) Seq((1L, "a"), (2L, "b"), (3L, "c"))
+         else Seq((11L, "x"), (12L, "y"), (13L, "z")))
+          .map { case (k, v) => org.apache.spark.sql.Row(k, v) }.iterator }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> spark.createDataFrame(rdd, schema)),
+      statsCols = Map("t" -> "k"))
+    def entriesOf(v: Long) = graft.etl.ManifestTable
+      .readAt(spark, root, "t", v) // force existence
+    val before = graft.etl.ManifestTable.current(spark, root).get
+    // merge: update key 2, insert key 20 — only the FIRST file matches
+    val src = Seq((2L, "B"), (20L, "new")).toDF("k", "v")
+    val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+      spark, root, "t", src, key = Seq("k"), statsCol = Some("k"))
+    assert((files, updated, inserted) == (1L, 1L, 1L),
+      s"one file rewritten, one row updated, one inserted: $files/$updated/$inserted")
+    val after = graft.etl.ManifestTable.current(spark, root).get
+    assert(after.version == before.version + 1L, "one atomic commit")
+    // the unmatched file's entry carries VERBATIM (same relPath — the
+    // file was not rewritten, not even re-listed)
+    val keptPaths = before.entries.map(_.relPath).toSet
+      .intersect(after.entries.map(_.relPath).toSet)
+    assert(before.entries.exists(e => keptPaths.contains(e.relPath) &&
+      e.min.contains(11L) && e.max.contains(13L)),
+      s"the 11-13 file carried byte-identical: $keptPaths")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "B"), (3L, "c"),
+             (11L, "x"), (12L, "y"), (13L, "z"), (20L, "new")),
+      "merged state: replaced + carried + inserted")
+    // snapshot isolation: the pre-merge version still serves the old row
+    assert(entriesOf(before.version).as[(Long, String)].collect().toSet
+      .contains((2L, "b")), "pre-merge snapshot intact")
+    // ambiguous source (duplicate keys) is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.etl.ManifestTable.mergeInto(spark, root, "t",
+        Seq((5L, "p"), (5L, "q")).toDF("k", "v"), key = Seq("k"))
+    }
+  }
+
+  // ---- exactly-once CDC apply onto a ManifestTable ----
+
+  test("CdcApply: upserts, deletes and watermark land as one commit; " +
+    "readStream kill/replay no-ops; no-change batch writes no version") {
+    val root0 = tmpDir("cdc-apply")
+    val root = s"$root0/t"
+    val src = s"$root0/src"
+    val ckpt = s"$root0/ckpt"
+    def chg(k: Long, v: String, seq: Long, op: String) = (k, v, seq, op)
+    val b1 = Seq(chg(1L, "a", 1L, "I"), chg(2L, "b", 1L, "I"),
+      chg(2L, "b2", 2L, "U")) // within-batch collapse: 2 -> b2
+      .toDF("k", "v", "seq", "op")
+    val b2 = Seq(chg(1L, "", 3L, "D"), chg(3L, "c", 3L, "I"))
+      .toDF("k", "v", "seq", "op")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = graft.streaming.CdcApply.applyStream(stream, root, "t",
+        Seq("k"), Seq("seq"), "op", ckpt, statsCol = Some("k")).start()
+      q.processAllAvailable(); q.stop()
+    }
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run() // bootstrap from the first batch
+    def state() = graft.etl.ManifestTable.read(spark, root, "t")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(state() == Set((1L, "a"), (2L, "b2")),
+      "bootstrap applied the collapsed change log")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run() // restart: delete 1, insert 3
+    assert(state() == Set((2L, "b2"), (3L, "c")),
+      "delete erased the key, insert landed")
+    val v = graft.etl.ManifestTable.current(spark, root).get.version
+    // kill the engine's own commit record -> the batch replays for real
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("[0-9]+")).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(s"$ckpt/commits", s".${commits.last.getName}.crc").delete()
+    run()
+    assert(state() == Set((2L, "b2"), (3L, "c")) &&
+      graft.etl.ManifestTable.current(spark, root).get.version == v,
+      "replayed batch no-opped on the watermark: same state, same version")
+    // a batch touching nothing writes NO version (replay-harmless)
+    assert(graft.etl.ManifestTable.transactionalMerge(spark, root, "t",
+      Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "op")
+        .where(lit(false)),
+      Seq(99L).toDF("k"), Seq("k"), "cdc-apply", 5L))
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == v,
+      "no-change batch created no version")
+  }
+
+  // ---- bloom coverage at WRITE time (no indexBloom retro-fit needed) ----
+
+  test("bloom-at-write: publish/appendNew with bloomCol attach per-file " +
+    "blooms, so appended files stay skippable without re-running indexBloom") {
+    val root = tmpDir("bloom-write") + "/t"
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> Seq(0L, 2L, 4L, 6L, 8L, 10L).toDF("k").coalesce(1)),
+      statsCols = Map("t" -> "k"), bloomCols = Map("t" -> "k"))
+    // append the interleaving odd file WITH a write-time bloom
+    assert(graft.etl.ManifestTable.appendNew(spark, root, "t",
+      Seq(1L, 3L, 5L, 7L, 9L).toDF("k").coalesce(1), key = Seq("k"),
+      statsCol = Some("k"), bloomCol = Some("k")) == 5L)
+    val (keptBloom, keptRange, total) = graft.etl.ManifestTable
+      .prunedInStats(spark, root, "t", "k", Seq(4L))
+    assert(total == 2L && keptRange == 2L && keptBloom == 1L,
+      s"write-time blooms skip the appended non-matching file: " +
+        s"$keptBloom/$keptRange/$total")
+    assert(graft.etl.ManifestTable.readPrunedIn(spark, root, "t", "k",
+      Seq(7L)).select("k").as[Long].collect().toSeq == Seq(7L),
+      "a probe landing in the APPENDED file still resolves exactly")
+  }
+
   // ---- verdict #7: NVARCHAR width cap ----
 
   test("lengthCap: CHECK semantics — chars compared, NULL passes, " +
