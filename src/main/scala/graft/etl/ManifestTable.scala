@@ -714,6 +714,61 @@ object ManifestTable {
     publish(spark, root, Map(table -> df),
       statsCol.fold(Map.empty[String, String])(c => Map(table -> c)))
 
+  /** [[publish]] gated by declarative expectations — the engine-side
+    * analog of the reference's constraint-rejecting transactional load
+    * (the database refuses a violating INSERT and the WHOLE transaction
+    * rolls back, `main.py:173-195` + the DDL's PK/UNIQUE/NOT NULL/CHECK
+    * constraints): every table's checks run FIRST
+    * ([[graft.operators.Validate.expectationSuite]] — all checks in one
+    * aggregation pass per table, a NULL verdict counts as a violation),
+    * and any violation aborts with the failing check names before a
+    * single data file is written — the previous version keeps serving.
+    * Each checked frame is lineage-cut so the validation and the write
+    * see the SAME rows even for non-deterministic inputs. Returns the
+    * committed version. */
+  def publishChecked(spark: SparkSession, root: String,
+                     tables: Map[String, DataFrame],
+                     checks: Map[String, Seq[(String, Column)]],
+                     uniqueKeys: Map[String, Seq[Seq[String]]] = Map.empty,
+                     statsCols: Map[String, String] = Map.empty,
+                     bloomCols: Map[String, String] = Map.empty): Long = {
+    require(checks.keySet.subsetOf(tables.keySet),
+      s"checks reference unknown tables: ${checks.keySet -- tables.keySet}")
+    require(uniqueKeys.keySet.subsetOf(tables.keySet),
+      s"uniqueKeys reference unknown tables: ${uniqueKeys.keySet -- tables.keySet}")
+    def hasChecks(name: String) =
+      checks.get(name).exists(_.nonEmpty) ||
+        uniqueKeys.get(name).exists(_.nonEmpty)
+    val cut = tables.map { case (name, df) =>
+      name -> (if (hasChecks(name)) graft.operators.Lineage.cut(df) else df)
+    }
+    val rowFailures = checks.toSeq.sortBy(_._1).flatMap { case (name, cs) =>
+      if (cs.isEmpty) Nil
+      else graft.operators.Validate.expectationSuite(cut(name), cs)
+        .filter(!col("pass"))
+        .select(col("check"), col("n_violations")).collect()
+        .map(r => s"$name.${r.getString(0)} (${r.getLong(1)} violations)")
+    }
+    // PK/UNIQUE are not row-local: one groupBy per key set; NULL keys
+    // group together (the T-SQL single-NULL uniqueness shape)
+    val dupFailures = uniqueKeys.toSeq.sortBy(_._1).flatMap { case (name, keys) =>
+      keys.flatMap { k =>
+        require(k.nonEmpty, s"empty unique key for $name")
+        val dups = cut(name).groupBy(k.map(col): _*)
+          .count().filter(col("count") > 1L).count()
+        if (dups > 0L)
+          Some(s"$name.unique(${k.mkString(",")}) ($dups duplicate keys)")
+        else None
+      }
+    }
+    val failures = rowFailures ++ dupFailures
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"publishChecked: constraint violations — nothing committed: " +
+          failures.mkString("; "))
+    publish(spark, root, cut, statsCols, bloomCols)
+  }
+
   /** Idempotent incremental append (S4/J2, `load_data_conditionally`
     * main.py:45-59): anti-join `incoming` against the CURRENT version's
     * keys, write only the fresh rows as new files, commit old+new. A
@@ -1147,8 +1202,10 @@ object ManifestTable {
     * of a not-yet-committed version look unreferenced and would be
     * collected (production deployments add an age threshold; here the
     * contract is vacuum-in-a-quiet-window). */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Long = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
+    require(minAgeMs >= 0L, "minAgeMs must be >= 0")
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
     if (!fs.exists(cd)) return 0L
@@ -1158,6 +1215,11 @@ object ManifestTable {
     val (drop, keep) = commits.splitAt(math.max(0, commits.length - keepVersions))
     val referenced: Set[String] = keep.flatMap(n =>
       parseCommit(fs, new HPath(cd, n)).map(_.relPath)).toSet
+    // the in-flight-write guard: a not-yet-committed version's data
+    // files look unreferenced; with minAgeMs > 0 anything younger than
+    // the horizon survives, so vacuum no longer needs a quiet window —
+    // set it beyond the longest plausible write duration
+    val horizon = System.currentTimeMillis() - minAgeMs
     var deleted = 0L
     // data dirs are every top-level entry except _commits
     fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != CommitDir)
@@ -1167,7 +1229,8 @@ object ManifestTable {
         while (it.hasNext) {
           val f = it.next()
           val rel = s"${tdir.getPath.getName}/${f.getPath.getParent.getName}/${f.getPath.getName}"
-          if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel))
+          if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel)
+              && (minAgeMs == 0L || f.getModificationTime < horizon))
             toDelete += f.getPath
         }
         toDelete.foreach { p => fs.delete(p, false); deleted += 1 }

@@ -210,6 +210,70 @@ object OpinionPipeline {
         "webreviews" -> "anio"))
   }
 
+  /** [[run]] gated by the DDL's declared constraints
+    * (`Base de Datos Relacional copy.sql:47-139`): the database the
+    * reference loads into would REJECT a violating INSERT and roll the
+    * whole transaction back; this is that semantics engine-side
+    * (SURVEY §1.3) — PK/UNIQUE uniqueness, NOT NULLs, CHECK ranges and
+    * NVARCHAR widths all verified BEFORE a single file is written, any
+    * violation aborting with the previous star version still serving.
+    * The transform already establishes these invariants by
+    * construction; the gate is the independent proof at load time, the
+    * role the DB played for the reference. */
+  def runChecked(spark: SparkSession, out: Out, root: String): Long = {
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def fact(df: DataFrame): DataFrame =
+      df.withColumn("anio", year(col("Fecha")))
+        .repartitionByRange(shufflePartitions, col("anio"), col("Fecha"))
+    def dimChecks(nameCap: Int = 100) = Seq(
+      ("nombre_not_null", col("Nombre").isNotNull),
+      ("nombre_width", lengthCap(col("Nombre"), nameCap)))
+    ManifestTable.publishChecked(spark, root,
+      Map(
+        "clientes" -> out.clientes,
+        "productos" -> out.productos,
+        "categorias" -> out.categorias,
+        "clasificaciones" -> out.clasificaciones,
+        "fuentes" -> out.fuentes,
+        "registrocargas" -> out.registroCargas,
+        "comentarios" -> fact(out.comentarios),
+        "encuestas" -> fact(out.encuestas),
+        "webreviews" -> fact(out.webReviews)),
+      checks = Map(
+        // sql:48-50: PK int, Nombre NVARCHAR(100) NOT NULL, Email 150
+        "clientes" -> (dimChecks() :+
+          ("email_width", lengthCap(col("Email"), 150))),
+        "categorias" -> dimChecks(),       // sql:54-55
+        "clasificaciones" -> dimChecks(50), // sql:66-67
+        "fuentes" -> dimChecks(),          // sql:78-79
+        "registrocargas" -> (dimChecks(50) :+ // sql:72-74
+          ("fecha_not_null", col("FechaCarga").isNotNull)),
+        // fact NOT NULLs (sql:93-98,108-113,126-130) + CHECK 1..5
+        // (sql:115,132); Fecha nullability mirrors main.py (never a
+        // drop key), so it is deliberately unchecked
+        "comentarios" -> Seq(
+          ("fk_cols_not_null", col("IdCliente").isNotNull &&
+            col("IdProducto").isNotNull && col("IdFuente").isNotNull)),
+        "encuestas" -> Seq(
+          ("fk_cols_not_null", col("IdCliente").isNotNull &&
+            col("IdProducto").isNotNull && col("IdClasificacion").isNotNull
+            && col("IdCarga").isNotNull),
+          ("puntaje_check", checkRange(col("PuntajeSatisfaccion"), 1, 5))),
+        "webreviews" -> Seq(
+          ("fk_cols_not_null", col("IdCliente").isNotNull &&
+            col("IdProducto").isNotNull && col("IdCarga").isNotNull),
+          ("rating_check", checkRange(col("Rating"), 1, 5)))),
+      uniqueKeys = Map(
+        "clientes" -> Seq(Seq("IdCliente"), Seq("Email")), // sql:48,50
+        "productos" -> Seq(Seq("IdProducto")),             // sql:59
+        "categorias" -> Seq(Seq("IdCategoria"), Seq("Nombre")),
+        "clasificaciones" -> Seq(Seq("IdClasificacion"), Seq("Nombre")),
+        "fuentes" -> Seq(Seq("IdFuente"), Seq("Nombre")),
+        "registrocargas" -> Seq(Seq("IdCarga"), Seq("Nombre"))),
+      statsCols = Map("comentarios" -> "anio", "encuestas" -> "anio",
+        "webreviews" -> "anio"))
+  }
+
   /** Manifest-resolved read of a published star table (the reader twin of
     * [[run]]): resolves the latest committed version's exact file list. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame =

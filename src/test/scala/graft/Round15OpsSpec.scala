@@ -497,6 +497,88 @@ class Round15OpsSpec extends SparkSpec {
       "a probe landing in the APPENDED file still resolves exactly")
   }
 
+  // ---- vacuum age threshold: the in-flight-write guard ----
+
+  test("vacuum(minAgeMs): a young orphan (an in-flight write's data) " +
+    "survives; an old orphan is reclaimed") {
+    val root = tmpDir("vacuum-age") + "/t"
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> Seq(1L).toDF("v")))
+    // orphan 1: "old" (mtime backdated) — collectible
+    Seq(9L).toDF("v").coalesce(1).write.parquet(s"$root/t/d-oldorphan")
+    new java.io.File(s"$root/t/d-oldorphan").listFiles()
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 3600000L))
+    // orphan 2: fresh — looks exactly like a not-yet-committed write
+    Seq(8L).toDF("v").coalesce(1).write.parquet(s"$root/t/d-inflight")
+    val deleted = graft.etl.ManifestTable.vacuum(spark, root,
+      keepVersions = 1, minAgeMs = 60000L)
+    assert(deleted >= 1L, "old orphan reclaimed")
+    def orphanFiles(d: String) = {
+      val f = new java.io.File(s"$root/t/$d")
+      if (!f.exists()) Array.empty[String]
+      else f.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    }
+    assert(orphanFiles("d-oldorphan").isEmpty, "old orphan gone")
+    assert(orphanFiles("d-inflight").nonEmpty,
+      "in-flight write's files survive the age horizon")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .as[Long].collect().toSeq == Seq(1L), "committed data untouched")
+  }
+
+  // ---- constraint-gated publish: the DB-rejects-the-load analog ----
+
+  test("publishChecked: a violating table aborts the WHOLE publish before " +
+    "any file is written; a clean publish commits") {
+    val root = tmpDir("pub-checked") + "/t"
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("dim" -> Seq((1L, "a")).toDF("id", "name")))
+    val v1 = graft.etl.ManifestTable.current(spark, root).get.version
+    val dupDim = Seq((1L, "a"), (1L, "b"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    val ex = intercept[IllegalStateException] {
+      graft.etl.ManifestTable.publishChecked(spark, root,
+        Map("dim" -> dupDim),
+        checks = Map("dim" -> Seq(
+          ("name_not_null", col("name").isNotNull))),
+        uniqueKeys = Map("dim" -> Seq(Seq("id"))))
+    }
+    assert(ex.getMessage.contains("name_not_null") &&
+      ex.getMessage.contains("unique(id)"),
+      s"both constraint classes reported: ${ex.getMessage}")
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == v1,
+      "nothing committed — the previous version keeps serving")
+    assert(graft.etl.ManifestTable.read(spark, root, "dim").count() == 1L)
+    // the clean frame commits
+    val v2 = graft.etl.ManifestTable.publishChecked(spark, root,
+      Map("dim" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name")),
+      checks = Map("dim" -> Seq(("name_not_null", col("name").isNotNull))),
+      uniqueKeys = Map("dim" -> Seq(Seq("id"))))
+    assert(v2 == v1 + 1L &&
+      graft.etl.ManifestTable.read(spark, root, "dim").count() == 2L)
+  }
+
+  // ---- the reference pipeline under the DDL constraint gate ----
+
+  test("runChecked: the star publishes under the DDL's constraints; a " +
+    "violating dimension aborts the whole nine-table transaction") {
+    val out = graft.etl.RefShaped.out(spark, sf())
+    val root = tmpDir("star-checked") + "/star"
+    val v = graft.etl.OpinionPipeline.runChecked(spark, out, root)
+    assert(v == 1L, "clean star commits as one version")
+    assert(graft.etl.ManifestTable.read(spark, root, "clientes").count() ==
+      out.clientes.count(), "all rows passed the gate")
+    // corrupt ONE dimension: a duplicated IdCliente (PK violation) must
+    // abort the WHOLE publish — no table moves, version unchanged
+    val dupped = out.copy(clientes =
+      out.clientes.unionByName(out.clientes.limit(1)))
+    val ex = intercept[IllegalStateException] {
+      graft.etl.OpinionPipeline.runChecked(spark, dupped, root)
+    }
+    assert(ex.getMessage.contains("unique(IdCliente)"), ex.getMessage)
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == 1L,
+      "the violating load rolled back whole, like the reference's DB")
+  }
+
   // ---- verdict #7: NVARCHAR width cap ----
 
   test("lengthCap: CHECK semantics — chars compared, NULL passes, " +
