@@ -256,15 +256,21 @@ object IncrementalLoad {
       require(fs.exists(stage),
         s"atomicRewrite: write callback produced nothing at $stage")
       // claim the staging: dot-underscore names are hidden from Spark
-      // reads, so a marker that outlives cleanup is inert
+      // reads, so a marker that outlives cleanup is inert. The exists
+      // check above matters: fs.create would silently RESURRECT a
+      // staging a concurrent writer just deleted, and the swap below
+      // would then publish a directory holding only the claim file.
       val claim = s"._graft-claim-${java.util.UUID.randomUUID().toString}"
       fs.create(new HPath(stage, claim), false).close()
-      val claims = fs.listStatus(stage).map(_.getPath.getName)
-        .filter(_.startsWith("._graft-claim-")).sorted
+      val names = fs.listStatus(stage).map(_.getPath.getName)
+      val claims = names.filter(_.startsWith("._graft-claim-")).sorted
       require(claims.sameElements(Array(claim)),
         s"atomicRewrite: concurrent writer detected on $target " +
           s"(staging claims: ${claims.mkString(", ")}) — writers to one " +
           "table tree must be externally serialized")
+      require(names.exists(n => !n.startsWith(".") && !n.startsWith("_")),
+        s"atomicRewrite: staging at $stage holds no data files — a " +
+          "concurrent writer deleted the written contents mid-flight")
       val hadOld = fs.exists(target)
       if (hadOld) mv(fs, target, old, "rewrite move-aside")
       try mv(fs, stage, target, "rewrite swap-in")
@@ -312,13 +318,15 @@ object IncrementalLoad {
           val stripped = n.stripPrefix(".rewrite-old-")
           val tgt = new HPath(dir, stripped)
           // a pre-deterministic-naming leftover (`.rewrite-old-<nanoTime>`,
-          // all digits) names no real target: "restoring" it would
-          // resurrect a stale backup as a visible data dir named after
-          // the tag. Repair only when a sibling target exists (normal
-          // drop-the-backup path) or the stripped name is non-numeric
-          // (the current naming); otherwise delete the legacy dir.
-          if (fs.exists(tgt) || !stripped.forall(_.isDigit))
-            repairSwap(fs, tgt, s.getPath)
+          // a LONG all-digit tag) names no real target: "restoring" it
+          // would resurrect a stale backup as a visible data dir named
+          // after the tag. Repair when a sibling target exists (normal
+          // drop-the-backup path) or the stripped name doesn't look like
+          // a nanoTime tag (>= 13 digits — a legitimately digits-named
+          // table like a date dir "20240101" is 8 digits and still
+          // restores); only the unambiguous legacy shape is deleted.
+          val legacyTag = stripped.length >= 13 && stripped.forall(_.isDigit)
+          if (fs.exists(tgt) || !legacyTag) repairSwap(fs, tgt, s.getPath)
           else fs.delete(s.getPath, true)
         } else if (n.startsWith(".rewrite-staging-"))
           fs.delete(s.getPath, true)

@@ -425,18 +425,33 @@ object ManifestTable {
     * (retro-fitting an existing table) and [[writeData]] (covering
     * just-written files at append time). Partial filters merge by
     * bit-OR, so the result is partitioning-invariant. */
+  /** Each key inserts under BOTH its raw string rendering (what
+    * [[readPrunedEq]] probes) and its long-cast rendering (what
+    * [[readPrunedIn]] probes — its filter is `cast("long").isin`): a
+    * DOUBLE column's raw form is "4.0" while the long probe is "4",
+    * and probing a filter that only holds the raw form would be a
+    * guaranteed FALSE NEGATIVE — a silently dropped matching file. Two
+    * insertions at most per row (one when the forms coincide); size the
+    * filter accordingly. */
   private def fileBloomsB64(spark: SparkSession, paths: Seq[String],
                             keyCol: String,
                             expectedItemsPerFile: Long = 50000L,
                             fpp: Double = 0.03): Map[String, String] = {
     import org.apache.spark.util.sketch.BloomFilter
     spark.read.parquet(paths: _*)
-      .select(input_file_name().as("__f"), col(keyCol).cast("string").as("__k"))
+      .select(input_file_name().as("__f"),
+        col(keyCol).cast("string").as("__k"),
+        expr(s"CAST(try_cast(`$keyCol` AS LONG) AS STRING)").as("__l"))
       .filter(col("__k").isNotNull)
       .rdd
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (r.getString(0), (r.getString(1), Option(r.getString(2)))))
       .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
-        (b, v) => { b.putBinary(v.getBytes(StandardCharsets.UTF_8)); b },
+        (b, v) => {
+          b.putBinary(v._1.getBytes(StandardCharsets.UTF_8))
+          v._2.filter(_ != v._1).foreach(l =>
+            b.putBinary(l.getBytes(StandardCharsets.UTF_8)))
+          b
+        },
         (a, b) => { a.mergeInPlace(b); a })
       .mapValues(b => java.util.Base64.getEncoder.encodeToString(
         graft.expressions.BloomExprs.toBytes(b)))
@@ -853,6 +868,28 @@ object ManifestTable {
     (aff.size.toLong, nDel)
   }
 
+  /** Partition a table's manifest entries into (filesContainingAnyKey,
+    * untouchedFiles) — the copy-on-write affected-set discovery shared
+    * by [[mergeInto]] and [[transactionalMerge]]. `input_file_name()`
+    * is attached SCAN-SIDE (a projection below the join): evaluated
+    * above a non-broadcast join it returns the empty string — with a
+    * sort-merge-joined probe side every file would silently look
+    * unaffected and matched rows would never be rewritten. The
+    * fail-loud guard rejects an empty file name if a plan change ever
+    * reintroduces that. */
+  private def affectedByKeys(df: DataFrame, probeKeys: DataFrame,
+                             key: Seq[String],
+                             mine: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
+    val affectedFiles = df.withColumn("__f", input_file_name())
+      .join(probeKeys, key, "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(!affectedFiles.contains(""),
+      "affectedByKeys: input_file_name evaluated above the join " +
+        "(empty file name) — affected-file discovery would be corrupt")
+    mine.partition(e => affectedFiles.exists(_.endsWith(e.relPath)))
+  }
+
   /** MERGE (upsert) by key at FILE granularity — the storage-level
     * sibling of [[graft.operators.ChangeDataCapture.mergeUpsert]] (which
     * merges frames, leaving persistence to the caller): existing rows
@@ -892,11 +929,7 @@ object ManifestTable {
     val srcKeys = src.select(key.map(col): _*)
     require(srcKeys.distinct().count() == nSrc,
       "mergeInto: duplicate keys in source make the replace ambiguous")
-    val affectedFiles = df.join(srcKeys, key, "left_semi")
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (aff, keep) = mine.partition(e =>
-      affectedFiles.exists(_.endsWith(e.relPath)))
+    val (aff, keep) = affectedByKeys(df, srcKeys, key, mine)
     val (newRows, nUpdated, nMatchedKeys) =
       if (aff.isEmpty) (src, 0L, 0L)
       else {
@@ -1052,9 +1085,13 @@ object ManifestTable {
     require(up.select(key.map(col): _*).distinct().count() == nUp,
       "transactionalMerge: duplicate upsert keys — collapse the change " +
         "log first (applyChangeLog)")
+    // delete keys resolve BY NAME — a positional mapping would silently
+    // mis-key deletes for a caller whose frame orders columns differently
+    require(key.forall(deleteKeys.columns.contains),
+      s"transactionalMerge: deleteKeys must carry the key columns $key " +
+        s"(got ${deleteKeys.columns.toSeq})")
     val del = graft.operators.Lineage.cut(
-      deleteKeys.select(key.zip(deleteKeys.columns).map {
-        case (k, c) => col(c).as(k) }: _*))
+      deleteKeys.select(key.map(col): _*))
     val exists = cur.exists(_.entries.exists(_.table == table))
     def commit(dropped: Seq[FileEntry], added: Seq[FileEntry]): Boolean = {
       val carried = cur.map(_.entries.filterNot(e =>
@@ -1075,11 +1112,7 @@ object ManifestTable {
       s"transactionalMerge: upsert columns ${up.columns.toSeq} must " +
         s"match table columns ${df.columns.toSeq}")
     val touched = up.select(key.map(col): _*).unionByName(del).distinct()
-    val affectedFiles = df.join(touched, key, "left_semi")
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (aff, keep) = mine.partition(e =>
-      affectedFiles.exists(_.endsWith(e.relPath)))
+    val (aff, keep) = affectedByKeys(df, touched, key, mine)
     if (aff.isEmpty && nUp == 0L) return true // no-change batch
     val keepRows =
       if (aff.isEmpty) up.where(lit(false))
@@ -1089,13 +1122,25 @@ object ManifestTable {
     val newRows =
       if (nUp == 0L) keepRows
       else keepRows.select(up.columns.map(col): _*).unionByName(up)
-    // a fully-emptied table keeps one footer-only file for its schema
-    // (the deleteWhere readability contract)
+    // write FIRST, count from the written footers — one execution of the
+    // rewrite plan (the appendNew discipline); a fully-emptied table
+    // keeps one footer-only file for its schema (the deleteWhere
+    // readability contract)
+    val written = writeData(spark, rootP, fs, table, newRows, statsCol)
+    val writtenDir = new HPath(rootP, written.head.relPath).getParent
+    val nWritten = spark.read.parquet(writtenDir.toString).count()
     val newEntries =
-      if (keep.isEmpty || !newRows.isEmpty)
-        writeData(spark, rootP, fs, table,
-          if (newRows.isEmpty) newRows.repartition(1) else newRows, statsCol)
-      else Nil
+      if (nWritten > 0L) written
+      else if (keep.nonEmpty) { fs.delete(writtenDir, true); Nil }
+      else {
+        // collapse the footer-only partition files to ONE (schema read
+        // back from the written footers — nothing re-executes)
+        val schema = spark.read.parquet(writtenDir.toString).schema
+        fs.delete(writtenDir, true)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        writeData(spark, rootP, fs, table, empty.repartition(1), statsCol)
+      }
     commit(aff, newEntries)
   }
 

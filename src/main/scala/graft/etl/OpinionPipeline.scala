@@ -187,16 +187,19 @@ object OpinionPipeline {
     * files, the same pruning the reference delegates to its yearly
     * filegroups (sql:83-90) and Hive-style `partitionBy` gives on
     * directories. Returns the committed version. */
-  def run(spark: SparkSession, out: Out, root: String): Long = {
-    // Explicit partition count = user-specified partitioning, which AQE
-    // preserves (no coalescing across year boundaries); Fecha as the
-    // secondary range key keeps per-file date ranges tight when a year
-    // spans many files at scale.
+  /** The nine-table star as publish inputs — ONE definition shared by
+    * [[run]] and [[runChecked]] so the two entry points cannot drift.
+    * Explicit partition count = user-specified partitioning, which AQE
+    * preserves (no coalescing across year boundaries); Fecha as the
+    * secondary range key keeps per-file date ranges tight when a year
+    * spans many files at scale. */
+  private def starTables(spark: SparkSession,
+                         out: Out): (Map[String, DataFrame], Map[String, String]) = {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def fact(df: DataFrame): DataFrame =
       df.withColumn("anio", year(col("Fecha")))
         .repartitionByRange(shufflePartitions, col("anio"), col("Fecha"))
-    ManifestTable.publish(spark, root, Map(
+    (Map(
       "clientes" -> out.clientes,
       "productos" -> out.productos,
       "categorias" -> out.categorias,
@@ -206,8 +209,13 @@ object OpinionPipeline {
       "comentarios" -> fact(out.comentarios),
       "encuestas" -> fact(out.encuestas),
       "webreviews" -> fact(out.webReviews)),
-      statsCols = Map("comentarios" -> "anio", "encuestas" -> "anio",
+      Map("comentarios" -> "anio", "encuestas" -> "anio",
         "webreviews" -> "anio"))
+  }
+
+  def run(spark: SparkSession, out: Out, root: String): Long = {
+    val (tables, statsCols) = starTables(spark, out)
+    ManifestTable.publish(spark, root, tables, statsCols)
   }
 
   /** [[run]] gated by the DDL's declared constraints
@@ -221,24 +229,11 @@ object OpinionPipeline {
     * construction; the gate is the independent proof at load time, the
     * role the DB played for the reference. */
   def runChecked(spark: SparkSession, out: Out, root: String): Long = {
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    def fact(df: DataFrame): DataFrame =
-      df.withColumn("anio", year(col("Fecha")))
-        .repartitionByRange(shufflePartitions, col("anio"), col("Fecha"))
+    val (tables, statsCols) = starTables(spark, out)
     def dimChecks(nameCap: Int = 100) = Seq(
       ("nombre_not_null", col("Nombre").isNotNull),
       ("nombre_width", lengthCap(col("Nombre"), nameCap)))
-    ManifestTable.publishChecked(spark, root,
-      Map(
-        "clientes" -> out.clientes,
-        "productos" -> out.productos,
-        "categorias" -> out.categorias,
-        "clasificaciones" -> out.clasificaciones,
-        "fuentes" -> out.fuentes,
-        "registrocargas" -> out.registroCargas,
-        "comentarios" -> fact(out.comentarios),
-        "encuestas" -> fact(out.encuestas),
-        "webreviews" -> fact(out.webReviews)),
+    ManifestTable.publishChecked(spark, root, tables,
       checks = Map(
         // sql:48-50: PK int, Nombre NVARCHAR(100) NOT NULL, Email 150
         "clientes" -> (dimChecks() :+
@@ -270,8 +265,7 @@ object OpinionPipeline {
         "clasificaciones" -> Seq(Seq("IdClasificacion"), Seq("Nombre")),
         "fuentes" -> Seq(Seq("IdFuente"), Seq("Nombre")),
         "registrocargas" -> Seq(Seq("IdCarga"), Seq("Nombre"))),
-      statsCols = Map("comentarios" -> "anio", "encuestas" -> "anio",
-        "webreviews" -> "anio"))
+      statsCols = statsCols)
   }
 
   /** Manifest-resolved read of a published star table (the reader twin of

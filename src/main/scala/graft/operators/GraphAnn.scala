@@ -734,7 +734,13 @@ object GraphAnn {
                            refine: Int = 1, upperMod: Int = 4,
                            upperDegree: Int = 8,
                            upperRefine: Int = 1): Long = {
-    val p = readParamsVersioned(spark, root).getOrElse(BuildParams(dim,
+    // a legacy (pre-params) index keeps legacy behavior: call-site args
+    // drive this append, but are NEVER persisted as the authoritative
+    // build_params — recording them would launder a call site's
+    // defaults into "what the index was built with", the exact drift
+    // the persistence exists to prevent
+    val pOpt = readParamsVersioned(spark, root)
+    val p = pOpt.getOrElse(BuildParams(dim,
       planes, tables, degree, refine, upperMod, upperDegree, upperRefine,
       baseN = base.count(), appendedN = 0L))
     val tombN = graft.etl.ManifestTable.read(spark, root, TombT).count()
@@ -753,7 +759,10 @@ object GraphAnn {
     val merged = appendMergedEdges(edges, base, delta, idCol, vecCol,
       p.dim, p.planes, p.tables, p.degree, rounds, beamWidth, entries)
     val appended = p.appendedN + deltaN
-    if (appended.toDouble / p.baseN.max(1L) >= compactAtAppendedFraction) {
+    if (pOpt.isEmpty) {
+      // legacy index: no persisted accounting to update, no cadence
+      graft.etl.ManifestTable.publish(spark, root, Map(EdgesT -> merged))
+    } else if (appended.toDouble / p.baseN.max(1L) >= compactAtAppendedFraction) {
       // upper-staleness escalation: merged full layer AND the rebuilt
       // routing layer land in ONE commit (tombstoned nodes stay in the
       // routing layer — they route, they don't return)

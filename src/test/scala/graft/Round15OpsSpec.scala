@@ -497,6 +497,37 @@ class Round15OpsSpec extends SparkSpec {
       "a probe landing in the APPENDED file still resolves exactly")
   }
 
+  // ---- regression: affected-file discovery under a sort-merge join ----
+
+  test("mergeInto/transactionalMerge: affected-file discovery survives a " +
+    "sort-merge-joined probe (input_file_name must bind scan-side)") {
+    // input_file_name() evaluated ABOVE a non-broadcast join returns ""
+    // — every file would look unaffected and matched rows would never be
+    // rewritten (duplicate keys committed silently). Force SMJ.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = tmpDir("merge-smj") + "/t"
+      graft.etl.ManifestTable.publish(spark, root,
+        Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+      val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+        spark, root, "t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"),
+        key = Seq("k"))
+      assert((files, updated, inserted) == (1L, 1L, 1L),
+        s"SMJ probe still finds the affected file: $files/$updated/$inserted")
+      assert(graft.etl.ManifestTable.read(spark, root, "t")
+        .as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "B"), (3L, "c")),
+        "no duplicate keys under SMJ")
+      assert(graft.etl.ManifestTable.transactionalMerge(spark, root, "t",
+        Seq((3L, "C")).toDF("k", "v"), Seq(1L).toDF("k"), Seq("k"),
+        "w", 0L))
+      assert(graft.etl.ManifestTable.read(spark, root, "t")
+        .as[(Long, String)].collect().toSet == Set((2L, "B"), (3L, "C")),
+        "delete erased and upsert replaced under SMJ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   // ---- vacuum age threshold: the in-flight-write guard ----
 
   test("vacuum(minAgeMs): a young orphan (an in-flight write's data) " +
