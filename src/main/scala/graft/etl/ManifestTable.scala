@@ -745,15 +745,23 @@ object ManifestTable {
                      tables: Map[String, DataFrame],
                      checks: Map[String, Seq[(String, Column)]],
                      uniqueKeys: Map[String, Seq[Seq[String]]] = Map.empty,
+                     foreignKeys: Seq[(String, String, Seq[String], String, Seq[String])] = Nil,
                      statsCols: Map[String, String] = Map.empty,
                      bloomCols: Map[String, String] = Map.empty): Long = {
     require(checks.keySet.subsetOf(tables.keySet),
       s"checks reference unknown tables: ${checks.keySet -- tables.keySet}")
     require(uniqueKeys.keySet.subsetOf(tables.keySet),
       s"uniqueKeys reference unknown tables: ${uniqueKeys.keySet -- tables.keySet}")
+    foreignKeys.foreach { case (n, ct, cc, pt, pc) =>
+      require(tables.contains(ct) && tables.contains(pt),
+        s"foreign key $n references unknown tables ($ct -> $pt)")
+      require(cc.nonEmpty && cc.length == pc.length,
+        s"foreign key $n: child/parent column lists must align")
+    }
     def hasChecks(name: String) =
       checks.get(name).exists(_.nonEmpty) ||
-        uniqueKeys.get(name).exists(_.nonEmpty)
+        uniqueKeys.get(name).exists(_.nonEmpty) ||
+        foreignKeys.exists(fk => fk._2 == name || fk._4 == name)
     val cut = tables.map { case (name, df) =>
       name -> (if (hasChecks(name)) graft.operators.Lineage.cut(df) else df)
     }
@@ -776,7 +784,18 @@ object ManifestTable {
         else None
       }
     }
-    val failures = rowFailures ++ dupFailures
+    // FK integrity: non-null child keys with no parent row (SQL
+    // semantics: a NULL FK component passes). One anti-join per
+    // relation — Catalyst broadcasts dim-sized parents.
+    val fkFailures = foreignKeys.flatMap { case (cname, ct, cc, pt, pc) =>
+      val child = cut(ct).select(cc.map(col): _*).na.drop("any")
+      val parent = cut(pt).select(pc.zip(cc).map {
+        case (p, c) => col(p).as(c) }: _*)
+      val orphans = child.join(parent, cc, "left_anti").count()
+      if (orphans > 0L) Some(s"$ct.$cname ($orphans orphaned rows)")
+      else None
+    }
+    val failures = rowFailures ++ dupFailures ++ fkFailures
     if (failures.nonEmpty)
       throw new IllegalStateException(
         s"publishChecked: constraint violations — nothing committed: " +

@@ -228,6 +228,22 @@ object OpinionPipeline {
     * The transform already establishes these invariants by
     * construction; the gate is the independent proof at load time, the
     * role the DB played for the reference. */
+  /** Conform the fact tables to the DDL's PRODUCT foreign key — the one
+    * constraint main.py does NOT pre-validate (it filters clients only,
+    * main.py:142,150,159), so on any extract where a fact cites an
+    * unknown product the reference's own load CRASHES: the database
+    * rejects the INSERT (sql:101,118,135) and the transaction rolls
+    * back. [[runChecked]] surfaces exactly that as a clean abort; this
+    * utility is the repair when dropping orphan facts is the intended
+    * policy (the same semi-join discipline the client FK already gets).
+    */
+  def conformFacts(out: Out): Out = {
+    val validP = out.productos.select("IdProducto")
+    def f(df: DataFrame) = df.join(validP, Seq("IdProducto"), "left_semi")
+    out.copy(comentarios = f(out.comentarios), encuestas = f(out.encuestas),
+      webReviews = f(out.webReviews))
+  }
+
   def runChecked(spark: SparkSession, out: Out, root: String): Long = {
     val (tables, statsCols) = starTables(spark, out)
     def dimChecks(nameCap: Int = 100) = Seq(
@@ -265,6 +281,32 @@ object OpinionPipeline {
         "clasificaciones" -> Seq(Seq("IdClasificacion"), Seq("Nombre")),
         "fuentes" -> Seq(Seq("IdFuente"), Seq("Nombre")),
         "registrocargas" -> Seq(Seq("IdCarga"), Seq("Nombre"))),
+      // the DDL's FOREIGN KEY clauses (sql:62,100-102,117-120,134-136);
+      // note main.py only validates the CLIENT FK itself — the others
+      // it delegates to the database, which is exactly this gate
+      foreignKeys = Seq(
+        ("fk_productos_categoria", "productos", Seq("IdCategoria"),
+          "categorias", Seq("IdCategoria")),
+        ("fk_comentarios_cliente", "comentarios", Seq("IdCliente"),
+          "clientes", Seq("IdCliente")),
+        ("fk_comentarios_producto", "comentarios", Seq("IdProducto"),
+          "productos", Seq("IdProducto")),
+        ("fk_comentarios_fuente", "comentarios", Seq("IdFuente"),
+          "fuentes", Seq("IdFuente")),
+        ("fk_encuestas_cliente", "encuestas", Seq("IdCliente"),
+          "clientes", Seq("IdCliente")),
+        ("fk_encuestas_producto", "encuestas", Seq("IdProducto"),
+          "productos", Seq("IdProducto")),
+        ("fk_encuestas_clasificacion", "encuestas", Seq("IdClasificacion"),
+          "clasificaciones", Seq("IdClasificacion")),
+        ("fk_encuestas_carga", "encuestas", Seq("IdCarga"),
+          "registrocargas", Seq("IdCarga")),
+        ("fk_webreviews_cliente", "webreviews", Seq("IdCliente"),
+          "clientes", Seq("IdCliente")),
+        ("fk_webreviews_producto", "webreviews", Seq("IdProducto"),
+          "productos", Seq("IdProducto")),
+        ("fk_webreviews_carga", "webreviews", Seq("IdCarga"),
+          "registrocargas", Seq("IdCarga"))),
       statsCols = statsCols)
   }
 

@@ -32,18 +32,30 @@ object CdcApply {
 
   /** Start the apply stream. `stream` must carry `keyCols`, `seqCols`,
     * `opCol`, and payload; the maintained table's columns are
-    * keys + seq + payload-without-op. */
+    * keys + seq + payload-without-op.
+    *
+    * Maintenance cadences (both 0 = off): every `compactEvery` batches
+    * the table compacts ([[ManifestTable.compact]], clustering on
+    * `statsCol` so file skipping survives) — per-batch merges rewrite
+    * only AFFECTED files, so a long stream otherwise fragments the
+    * table into batch-sized file sets; every `compactLogEvery` batches
+    * the commit log prunes to `keepVersions` (safe mid-stream — the
+    * watermark rides the current self-contained commit). */
   def applyStream(stream: DataFrame, root: String, table: String,
                   keyCols: Seq[String], seqCols: Seq[String],
                   opCol: String, checkpoint: String,
                   deleteOp: String = "D",
                   statsCol: Option[String] = None,
-                  writerId: String = "cdc-apply"): DataStreamWriter[org.apache.spark.sql.Row] =
+                  writerId: String = "cdc-apply",
+                  compactEvery: Int = 0,
+                  compactLogEvery: Int = 0,
+                  keepVersions: Int = 10): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, table, keyCols, seqCols, opCol, batchId,
-          deleteOp, statsCol, writerId)
+          deleteOp, statsCol, writerId, compactEvery, compactLogEvery,
+          keepVersions)
         ()
       }
 
@@ -53,7 +65,10 @@ object CdcApply {
                                 seqCols: Seq[String], opCol: String,
                                 batchId: Long, deleteOp: String = "D",
                                 statsCol: Option[String] = None,
-                                writerId: String = "cdc-apply"): Unit = {
+                                writerId: String = "cdc-apply",
+                                compactEvery: Int = 0,
+                                compactLogEvery: Int = 0,
+                                keepVersions: Int = 10): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: don't even aggregate the change log
     if (ManifestTable.tableBatchApplied(spark, root, table, writerId,
@@ -66,6 +81,12 @@ object CdcApply {
       opCol, deleteOp)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
       keyCols, writerId, batchId, statsCol)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        ManifestTable.current(spark, root).exists(
+          _.entries.exists(_.table == table)))
+      ManifestTable.compact(spark, root, table, statsCol = statsCol)
+    if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
+      ManifestTable.compactLog(spark, root, keepVersions)
     ()
   }
 }

@@ -588,14 +588,52 @@ class Round15OpsSpec extends SparkSpec {
       graft.etl.ManifestTable.read(spark, root, "dim").count() == 2L)
   }
 
+  test("CdcApply: compaction cadence defragments the merged table " +
+    "without changing its contents") {
+    val root = tmpDir("cdc-compact") + "/t"
+    def batch(id: Long, rows: Seq[(Long, String)]): Unit =
+      graft.streaming.CdcApply.applyBatch(
+        rows.map { case (k, v) => (k, v, id, "U") }.toDF("k", "v", "seq", "op"),
+        root, "t", Seq("k"), Seq("seq"), "op", id,
+        statsCol = Some("k"), compactEvery = 4, compactLogEvery = 4)
+    batch(0L, Seq((1L, "a"), (2L, "b")))
+    batch(1L, Seq((3L, "c")))
+    batch(2L, Seq((1L, "a2")))
+    batch(3L, Seq((4L, "d")))
+    def files() = graft.etl.ManifestTable.current(spark, root).get
+      .entries.count(_.table == "t")
+    val fragmented = files()
+    assert(fragmented >= 3, s"per-batch merges fragment: $fragmented files")
+    batch(4L, Seq((5L, "e"))) // batchId % 4 == 0 -> compacts after merge
+    assert(files() < fragmented, s"cadence compacted: ${files()} files")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .select("k", "v").as[(Long, String)].collect().toSet
+      == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      "contents unchanged by compaction")
+    // commit log pruned on the same cadence
+    assert(new java.io.File(s"$root/_commits").listFiles()
+      .count(_.getName.startsWith("c-")) <= 10, "log bounded")
+  }
+
   // ---- the reference pipeline under the DDL constraint gate ----
 
   test("runChecked: the star publishes under the DDL's constraints; a " +
     "violating dimension aborts the whole nine-table transaction") {
-    val out = graft.etl.RefShaped.out(spark, sf())
+    val raw = graft.etl.RefShaped.out(spark, sf())
     val root = tmpDir("star-checked") + "/star"
+    // the RAW transform output violates the PRODUCT FK on this fixture
+    // (facts citing unknown products): main.py pre-validates CLIENTS
+    // only, so the reference's own DB load would crash on this data —
+    // the gate surfaces it as a clean abort naming the constraint
+    val exFk = intercept[IllegalStateException] {
+      graft.etl.OpinionPipeline.runChecked(spark, raw, root)
+    }
+    assert(exFk.getMessage.contains("fk_comentarios_producto"),
+      exFk.getMessage)
+    // the documented repair (drop orphan facts) passes the full gate
+    val out = graft.etl.OpinionPipeline.conformFacts(raw)
     val v = graft.etl.OpinionPipeline.runChecked(spark, out, root)
-    assert(v == 1L, "clean star commits as one version")
+    assert(v == 1L, "conformed star commits as one version")
     assert(graft.etl.ManifestTable.read(spark, root, "clientes").count() ==
       out.clientes.count(), "all rows passed the gate")
     // corrupt ONE dimension: a duplicated IdCliente (PK violation) must
