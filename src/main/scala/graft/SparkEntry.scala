@@ -1403,6 +1403,39 @@ object SparkEntry {
       out
     }),
 
+    // q338 with the maintenance cadences FIRING (compactEvery=1 →
+    // batch 1 compacts the table after its merge; compactLogEvery=1
+    // prunes the commit log): graded under q338's oracle VERBATIM, so
+    // any way compaction or log pruning could perturb the applied
+    // state hash-mismatches — maintenance-never-changes-results under
+    // oracle grade, the q334 discipline applied to the CDC path.
+    "q339_cdc_compacted" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-cp")
+      val root = tmp.resolve("t").toString
+      val b0 = o.filter(col("o_orderkey") % 4 =!= 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val up1 = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price", round(col("price") + 10.0d, 2))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val del1 = o.filter(col("o_orderkey") % 8 === 1)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      streaming.CdcApply.applyBatch(b0, root, "orders", Seq("o_orderkey"),
+        Seq("seq"), "op", batchId = 0L, statsCol = Some("o_orderkey"),
+        compactEvery = 1, compactLogEvery = 1, keepVersions = 1)
+      streaming.CdcApply.applyBatch(up1.unionByName(del1), root, "orders",
+        Seq("o_orderkey"), Seq("seq"), "op", batchId = 1L,
+        statsCol = Some("o_orderkey"),
+        compactEvery = 1, compactLogEvery = 1, keepVersions = 1)
+      val out = etl.ManifestTable.read(s, root, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // NVARCHAR width-cap validation (the DDL's declared widths,
     // sql:49-50, enforced engine-side): validate-or-quarantine split on
     // length(text) <= 300 (document lengths straddle the cap, so both
@@ -8676,6 +8709,17 @@ object SparkEntry {
         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin),
 
     "q338_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CASE WHEN o_orderkey % 2 = 0
+        |             THEN round(o_totalprice, 2) + 10.0
+        |             ELSE round(o_totalprice, 2) END, 2) AS price
+        |FROM orders
+        |WHERE (o_orderkey % 4 <> 0 OR o_orderkey % 2 = 0)
+        |  AND o_orderkey % 8 <> 1""".stripMargin,
+
+    // q338's oracle VERBATIM: compaction/log pruning must not perturb
+    // the applied state
+    "q339_cdc_compacted" ->
       """SELECT o_orderkey, o_custkey,
         |  round(CASE WHEN o_orderkey % 2 = 0
         |             THEN round(o_totalprice, 2) + 10.0
