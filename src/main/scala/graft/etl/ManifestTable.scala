@@ -1088,7 +1088,8 @@ object ManifestTable {
   def transactionalMerge(spark: SparkSession, root: String, table: String,
                          upserts: DataFrame, deleteKeys: DataFrame,
                          key: Seq[String], writerId: String, batchId: Long,
-                         statsCol: Option[String] = None): Boolean = {
+                         statsCol: Option[String] = None,
+                         fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): Boolean = {
     require(key.nonEmpty, "transactionalMerge: empty key")
     require(!writerId.contains("\t") && !writerId.contains("\n") &&
       !writerId.contains("/"), s"illegal writerId: $writerId")
@@ -1104,6 +1105,23 @@ object ManifestTable {
     require(up.select(key.map(col): _*).distinct().count() == nUp,
       "transactionalMerge: duplicate upsert keys — collapse the change " +
         "log first (applyChangeLog)")
+    // FK integrity on the INCOMING rows only (batch-proportional — the
+    // standing table was checked when it landed): each relation
+    // anti-joins the upserts' non-null child keys against the CURRENT
+    // parent table under this root; an orphan aborts the batch before
+    // any write, the reference's FK-rejecting load semantics on the
+    // CDC path. fkChecks = (name, childCols, parentTable, parentCols).
+    val fkFailures = fkChecks.flatMap { case (cname, cc, pt, pc) =>
+      val child = up.select(cc.map(col): _*).na.drop("any")
+      val parent = read(spark, root, pt).select(pc.zip(cc).map {
+        case (p, c) => col(p).as(c) }: _*)
+      val orphans = child.join(parent, cc, "left_anti").count()
+      if (orphans > 0L) Some(s"$cname ($orphans orphaned upserts)") else None
+    }
+    if (fkFailures.nonEmpty)
+      throw new IllegalStateException(
+        s"transactionalMerge: FK violations — batch $batchId not " +
+          s"applied: ${fkFailures.mkString("; ")}")
     // delete keys resolve BY NAME — a positional mapping would silently
     // mis-key deletes for a caller whose frame orders columns differently
     require(key.forall(deleteKeys.columns.contains),

@@ -49,13 +49,14 @@ object CdcApply {
                   writerId: String = "cdc-apply",
                   compactEvery: Int = 0,
                   compactLogEvery: Int = 0,
-                  keepVersions: Int = 10): DataStreamWriter[org.apache.spark.sql.Row] =
+                  keepVersions: Int = 10,
+                  fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, table, keyCols, seqCols, opCol, batchId,
           deleteOp, statsCol, writerId, compactEvery, compactLogEvery,
-          keepVersions)
+          keepVersions, fkChecks)
         ()
       }
 
@@ -68,7 +69,8 @@ object CdcApply {
                                 writerId: String = "cdc-apply",
                                 compactEvery: Int = 0,
                                 compactLogEvery: Int = 0,
-                                keepVersions: Int = 10): Unit = {
+                                keepVersions: Int = 10,
+                                fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: don't even aggregate the change log
     if (ManifestTable.tableBatchApplied(spark, root, table, writerId,
@@ -80,7 +82,7 @@ object CdcApply {
     val deletes = ChangeDataCapture.latestDeletes(cached, keyCols, seqCols,
       opCol, deleteOp)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
-      keyCols, writerId, batchId, statsCol)
+      keyCols, writerId, batchId, statsCol, fkChecks)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
         ManifestTable.current(spark, root).exists(
           _.entries.exists(_.table == table)))

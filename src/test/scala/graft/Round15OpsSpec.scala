@@ -588,6 +588,34 @@ class Round15OpsSpec extends SparkSpec {
       graft.etl.ManifestTable.read(spark, root, "dim").count() == 2L)
   }
 
+  test("transactionalMerge fkChecks: an upsert citing an unknown parent " +
+    "aborts the batch before any write; valid upserts pass") {
+    val root = tmpDir("cdc-fk") + "/r"
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("dim" -> Seq((10L, "d10"), (20L, "d20")).toDF("id", "name")))
+    val fk = Seq(("fk_dim", Seq("dim_id"), "dim", Seq("id")))
+    def merge(rows: Seq[(Long, Long)], id: Long) =
+      graft.etl.ManifestTable.transactionalMerge(spark, root, "fact",
+        rows.toDF("k", "dim_id"),
+        spark.emptyDataFrame.withColumn("k", lit(0L)).limit(0).select("k"),
+        Seq("k"), "w", id, fkChecks = fk)
+    assert(merge(Seq((1L, 10L), (2L, 20L)), 0L), "valid batch applies")
+    val v = graft.etl.ManifestTable.current(spark, root).get.version
+    val ex = intercept[IllegalStateException] {
+      merge(Seq((3L, 99L)), 1L) // 99 has no parent
+    }
+    assert(ex.getMessage.contains("fk_dim"), ex.getMessage)
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == v &&
+      graft.etl.ManifestTable.read(spark, root, "fact").count() == 2L,
+      "violating batch left nothing behind")
+    // NULL FK components pass (SQL semantics)
+    assert(graft.etl.ManifestTable.transactionalMerge(spark, root, "fact",
+      Seq((4L, null.asInstanceOf[java.lang.Long])).toDF("k", "dim_id")
+        .select(col("k"), col("dim_id").cast("long")),
+      Seq.empty[Long].toDF("k"), Seq("k"), "w", 2L, fkChecks = fk))
+    assert(graft.etl.ManifestTable.read(spark, root, "fact").count() == 3L)
+  }
+
   test("CdcApply: compaction cadence defragments the merged table " +
     "without changing its contents") {
     val root = tmpDir("cdc-compact") + "/t"
