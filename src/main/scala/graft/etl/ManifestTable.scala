@@ -97,6 +97,15 @@ object ManifestTable {
     * fail loudly instead of degrading silently. */
   val MaxFilesPerCommit = 1000000
 
+  /** Thrown when the optimistic commit CAS loses its version number to a
+    * concurrent committer — a TYPED conflict so retry-capable callers
+    * ([[transactionalMerge]]'s rebase loop) can distinguish "someone
+    * else committed first, re-resolve and rebase" from real I/O
+    * failures, which must stay fatal. Extends IOException so existing
+    * fail-loud callers are unchanged. */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
   /** One immutable data file of one table version. `min`/`max` are
     * optional long stats of the table's declared stats column (empty for
     * footer-only files — those are never skipped). `bloom` is an optional
@@ -328,7 +337,7 @@ object ManifestTable {
     val dest = new HPath(cd, fixedName(version))
     def conflict(): Nothing = {
       fs.delete(tmp, false)
-      throw new java.io.IOException(
+      throw new CommitConflictException(
         s"commit conflict: version $version already committed under $rootP — " +
           "re-resolve current() and retry")
     }
@@ -417,6 +426,37 @@ object ManifestTable {
             e.copy(bloom = Some((kc, b64)))
           }.getOrElse(e)
         }
+    }
+  }
+
+  /** [[writeData]] under the ONE-EXECUTION + footer-only discipline
+    * shared by every rewrite path (transactionalMerge,
+    * transactionalAppendAll, deleteWhere, mergeInto): write FIRST, then
+    * count the written files (a parquet metadata-only count) — an
+    * isEmpty pre-check would run the plan twice, and a
+    * non-deterministic frame could then commit rows the probe never
+    * saw. An EMPTY result either collapses to ONE footer-only file
+    * (`keepSchemaIfEmpty` — no other file of the table survives the
+    * commit, so the schema must; the deleteWhere readability contract)
+    * or deletes the dir and contributes no entry. The schema for the
+    * collapse reads back from the written footers — nothing of the
+    * original plan re-executes. */
+  private def writeDataNonEmptyOr(spark: SparkSession, rootP: HPath,
+                                  fs: FileSystem, table: String,
+                                  df: DataFrame, statsCol: Option[String],
+                                  bloomCol: Option[String],
+                                  keepSchemaIfEmpty: Boolean): Seq[FileEntry] = {
+    val written = writeData(spark, rootP, fs, table, df, statsCol, bloomCol)
+    val dir = new HPath(rootP, written.head.relPath).getParent
+    val n = spark.read.parquet(dir.toString).count()
+    if (n > 0L) written
+    else if (!keepSchemaIfEmpty) { fs.delete(dir, true); Nil }
+    else {
+      val schema = spark.read.parquet(dir.toString).schema
+      fs.delete(dir, true)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      writeData(spark, rootP, fs, table, empty.repartition(1), statsCol)
     }
   }
 
@@ -725,9 +765,11 @@ object ManifestTable {
 
   /** Single-table full replace. */
   def overwrite(spark: SparkSession, root: String, table: String, df: DataFrame,
-                statsCol: Option[String] = None): Long =
+                statsCol: Option[String] = None,
+                bloomCol: Option[String] = None): Long =
     publish(spark, root, Map(table -> df),
-      statsCol.fold(Map.empty[String, String])(c => Map(table -> c)))
+      statsCol.fold(Map.empty[String, String])(c => Map(table -> c)),
+      bloomCol.fold(Map.empty[String, String])(c => Map(table -> c)))
 
   /** [[publish]] gated by declarative expectations — the engine-side
     * analog of the reference's constraint-rejecting transactional load
@@ -858,7 +900,8 @@ object ManifestTable {
     * lands (all affected files replaced at once) or nothing changes.
     * Returns (filesRewritten, rowsDeleted). */
   def deleteWhere(spark: SparkSession, root: String, table: String,
-                  predicate: Column, statsCol: Option[String] = None): (Long, Long) = {
+                  predicate: Column, statsCol: Option[String] = None,
+                  bloomCol: Option[String] = None): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -870,18 +913,14 @@ object ManifestTable {
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedFiles.isEmpty) return (0L, 0L)
-    val (aff, keep) = mine.partition(e => affectedFiles.exists(_.endsWith(e.relPath)))
+    val (aff, keep) = partitionAffected(rootP, mine, affectedFiles)
     val adf = spark.read.parquet(aff.map(e => new HPath(rootP, e.relPath).toString): _*)
     val nDel = adf.filter(delCond).count()
     val keepRows = adf.filter(!delCond)
     // a fully-emptied table still commits one footer-only file so the
     // next read keeps its schema (the deleteWhere readability contract)
-    val newEntries =
-      if (keep.isEmpty || !keepRows.isEmpty)
-        writeData(spark, rootP, fs,
-          table, if (keepRows.isEmpty) keepRows.repartition(1) else keepRows,
-          statsCol)
-      else Nil
+    val newEntries = writeDataNonEmptyOr(spark, rootP, fs, table, keepRows,
+      statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
     (aff.size.toLong, nDel)
@@ -897,7 +936,7 @@ object ManifestTable {
     * fail-loud guard rejects an empty file name if a plan change ever
     * reintroduces that. */
   private def affectedByKeys(df: DataFrame, probeKeys: DataFrame,
-                             key: Seq[String],
+                             key: Seq[String], rootP: HPath,
                              mine: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
     val affectedFiles = df.withColumn("__f", input_file_name())
       .join(probeKeys, key, "left_semi")
@@ -906,7 +945,63 @@ object ManifestTable {
     require(!affectedFiles.contains(""),
       "affectedByKeys: input_file_name evaluated above the join " +
         "(empty file name) — affected-file discovery would be corrupt")
-    mine.partition(e => affectedFiles.exists(_.endsWith(e.relPath)))
+    partitionAffected(rootP, mine, affectedFiles)
+  }
+
+  /** O(A+M) affected/untouched split of manifest entries against a
+    * collected set of `input_file_name()` strings. Both sides normalize
+    * to the DECODED URI path component (`Path.toUri.getPath` strips
+    * scheme/authority and percent-encoding), so `file:/x` vs `file:///x`
+    * vs encoded forms all meet in one HashSet probe — the previous
+    * per-entry `exists(_.endsWith(relPath))` scan was O(A×M) pure
+    * driver CPU, quadratic in table size on the per-micro-batch CDC
+    * merge path. Fail-loud: every collected file was read FROM this
+    * entry list, so each must normalize onto exactly one entry — a
+    * count mismatch means the normalization lost a file and a matched
+    * row would silently never be rewritten. */
+  private def partitionAffected(rootP: HPath, mine: Seq[FileEntry],
+                                affectedFiles: Set[String])
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val affectedNorm: Set[String] =
+      affectedFiles.map(f => new HPath(f).toUri.getPath)
+    val split = mine.partition(e =>
+      affectedNorm.contains(new HPath(rootP, e.relPath).toUri.getPath))
+    require(split._1.size == affectedFiles.size,
+      s"partitionAffected: ${affectedFiles.size} affected files matched " +
+        s"only ${split._1.size} manifest entries — path normalization " +
+        "lost a file; refusing to merge with a corrupt affected set")
+    split
+  }
+
+  /** The copy-on-write rewrite core shared by [[mergeInto]] and
+    * [[transactionalMerge]] (one body, so a fix to the anti-join /
+    * footer-only rule can never apply to one merge path and not the
+    * other): rows of the AFFECTED files whose key matches a
+    * `touchedKeys` row are dropped, `inserts` rows (if any) are
+    * appended, and the result is written under the
+    * [[writeDataNonEmptyOr]] discipline. `inserts = None` is a pure
+    * delete-shaped rewrite (its columns may not match the table's —
+    * the transactionalMerge empty-upserts contract). */
+  private def rewriteAffected(spark: SparkSession, rootP: HPath,
+                              fs: FileSystem, table: String,
+                              aff: Seq[FileEntry], touchedKeys: DataFrame,
+                              key: Seq[String], inserts: Option[DataFrame],
+                              keepSchemaIfEmpty: Boolean,
+                              statsCol: Option[String],
+                              bloomCol: Option[String]): Seq[FileEntry] = {
+    val keepRows =
+      if (aff.isEmpty) touchedKeys.where(lit(false)) // only with inserts
+      else spark.read.parquet(
+        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        .join(touchedKeys, key, "left_anti")
+    val newRows = inserts match {
+      case None => keepRows
+      case Some(ins) =>
+        if (aff.isEmpty) ins
+        else keepRows.select(ins.columns.map(col): _*).unionByName(ins)
+    }
+    writeDataNonEmptyOr(spark, rootP, fs, table, newRows, statsCol,
+      bloomCol, keepSchemaIfEmpty)
   }
 
   /** MERGE (upsert) by key at FILE granularity — the storage-level
@@ -948,20 +1043,17 @@ object ManifestTable {
     val srcKeys = src.select(key.map(col): _*)
     require(srcKeys.distinct().count() == nSrc,
       "mergeInto: duplicate keys in source make the replace ambiguous")
-    val (aff, keep) = affectedByKeys(df, srcKeys, key, mine)
-    val (newRows, nUpdated, nMatchedKeys) =
-      if (aff.isEmpty) (src, 0L, 0L)
+    val (aff, keep) = affectedByKeys(df, srcKeys, key, rootP, mine)
+    val (nUpdated, nMatchedKeys) =
+      if (aff.isEmpty) (0L, 0L)
       else {
         val adf = spark.read.parquet(
           aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-        val matched = adf.join(srcKeys, key, "left_semi").count()
-        val matchedKeys = srcKeys.join(adf.select(key.map(col): _*),
-          key, "left_semi").count()
-        (adf.join(srcKeys, key, "left_anti").unionByName(src),
-          matched, matchedKeys)
+        (adf.join(srcKeys, key, "left_semi").count(),
+          srcKeys.join(adf.select(key.map(col): _*), key, "left_semi").count())
       }
-    val newEntries = writeData(spark, rootP, fs, table, newRows, statsCol,
-      bloomCol)
+    val newEntries = rewriteAffected(spark, rootP, fs, table, aff, srcKeys,
+      key, Some(src), keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ keep ++ newEntries)
     (aff.size.toLong, nUpdated, nSrc - nMatchedKeys)
@@ -1089,7 +1181,41 @@ object ManifestTable {
                          upserts: DataFrame, deleteKeys: DataFrame,
                          key: Seq[String], writerId: String, batchId: Long,
                          statsCol: Option[String] = None,
-                         fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): Boolean = {
+                         fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
+                         bloomCol: Option[String] = None,
+                         maxRetries: Int = 3): Boolean = {
+    // Optimistic-concurrency rebase: a lost commit CAS means another
+    // writer (typically a CDC stream on a DIFFERENT table of this root)
+    // claimed our version number — nothing about OUR batch is wrong.
+    // Re-running the attempt re-resolves the new head, re-checks the
+    // watermark under it, re-derives the affected files, and re-commits
+    // at head+1, so two interleaved writers both make progress instead
+    // of one aborting its batch. Bounded: past `maxRetries` the
+    // conflict propagates (fail-loud beats livelock under real
+    // contention — at that point the deployment needs a commit queue).
+    // The losing attempt's data files are unreferenced orphans; vacuum
+    // reclaims them.
+    require(maxRetries >= 0, "maxRetries >= 0")
+    var attempt = 0
+    while (true) {
+      try return transactionalMergeOnce(spark, root, table, upserts,
+        deleteKeys, key, writerId, batchId, statsCol, fkChecks, bloomCol)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def transactionalMergeOnce(spark: SparkSession, root: String,
+                         table: String,
+                         upserts: DataFrame, deleteKeys: DataFrame,
+                         key: Seq[String], writerId: String, batchId: Long,
+                         statsCol: Option[String],
+                         fkChecks: Seq[(String, Seq[String], String, Seq[String])],
+                         bloomCol: Option[String]): Boolean = {
     require(key.nonEmpty, "transactionalMerge: empty key")
     require(!writerId.contains("\t") && !writerId.contains("\n") &&
       !writerId.contains("/"), s"illegal writerId: $writerId")
@@ -1141,7 +1267,8 @@ object ManifestTable {
     }
     if (!exists) {
       if (nUp == 0L) return true // nothing to create; replay harmless
-      return commit(Nil, writeData(spark, rootP, fs, table, up, statsCol))
+      return commit(Nil,
+        writeData(spark, rootP, fs, table, up, statsCol, bloomCol))
     }
     val mine = entriesOf(cur, table)
     val df = toDf(spark, rootP, cur.get.entries, table)
@@ -1149,35 +1276,11 @@ object ManifestTable {
       s"transactionalMerge: upsert columns ${up.columns.toSeq} must " +
         s"match table columns ${df.columns.toSeq}")
     val touched = up.select(key.map(col): _*).unionByName(del).distinct()
-    val (aff, keep) = affectedByKeys(df, touched, key, mine)
+    val (aff, keep) = affectedByKeys(df, touched, key, rootP, mine)
     if (aff.isEmpty && nUp == 0L) return true // no-change batch
-    val keepRows =
-      if (aff.isEmpty) up.where(lit(false))
-      else spark.read.parquet(
-        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-        .join(touched, key, "left_anti")
-    val newRows =
-      if (nUp == 0L) keepRows
-      else keepRows.select(up.columns.map(col): _*).unionByName(up)
-    // write FIRST, count from the written footers — one execution of the
-    // rewrite plan (the appendNew discipline); a fully-emptied table
-    // keeps one footer-only file for its schema (the deleteWhere
-    // readability contract)
-    val written = writeData(spark, rootP, fs, table, newRows, statsCol)
-    val writtenDir = new HPath(rootP, written.head.relPath).getParent
-    val nWritten = spark.read.parquet(writtenDir.toString).count()
-    val newEntries =
-      if (nWritten > 0L) written
-      else if (keep.nonEmpty) { fs.delete(writtenDir, true); Nil }
-      else {
-        // collapse the footer-only partition files to ONE (schema read
-        // back from the written footers — nothing re-executes)
-        val schema = spark.read.parquet(writtenDir.toString).schema
-        fs.delete(writtenDir, true)
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        writeData(spark, rootP, fs, table, empty.repartition(1), statsCol)
-      }
+    val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
+      key, if (nUp == 0L) None else Some(up),
+      keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol)
     commit(aff, newEntries)
   }
 
@@ -1213,28 +1316,11 @@ object ManifestTable {
     if (applied) return false
     val newEntries = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
       val exists = cur.exists(_.entries.exists(_.table == name))
-      // write FIRST, then count the written files (a parquet
-      // metadata-only count) — ONE execution of each frame, the
-      // appendNew discipline: an isEmpty pre-check would run the plan
-      // twice, and a non-deterministic frame could then commit rows
-      // the probe never saw
-      val written = writeData(spark, rootP, fs, name, df, statsCols.get(name))
-      val dir = new HPath(rootP, written.head.relPath).getParent
-      val n = spark.read.parquet(dir.toString).count()
-      if (n > 0L) written
-      else if (exists) { fs.delete(dir, true); Nil }
-      else {
-        // schema establishment for a brand-new table with an empty
-        // first contribution: collapse the footer-only partition files
-        // to ONE (schema read back from the written footers — nothing
-        // of the original plan re-executes)
-        val schema = spark.read.parquet(dir.toString).schema
-        fs.delete(dir, true)
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        writeData(spark, rootP, fs, name, empty.repartition(1),
-          statsCols.get(name))
-      }
+      // one execution + footer-only-if-new: an empty contribution to a
+      // brand-new table establishes its schema; to an existing table it
+      // contributes nothing (long streams do not accumulate empty files)
+      writeDataNonEmptyOr(spark, rootP, fs, name, df, statsCols.get(name),
+        bloomCol = None, keepSchemaIfEmpty = !exists)
     }
     val carried = cur.map(_.entries.filterNot(e =>
       e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
@@ -1300,8 +1386,16 @@ object ManifestTable {
     // the in-flight-write guard: a not-yet-committed version's data
     // files look unreferenced; with minAgeMs > 0 anything younger than
     // the horizon survives, so vacuum no longer needs a quiet window —
-    // set it beyond the longest plausible write duration
-    val horizon = System.currentTimeMillis() - minAgeMs
+    // set it beyond the longest plausible write duration. The horizon
+    // derives from the STORAGE's own clock (the mtime of a probe file
+    // written just now), not the driver's: on object stores / NFS the
+    // two can skew, and a driver clock running fast would reclaim an
+    // in-flight write's files that storage stamped "younger" than they
+    // look from here. With minAgeMs == 0 the caller accepted the
+    // quiet-window contract and no probe is paid.
+    val horizon =
+      (if (minAgeMs == 0L) System.currentTimeMillis()
+       else storageNow(fs, cd)) - minAgeMs
     var deleted = 0L
     // data dirs are every top-level entry except _commits
     fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != CommitDir)
@@ -1323,7 +1417,26 @@ object ManifestTable {
             fs.delete(d.getPath, true)
         }
       }
-    drop.foreach(n => fs.delete(new HPath(cd, n), false))
+    // superseded commit files get the same age guard: a reader that
+    // planned from an old version moments ago may still be streaming
+    // its file list; with minAgeMs > 0 a young superseded commit
+    // survives until the next vacuum pass
+    drop.foreach { n =>
+      val p = new HPath(cd, n)
+      if (minAgeMs == 0L || fs.getFileStatus(p).getModificationTime < horizon)
+        fs.delete(p, false)
+    }
     deleted
+  }
+
+  /** The storage system's notion of "now": the mtime it stamps on a
+    * probe file written this instant — immune to driver/storage clock
+    * skew, one tiny PUT+HEAD+DELETE. The probe lives in `_commits`
+    * under a dotted name every commit-file matcher ignores. */
+  private def storageNow(fs: FileSystem, commitDir: HPath): Long = {
+    val probe = new HPath(commitDir, s".vacuum-probe-${uuid()}")
+    fs.create(probe, true).close()
+    try fs.getFileStatus(probe).getModificationTime
+    finally fs.delete(probe, false)
   }
 }
