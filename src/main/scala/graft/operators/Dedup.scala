@@ -796,8 +796,14 @@ object Dedup {
       .select(col("id"), col("bh"), col("band"))
     val rows = cappedIndexRows(existing, df, textCol, idCol, bands,
       rowsPerBand, shingleN, maxBucket)
+    // write-time bloom on band (batch-proportional cost): an appended
+    // file's [min,max] can span bands the batch never produced rows for
+    // (the skew cap drops whole (band,bh) buckets) — band-probed
+    // maintenance reads (readPrunedIn) skip those. The base write stays
+    // bloom-free: range-clustered full-corpus files are band-dense.
     graft.etl.ManifestTable.appendNew(spark, root, MhIndexTable, rows,
-      key = Seq("id", "band"), statsCol = Some("band"))
+      key = Seq("id", "band"), statsCol = Some("band"),
+      bloomCol = Some("band"))
   }
 
   /** Forget documents from the versioned index: manifest copy-on-write
@@ -811,7 +817,7 @@ object Dedup {
                                   root: String,
                                   pred: Column): (Long, Long) =
     graft.etl.ManifestTable.deleteWhere(spark, root, MhIndexTable, pred,
-      statsCol = Some("band"))
+      statsCol = Some("band"), bloomCol = Some("band"))
 
   /** [[incrementalPairs]] against a versioned index, optionally pinned
     * to a retained `version` — "which of these documents were near-dups
@@ -1002,6 +1008,85 @@ object Dedup {
     boards.reduce(_ unionByName _)
   }
 
+  /** The measured choice of one recall-board run: what was picked, its
+    * measured recall (1e6 grid), and its candidate volume — the
+    * observability record [[chooseLshConfig]] leaves behind. */
+  final case class LshChoice(bands: Int, rowsPerBand: Int,
+                             recallP6: Long, nCand: Long)
+
+  private val lshChoiceRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, LshChoice]()
+
+  /** Last config chosen under `metricName` (e.g.
+    * "graft.dedup.lsh.choice") in this JVM. */
+  def lshConfigChoice(metricName: String): Option[LshChoice] =
+    Option(lshChoiceRegistry.get(metricName))
+
+  /** Pick (bands, rowsPerBand) from MEASURED recall instead of the
+    * S-curve model alone: run [[minhashRecallBoard]] on `sample` (a
+    * small graded slice — the board's exact grader bounds what it can
+    * run on) and return the CHEAPEST config whose measured candidate
+    * recall meets `recallFloorP6` (recall on the 1e6 grid, e.g. 950000
+    * = 0.95). Cheapest = fewest candidate pairs (the actual pair-join
+    * cost on THIS corpus), ties to the smaller signature budget b*r.
+    * The [[lshPlan]] S-curve predicts where the floor can be met; the
+    * board verifies it on real text — model proposes, measurement
+    * disposes. Fail-loud contract: a sample with NO exact near-dup
+    * pairs can't grade anything (seed it — the q333 graded-corpus
+    * shape), and a floor no config meets needs a bigger signature
+    * budget, not a silent best-effort. The choice is recorded under
+    * `metricName` ([[lshConfigChoice]]) so pipelines can log what the
+    * tuner decided. */
+  def chooseLshConfig(sample: DataFrame, textCol: String, idCol: String,
+                      recallFloorP6: Long, shingleN: Int = 3,
+                      threshold: Double = 0.5,
+                      configs: Seq[(Int, Int)] =
+                        Seq((2, 4), (4, 4), (8, 2), (16, 2)),
+                      metricName: String = "graft.dedup.lsh.choice"): (Int, Int) = {
+    require(recallFloorP6 >= 0L && recallFloorP6 <= 1000000L,
+      "recallFloorP6 on the 1e6 grid")
+    val rows = minhashRecallBoard(sample, textCol, idCol, shingleN,
+      threshold, configs)
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("recall_p6"), col("n_exact"))
+      .collect()
+    require(rows.forall(_.getLong(4) > 0L),
+      "chooseLshConfig: the sample carries no exact near-dup pairs — " +
+        "recall is unmeasurable; seed the sample (graded-corpus shape) " +
+        "or pick the config explicitly")
+    val qualifying = rows.filter(_.getLong(3) >= recallFloorP6)
+    require(qualifying.nonEmpty, {
+      val best = rows.map(_.getLong(3)).max
+      s"chooseLshConfig: no config meets recall floor $recallFloorP6 " +
+        s"(best measured ${best}) — raise the signature budget"
+    })
+    val pick = qualifying.minBy(r =>
+      (r.getLong(2), r.getLong(0) * r.getLong(1), r.getLong(0)))
+    val choice = LshChoice(pick.getLong(0).toInt, pick.getLong(1).toInt,
+      pick.getLong(3), pick.getLong(2))
+    lshChoiceRegistry.put(metricName, choice)
+    System.err.println(s"[$metricName] chose (bands=${choice.bands}, " +
+      s"rows=${choice.rowsPerBand}) at measured recall " +
+      s"${choice.recallP6 / 1e6} with ${choice.nCand} candidates")
+    (choice.bands, choice.rowsPerBand)
+  }
+
+  /** [[dedupCorpus]] with the band config chosen by MEASURED recall on
+    * `sample` at `recallFloorP6` ([[chooseLshConfig]]) instead of
+    * hardcoded knobs — the full tuning loop in one call: grade the
+    * sample, pick the cheapest qualifying config, dedup the corpus
+    * under it. The sample should be a bounded graded slice; the corpus
+    * pays only the chosen config's banded join. */
+  def dedupCorpusTuned(df: DataFrame, sample: DataFrame, textCol: String,
+                       idCol: String, recallFloorP6: Long,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       configs: Seq[(Int, Int)] =
+                         Seq((2, 4), (4, 4), (8, 2), (16, 2))): DataFrame = {
+    val (bands, rowsPerBand) = chooseLshConfig(sample, textCol, idCol,
+      recallFloorP6, shingleN, threshold, configs)
+    dedupCorpus(df, textCol, idCol, bands, rowsPerBand, shingleN, threshold)
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * `minOverlap` distinct word n-grams with any document of the (small)
     * eval set — the published C4/GPT-3-style containment check run before
@@ -1117,18 +1202,23 @@ object Dedup {
   def bucketStats(metricName: String): Option[BucketStats] =
     Option(bucketStatsRegistry.get(metricName))
 
-  private def pairsFromBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
-                               metricName: String): DataFrame = {
-    // The skew cap is the right policy (a bucket of stop-shingles would
-    // otherwise quadratically explode one task) but must not be SILENT:
-    // count the dropped rows and worst bucket EAGERLY, one lightweight
-    // aggregate job per call — groupBy combines map-side, so the shuffle
-    // carries per-key partial counts, not rows. (`observe` would be
-    // free, but AQE drops CollectMetrics metrics under the self-join —
-    // verified empirically — and a lost safety metric is worse than a
-    // small extra job.) The job re-derives the bucket keys (one extra
-    // scan-side pass); max-throughput runs that accept silent capping can
-    // set spark.graft.bucketStats.enabled=false.
+  /** The skew-cap + observability core shared by every bucket-confined
+    * self-join in the engine (Dedup's banded joins, [[GraphAnn]]'s
+    * LSH-init and seed joins): rows of buckets larger than `maxBucket`
+    * are DROPPED, and the outcome (dropped rows, largest bucket) is
+    * recorded eagerly under `metricName` — capping quadratic work is
+    * the right policy, but it must never be silent.
+    *
+    * The stats job is one lightweight aggregate per call — groupBy
+    * combines map-side, so the shuffle carries per-key partial counts,
+    * not rows. (`observe` would be free, but AQE drops CollectMetrics
+    * metrics under the self-join — verified empirically — and a lost
+    * safety metric is worse than a small extra job.) Max-throughput
+    * runs that accept silent capping can set
+    * spark.graft.bucketStats.enabled=false. */
+  private[operators] def cappedBuckets(df: DataFrame, keys: Seq[String],
+                                       maxBucket: Int,
+                                       metricName: String): DataFrame = {
     val statsEnabled = df.sparkSession.conf
       .getOption("spark.graft.bucketStats.enabled").forall(_.toBoolean)
     if (statsEnabled) {
@@ -1144,10 +1234,14 @@ object Dedup {
         System.err.println(s"[$metricName] skew cap dropped ${stats.droppedRows} " +
           s"rows (largest bucket ${stats.maxBucketSize} > maxBucket $maxBucket)")
     }
-
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val capped = df.withColumn("__bn", count(lit(1)).over(w))
+    df.withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") <= maxBucket).drop("__bn")
+  }
+
+  private def pairsFromBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+                               metricName: String): DataFrame = {
+    val capped = cappedBuckets(df, keys, maxBucket, metricName)
     val payload = capped.columns.filterNot(keys.contains)
     val aSide = capped.select(keys.map(col) ++ payload.map(c => col(c).as(c + "_a")): _*)
     val bSide = capped.select(keys.map(col) ++ payload.map(c => col(c).as(c + "_b")): _*)

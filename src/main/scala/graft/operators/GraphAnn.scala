@@ -62,9 +62,10 @@ object GraphAnn {
     * (id, id) pairs only; vectors join in by key. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, planes: Int, tables: Int, degree: Int,
-               refine: Int = 1): DataFrame = {
+               refine: Int = 1, maxBucket: Int = 10000): DataFrame = {
     require(degree >= 1 && planes >= 1 && tables >= 1 && refine >= 0,
       "degree, planes, tables >= 1 and refine >= 0")
+    require(maxBucket >= 1, "maxBucket >= 1")
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     def best(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -77,7 +78,19 @@ object GraphAnn {
         .filter(col("__rn") <= degree)
         .select(col("vec_id").as("src"), col("dst"))
     }
-    val ck = tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id")
+    // Hot-bucket guard (the Dedup skew-cap discipline): the init
+    // self-join is quadratic in the largest bucket, and a degenerate
+    // embedding set (many zero / near-identical vectors — real web
+    // corpora produce them) lands everything in ONE bucket per table →
+    // one executor gets an O(n²) pair task. Buckets past `maxBucket`
+    // are dropped from INIT ONLY, loudly (Dedup.bucketStats
+    // "graft.graphann.init.buckets"); nodes in a dropped bucket can
+    // still gain edges from their other hash tables and from reverse /
+    // two-hop candidates in the refine rounds — a non-discriminative
+    // bucket contributes no useful neighbors anyway.
+    val ck = Dedup.cappedBuckets(
+      tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id"),
+      Seq("tbl", "key"), maxBucket, "graft.graphann.init.buckets")
     var graph = Lineage.cut(best(ck
       .join(ck.select(col("tbl"), col("key"), col("vec_id").as("dst")),
         Seq("tbl", "key"))
@@ -102,8 +115,15 @@ object GraphAnn {
     * excluded. */
   def lshSeeds(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, dim: Int, planes: Int, tables: Int,
-               entries: Seq[Long]): DataFrame = {
-    val ck = tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id")
+               entries: Seq[Long], maxBucket: Int = 10000): DataFrame = {
+    // corpus-side hot-bucket guard: the seed join's output is
+    // |query bucket| × |corpus bucket| per key — a degenerate corpus
+    // bucket multiplies EVERY query landing in it. Dropped buckets
+    // are logged ("graft.graphann.seeds.buckets"); the global
+    // `entries` backstop below keeps every query seeded regardless.
+    val ck = Dedup.cappedBuckets(
+      tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id"),
+      Seq("tbl", "key"), maxBucket, "graft.graphann.seeds.buckets")
     val qk = tableKeys(queries, idCol, vecCol, dim, planes, tables,
       "query_id")
     qk.join(ck, Seq("tbl", "key")).select(col("query_id"), col("vec_id"))
@@ -455,19 +475,21 @@ object GraphAnn {
     // and the post-state equals a fresh [[graphWrite]] over the live
     // corpus (the vacuum invariant). The sidecar count is O(deletes) —
     // a tiny single-file read, not an index scan.
+    // BOTH paths run under the index's PERSISTED build params: an index
+    // built with e.g. upperRefine=0 must not be silently rebuilt under
+    // this call site's defaults, and the non-escalation merge must not
+    // mix edge structures built under drifted dim/planes/tables/degree
+    // into one index (legacy indexes without the sidecar keep the old
+    // call-site-args behavior) — the versioned family's discipline.
+    val p = readParamsSidecar(spark, path).getOrElse(BuildParams(dim,
+      planes, tables, degree, refine, upperMod, upperDegree,
+      upperRefine, 0L, 0L))
     val tombN = graphTombstones(spark, path).map(_.count()).getOrElse(0L)
     if (tombN > 0 &&
         tombN.toDouble / (base.count() + delta.count()).max(1L)
           >= vacuumAtTombstoneFraction) {
       val corpus = base.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
-      // rebuild under the index's PERSISTED build params: an index
-      // built with e.g. upperRefine=0 must not be silently rebuilt
-      // under this call site's defaults (legacy indexes without the
-      // sidecar keep the old call-site-args behavior)
-      val p = readParamsSidecar(spark, path).getOrElse(BuildParams(dim,
-        planes, tables, degree, refine, upperMod, upperDegree,
-        upperRefine, 0L, 0L))
       graphVacuum(spark, path, corpus, idCol, vecCol, p.dim, p.planes,
         p.tables, p.degree, p.refine, p.upperMod, p.upperDegree,
         p.upperRefine, shards)
@@ -475,7 +497,7 @@ object GraphAnn {
     }
     val edges = spark.read.parquet(s"$path/edges").select("src", "dst")
     val merged = appendMergedEdges(edges, base, delta, idCol, vecCol,
-      dim, planes, tables, degree, rounds, beamWidth, entries)
+      p.dim, p.planes, p.tables, p.degree, rounds, beamWidth, entries)
     // Publish through a staged swap: the old in-place overwrite deleted
     // the ONLY copy of the index before the new write committed (a
     // mid-write failure lost it; a concurrent reader could see a
@@ -617,7 +639,14 @@ object GraphAnn {
     * the versioned-IVF feature set: snapshot isolation for readers
     * racing any maintenance op, "search as of version V"
     * ([[layeredTopKVersioned]]), and retention vacuum
-    * ([[graft.etl.ManifestTable.vacuum]]). Returns the version. */
+    * ([[graft.etl.ManifestTable.vacuum]]). Returns the version.
+    *
+    * Deliberately NO write-time blooms (unlike the IVF/minhash
+    * versioned appends): every read of the edge tables is a
+    * whole-table join (the beam expands over ALL of `edges`; the
+    * upper layer seeds likewise) — there is no probed-key read that
+    * could ever consult a per-file filter, so a bloom here would be
+    * pure write-amplification. */
   def graphWriteVersioned(corpus: DataFrame, idCol: String, vecCol: String,
                           dim: Int, planes: Int, tables: Int, degree: Int,
                           refine: Int, root: String, upperMod: Int = 4,

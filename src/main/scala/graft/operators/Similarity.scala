@@ -498,8 +498,18 @@ object Similarity {
       .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
       .repartitionByRange(col("list_id"))
       .sortWithinPartitions(col("list_id"))
+    // write-time bloom on list_id: an appended file's [min,max] spans
+    // every list between the batch's extremes, but a small batch
+    // POPULATES only some of them — the bloom lets a probed search
+    // ([[ivfTopKVersioned]] via readPrunedIn) skip appended files whose
+    // range covers a probed list that the batch never touched. The base
+    // write carries NO bloom deliberately: its range-clustered files
+    // are dense (every list inside a file's range is populated), so
+    // keptBloom == keptRange by construction — measured, not assumed
+    // (Round16OpsSpec pins both directions with prunedInStats).
     graft.etl.ManifestTable.appendNew(delta.sparkSession, root, IvfTable,
-      assigned, key = Seq("vec_id"), statsCol = Some("list_id"))
+      assigned, key = Seq("vec_id"), statsCol = Some("list_id"),
+      bloomCol = Some("list_id"))
   }
 
   /** Delete from a [[ivfWriteVersioned]] index: manifest copy-on-write
@@ -515,8 +525,11 @@ object Similarity {
   def ivfDeleteVersioned(spark: org.apache.spark.sql.SparkSession,
                          root: String,
                          pred: Column): (Long, Long) =
+    // rewritten files re-cover with a bloom: a delete can punch holes in
+    // a previously-dense file (lists inside its range with no surviving
+    // row), which is exactly the interleaving blooms catch
     graft.etl.ManifestTable.deleteWhere(spark, root, IvfTable, pred,
-      statsCol = Some("list_id"))
+      statsCol = Some("list_id"), bloomCol = Some("list_id"))
 
   /** Search a [[ivfWriteVersioned]] index, optionally pinned to a
     * retained `version` (time travel — "what did this query return
