@@ -321,11 +321,17 @@ object IncrementalLoad {
           // a LONG all-digit tag) names no real target: "restoring" it
           // would resurrect a stale backup as a visible data dir named
           // after the tag. Repair when a sibling target exists (normal
-          // drop-the-backup path) or the stripped name doesn't look like
-          // a nanoTime tag (>= 13 digits — a legitimately digits-named
-          // table like a date dir "20240101" is 8 digits and still
-          // restores); only the unambiguous legacy shape is deleted.
-          val legacyTag = stripped.length >= 13 && stripped.forall(_.isDigit)
+          // drop-the-backup path) or the stripped name isn't the
+          // unambiguous legacy shape — EXACTLY 18-19 digits, the
+          // nanoTime length on any host up more than ~10 years or with
+          // a boot-epoch clock source. Anything shorter all-digit
+          // (a date dir "20240101", an epoch-millis dir at 13, a
+          // short-uptime nanoTime) is AMBIGUOUS and errs toward
+          // restore: resurrecting a stale legacy backup costs one
+          // spurious visible dir; deleting a real mid-swap backup
+          // destroys the target's only copy. Asymmetric risk decides.
+          val legacyTag = (stripped.length == 18 || stripped.length == 19) &&
+            stripped.forall(_.isDigit)
           if (fs.exists(tgt) || !legacyTag) repairSwap(fs, tgt, s.getPath)
           else fs.delete(s.getPath, true)
         } else if (n.startsWith(".rewrite-staging-"))

@@ -152,12 +152,19 @@ object RefShaped {
       |  SELECT IdCliente, 'Cliente_' || CAST(IdCliente AS VARCHAR) AS Nombre,
       |         'cliente_' || CAST(IdCliente AS VARCHAR) || '@mail.com' AS Email
       |  FROM required WHERE IdCliente NOT IN (SELECT IdCliente FROM clients)),
-      |clientes AS (
+      |clientes_rw AS (
       |  SELECT IdCliente, Nombre,
       |         CASE WHEN count(*) OVER (PARTITION BY Email) > 1
       |              THEN 'cliente_' || CAST(IdCliente AS VARCHAR) || '@placeholder.com'
       |              ELSE Email END AS Email
       |  FROM clientes_all),
+      |clientes AS (
+      |  -- DDL width caps (NVARCHAR Nombre 100 / Email 150, sql:49-50),
+      |  -- applied AFTER the dup-email rewrite exactly like the engine;
+      |  -- NULL passes (CHECK semantics)
+      |  SELECT IdCliente, Nombre, Email FROM clientes_rw
+      |  WHERE (Nombre IS NULL OR length(Nombre) <= 100)
+      |    AND (Email IS NULL OR length(Email) <= 150)),
       |productos AS (
       |  SELECT p.IdProducto, p.Nombre, c.IdCategoria
       |  FROM (SELECT TRY_CAST(CAST(IdProducto AS VARCHAR) AS BIGINT) AS IdProducto, Nombre, Categoria

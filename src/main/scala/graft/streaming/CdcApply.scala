@@ -34,13 +34,22 @@ object CdcApply {
     * `opCol`, and payload; the maintained table's columns are
     * keys + seq + payload-without-op.
     *
-    * Maintenance cadences (both 0 = off): every `compactEvery` batches
+    * Maintenance cadences (all 0 = off): every `compactEvery` batches
     * the table compacts ([[ManifestTable.compact]], clustering on
     * `statsCol` so file skipping survives) — per-batch merges rewrite
     * only AFFECTED files, so a long stream otherwise fragments the
     * table into batch-sized file sets; every `compactLogEvery` batches
     * the commit log prunes to `keepVersions` (safe mid-stream — the
-    * watermark rides the current self-contained commit). */
+    * watermark rides the current self-contained commit).
+    *
+    * `compactAtFileCount` is the ADAPTIVE trigger (the graph index's
+    * `compactAtAppendedFraction` shape): compact whenever the table's
+    * manifest holds at least that many files — the fragmentation signal
+    * itself, read from the commit the merge just wrote (O(1), the entry
+    * list IS the file inventory). A fixed batch-count cadence either
+    * over-compacts a low-touch stream or lets a high-touch one fragment
+    * between ticks; the file-count trigger self-tunes to the actual
+    * per-batch touch rate. Both triggers compose (either fires). */
   def applyStream(stream: DataFrame, root: String, table: String,
                   keyCols: Seq[String], seqCols: Seq[String],
                   opCol: String, checkpoint: String,
@@ -50,13 +59,14 @@ object CdcApply {
                   compactEvery: Int = 0,
                   compactLogEvery: Int = 0,
                   keepVersions: Int = 10,
-                  fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
+                  fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
+                  compactAtFileCount: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, table, keyCols, seqCols, opCol, batchId,
           deleteOp, statsCol, writerId, compactEvery, compactLogEvery,
-          keepVersions, fkChecks)
+          keepVersions, fkChecks, compactAtFileCount)
         ()
       }
 
@@ -70,7 +80,8 @@ object CdcApply {
                                 compactEvery: Int = 0,
                                 compactLogEvery: Int = 0,
                                 keepVersions: Int = 10,
-                                fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil): Unit = {
+                                fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
+                                compactAtFileCount: Int = 0): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: don't even aggregate the change log
     if (ManifestTable.tableBatchApplied(spark, root, table, writerId,
@@ -83,9 +94,13 @@ object CdcApply {
       opCol, deleteOp)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
       keyCols, writerId, batchId, statsCol, fkChecks)
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-        ManifestTable.current(spark, root).exists(
-          _.entries.exists(_.table == table)))
+    val tableFiles = ManifestTable.current(spark, root)
+      .map(_.entries.count(_.table == table)).getOrElse(0)
+    val cadenceDue = compactEvery > 0 && batchId > 0 &&
+      batchId % compactEvery == 0
+    val fragmented = compactAtFileCount > 0 &&
+      tableFiles >= compactAtFileCount
+    if ((cadenceDue || fragmented) && tableFiles > 0)
       ManifestTable.compact(spark, root, table, statsCol = statsCol)
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)

@@ -84,8 +84,13 @@ object CorpusIngest {
                                  quarantinePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: a committed batch re-fires as a no-op
-    // without touching the index, the corpus, or even the batch data
-    if (hasMarker(spark, corpusPath, s"commit-$batchId")) return
+    // without touching the index, the corpus, or even the batch data.
+    // Batches whose commit marker was GC'd are covered by the
+    // committed-upto watermark, so a replay of ANY old id (retried
+    // orchestration, checkpoint loss/reset) no-ops — marker pruning
+    // never narrows the idempotence contract.
+    if (hasMarker(spark, corpusPath, s"commit-$batchId") ||
+        committedUpTo(spark, corpusPath) >= batchId) return
     val crashed = hasMarker(spark, corpusPath, s"begin-$batchId")
     putMarker(spark, corpusPath, s"begin-$batchId")
     val cached = batch.localCheckpoint() // source offsets are one-shot
@@ -304,27 +309,55 @@ object CorpusIngest {
     if (!fs.exists(hp)) fs.create(hp, true).close()
   }
 
-  /** GC the commit log: drop begin/commit markers of batches `< below`.
-    * Under the Structured Streaming contract only the LATEST batch can
-    * ever replay, so markers below batchId-1 are dead weight — without
-    * this the log grows two small files per trigger forever, and a
-    * begin marker orphaned by an old crash keeps forcing the expensive
-    * membership-guard path on every same-id replay long after the batch
-    * committed. Called when the commit marker lands, so the directory
-    * the O(1) exists-probe lists stays O(1)-sized too. */
+  /** GC the commit log: drop begin/commit markers of batches `< below`,
+    * FIRST persisting a `committed-upto-<below-1>` watermark covering
+    * every commit marker about to vanish — batches commit in order
+    * under the Structured Streaming contract, so one watermark encodes
+    * them all and a replay of ANY pruned id still no-ops (the full
+    * ingestBatch idempotence contract, not just the latest batch).
+    * Watermark-then-delete ordering makes a mid-GC crash safe: both
+    * forms may coexist, never neither. Without the GC the log grows two
+    * small files per trigger forever, and a begin marker orphaned by an
+    * old crash keeps forcing the expensive membership-guard path on
+    * every same-id replay long after the batch committed. Called when
+    * the commit marker lands, so the directory the O(1) exists-probe
+    * lists stays O(1)-sized too. */
   private def pruneMarkers(spark: SparkSession, corpusPath: String,
                            below: Long): Unit = {
     if (below <= 0L) return
     val (fs, dir) = graft.etl.IncrementalLoad.fsFor(spark,
       commitLogPath(corpusPath))
     if (!fs.exists(dir)) return
+    if (below - 1 > committedUpTo(spark, corpusPath))
+      putMarker(spark, corpusPath, s"committed-upto-${below - 1}")
     fs.listStatus(dir).foreach { s =>
       val n = s.getPath.getName
       val id = n.dropWhile(_ != '-').drop(1)
       if ((n.startsWith("begin-") || n.startsWith("commit-")) &&
           id.nonEmpty && id.forall(_.isDigit) && id.toLong < below)
         fs.delete(s.getPath, false)
+      // older watermarks are subsumed by the one just written
+      if (n.startsWith("committed-upto-")) {
+        val w = n.stripPrefix("committed-upto-")
+        if (w.forall(_.isDigit) && w.nonEmpty && w.toLong < below - 1)
+          fs.delete(s.getPath, false)
+      }
     }
+  }
+
+  /** Highest batch id covered by a retained `committed-upto-` watermark
+    * (-1 when none) — one tiny-directory listing, O(1) post-GC. */
+  private def committedUpTo(spark: SparkSession,
+                            corpusPath: String): Long = {
+    val (fs, dir) = graft.etl.IncrementalLoad.fsFor(spark,
+      commitLogPath(corpusPath))
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("committed-upto-"))
+      .map(_.stripPrefix("committed-upto-"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(_ max _)
   }
 
   private def readIfExists(spark: SparkSession,
