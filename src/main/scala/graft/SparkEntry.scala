@@ -1615,19 +1615,27 @@ object SparkEntry {
     // Jaccard, the GradedCorpusSql mirror) so recall DISCRIMINATES
     // between the four configs instead of reading 1.0 everywhere.
     "q333_lsh_recall_board" -> ((s, dir) => {
-      val base = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      val toks = split(col("text"), " ")
-      val frac = when(col("doc_id") % 8 === 0, lit(1.0d))
-        .when(col("doc_id") % 8 === 2, lit(0.9d))
-        .when(col("doc_id") % 8 === 4, lit(0.75d))
-        .otherwise(lit(0.6d))
-      val keepN = greatest(lit(3),
-        floor(size(toks).cast("double") * frac).cast("int"))
-      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
-        array_join(slice(toks, lit(1), keepN), " ").as("text"))
-      Dedup.minhashRecallBoard(base.unionByName(variants), "text", "doc_id",
+      Dedup.minhashRecallBoard(gradedNearDupCorpus(s, dir), "text", "doc_id",
         shingleN = 3, threshold = 0.5, configs = RecallBoardConfigs)
+    }),
+
+    // Recall-driven config selection (round-15 verdict #8): the board
+    // stops being informative-only — chooseLshConfig grades the SAME
+    // graded corpus and picks the CHEAPEST (fewest measured candidate
+    // pairs, ties to the smaller signature budget) config meeting a
+    // 0.95 recall floor. The oracle replays the full board in SQL and
+    // applies the identical selection rule, so the tuner's decision
+    // itself is oracle-graded. At 100 TB this runs on a bounded graded
+    // sample and the chosen knobs drive the corpus-sized dedup
+    // (Dedup.dedupCorpusTuned).
+    "q340_lsh_autotune" -> ((s, dir) => {
+      import s.implicits._
+      val (b, r) = Dedup.chooseLshConfig(gradedNearDupCorpus(s, dir),
+        "text", "doc_id", recallFloorP6 = 950000L, shingleN = 3,
+        threshold = 0.5, configs = RecallBoardConfigs)
+      val c = Dedup.lshConfigChoice("graft.dedup.lsh.choice").get
+      Seq((b.toLong, r.toLong, c.nCand, c.recallP6))
+        .toDF("bands", "rows_per_band", "n_cand", "recall_p6")
     }),
 
     // Maximal duplicated-span extraction (the suffix-array ExactSubstr
@@ -4965,6 +4973,24 @@ object SparkEntry {
   private val RecallBoardConfigs: Seq[(Int, Int)] =
     Seq((2, 4), (4, 4), (8, 2), (16, 2))
 
+  /** The graded-near-dup corpus q333/q340 grade recall on — even-id
+    * documents plus one prefix-truncated variant each (the
+    * [[GradedCorpusSql]] mirror, expression for expression). */
+  private def gradedNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val frac = when(col("doc_id") % 8 === 0, lit(1.0d))
+      .when(col("doc_id") % 8 === 2, lit(0.9d))
+      .when(col("doc_id") % 8 === 4, lit(0.75d))
+      .otherwise(lit(0.6d))
+    val keepN = greatest(lit(3),
+      floor(size(toks).cast("double") * frac).cast("int"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(1), keepN), " ").as("text"))
+    base.unionByName(variants)
+  }
+
   /** q333's GRADED-near-dup corpus in SQL (the Spark query mirrors this
     * expression for expression): even-id documents plus one
     * prefix-truncated variant each — keep 100/90/75/60% of the
@@ -5212,6 +5238,15 @@ object SparkEntry {
     "q252_kaplan_meier" -> KmSessionOracleSql,
     "q331_km_board_digest" -> KmDigestSql,
     "q333_lsh_recall_board" -> LshRecallBoardSql,
+
+    // the tuner's selection rule over the identical board: cheapest
+    // qualifying config (n_cand asc, then b*r, then bands)
+    "q340_lsh_autotune" ->
+      s"""SELECT bands, rows_per_band, n_cand, recall_p6
+         |FROM ($LshRecallBoardSql) __board
+         |WHERE recall_p6 >= 950000
+         |ORDER BY n_cand, bands * rows_per_band, bands
+         |LIMIT 1""".stripMargin,
 
     "q318_kaplan_meier_v2" -> withBoardChecksumSql(KmSessionOracleSql),
 

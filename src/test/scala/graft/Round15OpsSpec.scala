@@ -254,12 +254,19 @@ class Round15OpsSpec extends SparkSpec {
     val names = new java.io.File(
       graft.streaming.CorpusIngest.commitLogPath(corpus))
       .listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
-    assert(names == Set("begin-1", "commit-1", "begin-2", "commit-2"),
-      s"only the last two batches' markers survive: $names")
+    assert(names == Set("begin-1", "commit-1", "begin-2", "commit-2",
+      "committed-upto-0"),
+      s"last two batches' markers + the covering watermark survive: $names")
     // the latest batch (the only one that CAN replay) still no-ops O(1)
     ingest(2L, Seq((3L, "red orange yellow green blue indigo violet colors")))
     assert(spark.read.parquet(corpus).count() == 3,
       "latest-batch replay still guarded after GC")
+    // an OLD id whose markers were pruned (retried orchestration /
+    // checkpoint reset) no-ops via the watermark — GC never narrowed
+    // the idempotence contract
+    ingest(0L, Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(spark.read.parquet(corpus).count() == 3,
+      "pruned-batch replay no-ops via committed-upto")
   }
 
   // ---- ADVICE: atomicRewrite claim tripwire ----
@@ -287,19 +294,27 @@ class Round15OpsSpec extends SparkSpec {
 
   // ---- ADVICE: legacy .rewrite-old-<nanoTime> names are deleted ----
 
-  test("recoverRewrites: legacy numeric rewrite-old dirs are deleted, not " +
-    "resurrected into the data tree; current-naming repair still works") {
+  test("recoverRewrites: unambiguous legacy numeric rewrite-old dirs are " +
+    "deleted; AMBIGUOUS all-digit names (epoch millis, date dirs) err " +
+    "toward restore; current-naming repair still works") {
     val root = tmpDir("recover-legacy")
-    // legacy leftover: pre-deterministic naming, no target to restore to
-    Seq(9L).toDF("v").write.parquet(s"$root/.rewrite-old-1755123456789")
+    // unambiguous legacy leftover: 19-digit nanoTime shape, no target
+    Seq(9L).toDF("v").write.parquet(s"$root/.rewrite-old-1755123456789123456")
+    // AMBIGUOUS: a 13-digit all-digit name could be an epoch-millis-named
+    // TARGET that crashed mid-swap — its backup is the only copy; restore
+    Seq(5L).toDF("v").write.parquet(s"$root/.rewrite-old-1755123456789")
     // current naming, crashed between renames: target missing
     Seq(7L).toDF("v").write.parquet(s"$root/.rewrite-old-tbl")
     graft.etl.IncrementalLoad.recoverRewrites(spark, root)
     val visible = new java.io.File(root).listFiles().map(_.getName).toSet
-    assert(!visible.contains("1755123456789"),
-      s"legacy tag must not become a visible data dir: $visible")
+    assert(!visible.contains("1755123456789123456"),
+      s"19-digit legacy tag must not become a visible data dir: $visible")
     assert(!visible.exists(_.startsWith(".rewrite-old-")),
-      s"both leftovers handled: $visible")
+      s"all leftovers handled: $visible")
+    assert(visible.contains("1755123456789") &&
+      spark.read.parquet(s"$root/1755123456789").as[Long].collect().toSeq
+        == Seq(5L),
+      "ambiguous epoch-millis-shaped backup restored, never deleted")
     assert(visible.contains("tbl") &&
       spark.read.parquet(s"$root/tbl").as[Long].collect().toSeq == Seq(7L),
       "current-naming backup restored")
