@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Manifest-pointer committed tables: the object-store-safe form of the
@@ -926,26 +926,131 @@ object ManifestTable {
     (aff.size.toLong, nDel)
   }
 
+  /** Last merge-discovery pruning outcome per root: how many of the
+    * table's files the discovery scan actually read vs held — the
+    * observability hook for [[affectedByKeys]]'s candidate narrowing. */
+  final case class DiscoveryStats(scannedFiles: Long, totalFiles: Long)
+  private val discoveryStatsRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, DiscoveryStats]()
+  def mergeDiscoveryStats(root: String): Option[DiscoveryStats] =
+    Option(discoveryStatsRegistry.get(new HPath(root).toUri.getPath))
+
+  /** Driver-side cap on collected probe keys for exact per-file
+    * candidate tests; past it discovery falls back to the range
+    * envelope (still sound, coarser). */
+  private val MaxCollectedProbeKeys = 100000L
+
+  /** The candidate files a merge's probe keys could possibly live in —
+    * discovery narrowing so the per-batch semi-join scan reads
+    * O(candidates), not O(table). Sound by construction (a skipped
+    * file provably contains NO probe key):
+    *   - manifest min/max on the clustered key (exact per-file
+    *     containment against the collected probe-key set when it is
+    *     bounded, a sorted-array binary search per file; the coarse
+    *     [batchMin,batchMax] envelope past [[MaxCollectedProbeKeys]]);
+    *   - per-file Bloom filters on the key (write-time or
+    *     [[indexBloom]]-retrofitted): a range-surviving file whose
+    *     filter rejects every probe key is skipped — the narrowing
+    *     that survives insert-heavy batches, whose fresh keys blow
+    *     any range envelope. No false negatives, so never lossy.
+    * Files without stats/bloom on the key are always candidates;
+    * multi-column keys skip narrowing entirely (stats cover one
+    * column). At 100 TB this is the difference between a CDC batch
+    * scanning the table and scanning the handful of files its keys
+    * cluster into. */
+  private def discoveryCandidates(spark: SparkSession,
+                                  probeKeys: DataFrame, key: Seq[String],
+                                  statsCol: Option[String],
+                                  mine: Seq[FileEntry]): Seq[FileEntry] = {
+    if (key.length != 1) return mine
+    // a handful of files is cheaper to scan than to narrow (the probe
+    // collection is a Spark job); narrowing exists for tables where the
+    // file LIST is the cost
+    if (mine.size <= 4) return mine
+    val kc = key.head
+    val statsCover = statsCol.contains(kc)
+    val bloomsPresent = mine.exists(_.bloom.exists(_._1 == kc))
+    if (!statsCover && !bloomsPresent) return mine
+    // ONE extra job in the common case: collect up to the cap + 1
+    // distinct keys — an overflowing take proves the set is unbounded
+    // and discovery falls back to the envelope aggregate
+    val taken = probeKeys.select(col(kc).cast("long").as("l"),
+        col(kc).cast("string").as("s")).distinct()
+      .limit(MaxCollectedProbeKeys.toInt + 1).collect()
+    val collected: Option[Array[Row]] =
+      if (taken.length <= MaxCollectedProbeKeys) Some(taken) else None
+    val ranged =
+      if (!statsCover) mine
+      else collected match {
+        case Some(rows) =>
+          // exact per-file containment against the sorted key set
+          val longs = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+          val anyUncastable = rows.exists(_.isNullAt(0))
+          mine.filter(e => (e.min, e.max) match {
+            case (Some(mn), Some(mx)) if !anyUncastable =>
+              val i = java.util.Arrays.binarySearch(longs, mn)
+              val from = if (i >= 0) i else -i - 1
+              from < longs.length && longs(from) <= mx
+            case _ => true // footer-only / uncastable keys: never skip
+          })
+        case None =>
+          val r = probeKeys.agg(min(col(kc).cast("long")),
+            max(col(kc).cast("long"))).head()
+          if (r.isNullAt(0) || r.isNullAt(1)) mine
+          else mine.filter(e => (e.min, e.max) match {
+            case (Some(mn), Some(mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
+            case _ => true
+          })
+      }
+    collected match {
+      case Some(rows) if ranged.exists(_.bloom.exists(_._1 == kc)) =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val probes = rows.filter(!_.isNullAt(1))
+          .map(_.getString(1).getBytes(StandardCharsets.UTF_8))
+        ranged.filter { e =>
+          e.bloom match {
+            case Some((bc, b64)) if bc == kc =>
+              val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(b64)))
+              probes.exists(bf.mightContainBinary)
+            case _ => true
+          }
+        }
+      case _ => ranged
+    }
+  }
+
   /** Partition a table's manifest entries into (filesContainingAnyKey,
     * untouchedFiles) — the copy-on-write affected-set discovery shared
-    * by [[mergeInto]] and [[transactionalMerge]]. `input_file_name()`
-    * is attached SCAN-SIDE (a projection below the join): evaluated
-    * above a non-broadcast join it returns the empty string — with a
-    * sort-merge-joined probe side every file would silently look
-    * unaffected and matched rows would never be rewritten. The
-    * fail-loud guard rejects an empty file name if a plan change ever
-    * reintroduces that. */
-  private def affectedByKeys(df: DataFrame, probeKeys: DataFrame,
-                             key: Seq[String], rootP: HPath,
+    * by [[mergeInto]] and [[transactionalMerge]]. The semi-join scan
+    * reads only [[discoveryCandidates]] (manifest-stats + bloom
+    * narrowed); files outside the candidate set are untouched by
+    * construction. `input_file_name()` is attached SCAN-SIDE (a
+    * projection below the join): evaluated above a non-broadcast join
+    * it returns the empty string — with a sort-merge-joined probe side
+    * every file would silently look unaffected and matched rows would
+    * never be rewritten. The fail-loud guard rejects an empty file
+    * name if a plan change ever reintroduces that. */
+  private def affectedByKeys(spark: SparkSession, rootP: HPath,
+                             probeKeys: DataFrame,
+                             key: Seq[String], statsCol: Option[String],
                              mine: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
-    val affectedFiles = df.withColumn("__f", input_file_name())
+    val cand = discoveryCandidates(spark, probeKeys, key, statsCol, mine)
+    discoveryStatsRegistry.put(rootP.toUri.getPath,
+      DiscoveryStats(cand.size.toLong, mine.size.toLong))
+    if (cand.isEmpty) return (Nil, mine)
+    val cdf = spark.read.parquet(
+      cand.map(e => new HPath(rootP, e.relPath).toString): _*)
+    val affectedFiles = cdf.withColumn("__f", input_file_name())
       .join(probeKeys, key, "left_semi")
       .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
     require(!affectedFiles.contains(""),
       "affectedByKeys: input_file_name evaluated above the join " +
         "(empty file name) — affected-file discovery would be corrupt")
-    partitionAffected(rootP, mine, affectedFiles)
+    val (aff, keepCand) = partitionAffected(rootP, cand, affectedFiles)
+    val candSet = cand.map(_.relPath).toSet
+    (aff, keepCand ++ mine.filterNot(e => candSet.contains(e.relPath)))
   }
 
   /** O(A+M) affected/untouched split of manifest entries against a
@@ -1025,7 +1130,28 @@ object ManifestTable {
   def mergeInto(spark: SparkSession, root: String, table: String,
                 source: DataFrame, key: Seq[String],
                 statsCol: Option[String] = None,
-                bloomCol: Option[String] = None): (Long, Long, Long) = {
+                bloomCol: Option[String] = None,
+                maxRetries: Int = 3): (Long, Long, Long) = {
+    // the transactionalMerge rebase discipline: a lost commit CAS
+    // re-resolves the new head and re-derives the whole merge
+    require(maxRetries >= 0, "maxRetries >= 0")
+    var attempt = 0
+    while (true) {
+      try return mergeIntoOnce(spark, root, table, source, key, statsCol,
+        bloomCol)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeIntoOnce(spark: SparkSession, root: String, table: String,
+                source: DataFrame, key: Seq[String],
+                statsCol: Option[String],
+                bloomCol: Option[String]): (Long, Long, Long) = {
     require(key.nonEmpty, "mergeInto: empty key")
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
@@ -1043,7 +1169,8 @@ object ManifestTable {
     val srcKeys = src.select(key.map(col): _*)
     require(srcKeys.distinct().count() == nSrc,
       "mergeInto: duplicate keys in source make the replace ambiguous")
-    val (aff, keep) = affectedByKeys(df, srcKeys, key, rootP, mine)
+    val (aff, keep) = affectedByKeys(spark, rootP, srcKeys, key, statsCol,
+      mine)
     val (nUpdated, nMatchedKeys) =
       if (aff.isEmpty) (0L, 0L)
       else {
@@ -1275,8 +1402,13 @@ object ManifestTable {
     require(up.columns.toSet == df.columns.toSet || nUp == 0L,
       s"transactionalMerge: upsert columns ${up.columns.toSeq} must " +
         s"match table columns ${df.columns.toSeq}")
-    val touched = up.select(key.map(col): _*).unionByName(del).distinct()
-    val (aff, keep) = affectedByKeys(df, touched, key, rootP, mine)
+    // cut: touched feeds the discovery collect, the semi-join scan, and
+    // the rewrite anti-join — without it each consumer re-runs the
+    // distinct shuffle
+    val touched = graft.operators.Lineage.cut(
+      up.select(key.map(col): _*).unionByName(del).distinct())
+    val (aff, keep) = affectedByKeys(spark, rootP, touched, key, statsCol,
+      mine)
     if (aff.isEmpty && nUp == 0L) return true // no-change batch
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
       key, if (nUp == 0L) None else Some(up),
@@ -1302,7 +1434,29 @@ object ManifestTable {
   def transactionalAppendAll(spark: SparkSession, root: String,
                              tables: Map[String, DataFrame],
                              writerId: String, batchId: Long,
-                             statsCols: Map[String, String] = Map.empty): Boolean = {
+                             statsCols: Map[String, String] = Map.empty,
+                             maxRetries: Int = 3): Boolean = {
+    // same rebase-on-conflict loop as transactionalMerge: a CorpusIngest
+    // stream and a CDC stream sharing one root race version numbers,
+    // and the loser's batch is not wrong — re-resolve and re-land it
+    require(maxRetries >= 0, "maxRetries >= 0")
+    var attempt = 0
+    while (true) {
+      try return transactionalAppendAllOnce(spark, root, tables, writerId,
+        batchId, statsCols)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def transactionalAppendAllOnce(spark: SparkSession, root: String,
+                             tables: Map[String, DataFrame],
+                             writerId: String, batchId: Long,
+                             statsCols: Map[String, String]): Boolean = {
     require(tables.nonEmpty, "transactionalAppendAll: no tables")
     require(!writerId.contains("\t") && !writerId.contains("\n") &&
       !writerId.contains("/"), s"illegal writerId: $writerId")

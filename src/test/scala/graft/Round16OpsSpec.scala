@@ -321,4 +321,50 @@ class Round16OpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(tuned == manual, "tuned dedup == dedupCorpus(chosen config)")
   }
+
+  // ---- merge discovery narrowing: stats + bloom candidate pruning ----
+
+  test("merge discovery reads O(candidate files), not O(table): manifest " +
+    "min/max prunes a range-clustered table exactly; blooms prune a " +
+    "stats-less table; insert-heavy batches stay narrow") {
+    val root = tmpDir("disc-stats") + "/t"
+    manyFileTable(root, 40) // file i holds keys [i*100, i*100+9], stats on k
+    // update two keys of file 3 + insert a fresh key far outside every
+    // file's range — the exact per-file containment test keeps file 3 only
+    val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+      spark, root, "t", Seq((307L, "UP"), (303L, "UP2"), (99999L, "NEW"))
+        .toDF("k", "v"), key = Seq("k"), statsCol = Some("k"))
+    assert((files, updated, inserted) == (1L, 2L, 1L))
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root).get
+    assert(st == graft.etl.ManifestTable.DiscoveryStats(1L, 40L),
+      s"discovery scanned 1/40 files: $st")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(got(307L) == "UP" && got(303L) == "UP2" && got(99999L) == "NEW"
+      && got.size == 401, "narrowed discovery lost nothing")
+
+    // stats-less table, write-time blooms only: bloom probes narrow the
+    // scan (3% fpp leaves a small false-positive tail, never the table)
+    val root2 = tmpDir("disc-bloom") + "/t"
+    val rdd = spark.sparkContext.parallelize(0 until 40, 40)
+      .mapPartitionsWithIndex { (i, _) =>
+        (0 until 10).map(j => org.apache.spark.sql.Row(i * 100L + j,
+          s"v$i-$j")).iterator }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.ManifestTable.publish(spark, root2,
+      Map("t" -> spark.createDataFrame(rdd, schema)),
+      bloomCols = Map("t" -> "k"))
+    val (f2, u2, i2) = graft.etl.ManifestTable.mergeInto(spark, root2, "t",
+      Seq((1705L, "UP")).toDF("k", "v"), key = Seq("k"))
+    assert((f2, u2, i2) == (1L, 1L, 0L))
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root2).get
+    assert(st2.totalFiles == 40L && st2.scannedFiles < 10L,
+      s"bloom narrowing pruned the stats-less table: $st2")
+    assert(graft.etl.ManifestTable.read(spark, root2, "t")
+      .filter(col("k") === 1705L).select("v").as[String].head() == "UP")
+  }
 }
