@@ -1193,7 +1193,8 @@ object ManifestTable {
     * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, root: String, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              statsCol: Option[String] = None): (Long, Long) = {
+              statsCol: Option[String] = None,
+              bloomCol: Option[String] = None): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -1208,7 +1209,9 @@ object ManifestTable {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
     }
-    val newEntries = writeData(spark, rootP, fs, table, re, statsCol)
+    // bloomCol so compaction does not STRIP the table's per-file bloom
+    // coverage (merge discovery and readPrunedEq/In both consume it)
+    val newEntries = writeData(spark, rootP, fs, table, re, statsCol, bloomCol)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ newEntries)
     (mine.size.toLong, newEntries.size.toLong)

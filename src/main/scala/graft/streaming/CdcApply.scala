@@ -49,7 +49,14 @@ object CdcApply {
     * list IS the file inventory). A fixed batch-count cadence either
     * over-compacts a low-touch stream or lets a high-touch one fragment
     * between ticks; the file-count trigger self-tunes to the actual
-    * per-batch touch rate. Both triggers compose (either fires). */
+    * per-batch touch rate. Both triggers compose (either fires).
+    *
+    * `bloomCol` (typically the merge KEY when `statsCol` clusters on
+    * something else, e.g. event time): every file the stream writes —
+    * merge rewrites, bootstrap, compaction — carries a per-file Bloom
+    * filter of that column, so the per-batch affected-file discovery
+    * prunes by key even where min/max stats cannot (the time-clustered,
+    * key-probed table is the canonical CDC shape). */
   def applyStream(stream: DataFrame, root: String, table: String,
                   keyCols: Seq[String], seqCols: Seq[String],
                   opCol: String, checkpoint: String,
@@ -60,13 +67,14 @@ object CdcApply {
                   compactLogEvery: Int = 0,
                   keepVersions: Int = 10,
                   fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
-                  compactAtFileCount: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+                  compactAtFileCount: Int = 0,
+                  bloomCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, table, keyCols, seqCols, opCol, batchId,
           deleteOp, statsCol, writerId, compactEvery, compactLogEvery,
-          keepVersions, fkChecks, compactAtFileCount)
+          keepVersions, fkChecks, compactAtFileCount, bloomCol)
         ()
       }
 
@@ -81,7 +89,8 @@ object CdcApply {
                                 compactLogEvery: Int = 0,
                                 keepVersions: Int = 10,
                                 fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
-                                compactAtFileCount: Int = 0): Unit = {
+                                compactAtFileCount: Int = 0,
+                                bloomCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: don't even aggregate the change log
     if (ManifestTable.tableBatchApplied(spark, root, table, writerId,
@@ -93,7 +102,7 @@ object CdcApply {
     val deletes = ChangeDataCapture.latestDeletes(cached, keyCols, seqCols,
       opCol, deleteOp)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
-      keyCols, writerId, batchId, statsCol, fkChecks)
+      keyCols, writerId, batchId, statsCol, fkChecks, bloomCol)
     val tableFiles = ManifestTable.current(spark, root)
       .map(_.entries.count(_.table == table)).getOrElse(0)
     val cadenceDue = compactEvery > 0 && batchId > 0 &&
@@ -101,7 +110,8 @@ object CdcApply {
     val fragmented = compactAtFileCount > 0 &&
       tableFiles >= compactAtFileCount
     if ((cadenceDue || fragmented) && tableFiles > 0)
-      ManifestTable.compact(spark, root, table, statsCol = statsCol)
+      ManifestTable.compact(spark, root, table, statsCol = statsCol,
+        bloomCol = bloomCol)
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)
     ()

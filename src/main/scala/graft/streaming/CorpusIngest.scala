@@ -209,6 +209,11 @@ object CorpusIngest {
     * commit log grows one file per trigger forever. Safe mid-stream:
     * commit files are self-contained snapshots and the watermark rides
     * the current one, so dropping old commits never perturbs a replay. */
+  /** `compactAtFileCount` > 0 compacts the corpus/index tables whenever
+    * their manifest file count crosses the bar (the CdcApply adaptive
+    * trigger): per-batch transactional appends fragment both tables one
+    * file set per trigger, and a batch-count cadence cannot see how
+    * fast that actually happens. */
   def dedupIngestManifest(stream: DataFrame, textCol: String, idCol: String,
                           root: String, checkpoint: String,
                           bands: Int = 16, rowsPerBand: Int = 2,
@@ -216,13 +221,14 @@ object CorpusIngest {
                           quarantine: Boolean = true,
                           maxBucket: Int = 1000,
                           compactLogEvery: Int = 0,
-                          keepVersions: Int = 10): DataStreamWriter[org.apache.spark.sql.Row] =
+                          keepVersions: Int = 10,
+                          compactAtFileCount: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchManifest(batch, textCol, idCol, root, batchId, bands,
           rowsPerBand, shingleN, threshold, quarantine, maxBucket,
-          compactLogEvery, keepVersions)
+          compactLogEvery, keepVersions, compactAtFileCount)
         ()
       }
 
@@ -235,7 +241,8 @@ object CorpusIngest {
                                          quarantine: Boolean = true,
                                          maxBucket: Int = 1000,
                                          compactLogEvery: Int = 0,
-                                         keepVersions: Int = 10): Unit = {
+                                         keepVersions: Int = 10,
+                                         compactAtFileCount: Int = 0): Unit = {
     import graft.etl.ManifestTable
     val spark = batch.sparkSession
     val Writer = "corpus-ingest"
@@ -282,6 +289,19 @@ object CorpusIngest {
       else Map.empty)
     ManifestTable.transactionalAppendAll(spark, root, tables, Writer,
       batchId, statsCols = Map("index" -> "band"))
+    if (compactAtFileCount > 0) {
+      // adaptive defrag (the CdcApply file-count trigger): per-batch
+      // appends add one file set per table per trigger; compact a table
+      // when ITS manifest crosses the bar, preserving the index's band
+      // clustering so file skipping survives
+      val entries = ManifestTable.current(spark, root)
+        .map(_.entries).getOrElse(Nil)
+      Seq("corpus" -> Option.empty[String], "index" -> Some("band")).foreach {
+        case (t, stats) =>
+          if (entries.count(_.table == t) >= compactAtFileCount)
+            ManifestTable.compact(spark, root, t, statsCol = stats)
+      }
+    }
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)
     ()

@@ -367,4 +367,76 @@ class Round16OpsSpec extends SparkSpec {
     assert(graft.etl.ManifestTable.read(spark, root2, "t")
       .filter(col("k") === 1705L).select("v").as[String].head() == "UP")
   }
+
+  // ---- CDC end-to-end: time-clustered stats + key blooms ----
+
+  test("CdcApply bloomCol: a time-clustered key-probed table (the " +
+    "canonical CDC shape) narrows per-batch discovery by key bloom; " +
+    "compaction keeps the coverage") {
+    val root = tmpDir("cdc-bloom") + "/t"
+    // bootstrap: many files, clustered on seq (time), probed by k
+    def batch(id: Long, rows: Seq[(Long, String, Long)]): Unit =
+      graft.streaming.CdcApply.applyBatch(
+        rows.map { case (k, v, seq) => (k, v, seq, "U") }
+          .toDF("k", "v", "seq", "op"),
+        root, "t", Seq("k"), Seq("seq"), "op", id,
+        statsCol = Some("seq"), bloomCol = Some("k"),
+        compactAtFileCount = 12)
+    // 8 bootstrap-ish batches, keys scattered so seq-stats can't prune
+    // key probes
+    (0L until 8L).foreach { b =>
+      batch(b, (0L until 5L).map(j => (b * 100L + j * 17L, s"v$b-$j",
+        b * 10L + j)))
+    }
+    val filesBefore = graft.etl.ManifestTable.current(spark, root).get
+      .entries.count(_.table == "t")
+    // an update batch touching ONE old key: discovery must narrow by
+    // the key bloom (seq stats are useless for a key probe)
+    batch(8L, Seq((317L, "UPDATED", 999L)))
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root).get
+    assert(st.scannedFiles < st.totalFiles,
+      s"key bloom narrowed discovery on the time-clustered table: $st")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 317L).select("v").as[String].collect().toSeq
+    assert(got == Seq("UPDATED"), s"merge landed: $got")
+    assert(graft.etl.ManifestTable.read(spark, root, "t").count() == 40L,
+      "one update, no inserts, nothing lost")
+    // compaction (file-count trigger fired during the run) re-covered
+    // the rewritten files: every data file still has a k-bloom
+    val entries = graft.etl.ManifestTable.current(spark, root).get
+      .entries.filter(_.table == "t")
+    assert(entries.forall(_.bloom.exists(_._1 == "k")),
+      s"compaction/merge kept bloom coverage on all ${entries.size} files")
+    assert(entries.size < filesBefore || filesBefore < 12,
+      "adaptive compaction bounded fragmentation")
+  }
+
+  // ---- ingest-manifest adaptive defrag ----
+
+  test("CorpusIngest manifest mode: compactAtFileCount defrags corpus and " +
+    "index when their manifests fragment; contents unchanged") {
+    val root = tmpDir("ingest-defrag")
+    def ingest(id: Long, docs: Seq[(Long, String)]): Unit =
+      graft.streaming.CorpusIngest.ingestBatchManifest(
+        docs.toDF("doc_id", "text"), "text", "doc_id", root, id,
+        bands = 4, rowsPerBand = 2, shingleN = 3, threshold = 0.8,
+        quarantine = false, compactAtFileCount = 6)
+    (0L until 6L).foreach { b =>
+      ingest(b, Seq((b * 10L + 1L,
+        s"unique document number $b with distinct words alpha$b beta$b " +
+          s"gamma$b delta$b epsilon$b zeta$b")))
+    }
+    val entries = graft.etl.ManifestTable.current(spark, root).get.entries
+    val corpusFiles = entries.count(_.table == "corpus")
+    assert(corpusFiles < 6,
+      s"corpus defragmented below the batch count: $corpusFiles")
+    assert(graft.etl.ManifestTable.read(spark, root, "corpus").count() == 6L,
+      "all six unique documents present after defrag")
+    // the index still gates a replayed near-dup correctly
+    ingest(6L, Seq((999L,
+      "unique document number 0 with distinct words alpha0 beta0 " +
+        "gamma0 delta0 epsilon0 zeta0")))
+    assert(graft.etl.ManifestTable.read(spark, root, "corpus").count() == 6L,
+      "near-dup of doc 1 gated by the compacted index")
+  }
 }
