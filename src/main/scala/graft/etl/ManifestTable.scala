@@ -106,6 +106,30 @@ object ManifestTable {
   final class CommitConflictException(msg: String)
     extends java.io.IOException(msg)
 
+  /** The rebase-on-conflict policy of the whole merge family
+    * ([[transactionalMerge]], [[transactionalAppendAll]], [[mergeInto]],
+    * [[deleteByKeys]]) in ONE body: a lost commit CAS means another
+    * writer claimed our version number — nothing about OUR batch is
+    * wrong, so re-run `body` (each attempt re-resolves the new head,
+    * re-checks its watermark, re-derives its affected files, and
+    * re-commits at head+1). Bounded: past `maxRetries` the conflict
+    * propagates — fail-loud beats livelock under real contention; at
+    * that point the deployment needs a commit queue. A losing attempt's
+    * data files are unreferenced orphans; [[vacuum]] reclaims them. */
+  private def retryOnConflict[A](maxRetries: Int)(body: => A): A = {
+    require(maxRetries >= 0, "maxRetries >= 0")
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One immutable data file of one table version. `min`/`max` are
     * optional long stats of the table's declared stats column (empty for
     * footer-only files — those are never skipped). `bloom` is an optional
@@ -940,6 +964,11 @@ object ManifestTable {
     * envelope (still sound, coarser). */
   private val MaxCollectedProbeKeys = 100000L
 
+  /** Driver budget for bloom-probe work (files-with-bloom × probe
+    * forms); past it the bloom narrowing is skipped, never partial —
+    * probing a SUBSET of keys would be a false negative. */
+  private val MaxBloomProbeWork = 50000000L
+
   /** The candidate files a merge's probe keys could possibly live in —
     * discovery narrowing so the per-batch semi-join scan reads
     * O(candidates), not O(table). Sound by construction (a skipped
@@ -994,19 +1023,43 @@ object ManifestTable {
             case _ => true // footer-only / uncastable keys: never skip
           })
         case None =>
+          // overflow path: same uncastable discipline as the collected
+          // branch — a probe key the long cast loses (non-numeric
+          // string key) contributes nothing to min/max, and an envelope
+          // built without it could skip the very file that joins it;
+          // one aggregate answers both questions
           val r = probeKeys.agg(min(col(kc).cast("long")),
-            max(col(kc).cast("long"))).head()
-          if (r.isNullAt(0) || r.isNullAt(1)) mine
+            max(col(kc).cast("long")),
+            sum(when(col(kc).isNotNull && col(kc).cast("long").isNull,
+              lit(1L)).otherwise(lit(0L)))).head()
+          val anyUncastable = !r.isNullAt(2) && r.getLong(2) > 0L
+          if (r.isNullAt(0) || r.isNullAt(1) || anyUncastable) mine
           else mine.filter(e => (e.min, e.max) match {
             case (Some(mn), Some(mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
             case _ => true
           })
       }
+    val bloomable = ranged.count(_.bloom.exists(_._1 == kc))
     collected match {
-      case Some(rows) if ranged.exists(_.bloom.exists(_._1 == kc)) =>
+      // driver budget: each skippable file pays up to |probes| filter
+      // tests — past the budget the bloom pass would stall the driver,
+      // so it is skipped (sound: skipping the NARROWING keeps files)
+      case Some(rows) if bloomable > 0 &&
+          bloomable.toLong * rows.length * 2 <= MaxBloomProbeWork =>
         import org.apache.spark.util.sketch.BloomFilter
-        val probes = rows.filter(!_.isNullAt(1))
-          .map(_.getString(1).getBytes(StandardCharsets.UTF_8))
+        // probe BOTH canonical forms, mirroring fileBloomsB64's double
+        // insertion: a probe key arriving type-coerced (DOUBLE source
+        // against a LONG table renders "4.0") must still hit the
+        // long-form entry — a single-form probe is a guaranteed false
+        // negative there, i.e. a silently never-rewritten matched row
+        val probes = rows.flatMap { r =>
+          val s = if (r.isNullAt(1)) None
+            else Some(r.getString(1).getBytes(StandardCharsets.UTF_8))
+          val l = if (r.isNullAt(0)) None
+            else Some(String.valueOf(r.getLong(0))
+              .getBytes(StandardCharsets.UTF_8))
+          (s.toSeq ++ l.filterNot(lb => s.exists(java.util.Arrays.equals(_, lb))))
+        }
         ranged.filter { e =>
           e.bloom match {
             case Some((bc, b64)) if bc == kc =>
@@ -1067,8 +1120,19 @@ object ManifestTable {
   private def partitionAffected(rootP: HPath, mine: Seq[FileEntry],
                                 affectedFiles: Set[String])
       : (Seq[FileEntry], Seq[FileEntry]) = {
-    val affectedNorm: Set[String] =
-      affectedFiles.map(f => new HPath(f).toUri.getPath)
+    // input_file_name() returns the URL-ENCODED URI string (Spark's
+    // PartitionedFile path form): parse as URI so "%20" decodes to the
+    // space the manifest side (Hadoop Path semantics) carries raw — a
+    // Path round-trip would keep the literal "%20" and every merge on a
+    // space-containing root would abort on the count tripwire below
+    def normalizeScan(f: String): String =
+      try {
+        val p = new java.net.URI(f).getPath
+        if (p != null && p.nonEmpty) p else new HPath(f).toUri.getPath
+      } catch {
+        case _: java.net.URISyntaxException => new HPath(f).toUri.getPath
+      }
+    val affectedNorm: Set[String] = affectedFiles.map(normalizeScan)
     val split = mine.partition(e =>
       affectedNorm.contains(new HPath(rootP, e.relPath).toUri.getPath))
     require(split._1.size == affectedFiles.size,
@@ -1109,6 +1173,51 @@ object ManifestTable {
       bloomCol, keepSchemaIfEmpty)
   }
 
+  /** Targeted deletion by KEY SET — the right-to-be-forgotten fast
+    * path: where [[deleteWhere]] must scan the whole table to find
+    * files matching an arbitrary predicate, a key-set delete goes
+    * through [[discoveryCandidates]] (manifest min/max + per-file key
+    * blooms), so discovery reads O(candidate files) and the rewrite
+    * touches only files that actually contain a forgotten key. One
+    * atomic commit; pre-delete versions stay readable until retention
+    * drops them (the audit trail). Rebase-on-conflict like the rest of
+    * the merge family. Returns (filesRewritten, rowsDeleted). */
+  def deleteByKeys(spark: SparkSession, root: String, table: String,
+                   keys: DataFrame, key: Seq[String],
+                   statsCol: Option[String] = None,
+                   bloomCol: Option[String] = None,
+                   maxRetries: Int = 3): (Long, Long) = {
+    require(key.nonEmpty, "deleteByKeys: empty key")
+    retryOnConflict(maxRetries) {
+      deleteByKeysOnce(spark, root, table, keys, key, statsCol, bloomCol)
+    }
+  }
+
+  private def deleteByKeysOnce(spark: SparkSession, root: String,
+                               table: String, keys: DataFrame,
+                               key: Seq[String], statsCol: Option[String],
+                               bloomCol: Option[String]): (Long, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    // cut: the key set feeds discovery, the row count, and the rewrite
+    val ks = graft.operators.Lineage.cut(
+      keys.select(key.map(col): _*).distinct())
+    val (aff, keep) = affectedByKeys(spark, rootP, ks, key, statsCol, mine)
+    if (aff.isEmpty) return (0L, 0L)
+    val adf = spark.read.parquet(
+      aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+    val nDel = adf.join(ks, key, "left_semi").count()
+    val newEntries = rewriteAffected(spark, rootP, fs, table, aff, ks,
+      key, inserts = None, keepSchemaIfEmpty = keep.isEmpty, statsCol,
+      bloomCol)
+    writeCommit(fs, rootP, cur.version + 1L,
+      cur.entries.filterNot(_.table == table) ++ keep ++ newEntries)
+    (aff.size.toLong, nDel)
+  }
+
   /** MERGE (upsert) by key at FILE granularity — the storage-level
     * sibling of [[graft.operators.ChangeDataCapture.mergeUpsert]] (which
     * merges frames, leaving persistence to the caller): existing rows
@@ -1132,20 +1241,9 @@ object ManifestTable {
                 statsCol: Option[String] = None,
                 bloomCol: Option[String] = None,
                 maxRetries: Int = 3): (Long, Long, Long) = {
-    // the transactionalMerge rebase discipline: a lost commit CAS
-    // re-resolves the new head and re-derives the whole merge
-    require(maxRetries >= 0, "maxRetries >= 0")
-    var attempt = 0
-    while (true) {
-      try return mergeIntoOnce(spark, root, table, source, key, statsCol,
-        bloomCol)
-      catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxRetries) throw e
-          attempt += 1
-      }
+    retryOnConflict(maxRetries) {
+      mergeIntoOnce(spark, root, table, source, key, statsCol, bloomCol)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def mergeIntoOnce(spark: SparkSession, root: String, table: String,
@@ -1215,6 +1313,35 @@ object ManifestTable {
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ newEntries)
     (mine.size.toLong, newEntries.size.toLong)
+  }
+
+  /** Adaptive defrag for streaming maintainers ([[graft.streaming.CdcApply]],
+    * [[graft.streaming.CorpusIngest]]): compacts `table` only when its
+    * manifest holds at least `minFiles` files AND at least twice the
+    * table's post-compaction ideal (ceil(bytes / targetFileBytes)) —
+    * without the second test, a table that has grown to legitimately
+    * NEED `minFiles` files would cross an absolute threshold forever
+    * and every micro-batch would rewrite the whole table. The byte
+    * statting is only paid once the count bar is crossed. A lost
+    * compaction commit CAS is swallowed, not retried: maintenance is
+    * optional, the next trigger re-fires, and it must never kill a
+    * stream whose batch data already committed. Returns
+    * Some((filesBefore, filesAfter)) when a compaction ran. */
+  def compactIfFragmented(spark: SparkSession, root: String, table: String,
+                          minFiles: Int,
+                          targetFileBytes: Long = 128L * 1024 * 1024,
+                          statsCol: Option[String] = None,
+                          bloomCol: Option[String] = None): Option[(Long, Long)] = {
+    require(minFiles >= 1, "minFiles >= 1")
+    val (fs, rootP) = fsFor(spark, root)
+    val mine = entriesOf(current(spark, root), table)
+    if (mine.size < minFiles) return None
+    val bytes = mine.map(e =>
+      fs.getFileStatus(new HPath(rootP, e.relPath)).getLen).sum
+    val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    if (mine.size < 2L * ideal) return None // the table NEEDS these files
+    try Some(compact(spark, root, table, targetFileBytes, statsCol, bloomCol))
+    catch { case _: CommitConflictException => None }
   }
 
   /** Reserved pseudo-table carrying transaction watermarks inside commit
@@ -1314,29 +1441,10 @@ object ManifestTable {
                          fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
                          bloomCol: Option[String] = None,
                          maxRetries: Int = 3): Boolean = {
-    // Optimistic-concurrency rebase: a lost commit CAS means another
-    // writer (typically a CDC stream on a DIFFERENT table of this root)
-    // claimed our version number — nothing about OUR batch is wrong.
-    // Re-running the attempt re-resolves the new head, re-checks the
-    // watermark under it, re-derives the affected files, and re-commits
-    // at head+1, so two interleaved writers both make progress instead
-    // of one aborting its batch. Bounded: past `maxRetries` the
-    // conflict propagates (fail-loud beats livelock under real
-    // contention — at that point the deployment needs a commit queue).
-    // The losing attempt's data files are unreferenced orphans; vacuum
-    // reclaims them.
-    require(maxRetries >= 0, "maxRetries >= 0")
-    var attempt = 0
-    while (true) {
-      try return transactionalMergeOnce(spark, root, table, upserts,
-        deleteKeys, key, writerId, batchId, statsCol, fkChecks, bloomCol)
-      catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxRetries) throw e
-          attempt += 1
-      }
+    retryOnConflict(maxRetries) {
+      transactionalMergeOnce(spark, root, table, upserts, deleteKeys, key,
+        writerId, batchId, statsCol, fkChecks, bloomCol)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def transactionalMergeOnce(spark: SparkSession, root: String,
@@ -1439,21 +1547,10 @@ object ManifestTable {
                              writerId: String, batchId: Long,
                              statsCols: Map[String, String] = Map.empty,
                              maxRetries: Int = 3): Boolean = {
-    // same rebase-on-conflict loop as transactionalMerge: a CorpusIngest
-    // stream and a CDC stream sharing one root race version numbers,
-    // and the loser's batch is not wrong — re-resolve and re-land it
-    require(maxRetries >= 0, "maxRetries >= 0")
-    var attempt = 0
-    while (true) {
-      try return transactionalAppendAllOnce(spark, root, tables, writerId,
-        batchId, statsCols)
-      catch {
-        case e: CommitConflictException =>
-          if (attempt >= maxRetries) throw e
-          attempt += 1
-      }
+    retryOnConflict(maxRetries) {
+      transactionalAppendAllOnce(spark, root, tables, writerId, batchId,
+        statsCols)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def transactionalAppendAllOnce(spark: SparkSession, root: String,
@@ -1538,8 +1635,6 @@ object ManifestTable {
       .filter(n => CommitName.pattern.matcher(n).matches()).sorted
     if (commits.isEmpty) return 0L
     val (drop, keep) = commits.splitAt(math.max(0, commits.length - keepVersions))
-    val referenced: Set[String] = keep.flatMap(n =>
-      parseCommit(fs, new HPath(cd, n)).map(_.relPath)).toSet
     // the in-flight-write guard: a not-yet-committed version's data
     // files look unreferenced; with minAgeMs > 0 anything younger than
     // the horizon survives, so vacuum no longer needs a quiet window —
@@ -1553,6 +1648,16 @@ object ManifestTable {
     val horizon =
       (if (minAgeMs == 0L) System.currentTimeMillis()
        else storageNow(fs, cd)) - minAgeMs
+    // superseded commits young enough to survive this pass's age guard
+    // must keep their DATA too: a retained commit whose files were
+    // reclaimed would resolve (entriesAt / version-pinned reads) and
+    // then crash mid-scan — worse than the clean "not retained" error
+    val (dropNow, dropRetained) =
+      if (minAgeMs == 0L) (drop.toSeq, Seq.empty[String])
+      else drop.toSeq.partition(n =>
+        fs.getFileStatus(new HPath(cd, n)).getModificationTime < horizon)
+    val referenced: Set[String] = (keep.toSeq ++ dropRetained).flatMap(n =>
+      parseCommit(fs, new HPath(cd, n)).map(_.relPath)).toSet
     var deleted = 0L
     // data dirs are every top-level entry except _commits
     fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != CommitDir)
@@ -1574,15 +1679,11 @@ object ManifestTable {
             fs.delete(d.getPath, true)
         }
       }
-    // superseded commit files get the same age guard: a reader that
-    // planned from an old version moments ago may still be streaming
-    // its file list; with minAgeMs > 0 a young superseded commit
-    // survives until the next vacuum pass
-    drop.foreach { n =>
-      val p = new HPath(cd, n)
-      if (minAgeMs == 0L || fs.getFileStatus(p).getModificationTime < horizon)
-        fs.delete(p, false)
-    }
+    // superseded commit files get the same age guard (computed above,
+    // data kept in step): a reader that planned from an old version
+    // moments ago may still be streaming its file list; a young
+    // superseded commit AND its data survive until the next pass
+    dropNow.foreach(n => fs.delete(new HPath(cd, n), false))
     deleted
   }
 

@@ -105,13 +105,17 @@ object CdcApply {
       keyCols, writerId, batchId, statsCol, fkChecks, bloomCol)
     val tableFiles = ManifestTable.current(spark, root)
       .map(_.entries.count(_.table == table)).getOrElse(0)
-    val cadenceDue = compactEvery > 0 && batchId > 0 &&
-      batchId % compactEvery == 0
-    val fragmented = compactAtFileCount > 0 &&
-      tableFiles >= compactAtFileCount
-    if ((cadenceDue || fragmented) && tableFiles > 0)
-      ManifestTable.compact(spark, root, table, statsCol = statsCol,
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        tableFiles > 0)
+      // a lost maintenance CAS (another writer on this root committed
+      // first) must not kill a stream whose batch already landed; the
+      // next cadence tick retries
+      try ManifestTable.compact(spark, root, table, statsCol = statsCol,
         bloomCol = bloomCol)
+      catch { case _: ManifestTable.CommitConflictException => () }
+    if (compactAtFileCount > 0)
+      ManifestTable.compactIfFragmented(spark, root, table,
+        compactAtFileCount, statsCol = statsCol, bloomCol = bloomCol)
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)
     ()

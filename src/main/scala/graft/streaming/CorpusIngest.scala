@@ -289,19 +289,19 @@ object CorpusIngest {
       else Map.empty)
     ManifestTable.transactionalAppendAll(spark, root, tables, Writer,
       batchId, statsCols = Map("index" -> "band"))
-    if (compactAtFileCount > 0) {
+    if (compactAtFileCount > 0)
       // adaptive defrag (the CdcApply file-count trigger): per-batch
       // appends add one file set per table per trigger; compact a table
-      // when ITS manifest crosses the bar, preserving the index's band
-      // clustering so file skipping survives
-      val entries = ManifestTable.current(spark, root)
-        .map(_.entries).getOrElse(Nil)
+      // when ITS manifest crosses the bar AND sits well above its
+      // post-compaction ideal (compactIfFragmented — an absolute bar
+      // alone would rewrite a legitimately-large table every batch),
+      // preserving the index's band clustering so file skipping
+      // survives; a lost maintenance CAS is skipped, never stream-fatal
       Seq("corpus" -> Option.empty[String], "index" -> Some("band")).foreach {
         case (t, stats) =>
-          if (entries.count(_.table == t) >= compactAtFileCount)
-            ManifestTable.compact(spark, root, t, statsCol = stats)
+          ManifestTable.compactIfFragmented(spark, root, t,
+            compactAtFileCount, statsCol = stats)
       }
-    }
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)
     ()

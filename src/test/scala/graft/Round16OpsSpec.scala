@@ -439,4 +439,104 @@ class Round16OpsSpec extends SparkSpec {
     assert(graft.etl.ManifestTable.read(spark, root, "corpus").count() == 6L,
       "near-dup of doc 1 gated by the compacted index")
   }
+
+  // ---- deleteByKeys: the narrowed right-to-be-forgotten path ----
+
+  test("deleteByKeys: forget-by-key discovery reads only candidate " +
+    "files; snapshot isolation and exact counts hold") {
+    val root = tmpDir("del-keys") + "/t"
+    manyFileTable(root, 30)
+    val before = graft.etl.ManifestTable.current(spark, root).get
+    val (files, rows) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+      "t", Seq(503L, 507L, 1201L).toDF("k"), key = Seq("k"),
+      statsCol = Some("k"))
+    assert((files, rows) == (2L, 3L),
+      s"two containing files rewritten, three rows deleted: $files/$rows")
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root).get
+    assert(st.scannedFiles == 2L && st.totalFiles == 30L,
+      s"forget discovery read 2/30 files: $st")
+    val after = graft.etl.ManifestTable.read(spark, root, "t")
+      .select("k").as[Long].collect().toSet
+    assert(!after.contains(503L) && !after.contains(507L) &&
+      !after.contains(1201L) && after.size == 297,
+      "exactly the forgotten keys vanished")
+    // pre-delete snapshot still serves the forgotten rows (audit trail)
+    assert(graft.etl.ManifestTable.readAt(spark, root, "t", before.version)
+      .filter(col("k") === 503L).count() == 1L, "time travel intact")
+    // forgetting absent keys is a no-op that writes no version
+    val v = graft.etl.ManifestTable.current(spark, root).get.version
+    assert(graft.etl.ManifestTable.deleteByKeys(spark, root, "t",
+      Seq(424242L).toDF("k"), key = Seq("k"), statsCol = Some("k"))
+      == ((0L, 0L)))
+    assert(graft.etl.ManifestTable.current(spark, root).get.version == v,
+      "absent-key forget creates no version")
+  }
+
+  // ---- review hardening: discovery soundness edges ----
+
+  test("bloom discovery probes BOTH canonical key forms: a type-coerced " +
+    "probe (DOUBLE source against a LONG bloom) still finds its file") {
+    val root = tmpDir("disc-coerce") + "/t"
+    // stats-less, bloom-covered: discovery depends on the bloom alone
+    val rdd = spark.sparkContext.parallelize(0 until 10, 10)
+      .mapPartitionsWithIndex { (i, _) =>
+        (0 until 10).map(j => org.apache.spark.sql.Row(i * 100L + j,
+          s"v$i-$j")).iterator }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> spark.createDataFrame(rdd, schema)),
+      bloomCols = Map("t" -> "k"))
+    // DOUBLE-typed forget keys: raw form "305.0" is NOT in any bloom;
+    // the long-form probe "305" is — a single-form probe would skip the
+    // containing file and silently keep the row
+    val (files, rows) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+      "t", Seq(305.0d).toDF("k"), key = Seq("k"))
+    assert((files, rows) == (1L, 1L),
+      s"coerced probe found and rewrote its file: $files/$rows")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 305L).count() == 0L, "row actually forgotten")
+  }
+
+  test("merge on a root whose path contains a space: the URI-encoded " +
+    "input_file_name form still matches the manifest side") {
+    val root = tmpDir("disc enc") + "/my corpus/t"
+    manyFileTable(root, 8)
+    val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+      spark, root, "t", Seq((203L, "UP")).toDF("k", "v"),
+      key = Seq("k"), statsCol = Some("k"))
+    assert((files, updated, inserted) == (1L, 1L, 0L),
+      s"merge on the encoded path succeeded: $files/$updated/$inserted")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 203L).select("v").as[String].head() == "UP")
+  }
+
+  test("compactIfFragmented: an absolute file-count bar alone must not " +
+    "rewrite a legitimately-large table; vacuum keeps the data of " +
+    "age-retained superseded commits") {
+    val root = tmpDir("frag-ideal") + "/t"
+    manyFileTable(root, 6)
+    // tiny target -> the post-compaction ideal is itself many files ->
+    // the table NEEDS them -> no rewrite despite crossing the bar
+    assert(graft.etl.ManifestTable.compactIfFragmented(spark, root, "t",
+      minFiles = 2, targetFileBytes = 1L, statsCol = Some("k")).isEmpty,
+      "bar crossed but table at its natural file count: no rewrite")
+    // default target: tiny files compact down
+    val r = graft.etl.ManifestTable.compactIfFragmented(spark, root, "t",
+      minFiles = 2, statsCol = Some("k"))
+    assert(r.exists { case (b, a) => b == 6L && a < 6L }, s"compacted: $r")
+
+    // vacuum with a large minAgeMs retains the superseded commit AND
+    // its data: the retained version must stay READABLE, not resolve
+    // then crash mid-scan
+    val vOld = graft.etl.ManifestTable.current(spark, root).get.version - 1
+    assert(graft.etl.ManifestTable.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 3600L * 1000L) == 0L,
+      "young superseded commit and its data both survive")
+    assert(graft.etl.ManifestTable.readAt(spark, root, "t", vOld)
+      .count() == 60L, "retained superseded version still fully readable")
+  }
 }
