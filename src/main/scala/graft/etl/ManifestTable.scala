@@ -961,8 +961,10 @@ object ManifestTable {
 
   /** Driver-side cap on collected probe keys for exact per-file
     * candidate tests; past it discovery falls back to the range
-    * envelope (still sound, coarser). */
-  private val MaxCollectedProbeKeys = 100000L
+    * envelope (still sound, coarser). A var ONLY so specs can drive
+    * the overflow path without a 100k-row fixture; production never
+    * writes it. */
+  private[graft] var MaxCollectedProbeKeys = 100000L
 
   /** Driver budget for bloom-probe work (files-with-bloom × probe
     * forms); past it the bloom narrowing is skipped, never partial —

@@ -539,4 +539,38 @@ class Round16OpsSpec extends SparkSpec {
     assert(graft.etl.ManifestTable.readAt(spark, root, "t", vOld)
       .count() == 60L, "retained superseded version still fully readable")
   }
+
+  test("envelope fallback (overflowing probe set): an uncastable probe " +
+    "key disables range narrowing — the file that joins it is never " +
+    "skipped") {
+    val root = tmpDir("disc-envelope") + "/t"
+    // STRING key column, mixed castable/uncastable values; stats are
+    // the long-cast min/max, so the 'abc' file's stats ignore it
+    val rdd = spark.sparkContext.parallelize(0 until 6, 6)
+      .mapPartitionsWithIndex { (i, _) =>
+        val vals = if (i == 5) Seq("abc", "500", "501")
+                   else (0 until 3).map(j => s"${i * 100 + j}")
+        vals.map(v => org.apache.spark.sql.Row(v, s"p$i")).iterator }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> spark.createDataFrame(rdd, schema)),
+      statsCols = Map("t" -> "k"))
+    val prev = graft.etl.ManifestTable.MaxCollectedProbeKeys
+    graft.etl.ManifestTable.MaxCollectedProbeKeys = 2L // force overflow
+    try {
+      // probe keys: two low numerics + the uncastable 'abc' whose file
+      // has stats [500,501]; a numeric-only envelope [1,2] would skip it
+      val (files, rows) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+        "t", Seq("1", "2", "abc").toDF("k"), key = Seq("k"),
+        statsCol = Some("k"))
+      assert(rows == 3L, s"all three keys deleted, including 'abc': $rows")
+      assert(graft.etl.ManifestTable.read(spark, root, "t")
+        .filter(col("k") === "abc").count() == 0L,
+        "the uncastable key's row is gone")
+    } finally graft.etl.ManifestTable.MaxCollectedProbeKeys = prev
+  }
 }
