@@ -1436,6 +1436,63 @@ object SparkEntry {
       out
     }),
 
+    // SECONDARY-KEY GDPR forget (q335's lifecycle, forget taken by the
+    // deleteByKeys fast path): write + append the versioned index, then
+    // forget the m10=2 DOC-ID SET through minhashIndexForgetVersioned —
+    // discovery probes the per-file secondary id blooms instead of
+    // scanning band partitions — and query pairs at the CURRENT
+    // (post-forget) version. The oracle is q327's (WITH the deletion
+    // exclusion): any forgotten id still generating candidates, or any
+    // bloom false-negative dropping a file the rewrite needed,
+    // hash-mismatches.
+    "q341_index_forget_by_key" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m10 = col("doc_id") % 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mh-fgt")
+      val root = tmp.resolve("mh").toString
+      Dedup.minhashIndexWriteVersioned(docs.filter(m10 =!= 0 && m10 =!= 1),
+        "text", "doc_id", root, bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.minhashIndexAppendVersioned(s, docs.filter(m10 === 1), "text",
+        "doc_id", root, bands = 16, rowsPerBand = 2, shingleN = 3)
+      Dedup.minhashIndexForgetVersioned(s, root,
+        docs.filter(m10 === 2).select(col("doc_id").as("id")))
+      val out = Dedup.incrementalPairsVersioned(s, docs.filter(m10 === 0),
+          docs.filter(m10 =!= 0), "text", "doc_id", root,
+          bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.35)
+        .localCheckpoint() // materialize, then drop the on-disk index
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // COMPOSITE-KEY storage MERGE (q337 under a two-column key): publish
+    // (orderkey%3!=0) orders range-clustered on o_custkey, merge a
+    // source of (orderkey%2==0) rows at price+10 keyed on (o_custkey,
+    // o_orderkey) — discovery narrows on whichever key column has
+    // stats coverage (per-column containment is necessary for tuple
+    // containment; here o_custkey), and the oracle CASE over the union
+    // grades the merged state exactly as q337 does.
+    "q342_merge_composite_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge-ck")
+      val root = tmp.resolve("t").toString
+      etl.ManifestTable.publish(s, root,
+        Map("o" -> o.filter(col("o_orderkey") % 3 =!= 0)
+          .repartitionByRange(8, col("o_custkey"))),
+        statsCols = Map("o" -> "o_custkey"))
+      val src = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price", round(col("price") + 10.0d, 2))
+      etl.ManifestTable.mergeInto(s, root, "o", src,
+        key = Seq("o_custkey", "o_orderkey"),
+        statsCol = Some("o_custkey"))
+      val out = etl.ManifestTable.read(s, root, "o")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // NVARCHAR width-cap validation (the DDL's declared widths,
     // sql:49-50, enforced engine-side): validate-or-quarantine split on
     // length(text) <= 300 (document lengths straddle the cap, so both
@@ -8742,6 +8799,27 @@ object SparkEntry {
         |  jaccard
         |FROM jpairs
         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin),
+
+    // q327's oracle (WITH the deletion exclusion): the keyed forget took
+    // effect and the pairs query reads the current version, so no m10=2
+    // partner may appear — a bloom false negative (skipped file the
+    // rewrite needed) would leave one and hash-mismatch
+    "q341_index_forget_by_key" ->
+      ("WITH " + JaccardCtes(0.35) + """
+        |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS old_id,
+        |  jaccard
+        |FROM jpairs
+        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+        |  AND (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 10 <> 2""".stripMargin),
+
+    "q342_merge_composite_key" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CASE WHEN o_orderkey % 2 = 0
+        |             THEN round(o_totalprice, 2) + 10.0
+        |             ELSE round(o_totalprice, 2) END, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""".stripMargin,
 
     "q338_cdc_apply" ->
       """SELECT o_orderkey, o_custkey,

@@ -332,8 +332,22 @@ object IncrementalLoad {
           // destroys the target's only copy. Asymmetric risk decides.
           val legacyTag = (stripped.length == 18 || stripped.length == 19) &&
             stripped.forall(_.isDigit)
-          if (fs.exists(tgt) || !legacyTag) repairSwap(fs, tgt, s.getPath)
-          else fs.delete(s.getPath, true)
+          if (fs.exists(tgt) || !legacyTag) {
+            // an all-digit tag SHORTER than the unambiguous nanoTime
+            // shape could still be a legacy leftover (boot-relative
+            // monotonic clocks emit 13-17 digits): the restore is the
+            // asymmetric-risk-correct move, but it may resurrect a
+            // stale backup as a visible all-digit data dir — name it
+            // so operators can recognize and clean true legacy junk
+            if (!fs.exists(tgt) && stripped.nonEmpty &&
+                stripped.forall(_.isDigit))
+              System.err.println(
+                s"[graft.recover] restoring ambiguous all-digit dir " +
+                  s"'$stripped' from ${s.getPath.getName}: if this is a " +
+                  "legacy .rewrite-old-<nanoTime> leftover (not a real " +
+                  "data dir), delete it manually")
+            repairSwap(fs, tgt, s.getPath)
+          } else fs.delete(s.getPath, true)
         } else if (n.startsWith(".rewrite-staging-"))
           fs.delete(s.getPath, true)
         else if (!n.startsWith(".")) sweep(s.getPath)

@@ -112,10 +112,15 @@ object ManifestTable {
     * writer claimed our version number — nothing about OUR batch is
     * wrong, so re-run `body` (each attempt re-resolves the new head,
     * re-checks its watermark, re-derives its affected files, and
-    * re-commits at head+1). Bounded: past `maxRetries` the conflict
-    * propagates — fail-loud beats livelock under real contention; at
-    * that point the deployment needs a commit queue. A losing attempt's
-    * data files are unreferenced orphans; [[vacuum]] reclaims them. */
+    * re-commits at head+1). This is the SLOW path: [[commitOrRebase]]
+    * first re-commits the attempt's already-written files directly
+    * whenever the interleaved commit provably did not touch the
+    * attempt's read set (different-table writers under one root), so
+    * `body` only re-runs when the conflict actually invalidated it.
+    * Bounded: past `maxRetries` the conflict propagates — fail-loud
+    * beats livelock under real contention; at that point the deployment
+    * needs a commit queue. A losing attempt's data files are
+    * unreferenced orphans; [[vacuum]] reclaims them. */
   private def retryOnConflict[A](maxRetries: Int)(body: => A): A = {
     require(maxRetries >= 0, "maxRetries >= 0")
     var attempt = 0
@@ -130,6 +135,66 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  private sealed trait CommitOutcome
+  private final case class Committed(version: Long) extends CommitOutcome
+  private case object AlreadyApplied extends CommitOutcome
+
+  /** FILE-REUSING conflict rebase — the fast path [[retryOnConflict]]
+    * sits behind: a lost commit CAS means another writer claimed our
+    * version number, but when that interleaved commit provably did not
+    * disturb anything this attempt's plan READ (`reusableUnder` — e.g.
+    * the target table's entry list is identical under the new head),
+    * the attempt's conclusions still hold verbatim, so its
+    * already-written data files are re-committed directly at the new
+    * head+1: zero recompute, zero re-write, no orphaned files. Writers
+    * on DIFFERENT tables of one root (the CorpusIngest corpus+index
+    * shape, several CDC streams sharing a warehouse root) thus each pay
+    * exactly one data write however often they race; only a conflict
+    * that touched OUR read set re-runs the attempt (the conflict
+    * propagates to [[retryOnConflict]]). `alreadyAppliedUnder` wins
+    * over everything: a racing replay that landed OUR watermark makes
+    * the whole operation a no-op, reported as such. `carriedOf`
+    * re-derives the carried entries FROM WHICHEVER HEAD the commit
+    * lands on, so the interloper's files are never dropped. Bounded:
+    * past `maxRebase` lost races in a row the conflict propagates —
+    * same fail-loud-beats-livelock policy as the outer retry. */
+  private def commitOrRebase(spark: SparkSession, fs: FileSystem,
+      rootP: HPath, root: String, planned: Option[Commit],
+      carriedOf: Seq[FileEntry] => Seq[FileEntry],
+      added: Seq[FileEntry],
+      reusableUnder: Commit => Boolean,
+      alreadyAppliedUnder: Commit => Boolean = _ => false,
+      maxRebase: Int = 3): CommitOutcome = {
+    var entries = planned.map(_.entries).getOrElse(Nil)
+    var version = planned.fold(1L)(_.version + 1L)
+    var rebases = 0
+    while (true) {
+      try return Committed(
+        writeCommit(fs, rootP, version, carriedOf(entries) ++ added))
+      catch {
+        case e: CommitConflictException =>
+          if (rebases >= maxRebase) throw e
+          val nc = current(spark, root).getOrElse(throw e)
+          if (alreadyAppliedUnder(nc)) return AlreadyApplied
+          if (!reusableUnder(nc)) throw e
+          entries = nc.entries
+          version = nc.version + 1L
+          rebases += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The [[commitOrRebase]] reuse test every merge-family writer shares:
+    * the interleaved commit left `table`'s entry list EXACTLY as this
+    * attempt planned it (same files, same stats/blooms/sizes — FileEntry
+    * equality), so the affected/untouched split, the rewrite, and the
+    * row counts all still hold. */
+  private def tableUnchanged(planned: Option[Commit], table: String)(
+      nc: Commit): Boolean =
+    nc.entries.filter(_.table == table) ==
+      planned.map(_.entries.filter(_.table == table)).getOrElse(Nil)
+
   /** One immutable data file of one table version. `min`/`max` are
     * optional long stats of the table's declared stats column (empty for
     * footer-only files — those are never skipped). `bloom` is an optional
@@ -138,10 +203,58 @@ object ManifestTable {
     * [[indexBloom]], consumed by [[readPrunedEq]]. Values enter the
     * filter as the UTF-8 bytes of the column's canonical string cast, so
     * probes are type-agnostic and deterministic; no false negatives, so
-    * skipping never loses a row. */
+    * skipping never loses a row.
+    *
+    * v2 extensions (round 17):
+    *  - `statsName`: the COLUMN the primary min/max pair was computed
+    *    over. Pre-v2 commits carry stats untagged; narrowing then trusts
+    *    the caller's declared stats column (the only option), but a
+    *    NAMED pair is only applied when the probe column matches — a
+    *    table whose declared stats column drifted across writes can no
+    *    longer have another column's range misread as key bounds (a
+    *    silently-skipped matching file on a merge/delete path).
+    *  - `bytes`: the file's length, recorded at write time from the
+    *    same listStatus the writer already pays — so [[compact]] /
+    *    [[compactIfFragmented]] size the table from the manifest in
+    *    O(0) FS calls instead of one getFileStatus RPC per file per
+    *    micro-batch (a multi-minute driver stall at 10^5 files on an
+    *    object store).
+    *  - `stats2` / `blooms2`: additional named (col, min, max) /
+    *    (col, bloom) groups, so point-lookup pruning works on keys
+    *    OTHER than the clustered one — the forget path every GDPR
+    *    delete takes (doc-id deletes against a band-clustered minhash
+    *    index, vec-id deletes against list-clustered IVF). */
   final case class FileEntry(table: String, relPath: String,
                              min: Option[Long], max: Option[Long],
-                             bloom: Option[(String, String)] = None)
+                             bloom: Option[(String, String)] = None,
+                             statsName: Option[String] = None,
+                             bytes: Option[Long] = None,
+                             stats2: Seq[(String, Long, Long)] = Nil,
+                             blooms2: Seq[(String, String)] = Nil) {
+    /** min/max recorded for column `c`, if any. The primary pair
+      * answers when its recorded name matches — or, for pre-v2 unnamed
+      * stats, when the CALLER's declared stats column (`declared`)
+      * names `c` (legacy trust, the only information available). Named
+      * mismatches fall through to `stats2`; no match means the file is
+      * never skipped on `c`. */
+    def statsFor(c: String, declared: Option[String] = None): Option[(Long, Long)] = {
+      val primaryName = statsName.orElse(declared)
+      val primary =
+        if (primaryName.contains(c)) min.zip(max) else None
+      primary.orElse(stats2.collectFirst {
+        case (n, mn, mx) if n == c => (mn, mx) })
+    }
+    /** Serialized bloom filter recorded for column `c`, if any. */
+    def bloomFor(c: String): Option[String] =
+      bloom.collect { case (bc, b64) if bc == c => b64 }
+        .orElse(blooms2.collectFirst { case (bc, b64) if bc == c => b64 })
+    /** This entry with a bloom on `c` attached: replaces the primary
+      * when it is absent or already on `c`; otherwise rides `blooms2`
+      * (retrofitting a second key must not strip the first's coverage). */
+    def withBloom(c: String, b64: String): FileEntry =
+      if (bloom.forall(_._1 == c)) copy(bloom = Some((c, b64)))
+      else copy(blooms2 = blooms2.filterNot(_._1 == c) :+ ((c, b64)))
+  }
 
   final case class Commit(version: Long, entries: Seq[FileEntry])
 
@@ -266,12 +379,27 @@ object ManifestTable {
     parseEntryLines(text.split("\n").iterator.filter(_.nonEmpty), p.toString)
   }
 
+  /** v2 line marker: `#` is outside the legal table-name alphabet
+    * ([[writeData]]'s `[A-Za-z0-9._-]+` require), so a first field of
+    * `#2` can never collide with a legacy line's table field. */
+  private val V2Marker = "#2"
+  private def b64col(c: String): String =
+    java.util.Base64.getEncoder.encodeToString(c.getBytes(StandardCharsets.UTF_8))
+  private def unb64col(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
   /** Commit-line parser shared with the streaming reader (which gets its
-    * lines from a text file-source batch, not an FS open). */
+    * lines from a text file-source batch, not an FS open). Reads BOTH
+    * forms: the legacy 4/6-field lines of pre-v2 commits (read-compat
+    * shim — stats stay unnamed, [[FileEntry.statsFor]] trusts the
+    * declared column for them) and the `#2`-marked form carrying byte
+    * size plus repeated named stats/bloom groups. */
   private[graft] def parseEntryLines(lines: Iterator[String],
                                      src: String): Seq[FileEntry] =
     lines.map { line =>
-      line.split("\t", -1) match {
+      val f = line.split("\t", -1)
+      if (f.length >= 4 && f(0) == V2Marker) parseV2(f, line, src)
+      else f match {
         case Array(t, rel, mn, mx) =>
           FileEntry(t, rel,
             if (mn.isEmpty) None else Some(mn.toLong),
@@ -286,6 +414,37 @@ object ManifestTable {
           s"corrupt commit line in $src: '${line.take(80)}'")
       }
     }.toVector
+
+  /** `#2 <TAB> table <TAB> relPath <TAB> bytes? <TAB> group...` where
+    * each group is `S:<b64(col)>:<min>:<max>` (col empty for legacy
+    * unnamed stats carried forward) or `B:<b64(col)>:<bloomB64>`. The
+    * FIRST group of each kind is the primary slot; the rest ride
+    * stats2/blooms2. Column names travel base64'd so no column name can
+    * collide with the `:` group delimiter. */
+  private def parseV2(f: Array[String], line: String, src: String): FileEntry = {
+    def corrupt(): Nothing = throw new java.io.IOException(
+      s"corrupt v2 commit line in $src: '${line.take(80)}'")
+    var e = FileEntry(f(1), f(2), None, None,
+      bytes = if (f(3).isEmpty) None else Some(f(3).toLong))
+    f.drop(4).filter(_.nonEmpty).foreach { g =>
+      g.split(":", -1) match {
+        case Array("S", c, mn, mx) =>
+          val name = if (c.isEmpty) None else Some(unb64col(c))
+          if (e.min.isEmpty && e.stats2.isEmpty)
+            e = e.copy(min = Some(mn.toLong), max = Some(mx.toLong),
+              statsName = name)
+          else
+            e = e.copy(stats2 = e.stats2 :+
+              ((name.getOrElse(corrupt()), mn.toLong, mx.toLong)))
+        case Array("B", c, bb) if c.nonEmpty && bb.nonEmpty =>
+          if (e.bloom.isEmpty && e.blooms2.isEmpty)
+            e = e.copy(bloom = Some((unb64col(c), bb)))
+          else e = e.copy(blooms2 = e.blooms2 :+ ((unb64col(c), bb)))
+        case _ => corrupt()
+      }
+    }
+    e
+  }
 
   /** Sequence number of a commit file name, if it is one. */
   private[graft] def versionOfName(name: String): Option[Long] = name match {
@@ -331,8 +490,17 @@ object ManifestTable {
     * binding — so exactly one committer per sequence number succeeds;
     * the loser re-resolves and retries. The listStatus pre-check below
     * is a fast-fail courtesy, not the exclusion mechanism. */
+  /** Test-only interposition point: when set, runs ONCE at the next
+    * [[writeCommit]] entry (self-clearing, so an interleaved commit the
+    * hook itself performs cannot recurse) — how specs inject a
+    * deterministic concurrent commit between a writer's plan and its
+    * CAS, driving the [[commitOrRebase]] conflict paths without a
+    * flaky thread race. Never set in production code. */
+  private[graft] var testBeforeCommit: Option[() => Unit] = None
+
   private def writeCommit(fs: FileSystem, rootP: HPath, version: Long,
                           entries: Seq[FileEntry]): Long = {
+    testBeforeCommit.foreach { h => testBeforeCommit = None; h() }
     require(entries.size <= MaxFilesPerCommit,
       s"commit would list ${entries.size} files (> $MaxFilesPerCommit): " +
         "compact the table or shard it before committing")
@@ -340,19 +508,38 @@ object ManifestTable {
       require(!e.table.contains("\t") && !e.relPath.contains("\t") &&
         !e.table.contains("\n") && !e.relPath.contains("\n"),
         s"illegal table/path characters: ${e.table} ${e.relPath}")
-      e.bloom.foreach { case (bc, bb) =>
+      (e.bloom.toSeq ++ e.blooms2).foreach { case (bc, bb) =>
         require(bc.nonEmpty && bb.nonEmpty &&
           !s"$bc$bb".exists(ch => ch == '\t' || ch == '\n'),
           s"illegal bloom fields for ${e.relPath}")
       }
+      e.stats2.foreach { case (c, _, _) =>
+        require(c.nonEmpty, s"unnamed secondary stats for ${e.relPath}")
+      }
     }
     val cd = new HPath(rootP, CommitDir)
     fs.mkdirs(cd)
-    // bloom-less entries keep the legacy 4-field line byte-identical
+    // entries with no v2 payload keep the legacy 4/6-field line
+    // byte-identical (txn watermarks, hand-built entries); anything
+    // carrying bytes / a named stats pair / extra groups writes the
+    // `#2` form (see [[parseV2]])
     val body = entries.map { e =>
-        val base =
-          s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"
-        e.bloom.fold(base) { case (bc, bb) => s"$base\t$bc\t$bb" }
+        val v2 = e.bytes.isDefined || e.statsName.isDefined ||
+          e.stats2.nonEmpty || e.blooms2.nonEmpty
+        if (!v2) {
+          val base =
+            s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"
+          e.bloom.fold(base) { case (bc, bb) => s"$base\t$bc\t$bb" }
+        } else {
+          val groups =
+            e.min.zip(e.max).map { case (mn, mx) =>
+              s"S:${e.statsName.fold("")(b64col)}:$mn:$mx" }.toSeq ++
+            e.stats2.map { case (c, mn, mx) => s"S:${b64col(c)}:$mn:$mx" } ++
+            e.bloom.map { case (c, bb) => s"B:${b64col(c)}:$bb" }.toSeq ++
+            e.blooms2.map { case (c, bb) => s"B:${b64col(c)}:$bb" }
+          (Seq(V2Marker, e.table, e.relPath, e.bytes.fold("")(_.toString)) ++
+            groups).mkString("\t")
+        }
       }
       .mkString("", "\n", "\n")
     val tmp = new HPath(cd, s".tmp-${uuid()}")
@@ -405,52 +592,106 @@ object ManifestTable {
 
   // ------------------------------------------------------------- data write
 
+  /** Counter of per-file FS stat RPCs paid by maintenance sizing
+    * ([[compact]] / [[compactIfFragmented]] fallbacks for pre-v2
+    * entries with no recorded byte size) — specs assert it stays ZERO
+    * on the steady-state path, where sizes come from the manifest. */
+  private[graft] val fileStatCalls = new java.util.concurrent.atomic.AtomicLong
+
+  /** Counter of [[writeData]] invocations — the observability hook for
+    * the file-reusing conflict rebase (a rebase that re-commits already
+    * written files must NOT re-run the attempt's data write). */
+  private[graft] val dataWrites = new java.util.concurrent.atomic.AtomicLong
+
   /** Write `df` as immutable data files under `<table>/d-<uuid>/` and
-    * return their manifest entries (with min/max of `statsCol` if
-    * given, and a per-file Bloom filter of `bloomCol` if given — so
-    * files appended AFTER an [[indexBloom]] call keep the table's bloom
-    * coverage instead of silently never being skipped). The files are
-    * INVISIBLE to readers until a commit lists them — writing is not
-    * publishing. */
+    * return their manifest entries: per-file byte sizes (from the
+    * listStatus the writer already pays — maintenance sizing then never
+    * stats files again), NAMED min/max stats of `statsCol` and every
+    * `extraStatsCols` column (one aggregation pass for all of them),
+    * and a per-file Bloom filter for `bloomCol` and every
+    * `extraBloomCols` column (one distributed pass for all of them) —
+    * so files appended AFTER an [[indexBloom]] call keep the table's
+    * bloom coverage instead of silently never being skipped. A file
+    * with NO non-null key rows gets an EMPTY filter (rejects every
+    * probe): sound — a rowless or all-null-key file can never hold a
+    * probed equality match — and it keeps footer-only schema keepers
+    * out of every point lookup instead of being scanned forever. The
+    * files are INVISIBLE to readers until a commit lists them —
+    * writing is not publishing. */
   private def writeData(spark: SparkSession, rootP: HPath, fs: FileSystem,
                         table: String, df: DataFrame,
                         statsCol: Option[String],
-                        bloomCol: Option[String] = None): Seq[FileEntry] = {
+                        bloomCol: Option[String] = None,
+                        extraStatsCols: Seq[String] = Nil,
+                        extraBloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     require(table.matches("[A-Za-z0-9._-]+"), s"illegal table name: $table")
+    dataWrites.incrementAndGet()
     val dir = s"$table/d-${uuid()}"
     val full = new HPath(rootP, dir)
     df.write.parquet(full.toString)
-    val names = fs.listStatus(full).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.toSeq
-    require(names.nonEmpty, s"writeData: no parquet files produced at $full")
-    val base = statsCol match {
-      case None => names.map(n => FileEntry(table, s"$dir/$n", None, None))
-      case Some(c) =>
+    val listed = fs.listStatus(full)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).toSeq
+    require(listed.nonEmpty, s"writeData: no parquet files produced at $full")
+    val statsCols = (statsCol.toSeq ++ extraStatsCols).distinct
+    val base = statsCols match {
+      case Nil => listed.map(s => FileEntry(table, s"$dir/${s.getPath.getName}",
+        None, None, bytes = Some(s.getLen)))
+      case cs =>
         // one pass over the just-written files, grouped per file — the
         // DataLayout._manifest pattern; footer-only files yield no row
         // and keep empty stats (never skipped)
+        val aggs = cs.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"mn_$c"),
+          max(col(c).cast("long")).as(s"mx_$c")))
         val stats = spark.read.parquet(full.toString)
           .groupBy(input_file_name().as("f"))
-          .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => (r.getString(0).split("/").last,
-            (Option(r.get(1)).map(_.asInstanceOf[Long]),
-             Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
-        names.map { n =>
-          val (mn, mx) = stats.getOrElse(n, (None, None))
-          FileEntry(table, s"$dir/$n", mn, mx)
+          .map { r =>
+            val per = cs.zipWithIndex.map { case (c, i) =>
+              c -> (Option(r.get(1 + 2 * i)).map(_.asInstanceOf[Long]),
+                Option(r.get(2 + 2 * i)).map(_.asInstanceOf[Long]))
+            }.toMap
+            r.getString(0).split("/").last -> per
+          }.toMap
+        listed.map { s =>
+          val n = s.getPath.getName
+          val per = stats.getOrElse(n, Map.empty)
+          val (mn, mx) = per.getOrElse(cs.head, (None, None))
+          val secondary = cs.tail.flatMap { c =>
+            per.get(c) match {
+              case Some((Some(a), Some(b))) => Some((c, a, b))
+              case _ => None
+            }
+          }
+          FileEntry(table, s"$dir/$n", mn, mx,
+            statsName = if (mn.isDefined) Some(cs.head) else None,
+            bytes = Some(s.getLen), stats2 = secondary)
         }
     }
-    bloomCol match {
-      case None => base
-      case Some(kc) =>
-        val blooms = fileBloomsB64(spark, Seq(full.toString), kc)
-        base.map { e =>
-          blooms.collectFirst { case (f, b64) if f.endsWith(e.relPath.split("/").last) =>
-            e.copy(bloom = Some((kc, b64)))
-          }.getOrElse(e)
+    val bloomCols = (bloomCol.toSeq ++ extraBloomCols).distinct
+    if (bloomCols.isEmpty) base
+    else {
+      val blooms = fileBloomsB64(spark, Seq(full.toString), bloomCols)
+      val emptyB64 = emptyBloomB64()
+      base.map { e =>
+        val fname = e.relPath.split("/").last
+        val per = blooms.collectFirst {
+          case (f, m) if f.endsWith(fname) => m }.getOrElse(Map.empty)
+        bloomCols.foldLeft(e) { (acc, kc) =>
+          acc.withBloom(kc, per.getOrElse(kc, emptyB64))
         }
+      }
     }
+  }
+
+  /** Serialized empty Bloom filter — what a file with no non-null key
+    * rows carries: rejects every probe, which is exact for such a file. */
+  private def emptyBloomB64(): String = {
+    val b = org.apache.spark.util.sketch.BloomFilter.create(1L, 0.03)
+    java.util.Base64.getEncoder.encodeToString(
+      graft.expressions.BloomExprs.toBytes(b))
   }
 
   /** [[writeData]] under the ONE-EXECUTION + footer-only discipline
@@ -469,8 +710,10 @@ object ManifestTable {
                                   fs: FileSystem, table: String,
                                   df: DataFrame, statsCol: Option[String],
                                   bloomCol: Option[String],
-                                  keepSchemaIfEmpty: Boolean): Seq[FileEntry] = {
-    val written = writeData(spark, rootP, fs, table, df, statsCol, bloomCol)
+                                  keepSchemaIfEmpty: Boolean,
+                                  extraBloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+    val written = writeData(spark, rootP, fs, table, df, statsCol, bloomCol,
+      extraBloomCols = extraBloomCols)
     val dir = new HPath(rootP, written.head.relPath).getParent
     val n = spark.read.parquet(dir.toString).count()
     if (n > 0L) written
@@ -480,35 +723,52 @@ object ManifestTable {
       fs.delete(dir, true)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      writeData(spark, rootP, fs, table, empty.repartition(1), statsCol)
+      // bloom columns ride along so the schema keeper carries (empty)
+      // filters like every other file of the table: a rowless file can
+      // never hold an equality match, so rejecting all probes is exact,
+      // and the keeper stops being scanned by every point lookup forever
+      writeData(spark, rootP, fs, table, empty.repartition(1), statsCol,
+        bloomCol, extraBloomCols = extraBloomCols)
     }
   }
 
-  /** One distributed pass building a serialized (base64) Bloom filter of
-    * `keyCol` per data file under `paths` — shared by [[indexBloom]]
-    * (retro-fitting an existing table) and [[writeData]] (covering
-    * just-written files at append time). Partial filters merge by
-    * bit-OR, so the result is partitioning-invariant. */
-  /** Each key inserts under BOTH its raw string rendering (what
+  /** One distributed pass building a serialized (base64) Bloom filter
+    * per (data file, key column) under `paths` — shared by
+    * [[indexBloom]] (retro-fitting an existing table) and [[writeData]]
+    * (covering just-written files at append time, any number of key
+    * columns in the SAME pass). Partial filters merge by bit-OR, so the
+    * result is partitioning-invariant.
+    *
+    * Each key inserts under BOTH its raw string rendering (what
     * [[readPrunedEq]] probes) and its long-cast rendering (what
     * [[readPrunedIn]] probes — its filter is `cast("long").isin`): a
     * DOUBLE column's raw form is "4.0" while the long probe is "4",
     * and probing a filter that only holds the raw form would be a
     * guaranteed FALSE NEGATIVE — a silently dropped matching file. Two
-    * insertions at most per row (one when the forms coincide); size the
-    * filter accordingly. */
+    * insertions at most per row per column (one when the forms
+    * coincide); size the filter accordingly. Returns
+    * file -> (column -> b64 filter); files with no non-null key rows
+    * for a column are absent from that column's slot. */
   private def fileBloomsB64(spark: SparkSession, paths: Seq[String],
-                            keyCol: String,
+                            keyCols: Seq[String],
                             expectedItemsPerFile: Long = 50000L,
-                            fpp: Double = 0.03): Map[String, String] = {
+                            fpp: Double = 0.03): Map[String, Map[String, String]] = {
     import org.apache.spark.util.sketch.BloomFilter
+    val cols = Seq(input_file_name().as("__f")) ++
+      keyCols.zipWithIndex.flatMap { case (kc, i) => Seq(
+        col(kc).cast("string").as(s"__k$i"),
+        expr(s"CAST(try_cast(`$kc` AS LONG) AS STRING)").as(s"__l$i")) }
     spark.read.parquet(paths: _*)
-      .select(input_file_name().as("__f"),
-        col(keyCol).cast("string").as("__k"),
-        expr(s"CAST(try_cast(`$keyCol` AS LONG) AS STRING)").as("__l"))
-      .filter(col("__k").isNotNull)
+      .select(cols: _*)
       .rdd
-      .map(r => (r.getString(0), (r.getString(1), Option(r.getString(2)))))
+      .flatMap { r =>
+        keyCols.indices.flatMap { i =>
+          val k = r.getAs[String](1 + 2 * i)
+          if (k == null) None
+          else Some(((r.getString(0), i),
+            (k, Option(r.getAs[String](2 + 2 * i)))))
+        }
+      }
       .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
         (b, v) => {
           b.putBinary(v._1.getBytes(StandardCharsets.UTF_8))
@@ -519,7 +779,10 @@ object ManifestTable {
         (a, b) => { a.mergeInPlace(b); a })
       .mapValues(b => java.util.Base64.getEncoder.encodeToString(
         graft.expressions.BloomExprs.toBytes(b)))
-      .collect().toMap
+      .collect()
+      .groupBy(_._1._1)
+      .map { case (f, rows) =>
+        f -> rows.map { case ((_, i), b64) => keyCols(i) -> b64 }.toMap }
   }
 
   private def entriesOf(c: Option[Commit], table: String): Seq[FileEntry] =
@@ -560,9 +823,9 @@ object ManifestTable {
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(c), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val keep = mine.filter(e => (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true
+    val keep = mine.filter(e => e.statsFor(statsCol, Some(statsCol)) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
     })
     val base =
       if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
@@ -610,21 +873,23 @@ object ManifestTable {
     base.filter(col(statsCol).cast("long").isin(values: _*))
   }
 
-  /** The [[readPrunedIn]] skip test for one file: min/max range first,
-    * then the per-file Bloom filter when one covers `statsCol`. */
+  /** The [[readPrunedIn]] skip test for one file: min/max range first
+    * (the primary pair when its recorded/declared name matches, or a
+    * named secondary group), then the per-file Bloom filter when one
+    * covers `statsCol` (primary or secondary slot). */
   private def keepInSet(e: FileEntry, statsCol: String,
                         values: Seq[Long]): Boolean = {
     import org.apache.spark.util.sketch.BloomFilter
-    val rangeOk = (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
-      case _ => true
+    val rangeOk = e.statsFor(statsCol, Some(statsCol)) match {
+      case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+      case None => true
     }
-    rangeOk && (e.bloom match {
-      case Some((bc, b64)) if bc == statsCol =>
+    rangeOk && (e.bloomFor(statsCol) match {
+      case Some(b64) =>
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
           java.util.Base64.getDecoder.decode(b64)))
         values.exists(v => bf.mightContainBinary(bloomKeyBytes(v)))
-      case _ => true
+      case None => true
     })
   }
 
@@ -643,16 +908,18 @@ object ManifestTable {
           s"no committed table under $root")).entries
     }
     val mine = entries.filter(_.table == table)
-    val keptRange = mine.count(e => (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => values.exists(v => v >= mn && v <= mx)
-      case _ => true
+    val keptRange = mine.count(e => e.statsFor(statsCol, Some(statsCol)) match {
+      case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+      case None => true
     })
     val keptBloom = mine.count(e => keepInSet(e, statsCol, values))
     (keptBloom.toLong, keptRange.toLong, mine.size.toLong)
   }
 
   /** Kept-vs-total file counts for a pruning range — observability for
-    * specs and ops dashboards. */
+    * specs and ops dashboards. Uses the primary stats pair regardless
+    * of its recorded name (the caller supplies no column here; this is
+    * the raw clustered-range view). */
   def pruneStats(spark: SparkSession, root: String, table: String,
                  lo: Long, hi: Long): (Long, Long) = {
     val c = current(spark, root).getOrElse(
@@ -702,12 +969,12 @@ object ManifestTable {
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(cur), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val blooms: Map[String, String] = fileBloomsB64(spark,
-      mine.map(e => new HPath(rootP, e.relPath).toString), keyCol,
+    val blooms = fileBloomsB64(spark,
+      mine.map(e => new HPath(rootP, e.relPath).toString), Seq(keyCol),
       expectedItemsPerFile, fpp)
     val updated = mine.map { e =>
-      blooms.collectFirst { case (f, b64) if f.endsWith(e.relPath) =>
-        e.copy(bloom = Some((keyCol, b64)))
+      blooms.collectFirst { case (f, m) if f.endsWith(e.relPath) =>
+        m.get(keyCol).fold(e)(b64 => e.withBloom(keyCol, b64))
       }.getOrElse(e) // footer-only files keep no bloom, are never skipped
     }
     writeCommit(fs, rootP, cur.version + 1L,
@@ -730,11 +997,11 @@ object ManifestTable {
     require(mine.nonEmpty, s"no table '$table' under $root")
     val probe = bloomKeyBytes(value)
     val keep = mine.filter { e =>
-      e.bloom match {
-        case Some((bc, b64)) if bc == keyCol =>
+      e.bloomFor(keyCol) match {
+        case Some(b64) =>
           BloomFilter.readFrom(new java.io.ByteArrayInputStream(
             java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
-        case _ => true
+        case None => true
       }
     }
     val base =
@@ -753,11 +1020,11 @@ object ManifestTable {
     val mine = entriesOf(Some(c), table)
     val probe = bloomKeyBytes(value)
     val kept = mine.count { e =>
-      e.bloom match {
-        case Some((bc, b64)) if bc == keyCol =>
+      e.bloomFor(keyCol) match {
+        case Some(b64) =>
           BloomFilter.readFrom(new java.io.ByteArrayInputStream(
             java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
-        case _ => true
+        case None => true
       }
     }
     (kept.toLong, mine.size.toLong)
@@ -773,14 +1040,16 @@ object ManifestTable {
     * version. */
   def publish(spark: SparkSession, root: String, tables: Map[String, DataFrame],
               statsCols: Map[String, String] = Map.empty,
-              bloomCols: Map[String, String] = Map.empty): Long = {
+              bloomCols: Map[String, String] = Map.empty,
+              extraBloomCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "publish: no tables")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
     val fresh = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
       writeData(spark, rootP, fs, name, df, statsCols.get(name),
-        bloomCols.get(name))
+        bloomCols.get(name),
+        extraBloomCols = extraBloomCols.getOrElse(name, Nil))
     }
     val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
       .getOrElse(Nil)
@@ -790,10 +1059,12 @@ object ManifestTable {
   /** Single-table full replace. */
   def overwrite(spark: SparkSession, root: String, table: String, df: DataFrame,
                 statsCol: Option[String] = None,
-                bloomCol: Option[String] = None): Long =
+                bloomCol: Option[String] = None,
+                extraBloomCols: Seq[String] = Nil): Long =
     publish(spark, root, Map(table -> df),
       statsCol.fold(Map.empty[String, String])(c => Map(table -> c)),
-      bloomCol.fold(Map.empty[String, String])(c => Map(table -> c)))
+      bloomCol.fold(Map.empty[String, String])(c => Map(table -> c)),
+      if (extraBloomCols.isEmpty) Map.empty else Map(table -> extraBloomCols))
 
   /** [[publish]] gated by declarative expectations — the engine-side
     * analog of the reference's constraint-rejecting transactional load
@@ -880,7 +1151,8 @@ object ManifestTable {
   def appendNew(spark: SparkSession, root: String, table: String,
                 incoming: DataFrame, key: Seq[String],
                 statsCol: Option[String] = None,
-                bloomCol: Option[String] = None): Long = {
+                bloomCol: Option[String] = None,
+                extraBloomCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
@@ -891,7 +1163,7 @@ object ManifestTable {
       // "0 rows -> no new version" contract as the initialized path
       // (an intentionally-empty table is publish/overwrite's job)
       val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol,
-        bloomCol)
+        bloomCol, extraBloomCols = extraBloomCols)
       val newDir = new HPath(rootP, newEntries.head.relPath).getParent
       val n = spark.read.parquet(newDir.toString).count()
       if (n == 0L) { fs.delete(newDir, true); return 0L }
@@ -905,7 +1177,7 @@ object ManifestTable {
     // count) — one execution of the anti-join, no staging step, and the
     // old files the plan reads are untouched throughout
     val newEntries = writeData(spark, rootP, fs, table, fresh, statsCol,
-      bloomCol)
+      bloomCol, extraBloomCols = extraBloomCols)
     val newDir = new HPath(rootP, newEntries.head.relPath).getParent
     val n = spark.read.parquet(newDir.toString).count()
     if (n == 0L) { fs.delete(newDir, true); return 0L } // no new version
@@ -923,16 +1195,56 @@ object ManifestTable {
     * [[IncrementalLoad.deleteWhere]]: either the single new commit
     * lands (all affected files replaced at once) or nothing changes.
     * Returns (filesRewritten, rowsDeleted). */
+  /** Necessary [lo, hi] bounds on `c`'s LONG-cast values implied by
+    * `pred`'s CONJUNCTS, or None when nothing bounds the column. Sound
+    * for file skipping: pred ⇒ each conjunct, so every matching row
+    * satisfies each extracted bound; the bounds are then WIDENED by 1
+    * on each side because manifest stats are min/max of
+    * `cast(col AS long)` (truncation toward zero), which can sit up to
+    * one below or above the raw value the predicate compared. Handled
+    * shapes: >=, >, <=, <, =, <=>, IN and BETWEEN (as its desugared
+    * conjunction) between a bare/CAST reference to `c` and numeric
+    * literals, either operand order, combined through AND. Anything
+    * else (OR, NOT, UDFs, non-numeric literals, NaN) contributes no
+    * bound — never unsound, just no narrowing. */
+  private[graft] def impliedRange(pred: Column, c: String): Option[(Long, Long)] = {
+    val (lo, hi) = org.apache.spark.sql.graftbridge.ColumnBridge
+      .impliedNumericBounds(pred, c)
+    if (lo.isEmpty && hi.isEmpty) None
+    else Some((
+      lo.fold(Long.MinValue)(v => math.floor(v).toLong - 1L),
+      hi.fold(Long.MaxValue)(v => math.ceil(v).toLong + 1L)))
+  }
+
   def deleteWhere(spark: SparkSession, root: String, table: String,
                   predicate: Column, statsCol: Option[String] = None,
-                  bloomCol: Option[String] = None): (Long, Long) = {
+                  bloomCol: Option[String] = None,
+                  extraBloomCols: Seq[String] = Nil): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(cur), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
     val delCond = coalesce(predicate, lit(false)) // NULL means KEEP
-    val df = toDf(spark, rootP, cur.entries, table)
+    // discovery narrowing for PREDICATE deletes: a conjunct of the
+    // predicate that bounds a stats-covered column bounds every
+    // matching row, so files whose recorded [min,max] misses the
+    // implied range provably hold no match — the affected-file scan
+    // reads only in-range files, the readPruned shape on a write path.
+    // Arbitrary predicates (no extractable conjunct) scan everything,
+    // exactly as before.
+    val scanSet = statsCol.flatMap(sc =>
+      impliedRange(predicate, sc).map { case (lo, hi) =>
+        mine.filter(e => e.statsFor(sc, statsCol) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        })
+      }).getOrElse(mine)
+    recordDiscoveryStats(rootP, table,
+      DiscoveryStats(scanSet.size.toLong, mine.size.toLong))
+    if (scanSet.isEmpty) return (0L, 0L)
+    val df = spark.read.parquet(
+      scanSet.map(e => new HPath(rootP, e.relPath).toString): _*)
     val affectedFiles = df.filter(delCond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -944,20 +1256,38 @@ object ManifestTable {
     // a fully-emptied table still commits one footer-only file so the
     // next read keeps its schema (the deleteWhere readability contract)
     val newEntries = writeDataNonEmptyOr(spark, rootP, fs, table, keepRows,
-      statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty)
+      statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty, extraBloomCols)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
     (aff.size.toLong, nDel)
   }
 
-  /** Last merge-discovery pruning outcome per root: how many of the
-    * table's files the discovery scan actually read vs held — the
-    * observability hook for [[affectedByKeys]]'s candidate narrowing. */
+  /** Last merge-discovery pruning outcome per (root, table): how many of
+    * the table's files the discovery scan actually read vs held — the
+    * observability hook for [[affectedByKeys]]'s candidate narrowing.
+    * Keyed by table too: merges on DIFFERENT tables under one root (the
+    * CorpusIngest corpus+index shape) must not overwrite each other's
+    * counts. The table-less accessor returns the root's most recent
+    * record (whatever table it was for) — the pre-r17 reading. */
   final case class DiscoveryStats(scannedFiles: Long, totalFiles: Long)
   private val discoveryStatsRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DiscoveryStats]()
-  def mergeDiscoveryStats(root: String): Option[DiscoveryStats] =
-    Option(discoveryStatsRegistry.get(new HPath(root).toUri.getPath))
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DiscoveryStats]()
+  private val discoveryStatsLastTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def recordDiscoveryStats(rootP: HPath, table: String,
+                                   st: DiscoveryStats): Unit = {
+    val p = rootP.toUri.getPath
+    discoveryStatsRegistry.put((p, table), st)
+    discoveryStatsLastTable.put(p, table)
+  }
+  def mergeDiscoveryStats(root: String, table: String): Option[DiscoveryStats] =
+    Option(discoveryStatsRegistry.get(
+      (new HPath(root).toUri.getPath, table)))
+  def mergeDiscoveryStats(root: String): Option[DiscoveryStats] = {
+    val p = new HPath(root).toUri.getPath
+    Option(discoveryStatsLastTable.get(p))
+      .flatMap(t => Option(discoveryStatsRegistry.get((p, t))))
+  }
 
   /** Driver-side cap on collected probe keys for exact per-file
     * candidate tests; past it discovery falls back to the range
@@ -975,33 +1305,50 @@ object ManifestTable {
     * discovery narrowing so the per-batch semi-join scan reads
     * O(candidates), not O(table). Sound by construction (a skipped
     * file provably contains NO probe key):
-    *   - manifest min/max on the clustered key (exact per-file
-    *     containment against the collected probe-key set when it is
-    *     bounded, a sorted-array binary search per file; the coarse
-    *     [batchMin,batchMax] envelope past [[MaxCollectedProbeKeys]]);
-    *   - per-file Bloom filters on the key (write-time or
-    *     [[indexBloom]]-retrofitted): a range-surviving file whose
-    *     filter rejects every probe key is skipped — the narrowing
-    *     that survives insert-heavy batches, whose fresh keys blow
-    *     any range envelope. No false negatives, so never lossy.
-    * Files without stats/bloom on the key are always candidates;
-    * multi-column keys skip narrowing entirely (stats cover one
-    * column). At 100 TB this is the difference between a CDC batch
-    * scanning the table and scanning the handful of files its keys
-    * cluster into. */
+    *   - manifest min/max on a key column — applied only when the
+    *     file's RECORDED stats name matches the column (pre-v2 unnamed
+    *     stats trust the caller's declared column, the only information
+    *     there is): exact per-file containment against the collected
+    *     probe-key set when it is bounded (a sorted-array binary search
+    *     per file), the coarse [batchMin,batchMax] envelope past
+    *     [[MaxCollectedProbeKeys]];
+    *   - per-file Bloom filters on the column (write-time or
+    *     [[indexBloom]]-retrofitted, primary or secondary slot): a
+    *     range-surviving file whose filter rejects every probe key is
+    *     skipped — the narrowing that survives insert-heavy batches,
+    *     whose fresh keys blow any range envelope. No false negatives,
+    *     so never lossy.
+    * Files without stats/bloom on a column are always candidates for
+    * that column. MULTI-COLUMN keys narrow per column and intersect:
+    * per-column containment is NECESSARY for tuple containment, so a
+    * file rejected on any one covered column cannot hold a probe tuple
+    * — composite-key merges narrow on whichever columns have coverage.
+    * At 100 TB this is the difference between a CDC batch scanning the
+    * table and scanning the handful of files its keys cluster into. */
   private def discoveryCandidates(spark: SparkSession,
                                   probeKeys: DataFrame, key: Seq[String],
                                   statsCol: Option[String],
                                   mine: Seq[FileEntry]): Seq[FileEntry] = {
-    if (key.length != 1) return mine
     // a handful of files is cheaper to scan than to narrow (the probe
     // collection is a Spark job); narrowing exists for tables where the
     // file LIST is the cost
     if (mine.size <= 4) return mine
-    val kc = key.head
-    val statsCover = statsCol.contains(kc)
-    val bloomsPresent = mine.exists(_.bloom.exists(_._1 == kc))
-    if (!statsCover && !bloomsPresent) return mine
+    key.foldLeft(mine) { (cand, kc) =>
+      if (cand.size <= 4) cand
+      else narrowByColumn(spark, probeKeys, kc, statsCol, cand)
+    }
+  }
+
+  /** One key column's narrowing pass over `cand` (see
+    * [[discoveryCandidates]]): range containment via
+    * [[FileEntry.statsFor]], then bloom probes via
+    * [[FileEntry.bloomFor]] under the driver budget. */
+  private def narrowByColumn(spark: SparkSession, probeKeys: DataFrame,
+                             kc: String, statsCol: Option[String],
+                             cand: Seq[FileEntry]): Seq[FileEntry] = {
+    val statsCover = cand.exists(_.statsFor(kc, statsCol).isDefined)
+    val bloomsPresent = cand.exists(_.bloomFor(kc).isDefined)
+    if (!statsCover && !bloomsPresent) return cand
     // ONE extra job in the common case: collect up to the cap + 1
     // distinct keys — an overflowing take proves the set is unbounded
     // and discovery falls back to the envelope aggregate
@@ -1011,14 +1358,14 @@ object ManifestTable {
     val collected: Option[Array[Row]] =
       if (taken.length <= MaxCollectedProbeKeys) Some(taken) else None
     val ranged =
-      if (!statsCover) mine
+      if (!statsCover) cand
       else collected match {
         case Some(rows) =>
           // exact per-file containment against the sorted key set
           val longs = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
           val anyUncastable = rows.exists(_.isNullAt(0))
-          mine.filter(e => (e.min, e.max) match {
-            case (Some(mn), Some(mx)) if !anyUncastable =>
+          cand.filter(e => e.statsFor(kc, statsCol) match {
+            case Some((mn, mx)) if !anyUncastable =>
               val i = java.util.Arrays.binarySearch(longs, mn)
               val from = if (i >= 0) i else -i - 1
               from < longs.length && longs(from) <= mx
@@ -1035,13 +1382,13 @@ object ManifestTable {
             sum(when(col(kc).isNotNull && col(kc).cast("long").isNull,
               lit(1L)).otherwise(lit(0L)))).head()
           val anyUncastable = !r.isNullAt(2) && r.getLong(2) > 0L
-          if (r.isNullAt(0) || r.isNullAt(1) || anyUncastable) mine
-          else mine.filter(e => (e.min, e.max) match {
-            case (Some(mn), Some(mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
-            case _ => true
+          if (r.isNullAt(0) || r.isNullAt(1) || anyUncastable) cand
+          else cand.filter(e => e.statsFor(kc, statsCol) match {
+            case Some((mn, mx)) => mx >= r.getLong(0) && mn <= r.getLong(1)
+            case None => true
           })
       }
-    val bloomable = ranged.count(_.bloom.exists(_._1 == kc))
+    val bloomable = ranged.count(_.bloomFor(kc).isDefined)
     collected match {
       // driver budget: each skippable file pays up to |probes| filter
       // tests — past the budget the bloom pass would stall the driver,
@@ -1063,12 +1410,12 @@ object ManifestTable {
           (s.toSeq ++ l.filterNot(lb => s.exists(java.util.Arrays.equals(_, lb))))
         }
         ranged.filter { e =>
-          e.bloom match {
-            case Some((bc, b64)) if bc == kc =>
+          e.bloomFor(kc) match {
+            case Some(b64) =>
               val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
                 java.util.Base64.getDecoder.decode(b64)))
               probes.exists(bf.mightContainBinary)
-            case _ => true
+            case None => true
           }
         }
       case _ => ranged
@@ -1091,7 +1438,7 @@ object ManifestTable {
                              key: Seq[String], statsCol: Option[String],
                              mine: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
     val cand = discoveryCandidates(spark, probeKeys, key, statsCol, mine)
-    discoveryStatsRegistry.put(rootP.toUri.getPath,
+    recordDiscoveryStats(rootP, mine.headOption.fold("")(_.table),
       DiscoveryStats(cand.size.toLong, mine.size.toLong))
     if (cand.isEmpty) return (Nil, mine)
     val cdf = spark.read.parquet(
@@ -1159,7 +1506,8 @@ object ManifestTable {
                               key: Seq[String], inserts: Option[DataFrame],
                               keepSchemaIfEmpty: Boolean,
                               statsCol: Option[String],
-                              bloomCol: Option[String]): Seq[FileEntry] = {
+                              bloomCol: Option[String],
+                              extraBloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val keepRows =
       if (aff.isEmpty) touchedKeys.where(lit(false)) // only with inserts
       else spark.read.parquet(
@@ -1172,7 +1520,7 @@ object ManifestTable {
         else keepRows.select(ins.columns.map(col): _*).unionByName(ins)
     }
     writeDataNonEmptyOr(spark, rootP, fs, table, newRows, statsCol,
-      bloomCol, keepSchemaIfEmpty)
+      bloomCol, keepSchemaIfEmpty, extraBloomCols)
   }
 
   /** Targeted deletion by KEY SET — the right-to-be-forgotten fast
@@ -1188,17 +1536,20 @@ object ManifestTable {
                    keys: DataFrame, key: Seq[String],
                    statsCol: Option[String] = None,
                    bloomCol: Option[String] = None,
-                   maxRetries: Int = 3): (Long, Long) = {
+                   maxRetries: Int = 3,
+                   extraBloomCols: Seq[String] = Nil): (Long, Long) = {
     require(key.nonEmpty, "deleteByKeys: empty key")
     retryOnConflict(maxRetries) {
-      deleteByKeysOnce(spark, root, table, keys, key, statsCol, bloomCol)
+      deleteByKeysOnce(spark, root, table, keys, key, statsCol, bloomCol,
+        extraBloomCols)
     }
   }
 
   private def deleteByKeysOnce(spark: SparkSession, root: String,
                                table: String, keys: DataFrame,
                                key: Seq[String], statsCol: Option[String],
-                               bloomCol: Option[String]): (Long, Long) = {
+                               bloomCol: Option[String],
+                               extraBloomCols: Seq[String]): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -1214,9 +1565,11 @@ object ManifestTable {
     val nDel = adf.join(ks, key, "left_semi").count()
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, ks,
       key, inserts = None, keepSchemaIfEmpty = keep.isEmpty, statsCol,
-      bloomCol)
-    writeCommit(fs, rootP, cur.version + 1L,
-      cur.entries.filterNot(_.table == table) ++ keep ++ newEntries)
+      bloomCol, extraBloomCols)
+    commitOrRebase(spark, fs, rootP, root, Some(cur),
+      carriedOf = _.filterNot(_.table == table),
+      added = keep ++ newEntries,
+      reusableUnder = tableUnchanged(Some(cur), table))
     (aff.size.toLong, nDel)
   }
 
@@ -1281,8 +1634,10 @@ object ManifestTable {
       }
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, srcKeys,
       key, Some(src), keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol)
-    writeCommit(fs, rootP, cur.version + 1L,
-      cur.entries.filterNot(_.table == table) ++ keep ++ newEntries)
+    commitOrRebase(spark, fs, rootP, root, Some(cur),
+      carriedOf = _.filterNot(_.table == table),
+      added = keep ++ newEntries,
+      reusableUnder = tableUnchanged(Some(cur), table))
     (aff.size.toLong, nUpdated, nSrc - nMatchedKeys)
   }
 
@@ -1294,13 +1649,14 @@ object ManifestTable {
   def compact(spark: SparkSession, root: String, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               statsCol: Option[String] = None,
-              bloomCol: Option[String] = None): (Long, Long) = {
+              bloomCol: Option[String] = None,
+              extraBloomCols: Seq[String] = Nil): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(cur), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val bytes = mine.map(e => fs.getFileStatus(new HPath(rootP, e.relPath)).getLen).sum
+    val bytes = tableBytes(fs, rootP, mine)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = toDf(spark, rootP, cur.entries, table)
     val re = statsCol match {
@@ -1309,13 +1665,25 @@ object ManifestTable {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
     }
-    // bloomCol so compaction does not STRIP the table's per-file bloom
-    // coverage (merge discovery and readPrunedEq/In both consume it)
-    val newEntries = writeData(spark, rootP, fs, table, re, statsCol, bloomCol)
+    // bloom columns so compaction does not STRIP the table's per-file
+    // bloom coverage (merge discovery and readPrunedEq/In consume it)
+    val newEntries = writeData(spark, rootP, fs, table, re, statsCol,
+      bloomCol, extraBloomCols = extraBloomCols)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ newEntries)
     (mine.size.toLong, newEntries.size.toLong)
   }
+
+  /** Sum of a table's file sizes, from the MANIFEST when the entries
+    * carry write-time byte sizes (zero FS calls — the steady state for
+    * every v2-written table); only pre-v2 entries without a recorded
+    * size pay a getFileStatus RPC, counted on [[fileStatCalls]]. */
+  private def tableBytes(fs: FileSystem, rootP: HPath,
+                         mine: Seq[FileEntry]): Long =
+    mine.map(e => e.bytes.getOrElse {
+      fileStatCalls.incrementAndGet()
+      fs.getFileStatus(new HPath(rootP, e.relPath)).getLen
+    }).sum
 
   /** Adaptive defrag for streaming maintainers ([[graft.streaming.CdcApply]],
     * [[graft.streaming.CorpusIngest]]): compacts `table` only when its
@@ -1323,26 +1691,30 @@ object ManifestTable {
     * table's post-compaction ideal (ceil(bytes / targetFileBytes)) —
     * without the second test, a table that has grown to legitimately
     * NEED `minFiles` files would cross an absolute threshold forever
-    * and every micro-batch would rewrite the whole table. The byte
-    * statting is only paid once the count bar is crossed. A lost
-    * compaction commit CAS is swallowed, not retried: maintenance is
-    * optional, the next trigger re-fires, and it must never kill a
-    * stream whose batch data already committed. Returns
+    * and every micro-batch would rewrite the whole table. The sizing
+    * reads the manifest's write-time byte sizes — a steady-state-large
+    * table (≥ minFiles files forever, the normal shape of any big
+    * CDC-maintained table) pays ZERO per-file FS stats per micro-batch;
+    * only pre-v2 entries fall back to getFileStatus ([[tableBytes]]).
+    * A lost compaction commit CAS is swallowed, not retried:
+    * maintenance is optional, the next trigger re-fires, and it must
+    * never kill a stream whose batch data already committed. Returns
     * Some((filesBefore, filesAfter)) when a compaction ran. */
   def compactIfFragmented(spark: SparkSession, root: String, table: String,
                           minFiles: Int,
                           targetFileBytes: Long = 128L * 1024 * 1024,
                           statsCol: Option[String] = None,
-                          bloomCol: Option[String] = None): Option[(Long, Long)] = {
+                          bloomCol: Option[String] = None,
+                          extraBloomCols: Seq[String] = Nil): Option[(Long, Long)] = {
     require(minFiles >= 1, "minFiles >= 1")
     val (fs, rootP) = fsFor(spark, root)
     val mine = entriesOf(current(spark, root), table)
     if (mine.size < minFiles) return None
-    val bytes = mine.map(e =>
-      fs.getFileStatus(new HPath(rootP, e.relPath)).getLen).sum
+    val bytes = tableBytes(fs, rootP, mine)
     val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     if (mine.size < 2L * ideal) return None // the table NEEDS these files
-    try Some(compact(spark, root, table, targetFileBytes, statsCol, bloomCol))
+    try Some(compact(spark, root, table, targetFileBytes, statsCol, bloomCol,
+      extraBloomCols))
     catch { case _: CommitConflictException => None }
   }
 
@@ -1497,13 +1869,25 @@ object ManifestTable {
       deleteKeys.select(key.map(col): _*))
     val exists = cur.exists(_.entries.exists(_.table == table))
     def commit(dropped: Seq[FileEntry], added: Seq[FileEntry]): Boolean = {
-      val carried = cur.map(_.entries.filterNot(e =>
-        dropped.contains(e) ||
-          (e.table == TxnTable && e.relPath == markerPath))).getOrElse(Nil)
-      writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
-        carried ++ added :+
-          FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
-      true
+      val droppedSet = dropped.toSet
+      // reuse bar for the file-reusing rebase: the interleaved commit
+      // must have left our table AND every FK parent we validated
+      // against exactly as planned — anything else re-runs the attempt
+      def reusable(nc: Commit): Boolean =
+        tableUnchanged(cur, table)(nc) &&
+          fkChecks.forall { case (_, _, pt, _) => tableUnchanged(cur, pt)(nc) }
+      commitOrRebase(spark, fs, rootP, root, cur,
+        carriedOf = _.filterNot(e => droppedSet.contains(e) ||
+          (e.table == TxnTable && e.relPath == markerPath)),
+        added = added :+
+          FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)),
+        reusableUnder = reusable,
+        alreadyAppliedUnder = nc => nc.entries.exists(e =>
+          e.table == TxnTable && e.relPath == markerPath &&
+            e.min.exists(_ >= batchId))) match {
+        case Committed(_) => true
+        case AlreadyApplied => false
+      }
     }
     if (!exists) {
       if (nUp == 0L) return true // nothing to create; replay harmless
@@ -1578,12 +1962,23 @@ object ManifestTable {
       writeDataNonEmptyOr(spark, rootP, fs, name, df, statsCols.get(name),
         bloomCol = None, keepSchemaIfEmpty = !exists)
     }
-    val carried = cur.map(_.entries.filterNot(e =>
-      e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
-    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
-      carried ++ newEntries :+
-        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
-    true
+    // reuse bar: appends drop nothing, so an interleaved commit is only
+    // disqualifying when it touched one of OUR tables (it could have
+    // established a schema we also establish, or appended rows a keyed
+    // consumer of this batch compared against)
+    commitOrRebase(spark, fs, rootP, root, cur,
+      carriedOf = _.filterNot(e =>
+        e.table == TxnTable && e.relPath == markerPath),
+      added = newEntries :+
+        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)),
+      reusableUnder = nc => tables.keysIterator.forall(t =>
+        tableUnchanged(cur, t)(nc)),
+      alreadyAppliedUnder = nc => nc.entries.exists(e =>
+        e.table == TxnTable && e.relPath == markerPath &&
+          e.min.exists(_ >= batchId))) match {
+      case Committed(_) => true
+      case AlreadyApplied => false
+    }
   }
 
   // ----------------------------------------- commit-log compaction / vacuum

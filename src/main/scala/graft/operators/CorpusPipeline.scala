@@ -30,7 +30,43 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, textCol: String, idCol: String,
               sourceCol: String, minTokens: Int = 10,
               maxTopShare: Double = 0.2, perSourceCap: Int = 50,
-              maxRepeatMass: Double = 1.0): DataFrame = {
+              maxRepeatMass: Double = 1.0): DataFrame =
+    prepareStages(docs, textCol, idCol, sourceCol, minTokens, maxTopShare,
+      perSourceCap, maxRepeatMass, nearDup = None)
+
+  /** [[prepare]] with a NEAR-DUP stage whose LSH band config is chosen
+    * by MEASURED recall on `sample` ([[Dedup.chooseLshConfig]] at
+    * `recallFloorP6`) instead of hardcoded knobs — the tuning loop
+    * wired into the pipeline: grade the bounded sample, pick the
+    * cheapest qualifying (bands, rowsPerBand), then run the full
+    * corpus's banded near-dup join under it, BETWEEN exact dedup and
+    * the per-source cap (near-dups survive an md5 match by
+    * construction; capping before removal would count losers against
+    * the cap). The choice is logged and queryable
+    * ([[Dedup.lshConfigChoice]] under `graft.pipeline.lsh.choice`).
+    * The corpus pays only the chosen config's banded join; the sample
+    * pays the full recall board — keep it a bounded graded slice. */
+  def prepareTuned(docs: DataFrame, sample: DataFrame, textCol: String,
+                   idCol: String, sourceCol: String,
+                   recallFloorP6: Long, minTokens: Int = 10,
+                   maxTopShare: Double = 0.2, perSourceCap: Int = 50,
+                   maxRepeatMass: Double = 1.0, shingleN: Int = 3,
+                   nearDupThreshold: Double = 0.5,
+                   configs: Seq[(Int, Int)] =
+                     Seq((2, 4), (4, 4), (8, 2), (16, 2))): DataFrame = {
+    val (bands, rowsPerBand) = Dedup.chooseLshConfig(sample, textCol,
+      idCol, recallFloorP6, shingleN, nearDupThreshold, configs,
+      metricName = "graft.pipeline.lsh.choice")
+    prepareStages(docs, textCol, idCol, sourceCol, minTokens, maxTopShare,
+      perSourceCap, maxRepeatMass,
+      nearDup = Some((bands, rowsPerBand, shingleN, nearDupThreshold)))
+  }
+
+  private def prepareStages(docs: DataFrame, textCol: String, idCol: String,
+              sourceCol: String, minTokens: Int,
+              maxTopShare: Double, perSourceCap: Int,
+              maxRepeatMass: Double,
+              nearDup: Option[(Int, Int, Int, Double)]): DataFrame = {
     val text: Column = col(textCol)
     val st = graft.expressions.ShingleExpr.topGramStats(text, 2)
     val kept0 = docs
@@ -50,8 +86,17 @@ object CorpusPipeline {
         <= maxRepeatMass)
       .drop("__wn")
     val byDigest = Window.partitionBy(md5(text)).orderBy(col(idCol).asc)
-    val deduped = kept.withColumn("__rn", row_number().over(byDigest))
+    val deduped0 = kept.withColumn("__rn", row_number().over(byDigest))
       .filter(col("__rn") === 1).drop("__rn")
+    // tuned near-dup removal (prepareTuned only): banded MinHash join
+    // over the exact-dedup survivors under the MEASURED-recall config —
+    // the default path adds nothing, so prepare's plan (and q83's hash)
+    // is byte-identical to the pre-tuning shape
+    val deduped = nearDup match {
+      case None => deduped0
+      case Some((b, r, n, thr)) =>
+        Dedup.dedupCorpus(Lineage.cut(deduped0), textCol, idCol, b, r, n, thr)
+    }
     // Cut the survivor lineage before the cap: every real corpus run
     // materializes post-dedup anyway, and the pruned-rank cap scans its
     // input three times (source counts, candidate-count verify, ranked

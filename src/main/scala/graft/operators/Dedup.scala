@@ -775,8 +775,13 @@ object Dedup {
         bands, rowsPerBand, shingleN, maxBucket)
       .repartitionByRange(col("band"))
       .sortWithinPartitions(col("band"), col("bh"))
+    // secondary id bloom on every file (band stats stay the primary,
+    // range-dense, bloom-free pruning axis): the doc-id forget path
+    // ([[minhashIndexForgetVersioned]]) probes it so a GDPR delete
+    // rewrites only files that actually CONTAIN a forgotten id instead
+    // of scanning every band partition for each forget
     graft.etl.ManifestTable.overwrite(spark, root, MhIndexTable, rows,
-      statsCol = Some("band"))
+      statsCol = Some("band"), extraBloomCols = Seq("id"))
   }
 
   /** [[minhashIndexAppend]] for the versioned index: the batch's capped
@@ -800,10 +805,12 @@ object Dedup {
     // file's [min,max] can span bands the batch never produced rows for
     // (the skew cap drops whole (band,bh) buckets) — band-probed
     // maintenance reads (readPrunedIn) skip those. The base write stays
-    // bloom-free: range-clustered full-corpus files are band-dense.
+    // band-bloom-free: range-clustered full-corpus files are band-dense.
+    // The secondary id bloom keeps the forget path's coverage across
+    // appends ([[minhashIndexForgetVersioned]]).
     graft.etl.ManifestTable.appendNew(spark, root, MhIndexTable, rows,
       key = Seq("id", "band"), statsCol = Some("band"),
-      bloomCol = Some("band"))
+      bloomCol = Some("band"), extraBloomCols = Seq("id"))
   }
 
   /** Forget documents from the versioned index: manifest copy-on-write
@@ -817,7 +824,26 @@ object Dedup {
                                   root: String,
                                   pred: Column): (Long, Long) =
     graft.etl.ManifestTable.deleteWhere(spark, root, MhIndexTable, pred,
-      statsCol = Some("band"), bloomCol = Some("band"))
+      statsCol = Some("band"), bloomCol = Some("band"),
+      extraBloomCols = Seq("id"))
+
+  /** Forget a KEY SET of document ids from the versioned index — the
+    * right-to-be-forgotten fast path [[minhashIndexDeleteVersioned]]'s
+    * arbitrary predicate can't have: the id set probes the per-file
+    * SECONDARY id blooms (written by every versioned index writer), so
+    * discovery reads — and the rewrite touches — only files that
+    * actually CONTAIN a forgotten id, instead of scanning every band
+    * partition per forget ([[graft.etl.ManifestTable.deleteByKeys]];
+    * `mergeDiscoveryStats(root, "index")` reports the skip rate). One
+    * atomic commit; pre-forget versions stay readable until retention
+    * drops them. `ids` must carry an `id` column. Returns
+    * (filesRewritten, rowsDeleted). */
+  def minhashIndexForgetVersioned(spark: org.apache.spark.sql.SparkSession,
+                                  root: String,
+                                  ids: DataFrame): (Long, Long) =
+    graft.etl.ManifestTable.deleteByKeys(spark, root, MhIndexTable,
+      ids.select(col("id")), key = Seq("id"), statsCol = Some("band"),
+      bloomCol = Some("band"), extraBloomCols = Seq("id"))
 
   /** [[incrementalPairs]] against a versioned index, optionally pinned
     * to a retained `version` — "which of these documents were near-dups

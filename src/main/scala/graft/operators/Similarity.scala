@@ -476,8 +476,12 @@ object Similarity {
       .withColumn("list_id", argMax(cosinesD(col("cv"), cents)))
       .repartitionByRange(nlist, col("list_id"))
       .sortWithinPartitions(col("list_id"))
+    // secondary vec_id bloom on every file (list_id stats stay the
+    // primary, range-dense, bloom-free pruning axis — spec-pinned): the
+    // vec-id forget path ([[ivfForgetVersioned]]) probes it so a GDPR
+    // delete rewrites only files actually CONTAINING a forgotten vector
     graft.etl.ManifestTable.overwrite(corpus.sparkSession, root, IvfTable,
-      assigned, statsCol = Some("list_id"))
+      assigned, statsCol = Some("list_id"), extraBloomCols = Seq("vec_id"))
     cents
   }
 
@@ -503,13 +507,14 @@ object Similarity {
     // POPULATES only some of them — the bloom lets a probed search
     // ([[ivfTopKVersioned]] via readPrunedIn) skip appended files whose
     // range covers a probed list that the batch never touched. The base
-    // write carries NO bloom deliberately: its range-clustered files
-    // are dense (every list inside a file's range is populated), so
-    // keptBloom == keptRange by construction — measured, not assumed
-    // (Round16OpsSpec pins both directions with prunedInStats).
+    // write carries no LIST_ID bloom deliberately: its range-clustered
+    // files are dense (every list inside a file's range is populated),
+    // so keptBloom == keptRange by construction — measured, not assumed
+    // (Round16OpsSpec pins both directions with prunedInStats). The
+    // secondary vec_id bloom serves only the forget path.
     graft.etl.ManifestTable.appendNew(delta.sparkSession, root, IvfTable,
       assigned, key = Seq("vec_id"), statsCol = Some("list_id"),
-      bloomCol = Some("list_id"))
+      bloomCol = Some("list_id"), extraBloomCols = Seq("vec_id"))
   }
 
   /** Delete from a [[ivfWriteVersioned]] index: manifest copy-on-write
@@ -529,7 +534,26 @@ object Similarity {
     // a previously-dense file (lists inside its range with no surviving
     // row), which is exactly the interleaving blooms catch
     graft.etl.ManifestTable.deleteWhere(spark, root, IvfTable, pred,
-      statsCol = Some("list_id"), bloomCol = Some("list_id"))
+      statsCol = Some("list_id"), bloomCol = Some("list_id"),
+      extraBloomCols = Seq("vec_id"))
+
+  /** Forget a KEY SET of vector ids from the versioned index — the
+    * right-to-be-forgotten fast path: the id set probes the per-file
+    * SECONDARY vec_id blooms (written by [[ivfWriteVersioned]] /
+    * [[ivfAppendVersioned]]), so discovery reads — and the rewrite
+    * touches — only files that actually CONTAIN a forgotten vector,
+    * instead of scanning every list partition per forget
+    * ([[graft.etl.ManifestTable.deleteByKeys]];
+    * `mergeDiscoveryStats(root, "lists")` reports the skip rate). One
+    * atomic commit; pre-forget versions stay searchable until retention
+    * drops them. `ids` must carry a `vec_id` column. Returns
+    * (filesRewritten, rowsDeleted). */
+  def ivfForgetVersioned(spark: org.apache.spark.sql.SparkSession,
+                         root: String, ids: DataFrame): (Long, Long) =
+    graft.etl.ManifestTable.deleteByKeys(spark, root, IvfTable,
+      ids.select(col("vec_id")), key = Seq("vec_id"),
+      statsCol = Some("list_id"), bloomCol = Some("list_id"),
+      extraBloomCols = Seq("vec_id"))
 
   /** Search a [[ivfWriteVersioned]] index, optionally pinned to a
     * retained `version` (time travel — "what did this query return

@@ -89,8 +89,26 @@ object CorpusIngest {
     // committed-upto watermark, so a replay of ANY old id (retried
     // orchestration, checkpoint loss/reset) no-ops — marker pruning
     // never narrows the idempotence contract.
-    if (hasMarker(spark, corpusPath, s"commit-$batchId") ||
-        committedUpTo(spark, corpusPath) >= batchId) return
+    if (hasMarker(spark, corpusPath, s"commit-$batchId")) return
+    if (committedUpTo(spark, corpusPath) >= batchId) {
+      // LOUD skip: the watermark covers this id but its exact commit
+      // marker is gone. For a replay of a GC'd batch that is correct
+      // and routine — but a CHECKPOINT RESET restarts batch ids at 0
+      // against the same corpusPath, and then this guard silently
+      // drops genuinely NEW batches until ids climb past the old
+      // watermark (the pre-watermark design would have duplicated
+      // instead; the failure mode flipped from duplication to loss).
+      // Operators resetting a checkpoint MUST also use a fresh
+      // corpusPath (or clear its _commitlog); this line is how that
+      // mistake surfaces instead of vanishing.
+      System.err.println(
+        s"[graft.ingest] skipping batch $batchId at $corpusPath: covered " +
+          s"by committed-upto watermark (commit marker GC'd). Expected " +
+          s"for replays; if this stream's checkpoint was RESET, ids " +
+          s"restarted and this batch was NOT ingested — a reset " +
+          s"checkpoint requires a fresh corpusPath.")
+      return
+    }
     val crashed = hasMarker(spark, corpusPath, s"begin-$batchId")
     putMarker(spark, corpusPath, s"begin-$batchId")
     val cached = batch.localCheckpoint() // source offsets are one-shot

@@ -1,0 +1,414 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17 coverage: the round-16 verdict items (FileEntry v2 format —
+  * per-file byte sizes, named stats, secondary blooms; zero-FS-stat
+  * adaptive compaction; secondary-key GDPR forget; deleteWhere range
+  * narrowing; file-reusing conflict rebase; multi-column discovery
+  * keys; tuned-LSH pipeline) and the round-16 ADVICE items (named
+  * stats trust, bloom'd schema keeper, per-(root, table) discovery
+  * stats). */
+class Round17OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A manifest table of `nFiles` files with deterministic per-file key
+    * ranges: file i holds keys [i*100, i*100+9] (the Round16OpsSpec
+    * fixture), optionally with a secondary uncorrelated column `u`
+    * (= k * 7 + 3) bloom-covered for point-forget tests. */
+  private def manyFileTable(root: String, nFiles: Int,
+                            withU: Boolean = false): Unit = {
+    val rdd = spark.sparkContext.parallelize(0 until nFiles, nFiles)
+      .mapPartitionsWithIndex { (i, _) =>
+        (0 until 10).map(j => org.apache.spark.sql.Row(i * 100L + j,
+          s"v$i-$j", (i * 100L + j) * 7L + 3L)).iterator
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType)))
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> spark.createDataFrame(rdd, schema)),
+      statsCols = Map("t" -> "k"),
+      extraBloomCols =
+        if (withU) Map("t" -> Seq("u")) else Map.empty)
+  }
+
+  // ---- verdict #1: FileEntry v2 — sizes, named stats, read-compat ----
+
+  test("v2 commit lines round-trip sizes, named stats and secondary " +
+    "blooms; legacy 4/6-field lines still parse and carry forward") {
+    val root = tmpDir("v2-fmt") + "/t"
+    manyFileTable(root, 6, withU = true)
+    val cur = graft.etl.ManifestTable.current(spark, root).get
+    val mine = cur.entries.filter(_.table == "t")
+    assert(mine.size == 6)
+    assert(mine.forall(_.bytes.exists(_ > 0L)), "write-time byte sizes")
+    assert(mine.forall(_.statsName.contains("k")), "named primary stats")
+    assert(mine.forall(_.bloomFor("u").isDefined), "secondary u bloom")
+    assert(mine.forall(_.bloomFor("k").isEmpty), "no k bloom was asked for")
+    // read-compat: a hand-written LEGACY commit (4-field + 6-field
+    // lines) resolves; its entries re-serialize losslessly when a new
+    // commit carries them
+    val legacyRoot = tmpDir("v2-legacy") + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // real data file so reads work
+    Seq((1L, "a")).toDF("k", "v").repartition(1)
+      .write.parquet(s"$legacyRoot/t/d-legacy")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$legacyRoot/t/d-legacy"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val cd = new org.apache.hadoop.fs.Path(s"$legacyRoot/_commits")
+    fs.mkdirs(cd)
+    val line = s"t\tt/d-legacy/$part\t1\t1\n"
+    val out = fs.create(new org.apache.hadoop.fs.Path(cd,
+      "c-00000000000000000001.txt"), false)
+    out.write(line.getBytes("UTF-8")); out.close()
+    val legacy = graft.etl.ManifestTable.current(spark, legacyRoot).get
+    val e = legacy.entries.head
+    assert(e.min.contains(1L) && e.statsName.isEmpty && e.bytes.isEmpty,
+      s"legacy entry parsed unnamed and size-less: $e")
+    // unnamed legacy stats trust the DECLARED column only (ADVICE):
+    assert(e.statsFor("k", Some("k")).contains((1L, 1L)))
+    assert(e.statsFor("other", Some("k")).isEmpty,
+      "legacy stats never answer for a different column")
+    // a v2 append carries the legacy entry byte-compatibly
+    graft.etl.ManifestTable.appendNew(spark, legacyRoot, "t",
+      Seq((500L, "b")).toDF("k", "v"), key = Seq("k"),
+      statsCol = Some("k"))
+    val after = graft.etl.ManifestTable.current(spark, legacyRoot).get
+    assert(after.entries.exists(x =>
+      x.relPath == e.relPath && x.min == e.min && x.statsName.isEmpty))
+    assert(graft.etl.ManifestTable.read(spark, legacyRoot, "t").count() == 2L)
+  }
+
+  test("named stats refuse cross-column reads: a probe column differing " +
+    "from the recorded stats name never consumes the primary pair " +
+    "(the ADVICE drift hazard)") {
+    val root = tmpDir("named-stats") + "/t"
+    manyFileTable(root, 8)
+    val mine = graft.etl.ManifestTable.current(spark, root).get.entries
+    // every entry records k; asking for u must NOT reinterpret k ranges
+    assert(mine.forall(_.statsFor("u", Some("k")).isEmpty),
+      "recorded-name mismatch yields no stats (file stays a candidate)")
+    // deleteByKeys on u (no stats, no bloom) must still be CORRECT:
+    // every file stays a candidate and the row goes away
+    val (_, nDel) = graft.etl.ManifestTable.deleteByKeys(spark, root, "t",
+      Seq(307L * 7L + 3L).toDF("u"), key = Seq("u"), statsCol = Some("k"))
+    assert(nDel == 1L, s"row found without any u coverage: $nDel")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 307L).count() == 0L)
+  }
+
+  // ---- verdict #1b/#2: zero-FS-stat maintenance sizing ----
+
+  test("compactIfFragmented sizes the table from the manifest: zero " +
+    "getFileStatus calls on a v2 table, both on the hold path and " +
+    "through an actual compaction") {
+    val root = tmpDir("cf-nostat") + "/t"
+    manyFileTable(root, 12)
+    graft.etl.ManifestTable.fileStatCalls.set(0L)
+    // hold path: 12 tiny files, ideal = 1, 12 >= 2*1 → compacts; run
+    // first with a count bar ABOVE the file count (no byte pass at all)
+    assert(graft.etl.ManifestTable.compactIfFragmented(spark, root, "t",
+      minFiles = 50).isEmpty)
+    assert(graft.etl.ManifestTable.fileStatCalls.get() == 0L,
+      "count-bar hold pays zero stats")
+    // firing path: sizing AND the compact itself read manifest bytes
+    val ran = graft.etl.ManifestTable.compactIfFragmented(spark, root, "t",
+      minFiles = 4, statsCol = Some("k"))
+    assert(ran.exists(_._1 == 12L), s"compaction fired: $ran")
+    assert(graft.etl.ManifestTable.fileStatCalls.get() == 0L,
+      "v2 sizing pays zero getFileStatus RPCs")
+    assert(graft.etl.ManifestTable.read(spark, root, "t").count() == 120L)
+    // compacted files carry sizes too (the steady state re-arms)
+    val mine = graft.etl.ManifestTable.current(spark, root).get.entries
+    assert(mine.forall(_.bytes.exists(_ > 0L)))
+  }
+
+  // ---- verdict #1c/#6: secondary-key forget prunes by bloom ----
+
+  test("deleteByKeys on a SECONDARY bloom-covered key reads only " +
+    "bloom-surviving files; untouched files carry byte-identical") {
+    val root = tmpDir("forget-2nd") + "/t"
+    manyFileTable(root, 30, withU = true)
+    val before = graft.etl.ManifestTable.current(spark, root).get
+    // forget two u-keys living in files 5 and 21
+    val (files, nDel) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+      "t", Seq(503L * 7L + 3L, 2107L * 7L + 3L).toDF("u"), key = Seq("u"),
+      statsCol = Some("k"), extraBloomCols = Seq("u"))
+    assert((files, nDel) == (2L, 2L), s"two files, two rows: $files/$nDel")
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.totalFiles == 30L && st.scannedFiles < 10L,
+      s"u blooms pruned discovery on a k-clustered table: $st")
+    val after = graft.etl.ManifestTable.current(spark, root).get
+    val carried = before.entries.map(_.relPath).toSet
+      .intersect(after.entries.map(_.relPath).toSet)
+    assert(carried.size == 28, s"28/30 entries carried verbatim: ${carried.size}")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+    assert(got.count() == 298L)
+    assert(got.filter(col("k").isin(503L, 2107L)).count() == 0L)
+  }
+
+  test("minhashIndexForgetVersioned: the doc-id forget narrows via the " +
+    "secondary id bloom and removes every banded row of the ids") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(400).localCheckpoint()
+    val root = tmpDir("mh-forget") + "/mh"
+    graft.operators.Dedup.minhashIndexWriteVersioned(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", root)
+    graft.operators.Dedup.minhashIndexAppendVersioned(spark,
+      docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", root)
+    val idx0 = graft.etl.ManifestTable.read(spark, root, "index")
+    val forgotten = docs.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id").as("id"))
+    val nForget = idx0.join(forgotten, Seq("id"), "left_semi").count()
+    assert(nForget > 0L, "fixture has banded rows to forget")
+    val (_, nDel) = graft.operators.Dedup.minhashIndexForgetVersioned(
+      spark, root, forgotten)
+    assert(nDel == nForget, s"all banded rows of the ids removed: $nDel/$nForget")
+    val idx1 = graft.etl.ManifestTable.read(spark, root, "index")
+    assert(idx1.join(forgotten, Seq("id"), "left_semi").count() == 0L)
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "index").get
+    assert(st.scannedFiles <= st.totalFiles, s"stats recorded: $st")
+  }
+
+  // ---- verdict #4 (missing): deleteWhere range narrowing ----
+
+  test("deleteWhere with a stats-column conjunct scans only in-range " +
+    "files; arbitrary predicates still scan everything; results exact") {
+    val root = tmpDir("delw-range") + "/t"
+    manyFileTable(root, 30)
+    val before = graft.etl.ManifestTable.current(spark, root).get
+    // conjunct k in [300, 310] plus a non-extractable residue
+    val (files, nDel) = graft.etl.ManifestTable.deleteWhere(spark, root,
+      "t", col("k") >= 300L && col("k") <= 310L && col("v").endsWith("-5"),
+      statsCol = Some("k"))
+    assert((files, nDel) == (1L, 1L), s"one file, one row (305): $files/$nDel")
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.totalFiles == 30L && st.scannedFiles <= 3L,
+      s"range conjunct pruned the discovery scan: $st")
+    val after = graft.etl.ManifestTable.current(spark, root).get
+    assert(before.entries.map(_.relPath).toSet
+      .intersect(after.entries.map(_.relPath).toSet).size == 29,
+      "29/30 files carried byte-identical")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 305L).count() == 0L)
+    // arbitrary predicate: no narrowing recorded as full scan
+    val (f2, n2) = graft.etl.ManifestTable.deleteWhere(spark, root, "t",
+      col("v") === "v9-9", statsCol = Some("k"))
+    assert((f2, n2) == (1L, 1L))
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st2.scannedFiles == st2.totalFiles,
+      s"no extractable conjunct → full discovery scan: $st2")
+  }
+
+  test("impliedRange extracts only NECESSARY bounds: conjuncts tighten, " +
+    "disjunctions and foreign columns contribute nothing, IN bounds") {
+    import graft.etl.ManifestTable.impliedRange
+    assert(impliedRange(col("k") >= 10 && col("k") < 20, "k")
+      .contains((9L, 21L)), "widened-by-1 bounds")
+    assert(impliedRange(col("k") === 7, "k").contains((6L, 8L)))
+    assert(impliedRange(lit(100) > col("k"), "k").contains((Long.MinValue, 101L)),
+      "literal-on-left mirrors")
+    assert(impliedRange(col("k").isin(3, 9, 5), "k").contains((2L, 10L)))
+    assert(impliedRange(col("k") >= 10 || col("k") < 0, "k").isEmpty,
+      "disjunction is not a conjunct")
+    assert(impliedRange(col("other") >= 10, "k").isEmpty)
+    assert(impliedRange(col("k") >= 10 && col("other") < 5, "k")
+      .contains((9L, Long.MaxValue)), "foreign conjunct ignored, k kept")
+    assert(impliedRange(col("k").cast("long") <= 4.5, "k")
+      .contains((Long.MinValue, 6L)), "cast wrapper + fractional literal")
+  }
+
+  // ---- verdict #3 (missing): file-reusing conflict rebase ----
+
+  test("commit conflict on a DIFFERENT table rebases by re-committing " +
+    "the already-written files: exactly one data write for the merge; " +
+    "the interloper's table survives") {
+    val root = tmpDir("rebase-ok") + "/t"
+    manyFileTable(root, 10)
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("other" -> Seq((1L, "x")).toDF("id", "s")))
+    val v0 = graft.etl.ManifestTable.current(spark, root).get.version
+    // interleave a commit to ANOTHER table between the merge's plan
+    // and its CAS — deterministic, no thread race
+    graft.etl.ManifestTable.testBeforeCommit = Some(() =>
+      graft.etl.ManifestTable.publish(spark, root,
+        Map("other" -> Seq((2L, "y")).toDF("id", "s"))))
+    val base = graft.etl.ManifestTable.dataWrites.get()
+    val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+      spark, root, "t", Seq((307L, "UP", 307L * 7 + 3), (99999L, "NEW", 0L))
+        .toDF("k", "v", "u"), key = Seq("k"), statsCol = Some("k"))
+    val writes = graft.etl.ManifestTable.dataWrites.get() - base
+    assert((files, updated, inserted) == (1L, 1L, 1L))
+    // 1 write for the merge's rewrite + 1 for the interloper's publish —
+    // the rebase did NOT re-run the merge attempt
+    assert(writes == 2L, s"file-reusing rebase: $writes data writes (want 2)")
+    val cur = graft.etl.ManifestTable.current(spark, root).get
+    assert(cur.version == v0 + 2L, "interloper + rebased merge")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(307L) == "UP" && got(99999L) == "NEW" && got.size == 101)
+    assert(graft.etl.ManifestTable.read(spark, root, "other").count() == 1L,
+      "interloper's overwrite of 'other' carried into the rebased commit")
+  }
+
+  test("commit conflict on the SAME table re-runs the attempt (no file " +
+    "reuse): state stays exact under the overlap") {
+    val root = tmpDir("rebase-rerun") + "/t"
+    manyFileTable(root, 10)
+    // interloper touches the SAME table's files
+    graft.etl.ManifestTable.testBeforeCommit = Some(() => {
+      graft.etl.ManifestTable.deleteByKeys(spark, root, "t",
+        Seq(901L).toDF("k"), key = Seq("k"), statsCol = Some("k"))
+      ()
+    })
+    val base = graft.etl.ManifestTable.dataWrites.get()
+    val (files, updated, inserted) = graft.etl.ManifestTable.mergeInto(
+      spark, root, "t", Seq((307L, "UP", 307L * 7 + 3)).toDF("k", "v", "u"),
+      key = Seq("k"), statsCol = Some("k"))
+    val writes = graft.etl.ManifestTable.dataWrites.get() - base
+    assert((files, updated, inserted) == (1L, 1L, 0L))
+    assert(writes >= 3L, s"same-table conflict re-ran the attempt: $writes")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(307L) == "UP" && !got.contains(901L) && got.size == 99,
+      "both the interloper's delete and the merge landed")
+  }
+
+  test("transactionalMerge watermark race resolves to already-applied: " +
+    "an interleaved commit of the SAME (writer, batch) makes the loser " +
+    "a no-op instead of a double apply") {
+    val root = tmpDir("rebase-wm") + "/t"
+    manyFileTable(root, 6)
+    graft.etl.ManifestTable.testBeforeCommit = Some(() => {
+      graft.etl.ManifestTable.transactionalMerge(spark, root, "t",
+        upserts = Seq((99998L, "A", 0L)).toDF("k", "v", "u"),
+        deleteKeys = Seq.empty[Long].toDF("k"),
+        key = Seq("k"), writerId = "w17", batchId = 5L,
+        statsCol = Some("k"))
+      ()
+    })
+    val applied = graft.etl.ManifestTable.transactionalMerge(spark, root,
+      "t", upserts = Seq((99998L, "A", 0L)).toDF("k", "v", "u"),
+      deleteKeys = Seq.empty[Long].toDF("k"),
+      key = Seq("k"), writerId = "w17", batchId = 5L, statsCol = Some("k"))
+    assert(!applied, "replay that lost the race reports already-applied")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 99998L).count() == 1L, "exactly one apply")
+  }
+
+  // ---- verdict #8 (missing): multi-column discovery keys ----
+
+  test("composite-key merge narrows discovery on the covered column: " +
+    "per-column containment prunes even when the second key column has " +
+    "no stats") {
+    val root = tmpDir("disc-composite") + "/t"
+    manyFileTable(root, 30)
+    val src = Seq((307L, "v3-7", 307L * 7 + 3), (2101L, "v21-1", 2101L * 7 + 3))
+      .toDF("k", "v", "u")
+    // key (k, v): k has stats coverage, v has nothing
+    val (files, updated, _) = graft.etl.ManifestTable.mergeInto(spark,
+      root, "t", src.withColumn("u", col("u") + 1L),
+      key = Seq("k", "v"), statsCol = Some("k"))
+    assert(files == 2L && updated == 2L)
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.totalFiles == 30L && st.scannedFiles == 2L,
+      s"composite key narrowed on k alone: $st")
+  }
+
+  // ---- ADVICE: per-(root, table) discovery stats ----
+
+  test("discovery stats are keyed by (root, table): merges on two " +
+    "tables under one root keep separate records") {
+    val root = tmpDir("disc-twotables") + "/r"
+    manyFileTable(root, 10)
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t2" -> (0L until 50L).map(i => (i, s"x$i")).toDF("k", "v")
+        .repartitionByRange(5, col("k"))),
+      statsCols = Map("t2" -> "k"))
+    graft.etl.ManifestTable.deleteByKeys(spark, root, "t",
+      Seq(105L).toDF("k"), key = Seq("k"), statsCol = Some("k"))
+    graft.etl.ManifestTable.deleteByKeys(spark, root, "t2",
+      Seq(7L).toDF("k"), key = Seq("k"), statsCol = Some("k"))
+    val s1 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    val s2 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t2").get
+    assert(s1.totalFiles == 10L && s2.totalFiles == 5L,
+      s"independent per-table records: $s1 / $s2")
+    assert(graft.etl.ManifestTable.mergeDiscoveryStats(root).contains(s2),
+      "table-less accessor returns the root's most recent record")
+  }
+
+  // ---- ADVICE: bloom'd schema keeper ----
+
+  test("a fully-emptied bloom-covered table keeps a schema file whose " +
+    "empty bloom rejects every probe: point lookups skip it, reads " +
+    "keep the schema") {
+    val root = tmpDir("empty-bloom") + "/t"
+    graft.etl.ManifestTable.publish(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("k", "v")),
+      statsCols = Map("t" -> "k"), bloomCols = Map("t" -> "k"))
+    graft.etl.ManifestTable.deleteWhere(spark, root, "t", lit(true),
+      statsCol = Some("k"), bloomCol = Some("k"))
+    val mine = graft.etl.ManifestTable.current(spark, root).get.entries
+      .filter(_.table == "t")
+    assert(mine.size == 1 && mine.head.bloomFor("k").isDefined,
+      s"schema keeper carries a bloom: $mine")
+    val (kept, total) = graft.etl.ManifestTable.bloomPruneStats(spark,
+      root, "t", "k", 1L)
+    assert((kept, total) == (0L, 1L), s"empty bloom rejects the probe: $kept/$total")
+    val df = graft.etl.ManifestTable.readPrunedEq(spark, root, "t", "k", 1L)
+    assert(df.count() == 0L && df.columns.toSeq == Seq("k", "v"),
+      "readable empty table with intact schema")
+  }
+
+  // ---- verdict #7: tuned-LSH corpus pipeline ----
+
+  test("prepareTuned: measured-recall config drives a near-dup stage " +
+    "between exact dedup and the cap; the choice is logged; default " +
+    "prepare is untouched by the refactor") {
+    // graded near-dup corpus (the Round16OpsSpec shape)
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val toks = split(col("text"), " ")
+    val frac = when(col("doc_id") % 8 === 0, lit(1.0d))
+      .when(col("doc_id") % 8 === 2, lit(0.9d))
+      .when(col("doc_id") % 8 === 4, lit(0.75d))
+      .otherwise(lit(0.6d))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(1),
+        greatest(lit(3), floor(size(toks) * frac).cast("int"))), " ")
+        .as("text"), col("source"))
+    val graded = base.unionByName(variants).localCheckpoint()
+    val tuned = graft.operators.CorpusPipeline.prepareTuned(graded,
+      graded.select("doc_id", "text"), "text", "doc_id", "source",
+      recallFloorP6 = 900000L, perSourceCap = 1000000)
+    val choice = graft.operators.Dedup
+      .lshConfigChoice("graft.pipeline.lsh.choice").get
+    assert(choice.recallP6 >= 900000L, s"logged qualifying choice: $choice")
+    val plain = graft.operators.CorpusPipeline.prepare(graded, "text",
+      "doc_id", "source", perSourceCap = 1000000)
+    val tunedIds = tuned.select("doc_id").as[Long].collect().toSet
+    val plainIds = plain.select("doc_id").as[Long].collect().toSet
+    assert(tunedIds.subsetOf(plainIds),
+      "near-dup stage only REMOVES exact-dedup survivors")
+    assert(tunedIds.size < plainIds.size,
+      s"the graded corpus has near-dups to remove: ${tunedIds.size} < ${plainIds.size}")
+    // the removed set is exactly dedupCorpus under the chosen knobs,
+    // run over the ORIGINAL texts of prepare's survivors (the near-dup
+    // stage sits before the PII scrub)
+    val manual = graft.operators.Dedup.dedupCorpus(
+      graded.join(plain.select("doc_id"), Seq("doc_id"), "left_semi"),
+      "text", "doc_id",
+      bands = choice.bands, rowsPerBand = choice.rowsPerBand,
+      shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tunedIds == manual, "tuned pipeline == prepare + tuned dedupCorpus")
+  }
+}
