@@ -1233,13 +1233,46 @@ object ManifestTable {
     // reads only in-range files, the readPruned shape on a write path.
     // Arbitrary predicates (no extractable conjunct) scan everything,
     // exactly as before.
-    val scanSet = statsCol.flatMap(sc =>
+    val ranged = statsCol.flatMap(sc =>
       impliedRange(predicate, sc).map { case (lo, hi) =>
         mine.filter(e => e.statsFor(sc, statsCol) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         })
       }).getOrElse(mine)
+    // equality/IN conjuncts additionally probe per-file BLOOMS on any
+    // covered column (the deleteByKeys narrowing, reached through a
+    // predicate): a file whose filter rejects every pinned value
+    // provably holds no match. Sound per conjunct; extra probe forms
+    // only KEEP files.
+    val scanSet = ranged
+      .flatMap(e => (e.bloom.toSeq ++ e.blooms2).map(_._1)).distinct
+      .foldLeft(ranged) { (cand, c) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .impliedEqualitySet(predicate, c) match {
+          case Some(vals) if vals.nonEmpty =>
+            val probes = vals.flatMap(v => {
+              val s = String.valueOf(v)
+              val l = v match {
+                case n: Number if n.longValue().toDouble == n.doubleValue() =>
+                  Some(String.valueOf(n.longValue())).filter(_ != s)
+                case _ => None
+              }
+              (Seq(s) ++ l).map(_.getBytes(StandardCharsets.UTF_8))
+            })
+            cand.filter { e =>
+              e.bloomFor(c) match {
+                case Some(b64) =>
+                  val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                    new java.io.ByteArrayInputStream(
+                      java.util.Base64.getDecoder.decode(b64)))
+                  probes.exists(bf.mightContainBinary)
+                case None => true
+              }
+            }
+          case _ => cand
+        }
+      }
     recordDiscoveryStats(rootP, table,
       DiscoveryStats(scanSet.size.toLong, mine.size.toLong))
     if (scanSet.isEmpty) return (0L, 0L)
@@ -1932,17 +1965,19 @@ object ManifestTable {
                              tables: Map[String, DataFrame],
                              writerId: String, batchId: Long,
                              statsCols: Map[String, String] = Map.empty,
-                             maxRetries: Int = 3): Boolean = {
+                             maxRetries: Int = 3,
+                             bloomCols: Map[String, String] = Map.empty): Boolean = {
     retryOnConflict(maxRetries) {
       transactionalAppendAllOnce(spark, root, tables, writerId, batchId,
-        statsCols)
+        statsCols, bloomCols)
     }
   }
 
   private def transactionalAppendAllOnce(spark: SparkSession, root: String,
                              tables: Map[String, DataFrame],
                              writerId: String, batchId: Long,
-                             statsCols: Map[String, String]): Boolean = {
+                             statsCols: Map[String, String],
+                             bloomCols: Map[String, String]): Boolean = {
     require(tables.nonEmpty, "transactionalAppendAll: no tables")
     require(!writerId.contains("\t") && !writerId.contains("\n") &&
       !writerId.contains("/"), s"illegal writerId: $writerId")
@@ -1960,7 +1995,7 @@ object ManifestTable {
       // brand-new table establishes its schema; to an existing table it
       // contributes nothing (long streams do not accumulate empty files)
       writeDataNonEmptyOr(spark, rootP, fs, name, df, statsCols.get(name),
-        bloomCol = None, keepSchemaIfEmpty = !exists)
+        bloomCol = bloomCols.get(name), keepSchemaIfEmpty = !exists)
     }
     // reuse bar: appends drop nothing, so an interleaved commit is only
     // disqualifying when it touched one of OUR tables (it could have

@@ -305,8 +305,14 @@ object CorpusIngest {
         Map("quarantine" -> quarantineRows(pairs, batchDrops, indexDups)
           .withColumn("batch_id", lit(batchId)))
       else Map.empty)
+    // band stats cluster the index for banded maintenance reads; the id
+    // bloom gives keyed forgets (right-to-be-forgotten deletes against
+    // the ingestion-maintained index) the same file-level pruning the
+    // versioned index family has — batch-proportional cost, one extra
+    // scan of the just-written files
     ManifestTable.transactionalAppendAll(spark, root, tables, Writer,
-      batchId, statsCols = Map("index" -> "band"))
+      batchId, statsCols = Map("index" -> "band"),
+      bloomCols = Map("index" -> "id"))
     if (compactAtFileCount > 0)
       // adaptive defrag (the CdcApply file-count trigger): per-batch
       // appends add one file set per table per trigger; compact a table
@@ -315,10 +321,13 @@ object CorpusIngest {
       // alone would rewrite a legitimately-large table every batch),
       // preserving the index's band clustering so file skipping
       // survives; a lost maintenance CAS is skipped, never stream-fatal
-      Seq("corpus" -> Option.empty[String], "index" -> Some("band")).foreach {
-        case (t, stats) =>
+      Seq(("corpus", Option.empty[String], Option.empty[String]),
+          ("index", Some("band"), Some("id"))).foreach {
+        case (t, stats, bloom) =>
+          // bloomCol so compaction keeps the index's id-bloom coverage
+          // (keyed forgets consume it); stats keep band clustering
           ManifestTable.compactIfFragmented(spark, root, t,
-            compactAtFileCount, statsCol = stats)
+            compactAtFileCount, statsCol = stats, bloomCol = bloom)
       }
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)

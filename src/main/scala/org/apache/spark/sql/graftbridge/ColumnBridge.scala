@@ -92,6 +92,49 @@ object ColumnBridge {
     walk(c0node(pred))
   }
 
+  /** Necessary EQUALITY probe set on column `name` implied by `pred`'s
+    * conjuncts: the literal values of a `name = lit` / `name <=> lit` /
+    * `name IN (lits)` conjunct (either operand order). Sound the same
+    * way [[impliedNumericBounds]] is — pred ⇒ the conjunct, so every
+    * matching row's value is IN the returned set; when several
+    * conjuncts each bound the column, the SMALLEST set is returned
+    * (all are necessary). None when no conjunct pins the column, or a
+    * candidate set contains a non-literal member. */
+  def impliedEqualitySet(pred: Column, name: String): Option[Seq[Any]] = {
+    import org.apache.spark.sql.internal.{Cast => NCast, ColumnNode,
+      Literal => NLiteral, UnresolvedAttribute => NAttr,
+      UnresolvedFunction => NFn}
+    def nameOf(n: ColumnNode): Option[String] = n match {
+      case a: NAttr => Some(a.nameParts.mkString("."))
+      case cst: NCast => nameOf(cst.child)
+      case _ => None
+    }
+    def isCol(n: ColumnNode): Boolean = nameOf(n).contains(name)
+    def litOf(n: ColumnNode): Option[Any] = n match {
+      case l: NLiteral => Option(l.value) // a NULL literal pins nothing
+      case _ => None
+    }
+    def walk(n: ColumnNode): Option[Seq[Any]] = n match {
+      case f: NFn => (f.functionName, f.arguments) match {
+        case ("and", scala.collection.Seq(l, r)) =>
+          (walk(l), walk(r)) match {
+            case (Some(a), Some(b)) => Some(if (a.length <= b.length) a else b)
+            case (a, b) => a.orElse(b)
+          }
+        case ("=" | "==" | "<=>", scala.collection.Seq(a, b)) =>
+          if (isCol(a)) litOf(b).map(Seq(_))
+          else if (isCol(b)) litOf(a).map(Seq(_))
+          else None
+        case ("in", args) if args.length >= 2 && isCol(args.head) =>
+          val vs = args.tail.map(litOf(_))
+          if (vs.forall(_.isDefined)) Some(vs.flatten.toSeq) else None
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(c0node(pred))
+  }
+
   private def c0node(c: Column): org.apache.spark.sql.internal.ColumnNode =
     c.node
 

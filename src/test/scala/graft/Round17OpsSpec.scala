@@ -367,6 +367,59 @@ class Round17OpsSpec extends SparkSpec {
       "readable empty table with intact schema")
   }
 
+  // ---- follow-through: equality conjuncts probe blooms in deleteWhere ----
+
+  test("deleteWhere with an equality/IN conjunct on a bloom-covered " +
+    "column probes per-file filters: only containing files are scanned") {
+    val root = tmpDir("delw-eq") + "/t"
+    manyFileTable(root, 30, withU = true)
+    // u = k*7+3 is uncorrelated with the k clustering: range stats on k
+    // can't help, the u bloom is the only pruning axis
+    val (files, nDel) = graft.etl.ManifestTable.deleteWhere(spark, root,
+      "t", col("u") === (1204L * 7L + 3L) && col("v").isNotNull,
+      statsCol = Some("k"), extraBloomCols = Seq("u"))
+    assert((files, nDel) == (1L, 1L), s"one file, one row: $files/$nDel")
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.totalFiles == 30L && st.scannedFiles <= 3L,
+      s"equality conjunct bloom-pruned the discovery scan: $st")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("k") === 1204L).count() == 0L)
+    // IN-set conjunct: two values, two files
+    val (f2, n2) = graft.etl.ManifestTable.deleteWhere(spark, root, "t",
+      col("u").isin(205L * 7L + 3L, 2503L * 7L + 3L),
+      statsCol = Some("k"), extraBloomCols = Seq("u"))
+    assert((f2, n2) == (2L, 2L))
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st2.scannedFiles <= 4L, s"IN conjunct pruned: $st2")
+  }
+
+  // ---- follow-through: blooms through transactionalAppendAll ----
+
+  test("transactionalAppendAll bloomCols: the multi-sink batch commit " +
+    "covers its files with key blooms, and keyed deletes against the " +
+    "stream-maintained table prune by them") {
+    val root = tmpDir("appall-bloom") + "/r"
+    (0 until 6).foreach { b =>
+      val rows = (0 until 10).map(i => (b * 100L + i, s"d$b-$i"))
+        .toDF("id", "payload").repartition(1) // one file per batch
+      assert(graft.etl.ManifestTable.transactionalAppendAll(spark, root,
+        Map("docs" -> rows), writerId = "w", batchId = b.toLong,
+        statsCols = Map("docs" -> "id"), bloomCols = Map("docs" -> "id")))
+    }
+    val mine = graft.etl.ManifestTable.current(spark, root).get.entries
+      .filter(_.table == "docs")
+    assert(mine.size == 6 && mine.forall(_.bloomFor("id").isDefined),
+      s"every batch file carries an id bloom: $mine")
+    val (files, nDel) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+      "docs", Seq(203L).toDF("id"), key = Seq("id"),
+      statsCol = Some("id"), bloomCol = Some("id"))
+    assert((files, nDel) == (1L, 1L))
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "docs").get
+    assert(st.scannedFiles <= 2L && st.totalFiles == 6L,
+      s"stream-written blooms prune the forget: $st")
+    assert(graft.etl.ManifestTable.read(spark, root, "docs").count() == 59L)
+  }
+
   // ---- verdict #7: tuned-LSH corpus pipeline ----
 
   test("prepareTuned: measured-recall config drives a near-dup stage " +
