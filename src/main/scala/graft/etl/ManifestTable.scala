@@ -711,9 +711,10 @@ object ManifestTable {
                                   df: DataFrame, statsCol: Option[String],
                                   bloomCol: Option[String],
                                   keepSchemaIfEmpty: Boolean,
-                                  extraBloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+                                  extraBloomCols: Seq[String] = Nil,
+                                  extraStatsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val written = writeData(spark, rootP, fs, table, df, statsCol, bloomCol,
-      extraBloomCols = extraBloomCols)
+      extraStatsCols = extraStatsCols, extraBloomCols = extraBloomCols)
     val dir = new HPath(rootP, written.head.relPath).getParent
     val n = spark.read.parquet(dir.toString).count()
     if (n > 0L) written
@@ -728,7 +729,8 @@ object ManifestTable {
       // never hold an equality match, so rejecting all probes is exact,
       // and the keeper stops being scanned by every point lookup forever
       writeData(spark, rootP, fs, table, empty.repartition(1), statsCol,
-        bloomCol, extraBloomCols = extraBloomCols)
+        bloomCol, extraStatsCols = extraStatsCols,
+        extraBloomCols = extraBloomCols)
     }
   }
 
@@ -1041,7 +1043,8 @@ object ManifestTable {
   def publish(spark: SparkSession, root: String, tables: Map[String, DataFrame],
               statsCols: Map[String, String] = Map.empty,
               bloomCols: Map[String, String] = Map.empty,
-              extraBloomCols: Map[String, Seq[String]] = Map.empty): Long = {
+              extraBloomCols: Map[String, Seq[String]] = Map.empty,
+              extraStatsCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "publish: no tables")
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
@@ -1049,6 +1052,7 @@ object ManifestTable {
     val fresh = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
       writeData(spark, rootP, fs, name, df, statsCols.get(name),
         bloomCols.get(name),
+        extraStatsCols = extraStatsCols.getOrElse(name, Nil),
         extraBloomCols = extraBloomCols.getOrElse(name, Nil))
     }
     val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
@@ -1152,7 +1156,8 @@ object ManifestTable {
                 incoming: DataFrame, key: Seq[String],
                 statsCol: Option[String] = None,
                 bloomCol: Option[String] = None,
-                extraBloomCols: Seq[String] = Nil): Long = {
+                extraBloomCols: Seq[String] = Nil,
+                extraStatsCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
@@ -1163,7 +1168,8 @@ object ManifestTable {
       // "0 rows -> no new version" contract as the initialized path
       // (an intentionally-empty table is publish/overwrite's job)
       val newEntries = writeData(spark, rootP, fs, table, incoming, statsCol,
-        bloomCol, extraBloomCols = extraBloomCols)
+        bloomCol, extraStatsCols = extraStatsCols,
+        extraBloomCols = extraBloomCols)
       val newDir = new HPath(rootP, newEntries.head.relPath).getParent
       val n = spark.read.parquet(newDir.toString).count()
       if (n == 0L) { fs.delete(newDir, true); return 0L }
@@ -1177,7 +1183,8 @@ object ManifestTable {
     // count) — one execution of the anti-join, no staging step, and the
     // old files the plan reads are untouched throughout
     val newEntries = writeData(spark, rootP, fs, table, fresh, statsCol,
-      bloomCol, extraBloomCols = extraBloomCols)
+      bloomCol, extraStatsCols = extraStatsCols,
+      extraBloomCols = extraBloomCols)
     val newDir = new HPath(rootP, newEntries.head.relPath).getParent
     val n = spark.read.parquet(newDir.toString).count()
     if (n == 0L) { fs.delete(newDir, true); return 0L } // no new version
@@ -1219,7 +1226,8 @@ object ManifestTable {
   def deleteWhere(spark: SparkSession, root: String, table: String,
                   predicate: Column, statsCol: Option[String] = None,
                   bloomCol: Option[String] = None,
-                  extraBloomCols: Seq[String] = Nil): (Long, Long) = {
+                  extraBloomCols: Seq[String] = Nil,
+                  extraStatsCols: Seq[String] = Nil): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -1231,15 +1239,23 @@ object ManifestTable {
     // matching row, so files whose recorded [min,max] misses the
     // implied range provably hold no match — the affected-file scan
     // reads only in-range files, the readPruned shape on a write path.
+    // EVERY column with recorded stats participates (the declared
+    // primary, legacy unnamed primaries under the declared name, and
+    // any secondary stats group); per-column necessity intersects.
     // Arbitrary predicates (no extractable conjunct) scan everything,
     // exactly as before.
-    val ranged = statsCol.flatMap(sc =>
-      impliedRange(predicate, sc).map { case (lo, hi) =>
-        mine.filter(e => e.statsFor(sc, statsCol) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        })
-      }).getOrElse(mine)
+    val statCols = (statsCol.toSeq ++ mine.flatMap(e =>
+      e.statsName.toSeq ++ e.stats2.map(_._1))).distinct
+    val ranged = statCols.foldLeft(mine) { (cand, sc) =>
+      impliedRange(predicate, sc) match {
+        case Some((lo, hi)) => cand.filter(e =>
+          e.statsFor(sc, statsCol) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          })
+        case None => cand
+      }
+    }
     // equality/IN conjuncts additionally probe per-file BLOOMS on any
     // covered column (the deleteByKeys narrowing, reached through a
     // predicate): a file whose filter rejects every pinned value
@@ -1289,7 +1305,8 @@ object ManifestTable {
     // a fully-emptied table still commits one footer-only file so the
     // next read keeps its schema (the deleteWhere readability contract)
     val newEntries = writeDataNonEmptyOr(spark, rootP, fs, table, keepRows,
-      statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty, extraBloomCols)
+      statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty, extraBloomCols,
+      extraStatsCols)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
     (aff.size.toLong, nDel)
@@ -1540,7 +1557,8 @@ object ManifestTable {
                               keepSchemaIfEmpty: Boolean,
                               statsCol: Option[String],
                               bloomCol: Option[String],
-                              extraBloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+                              extraBloomCols: Seq[String] = Nil,
+                              extraStatsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val keepRows =
       if (aff.isEmpty) touchedKeys.where(lit(false)) // only with inserts
       else spark.read.parquet(
@@ -1553,7 +1571,7 @@ object ManifestTable {
         else keepRows.select(ins.columns.map(col): _*).unionByName(ins)
     }
     writeDataNonEmptyOr(spark, rootP, fs, table, newRows, statsCol,
-      bloomCol, keepSchemaIfEmpty, extraBloomCols)
+      bloomCol, keepSchemaIfEmpty, extraBloomCols, extraStatsCols)
   }
 
   /** Targeted deletion by KEY SET — the right-to-be-forgotten fast
@@ -1570,11 +1588,12 @@ object ManifestTable {
                    statsCol: Option[String] = None,
                    bloomCol: Option[String] = None,
                    maxRetries: Int = 3,
-                   extraBloomCols: Seq[String] = Nil): (Long, Long) = {
+                   extraBloomCols: Seq[String] = Nil,
+                   extraStatsCols: Seq[String] = Nil): (Long, Long) = {
     require(key.nonEmpty, "deleteByKeys: empty key")
     retryOnConflict(maxRetries) {
       deleteByKeysOnce(spark, root, table, keys, key, statsCol, bloomCol,
-        extraBloomCols)
+        extraBloomCols, extraStatsCols)
     }
   }
 
@@ -1582,7 +1601,8 @@ object ManifestTable {
                                table: String, keys: DataFrame,
                                key: Seq[String], statsCol: Option[String],
                                bloomCol: Option[String],
-                               extraBloomCols: Seq[String]): (Long, Long) = {
+                               extraBloomCols: Seq[String],
+                               extraStatsCols: Seq[String]): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -1598,7 +1618,7 @@ object ManifestTable {
     val nDel = adf.join(ks, key, "left_semi").count()
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, ks,
       key, inserts = None, keepSchemaIfEmpty = keep.isEmpty, statsCol,
-      bloomCol, extraBloomCols)
+      bloomCol, extraBloomCols, extraStatsCols)
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
@@ -1628,16 +1648,19 @@ object ManifestTable {
                 source: DataFrame, key: Seq[String],
                 statsCol: Option[String] = None,
                 bloomCol: Option[String] = None,
-                maxRetries: Int = 3): (Long, Long, Long) = {
+                maxRetries: Int = 3,
+                extraStatsCols: Seq[String] = Nil): (Long, Long, Long) = {
     retryOnConflict(maxRetries) {
-      mergeIntoOnce(spark, root, table, source, key, statsCol, bloomCol)
+      mergeIntoOnce(spark, root, table, source, key, statsCol, bloomCol,
+        extraStatsCols)
     }
   }
 
   private def mergeIntoOnce(spark: SparkSession, root: String, table: String,
                 source: DataFrame, key: Seq[String],
                 statsCol: Option[String],
-                bloomCol: Option[String]): (Long, Long, Long) = {
+                bloomCol: Option[String],
+                extraStatsCols: Seq[String]): (Long, Long, Long) = {
     require(key.nonEmpty, "mergeInto: empty key")
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
@@ -1666,7 +1689,8 @@ object ManifestTable {
           srcKeys.join(adf.select(key.map(col): _*), key, "left_semi").count())
       }
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, srcKeys,
-      key, Some(src), keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol)
+      key, Some(src), keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol,
+      extraStatsCols = extraStatsCols)
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
@@ -1683,7 +1707,8 @@ object ManifestTable {
               targetFileBytes: Long = 128L * 1024 * 1024,
               statsCol: Option[String] = None,
               bloomCol: Option[String] = None,
-              extraBloomCols: Seq[String] = Nil): (Long, Long) = {
+              extraBloomCols: Seq[String] = Nil,
+              extraStatsCols: Seq[String] = Nil): (Long, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
@@ -1698,10 +1723,11 @@ object ManifestTable {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
     }
-    // bloom columns so compaction does not STRIP the table's per-file
-    // bloom coverage (merge discovery and readPrunedEq/In consume it)
+    // bloom/stats columns so compaction does not STRIP the table's
+    // per-file coverage (merge discovery and readPrunedEq/In consume it)
     val newEntries = writeData(spark, rootP, fs, table, re, statsCol,
-      bloomCol, extraBloomCols = extraBloomCols)
+      bloomCol, extraStatsCols = extraStatsCols,
+      extraBloomCols = extraBloomCols)
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ newEntries)
     (mine.size.toLong, newEntries.size.toLong)
@@ -1738,7 +1764,8 @@ object ManifestTable {
                           targetFileBytes: Long = 128L * 1024 * 1024,
                           statsCol: Option[String] = None,
                           bloomCol: Option[String] = None,
-                          extraBloomCols: Seq[String] = Nil): Option[(Long, Long)] = {
+                          extraBloomCols: Seq[String] = Nil,
+                          extraStatsCols: Seq[String] = Nil): Option[(Long, Long)] = {
     require(minFiles >= 1, "minFiles >= 1")
     val (fs, rootP) = fsFor(spark, root)
     val mine = entriesOf(current(spark, root), table)
@@ -1747,7 +1774,7 @@ object ManifestTable {
     val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     if (mine.size < 2L * ideal) return None // the table NEEDS these files
     try Some(compact(spark, root, table, targetFileBytes, statsCol, bloomCol,
-      extraBloomCols))
+      extraBloomCols, extraStatsCols))
     catch { case _: CommitConflictException => None }
   }
 
@@ -1847,10 +1874,11 @@ object ManifestTable {
                          statsCol: Option[String] = None,
                          fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
                          bloomCol: Option[String] = None,
-                         maxRetries: Int = 3): Boolean = {
+                         maxRetries: Int = 3,
+                         extraStatsCols: Seq[String] = Nil): Boolean = {
     retryOnConflict(maxRetries) {
       transactionalMergeOnce(spark, root, table, upserts, deleteKeys, key,
-        writerId, batchId, statsCol, fkChecks, bloomCol)
+        writerId, batchId, statsCol, fkChecks, bloomCol, extraStatsCols)
     }
   }
 
@@ -1860,7 +1888,8 @@ object ManifestTable {
                          key: Seq[String], writerId: String, batchId: Long,
                          statsCol: Option[String],
                          fkChecks: Seq[(String, Seq[String], String, Seq[String])],
-                         bloomCol: Option[String]): Boolean = {
+                         bloomCol: Option[String],
+                         extraStatsCols: Seq[String]): Boolean = {
     require(key.nonEmpty, "transactionalMerge: empty key")
     require(!writerId.contains("\t") && !writerId.contains("\n") &&
       !writerId.contains("/"), s"illegal writerId: $writerId")
@@ -1925,7 +1954,8 @@ object ManifestTable {
     if (!exists) {
       if (nUp == 0L) return true // nothing to create; replay harmless
       return commit(Nil,
-        writeData(spark, rootP, fs, table, up, statsCol, bloomCol))
+        writeData(spark, rootP, fs, table, up, statsCol, bloomCol,
+          extraStatsCols = extraStatsCols))
     }
     val mine = entriesOf(cur, table)
     val df = toDf(spark, rootP, cur.get.entries, table)
@@ -1942,7 +1972,8 @@ object ManifestTable {
     if (aff.isEmpty && nUp == 0L) return true // no-change batch
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
       key, if (nUp == 0L) None else Some(up),
-      keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol)
+      keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol,
+      extraStatsCols = extraStatsCols)
     commit(aff, newEntries)
   }
 

@@ -56,7 +56,12 @@ object CdcApply {
     * merge rewrites, bootstrap, compaction — carries a per-file Bloom
     * filter of that column, so the per-batch affected-file discovery
     * prunes by key even where min/max stats cannot (the time-clustered,
-    * key-probed table is the canonical CDC shape). */
+    * key-probed table is the canonical CDC shape).
+    *
+    * `extraStatsCols`: additional per-file NAMED min/max groups (e.g. a
+    * monotonic business key on a time-clustered table) — every write
+    * records them, and both merge discovery and predicate deletes
+    * range-prune on whichever recorded column a probe/conjunct binds. */
   def applyStream(stream: DataFrame, root: String, table: String,
                   keyCols: Seq[String], seqCols: Seq[String],
                   opCol: String, checkpoint: String,
@@ -68,13 +73,15 @@ object CdcApply {
                   keepVersions: Int = 10,
                   fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
                   compactAtFileCount: Int = 0,
-                  bloomCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                  bloomCol: Option[String] = None,
+                  extraStatsCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, table, keyCols, seqCols, opCol, batchId,
           deleteOp, statsCol, writerId, compactEvery, compactLogEvery,
-          keepVersions, fkChecks, compactAtFileCount, bloomCol)
+          keepVersions, fkChecks, compactAtFileCount, bloomCol,
+          extraStatsCols)
         ()
       }
 
@@ -90,7 +97,8 @@ object CdcApply {
                                 keepVersions: Int = 10,
                                 fkChecks: Seq[(String, Seq[String], String, Seq[String])] = Nil,
                                 compactAtFileCount: Int = 0,
-                                bloomCol: Option[String] = None): Unit = {
+                                bloomCol: Option[String] = None,
+                                extraStatsCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     // O(1) replay fast path: don't even aggregate the change log
     if (ManifestTable.tableBatchApplied(spark, root, table, writerId,
@@ -102,7 +110,8 @@ object CdcApply {
     val deletes = ChangeDataCapture.latestDeletes(cached, keyCols, seqCols,
       opCol, deleteOp)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
-      keyCols, writerId, batchId, statsCol, fkChecks, bloomCol)
+      keyCols, writerId, batchId, statsCol, fkChecks, bloomCol,
+      extraStatsCols = extraStatsCols)
     val tableFiles = ManifestTable.current(spark, root)
       .map(_.entries.count(_.table == table)).getOrElse(0)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
@@ -111,11 +120,12 @@ object CdcApply {
       // first) must not kill a stream whose batch already landed; the
       // next cadence tick retries
       try ManifestTable.compact(spark, root, table, statsCol = statsCol,
-        bloomCol = bloomCol)
+        bloomCol = bloomCol, extraStatsCols = extraStatsCols)
       catch { case _: ManifestTable.CommitConflictException => () }
     if (compactAtFileCount > 0)
       ManifestTable.compactIfFragmented(spark, root, table,
-        compactAtFileCount, statsCol = statsCol, bloomCol = bloomCol)
+        compactAtFileCount, statsCol = statsCol, bloomCol = bloomCol,
+        extraStatsCols = extraStatsCols)
     if (compactLogEvery > 0 && batchId % compactLogEvery == 0)
       ManifestTable.compactLog(spark, root, keepVersions)
     ()

@@ -420,6 +420,58 @@ class Round17OpsSpec extends SparkSpec {
     assert(graft.etl.ManifestTable.read(spark, root, "docs").count() == 59L)
   }
 
+  // ---- follow-through: secondary stats groups at write time ----
+
+  test("extraStatsCols: a time-clustered CDC table records a secondary " +
+    "business-key range per file; keyed merges AND predicate deletes " +
+    "range-prune on it; compaction keeps the coverage") {
+    val root = tmpDir("cdc-2stats") + "/r"
+    // 8 batches, each time-clustered (seq = batch) with a contiguous
+    // business-key block (k = batch*1000 .. +9) — the canonical shape
+    // where the clustered column is useless for key probes but the
+    // SECONDARY range is tight per file
+    (0 until 8).foreach { b =>
+      val rows = (0 until 10).map(i =>
+        (b * 1000L + i, b.toLong, s"p$b-$i", "I")).toDF("k", "seq", "v", "op")
+      streaming.CdcApply.applyBatch(rows, root, "t", Seq("k"), Seq("seq"),
+        "op", batchId = b.toLong, statsCol = Some("seq"),
+        extraStatsCols = Seq("k"))
+    }
+    val mine = graft.etl.ManifestTable.current(spark, root).get.entries
+      .filter(_.table == "t")
+    assert(mine.size == 8 &&
+      mine.forall(_.stats2.exists(_._1 == "k")),
+      s"every batch file records a secondary k range: $mine")
+    // keyed merge: probe k=3004 — secondary stats narrow to 1 file even
+    // with NO bloom anywhere
+    streaming.CdcApply.applyBatch(
+      Seq((3004L, 99L, "UP", "I")).toDF("k", "seq", "v", "op"),
+      root, "t", Seq("k"), Seq("seq"), "op", batchId = 8L,
+      statsCol = Some("seq"), extraStatsCols = Seq("k"))
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.scannedFiles == 1L && st.totalFiles == 8L,
+      s"secondary k stats narrowed the merge: $st")
+    // predicate delete bounded on k: range-prunes via the secondary group
+    val (files, nDel) = graft.etl.ManifestTable.deleteWhere(spark, root,
+      "t", col("k") >= 5000L && col("k") <= 5003L,
+      statsCol = Some("seq"), extraStatsCols = Seq("k"))
+    assert((files, nDel) == (1L, 4L), s"one file, four rows: $files/$nDel")
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st2.scannedFiles <= 2L,
+      s"k conjunct pruned via secondary stats: $st2")
+    // compaction carries the secondary coverage into the rewritten files
+    val ran = graft.etl.ManifestTable.compact(spark, root, "t",
+      statsCol = Some("seq"), extraStatsCols = Seq("k"))
+    assert(ran._1 >= 8L)
+    val after = graft.etl.ManifestTable.current(spark, root).get.entries
+      .filter(_.table == "t")
+    assert(after.forall(_.stats2.exists(_._1 == "k")),
+      s"compacted files keep the secondary group: $after")
+    val got = graft.etl.ManifestTable.read(spark, root, "t")
+    assert(got.count() == 76L && // 80 rows, k=3004 replaced in place, -4 deleted
+      got.filter(col("k") === 3004L && col("v") === "UP").count() == 1L)
+  }
+
   // ---- verdict #7: tuned-LSH corpus pipeline ----
 
   test("prepareTuned: measured-recall config drives a near-dup stage " +
