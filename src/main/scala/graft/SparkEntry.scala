@@ -1436,6 +1436,43 @@ object SparkEntry {
       out
     }),
 
+    // BOUNDED PURGE on a CDC table with SECONDARY stats (q338's history
+    // + a retention-style range delete): the table clusters on
+    // o_custkey but every file also records its o_orderkey range
+    // (extraStatsCols), so the purge's BETWEEN conjunct range-prunes
+    // the discovery scan through the secondary group. The oracle is
+    // q338's CASE/WHERE with the purge range excluded — any file the
+    // narrowing wrongly skipped would leave purged rows behind and
+    // hash-mismatch.
+    "q343_cdc_bounded_purge" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-purge")
+      val root = tmp.resolve("t").toString
+      val b0 = o.filter(col("o_orderkey") % 4 =!= 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val up1 = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price", round(col("price") + 10.0d, 2))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val del1 = o.filter(col("o_orderkey") % 8 === 1)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      streaming.CdcApply.applyBatch(b0, root, "orders", Seq("o_orderkey"),
+        Seq("seq"), "op", batchId = 0L, statsCol = Some("o_custkey"),
+        extraStatsCols = Seq("o_orderkey"))
+      streaming.CdcApply.applyBatch(up1.unionByName(del1), root, "orders",
+        Seq("o_orderkey"), Seq("seq"), "op", batchId = 1L,
+        statsCol = Some("o_custkey"), extraStatsCols = Seq("o_orderkey"))
+      etl.ManifestTable.deleteWhere(s, root, "orders",
+        col("o_orderkey") >= 3000L && col("o_orderkey") <= 6000L,
+        statsCol = Some("o_custkey"), extraStatsCols = Seq("o_orderkey"))
+      val out = etl.ManifestTable.read(s, root, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     // SECONDARY-KEY GDPR forget (q335's lifecycle, forget taken by the
     // deleteByKeys fast path): write + append the versioned index, then
     // forget the m10=2 DOC-ID SET through minhashIndexForgetVersioned —
@@ -8812,6 +8849,18 @@ object SparkEntry {
         |FROM jpairs
         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
         |  AND (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 10 <> 2""".stripMargin),
+
+    // q338's oracle with the purge range excluded: the bounded delete
+    // must remove exactly the BETWEEN rows, however discovery narrowed
+    "q343_cdc_bounded_purge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CASE WHEN o_orderkey % 2 = 0
+        |             THEN round(o_totalprice, 2) + 10.0
+        |             ELSE round(o_totalprice, 2) END, 2) AS price
+        |FROM orders
+        |WHERE (o_orderkey % 4 <> 0 OR o_orderkey % 2 = 0)
+        |  AND o_orderkey % 8 <> 1
+        |  AND o_orderkey NOT BETWEEN 3000 AND 6000""".stripMargin,
 
     "q342_merge_composite_key" ->
       """SELECT o_custkey, o_orderkey,
