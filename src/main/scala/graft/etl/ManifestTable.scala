@@ -1242,11 +1242,19 @@ object ManifestTable {
     // EVERY column with recorded stats participates (the declared
     // primary, legacy unnamed primaries under the declared name, and
     // any secondary stats group); per-column necessity intersects.
-    // Arbitrary predicates (no extractable conjunct) scan everything,
-    // exactly as before.
+    // TYPE-GUARDED: conjunct literals are numeric, so narrowing applies
+    // only to NUMERIC-typed columns — on a STRING column Spark coerces
+    // the comparison to DOUBLE and a decimal-formatted value ("4.00")
+    // long-casts to NULL, i.e. it is invisible to the recorded min/max
+    // while still matching the predicate; skipping by those stats would
+    // silently leave matching rows undeleted. Arbitrary predicates (no
+    // extractable conjunct) scan everything, exactly as before.
+    val schema = toDf(spark, rootP, cur.entries, table).schema
+    def numericCol(c: String): Boolean = schema.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val statCols = (statsCol.toSeq ++ mine.flatMap(e =>
       e.statsName.toSeq ++ e.stats2.map(_._1))).distinct
-    val ranged = statCols.foldLeft(mine) { (cand, sc) =>
+    val ranged = statCols.filter(numericCol).foldLeft(mine) { (cand, sc) =>
       impliedRange(predicate, sc) match {
         case Some((lo, hi)) => cand.filter(e =>
           e.statsFor(sc, statsCol) match {
@@ -1259,30 +1267,51 @@ object ManifestTable {
     // equality/IN conjuncts additionally probe per-file BLOOMS on any
     // covered column (the deleteByKeys narrowing, reached through a
     // predicate): a file whose filter rejects every pinned value
-    // provably holds no match. Sound per conjunct; extra probe forms
-    // only KEEP files.
+    // provably holds no match. TYPE-GUARDED per (column type, literal)
+    // pair — only the combinations whose canonical insertion form is
+    // guaranteed hit by a match qualify:
+    //  - STRING column = STRING literal: same-type string equality, the
+    //    raw-form insertion IS the value;
+    //  - NUMERIC column = integral-valued numeric (or numeric-string)
+    //    literal: the match means numeric equality with an integer L,
+    //    so the row's LONG-cast form is exactly L;
+    // anything else (fractional literals — rendering ambiguity across
+    // numeric types; numerics against string columns — the "4.00"
+    // coercion hole) skips narrowing on that column. A single
+    // non-qualifying IN member disables the whole column (probing a
+    // subset would be a false negative).
     val scanSet = ranged
       .flatMap(e => (e.bloom.toSeq ++ e.blooms2).map(_._1)).distinct
       .foldLeft(ranged) { (cand, c) =>
+        val colIsString = schema.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType)
+        val colIsNumeric = numericCol(c)
+        def probeForm(v: Any): Option[Array[Byte]] = v match {
+          case s: String if colIsString =>
+            Some(s.getBytes(StandardCharsets.UTF_8))
+          case n: Number if colIsNumeric &&
+              n.longValue().toDouble == n.doubleValue() =>
+            Some(String.valueOf(n.longValue())
+              .getBytes(StandardCharsets.UTF_8))
+          case s: String if colIsNumeric =>
+            scala.util.Try(s.trim.toDouble).toOption
+              .filter(d => d.toLong.toDouble == d)
+              .map(d => String.valueOf(d.toLong)
+                .getBytes(StandardCharsets.UTF_8))
+          case _ => None
+        }
         org.apache.spark.sql.graftbridge.ColumnBridge
           .impliedEqualitySet(predicate, c) match {
           case Some(vals) if vals.nonEmpty =>
-            val probes = vals.flatMap(v => {
-              val s = String.valueOf(v)
-              val l = v match {
-                case n: Number if n.longValue().toDouble == n.doubleValue() =>
-                  Some(String.valueOf(n.longValue())).filter(_ != s)
-                case _ => None
-              }
-              (Seq(s) ++ l).map(_.getBytes(StandardCharsets.UTF_8))
-            })
-            cand.filter { e =>
+            val probes = vals.map(probeForm)
+            if (probes.exists(_.isEmpty)) cand // one bad member: no narrowing
+            else cand.filter { e =>
               e.bloomFor(c) match {
                 case Some(b64) =>
                   val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
                     new java.io.ByteArrayInputStream(
                       java.util.Base64.getDecoder.decode(b64)))
-                  probes.exists(bf.mightContainBinary)
+                  probes.flatten.exists(bf.mightContainBinary)
                 case None => true
               }
             }
@@ -1375,16 +1404,45 @@ object ManifestTable {
     * — composite-key merges narrow on whichever columns have coverage.
     * At 100 TB this is the difference between a CDC batch scanning the
     * table and scanning the handful of files its keys cluster into. */
+  /** May file-skipping metadata computed over a TABLE column of type
+    * `tableT` be probed with values of type `probeT`? Sound cases only:
+    *  - identical types: the equality the consumer re-applies (semi
+    *    join / predicate) is same-type, so the canonical string/long
+    *    cast forms both sides go through are the same function of the
+    *    same values — a match implies a probe-form hit;
+    *  - both numeric (incl. decimal): Spark widens both sides to a
+    *    numeric type, a match means numeric equality, and the LONG-cast
+    *    form is a total, equality-preserving function of the numeric
+    *    value — both stats (long min/max) and blooms (long-form
+    *    insertion) see every matching row.
+    * Everything else — above all STRING columns compared against
+    * numerics, where Spark coerces to DOUBLE and a decimal-formatted
+    * string like "4.00" long-casts to NULL (invisible to stats) while
+    * its raw form never matches a numeric probe's rendering — must NOT
+    * narrow: a skipped file could hold a coercion-matched row (a
+    * silently lost merge/delete). */
+  private def narrowTypesAlign(tableT: org.apache.spark.sql.types.DataType,
+                               probeT: org.apache.spark.sql.types.DataType): Boolean =
+    tableT == probeT ||
+      (tableT.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        probeT.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
   private def discoveryCandidates(spark: SparkSession,
                                   probeKeys: DataFrame, key: Seq[String],
                                   statsCol: Option[String],
-                                  mine: Seq[FileEntry]): Seq[FileEntry] = {
+                                  mine: Seq[FileEntry],
+                                  tableSchema: org.apache.spark.sql.types.StructType): Seq[FileEntry] = {
     // a handful of files is cheaper to scan than to narrow (the probe
     // collection is a Spark job); narrowing exists for tables where the
     // file LIST is the cost
     if (mine.size <= 4) return mine
     key.foldLeft(mine) { (cand, kc) =>
-      if (cand.size <= 4) cand
+      val aligned = (tableSchema.find(_.name == kc),
+        probeKeys.schema.find(_.name == kc)) match {
+        case (Some(t), Some(p)) => narrowTypesAlign(t.dataType, p.dataType)
+        case _ => false
+      }
+      if (cand.size <= 4 || !aligned) cand
       else narrowByColumn(spark, probeKeys, kc, statsCol, cand)
     }
   }
@@ -1486,8 +1544,10 @@ object ManifestTable {
   private def affectedByKeys(spark: SparkSession, rootP: HPath,
                              probeKeys: DataFrame,
                              key: Seq[String], statsCol: Option[String],
-                             mine: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
-    val cand = discoveryCandidates(spark, probeKeys, key, statsCol, mine)
+                             mine: Seq[FileEntry],
+                             tableSchema: org.apache.spark.sql.types.StructType): (Seq[FileEntry], Seq[FileEntry]) = {
+    val cand = discoveryCandidates(spark, probeKeys, key, statsCol, mine,
+      tableSchema)
     recordDiscoveryStats(rootP, mine.headOption.fold("")(_.table),
       DiscoveryStats(cand.size.toLong, mine.size.toLong))
     if (cand.isEmpty) return (Nil, mine)
@@ -1611,7 +1671,8 @@ object ManifestTable {
     // cut: the key set feeds discovery, the row count, and the rewrite
     val ks = graft.operators.Lineage.cut(
       keys.select(key.map(col): _*).distinct())
-    val (aff, keep) = affectedByKeys(spark, rootP, ks, key, statsCol, mine)
+    val (aff, keep) = affectedByKeys(spark, rootP, ks, key, statsCol, mine,
+      toDf(spark, rootP, cur.entries, table).schema)
     if (aff.isEmpty) return (0L, 0L)
     val adf = spark.read.parquet(
       aff.map(e => new HPath(rootP, e.relPath).toString): _*)
@@ -1679,7 +1740,7 @@ object ManifestTable {
     require(srcKeys.distinct().count() == nSrc,
       "mergeInto: duplicate keys in source make the replace ambiguous")
     val (aff, keep) = affectedByKeys(spark, rootP, srcKeys, key, statsCol,
-      mine)
+      mine, df.schema)
     val (nUpdated, nMatchedKeys) =
       if (aff.isEmpty) (0L, 0L)
       else {
@@ -1968,7 +2029,7 @@ object ManifestTable {
     val touched = graft.operators.Lineage.cut(
       up.select(key.map(col): _*).unionByName(del).distinct())
     val (aff, keep) = affectedByKeys(spark, rootP, touched, key, statsCol,
-      mine)
+      mine, df.schema)
     if (aff.isEmpty && nUp == 0L) return true // no-change batch
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
       key, if (nUp == 0L) None else Some(up),

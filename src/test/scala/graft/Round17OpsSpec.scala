@@ -420,6 +420,93 @@ class Round17OpsSpec extends SparkSpec {
     assert(graft.etl.ManifestTable.read(spark, root, "docs").count() == 59L)
   }
 
+  // ---- soundness: type guards on discovery narrowing ----
+
+  test("discovery narrowing is TYPE-GUARDED: a string-typed key column " +
+    "compared against numeric probes disables narrowing (the \"4.00\" " +
+    "double-coercion hole), and the coercion-matched row is still " +
+    "merged; string-vs-string narrowing stays on") {
+    val root = tmpDir("guard-str") + "/t"
+    // string key column holding decimal-formatted numerics: "4.00"
+    // long-casts to NULL (invisible to stats/blooms) but double-coerces
+    // equal to probe 4
+    val rows = (0 until 8).flatMap(b => (0 until 5).map(i =>
+      (f"${b * 100 + i}%d.00", s"v$b-$i", b.toLong)))
+      .toDF("sk", "v", "b").repartitionByRange(8, col("b")).drop("b")
+    graft.etl.ManifestTable.publish(spark, root, Map("t" -> rows),
+      statsCols = Map("t" -> "sk"), bloomCols = Map("t" -> "sk"))
+    val total = graft.etl.ManifestTable.current(spark, root).get
+      .entries.count(_.table == "t")
+    assert(total >= 8, s"multi-file fixture: $total")
+    // numeric probe frame against the string key: how Spark coerces an
+    // equi-join between string and bigint is SHAPE-dependent (a
+    // BinaryComparison widens to double and matches "204.00" = 204; the
+    // join form has its own rule). Narrowing must never assume either:
+    // the type guard stands down, discovery scans EVERYTHING, and the
+    // outcome is exactly whatever Spark's own unnarrowed join says —
+    // asserted against a reference join evaluated in this session.
+    val expected = graft.etl.ManifestTable.read(spark, root, "t")
+      .join(Seq(204L).toDF("sk"), Seq("sk"), "left_semi").count()
+    val (_, nDel) = graft.etl.ManifestTable.deleteByKeys(spark, root,
+      "t", Seq(204L).toDF("sk"), key = Seq("sk"), statsCol = Some("sk"),
+      bloomCol = Some("sk"))
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.scannedFiles == st.totalFiles,
+      s"cross-family types disable narrowing: $st")
+    assert(nDel == expected,
+      s"outcome equals the unnarrowed join semantics: $nDel vs $expected")
+    assert(graft.etl.ManifestTable.read(spark, root, "t").count() ==
+      40L - expected, "exactly the join-matched rows are gone")
+    // same-type string probes: narrowing stays ON (blooms are exact
+    // for string equality)
+    val (f2, n2) = graft.etl.ManifestTable.deleteByKeys(spark, root, "t",
+      Seq("304.00").toDF("sk"), key = Seq("sk"), statsCol = Some("sk"),
+      bloomCol = Some("sk"))
+    assert(n2 == 1L && f2 == 1L)
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st2.scannedFiles < st2.totalFiles,
+      s"string/string narrowing still prunes: $st2")
+  }
+
+  test("deleteWhere type guards: numeric conjuncts on a STRING stats/" +
+    "bloom column scan everything and still delete the coercion " +
+    "match; fractional equality literals disable bloom probing") {
+    val root = tmpDir("guard-delw") + "/t"
+    val rows = (0 until 6).flatMap(b => (0 until 5).map(i =>
+      (f"${b * 100 + i}%d.00", s"v$b-$i", b.toLong)))
+      .toDF("sk", "v", "b").repartitionByRange(6, col("b")).drop("b")
+    graft.etl.ManifestTable.publish(spark, root, Map("t" -> rows),
+      statsCols = Map("t" -> "sk"), bloomCols = Map("t" -> "sk"))
+    // numeric equality against the string column: double coercion
+    // matches "103.00"; the guard must scan ALL files and delete it
+    val (files, nDel) = graft.etl.ManifestTable.deleteWhere(spark, root,
+      "t", col("sk") === 103L, statsCol = Some("sk"), bloomCol = Some("sk"))
+    assert((files, nDel) == (1L, 1L), s"coercion match deleted: $files/$nDel")
+    val st = graft.etl.ManifestTable.mergeDiscoveryStats(root, "t").get
+    assert(st.scannedFiles == st.totalFiles,
+      s"numeric conjunct on a string column: no narrowing: $st")
+    assert(graft.etl.ManifestTable.read(spark, root, "t")
+      .filter(col("sk") === "103.00").count() == 0L)
+    // a NUMERIC column with a fractional equality literal: rendering is
+    // type-dependent, so bloom probing stands down (correctness over
+    // pruning) — build a numeric-keyed root to drive it
+    val root2 = tmpDir("guard-frac") + "/t"
+    manyFileTable(root2, 8, withU = true)
+    val (f2, n2) = graft.etl.ManifestTable.deleteWhere(spark, root2, "t",
+      col("u") === 3524.5, statsCol = Some("k"), extraBloomCols = Seq("u"))
+    assert((f2, n2) == (0L, 0L), "no row matches the fractional probe")
+    val st2 = graft.etl.ManifestTable.mergeDiscoveryStats(root2, "t").get
+    assert(st2.scannedFiles == st2.totalFiles,
+      s"fractional literal: bloom narrowing stands down: $st2")
+    // integral-valued DOUBLE literal: still narrows (long form exact)
+    val (f3, n3) = graft.etl.ManifestTable.deleteWhere(spark, root2, "t",
+      col("u") === 3524.0, statsCol = Some("k"), extraBloomCols = Seq("u"))
+    assert((f3, n3) == (1L, 1L))
+    val st3 = graft.etl.ManifestTable.mergeDiscoveryStats(root2, "t").get
+    assert(st3.scannedFiles < st3.totalFiles,
+      s"integral-valued double literal narrows: $st3")
+  }
+
   // ---- follow-through: secondary stats groups at write time ----
 
   test("extraStatsCols: a time-clustered CDC table records a secondary " +
