@@ -164,7 +164,19 @@ object ManifestTable {
       added: Seq[FileEntry],
       reusableUnder: Commit => Boolean,
       alreadyAppliedUnder: Commit => Boolean = _ => false,
-      maxRebase: Int = 3): CommitOutcome = {
+      maxRebase: Int = 3,
+      freshEntries: Seq[FileEntry] = Nil): CommitOutcome = {
+    // the attempt's NEWLY WRITTEN dirs (never the carried `keep`
+    // entries riding in `added`): when this attempt is abandoned —
+    // already-applied no-op, or a non-reusable conflict that forces a
+    // re-run — those files are orphans from this very instant; eager
+    // best-effort cleanup beats waiting a vacuum age horizon (a hot
+    // retry loop would otherwise stack one orphan dir per lost race)
+    def dropFresh(): Unit =
+      freshEntries.map(e => new HPath(rootP, e.relPath).getParent)
+        .distinct.foreach { d =>
+          try fs.delete(d, true) catch { case _: Exception => () }
+        }
     var entries = planned.map(_.entries).getOrElse(Nil)
     var version = planned.fold(1L)(_.version + 1L)
     var rebases = 0
@@ -173,10 +185,10 @@ object ManifestTable {
         writeCommit(fs, rootP, version, carriedOf(entries) ++ added))
       catch {
         case e: CommitConflictException =>
-          if (rebases >= maxRebase) throw e
-          val nc = current(spark, root).getOrElse(throw e)
-          if (alreadyAppliedUnder(nc)) return AlreadyApplied
-          if (!reusableUnder(nc)) throw e
+          if (rebases >= maxRebase) { dropFresh(); throw e }
+          val nc = current(spark, root).getOrElse { dropFresh(); throw e }
+          if (alreadyAppliedUnder(nc)) { dropFresh(); return AlreadyApplied }
+          if (!reusableUnder(nc)) { dropFresh(); throw e }
           entries = nc.entries
           version = nc.version + 1L
           rebases += 1
@@ -1683,7 +1695,8 @@ object ManifestTable {
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
-      reusableUnder = tableUnchanged(Some(cur), table))
+      reusableUnder = tableUnchanged(Some(cur), table),
+      freshEntries = newEntries)
     (aff.size.toLong, nDel)
   }
 
@@ -1755,7 +1768,8 @@ object ManifestTable {
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
-      reusableUnder = tableUnchanged(Some(cur), table))
+      reusableUnder = tableUnchanged(Some(cur), table),
+      freshEntries = newEntries)
     (aff.size.toLong, nUpdated, nSrc - nMatchedKeys)
   }
 
@@ -2007,7 +2021,8 @@ object ManifestTable {
         reusableUnder = reusable,
         alreadyAppliedUnder = nc => nc.entries.exists(e =>
           e.table == TxnTable && e.relPath == markerPath &&
-            e.min.exists(_ >= batchId))) match {
+            e.min.exists(_ >= batchId)),
+        freshEntries = added) match {
         case Committed(_) => true
         case AlreadyApplied => false
       }
@@ -2102,7 +2117,8 @@ object ManifestTable {
         tableUnchanged(cur, t)(nc)),
       alreadyAppliedUnder = nc => nc.entries.exists(e =>
         e.table == TxnTable && e.relPath == markerPath &&
-          e.min.exists(_ >= batchId))) match {
+          e.min.exists(_ >= batchId)),
+      freshEntries = newEntries) match {
       case Committed(_) => true
       case AlreadyApplied => false
     }

@@ -279,6 +279,20 @@ class Round17OpsSpec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(got(307L) == "UP" && !got.contains(901L) && got.size == 99,
       "both the interloper's delete and the merge landed")
+    // the abandoned first attempt's write was eagerly dropped: every
+    // data dir on disk belongs to a RETAINED version (versions
+    // accumulate here, so reference the union of all commits), no
+    // instant orphans waiting for a vacuum horizon
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root, "t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val latest = graft.etl.ManifestTable.current(spark, root).get.version
+    val referenced = (1L to latest).flatMap(v =>
+      graft.etl.ManifestTable.entriesAt(spark, root, v).getOrElse(Nil))
+      .filter(_.table == "t").map(_.relPath.split("/")(1)).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"no orphan dirs from the abandoned attempt: ${onDisk -- referenced}")
   }
 
   test("transactionalMerge watermark race resolves to already-applied: " +
@@ -301,6 +315,18 @@ class Round17OpsSpec extends SparkSpec {
     assert(!applied, "replay that lost the race reports already-applied")
     assert(graft.etl.ManifestTable.read(spark, root, "t")
       .filter(col("k") === 99998L).count() == 1L, "exactly one apply")
+    // the loser's written files were eagerly dropped on the
+    // already-applied verdict (no vacuum needed for the instant orphan)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root, "t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val latest = graft.etl.ManifestTable.current(spark, root).get.version
+    val referenced = (1L to latest).flatMap(v =>
+      graft.etl.ManifestTable.entriesAt(spark, root, v).getOrElse(Nil))
+      .filter(_.table == "t").map(_.relPath.split("/")(1)).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"loser's orphan dropped eagerly: ${onDisk -- referenced}")
   }
 
   // ---- verdict #8 (missing): multi-column discovery keys ----
