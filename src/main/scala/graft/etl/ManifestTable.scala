@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *  - data files are immutable and uniquely named (`<table>/d-<uuid>/
   *    part-*.parquet`) — they are never renamed, overwritten, or deleted
   *    by a commit, only by an explicit [[vacuum]];
-  *  - a version is one small COMMIT FILE (`_commits/c-<seq>-<uuid>.txt`)
-  *    listing every (table, data-file) of that version, plus optional
-  *    per-file min/max stats for file skipping;
-  *  - readers resolve the highest committed sequence number and read
-  *    exactly the files it lists — so a commit "happens" at the instant
+  *  - a version is one small COMMIT FILE (`_commits/c-<seq>.txt`): a
+  *    full snapshot for the first version, a DELTA (removed keys +
+  *    upserted entries, batch-proportional) afterwards, with periodic
+  *    `k-<seq>.txt` checkpoint snapshots amortizing resolution; entries
+  *    carry per-file canonical min/max stats, row counts, byte sizes
+  *    and content-addressed Bloom-sidecar pointers for file skipping;
+  *  - readers resolve the highest committed sequence number and the
+  *    entry list it implies — so a commit "happens" at the instant
   *    one small object appears, which is atomic even where directory
   *    rename is not (an object-store PUT, or the copy half of its
   *    rename, materializes the whole object or nothing).
@@ -47,11 +50,11 @@ import org.apache.spark.sql.functions._
   * `_manifest` min/max index, promoted from statistics to the source of
   * truth for table contents.
   *
-  * Scale notes: commit files are file-count-sized (one line per data
-  * file), read once on the driver at plan time — the same cost class as
-  * Spark's own file-index listing, without the eventual-consistency
-  * hazards of LIST-after-PUT (the commit file names its files; nothing
-  * is discovered by listing data dirs). Concurrent committers race on
+  * Scale notes: commit files are CHANGED-file-sized (deltas), resolved
+  * on the driver at plan time from the nearest checkpoint/cached state
+  * — the same cost class as Spark's own file-index listing, without the
+  * eventual-consistency hazards of LIST-after-PUT (the commit chain
+  * names its files; nothing is discovered by listing data dirs). Concurrent committers race on
   * the next sequence number optimistically: the commit file name is
   * EXACTLY `c-<seq>.txt`, so the loser's rename fails on
   * destination-exists (`FileContext.rename` with `Options.Rename.NONE`
@@ -182,7 +185,8 @@ object ManifestTable {
     var rebases = 0
     while (true) {
       try return Committed(
-        writeCommit(fs, rootP, version, carriedOf(entries) ++ added))
+        writeCommit(fs, rootP, version, carriedOf(entries) ++ added,
+          parent = Some(entries)))
       catch {
         case e: CommitConflictException =>
           if (rebases >= maxRebase) { dropFresh(); throw e }
@@ -235,14 +239,31 @@ object ManifestTable {
     *    (col, bloom) groups, so point-lookup pruning works on keys
     *    OTHER than the clustered one — the forget path every GDPR
     *    delete takes (doc-id deletes against a band-clustered minhash
-    *    index, vec-id deletes against list-clustered IVF). */
+    *    index, vec-id deletes against list-clustered IVF).
+    *
+    * v3 extensions (round 18):
+    *  - `rows`: the file's row count, read from the parquet footer the
+    *    writer just produced (a driver-side metadata GET, no data
+    *    pass) — sizes Bloom filters to actual content and turns every
+    *    "count the written files" probe into manifest arithmetic.
+    *  - bloom payload strings carry EITHER an inline base64 filter
+    *    (legacy, read-compat) OR a `@<relPath>` POINTER to an immutable
+    *    content-addressed sidecar file under `<table>/_blooms/`. At the
+    *    10^4–10^5-file steady state inline filters made every commit
+    *    O(files × bloomCols × 60 KB) — rewritten each version, the
+    *    manifest (not the data) became the dominant per-batch write.
+    *    Pointers keep the commit line ~100 B per file; carried entries
+    *    reuse the sidecar untouched, [[vacuum]] treats sidecars like
+    *    data files, and content addressing dedups identical filters
+    *    (every footer-only file shares ONE empty-bloom sidecar). */
   final case class FileEntry(table: String, relPath: String,
                              min: Option[Long], max: Option[Long],
                              bloom: Option[(String, String)] = None,
                              statsName: Option[String] = None,
                              bytes: Option[Long] = None,
                              stats2: Seq[(String, Long, Long)] = Nil,
-                             blooms2: Seq[(String, String)] = Nil) {
+                             blooms2: Seq[(String, String)] = Nil,
+                             rows: Option[Long] = None) {
     /** min/max recorded for column `c`, if any. The primary pair
       * answers when its recorded name matches — or, for pre-v2 unnamed
       * stats, when the CALLER's declared stats column (`declared`)
@@ -280,6 +301,112 @@ object ManifestTable {
 
   // ---------------------------------------------------------------- resolve
 
+  /** Parsed body of one commit file: a self-contained SNAPSHOT (every
+    * pre-v3 commit; every `CheckpointInterval`-th commit; `k-` sidecar
+    * checkpoints) or a DELTA against the previous version — key
+    * removals plus entry upserts (an upsert replaces an existing
+    * (table, relPath) in place, new keys append). Deltas are what keep
+    * the per-commit write O(changed files): a CDC sink at its
+    * 10^4–10^5-file steady state used to rewrite the FULL entry list
+    * every micro-batch, making the manifest — not the data — the
+    * dominant per-batch write. */
+  private[graft] sealed trait CommitBody
+  private[graft] final case class Snapshot(entries: Seq[FileEntry])
+    extends CommitBody
+  private[graft] final case class DeltaBody(removes: Seq[(String, String)],
+                                            upserts: Seq[FileEntry])
+    extends CommitBody
+
+  /** Apply one delta: removals first, then in-place upserts, then
+    * appends of new keys — deterministic entry order, so a resolved
+    * state equals the committing writer's list up to the position of
+    * in-place-updated entries (content-identical either way). */
+  private def applyDelta(state: Seq[FileEntry], d: DeltaBody): Seq[FileEntry] = {
+    val rm = d.removes.toSet
+    val up = d.upserts.map(e => (e.table, e.relPath) -> e).toMap
+    val kept = state.filterNot(e => rm.contains((e.table, e.relPath)))
+    val existing = kept.map(e => (e.table, e.relPath)).toSet
+    kept.map(e => up.getOrElse((e.table, e.relPath), e)) ++
+      d.upserts.filterNot(e => existing.contains((e.table, e.relPath)))
+  }
+
+  /** Write a full snapshot every N commits (amortizing resolve to O(1)
+    * checkpoints + O(delta) line parses) — a var ONLY so specs can
+    * drive the cadence cheaply; production uses the default. */
+  private[graft] var CheckpointInterval = 16
+
+  /** `k-<seq>.txt` checkpoint sidecars: a full snapshot of version seq,
+    * written best-effort after checkpoint-cadence commits and
+    * LOAD-BEARINGLY by [[compactLog]]/[[vacuum]] before they drop the
+    * delta chain under retained versions. Never a CAS target — the
+    * c-file is the commit; a missing k-file only lengthens the
+    * backward walk. */
+  private def checkpointName(seq: Long): String = f"k-$seq%020d.txt"
+
+  /** Driver-side cache of the most recently resolved (version, entries)
+    * per root — a (root, version) state is immutable, so a hit is valid
+    * forever, and resolving a newer tip parses only the commits SINCE
+    * the cached version (the warm path every per-batch writer takes). */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[FileEntry])]()
+  private val MaxStateCacheRoots = 64
+  /** Test hook: simulate a cold driver (specs proving resolve cost
+    * bounds must not ride the warm cache). */
+  private[graft] def dropStateCacheForTest(): Unit = stateCache.clear()
+
+  /** Full entry list of `version` under `cd`: walk backward collecting
+    * deltas until a base (cached state, `k-` checkpoint, or snapshot
+    * commit), then apply forward. Cost: O(1) base reads + O(deltas
+    * since base); the warm path reads only commits newer than the
+    * cache. Fail-loud on a broken chain (a delta whose base was
+    * dropped without a checkpoint — [[compactLog]]/[[vacuum]] prevent
+    * this by construction). */
+  private def resolveEntries(fs: FileSystem, cd: HPath,
+                             version: Long): Seq[FileEntry] = {
+    val rootKey = fs.makeQualified(cd).toString
+    val cached = Option(stateCache.get(rootKey))
+    if (cached.exists(_._1 == version)) return cached.get._2
+    var s = version
+    var base: Seq[FileEntry] = null
+    val deltas = scala.collection.mutable.ListBuffer.empty[DeltaBody]
+    while (base == null) {
+      if (cached.exists(_._1 == s)) base = cached.get._2
+      else {
+        val kp = new HPath(cd, checkpointName(s))
+        val useK = fs.exists(kp)
+        val body =
+          if (useK) parseBody(fs, kp)
+          else {
+            val cp = new HPath(cd, fixedName(s))
+            val p =
+              if (fs.exists(cp)) cp
+              else { // legacy uuid-named commit of this sequence
+                val names = fs.listStatus(cd).map(_.getPath.getName)
+                  .filter(n => versionOfName(n).contains(s)).sorted
+                names.lastOption.map(n => new HPath(cd, n)).getOrElse(
+                  throw new java.io.IOException(
+                    s"broken commit chain under $cd: version $s missing " +
+                      s"while resolving $version (compacted without a " +
+                      "checkpoint?)"))
+              }
+            parseBody(fs, p)
+          }
+        body match {
+          case Snapshot(es) => base = es
+          case d: DeltaBody => deltas.prepend(d); s -= 1
+        }
+      }
+    }
+    val entries = deltas.foldLeft(base)(applyDelta)
+    if (cached.forall(_._1 <= version)) {
+      if (stateCache.size() >= MaxStateCacheRoots &&
+          !stateCache.containsKey(rootKey))
+        stateCache.clear()
+      stateCache.put(rootKey, (version, entries))
+    }
+    entries
+  }
+
   /** Latest committed state, or None for an uninitialized root. Partial
     * uploads (`.tmp-*`) and foreign files in `_commits` are ignored by
     * the name pattern. Fixed commit names make equal sequence numbers
@@ -290,14 +417,15 @@ object ManifestTable {
     * Resolve cost: O(1) in retained history — the `_latest.hint` fast
     * path reads the pointer and exists-probes forward to the dense tip,
     * never listing `_commits`; only hint-less (legacy/compacted) states
-    * pay the full LIST. */
+    * pay the full LIST. Entry resolution then parses only the commits
+    * newer than the cached state ([[resolveEntries]]). */
   def current(spark: SparkSession, root: String): Option[Commit] = {
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
     if (!fs.exists(cd)) return None
     latestName(fs, cd).map { n =>
       val CommitName(seq) = n
-      Commit(seq.toLong, parseCommit(fs, new HPath(cd, n)))
+      Commit(seq.toLong, resolveEntries(fs, cd, seq.toLong))
     }
   }
 
@@ -350,12 +478,12 @@ object ManifestTable {
              version: Long): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
-    val name = fs.listStatus(cd).map(_.getPath.getName)
-      .filter(n => CommitName.pattern.matcher(n).matches())
-      .filter { case CommitName(seq) => seq.toLong == version }.sorted.lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"readAt: version $version not retained under $root (vacuumed?)"))
-    toDf(spark, rootP, parseCommit(fs, new HPath(cd, name)), table)
+    val retained = fs.exists(new HPath(cd, fixedName(version))) ||
+      fs.listStatus(cd).map(_.getPath.getName)
+        .exists(n => versionOfName(n).contains(version))
+    if (!retained) throw new IllegalArgumentException(
+      s"readAt: version $version not retained under $root (vacuumed?)")
+    toDf(spark, rootP, resolveEntries(fs, cd, version), table)
   }
 
   /** Row-level diff between two retained snapshots: every row only in
@@ -366,8 +494,8 @@ object ManifestTable {
     * actually do to this table") that completes the snapshot surface
     * next to [[readAt]] / [[compact]] / [[vacuum]].
     *
-    * Scale: two manifest reads (file lists from two commit files, no
-    * log replay) + one hash-partitioned set difference per direction —
+    * Scale: two manifest resolves (O(1) checkpoints + O(delta) commit
+    * parses each) + one hash-partitioned set difference per direction —
     * the standard full-row diff shuffle. Files shared by BOTH commits
     * are read twice but cancel; a dominant unchanged majority costs
     * scan + shuffle of the table, which is the honest lower bound for
@@ -383,18 +511,76 @@ object ManifestTable {
       .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
   }
 
-  private def parseCommit(fs: FileSystem, p: HPath): Seq[FileEntry] = {
+  /** Delta body markers: `#` is outside the legal table-name alphabet,
+    * so neither can collide with a snapshot entry line. Detection is by
+    * PRESENCE of the `#delta` line, not position — the streaming reader
+    * receives commit lines as an unordered batch. */
+  private[graft] val DeltaMarker = "#delta"
+  private[graft] val RemoveMarker = "#rm"
+
+  private def parseBody(fs: FileSystem, p: HPath): CommitBody = {
     commitFileReads.incrementAndGet()
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
-    parseEntryLines(text.split("\n").iterator.filter(_.nonEmpty), p.toString)
+    parseBodyLines(text.split("\n").iterator.filter(_.nonEmpty), p.toString)
+  }
+
+  /** Body parser shared with the streaming reader: lines with the
+    * `#delta` marker anywhere form a [[DeltaBody]] (removal lines +
+    * upsert entry lines); anything else is a [[Snapshot]]. */
+  private[graft] def parseBodyLines(lines: Iterator[String],
+                                    src: String): CommitBody = {
+    val all = lines.toVector
+    if (!all.contains(DeltaMarker)) Snapshot(parseEntryLines(all.iterator, src))
+    else {
+      val (rm, rest) = all.filterNot(_ == DeltaMarker)
+        .partition(_.startsWith(RemoveMarker + "\t"))
+      val removes = rm.map { line =>
+        line.split("\t", -1) match {
+          case Array(RemoveMarker, t, rel) => (t, rel)
+          case _ => throw new java.io.IOException(
+            s"corrupt delta removal line in $src: '${line.take(80)}'")
+        }
+      }
+      DeltaBody(removes, parseEntryLines(rest.iterator, src))
+    }
   }
 
   /** v2 line marker: `#` is outside the legal table-name alphabet
     * ([[writeData]]'s `[A-Za-z0-9._-]+` require), so a first field of
     * `#2` can never collide with a legacy line's table field. */
   private val V2Marker = "#2"
+  /** Prefix marking a bloom payload as a SIDECAR POINTER (`@<relPath>`)
+    * rather than an inline base64 filter — `@` is outside the base64
+    * alphabet, so the two forms can never collide. */
+  private[graft] val SidecarMark = "@"
+
+  /** One commit line for one entry (see [[parseV2]] for the grammar). */
+  private def entryLine(e: FileEntry): String = {
+    val v2 = e.bytes.isDefined || e.statsName.isDefined ||
+      e.stats2.nonEmpty || e.blooms2.nonEmpty || e.rows.isDefined ||
+      e.bloom.exists(_._2.startsWith(SidecarMark))
+    if (!v2) {
+      val base =
+        s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"
+      e.bloom.fold(base) { case (bc, bb) => s"$base\t$bc\t$bb" }
+    } else {
+      def bloomGroup(c: String, payload: String): String =
+        if (payload.startsWith(SidecarMark))
+          s"P:${b64col(c)}:${b64col(payload.stripPrefix(SidecarMark))}"
+        else s"B:${b64col(c)}:$payload"
+      val groups =
+        e.min.zip(e.max).map { case (mn, mx) =>
+          s"S:${e.statsName.fold("")(b64col)}:$mn:$mx" }.toSeq ++
+        e.stats2.map { case (c, mn, mx) => s"S:${b64col(c)}:$mn:$mx" } ++
+        e.bloom.map { case (c, bb) => bloomGroup(c, bb) }.toSeq ++
+        e.blooms2.map { case (c, bb) => bloomGroup(c, bb) } ++
+        e.rows.map(n => s"R:$n").toSeq
+      (Seq(V2Marker, e.table, e.relPath, e.bytes.fold("")(_.toString)) ++
+        groups).mkString("\t")
+    }
+  }
   private def b64col(c: String): String =
     java.util.Base64.getEncoder.encodeToString(c.getBytes(StandardCharsets.UTF_8))
   private def unb64col(s: String): String =
@@ -429,15 +615,21 @@ object ManifestTable {
 
   /** `#2 <TAB> table <TAB> relPath <TAB> bytes? <TAB> group...` where
     * each group is `S:<b64(col)>:<min>:<max>` (col empty for legacy
-    * unnamed stats carried forward) or `B:<b64(col)>:<bloomB64>`. The
-    * FIRST group of each kind is the primary slot; the rest ride
-    * stats2/blooms2. Column names travel base64'd so no column name can
-    * collide with the `:` group delimiter. */
+    * unnamed stats carried forward), `B:<b64(col)>:<bloomB64>` (inline
+    * filter, read-compat), `P:<b64(col)>:<b64(relPath)>` (sidecar
+    * pointer, parsed into the `@<relPath>` payload form) or `R:<rows>`
+    * (row count). The FIRST group of each kind is the primary slot; the
+    * rest ride stats2/blooms2. Column names travel base64'd so no
+    * column name can collide with the `:` group delimiter. */
   private def parseV2(f: Array[String], line: String, src: String): FileEntry = {
     def corrupt(): Nothing = throw new java.io.IOException(
       s"corrupt v2 commit line in $src: '${line.take(80)}'")
     var e = FileEntry(f(1), f(2), None, None,
       bytes = if (f(3).isEmpty) None else Some(f(3).toLong))
+    def addBloom(c: String, payload: String): Unit =
+      if (e.bloom.isEmpty && e.blooms2.isEmpty)
+        e = e.copy(bloom = Some((c, payload)))
+      else e = e.copy(blooms2 = e.blooms2 :+ ((c, payload)))
     f.drop(4).filter(_.nonEmpty).foreach { g =>
       g.split(":", -1) match {
         case Array("S", c, mn, mx) =>
@@ -449,9 +641,11 @@ object ManifestTable {
             e = e.copy(stats2 = e.stats2 :+
               ((name.getOrElse(corrupt()), mn.toLong, mx.toLong)))
         case Array("B", c, bb) if c.nonEmpty && bb.nonEmpty =>
-          if (e.bloom.isEmpty && e.blooms2.isEmpty)
-            e = e.copy(bloom = Some((unb64col(c), bb)))
-          else e = e.copy(blooms2 = e.blooms2 :+ ((unb64col(c), bb)))
+          addBloom(unb64col(c), bb)
+        case Array("P", c, pp) if c.nonEmpty && pp.nonEmpty =>
+          addBloom(unb64col(c), SidecarMark + unb64col(pp))
+        case Array("R", n) if n.nonEmpty =>
+          e = e.copy(rows = Some(n.toLong))
         case _ => corrupt()
       }
     }
@@ -470,11 +664,10 @@ object ManifestTable {
     val (fs, rootP) = fsFor(spark, root)
     val cd = new HPath(rootP, CommitDir)
     if (!fs.exists(cd)) return None
-    val fixed = new HPath(cd, fixedName(version))
-    if (fs.exists(fixed)) return Some(parseCommit(fs, fixed))
-    val names = fs.listStatus(cd).map(_.getPath.getName)
-      .filter(n => versionOfName(n).contains(version)).sorted
-    names.lastOption.map(n => parseCommit(fs, new HPath(cd, n)))
+    val retained = fs.exists(new HPath(cd, fixedName(version))) ||
+      fs.listStatus(cd).map(_.getPath.getName)
+        .exists(n => versionOfName(n).contains(version))
+    if (!retained) None else Some(resolveEntries(fs, cd, version))
   }
 
   /** Oldest retained version, None for an uninitialized root. */
@@ -511,7 +704,8 @@ object ManifestTable {
   private[graft] var testBeforeCommit: Option[() => Unit] = None
 
   private def writeCommit(fs: FileSystem, rootP: HPath, version: Long,
-                          entries: Seq[FileEntry]): Long = {
+                          entries: Seq[FileEntry],
+                          parent: Option[Seq[FileEntry]] = None): Long = {
     testBeforeCommit.foreach { h => testBeforeCommit = None; h() }
     require(entries.size <= MaxFilesPerCommit,
       s"commit would list ${entries.size} files (> $MaxFilesPerCommit): " +
@@ -533,27 +727,32 @@ object ManifestTable {
     fs.mkdirs(cd)
     // entries with no v2 payload keep the legacy 4/6-field line
     // byte-identical (txn watermarks, hand-built entries); anything
-    // carrying bytes / a named stats pair / extra groups writes the
-    // `#2` form (see [[parseV2]])
-    val body = entries.map { e =>
-        val v2 = e.bytes.isDefined || e.statsName.isDefined ||
-          e.stats2.nonEmpty || e.blooms2.nonEmpty
-        if (!v2) {
-          val base =
-            s"${e.table}\t${e.relPath}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"
-          e.bloom.fold(base) { case (bc, bb) => s"$base\t$bc\t$bb" }
-        } else {
-          val groups =
-            e.min.zip(e.max).map { case (mn, mx) =>
-              s"S:${e.statsName.fold("")(b64col)}:$mn:$mx" }.toSeq ++
-            e.stats2.map { case (c, mn, mx) => s"S:${b64col(c)}:$mn:$mx" } ++
-            e.bloom.map { case (c, bb) => s"B:${b64col(c)}:$bb" }.toSeq ++
-            e.blooms2.map { case (c, bb) => s"B:${b64col(c)}:$bb" }
-          (Seq(V2Marker, e.table, e.relPath, e.bytes.fold("")(_.toString)) ++
-            groups).mkString("\t")
-        }
+    // carrying bytes / rows / a named stats pair / a sidecar pointer /
+    // extra groups writes the `#2` form (see [[parseV2]]).
+    //
+    // Commit body: a DELTA against `parent` whenever the writer knows
+    // the parent state and the delta is actually smaller — the change
+    // that makes per-commit bytes ∝ the batch's changed files instead
+    // of O(table files). Checkpoint-cadence versions and parentless
+    // commits write the full snapshot; a best-effort `k-` checkpoint
+    // sidecar lands after checkpoint-cadence delta commits so resolve
+    // never walks more than CheckpointInterval deltas.
+    val snapshotBody = entries.map(entryLine).mkString("", "\n", "\n")
+    val deltaLines: Option[String] = parent.flatMap { p =>
+      val nKey = entries.map(e => (e.table, e.relPath) -> e).toMap
+      val pKey = p.map(e => (e.table, e.relPath) -> e).toMap
+      val removes = p.collect {
+        case e if !nKey.contains((e.table, e.relPath)) =>
+          s"$RemoveMarker\t${e.table}\t${e.relPath}"
       }
-      .mkString("", "\n", "\n")
+      val upserts = entries.filter(e =>
+        !pKey.get((e.table, e.relPath)).contains(e))
+      if (removes.length + upserts.length >= entries.length) None
+      else Some((DeltaMarker +: removes) .mkString("", "\n", "\n") +
+        upserts.map(entryLine).mkString("", "\n", "\n"))
+    }
+    val checkpointDue = version % CheckpointInterval.toLong == 0L
+    val body = deltaLines.getOrElse(snapshotBody)
     val tmp = new HPath(cd, s".tmp-${uuid()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -598,8 +797,36 @@ object ManifestTable {
           fs.rename(tmp, dest)
       }
     if (!claimed) conflict()
+    // the committer KNOWS the full state it just committed: seed the
+    // resolve cache so the next resolve under this root parses nothing
+    val rootKey = fs.makeQualified(cd).toString
+    if (stateCache.size() >= MaxStateCacheRoots &&
+        !stateCache.containsKey(rootKey))
+      stateCache.clear()
+    stateCache.put(rootKey, (version, entries))
+    // best-effort checkpoint sidecar on the cadence (only needed when
+    // the commit itself was a delta); a crash here only lengthens the
+    // next cold resolve's backward walk — never correctness
+    if (checkpointDue && deltaLines.isDefined)
+      try writeCheckpoint(fs, cd, version, entries)
+      catch { case _: Exception => () }
     writeHint(fs, cd, version)
     version
+  }
+
+  /** Write the `k-<seq>.txt` snapshot sidecar for `version` (idempotent:
+    * the content is a pure function of the version, so an existing file
+    * is already right). */
+  private def writeCheckpoint(fs: FileSystem, cd: HPath, version: Long,
+                              entries: Seq[FileEntry]): Unit = {
+    val dest = new HPath(cd, checkpointName(version))
+    if (fs.exists(dest)) return
+    val tmp = new HPath(cd, s".tmp-k-${uuid()}")
+    val out = fs.create(tmp, false)
+    try out.write(entries.map(entryLine).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
   }
 
   // ------------------------------------------------------------- data write
@@ -615,20 +842,170 @@ object ManifestTable {
     * written files must NOT re-run the attempt's data write). */
   private[graft] val dataWrites = new java.util.concurrent.atomic.AtomicLong
 
+  /** Default bloom sizing when a file's row count is unknown (pre-v3
+    * entries), and the hard cap keeping one file's filter bounded. */
+  private val DefaultBloomItems = 100000L
+  private val MaxBloomItems = 20000000L
+  private def bloomSize(items: Long): Long =
+    math.max(64L, math.min(items, MaxBloomItems))
+
+  /** Canonical long form a column's per-file stats are recorded in:
+    * epoch-DAY for DATE (a date→long cast does not exist, so
+    * date-clustered tables previously recorded NO usable range and a
+    * date-bounded retention purge could not prune discovery),
+    * epoch-SECOND for TIMESTAMP (exactly what `cast(ts AS long)` always
+    * computed — unit stability with every pre-v3 commit), long cast
+    * otherwise. [[impliedRange]]'s literal canonicalizers mirror these
+    * units. */
+  private def canonLongExpr(c: String,
+      dt: Option[org.apache.spark.sql.types.DataType]): Column = dt match {
+    case Some(org.apache.spark.sql.types.DateType) =>
+      unix_date(col(c)).cast("long")
+    case _ => col(c).cast("long")
+  }
+
+  /** The LONG-form string a bloom insertion/probe uses for `c` — the
+    * canonical long rendered as a string (dates via epoch-day; a plain
+    * try_cast on a DATE column is an analysis error). */
+  private def bloomLongFormExpr(c: String,
+      dt: Option[org.apache.spark.sql.types.DataType]): Column = dt match {
+    case Some(org.apache.spark.sql.types.DateType) =>
+      unix_date(col(c)).cast("string")
+    case _ => expr(s"CAST(try_cast(`$c` AS LONG) AS STRING)")
+  }
+
+  /** Per-file metadata out of [[statsBloomPass]]: canonical-long
+    * min/max per stats column (absent = no non-null values) and a
+    * serialized Bloom filter per bloom column. */
+  private final case class PerFileMeta(stats: Map[String, (Long, Long)],
+                                       blooms: Map[String, Array[Byte]])
+
+  /** Mutable per-file accumulator of the combined pass — min/max slots
+    * per stats column plus one Bloom filter per bloom column, sized for
+    * this file. Partial accumulators of one file merge by min/min,
+    * max/max and bloom bit-OR (same creation parameters → compatible
+    * bit arrays), so the result is partitioning-invariant. */
+  private final class SBAcc(nS: Int, nB: Int, expectedItems: Long,
+                            fpp: Double) extends Serializable {
+    val mins = Array.fill(nS)(Long.MaxValue)
+    val maxs = Array.fill(nS)(Long.MinValue)
+    val seen = Array.fill(nS)(false)
+    val blooms = Array.fill(nB)(
+      org.apache.spark.util.sketch.BloomFilter.create(
+        bloomSize(expectedItems), fpp))
+  }
+
+  /** ONE distributed pass computing, per just-read data file, BOTH the
+    * canonical min/max stats of every `statsCols` column AND a Bloom
+    * filter of every `bloomCols` column. Write paths previously re-read
+    * their fresh files twice (stats job, then bloom job) — the named
+    * ~+6% bench cost of round 17's secondary blooms; one combined scan
+    * halves it and reads each needed column exactly once.
+    *
+    * Each bloom key inserts under BOTH its raw string rendering (what
+    * [[readPrunedEq]] probes) and its canonical long-form rendering
+    * (what [[readPrunedIn]] probes): a DOUBLE column's raw form is
+    * "4.0" while the long probe is "4", and probing a filter that only
+    * held the raw form would be a guaranteed FALSE NEGATIVE — a
+    * silently dropped matching file. Two insertions at most per row per
+    * column; `expectedOf(fileName)` supplies the per-file insertion
+    * budget (2×rows from the footer counts at write time; the caller's
+    * estimate for pre-v3 retrofits), so filters are SIZED TO CONTENT —
+    * a compacted 128 MB file gets the bits its fpp needs, a 500-row CDC
+    * file no longer pays the fixed 50k-item allocation. Files with no
+    * rows are absent from the result. */
+  private def statsBloomPass(spark: SparkSession, paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      expectedOf: String => Long, fpp: Double = 0.03)
+      : Map[String, PerFileMeta] = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return Map.empty
+    val nS = statsCols.length
+    val nB = bloomCols.length
+    def dtOf(c: String) = schema.find(_.name == c).map(_.dataType)
+    val exprs = Seq(input_file_name().as("__f")) ++
+      statsCols.zipWithIndex.map { case (c, i) =>
+        canonLongExpr(c, dtOf(c)).as(s"__s$i") } ++
+      bloomCols.zipWithIndex.flatMap { case (kc, j) => Seq(
+        col(kc).cast("string").as(s"__k$j"),
+        bloomLongFormExpr(kc, dtOf(kc)).as(s"__l$j")) }
+    def update(a: SBAcc, r: Row): SBAcc = {
+      var i = 0
+      while (i < nS) {
+        if (!r.isNullAt(1 + i)) {
+          val v = r.getLong(1 + i)
+          if (!a.seen(i)) { a.seen(i) = true; a.mins(i) = v; a.maxs(i) = v }
+          else {
+            if (v < a.mins(i)) a.mins(i) = v
+            if (v > a.maxs(i)) a.maxs(i) = v
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < nB) {
+        val k = r.getString(1 + nS + 2 * j)
+        if (k != null) {
+          a.blooms(j).putBinary(k.getBytes(StandardCharsets.UTF_8))
+          val l = r.getString(2 + nS + 2 * j)
+          if (l != null && l != k)
+            a.blooms(j).putBinary(l.getBytes(StandardCharsets.UTF_8))
+        }
+        j += 1
+      }
+      a
+    }
+    def merge(a: SBAcc, b: SBAcc): SBAcc = {
+      var i = 0
+      while (i < nS) {
+        if (b.seen(i)) {
+          if (!a.seen(i)) { a.seen(i) = true; a.mins(i) = b.mins(i); a.maxs(i) = b.maxs(i) }
+          else {
+            if (b.mins(i) < a.mins(i)) a.mins(i) = b.mins(i)
+            if (b.maxs(i) > a.maxs(i)) a.maxs(i) = b.maxs(i)
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < nB) { a.blooms(j).mergeInPlace(b.blooms(j)); j += 1 }
+      a
+    }
+    spark.read.parquet(paths: _*).select(exprs: _*).rdd
+      .map(r => (r.getString(0), r))
+      .combineByKey(
+        (r: Row) => update(new SBAcc(nS, nB,
+          expectedOf(r.getString(0).split("/").last), fpp), r),
+        (a: SBAcc, r: Row) => update(a, r),
+        (a: SBAcc, b: SBAcc) => merge(a, b))
+      .collect()
+      .map { case (f, a) =>
+        f -> PerFileMeta(
+          statsCols.zipWithIndex.collect {
+            case (c, i) if a.seen(i) => c -> ((a.mins(i), a.maxs(i))) }.toMap,
+          bloomCols.zipWithIndex.map { case (c, j) =>
+            c -> graft.expressions.BloomExprs.toBytes(a.blooms(j)) }.toMap)
+      }.toMap
+  }
+
   /** Write `df` as immutable data files under `<table>/d-<uuid>/` and
     * return their manifest entries: per-file byte sizes (from the
-    * listStatus the writer already pays — maintenance sizing then never
-    * stats files again), NAMED min/max stats of `statsCol` and every
-    * `extraStatsCols` column (one aggregation pass for all of them),
-    * and a per-file Bloom filter for `bloomCol` and every
-    * `extraBloomCols` column (one distributed pass for all of them) —
-    * so files appended AFTER an [[indexBloom]] call keep the table's
-    * bloom coverage instead of silently never being skipped. A file
-    * with NO non-null key rows gets an EMPTY filter (rejects every
-    * probe): sound — a rowless or all-null-key file can never hold a
-    * probed equality match — and it keeps footer-only schema keepers
-    * out of every point lookup instead of being scanned forever. The
-    * files are INVISIBLE to readers until a commit lists them —
+    * listStatus the writer already pays), per-file ROW COUNTS (from the
+    * just-written parquet footers — a driver metadata GET per file, no
+    * data pass; they size the blooms and replace every "count the
+    * written files" job downstream), and ONE combined distributed pass
+    * ([[statsBloomPass]]) computing NAMED canonical min/max stats of
+    * `statsCol` + `extraStatsCols` AND a right-sized per-file Bloom
+    * filter of `bloomCol` + `extraBloomCols` — so files appended AFTER
+    * an [[indexBloom]] call keep the table's bloom coverage instead of
+    * silently never being skipped. Bloom payloads land in
+    * content-addressed SIDECAR files (`<table>/_blooms/`), the entry
+    * carrying only the pointer — commit bodies stay O(~100 B) per file
+    * regardless of filter size. A file with NO non-null key rows gets
+    * the shared EMPTY filter (rejects every probe): sound — a rowless
+    * or all-null-key file can never hold a probed equality match — and
+    * it keeps footer-only schema keepers out of every point lookup.
+    * The files are INVISIBLE to readers until a commit lists them —
     * writing is not publishing. */
   private def writeData(spark: SparkSession, rootP: HPath, fs: FileSystem,
                         table: String, df: DataFrame,
@@ -645,72 +1022,138 @@ object ManifestTable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).toSeq
     require(listed.nonEmpty, s"writeData: no parquet files produced at $full")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rowsByName: Map[String, Long] = listed.map { s =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(s.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try s.getPath.getName -> r.getRecordCount finally r.close()
+    }.toMap
     val statsCols = (statsCol.toSeq ++ extraStatsCols).distinct
-    val base = statsCols match {
-      case Nil => listed.map(s => FileEntry(table, s"$dir/${s.getPath.getName}",
-        None, None, bytes = Some(s.getLen)))
-      case cs =>
-        // one pass over the just-written files, grouped per file — the
-        // DataLayout._manifest pattern; footer-only files yield no row
-        // and keep empty stats (never skipped)
-        val aggs = cs.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"mn_$c"),
-          max(col(c).cast("long")).as(s"mx_$c")))
-        val stats = spark.read.parquet(full.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val per = cs.zipWithIndex.map { case (c, i) =>
-              c -> (Option(r.get(1 + 2 * i)).map(_.asInstanceOf[Long]),
-                Option(r.get(2 + 2 * i)).map(_.asInstanceOf[Long]))
-            }.toMap
-            r.getString(0).split("/").last -> per
-          }.toMap
-        listed.map { s =>
-          val n = s.getPath.getName
-          val per = stats.getOrElse(n, Map.empty)
-          val (mn, mx) = per.getOrElse(cs.head, (None, None))
-          val secondary = cs.tail.flatMap { c =>
-            per.get(c) match {
-              case Some((Some(a), Some(b))) => Some((c, a, b))
-              case _ => None
-            }
-          }
-          FileEntry(table, s"$dir/$n", mn, mx,
-            statsName = if (mn.isDefined) Some(cs.head) else None,
-            bytes = Some(s.getLen), stats2 = secondary)
-        }
-    }
     val bloomCols = (bloomCol.toSeq ++ extraBloomCols).distinct
-    if (bloomCols.isEmpty) base
-    else {
-      val blooms = fileBloomsB64(spark, Seq(full.toString), bloomCols)
-      val emptyB64 = emptyBloomB64()
-      base.map { e =>
-        val fname = e.relPath.split("/").last
-        val per = blooms.collectFirst {
-          case (f, m) if f.endsWith(fname) => m }.getOrElse(Map.empty)
-        bloomCols.foldLeft(e) { (acc, kc) =>
-          acc.withBloom(kc, per.getOrElse(kc, emptyB64))
+    val perFile =
+      if (rowsByName.values.forall(_ == 0L)) Map.empty[String, PerFileMeta]
+      else statsBloomPass(spark, Seq(full.toString), df.schema, statsCols,
+        bloomCols,
+        fname => 2L * rowsByName.getOrElse(fname, DefaultBloomItems / 2))
+    lazy val emptyPointer =
+      SidecarMark + writeBloomSidecar(fs, rootP, table, emptyBloomBytes())
+    listed.map { s =>
+      val n = s.getPath.getName
+      val meta = perFile.collectFirst {
+        case (f, m) if f.endsWith("/" + n) => m }
+      val stats = meta.fold(Map.empty[String, (Long, Long)])(_.stats)
+      val primary = statsCols.headOption.flatMap(stats.get)
+      var e = FileEntry(table, s"$dir/$n",
+        primary.map(_._1), primary.map(_._2),
+        statsName = statsCols.headOption.filter(_ =>
+          primary.isDefined),
+        bytes = Some(s.getLen),
+        stats2 = statsCols.drop(1).flatMap(c =>
+          stats.get(c).map { case (a, b) => (c, a, b) }),
+        rows = rowsByName.get(n))
+      bloomCols.foreach { kc =>
+        val payload = meta.flatMap(_.blooms.get(kc)) match {
+          case Some(bytes) =>
+            SidecarMark + writeBloomSidecar(fs, rootP, table, bytes)
+          case None => emptyPointer
         }
+        e = e.withBloom(kc, payload)
       }
+      e
     }
   }
 
   /** Serialized empty Bloom filter — what a file with no non-null key
-    * rows carries: rejects every probe, which is exact for such a file. */
-  private def emptyBloomB64(): String = {
-    val b = org.apache.spark.util.sketch.BloomFilter.create(1L, 0.03)
-    java.util.Base64.getEncoder.encodeToString(
-      graft.expressions.BloomExprs.toBytes(b))
+    * rows carries: rejects every probe, which is exact for such a
+    * file. Content addressing makes every footer-only file in a table
+    * share ONE sidecar. */
+  private def emptyBloomBytes(): Array[Byte] =
+    graft.expressions.BloomExprs.toBytes(
+      org.apache.spark.util.sketch.BloomFilter.create(1L, 0.03))
+
+  /** Write `bytes` as an immutable CONTENT-ADDRESSED bloom sidecar
+    * under `<table>/_blooms/` and return its relPath. Content
+    * addressing makes the write idempotent (a same-content racer lands
+    * on the same name; either rename outcome leaves the right bytes),
+    * dedups identical filters across files and versions, and lets
+    * carried entries reuse their sidecar untouched forever — a sidecar
+    * is only ever deleted by [[vacuum]], and only when NO retained
+    * version points at it. */
+  private def writeBloomSidecar(fs: FileSystem, rootP: HPath,
+                                table: String, bytes: Array[Byte]): String = {
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(16).map("%02x".format(_)).mkString
+    val rel = s"$table/_blooms/b-$hex.bloom"
+    val dest = new HPath(rootP, rel)
+    if (!fs.exists(dest)) {
+      val dirP = dest.getParent
+      fs.mkdirs(dirP)
+      val tmp = new HPath(dirP, s".tmp-${uuid()}")
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false) // lost a same-content race: dest is right
+        require(fs.exists(dest), s"bloom sidecar write failed: $dest")
+      }
+    }
+    rel
   }
+
+  /** Driver-side cache of immutable sidecar payloads — content-addressed
+    * files never change, so a hit is valid forever; bounded by a crude
+    * clear-when-full (right-sized filters are small, and correctness
+    * never depends on a hit). */
+  private val bloomSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val MaxBloomCacheEntries = 4096
+
+  /** Materialize a bloom payload: `@<relPath>` pointers read their
+    * sidecar (cached), inline base64 payloads (pre-v3 commits) decode
+    * directly. */
+  private def bloomBytesOf(fs: FileSystem, rootP: HPath,
+                           payload: String): Array[Byte] =
+    if (!payload.startsWith(SidecarMark))
+      java.util.Base64.getDecoder.decode(payload)
+    else {
+      val p = new HPath(rootP, payload.stripPrefix(SidecarMark))
+      val key = p.toString
+      val hit = bloomSidecarCache.get(key)
+      if (hit != null) hit
+      else {
+        val in = fs.open(p)
+        val bytes = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+        if (bloomSidecarCache.size() >= MaxBloomCacheEntries)
+          bloomSidecarCache.clear()
+        bloomSidecarCache.put(key, bytes)
+        bytes
+      }
+    }
+
+  /** Deserialize a bloom payload into a probe-ready filter. */
+  private def bloomFilterOf(fs: FileSystem, rootP: HPath, payload: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytesOf(fs, rootP, payload)))
+
+  /** Rows across a [[writeData]] result — manifest arithmetic over the
+    * footer counts it always records, replacing the metadata-count
+    * Spark job every write path used to pay. */
+  private def writtenRows(written: Seq[FileEntry]): Long =
+    written.map(_.rows.getOrElse(sys.error(
+      s"writeData entry without a row count: ${written.head.relPath}"))).sum
 
   /** [[writeData]] under the ONE-EXECUTION + footer-only discipline
     * shared by every rewrite path (transactionalMerge,
     * transactionalAppendAll, deleteWhere, mergeInto): write FIRST, then
-    * count the written files (a parquet metadata-only count) — an
-    * isEmpty pre-check would run the plan twice, and a
+    * count what was written (footer row counts off the manifest
+    * entries) — an isEmpty pre-check would run the plan twice, and a
     * non-deterministic frame could then commit rows the probe never
     * saw. An EMPTY result either collapses to ONE footer-only file
     * (`keepSchemaIfEmpty` — no other file of the table survives the
@@ -728,7 +1171,7 @@ object ManifestTable {
     val written = writeData(spark, rootP, fs, table, df, statsCol, bloomCol,
       extraStatsCols = extraStatsCols, extraBloomCols = extraBloomCols)
     val dir = new HPath(rootP, written.head.relPath).getParent
-    val n = spark.read.parquet(dir.toString).count()
+    val n = writtenRows(written)
     if (n > 0L) written
     else if (!keepSchemaIfEmpty) { fs.delete(dir, true); Nil }
     else {
@@ -744,59 +1187,6 @@ object ManifestTable {
         bloomCol, extraStatsCols = extraStatsCols,
         extraBloomCols = extraBloomCols)
     }
-  }
-
-  /** One distributed pass building a serialized (base64) Bloom filter
-    * per (data file, key column) under `paths` — shared by
-    * [[indexBloom]] (retro-fitting an existing table) and [[writeData]]
-    * (covering just-written files at append time, any number of key
-    * columns in the SAME pass). Partial filters merge by bit-OR, so the
-    * result is partitioning-invariant.
-    *
-    * Each key inserts under BOTH its raw string rendering (what
-    * [[readPrunedEq]] probes) and its long-cast rendering (what
-    * [[readPrunedIn]] probes — its filter is `cast("long").isin`): a
-    * DOUBLE column's raw form is "4.0" while the long probe is "4",
-    * and probing a filter that only holds the raw form would be a
-    * guaranteed FALSE NEGATIVE — a silently dropped matching file. Two
-    * insertions at most per row per column (one when the forms
-    * coincide); size the filter accordingly. Returns
-    * file -> (column -> b64 filter); files with no non-null key rows
-    * for a column are absent from that column's slot. */
-  private def fileBloomsB64(spark: SparkSession, paths: Seq[String],
-                            keyCols: Seq[String],
-                            expectedItemsPerFile: Long = 50000L,
-                            fpp: Double = 0.03): Map[String, Map[String, String]] = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val cols = Seq(input_file_name().as("__f")) ++
-      keyCols.zipWithIndex.flatMap { case (kc, i) => Seq(
-        col(kc).cast("string").as(s"__k$i"),
-        expr(s"CAST(try_cast(`$kc` AS LONG) AS STRING)").as(s"__l$i")) }
-    spark.read.parquet(paths: _*)
-      .select(cols: _*)
-      .rdd
-      .flatMap { r =>
-        keyCols.indices.flatMap { i =>
-          val k = r.getAs[String](1 + 2 * i)
-          if (k == null) None
-          else Some(((r.getString(0), i),
-            (k, Option(r.getAs[String](2 + 2 * i)))))
-        }
-      }
-      .aggregateByKey(BloomFilter.create(expectedItemsPerFile, fpp))(
-        (b, v) => {
-          b.putBinary(v._1.getBytes(StandardCharsets.UTF_8))
-          v._2.filter(_ != v._1).foreach(l =>
-            b.putBinary(l.getBytes(StandardCharsets.UTF_8)))
-          b
-        },
-        (a, b) => { a.mergeInPlace(b); a })
-      .mapValues(b => java.util.Base64.getEncoder.encodeToString(
-        graft.expressions.BloomExprs.toBytes(b)))
-      .collect()
-      .groupBy(_._1._1)
-      .map { case (f, rows) =>
-        f -> rows.map { case ((_, i), b64) => keyCols(i) -> b64 }.toMap }
   }
 
   private def entriesOf(c: Option[Commit], table: String): Seq[FileEntry] =
@@ -844,7 +1234,9 @@ object ManifestTable {
     val base =
       if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
       else spark.read.parquet(keep.map(e => new HPath(rootP, e.relPath).toString): _*)
-    base.filter(col(statsCol).cast("long") >= lo && col(statsCol).cast("long") <= hi)
+    val cl = canonLongExpr(statsCol,
+      base.schema.find(_.name == statsCol).map(_.dataType))
+    base.filter(cl >= lo && cl <= hi)
   }
 
   /** [[readPruned]] for a SET of probe values instead of one range,
@@ -868,7 +1260,7 @@ object ManifestTable {
                    statsCol: String, values: Seq[Long],
                    version: Option[Long] = None): DataFrame = {
     require(values.nonEmpty, "readPrunedIn: empty probe set")
-    val (_, rootP) = fsFor(spark, root)
+    val (fs, rootP) = fsFor(spark, root)
     val entries = version match {
       case Some(v) => entriesAt(spark, root, v).getOrElse(
         throw new IllegalArgumentException(
@@ -879,29 +1271,28 @@ object ManifestTable {
     }
     val mine = entries.filter(_.table == table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val keep = mine.filter(e => keepInSet(e, statsCol, values))
+    val keep = mine.filter(e => keepInSet(fs, rootP, e, statsCol, values))
     val base =
       if (keep.isEmpty) toDf(spark, rootP, mine, table).where(lit(false))
       else spark.read.parquet(
         keep.map(e => new HPath(rootP, e.relPath).toString): _*)
-    base.filter(col(statsCol).cast("long").isin(values: _*))
+    base.filter(canonLongExpr(statsCol,
+      base.schema.find(_.name == statsCol).map(_.dataType)).isin(values: _*))
   }
 
   /** The [[readPrunedIn]] skip test for one file: min/max range first
     * (the primary pair when its recorded/declared name matches, or a
     * named secondary group), then the per-file Bloom filter when one
     * covers `statsCol` (primary or secondary slot). */
-  private def keepInSet(e: FileEntry, statsCol: String,
-                        values: Seq[Long]): Boolean = {
-    import org.apache.spark.util.sketch.BloomFilter
+  private def keepInSet(fs: FileSystem, rootP: HPath, e: FileEntry,
+                        statsCol: String, values: Seq[Long]): Boolean = {
     val rangeOk = e.statsFor(statsCol, Some(statsCol)) match {
       case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
       case None => true
     }
     rangeOk && (e.bloomFor(statsCol) match {
-      case Some(b64) =>
-        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-          java.util.Base64.getDecoder.decode(b64)))
+      case Some(payload) =>
+        val bf = bloomFilterOf(fs, rootP, payload)
         values.exists(v => bf.mightContainBinary(bloomKeyBytes(v)))
       case None => true
     })
@@ -913,6 +1304,7 @@ object ManifestTable {
   def prunedInStats(spark: SparkSession, root: String, table: String,
                     statsCol: String, values: Seq[Long],
                     version: Option[Long] = None): (Long, Long, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
     val entries = version match {
       case Some(v) => entriesAt(spark, root, v).getOrElse(
         throw new IllegalArgumentException(
@@ -926,7 +1318,7 @@ object ManifestTable {
       case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
       case None => true
     })
-    val keptBloom = mine.count(e => keepInSet(e, statsCol, values))
+    val keptBloom = mine.count(e => keepInSet(fs, rootP, e, statsCol, values))
     (keptBloom.toLong, keptRange.toLong, mine.size.toLong)
   }
 
@@ -962,14 +1354,12 @@ object ManifestTable {
     * commit file changes, so this composes like [[compact]]: a
     * background maintenance op, never an outage.
     *
-    * One distributed pass builds every file's filter: rows map to
-    * (file, key-bytes), aggregated per file (partial filters merge by
-    * bit-OR, so the result is partitioning-invariant). The driver holds
-    * file-count-many serialized filters — size them with
-    * `expectedItemsPerFile`/`fpp` (~45 KB per 50k items at 3%); at
-    * extreme file counts store blooms in sidecar files (Iceberg's puffin
-    * shape) rather than inflating the commit body, the same escalation
-    * documented on [[MaxFilesPerCommit]].
+    * One distributed pass ([[statsBloomPass]]) builds every file's
+    * filter, SIZED per file from the manifest-recorded row count when
+    * the entry carries one (v3 writes) and from `expectedItemsPerFile`
+    * otherwise; payloads land in content-addressed sidecar files, the
+    * commit carrying only pointers — the commit body stays ~100 B per
+    * file however large the filters are.
     *
     * Files written AFTER this call (appends, compactions) carry no bloom
     * and are simply never skipped — re-run indexBloom to re-cover them.
@@ -977,22 +1367,27 @@ object ManifestTable {
   def indexBloom(spark: SparkSession, root: String, table: String,
                  keyCol: String, expectedItemsPerFile: Long = 50000L,
                  fpp: Double = 0.03): Long = {
-    import org.apache.spark.util.sketch.BloomFilter
     val (fs, rootP) = fsFor(spark, root)
     val cur = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(cur), table)
     require(mine.nonEmpty, s"no table '$table' under $root")
-    val blooms = fileBloomsB64(spark,
-      mine.map(e => new HPath(rootP, e.relPath).toString), Seq(keyCol),
-      expectedItemsPerFile, fpp)
+    val rowsByName: Map[String, Long] = mine.flatMap(e =>
+      e.rows.map(r => e.relPath.split("/").last -> r)).toMap
+    val paths = mine.map(e => new HPath(rootP, e.relPath).toString)
+    val blooms = statsBloomPass(spark, paths,
+      spark.read.parquet(paths: _*).schema, Nil, Seq(keyCol),
+      fname => rowsByName.get(fname).map(2L * _)
+        .getOrElse(expectedItemsPerFile), fpp)
     val updated = mine.map { e =>
       blooms.collectFirst { case (f, m) if f.endsWith(e.relPath) =>
-        m.get(keyCol).fold(e)(b64 => e.withBloom(keyCol, b64))
+        m.blooms.get(keyCol).fold(e)(bytes => e.withBloom(keyCol,
+          SidecarMark + writeBloomSidecar(fs, rootP, table, bytes)))
       }.getOrElse(e) // footer-only files keep no bloom, are never skipped
     }
     writeCommit(fs, rootP, cur.version + 1L,
-      cur.entries.filterNot(_.table == table) ++ updated)
+      cur.entries.filterNot(_.table == table) ++ updated,
+      parent = Some(cur.entries))
   }
 
   /** Equality-probe read with Bloom file skipping: only files whose
@@ -1003,8 +1398,7 @@ object ManifestTable {
     * insertion form). The point-lookup twin of [[readPruned]]. */
   def readPrunedEq(spark: SparkSession, root: String, table: String,
                    keyCol: String, value: Any): DataFrame = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val (_, rootP) = fsFor(spark, root)
+    val (fs, rootP) = fsFor(spark, root)
     val c = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(c), table)
@@ -1012,9 +1406,8 @@ object ManifestTable {
     val probe = bloomKeyBytes(value)
     val keep = mine.filter { e =>
       e.bloomFor(keyCol) match {
-        case Some(b64) =>
-          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
+        case Some(payload) =>
+          bloomFilterOf(fs, rootP, payload).mightContainBinary(probe)
         case None => true
       }
     }
@@ -1028,16 +1421,15 @@ object ManifestTable {
     * bloom twin. */
   def bloomPruneStats(spark: SparkSession, root: String, table: String,
                       keyCol: String, value: Any): (Long, Long) = {
-    import org.apache.spark.util.sketch.BloomFilter
+    val (fs, rootP) = fsFor(spark, root)
     val c = current(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $root"))
     val mine = entriesOf(Some(c), table)
     val probe = bloomKeyBytes(value)
     val kept = mine.count { e =>
       e.bloomFor(keyCol) match {
-        case Some(b64) =>
-          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64))).mightContainBinary(probe)
+        case Some(payload) =>
+          bloomFilterOf(fs, rootP, payload).mightContainBinary(probe)
         case None => true
       }
     }
@@ -1069,7 +1461,8 @@ object ManifestTable {
     }
     val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
       .getOrElse(Nil)
-    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ fresh)
+    writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ fresh,
+      parent = cur.map(_.entries))
   }
 
   /** Single-table full replace. */
@@ -1183,10 +1576,11 @@ object ManifestTable {
         bloomCol, extraStatsCols = extraStatsCols,
         extraBloomCols = extraBloomCols)
       val newDir = new HPath(rootP, newEntries.head.relPath).getParent
-      val n = spark.read.parquet(newDir.toString).count()
+      val n = writtenRows(newEntries)
       if (n == 0L) { fs.delete(newDir, true); return 0L }
       val carried = cur.map(_.entries).getOrElse(Nil)
-      writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ newEntries)
+      writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
+        carried ++ newEntries, parent = cur.map(_.entries))
       return n
     }
     val existing = toDf(spark, rootP, prior, table)
@@ -1198,10 +1592,10 @@ object ManifestTable {
       bloomCol, extraStatsCols = extraStatsCols,
       extraBloomCols = extraBloomCols)
     val newDir = new HPath(rootP, newEntries.head.relPath).getParent
-    val n = spark.read.parquet(newDir.toString).count()
+    val n = writtenRows(newEntries)
     if (n == 0L) { fs.delete(newDir, true); return 0L } // no new version
     writeCommit(fs, rootP, cur.get.version + 1L,
-      cur.get.entries ++ newEntries)
+      cur.get.entries ++ newEntries, parent = Some(cur.get.entries))
     n
   }
 
@@ -1214,25 +1608,82 @@ object ManifestTable {
     * [[IncrementalLoad.deleteWhere]]: either the single new commit
     * lands (all affected files replaced at once) or nothing changes.
     * Returns (filesRewritten, rowsDeleted). */
-  /** Necessary [lo, hi] bounds on `c`'s LONG-cast values implied by
-    * `pred`'s CONJUNCTS, or None when nothing bounds the column. Sound
-    * for file skipping: pred ⇒ each conjunct, so every matching row
-    * satisfies each extracted bound; the bounds are then WIDENED by 1
-    * on each side because manifest stats are min/max of
-    * `cast(col AS long)` (truncation toward zero), which can sit up to
-    * one below or above the raw value the predicate compared. Handled
-    * shapes: >=, >, <=, <, =, <=>, IN and BETWEEN (as its desugared
-    * conjunction) between a bare/CAST reference to `c` and numeric
-    * literals, either operand order, combined through AND. Anything
-    * else (OR, NOT, UDFs, non-numeric literals, NaN) contributes no
-    * bound — never unsound, just no narrowing. */
-  private[graft] def impliedRange(pred: Column, c: String): Option[(Long, Long)] = {
-    val (lo, hi) = org.apache.spark.sql.graftbridge.ColumnBridge
-      .impliedNumericBounds(pred, c)
+  /** Necessary [lo, hi] bounds on `c`'s canonical-long stats values
+    * implied by `pred`'s CONJUNCTS, or None when nothing bounds the
+    * column. Sound for file skipping: pred ⇒ each conjunct, so every
+    * matching row satisfies each extracted bound; the bounds are then
+    * WIDENED by 1 on each side because manifest stats are min/max of
+    * the canonical long form ([[statExprFor]] — `cast(col AS long)`
+    * truncates toward zero, so the stats value can sit up to one below
+    * or above the raw value the predicate compared). Bounds arrive as
+    * EXACT BigDecimals and widen via floor−1 / ceil+1 in exact
+    * arithmetic, SATURATING to unbounded when the widened bound leaves
+    * Long range — the previous double pipeline rounded snowflake-scale
+    * literals (~1.5e18) by up to ~512 and wrapped beyond Long range,
+    * either of which could exclude a file holding genuinely matching
+    * rows (a silently incomplete purge). `colType` selects the literal
+    * canonicalizer (numeric identity / epoch-day / epoch-second) and
+    * gates cast-transparency: a `CAST(c AS t)` reference counts as `c`
+    * only when the cast is provably widening from the column's real
+    * type (Cast.canUpCast) — through a narrowing cast a non-ANSI
+    * overflow-wrapped raw value can match the predicate from far
+    * outside the implied range. Handled shapes: >=, >, <=, <, =, <=>,
+    * IN and BETWEEN (as its desugared conjunction) between such a
+    * reference and accepted literals, either operand order, combined
+    * through AND. Anything else (OR, NOT, UDFs, rejected literals,
+    * NaN) contributes no bound — never unsound, just no narrowing. */
+  private[graft] def impliedRange(pred: Column, c: String,
+      colType: Option[org.apache.spark.sql.types.DataType] = None)
+      : Option[(Long, Long)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.{DataType, DateType, DoubleType,
+      FloatType, TimestampType}
+    val pointCanon: Any => Option[BigDecimal] = colType match {
+      case Some(DateType) => ColumnBridge.canonDate
+      case Some(TimestampType) => ColumnBridge.canonTimestamp
+      case _ => ColumnBridge.canonNumeric
+    }
+    // when the comparison WIDENS to double — floating column, floating
+    // literal, or unknown column type (assume the worst) — a literal
+    // matches its whole double-preimage band, not a point: every raw
+    // value within ±ulp of the literal's double form compares equal.
+    // An exact column against an exact literal compares exactly and
+    // keeps the point interval.
+    val colFloating = colType.exists(dt =>
+      dt == FloatType || dt == DoubleType)
+    def litFloating(v: Any): Boolean =
+      v.isInstanceOf[java.lang.Float] || v.isInstanceOf[java.lang.Double]
+    val toCanon: Any => Option[(BigDecimal, BigDecimal)] = v =>
+      pointCanon(v).flatMap { p =>
+        if (!colFloating && colType.isDefined && !litFloating(v))
+          Some((p, p))
+        else {
+          val d = p.toDouble
+          if (d.isInfinite || d.isNaN) None // unbounded band: no bound
+          else { val u = BigDecimal(math.ulp(d)); Some((p - u, p + u)) }
+        }
+      }
+    val castOk: DataType => Boolean = target => colType.exists(ct =>
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ct, target))
+    val (lo, hi) = ColumnBridge.impliedNumericBounds(pred, c, toCanon, castOk)
     if (lo.isEmpty && hi.isEmpty) None
-    else Some((
-      lo.fold(Long.MinValue)(v => math.floor(v).toLong - 1L),
-      hi.fold(Long.MaxValue)(v => math.ceil(v).toLong + 1L)))
+    else {
+      val minL = BigDecimal(Long.MinValue)
+      val maxL = BigDecimal(Long.MaxValue)
+      val loL = lo.fold(Long.MinValue) { bd =>
+        val w = bd.setScale(0, BigDecimal.RoundingMode.FLOOR) - 1
+        // out of Long range on EITHER side -> unbounded: stats of rows
+        // beyond Long range are cast-saturated (double) or cast-null
+        // (decimal) and a representable clamp could still skip the file
+        // holding them
+        if (w < minL || w > maxL) Long.MinValue else w.toLongExact
+      }
+      val hiL = hi.fold(Long.MaxValue) { bd =>
+        val w = bd.setScale(0, BigDecimal.RoundingMode.CEILING) + 1
+        if (w > maxL || w < minL) Long.MaxValue else w.toLongExact
+      }
+      Some((loL, hiL))
+    }
   }
 
   def deleteWhere(spark: SparkSession, root: String, table: String,
@@ -1262,12 +1713,24 @@ object ManifestTable {
     // silently leave matching rows undeleted. Arbitrary predicates (no
     // extractable conjunct) scan everything, exactly as before.
     val schema = toDf(spark, rootP, cur.entries, table).schema
-    def numericCol(c: String): Boolean = schema.find(_.name == c)
-      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def colType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      schema.find(_.name == c).map(_.dataType)
+    def numericCol(c: String): Boolean = colType(c)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // range narrowing applies to numeric columns AND date/timestamp
+    // columns (whose stats are recorded canonically — epoch-day /
+    // epoch-second — and whose literals canonicalize the same way);
+    // impliedRange picks the matching canonicalizer per column type
+    def rangeNarrowable(c: String): Boolean = colType(c).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
     val statCols = (statsCol.toSeq ++ mine.flatMap(e =>
       e.statsName.toSeq ++ e.stats2.map(_._1))).distinct
-    val ranged = statCols.filter(numericCol).foldLeft(mine) { (cand, sc) =>
-      impliedRange(predicate, sc) match {
+    val ranged = statCols.filter(rangeNarrowable).foldLeft(mine) { (cand, sc) =>
+      impliedRange(predicate, sc, colType(sc)) match {
         case Some((lo, hi)) => cand.filter(e =>
           e.statsFor(sc, statsCol) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -1284,9 +1747,16 @@ object ManifestTable {
     // guaranteed hit by a match qualify:
     //  - STRING column = STRING literal: same-type string equality, the
     //    raw-form insertion IS the value;
-    //  - NUMERIC column = integral-valued numeric (or numeric-string)
-    //    literal: the match means numeric equality with an integer L,
-    //    so the row's LONG-cast form is exactly L;
+    //  - EXACT-NUMERIC column (integral/decimal) = exact integral
+    //    literal: the widened comparison stays exact, so a match means
+    //    numeric equality with integer L at ANY magnitude and the row's
+    //    LONG-cast form is exactly L;
+    //  - any FLOATING side (float/double column, or Float/Double /
+    //    numeric-string literal): the comparison widens to DOUBLE, and
+    //    above 2^53 MANY distinct long-cast row values satisfy equality
+    //    with one double while only one long form is probed — a
+    //    guaranteed false negative — so the literal must be integral
+    //    AND |L| <= 2^53;
     // anything else (fractional literals — rendering ambiguity across
     // numeric types; numerics against string columns — the "4.00"
     // coercion hole) skips narrowing on that column. A single
@@ -1295,34 +1765,59 @@ object ManifestTable {
     val scanSet = ranged
       .flatMap(e => (e.bloom.toSeq ++ e.blooms2).map(_._1)).distinct
       .foldLeft(ranged) { (cand, c) =>
-        val colIsString = schema.find(_.name == c)
-          .exists(_.dataType == org.apache.spark.sql.types.StringType)
+        import org.apache.spark.sql.types._
+        val colIsString = colType(c).contains(StringType)
         val colIsNumeric = numericCol(c)
+        val colIsExact = colType(c).exists {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
+          case _ => false
+        }
+        val TwoP53 = 1L << 53
+        def longForm(l: Long): Option[Array[Byte]] =
+          Some(String.valueOf(l).getBytes(StandardCharsets.UTF_8))
+        // double path: integral-valued and within exact-double range
+        def fromDouble(d: Double): Option[Array[Byte]] =
+          if (!d.isNaN && !d.isInfinite && d == math.floor(d) &&
+            math.abs(d) <= TwoP53.toDouble) longForm(d.toLong) else None
         def probeForm(v: Any): Option[Array[Byte]] = v match {
           case s: String if colIsString =>
             Some(s.getBytes(StandardCharsets.UTF_8))
-          case n: Number if colIsNumeric &&
-              n.longValue().toDouble == n.doubleValue() =>
-            Some(String.valueOf(n.longValue())
-              .getBytes(StandardCharsets.UTF_8))
+          case n @ (_: java.lang.Byte | _: java.lang.Short |
+                    _: java.lang.Integer | _: java.lang.Long)
+              if colIsNumeric =>
+            val l = n.asInstanceOf[Number].longValue()
+            if (colIsExact || (-TwoP53 <= l && l <= TwoP53)) longForm(l)
+            else None
+          case d: java.lang.Double if colIsNumeric => fromDouble(d.doubleValue())
+          case f: java.lang.Float if colIsNumeric => fromDouble(f.doubleValue())
+          case bd: java.math.BigDecimal if colIsNumeric =>
+            val whole = bd.stripTrailingZeros.scale <= 0
+            val inLong = whole &&
+              bd.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) >= 0 &&
+              bd.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0
+            if (inLong) {
+              val l = bd.setScale(0).longValueExact()
+              if (colIsExact || (-TwoP53 <= l && l <= TwoP53)) longForm(l)
+              else None
+            } else None
+          case bd: BigDecimal if colIsNumeric => probeForm(bd.underlying())
           case s: String if colIsNumeric =>
-            scala.util.Try(s.trim.toDouble).toOption
-              .filter(d => d.toLong.toDouble == d)
-              .map(d => String.valueOf(d.toLong)
-                .getBytes(StandardCharsets.UTF_8))
+            // string-vs-numeric coerces both sides to DOUBLE
+            scala.util.Try(s.trim.toDouble).toOption.flatMap(fromDouble)
           case _ => None
         }
+        val castOkFor: DataType => Boolean = target => colType(c).exists(ct =>
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ct, target))
         org.apache.spark.sql.graftbridge.ColumnBridge
-          .impliedEqualitySet(predicate, c) match {
+          .impliedEqualitySet(predicate, c, castOkFor) match {
           case Some(vals) if vals.nonEmpty =>
             val probes = vals.map(probeForm)
             if (probes.exists(_.isEmpty)) cand // one bad member: no narrowing
             else cand.filter { e =>
               e.bloomFor(c) match {
-                case Some(b64) =>
-                  val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                    new java.io.ByteArrayInputStream(
-                      java.util.Base64.getDecoder.decode(b64)))
+                case Some(payload) =>
+                  val bf = bloomFilterOf(fs, rootP, payload)
                   probes.flatten.exists(bf.mightContainBinary)
                 case None => true
               }
@@ -1349,7 +1844,8 @@ object ManifestTable {
       statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty, extraBloomCols,
       extraStatsCols)
     writeCommit(fs, rootP, cur.version + 1L,
-      cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries)
+      cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries,
+      parent = Some(cur.entries))
     (aff.size.toLong, nDel)
   }
 
@@ -1422,24 +1918,39 @@ object ManifestTable {
     *    join / predicate) is same-type, so the canonical string/long
     *    cast forms both sides go through are the same function of the
     *    same values — a match implies a probe-form hit;
-    *  - both numeric (incl. decimal): Spark widens both sides to a
-    *    numeric type, a match means numeric equality, and the LONG-cast
-    *    form is a total, equality-preserving function of the numeric
-    *    value — both stats (long min/max) and blooms (long-form
-    *    insertion) see every matching row.
-    * Everything else — above all STRING columns compared against
+    *  - both EXACT numeric (integral/decimal): Spark widens both sides
+    *    to an exact numeric type, a match means exact numeric equality,
+    *    and the LONG-cast form is then a function of the shared value —
+    *    both stats (long min/max) and blooms (long-form insertion) see
+    *    every matching row, at any magnitude;
+    *  - both FLOATING (float/double): float→double widening is exact,
+    *    so matching values share one double, whose truncation both
+    *    sides' long casts compute identically.
+    * A MIXED exact/floating pair must NOT narrow: the comparison widens
+    * to DOUBLE, and above 2^53 many distinct longs satisfy equality
+    * with one double — the probe's single long-cast rendering would
+    * miss the matching rows' renderings (a bloom/stats false negative,
+    * i.e. a silently lost merge/delete on snowflake-scale ids). Nor may
+    * anything else — above all STRING columns compared against
     * numerics, where Spark coerces to DOUBLE and a decimal-formatted
     * string like "4.00" long-casts to NULL (invisible to stats) while
-    * its raw form never matches a numeric probe's rendering — must NOT
-    * narrow: a skipped file could hold a coercion-matched row (a
-    * silently lost merge/delete). */
+    * its raw form never matches a numeric probe's rendering. */
   private def narrowTypesAlign(tableT: org.apache.spark.sql.types.DataType,
-                               probeT: org.apache.spark.sql.types.DataType): Boolean =
+                               probeT: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def exactNum(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def floatNum(dt: DataType): Boolean =
+      dt == FloatType || dt == DoubleType
     tableT == probeT ||
-      (tableT.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-        probeT.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      (exactNum(tableT) && exactNum(probeT)) ||
+      (floatNum(tableT) && floatNum(probeT))
+  }
 
-  private def discoveryCandidates(spark: SparkSession,
+  private def discoveryCandidates(spark: SparkSession, rootP: HPath,
                                   probeKeys: DataFrame, key: Seq[String],
                                   statsCol: Option[String],
                                   mine: Seq[FileEntry],
@@ -1455,24 +1966,30 @@ object ManifestTable {
         case _ => false
       }
       if (cand.size <= 4 || !aligned) cand
-      else narrowByColumn(spark, probeKeys, kc, statsCol, cand)
+      else narrowByColumn(spark, rootP, probeKeys, kc, statsCol, cand)
     }
   }
 
   /** One key column's narrowing pass over `cand` (see
     * [[discoveryCandidates]]): range containment via
     * [[FileEntry.statsFor]], then bloom probes via
-    * [[FileEntry.bloomFor]] under the driver budget. */
-  private def narrowByColumn(spark: SparkSession, probeKeys: DataFrame,
+    * [[FileEntry.bloomFor]] under the driver budget. Probe keys render
+    * through the same canonical forms the writers inserted
+    * ([[canonLongExpr]]/[[bloomLongFormExpr]] — epoch-day for DATE keys,
+    * whose plain long cast is an analysis error). */
+  private def narrowByColumn(spark: SparkSession, rootP: HPath,
+                             probeKeys: DataFrame,
                              kc: String, statsCol: Option[String],
                              cand: Seq[FileEntry]): Seq[FileEntry] = {
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statsCover = cand.exists(_.statsFor(kc, statsCol).isDefined)
     val bloomsPresent = cand.exists(_.bloomFor(kc).isDefined)
     if (!statsCover && !bloomsPresent) return cand
+    val probeDt = probeKeys.schema.find(_.name == kc).map(_.dataType)
     // ONE extra job in the common case: collect up to the cap + 1
     // distinct keys — an overflowing take proves the set is unbounded
     // and discovery falls back to the envelope aggregate
-    val taken = probeKeys.select(col(kc).cast("long").as("l"),
+    val taken = probeKeys.select(canonLongExpr(kc, probeDt).as("l"),
         col(kc).cast("string").as("s")).distinct()
       .limit(MaxCollectedProbeKeys.toInt + 1).collect()
     val collected: Option[Array[Row]] =
@@ -1497,9 +2014,9 @@ object ManifestTable {
           // string key) contributes nothing to min/max, and an envelope
           // built without it could skip the very file that joins it;
           // one aggregate answers both questions
-          val r = probeKeys.agg(min(col(kc).cast("long")),
-            max(col(kc).cast("long")),
-            sum(when(col(kc).isNotNull && col(kc).cast("long").isNull,
+          val cl = canonLongExpr(kc, probeDt)
+          val r = probeKeys.agg(min(cl), max(cl),
+            sum(when(col(kc).isNotNull && cl.isNull,
               lit(1L)).otherwise(lit(0L)))).head()
           val anyUncastable = !r.isNullAt(2) && r.getLong(2) > 0L
           if (r.isNullAt(0) || r.isNullAt(1) || anyUncastable) cand
@@ -1515,8 +2032,7 @@ object ManifestTable {
       // so it is skipped (sound: skipping the NARROWING keeps files)
       case Some(rows) if bloomable > 0 &&
           bloomable.toLong * rows.length * 2 <= MaxBloomProbeWork =>
-        import org.apache.spark.util.sketch.BloomFilter
-        // probe BOTH canonical forms, mirroring fileBloomsB64's double
+        // probe BOTH canonical forms, mirroring statsBloomPass's double
         // insertion: a probe key arriving type-coerced (DOUBLE source
         // against a LONG table renders "4.0") must still hit the
         // long-form entry — a single-form probe is a guaranteed false
@@ -1531,9 +2047,8 @@ object ManifestTable {
         }
         ranged.filter { e =>
           e.bloomFor(kc) match {
-            case Some(b64) =>
-              val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-                java.util.Base64.getDecoder.decode(b64)))
+            case Some(payload) =>
+              val bf = bloomFilterOf(fs, rootP, payload)
               probes.exists(bf.mightContainBinary)
             case None => true
           }
@@ -1558,8 +2073,8 @@ object ManifestTable {
                              key: Seq[String], statsCol: Option[String],
                              mine: Seq[FileEntry],
                              tableSchema: org.apache.spark.sql.types.StructType): (Seq[FileEntry], Seq[FileEntry]) = {
-    val cand = discoveryCandidates(spark, probeKeys, key, statsCol, mine,
-      tableSchema)
+    val cand = discoveryCandidates(spark, rootP, probeKeys, key, statsCol,
+      mine, tableSchema)
     recordDiscoveryStats(rootP, mine.headOption.fold("")(_.table),
       DiscoveryStats(cand.size.toLong, mine.size.toLong))
     if (cand.isEmpty) return (Nil, mine)
@@ -1700,6 +2215,76 @@ object ManifestTable {
     (aff.size.toLong, nDel)
   }
 
+  /** REPLACE-BY-KEY at file granularity for MULTI-ROW keys: every
+    * existing row whose key matches a `newRows` key OR a `dropKeys` key
+    * is dropped, `newRows` appends, all in ONE atomic commit — the
+    * "overwrite these keys' row-SETS" primitive ([[mergeInto]] cannot
+    * express it: its replace is row-for-row, so it rejects duplicate
+    * source keys, while a k-NN index repairing the edge LISTS of
+    * affected sources has `degree` rows per key on both sides).
+    * Discovery narrows through [[discoveryCandidates]] (per-file key
+    * stats + blooms), so only files actually holding a touched key are
+    * rewritten; everything else carries byte-identical. Rebase-on-
+    * conflict like the rest of the merge family. Returns
+    * (filesRewritten, rowsDropped). */
+  def replaceByKeys(spark: SparkSession, root: String, table: String,
+                    newRows: DataFrame, key: Seq[String],
+                    dropKeys: DataFrame,
+                    statsCol: Option[String] = None,
+                    bloomCol: Option[String] = None,
+                    maxRetries: Int = 3,
+                    extraBloomCols: Seq[String] = Nil,
+                    extraStatsCols: Seq[String] = Nil): (Long, Long) = {
+    require(key.nonEmpty, "replaceByKeys: empty key")
+    retryOnConflict(maxRetries) {
+      replaceByKeysOnce(spark, root, table, newRows, key, dropKeys,
+        statsCol, bloomCol, extraBloomCols, extraStatsCols)
+    }
+  }
+
+  private def replaceByKeysOnce(spark: SparkSession, root: String,
+                                table: String, newRows: DataFrame,
+                                key: Seq[String], dropKeys: DataFrame,
+                                statsCol: Option[String],
+                                bloomCol: Option[String],
+                                extraBloomCols: Seq[String],
+                                extraStatsCols: Seq[String]): (Long, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val cur = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $root"))
+    val mine = entriesOf(Some(cur), table)
+    require(mine.nonEmpty, s"no table '$table' under $root")
+    val df = toDf(spark, rootP, cur.entries, table)
+    require(newRows.columns.toSet == df.columns.toSet,
+      s"replaceByKeys: newRows columns ${newRows.columns.toSeq} must " +
+        s"match table columns ${df.columns.toSeq}")
+    require(key.forall(dropKeys.columns.contains),
+      s"replaceByKeys: dropKeys must carry the key columns $key " +
+        s"(got ${dropKeys.columns.toSeq})")
+    // cut: the new rows feed the touched-key set AND the rewrite union
+    val nr = graft.operators.Lineage.cut(
+      newRows.select(df.columns.map(col): _*))
+    val touched = graft.operators.Lineage.cut(
+      nr.select(key.map(col): _*)
+        .unionByName(dropKeys.select(key.map(col): _*)).distinct())
+    val (aff, keep) = affectedByKeys(spark, rootP, touched, key, statsCol,
+      mine, df.schema)
+    val nDropped =
+      if (aff.isEmpty) 0L
+      else spark.read.parquet(
+        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        .join(touched, key, "left_semi").count()
+    val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
+      key, inserts = Some(nr), keepSchemaIfEmpty = keep.isEmpty, statsCol,
+      bloomCol, extraBloomCols, extraStatsCols)
+    commitOrRebase(spark, fs, rootP, root, Some(cur),
+      carriedOf = _.filterNot(_.table == table),
+      added = keep ++ newEntries,
+      reusableUnder = tableUnchanged(Some(cur), table),
+      freshEntries = newEntries)
+    (aff.size.toLong, nDropped)
+  }
+
   /** MERGE (upsert) by key at FILE granularity — the storage-level
     * sibling of [[graft.operators.ChangeDataCapture.mergeUpsert]] (which
     * merges frames, leaving persistence to the caller): existing rows
@@ -1804,7 +2389,8 @@ object ManifestTable {
       bloomCol, extraStatsCols = extraStatsCols,
       extraBloomCols = extraBloomCols)
     writeCommit(fs, rootP, cur.version + 1L,
-      cur.entries.filterNot(_.table == table) ++ newEntries)
+      cur.entries.filterNot(_.table == table) ++ newEntries,
+      parent = Some(cur.entries))
     (mine.size.toLong, newEntries.size.toLong)
   }
 
@@ -1898,7 +2484,7 @@ object ManifestTable {
     // empty batch still returns true without creating a version
     val written = writeData(spark, rootP, fs, table, df, statsCol)
     val writtenDir = new HPath(rootP, written.head.relPath).getParent
-    if (spark.read.parquet(writtenDir.toString).count() == 0L) {
+    if (writtenRows(written) == 0L) {
       fs.delete(writtenDir, true)
       return true
     }
@@ -1907,7 +2493,8 @@ object ManifestTable {
       e.table == TxnTable && e.relPath == markerPath)).getOrElse(Nil)
     writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L),
       carried ++ newEntries :+
-        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)))
+        FileEntry(TxnTable, markerPath, Some(batchId), Some(batchId)),
+      parent = cur.map(_.entries))
     true
   }
 
@@ -2127,18 +2714,20 @@ object ManifestTable {
   // ----------------------------------------- commit-log compaction / vacuum
 
   /** Bound the commit log WITHOUT touching data: delete all but the
-    * `keepVersions` newest commit files. Because every commit file is a
-    * self-contained snapshot (it lists the full state of its version,
-    * not a delta), dropping old ones loses only time travel to them —
+    * `keepVersions` newest commit files, after first landing a
+    * LOAD-BEARING `k-` checkpoint of the oldest kept version so the
+    * delta chain under every survivor stays resolvable (commits are
+    * deltas now; a retained delta whose base vanished would be
+    * unreadable). Dropping old commits loses only time travel to them —
     * the current version, its data files, and every retained version are
     * untouched, so this is safe to run WHILE writers commit and readers
     * plan (unlike [[vacuum]], which deletes data files and needs a quiet
     * window). The periodic hygiene call for long-lived CDC / streaming
     * sinks: without it a per-batch committer accumulates one `_commits`
     * object per batch forever; with it the log stays `keepVersions`-sized
-    * and hint-less resolve (the listing path) stays cheap too. Orphaned
-    * DATA files of dropped versions remain until [[vacuum]]. Returns the
-    * number of commit files removed. */
+    * (plus one checkpoint) and hint-less resolve (the listing path)
+    * stays cheap too. Orphaned DATA files of dropped versions remain
+    * until [[vacuum]]. Returns the number of commit files removed. */
   def compactLog(spark: SparkSession, root: String, keepVersions: Int = 1): Long = {
     require(keepVersions >= 1, "compactLog must keep at least the current version")
     val (fs, rootP) = fsFor(spark, root)
@@ -2146,8 +2735,28 @@ object ManifestTable {
     if (!fs.exists(cd)) return 0L
     val commits = fs.listStatus(cd).map(_.getPath.getName)
       .filter(n => CommitName.pattern.matcher(n).matches()).sorted
-    val drop = commits.dropRight(keepVersions)
+    val (drop, keep) = commits.splitAt(math.max(0, commits.length - keepVersions))
+    if (drop.isEmpty) return 0L
+    // delta-chain safety: the oldest KEPT version must stay resolvable
+    // after its ancestors vanish, so a LOAD-BEARING `k-` checkpoint of
+    // it is written first (idempotent; resolved while the full chain
+    // still exists). Only then can every older c-file — and every now
+    // obsolete k-file — go.
+    keep.headOption.foreach { n =>
+      val CommitName(seq) = n
+      writeCheckpoint(fs, cd, seq.toLong, resolveEntries(fs, cd, seq.toLong))
+      require(fs.exists(new HPath(cd, checkpointName(seq.toLong))),
+        s"compactLog: checkpoint for $n did not land; refusing to drop " +
+          "its delta chain")
+    }
     drop.foreach(n => fs.delete(new HPath(cd, n), false))
+    val keptMin = keep.headOption.map { case CommitName(seq) => seq.toLong }
+    fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.startsWith("k-"))
+      .foreach { kn =>
+        val seq = kn.stripPrefix("k-").stripSuffix(".txt").toLong
+        if (keptMin.exists(seq < _)) fs.delete(new HPath(cd, kn), false)
+      }
     drop.length.toLong
   }
 
@@ -2196,8 +2805,28 @@ object ManifestTable {
       if (minAgeMs == 0L) (drop.toSeq, Seq.empty[String])
       else drop.toSeq.partition(n =>
         fs.getFileStatus(new HPath(cd, n)).getModificationTime < horizon)
-    val referenced: Set[String] = (keep.toSeq ++ dropRetained).flatMap(n =>
-      parseCommit(fs, new HPath(cd, n)).map(_.relPath)).toSet
+    // referenced = every data file of a retained version's RESOLVED
+    // state PLUS every bloom sidecar its entries point at — sidecars
+    // are reclaimed exactly like data files, only when no retained
+    // version needs them. Resolution happens BEFORE any deletion, while
+    // the full delta chain still exists.
+    val retainedNames = (dropRetained ++ keep.toSeq).sorted
+    val referenced: Set[String] = retainedNames.flatMap { n =>
+      val CommitName(seq) = n
+      resolveEntries(fs, cd, seq.toLong).flatMap(e =>
+        e.relPath +: (e.bloom.toSeq ++ e.blooms2).map(_._2)
+          .filter(_.startsWith(SidecarMark))
+          .map(_.stripPrefix(SidecarMark)))
+    }.toSet
+    // delta-chain safety before dropping ancestors: checkpoint the
+    // oldest RETAINED version (same rule as compactLog)
+    if (dropNow.nonEmpty) retainedNames.headOption.foreach { n =>
+      val CommitName(seq) = n
+      writeCheckpoint(fs, cd, seq.toLong, resolveEntries(fs, cd, seq.toLong))
+      require(fs.exists(new HPath(cd, checkpointName(seq.toLong))),
+        s"vacuum: checkpoint for $n did not land; refusing to drop " +
+          "its delta chain")
+    }
     var deleted = 0L
     // data dirs are every top-level entry except _commits
     fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != CommitDir)
@@ -2206,16 +2835,23 @@ object ManifestTable {
         val toDelete = scala.collection.mutable.ListBuffer.empty[HPath]
         while (it.hasNext) {
           val f = it.next()
-          val rel = s"${tdir.getPath.getName}/${f.getPath.getParent.getName}/${f.getPath.getName}"
-          if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel)
-              && (minAgeMs == 0L || f.getModificationTime < horizon))
+          val name = f.getPath.getName
+          val rel = s"${tdir.getPath.getName}/${f.getPath.getParent.getName}/$name"
+          if ((name.endsWith(".parquet") || name.endsWith(".bloom"))
+              && !referenced.contains(rel)
+              && (minAgeMs == 0L || f.getModificationTime < horizon)) {
             toDelete += f.getPath
+            if (name.endsWith(".bloom"))
+              bloomSidecarCache.remove(fs.makeQualified(f.getPath).toString)
+          }
         }
         toDelete.foreach { p => fs.delete(p, false); deleted += 1 }
-        // prune emptied d-<uuid> dirs (and Spark's _SUCCESS markers)
+        // prune emptied d-<uuid> / _blooms dirs (and Spark's _SUCCESS
+        // markers)
         fs.listStatus(tdir.getPath).filter(_.isDirectory).foreach { d =>
           val kids = fs.listStatus(d.getPath)
-          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet")))
+          if (kids.forall(k => !k.getPath.getName.endsWith(".parquet") &&
+              !k.getPath.getName.endsWith(".bloom")))
             fs.delete(d.getPath, true)
         }
       }
@@ -2224,6 +2860,14 @@ object ManifestTable {
     // moments ago may still be streaming its file list; a young
     // superseded commit AND its data survive until the next pass
     dropNow.foreach(n => fs.delete(new HPath(cd, n), false))
+    // k-files older than the oldest surviving commit serve nothing
+    val survivorMin = retainedNames.headOption
+      .map { case CommitName(seq) => seq.toLong }
+    fs.listStatus(cd).map(_.getPath.getName).filter(_.startsWith("k-"))
+      .foreach { kn =>
+        val seq = kn.stripPrefix("k-").stripSuffix(".txt").toLong
+        if (survivorMin.exists(seq < _)) fs.delete(new HPath(cd, kn), false)
+      }
     deleted
   }
 

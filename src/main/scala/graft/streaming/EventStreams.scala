@@ -211,36 +211,57 @@ object EventStreams {
     val s = meta.sparkSession
     val rows = meta.collect()
     if (rows.isEmpty) return
-    val byVersion: Seq[(Long, Seq[ManifestTable.FileEntry])] = rows.toSeq
+    val byVersion: Seq[(Long, ManifestTable.CommitBody)] = rows.toSeq
       .groupBy(_.getString(0)).toSeq
       .flatMap { case (file, rs) =>
         val name = file.split("/").last
         ManifestTable.versionOfName(name).map { v =>
-          v -> ManifestTable.parseEntryLines(
+          v -> ManifestTable.parseBodyLines(
             rs.iterator.map(_.getString(1)).filter(_.nonEmpty), name)
         }
       }.sortBy(_._1)
-    val inBatch = byVersion.toMap
+    val inBatch: Map[Long, Seq[ManifestTable.FileEntry]] = byVersion.collect {
+      case (v, ManifestTable.Snapshot(es)) => v -> es
+    }.toMap
+    val versionsInBatch = byVersion.map(_._1).toSet
     def pathsOf(es: Seq[ManifestTable.FileEntry]): Set[String] =
       es.filter(_.table == table).map(_.relPath).toSet
-    byVersion.foreach { case (v, entries) =>
-      val mine = pathsOf(entries)
-      val prev: Set[String] =
-        if (v == 1L) Set.empty
-        else inBatch.get(v - 1L).map(pathsOf)
-          .orElse(ManifestTable.entriesAt(s, root, v - 1L).map(pathsOf))
-          .getOrElse {
-            // no predecessor anywhere: fine iff v is the stream's head
-            // (oldest retained) — that delivery is the initial snapshot
-            if (ManifestTable.minRetainedVersion(s, root).contains(v)) Set.empty
-            else throw new IllegalStateException(
+    def headSnapshot(v: Long): Option[Set[String]] =
+      // no predecessor anywhere: fine iff v is the stream's head
+      // (oldest retained) — that delivery is the initial snapshot
+      if (ManifestTable.minRetainedVersion(s, root).contains(v))
+        ManifestTable.entriesAt(s, root, v).map(pathsOf)
+      else None
+    byVersion.foreach {
+      case (v, d: ManifestTable.DeltaBody) =>
+        // a delta names its own adds/removes — no predecessor resolve
+        // needed, except at the stream's head, where the delivery is
+        // the full resolved snapshot (the compacted-log entry point)
+        val removed = d.removes.filter(_._1 == table)
+        val added = d.upserts.filter(_.table == table).map(_.relPath)
+        headSnapshot(v) match {
+          case Some(all) if !versionsInBatch.contains(v - 1L) &&
+              ManifestTable.entriesAt(s, root, v - 1L).isEmpty =>
+            if (all.nonEmpty)
+              f(s.read.parquet(all.toSeq.sorted.map(p => s"$root/$p"): _*), v)
+          case _ =>
+            if (removed.isEmpty && added.nonEmpty)
+              f(s.read.parquet(added.sorted.map(p => s"$root/$p"): _*), v)
+        }
+      case (v, ManifestTable.Snapshot(entries)) =>
+        val mine = pathsOf(entries)
+        val prev: Set[String] =
+          if (v == 1L) Set.empty
+          else inBatch.get(v - 1L).map(pathsOf)
+            .orElse(ManifestTable.entriesAt(s, root, v - 1L).map(pathsOf))
+            .orElse(headSnapshot(v).map(_ => Set.empty[String]))
+            .getOrElse(throw new IllegalStateException(
               s"manifest stream: version ${v - 1} of $root no longer " +
-                "retained — compactLog/vacuum outran this reader")
-          }
-      val added = mine -- prev
-      val removed = prev -- mine
-      if (removed.isEmpty && added.nonEmpty)
-        f(s.read.parquet(added.toSeq.sorted.map(p => s"$root/$p"): _*), v)
+                "retained — compactLog/vacuum outran this reader"))
+        val added = mine -- prev
+        val removed = prev -- mine
+        if (removed.isEmpty && added.nonEmpty)
+          f(s.read.parquet(added.toSeq.sorted.map(p => s"$root/$p"): _*), v)
     }
   }
 

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.DataType
 
 /** Column <-> Expression bridge for custom Catalyst expressions.
   *
@@ -15,74 +16,88 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Necessary numeric bounds on column `name` implied by `pred`'s
-    * CONJUNCTS, as raw (lo, hi) doubles (None = unbounded on that
-    * side; (None, None) = nothing extractable). Lives here because a
-    * Column's UNRESOLVED ColumnNode tree — the only structured form a
-    * predicate has before any plan exists — is `private[sql]`
-    * (columnNodes.scala); the Expression conversion wraps the whole
-    * tree in one opaque ColumnNodeExpression, hiding its structure.
-    * Sound for file skipping: pred ⇒ each conjunct, so every matching
-    * row satisfies each extracted bound. Handled: >=, >, <=, <, =,
-    * <=>, IN over a bare/CAST reference to `name` and numeric
-    * literals, either operand order, combined through AND; anything
-    * else (OR, NOT, UDFs, non-numeric literals, NaN) contributes
-    * nothing — never unsound, just no narrowing. The caller
-    * (ManifestTable.impliedRange) owns the long-cast widening. */
-  def impliedNumericBounds(pred: Column, name: String)
-      : (Option[Double], Option[Double]) = {
-    import org.apache.spark.sql.internal.{Cast => NCast, ColumnNode,
-      Literal => NLiteral, UnresolvedAttribute => NAttr,
-      UnresolvedFunction => NFn}
-    def nameOf(n: ColumnNode): Option[String] = n match {
-      case a: NAttr => Some(a.nameParts.mkString("."))
-      case cst: NCast => nameOf(cst.child)
+  /** Necessary bounds on column `name` implied by `pred`'s CONJUNCTS,
+    * as EXACT BigDecimal values (None = unbounded on that side;
+    * (None, None) = nothing extractable). Exactness matters: returning
+    * doubles here rounded large integral literals (a snowflake-style id
+    * ~1.5e18 moves by up to ~512 at double precision), and a rounded-UP
+    * lower bound widened only ±1 by the caller could exclude files whose
+    * long-cast stats contain genuinely matching rows — rows silently
+    * surviving a purge. Float/Double literals convert via
+    * `new java.math.BigDecimal(double)` — the exact binary value the
+    * predicate actually compares, not the shortest round-trip decimal
+    * (which can sit up to half an ulp away, > 1 for large doubles).
+    *
+    * Lives here because a Column's UNRESOLVED ColumnNode tree — the only
+    * structured form a predicate has before any plan exists — is
+    * `private[sql]` (columnNodes.scala); the Expression conversion wraps
+    * the whole tree in one opaque ColumnNodeExpression, hiding its
+    * structure. Sound for file skipping: pred ⇒ each conjunct, so every
+    * matching row satisfies each extracted bound. Handled: >=, >, <=, <,
+    * =, <=>, IN over a reference to `name` and literals `toCanon`
+    * accepts, either operand order, combined through AND; anything else
+    * (OR, NOT, UDFs, rejected literals, NaN) contributes nothing —
+    * never unsound, just no narrowing.
+    *
+    * `toCanon` maps a literal value to the INTERVAL of canonical
+    * numerics a matching row's value can lie in — an interval, not a
+    * point, because a comparison that WIDENS to floating point matches
+    * every raw value in the literal's double-preimage band (at 1.5e18
+    * the gap between adjacent doubles is 256: `k === lit(1.5e18d)` on a
+    * LONG column matches 256 distinct longs, and a point bound widened
+    * only ±1 would range-skip the files holding most of them). Callers
+    * return a point interval when the comparison is provably exact
+    * (exact column, exact literal) and a ±ulp band when either side is
+    * floating; a literal mapped to None contributes no bound, and a
+    * None member inside IN voids the whole set (a partial set is not a
+    * necessary bound). `castOk` decides whether a `CAST(name AS t)`
+    * reference still counts as `name` — callers pass a provable-widening
+    * test (Cast.canUpCast from the column's actual type); seeing through
+    * a NARROWING cast is unsound because a wrapped/overflowed raw value
+    * (e.g. 4294967301 wrapping to 5 under non-ANSI int cast) satisfies
+    * the predicate while sitting far outside the implied range.
+    * The caller (ManifestTable.impliedRange) owns long-cast widening. */
+  def impliedNumericBounds(pred: Column, name: String,
+      toCanon: Any => Option[(BigDecimal, BigDecimal)],
+      castOk: DataType => Boolean = _ => false)
+      : (Option[BigDecimal], Option[BigDecimal]) = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      Literal => NLiteral, UnresolvedFunction => NFn}
+    def isCol(n: ColumnNode): Boolean = refNameOf(n, castOk).contains(name)
+    def litBand(n: ColumnNode): Option[(BigDecimal, BigDecimal)] = n match {
+      case l: NLiteral => Option(l.value).flatMap(toCanon)
       case _ => None
     }
-    def isCol(n: ColumnNode): Boolean = nameOf(n).contains(name)
-    def litNum(n: ColumnNode): Option[Double] = n match {
-      case l: NLiteral => l.value match {
-        case i: java.lang.Integer => Some(i.toDouble)
-        case v: java.lang.Long => Some(v.toDouble)
-        case s: java.lang.Short => Some(s.toDouble)
-        case b: java.lang.Byte => Some(b.toDouble)
-        case f: java.lang.Float if !f.isNaN => Some(f.toDouble)
-        case d: java.lang.Double if !d.isNaN => Some(d.doubleValue())
-        case d: java.math.BigDecimal => Some(d.doubleValue())
-        case d: BigDecimal => Some(d.toDouble)
-        case _ => None
-      }
-      case _ => None
-    }
+    // a ">= lit" conjunct bounds matching rows below by the band's LOW
+    // edge (the smallest raw value the widened comparison can match);
+    // "<= lit" by the band's HIGH edge; equality by both
     def cmp(op: String, a: ColumnNode, b: ColumnNode)
-        : (Option[Double], Option[Double]) = op match {
+        : (Option[BigDecimal], Option[BigDecimal]) = op match {
       case ">=" | ">" =>
-        if (isCol(a)) (litNum(b), None)
-        else if (isCol(b)) (None, litNum(a))
+        if (isCol(a)) (litBand(b).map(_._1), None)
+        else if (isCol(b)) (None, litBand(a).map(_._2))
         else (None, None)
       case "<=" | "<" =>
-        if (isCol(a)) (None, litNum(b))
-        else if (isCol(b)) (litNum(a), None)
+        if (isCol(a)) (None, litBand(b).map(_._2))
+        else if (isCol(b)) (litBand(a).map(_._1), None)
         else (None, None)
       case "=" | "==" | "<=>" =>
-        if (isCol(a)) (litNum(b), litNum(b))
-        else if (isCol(b)) (litNum(a), litNum(a))
+        if (isCol(a)) (litBand(b).map(_._1), litBand(b).map(_._2))
+        else if (isCol(b)) (litBand(a).map(_._1), litBand(a).map(_._2))
         else (None, None)
       case _ => (None, None)
     }
-    def walk(n: ColumnNode): (Option[Double], Option[Double]) = n match {
+    def walk(n: ColumnNode): (Option[BigDecimal], Option[BigDecimal]) = n match {
       case f: NFn => (f.functionName, f.arguments) match {
         case ("and", scala.collection.Seq(l, r)) =>
           val (ll, lh) = walk(l); val (rl, rh) = walk(r)
-          ((ll.toSeq ++ rl.toSeq)
-             .reduceOption((a: Double, b: Double) => math.max(a, b)),
-           (lh.toSeq ++ rh.toSeq)
-             .reduceOption((a: Double, b: Double) => math.min(a, b)))
+          ((ll.toSeq ++ rl.toSeq).reduceOption(_ max _),
+           (lh.toSeq ++ rh.toSeq).reduceOption(_ min _))
         case ("in", args) if args.length >= 2 && isCol(args.head) =>
-          val vs = args.tail.map(litNum(_))
+          val vs = args.tail.map(litBand(_))
           if (vs.forall(_.isDefined)) {
             val ds = vs.flatten
-            (Some(ds.min), Some(ds.max))
+            (Some(ds.map(_._1).min), Some(ds.map(_._2).max))
           } else (None, None)
         case (op, scala.collection.Seq(a, b)) => cmp(op, a, b)
         case _ => (None, None)
@@ -92,6 +107,64 @@ object ColumnBridge {
     walk(c0node(pred))
   }
 
+  /** The canonical-numeric mapping for NUMERIC columns: every exact
+    * integral/decimal literal maps to its exact value; Float/Double map
+    * to their exact binary expansion (what the comparison sees);
+    * NaN/Infinity and non-numerics map to None (no narrowing). */
+  val canonNumeric: Any => Option[BigDecimal] = {
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue()))
+    case v: java.lang.Long => Some(BigDecimal(v.longValue()))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue()))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue()))
+    case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+      Some(BigDecimal(new java.math.BigDecimal(f.doubleValue())))
+    case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+      Some(BigDecimal(new java.math.BigDecimal(d.doubleValue())))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case i: java.math.BigInteger => Some(BigDecimal(i))
+    case _ => None
+  }
+
+  /** Canonical mapping for DATE columns: epoch-day. */
+  val canonDate: Any => Option[BigDecimal] = {
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
+  }
+
+  /** Canonical mapping for TIMESTAMP columns: epoch-SECOND (the unit
+    * `cast(ts AS long)` stats are recorded in), carried at micro
+    * precision so sub-second literals bound correctly after the
+    * caller's floor/ceil widening. */
+  val canonTimestamp: Any => Option[BigDecimal] = {
+    case t: java.sql.Timestamp =>
+      val micros = math.floorDiv(t.getTime, 1000L) * 1000000L +
+        (t.getNanos / 1000L)
+      Some(BigDecimal(micros) / BigDecimal(1000000L))
+    case i: java.time.Instant =>
+      Some((BigDecimal(i.getEpochSecond) * BigDecimal(1000000L) +
+        BigDecimal(i.getNano / 1000L)) / BigDecimal(1000000L))
+    case _ => None
+  }
+
+  /** The bare/CAST reference name a node denotes, or None for anything
+    * else. A Cast wrapper is transparent ONLY when `castOk` accepts its
+    * target type (callers pass a provable-widening test against the
+    * column's real type); an unprovable cast is opaque — treating it as
+    * the column would let a non-ANSI overflow-wrapped raw value match
+    * the predicate from far outside the implied range. */
+  private def refNameOf(n: org.apache.spark.sql.internal.ColumnNode,
+      castOk: DataType => Boolean): Option[String] = {
+    import org.apache.spark.sql.internal.{Cast => NCast,
+      UnresolvedAttribute => NAttr}
+    n match {
+      case a: NAttr => Some(a.nameParts.mkString("."))
+      case cst: NCast if castOk(cst.dataType) => refNameOf(cst.child, castOk)
+      case _ => None
+    }
+  }
+
   /** Necessary EQUALITY probe set on column `name` implied by `pred`'s
     * conjuncts: the literal values of a `name = lit` / `name <=> lit` /
     * `name IN (lits)` conjunct (either operand order). Sound the same
@@ -99,17 +172,13 @@ object ColumnBridge {
     * matching row's value is IN the returned set; when several
     * conjuncts each bound the column, the SMALLEST set is returned
     * (all are necessary). None when no conjunct pins the column, or a
-    * candidate set contains a non-literal member. */
-  def impliedEqualitySet(pred: Column, name: String): Option[Seq[Any]] = {
-    import org.apache.spark.sql.internal.{Cast => NCast, ColumnNode,
-      Literal => NLiteral, UnresolvedAttribute => NAttr,
-      UnresolvedFunction => NFn}
-    def nameOf(n: ColumnNode): Option[String] = n match {
-      case a: NAttr => Some(a.nameParts.mkString("."))
-      case cst: NCast => nameOf(cst.child)
-      case _ => None
-    }
-    def isCol(n: ColumnNode): Boolean = nameOf(n).contains(name)
+    * candidate set contains a non-literal member. Cast-wrapped
+    * references count only under `castOk` (see [[impliedNumericBounds]]). */
+  def impliedEqualitySet(pred: Column, name: String,
+      castOk: DataType => Boolean = _ => false): Option[Seq[Any]] = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      Literal => NLiteral, UnresolvedFunction => NFn}
+    def isCol(n: ColumnNode): Boolean = refNameOf(n, castOk).contains(name)
     def litOf(n: ColumnNode): Option[Any] = n match {
       case l: NLiteral => Option(l.value) // a NULL literal pins nothing
       case _ => None

@@ -205,7 +205,8 @@ class ManifestTableSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration),
         new org.apache.hadoop.fs.Path(s"file:$root"), java.lang.Long.valueOf(2L),
-        Seq(ManifestTable.FileEntry("t", "t/d-x/f.parquet", None, None)))
+        Seq(ManifestTable.FileEntry("t", "t/d-x/f.parquet", None, None)),
+        None)
       catch { case ite: java.lang.reflect.InvocationTargetException =>
         throw ite.getCause }
     }
