@@ -615,6 +615,15 @@ object GraphAnn {
   private val TombT = "tombstones"
   private val ParamsT = "build_params"
 
+  /** Per-file coverage every versioned edge publish records: src
+    * range+bloom (discovery for [[graphForgetVersioned]]'s targeted
+    * rewrite of affected sources) and a dst bloom (the "who points at
+    * a dead node" scan) — what lets a small forget touch only the edge
+    * files holding a tombstoned node instead of rebuilding the table. */
+  private val EdgeStats = Map(EdgesT -> "src", UpperT -> "src")
+  private val EdgeBlooms = Map(EdgesT -> "src", UpperT -> "src")
+  private val EdgeExtraBlooms = Map(EdgesT -> Seq("dst"), UpperT -> Seq("dst"))
+
   /** Persisted params of a versioned index (None for pre-params
     * commits). */
   private[graft] def readParamsVersioned(
@@ -662,7 +671,9 @@ object GraphAnn {
         upperDegree, upperRefine),
       TombT -> emptyTombstones(spark),
       ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
-        refine, upperMod, upperDegree, upperRefine, corpus.count(), 0L))))
+        refine, upperMod, upperDegree, upperRefine, corpus.count(), 0L))),
+      statsCols = EdgeStats, bloomCols = EdgeBlooms,
+      extraBloomCols = EdgeExtraBlooms)
   }
 
   /** [[graphDelete]] for the versioned index: the merged tombstone set
@@ -705,8 +716,75 @@ object GraphAnn {
           upperDegree, upperRefine),
         TombT -> emptyTombstones(spark),
         ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
-          refine, upperMod, upperDegree, upperRefine, live.count(), 0L))))
+          refine, upperMod, upperDegree, upperRefine, live.count(), 0L))),
+        statsCols = EdgeStats, bloomCols = EdgeBlooms,
+        extraBloomCols = EdgeExtraBlooms)
     } finally live.unpersist()
+  }
+
+  /** TARGETED reclaim of a SMALL tombstone set — the keyed-forget path
+    * of the versioned graph index. [[graphVacuumVersioned]] rebuilds
+    * both layers from the live corpus (right when deletes are a large
+    * fraction), but a 2-node GDPR forget must not rewrite an N-file
+    * edge table: this repair rewrites ONLY the edge files holding a
+    * tombstoned node (as src or dst) — discovered through the per-file
+    * src stats/blooms + dst blooms every versioned edge publish records
+    * — and replaces the affected sources' lists with EXACT top-degree
+    * lists over the live layer (brute force: the affected set is
+    * tombstone-proportional, so the scoring crossJoin is
+    * O(|affected| × layer) with a broadcast query side — better-than-
+    * LSH-approximate lists for exactly the nodes a forget disturbed).
+    * Dead nodes stop routing entirely (full vacuum semantics for them);
+    * untouched files carry byte-identical into the new versions.
+    *
+    * Three commits (edges repair, upper repair, tombstone clear), each
+    * atomic; the sequence is idempotent — a crash between them leaves
+    * tombstone-filtered search exact (the cleared set only shrinks
+    * what the final filter must drop) and a re-run converges. Returns
+    * Some(version) of the tombstone-clearing commit, or None — caller
+    * escalates to [[graphVacuumVersioned]] — when tombstones exceed
+    * `maxForget`, the index has no persisted build params, or nothing
+    * is tombstoned. */
+  def graphForgetVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, corpus: DataFrame, idCol: String,
+                           vecCol: String,
+                           maxForget: Int = 1024): Option[Long] = {
+    val pOpt = readParamsVersioned(spark, root)
+    if (pOpt.isEmpty) return None
+    val p = pOpt.get
+    val tombAll = graft.etl.ManifestTable.read(spark, root, TombT)
+      .select(col("vec_id"))
+    val tombIds = tombAll.limit(maxForget + 1).collect()
+      .map(_.getLong(0)).toSeq
+    if (tombIds.isEmpty || tombIds.length > maxForget) return None
+    val live = corpus.join(broadcast(tombAll),
+      corpus(idCol) === tombAll("vec_id"), "left_anti")
+      .select(col(idCol), col(vecCol))
+    def repair(tableName: String, layer: DataFrame, deg: Int): Long = {
+      // who points at a dead node: dst-bloom-pruned scan, then the
+      // LIVE sources among them (dead sources just drop)
+      val affSrc = graft.etl.ManifestTable.readPrunedIn(spark, root,
+          tableName, "dst", tombIds)
+        .select(col("src")).distinct()
+        .filter(!col("src").isin(tombIds: _*))
+      val queries = layer.join(broadcast(affSrc),
+        layer(idCol) === affSrc("src"), "left_semi")
+      // exact replacement lists, same (cosine desc, id asc) 6dp-grid
+      // ranking the builder uses
+      val repl = Similarity.bruteForceTopK(layer, queries, idCol, vecCol,
+        deg).select(col("query_id").as("src"), col("vec_id").as("dst"))
+      val (files, _) = graft.etl.ManifestTable.replaceByKeys(spark, root,
+        tableName, repl, Seq("src"), dropKeys = tombIds.toDF("src"),
+        statsCol = Some("src"), bloomCol = Some("src"),
+        extraBloomCols = Seq("dst"))
+      files
+    }
+    repair(EdgesT, live, p.degree)
+    repair(UpperT,
+      live.filter(pmod(col(idCol), lit(p.upperMod.toLong)) === 0L),
+      p.upperDegree)
+    Some(graft.etl.ManifestTable.publish(spark, root,
+      Map(TombT -> emptyTombstones(spark))))
   }
 
   /** [[graphCompact]] for the versioned index: the upper routing layer
@@ -729,7 +807,9 @@ object GraphAnn {
         ParamsT -> paramsDf(spark, p.copy(upperMod = upperMod,
           upperDegree = upperDegree, upperRefine = upperRefine,
           baseN = corpus.count(), appendedN = 0L)))
-    graft.etl.ManifestTable.publish(spark, root, tbls)
+    graft.etl.ManifestTable.publish(spark, root, tbls,
+      statsCols = EdgeStats, bloomCols = EdgeBlooms,
+      extraBloomCols = EdgeExtraBlooms)
   }
 
   /** [[graphAppend]] for the versioned index: the merged full layer
@@ -790,7 +870,9 @@ object GraphAnn {
     val appended = p.appendedN + deltaN
     if (pOpt.isEmpty) {
       // legacy index: no persisted accounting to update, no cadence
-      graft.etl.ManifestTable.publish(spark, root, Map(EdgesT -> merged))
+      graft.etl.ManifestTable.publish(spark, root, Map(EdgesT -> merged),
+        statsCols = EdgeStats, bloomCols = EdgeBlooms,
+        extraBloomCols = EdgeExtraBlooms)
     } else if (appended.toDouble / p.baseN.max(1L) >= compactAtAppendedFraction) {
       // upper-staleness escalation: merged full layer AND the rebuilt
       // routing layer land in ONE commit (tombstoned nodes stay in the
@@ -803,11 +885,15 @@ object GraphAnn {
         EdgesT -> merged,
         UpperT -> knnGraph(upper, "__i", "__v", p.dim, p.planes, p.tables,
           p.upperDegree, p.upperRefine),
-        ParamsT -> paramsDf(spark, p.copy(baseN = newBase, appendedN = 0L))))
+        ParamsT -> paramsDf(spark, p.copy(baseN = newBase, appendedN = 0L))),
+        statsCols = EdgeStats, bloomCols = EdgeBlooms,
+        extraBloomCols = EdgeExtraBlooms)
     } else {
       graft.etl.ManifestTable.publish(spark, root, Map(
         EdgesT -> merged,
-        ParamsT -> paramsDf(spark, p.copy(appendedN = appended))))
+        ParamsT -> paramsDf(spark, p.copy(appendedN = appended))),
+        statsCols = EdgeStats, bloomCols = EdgeBlooms,
+        extraBloomCols = EdgeExtraBlooms)
     }
   }
 
