@@ -1444,6 +1444,51 @@ object SparkEntry {
     // q338's CASE/WHERE with the purge range excluded — any file the
     // narrowing wrongly skipped would leave purged rows behind and
     // hash-mismatch.
+    // DATE-bounded retention purge (the q343 shape on a real DATE
+    // column): publish orders date-clustered — per-file stats are now
+    // CANONICAL epoch-day (a date→long cast does not exist, so before
+    // v3 a date-clustered table recorded no usable range at all) — then
+    // deleteWhere under a DATE literal, whose implied range canonicalizes
+    // the same way, so discovery scans only the files the retention
+    // window can touch. The oracle replays the surviving rows exactly.
+    "q344_date_retention_purge" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-date-purge")
+      val root = tmp.resolve("t").toString
+      etl.ManifestTable.publish(s, root,
+        Map("o" -> o.repartitionByRange(8, col("odate"))),
+        statsCols = Map("o" -> "odate"))
+      etl.ManifestTable.deleteWhere(s, root, "o",
+        col("odate") < lit(java.sql.Date.valueOf("1994-06-01")),
+        statsCol = Some("odate"))
+      val out = etl.ManifestTable.read(s, root, "o")
+        .select(col("o_orderkey"), col("odate").cast("string").as("odate"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
+    // TUNED pipeline END-TO-END (the q340 chooser driving a real run):
+    // measure the recall board on the graded sample, pick the cheapest
+    // qualifying config, then quality -> exact dedup -> CHOSEN-config
+    // near-dup -> per-source cap -> PII scrub over the corpus in one
+    // call. The oracle replays the board, the selection rule, AND the
+    // banded candidate join + exact-Jaccard verify + min-id clustering
+    // under whichever config the board picked — a wrong choice, a
+    // candidate-set drift, or a survivor-rule slip all hash-mismatch.
+    "q345_tuned_pipeline" -> ((s, dir) => {
+      operators.CorpusPipeline.prepareTuned(t(s, dir, "documents"),
+        gradedNearDupCorpus(s, dir), "text", "doc_id", "source",
+        recallFloorP6 = 950000L, minTokens = 10, maxTopShare = 0.2,
+        perSourceCap = 50, shingleN = 3, nearDupThreshold = 0.5,
+        configs = RecallBoardConfigs)
+        .select(col("doc_id"), col("source"),
+          length(col("clean_text")).cast("long").as("n_ct"))
+    }),
+
     "q343_cdc_bounded_purge" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
@@ -5160,6 +5205,123 @@ object SparkEntry {
              .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** q345's oracle: the recall board + q340's selection rule pick the
+    * config (the board runs as a self-contained subquery, so its CTE
+    * names cannot collide); the corpus side then replays q83's quality
+    * and exact-dedup stages, builds the banded MinHash candidates of
+    * EVERY board config over the exact-dedup survivors (each config's
+    * candidate CTE joins `choice`, so only the chosen one is
+    * non-empty), verifies candidates with exact Jaccard at the 0.5
+    * threshold, clusters by min-id reachability, and finishes with the
+    * per-source cap and the PII scrub — `prepareTuned` end to end. */
+  private def TunedPipelineOracleSql: String = {
+    val P = graft.operators.Dedup.PortableP
+    val values = graft.operators.Dedup.portableAB(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    def keyExpr(r: Int): String = r match {
+      case 2 =>
+        s"""max(CASE WHEN j % 2 = 0 THEN m END) * 2147483648
+           |      + max(CASE WHEN j % 2 = 1 THEN m END)""".stripMargin
+      case 4 =>
+        s"""((max(CASE WHEN j % 4 = 0 THEN m END) * 2147483648
+           |      + max(CASE WHEN j % 4 = 1 THEN m END)) % $P) * 2147483648
+           |      + ((max(CASE WHEN j % 4 = 2 THEN m END) * 2147483648
+           |      + max(CASE WHEN j % 4 = 3 THEN m END)) % $P)""".stripMargin
+    }
+    def cfg(bands: Int, r: Int): String = {
+      val tag = s"${bands}_$r"
+      s"""ckey_$tag AS MATERIALIZED (
+         |  SELECT id, j // $r AS band,
+         |    ${keyExpr(r)} AS key
+         |  FROM cmh WHERE j < ${bands * r} GROUP BY 1, 2),
+         |ccand_$tag AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM ckey_$tag a
+         |  JOIN ckey_$tag b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |  JOIN choice ON choice.bands = $bands
+         |    AND choice.rows_per_band = $r)""".stripMargin
+    }
+    val configs = RecallBoardConfigs
+    s"""WITH RECURSIVE choice AS MATERIALIZED (
+       |  SELECT bands, rows_per_band FROM ($LshRecallBoardSql) __board
+       |  WHERE recall_p6 >= 950000
+       |  ORDER BY n_cand, bands * rows_per_band, bands LIMIT 1),
+       |q AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 10),
+       |bgq AS (
+       |  SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] AS g
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM q) d,
+       |       LATERAL (SELECT unnest(range(1, len(d.toks))) AS i) t),
+       |rep AS (
+       |  SELECT doc_id FROM (SELECT doc_id, g, count(*) AS c FROM bgq GROUP BY 1, 2)
+       |  GROUP BY doc_id HAVING CAST(max(c) AS DOUBLE) / sum(c) <= 0.2),
+       |kept AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
+       |dd AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept)
+       |  WHERE rn = 1),
+       |cdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM dd),
+       |cgrams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT d.doc_id, d.toks[t.i] || ' ' || d.toks[t.i + 1] || ' ' || d.toks[t.i + 2] AS g
+       |    FROM cdocs d, LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+       |    WHERE len(d.toks) >= 3
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(toks, ' ') AS g FROM cdocs WHERE len(toks) < 3)),
+       |ccounts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cgrams GROUP BY doc_id),
+       |chs AS (
+       |  SELECT doc_id AS id,
+       |    CAST(list_sum(list_transform(range(1, length(g) + 1),
+       |      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT) * i))
+       |      % $P AS BIGINT) AS h
+       |  FROM cgrams),
+       |cmh AS MATERIALIZED (
+       |  SELECT id, ab.j AS j, min((ab.a * h + ab.b) % $P) AS m
+       |  FROM chs, (VALUES $values) ab(j, a, b)
+       |  GROUP BY 1, 2),
+       |${configs.map { case (b, r) => cfg(b, r) }.mkString(",\n")},
+       |ccand AS MATERIALIZED (${configs.map { case (b, r) =>
+             s"SELECT * FROM ccand_${b}_$r" }.mkString(" UNION ALL ")}),
+       |cinter AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM ccand c JOIN cgrams a ON a.doc_id = c.id_a
+       |               JOIN cgrams b ON b.doc_id = c.id_b AND a.g = b.g
+       |  GROUP BY 1, 2),
+       |cjp AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+       |        / (na.n + nb.n - coalesce(i.inter, 0)), 6) AS jaccard
+       |    FROM ccand c
+       |    LEFT JOIN cinter i USING (id_a, id_b)
+       |    JOIN ccounts na ON c.id_a = na.doc_id
+       |    JOIN ccounts nb ON c.id_b = nb.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |cedges AS (SELECT id_a AS src, id_b AS dst FROM cjp
+       |           UNION ALL SELECT id_b, id_a FROM cjp),
+       |creach(id, r) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM cedges)
+       |  UNION
+       |  SELECT e.src, creach.r FROM cedges e JOIN creach ON creach.id = e.dst),
+       |cclusters AS (SELECT id, min(r) AS cluster_id FROM creach GROUP BY id),
+       |surv AS (
+       |  SELECT * FROM dd
+       |  WHERE doc_id NOT IN (SELECT id FROM cclusters WHERE id <> cluster_id)),
+       |capped AS (
+       |  SELECT * FROM (SELECT doc_id, source, text, row_number() OVER (
+       |      PARTITION BY source ORDER BY md5(text), doc_id) AS rk FROM surv)
+       |  WHERE rk <= 50),
+       |fin AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(
+       |      regexp_replace(text,
+       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS ct
+       |  FROM capped)
+       |SELECT doc_id, source, CAST(len(ct) AS BIGINT) AS n_ct FROM fin""".stripMargin
+  }
+
   /** Oracle for q331: both K-M boards reduced to (count, board_ck) and
     * emitted as ONE all-BIGINT row. Every column is an explicit CAST —
     * no sum/window output escapes uncast, so no HUGEINT→float64 drift
@@ -8852,6 +9014,15 @@ object SparkEntry {
 
     // q338's oracle with the purge range excluded: the bounded delete
     // must remove exactly the BETWEEN rows, however discovery narrowed
+    "q344_date_retention_purge" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+        |  round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1994-06-01'""".stripMargin,
+
+    "q345_tuned_pipeline" -> TunedPipelineOracleSql,
+
     "q343_cdc_bounded_purge" ->
       """SELECT o_orderkey, o_custkey,
         |  round(CASE WHEN o_orderkey % 2 = 0
