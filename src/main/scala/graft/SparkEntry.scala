@@ -1479,6 +1479,37 @@ object SparkEntry {
     // banded candidate join + exact-Jaccard verify + min-id clustering
     // under whichever config the board picked — a wrong choice, a
     // candidate-set drift, or a survivor-rule slip all hash-mismatch.
+    // Z-ORDER box delete: orders publish clustered along the Morton
+    // curve of (o_custkey, o_orderkey) with per-file stats recorded on
+    // BOTH dimensions, then deleteWhere under a conjunction bounding
+    // both — the multi-column range narrowing intersects the two
+    // recorded ranges, so discovery scans only the files the 2-D box
+    // can touch (Round18OpsSpec counts them; a 1-D clustering scans
+    // ~4x more for the same box). The oracle replays the survivors —
+    // a file wrongly skipped by the narrowing leaves purged rows
+    // behind and hash-mismatches.
+    "q346_zorder_box_delete" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+      val root = tmp.resolve("t").toString
+      etl.ManifestTable.publish(s, root,
+        Map("o" -> operators.ZOrder.cluster(o,
+          Seq("o_custkey", "o_orderkey"), 32)),
+        statsCols = Map("o" -> "o_custkey"),
+        extraStatsCols = Map("o" -> Seq("o_orderkey")))
+      etl.ManifestTable.deleteWhere(s, root, "o",
+        col("o_custkey").between(lit(300L), lit(600L)) &&
+          col("o_orderkey").between(lit(10000L), lit(40000L)),
+        statsCol = Some("o_custkey"))
+      val out = etl.ManifestTable.read(s, root, "o")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("price"), 2).as("price"))
+        .localCheckpoint()
+      etl.IncrementalLoad.deleteRecursively(tmp)
+      out
+    }),
+
     "q345_tuned_pipeline" -> ((s, dir) => {
       operators.CorpusPipeline.prepareTuned(t(s, dir, "documents"),
         gradedNearDupCorpus(s, dir), "text", "doc_id", "source",
@@ -9022,6 +9053,12 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1994-06-01'""".stripMargin,
 
     "q345_tuned_pipeline" -> TunedPipelineOracleSql,
+
+    "q346_zorder_box_delete" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 300 AND 600
+        |           AND o_orderkey BETWEEN 10000 AND 40000)""".stripMargin,
 
     "q343_cdc_bounded_purge" ->
       """SELECT o_orderkey, o_custkey,

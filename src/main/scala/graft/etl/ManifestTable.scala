@@ -1668,10 +1668,19 @@ object ManifestTable {
     val (lo, hi) = ColumnBridge.impliedNumericBounds(pred, c, toCanon, castOk)
     if (lo.isEmpty && hi.isEmpty) None
     else {
+      // floor/ceil alone absorb long-cast truncation: a matching row
+      // v >= lo has trunc-toward-zero(v) >= floor(lo) (v >= 0 gives
+      // trunc = floor(v) >= floor(lo); v < 0 gives trunc = ceil(v) >=
+      // v >= lo >= floor(lo)), symmetrically trunc(v) <= ceil(hi) for
+      // v <= hi — so the recorded stat of every matching row lands
+      // inside [floor(lo), ceil(hi)] and no extra widening is needed.
+      // (The pre-exact-bounds ±1 existed to absorb DOUBLE rounding of
+      // the bounds themselves; bounds are exact BigDecimal now, and
+      // double-widened comparisons already carry their ulp band.)
       val minL = BigDecimal(Long.MinValue)
       val maxL = BigDecimal(Long.MaxValue)
       val loL = lo.fold(Long.MinValue) { bd =>
-        val w = bd.setScale(0, BigDecimal.RoundingMode.FLOOR) - 1
+        val w = bd.setScale(0, BigDecimal.RoundingMode.FLOOR)
         // out of Long range on EITHER side -> unbounded: stats of rows
         // beyond Long range are cast-saturated (double) or cast-null
         // (decimal) and a representable clamp could still skip the file
@@ -1679,7 +1688,7 @@ object ManifestTable {
         if (w < minL || w > maxL) Long.MinValue else w.toLongExact
       }
       val hiL = hi.fold(Long.MaxValue) { bd =>
-        val w = bd.setScale(0, BigDecimal.RoundingMode.CEILING) + 1
+        val w = bd.setScale(0, BigDecimal.RoundingMode.CEILING)
         if (w > maxL || w < minL) Long.MaxValue else w.toLongExact
       }
       Some((loL, hiL))

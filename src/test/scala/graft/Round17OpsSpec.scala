@@ -213,24 +213,24 @@ class Round17OpsSpec extends SparkSpec {
     import org.apache.spark.sql.types.LongType
     val lt = Some(LongType)
     assert(impliedRange(col("k") >= 10 && col("k") < 20, "k", lt)
-      .contains((9L, 21L)), "widened-by-1 bounds")
-    assert(impliedRange(col("k") === 7, "k", lt).contains((6L, 8L)))
+      .contains((10L, 20L)), "exact point bounds on an exact column")
+    assert(impliedRange(col("k") === 7, "k", lt).contains((7L, 7L)))
     assert(impliedRange(lit(100) > col("k"), "k", lt)
-      .contains((Long.MinValue, 101L)), "literal-on-left mirrors")
-    assert(impliedRange(col("k").isin(3, 9, 5), "k", lt).contains((2L, 10L)))
+      .contains((Long.MinValue, 100L)), "literal-on-left mirrors")
+    assert(impliedRange(col("k").isin(3, 9, 5), "k", lt).contains((3L, 9L)))
     assert(impliedRange(col("k") >= 10 || col("k") < 0, "k", lt).isEmpty,
       "disjunction is not a conjunct")
     assert(impliedRange(col("other") >= 10, "k", lt).isEmpty)
     assert(impliedRange(col("k") >= 10 && col("other") < 5, "k", lt)
-      .contains((9L, Long.MaxValue)), "foreign conjunct ignored, k kept")
+      .contains((10L, Long.MaxValue)), "foreign conjunct ignored, k kept")
     // unknown column type: the comparison COULD widen to double, so the
     // bound carries the literal's double-preimage band (±ulp) — one
     // extra unit of slack at small magnitudes, never a lost row
-    assert(impliedRange(col("k") === 7, "k").contains((5L, 9L)),
+    assert(impliedRange(col("k") === 7, "k").contains((6L, 8L)),
       "typeless call stays conservative")
     assert(impliedRange(col("k").cast("long") <= 4.5, "k",
       Some(org.apache.spark.sql.types.IntegerType))
-      .contains((Long.MinValue, 6L)),
+      .contains((Long.MinValue, 5L)),
       "provably-widening cast wrapper + fractional literal")
   }
 
@@ -241,12 +241,12 @@ class Round17OpsSpec extends SparkSpec {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     // snowflake-scale id: 1.5e18-ish is NOT representable as a double
     // (gap ~512 there); the old double pipeline could round the lower
-    // bound UP past files holding matching rows. Exact carry: lo-1/hi+1.
+    // bound UP past files holding matching rows. Exact carry, no slack.
     val big = 1500000000000000003L
     assert(impliedRange(col("k") === big, "k", Some(LongType))
-      .contains((big - 1L, big + 1L)), "exact bounds for > 2^53 literals")
+      .contains((big, big)), "exact bounds for > 2^53 literals")
     assert(impliedRange(col("k") >= big, "k", Some(LongType))
-      .contains((big - 1L, Long.MaxValue)))
+      .contains((big, Long.MaxValue)))
     // bounds whose widened form leaves Long range saturate to UNBOUNDED
     // (never wrap to the opposite extreme, which skipped every file)
     assert(impliedRange(col("k") >= Long.MinValue, "k", Some(LongType))
@@ -262,7 +262,7 @@ class Round17OpsSpec extends SparkSpec {
     assert(impliedRange(col("k").cast("int") === 5, "k", Some(LongType))
       .isEmpty, "narrowing cast contributes no bound")
     assert(impliedRange(col("k").cast("long") === 5, "k", Some(IntegerType))
-      .contains((4L, 6L)), "widening cast stays transparent")
+      .contains((5L, 5L)), "widening cast stays transparent")
     // with no column type supplied every cast is opaque (cannot prove)
     assert(impliedRange(col("k").cast("long") === 5, "k").isEmpty)
   }

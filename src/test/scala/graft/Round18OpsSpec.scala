@@ -241,6 +241,95 @@ class Round18OpsSpec extends SparkSpec {
     assert(M.read(spark, root, "t").count() == 203L)
   }
 
+  // ---- z-order clustering: multi-column pruning ----
+
+  test("a z-order-clustered table prunes a 2-D box delete to the files " +
+    "the box touches; the same box over a 1-D clustering scans ~4x more") {
+    val M = graft.etl.ManifestTable
+    // 128x128 grid, two equal-span dimensions
+    val rows = for { a <- 0 until 128; b <- 0 until 128 }
+      yield (a.toLong, b.toLong, a * 128L + b)
+    val df = spark.createDataFrame(rows).toDF("a", "b", "v")
+    val box = col("a").between(lit(32L), lit(63L)) &&
+      col("b").between(lit(32L), lit(63L))
+
+    val zRoot = tmpDir("r18-z2d") + "/t"
+    M.publish(spark, zRoot,
+      Map("t" -> graft.operators.ZOrder.cluster(df, Seq("a", "b"), 64)),
+      statsCols = Map("t" -> "a"), extraStatsCols = Map("t" -> Seq("b")))
+    assert(M.current(spark, zRoot).get.entries.size == 64)
+    val (zFiles, zDeleted) = M.deleteWhere(spark, zRoot, "t", box,
+      statsCol = Some("a"))
+    assert(zDeleted == 32L * 32L, s"box holds 1024 rows, got $zDeleted")
+    val zSt = M.mergeDiscoveryStats(zRoot, "t").get
+    assert(zSt.totalFiles == 64L)
+
+    val oneRoot = tmpDir("r18-1d") + "/t"
+    M.publish(spark, oneRoot,
+      Map("t" -> df.repartitionByRange(64, col("a"))),
+      statsCols = Map("t" -> "a"), extraStatsCols = Map("t" -> Seq("b")))
+    val (oFiles, oDeleted) = M.deleteWhere(spark, oneRoot, "t", box,
+      statsCol = Some("a"))
+    assert(oDeleted == 32L * 32L)
+    val oSt = M.mergeDiscoveryStats(oneRoot, "t").get
+
+    // the box covers 1/16 of the area: the z-curve confines it to a
+    // handful of files, while the 1-D clustering must scan every file
+    // the a-range alone admits (b never narrows: each file spans all b)
+    assert(zSt.scannedFiles <= 12L,
+      s"z-order 2-D pruning: $zSt (deleted from $zFiles files)")
+    assert(oSt.scannedFiles >= 14L, s"1-D control: $oSt (from $oFiles)")
+    assert(zSt.scannedFiles * 2 < oSt.scannedFiles,
+      s"z beats 1-D by >2x: z=$zSt one=$oSt")
+    // contents exact in both layouts
+    Seq(zRoot, oneRoot).foreach { r =>
+      assert(M.read(spark, r, "t").count() == 128L * 128L - 1024L)
+    }
+  }
+
+  test("ZOrder.interleave is the Morton curve; cluster handles nulls, " +
+    "empty input, and date dimensions") {
+    import spark.implicits._
+    // bit-exact check against a reference interleave on small values
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b)) |
+        (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val got = probe.select(col("x"), col("y"),
+      graft.operators.ZOrder.interleave(Seq(col("x"), col("y")), 16)
+        .as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // nulls bucket to the origin, rows survive clustering
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(5L), null),
+        org.apache.spark.sql.Row(null, java.lang.Long.valueOf(7L)),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(2L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    assert(graft.operators.ZOrder.cluster(withNulls, Seq("a", "b"), 4)
+      .count() == 3L)
+    // empty input passes through
+    assert(graft.operators.ZOrder.cluster(
+      withNulls.filter(lit(false)), Seq("a", "b"), 4).count() == 0L)
+    // a date dimension clusters in canonical epoch-day units
+    val dated = (0 until 100).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+        .plusDays(i.toLong)))
+    }
+    val dDf = spark.createDataFrame(dated).toDF("k", "d")
+    assert(graft.operators.ZOrder.cluster(dDf, Seq("k", "d"), 8)
+      .count() == 100L)
+  }
+
   // ---- verdict #7: graph-ANN targeted forget ----
 
   test("graphForgetVersioned: a 2-node forget rewrites only the edge " +
