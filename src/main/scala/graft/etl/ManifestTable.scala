@@ -1677,18 +1677,42 @@ object ManifestTable {
       // (The pre-exact-bounds ±1 existed to absorb DOUBLE rounding of
       // the bounds themselves; bounds are exact BigDecimal now, and
       // double-widened comparisons already carry their ulp band.)
+      //
+      // Columns whose raw values ARE integers (integral types, DATE in
+      // epoch-day) tighten further: inclusive lo rounds UP (no integer
+      // sits in (floor(lo), lo)), and a STRICT bound excludes its own
+      // integer — `k > 32` admits no row below 33, `k < 20` none above
+      // 19. Float/double/timestamp columns keep the conservative
+      // rounding: fractional raw values sit strictly between the bound
+      // and its neighbors and still truncate onto floor(lo)/ceil(hi).
+      import org.apache.spark.sql.types.{ByteType, ShortType,
+        IntegerType, LongType}
+      val integralStats = colType.exists {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }
       val minL = BigDecimal(Long.MinValue)
       val maxL = BigDecimal(Long.MaxValue)
-      val loL = lo.fold(Long.MinValue) { bd =>
-        val w = bd.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      val loL = lo.fold(Long.MinValue) { case (bd, strict) =>
+        val w =
+          if (integralStats && strict)
+            bd.setScale(0, BigDecimal.RoundingMode.FLOOR) + 1
+          else if (integralStats)
+            bd.setScale(0, BigDecimal.RoundingMode.CEILING)
+          else bd.setScale(0, BigDecimal.RoundingMode.FLOOR)
         // out of Long range on EITHER side -> unbounded: stats of rows
         // beyond Long range are cast-saturated (double) or cast-null
         // (decimal) and a representable clamp could still skip the file
         // holding them
         if (w < minL || w > maxL) Long.MinValue else w.toLongExact
       }
-      val hiL = hi.fold(Long.MaxValue) { bd =>
-        val w = bd.setScale(0, BigDecimal.RoundingMode.CEILING)
+      val hiL = hi.fold(Long.MaxValue) { case (bd, strict) =>
+        val w =
+          if (integralStats && strict)
+            bd.setScale(0, BigDecimal.RoundingMode.CEILING) - 1
+          else if (integralStats)
+            bd.setScale(0, BigDecimal.RoundingMode.FLOOR)
+          else bd.setScale(0, BigDecimal.RoundingMode.CEILING)
         if (w > maxL || w < minL) Long.MaxValue else w.toLongExact
       }
       Some((loL, hiL))

@@ -60,9 +60,10 @@ object ColumnBridge {
   def impliedNumericBounds(pred: Column, name: String,
       toCanon: Any => Option[(BigDecimal, BigDecimal)],
       castOk: DataType => Boolean = _ => false)
-      : (Option[BigDecimal], Option[BigDecimal]) = {
+      : (Option[(BigDecimal, Boolean)], Option[(BigDecimal, Boolean)]) = {
     import org.apache.spark.sql.internal.{ColumnNode,
       Literal => NLiteral, UnresolvedFunction => NFn}
+    type B = Option[(BigDecimal, Boolean)] // (bound, isStrict)
     def isCol(n: ColumnNode): Boolean = refNameOf(n, castOk).contains(name)
     def litBand(n: ColumnNode): Option[(BigDecimal, BigDecimal)] = n match {
       case l: NLiteral => Option(l.value).flatMap(toCanon)
@@ -70,34 +71,48 @@ object ColumnBridge {
     }
     // a ">= lit" conjunct bounds matching rows below by the band's LOW
     // edge (the smallest raw value the widened comparison can match);
-    // "<= lit" by the band's HIGH edge; equality by both
-    def cmp(op: String, a: ColumnNode, b: ColumnNode)
-        : (Option[BigDecimal], Option[BigDecimal]) = op match {
+    // "<= lit" by the band's HIGH edge; equality by both. Strict
+    // operators carry a flag so integral-typed callers can tighten by
+    // one unit (a float/double/timestamp caller must NOT — fractional
+    // raw values sit strictly between the bound and its neighbors).
+    def cmp(op: String, a: ColumnNode, b: ColumnNode): (B, B) = op match {
       case ">=" | ">" =>
-        if (isCol(a)) (litBand(b).map(_._1), None)
-        else if (isCol(b)) (None, litBand(a).map(_._2))
+        val s = op == ">"
+        if (isCol(a)) (litBand(b).map(x => (x._1, s)), None)
+        else if (isCol(b)) (None, litBand(a).map(x => (x._2, s)))
         else (None, None)
       case "<=" | "<" =>
-        if (isCol(a)) (None, litBand(b).map(_._2))
-        else if (isCol(b)) (litBand(a).map(_._1), None)
+        val s = op == "<"
+        if (isCol(a)) (None, litBand(b).map(x => (x._2, s)))
+        else if (isCol(b)) (litBand(a).map(x => (x._1, s)), None)
         else (None, None)
       case "=" | "==" | "<=>" =>
-        if (isCol(a)) (litBand(b).map(_._1), litBand(b).map(_._2))
-        else if (isCol(b)) (litBand(a).map(_._1), litBand(a).map(_._2))
+        if (isCol(a)) (litBand(b).map(x => (x._1, false)),
+          litBand(b).map(x => (x._2, false)))
+        else if (isCol(b)) (litBand(a).map(x => (x._1, false)),
+          litBand(a).map(x => (x._2, false)))
         else (None, None)
       case _ => (None, None)
     }
-    def walk(n: ColumnNode): (Option[BigDecimal], Option[BigDecimal]) = n match {
+    // conjuncts intersect: greater lo wins, smaller hi wins; on a value
+    // tie the STRICT bound is the tighter of the two
+    def pick(x: B, y: B, preferGreater: Boolean): B = (x, y) match {
+      case (Some((xv, xs)), Some((yv, ys))) =>
+        if (xv == yv) Some((xv, xs || ys))
+        else if ((xv > yv) == preferGreater) x else y
+      case _ => x.orElse(y)
+    }
+    def walk(n: ColumnNode): (B, B) = n match {
       case f: NFn => (f.functionName, f.arguments) match {
         case ("and", scala.collection.Seq(l, r)) =>
           val (ll, lh) = walk(l); val (rl, rh) = walk(r)
-          ((ll.toSeq ++ rl.toSeq).reduceOption(_ max _),
-           (lh.toSeq ++ rh.toSeq).reduceOption(_ min _))
+          (pick(ll, rl, preferGreater = true),
+           pick(lh, rh, preferGreater = false))
         case ("in", args) if args.length >= 2 && isCol(args.head) =>
           val vs = args.tail.map(litBand(_))
           if (vs.forall(_.isDefined)) {
             val ds = vs.flatten
-            (Some(ds.map(_._1).min), Some(ds.map(_._2).max))
+            (Some((ds.map(_._1).min, false)), Some((ds.map(_._2).max, false)))
           } else (None, None)
         case (op, scala.collection.Seq(a, b)) => cmp(op, a, b)
         case _ => (None, None)

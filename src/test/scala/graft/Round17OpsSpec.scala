@@ -213,10 +213,10 @@ class Round17OpsSpec extends SparkSpec {
     import org.apache.spark.sql.types.LongType
     val lt = Some(LongType)
     assert(impliedRange(col("k") >= 10 && col("k") < 20, "k", lt)
-      .contains((10L, 20L)), "exact point bounds on an exact column")
+      .contains((10L, 19L)), "exact bounds; strict < excludes its integer")
     assert(impliedRange(col("k") === 7, "k", lt).contains((7L, 7L)))
     assert(impliedRange(lit(100) > col("k"), "k", lt)
-      .contains((Long.MinValue, 100L)), "literal-on-left mirrors")
+      .contains((Long.MinValue, 99L)), "literal-on-left mirrors, strict")
     assert(impliedRange(col("k").isin(3, 9, 5), "k", lt).contains((3L, 9L)))
     assert(impliedRange(col("k") >= 10 || col("k") < 0, "k", lt).isEmpty,
       "disjunction is not a conjunct")
@@ -230,8 +230,9 @@ class Round17OpsSpec extends SparkSpec {
       "typeless call stays conservative")
     assert(impliedRange(col("k").cast("long") <= 4.5, "k",
       Some(org.apache.spark.sql.types.IntegerType))
-      .contains((Long.MinValue, 5L)),
-      "provably-widening cast wrapper + fractional literal")
+      .contains((Long.MinValue, 4L)),
+      "provably-widening cast wrapper + fractional literal: no integer " +
+        "sits in (4, 4.5]")
   }
 
   test("impliedRange soundness at the edges: large integral literals " +

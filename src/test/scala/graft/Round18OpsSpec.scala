@@ -287,6 +287,35 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("a composite-key MERGE against a z-order-clustered table narrows " +
+    "discovery through both dimensions' per-file ranges") {
+    val M = graft.etl.ManifestTable
+    val rows = for { a <- 0 until 128; b <- 0 until 128 }
+      yield (a.toLong, b.toLong, a * 128L + b)
+    val df = spark.createDataFrame(rows).toDF("a", "b", "v")
+    val root = tmpDir("r18-zmerge") + "/t"
+    M.publish(spark, root,
+      Map("t" -> graft.operators.ZOrder.cluster(df, Seq("a", "b"), 64)),
+      statsCols = Map("t" -> "a"), extraStatsCols = Map("t" -> Seq("b")))
+    // all source keys live inside ONE 16x16 tile
+    val src = Seq((40L, 40L, -1L), (41L, 41L, -2L), (42L, 40L, -3L),
+      (99L, 99L, -4L)).toDF("a", "b", "v") // 3 in tile (2,2), 1 in (6,6)
+    val (files, updated, inserted) = M.mergeInto(spark, root, "t", src,
+      key = Seq("a", "b"), statsCol = Some("a"),
+      extraStatsCols = Seq("b"))
+    assert(updated == 4L && inserted == 0L, s"$updated/$inserted")
+    val st = M.mergeDiscoveryStats(root, "t").get
+    assert(st.totalFiles == 64L && st.scannedFiles <= 4L,
+      s"2-D key narrowing confines the merge: $st (rewrote $files)")
+    // contents: the four keyed rows carry the new v, everything else
+    // untouched
+    val t = M.read(spark, root, "t")
+    assert(t.count() == 128L * 128L)
+    assert(t.filter(col("v") < 0L).count() == 4L)
+    assert(t.filter(col("a") === 40L && col("b") === 40L)
+      .head().getLong(2) == -1L)
+  }
+
   test("ZOrder.interleave is the Morton curve; cluster handles nulls, " +
     "empty input, and date dimensions") {
     import spark.implicits._
