@@ -1685,10 +1685,16 @@ object ManifestTable {
       // 19. Float/double/timestamp columns keep the conservative
       // rounding: fractional raw values sit strictly between the bound
       // and its neighbors and still truncate onto floor(lo)/ceil(hi).
+      // Scale-0 decimals qualify: their raw values are integers, and
+      // the out-of-Long concern is moot — a row matching an
+      // in-Long-range bound is itself in range and castable (its stat
+      // is recorded), while out-of-Long LITERALS already saturate the
+      // bound side to unbounded below.
       import org.apache.spark.sql.types.{ByteType, ShortType,
-        IntegerType, LongType}
+        IntegerType, LongType, DecimalType}
       val integralStats = colType.exists {
         case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case d: DecimalType => d.scale == 0
         case _ => false
       }
       val minL = BigDecimal(Long.MinValue)

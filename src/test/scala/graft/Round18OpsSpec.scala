@@ -184,6 +184,28 @@ class Round18OpsSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(1503L))
   }
 
+  test("strict bounds on a scale-0 DECIMAL column tighten by one " +
+    "integer: k > 9 skips the file ending at 9") {
+    val root = tmpDir("r18-dec0") + "/t"
+    val M = graft.etl.ManifestTable
+    val df = spark.range(0, 40)
+      .select(col("id").cast("decimal(18,0)").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+    M.publish(spark, root, Map("t" -> df), statsCols = Map("t" -> "k"))
+    assert(M.current(spark, root).get.entries.size == 4)
+    val (files, deleted) = M.deleteWhere(spark, root, "t",
+      col("k") > lit(new java.math.BigDecimal(9)) &&
+        col("k") < lit(new java.math.BigDecimal(20)),
+      statsCol = Some("k"))
+    assert(deleted == 10L, s"rows 10..19: $deleted")
+    val st = M.mergeDiscoveryStats(root, "t").get
+    assert(st.scannedFiles == 1L && st.totalFiles == 4L,
+      s"strict bounds exclude their own integers on decimal(18,0): $st")
+    assert(files == 1L)
+    assert(M.read(spark, root, "t").count() == 30L)
+  }
+
   // ---- verdict #4: date/timestamp canonical stats ----
 
   test("a date-clustered manifest table range-prunes a DATE-bounded " +
