@@ -606,8 +606,13 @@ object SparkEntry {
     "q284_graph_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
-          k = 10).select(col("query_id"), col("vec_id"))
+      // the exact board is consumed by BOTH the hits semi-join and the
+      // per-query groupBy: cut it so the brute-force pass runs ONCE
+      // (Catalyst does not dedup repeated subtrees — guide §1.2 pass
+      // counting; the frame is queries x k rows, tiny to materialize)
+      val exact = operators.Lineage.cut(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id")))
       val g = operators.GraphAnn.knnGraph(e, "vec_id", "embedding",
         dim = 64, planes = 4, tables = 2, degree = 16, refine = 3)
       val seeds = operators.GraphAnn.lshSeeds(e, qs, "vec_id", "embedding",
@@ -975,8 +980,13 @@ object SparkEntry {
     "q311_graph_ann_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
-          k = 10).select(col("query_id"), col("vec_id"))
+      // the exact board is consumed by BOTH the hits semi-join and the
+      // per-query groupBy: cut it so the brute-force pass runs ONCE
+      // (Catalyst does not dedup repeated subtrees — guide §1.2 pass
+      // counting; the frame is queries x k rows, tiny to materialize)
+      val exact = operators.Lineage.cut(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id")))
       val path = java.nio.file.Files.createTempDirectory("graft-gann-idx")
         .toString
       operators.GraphAnn.graphWrite(e, "vec_id", "embedding", dim = 64,
@@ -1127,8 +1137,13 @@ object SparkEntry {
           rounds = 3, beamWidth = 48)
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id"))
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
-          k = 10).select(col("query_id"), col("vec_id"))
+      // the exact board is consumed by BOTH the hits semi-join and the
+      // per-query groupBy: cut it so the brute-force pass runs ONCE
+      // (Catalyst does not dedup repeated subtrees — guide §1.2 pass
+      // counting; the frame is queries x k rows, tiny to materialize)
+      val exact = operators.Lineage.cut(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id")))
       val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
       val board = exact.groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"),
@@ -1738,8 +1753,13 @@ object SparkEntry {
     "q334_graph_ann_versioned" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
-          k = 10).select(col("query_id"), col("vec_id"))
+      // the exact board is consumed by BOTH the hits semi-join and the
+      // per-query groupBy: cut it so the brute-force pass runs ONCE
+      // (Catalyst does not dedup repeated subtrees — guide §1.2 pass
+      // counting; the frame is queries x k rows, tiny to materialize)
+      val exact = operators.Lineage.cut(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+          k = 10).select(col("query_id"), col("vec_id")))
       val root = java.nio.file.Files.createTempDirectory("graft-gann-ver")
         .toString + "/g"
       operators.GraphAnn.graphWriteVersioned(e, "vec_id", "embedding",
@@ -3415,8 +3435,11 @@ object SparkEntry {
     "q164_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("vec_id"))
+      // consumed three times (lsh hits, ivf hits, the board) — cut so
+      // the brute-force pass runs once
+      val exact = operators.Lineage.cut(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id")))
       val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
           dim = 64, k = 10, planes = 4, probeRadius = 2)
         .select(col("query_id"), col("vec_id"))

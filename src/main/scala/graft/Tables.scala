@@ -28,6 +28,25 @@ object Tables {
       .getOrElse(df)
   }
 
+  /** Input-parallelism guard for compute-heavy per-row stages (guide
+    * §2.5 "input skew"): when the upstream scan yields fewer partitions
+    * than the session's cores (locally: one small parquet file = ONE
+    * task carrying an expensive expression while every other core
+    * idles; at scale: one huge unsplittable input), hash-repartition by
+    * `key` up to `defaultParallelism` so the per-row work spreads.
+    * A scan that is already at least core-wide passes through UNTOUCHED
+    * — at 100 TB the multi-thousand-split scans never re-shuffle, so
+    * this cannot collapse cluster parallelism. Keyed (not round-robin)
+    * repartitioning avoids the sort-before-repartition pass over the
+    * heavy payload column and is retry-deterministic. Results are
+    * unchanged: callers' downstream logic is row-local or key-grouped.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, key)
+  }
+
   /** Session tuning shared by Verify / Bench / tests.
     *
     * - ANSI off: the reference's `errors='coerce'` semantics (SURVEY.md §1.2,

@@ -3,6 +3,9 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -298,6 +301,22 @@ object ManifestTable {
   }
 
   private def uuid(): String = UUID.randomUUID().toString.replace("-", "")
+
+  /** Evaluate one independent unit of write work per element
+    * CONCURRENTLY (guide §2.6 — a multi-table publish's per-table
+    * writes are independent Spark jobs; submitting them from driver
+    * threads lets the next table's tasks back-fill executors freed by
+    * the current table's stage tail), preserving the input order of
+    * the results so commit bodies stay byte-deterministic. Each unit
+    * writes to its own `d-<uuid>` dir; the only shared state is the
+    * thread-safe FileSystem handle and Spark's scheduler. */
+  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.lengthCompare(1) <= 0) xs.map(f)
+    else {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf))
+    }
+  }
 
   // ---------------------------------------------------------------- resolve
 
@@ -1023,7 +1042,9 @@ object ManifestTable {
       .sortBy(_.getPath.getName).toSeq
     require(listed.nonEmpty, s"writeData: no parquet files produced at $full")
     val conf = spark.sparkContext.hadoopConfiguration
-    val rowsByName: Map[String, Long] = listed.map { s =>
+    // footer opens are independent metadata reads — do them
+    // concurrently instead of one driver round-trip per file
+    val rowsByName: Map[String, Long] = inParallel(listed) { s =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(s.getPath, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1453,12 +1474,12 @@ object ManifestTable {
     val (fs, rootP) = fsFor(spark, root)
     fs.mkdirs(rootP)
     val cur = current(spark, root)
-    val fresh = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+    val fresh = inParallel(tables.toSeq.sortBy(_._1)) { case (name, df) =>
       writeData(spark, rootP, fs, name, df, statsCols.get(name),
         bloomCols.get(name),
         extraStatsCols = extraStatsCols.getOrElse(name, Nil),
         extraBloomCols = extraBloomCols.getOrElse(name, Nil))
-    }
+    }.flatten
     val carried = cur.map(_.entries.filterNot(e => tables.contains(e.table)))
       .getOrElse(Nil)
     writeCommit(fs, rootP, cur.fold(1L)(_.version + 1L), carried ++ fresh,
@@ -2722,14 +2743,14 @@ object ManifestTable {
       e.table == TxnTable && e.relPath == markerPath &&
         e.min.exists(_ >= batchId)))
     if (applied) return false
-    val newEntries = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+    val newEntries = inParallel(tables.toSeq.sortBy(_._1)) { case (name, df) =>
       val exists = cur.exists(_.entries.exists(_.table == name))
       // one execution + footer-only-if-new: an empty contribution to a
       // brand-new table establishes its schema; to an existing table it
       // contributes nothing (long streams do not accumulate empty files)
       writeDataNonEmptyOr(spark, rootP, fs, name, df, statsCols.get(name),
         bloomCol = bloomCols.get(name), keepSchemaIfEmpty = !exists)
-    }
+    }.flatten
     // reuse bar: appends drop nothing, so an interleaved commit is only
     // disqualifying when it touched one of OUR tables (it could have
     // established a schema we also establish, or appended rows a keyed

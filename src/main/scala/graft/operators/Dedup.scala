@@ -1530,8 +1530,12 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, "k >= 2 and w >= 1")
-    val normed = df.select(col(idCol).as("doc_id"),
-      regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "").as("__t"))
+    // the md5-per-gram fingerprint pass is the most compute-dense
+    // per-row stage in the repo — spread a narrow scan across cores
+    // first (no-op on already-wide scans)
+    val normed = graft.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "").as("__t"))
     val norm = col("__t")
     val grams = when(length(norm) >= k,
       transform(sequence(lit(1), length(norm) - k + 1),

@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   * per round. No driver-side index, no unbounded collect. */
 object GraphAnn {
 
+  /** Pair-dedup with the exchange KEYED on `keyCol` alone (guide §2.4
+    * — two operations keyed the same way share one exchange): hash
+    * clustering by a SUBSET of the dedup columns already co-locates
+    * equal pairs, so the dedup aggregate adds no exchange of its own,
+    * and the downstream scoring joins (broadcast — they preserve the
+    * streamed side's partitioning) feed a window PARTITIONED BY the
+    * same key that reuses the clustering instead of re-shuffling. A
+    * candidate-dedup → score → top-k round pays ONE exchange, not the
+    * two a plain `.distinct()` forced (its (key, other)-keyed hash
+    * partitioning satisfies nothing downstream). Results are
+    * identical: same dedup column set, and every surviving duplicate
+    * group is one exact row. */
+  private def dedupKeyed(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(col(keyCol)).dropDuplicates()
+
   /** (id, tbl, key) bucket memberships under `tables` INDEPENDENT
     * sign-LSH hash tables: one `planes*tables`-bit signature per
     * vector (one codegen'd pass), table t keyed by its own
@@ -91,11 +106,11 @@ object GraphAnn {
     val ck = Dedup.cappedBuckets(
       tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id"),
       Seq("tbl", "key"), maxBucket, "graft.graphann.init.buckets")
-    var graph = Lineage.cut(best(ck
+    var graph = Lineage.cut(best(dedupKeyed(ck
       .join(ck.select(col("tbl"), col("key"), col("vec_id").as("dst")),
         Seq("tbl", "key"))
       .filter(col("vec_id") =!= col("dst"))
-      .select(col("vec_id"), col("dst")).distinct()))
+      .select(col("vec_id"), col("dst")), "vec_id")))
     for (_ <- 1 to refine) {
       val fwd = graph.select(col("src").as("vec_id"), col("dst"))
       val rev = graph.select(col("dst").as("vec_id"), col("src").as("dst"))
@@ -103,8 +118,8 @@ object GraphAnn {
           graph.select(col("src").as("dst"), col("dst").as("dst2")),
           Seq("dst"))
         .select(col("src").as("vec_id"), col("dst2").as("dst"))
-      graph = Lineage.cut(best(fwd.union(rev).union(hop2)
-        .filter(col("vec_id") =!= col("dst")).distinct()))
+      graph = Lineage.cut(best(dedupKeyed(fwd.union(rev).union(hop2)
+        .filter(col("vec_id") =!= col("dst")), "vec_id")))
     }
     graph
   }
@@ -126,11 +141,12 @@ object GraphAnn {
       Seq("tbl", "key"), maxBucket, "graft.graphann.seeds.buckets")
     val qk = tableKeys(queries, idCol, vecCol, dim, planes, tables,
       "query_id")
-    qk.join(ck, Seq("tbl", "key")).select(col("query_id"), col("vec_id"))
-      .union(queries.select(col(idCol).as("query_id"))
-        .crossJoin(broadcast(entries.toDF("vec_id"))))
-      .filter(col("vec_id") =!= col("query_id"))
-      .distinct()
+    dedupKeyed(
+      qk.join(ck, Seq("tbl", "key")).select(col("query_id"), col("vec_id"))
+        .union(queries.select(col(idCol).as("query_id"))
+          .crossJoin(broadcast(entries.toDF("vec_id"))))
+        .filter(col("vec_id") =!= col("query_id")),
+      "query_id")
   }
 
   /** Greedy beam search over a prebuilt edge list: start every query
@@ -154,12 +170,11 @@ object GraphAnn {
       .filter(col("rank") <= beamWidth)
     var beam = topk(seeds).select(col("query_id"), col("vec_id"))
     for (_ <- 1 to rounds) {
-      val expanded = beam
+      val expanded = dedupKeyed(beam
         .join(graph, beam("vec_id") === graph("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .union(beam.select(col("query_id"), col("vec_id")))
-        .filter(col("vec_id") =!= col("query_id"))
-        .distinct()
+        .filter(col("vec_id") =!= col("query_id")), "query_id")
       beam = Lineage.cut(topk(expanded).select(col("query_id"), col("vec_id")))
     }
     topk(beam).select(col("query_id"), col("vec_id"), col("cosine"),
@@ -188,15 +203,24 @@ object GraphAnn {
     require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
     val spark = corpus.sparkSession
     // staged swaps, not in-place overwrites: a REBUILD over an existing
-    // index must never delete the only copy before the new one commits
-    publishEdges(spark, s"$path/edges",
-      knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine),
-      shards)
+    // index must never delete the only copy before the new one commits.
+    // The two layers are INDEPENDENT builds over disjoint outputs —
+    // overlap them (guide §2.6) so the sparse upper build back-fills
+    // the full layer's stage tails instead of waiting for them.
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
-    publishEdges(spark, s"$path/upper_edges",
-      knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
-        upperRefine),
-      shards)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val layers = Seq(
+      scala.concurrent.Future(publishEdges(spark, s"$path/edges",
+        knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree,
+          refine),
+        shards)),
+      scala.concurrent.Future(publishEdges(spark, s"$path/upper_edges",
+        knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
+          upperRefine),
+        shards)))
+    layers.foreach(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
     // record the build knobs so later maintenance (and especially the
     // append-triggered vacuum escalation) rebuilds under THESE params,
     // never under some call site's defaults
@@ -364,10 +388,11 @@ object GraphAnn {
       .filter(col("vec_id") =!= col("query_id"))
     val upperBeam = beamTopK(corpus, queries, upperEdges, upperSeeds,
       idCol, vecCol, upperRounds, upperWidth)
-    val seeds = upperBeam.select(col("query_id"), col("vec_id"))
-      .union(lshSeeds(corpus, queries, idCol, vecCol, dim, planes, tables,
-        entries = Seq.empty))
-      .distinct()
+    val seeds = dedupKeyed(
+      upperBeam.select(col("query_id"), col("vec_id"))
+        .union(lshSeeds(corpus, queries, idCol, vecCol, dim, planes, tables,
+          entries = Seq.empty)),
+      "query_id")
     val beam = beamTopK(corpus, queries, edges, seeds, idCol, vecCol,
       rounds, beamWidth)
     // soft-deleted nodes routed the walk above but may not be RETURNED:
@@ -533,12 +558,12 @@ object GraphAnn {
       .filter(col("vec_id") =!= col("dst"))
       .select(col("vec_id").as("src"), col("dst"))
     val fwd = Lineage.cut(topEdges(
-      beamNbrs.unionByName(mates).distinct(), all, degree))
+      dedupKeyed(beamNbrs.unionByName(mates), "src"), all, degree))
     // base nodes gaining reverse edges re-rank over old ∪ new targets
     val aff = fwd.select(col("dst").as("src")).distinct()
-    val acand = edges.join(aff, Seq("src"), "left_semi")
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val acand = dedupKeyed(edges.join(aff, Seq("src"), "left_semi")
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+      "src")
     // distinct: a delta node reachable through delta-delta mates appears
     // as src in BOTH fwd and the affected re-rank, so without it the
     // persisted index could hold duplicate (src,dst) rows — and repeated
@@ -664,11 +689,21 @@ object GraphAnn {
     require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
     val spark = corpus.sparkSession
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
+    // the two layer builds are independent and EAGER (their refine
+    // rounds lineage-cut as they are constructed) — overlap them
+    // (guide §2.6) like the directory family's graphWrite
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fFull = scala.concurrent.Future(
+      knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine))
+    val fUpper = scala.concurrent.Future(
+      knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
+        upperRefine))
+    def awaited[A](f: scala.concurrent.Future[A]): A =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
     graft.etl.ManifestTable.publish(spark, root, Map(
-      EdgesT -> knnGraph(corpus, idCol, vecCol, dim, planes, tables,
-        degree, refine),
-      UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
-        upperDegree, upperRefine),
+      EdgesT -> awaited(fFull),
+      UpperT -> awaited(fUpper),
       TombT -> emptyTombstones(spark),
       ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
         refine, upperMod, upperDegree, upperRefine, corpus.count(), 0L))),
