@@ -3927,7 +3927,11 @@ object SparkEntry {
     "q183_cms_counts" -> ((s, dir) => {
       import graft.expressions.CountMin
       val d = 4; val w = 64
-      val li = t(s, dir, "lineitem")
+      // the sketch build is 4 md5 probes per row on an otherwise
+      // narrow scan — fan it across cores; keying by l_suppkey also
+      // pre-clusters the exact groupBy (same exchange, guide §2.4)
+      val li = Tables.fanOut(
+        t(s, dir, "lineitem").select(col("l_suppkey")), col("l_suppkey"))
       val sketch = li.agg(CountMin.countMin(col("l_suppkey"), d, w).as("sk"))
         .head().getSeq[Long](0).toArray
       val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))

@@ -165,7 +165,11 @@ object CorpusMix {
                           valThreshold: String = "199a"): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       (substring(md5(col(textCol)), 1, 4) < valThreshold).as("base_val"))
-    val cl = Dedup.clustersStar(pairs) // (id, cluster_id = min member)
+    // cut: consumed by the representative lookup AND the final join —
+    // without it the star-contraction CC (and the caller's pair
+    // derivation feeding it) runs twice
+    val cl = graft.operators.Lineage.cut(
+      Dedup.clustersStar(pairs)) // (id, cluster_id = min member)
     val repVals = base
       .join(cl.select(col("cluster_id").as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as("cluster_id"), col("base_val").as("rep_val"))

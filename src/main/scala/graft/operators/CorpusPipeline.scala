@@ -54,19 +54,31 @@ object CorpusPipeline {
                    nearDupThreshold: Double = 0.5,
                    configs: Seq[(Int, Int)] =
                      Seq((2, 4), (4, 4), (8, 2), (16, 2))): DataFrame = {
-    val (bands, rowsPerBand) = Dedup.chooseLshConfig(sample, textCol,
-      idCol, recallFloorP6, shingleN, nearDupThreshold, configs,
-      metricName = "graft.pipeline.lsh.choice")
-    prepareStages(docs, textCol, idCol, sourceCol, minTokens, maxTopShare,
-      perSourceCap, maxRepeatMass,
-      nearDup = Some((bands, rowsPerBand, shingleN, nearDupThreshold)))
+    // the SAMPLE's recall board and the CORPUS's quality + exact-dedup
+    // stages are independent (only the near-dup stage needs the chosen
+    // config) — overlap them (guide §2.6): the board runs while the
+    // corpus survivors materialize, instead of back to back
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fCfg = scala.concurrent.Future(Dedup.chooseLshConfig(sample,
+      textCol, idCol, recallFloorP6, shingleN, nearDupThreshold, configs,
+      metricName = "graft.pipeline.lsh.choice"))
+    val pre = Lineage.cut(prepareStages(docs, textCol, idCol, sourceCol,
+      minTokens, maxTopShare, perSourceCap, maxRepeatMass,
+      nearDup = None, throughDedupOnly = true))
+    val (bands, rowsPerBand) = scala.concurrent.Await.result(fCfg,
+      scala.concurrent.duration.Duration.Inf)
+    val deduped = Dedup.dedupCorpus(pre, textCol, idCol, bands,
+      rowsPerBand, shingleN, nearDupThreshold)
+    capAndScrub(deduped, textCol, idCol, sourceCol, perSourceCap)
   }
 
   private def prepareStages(docs: DataFrame, textCol: String, idCol: String,
               sourceCol: String, minTokens: Int,
               maxTopShare: Double, perSourceCap: Int,
               maxRepeatMass: Double,
-              nearDup: Option[(Int, Int, Int, Double)]): DataFrame = {
+              nearDup: Option[(Int, Int, Int, Double)],
+              throughDedupOnly: Boolean = false): DataFrame = {
     val text: Column = col(textCol)
     val st = graft.expressions.ShingleExpr.topGramStats(text, 2)
     val kept0 = docs
@@ -92,20 +104,28 @@ object CorpusPipeline {
     // over the exact-dedup survivors under the MEASURED-recall config —
     // the default path adds nothing, so prepare's plan (and q83's hash)
     // is byte-identical to the pre-tuning shape
+    if (throughDedupOnly) return deduped0
     val deduped = nearDup match {
       case None => deduped0
       case Some((b, r, n, thr)) =>
         Dedup.dedupCorpus(Lineage.cut(deduped0), textCol, idCol, b, r, n, thr)
     }
-    // Cut the survivor lineage before the cap: every real corpus run
-    // materializes post-dedup anyway, and the pruned-rank cap scans its
-    // input three times (source counts, candidate-count verify, ranked
-    // filter) — against the cut those are scans of the materialization,
-    // not re-runs of the quality + dedup stages. The cap itself sorts
-    // ~perSourceCap candidates per source, never a whole source.
+    capAndScrub(deduped, textCol, idCol, sourceCol, perSourceCap)
+  }
+
+  /** Per-source cap + PII scrub over the dedup survivors — the shared
+    * pipeline tail. Cut first: every real corpus run materializes
+    * post-dedup anyway, and the pruned-rank cap scans its input three
+    * times (source counts, candidate-count verify, ranked filter) —
+    * against the cut those are scans of the materialization, not
+    * re-runs of the quality + dedup stages. The cap itself sorts
+    * ~perSourceCap candidates per source, never a whole source. */
+  private def capAndScrub(deduped: DataFrame, textCol: String,
+                          idCol: String, sourceCol: String,
+                          perSourceCap: Int): DataFrame = {
     val cut = Lineage.cut(deduped)
     CorpusMix.perSourceCap(cut, sourceCol, textCol, idCol, perSourceCap.toLong)
-      .withColumn("clean_text", TextAnalysis.scrubPii(text))
+      .withColumn("clean_text", TextAnalysis.scrubPii(col(textCol)))
       .drop(textCol)
   }
 

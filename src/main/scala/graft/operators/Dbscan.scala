@@ -63,20 +63,23 @@ object Dbscan {
       .select(col("id_a"), col("id_b")))
     val sym = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val core = sym.groupBy(col("id_a").as("vec_id"))
+    // core feeds three consumers and coreClusters two — cut both so
+    // the degree aggregation and (especially) the star-contraction CC
+    // run once, not once per consumer (both frames are node-sized)
+    val core = Lineage.cut(sym.groupBy(col("id_a").as("vec_id"))
       .agg(count(lit(1)).as("__deg"))
-      .filter(col("__deg") >= minPts).select(col("vec_id"))
+      .filter(col("__deg") >= minPts).select(col("vec_id")))
     val ccEdges = pairs
       .join(core.withColumnRenamed("vec_id", "id_a"), Seq("id_a"),
         "left_semi")
       .join(core.withColumnRenamed("vec_id", "id_b"), Seq("id_b"),
         "left_semi")
     // isolated core points (no core neighbor) are singleton clusters
-    val coreClusters = core
+    val coreClusters = Lineage.cut(core
       .join(Dedup.clustersStar(ccEdges).withColumnRenamed("id", "vec_id"),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id")))
     val border = sym
       .join(coreClusters.withColumnRenamed("vec_id", "id_b"), Seq("id_b"))
       .join(core.withColumnRenamed("vec_id", "id_a"), Seq("id_a"),

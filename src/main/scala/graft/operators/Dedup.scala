@@ -219,8 +219,14 @@ object Dedup {
     * Output: (doc_id, clean_text, n_removed). */
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
                      spanN: Int = 10): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ", -1).as("__toks"))
+    // tokenization feeds three consumers (window hashes, the token
+    // explode, the per-doc length) — fan the narrow scan across cores
+    // (guide §2.5). NOT lineage-cut: a materialized token-array frame
+    // deserializes slower than the split recomputes (same finding as
+    // LangModel.scoresFromTokens).
+    val base = graft.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ", -1).as("__toks"))
     val win = base
       .filter(size(col("__toks")) >= spanN)
       .select(col("doc_id"), posexplode(expr(
@@ -979,8 +985,9 @@ object Dedup {
       "rowsPerBand must be 2 or 4 (the 31-bit band-key packing)")
     val kMax = configs.map { case (b, r) => b * r }.max
     val ab = portableAB(kMax)
-    val sh = Lineage.cut(df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), shingleN)).as("s"))
+    val sh = Lineage.cut(graft.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("s"))
       .distinct())
     val h = sh.withColumn("h", expr(
       s"""aggregate(
@@ -989,13 +996,23 @@ object Dedup {
          |  0L, (acc, x) -> acc + x) % $PortableP""".stripMargin))
     val jab = array(ab.zipWithIndex.map { case ((a, b), j) =>
       struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b")) }: _*)
-    val mh = Lineage.cut(h
+    // the minhash table and the exact-Jaccard grader are INDEPENDENT
+    // subtrees that both lineage-cut eagerly — overlap their
+    // materializations (guide §2.6) instead of paying them back to back
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fMh = scala.concurrent.Future(Lineage.cut(h
       .select(col("id"), col("h"), explode(jab).as("x"))
       .select(col("id"), col("x.j").as("j"),
         ((col("x.a") * col("h") + col("x.b")) % lit(PortableP)).as("v"))
-      .groupBy(col("id"), col("j")).agg(min(col("v")).as("m")))
-    val exact = Lineage.cut(SetSimJoin.prefixFilteredPairs(df, textCol,
-      idCol, shingleN, threshold).select(col("id_a"), col("id_b")))
+      .groupBy(col("id"), col("j")).agg(min(col("v")).as("m"))))
+    val fExact = scala.concurrent.Future(Lineage.cut(
+      SetSimJoin.prefixFilteredPairs(df, textCol,
+        idCol, shingleN, threshold).select(col("id_a"), col("id_b"))))
+    val mh = scala.concurrent.Await.result(fMh,
+      scala.concurrent.duration.Duration.Inf)
+    val exact = scala.concurrent.Await.result(fExact,
+      scala.concurrent.duration.Duration.Inf)
     val Shift = 2147483648L // 2^31: each minhash is < P < 2^31
     val boards = configs.map { case (bands, r) =>
       val slots = mh.filter(col("j") < bands * r)

@@ -62,8 +62,11 @@ object Graphs {
     require(maxHops >= 0 && maxHops <= 200,
       "BFS: maxHops must be in [0, 200] (one materialized round per hop)")
     val und = undirectedEdges(edges, srcCol, dstCol)
-    val sym = und.select(col("u").as("s"), col("v").as("d"))
-      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+    // cut: every hop re-joins the symmetric edge list — without the cut
+    // each hop re-runs the caller's whole edge derivation (q197 feeds a
+    // minhash candidate+verify pipeline here)
+    val sym = Lineage.cut(und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"))))
     var dist = Lineage.cut(
       seeds.select(col(seedCol).as("id"), lit(0).as("dist")).distinct())
     var frontier = dist
@@ -173,8 +176,13 @@ object Graphs {
     require(iters >= 1 && iters <= 50,
       "LPA: iters must be in [1, 50] (one materialized round each)")
     val und = undirectedEdges(edges, srcCol, dstCol)
-    val sym = und.select(col("u").as("s"), col("v").as("d"))
-      .unionByName(und.select(col("v").as("s"), col("u").as("d")))
+    // cut: every LPA round re-joins the symmetric edge list — without
+    // the cut each round re-runs the caller's WHOLE edge derivation
+    // (for q221/q322 that is the minhash candidate+verify pipeline,
+    // once per round instead of once). Output is pair-sized — cheap to
+    // materialize (guide §1.2 pass counting).
+    val sym = Lineage.cut(und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"))))
     var labels = Lineage.cut(
       nodes.select(col(nodeCol).as("id")).distinct()
         .select(col("id"), col("id").as("lab")))
@@ -220,8 +228,11 @@ object Graphs {
         col(weightCol).cast("long").as("w"))
       .filter(col("u") =!= col("v") && col("w") > 0L)
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-    val sym = norm.select(col("u").as("s"), col("v").as("d"), col("w"))
-      .unionByName(norm.select(col("v").as("s"), col("u").as("d"), col("w")))
+    // cut: same per-round re-derivation argument as [[labelPropagation]]
+    val sym = Lineage.cut(
+      norm.select(col("u").as("s"), col("v").as("d"), col("w"))
+        .unionByName(norm.select(col("v").as("s"), col("u").as("d"),
+          col("w"))))
     var labels = Lineage.cut(
       nodes.select(col(nodeCol).as("id")).distinct()
         .select(col("id"), col("id").as("lab")))
@@ -273,17 +284,20 @@ object Graphs {
         weightCol.cast("long").as("w"))
       .filter(col("u") =!= col("v") && col("w") > 0L)
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    // normRef feeds THREE aggregations (total weight, degrees, intra-
+    // community weight) — cut so the caller's edge derivation runs once
+    val normC = Lineage.cut(norm)
     val lab = labels.select(col(nodeCol).as("id"), col(communityCol).as("lab"))
-    val mTot = norm.agg(
+    val mTot = normC.agg(
       sum(col("w").cast("decimal(38,0)")).as("m2"))
-    val deg = norm.select(col("u").as("id"), col("w"))
-      .unionByName(norm.select(col("v").as("id"), col("w")))
+    val deg = normC.select(col("u").as("id"), col("w"))
+      .unionByName(normC.select(col("v").as("id"), col("w")))
       .groupBy(col("id")).agg(sum(col("w").cast("decimal(38,0)")).as("k"))
     val cdeg = lab.join(deg, Seq("id"), "left")
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("csize"),
         sum(coalesce(col("k"), lit(0).cast("decimal(38,0)"))).as("deg_sum"))
-    val win = norm
+    val win = normC
       .join(lab.select(col("id").as("u"), col("lab").as("la")), Seq("u"))
       .join(lab.select(col("id").as("v"), col("lab").as("lb")), Seq("v"))
       .filter(col("la") === col("lb"))

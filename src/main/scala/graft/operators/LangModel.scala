@@ -32,7 +32,8 @@ object LangModel {
     * [[naiveBayesGuess]] argmaxes and [[labelSuspects]] margins. */
   def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
                        labelCol: String): DataFrame = {
-    val tk = docs.select(col(idCol).as("doc_id"),
+    val tk = graft.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         col(labelCol).as("lang_label"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -49,7 +50,8 @@ object LangModel {
                                          textCol: String, labelCol: String,
                                          nMin: Int, nMax: Int): DataFrame = {
     require(nMin >= 1 && nMax >= nMin, "need 1 <= nMin <= nMax")
-    docs.select(col(idCol).as("doc_id"), col(labelCol).as("lang_label"),
+    graft.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), col(labelCol).as("lang_label"),
         lower(col(textCol)).as("__t"))
       .withColumn("w", explode(expr(
         s"flatten(transform(sequence($nMin, $nMax), n -> " +
@@ -77,7 +79,15 @@ object LangModel {
   /** Shared multinomial-NB core over any (doc_id, lang_label, w)
     * token frame — see [[naiveBayesScores]] for the model and grid. */
   private def scoresFromTokens(docs: DataFrame, labelCol: String,
-                               tk: DataFrame): DataFrame = {
+                               tk0: DataFrame): DataFrame = {
+    // the token frame feeds four aggregations (cnt/tot/vocab/dt). It
+    // is deliberately NOT lineage-cut: materializing an EXPLODED gram
+    // frame costs more than re-running the codegen'd explode per
+    // consumer (measured 13.1 s vs 7 s on q312 — the checkpoint's
+    // deserialized reads quadruple task input bytes). The tokenizers
+    // fan the narrow scan across cores instead (guide §2.5), so the
+    // repeated explode is at least parallel.
+    val tk = tk0
     val cnt = tk.groupBy(col("lang_label").as("cand"), col("w"))
       .agg(count(lit(1)).as("c"))
     val tot = tk.groupBy(col("lang_label").as("cand"))

@@ -117,7 +117,10 @@ object NgramLm {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     val occF = occurrences(fit, textCol, idCol)
     val occS = occurrences(score, textCol, idCol)
-    val bi = occF.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // bi feeds fwd/bwd/types AND the scoring join — cut the aggregated
+    // bigram table so the fit-side occurrence explode runs once
+    val bi = Lineage.cut(
+      occF.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
     val fwd = bi.groupBy(col("w1"))
       .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
     val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))

@@ -55,7 +55,8 @@ object SetSimJoin {
     // Materialized once ([[Lineage.cut]]): the shingle arrays feed the
     // postings build AND both sides of candidate verification — without
     // the cut the plan recomputes shingling three times.
-    val sh = Lineage.cut(df.select(col(idCol).as("id"),
+    val sh = Lineage.cut(graft.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleN).as("__sh"))
       .select(col("id"),
         array_sort(transform(col("__sh"), g => xxhash64(g))).as("hs"),

@@ -439,11 +439,16 @@ object TextIndex {
                       queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = tokens(df, textCol, idCol)
-    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // tfAll/dlen/dfreqAll feed BOTH bm25 passes (seed query + expanded)
+    // and the Rocchio mining — cut the aggregated (small) frames so the
+    // tokenizer explode and its groupBys run once, not once per consumer
+    val dlen = Lineage.cut(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
     val stats = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tfAll = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreqAll = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfAll = Lineage.cut(toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreqAll = Lineage.cut(
+      tfAll.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val idf: Column =
       log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val norm: Column = col("tf") * lit(k1 + 1.0) /
