@@ -985,27 +985,32 @@ object Dedup {
       "rowsPerBand must be 2 or 4 (the 31-bit band-key packing)")
     val kMax = configs.map { case (b, r) => b * r }.max
     val ab = portableAB(kMax)
-    val sh = Lineage.cut(graft.Tables.fanOut(df, col(idCol))
+    // ONE wide aggregate: kMax min() columns over the per-shingle hash.
+    // The former shape exploded kMax (j,a,b) rows per (id, shingle)
+    // occurrence before a (id, j)-keyed aggregation — kMax× the rows
+    // into the map-side combine — and paid a string-level distinct()
+    // exchange first. Neither is needed: min over a multiset equals min
+    // over its set (duplicate (id, shingle) occurrences cannot change
+    // any m_j), and the wide aggregate's exchange carries ONE
+    // kMax-column row per id instead of kMax rows (guide §2.3
+    // "aggregate before you shuffle").
+    val h = graft.Tables.fanOut(df, col(idCol))
       .select(col(idCol).as("id"),
         explode(TextAnalysis.shingles(col(textCol), shingleN)).as("s"))
-      .distinct())
-    val h = sh.withColumn("h", expr(
-      s"""aggregate(
-         |  transform(sequence(1, char_length(s)),
-         |    i -> CAST(ascii(substring(s, i, 1)) AS BIGINT) * i),
-         |  0L, (acc, x) -> acc + x) % $PortableP""".stripMargin))
-    val jab = array(ab.zipWithIndex.map { case ((a, b), j) =>
-      struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b")) }: _*)
+      .withColumn("h", expr(
+        s"""aggregate(
+           |  transform(sequence(1, char_length(s)),
+           |    i -> CAST(ascii(substring(s, i, 1)) AS BIGINT) * i),
+           |  0L, (acc, x) -> acc + x) % $PortableP""".stripMargin))
+    val minCols = ab.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % lit(PortableP)).as(s"m$j") }
     // the minhash table and the exact-Jaccard grader are INDEPENDENT
     // subtrees that both lineage-cut eagerly — overlap their
     // materializations (guide §2.6) instead of paying them back to back
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val fMh = scala.concurrent.Future(Lineage.cut(h
-      .select(col("id"), col("h"), explode(jab).as("x"))
-      .select(col("id"), col("x.j").as("j"),
-        ((col("x.a") * col("h") + col("x.b")) % lit(PortableP)).as("v"))
-      .groupBy(col("id"), col("j")).agg(min(col("v")).as("m"))))
+    val fMh = scala.concurrent.Future(Lineage.cut(
+      h.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)))
     val fExact = scala.concurrent.Future(Lineage.cut(
       SetSimJoin.prefixFilteredPairs(df, textCol,
         idCol, shingleN, threshold).select(col("id_a"), col("id_b"))))
@@ -1015,19 +1020,20 @@ object Dedup {
       scala.concurrent.duration.Duration.Inf)
     val Shift = 2147483648L // 2^31: each minhash is < P < 2^31
     val boards = configs.map { case (bands, r) =>
-      val slots = mh.filter(col("j") < bands * r)
-        .withColumn("band", (col("j") / r).cast("int"))
-        .withColumn("slot", (col("j") % r).cast("int"))
-      val aggs = (0 until r).map(i =>
-        max(when(col("slot") === i, col("m"))).as(s"m$i"))
-      val g = slots.groupBy(col("id"), col("band"))
-        .agg(aggs.head, aggs.tail: _*)
-      val key = r match {
-        case 2 => col("m0") * Shift + col("m1")
-        case 4 => ((col("m0") * Shift + col("m1")) % PortableP) * Shift +
-          ((col("m2") * Shift + col("m3")) % PortableP)
+      // band keys straight off the wide row — the former per-config
+      // (id, band)-keyed pivot aggregation (one exchange per config)
+      // is a zero-shuffle projection of the materialized minhash table
+      def keyOf(base: Int): Column = r match {
+        case 2 => col(s"m$base") * Shift + col(s"m${base + 1}")
+        case 4 =>
+          ((col(s"m$base") * Shift + col(s"m${base + 1}")) % PortableP) *
+            Shift +
+            ((col(s"m${base + 2}") * Shift + col(s"m${base + 3}")) %
+              PortableP)
       }
-      val bk = g.select(col("id"), col("band"), key.as("key"))
+      val bk = mh.select(col("id"),
+        posexplode(array((0 until bands).map(b => keyOf(b * r)): _*))
+          .as(Seq("band", "key")))
       val cand = bk.join(bk.select(col("band"), col("key"),
           col("id").as("id_b")), Seq("band", "key"))
         .filter(col("id") < col("id_b"))
