@@ -1896,13 +1896,20 @@ object ManifestTable {
     if (affectedFiles.isEmpty) return (0L, 0L)
     val (aff, keep) = partitionAffected(rootP, mine, affectedFiles)
     val adf = spark.read.parquet(aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-    val nDel = adf.filter(delCond).count()
     val keepRows = adf.filter(!delCond)
     // a fully-emptied table still commits one footer-only file so the
     // next read keeps its schema (the deleteWhere readability contract)
     val newEntries = writeDataNonEmptyOr(spark, rootP, fs, table, keepRows,
       statsCol, bloomCol, keepSchemaIfEmpty = keep.isEmpty, extraBloomCols,
       extraStatsCols)
+    // deleted-row count by manifest arithmetic — affected footer rows
+    // minus the survivor rows the rewrite just recorded — instead of a
+    // separate filter-count pass over the affected files; only pre-v2
+    // entries without footer counts pay the scan
+    val affRows = aff.flatMap(_.rows)
+    val nDel =
+      if (affRows.size == aff.size) affRows.sum - writtenRows(newEntries)
+      else adf.filter(delCond).count()
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(e => e.table == table) ++ keep ++ newEntries,
       parent = Some(cur.entries))
@@ -2261,12 +2268,19 @@ object ManifestTable {
     val (aff, keep) = affectedByKeys(spark, rootP, ks, key, statsCol, mine,
       toDf(spark, rootP, cur.entries, table).schema)
     if (aff.isEmpty) return (0L, 0L)
-    val adf = spark.read.parquet(
-      aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-    val nDel = adf.join(ks, key, "left_semi").count()
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, ks,
       key, inserts = None, keepSchemaIfEmpty = keep.isEmpty, statsCol,
       bloomCol, extraBloomCols, extraStatsCols)
+    // deleted-row count by manifest arithmetic — affected footer rows
+    // minus survivor rows the rewrite just recorded — instead of a
+    // separate semi-join count pass over the affected files; only
+    // pre-v2 entries without footer counts pay the scan
+    val affRows = aff.flatMap(_.rows)
+    val nDel =
+      if (affRows.size == aff.size) affRows.sum - writtenRows(newEntries)
+      else spark.read.parquet(
+          aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        .join(ks, key, "left_semi").count()
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
@@ -2329,14 +2343,23 @@ object ManifestTable {
         .unionByName(dropKeys.select(key.map(col): _*)).distinct())
     val (aff, keep) = affectedByKeys(spark, rootP, touched, key, statsCol,
       mine, df.schema)
-    val nDropped =
-      if (aff.isEmpty) 0L
-      else spark.read.parquet(
-        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-        .join(touched, key, "left_semi").count()
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, touched,
       key, inserts = Some(nr), keepSchemaIfEmpty = keep.isEmpty, statsCol,
       bloomCol, extraBloomCols, extraStatsCols)
+    // dropped-row count by manifest arithmetic: the rewrite wrote
+    // (affected survivors + nr), so dropped = affected footer rows +
+    // |nr| − written rows — |nr| is a count over the already-
+    // materialized cut, far cheaper than the former semi-join pass over
+    // the affected parquet; pre-v2 entries without footer counts fall
+    // back to that pass
+    val affRows = aff.flatMap(_.rows)
+    val nDropped =
+      if (aff.isEmpty) 0L
+      else if (affRows.size == aff.size)
+        affRows.sum + nr.count() - writtenRows(newEntries)
+      else spark.read.parquet(
+        aff.map(e => new HPath(rootP, e.relPath).toString): _*)
+        .join(touched, key, "left_semi").count()
     commitOrRebase(spark, fs, rootP, root, Some(cur),
       carriedOf = _.filterNot(_.table == table),
       added = keep ++ newEntries,
@@ -2392,20 +2415,33 @@ object ManifestTable {
         s"table columns ${df.columns.toSeq}")
     val src = graft.operators.Lineage.cut(
       source.select(df.columns.map(col): _*))
-    val nSrc = src.count()
+    // row count and duplicate-key guard in ONE aggregation job (formerly
+    // count() + distinct().count() — two passes over the source)
+    val (nSrc, nSrcKeys) = {
+      val r = src.groupBy(key.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     if (nSrc == 0L) return (0L, 0L, 0L)
-    val srcKeys = src.select(key.map(col): _*)
-    require(srcKeys.distinct().count() == nSrc,
+    require(nSrcKeys == nSrc,
       "mergeInto: duplicate keys in source make the replace ambiguous")
+    val srcKeys = src.select(key.map(col): _*)
     val (aff, keep) = affectedByKeys(spark, rootP, srcKeys, key, statsCol,
       mine, df.schema)
     val (nUpdated, nMatchedKeys) =
       if (aff.isEmpty) (0L, 0L)
       else {
+        // one key-pruned pass over the affected files answers both
+        // counts (formerly two semi-join count jobs): matched table
+        // rows = Σ per-key counts, matched source keys = the group
+        // count (source keys are unique by the guard above)
         val adf = spark.read.parquet(
           aff.map(e => new HPath(rootP, e.relPath).toString): _*)
-        (adf.join(srcKeys, key, "left_semi").count(),
-          srcKeys.join(adf.select(key.map(col): _*), key, "left_semi").count())
+        val r = adf.select(key.map(col): _*)
+          .join(srcKeys, key, "left_semi")
+          .groupBy(key.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
       }
     val newEntries = rewriteAffected(spark, rootP, fs, table, aff, srcKeys,
       key, Some(src), keepSchemaIfEmpty = keep.isEmpty, statsCol, bloomCol,
@@ -2623,8 +2659,14 @@ object ManifestTable {
       e.table == TxnTable && e.relPath == markerPath &&
         e.min.exists(_ >= batchId)))) return false
     val up = graft.operators.Lineage.cut(upserts)
-    val nUp = up.count()
-    require(up.select(key.map(col): _*).distinct().count() == nUp,
+    // row count and duplicate-key guard in ONE aggregation job (formerly
+    // count() + distinct().count() — two passes over the batch)
+    val (nUp, nUpKeys) = {
+      val r = up.groupBy(key.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nUpKeys == nUp,
       "transactionalMerge: duplicate upsert keys — collapse the change " +
         "log first (applyChangeLog)")
     // FK integrity on the INCOMING rows only (batch-proportional — the

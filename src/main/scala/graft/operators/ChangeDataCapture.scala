@@ -33,8 +33,13 @@ object ChangeDataCapture {
     * and arbitrary payload. Keys whose LATEST op is a delete are absent
     * from the snapshot; `opCol` itself is dropped.
     */
-  def applyChangeLog(changes: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
-                     opCol: String, deleteOp: String = "D"): DataFrame = {
+  /** Latest change per key, keys + FULL payload including the op column
+    * — the one aggregation [[applyChangeLog]] and [[latestDeletes]] both
+    * derive from, exposed so a caller applying both (the per-micro-batch
+    * CDC merge, [[graft.streaming.CdcApply]]) can materialize it ONCE
+    * instead of running the identical groupBy/max pass twice. */
+  def latestState(changes: DataFrame, keyCols: Seq[String],
+                  seqCols: Seq[String]): DataFrame = {
     val payload = changes.columns.filterNot(keyCols.contains).toSeq
     // Struct comparison is lexicographic by field position: seq columns
     // first, remaining payload as the deterministic tie-break.
@@ -42,9 +47,13 @@ object ChangeDataCapture {
     changes.groupBy(keyCols.map(col): _*)
       .agg(max(ordered).as("__last"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"__last.`$c`").as(c)): _*)
+  }
+
+  def applyChangeLog(changes: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+                     opCol: String, deleteOp: String = "D"): DataFrame =
+    latestState(changes, keyCols, seqCols)
       .filter(col(opCol) =!= lit(deleteOp))
       .drop(opCol)
-  }
 
   /** Keys whose LATEST change is a delete — the delete set
     * [[applyChangeLog]] drops silently, exposed for storage-level
@@ -53,14 +62,10 @@ object ChangeDataCapture {
     * max(struct(...)) shape: shuffle volume is ~|keys|. */
   def latestDeletes(changes: DataFrame, keyCols: Seq[String],
                     seqCols: Seq[String], opCol: String,
-                    deleteOp: String = "D"): DataFrame = {
-    val payload = changes.columns.filterNot(keyCols.contains).toSeq
-    val ordered = struct((seqCols ++ payload.filterNot(seqCols.contains)).map(col): _*)
-    changes.groupBy(keyCols.map(col): _*)
-      .agg(max(ordered).as("__last"))
-      .filter(col(s"__last.`$opCol`") === lit(deleteOp))
+                    deleteOp: String = "D"): DataFrame =
+    latestState(changes, keyCols, seqCols)
+      .filter(col(opCol) === lit(deleteOp))
       .select(keyCols.map(col): _*)
-  }
 
   /** MERGE: apply a change log onto a target snapshot. The target must
     * have exactly the columns `applyChangeLog` emits (keys + seq +

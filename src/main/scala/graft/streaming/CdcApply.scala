@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.etl.ManifestTable
@@ -105,10 +106,15 @@ object CdcApply {
       batchId)) return
     val cached = batch.localCheckpoint() // source offsets are one-shot
     if (cached.isEmpty) return
-    val latest = ChangeDataCapture.applyChangeLog(cached, keyCols, seqCols,
-      opCol, deleteOp)
-    val deletes = ChangeDataCapture.latestDeletes(cached, keyCols, seqCols,
-      opCol, deleteOp)
+    // ONE latest-per-key aggregation feeds BOTH the upsert set and the
+    // delete set — formerly two identical groupBy/max passes over the
+    // batch per micro-batch (guide §1.2 "don't compute things twice").
+    // Materialized (~|keys| rows) so the two derivations are filters.
+    val last = graft.operators.Lineage.cut(
+      ChangeDataCapture.latestState(cached, keyCols, seqCols))
+    val latest = last.filter(col(opCol) =!= lit(deleteOp)).drop(opCol)
+    val deletes = last.filter(col(opCol) === lit(deleteOp))
+      .select(keyCols.map(col): _*)
     ManifestTable.transactionalMerge(spark, root, table, latest, deletes,
       keyCols, writerId, batchId, statsCol, fkChecks, bloomCol,
       extraStatsCols = extraStatsCols)
