@@ -75,9 +75,15 @@ object GraphAnn {
     * — the standard index-build trade: refinement cost is paid once
     * offline, search cost is untouched. All rescoring shuffles carry
     * (id, id) pairs only; vectors join in by key. */
+  /** `cutFinal = false` skips the lineage cut of the FINAL round only —
+    * for callers that consume the returned graph exactly once (the
+    * index writers: one `.write`), where the cut would only add a
+    * materialization job. Callers that iterate over the result (the
+    * q164 beam joins the graph once per round) must keep the default. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, planes: Int, tables: Int, degree: Int,
-               refine: Int = 1, maxBucket: Int = 10000): DataFrame = {
+               refine: Int = 1, maxBucket: Int = 10000,
+               cutFinal: Boolean = true): DataFrame = {
     require(degree >= 1 && planes >= 1 && tables >= 1 && refine >= 0,
       "degree, planes, tables >= 1 and refine >= 0")
     require(maxBucket >= 1, "maxBucket >= 1")
@@ -106,20 +112,25 @@ object GraphAnn {
     val ck = Dedup.cappedBuckets(
       tableKeys(corpus, idCol, vecCol, dim, planes, tables, "vec_id"),
       Seq("tbl", "key"), maxBucket, "graft.graphann.init.buckets")
-    var graph = Lineage.cut(best(dedupKeyed(ck
+    val init = best(dedupKeyed(ck
       .join(ck.select(col("tbl"), col("key"), col("vec_id").as("dst")),
         Seq("tbl", "key"))
       .filter(col("vec_id") =!= col("dst"))
-      .select(col("vec_id"), col("dst")), "vec_id")))
-    for (_ <- 1 to refine) {
+      .select(col("vec_id"), col("dst")), "vec_id"))
+    // mid-round graphs feed THREE consumers each round (fwd/rev/hop2) —
+    // always cut; the final round's cut is skippable for write-once
+    // consumers (cutFinal = false)
+    var graph = if (refine == 0 && !cutFinal) init else Lineage.cut(init)
+    for (i <- 1 to refine) {
       val fwd = graph.select(col("src").as("vec_id"), col("dst"))
       val rev = graph.select(col("dst").as("vec_id"), col("src").as("dst"))
       val hop2 = graph.join(
           graph.select(col("src").as("dst"), col("dst").as("dst2")),
           Seq("dst"))
         .select(col("src").as("vec_id"), col("dst2").as("dst"))
-      graph = Lineage.cut(best(dedupKeyed(fwd.union(rev).union(hop2)
-        .filter(col("vec_id") =!= col("dst")), "vec_id")))
+      val next = best(dedupKeyed(fwd.union(rev).union(hop2)
+        .filter(col("vec_id") =!= col("dst")), "vec_id"))
+      graph = if (i == refine && !cutFinal) next else Lineage.cut(next)
     }
     graph
   }
@@ -169,13 +180,18 @@ object GraphAnn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= beamWidth)
     var beam = topk(seeds).select(col("query_id"), col("vec_id"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val expanded = dedupKeyed(beam
         .join(graph, beam("vec_id") === graph("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .union(beam.select(col("query_id"), col("vec_id")))
         .filter(col("vec_id") =!= col("query_id")), "query_id")
-      beam = Lineage.cut(topk(expanded).select(col("query_id"), col("vec_id")))
+      val ranked = topk(expanded).select(col("query_id"), col("vec_id"))
+      // mid-round beams feed the next round's expansion join AND its
+      // union (two consumers) — cut; the LAST round's beam is consumed
+      // exactly once, by the final re-rank below, so its cut would
+      // only add a materialization job
+      beam = if (r < rounds) Lineage.cut(ranked) else ranked
     }
     topk(beam).select(col("query_id"), col("vec_id"), col("cosine"),
       col("rank"))
@@ -213,11 +229,11 @@ object GraphAnn {
     val layers = Seq(
       scala.concurrent.Future(publishEdges(spark, s"$path/edges",
         knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree,
-          refine),
+          refine, cutFinal = false),
         shards)),
       scala.concurrent.Future(publishEdges(spark, s"$path/upper_edges",
         knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
-          upperRefine),
+          upperRefine, cutFinal = false),
         shards)))
     layers.foreach(scala.concurrent.Await.result(_,
       scala.concurrent.duration.Duration.Inf))
@@ -268,7 +284,7 @@ object GraphAnn {
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
     publishEdges(spark, s"$path/upper_edges",
       knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
-        upperRefine),
+        upperRefine, cutFinal = false),
       shards)
     // a caller-driven upper rebuild under NEW knobs updates the
     // persisted record, so later escalations rebuild under these
@@ -695,10 +711,11 @@ object GraphAnn {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val fFull = scala.concurrent.Future(
-      knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine))
+      knnGraph(corpus, idCol, vecCol, dim, planes, tables, degree, refine,
+        cutFinal = false))
     val fUpper = scala.concurrent.Future(
       knnGraph(upper, idCol, vecCol, dim, planes, tables, upperDegree,
-        upperRefine))
+        upperRefine, cutFinal = false))
     def awaited[A](f: scala.concurrent.Future[A]): A =
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
     graft.etl.ManifestTable.publish(spark, root, Map(
@@ -746,9 +763,9 @@ object GraphAnn {
       val upper = live.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
       graft.etl.ManifestTable.publish(spark, root, Map(
         EdgesT -> knnGraph(live, idCol, vecCol, dim, planes, tables,
-          degree, refine),
+          degree, refine, cutFinal = false),
         UpperT -> knnGraph(upper, idCol, vecCol, dim, planes, tables,
-          upperDegree, upperRefine),
+          upperDegree, upperRefine, cutFinal = false),
         TombT -> emptyTombstones(spark),
         ParamsT -> paramsDf(spark, BuildParams(dim, planes, tables, degree,
           refine, upperMod, upperDegree, upperRefine, live.count(), 0L))),
@@ -835,7 +852,7 @@ object GraphAnn {
     require(upperMod >= 2, "upperMod >= 2 (1 would duplicate the full layer)")
     val upper = corpus.filter(pmod(col(idCol), lit(upperMod.toLong)) === 0L)
     val tbls = Map(UpperT -> knnGraph(upper, idCol, vecCol, dim, planes,
-      tables, upperDegree, upperRefine)) ++
+      tables, upperDegree, upperRefine, cutFinal = false)) ++
       // the upper layer is fresh again: record the (possibly new) upper
       // knobs and reset the staleness accounting
       readParamsVersioned(spark, root).map(p =>
@@ -919,7 +936,7 @@ object GraphAnn {
       graft.etl.ManifestTable.publish(spark, root, Map(
         EdgesT -> merged,
         UpperT -> knnGraph(upper, "__i", "__v", p.dim, p.planes, p.tables,
-          p.upperDegree, p.upperRefine),
+          p.upperDegree, p.upperRefine, cutFinal = false),
         ParamsT -> paramsDf(spark, p.copy(baseN = newBase, appendedN = 0L))),
         statsCols = EdgeStats, bloomCols = EdgeBlooms,
         extraBloomCols = EdgeExtraBlooms)
