@@ -2389,9 +2389,13 @@ object SparkEntry {
     // MDM composition from primitives that are each oracle-checked alone.
     "q145_golden_record" -> ((s, dir) => {
       val parts = t(s, dir, "part")
-      val names = parts.select(col("p_name").as("name")).na.drop().distinct()
+      // cut: `names` (distinct + rank, vocabulary-sized) feeds the two
+      // pair-id joins AND the final cluster join — three consumers that
+      // would each re-run the distinct + global rank (guide §1.2)
+      val names = operators.Lineage.cut(
+        parts.select(col("p_name").as("name")).na.drop().distinct()
         .withColumn("nid",
-          row_number().over(Window.orderBy(col("name"))).cast("long"))
+          row_number().over(Window.orderBy(col("name"))).cast("long")))
       // coalesce the block key to '': split(...).getItem(1) is NULL for
       // single-token names and NULL join keys never match, whereas the
       // oracle's split_part returns '' and still pairs them — latent with
@@ -3623,12 +3627,18 @@ object SparkEntry {
     // the CLEANED corpus -> next-fit packing into context windows. The
     // oracle replays every stage including the recursive packing fold.
     "q100_corpus_to_sequences" -> ((s, dir) => {
-      val prepared = operators.CorpusPipeline.prepare(
-        t(s, dir, "documents"), "text", "doc_id", "source")
-      val mixed = operators.CorpusMix.temperatureSample(prepared,
+      // cut `prepared`: temperatureSample consumes it ~4x (stratum
+      // counts + the pruned-rank scans), and each consumer would
+      // otherwise re-run the whole quality+dedup+cap+scrub pipeline
+      // (guide §1.2 pass counting; the survivor frame is small)
+      val prepared = operators.Lineage.cut(operators.CorpusPipeline.prepare(
+        t(s, dir, "documents"), "text", "doc_id", "source"))
+      // cut `mixed`: consumed by BOTH the packer and the lang join
+      val mixed = operators.Lineage.cut(
+        operators.CorpusMix.temperatureSample(prepared,
           "lang", "clean_text", "doc_id", alpha = 0.5,
           budgetNum = 3, budgetDen = 5)
-        .withColumn("w", length(col("clean_text")).cast("long"))
+        .withColumn("w", length(col("clean_text")).cast("long")))
       operators.SequencePack.packNextFit(mixed, "doc_id", "w", 2048L, 8)
         .join(mixed.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select("doc_id", "lang", "shard", "bin", "offset")
