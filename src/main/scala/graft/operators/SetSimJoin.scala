@@ -55,7 +55,11 @@ object SetSimJoin {
     // Materialized once ([[Lineage.cut]]): the shingle arrays feed the
     // postings build AND both sides of candidate verification — without
     // the cut the plan recomputes shingling three times.
-    val sh = Lineage.cut(graft.Tables.fanOut(df, col(idCol))
+    // NO fanOut here (reverted r19): interleaved same-host A/B showed
+    // the pre-shingle repartition consistently ~6% SLOWER at sf0.1 —
+    // xxhash shingling is too cheap to pay back an exchange of text
+    // payloads (unlike winnow's md5-per-gram, where fanOut holds).
+    val sh = Lineage.cut(df
       .select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleN).as("__sh"))
       .select(col("id"),
