@@ -258,7 +258,11 @@ object ManifestTable {
     *    Pointers keep the commit line ~100 B per file; carried entries
     *    reuse the sidecar untouched, [[vacuum]] treats sidecars like
     *    data files, and content addressing dedups identical filters
-    *    (every footer-only file shares ONE empty-bloom sidecar). */
+    *    (every footer-only file shares ONE empty-bloom sidecar). A
+    *    write unit's filters land PACKED in one object
+    *    (`@<rel>.pack.bloom#<offset>:<len>` — [[writeBloomPack]]), so
+    *    the per-commit sidecar OBJECT count is O(1), not
+    *    O(files × bloomCols); plain `@<rel>` pointers stay readable. */
   final case class FileEntry(table: String, relPath: String,
                              min: Option[Long], max: Option[Long],
                              bloom: Option[(String, String)] = None,
@@ -1059,10 +1063,20 @@ object ManifestTable {
         fname => 2L * rowsByName.getOrElse(fname, DefaultBloomItems / 2))
     lazy val emptyPointer =
       SidecarMark + writeBloomSidecar(fs, rootP, table, emptyBloomBytes())
+    def metaOf(n: String): Option[PerFileMeta] = perFile.collectFirst {
+      case (f, m) if f.endsWith("/" + n) => m }
+    // one pack object per write unit instead of one sidecar per
+    // (file, column) — see [[writeBloomPack]]
+    val packed = writeBloomPack(fs, rootP, table,
+      for {
+        s <- listed; n = s.getPath.getName
+        m <- metaOf(n).toSeq
+        kc <- bloomCols
+        bytes <- m.blooms.get(kc).toSeq
+      } yield ((n, kc), bytes))
     listed.map { s =>
       val n = s.getPath.getName
-      val meta = perFile.collectFirst {
-        case (f, m) if f.endsWith("/" + n) => m }
+      val meta = metaOf(n)
       val stats = meta.fold(Map.empty[String, (Long, Long)])(_.stats)
       val primary = statsCols.headOption.flatMap(stats.get)
       var e = FileEntry(table, s"$dir/$n",
@@ -1074,12 +1088,7 @@ object ManifestTable {
           stats.get(c).map { case (a, b) => (c, a, b) }),
         rows = rowsByName.get(n))
       bloomCols.foreach { kc =>
-        val payload = meta.flatMap(_.blooms.get(kc)) match {
-          case Some(bytes) =>
-            SidecarMark + writeBloomSidecar(fs, rootP, table, bytes)
-          case None => emptyPointer
-        }
-        e = e.withBloom(kc, payload)
+        e = e.withBloom(kc, packed.getOrElse((n, kc), emptyPointer))
       }
       e
     }
@@ -1103,9 +1112,18 @@ object ManifestTable {
     * version points at it. */
   private def writeBloomSidecar(fs: FileSystem, rootP: HPath,
                                 table: String, bytes: Array[Byte]): String = {
-    val hex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(bytes).take(16).map("%02x".format(_)).mkString
+    val hex = sha16(bytes)
     val rel = s"$table/_blooms/b-$hex.bloom"
+    writeSidecarObject(fs, rootP, rel, bytes)
+    rel
+  }
+
+  private def sha16(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(16).map("%02x".format(_)).mkString
+
+  private def writeSidecarObject(fs: FileSystem, rootP: HPath, rel: String,
+                                 bytes: Array[Byte]): Unit = {
     val dest = new HPath(rootP, rel)
     if (!fs.exists(dest)) {
       val dirP = dest.getParent
@@ -1118,7 +1136,38 @@ object ManifestTable {
         require(fs.exists(dest), s"bloom sidecar write failed: $dest")
       }
     }
-    rel
+  }
+
+  /** Write ALL of one write-unit's (file, column) bloom filters as ONE
+    * content-addressed PACK object (`p-<hex>.pack.bloom` — the `.bloom`
+    * suffix keeps [[vacuum]]'s walker and dir pruning working unchanged)
+    * and return per-(fileName, column) pointer payloads of the form
+    * `@<rel>#<offset>:<len>`. One commit's worth of filters was
+    * previously files × bloomCols separate sidecar objects — at the
+    * 10^4-file steady state the per-commit object count, not the bytes,
+    * dominated the manifest dir (guide §6 small files). Identical filter
+    * bytes dedup to one slice inside the pack; the pack itself is
+    * content-addressed, so replays and same-content racers stay
+    * idempotent exactly like single sidecars. */
+  private def writeBloomPack(fs: FileSystem, rootP: HPath, table: String,
+      filters: Seq[((String, String), Array[Byte])])
+      : Map[(String, String), String] = {
+    if (filters.isEmpty) return Map.empty
+    val offsets = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Array[Byte], Long)]
+    var off = 0L
+    val slices = filters.map { case (k, bytes) =>
+      val (_, o) = offsets.getOrElseUpdate(sha16(bytes),
+        { val r = (bytes, off); off += bytes.length; r })
+      (k, (o, bytes.length))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    offsets.values.foreach { case (b, _) => bos.write(b) }
+    val pack = bos.toByteArray
+    val rel = s"$table/_blooms/p-${sha16(pack)}.pack.bloom"
+    writeSidecarObject(fs, rootP, rel, pack)
+    slices.map { case (k, (o, l)) =>
+      k -> s"$SidecarMark$rel#$o:$l" }.toMap
   }
 
   /** Driver-side cache of immutable sidecar payloads — content-addressed
@@ -1137,23 +1186,40 @@ object ManifestTable {
     if (!payload.startsWith(SidecarMark))
       java.util.Base64.getDecoder.decode(payload)
     else {
-      val p = new HPath(rootP, payload.stripPrefix(SidecarMark))
+      // `@<rel>` reads the whole sidecar; `@<rel>#<offset>:<len>` slices
+      // a pack — the pack is cached WHOLE (one object per write unit,
+      // so every file's probe of one commit shares a single read)
+      val raw = payload.stripPrefix(SidecarMark)
+      val (relPath, slice) = raw.indexOf('#') match {
+        case -1 => (raw, None)
+        case i =>
+          val Array(o, l) = raw.substring(i + 1).split(":")
+          (raw.substring(0, i), Some((o.toLong, l.toInt)))
+      }
+      val p = new HPath(rootP, relPath)
       val key = p.toString
-      val hit = bloomSidecarCache.get(key)
-      if (hit != null) hit
-      else {
-        val in = fs.open(p)
-        val bytes = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toByteArray
-        } finally in.close()
-        if (bloomSidecarCache.size() >= MaxBloomCacheEntries)
-          bloomSidecarCache.clear()
-        bloomSidecarCache.put(key, bytes)
-        bytes
+      val whole = {
+        val hit = bloomSidecarCache.get(key)
+        if (hit != null) hit
+        else {
+          val in = fs.open(p)
+          val bytes = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+          if (bloomSidecarCache.size() >= MaxBloomCacheEntries)
+            bloomSidecarCache.clear()
+          bloomSidecarCache.put(key, bytes)
+          bytes
+        }
+      }
+      slice match {
+        case None => whole
+        case Some((o, l)) =>
+          java.util.Arrays.copyOfRange(whole, o.toInt, o.toInt + l)
       }
     }
 
@@ -1400,11 +1466,18 @@ object ManifestTable {
       spark.read.parquet(paths: _*).schema, Nil, Seq(keyCol),
       fname => rowsByName.get(fname).map(2L * _)
         .getOrElse(expectedItemsPerFile), fpp)
+    // one pack per retrofit call (see [[writeBloomPack]]), keyed here by
+    // the entry's relPath since retrofits span multiple write dirs
+    val packed = writeBloomPack(fs, rootP, table,
+      for {
+        e <- mine
+        m <- blooms.collectFirst {
+          case (f, mm) if f.endsWith(e.relPath) => mm }.toSeq
+        bytes <- m.blooms.get(keyCol).toSeq
+      } yield ((e.relPath, keyCol), bytes))
     val updated = mine.map { e =>
-      blooms.collectFirst { case (f, m) if f.endsWith(e.relPath) =>
-        m.blooms.get(keyCol).fold(e)(bytes => e.withBloom(keyCol,
-          SidecarMark + writeBloomSidecar(fs, rootP, table, bytes)))
-      }.getOrElse(e) // footer-only files keep no bloom, are never skipped
+      packed.get((e.relPath, keyCol)).fold(e)(e.withBloom(keyCol, _))
+      // footer-only files keep no bloom, are never skipped
     }
     writeCommit(fs, rootP, cur.version + 1L,
       cur.entries.filterNot(_.table == table) ++ updated,
@@ -2918,7 +2991,13 @@ object ManifestTable {
       resolveEntries(fs, cd, seq.toLong).flatMap(e =>
         e.relPath +: (e.bloom.toSeq ++ e.blooms2).map(_._2)
           .filter(_.startsWith(SidecarMark))
-          .map(_.stripPrefix(SidecarMark)))
+          // pack pointers carry a `#offset:len` fragment — the
+          // referenced OBJECT is the pack file itself
+          .map { p =>
+            val q = p.stripPrefix(SidecarMark)
+            val i = q.indexOf('#')
+            if (i < 0) q else q.substring(0, i)
+          })
     }.toSet
     // delta-chain safety before dropping ancestors: checkpoint the
     // oldest RETAINED version (same rule as compactLog)

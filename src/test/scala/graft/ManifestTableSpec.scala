@@ -358,4 +358,75 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(0).isNullAt(1), "pre-evolution file null-fills the new column")
     assert(rows(1).getDouble(1) == 9.5)
   }
+
+  test("bloom sidecars pack per write unit: O(1) objects per commit, " +
+      "probes and vacuum unchanged") {
+    val root = tmpDir("mtpack")
+    def digested(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id", md5(concat(lit("k"), $"id")).as("digest"))
+    // range-clustered so a low-id delete later touches only SOME files
+    ManifestTable.publish(spark, root,
+      Map("t" -> digested(0, 400).repartitionByRange(6, $"id")),
+      bloomCols = Map("t" -> "digest"))
+    val (fs, rootP) = graft.etl.IncrementalLoad.fsFor(spark, root)
+    def sidecarFiles(): Seq[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(rootP, "t/_blooms"))
+      .map(_.getPath.getName).toSeq.sorted
+    // 6 data files x 1 bloom column -> ONE pack object, not 6 sidecars
+    val packs = sidecarFiles()
+    assert(packs.count(_.startsWith("p-")) == 1,
+      s"expected one pack per write unit, got $packs")
+    assert(packs.count(_.startsWith("b-")) == 0,
+      s"no per-file sidecars expected, got $packs")
+    // every entry points into the pack and probes resolve correctly
+    val mine = ManifestTable.current(spark, root).get.entries
+      .filter(e => e.table == "t" && e.rows.exists(_ > 0))
+    assert(mine.forall(_.bloomFor("digest").exists(p =>
+      p.contains(".pack.bloom#"))), "entries must point into the pack")
+    val target = digested(0, 400).filter($"id" === 123L)
+      .select("digest").as[String].head()
+    val (kept, total) = ManifestTable.bloomPruneStats(spark, root, "t",
+      "digest", target)
+    assert(total == 6L && kept >= 1L && kept < total, s"kept $kept/$total")
+    assert(ManifestTable.readPrunedEq(spark, root, "t", "digest", target)
+      .select("id").as[Long].collect().toSeq == Seq(123L))
+    // a predicate delete rewrites only AFFECTED files: the new pack
+    // appears, and the ORIGINAL pack survives vacuum because carried
+    // (untouched) entries still point into it
+    // a delete crossing one range boundary: affected files REWRITE
+    // (their survivors get a fresh pack), untouched files carry their
+    // pointers into the ORIGINAL pack, which vacuum must keep
+    val (nAff, _) = ManifestTable.deleteWhere(spark, root, "t",
+      $"id" < 100L, bloomCol = Some("digest"))
+    assert(nAff < 6L, s"range clustering must confine the delete, aff=$nAff")
+    assert(sidecarFiles().count(_.startsWith("p-")) == 2,
+      s"rewrite adds its own pack: ${sidecarFiles()}")
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    val after = sidecarFiles()
+    assert(after.count(_.startsWith("p-")) == 2,
+      s"carried entries keep the old pack referenced: $after")
+    val purged = digested(0, 400).filter($"id" === 42L)
+      .select("digest").as[String].head()
+    val (k2, t2) = ManifestTable.bloomPruneStats(spark, root, "t",
+      "digest", purged)
+    assert(k2 == 0L && t2 >= 1L, "purged key: every file's bloom rejects")
+    // surviving keys still probe through pack pointers end to end —
+    // one from a REWRITTEN file (123, new pack), one from a carried
+    // file (300, original pack)
+    assert(ManifestTable.readPrunedEq(spark, root, "t", "digest", target)
+      .select("id").as[Long].collect().toSeq == Seq(123L))
+    val live = digested(0, 400).filter($"id" === 300L)
+      .select("digest").as[String].head()
+    assert(ManifestTable.readPrunedEq(spark, root, "t", "digest", live)
+      .select("id").as[Long].collect().toSeq == Seq(300L))
+    // a full overwrite drops every reference to the old packs; vacuum
+    // then reclaims them like any unreferenced data file
+    ManifestTable.publish(spark, root,
+      Map("t" -> digested(400, 500).repartition(2, $"id")),
+      bloomCols = Map("t" -> "digest"))
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    val fin = sidecarFiles()
+    assert(fin.count(_.startsWith("p-")) == 1,
+      s"superseded packs must be reclaimed: $fin")
+  }
 }

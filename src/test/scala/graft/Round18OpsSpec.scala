@@ -174,7 +174,9 @@ class Round18OpsSpec extends SparkSpec {
     val liveSidecars = fs.listStatus(bloomDir).map(_.getPath.getName).toSet
     val livePointers = graft.etl.ManifestTable.current(spark, root).get
       .entries.flatMap(e => (e.bloom.toSeq ++ e.blooms2).map(_._2))
-      .filter(_.startsWith("@")).map(_.split("/").last).toSet
+      .filter(_.startsWith("@"))
+      // pack pointers carry a #offset:len fragment; the OBJECT is the pack
+      .map(_.split("/").last.takeWhile(_ != '#')).toSet
     assert(livePointers.subsetOf(liveSidecars),
       "every live pointer still resolves")
     assert(liveSidecars.forall(livePointers.contains),
