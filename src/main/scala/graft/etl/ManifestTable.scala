@@ -1046,18 +1046,83 @@ object ManifestTable {
       .sortBy(_.getPath.getName).toSeq
     require(listed.nonEmpty, s"writeData: no parquet files produced at $full")
     val conf = spark.sparkContext.hadoopConfiguration
-    // footer opens are independent metadata reads — do them
-    // concurrently instead of one driver round-trip per file
-    val rowsByName: Map[String, Long] = inParallel(listed) { s =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(s.getPath, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try s.getPath.getName -> r.getRecordCount finally r.close()
-    }.toMap
     val statsCols = (statsCol.toSeq ++ extraStatsCols).distinct
     val bloomCols = (bloomCol.toSeq ++ extraBloomCols).distinct
+    // INTEGRAL and DATE stats columns read their exact min/max straight
+    // from the parquet FOOTERS this loop already opens for row counts:
+    // parquet records signed-exact INT32/INT64 chunk stats, and
+    // [[canonLongExpr]] is the identity on integrals / epoch-day on
+    // DATE (which parquet stores as INT32 epoch days) — so when a write
+    // carries no bloom columns, the whole post-write stats SCAN of the
+    // just-written bytes disappears (guide §1.2: a full re-read of
+    // every written file per write unit, gone). Non-integral stats or
+    // any bloom column keep the one combined scan, unchanged.
+    val footerable = statsCols.filter { c =>
+      df.schema.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+    }
+    val footerOnly = bloomCols.isEmpty && statsCols.forall(footerable.contains)
+    // footer opens are independent metadata reads — do them
+    // concurrently instead of one driver round-trip per file
+    val footerMeta: Seq[(String, Long, Map[String, (Long, Long)])] =
+      inParallel(listed) { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(s.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val stats: Map[String, (Long, Long)] =
+            if (!footerOnly || footerable.isEmpty) Map.empty
+            else {
+              import scala.jdk.CollectionConverters._
+              val blocks = r.getFooter.getBlocks.asScala.toSeq
+              footerable.flatMap { c =>
+                val chunks = blocks.flatMap(_.getColumns.asScala
+                  .filter(_.getPath.toDotString == c))
+                var mn = Long.MaxValue
+                var mx = Long.MinValue
+                var seen = true
+                var any = false
+                chunks.foreach { cc =>
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty)
+                    seen = false // unrecorded chunk stats: record nothing
+                  else if (st.hasNonNullValue) {
+                    val (a, b) = (st.genericGetMin, st.genericGetMax) match {
+                      case (x: java.lang.Long, y: java.lang.Long) =>
+                        (x.longValue(), y.longValue())
+                      case (x: java.lang.Integer, y: java.lang.Integer) =>
+                        (x.longValue(), y.longValue())
+                      case _ => seen = false; (0L, 0L)
+                    }
+                    if (seen) {
+                      any = true
+                      if (a < mn) mn = a
+                      if (b > mx) mx = b
+                    }
+                  } // all-null chunk: contributes nothing, like the scan
+                }
+                // absent stats are SOUND (the file is never skipped);
+                // partial/unreadable stats record nothing rather than
+                // a possibly-narrower-than-true envelope
+                if (seen && any && chunks.nonEmpty) Some(c -> ((mn, mx)))
+                else None
+              }.toMap
+            }
+          (s.getPath.getName, r.getRecordCount, stats)
+        } finally r.close()
+      }
+    val rowsByName: Map[String, Long] =
+      footerMeta.map { case (n, rows, _) => n -> rows }.toMap
     val perFile =
       if (rowsByName.values.forall(_ == 0L)) Map.empty[String, PerFileMeta]
+      else if (footerOnly) footerMeta.map { case (n, _, st) =>
+        s"/$n" -> PerFileMeta(st, Map.empty) }.toMap
       else statsBloomPass(spark, Seq(full.toString), df.schema, statsCols,
         bloomCols,
         fname => 2L * rowsByName.getOrElse(fname, DefaultBloomItems / 2))
